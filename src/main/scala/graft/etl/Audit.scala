@@ -1,0 +1,46 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Data-audit profiling (SURVEY §2 rows 26-27).
+  *
+  * The reference logs `len(raw)` (total records) and a per-column
+  * `max(len(v))` loop used to size Redshift VARCHARs
+  * (`lambda_s3/lambda_function_s3.py:67-68,108-110`; summary.pdf
+  * §"Extraction, validation, clean and transformation").
+  *
+  * The reference's loop is one Python pass per column; ours is ONE Spark job
+  * computing all max-lengths at once (a single aggregate over the scan) —
+  * at 100 TB the difference is |columns| full passes vs one.
+  */
+object Audit {
+
+  /** Total record count (`lambda_function_s3.py:67-68`). */
+  def recordCount(df: DataFrame): Long = df.count()
+
+  /** Per-string-column max length, one job
+    * (`lambda_function_s3.py:108-110`). Returns a 1-row frame with a
+    * `maxlen_<col>` column per string column. */
+  def maxLengths(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    require(stringCols.nonEmpty, "no string columns to audit")
+    df.agg(
+      max(length(col(stringCols.head))).as(s"maxlen_${stringCols.head}"),
+      stringCols.tail.map(c => max(length(col(c))).as(s"maxlen_$c")): _*
+    )
+  }
+
+  /** Count + max-lengths in one pass (the reference's full audit). */
+  def profile(df: DataFrame): DataFrame = {
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    val aggs = count(lit(1)).as("n_records") +:
+      stringCols.map(c => max(length(col(c))).as(s"maxlen_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension maintenance: distinct extraction, anti-join upsert, surrogate
+  * keys (SURVEY §2 rows 25, 28, 31).
+  *
+  * The reference's dim upsert is `INSERT INTO dim SELECT … FROM delta t LEFT
+  * JOIN dim d ON t.k = d.k WHERE d.k IS NULL` ×4 dims
+  * (`lambda_redshift/lambda_function_redishift.py:130-150`,
+  * `ETL-load to snowflake/populate_dimension_fact_tables.sql:60-82`), with
+  * engine-assigned `identity(0,1)` / `autoincrement` surrogate keys.
+  *
+  * SKEY policy (SURVEY §7.4): identity *values* are non-contractual; what
+  * must hold is uniqueness, stability across batches, and FK integrity. We
+  * assign `existingMax + row_number() over (order by naturalKey)` —
+  * deterministic and oracle-reproducible. The unpartitioned Window is safe
+  * ONLY because it runs over new *distinct dimension members* (cardinality ~
+  * |distinct platforms|, |distinct sites|…), never over fact rows; at 100 TB
+  * the dims stay tiny while the fact does not.
+  */
+object Dims {
+
+  /** Distinct dimension extraction — `Series.unique()` / `GROUP BY` with no
+    * aggregates (`lambda_function_s3.py:80,92,96,100`;
+    * `populate_dimension_fact_tables.sql:46-57`). Null members are excluded:
+    * the reference quietly lets NULL sites flow into dim_site and then
+    * NULL≠NULL-misses them in the fact join (SURVEY §7.4 item 6); we keep
+    * them out of the dim and resolve them to a designated member instead. */
+  def distinctDim(df: DataFrame, naturalKey: String): DataFrame =
+    df.select(col(naturalKey)).where(col(naturalKey).isNotNull).distinct()
+
+  /** New-members-only anti-join (SURVEY §2 rows 14+28): delta rows whose
+    * natural key is absent from the existing dim. `left_anti` is the
+    * fused form of `LEFT JOIN … WHERE d.k IS NULL`; the existing dim side
+    * is broadcast (dims are small by construction). */
+  def newMembers(delta: DataFrame, existing: DataFrame, naturalKey: String): DataFrame =
+    delta.join(broadcast(existing.select(naturalKey)), Seq(naturalKey), "left_anti")
+
+  /** Assign surrogate keys to new members: `offset + row_number() over
+    * (order by naturalKey)` (SURVEY §2 row 31). Deterministic; rejected
+    * `monotonically_increasing_id` (non-contiguous, partition-dependent). */
+  def withSkeys(newDim: DataFrame, naturalKey: String, skeyCol: String,
+                offset: Long = 0L): DataFrame =
+    newDim.select(
+      (row_number().over(Window.orderBy(col(naturalKey))) + lit(offset)).cast("long").as(skeyCol),
+      col(naturalKey)
+    )
+
+  /** Full idempotent upsert: existing dim + newly-keyed absent members.
+    * Running the same delta twice is a no-op (the anti-join contract,
+    * SURVEY §2 row 28 / §5 item 3). */
+  def upsert(existing: DataFrame, delta: DataFrame, naturalKey: String,
+             skeyCol: String): DataFrame = {
+    val fresh = newMembers(distinctDim(delta, naturalKey), existing, naturalKey)
+    val maxSkey = existing.agg(coalesce(max(col(skeyCol)), lit(0L))).head.getLong(0)
+    existing.unionByName(withSkeys(fresh, naturalKey, skeyCol, maxSkey))
+  }
+
+  /** Build a dim from scratch (first batch): distinct members + SKEYs. */
+  def build(delta: DataFrame, naturalKey: String, skeyCol: String): DataFrame =
+    withSkeys(distinctDim(delta, naturalKey), naturalKey, skeyCol)
+}

@@ -1,0 +1,61 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/writers with the reference's CSV semantics.
+  *
+  * The reference reads raw CSV with `quotechar='"'`, `escapechar='\\'`
+  * (`lambda_s3/lambda_function_s3.py:65`) and writes its five outputs with
+  * header + `escapechar='\\'` (`lambda_function_s3.py:114-118`). The raw
+  * sample (`lambda_s3/raw_data _sample.pdf`, decoded) has spaces after commas
+  * before quoted fields, so `ignoreLeadingWhiteSpace` must be on for the
+  * quoted `events` list to parse as one field.
+  *
+  * All readers take explicit schemas: inference is a full extra pass over the
+  * data and is non-deterministic across file sets — unacceptable at scale.
+  */
+object Sources {
+
+  /** CSV scan with the reference's quote/escape semantics
+    * (SURVEY §2 row 1). */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Raw video-events CSV (`lambda_function_s3.py:65`). */
+  def rawCsv(spark: SparkSession, path: String): DataFrame =
+    csv(spark, path, RawSchemas.raw)
+
+  /** Parquet scan — the reference offered the same raw data as gzip parquet
+    * (SURVEY §2 row 2; `source data/video_data.gz.parquet`). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Driver-testdata table loader: `<sfDir>/<name>.parquet`. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** CSV sink matching `lambda_function_s3.py:114-118` (header on,
+    * backslash escape). SURVEY §2 row 3. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\\")
+      .mode("overwrite")
+      .csv(path)
+
+  /** Parquet sink, optionally partitioned (fact tables partition by a date
+    * column so partition pruning works at scale). */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

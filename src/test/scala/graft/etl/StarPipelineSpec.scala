@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end star build: dims/fact/SKEY integrity + idempotency
+  * (SURVEY §5 item 3; FIXTURES.md §2). */
+class StarPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawBatch1 = Seq(
+    ("2017-01-11T00:00:53.000Z", "news| Shark attacks spearfisherman", "127,206"),
+    ("2017-01-11T00:00:59.000Z", "news| Shark attacks spearfisherman", "206"), // same minute → one dim row
+    ("2017-01-11T00:02:00.000Z", "iPhone|Clips|Some Video", "206"),
+    ("2017-01-11T00:02:02.000Z", "JustOnePiece", "206"),                       // dropped
+    ("2017-01-11T00:02:01.000Z", "Android|Clips|V", "1206,101")                // dropped (no exact 206)
+  ).toDF("DateTime", "VideoTitle", "events")
+
+  private def rawBatch2 = Seq(
+    ("2017-01-11T00:05:00.000Z", "9news|Local|V3", "101,206"),                 // new everything
+    ("2017-01-11T00:00:53.000Z", "news| Shark attacks spearfisherman", "127,206") // replay of batch-1 row
+  ).toDF("DateTime", "VideoTitle", "events")
+
+  test("batch build: dim uniqueness, fact count, FK integrity, idempotent dims") {
+    val root = tmpDir("graft-star")
+    val store = StarStore(spark, root)
+
+    assert(store.runBatch(rawBatch1, "b1") === 3)
+    // dims: distinct natural keys, unique skeys
+    assert(store.dimDate.count() === 2)      // minutes 00:00 and 00:02
+    assert(store.dimPlatform.select("PLATFORM").as[String].collect().toSet
+      === Set("Desktop", "iPhone"))
+    assert(store.dimSite.select("SITE").as[String].collect().toSet
+      === Set("news", Fact.NoneMember))      // NULL site → designated member
+    val skeys = store.dimPlatform.select("PLATFORM_SKEY").as[Long].collect()
+    assert(skeys.toSet.size === skeys.length && skeys.min === 1L)
+
+    // fact: 3 rows, zero orphan SKEYs (total join — no NULL keys)
+    val fact = store.fact
+    assert(fact.count() === 3)
+    assert(fact.where($"DATETIME_SKEY".isNull || $"PLATFORM_SKEY".isNull ||
+      $"SITE_SKEY".isNull || $"TITLE_SKEY".isNull).count() === 0)
+    assert(fact.select("factid").as[Long].collect().toSet === Set(1L, 2L, 3L))
+
+    // batch 2: dims grow only by genuinely-new members; existing skeys stable
+    val platSkeyBefore = store.dimPlatform.where($"PLATFORM" === "iPhone")
+      .select("PLATFORM_SKEY").as[Long].head()
+    assert(store.runBatch(rawBatch2, "b2") === 2)
+    assert(store.dimSite.select("SITE").as[String].collect().toSet
+      === Set("news", "9news", Fact.NoneMember))
+    val platSkeyAfter = store.dimPlatform.where($"PLATFORM" === "iPhone")
+      .select("PLATFORM_SKEY").as[Long].head()
+    assert(platSkeyBefore === platSkeyAfter) // SKEY stability across batches
+    assert(store.fact.count() === 5)
+    assert(store.dimDate.count() === 3)
+  }
+
+  test("audit: count + one-job max-lengths (rows 26-27)") {
+    val prof = Audit.profile(rawBatch1).head()
+    assert(prof.getAs[Long]("n_records") === 5)
+    assert(prof.getAs[Int]("maxlen_DateTime") === 24)
+    assert(prof.getAs[Int]("maxlen_VideoTitle") ===
+      "news| Shark attacks spearfisherman".length)
+  }
+
+  test("incremental: file-source stream + foreachBatch merge (rows 33-37)") {
+    val stage = tmpDir("graft-stage")
+    val root = tmpDir("graft-star-inc")
+    val ckpt = tmpDir("graft-ckpt")
+
+    def drop(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$stage/$name"),
+        ("DateTime,VideoTitle,events" +: rows).mkString("\n"))
+
+    drop("f1.csv", Seq("2017-01-11T00:00:53.000Z,news| Shark attack, \"127,206\""))
+    Incremental.run(spark, stage, root, ckpt).awaitTermination()
+
+    val store = StarStore(spark, root)
+    assert(store.fact.count() === 1)
+
+    // second file arrives → next AvailableNow drain picks up ONLY the new file
+    drop("f2.csv", Seq("2017-01-11T00:05:00.000Z,iPhone|Clips|V, \"206\""))
+    Incremental.run(spark, stage, root, ckpt).awaitTermination()
+    assert(store.fact.count() === 2)
+    assert(store.dimPlatform.count() === 2)
+  }
+}
