@@ -1,0 +1,438 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked operator catalog: every entry is one SURVEY §2 operator
+  * (or §2.8 extension) expressed over the driver testdata tables, with a
+  * DuckDB oracle in [[Queries.oracle]].
+  *
+  * Cross-engine determinism rules (the driver hash-compares values):
+  *  - every computed column aliased identically in Spark and SQL;
+  *  - timestamps formatted to strings (TZ-naive vs TZ-aware parquet types
+  *    would otherwise diverge);
+  *  - money sums go through decimal(18,2) (exact, order-independent) and
+  *    back to double; integer-valued double sums are exact as-is;
+  *  - averages computed as cast(sum as double)/count, never engine avg();
+  *  - explicit ORDER BY on a unique key in both engines.
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark 4
+      // rejects outright; read nanos as long (runtime conf) and truncate to
+      // micros with integer math (a double division would lose precision —
+      // ns-since-epoch exceeds 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact money arithmetic: the column's doubles are 2-decimal values, so
+    * the decimal(18,2) cast is exact and identical across engines (no double
+    * can sit exactly on a .005 tie), and decimal sums are order-independent.
+    * `round(double)` is NOT portable (HALF_UP vs engine-specific). */
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Spark-side queries. Each mirrors [[oracle]] column-for-column. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───────────────────────── ETL parity (SURVEY §2) ─────────────────────
+    // row 11: exact element membership in a delimited list — the canonical
+    // VideoStart filter re-expressed over documents.text word tokens.
+    "etl_token_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .where(array_contains(split(col("text"), " "), "join"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // row 12: the substring (LIKE) variant — documented divergence.
+    "etl_like_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .where(col("text").like("%join%"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // row 13: malformed-row filter on token count.
+    "etl_token_count_filter" -> ((s, d) => {
+      t(s, d, "documents")
+        .where(size(split(col("text"), " ")) > 60)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // rows 15-18: minute truncation + date-part extraction + dim-date key.
+    "etl_minute_dim" -> ((s, d) => {
+      val minutes = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(date_trunc("minute", col("ts")).as("m"))
+        .distinct()
+      minutes.select(
+        date_format(col("m"), "yyyyMMddHHmm").as("datetime_key"),
+        year(col("m")).as("yr"), month(col("m")).as("mo"),
+        dayofmonth(col("m")).as("dy"), hour(col("m")).as("hr"),
+        minute(col("m")).as("mi"))
+        .orderBy("datetime_key")
+    }),
+
+    // row 20: pipe/delimiter head and tail extraction.
+    "etl_head_tail" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        element_at(split(col("text"), " "), 1).as("head_tok"),
+        element_at(split(col("text"), " "), -1).as("tail_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // row 21: chained-contains classifier (like_platform shape).
+    "etl_classifier" -> ((s, d) => {
+      val cls = when(col("text").contains("window"), "windowed")
+        .when(col("text").contains("stream"), "streaming")
+        .when(col("text").contains("hash"), "hashed")
+        .otherwise("plain")
+      t(s, d, "documents")
+        .groupBy(cls.as("class")).agg(count(lit(1)).as("n"))
+        .orderBy("class")
+    }),
+
+    // row 22: token-overlap → NULL classifier (like_site shape).
+    "etl_overlap_classifier" -> ((s, d) => {
+      val stop = array(lit("join"), lit("merge"), lit("hash"))
+      val site = when(arrays_overlap(split(col("text"), " "), stop), lit(null))
+        .otherwise(col("lang"))
+      t(s, d, "documents")
+        .groupBy(site.as("site")).agg(count(lit(1)).as("n"))
+        .orderBy("site")
+    }),
+
+    // rows 25+31: distinct dim extraction + deterministic surrogate keys.
+    "etl_dim_user" -> ((s, d) => {
+      t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+        .select((row_number().over(Window.orderBy("user_id"))).cast("long").as("user_skey"),
+                col("user_id"))
+        .orderBy("user_skey")
+    }),
+
+    // row 26: count audit.
+    "etl_count_audit" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_records"))
+        .orderBy("event_type")
+    }),
+
+    // row 27: one-job per-column max-length audit.
+    "etl_maxlen_audit" -> ((s, d) => {
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_records"),
+        max(length(col("text"))).as("maxlen_text"),
+        max(length(col("lang"))).as("maxlen_lang"),
+        max(length(col("source"))).as("maxlen_source"))
+    }),
+
+    // row 28: anti-join "insert-if-absent": signup users with no purchase.
+    "etl_antijoin" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val signup = ev.where(col("event_type") === "signup").select("user_id").distinct()
+      val purch = ev.where(col("event_type") === "purchase").select("user_id").distinct()
+      signup.join(purch, Seq("user_id"), "left_anti").orderBy("user_id")
+    }),
+
+    // row 29: multi-way broadcast left join SKEY resolution (fact assembly).
+    "etl_fact_resolve" -> ((s, d) => {
+      val purchases = t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          date_format(date_trunc("minute", col("ts")), "yyyyMMddHHmm").as("datetime_key"))
+      val dimUser = purchases.select("user_id").distinct()
+        .select(row_number().over(Window.orderBy("user_id")).cast("long").as("user_skey"),
+                col("user_id"))
+      val dimMinute = purchases.select("datetime_key").distinct()
+        .select(row_number().over(Window.orderBy("datetime_key")).cast("long").as("datetime_skey"),
+                col("datetime_key"))
+      purchases
+        .join(broadcast(dimUser), Seq("user_id"), "left")
+        .join(broadcast(dimMinute), Seq("datetime_key"), "left")
+        .select(col("event_id"), col("datetime_skey"), col("user_skey"))
+        .orderBy("event_id")
+    }),
+
+    // row 30: insert-only MERGE on a composite natural key — first event id
+    // per (user, minute, type), i.e. dedup-on-merge.
+    "etl_merge_dedup" -> ((s, d) => {
+      t(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          date_format(date_trunc("minute", col("ts")), "yyyyMMddHHmm").as("datetime_key"))
+        .agg(min(col("event_id")).as("first_event_id"))
+        .orderBy("user_id", "datetime_key")
+    }),
+
+    // ─────────────────────── analytics (bench headliners) ─────────────────
+    // TPC-H Q1 shape: wide aggregate over the big table.
+    "q1_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          (sum(money(col("l_extendedprice"))).cast("double")).as("sum_base_price"),
+          sum(money(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+            .cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // join + aggregate: revenue per market segment.
+    "q3_segment_revenue" -> ((s, d) => {
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // 5-way star join: revenue per region (dims broadcast).
+    "q5_region_revenue" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .cast("double").as("revenue"))
+        .orderBy("r_name")
+    }),
+
+    // window top-k: 3 priciest orders per market segment.
+    "q_topk_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .where(col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    }),
+
+    // semi join: customers having orders, counted per nation.
+    "q_semijoin" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_name")
+    }),
+
+    // exact distinct aggregation.
+    "q_distinct_users" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    // grouping sets / rollup.
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // conditional aggregation (pivot shape).
+    "q_conditional_agg" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority").startsWith("5"), 1L).otherwise(0L)).as("n_low"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // set operation: event types seen in both month 1 and month 2.
+    "q_intersect" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.where(month(col("ts")) === 1).select("event_type")
+        .intersect(ev.where(month(col("ts")) === 2).select("event_type"))
+        .orderBy("event_type")
+    })
+  )
+
+  /** DuckDB oracles — column names and order semantics mirror [[all]]. */
+  val oracle: Map[String, String] = Map(
+    "etl_token_filter" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'join')
+        |ORDER BY doc_id""".stripMargin,
+
+    "etl_like_filter" ->
+      """SELECT lang, count(*)::BIGINT AS n FROM documents
+        |WHERE text LIKE '%join%' GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "etl_token_count_filter" ->
+      """SELECT doc_id, len(string_split(text, ' '))::INT AS n_tokens
+        |FROM documents WHERE len(string_split(text, ' ')) > 60
+        |ORDER BY doc_id""".stripMargin,
+
+    "etl_minute_dim" ->
+      """SELECT strftime(m, '%Y%m%d%H%M') AS datetime_key,
+        |  year(m)::INT AS yr, month(m)::INT AS mo, day(m)::INT AS dy,
+        |  hour(m)::INT AS hr, minute(m)::INT AS mi
+        |FROM (SELECT DISTINCT date_trunc('minute', ts) AS m FROM events
+        |      WHERE event_type = 'purchase')
+        |ORDER BY datetime_key""".stripMargin,
+
+    "etl_head_tail" ->
+      """SELECT doc_id, string_split(text, ' ')[1] AS head_tok,
+        |  string_split(text, ' ')[-1] AS tail_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "etl_classifier" ->
+      """SELECT CASE WHEN contains(text, 'window') THEN 'windowed'
+        |  WHEN contains(text, 'stream') THEN 'streaming'
+        |  WHEN contains(text, 'hash') THEN 'hashed'
+        |  ELSE 'plain' END AS class, count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1 ORDER BY class""".stripMargin,
+
+    "etl_overlap_classifier" ->
+      """SELECT CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['join','merge','hash']) THEN NULL ELSE lang END AS site,
+        |  count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1 ORDER BY site""".stripMargin,
+
+    "etl_dim_user" ->
+      """SELECT row_number() OVER (ORDER BY user_id)::BIGINT AS user_skey, user_id
+        |FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY user_skey""".stripMargin,
+
+    "etl_count_audit" ->
+      """SELECT event_type, count(*)::BIGINT AS n_records FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_maxlen_audit" ->
+      """SELECT count(*)::BIGINT AS n_records,
+        |  max(length(text))::INT AS maxlen_text,
+        |  max(length(lang))::INT AS maxlen_lang,
+        |  max(length(source))::INT AS maxlen_source
+        |FROM documents""".stripMargin,
+
+    "etl_antijoin" ->
+      """SELECT DISTINCT user_id FROM events e WHERE event_type = 'signup'
+        |AND NOT EXISTS (SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "etl_fact_resolve" ->
+      """WITH purchases AS (
+        |  SELECT event_id, user_id,
+        |    strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS datetime_key
+        |  FROM events WHERE event_type = 'purchase'),
+        |dim_user AS (
+        |  SELECT row_number() OVER (ORDER BY user_id)::BIGINT AS user_skey, user_id
+        |  FROM (SELECT DISTINCT user_id FROM purchases)),
+        |dim_minute AS (
+        |  SELECT row_number() OVER (ORDER BY datetime_key)::BIGINT AS datetime_skey,
+        |    datetime_key
+        |  FROM (SELECT DISTINCT datetime_key FROM purchases))
+        |SELECT p.event_id, m.datetime_skey, u.user_skey
+        |FROM purchases p
+        |LEFT JOIN dim_user u USING (user_id)
+        |LEFT JOIN dim_minute m USING (datetime_key)
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_merge_dedup" ->
+      """SELECT user_id,
+        |  strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS datetime_key,
+        |  min(event_id)::BIGINT AS first_event_id
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY user_id, datetime_key""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+        |  (sum(l_extendedprice::DECIMAL(18,2) *
+        |       (1::DECIMAL(8,4) - l_discount::DECIMAL(8,4))))::DOUBLE
+        |    AS sum_disc_price,
+        |  sum(l_quantity)::DOUBLE / count(*) AS avg_qty,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name,
+        |  (sum(l_extendedprice::DECIMAL(18,2) *
+        |       (1::DECIMAL(8,4) - l_discount::DECIMAL(8,4))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT n_name, count(*)::BIGINT AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+        |  sum(CASE WHEN o_orderpriority LIKE '5%' THEN 1 ELSE 0 END)::BIGINT AS n_low,
+        |  count(*)::BIGINT AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT event_type FROM events WHERE month(ts) = 1
+        |INTERSECT
+        |SELECT event_type FROM events WHERE month(ts) = 2
+        |ORDER BY event_type""".stripMargin
+  )
+
+  /** Bench headliners: the queries whose throughput matters at scale. */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
+    "q_topk_window", "q_semijoin", "q_distinct_users", "q_rollup",
+    "etl_fact_resolve", "etl_merge_dedup", "etl_minute_dim")
+}
