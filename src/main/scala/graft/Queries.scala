@@ -135,12 +135,15 @@ object Queries {
         max(length(col("source"))).as("maxlen_source"))
     }),
 
-    // row 28: anti-join "insert-if-absent": signup users with no purchase.
+    // row 28: anti-join "insert-if-absent" — delta minute-keys not yet in the
+    // dim (view-minutes with no purchase-minute), the dim-upsert shape.
     "etl_antijoin" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val signup = ev.where(col("event_type") === "signup").select("user_id").distinct()
-      val purch = ev.where(col("event_type") === "purchase").select("user_id").distinct()
-      signup.join(purch, Seq("user_id"), "left_anti").orderBy("user_id")
+      def minutes(typ: String) = ev.where(col("event_type") === typ)
+        .select(date_format(date_trunc("minute", col("ts")), "yyyyMMddHHmm")
+          .as("datetime_key")).distinct()
+      minutes("view").join(minutes("purchase"), Seq("datetime_key"), "left_anti")
+        .orderBy("datetime_key")
     }),
 
     // row 29: multi-way broadcast left join SKEY resolution (fact assembly).
@@ -263,12 +266,12 @@ object Queries {
         .orderBy("o_orderstatus")
     }),
 
-    // set operation: event types seen in both month 1 and month 2.
+    // set operation: purchasers active in both week 1 and week 4.
     "q_intersect" -> ((s, d) => {
-      val ev = t(s, d, "events")
-      ev.where(month(col("ts")) === 1).select("event_type")
-        .intersect(ev.where(month(col("ts")) === 2).select("event_type"))
-        .orderBy("event_type")
+      val ev = t(s, d, "events").where(col("event_type") === "purchase")
+      ev.where(dayofmonth(col("ts")) <= 7).select("user_id")
+        .intersect(ev.where(dayofmonth(col("ts")) > 21).select("user_id"))
+        .orderBy("user_id")
     })
   )
 
@@ -331,10 +334,13 @@ object Queries {
         |FROM documents""".stripMargin,
 
     "etl_antijoin" ->
-      """SELECT DISTINCT user_id FROM events e WHERE event_type = 'signup'
-        |AND NOT EXISTS (SELECT 1 FROM events p
-        |  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
-        |ORDER BY user_id""".stripMargin,
+      """SELECT datetime_key FROM (
+        |  SELECT DISTINCT strftime(date_trunc('minute', ts), '%Y%m%d%H%M')
+        |    AS datetime_key FROM events WHERE event_type = 'view') v
+        |WHERE NOT EXISTS (SELECT 1 FROM events p
+        |  WHERE p.event_type = 'purchase'
+        |  AND strftime(date_trunc('minute', p.ts), '%Y%m%d%H%M') = v.datetime_key)
+        |ORDER BY datetime_key""".stripMargin,
 
     "etl_fact_resolve" ->
       """WITH purchases AS (
@@ -424,10 +430,10 @@ object Queries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_intersect" ->
-      """SELECT event_type FROM events WHERE month(ts) = 1
+      """SELECT user_id FROM events WHERE event_type = 'purchase' AND day(ts) <= 7
         |INTERSECT
-        |SELECT event_type FROM events WHERE month(ts) = 2
-        |ORDER BY event_type""".stripMargin
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND day(ts) > 21
+        |ORDER BY user_id""".stripMargin
   )
 
   /** Bench headliners: the queries whose throughput matters at scale. */
