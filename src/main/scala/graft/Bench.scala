@@ -10,11 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Headline set = the queries whose throughput matters at scale (the
+    // full catalog incl. deliberately-quadratic verification ops runs in
+    // graft.Verify, not here).
+    val qs0 = SparkEntry.queries
+    val results = Queries.headline.filter(qs0.contains).map { name =>
+      val fn = qs0(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1,0 +1,467 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
+  * similarity search, text analysis, multimodal plumbing, streaming-window
+  * shape, CSV round-trip, and SQL-surface breadth queries — each with a
+  * DuckDB oracle that reproduces the Spark result bit-for-bit.
+  *
+  * Cross-engine portability rules on top of [[Queries]]' rules:
+  *  - hashes are md5-derived (md5 is engine-independent); minhash minimizes
+  *    the md5 *string* so no integer overflow semantics are involved;
+  *  - float vector math happens in double after an exact float→double cast,
+  *    as a strict left fold in index order (fp addition isn't associative —
+  *    identical order ⟹ identical bits);
+  *  - ratio metrics are single divisions of exact integers;
+  *  - rolling hashes are mod 1e9+7 so every intermediate fits well under
+  *    2^63 in any engine.
+  */
+object ExtQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Queries.table(spark, dir, name)
+
+  /** Header checksum: sum of the first 16 character codes (= payload bytes
+    * for ASCII payloads). */
+  private def headerSum(c: Column): Column =
+    aggregate(sequence(lit(1), least(length(c), lit(16))), lit(0L),
+      (a, i) => a + ascii(substr(c, i, lit(1))))
+
+  private val langClasses: Seq[(String, Seq[String])] = Seq(
+    "tabular" -> Seq("table", "row", "column", "scan"),
+    "streaming" -> Seq("stream", "batch", "window", "state"),
+    "relational" -> Seq("join", "merge", "hash", "shuffle"))
+
+  private val stopwords = Seq("data", "table", "row", "value")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───────────────────────── deduplication (§2.8) ───────────────────────
+    // Exact dedup: one hash-aggregate on the normalization fingerprint.
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // MinHash + LSH near-dup: shingle → signature → band bucket join →
+    // exact-Jaccard verify. The at-scale dedup workhorse.
+    "dedup_minhash" -> ((s, d) => {
+      Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 8, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash fingerprints (16-bit) per document.
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
+    "dedup_ngram" -> ((s, d) => {
+      Dedup.blockedNgramPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCol = "lang", n = 4, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup pairs.
+    "dedup_embedding" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // ─────────────────────── similarity search (§2.8) ─────────────────────
+    // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
+    "sim_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Sign-quantization LSH bucketed top-k (the pruned scale path).
+    "sim_topk_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bucketedTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ─────────────────────── text analysis (§2.8) ─────────────────────────
+    // Vocabulary-profile language/domain ID.
+    "text_langid" -> ((s, d) => {
+      val toks = TextStats.tokens(col("text"))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.markerHits(toks, langClasses(0)._2).as("s_tabular"),
+        TextStats.markerHits(toks, langClasses(1)._2).as("s_streaming"),
+        TextStats.markerHits(toks, langClasses(2)._2).as("s_relational"),
+        TextStats.classify(toks, langClasses).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token counts, mean token length, stopword ratio.
+    "text_quality" -> ((s, d) => {
+      val base = t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.nTokens(col("text")).as("n_tok"),
+        TextStats.nWords(col("text")).as("n_words"),
+        TextStats.avgTokenLen(col("text")).as("avg_tok_len"),
+        TextStats.stopwordRatio(col("text"), stopwords).as("stop_ratio"))
+      base.select(col("*"),
+        when(col("n_tok") >= 60 && col("stop_ratio") <= 0.2, "good")
+          .when(col("n_tok") >= 30, "ok").otherwise("short").as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting per language: whitespace, regex-word, BPE-ish subword.
+    "text_tokens" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextStats.nTokens(col("text")).cast("long")).as("sum_ws_tokens"),
+          sum(TextStats.nWords(col("text")).cast("long")).as("sum_words"),
+          sum(TextStats.nSubwords(col("text")).cast("long")).as("sum_subwords"))
+        .orderBy("lang")
+    }),
+
+    // Document fingerprinting: canonical bag-of-words md5 + rolling hash.
+    "text_fingerprint" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextStats.canonicalFingerprint(col("text")).as("canon_fp"),
+        TextStats.rollingHash(col("text")).as("roll_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ─────────────────────── multimodal plumbing (§2.8) ───────────────────
+    // Binary payload + typed metadata stats (decode itself is the stubbed
+    // per-partition step — see graft.ext.Multimodal and its spec).
+    "mm_payload_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.assetsFromDocuments(docs)
+        .join(docs.select(col("doc_id").as("asset_id"), col("text")), "asset_id")
+        .select(col("asset_id"), col("modality"),
+          col("meta.bytes").as("payload_bytes"),
+          headerSum(col("text")).as("header_sum"))
+        .orderBy("asset_id")
+    }),
+
+    // ───────────── streaming-window shape / sources / SQL breadth ─────────
+    // Tumbling event-time window (batch semantics of the streaming agg).
+    "q_tumbling_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyyMMddHH").as("hr"),
+          col("event_type"), col("n"))
+        .orderBy("hr", "event_type")
+    }),
+
+    // CSV sink + scan round-trip with the reference's quote/escape options
+    // (SURVEY §2 rows 1, 3): write a slice, read it back, aggregate. The
+    // oracle aggregates the original rows — any quoting infidelity breaks it.
+    "etl_csv_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(d.hashCode)}"
+      t(s, d, "events").where(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\\")
+        .csv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("props", StringType)))
+      s.read.schema(schema)
+        .option("header", "true").option("quote", "\"").option("escape", "\\")
+        .csv(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("props")).as("min_props"),
+          countDistinct(col("props")).as("n_props"))
+        .orderBy("event_type")
+    }),
+
+    // UNION ALL with provenance tag.
+    "q_union_all" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def half(tag: String, pred: Column) = ev.where(pred)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("half"), col("event_type"), col("n"))
+      half("h1", dayofmonth(col("ts")) <= 15)
+        .unionByName(half("h2", dayofmonth(col("ts")) > 15))
+        .orderBy("half", "event_type")
+    }),
+
+    // EXCEPT (distinct set difference).
+    "q_except" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def minutes(typ: String) = ev.where(col("event_type") === typ)
+        .select(date_format(date_trunc("minute", col("ts")), "yyyyMMddHHmm")
+          .as("datetime_key"))
+      minutes("view").except(minutes("purchase")).orderBy("datetime_key")
+    }),
+
+    // String-function surface: upper/lower/substr/replace/lpad/length/reverse.
+    "q_string_funcs" -> ((s, d) => {
+      t(s, d, "customer").where(col("c_custkey") % 37 === 0)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up_name"),
+          substring(col("c_name"), 1, 8).as("name_head"),
+          regexp_replace(col("c_name"), "#", "-").as("dashed"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+          length(col("c_name")).as("name_len"),
+          reverse(col("c_name")).as("rev_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // Date-function surface: date_add / datediff / last_day / quarter.
+    "q_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"),
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("od_plus30"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Scalar-aggregate join (TPC-H Q17 shape): lineitems below 20% of their
+    // part's mean quantity. Mean of integral doubles = exact sum / count.
+    "q17_small_qty" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val thresh = li.groupBy(col("l_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity")) / count(lit(1)))).as("qty_thresh"))
+      li.join(thresh, "l_partkey")
+        .where(col("l_quantity") < col("qty_thresh"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_extprice"))
+    })
+  )
+
+  // ───────────────────────────── oracles ──────────────────────────────────
+
+  /** Shared SQL fragments (generated where repetitive). */
+  private object Sql {
+    // strict-left-fold dot product of two DOUBLE[] expressions, 64 dims
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+    val minhashSigs: String =
+      "[" + (1 to 8).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+
+    val simhashBits: String =
+      (0 until 16).map(i =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+
+    val signBucket6: String =
+      (0 until 6).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+    def markerCount(markers: Seq[String]): String =
+      s"len(list_filter(toks, tk -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], tk)))"
+
+    val wordShingles3: String =
+      """CASE WHEN len(words) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(words) - 1),
+        |       i -> array_to_string(words[i:i+2], ' ')))
+        |  ELSE []::VARCHAR[] END""".stripMargin
+
+    val charShingles4: String =
+      """CASE WHEN length(lt) >= 4
+        |  THEN list_distinct(list_transform(range(1, length(lt) - 2),
+        |       i -> substr(lt, i, 4)))
+        |  ELSE []::VARCHAR[] END""".stripMargin
+
+    val rollHash: String =
+      """list_reduce(list_concat([0::BIGINT],
+        |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
+        |  (acc, ch) -> (acc * 31 + ch) % 1000000007)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(text)) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 9)) AS band, unnest(sigs) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |  len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    string_split(lower(text), ' '),
+         |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT)) AS hs
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH c AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+         |sh AS (SELECT doc_id, lang, ${Sql.charShingles4} AS s FROM c),
+         |sh2 AS (SELECT doc_id, lang, s FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 5
+         |  AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  ${Sql.markerCount(langClasses(0)._2)}::INT AS s_tabular,
+         |  ${Sql.markerCount(langClasses(1)._2)}::INT AS s_streaming,
+         |  ${Sql.markerCount(langClasses(2)._2)}::INT AS s_relational,
+         |  CASE
+         |    WHEN ${Sql.markerCount(langClasses(0)._2)} >= ${Sql.markerCount(langClasses(1)._2)}
+         |     AND ${Sql.markerCount(langClasses(0)._2)} >= ${Sql.markerCount(langClasses(2)._2)}
+         |      THEN 'tabular'
+         |    WHEN ${Sql.markerCount(langClasses(1)._2)} >= ${Sql.markerCount(langClasses(2)._2)}
+         |      THEN 'streaming'
+         |    ELSE 'relational' END AS pred
+         |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, n_tok, n_words, avg_tok_len, stop_ratio,
+         |  CASE WHEN n_tok >= 60 AND stop_ratio <= 0.2 THEN 'good'
+         |       WHEN n_tok >= 30 THEN 'ok' ELSE 'short' END AS quality
+         |FROM (SELECT doc_id,
+         |  len(string_split(text, ' '))::INT AS n_tok,
+         |  len(regexp_extract_all(lower(text), '[a-z]+'))::INT AS n_words,
+         |  length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_tok_len,
+         |  ${Sql.markerCount(stopwords)}::DOUBLE / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
+        |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS canon_fp,
+         |  (CASE WHEN length(text) = 0 THEN 0 ELSE ${Sql.rollHash} END)::BIGINT AS roll_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_payload_stats" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+        |  octet_length(encode(text))::BIGINT AS payload_bytes,
+        |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
+        |    i -> ord(substr(text, i, 1))))::BIGINT AS header_sum
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "etl_csv_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n, min(props) AS min_props,
+        |  count(DISTINCT props)::BIGINT AS n_props
+        |FROM events WHERE event_id % 7 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT 'h1' AS half, event_type, count(*)::BIGINT AS n FROM events
+        |WHERE day(ts) <= 15 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'h2' AS half, event_type, count(*)::BIGINT AS n FROM events
+        |WHERE day(ts) > 15 GROUP BY event_type
+        |ORDER BY half, event_type""".stripMargin,
+
+    "q_except" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS datetime_key
+        |FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT strftime(date_trunc('minute', ts), '%Y%m%d%H%M') AS datetime_key
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY datetime_key""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up_name,
+        |  substr(c_name, 1, 8) AS name_head,
+        |  replace(c_name, '#', '-') AS dashed,
+        |  lpad(c_custkey::VARCHAR, 10, '0') AS padded_key,
+        |  length(c_name)::INT AS name_len,
+        |  reverse(c_name) AS rev_name
+        |FROM customer WHERE c_custkey % 37 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS od,
+        |  strftime(o_orderdate::DATE + 30, '%Y-%m-%d') AS od_plus30,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate::DATE)::INT AS days_since,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        |  quarter(o_orderdate)::INT AS qtr
+        |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT count(*)::BIGINT AS n,
+        |  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_extprice
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thresh
+        |  FROM lineitem GROUP BY l_partkey) p
+        |ON l.l_partkey = p.l_partkey
+        |WHERE l.l_quantity < p.qty_thresh""".stripMargin
+  )
+}

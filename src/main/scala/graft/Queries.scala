@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Queries {
 
+  private[graft] def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    t(spark, dir, name)
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark 4
@@ -436,9 +439,13 @@ object Queries {
         |ORDER BY user_id""".stripMargin
   )
 
-  /** Bench headliners: the queries whose throughput matters at scale. */
+  /** Bench headliners: the queries whose throughput matters at scale.
+    * Quadratic-within-block verification ops (dedup_ngram, dedup_embedding)
+    * are deliberately absent — their scale path is the LSH variants below. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
     "q_topk_window", "q_semijoin", "q_distinct_users", "q_rollup",
-    "etl_fact_resolve", "etl_merge_dedup", "etl_minute_dim")
+    "etl_fact_resolve", "etl_merge_dedup", "etl_minute_dim",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "sim_topk", "sim_topk_lsh", "text_tokens", "text_fingerprint")
 }

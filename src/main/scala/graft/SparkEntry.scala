@@ -6,9 +6,10 @@ object SparkEntry {
     * The star fact-assembly query — the reference's core capability. */
   def entry(spark: SparkSession): DataFrame =
     Queries.all("etl_fact_resolve")(spark, "/root/testdata/sf0.001")
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2 (+ §2.8 extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracle
+  def oracleSql: Map[String, String] = Queries.oracle ++ ExtQueries.oracle
 }

@@ -1,0 +1,165 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines
+  * (SURVEY §2.8): exact, MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Everything is built-in Catalyst expressions (no UDFs), so shingling and
+  * hashing stay inside whole-stage codegen and distribute trivially: the only
+  * shuffles are the groupBy on the fingerprint (exact) and the self-join on
+  * the LSH band key (near-dup) — both keyed exactly on what must be
+  * co-located, which is the shape that survives a 1000-executor scale-up.
+  *
+  * Two hash families are provided:
+  *  - the *portable* family (md5-derived) — bit-identical in any engine with
+  *    a standard md5, which is what the DuckDB oracle checks;
+  *  - the *fast* family (xxhash64) — Spark's codegen'd 64-bit hash for the
+  *    100 TB path, same algorithm shape, ~10× cheaper per token.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  /** Portable 32-bit token hash: first 8 hex digits of md5, as a long.
+    * Engine-independent (md5 is md5 everywhere); used where an external
+    * oracle must reproduce the value. */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+
+  /** Fast 64-bit token hash for the at-scale path (codegen'd, seeded). */
+  def tokenHashFast(t: Column, seed: Int = 42): Column = xxhash64(lit(seed), t)
+
+  /** Distinct n-word shingles of `text`; empty array when the document has
+    * fewer than n words. The size guard matters: Spark's `sequence(1, 0)`
+    * yields a DESCENDING [1, 0], not an empty array, which would fabricate
+    * phantom shingles on short documents. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val sh = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+    when(size(w) >= n, array_distinct(sh))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct character n-grams (for short/no-whitespace text). */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    val sh = transform(
+      sequence(lit(1), length(t) - lit(n - 1)),
+      i => substr(t, i, lit(n)))
+    when(length(t) >= n, array_distinct(sh))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** K-value MinHash signature over a shingle set: element j is
+    * min over shingles of md5("<j>:" ++ shingle). Minimizing the md5 *string*
+    * (hex is lexicographic-comparable) avoids any integer-overflow semantics
+    * an external oracle could disagree on. NULL element ⟺ empty shingle set. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((1 to k).map { j =>
+      array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
+    }: _*)
+
+  /** Fast-path signature (xxhash64-based, one long per band). */
+  def minhashSignatureFast(shingles: Column, k: Int): Column =
+    array((1 to k).map { j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))
+    }: _*)
+
+  /** Exact duplicate groups keyed by a normalization fingerprint.
+    * Returns (fingerprint, keep_id, n_copies): canonical survivor = min id.
+    * One hash-aggregate shuffle on the fingerprint; map-side partial
+    * aggregation collapses duplicates before the exchange, so the shuffle
+    * carries one row per distinct document — the 100 TB-safe shape. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(lower(col(textCol))).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per normalized text (the min-id survivor). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** LSH candidate pairs from per-document signatures: documents sharing any
+    * band value. `sigDf` must have (id, sig: array) — use [[minhashSignature]].
+    * The self-join shuffles on (band, value) — i.e. the LSH bucket IS the
+    * partition key. At 100 TB, cap pathological buckets (a boilerplate
+    * shingle shared by millions of docs) by salting or dropping buckets above
+    * a size threshold before the join. */
+  def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String): DataFrame = {
+    val bands = sigDf
+      .select(col(idCol), posexplode(col(sigCol)))
+      .toDF(idCol, "band", "v")
+      .where(col("v").isNotNull)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two array-set columns (as double). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Near-duplicate pairs: MinHash(k seeds, 1-row bands) LSH candidates,
+    * verified by exact shingle-set Jaccard >= threshold.
+    * Output: (a_id, b_id, jaccard). */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int = 3, numHashes: Int = 8,
+                     threshold: Double = 0.5): DataFrame = {
+    val sh = df
+      .select(col(idCol), wordShingles(col(textCol), shingleLen).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
+    val cand = lshCandidates(sig, idCol, "sig")
+    cand
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+      .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over pre-hashed tokens (see [[tokenHash]]): bit i is set
+    * iff sum over tokens of ±1 (sign of hash-bit i) is positive. Near-dups
+    * then cluster by fingerprint equality or small Hamming distance. */
+  def simhash16(hashes: Column): Column =
+    (0 until 16).map { i =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two small fingerprints (bit_count of XOR). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Per-document SimHash frame: (id, simhash). */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        array_distinct(transform(words(col(textCol)), tokenHash(_))).as("hs"))
+      .select(col(idCol), simhash16(col("hs")).as("simhash"))
+
+  /** Direct blocked n-gram-Jaccard near-dup: all pairs within a blocking key
+    * (e.g. language), char-n-gram Jaccard >= threshold. Quadratic within a
+    * block — use only with strong blocking; MinHash LSH is the unblocked
+    * scale path. */
+  def blockedNgramPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, n: Int = 4,
+                        threshold: Double = 0.4): DataFrame = {
+    val sh = df
+      .select(col(idCol), col(blockCol), charShingles(col(textCol), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    sh.select(col(blockCol), col(idCol).as("a_id"), col("sh").as("sh_a"))
+      .join(sh.select(col(blockCol), col(idCol).as("b_id"), col("sh").as("sh_b")),
+        Seq(blockCol))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

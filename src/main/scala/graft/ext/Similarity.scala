@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`array<float>`), SURVEY §2.8.
+  *
+  * Vector math is expressed with higher-order built-ins (`zip_with` +
+  * `aggregate`) rather than UDFs, and as a *strict left fold in index order*:
+  * floating-point addition is not associative, so a fixed evaluation order is
+  * what makes scores reproducible across engines and across partitionings —
+  * the property the driver's oracle (and any re-run at 1000 executors)
+  * depends on.
+  *
+  * Scale shape: brute-force top-k is one broadcast of the (small) query set
+  * against a corpus scan — linear, no shuffle until the per-query k-row
+  * aggregation. The bucketed variant prunes the corpus ~2^bits-fold with a
+  * sign-quantization LSH (random-hyperplane family with axis-aligned planes),
+  * turning the cross product into an equi-join on the bucket key.
+  */
+object Similarity {
+
+  /** float[] → double[] (exact: every float is representable). All arithmetic
+    * then happens in double on both sides of any engine comparison. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Dot product as a strict left fold in index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; evaluation order fixed as dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself). `queries` should be small — it is broadcast;
+    * the corpus is scanned once. Returns (query_id, rank, id, score).
+    *
+    * The rank window partitions by query — at most |queries| * |corpus| rows
+    * enter the exchange; for large query sets pre-aggregate per partition
+    * with a bounded heap instead (mapPartitions) before ranking. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scored.select(col("query_id"), row_number().over(w).as("rank"),
+        col("id"), col("score"))
+      .where(col("rank") <= k)
+  }
+
+  /** Sign-quantization LSH bucket: bit i of the key is sign(v[i+1] > 0) for
+    * the first `bits` dimensions. Deterministic, engine-portable (no random
+    * hyperplanes to ship), and a genuine member of the random-hyperplane LSH
+    * family for embeddings whose coordinates are already decorrelated. */
+  def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN top-k: like [[bruteForceTopK]] but candidates are only
+    * corpus vectors in the query's sign bucket — the equi-join on the bucket
+    * key replaces the cross product (~2^bits candidate reduction; recall
+    * trades off with `bits`). */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int, bits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scored.select(col("query_id"), row_number().over(w).as("rank"),
+        col("id"), col("score"))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine >=
+    * threshold. Unblocked all-pairs is quadratic — correct at verification
+    * scale; at 100 TB block first ([[signBucket]] equi-join, same contract as
+    * `Dedup.blockedNgramPairs`). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    v.select(col("id").as("a_id"), col("v").as("va"))
+      .crossJoin(v.select(col("id").as("b_id"), col("v").as("vb")))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .where(col("score") >= threshold)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY §2.8): vocabulary-profile
+  * language ID, quality scoring, token counting, and document fingerprinting.
+  *
+  * All pure Column expressions over built-ins — per-document, embarrassingly
+  * parallel, no shuffle; the only aggregations are whatever the caller groups
+  * by afterwards. Ratio metrics are integer-derived doubles (one division of
+  * two exact ints), so they are bit-identical across engines and runs.
+  */
+object TextStats {
+
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** How many tokens fall in a marker vocabulary. `filter` + `array_contains`
+    * counts every occurrence (not just distinct hits). */
+  def markerHits(toks: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(m, t)))
+  }
+
+  /** Vocabulary-profile language/domain ID — the n-gram-frequency heuristic
+    * shape: score the token stream against per-class marker vocabularies and
+    * take the argmax (ties break toward the earlier class). Swap marker sets
+    * for real character-n-gram profiles per language in production. */
+  def classify(toks: Column, classes: Seq[(String, Seq[String])]): Column = {
+    val scores = classes.map { case (name, markers) => name -> markerHits(toks, markers) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((name, score), i), elseCol) =>
+        val laterScores = scores.drop(i + 1).map(_._2)
+        when(laterScores.map(score >= _).reduce(_ && _), lit(name)).otherwise(elseCol)
+    }
+  }
+
+  /** Whitespace token count. */
+  def nTokens(text: Column): Column = size(split(text, " "))
+
+  /** Regex word count (letter runs) — robust to punctuation/double spaces. */
+  def nWords(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+"), lit(0)))
+
+  /** BPE-ish subword count: greedy runs of <=4 letters, digits, or single
+    * non-alphanumerics — a deterministic stand-in for a real BPE vocabulary
+    * with the right cost shape (longer words -> more pieces). */
+  def nSubwords(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), lit(0)))
+
+  /** Mean token length = non-space chars / tokens (integer-derived double). */
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") / nTokens(text)
+
+  /** Share of tokens in a stopword list (integer-derived double). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    markerHits(tokens(text), stopwords).cast("double") / nTokens(text)
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct token
+    * set. Collapses token-order shuffles and duplications to one value —
+    * cheap bag-of-words near-dup key. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Polynomial rolling hash of the raw string: fold (acc * 31 + codepoint)
+    * mod 1e9+7 over characters, left to right. The modulus keeps every
+    * intermediate under 2^35, so the value is identical in any engine with
+    * 64-bit integers — no overflow semantics in play. */
+  def rollingHash(text: Column): Column = {
+    val folded = aggregate(
+      sequence(lit(1), length(text)),
+      lit(0L),
+      (acc, i) => (acc * 31 + ascii(substr(text, i, lit(1)))) % lit(1000000007L))
+    when(length(text) === 0, 0L).otherwise(folded)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the §2.8 extension operators on tiny in-memory frames
+  * (the DuckDB oracle covers them at sf0.01; these pin the edge cases). */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"), // near-dup of 1
+    (3L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "en"), // exact dup of 1 (case)
+    (4L, "completely different text about spark shuffles", "en"),
+    (5L, "ab", "fr") // shorter than one shingle
+  ).toDF("doc_id", "text", "lang")
+
+  // ───────────────────────────── Dedup ────────────────────────────────────
+
+  test("exactGroups collapses case-normalized duplicates to min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 4) // 1&3 merge
+    val dup = g.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // survivor is min doc_id
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() === 4)
+  }
+
+  test("wordShingles guards short docs (Spark sequence(1,0) is descending)") {
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      .where(col("doc_id") === 5L).select(size(col("sh"))).as[Int].head()
+    assert(sh === 0) // NOT phantom shingles from a [1,0] sequence
+  }
+
+  test("nearDuplicates finds the near-pair and not the unrelated doc") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // case dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical normalized text → identical fingerprint; near text → small hamming") {
+    val fp = Dedup.simhashOf(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) === fp(3L)) // case-insensitive identical
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(4L)))
+  }
+
+  test("blockedNgramPairs only compares within a block") {
+    val pairs = Dedup.blockedNgramPairs(docs, "doc_id", "text", "lang",
+        n = 4, threshold = 0.1)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L)) // fr block is alone
+  }
+
+  // ─────────────────────────── Similarity ─────────────────────────────────
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite to 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("id").as[Long].collect()
+    assert(top.toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("cosine is exact on unit vectors") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .where(col("a.vec_id") === 0L && col("b.vec_id") === 3L)
+      .select(Similarity.cosine(
+        Similarity.asDouble(col("a.embedding")),
+        Similarity.asDouble(col("b.embedding")))).as[Double].head()
+    assert(c === -1.0)
+  }
+
+  test("bucketedTopK only searches the query's sign bucket") {
+    // bits=1: bucket = sign of dim 1 → vecs 0,1 share bucket 1; 2,3 are in 0
+    val res = Similarity.bucketedTopK(vecs, vecs.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 5, bits = 1)
+      .select("id").as[Long].collect().toSet
+    assert(res === Set(1L))
+  }
+
+  // ─────────────────────────── TextStats ──────────────────────────────────
+
+  test("rollingHash: deterministic, mod-bounded, empty-safe") {
+    val h = Seq(("", 0L -> false), ("a", 97L -> true)).map(_._1).toDF("text")
+      .select(TextStats.rollingHash(col("text"))).as[Long].collect()
+    assert(h(0) === 0L)
+    assert(h(1) === 97L) // (0*31 + 'a') % p
+    val big = Seq("x" * 10000).toDF("text")
+      .select(TextStats.rollingHash(col("text"))).as[Long].head()
+    assert(big >= 0L && big < 1000000007L)
+  }
+
+  test("canonicalFingerprint is order- and duplication-insensitive") {
+    val fps = Seq("b a a c", "c b a", "a b c c c").toDF("text")
+      .select(TextStats.canonicalFingerprint(col("text"))).as[String].collect()
+    assert(fps.toSet.size === 1)
+  }
+
+  test("classify ties break toward earlier class") {
+    val pred = Seq("table stream").toDF("text")
+      .select(TextStats.classify(TextStats.tokens(col("text")),
+        Seq("tabular" -> Seq("table"), "streaming" -> Seq("stream"))))
+      .as[String].head()
+    assert(pred === "tabular")
+  }
+
+  test("token counters: subwords >= words for long tokens") {
+    val r = Seq("internationalization x 42!").toDF("text").select(
+      TextStats.nTokens(col("text")).as("nt"),
+      TextStats.nWords(col("text")).as("nw"),
+      TextStats.nSubwords(col("text")).as("ns")).head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 2)      // words: internationalization, x
+    assert(r.getInt(2) === 5 + 1 + 2 + 1) // 5 chunks + x + 4,2 + !
+  }
+
+  // ─────────────────────────── Multimodal ─────────────────────────────────
+
+  test("asset building, typed decode, and frame sampling plumbing") {
+    val assets = Multimodal.assetsFromDocuments(
+      Seq((0L, "hello world payload bytes", "en", "srcA"))
+        .toDF("doc_id", "text", "lang", "source"))
+    assert(assets.columns.toSeq === Seq("asset_id", "modality", "payload", "meta"))
+    assert(assets.select(col("meta.bytes")).as[Long].head() === 25L)
+
+    val decoded = Multimodal.decodeDF(assets)
+    val row = decoded.head()
+    assert(decoded.columns.toSeq ===
+      Seq("asset_id", "modality", "width", "height", "n_frames", "feature"))
+    assert(row.getInt(2) >= 16 && row.getInt(2) < 256) // width from header byte
+    assert(row.getSeq[Float](5).length === 8)
+
+    // deterministic: same payload → same decode
+    assert(Multimodal.decodeDF(assets).collect().toSeq ===
+      decoded.collect().toSeq)
+
+    val video = assets.withColumn("modality", lit("video"))
+    val frames = Multimodal.frameSample(video, frameBytes = 8, everyN = 2)
+    assert(frames.columns.toSeq === Seq("asset_id", "frame_no", "frame"))
+    // 25 bytes / 8 = 4 frames (0..3), sampled every 2nd → frames 0 and 2
+    assert(frames.select("frame_no").as[Int].collect().sorted.toSeq === Seq(0, 2))
+  }
+}
