@@ -10,14 +10,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/JIT and the parquet reader before timing: the first
+    // query otherwise absorbs several seconds of one-time session cost that
+    // says nothing about per-query throughput.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "customer", "events", "documents").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+      catch { case _: Throwable => () }
+    }
+
     // Headline set = the queries whose throughput matters at scale (the
     // full catalog incl. deliberately-quadratic verification ops runs in
     // graft.Verify, not here).
     val qs0 = SparkEntry.queries
-    val results = Queries.headline.filter(qs0.contains).map { name =>
+    val headline = Queries.headline.filter(qs0.contains)
+    // Pass 1 (untimed) warms codegen/lambda-interpreter paths per query;
+    // pass 2 is the reported steady-state measurement.
+    headline.foreach { name =>
+      try { qs0(name)(spark, sfDir).count(); spark.catalog.clearCache() }
+      catch { case _: Throwable => () }
+    }
+    val results = headline.map { name =>
       val fn = qs0(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -86,7 +86,10 @@ object Dedup {
   }
 
   /** LSH candidate pairs from per-document signatures: documents sharing any
-    * band value. `sigDf` must have (id, sig: array) — use [[minhashSignature]].
+    * band value. `sigDf` must have (id, sig: array) with signatures from a
+    * NON-EMPTY shingle set (see [[nearDuplicates]]) — no null-band filter
+    * here, because Catalyst would push `isnotnull` down into a recomputation
+    * of the whole signature expression.
     * The self-join shuffles on (band, value) — i.e. the LSH bucket IS the
     * partition key. At 100 TB, cap pathological buckets (a boilerplate
     * shingle shared by millions of docs) by salting or dropping buckets above
@@ -95,7 +98,7 @@ object Dedup {
     val bands = sigDf
       .select(col(idCol), posexplode(col(sigCol)))
       .toDF(idCol, "band", "v")
-      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
@@ -110,19 +113,47 @@ object Dedup {
 
   /** Near-duplicate pairs: MinHash(k seeds, 1-row bands) LSH candidates,
     * verified by exact shingle-set Jaccard >= threshold.
-    * Output: (a_id, b_id, jaccard). */
+    * Output: (a_id, b_id, jaccard).
+    *
+    * Plan hygiene (this is where a naive chaining is 20× slower): the shingle
+    * frame is repartitioned (parallelism does not depend on the input file
+    * count) and persisted — it feeds signature computation AND both sides of
+    * the verify join, and without the materialization Catalyst's projection
+    * collapse + filter pushdown would inline the full md5-signature
+    * expression into every consumer, recomputing it up to 5× per row.
+    * Exactly the trade Spark ML's MinHashLSH.approxSimilarityJoin makes; at
+    * 100 TB both persists are disk-backed and linear in corpus size. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 3, numHashes: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // Pre-shingle filter on the RAW text (size(words) >= n ⟺ shingle set
+    // non-empty): cheap enough to push to the scan, unlike a size(sh) > 0
+    // filter, which Catalyst would rewrite into a full shingle recompute at
+    // the scan. The repartition before the shingle projection moves the
+    // heavy expression work behind the exchange, so it parallelizes across
+    // all cores regardless of input file count.
     val sh = df
+      .select(col(idCol), col(textCol))
+      .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+      .repartition(par)
       .select(col(idCol), wordShingles(col(textCol), shingleLen).as("sh"))
-      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
     val cand = lshCandidates(sig, idCol, "sig")
+    // Verify with one array_intersect per pair: |A∪B| = |A|+|B|-|A∩B| for
+    // sets, so the (identical-valued) union array is never materialized.
     cand
-      .join(sh.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sh.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
-      .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(sh.select(col(idCol).as("a_id"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+        col("na"), col("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
