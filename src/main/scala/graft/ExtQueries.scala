@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
   * similarity search, text analysis, multimodal plumbing, streaming-window
@@ -163,6 +164,32 @@ object ExtQueries {
         .select(date_format(col("window.start"), "yyyyMMddHH").as("hr"),
           col("event_type"), col("n"))
         .orderBy("hr", "event_type")
+    }),
+
+    // Gap-based session windows (built-in session_window; identical code
+    // runs over readStream with a watermark — see EventTimeSpec).
+    "q_session_window" -> ((s, d) => {
+      val purchases = t(s, d, "events").where(col("event_type") === "purchase")
+      EventTimeOps.sessionCounts(purchases, "ts", "user_id", "10 minutes")
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyyMMddHHmmss.SSSSSS")
+            .as("session_start"),
+          col("n"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Custom keyed state (mapGroupsWithState) — batch mode is oracle-checked
+    // here; cross-micro-batch accumulation is covered by EventTimeSpec.
+    "q_running_stats" -> ((s, d) => {
+      import s.implicits._
+      val typed = t(s, d, "events").where(col("event_type") === "purchase")
+        .select(col("user_id").as("key"), col("ts"))
+        .as[EventTimeOps.KeyedEvent]
+      EventTimeOps.runningStats(typed).toDF()
+        .select(col("key").as("user_id"), col("n"),
+          date_format(col("first_ts"), "yyyyMMddHHmmss.SSSSSS").as("first_ts"),
+          date_format(col("last_ts"), "yyyyMMddHHmmss.SSSSSS").as("last_ts"))
+        .orderBy("user_id")
     }),
 
     // CSV sink + scan round-trip with the reference's quote/escape options
@@ -414,6 +441,27 @@ object ExtQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    // Gaps-and-islands restatement of session_window: a session breaks when
+    // the gap to the previous event is >= 10 minutes (Spark's session extends
+    // while the next event is strictly inside last_ts + gap).
+    "q_session_window" ->
+      """WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |x AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+        |    OR ts - lag(ts) OVER w >= INTERVAL '10 minutes' THEN 1 ELSE 0 END AS new_s
+        |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, strftime(min(ts), '%Y%m%d%H%M%S.%f') AS session_start,
+        |  count(*)::BIGINT AS n
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_running_stats" ->
+      """SELECT user_id, count(*)::BIGINT AS n,
+        |  strftime(min(ts), '%Y%m%d%H%M%S.%f') AS first_ts,
+        |  strftime(max(ts), '%Y%m%d%H%M%S.%f') AS last_ts
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "etl_csv_roundtrip" ->
       """SELECT event_type, count(*)::BIGINT AS n, min(props) AS min_props,

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics of the event-time operators: watermark late-data
+  * dropping and cross-micro-batch custom state (the batch semantics are
+  * oracle-checked via q_session_window / q_running_stats). */
+class EventTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("tumblingCounts over a stream drops data older than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = EventTimeOps.tumblingCounts(
+      in.toDF().toDF("ts", "key"), "ts", "key", "1 hour", "15 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("tumbling_sink").outputMode("update").start()
+
+    in.addData((ts("10:00"), "a"), (ts("10:30"), "a"), (ts("10:40"), "b"))
+    q.processAllAvailable()
+    // watermark is now 10:40 - 15min = 10:25; an event at 09:00 is late
+    in.addData((ts("09:00"), "a"), (ts("10:50"), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("tumbling_sink")
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("key"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    // the late 09:00 event must NOT have produced/updated a 09:00 window
+    assert(!rows.exists(_._1 == "09:00"))
+    // the 10:50 event updated hour-10/a to 3
+    assert(rows.contains(("10:00", "a", 3L)))
+    assert(rows.contains(("10:00", "b", 1L)))
+  }
+
+  test("runningStats accumulates per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventTimeOps.KeyedEvent]
+    val stats = EventTimeOps.runningStats(in.toDS())
+    val q = stats.writeStream.format("memory")
+      .queryName("stats_sink").outputMode("update").start()
+
+    in.addData(EventTimeOps.KeyedEvent(1L, ts("10:00")))
+    q.processAllAvailable()
+    in.addData(EventTimeOps.KeyedEvent(1L, ts("11:00")),
+               EventTimeOps.KeyedEvent(2L, ts("11:30")))
+    q.processAllAvailable()
+    q.stop()
+
+    val last = spark.table("stats_sink")
+      .groupBy("key").agg(max("n").as("n")).as[(Long, Long)].collect().toMap
+    assert(last(1L) === 2L) // state carried the first batch's count forward
+    assert(last(2L) === 1L)
+  }
+
+  test("sessionCounts merges events within the gap, batch mode") {
+    val df = Seq(
+      (1L, ts("10:00")), (1L, ts("10:05")), // one session
+      (1L, ts("10:30")),                    // gap >= 10min → new session
+      (2L, ts("10:00"))
+    ).toDF("user_id", "ts")
+    val sessions = EventTimeOps.sessionCounts(df, "ts", "user_id", "10 minutes")
+      .select(col("user_id"), date_format(col("session_window.start"), "HH:mm").as("s"),
+        col("n")).as[(Long, String, Long)].collect().toSet
+    assert(sessions === Set((1L, "10:00", 2L), (1L, "10:30", 1L), (2L, "10:00", 1L)))
+  }
+}
