@@ -38,15 +38,13 @@ object Fact {
       .select(col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"),
               col("TITLE_SKEY"))
 
-  /** Append-ready fact rows with `factid` continuing from `existingMax`.
-    * The reference's factid is `identity(0,1)`
+  /** Append-ready fact rows with `factid` continuing from `existingMax`,
+    * fully ordered — the deterministic, oracle-reproducible variant. The
+    * global row_number Window serializes the batch through one partition:
+    * fine for small batches and tests, NOT for the at-scale path
+    * ([[withFactIdsScalable]]). The reference's factid is `identity(0,1)`
     * (`lambda_function_redishift.py:94`); same non-contractual-values policy
-    * as dim SKEYs (SURVEY §7.4 item 1).
-    *
-    * NOTE: the global row_number Window here serializes the fact through one
-    * partition — acceptable for parity testing, but at 100 TB use
-    * `zipWithIndex`-style per-partition offsets instead; `factid` exists only
-    * because the reference has it, no query depends on its values. */
+    * as dim SKEYs (SURVEY §7.4 item 1). */
   def withFactIds(resolved: DataFrame, existingMax: Long = 0L): DataFrame =
     resolved.select(
       (row_number().over(Window.orderBy(col("DATETIME_SKEY"), col("PLATFORM_SKEY"),
@@ -54,4 +52,21 @@ object Fact {
         .cast("long").as("factid"),
       col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"), col("TITLE_SKEY")
     )
+
+  /** Scale path for factid assignment: `zipWithIndex` computes contiguous
+    * ids with one lightweight count job and NO single-partition bottleneck
+    * (per-partition offsets, all partitions written in parallel). Id VALUES
+    * depend on partitioning and are non-contractual — exactly the contract
+    * `identity(0,1)` gives (uniqueness + contiguity, nothing more). */
+  def withFactIdsScalable(resolved: DataFrame, existingMax: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = resolved.sparkSession
+    val schema = StructType(
+      StructField("factid", LongType, nullable = false) +: resolved.schema.fields)
+    val rdd = resolved.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((existingMax + i + 1L) +: r.toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 }

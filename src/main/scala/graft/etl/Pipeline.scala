@@ -1,96 +1,178 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** End-to-end batch star build with atomic publish (SURVEY §2 rows 8-10, 38;
-  * §7.4 item 4).
+/** End-to-end batch star build with atomic, incremental publish
+  * (SURVEY §2 rows 8-10, 38; §7.4 item 4).
   *
   * The reference gets atomicity from a single psycopg2 transaction over 21
   * statements with rollback-on-error
   * (`lambda_redshift/lambda_function_redishift.py:171-183`) and idempotency
-  * from anti-join/MERGE on natural keys. With filesystem tables we replicate
-  * both: every batch writes the NEW full table versions under
-  * `<store>/_tmp_<batch>/…`, then a single atomic rename publishes all five
-  * tables; a crash mid-batch leaves the published store untouched, and
-  * re-running a batch is a no-op at the row level (anti-join upserts).
+  * from anti-join/MERGE on natural keys. We replicate both with a
+  * manifest-versioned filesystem layout, shaped like a miniature table
+  * format (what Delta/Iceberg do at full scale):
+  *
+  * {{{
+  * <root>/facts/batch_<id>/*.parquet   append-only, immutable fact deltas
+  * <root>/versions/v<N>/dim_*/…        full (tiny) dim snapshots
+  * <root>/versions/v<N>/manifest.txt   maxFactId + fact batch list
+  * <root>/CURRENT                      pointer to the live version
+  * }}}
+  *
+  * Why this shape at 100 TB: a batch writes ONLY its fact delta (O(batch))
+  * and rewrites the dims (tiny by construction) — the earlier design
+  * rewrote the whole fact per batch, O(total), which caps out fast. Data
+  * files are immutable and shared across versions; publish is one version-
+  * dir rename + one CURRENT pointer swap; a crash mid-batch leaves the live
+  * version untouched (at worst an orphan `facts/batch_*` dir that the next
+  * run of the same batch id overwrites). Replaying a batch id already in
+  * the manifest is a no-op — exactly-once on top of the file-source's
+  * at-least-once redelivery (SURVEY §2 row 37).
   *
   * Delta/staging tables (`*_dlt`, `staging`,
   * `lambda_function_redishift.py:57-69,87-91` + the 5 TRUNCATEs at
-  * `:164-168`) have no persistent equivalent here — per-batch DataFrames are
-  * ephemeral by construction, which is the Spark-native restatement of
-  * "truncate after merge".
+  * `:164-168`) have no persistent equivalent — per-batch DataFrames are
+  * ephemeral by construction, the Spark-native restatement of "truncate
+  * after merge".
   */
 class StarStore(spark: SparkSession, root: String) {
   import StarStore._
 
-  private val hadoopFs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private val fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  def exists: Boolean = hadoopFs.exists(new Path(s"$root/$Current"))
+  // ── version bookkeeping ──────────────────────────────────────────────────
 
-  private def readTable(name: String): DataFrame =
-    spark.read.parquet(s"$root/$Current/$name")
+  /** Live version, from CURRENT; falls back to the highest versions/v* dir
+    * (covers a crash in the tiny delete→rename window of the pointer swap). */
+  private def currentVersion: Option[String] = {
+    val cur = new Path(s"$root/CURRENT")
+    val fromPointer =
+      if (fs.exists(cur)) {
+        val in = fs.open(cur)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim).filter(_.nonEmpty)
+        finally in.close()
+      } else None
+    fromPointer.orElse {
+      val vdir = new Path(s"$root/versions")
+      if (!fs.exists(vdir)) None
+      else fs.listStatus(vdir).map(_.getPath.getName)
+        .filter(_.matches("v\\d+")).sorted.lastOption
+    }
+  }
+
+  def exists: Boolean = currentVersion.isDefined
+
+  private def versionDir(v: String) = s"$root/versions/$v"
+
+  private def manifest(v: String): Manifest = {
+    val in = fs.open(new Path(s"${versionDir(v)}/manifest.txt"))
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val kv = text.linesIterator.map(_.split("=", 2)).collect {
+      case Array(k, v1) => k -> v1
+    }.toMap
+    Manifest(kv("maxFactId").toLong,
+      kv.getOrElse("batches", "").split(",").filter(_.nonEmpty).toSeq)
+  }
+
+  // ── read side ────────────────────────────────────────────────────────────
+
+  private def readTable(name: String): DataFrame = {
+    val v = currentVersion.getOrElse(sys.error(s"empty star store at $root"))
+    spark.read.parquet(s"${versionDir(v)}/$name")
+  }
 
   def dimDate: DataFrame = readTable("dim_date")
   def dimPlatform: DataFrame = readTable("dim_platform")
   def dimSite: DataFrame = readTable("dim_site")
   def dimTitle: DataFrame = readTable("dim_title")
-  def fact: DataFrame = readTable("fact_videostart")
+
+  /** The fact = union of the immutable per-batch delta files listed in the
+    * live manifest (never a rewritten monolith). */
+  def fact: DataFrame = {
+    val v = currentVersion.getOrElse(sys.error(s"empty star store at $root"))
+    val paths = manifest(v).batches.map(b => s"$root/facts/batch_$b")
+    spark.read.parquet(paths: _*)
+  }
+
+  // ── write side ───────────────────────────────────────────────────────────
 
   /** Process one raw batch end-to-end and atomically publish the updated
-    * star. Returns the number of fact rows appended. */
+    * star. Returns the number of fact rows appended (0 for a replayed
+    * batch id). */
   def runBatch(raw: DataFrame, batchId: String): Long = {
+    require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
+    val prior = currentVersion.map(v => (v, manifest(v)))
+    if (prior.exists(_._2.batches.contains(batchId))) return 0L // replay → no-op
+
     val cleaned = Transform.clean(raw)
       .withColumn("SITE", coalesce(col("SITE"), lit(Fact.NoneMember)))
 
-    // Dim upserts: idempotent anti-join + deterministic SKEYs (SURVEY §2 row 28/31).
-    val (dDate, dPlat, dSite, dTitle) =
-      if (exists)
+    // Dim upserts: idempotent anti-join + deterministic SKEYs (rows 28/31).
+    val (dDate, dPlat, dSite, dTitle) = prior match {
+      case Some(_) =>
         (Dims.upsert(dimDate, cleaned, "DATETIME", "DATETIME_SKEY"),
          Dims.upsert(dimPlatform, cleaned, "PLATFORM", "PLATFORM_SKEY"),
          Dims.upsert(dimSite, cleaned, "SITE", "SITE_SKEY"),
          Dims.upsert(dimTitle, cleaned, "TITLE", "TITLE_SKEY"))
-      else
+      case None =>
         (Dims.build(cleaned, "DATETIME", "DATETIME_SKEY"),
          Dims.build(cleaned, "PLATFORM", "PLATFORM_SKEY"),
          Dims.build(cleaned, "SITE", "SITE_SKEY"),
          Dims.build(cleaned, "TITLE", "TITLE_SKEY"))
-
+    }
     // Dims are read multiple times (upsert + fact join) — cache the tiny frames.
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.cache())
 
+    val maxFactId = prior.map(_._2.maxFactId).getOrElse(0L) // manifest, no fact scan
     val resolved = Fact.resolveSkeys(cleaned, dDate, dPlat, dSite, dTitle)
-    val maxFactId =
-      if (exists) fact.agg(coalesce(max(col("factid")), lit(0L))).head.getLong(0) else 0L
-    val newFact = Fact.withFactIds(resolved, maxFactId)
-    val full = if (exists) fact.unionByName(newFact) else newFact
+    val newFact = Fact.withFactIdsScalable(resolved, maxFactId)
 
-    // Stage everything, then one atomic swap (SURVEY §7.4 item 4).
-    val tmp = s"$root/_tmp_$batchId"
+    // 1. fact delta → its immutable home (overwrite handles a crashed
+    //    previous attempt of the SAME batch that never reached publish).
+    val batchDir = s"$root/facts/batch_$batchId"
+    newFact.write.mode("overwrite").parquet(batchDir)
+    val appended = spark.read.parquet(batchDir).count() // metadata-only count
+
+    // 2. stage the new version dir (dims + manifest), then one rename.
+    val nextV = f"v${prior.map(_._1.drop(1).toLong).getOrElse(0L) + 1}%08d"
+    val tmp = s"$root/versions/_tmp_$batchId"
+    fs.delete(new Path(tmp), true)
     dDate.write.mode("overwrite").parquet(s"$tmp/dim_date")
     dPlat.write.mode("overwrite").parquet(s"$tmp/dim_platform")
     dSite.write.mode("overwrite").parquet(s"$tmp/dim_site")
     dTitle.write.mode("overwrite").parquet(s"$tmp/dim_title")
-    full.write.mode("overwrite").parquet(s"$tmp/fact_videostart")
-    val appended = newFact.count()
+    val newManifest = Manifest(maxFactId + appended,
+      prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId)
+    val out = fs.create(new Path(s"$tmp/manifest.txt"), true)
+    try out.write(newManifest.serialized.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(new Path(tmp), new Path(versionDir(nextV))),
+      s"version publish failed: $tmp -> $nextV")
 
-    publish(tmp)
+    // 3. swap the CURRENT pointer (recovery: highest version wins, above).
+    val curTmp = new Path(s"$root/CURRENT._tmp")
+    val cur = new Path(s"$root/CURRENT")
+    val pOut = fs.create(curTmp, true)
+    try pOut.write(nextV.getBytes("UTF-8")) finally pOut.close()
+    fs.delete(cur, false)
+    require(fs.rename(curTmp, cur), "CURRENT pointer swap failed")
+
+    // 4. retire the previous version dir (fact data files are shared and
+    //    never copied, so this only removes tiny dim snapshots).
+    prior.foreach { case (v, _) => fs.delete(new Path(versionDir(v)), true) }
+
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
     appended
-  }
-
-  private def publish(tmp: String): Unit = {
-    val cur = new Path(s"$root/$Current")
-    val old = new Path(s"$root/_old_${System.nanoTime()}")
-    if (hadoopFs.exists(cur)) hadoopFs.rename(cur, old)
-    require(hadoopFs.rename(new Path(tmp), cur), s"atomic publish failed: $tmp -> $cur")
-    if (hadoopFs.exists(old)) hadoopFs.delete(old, true)
   }
 }
 
 object StarStore {
-  val Current = "current"
+  final case class Manifest(maxFactId: Long, batches: Seq[String]) {
+    def serialized: String =
+      s"maxFactId=$maxFactId\nbatches=${batches.mkString(",")}\n"
+  }
 
   def apply(spark: SparkSession, root: String): StarStore = new StarStore(spark, root)
 }

@@ -53,6 +53,14 @@ class StarPipelineSpec extends SparkSpec {
     assert(platSkeyBefore === platSkeyAfter) // SKEY stability across batches
     assert(store.fact.count() === 5)
     assert(store.dimDate.count() === 3)
+
+    // replaying an already-published batch id is a no-op (exactly-once on
+    // top of at-least-once redelivery)
+    assert(store.runBatch(rawBatch2, "b2") === 0)
+    assert(store.fact.count() === 5)
+    // factids stay unique and contiguous across batches
+    val ids = store.fact.select("factid").as[Long].collect().sorted
+    assert(ids.toSeq === (1L to 5L))
   }
 
   test("audit: count + one-job max-lengths (rows 26-27)") {
