@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -261,6 +261,40 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    // JSON scalar extraction from the events props column.
+    "q_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // FULL OUTER join over partially-overlapping daily aggregates.
+    "q_full_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val views = ev.where(col("event_type") === "view" && dayofmonth(col("ts")) <= 20)
+        .groupBy(dayofmonth(col("ts")).as("day")).agg(count(lit(1)).as("n_views"))
+      val purch = ev.where(col("event_type") === "purchase" && dayofmonth(col("ts")) >= 10)
+        .groupBy(dayofmonth(col("ts")).as("day")).agg(count(lit(1)).as("n_purchases"))
+      views.join(purch, Seq("day"), "full_outer").orderBy("day")
+    }),
+
+    // Salted skew join — the salt must be semantically invisible: the oracle
+    // is the PLAIN join, so any salting bug (dup/dropped rows) hash-fails.
+    "q_salted_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val small = t(s, d, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      SkewJoin.saltedEquiJoin(big, small, "partkey", saltFactor = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     // Scalar-aggregate join (TPC-H Q17 shape): lineitems below 20% of their
     // part's mean quantity. Mean of integral doubles = exact sum / count.
     "q17_small_qty" -> ((s, d) => {
@@ -502,6 +536,26 @@ object ExtQueries {
         |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
         |  quarter(o_orderdate)::INT AS qtr
         |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum((props->>'$.k')::BIGINT)::BIGINT AS sum_k,
+        |  max((props->>'$.k')::BIGINT)::BIGINT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT day, n_views, n_purchases FROM
+        |  (SELECT day(ts)::INT AS day, count(*)::BIGINT AS n_views FROM events
+        |   WHERE event_type = 'view' AND day(ts) <= 20 GROUP BY 1) v
+        |FULL JOIN
+        |  (SELECT day(ts)::INT AS day, count(*)::BIGINT AS n_purchases FROM events
+        |   WHERE event_type = 'purchase' AND day(ts) >= 10 GROUP BY 1) p
+        |USING (day) ORDER BY day""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q17_small_qty" ->
       """SELECT count(*)::BIGINT AS n,

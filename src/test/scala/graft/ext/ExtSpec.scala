@@ -89,6 +89,29 @@ class ExtSpec extends SparkSpec {
     assert(res === Set(1L))
   }
 
+  // ─────────────────────────── SkewJoin ───────────────────────────────────
+
+  test("saltedEquiJoin is semantically identical to the plain join") {
+    // hot key: 90% of big rows share key 1
+    val big = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong % 7, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "b"), (3L, "c"), (0L, "z")).toDF("k", "tag")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = SkewJoin.saltedEquiJoin(big, small, "k", saltFactor = 5, jt)
+      assert(salted.count() === plain.count(), s"count for $jt")
+      assert(salted.exceptAll(plain).count() === 0, s"rows for $jt")
+      assert(plain.exceptAll(salted).count() === 0, s"rows for $jt (reverse)")
+    }
+  }
+
+  test("saltedEquiJoin rejects join types that would duplicate the small side") {
+    val df = Seq((1L, 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(df, df, "k", 4, "full_outer")
+    }
+  }
+
   // ─────────────────────────── TextStats ──────────────────────────────────
 
   test("rollingHash: deterministic, mod-bounded, empty-safe") {
