@@ -99,6 +99,18 @@ class StarStore(spark: SparkSession, root: String) {
 
   // ── write side ───────────────────────────────────────────────────────────
 
+  /** Register the live star as SQL views (`dim_date`, `dim_platform`,
+    * `dim_site`, `dim_title`, `fact_videostart`) so `spark.sql` works over
+    * the store — the engine's stand-in for the reference's warehouse DDL
+    * surface (SURVEY §2 row 8). */
+  def registerViews(): Unit = {
+    dimDate.createOrReplaceTempView("dim_date")
+    dimPlatform.createOrReplaceTempView("dim_platform")
+    dimSite.createOrReplaceTempView("dim_site")
+    dimTitle.createOrReplaceTempView("dim_title")
+    fact.createOrReplaceTempView("fact_videostart")
+  }
+
   /** Process one raw batch end-to-end and atomically publish the updated
     * star. Returns the number of fact rows appended (0 for a replayed
     * batch id). */

@@ -61,6 +61,15 @@ class StarPipelineSpec extends SparkSpec {
     // factids stay unique and contiguous across batches
     val ids = store.fact.select("factid").as[Long].collect().sorted
     assert(ids.toSeq === (1L to 5L))
+
+    // SQL surface over the published star
+    store.registerViews()
+    val perPlatform = spark.sql(
+      """SELECT p.PLATFORM, count(*) AS n
+        |FROM fact_videostart f JOIN dim_platform p USING (PLATFORM_SKEY)
+        |GROUP BY p.PLATFORM ORDER BY p.PLATFORM""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(perPlatform("Desktop") === 4L && perPlatform("iPhone") === 1L)
   }
 
   test("audit: count + one-job max-lengths (rows 26-27)") {
