@@ -94,6 +94,26 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
+    // at-scale shape for distincts/percentiles — partial sketches merge
+    // map-side, so the shuffle carries sketches, not values. Estimates are
+    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
+    "q_sketch_distinct" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+        .orderBy("event_type")
+    }),
+
+    "q_sketch_quantiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("price_quantiles"))
+        .orderBy("l_returnflag")
+    }),
+
     // ─────────────────────── text analysis (§2.8) ─────────────────────────
     // Vocabulary-profile language/domain ID.
     "text_langid" -> ((s, d) => {

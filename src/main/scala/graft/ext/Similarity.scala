@@ -84,6 +84,44 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the other classic scale path next to
+    * [[bucketedTopK]]: partition the corpus into `nCells` Voronoi cells
+    * around centroids, search only the query's `nProbe` nearest cells.
+    *
+    * Centroids here are the `nCells` lowest-id corpus vectors — deterministic
+    * and dependency-free; swap in k-means centroids (Spark ML KMeans) for
+    * better cell balance, nothing else changes. Cell assignment is one
+    * broadcast of the (tiny) centroid set + an argmax window; the probe join
+    * is an equi-join on cell id, so the shuffle key is the cell — the same
+    * "bucket IS the partition key" shape that survives scale-up. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val cents = c.orderBy("id").limit(nCells)
+      .select(col("id").as("cent_id"), col("v").as("cv"))
+    def nearestCells(df: DataFrame, vcol: String, n: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(cosine(col(vcol), col("cv")).desc, col("cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .select(col("*"), row_number().over(w).as("cell_rank"))
+        .where(col("cell_rank") <= n)
+        .select(df.columns.map(col) :+ col("cent_id").as(out): _*)
+    }
+    val assigned = nearestCells(
+      c.select(col("id").as(idCol), col("v")), "v", 1, "cell")
+      .select(col(idCol).as("id"), col("v"), col("cell"))
+    val q = queries.select(col(idCol), asDouble(col(vecCol)).as("qv"))
+    val probes = nearestCells(q, "qv", nProbe, "cell")
+      .select(col(idCol).as("query_id"), col("qv"), col("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    scored.select(col("query_id"), row_number().over(w).as("rank"),
+        col("id"), col("score"))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine >=
     * threshold. Unblocked all-pairs is quadratic — correct at verification
     * scale; at 100 TB block first ([[signBucket]] equi-join, same contract as

@@ -89,6 +89,23 @@ class ExtSpec extends SparkSpec {
     assert(res === Set(1L))
   }
 
+  test("ivfTopK with full probing equals brute force; partial probing prunes") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3).select("rank", "id").as[(Int, Long)].collect().toSet
+    val full = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3, nCells = 2, nProbe = 2)
+      .select("rank", "id").as[(Int, Long)].collect().toSet
+    assert(full === bf) // probing every cell ⇒ exact
+    // query 2 lands in the populated cell: pruned search returns a nonempty
+    // subset of its brute-force neighbors
+    val bf2 = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 2L),
+      "vec_id", "embedding", k = 3).select("id").as[Long].collect().toSet
+    val pruned = Similarity.ivfTopK(vecs, vecs.where(col("vec_id") === 2L),
+      "vec_id", "embedding", k = 3, nCells = 2, nProbe = 1)
+      .select("id").as[Long].collect().toSet
+    assert(pruned.nonEmpty && pruned.subsetOf(bf2))
+  }
+
   // ─────────────────────────── SkewJoin ───────────────────────────────────
 
   test("saltedEquiJoin is semantically identical to the plain join") {
