@@ -26,8 +26,18 @@ object Similarity {
     * then happens in double on both sides of any engine comparison. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product as a strict left fold in index order. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product as a strict left fold in index order — native codegen'd
+    * expression ([[graft.ext.expressions.DotProductExpr]]); bit-identical to
+    * [[dotHof]] (same op order), minus the lambda-interpreter cost. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.DotProductExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-function twin of [[dot]] (kept as the portable reference
+    * implementation; NativeExprSpec asserts bitwise equality). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

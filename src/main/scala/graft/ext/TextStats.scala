@@ -65,8 +65,17 @@ object TextStats {
   /** Polynomial rolling hash of the raw string: fold (acc * 31 + codepoint)
     * mod 1e9+7 over characters, left to right. The modulus keeps every
     * intermediate under 2^35, so the value is identical in any engine with
-    * 64-bit integers — no overflow semantics in play. */
+    * 64-bit integers — no overflow semantics in play. Native codegen'd
+    * expression ([[graft.ext.expressions.RollingHashExpr]]); [[rollingHashHof]]
+    * is the built-in-functions twin (NativeExprSpec asserts equality). */
   def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.RollingHashExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** Higher-order-function twin of [[rollingHash]]. */
+  def rollingHashHof(text: Column): Column = {
     val folded = aggregate(
       sequence(lit(1), length(text)),
       lit(0L),

@@ -1,0 +1,132 @@
+package graft.ext.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions with `doGenCode` for the two hot scalar
+  * kernels where higher-order-function folds are measurably slower: they
+  * compile into the enclosing whole-stage-codegen loop instead of paying the
+  * per-element lambda-interpreter cost.
+  *
+  * Both produce BIT-IDENTICAL results to their Column-expression twins
+  * (`TextStats.rollingHash`, `Similarity.dot`): same operation order, same
+  * arithmetic — verified by NativeExprSpec — so they can be swapped into any
+  * oracle-checked query without changing results.
+  *
+  * Registration: `GraftFunctions.register(spark)` (idempotent, per-session)
+  * or `spark.sql.extensions=graft.ext.expressions.GraftExtensions`.
+  */
+case class RollingHashExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // no explicit Seq[AbstractDataType] annotation — that type is private[sql];
+  // the inferred type conforms
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31 + s.charAt(i)) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  ${ev.value}_acc = (${ev.value}_acc * 31L + $s.charAt($i)) % 1000000007L;
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashExpr =
+    copy(child = newChild)
+}
+
+/** Strict left-to-right dot product over two array<double> columns — the
+  * same fold order as `aggregate(zip_with(a,b,_*_), 0.0, _+_)`, so results
+  * are bit-identical, minus the lambda interpreter. NULL if either side is
+  * NULL; mismatched lengths fold over the shorter prefix (zip semantics). */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+
+  /** Idempotent per-session registration (alternative to the extensions
+    * config for sessions the library doesn't create). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** For `spark.sql.extensions=graft.ext.expressions.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+  }
+}

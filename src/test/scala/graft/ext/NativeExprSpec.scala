@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.ext.expressions.GraftFunctions
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd expressions must be bit-identical to their
+  * Column-expression twins — that's what lets them replace the twins inside
+  * oracle-checked queries. */
+class NativeExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = { super.beforeAll(); GraftFunctions.register(spark) }
+
+  test("graft_rolling_hash ≡ TextStats.rollingHash on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+      TextStats.rollingHashHof(col("text")).as("hof"),
+      expr("graft_rolling_hash(text)").as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(diff === 0)
+    // edge cases: empty string, single char
+    val edge = Seq("", "a", "Z9 ").toDF("text").select(
+      TextStats.rollingHashHof(col("text")).as("hof"),
+      expr("graft_rolling_hash(text)").as("native")).collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("graft_dot ≡ Similarity.dot bit-for-bit on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val pairs = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("v").as("vb")))
+      .where(col("a_id") < 20 && col("b_id") < 20)
+    // bitwise comparison: doubles cast to raw bits, not approximate equality
+    val diff = pairs.select(
+      Similarity.dotHof(col("va"), col("vb")).as("hof"),
+      expr("graft_dot(va, vb)").as("native"))
+      .where(expr("cast(hof as string) != cast(native as string) OR hof != native"))
+      .count()
+    assert(diff === 0)
+  }
+
+  test("native dot works inside SQL over registered views") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
+    assert(r === 11.0)
+  }
+}
