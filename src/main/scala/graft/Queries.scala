@@ -102,6 +102,18 @@ object Queries {
         .orderBy("class")
     }),
 
+    // row 23: Snowflake regex-CASE classifier variant (rlike over
+    // lower/trim, 'unknow' fallback — the documented looser semantics).
+    "etl_sf_classifier" -> ((s, d) => {
+      val piece = lower(trim(element_at(split(col("text"), " "), 1)))
+      val cls = when(piece.rlike("join|merge|hash|scan"), piece)
+        .when(piece.rlike("window"), "Desktop")
+        .otherwise("unknow")
+      t(s, d, "documents")
+        .groupBy(cls.as("class")).agg(count(lit(1)).as("n"))
+        .orderBy("class")
+    }),
+
     // row 22: token-overlap → NULL classifier (like_site shape).
     "etl_overlap_classifier" -> ((s, d) => {
       val stop = array(lit("join"), lit("merge"), lit("hash"))
@@ -312,6 +324,15 @@ object Queries {
         |  WHEN contains(text, 'stream') THEN 'streaming'
         |  WHEN contains(text, 'hash') THEN 'hashed'
         |  ELSE 'plain' END AS class, count(*)::BIGINT AS n
+        |FROM documents GROUP BY 1 ORDER BY class""".stripMargin,
+
+    "etl_sf_classifier" ->
+      """SELECT CASE
+        |    WHEN regexp_matches(lower(trim(string_split(text, ' ')[1])),
+        |         'join|merge|hash|scan') THEN lower(trim(string_split(text, ' ')[1]))
+        |    WHEN regexp_matches(lower(trim(string_split(text, ' ')[1])), 'window')
+        |      THEN 'Desktop'
+        |    ELSE 'unknow' END AS class, count(*)::BIGINT AS n
         |FROM documents GROUP BY 1 ORDER BY class""".stripMargin,
 
     "etl_overlap_classifier" ->
