@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -184,6 +184,20 @@ object ExtQueries {
         .select(date_format(col("window.start"), "yyyyMMddHH").as("hr"),
           col("event_type"), col("n"))
         .orderBy("hr", "event_type")
+    }),
+
+    // As-of join: each purchase picks up the user's most recent prior view
+    // value (union + keyed window, one shuffle — oracle is DuckDB's native
+    // ASOF LEFT JOIN).
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsofJoin.asof(purchases, views, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
     }),
 
     // Gap-based session windows (built-in session_window; identical code
@@ -495,6 +509,15 @@ object ExtQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT l.event_id, r.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY event_id""".stripMargin,
 
     // Gaps-and-islands restatement of session_window: a session breaks when
     // the gap to the previous event is >= 10 minutes (Spark's session extends

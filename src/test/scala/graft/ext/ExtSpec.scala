@@ -106,6 +106,30 @@ class ExtSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(bf2))
   }
 
+  // ─────────────────────────── AsofJoin ───────────────────────────────────
+
+  test("asof join: latest right row at or before each left ts, per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val left = Seq(
+      (1L, 100L, ts("10:00:00")), // after right@09:00 → 1.0
+      (2L, 100L, ts("11:00:00")), // after right@11:00 (equal ts matches) → 2.0
+      (3L, 100L, ts("08:00:00")), // before any right → null
+      (4L, 200L, ts("10:00:00"))  // other key, no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("09:00:00"), 1.0),
+      (100L, ts("11:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = AsofJoin.asof(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === Some(1.0))
+    assert(out(2L) === Some(2.0)) // >= semantics: equal ts matches
+    assert(out(3L) === None)
+    assert(out(4L) === None)
+  }
+
   // ─────────────────────────── SkewJoin ───────────────────────────────────
 
   test("saltedEquiJoin is semantically identical to the plain join") {
