@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, Multimodal, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -198,6 +198,22 @@ object ExtQueries {
       AsofJoin.asof(purchases, views, "user_id", "ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")
+    }),
+
+    // Range join: events matched to derived value bands (bucketized
+    // point-in-interval equi-join, not a cross-join filter).
+    "q_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      // avg via exact decimal sum so band bounds are engine-identical
+      val bands = ev.groupBy(col("event_type").as("band_type"))
+        .agg((sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_v"))
+        .select(col("band_type"), (col("avg_v") * 0.5).as("lo"),
+          (col("avg_v") * 1.5).as("hi"))
+      RangeJoin.pointInInterval(ev.select(col("value")), bands,
+          "value", "lo", "hi", bucketWidth = 10.0)
+        .groupBy(col("band_type")).agg(count(lit(1)).as("n"))
+        .orderBy("band_type")
     }),
 
     // Gap-based session windows (built-in session_window; identical code
@@ -518,6 +534,15 @@ object ExtQueries {
         |      WHERE event_type = 'view') r
         |ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (SELECT event_type AS band_type,
+        |    (sum(value::DECIMAL(18,2)))::DOUBLE / count(*) AS avg_v
+        |  FROM events GROUP BY 1)
+        |SELECT band_type, count(*)::BIGINT AS n
+        |FROM events p JOIN iv
+        |ON p.value >= iv.avg_v * 0.5 AND p.value < iv.avg_v * 1.5
+        |GROUP BY band_type ORDER BY band_type""".stripMargin,
 
     // Gaps-and-islands restatement of session_window: a session breaks when
     // the gap to the previous event is >= 10 minutes (Spark's session extends

@@ -130,6 +130,20 @@ class ExtSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("range join equals the naive cross-join filter") {
+    val points = (0 until 200).map(i => i * 0.7).toDF("x")
+    val intervals = Seq((1.0, 5.0, "a"), (4.5, 60.0, "b"), (200.0, 300.0, "empty"),
+      (0.0, 140.0, "wide")).toDF("lo", "hi", "tag")
+    val naive = points.crossJoin(intervals)
+      .where(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("x", "tag")
+    val bucketed = RangeJoin.pointInInterval(points, intervals, "x", "lo", "hi", 3.0)
+      .select("x", "tag")
+    assert(bucketed.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(bucketed).count() === 0)
+    assert(naive.count() > 0)
+  }
+
   // ─────────────────────────── SkewJoin ───────────────────────────────────
 
   test("saltedEquiJoin is semantically identical to the plain join") {
