@@ -371,6 +371,11 @@ object ExtQueries {
       "[" + (1 to 8).map(j =>
         s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
 
+    // 2-row bands over the 8 signature values (mirrors Dedup bandRows=2)
+    val minhashBands: String =
+      "[" + (0 until 4).map(b => s"sigs[${2 * b + 1}] || sigs[${2 * b + 2}]")
+        .mkString(", ") + "]"
+
     val simhashBits: String =
       (0 until 16).map(i =>
         s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
@@ -412,7 +417,8 @@ object ExtQueries {
          |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
          |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
          |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
-         |bands AS (SELECT doc_id, unnest(range(1, 9)) AS band, unnest(sigs) AS v FROM sig),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
          |  AND a.doc_id < b.doc_id),

@@ -94,9 +94,18 @@ object Dedup {
     * partition key. At 100 TB, cap pathological buckets (a boilerplate
     * shingle shared by millions of docs) by salting or dropping buckets above
     * a size threshold before the join. */
-  def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String): DataFrame = {
+  def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
+                    bandRows: Int = 1): DataFrame = {
+    // band b = concatenation of bandRows consecutive signature values:
+    // a candidate must agree on ALL rows of some band. bandRows=1 maximizes
+    // recall (any shared minhash); bandRows=2 cuts false candidates ~
+    // quadratically (collision prob j^2 per band) at slight recall cost for
+    // borderline pairs — the standard LSH S-curve tuning knob.
+    val nBands = (size(col(sigCol)) / bandRows).cast("int")
+    val bandArr = transform(sequence(lit(1), nBands),
+      b => concat_ws("", slice(col(sigCol), (b - 1) * bandRows + 1, lit(bandRows))))
     val bands = sigDf
-      .select(col(idCol), posexplode(col(sigCol)))
+      .select(col(idCol), posexplode(bandArr))
       .toDF(idCol, "band", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a")
@@ -125,7 +134,7 @@ object Dedup {
     * 100 TB both persists are disk-backed and linear in corpus size. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 3, numHashes: Int = 8,
-                     threshold: Double = 0.5): DataFrame = {
+                     threshold: Double = 0.5, bandRows: Int = 2): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Pre-shingle filter on the RAW text (size(words) >= n ⟺ shingle set
     // non-empty): cheap enough to push to the scan, unlike a size(sh) > 0
@@ -140,7 +149,7 @@ object Dedup {
       .select(col(idCol), wordShingles(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-    val cand = lshCandidates(sig, idCol, "sig")
+    val cand = lshCandidates(sig, idCol, "sig", bandRows)
     // Verify with one array_intersect per pair: |A∪B| = |A|+|B|-|A∩B| for
     // sets, so the (identical-valued) union array is never materialized.
     cand
