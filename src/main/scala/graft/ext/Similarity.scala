@@ -45,13 +45,18 @@ object Similarity {
   /** Cosine similarity; evaluation order fixed as dot / (||a|| * ||b||). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Rank scored candidates to top-k per query via the bounded-heap
+    * aggregator ([[TopK]]): map-side partial aggregation caps the shuffle at
+    * k rows per (partition, query) — unlike a rank window, which must move
+    * and sort EVERY candidate row of a query into one partition. Bit- and
+    * tie-identical to `row_number().over(orderBy(score desc, id))`
+    * (asserted in ExtSpec). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopK.topKPerKey(scored, "query_id", "score", "id", k)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). `queries` should be small — it is broadcast;
-    * the corpus is scanned once. Returns (query_id, rank, id, score).
-    *
-    * The rank window partitions by query — at most |queries| * |corpus| rows
-    * enter the exchange; for large query sets pre-aggregate per partition
-    * with a bounded heap instead (mapPartitions) before ranking. */
+    * the corpus is scanned once. Returns (query_id, rank, id, score). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
@@ -60,10 +65,7 @@ object Similarity {
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         cosine(col("qv"), col("v")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
-    scored.select(col("query_id"), row_number().over(w).as("rank"),
-        col("id"), col("score"))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Sign-quantization LSH bucket: bit i of the key is sign(v[i+1] > 0) for
@@ -88,10 +90,7 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
-    scored.select(col("query_id"), row_number().over(w).as("rank"),
-        col("id"), col("score"))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN top-k — the other classic scale path next to
@@ -126,10 +125,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), "cell")
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
-    scored.select(col("query_id"), row_number().over(w).as("rank"),
-        col("id"), col("score"))
-      .where(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine >=

@@ -106,6 +106,24 @@ class ExtSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(bf2))
   }
 
+  // ─────────────────────────── TopK ───────────────────────────────────────
+
+  test("TopK aggregator equals the window row_number ranking, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // scores with deliberate ties to exercise the id tie-break
+    val scored = (1L to 300L).map(i => (s"q${i % 3}", (i % 7).toDouble, i))
+      .toDF("query_id", "score", "id")
+    val viaAgg = TopK.topKPerKey(scored, "query_id", "score", "id", k = 5)
+      .select("query_id", "rank", "id", "score")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored
+      .select(col("query_id"), row_number().over(w).as("rank"), col("id"), col("score"))
+      .where(col("rank") <= 5)
+    assert(viaAgg.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaAgg).count() === 0)
+    assert(viaAgg.count() === 15)
+  }
+
   // ─────────────────────────── AsofJoin ───────────────────────────────────
 
   test("asof join: latest right row at or before each left ts, per key") {
