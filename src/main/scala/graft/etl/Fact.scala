@@ -26,7 +26,10 @@ object Fact {
   val NoneMember = "(none)"
 
   /** Resolve the four SKEYs for cleaned rows. `cleaned` is the output of
-    * [[Transform.clean]]; dims carry (SKEY, naturalKey). */
+    * [[Transform.clean]]; dims carry (SKEY, naturalKey). The `day` column
+    * (yyyyMMdd prefix of the minute key) rides along as the fact's physical
+    * partition key — time-range queries then prune whole partition dirs at
+    * the scan (SURVEY §4 "partition pruning"). */
   def resolveSkeys(cleaned: DataFrame, dimDate: DataFrame, dimPlatform: DataFrame,
                    dimSite: DataFrame, dimTitle: DataFrame): DataFrame =
     cleaned
@@ -35,7 +38,8 @@ object Fact {
       .join(broadcast(dimPlatform), Seq("PLATFORM"), "left")
       .join(broadcast(dimSite), Seq("SITE"), "left")
       .join(broadcast(dimTitle), Seq("TITLE"), "left")
-      .select(col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"),
+      .select(substring(col("DATETIME"), 1, 8).as("day"),
+              col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"),
               col("TITLE_SKEY"))
 
   /** Append-ready fact rows with `factid` continuing from `existingMax`,
@@ -47,10 +51,10 @@ object Fact {
     * as dim SKEYs (SURVEY §7.4 item 1). */
   def withFactIds(resolved: DataFrame, existingMax: Long = 0L): DataFrame =
     resolved.select(
-      (row_number().over(Window.orderBy(col("DATETIME_SKEY"), col("PLATFORM_SKEY"),
+      ((row_number().over(Window.orderBy(col("DATETIME_SKEY"), col("PLATFORM_SKEY"),
           col("SITE_SKEY"), col("TITLE_SKEY"))) + lit(existingMax))
-        .cast("long").as("factid"),
-      col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"), col("TITLE_SKEY")
+        .cast("long").as("factid") +:
+        resolved.columns.map(col)): _*
     )
 
   /** Scale path for factid assignment: `zipWithIndex` computes contiguous

@@ -90,11 +90,16 @@ class StarStore(spark: SparkSession, root: String) {
   def dimTitle: DataFrame = readTable("dim_title")
 
   /** The fact = union of the immutable per-batch delta files listed in the
-    * live manifest (never a rewritten monolith). */
+    * live manifest (never a rewritten monolith). Each batch dir is its own
+    * day-partitioned parquet root, so they are read separately and unioned
+    * (a shared read would mis-parse `batch_*` as partition dirs); partition
+    * pruning on `day` still applies inside every branch. At high batch
+    * counts, compact old deltas into one dir — the manifest makes that a
+    * metadata-only swap. */
   def fact: DataFrame = {
     val v = currentVersion.getOrElse(sys.error(s"empty star store at $root"))
-    val paths = manifest(v).batches.map(b => s"$root/facts/batch_$b")
-    spark.read.parquet(paths: _*)
+    manifest(v).batches.map(b => spark.read.parquet(s"$root/facts/batch_$b"))
+      .reduce(_.unionByName(_))
   }
 
   // ── write side ───────────────────────────────────────────────────────────
@@ -145,7 +150,7 @@ class StarStore(spark: SparkSession, root: String) {
     // 1. fact delta → its immutable home (overwrite handles a crashed
     //    previous attempt of the SAME batch that never reached publish).
     val batchDir = s"$root/facts/batch_$batchId"
-    newFact.write.mode("overwrite").parquet(batchDir)
+    newFact.write.mode("overwrite").partitionBy("day").parquet(batchDir)
     val appended = spark.read.parquet(batchDir).count() // metadata-only count
 
     // 2. stage the new version dir (dims + manifest), then one rename.
