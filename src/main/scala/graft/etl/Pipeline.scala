@@ -73,8 +73,12 @@ class StarStore(spark: SparkSession, root: String) {
     val kv = text.linesIterator.map(_.split("=", 2)).collect {
       case Array(k, v1) => k -> v1
     }.toMap
-    Manifest(kv("maxFactId").toLong,
-      kv.getOrElse("batches", "").split(",").filter(_.nonEmpty).toSeq)
+    val live = kv.getOrElse("batches", "").split(",").filter(_.nonEmpty).toSeq
+    Manifest(kv("maxFactId").toLong, live,
+      // `applied` tracks every batch id ever published (for the replay
+      // guard), surviving compaction that rewrites the live list; absent in
+      // pre-compaction manifests, where live == applied.
+      kv.get("applied").map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(live))
   }
 
   // ── read side ────────────────────────────────────────────────────────────
@@ -104,6 +108,20 @@ class StarStore(spark: SparkSession, root: String) {
 
   // ── write side ───────────────────────────────────────────────────────────
 
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    val out = fs.create(new Path(s"$dir/manifest.txt"), true)
+    try out.write(m.serialized.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def swapPointer(nextV: String): Unit = {
+    val curTmp = new Path(s"$root/CURRENT._tmp")
+    val cur = new Path(s"$root/CURRENT")
+    val pOut = fs.create(curTmp, true)
+    try pOut.write(nextV.getBytes("UTF-8")) finally pOut.close()
+    fs.delete(cur, false)
+    require(fs.rename(curTmp, cur), "CURRENT pointer swap failed")
+  }
+
   /** Register the live star as SQL views (`dim_date`, `dim_platform`,
     * `dim_site`, `dim_title`, `fact_videostart`) so `spark.sql` works over
     * the store — the engine's stand-in for the reference's warehouse DDL
@@ -122,7 +140,7 @@ class StarStore(spark: SparkSession, root: String) {
   def runBatch(raw: DataFrame, batchId: String): Long = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     val prior = currentVersion.map(v => (v, manifest(v)))
-    if (prior.exists(_._2.batches.contains(batchId))) return 0L // replay → no-op
+    if (prior.exists(_._2.applied.contains(batchId))) return 0L // replay → no-op
 
     val cleaned = Transform.clean(raw)
       .withColumn("SITE", coalesce(col("SITE"), lit(Fact.NoneMember)))
@@ -162,19 +180,14 @@ class StarStore(spark: SparkSession, root: String) {
     dSite.write.mode("overwrite").parquet(s"$tmp/dim_site")
     dTitle.write.mode("overwrite").parquet(s"$tmp/dim_title")
     val newManifest = Manifest(maxFactId + appended,
-      prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId)
-    val out = fs.create(new Path(s"$tmp/manifest.txt"), true)
-    try out.write(newManifest.serialized.getBytes("UTF-8")) finally out.close()
+      prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId,
+      prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
+    writeManifest(tmp, newManifest)
     require(fs.rename(new Path(tmp), new Path(versionDir(nextV))),
       s"version publish failed: $tmp -> $nextV")
 
     // 3. swap the CURRENT pointer (recovery: highest version wins, above).
-    val curTmp = new Path(s"$root/CURRENT._tmp")
-    val cur = new Path(s"$root/CURRENT")
-    val pOut = fs.create(curTmp, true)
-    try pOut.write(nextV.getBytes("UTF-8")) finally pOut.close()
-    fs.delete(cur, false)
-    require(fs.rename(curTmp, cur), "CURRENT pointer swap failed")
+    swapPointer(nextV)
 
     // 4. retire the previous version dir (fact data files are shared and
     //    never copied, so this only removes tiny dim snapshots).
@@ -183,12 +196,44 @@ class StarStore(spark: SparkSession, root: String) {
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
     appended
   }
+
+  /** Compact the live fact deltas into one partitioned directory and publish
+    * a version whose live list is just the compacted dir. Old delta dirs are
+    * deleted AFTER the pointer swap; the `applied` history is preserved, so
+    * replaying any pre-compaction batch id remains a no-op. Run when the
+    * batch count makes the union plan / file listing noticeable. */
+  def compact(): Long = {
+    val (v, m) = currentVersion.map(v => (v, manifest(v)))
+      .getOrElse(sys.error(s"empty star store at $root"))
+    if (m.batches.length <= 1) return 0L
+    val compactId = s"compact_${v.drop(1).toLong + 1}"
+    val dest = s"$root/facts/batch_$compactId"
+    fact.write.mode("overwrite").partitionBy("day").parquet(dest)
+
+    val nextV = f"v${v.drop(1).toLong + 1}%08d"
+    val tmp = s"$root/versions/_tmp_$compactId"
+    fs.delete(new Path(tmp), true)
+    // dims are unchanged — copy the snapshots into the new version dir
+    Seq("dim_date", "dim_platform", "dim_site", "dim_title").foreach { t =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"${versionDir(v)}/$t"),
+        fs, new Path(s"$tmp/$t"), false, spark.sparkContext.hadoopConfiguration)
+    }
+    writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId), m.applied))
+    require(fs.rename(new Path(tmp), new Path(versionDir(nextV))),
+      s"compaction publish failed: $tmp -> $nextV")
+    swapPointer(nextV)
+    m.batches.foreach(b => fs.delete(new Path(s"$root/facts/batch_$b"), true))
+    fs.delete(new Path(versionDir(v)), true)
+    m.batches.length.toLong
+  }
 }
 
 object StarStore {
-  final case class Manifest(maxFactId: Long, batches: Seq[String]) {
+  final case class Manifest(maxFactId: Long, batches: Seq[String],
+                            applied: Seq[String]) {
     def serialized: String =
-      s"maxFactId=$maxFactId\nbatches=${batches.mkString(",")}\n"
+      s"maxFactId=$maxFactId\nbatches=${batches.mkString(",")}\n" +
+        s"applied=${applied.mkString(",")}\n"
   }
 
   def apply(spark: SparkSession, root: String): StarStore = new StarStore(spark, root)

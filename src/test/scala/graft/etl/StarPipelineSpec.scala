@@ -62,6 +62,13 @@ class StarPipelineSpec extends SparkSpec {
     val ids = store.fact.select("factid").as[Long].collect().sorted
     assert(ids.toSeq === (1L to 5L))
 
+    // compaction: one live dir afterwards, same rows, replay still guarded
+    assert(store.compact() === 2) // two deltas merged
+    assert(store.fact.count() === 5)
+    assert(store.runBatch(rawBatch1, "b1") === 0) // applied history survives
+    assert(store.fact.count() === 5)
+    assert(store.compact() === 0) // already compact → no-op
+
     // SQL surface over the published star
     store.registerViews()
     val perPlatform = spark.sql(
