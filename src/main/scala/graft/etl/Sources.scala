@@ -58,4 +58,18 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed + sorted managed table: two tables bucketed the same way on
+    * their join key equi-join WITHOUT any shuffle exchange (and without a
+    * sort, thanks to sortBy) — the pre-partitioned co-located join that
+    * makes repeated big-to-big joins affordable at scale. Requires
+    * `saveAsTable` (bucket metadata lives in the catalog). BucketingSpec
+    * asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keyCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
