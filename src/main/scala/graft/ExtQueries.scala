@@ -77,6 +77,14 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Sign-bucketed embedding near-dup — the scale path (equi-join on the
+    // bucket replaces the all-pairs cross product).
+    "dedup_embedding_lsh" -> ((s, d) => {
+      Similarity.cosineNearDupPairsBucketed(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ─────────────────────── similarity search (§2.8) ─────────────────────
     // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
     "sim_topk" -> ((s, d) => {
@@ -453,6 +461,16 @@ object ExtQueries {
          |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_topk" ->

@@ -141,4 +141,23 @@ object Similarity {
       .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
       .where(col("score") >= threshold)
   }
+
+  /** Bucketed variant of [[cosineNearDupPairs]] — candidates limited to
+    * pairs sharing a sign bucket, turning the all-pairs cross product into a
+    * self-equi-join on the bucket key (the shuffle key IS the bucket).
+    * Recall < 1: highly-similar vectors agree on most sign bits, but a
+    * near-dup pair straddling a coordinate sign flip in the first `bits`
+    * dims is missed — the standard LSH trade; raise recall with multiple
+    * rotated bucketings at proportional cost. */
+  def cosineNearDupPairsBucketed(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, bits: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    v.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+      .join(v.select(col("bucket"), col("id").as("b_id"), col("v").as("vb")),
+        Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .where(col("score") >= threshold)
+  }
 }
