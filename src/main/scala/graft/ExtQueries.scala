@@ -183,6 +183,17 @@ object ExtQueries {
         .orderBy("asset_id")
     }),
 
+    // Frame-sampling plumbing over video assets: every 2nd 16-byte frame,
+    // counted per asset (the decode itself is the stubbed mapPartitions
+    // step; this checks the explode/sampling arithmetic end-to-end).
+    "mm_frame_sample" -> ((s, d) => {
+      val assets = Multimodal.assetsFromDocuments(t(s, d, "documents"))
+      Multimodal.frameSample(assets, frameBytes = 16, everyN = 2)
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_no")).as("max_frame"))
+        .orderBy("asset_id")
+    }),
+
     // ───────────── streaming-window shape / sources / SQL breadth ─────────
     // Tumbling event-time window (batch semantics of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
@@ -544,6 +555,18 @@ object ExtQueries {
         |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
         |    i -> ord(substr(text, i, 1))))::BIGINT AS header_sum
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
+    // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
+    // frame = 2*(ceil(nframes/2)-1)
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  ((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2)::BIGINT
+        |    AS n_sampled,
+        |  (2 * (((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2) - 1))::INT
+        |    AS max_frame
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY asset_id""".stripMargin,
 
     "q_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
