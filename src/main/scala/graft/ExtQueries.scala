@@ -57,6 +57,16 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Pair → cluster resolution: connected components over the MinHash
+    // near-dup pairs, every member labeled with its component's min id (the
+    // survivor). Without this step A≈B, B≈C dedup keeps two survivors.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text")
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash fingerprints (16-bit) per document.
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text")
@@ -446,6 +456,29 @@ object ExtQueries {
          |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
          |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+         |SELECT s AS doc_id, least(s, min(t))::BIGINT AS rep
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (

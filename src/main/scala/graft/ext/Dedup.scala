@@ -185,6 +185,44 @@ object Dedup {
         array_distinct(transform(words(col(textCol)), tokenHash(_))).as("hs"))
       .select(col(idCol), simhash16(col("hs")).as("simhash"))
 
+  /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
+    * over the pair graph, labeling every member with the minimum id in its
+    * component (the canonical survivor). This is the step pairwise dedup
+    * pipelines forget — without it, A≈B and B≈C dedup to two survivors.
+    *
+    * Iterative min-label propagation: each round joins labels across edges
+    * and keeps the smaller label; components' diameters halve-ish per round,
+    * so rounds ≈ O(log |largest component|) — each round is one shuffle on
+    * the edge key, no driver-side graph. Converges when no label changes. */
+  def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
+                        bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for each node: min of own and neighbors' labels
+      val next = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nrep")).as("mrep"))
+        .join(labels, "id")
+        .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
+        .where(col("rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Direct blocked n-gram-Jaccard near-dup: all pairs within a blocking key
     * (e.g. language), char-n-gram Jaccard >= threshold. Quadratic within a
     * block — use only with strong blocking; MinHash LSH is the unblocked

@@ -40,6 +40,14 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicateClusters: transitive pairs collapse to one min-id survivor") {
+    // chain 1-2, 2-3 plus separate pair 10-11: components {1,2,3}, {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val labels = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash: identical normalized text → identical fingerprint; near text → small hamming") {
     val fp = Dedup.simhashOf(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
