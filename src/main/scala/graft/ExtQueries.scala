@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Dedup, Multimodal, RangeJoin, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -65,6 +65,13 @@ object ExtQueries {
       Dedup.duplicateClusters(pairs)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
+    }),
+
+    // The full curation pipeline: exact dedup → near-dup cluster dedup →
+    // quality gate; output = surviving document ids.
+    "curation_pipeline" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
     }),
 
     // SimHash fingerprints (16-bit) per document.
@@ -414,8 +421,10 @@ object ExtQueries {
       (0 until 6).map(i =>
         s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
-    def markerCount(markers: Seq[String]): String =
-      s"len(list_filter(toks, tk -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], tk)))"
+    def markerCount(markers: Seq[String]): String = markerCountOver(markers, "toks")
+
+    def markerCountOver(markers: Seq[String], listExpr: String): String =
+      s"len(list_filter($listExpr, tk -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], tk)))"
 
     val wordShingles3: String =
       """CASE WHEN len(words) >= 3
@@ -456,6 +465,35 @@ object ExtQueries {
          |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
          |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE
+         |docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))),
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |losers AS (SELECT s FROM reach GROUP BY s HAVING least(s, min(t)) <> s)
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM losers)
+         |  AND len(string_split(text, ' ')) >= 30
+         |  AND ${Sql.markerCountOver(stopwords, "string_split(lower(text), ' ')")}::DOUBLE / len(string_split(text, ' ')) <= 0.25
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE

@@ -40,6 +40,26 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("curation pipeline: exact dup, near dup, and low-quality docs removed") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (1L, base + "one two three"),
+      (2L, (base + "one two three").toUpperCase), // exact dup of 1 (case)
+      (3L, base + "one two four"),                // near dup of 1
+      (4L, "short doc"),                          // fails min-token gate
+      (5L, ("data table row value " * 12) +
+        "quill zephyr oboe lantern marble sphinx") // stopword-heavy, distinct text
+    ).toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 20, maxStopwordRatio = 0.25)
+    val kept = Curation.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L)) // 2 exact-dup, 3 near-dup, 4 short, 5 stopwordy
+    val funnel = Curation.funnel(corpus, "doc_id", "text", cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel === Map("0_input" -> 5L, "1_exact_dedup" -> 4L,
+      "2_neardup_dedup" -> 3L, "3_quality_gate" -> 1L))
+  }
+
   test("duplicateClusters: transitive pairs collapse to one min-id survivor") {
     // chain 1-2, 2-3 plus separate pair 10-11: components {1,2,3}, {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
