@@ -12,12 +12,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up codegen/JIT and the parquet reader before timing: the first
     // query otherwise absorbs several seconds of one-time session cost that
-    // says nothing about per-query throughput.
+    // says nothing about per-query throughput. (nanosAsLong must be set
+    // before touching events.parquet — its TIMESTAMP(NANOS) column is
+    // rejected otherwise; Queries.table sets it too, but not yet here.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "customer", "events", "documents").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
-      catch { case _: Throwable => () }
-    }
+    Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
+        catch { case _: Throwable => () }
+      }
 
     // Headline set = the queries whose throughput matters at scale (the
     // full catalog incl. deliberately-quadratic verification ops runs in
@@ -34,8 +38,9 @@ object Bench {
       val fn = qs0(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // outside the timed window
+      name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,10 +28,12 @@ object ExtQueries {
     Queries.table(spark, dir, name)
 
   /** Header checksum: sum of the first 16 character codes (= payload bytes
-    * for ASCII payloads). */
+    * for ASCII payloads). NULL for empty text — matching DuckDB's
+    * list_sum([]) = NULL (and dodging Spark's descending sequence(1,0)). */
   private def headerSum(c: Column): Column =
-    aggregate(sequence(lit(1), least(length(c), lit(16))), lit(0L),
-      (a, i) => a + ascii(substr(c, i, lit(1))))
+    when(length(c) === 0, lit(null).cast("long"))
+      .otherwise(aggregate(sequence(lit(1), least(length(c), lit(16))), lit(0L),
+        (a, i) => a + ascii(substr(c, i, lit(1)))))
 
   private val langClasses: Seq[(String, Seq[String])] = Seq(
     "tabular" -> Seq("table", "row", "column", "scan"),

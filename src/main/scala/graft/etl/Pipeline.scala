@@ -113,6 +113,18 @@ class StarStore(spark: SparkSession, root: String) {
     try out.write(m.serialized.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Rename a staged version dir into place. If the destination already
+    * exists it is a leftover from a crash AFTER a rename but BEFORE the
+    * pointer swap (CURRENT still names the previous version, so the orphan
+    * is not live) — delete it and retry, otherwise every later publish would
+    * fail forever on the occupied name. */
+  private def publishVersion(tmp: String, nextV: String): Unit = {
+    val dest = new Path(versionDir(nextV))
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(new Path(tmp), dest),
+      s"version publish failed: $tmp -> $nextV")
+  }
+
   private def swapPointer(nextV: String): Unit = {
     val curTmp = new Path(s"$root/CURRENT._tmp")
     val cur = new Path(s"$root/CURRENT")
@@ -183,8 +195,7 @@ class StarStore(spark: SparkSession, root: String) {
       prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId,
       prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
     writeManifest(tmp, newManifest)
-    require(fs.rename(new Path(tmp), new Path(versionDir(nextV))),
-      s"version publish failed: $tmp -> $nextV")
+    publishVersion(tmp, nextV)
 
     // 3. swap the CURRENT pointer (recovery: highest version wins, above).
     swapPointer(nextV)
@@ -219,8 +230,7 @@ class StarStore(spark: SparkSession, root: String) {
         fs, new Path(s"$tmp/$t"), false, spark.sparkContext.hadoopConfiguration)
     }
     writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId), m.applied))
-    require(fs.rename(new Path(tmp), new Path(versionDir(nextV))),
-      s"compaction publish failed: $tmp -> $nextV")
+    publishVersion(tmp, nextV)
     swapPointer(nextV)
     m.batches.foreach(b => fs.delete(new Path(s"$root/facts/batch_$b"), true))
     fs.delete(new Path(versionDir(v)), true)

@@ -22,10 +22,10 @@ object Curation {
       maxStopwordRatio: Double = 0.25,
       stopwords: Seq[String] = Seq("data", "table", "row", "value"))
 
-  /** Surviving documents after the full pipeline. Output = input rows of the
-    * survivors (all columns pass through). */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config()): DataFrame = {
+  /** The three pipeline stages as frames (shared by [[curate]] and
+    * [[funnel]] so the heavyweight dedup stages are planned once). */
+  private def stages(docs: DataFrame, idCol: String, textCol: String,
+                     cfg: Config): (DataFrame, DataFrame, DataFrame) = {
     // 1. exact dedup: keep the min-id copy of each normalized text
     val afterExact = Dedup.exactDedup(docs, idCol, textCol)
 
@@ -39,27 +39,26 @@ object Curation {
     val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
 
     // 3. quality gate: enough tokens, bounded stopword share
-    afterNear.where(
+    val afterQuality = afterNear.where(
       TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
         TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio)
+    (afterExact, afterNear, afterQuality)
   }
+
+  /** Surviving documents after the full pipeline. Output = input rows of the
+    * survivors (all columns pass through). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): DataFrame =
+    stages(docs, idCol, textCol, cfg)._3
 
   /** Per-stage funnel counts — the audit a curation run reports. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n0 = docs.count()
-    val afterExact = Dedup.exactDedup(docs, idCol, textCol)
-    val n1 = afterExact.count()
-    val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
-      cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold)
-    val losers = Dedup.duplicateClusters(pairs)
-      .where(col("id") =!= col("rep")).select(col("id").as(idCol))
-    val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
-    val n2 = afterNear.count()
-    val n3 = curate(docs, idCol, textCol, cfg).count()
-    Seq(("0_input", n0), ("1_exact_dedup", n1), ("2_neardup_dedup", n2),
-      ("3_quality_gate", n3)).toDF("stage", "n_docs")
+    val (afterExact, afterNear, afterQuality) = stages(docs, idCol, textCol, cfg)
+    Seq(("0_input", docs.count()), ("1_exact_dedup", afterExact.count()),
+      ("2_neardup_dedup", afterNear.count()),
+      ("3_quality_gate", afterQuality.count())).toDF("stage", "n_docs")
   }
 }

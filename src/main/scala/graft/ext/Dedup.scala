@@ -190,10 +190,11 @@ object Dedup {
     * component (the canonical survivor). This is the step pairwise dedup
     * pipelines forget — without it, A≈B and B≈C dedup to two survivors.
     *
-    * Iterative min-label propagation: each round joins labels across edges
-    * and keeps the smaller label; components' diameters halve-ish per round,
-    * so rounds ≈ O(log |largest component|) — each round is one shuffle on
-    * the edge key, no driver-side graph. Converges when no label changes. */
+    * Iterative min-label propagation with pointer jumping: each round (a)
+    * takes the min label across edges, then (b) compresses rep → label(rep),
+    * so label distances roughly halve per round — O(log diameter) rounds,
+    * each one shuffle, no driver-side graph. Throws if `maxIter` rounds
+    * don't converge (silently-wrong clusters would under-dedup). */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
                         bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
     // undirected edge list, both directions
@@ -207,12 +208,17 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // candidate label for each node: min of own and neighbors' labels
-      val next = edges
+      // (a) candidate label for each node: min of own and neighbors' labels
+      val viaEdges = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nrep")).as("mrep"))
         .join(labels, "id")
         .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
+      // (b) pointer jump: rep → label(rep) (labels only shrink, so the
+      // looked-up label is never worse than the current one)
+      val next = viaEdges
+        .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
+        .select(col("id"), col("rep2").as("rep"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .where(col("rep") =!= col("old")).count()
@@ -220,6 +226,8 @@ object Dedup {
       labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

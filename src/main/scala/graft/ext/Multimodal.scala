@@ -85,12 +85,16 @@ object Multimodal {
     * in for real frame decoding. One output row per sampled frame. */
   def frameSample(assets: DataFrame, frameBytes: Int = 16, everyN: Int = 2): DataFrame = {
     val nFrames = ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int")
+    // empty/null payload ⇒ 0 frames ⇒ no rows — the naive
+    // sequence(0, nFrames-1) would hit Spark's descending sequence(0,-1)
+    // and fabricate a phantom frame
+    val frames = when(nFrames >= 1, transform(
+      sequence(lit(0), nFrames - 1),
+      i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
     assets
       .where(col("modality") === "video")
-      .select(col("asset_id"),
-        posexplode(transform(
-          sequence(lit(0), greatest(nFrames - 1, lit(0))),
-          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .select(col("asset_id"), posexplode(frames))
       .toDF("asset_id", "frame_no", "frame")
       .where(col("frame_no") % everyN === 0)
   }

@@ -45,6 +45,8 @@ object SkewJoin {
     * one reducer per key; pre-aggregating on (key, v) first removes
     * duplicates map-side and spreads the hot key across partitions. */
   def skewSafeDistinctCount(df: DataFrame, key: String, valueCol: String): DataFrame =
-    df.select(col(key), col(valueCol)).distinct() // shuffle on (key, value)
+    df.select(col(key), col(valueCol))
+      .where(col(valueCol).isNotNull) // countDistinct skips nulls — match it
+      .distinct()                     // shuffle on (key, value)
       .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
 }

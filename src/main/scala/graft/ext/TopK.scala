@@ -54,6 +54,9 @@ object TopK {
                  idCol: String, k: Int): DataFrame = {
     val agg = udaf(new TopKAggregator(k))
     scored
+      // a NULL score (e.g. cosine against a zero-norm vector) cannot enter
+      // the typed (Double, Long) aggregator — and can never be in a top-k
+      .where(col(scoreCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(agg(col(scoreCol), col(idCol)).as("topk"))
       .select(col(keyCol), posexplode(col("topk.items")))

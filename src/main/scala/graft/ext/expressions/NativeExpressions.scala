@@ -31,13 +31,17 @@ case class RollingHashExpr(child: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_rolling_hash"
 
+  // Iterate CODE POINTS, not UTF-16 units: the HOF twin's substr/ascii and
+  // the DuckDB oracle's ord() both see code points, and the two must agree
+  // on astral-plane characters (emoji), not just the BMP.
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * 31 + s.charAt(i)) % 1000000007L
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     acc
   }
@@ -46,11 +50,15 @@ case class RollingHashExpr(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
          |java.lang.String $s = $c.toString();
          |long ${ev.value}_acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  ${ev.value}_acc = (${ev.value}_acc * 31L + $s.charAt($i)) % 1000000007L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  ${ev.value}_acc = (${ev.value}_acc * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
          |}
          |${ev.value} = ${ev.value}_acc;
        """.stripMargin
@@ -62,22 +70,27 @@ case class RollingHashExpr(child: Expression)
 
 /** Strict left-to-right dot product over two array<double> columns — the
   * same fold order as `aggregate(zip_with(a,b,_*_), 0.0, _+_)`, so results
-  * are bit-identical, minus the lambda interpreter. NULL if either side is
-  * NULL; mismatched lengths fold over the shorter prefix (zip semantics). */
+  * are bit-identical, minus the lambda interpreter. NULL semantics also
+  * mirror the HOF twin exactly: NULL if either side is NULL, if the lengths
+  * differ (zip_with pads with null, poisoning the sum), or if any element
+  * is null. */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -88,13 +101,19 @@ case class DotProductExpr(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}_acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 
