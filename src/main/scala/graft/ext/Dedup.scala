@@ -204,7 +204,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("rep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -215,14 +215,16 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
       // (b) pointer jump: rep → label(rep) (labels only shrink, so the
-      // looked-up label is never worse than the current one)
+      // looked-up label is never worse than the current one).
+      // The eager localCheckpoint TRUNCATES LINEAGE — without it the
+      // self-join doubles the logical plan every round and planning itself
+      // OOMs after ~8 rounds (use reliable checkpointing on a real cluster).
       val next = viaEdges
         .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
         .select(col("id"), col("rep2").as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .where(col("rep") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }

@@ -42,8 +42,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; evaluation order fixed as dot / (||a|| * ||b||). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; evaluation order fixed as dot / (||a|| * ||b||).
+    * try_divide, not `/`: under ANSI mode (Spark 4 default) a zero-norm
+    * vector would otherwise abort the whole query with DIVIDE_BY_ZERO;
+    * NULL flows to the rankers, which drop it. Identical doubles for every
+    * nonzero divisor. */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Rank scored candidates to top-k per query via the bounded-heap
     * aggregator ([[TopK]]): map-side partial aggregation caps the shuffle at

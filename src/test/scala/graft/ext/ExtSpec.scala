@@ -60,6 +60,15 @@ class ExtSpec extends SparkSpec {
       "2_neardup_dedup" -> 3L, "3_quality_gate" -> 1L))
   }
 
+  test("duplicateClusters converges on a long chain (pointer jumping)") {
+    // 40-node chain: plain one-hop propagation needs 39 rounds; with
+    // pointer jumping it must fit the default maxIter
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.duplicateClusters(chain)
+      .select("rep").as[Long].collect().toSet
+    assert(labels === Set(1L)) // single component, min id everywhere
+  }
+
   test("duplicateClusters: transitive pairs collapse to one min-id survivor") {
     // chain 1-2, 2-3 plus separate pair 10-11: components {1,2,3}, {10,11}
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
@@ -107,6 +116,15 @@ class ExtSpec extends SparkSpec {
         Similarity.asDouble(col("a.embedding")),
         Similarity.asDouble(col("b.embedding")))).as[Double].head()
     assert(c === -1.0)
+  }
+
+  test("topk paths survive zero-norm vectors (null cosine scores dropped)") {
+    val withZero = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val top = Similarity.bruteForceTopK(withZero,
+        withZero.where(col("vec_id") === 0L), "vec_id", "embedding", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(top === Set(1L, 2L, 3L)) // zero vector neither crashes nor ranks
   }
 
   test("bucketedTopK only searches the query's sign bucket") {

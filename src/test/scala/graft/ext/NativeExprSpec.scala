@@ -41,6 +41,22 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("graft_dot mirrors zip_with null semantics on mismatched/null input") {
+    val rows = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
+        |  graft_dot(array(1.0d, cast(null as double)), array(3.0d, 4.0d)) AS nullelem,
+        |  graft_dot(cast(null as array<double>), array(3.0d)) AS nullside""".stripMargin)
+      .head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+  }
+
+  test("graft_rolling_hash handles astral-plane characters like the HOF twin") {
+    val r = Seq("a🙂b").toDF("text").select(
+      TextStats.rollingHashHof(col("text")).as("hof"),
+      expr("graft_rolling_hash(text)").as("native")).head
+    assert(r.getLong(0) === r.getLong(1))
+  }
+
   test("native dot works inside SQL over registered views") {
     val r = spark.sql(
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
