@@ -79,6 +79,24 @@ class StarPipelineSpec extends SparkSpec {
     assert(perPlatform("Desktop") === 4L && perPlatform("iPhone") === 1L)
   }
 
+  test("publish survives a crashed predecessor: orphan version dir + lost CURRENT") {
+    val root = tmpDir("graft-crash")
+    val store = StarStore(spark, root)
+    assert(store.runBatch(rawBatch1, "c1") === 3)
+
+    // crash scenario 1: a version dir was renamed into place but CURRENT
+    // was never swapped — the orphan must not wedge later publishes
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/versions/v00000002/junk"))
+    assert(store.runBatch(rawBatch2, "c2") === 2)
+    assert(store.fact.count() === 5)
+
+    // crash scenario 2: CURRENT lost mid-swap — highest version wins
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/CURRENT"))
+    assert(store.fact.count() === 5)
+    assert(store.dimDate.count() === 3)
+  }
+
   test("audit: count + one-job max-lengths (rows 26-27)") {
     val prof = Audit.profile(rawBatch1).head()
     assert(prof.getAs[Long]("n_records") === 5)
