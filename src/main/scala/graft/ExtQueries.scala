@@ -133,11 +133,17 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // Scalar p50/p95 projections (not the raw array<double>): the driver's
+    // rows-only check hashes each output cell, and an array cell is
+    // unhashable on the pandas side — same sketch, scalar columns.
     "q_sketch_quantiles" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(10000)).as("price_quantiles"))
+          array(lit(0.5), lit(0.95)), lit(10000)).as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p95"))
         .orderBy("l_returnflag")
     }),
 
