@@ -28,24 +28,46 @@ object Bench {
     // graft.Verify, not here).
     val qs0 = SparkEntry.queries
     val headline = Queries.headline.filter(qs0.contains)
-    // Pass 1 (untimed) warms codegen/lambda-interpreter paths per query;
-    // pass 2 is the reported steady-state measurement.
-    headline.foreach { name =>
-      try { qs0(name)(spark, sfDir).count(); spark.catalog.clearCache() }
-      catch { case _: Throwable => () }
-    }
-    val results = headline.map { name =>
-      val fn = qs0(name)
+
+    // One untimed pass warms codegen/lambda-interpreter paths per query,
+    // then 3 timed passes reported as the MEDIAN — run-to-run JIT/GC noise
+    // at this scale is a multi-second band, wide enough to swamp real
+    // regressions in a single-shot measurement.
+    def once(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val elapsed = (System.nanoTime() - t0) / 1e9
+      val r =
+        try { qs0(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}") }
       spark.catalog.clearCache() // outside the timed window
-      name -> elapsed
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      r
+    }
+    headline.foreach(once)
+    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
+      val runs = (1 to 3).map(_ => once(name))
+      name -> (runs.collectFirst { case Left(m) => m } match {
+        case Some(err) => Left(err)
+        case None =>
+          val ts = runs.collect { case Right(t) => t }.sorted
+          Right(ts(ts.length / 2))
+      })
+    }
+
+    // A failed query must be VISIBLE (stderr + "failed" list + -1 marker in
+    // the per-query map), never silently timed as ~0 s, and is excluded
+    // from the headline total.
+    results.foreach {
+      case (name, Left(err)) => System.err.println(s"BENCH FAILURE $name: $err")
+      case _ => ()
+    }
+    val qs = results.map {
+      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Left(_)) => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

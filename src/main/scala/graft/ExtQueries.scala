@@ -59,6 +59,18 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
+    // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
+    // the exact-Jaccard verify makes the output the TRUE pair set — which is
+    // what the oracle checks, via an exhaustive pair scan (no hash to
+    // reproduce cross-engine). This is the benched dedup path; dedup_minhash
+    // above stays as the portable-hash oracle row.
+    "dedup_minhash_fast" -> ((s, d) => {
+      Dedup.nearDuplicatesFast(t(s, d, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 16, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Pair → cluster resolution: connected components over the MinHash
     // near-dup pairs, every member labeled with its component's min id (the
     // survivor). Without this step A≈B, B≈C dedup keeps two survivors.
@@ -104,6 +116,16 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Multi-probe variant: probe side expanded to its bucket + every
+    // single-bit flip — recovers near-dup pairs straddling one sign
+    // boundary, the dominant single-bucket miss mode. Candidate set is a
+    // strict superset of dedup_embedding_lsh's.
+    "dedup_embedding_lsh_mp" -> ((s, d) => {
+      Similarity.cosineNearDupPairsMultiProbe(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
     // ─────────────────────── similarity search (§2.8) ─────────────────────
     // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
     "sim_topk" -> ((s, d) => {
@@ -118,6 +140,17 @@ object ExtQueries {
       val e = t(s, d, "embeddings")
       Similarity.bucketedTopK(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
+    // brute-force answer, so the oracle is sim_topk's SQL; the point under
+    // test is the zero-exchange cell-assignment projection + cell-keyed
+    // probe join (ExtSpec asserts the no-exchange plan).
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -474,6 +507,18 @@ object ExtQueries {
          |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // TRUE pair set via exhaustive pair scan — the fast path's xxhash64 LSH
+    // is not reproduced here, only its contract: every jaccard>=0.5 pair.
+    "dedup_minhash_fast" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "curation_pipeline" ->
       s"""WITH RECURSIVE
          |docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (
@@ -563,6 +608,20 @@ object ExtQueries {
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_embedding_lsh_mp" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
@@ -585,6 +644,18 @@ object ExtQueries {
          |ranked AS (SELECT query_id, id, score, row_number() OVER (
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
+    "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     "text_langid" ->
@@ -637,14 +708,16 @@ object ExtQueries {
 
     // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
     // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
-    // frame = 2*(ceil(nframes/2)-1)
+    // frame = 2*(ceil(nframes/2)-1). Zero-frame (empty-payload) assets emit
+    // NO row — matching the Spark side, where posexplode of an empty frame
+    // array yields nothing (a groupBy after it cannot see the asset).
     "mm_frame_sample" ->
       """SELECT doc_id AS asset_id,
         |  ((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2)::BIGINT
         |    AS n_sampled,
         |  (2 * (((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2) - 1))::INT
         |    AS max_frame
-        |FROM documents WHERE doc_id % 3 = 2
+        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         |ORDER BY asset_id""".stripMargin,
 
     "q_tumbling_window" ->

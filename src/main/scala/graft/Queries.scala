@@ -467,7 +467,7 @@ object Queries {
     "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",
     "q_topk_window", "q_semijoin", "q_distinct_users", "q_rollup",
     "etl_fact_resolve", "etl_merge_dedup", "etl_minute_dim",
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_minhash_fast", "dedup_simhash", "dedup_embedding_lsh",
     "sim_topk", "sim_topk_lsh", "text_tokens", "text_fingerprint",
     "q_asof_join", "q_session_window", "q_sketch_distinct")
 }

@@ -37,7 +37,13 @@ import org.apache.spark.sql.functions._
   * ephemeral by construction, the Spark-native restatement of "truncate
   * after merge".
   */
-class StarStore(spark: SparkSession, root: String) {
+/** @param autoCompactAfter compact automatically when a publish leaves more
+  *                         than this many live fact-delta dirs (the union
+  *                         plan and file listing grow linearly with them);
+  *                         `Int.MaxValue` disables. Compaction preserves the
+  *                         `applied` replay guard. */
+class StarStore(spark: SparkSession, root: String,
+                autoCompactAfter: Int = StarStore.DefaultAutoCompactAfter) {
   import StarStore._
 
   private val fs: FileSystem =
@@ -144,7 +150,14 @@ class StarStore(spark: SparkSession, root: String) {
     dimSite.createOrReplaceTempView("dim_site")
     dimTitle.createOrReplaceTempView("dim_title")
     fact.createOrReplaceTempView("fact_videostart")
+    viewsRegistered = true
   }
+
+  // Views capture concrete version-dir paths; a publish retires that dir, so
+  // any registered views must be re-pointed after every publish or the next
+  // `spark.sql` over them fails on deleted files.
+  private var viewsRegistered = false
+  private def refreshViews(): Unit = if (viewsRegistered) registerViews()
 
   /** Process one raw batch end-to-end and atomically publish the updated
     * star. Returns the number of fact rows appended (0 for a replayed
@@ -205,6 +218,12 @@ class StarStore(spark: SparkSession, root: String) {
     prior.foreach { case (v, _) => fs.delete(new Path(versionDir(v)), true) }
 
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
+
+    // Keep the live delta count bounded: the fact is a union over live
+    // batch dirs, so an unbounded batch history degrades every read. The
+    // `applied` list survives compaction — replays stay no-ops.
+    if (newManifest.batches.length > autoCompactAfter) compact()
+    else refreshViews()
     appended
   }
 
@@ -234,11 +253,17 @@ class StarStore(spark: SparkSession, root: String) {
     swapPointer(nextV)
     m.batches.foreach(b => fs.delete(new Path(s"$root/facts/batch_$b"), true))
     fs.delete(new Path(versionDir(v)), true)
+    refreshViews()
     m.batches.length.toLong
   }
 }
 
 object StarStore {
+  /** Live-delta bound before auto-compaction kicks in: high enough that
+    * steady-state ingest rarely pays a compaction, low enough that the
+    * fact-union plan stays a handful of parquet roots. */
+  val DefaultAutoCompactAfter: Int = 16
+
   final case class Manifest(maxFactId: Long, batches: Seq[String],
                             applied: Seq[String]) {
     def serialized: String =
@@ -247,4 +272,7 @@ object StarStore {
   }
 
   def apply(spark: SparkSession, root: String): StarStore = new StarStore(spark, root)
+
+  def apply(spark: SparkSession, root: String, autoCompactAfter: Int): StarStore =
+    new StarStore(spark, root, autoCompactAfter)
 }

@@ -23,19 +23,29 @@ object Curation {
       stopwords: Seq[String] = Seq("data", "table", "row", "value"))
 
   /** The three pipeline stages as frames (shared by [[curate]] and
-    * [[funnel]] so the heavyweight dedup stages are planned once). */
+    * [[funnel]] so the heavyweight dedup stages are planned once).
+    *
+    * Cache discipline: the shingle/band frames persisted inside
+    * [[Dedup.nearDuplicates]] are fully consumed once
+    * [[Dedup.duplicateClusters]] converges (it is eager — the cluster labels
+    * come back checkpointed), so they are released HERE, before returning.
+    * The final label checkpoint is still read lazily by the returned frames,
+    * so its ownership passes to the caller's `scope` (null → it stays
+    * persisted, the pre-scope behavior). */
   private def stages(docs: DataFrame, idCol: String, textCol: String,
-                     cfg: Config): (DataFrame, DataFrame, DataFrame) = {
+                     cfg: Config, scope: CacheScope): (DataFrame, DataFrame, DataFrame) = {
     // 1. exact dedup: keep the min-id copy of each normalized text
     val afterExact = Dedup.exactDedup(docs, idCol, textCol)
 
     // 2. near-dup cluster dedup: MinHash pairs → components → keep each
     //    component's min id (non-members pass through untouched)
+    val inner = new CacheScope
     val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
-      cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold)
-    val losers = Dedup.duplicateClusters(pairs)
+      cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold, scope = inner)
+    val losers = Dedup.duplicateClusters(pairs, scope = scope)
       .where(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
+    inner.close() // clusters converged ⇒ shingles/bands fully consumed
     val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
 
     // 3. quality gate: enough tokens, bounded stopword share
@@ -46,17 +56,18 @@ object Curation {
   }
 
   /** Surviving documents after the full pipeline. Output = input rows of the
-    * survivors (all columns pass through). */
+    * survivors (all columns pass through). Pass a [[CacheScope]] and close it
+    * after the consuming action to release every cached intermediate. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config()): DataFrame =
-    stages(docs, idCol, textCol, cfg)._3
+             cfg: Config = Config(), scope: CacheScope = null): DataFrame =
+    stages(docs, idCol, textCol, cfg, scope)._3
 
   /** Per-stage funnel counts — the audit a curation run reports. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config()): DataFrame = {
+             cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (afterExact, afterNear, afterQuality) = stages(docs, idCol, textCol, cfg)
+    val (afterExact, afterNear, afterQuality) = stages(docs, idCol, textCol, cfg, scope)
     Seq(("0_input", docs.count()), ("1_exact_dedup", afterExact.count()),
       ("2_neardup_dedup", afterNear.count()),
       ("3_quality_gate", afterQuality.count())).toDF("stage", "n_docs")

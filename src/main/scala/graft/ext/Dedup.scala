@@ -91,25 +91,56 @@ object Dedup {
     * here, because Catalyst would push `isnotnull` down into a recomputation
     * of the whole signature expression.
     * The self-join shuffles on (band, value) — i.e. the LSH bucket IS the
-    * partition key. At 100 TB, cap pathological buckets (a boilerplate
-    * shingle shared by millions of docs) by salting or dropping buckets above
-    * a size threshold before the join. */
+    * partition key.
+    *
+    * `maxBucketSize` caps pathological buckets — a boilerplate shingle
+    * shared by millions of docs would otherwise make one bucket's self-join
+    * quadratic in corpus size. Buckets above the cap are dropped BEFORE the
+    * join via a broadcast anti-join against the (tiny by construction) hot
+    * list, so the bands frame is not re-shuffled; the drop count is logged.
+    * Pairs co-occurring only in a dropped mega-bucket are lost — acceptable:
+    * agreement on a near-universal shingle carries almost no similarity
+    * signal, and genuinely similar pairs agree on other bands too.
+    *
+    * `scope` (optional) takes ownership of the persisted bands frame — the
+    * returned pairs frame reads it lazily, so the caller closes the scope
+    * after the consuming action (see [[CacheScope]]). */
   def lshCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
-                    bandRows: Int = 1): DataFrame = {
+                    bandRows: Int = 1, maxBucketSize: Int = Int.MaxValue,
+                    scope: CacheScope = null): DataFrame = {
     // band b = concatenation of bandRows consecutive signature values:
     // a candidate must agree on ALL rows of some band. bandRows=1 maximizes
     // recall (any shared minhash); bandRows=2 cuts false candidates ~
     // quadratically (collision prob j^2 per band) at slight recall cost for
     // borderline pairs — the standard LSH S-curve tuning knob.
+    // (The element cast to string is a no-op for md5-string signatures and
+    // makes the same band construction work for long-valued fast signatures.)
     val nBands = (size(col(sigCol)) / bandRows).cast("int")
     val bandArr = transform(sequence(lit(1), nBands),
-      b => concat_ws("", slice(col(sigCol), (b - 1) * bandRows + 1, lit(bandRows))))
+      b => concat_ws("", transform(
+        slice(col(sigCol), (b - 1) * bandRows + 1, lit(bandRows)),
+        v => v.cast("string"))))
     val bands = sigDf
       .select(col(idCol), posexplode(bandArr))
       .toDF(idCol, "band", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.as("a")
-      .join(bands.as("b"),
+    if (scope != null) scope.own(bands)
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) bands
+      else {
+        val hot = bands.groupBy(col("band"), col("v"))
+          .agg(count(lit(1)).as("_bsz"))
+          .where(col("_bsz") > maxBucketSize)
+          .select(col("band"), col("v"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (scope != null) scope.own(hot)
+        val nHot = hot.count() // also materializes the bands cache
+        if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"lshCandidates: dropping $nHot band-buckets larger than $maxBucketSize rows")
+        bands.join(broadcast(hot), Seq("band", "v"), "left_anti")
+      }
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
@@ -120,9 +151,10 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Near-duplicate pairs: MinHash(k seeds, 1-row bands) LSH candidates,
-    * verified by exact shingle-set Jaccard >= threshold.
-    * Output: (a_id, b_id, jaccard).
+  /** Near-duplicate pairs: MinHash(k seeds) LSH candidates, verified by
+    * exact shingle-set Jaccard >= threshold. Output: (a_id, b_id, jaccard).
+    * Portable md5-string signatures — bit-reproducible by an external
+    * engine, which is what the DuckDB oracle checks.
     *
     * Plan hygiene (this is where a naive chaining is 20× slower): the shingle
     * frame is repartitioned (parallelism does not depend on the input file
@@ -134,7 +166,39 @@ object Dedup {
     * 100 TB both persists are disk-backed and linear in corpus size. */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int = 3, numHashes: Int = 8,
-                     threshold: Double = 0.5, bandRows: Int = 2): DataFrame = {
+                     threshold: Double = 0.5, bandRows: Int = 2,
+                     maxBucketSize: Int = Int.MaxValue,
+                     scope: CacheScope = null): DataFrame =
+    nearDupPairs(df, idCol, textCol, shingleLen, numHashes, threshold,
+      bandRows, maxBucketSize, scope, identity, minhashSignature)
+
+  /** The at-scale twin of [[nearDuplicates]]: shingles are collapsed to
+    * xxhash64 longs ONCE in the persisted frame, so (a) the per-seed minhash
+    * is codegen'd long arithmetic — roughly an order of magnitude cheaper
+    * than 8 md5-string hashes, (b) the persisted shingle frame shrinks ~3×,
+    * and (c) the exact-Jaccard verify intersects long arrays instead of
+    * 20-char strings. Hashed-shingle Jaccard equals string-shingle Jaccard
+    * unless two distinct shingles of the same doc pair collide in 64 bits
+    * (~|union|²/2⁶⁴ ≈ 1e-14 — and deterministic: a passing corpus keeps
+    * passing). 1-row bands over `numHashes` seeds put LSH recall for a true
+    * pair at jaccard j at 1-(1-j)^numHashes — ≥ 1-2^-16 at j=0.5 with the
+    * default 16 seeds — so at these settings the output is the TRUE pair
+    * set (jaccard >= threshold) with near-certainty; the DuckDB oracle for
+    * the catalog entry checks exactly that against an exhaustive pair scan. */
+  def nearDuplicatesFast(df: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, numHashes: Int = 16,
+                         threshold: Double = 0.5, bandRows: Int = 1,
+                         maxBucketSize: Int = Int.MaxValue,
+                         scope: CacheScope = null): DataFrame =
+    nearDupPairs(df, idCol, textCol, shingleLen, numHashes, threshold,
+      bandRows, maxBucketSize, scope,
+      sh => transform(sh, s => xxhash64(s)), minhashSignatureFast)
+
+  private def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleLen: Int, numHashes: Int, threshold: Double,
+                           bandRows: Int, maxBucketSize: Int, scope: CacheScope,
+                           encodeShingles: Column => Column,
+                           signatureOf: (Column, Int) => Column): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Pre-shingle filter on the RAW text (size(words) >= n ⟺ shingle set
     // non-empty): cheap enough to push to the scan, unlike a size(sh) > 0
@@ -146,10 +210,12 @@ object Dedup {
       .select(col(idCol), col(textCol))
       .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
       .repartition(par)
-      .select(col(idCol), wordShingles(col(textCol), shingleLen).as("sh"))
+      .select(col(idCol),
+        encodeShingles(wordShingles(col(textCol), shingleLen)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = sh.select(col(idCol), minhashSignature(col("sh"), numHashes).as("sig"))
-    val cand = lshCandidates(sig, idCol, "sig", bandRows)
+    if (scope != null) scope.own(sh)
+    val sig = sh.select(col(idCol), signatureOf(col("sh"), numHashes).as("sig"))
+    val cand = lshCandidates(sig, idCol, "sig", bandRows, maxBucketSize, scope)
     // Verify with one array_intersect per pair: |A∪B| = |A|+|B|-|A∩B| for
     // sets, so the (identical-valued) union array is never materialized.
     cand
@@ -196,15 +262,29 @@ object Dedup {
     * each one shuffle, no driver-side graph. Throws if `maxIter` rounds
     * don't converge (silently-wrong clusters would under-dedup). */
   def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
-                        bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+                        bCol: String = "b_id", maxIter: Int = 20,
+                        scope: CacheScope = null): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    // localCheckpoint persists an internal RDD the Dataset API gives no
+    // handle to; diff the persistent-RDD registry around the call so each
+    // round's checkpoint can be freed once the next round materializes
+    // (otherwise every round leaks one cached copy of the labels frame).
+    def eagerCheckpoint(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val added = sc.getPersistentRDDs.collect {
+        case (id, r) if !before.contains(id) => r
+      }.toSeq
+      (out, added)
+    }
     // undirected edge list, both directions
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("rep"))
-      .localCheckpoint(true)
+    var (labels, labelRdds) = eagerCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("rep")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -219,15 +299,18 @@ object Dedup {
       // The eager localCheckpoint TRUNCATES LINEAGE — without it the
       // self-join doubles the logical plan every round and planning itself
       // OOMs after ~8 rounds (use reliable checkpointing on a real cluster).
-      val next = viaEdges
+      val (next, nextRdds) = eagerCheckpoint(viaEdges
         .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
-        .select(col("id"), col("rep2").as("rep"))
-        .localCheckpoint(true)
+        .select(col("id"), col("rep2").as("rep")))
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .where(col("rep") =!= col("old")).count()
+      labelRdds.foreach(_.unpersist(false)) // previous round, fully superseded
       labels = next
+      labelRdds = nextRdds
       iter += 1
     }
+    edges.unpersist(false) // final labels are materialized — lineage done
+    if (scope != null) scope.ownRdds(labelRdds)
     require(changed == 0,
       s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
     labels

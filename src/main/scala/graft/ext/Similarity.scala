@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -98,35 +97,85 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** The centroid set as ONE literal column: an array of
+    * (cent_id, cv: array<double>) structs, collected from the `nCells`
+    * lowest-id corpus vectors (deterministic and dependency-free; swap in
+    * k-means centroids for better cell balance, nothing else changes). The
+    * collect is the standard broadcast-a-tiny-dim move — nCells rows, driver
+    * and executors hold one copy each. With the centroids in a literal,
+    * cell assignment becomes a pure projection: no crossJoin, no window, no
+    * exchange (asserted in ExtSpec). */
+  def centroidArray(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int): Column = {
+    val rows = corpus
+      .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cv"))
+      .orderBy("cent_id").limit(nCells).collect()
+    require(rows.nonEmpty, "centroidArray: empty corpus")
+    array(rows.map { r =>
+      struct(lit(r.get(0)).as("cent_id"),
+        typedLit(r.getSeq[Double](1)).as("cent_v"))
+    }: _*)
+  }
+
+  /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
+    * norm vector) coalesces to -2 — below any real cosine — so comparisons
+    * stay two-valued and a zero-norm vector lands deterministically in the
+    * first cell. */
+  private def cellScores(v: Column, cents: Column): Column =
+    transform(cents, ct => struct(
+      coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0)).as("score"),
+      ct.getField("cent_id").as("cent_id")))
+
+  /** Nearest-centroid id as a pure projection: one O(nCells) left fold, each
+    * centroid's cosine evaluated as the fold visits it. The -3 seed loses to
+    * any real (coalesced ≥ -2) score, strict `>` keeps the earlier element
+    * on ties, and the array is in ascending cent_id order ⇒ min-id
+    * tie-break. The seed borrows the first centroid's id so the id type
+    * follows the data (no literal typing assumption). */
+  def nearestCell(v: Column, cents: Column): Column =
+    aggregate(cents,
+      struct(lit(-3.0).as("score"),
+        element_at(cents, 1).getField("cent_id").as("cent_id")),
+      (best, ct) => {
+        val s = coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0))
+        when(s > best.getField("score"),
+          struct(s.as("score"), ct.getField("cent_id").as("cent_id")))
+          .otherwise(best)
+      })
+      .getField("cent_id")
+
+  /** The `n` nearest centroid ids (score desc, cent_id asc) — for query-side
+    * multi-cell probing; sorts the (tiny) centroid array per row. */
+  def nearestCells(v: Column, cents: Column, n: Int): Column = {
+    val byScoreDesc = array_sort(cellScores(v, cents), (l, r) =>
+      when(l.getField("score") > r.getField("score"), -1)
+        .when(l.getField("score") < r.getField("score"), 1)
+        .when(l.getField("cent_id") < r.getField("cent_id"), -1)
+        .when(l.getField("cent_id") > r.getField("cent_id"), 1)
+        .otherwise(0))
+    transform(slice(byScoreDesc, 1, n), ct => ct.getField("cent_id"))
+  }
+
   /** IVF (inverted-file) ANN top-k — the other classic scale path next to
     * [[bucketedTopK]]: partition the corpus into `nCells` Voronoi cells
     * around centroids, search only the query's `nProbe` nearest cells.
     *
-    * Centroids here are the `nCells` lowest-id corpus vectors — deterministic
-    * and dependency-free; swap in k-means centroids (Spark ML KMeans) for
-    * better cell balance, nothing else changes. Cell assignment is one
-    * broadcast of the (tiny) centroid set + an argmax window; the probe join
-    * is an equi-join on cell id, so the shuffle key is the cell — the same
-    * "bucket IS the partition key" shape that survives scale-up. */
+    * Scale shape: centroids ride along as a broadcast literal
+    * ([[centroidArray]]), so corpus cell assignment is a zero-exchange
+    * projection — the full-corpus crossJoin+window a naive impl pays is
+    * gone. The probe join is an equi-join on cell id, so the only shuffle
+    * key is the cell — the same "bucket IS the partition key" shape that
+    * survives scale-up. `nProbe = nCells` probes every cell and returns
+    * exactly the brute-force answer (the DuckDB oracle checks that). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val cents = c.orderBy("id").limit(nCells)
-      .select(col("id").as("cent_id"), col("v").as("cv"))
-    def nearestCells(df: DataFrame, vcol: String, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(cosine(col(vcol), col("cv")).desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .select(col("*"), row_number().over(w).as("cell_rank"))
-        .where(col("cell_rank") <= n)
-        .select(df.columns.map(col) :+ col("cent_id").as(out): _*)
-    }
-    val assigned = nearestCells(
-      c.select(col("id").as(idCol), col("v")), "v", 1, "cell")
-      .select(col(idCol).as("id"), col("v"), col("cell"))
-    val q = queries.select(col(idCol), asDouble(col(vecCol)).as("qv"))
-    val probes = nearestCells(q, "qv", nProbe, "cell")
-      .select(col(idCol).as("query_id"), col("qv"), col("cell"))
+    val cents = centroidArray(corpus, idCol, vecCol, nCells)
+    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(nearestCells(col("qv"), cents, nProbe)).as("cell"))
     val scored = assigned.join(broadcast(probes), "cell")
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
@@ -159,6 +208,34 @@ object Similarity {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signBucket(col(vecCol), bits).as("bucket"))
     v.select(col("bucket"), col("id").as("a_id"), col("v").as("va"))
+      .join(v.select(col("bucket"), col("id").as("b_id"), col("v").as("vb")),
+        Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .where(col("score") >= threshold)
+  }
+
+  /** Multi-probe variant of [[cosineNearDupPairsBucketed]]: one side of the
+    * self-join is expanded to probe its own bucket PLUS every single-bit
+    * flip of it, so a near-dup pair straddling one coordinate's sign
+    * boundary — the dominant miss mode of single-bucket LSH — is recovered.
+    * Recall strictly dominates the single-bucket variant (its candidate set
+    * is a superset); cost is (bits+1)× the probe-side rows, still an
+    * equi-join on the bucket key, no cross product. Pairs at Hamming
+    * distance ≥ 2 in bucket space are still missed — raise `bits`' coverage
+    * further with rotated bucketings if needed.
+    *
+    * Each qualifying pair matches via exactly one probe (the probe set
+    * {own, flip_0..flip_{bits-1}} has pairwise-distinct values), so no
+    * dedup pass is needed. */
+  def cosineNearDupPairsMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, bits: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val probeSet = array((col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+    v.select(col("id").as("a_id"), col("v").as("va"),
+        explode(probeSet).as("bucket"))
       .join(v.select(col("bucket"), col("id").as("b_id"), col("v").as("vb")),
         Seq("bucket"))
       .where(col("a_id") < col("b_id"))

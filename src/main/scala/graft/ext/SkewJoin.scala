@@ -43,10 +43,18 @@ object SkewJoin {
   /** Two-phase (partial → final) distinct count for a hot group key:
     * `groupBy(key).agg(countDistinct(v))` shuffles every (key, v) pair to
     * one reducer per key; pre-aggregating on (key, v) first removes
-    * duplicates map-side and spreads the hot key across partitions. */
-  def skewSafeDistinctCount(df: DataFrame, key: String, valueCol: String): DataFrame =
-    df.select(col(key), col(valueCol))
+    * duplicates map-side and spreads the hot key across partitions.
+    * Keys whose values are ALL null get (key, 0) — countDistinct skips
+    * nulls but the group itself still exists, so the null pre-filter alone
+    * would silently drop those keys; the left join against the distinct key
+    * set restores them. */
+  def skewSafeDistinctCount(df: DataFrame, key: String, valueCol: String): DataFrame = {
+    val keys = df.select(col(key)).distinct()
+    val counts = df.select(col(key), col(valueCol))
       .where(col(valueCol).isNotNull) // countDistinct skips nulls — match it
       .distinct()                     // shuffle on (key, value)
       .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
+    keys.join(counts, Seq(key), "left")
+      .select(col(key), coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+  }
 }

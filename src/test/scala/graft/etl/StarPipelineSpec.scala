@@ -105,6 +105,34 @@ class StarPipelineSpec extends SparkSpec {
       "news| Shark attacks spearfisherman".length)
   }
 
+  test("auto-compaction bounds live deltas; replay guard and views survive") {
+    val root = tmpDir("graft-star-ac")
+    val store = StarStore(spark, root, autoCompactAfter = 3)
+    def raw(i: Int) = Seq(
+      (f"2017-01-11T00:0$i%d:00.000Z", s"news| Video $i", "206")
+    ).toDF("DateTime", "VideoTitle", "events")
+
+    assert(store.runBatch(raw(1), "a1") === 1)
+    store.registerViews() // must stay valid across later publishes
+    (2 to 6).foreach(i => assert(store.runBatch(raw(i), s"a$i") === 1))
+
+    // publish #4 crossed the threshold → compacted; 5 and 6 appended after:
+    // live dirs = {compacted, a5, a6} ≤ autoCompactAfter
+    val factDirs = new java.io.File(s"$root/facts").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(factDirs.length <= 3, s"live deltas not bounded: ${factDirs.toSeq}")
+    assert(store.fact.count() === 6)
+
+    // replaying a pre-compaction batch id is still a no-op (`applied` history)
+    assert(store.runBatch(raw(2), "a2") === 0)
+    assert(store.fact.count() === 6)
+
+    // views were re-registered on every publish — the old version dirs the
+    // original registration pointed at are gone
+    assert(spark.sql("SELECT count(*) FROM fact_videostart").as[Long].head() === 6)
+    assert(spark.sql("SELECT count(*) FROM dim_date").as[Long].head() === 6)
+  }
+
   test("incremental: file-source stream + foreachBatch merge (rows 33-37)") {
     val stage = tmpDir("graft-stage")
     val root = tmpDir("graft-star-inc")
@@ -125,5 +153,48 @@ class StarPipelineSpec extends SparkSpec {
     Incremental.run(spark, stage, root, ckpt).awaitTermination()
     assert(store.fact.count() === 2)
     assert(store.dimPlatform.count() === 2)
+  }
+
+  test("incremental: ProcessingTime cadence merges successive micro-batches (row 35)") {
+    val stage = tmpDir("graft-stage-pt")
+    val root = tmpDir("graft-star-pt")
+    val ckpt = tmpDir("graft-ckpt-pt")
+
+    def drop(name: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$stage/$name"),
+        ("DateTime,VideoTitle,events" +: rows).mkString("\n"))
+
+    // reads may race the publish's version-dir retirement — retry until the
+    // expected count appears or the deadline passes
+    def awaitFactCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      var last = -1L
+      while (last != n && System.currentTimeMillis() < deadline) {
+        last = try {
+          val s = StarStore(spark, root)
+          if (s.exists) s.fact.count() else -1L
+        } catch { case _: Exception => -1L }
+        if (last != n) Thread.sleep(250)
+      }
+      assert(last === n, s"fact count $last != $n within deadline")
+    }
+
+    drop("f1.csv", Seq("2017-01-11T00:00:53.000Z,news| Shark attack, \"127,206\""))
+    // the reference cadence is 60 minutes (snow pipe.sql:78); a short one
+    // exercises the same Trigger.ProcessingTime scheduling path in-test
+    val q = Incremental.run(spark, stage, root, ckpt,
+      cadence = Some("500 milliseconds"))
+    try {
+      awaitFactCount(1)
+      // second file lands while the query keeps running → a LATER scheduled
+      // micro-batch (not an AvailableNow drain) must pick it up and merge
+      drop("f2.csv", Seq("2017-01-11T00:05:00.000Z,iPhone|Clips|V, \"206\""))
+      awaitFactCount(2)
+      val store = StarStore(spark, root)
+      assert(store.dimPlatform.select("PLATFORM").as[String].collect().toSet
+        === Set("Desktop", "iPhone"))
+      // at least two non-empty micro-batches were processed on the cadence
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    } finally q.stop()
   }
 }

@@ -77,6 +77,44 @@ class ExtSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDuplicatesFast: pair set AND jaccards equal the portable md5 path") {
+    val fast = Dedup.nearDuplicatesFast(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val portable = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast === portable)
+    assert(fast.map(p => (p._1, p._2)).contains((1L, 2L)))
+  }
+
+  test("lshCandidates drops mega-buckets above maxBucketSize") {
+    val sig = ((1L to 50L).map(i => (i, Seq("hot"))) ++
+      Seq((101L, Seq("cold")), (102L, Seq("cold")), (103L, Seq("cold"))))
+      .toDF("doc_id", "sig")
+    // uncapped: the hot bucket alone contributes 50*49/2 pairs
+    assert(Dedup.lshCandidates(sig, "doc_id", "sig").count() === 50L * 49 / 2 + 3)
+    // capped: the mega-bucket is dropped before the self-join; cold pairs stay
+    val capped = Dedup.lshCandidates(sig, "doc_id", "sig", maxBucketSize = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+  }
+
+  test("CacheScope: a scoped curation run leaves no cached blocks behind") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (1L, base + "one two three"),
+      (2L, base + "one two four"), // near dup of 1
+      (3L, "unrelated words entirely different from the others here")
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    val kept = Curation.curate(corpus, "doc_id", "text",
+      Curation.Config(minTokens = 5), scope)
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    scope.close(blocking = true)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
+
   test("simhash: identical normalized text → identical fingerprint; near text → small hamming") {
     val fp = Dedup.simhashOf(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -152,6 +190,38 @@ class ExtSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(bf2))
   }
 
+  test("ivf: centroid-literal cell assignment is exchange-free and correct") {
+    val cents = Similarity.centroidArray(vecs, "vec_id", "embedding", 2)
+    val assigned = vecs
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("cell", Similarity.nearestCell(col("v"), cents))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free assignment:\n$plan")
+    // centroids are vecs 0 and 1; each vector must land in its nearest cell
+    val cells = assigned.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("multi-probe LSH recovers sign-straddling pairs single-bucket misses") {
+    val straddle = Seq(
+      (0L, Array(0.01f, 1f, 1f)),
+      (1L, Array(-0.01f, 1f, 1f)) // near-identical, first sign bit differs
+    ).toDF("vec_id", "embedding")
+    val single = Similarity.cosineNearDupPairsBucketed(
+      straddle, "vec_id", "embedding", threshold = 0.9, bits = 3)
+    val multi = Similarity.cosineNearDupPairsMultiProbe(
+      straddle, "vec_id", "embedding", threshold = 0.9, bits = 3)
+    assert(single.count() === 0)
+    assert(multi.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      === Set((0L, 1L)))
+    // candidate-superset property on the shared fixture corpus
+    val s2 = Similarity.cosineNearDupPairsBucketed(vecs, "vec_id", "embedding",
+      threshold = 0.0, bits = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val m2 = Similarity.cosineNearDupPairsMultiProbe(vecs, "vec_id", "embedding",
+      threshold = 0.0, bits = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(s2.subsetOf(m2))
+  }
+
   // ─────────────────────────── TopK ───────────────────────────────────────
 
   test("TopK aggregator equals the window row_number ranking, ties included") {
@@ -194,6 +264,26 @@ class ExtSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("asof join: a genuinely-NULL right value is carried, not resurrected") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val left = Seq(
+      (1L, 100L, ts("10:00:00")), // latest preceding right row has value NULL
+      (2L, 100L, ts("08:30:00"))  // only the non-null 08:00 row precedes
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("08:00:00"), Some(1.0)),
+      (100L, ts("09:00:00"), None: Option[Double]) // genuinely-NULL value
+    ).toDF("user_id", "ts", "value")
+    val out = AsofJoin.asof(left, right, "user_id", "ts", Seq("value"))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // DuckDB ASOF semantics: the 09:00 row IS the match; its NULL value
+    // must come through, not the older 1.0
+    assert(out(1L) === None)
+    assert(out(2L) === Some(1.0))
+  }
+
   test("range join equals the naive cross-join filter") {
     val points = (0 until 200).map(i => i * 0.7).toDF("x")
     val intervals = Seq((1.0, 5.0, "a"), (4.5, 60.0, "b"), (200.0, 300.0, "empty"),
@@ -229,6 +319,17 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       SkewJoin.saltedEquiJoin(df, df, "k", 4, "full_outer")
     }
+  }
+
+  test("skewSafeDistinctCount keeps keys whose values are all NULL") {
+    val df = Seq(("a", Option(1)), ("a", Option(1)), ("a", Option(2)),
+      ("b", None: Option[Int]), ("b", None: Option[Int])).toDF("k", "v")
+    val got = SkewJoin.skewSafeDistinctCount(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    val want = df.groupBy("k").agg(countDistinct(col("v")).as("n_distinct"))
+      .as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(got("b") === 0L) // the all-NULL key must not vanish
   }
 
   // ─────────────────────────── TextStats ──────────────────────────────────
@@ -292,5 +393,12 @@ class ExtSpec extends SparkSpec {
     assert(frames.columns.toSeq === Seq("asset_id", "frame_no", "frame"))
     // 25 bytes / 8 = 4 frames (0..3), sampled every 2nd → frames 0 and 2
     assert(frames.select("frame_no").as[Int].collect().sorted.toSeq === Seq(0, 2))
+  }
+
+  test("frameSample emits no rows for an empty payload (matches the oracle)") {
+    val empty = Multimodal.assetsFromDocuments(
+      Seq((2L, "", "en", "src")).toDF("doc_id", "text", "lang", "source"))
+    assert(empty.select("modality").as[String].head() === "video") // 2 % 3 → video
+    assert(Multimodal.frameSample(empty).count() === 0)
   }
 }
