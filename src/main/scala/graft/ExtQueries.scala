@@ -94,6 +94,14 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup PAIRS: banded-nibble candidates (exact by pigeonhole
+    // for hamming <= 3) + Hamming verify — the join that turns E3's
+    // fingerprints into an actual dedup operator.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
     "dedup_ngram" -> ((s, d) => {
       Dedup.blockedNgramPairs(t(s, d, "documents"), "doc_id", "text",
@@ -578,6 +586,21 @@ object ExtQueries {
          |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT)) AS hs
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // exhaustive scan — the banded Spark plan is provably recall-1 for
+    // hamming <= 3, so the true pair set IS its contract
+    "dedup_simhash_pairs" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      string_split(lower(text), ' '),
+         |      tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT)) AS hs
+         |    FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""WITH c AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),

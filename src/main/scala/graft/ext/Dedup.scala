@@ -251,6 +251,36 @@ object Dedup {
         array_distinct(transform(words(col(textCol)), tokenHash(_))).as("hs"))
       .select(col(idCol), simhash16(col("hs")).as("simhash"))
 
+  /** SimHash near-duplicate pairs: all (a < b) with Hamming distance <=
+    * `maxHamming` between 16-bit fingerprints. Candidates come from banding
+    * the fingerprint into 4 nibbles and equi-joining on (band, nibble) —
+    * and by pigeonhole this is EXACT, not approximate: fewer than 4
+    * differing bits cannot touch all 4 bands, so every qualifying pair
+    * shares at least one band value. The shuffle key is the band bucket
+    * (the LSH shape again), candidate volume is ~|corpus|²/2¹⁶ per band for
+    * random fingerprints, and the Hamming filter runs before the distinct.
+    * Output: (a_id, b_id, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banded candidates are exact only for maxHamming <= 3, got $maxHamming")
+    val fp = simhashOf(df, idCol, textCol)
+    val banded = fp.select(col(idCol), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .toDF(idCol, "simhash", "band", "v")
+    val a = banded.select(col("band"), col("v"), col(idCol).as("a_id"),
+      col("simhash").as("fp_a"))
+    val b = banded.select(col("band"), col("v"), col(idCol).as("b_id"),
+      col("simhash").as("fp_b"))
+    a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        hamming(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
+  }
+
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * over the pair graph, labeling every member with the minimum id in its
     * component (the canonical survivor). This is the step pairwise dedup

@@ -123,6 +123,28 @@ class ExtSpec extends SparkSpec {
     assert(ham(fp(1L), fp(2L)) < ham(fp(1L), fp(4L)))
   }
 
+  test("simhashPairs equals the naive all-pairs Hamming scan (banding is exact)") {
+    // a corpus wide enough that band buckets actually discriminate
+    val corpus = (docs.select(col("doc_id"), col("text")) unionByName
+      (10L to 40L).map(i => (i, s"doc number $i with some shared words and token$i"))
+        .toDF("doc_id", "text"))
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val fp = Dedup.simhashOf(corpus, "doc_id", "text")
+    val naive = fp.select(col("doc_id").as("a_id"), col("simhash").as("fa"))
+      .crossJoin(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Dedup.hamming(col("fa"), col("fb")).cast("int").as("hamming"))
+      .where(col("hamming") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === naive)
+    assert(naive.nonEmpty) // the exact dup pair (1,3) is hamming 0
+    assert(intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 4)
+    }.getMessage.contains("exact"))
+  }
+
   test("blockedNgramPairs only compares within a block") {
     val pairs = Dedup.blockedNgramPairs(docs, "doc_id", "text", "lang",
         n = 4, threshold = 0.1)
