@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -186,6 +186,42 @@ object ExtQueries {
           element_at(col("q"), 1).as("p50"),
           element_at(col("q"), 2).as("p95"))
         .orderBy("l_returnflag")
+    }),
+
+    // ──────────────── sampling / splits / decontamination (§2.8) ──────────
+    // Deterministic hash sample: membership is a pure function of the key,
+    // so the oracle re-derives the exact row set (no rand() anywhere).
+    "sample_hash" -> ((s, d) => {
+      Sampling.sampleByHash(t(s, d, "documents"), "doc_id", 0.2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    }),
+
+    // Leakage-free train/test split on the doc key.
+    "sample_split" -> ((s, d) => {
+      Sampling.withSplit(t(s, d, "documents"), "doc_id", 0.25, salt = "v1")
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
+    // Cap-per-domain (data mixing): at most 10 docs per source, chosen by
+    // hash rank — the kept ids themselves are compared, not just counts.
+    "sample_cap_source" -> ((s, d) => {
+      Sampling.capPerGroup(t(s, d, "documents"), "source", "doc_id", 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Benchmark decontamination: corpus docs sharing any word 4-gram with
+    // the probe slice (doc_id % 20 == 0), with the shared-gram count.
+    "decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.contaminatedDocs(
+          docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.where(col("doc_id") % 20 === 0), "text", n = 4)
+        .orderBy("doc_id")
     }),
 
     // ─────────────────────── text analysis (§2.8) ─────────────────────────
@@ -481,6 +517,19 @@ object ExtQueries {
         |       i -> array_to_string(words[i:i+2], ' ')))
         |  ELSE []::VARCHAR[] END""".stripMargin
 
+    // parametrized twin of wordShingles3 (range end is exclusive:
+    // 1..len-n+1 positions)
+    def wordShinglesN(n: Int): String =
+      s"""CASE WHEN len(words) >= $n
+         |  THEN list_distinct(list_transform(range(1, len(words) - ${n - 2}),
+         |       i -> array_to_string(words[i:i+${n - 1}], ' ')))
+         |  ELSE []::VARCHAR[] END""".stripMargin
+
+    // portable unit hash: first 8 md5 hex digits over (key || salt), as a
+    // double in [0,1) — mirrors graft.ext.Sampling.unitHash exactly
+    def unitHash(keyExpr: String, salt: String = ""): String =
+      s"(('0x' || substr(md5($keyExpr || '$salt'), 1, 8))::BIGINT / 4294967296.0)"
+
     val charShingles4: String =
       """CASE WHEN length(lt) >= 4
         |  THEN list_distinct(list_transform(range(1, length(lt) - 2),
@@ -680,6 +729,35 @@ object ExtQueries {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    "sample_hash" ->
+      s"""SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id,
+         |  max(doc_id)::BIGINT AS max_id
+         |FROM documents
+         |WHERE ${Sql.unitHash("doc_id::VARCHAR")} < 0.2
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_split" ->
+      s"""SELECT CASE WHEN ${Sql.unitHash("doc_id::VARCHAR", "v1")} < 0.25
+         |    THEN 'test' ELSE 'train' END AS split,
+         |  lang, count(*)::BIGINT AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "sample_cap_source" ->
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShinglesN(4)} AS s FROM w),
+         |pg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_shared
+         |FROM dg JOIN pg USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
       s"""SELECT doc_id,

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (SURVEY §2.8): flag corpus documents that share
+  * at least one word n-gram with a probe set (an eval benchmark's
+  * questions/answers) so they can be held out of training data. The
+  * standard n-gram-overlap contract (as used for public LLM training sets):
+  * a document is contaminated iff any length-`n` word window also occurs
+  * anywhere in the probe set.
+  *
+  * Scale shape: probes are a benchmark suite — thousands of rows against a
+  * 100 TB corpus — so the distinct probe n-grams are BROADCAST and the
+  * probe join costs no shuffle at all; the only exchange is the per-doc
+  * aggregation of hits, keyed on the doc id. Shingles are compared by
+  * exact string (no hashing), so a hit is never a collision.
+  */
+object Decontaminate {
+
+  /** Contaminated docs only: (idCol, n_shared) where n_shared counts the
+    * DISTINCT probe n-grams the document contains (>= 1 by construction).
+    * Inner-join-then-aggregate, so clean documents never leave the scan. */
+  def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
+                       probes: DataFrame, probeTextCol: String,
+                       n: Int = 8): DataFrame = {
+    val probeGrams = probes
+      .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .join(broadcast(probeGrams), "g")
+      // wordShingles already de-dups within a document ⇒ plain count is the
+      // distinct-gram count, no countDistinct shuffle amplification
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The corpus with contaminated docs removed — the op a pipeline actually
+    * runs before training. Left-anti on the flagged ids. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeTextCol: String,
+                    n: Int = 8): DataFrame =
+    docs.join(contaminatedDocs(docs, idCol, textCol, probes, probeTextCol, n)
+      .select(col(idCol)), Seq(idCol), "left_anti")
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / quota ops for training-data
+  * pipelines (SURVEY §2.8). All decisions are pure functions of a key
+  * column + salt — no `rand()` — so
+  *  - re-runs and retried tasks agree (at-least-once execution stays
+  *    exactly-once in effect),
+  *  - samples are stable under repartitioning and cluster size,
+  *  - membership is reproducible by ANY engine with an md5 (the DuckDB
+  *    oracle re-derives the exact row set).
+  *
+  * Everything is a scan-level filter or a per-group window — no extra
+  * shuffle beyond what the semantics require (capPerGroup shuffles on the
+  * group key, which is the minimum possible).
+  */
+object Sampling {
+
+  /** Engine-portable uniform hash in [0, 1): first 8 md5 hex digits of
+    * (key ++ salt) as a 32-bit integer, scaled. ~1e-9 resolution — plenty
+    * for sampling decisions. */
+  def unitHash(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 4294967296.0
+
+  /** Keep rows whose key hashes below `fraction` — a deterministic
+    * Bernoulli sample that is consistent across tables sharing the key
+    * (sample lineitems and their orders with the same key column and the
+    * join is closed). */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double,
+                   salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.where(unitHash(col(keyCol), salt) < fraction)
+  }
+
+  /** Add a `split` column ("test" below `testFraction`, else "train") —
+    * the leakage-free alternative to random splits: membership depends only
+    * on the key, so regenerating the dataset never migrates rows. */
+  def withSplit(df: DataFrame, keyCol: String, testFraction: Double,
+                salt: String = ""): DataFrame =
+    df.withColumn("split",
+      when(unitHash(col(keyCol), salt) < testFraction, "test")
+        .otherwise("train"))
+
+  /** Keep at most `n` rows per group, chosen by hash rank (deterministic
+    * "reservoir"): the standard cap-per-domain / data-mixing primitive.
+    * One shuffle on the group key; rank ties broken by the key itself, so
+    * the kept set is total-ordered and reproducible. */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
+                  salt: String = ""): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= n)
+      .drop("_rk")
+  }
+}

@@ -354,6 +354,56 @@ class ExtSpec extends SparkSpec {
     assert(got("b") === 0L) // the all-NULL key must not vanish
   }
 
+  // ──────────────────── Sampling / Decontaminate ──────────────────────────
+
+  test("hash sampling: deterministic, nested by fraction, split partitions all rows") {
+    val df = (1L to 2000L).toDF("id")
+    val s10 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
+    assert(s10 === Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet)
+    val s30 = Sampling.sampleByHash(df, "id", 0.3).as[Long].collect().toSet
+    assert(s10.subsetOf(s30)) // same hash ⇒ fractions nest
+    assert(s10.nonEmpty && s30.size < 2000)
+    // rough calibration: 10% ± 3pp on 2000 keys
+    assert(math.abs(s10.size / 2000.0 - 0.1) < 0.03)
+
+    val split = Sampling.withSplit(df, "id", 0.25, salt = "v1")
+    assert(split.count() === 2000)
+    val test = split.where(col("split") === "test").count()
+    assert(test > 0 && test < 2000)
+    // a different salt reshuffles membership
+    val other = Sampling.withSplit(df, "id", 0.25, salt = "v2")
+      .where(col("split") === "test").select("id").as[Long].collect().toSet
+    assert(other !== split.where(col("split") === "test")
+      .select("id").as[Long].collect().toSet)
+  }
+
+  test("capPerGroup keeps at most n per group, deterministically") {
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val capped = Sampling.capPerGroup(df, "grp", "id", 10)
+    assert(capped.groupBy("grp").count().as[(String, Long)].collect()
+      .forall(_._2 === 10L))
+    assert(capped.columns.toSeq === df.columns.toSeq) // helper column dropped
+    assert(capped.select("id").as[Long].collect().toSet ===
+      Sampling.capPerGroup(df, "grp", "id", 10).select("id").as[Long].collect().toSet)
+    // a group smaller than the cap passes through whole
+    val small = Seq(("solo", 1L), ("solo", 2L)).toDF("grp", "id")
+    assert(Sampling.capPerGroup(small, "grp", "id", 10).count() === 2)
+  }
+
+  test("decontamination flags exactly the docs sharing a probe n-gram") {
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("pid", "ptext")
+    val flagged = Decontaminate.contaminatedDocs(docs, "doc_id", "text",
+        probes, "ptext", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 exact text, 2 shares the 8-gram prefix, 3 is a case-variant; 4 and 5
+    // share no 8-gram
+    assert(flagged === Set(1L, 2L, 3L))
+    val clean = Decontaminate.decontaminate(docs, "doc_id", "text",
+        probes, "ptext", n = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(4L, 5L))
+  }
+
   // ─────────────────────────── TextStats ──────────────────────────────────
 
   test("rollingHash: deterministic, mod-bounded, empty-safe") {
