@@ -152,13 +152,14 @@ object ExtQueries {
     }),
 
     // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
-    // brute-force answer, so the oracle is sim_topk's SQL; the point under
-    // test is the zero-exchange cell-assignment projection + cell-keyed
-    // probe join (ExtSpec asserts the no-exchange plan).
+    // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
+    // even with k-means-fitted cells (fitIters=2 exercises the fitting under
+    // the gate); the point under test is the zero-exchange cell-assignment
+    // projection + cell-keyed probe join (ExtSpec asserts the plan).
     "sim_topk_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
-          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8)
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8, fitIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -208,8 +209,10 @@ object ExtQueries {
 
     // Cap-per-domain (data mixing): at most 10 docs per source, chosen by
     // hash rank — the kept ids themselves are compared, not just counts.
+    // Runs the skew-safe bounded-heap path; the oracle is the window
+    // restatement, so their equivalence is oracle-checked too.
     "sample_cap_source" -> ((s, d) => {
-      Sampling.capPerGroup(t(s, d, "documents"), "source", "doc_id", 10)
+      Sampling.capPerGroupSkewSafe(t(s, d, "documents"), "source", "doc_id", 10)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),

@@ -48,7 +48,11 @@ object Sampling {
   /** Keep at most `n` rows per group, chosen by hash rank (deterministic
     * "reservoir"): the standard cap-per-domain / data-mixing primitive.
     * One shuffle on the group key; rank ties broken by the key itself, so
-    * the kept set is total-ordered and reproducible. */
+    * the kept set is total-ordered and reproducible.
+    *
+    * The window must sort EVERY row of a group in one partition — fine for
+    * balanced groups, a straggler when one domain dominates the corpus; use
+    * [[capPerGroupSkewSafe]] there. */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
                   salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
@@ -57,5 +61,23 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= n)
       .drop("_rk")
+  }
+
+  /** [[capPerGroup]] for skewed group distributions: the kept keys come from
+    * the bounded-heap [[TopK]] aggregator (score = negated hash, so TopK's
+    * score-desc/id-asc order IS hash-asc/key-asc), whose map-side partial
+    * aggregation caps each partition's contribution to a group at `n` rows
+    * BEFORE the exchange — a domain with half the corpus costs the reducer
+    * O(partitions × n), not O(group). Kept rows are then recovered with a
+    * semi-join on (group, key). Identical kept set to [[capPerGroup]]
+    * (asserted in ExtSpec); requires a long-typed unique `keyCol`. */
+  def capPerGroupSkewSafe(df: DataFrame, groupCol: String, keyCol: String,
+                          n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, s"cap must be positive: $n")
+    val scored = df.select(col(groupCol),
+      (-unitHash(col(keyCol), salt)).as("_score"), col(keyCol).cast("long").as("_id"))
+    val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", n)
+      .select(col(groupCol), col("id").as(keyCol))
+    df.join(kept, Seq(groupCol, keyCol), "left_semi")
   }
 }

@@ -106,15 +106,53 @@ object Similarity {
     * cell assignment becomes a pure projection: no crossJoin, no window, no
     * exchange (asserted in ExtSpec). */
   def centroidArray(corpus: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int): Column = {
+                    nCells: Int): Column =
+    centroidLiteral(initCentroids(corpus, idCol, vecCol, nCells))
+
+  private def initCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int): Seq[(Any, Seq[Double])] = {
     val rows = corpus
       .select(col(idCol).as("cent_id"), asDouble(col(vecCol)).as("cv"))
       .orderBy("cent_id").limit(nCells).collect()
     require(rows.nonEmpty, "centroidArray: empty corpus")
-    array(rows.map { r =>
-      struct(lit(r.get(0)).as("cent_id"),
-        typedLit(r.getSeq[Double](1)).as("cent_v"))
+    rows.toSeq.map(r => (r.get(0), r.getSeq[Double](1)))
+  }
+
+  private def centroidLiteral(cents: Seq[(Any, Seq[Double])]): Column =
+    array(cents.map { case (id, v) =>
+      struct(lit(id).as("cent_id"), typedLit(v).as("cent_v"))
     }: _*)
+
+  /** Lloyd / spherical k-means refinement of the deterministic
+    * [[centroidArray]] init, for better IVF cell balance. Each iteration is
+    * one zero-exchange assignment projection plus one (cell, dim)
+    * aggregation shuffle; the nCells × dim means come back to the driver —
+    * the same tiny payload every broadcast already ships out. Cosine
+    * assignment is scale-invariant, so the plain component mean IS the
+    * spherical-k-means update (normalization would not change any
+    * assignment), and the within-cell mean-cosine objective is
+    * non-decreasing. Cells that lose all members keep their previous
+    * centroid. FP means depend on reduction order, so fitted centroids are
+    * not a cross-engine artifact — but IVF *results* stay oracle-checkable:
+    * full probing is exact for ANY centroid set. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int): Column = {
+    var cents = initCentroids(corpus, idCol, vecCol, nCells)
+    val c = corpus.select(asDouble(col(vecCol)).as("v"))
+    for (_ <- 1 to iters) {
+      val means = c
+        .select(nearestCell(col("v"), centroidLiteral(cents)).as("cell"),
+          posexplode(col("v")))
+        .toDF("cell", "pos", "x")
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+    }
+    centroidLiteral(cents)
   }
 
   /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
@@ -126,23 +164,30 @@ object Similarity {
       coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0)).as("score"),
       ct.getField("cent_id").as("cent_id")))
 
-  /** Nearest-centroid id as a pure projection: one O(nCells) left fold, each
-    * centroid's cosine evaluated as the fold visits it. The -3 seed loses to
-    * any real (coalesced ≥ -2) score, strict `>` keeps the earlier element
-    * on ties, and the array is in ascending cent_id order ⇒ min-id
-    * tie-break. The seed borrows the first centroid's id so the id type
-    * follows the data (no literal typing assumption). */
-  def nearestCell(v: Column, cents: Column): Column =
-    aggregate(cents,
-      struct(lit(-3.0).as("score"),
-        element_at(cents, 1).getField("cent_id").as("cent_id")),
-      (best, ct) => {
-        val s = coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0))
-        when(s > best.getField("score"),
-          struct(s.as("score"), ct.getField("cent_id").as("cent_id")))
-          .otherwise(best)
-      })
-      .getField("cent_id")
+  /** Nearest-centroid id as a pure projection: score every centroid once,
+    * then an O(nCells) left fold carries the best [score, index] pair as a
+    * name-free double array (struct field aliases inside an `aggregate`
+    * merge lambda do not survive analysis in every resolution path —
+    * arrays dodge the naming entirely; the index is exact in a double far
+    * beyond any centroid count). The -3 seed loses to any real (coalesced
+    * ≥ -2) score; strict `>` keeps the earlier element on ties, and the
+    * array is in ascending cent_id order ⇒ min-id tie-break. */
+  def nearestCell(v: Column, cents: Column): Column = {
+    val scored = transform(cents, (ct, i) => array(
+      coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0)),
+      i.cast("double")))
+    val best = aggregate(scored, array(lit(-3.0), lit(0.0)),
+      (b, s) => when(element_at(s, 1) > element_at(b, 1), s).otherwise(b))
+    element_at(cents, element_at(best, 2).cast("int") + 1).getField("cent_id")
+  }
+
+  /** Cosine to the nearest centroid — the per-row term of the k-means
+    * objective (used to assert fitting quality). A plain max fold: the
+    * best cell's score without the struct bookkeeping (struct field aliases
+    * inside HOF lambdas do not survive analysis). */
+  def nearestCellScore(v: Column, cents: Column): Column =
+    aggregate(cents, lit(-3.0), (best, ct) =>
+      greatest(best, coalesce(cosine(v, ct.getField("cent_v")), lit(-2.0))))
 
   /** The `n` nearest centroid ids (score desc, cent_id asc) — for query-side
     * multi-cell probing; sorts the (tiny) centroid array per row. */
@@ -166,10 +211,15 @@ object Similarity {
     * gone. The probe join is an equi-join on cell id, so the only shuffle
     * key is the cell — the same "bucket IS the partition key" shape that
     * survives scale-up. `nProbe = nCells` probes every cell and returns
-    * exactly the brute-force answer (the DuckDB oracle checks that). */
+    * exactly the brute-force answer (the DuckDB oracle checks that), for
+    * ANY centroid set — so `fitIters > 0` can swap in k-means-refined
+    * centroids ([[kmeansCentroids]]) without touching the contract. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val cents = centroidArray(corpus, idCol, vecCol, nCells)
+              vecCol: String, k: Int, nCells: Int, nProbe: Int,
+              fitIters: Int = 0): DataFrame = {
+    val cents =
+      if (fitIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, fitIters)
+      else centroidArray(corpus, idCol, vecCol, nCells)
     val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
     val probes = queries

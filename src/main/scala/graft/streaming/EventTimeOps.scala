@@ -46,6 +46,22 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Streaming exact dedup: drop re-arrivals of the same normalized text
+    * within the watermark horizon — the streaming form of
+    * [[graft.ext.Dedup.exactGroups]]'s fingerprint, for continuous document
+    * ingestion. `dropDuplicatesWithinWatermark` keeps one state row per
+    * fingerprint and EVICTS it once the watermark passes (plain
+    * dropDuplicates state grows forever on a stream); duplicates farther
+    * apart in event time than the watermark are the at-least-once residue
+    * the downstream idempotent merge absorbs. Works identically on a batch
+    * frame via the batch fallback (duplicates drop globally). */
+  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
+                          tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("fingerprint", md5(lower(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp)
   final case class RunningStats(key: Long, n: Long, first_ts: java.sql.Timestamp,
                                 last_ts: java.sql.Timestamp)

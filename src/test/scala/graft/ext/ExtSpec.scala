@@ -224,6 +224,28 @@ class ExtSpec extends SparkSpec {
     assert(cells === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("kmeansCentroids separates clusters a lowest-id init lumps together") {
+    // two tight clusters; both init centroids (lowest ids) sit in cluster A
+    val data = ((0L to 5L).map(i => (i, Array(1f, 0.01f * i, 0f))) ++
+      (10L to 15L).map(i => (i, Array(0.01f * (i - 10), 1f, 0f))))
+      .toDF("vec_id", "embedding")
+    def objective(cents: org.apache.spark.sql.Column): Double =
+      data.select(avg(Similarity.nearestCellScore(
+        Similarity.asDouble(col("embedding")), cents))).as[Double].head()
+    val init = objective(Similarity.centroidArray(data, "vec_id", "embedding", 2))
+    val fitted = objective(Similarity.kmeansCentroids(data, "vec_id", "embedding", 2, iters = 4))
+    assert(fitted >= init - 1e-9) // spherical-kmeans objective is monotone
+    assert(fitted > 0.95)         // and the B cluster got its own centroid
+    assert(init < 0.8)            // (which the init provably did not give it)
+    // full-probe IVF stays exact with fitted centroids
+    val bf = Similarity.bruteForceTopK(data, data.where(col("vec_id") === 10L),
+      "vec_id", "embedding", k = 3).select("rank", "id").as[(Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(data, data.where(col("vec_id") === 10L),
+      "vec_id", "embedding", k = 3, nCells = 2, nProbe = 2, fitIters = 3)
+      .select("rank", "id").as[(Int, Long)].collect().toSet
+    assert(ivf === bf)
+  }
+
   test("multi-probe LSH recovers sign-straddling pairs single-bucket misses") {
     val straddle = Seq(
       (0L, Array(0.01f, 1f, 1f)),
@@ -388,6 +410,18 @@ class ExtSpec extends SparkSpec {
     // a group smaller than the cap passes through whole
     val small = Seq(("solo", 1L), ("solo", 2L)).toDF("grp", "id")
     assert(Sampling.capPerGroup(small, "grp", "id", 10).count() === 2)
+  }
+
+  test("capPerGroupSkewSafe keeps the identical set on a skewed corpus") {
+    // 90% of rows in one hot group — the case the bounded heap exists for
+    val skewed = (1L to 500L).map(i => (if (i <= 450) "hot" else s"g${i % 5}", i))
+      .toDF("grp", "id")
+    val windowed = Sampling.capPerGroup(skewed, "grp", "id", 7)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    val heap = Sampling.capPerGroupSkewSafe(skewed, "grp", "id", 7)
+      .select("grp", "id").as[(String, Long)].collect().toSet
+    assert(heap === windowed)
+    assert(heap.count(_._1 == "hot") === 7)
   }
 
   test("decontamination flags exactly the docs sharing a probe n-gram") {

@@ -60,6 +60,29 @@ class EventTimeSpec extends SparkSpec {
     assert(last(2L) === 1L)
   }
 
+  test("streamingExactDedup drops re-arrivals of the same text across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val deduped = EventTimeOps.streamingExactDedup(
+      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "30 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_sink").outputMode("append").start()
+
+    in.addData((1L, "alpha beta", ts("10:00")), (2L, "gamma delta", ts("10:01")))
+    q.processAllAvailable()
+    // same normalized text re-arrives in a later micro-batch (case variant)
+    in.addData((3L, "ALPHA BETA", ts("10:05")), (4L, "epsilon zeta", ts("10:06")))
+    q.processAllAvailable()
+    // advance the watermark far enough to flush pending rows to the sink
+    in.addData((5L, "closer", ts("12:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val ids = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && ids.contains(2L) && ids.contains(4L))
+    assert(!ids.contains(3L)) // the cross-batch duplicate was dropped
+  }
+
   test("sessionCounts merges events within the gap, batch mode") {
     val df = Seq(
       (1L, ts("10:00")), (1L, ts("10:05")), // one session
