@@ -1,0 +1,51 @@
+package graft
+
+/** Physical-plan regression tests: the scale properties the catalog relies
+  * on — dims broadcast, filters pushed to the parquet scan, columns pruned,
+  * no accidental cartesian products — pinned as assertions so a refactor
+  * that silently degrades a plan fails CI, not a cluster. (BucketingSpec
+  * does the same for exchange-free bucketed joins.) */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    spark.catalog.clearCache() // some catalog entries persist intermediates
+    p
+  }
+
+  test("q5_region_revenue: dim joins are broadcast, no cartesian product") {
+    val p = plan("q5_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q1_pricing_summary: shipdate predicate reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("etl_head_tail: scan reads only the projected columns") {
+    val p = plan("etl_head_tail")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("etl_fact_resolve: dim lookups broadcast") {
+    val p = plan("etl_fact_resolve")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast SKEY joins:\n$p")
+  }
+
+  test("fast minhash dedup: bucket equi-join, never a cartesian") {
+    val p = plan("dedup_minhash_fast")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("decontaminate: probe n-grams are broadcast") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+}
