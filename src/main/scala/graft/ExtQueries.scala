@@ -310,6 +310,17 @@ object ExtQueries {
         .orderBy("hr", "event_type")
     }),
 
+    // Sliding event-time window (2h window, 1h slide): each event lands in
+    // two windows; batch semantics of the watermarked streaming agg.
+    "q_sliding_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyyMMddHH").as("ws"),
+          col("event_type"), col("n"))
+        .orderBy("ws", "event_type")
+    }),
+
     // As-of join: each purchase picks up the user's most recent prior view
     // value (union + keyed window, one shuffle — oracle is DuckDB's native
     // ASOF LEFT JOIN).
@@ -828,6 +839,16 @@ object ExtQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
+
+    // an event at t belongs to the windows starting at trunc(t,1h) and
+    // trunc(t,1h)-1h — exactly Spark's sliding-window membership
+    "q_sliding_window" ->
+      """SELECT strftime(ws, '%Y%m%d%H') AS ws, event_type, count(*)::BIGINT AS n
+        |FROM (SELECT event_type,
+        |  unnest([date_trunc('hour', ts),
+        |          date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "q_asof_join" ->
       """SELECT l.event_id, r.value AS asof_value

@@ -109,6 +109,27 @@ object Transform {
     when(piece.rlike("news"), trim(titleHead(videoTitle))).otherwise("unknow")
   }
 
+  /** First failing gate for a raw row, NULL when the row passes all of
+    * [[clean]]'s filters. Conditions are coalesced to false so a NULL input
+    * column lands in quarantine instead of slipping through both frames —
+    * [[clean]] and [[quarantine]] partition the raw frame exactly. */
+  def rejectReason(dateTime: Column, videoTitle: Column, events: Column): Column =
+    when(!coalesce(isVideoStart(events), lit(false)), "not_videostart")
+      .when(!coalesce(hasValidTitle(videoTitle), lit(false)), "malformed_title")
+      .when(minuteTs(dateTime).isNull, "bad_timestamp")
+      .otherwise(lit(null).cast("string"))
+
+  /** The rows [[clean]] drops, each tagged with its reject reason — the
+    * capture side of the filters. The reference only logs aggregate counts
+    * to CloudWatch (`lambda_function_s3.py:67-68`); at pipeline scale the
+    * rejects themselves are the debugging surface, so they stay a frame a
+    * caller can count, sample, or sink next to the published star. */
+  def quarantine(raw: DataFrame): DataFrame =
+    raw
+      .select(col("*"), rejectReason(col("DateTime"), col("VideoTitle"),
+        col("events")).as("reject_reason"))
+      .where(col("reject_reason").isNotNull)
+
   /** Full clean/derive step over the raw frame — the lazy-DAG restatement of
     * `data_process` (`lambda_function_s3.py:40-119`): both filters, minute
     * truncation, date parts, platform/site/title derivation, then drop the

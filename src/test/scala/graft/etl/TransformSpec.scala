@@ -99,6 +99,26 @@ class TransformSpec extends SparkSpec {
     assert(row.getAs[Int]("year") === 2017 && row.getAs[Int]("minute") === 0)
   }
 
+  test("quarantine captures exactly the rows clean drops, with reasons") {
+    val raw = Seq(
+      ("2017-01-11T00:00:53.000Z", "news| Shark attacks", "127,206"), // clean
+      ("2017-01-11T00:01:00.000Z", "news| Video", "1206"),            // no exact 206
+      ("2017-01-11T00:02:00.000Z", "JustOnePiece", "206"),            // malformed title
+      ("garbage-timestamp", "news| Video 2", "206"),                  // bad ts
+      (null.asInstanceOf[String], "news| Video 3", null.asInstanceOf[String]) // NULLs
+    ).toDF("DateTime", "VideoTitle", "events")
+    val q = Transform.quarantine(raw)
+      .select("VideoTitle", "reject_reason")
+      .as[(String, String)].collect().toMap
+    assert(q === Map(
+      "news| Video" -> "not_videostart",
+      "JustOnePiece" -> "malformed_title",
+      "news| Video 2" -> "bad_timestamp",
+      "news| Video 3" -> "not_videostart"))
+    // clean and quarantine partition the input — nothing vanishes silently
+    assert(Transform.clean(raw).count() + q.size === raw.count())
+  }
+
   test("CSV round-trip with reference quote/escape semantics (rows 1, 3)") {
     val dir = tmpDir("graft-csv")
     // spaces after comma before quoted field — the raw sample's quirk
