@@ -525,14 +525,9 @@ object ExtQueries {
     def markerCountOver(markers: Seq[String], listExpr: String): String =
       s"len(list_filter($listExpr, tk -> list_contains([${markers.map("'" + _ + "'").mkString(",")}], tk)))"
 
-    val wordShingles3: String =
-      """CASE WHEN len(words) >= 3
-        |  THEN list_distinct(list_transform(range(1, len(words) - 1),
-        |       i -> array_to_string(words[i:i+2], ' ')))
-        |  ELSE []::VARCHAR[] END""".stripMargin
+    // word n-gram shingles (range end is exclusive: 1..len-n+1 positions)
+    val wordShingles3: String = wordShinglesN(3)
 
-    // parametrized twin of wordShingles3 (range end is exclusive:
-    // 1..len-n+1 positions)
     def wordShinglesN(n: Int): String =
       s"""CASE WHEN len(words) >= $n
          |  THEN list_distinct(list_transform(range(1, len(words) - ${n - 2}),

@@ -40,12 +40,14 @@ object Curation {
     // 2. near-dup cluster dedup: MinHash pairs → components → keep each
     //    component's min id (non-members pass through untouched)
     val inner = new CacheScope
-    val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
-      cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold, scope = inner)
-    val losers = Dedup.duplicateClusters(pairs, scope = scope)
-      .where(col("id") =!= col("rep"))
-      .select(col("id").as(idCol))
-    inner.close() // clusters converged ⇒ shingles/bands fully consumed
+    val losers =
+      try {
+        val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
+          cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold, scope = inner)
+        Dedup.duplicateClusters(pairs, scope = scope)
+          .where(col("id") =!= col("rep"))
+          .select(col("id").as(idCol))
+      } finally inner.close() // converged OR thrown ⇒ shingles/bands released
     val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
 
     // 3. quality gate: enough tokens, bounded stopword share

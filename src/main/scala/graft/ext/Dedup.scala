@@ -299,6 +299,13 @@ object Dedup {
     // handle to; diff the persistent-RDD registry around the call so each
     // round's checkpoint can be freed once the next round materializes
     // (otherwise every round leaks one cached copy of the labels frame).
+    // The diff window must contain ONLY the checkpoint's own RDD — any
+    // upstream persist()ed frame registers in the registry when its cache
+    // first builds, and lazily-built caches would build inside the first
+    // checkpoint's action and get wrongly captured + freed a round later.
+    // Hence `edges` is materialized eagerly BEFORE the first diff (which
+    // also builds any lazy caches upstream of `pairs`). Assumes no
+    // concurrent jobs persist RDDs in this session during the diff window.
     def eagerCheckpoint(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint(true)
@@ -312,6 +319,7 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize (and register) all upstream caches first
     var (labels, labelRdds) = eagerCheckpoint(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("rep")))

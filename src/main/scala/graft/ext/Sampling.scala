@@ -77,7 +77,10 @@ object Sampling {
     val scored = df.select(col(groupCol),
       (-unitHash(col(keyCol), salt)).as("_score"), col(keyCol).cast("long").as("_id"))
     val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", n)
-      .select(col(groupCol), col("id").as(keyCol))
-    df.join(kept, Seq(groupCol, keyCol), "left_semi")
+      .select(col(groupCol).as("_g"), col("id").as("_k"))
+    // null-safe on the group (a NULL domain is still a domain and must be
+    // capped, matching the window variant); keyCol itself must be non-null
+    df.join(kept, df(groupCol) <=> col("_g") && df(keyCol) === col("_k"),
+      "left_semi")
   }
 }

@@ -55,12 +55,13 @@ object EventTimeOps {
     * apart in event time than the watermark are the at-least-once residue
     * the downstream idempotent merge absorbs. Works identically on a batch
     * frame via the batch fallback (duplicates drop globally). */
-  def streamingExactDedup(docs: DataFrame, idCol: String, textCol: String,
+  def streamingExactDedup(docs: DataFrame, textCol: String,
                           tsCol: String, watermark: String): DataFrame =
     docs
-      .withColumn("fingerprint", md5(lower(col(textCol))))
+      .withColumn("_fingerprint", md5(lower(col(textCol))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("fingerprint")
+      .dropDuplicatesWithinWatermark("_fingerprint")
+      .drop("_fingerprint") // schema matches the input, like batch exactDedup
 
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp)
   final case class RunningStats(key: Long, n: Long, first_ts: java.sql.Timestamp,

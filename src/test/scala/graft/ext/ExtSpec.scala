@@ -413,15 +413,33 @@ class ExtSpec extends SparkSpec {
   }
 
   test("capPerGroupSkewSafe keeps the identical set on a skewed corpus") {
-    // 90% of rows in one hot group — the case the bounded heap exists for
-    val skewed = (1L to 500L).map(i => (if (i <= 450) "hot" else s"g${i % 5}", i))
+    // 90% of rows in one hot group — the case the bounded heap exists for;
+    // plus a NULL group, which is still a domain and must be capped
+    val skewed = (1L to 500L)
+      .map(i => (if (i <= 450) "hot" else if (i % 2 == 0) null else s"g${i % 5}", i))
       .toDF("grp", "id")
     val windowed = Sampling.capPerGroup(skewed, "grp", "id", 7)
-      .select("grp", "id").as[(String, Long)].collect().toSet
+      .select("grp", "id").as[(Option[String], Long)].collect().toSet
     val heap = Sampling.capPerGroupSkewSafe(skewed, "grp", "id", 7)
-      .select("grp", "id").as[(String, Long)].collect().toSet
+      .select("grp", "id").as[(Option[String], Long)].collect().toSet
     assert(heap === windowed)
-    assert(heap.count(_._1 == "hot") === 7)
+    assert(heap.count(_._1.contains("hot")) === 7)
+    assert(heap.count(_._1.isEmpty) === 7) // NULL-group rows not dropped
+  }
+
+  test("duplicateClusters never unpersists caches it did not create") {
+    // a persisted input whose cache materializes INSIDE the call — the
+    // registry-diff bookkeeping must not claim (and later free) it
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scope = new CacheScope
+    Dedup.duplicateClusters(pairs, scope = scope).collect()
+    scope.close(blocking = true)
+    val remaining = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(remaining.nonEmpty, "caller's persisted input was wrongly unpersisted")
+    pairs.unpersist(blocking = true)
   }
 
   test("decontamination flags exactly the docs sharing a probe n-gram") {

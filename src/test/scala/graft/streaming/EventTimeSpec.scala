@@ -64,7 +64,7 @@ class EventTimeSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
     val deduped = EventTimeOps.streamingExactDedup(
-      in.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts", "30 minutes")
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts", "30 minutes")
     val q = deduped.writeStream.format("memory")
       .queryName("dedup_sink").outputMode("append").start()
 
