@@ -102,6 +102,15 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The at-scale SimHash pair join: 60-bit fingerprints, 6 bands of 10
+    // bits (exact for hamming <= 5; ~2^-10 per-band random collision where
+    // the 16-bit variant's nibbles saturate on a big corpus).
+    "dedup_simhash_pairs_wide" -> ((s, d) => {
+      Dedup.simhashPairsWide(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
     "dedup_ngram" -> ((s, d) => {
       Dedup.blockedNgramPairs(t(s, d, "documents"), "doc_id", "text",
@@ -511,8 +520,10 @@ object ExtQueries {
       "[" + (0 until 4).map(b => s"sigs[${2 * b + 1}] || sigs[${2 * b + 2}]")
         .mkString(", ") + "]"
 
-    val simhashBits: String =
-      (0 until 16).map(i =>
+    val simhashBits: String = simhashBitsN(16)
+
+    def simhashBitsN(n: Int): String =
+      (0 until n).map(i =>
         s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
         .mkString(" + ")
 
@@ -658,6 +669,19 @@ object ExtQueries {
          |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
          |FROM f a JOIN f b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash_pairs_wide" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, (${Sql.simhashBitsN(60)})::BIGINT AS simhash FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      string_split(lower(text), ' '),
+         |      tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT)) AS hs
+         |    FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_ngram" ->

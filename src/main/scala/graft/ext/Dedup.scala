@@ -29,6 +29,13 @@ object Dedup {
   def tokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit token hash (15 md5 hex digits — the widest md5 prefix
+    * that stays inside a signed 64-bit integer in every engine). Feeds the
+    * wide SimHash, whose extra bits are what keep band collisions rare on a
+    * large corpus. */
+  def tokenHashWide(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** Fast 64-bit token hash for the at-scale path (codegen'd, seeded). */
   def tokenHashFast(t: Column, seed: Int = 42): Column = xxhash64(lit(seed), t)
 
@@ -232,15 +239,20 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** 16-bit SimHash over pre-hashed tokens (see [[tokenHash]]): bit i is set
-    * iff sum over tokens of ±1 (sign of hash-bit i) is positive. Near-dups
-    * then cluster by fingerprint equality or small Hamming distance. */
-  def simhash16(hashes: Column): Column =
-    (0 until 16).map { i =>
+  /** n-bit SimHash over pre-hashed tokens: bit i is set iff the sum over
+    * tokens of ±1 (sign of hash-bit i) is positive. Near-dups then cluster
+    * by fingerprint equality or small Hamming distance. The token hashes
+    * must carry at least `bits` independent bits. */
+  private def simhashN(hashes: Column, bits: Int): Column =
+    (0 until bits).map { i =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))
       when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** 16-bit SimHash (see [[simhashN]]) — compact and cheap; collision-prone
+    * past ~10⁴ docs, where [[simhashWideOf]] is the scale path. */
+  def simhash16(hashes: Column): Column = simhashN(hashes, 16)
 
   /** Hamming distance between two small fingerprints (bit_count of XOR). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -251,23 +263,22 @@ object Dedup {
         array_distinct(transform(words(col(textCol)), tokenHash(_))).as("hs"))
       .select(col(idCol), simhash16(col("hs")).as("simhash"))
 
-  /** SimHash near-duplicate pairs: all (a < b) with Hamming distance <=
-    * `maxHamming` between 16-bit fingerprints. Candidates come from banding
-    * the fingerprint into 4 nibbles and equi-joining on (band, nibble) —
-    * and by pigeonhole this is EXACT, not approximate: fewer than 4
-    * differing bits cannot touch all 4 bands, so every qualifying pair
-    * shares at least one band value. The shuffle key is the band bucket
-    * (the LSH shape again), candidate volume is ~|corpus|²/2¹⁶ per band for
-    * random fingerprints, and the Hamming filter runs before the distinct.
-    * Output: (a_id, b_id, hamming). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 2): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banded candidates are exact only for maxHamming <= 3, got $maxHamming")
-    val fp = simhashOf(df, idCol, textCol)
+  /** Banded Hamming-distance pair join over a fingerprint frame
+    * (idCol, simhash): candidates are pairs agreeing on at least one of
+    * `nBands` bit-bands of `bandBits` each, verified by exact Hamming
+    * distance — and by pigeonhole the banding is EXACT, not approximate,
+    * whenever `maxHamming < nBands`: that few differing bits cannot touch
+    * every band. The shuffle key is the band bucket (the LSH shape again);
+    * random-pair candidate volume is ~|corpus|²·nBands/2^bandBits, which is
+    * why the wide fingerprint exists. Output: (a_id, b_id, hamming). */
+  def bandedHammingPairs(fp: DataFrame, idCol: String, nBands: Int,
+                         bandBits: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"banded candidates are exact only for maxHamming < nBands ($nBands), got $maxHamming")
+    val mask = (1L << bandBits) - 1
     val banded = fp.select(col(idCol), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .toDF(idCol, "simhash", "band", "v")
     val a = banded.select(col("band"), col("v"), col(idCol).as("a_id"),
       col("simhash").as("fp_a"))
@@ -280,6 +291,30 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several bands
   }
+
+  /** SimHash near-dup pairs over the 16-bit fingerprints: 4 nibble bands,
+    * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
+    * buckets saturate (16 values each) — use [[simhashPairsWide]]. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 2): DataFrame =
+    bandedHammingPairs(simhashOf(df, idCol, textCol), idCol,
+      nBands = 4, bandBits = 4, maxHamming = maxHamming)
+
+  /** Per-document wide (60-bit) SimHash frame: (id, simhash). */
+  def simhashWideOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        array_distinct(transform(words(col(textCol)), tokenHashWide(_))).as("hs"))
+      .select(col(idCol), simhashN(col("hs"), 60).as("simhash"))
+
+  /** The at-scale SimHash pair join: 60-bit fingerprints in 6 bands of 10
+    * bits — exact for hamming <= 5, with ~2⁻¹⁰ per-band random collision
+    * instead of the 16-bit variant's 2⁻⁴, so candidate volume stays sane on
+    * a corpus where 16 bits saturate. Same portable md5 arithmetic (15 hex
+    * digits — the widest prefix inside signed int64 everywhere). */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 4): DataFrame =
+    bandedHammingPairs(simhashWideOf(df, idCol, textCol), idCol,
+      nBands = 6, bandBits = 10, maxHamming = maxHamming)
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * over the pair graph, labeling every member with the minimum id in its

@@ -145,6 +145,27 @@ class ExtSpec extends SparkSpec {
     }.getMessage.contains("exact"))
   }
 
+  test("simhashPairsWide (60-bit) equals the naive scan; wide fps discriminate") {
+    val corpus = (docs.select(col("doc_id"), col("text")) unionByName
+      (10L to 40L).map(i => (i, s"doc number $i with some shared words and token$i"))
+        .toDF("doc_id", "text"))
+    val banded = Dedup.simhashPairsWide(corpus, "doc_id", "text", maxHamming = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val fp = Dedup.simhashWideOf(corpus, "doc_id", "text")
+    val naive = fp.select(col("doc_id").as("a_id"), col("simhash").as("fa"))
+      .crossJoin(fp.select(col("doc_id").as("b_id"), col("simhash").as("fb")))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        Dedup.hamming(col("fa"), col("fb")).cast("int").as("hamming"))
+      .where(col("hamming") <= 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === naive)
+    assert(naive.contains((1L, 3L, 0))) // case-variant dup: identical fp
+    // 60 bits discriminate where 16 bits collide: strictly fewer close pairs
+    val narrow = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
+    assert(naive.size < narrow)
+  }
+
   test("blockedNgramPairs only compares within a block") {
     val pairs = Dedup.blockedNgramPairs(docs, "doc_id", "text", "lang",
         n = 4, threshold = 0.1)
