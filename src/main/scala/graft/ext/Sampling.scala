@@ -21,7 +21,9 @@ object Sampling {
 
   /** Engine-portable uniform hash in [0, 1): first 8 md5 hex digits of
     * (key ++ salt) as a 32-bit integer, scaled. ~1e-9 resolution — plenty
-    * for sampling decisions. */
+    * for sampling decisions. The key is hashed via its STRING form — use
+    * string or integer keys; floating-point keys render differently across
+    * engines and would break the oracle-reproducibility contract. */
   def unitHash(key: Column, salt: String = ""): Column =
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long").cast("double") / 4294967296.0
