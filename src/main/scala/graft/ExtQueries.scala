@@ -275,6 +275,23 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Vocabulary analysis: top-10 tokens per language by document frequency
+    // (the stopword-discovery / corpus-stats primitive).
+    "text_top_tokens" -> ((s, d) => {
+      TextStats.topTokens(t(s, d, "documents"), "text", "lang", k = 10)
+        .select(col("lang"), col("token"), col("n_docs"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+
+    // Full column profile: nulls / exact distincts / min-max lengths, one
+    // aggregation job, one output row per column (the reference's audit
+    // stops at max length — SURVEY §2 rows 26-27 extended).
+    "etl_profile" -> ((s, d) => {
+      graft.etl.Audit.profileColumns(t(s, d, "documents"),
+          Seq("text", "lang", "source"))
+        .orderBy("col_name")
+    }),
+
     // Document fingerprinting: canonical bag-of-words md5 + rolling hash.
     "text_fingerprint" -> ((s, d) => {
       t(s, d, "documents").select(
@@ -825,6 +842,38 @@ object ExtQueries {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_top_tokens" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        |  FROM documents),
+        |dfreq AS (SELECT lang, token, count(*)::BIGINT AS n_docs
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT lang, token, n_docs, rk FROM (
+        |  SELECT lang, token, n_docs, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_docs DESC, token)::INT AS rk
+        |  FROM dfreq)
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+
+    "etl_profile" ->
+      """SELECT 'lang' AS col_name,
+        |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT lang)::BIGINT AS n_distinct,
+        |  min(length(lang))::INT AS min_len, max(length(lang))::INT AS max_len
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source',
+        |  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT source)::BIGINT,
+        |  min(length(source))::INT, max(length(source))::INT
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text',
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT text)::BIGINT,
+        |  min(length(text))::INT, max(length(text))::INT
+        |FROM documents
+        |ORDER BY col_name""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

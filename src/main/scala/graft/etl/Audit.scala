@@ -43,4 +43,25 @@ object Audit {
       stringCols.map(c => max(length(col(c))).as(s"maxlen_$c"))
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Full per-column profile — null count, exact distinct count, min/max
+    * string length — as one ROW PER COLUMN: the audit a warehouse load
+    * actually wants (the reference stops at max length). Still a single
+    * aggregation job over one scan (the multiple distinct counts expand
+    * into one pass per Spark's Expand operator, not |columns| scans); the
+    * wide 1-row result is unpivoted to long form with `stack`, a pure
+    * projection. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val aggs = cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c"),
+      min(length(col(c))).as(s"_mn_$c"),
+      max(length(col(c))).as(s"_mx_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', _nn_$c, _nd_$c, _mn_$c, _mx_$c").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_len, max_len)"))
+  }
 }

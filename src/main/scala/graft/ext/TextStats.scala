@@ -82,4 +82,30 @@ object TextStats {
       (acc, i) => (acc * 31 + ascii(substr(text, i, lit(1)))) % lit(1000000007L))
     when(length(text) === 0, 0L).otherwise(folded)
   }
+
+  /** Document frequency per (group, token): in how many of the group's
+    * documents the token occurs at least once. The per-doc `array_distinct`
+    * happens before the explode, so the aggregate is a plain count — one
+    * shuffle keyed on (group, token). */
+  def tokenDocFrequencies(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          groupCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(groupCol),
+        explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Top-k tokens per group by document frequency (ties → token asc) —
+    * vocabulary analysis / stopword discovery. The rank window partitions
+    * by group over the DISTINCT VOCABULARY (already aggregated), which is
+    * orders of magnitude smaller than the corpus — the window is safe here
+    * where it would not be over raw rows. */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                groupCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("n_docs").desc, col("token").asc)
+    tokenDocFrequencies(df, textCol, groupCol)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
 }

@@ -503,6 +503,29 @@ class ExtSpec extends SparkSpec {
     assert(pred === "tabular")
   }
 
+  test("topTokens ranks by document frequency, not occurrence count") {
+    val corpus = Seq(
+      (1L, "alpha alpha alpha beta", "en"), // alpha 3× in ONE doc
+      (2L, "beta gamma", "en"),
+      (3L, "beta delta", "en")
+    ).toDF("doc_id", "text", "lang")
+    val top = TextStats.topTokens(corpus, "text", "lang", k = 2)
+      .select("token", "n_docs", "rk").as[(String, Long, Int)].collect().toSet
+    // beta is in 3 docs; alpha's 3 occurrences are still 1 doc
+    assert(top === Set(("beta", 3L, 1), ("alpha", 1L, 2)))
+  }
+
+  test("profileColumns: nulls, distincts, length bounds — one row per column") {
+    val df = Seq(
+      (Some("aa"), "x"), (None, "x"), (Some("bbb"), "y")
+    ).toDF("a", "b")
+    val prof = graft.etl.Audit.profileColumns(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.get(3), r.get(4))).toMap
+    assert(prof("a") === ((1L, 2L, 2, 3)))
+    assert(prof("b") === ((0L, 2L, 1, 1)))
+  }
+
   test("token counters: subwords >= words for long tokens") {
     val r = Seq("internationalization x 42!").toDF("text").select(
       TextStats.nTokens(col("text")).as("nt"),
