@@ -53,14 +53,21 @@ object Audit {
     * projection. */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
-    val aggs = cols.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"_nn_$c"),
-      countDistinct(col(c)).as(s"_nd_$c"),
-      min(length(col(c))).as(s"_mn_$c"),
-      max(length(col(c))).as(s"_mx_$c")))
+    // internal aliases are INDEX-based, and the only caller-controlled text
+    // entering the stack() SQL is an escaped string literal — so column
+    // names with dashes/dots/quotes profile fine instead of breaking the
+    // expression parser
+    val indexed = cols.zipWithIndex
+    val aggs = indexed.flatMap { case (c, i) => Seq(
+      sum(df(c).isNull.cast("long")).as(s"_nn_$i"),
+      countDistinct(df(c)).as(s"_nd_$i"),
+      min(length(df(c))).as(s"_mn_$i"),
+      max(length(df(c))).as(s"_mx_$i")) }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', _nn_$c, _nd_$c, _mn_$c, _mx_$c").mkString(", ")
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val stackArgs = indexed
+      .map { case (c, i) => s"'${q(c)}', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
+      .mkString(", ")
     wide.select(expr(
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_len, max_len)"))
   }

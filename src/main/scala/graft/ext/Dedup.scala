@@ -272,11 +272,17 @@ object Dedup {
     * random-pair candidate volume is ~|corpus|²·nBands/2^bandBits, which is
     * why the wide fingerprint exists. Output: (a_id, b_id, hamming). */
   def bandedHammingPairs(fp: DataFrame, idCol: String, nBands: Int,
-                         bandBits: Int, maxHamming: Int): DataFrame = {
+                         bandBits: Int, maxHamming: Int,
+                         scope: CacheScope = null): DataFrame = {
     require(maxHamming >= 0 && maxHamming < nBands,
       s"banded candidates are exact only for maxHamming < nBands ($nBands), got $maxHamming")
+    // both join sides read the fingerprints — persist them, or the simhash
+    // expression (60 md5+fold terms per doc for the wide path) is computed
+    // twice plus a double source scan (same pathology nearDupPairs guards)
+    val f = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(f)
     val mask = (1L << bandBits) - 1
-    val banded = fp.select(col(idCol), col("simhash"),
+    val banded = f.select(col(idCol), col("simhash"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
       .toDF(idCol, "simhash", "band", "v")
@@ -296,9 +302,9 @@ object Dedup {
     * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
     * buckets saturate (16 values each) — use [[simhashPairsWide]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 2): DataFrame =
+                   maxHamming: Int = 2, scope: CacheScope = null): DataFrame =
     bandedHammingPairs(simhashOf(df, idCol, textCol), idCol,
-      nBands = 4, bandBits = 4, maxHamming = maxHamming)
+      nBands = 4, bandBits = 4, maxHamming = maxHamming, scope = scope)
 
   /** Per-document wide (60-bit) SimHash frame: (id, simhash). */
   def simhashWideOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -312,9 +318,9 @@ object Dedup {
     * a corpus where 16 bits saturate. Same portable md5 arithmetic (15 hex
     * digits — the widest prefix inside signed int64 everywhere). */
   def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 4): DataFrame =
+                       maxHamming: Int = 4, scope: CacheScope = null): DataFrame =
     bandedHammingPairs(simhashWideOf(df, idCol, textCol), idCol,
-      nBands = 6, bandBits = 10, maxHamming = maxHamming)
+      nBands = 6, bandBits = 10, maxHamming = maxHamming, scope = scope)
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
     * over the pair graph, labeling every member with the minimum id in its

@@ -524,6 +524,12 @@ class ExtSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.get(3), r.get(4))).toMap
     assert(prof("a") === ((1L, 2L, 2, 3)))
     assert(prof("b") === ((0L, 2L, 1, 1)))
+    // column names that are not plain identifiers still profile (no SQL
+    // parsing of caller-controlled names)
+    val weird = Seq(("x", "y")).toDF("order-date", "it's")
+    val wp = graft.etl.Audit.profileColumns(weird, Seq("order-date", "it's"))
+      .select("col_name").as[String].collect().toSet
+    assert(wp === Set("order-date", "it's"))
   }
 
   test("token counters: subwords >= words for long tokens") {
