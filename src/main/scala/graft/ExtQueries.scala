@@ -426,6 +426,42 @@ object ExtQueries {
         .orderBy("event_type")
     }),
 
+    // JSON-lines sink + scan round-trip with an explicit schema — source-
+    // format breadth next to the CSV round-trip; the oracle aggregates the
+    // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
+    // the nested-JSON props string) breaks the hash.
+    "etl_json_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${math.abs(d.hashCode)}"
+      t(s, d, "events").where(col("event_id") % 11 === 0)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("props", StringType)))
+      s.read.schema(schema).json(tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("props")).as("min_props"),
+          sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    }),
+
+    // Hive-style partitioned write + partition-pruned read-back: the scan
+    // must touch only the purchase partition (PlanSpec asserts the
+    // PartitionFilters); the oracle aggregates the original rows.
+    "etl_partitioned_scan" -> ((s, d) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${math.abs(d.hashCode)}"
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          dayofmonth(col("ts")).as("day"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }),
+
     // UNION ALL with provenance tag.
     "q_union_all" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -962,6 +998,18 @@ object ExtQueries {
         |  count(DISTINCT props)::BIGINT AS n_props
         |FROM events WHERE event_id % 7 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_json_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n, min(props) AS min_props,
+        |  sum(event_id)::BIGINT AS sum_id
+        |FROM events WHERE event_id % 11 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_partitioned_scan" ->
+      """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_union_all" ->
       """SELECT 'h1' AS half, event_type, count(*)::BIGINT AS n FROM events

@@ -242,8 +242,20 @@ object Dedup {
   /** n-bit SimHash over pre-hashed tokens: bit i is set iff the sum over
     * tokens of ±1 (sign of hash-bit i) is positive. Near-dups then cluster
     * by fingerprint equality or small Hamming distance. The token hashes
-    * must carry at least `bits` independent bits. */
-  private def simhashN(hashes: Column, bits: Int): Column =
+    * must carry at least `bits` independent bits.
+    * Native one-pass codegen'd expression
+    * ([[graft.ext.expressions.SimHashExpr]]); bit-identical to the
+    * per-bit-fold twin [[simhashNHof]] (asserted in NativeExprSpec), minus
+    * `bits` interpreted lambda folds per row. */
+  private def simhashN(hashes: Column, bits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.SimHashExpr(
+      GraftColumnBridge.expression(hashes), bits))
+  }
+
+  /** Higher-order-function twin of [[simhashN]] — the portable reference
+    * implementation NativeExprSpec compares against. */
+  private[ext] def simhashNHof(hashes: Column, bits: Int): Column =
     (0 until bits).map { i =>
       val bitSum = aggregate(hashes, lit(0L),
         (acc, h) => acc + (shiftright(h, i).bitwiseAND(lit(1L)) * 2 - 1))

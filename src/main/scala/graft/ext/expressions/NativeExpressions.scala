@@ -121,6 +121,79 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** n-bit SimHash over an array<long> of token hashes in ONE pass: bit i of
+  * the result is set iff Σ over tokens of (±1 by hash-bit i) is positive.
+  * The Column-expression twin (`Dedup.simhashN`) folds the array once PER
+  * BIT — 60 interpreted lambda folds for the wide fingerprint; this computes
+  * all bit-sums in a single traversal inside whole-stage codegen.
+  *
+  * Bit-identical to the twin, including its edge semantics (verified in
+  * NativeExprSpec): empty array → 0; any NULL element → 0 (the twin's fold
+  * poisons every bit-sum to NULL, so no `when` fires); NULL array → NULL. */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63]: $bits")
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return 0L // twin: a null element zeroes every bit
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < bits) {
+        counts(i) += (((h >>> i) & 1L).toInt << 1) - 1
+        i += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      if (counts(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val nullSeen = ctx.freshName("nullSeen")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[$bits];
+         |boolean $nullSeen = false;
+         |for (int $j = 0; $j < $n && !$nullSeen; $j++) {
+         |  if ($c.isNullAt($j)) { $nullSeen = true; break; }
+         |  long $h = $c.getLong($j);
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    $counts[$i] += ((int) (($h >>> $i) & 1L) << 1) - 1;
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |if (!$nullSeen) {
+         |  for (int $i = 0; $i < $bits; $i++) {
+         |    if ($counts[$i] > 0) { ${ev.value} |= 1L << $i; }
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -128,7 +201,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => RollingHashExpr(children.head)),
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) =>
+        // second arg = bit width, must be an integer literal
+        SimHashExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */
@@ -147,5 +226,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) =>
+        SimHashExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -43,6 +43,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("etl_partitioned_scan: the purchase filter prunes partitions at the scan") {
+    val p = plan("etl_partitioned_scan")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"partition pruning lost:\n$p")
+  }
+
   test("decontaminate: probe n-grams are broadcast") {
     val p = plan("decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")

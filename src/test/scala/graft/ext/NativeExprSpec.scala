@@ -41,6 +41,31 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("graft_simhash ≡ the per-bit HOF fold on real token hashes, 16 and 60 bits") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bits <- Seq(16, 60)) {
+      val hashed = docs.select(array_distinct(transform(
+        split(lower(col("text")), " "),
+        t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("hs"))
+      val diff = hashed.select(
+        Dedup.simhashNHof(col("hs"), bits).as("hof"),
+        expr(s"graft_simhash(hs, $bits)").as("native"))
+        .where(col("hof") =!= col("native")).count()
+      assert(diff === 0, s"bits=$bits")
+    }
+  }
+
+  test("graft_simhash edge semantics match the twin: empty, null element, null array") {
+    val rows = spark.sql(
+      """SELECT graft_simhash(cast(array() as array<bigint>), 16) AS empty,
+        |  graft_simhash(array(5L, cast(null as bigint)), 16) AS nullelem,
+        |  graft_simhash(cast(null as array<bigint>), 16) AS nullside""".stripMargin)
+      .head
+    assert(rows.getLong(0) === 0L)
+    assert(rows.getLong(1) === 0L) // the fold twin's poisoned sums yield 0
+    assert(rows.isNullAt(2))
+  }
+
   test("graft_dot mirrors zip_with null semantics on mismatched/null input") {
     val rows = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
