@@ -27,6 +27,17 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Queries.table(spark, dir, name)
 
+  /** Scratch dir for write/read-back queries: the full dataset path
+    * (sanitized, not hashed — abs(hashCode) keeps Int.MinValue negative and
+    * distinct paths can collide) plus a per-process nonce, so concurrent
+    * harness runs over the same sf dir can never overwrite each other's
+    * files mid-read. */
+  private lazy val tmpNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  private def scratchDir(prefix: String, datasetDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
+      s"${datasetDir.replaceAll("[^A-Za-z0-9]", "_")}_$tmpNonce"
+
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
     * list_sum([]) = NULL (and dodging Spark's descending sequence(1,0)). */
@@ -408,7 +419,7 @@ object ExtQueries {
     // oracle aggregates the original rows — any quoting infidelity breaks it.
     "etl_csv_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_rt_${math.abs(d.hashCode)}"
+      val tmp = scratchDir("graft_csv_rt", d)
       t(s, d, "events").where(col("event_id") % 7 === 0)
         .select(col("event_id"), col("event_type"), col("props"))
         .write.mode("overwrite")
@@ -432,7 +443,7 @@ object ExtQueries {
     // the nested-JSON props string) breaks the hash.
     "etl_json_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_rt_${math.abs(d.hashCode)}"
+      val tmp = scratchDir("graft_json_rt", d)
       t(s, d, "events").where(col("event_id") % 11 === 0)
         .select(col("event_id"), col("event_type"), col("props"))
         .write.mode("overwrite").json(tmp)
@@ -450,7 +461,7 @@ object ExtQueries {
     // must touch only the purchase partition (PlanSpec asserts the
     // PartitionFilters); the oracle aggregates the original rows.
     "etl_partitioned_scan" -> ((s, d) => {
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_${math.abs(d.hashCode)}"
+      val tmp = scratchDir("graft_part", d)
       t(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"),
           dayofmonth(col("ts")).as("day"))

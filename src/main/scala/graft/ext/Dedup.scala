@@ -121,10 +121,14 @@ object Dedup {
     // quadratically (collision prob j^2 per band) at slight recall cost for
     // borderline pairs — the standard LSH S-curve tuning knob.
     // (The element cast to string is a no-op for md5-string signatures and
-    // makes the same band construction work for long-valued fast signatures.)
+    // makes the same band construction work for long-valued fast signatures.
+    // The "|" separator cannot appear in hex or decimal renderings, so band
+    // equality is element-wise equality — concat_ws("") would let distinct
+    // long bands collide across element boundaries, e.g. ["1","23"] vs
+    // ["12","3"], inflating the candidate set.)
     val nBands = (size(col(sigCol)) / bandRows).cast("int")
     val bandArr = transform(sequence(lit(1), nBands),
-      b => concat_ws("", transform(
+      b => concat_ws("|", transform(
         slice(col(sigCol), (b - 1) * bandRows + 1, lit(bandRows)),
         v => v.cast("string"))))
     val bands = sigDf
@@ -347,33 +351,31 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, aCol: String = "a_id",
                         bCol: String = "b_id", maxIter: Int = 20,
                         scope: CacheScope = null): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
-    // localCheckpoint persists an internal RDD the Dataset API gives no
-    // handle to; diff the persistent-RDD registry around the call so each
-    // round's checkpoint can be freed once the next round materializes
-    // (otherwise every round leaks one cached copy of the labels frame).
-    // The diff window must contain ONLY the checkpoint's own RDD — any
-    // upstream persist()ed frame registers in the registry when its cache
-    // first builds, and lazily-built caches would build inside the first
-    // checkpoint's action and get wrongly captured + freed a round later.
-    // Hence `edges` is materialized eagerly BEFORE the first diff (which
-    // also builds any lazy caches upstream of `pairs`). Assumes no
-    // concurrent jobs persist RDDs in this session during the diff window.
-    def eagerCheckpoint(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val added = sc.getPersistentRDDs.collect {
-        case (id, r) if !before.contains(id) => r
-      }.toSeq
-      (out, added)
+    val spark = pairs.sparkSession
+    // Each round's labels frame is materialized as an RDD[Row] this method
+    // holds a DIRECT handle to: persisting + localCheckpoint-ing that handle
+    // truncates lineage (the label self-join would otherwise double the
+    // logical plan every round until planning itself OOMs after ~8 rounds),
+    // and the handle lets the superseded round be unpersisted precisely.
+    // Dataset.localCheckpoint would persist an internal RDD the API exposes
+    // no handle to — recovering it via a persistent-RDD-registry diff can
+    // claim (and later free) caches persisted concurrently by other jobs in
+    // a shared session, so it is deliberately avoided here. Safe under
+    // concurrent use. (Use reliable checkpointing on a real cluster: a
+    // local checkpoint dies with its executor.)
+    def eagerCheckpoint(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r.count() // materialize: lineage is truncated from here on
+      (spark.createDataFrame(r, df.schema), r)
     }
     // undirected edge list, both directions
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize (and register) all upstream caches first
-    var (labels, labelRdds) = eagerCheckpoint(
+    var (labels, labelRdd) = eagerCheckpoint(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("rep")))
     var changed = 1L
@@ -386,22 +388,19 @@ object Dedup {
         .join(labels, "id")
         .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
       // (b) pointer jump: rep → label(rep) (labels only shrink, so the
-      // looked-up label is never worse than the current one).
-      // The eager localCheckpoint TRUNCATES LINEAGE — without it the
-      // self-join doubles the logical plan every round and planning itself
-      // OOMs after ~8 rounds (use reliable checkpointing on a real cluster).
-      val (next, nextRdds) = eagerCheckpoint(viaEdges
+      // looked-up label is never worse than the current one)
+      val (next, nextRdd) = eagerCheckpoint(viaEdges
         .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
         .select(col("id"), col("rep2").as("rep")))
       changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
         .where(col("rep") =!= col("old")).count()
-      labelRdds.foreach(_.unpersist(false)) // previous round, fully superseded
+      labelRdd.unpersist(false) // previous round, fully superseded
       labels = next
-      labelRdds = nextRdds
+      labelRdd = nextRdd
       iter += 1
     }
     edges.unpersist(false) // final labels are materialized — lineage done
-    if (scope != null) scope.ownRdds(labelRdds)
+    if (scope != null) scope.ownRdds(Seq(labelRdd))
     require(changed == 0,
       s"duplicateClusters did not converge in $maxIter rounds — raise maxIter")
     labels

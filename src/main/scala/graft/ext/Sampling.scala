@@ -38,14 +38,21 @@ object Sampling {
     df.where(unitHash(col(keyCol), salt) < fraction)
   }
 
-  /** Add a `split` column ("test" below `testFraction`, else "train") —
+  /** Add a split column ("test" below `testFraction`, else "train") —
     * the leakage-free alternative to random splits: membership depends only
-    * on the key, so regenerating the dataset never migrates rows. */
+    * on the key, so regenerating the dataset never migrates rows. Refuses an
+    * input that already carries `outCol`: silently overwriting an existing
+    * split assignment is exactly the leakage this function exists to
+    * prevent. */
   def withSplit(df: DataFrame, keyCol: String, testFraction: Double,
-                salt: String = ""): DataFrame =
-    df.withColumn("split",
+                salt: String = "", outCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"withSplit: input already has a '$outCol' column — refusing to " +
+        "overwrite an existing split assignment (pass outCol to rename)")
+    df.withColumn(outCol,
       when(unitHash(col(keyCol), salt) < testFraction, "test")
         .otherwise("train"))
+  }
 
   /** Keep at most `n` rows per group, chosen by hash rank (deterministic
     * "reservoir"): the standard cap-per-domain / data-mixing primitive.
@@ -58,6 +65,8 @@ object Sampling {
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: String, n: Int,
                   salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
+    require(!df.columns.contains("_rk"),
+      "capPerGroup: input already has a '_rk' column — it would be clobbered")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(unitHash(col(keyCol), salt).asc, col(keyCol).asc)
     df.withColumn("_rk", row_number().over(w))
@@ -76,6 +85,16 @@ object Sampling {
   def capPerGroupSkewSafe(df: DataFrame, groupCol: String, keyCol: String,
                           n: Int, salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
+    // the TopK id slot and the `_k` equi-join require a lossless cast to
+    // long; a string key would cast to NULL and silently drop its rows, so
+    // misuse must fail loudly here instead
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"capPerGroupSkewSafe requires an integral keyCol (got $keyCol: ${other.sql}); " +
+          "use capPerGroup for non-numeric keys")
+    }
     val scored = df.select(col(groupCol),
       (-unitHash(col(keyCol), salt)).as("_score"), col(keyCol).cast("long").as("_id"))
     val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", n)

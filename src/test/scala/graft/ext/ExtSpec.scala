@@ -448,6 +448,38 @@ class ExtSpec extends SparkSpec {
     assert(heap.count(_._1.isEmpty) === 7) // NULL-group rows not dropped
   }
 
+  test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
+    // a string key would cast("long") to NULL and silently lose its rows —
+    // misuse must throw, not return a partial kept set
+    val df = Seq(("g1", "k1"), ("g1", "k2")).toDF("grp", "id")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.capPerGroupSkewSafe(df, "grp", "id", 1)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("withSplit refuses to clobber an existing split assignment") {
+    val df = Seq((1L, "test")).toDF("id", "split")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.withSplit(df, "id", 0.25)
+    }
+    assert(e.getMessage.contains("split"))
+    // but an explicit alternate output column works
+    assert(Sampling.withSplit(df, "id", 0.25, outCol = "split2")
+      .columns.contains("split2"))
+  }
+
+  test("lshCandidates bands never collide across element boundaries") {
+    // long-valued signatures whose concatenation is identical ("1"+"23" vs
+    // "12"+"3") but whose elements differ — with bandRows=2 these must land
+    // in DIFFERENT buckets, so no candidate pair comes out
+    val sig = Seq((1L, Seq(1L, 23L)), (2L, Seq(12L, 3L))).toDF("doc_id", "sig")
+    assert(Dedup.lshCandidates(sig, "doc_id", "sig", bandRows = 2).count() === 0)
+    // sanity: genuinely equal bands still pair
+    val eq = Seq((1L, Seq(1L, 23L)), (2L, Seq(1L, 23L))).toDF("doc_id", "sig")
+    assert(Dedup.lshCandidates(eq, "doc_id", "sig", bandRows = 2).count() === 1)
+  }
+
   test("duplicateClusters never unpersists caches it did not create") {
     // a persisted input whose cache materializes INSIDE the call — the
     // registry-diff bookkeeping must not claim (and later free) it
