@@ -43,13 +43,15 @@ object Bench {
       r
     }
     headline.foreach(once)
-    val results: Seq[(String, Either[String, Double])] = headline.map { name =>
+    // Per query: the MEDIAN is the headline number (back-compat "queries"
+    // map) and the min/median/max spread is reported alongside — run-to-run
+    // JIT/GC noise at this scale is a multi-second band, and the spread
+    // makes a phantom swing self-evidently variance in the artifact itself.
+    val results: Seq[(String, Either[String, Seq[Double]])] = headline.map { name =>
       val runs = (1 to 3).map(_ => once(name))
       name -> (runs.collectFirst { case Left(m) => m } match {
         case Some(err) => Left(err)
-        case None =>
-          val ts = runs.collect { case Right(t) => t }.sorted
-          Right(ts(ts.length / 2))
+        case None => Right(runs.collect { case Right(t) => t }.sorted)
       })
     }
 
@@ -60,14 +62,18 @@ object Bench {
       case (name, Left(err)) => System.err.println(s"BENCH FAILURE $name: $err")
       case _ => ()
     }
+    def median(ts: Seq[Double]): Double = ts(ts.length / 2)
     val qs = results.map {
-      case (k, Right(v)) => s"\"" + k + "\":" + v
+      case (k, Right(ts)) => s"\"" + k + "\":" + median(ts)
       case (k, Left(_)) => s"\"" + k + "\":-1"
+    }.mkString("{", ",", "}")
+    val spread = results.collect { case (k, Right(ts)) =>
+      s"\"" + k + s"""":{"min":${ts.head},"med":${median(ts)},"max":${ts.last}}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, Right(ts)) => median(ts) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,16 +27,29 @@ object ExtQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Queries.table(spark, dir, name)
 
-  /** Scratch dir for write/read-back queries: the full dataset path
-    * (sanitized, not hashed — abs(hashCode) keeps Int.MinValue negative and
-    * distinct paths can collide) plus a per-process nonce, so concurrent
-    * harness runs over the same sf dir can never overwrite each other's
-    * files mid-read. */
-  private lazy val tmpNonce: String =
-    java.util.UUID.randomUUID().toString.take(8)
+  /** Scratch dirs for write/read-back queries: one per-process parent
+    * (UUID-suffixed, so concurrent harness runs over the same sf dir can
+    * never overwrite each other's files mid-read) holding a subdir per
+    * (prefix, dataset path — sanitized, not hashed: abs(hashCode) keeps
+    * Int.MinValue negative and distinct paths can collide). The parent is
+    * deleted by a JVM shutdown hook — the read-back frames are lazy, so
+    * deletion can only happen after every consuming action is done, and
+    * repeated runs leave nothing behind in the tmp dir. */
+  private lazy val scratchRoot: String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(del)
+        f.delete(): Unit
+      }
+      del(new java.io.File(root))
+    }))
+    root
+  }
   private def scratchDir(prefix: String, datasetDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/${prefix}_" +
-      s"${datasetDir.replaceAll("[^A-Za-z0-9]", "_")}_$tmpNonce"
+    s"$scratchRoot/${prefix}_${datasetDir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
@@ -99,6 +112,13 @@ object ExtQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // The curation audit: per-stage funnel counts (input → exact dedup →
+    // near-dup dedup → quality gate) — the numbers a curation run reports.
+    "curation_funnel" -> ((s, d) => {
+      Curation.funnel(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("stage")
+    }),
+
     // SimHash fingerprints (16-bit) per document.
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text")
@@ -151,6 +171,16 @@ object ExtQueries {
     "dedup_embedding_lsh_mp" -> ((s, d) => {
       Similarity.cosineNearDupPairsMultiProbe(t(s, d, "embeddings"), "vec_id",
           "embedding", threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Rotated-bucketing multi-probe: single-bit-flip probing UNION a second
+    // independent sign bucketing over dims 7-12 — recovers pairs at
+    // bucket-Hamming >= 2 in the first slice that every flip probe misses.
+    // Candidates are a strict superset of dedup_embedding_lsh_mp's.
+    "dedup_embedding_lsh_rot" -> ((s, d) => {
+      Similarity.cosineNearDupPairsRotated(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6, rotOffset = 6)
         .orderBy("a_id", "b_id")
     }),
 
@@ -591,9 +621,12 @@ object ExtQueries {
         s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $i) & 1) * 2 - 1)) > 0 THEN ${1L << i} ELSE 0 END)")
         .mkString(" + ")
 
-    val signBucket6: String =
+    val signBucket6: String = signBucket6At(0)
+
+    // sign bucket over dims offset+1 .. offset+6 (rotated second bucketing)
+    def signBucket6At(offset: Int): String =
       (0 until 6).map(i =>
-        s"(CASE WHEN embedding[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+        s"(CASE WHEN embedding[${offset + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
     def markerCount(markers: Seq[String]): String = markerCountOver(markers, "toks")
 
@@ -624,6 +657,38 @@ object ExtQueries {
       """list_reduce(list_concat([0::BIGINT],
         |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
         |  (acc, ch) -> (acc * 31 + ch) % 1000000007)""".stripMargin
+
+    // The shared curation-pipeline CTE chain (exact dedup survivors →
+    // minhash LSH pairs → connected components → losers), used by both the
+    // curation_pipeline and curation_funnel oracles. Must follow a
+    // "WITH RECURSIVE" header.
+    lazy val curationCtes: String =
+      s"""docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))),
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0),
+         |sh AS (SELECT doc_id, $wordShingles3 AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, $minhashSigs AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest($minhashBands) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |losers AS (SELECT s FROM reach GROUP BY s HAVING least(s, min(t)) <> s)""".stripMargin
+
+    // the quality-gate predicate over docs0 rows (min tokens + stopword cap)
+    lazy val curationQualityPred: String =
+      s"""len(string_split(text, ' ')) >= 30
+         |  AND ${markerCountOver(stopwords, "string_split(lower(text), ' ')")}::DOUBLE / len(string_split(text, ' ')) <= 0.25""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -662,32 +727,26 @@ object ExtQueries {
 
     "curation_pipeline" ->
       s"""WITH RECURSIVE
-         |docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (
-         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))),
-         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0),
-         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
-         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
-         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
-         |  unnest(${Sql.minhashBands}) AS v FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
-         |  AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT a_id, b_id FROM (
-         |  SELECT a_id, b_id,
-         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
-         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach(s, t) AS (SELECT s, t FROM edges
-         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-         |losers AS (SELECT s FROM reach GROUP BY s HAVING least(s, min(t)) <> s)
+         |${Sql.curationCtes}
          |SELECT doc_id FROM docs0
          |WHERE doc_id NOT IN (SELECT s FROM losers)
-         |  AND len(string_split(text, ' ')) >= 30
-         |  AND ${Sql.markerCountOver(stopwords, "string_split(lower(text), ' ')")}::DOUBLE / len(string_split(text, ' ')) <= 0.25
+         |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes}
+         |SELECT '0_input' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n_docs
+         |UNION ALL
+         |SELECT '1_exact_dedup', (SELECT count(*) FROM docs0)::BIGINT
+         |UNION ALL
+         |SELECT '2_neardup_dedup',
+         |  ((SELECT count(*) FROM docs0) - (SELECT count(*) FROM losers))::BIGINT
+         |UNION ALL
+         |SELECT '3_quality_gate', (SELECT count(*) FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred})::BIGINT
+         |ORDER BY stage""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE
@@ -789,6 +848,30 @@ object ExtQueries {
          |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
          |FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // single-bit-flip probe UNION rotated second bucketing (dims 7-12);
+    // UNION is set-semantics, deduplicating pairs found by both branches
+    // (scores are bit-identical: same strict left fold)
+    "dedup_embedding_lsh_rot" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket,
+         |  (${Sql.signBucket6At(6)})::BIGINT AS rbucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, rbucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n)
+         |SELECT a_id, b_id, score FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |  UNION
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM n a JOIN n b ON a.rbucket = b.rbucket AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3)
          |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_topk" ->

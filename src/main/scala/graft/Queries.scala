@@ -191,6 +191,27 @@ object Queries {
         .orderBy("user_id", "datetime_key")
     }),
 
+    // rows 11-13 capture side: quarantine counts per reject reason, over a
+    // raw frame derived deterministically from events (some rows fail each
+    // gate). Pins Transform.rejectReason's gate ORDER (first failing gate
+    // wins) under the oracle, not just the clean/quarantine partition law
+    // the sbt spec asserts.
+    "etl_quarantine" -> ((s, d) => {
+      val raw = t(s, d, "events").select(
+        col("event_id"),
+        when(col("event_id") % 13 === 0, lit("not-a-date"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+          .as("DateTime"),
+        when(col("event_id") % 5 === 0, concat(lit("Web News|"), col("event_type")))
+          .otherwise(lit("plain title no pipe")).as("VideoTitle"),
+        when(col("event_id") % 3 === 0, lit("100,206"))
+          .otherwise(lit("100,101")).as("events"))
+      graft.etl.Transform.quarantine(raw)
+        .groupBy(col("reject_reason"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"))
+        .orderBy("reject_reason")
+    }),
+
     // ─────────────────────── analytics (bench headliners) ─────────────────
     // TPC-H Q1 shape: wide aggregate over the big table.
     "q1_pricing_summary" -> ((s, d) => {
@@ -390,6 +411,26 @@ object Queries {
         |  min(event_id)::BIGINT AS first_event_id
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1, 2 ORDER BY user_id, datetime_key""".stripMargin,
+
+    // mirrors the Spark-side raw-frame derivation: events-list gate first,
+    // then title gate, then timestamp gate (event_id % 13 rows got an
+    // unparseable DateTime; all other DateTimes parse by construction)
+    "etl_quarantine" ->
+      """WITH raw AS (SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN '100,206' ELSE '100,101' END AS ev,
+        |  CASE WHEN event_id % 5 = 0 THEN 'Web News|' || event_type
+        |       ELSE 'plain title no pipe' END AS vt,
+        |  (event_id % 13 = 0) AS bad_ts
+        |  FROM events)
+        |SELECT reject_reason, count(*)::BIGINT AS n, min(event_id)::BIGINT AS min_id
+        |FROM (SELECT event_id,
+        |  CASE WHEN NOT list_contains(string_split(ev, ','), '206') THEN 'not_videostart'
+        |       WHEN len(string_split(vt, '|')) <= 1 THEN 'malformed_title'
+        |       WHEN bad_ts THEN 'bad_timestamp'
+        |       ELSE NULL END AS reject_reason
+        |  FROM raw)
+        |WHERE reject_reason IS NOT NULL
+        |GROUP BY reject_reason ORDER BY reject_reason""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -41,7 +41,15 @@ object Dims {
 
   /** Assign surrogate keys to new members: `offset + row_number() over
     * (order by naturalKey)` (SURVEY §2 row 31). Deterministic; rejected
-    * `monotonically_increasing_id` (non-contiguous, partition-dependent). */
+    * `monotonically_increasing_id` (non-contiguous, partition-dependent).
+    *
+    * The unpartitioned Window moves ALL new members through one partition —
+    * fine for classic dims (platform, site, minute: bounded, small), NOT for
+    * user-like high-cardinality dims, whose distinct-member count grows with
+    * the corpus. Route those to the scalable `zipWithIndex` twin
+    * ([[graft.etl.Fact.withFactIdsScalable]]'s pattern, `Fact.scala:60-75`):
+    * same determinism contract when sorted first, no single-partition
+    * bottleneck. */
   def withSkeys(newDim: DataFrame, naturalKey: String, skeyCol: String,
                 offset: Long = 0L): DataFrame =
     newDim.select(

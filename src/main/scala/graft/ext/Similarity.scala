@@ -76,9 +76,17 @@ object Similarity {
     * the first `bits` dimensions. Deterministic, engine-portable (no random
     * hyperplanes to ship), and a genuine member of the random-hyperplane LSH
     * family for embeddings whose coordinates are already decorrelated. */
-  def signBucket(v: Column, bits: Int): Column =
+  def signBucket(v: Column, bits: Int): Column = signBucketAt(v, bits, 0)
+
+  /** [[signBucket]] over a different coordinate slice — bit i is
+    * sign(v[offset+i+1] > 0). An independent second bucketing for rotated
+    * multi-probe: two near-dup vectors disagreeing on ≥ 2 sign bits in the
+    * first slice (which single-bit-flip probing cannot recover) still
+    * collide here unless they ALSO disagree inside this slice. Requires
+    * offset + bits ≤ dim. */
+  def signBucketAt(v: Column, bits: Int, offset: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(v, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(element_at(v, offset + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Bucketed ANN top-k: like [[bruteForceTopK]] but candidates are only
@@ -291,5 +299,32 @@ object Similarity {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
       .where(col("score") >= threshold)
+  }
+
+  /** Rotated-bucketing multi-probe: the single-bit-flip probe
+    * ([[cosineNearDupPairsMultiProbe]]) UNIONed with candidates from a
+    * SECOND, independent sign bucketing over a different coordinate slice
+    * (dims rotOffset+1 .. rotOffset+bits, see [[signBucketAt]]). A near-dup
+    * pair at bucket-Hamming ≥ 2 in the first slice — the residual miss mode
+    * of single-flip probing — is recovered whenever its signs agree across
+    * the rotated slice; a miss now needs simultaneous multi-bit disagreement
+    * in BOTH slices. Candidates are a strict superset of the single-flip
+    * variant's, at the cost of one extra bucket equi-join (the scale shape
+    * is unchanged: every join is keyed on a bucket). The branch outputs are
+    * deduplicated by DISTINCT — scores are bit-identical across branches
+    * (same strict fold), so a pair surfacing in both collapses exactly. */
+  def cosineNearDupPairsRotated(df: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, bits: Int,
+                                rotOffset: Int): DataFrame = {
+    val flip = cosineNearDupPairsMultiProbe(df, idCol, vecCol, threshold, bits)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucketAt(col(vecCol), bits, rotOffset).as("rbucket"))
+    val rot = v.select(col("rbucket"), col("id").as("a_id"), col("v").as("va"))
+      .join(v.select(col("rbucket"), col("id").as("b_id"), col("v").as("vb")),
+        Seq("rbucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("va"), col("vb")).as("score"))
+      .where(col("score") >= threshold)
+    flip.unionByName(rot).distinct()
   }
 }

@@ -1,8 +1,11 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
 /** Column ↔ catalyst Expression bridge.
   *
@@ -14,10 +17,22 @@ import org.apache.spark.sql.classic.ExpressionUtils
 private[sql] object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                              schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
 
 /** Public face of the bridge for graft code. */
 object GraftColumnBridge {
   def column(e: Expression): Column = Bridge.column(e)
   def expression(c: Column): Expression = Bridge.expression(c)
+
+  /** Wrap an `RDD[InternalRow]` back into a DataFrame without the
+    * InternalRow→Row→InternalRow round trip `createDataFrame(rdd.rdd, schema)`
+    * pays (`SparkSession.internalCreateDataFrame` is `private[sql]`). The
+    * rows must be safe to hold (copied if the producer reuses buffers). */
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+                              schema: StructType): DataFrame =
+    Bridge.internalCreateDataFrame(spark, rdd, schema)
 }

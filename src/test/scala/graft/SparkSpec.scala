@@ -12,11 +12,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = super.afterAll()
 
+  /** Scratch dir for a test — created under one per-JVM parent that a
+    * shutdown hook deletes, so repeated sbt test runs leave nothing behind
+    * in the tmp dir. */
   def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    java.nio.file.Files.createTempDirectory(SparkSpec.scratchRoot, prefix).toString
 }
 
 object SparkSpec {
+  lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-test-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(del)
+        f.delete(): Unit
+      }
+      del(root.toFile)
+    }))
+    root
+  }
+
   lazy val session: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

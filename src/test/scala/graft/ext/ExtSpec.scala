@@ -86,6 +86,44 @@ class ExtSpec extends SparkSpec {
     assert(fast.map(p => (p._1, p._2)).contains((1L, 2L)))
   }
 
+  test("nearDuplicatesFast: the signature-agreement prefilter drops no true pair") {
+    // a corpus with exact dups, near dups at several similarity grades, and
+    // unrelated docs — the prefiltered output must equal the unfiltered one
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = ((1L to 20L).map { i =>
+      (i, base + (if (i % 4 == 0) s"tail variant $i" else "tail shared words here"))
+    } ++ (30L to 40L).map(i => (i, s"totally unrelated doc $i with its own words ${i * 7}")))
+      .toDF("doc_id", "text")
+    val filtered = Dedup.nearDuplicatesFast(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val unfiltered = Dedup.nearDuplicatesFast(corpus, "doc_id", "text", minSigAgree = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(filtered === unfiltered)
+    assert(filtered.nonEmpty)
+  }
+
+  test("ensureParallelism widens narrow inputs and no-ops on well-split ones") {
+    val par = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(1000).toDF("id").coalesce(1)
+    assert(Dedup.ensureParallelism(narrow, par).rdd.getNumPartitions === par)
+    // an input already at/above the target parallelism is returned UNTOUCHED
+    // (same object ⇒ no extra Exchange in any downstream plan)
+    val wide = spark.range(1000).toDF("id").repartition(par)
+    assert(Dedup.ensureParallelism(wide, par) eq wide)
+  }
+
+  test("lshCandidates: hashed long bands produce the same pair set as string bands") {
+    val sig = (1L to 60L).map(i => (i, Seq(i % 7, i % 5, i % 3, i % 11)))
+      .toDF("doc_id", "sig")
+    def pairs(hashBands: Boolean, bandRows: Int) =
+      Dedup.lshCandidates(sig, "doc_id", "sig", bandRows = bandRows,
+          hashBands = hashBands)
+        .as[(Long, Long)].collect().toSet
+    assert(pairs(hashBands = true, bandRows = 1) === pairs(hashBands = false, bandRows = 1))
+    assert(pairs(hashBands = true, bandRows = 2) === pairs(hashBands = false, bandRows = 2))
+    assert(pairs(hashBands = true, bandRows = 1).nonEmpty)
+  }
+
   test("lshCandidates drops mega-buckets above maxBucketSize") {
     val sig = ((1L to 50L).map(i => (i, Seq("hot"))) ++
       Seq((101L, Seq("cold")), (102L, Seq("cold")), (103L, Seq("cold"))))
@@ -285,6 +323,32 @@ class ExtSpec extends SparkSpec {
     val m2 = Similarity.cosineNearDupPairsMultiProbe(vecs, "vec_id", "embedding",
       threshold = 0.0, bits = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(s2.subsetOf(m2))
+  }
+
+  test("rotated-bucketing multi-probe recovers bucket-Hamming-2 pairs flips miss") {
+    // near-identical pair straddling TWO sign boundaries in the first slice
+    // (dims 1-2): single-bit-flip probing cannot reach Hamming-2 buckets,
+    // but the rotated slice (dims 4-6) agrees — strictly better recall.
+    val straddle2 = Seq(
+      (0L, Array(0.01f, 0.01f, 1f, 1f, 1f, 1f)),
+      (1L, Array(-0.01f, -0.01f, 1f, 1f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val flips = Similarity.cosineNearDupPairsMultiProbe(
+      straddle2, "vec_id", "embedding", threshold = 0.9, bits = 3)
+    val rot = Similarity.cosineNearDupPairsRotated(
+      straddle2, "vec_id", "embedding", threshold = 0.9, bits = 3, rotOffset = 3)
+    assert(flips.count() === 0)
+    assert(rot.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      === Set((0L, 1L)))
+    // candidate-superset property (and exact dedup of double-found pairs)
+    // on the shared fixture corpus
+    val m3 = Similarity.cosineNearDupPairsMultiProbe(vecs, "vec_id", "embedding",
+      threshold = 0.0, bits = 2).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val r3 = Similarity.cosineNearDupPairsRotated(vecs, "vec_id", "embedding",
+      threshold = 0.0, bits = 2, rotOffset = 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(r3.length === r3.toSet.size) // DISTINCT collapsed duplicate finds
+    assert(m3.subsetOf(r3.toSet))
   }
 
   // ─────────────────────────── TopK ───────────────────────────────────────
