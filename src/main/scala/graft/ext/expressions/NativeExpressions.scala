@@ -3,8 +3,8 @@ package graft.ext.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
@@ -194,6 +194,151 @@ case class SimHashExpr(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** One-pass hashed word shingling: distinct n-word shingles of a word array,
+  * each hashed to a long — the per-row kernel of the fast MinHash path.
+  *
+  * The Column-expression twin
+  * (`transform(wordShingles(text, n), s => xxhash64(s))`) pays, per row: an
+  * interpreted `transform` over a `sequence` building each shingle with
+  * `slice` + `concat_ws` (two array allocations + one string per position),
+  * an interpreted `array_distinct` over the shingle strings, and a second
+  * interpreted `transform` for the hash. This computes the same result in
+  * one traversal: join n words (UTF8String.concatWs — the same
+  * null-skipping join `concat_ws` performs), dedup on byte equality (=
+  * `array_distinct` string equality, first occurrence kept), hash with the
+  * same `XXH64.hashUTF8String(s, 42L)` the builtin `xxhash64(s)` applies.
+  * BIT-IDENTICAL to the twin (NativeExprSpec), including the short-document
+  * edge: fewer than n words → empty array, never phantom shingles. */
+object HashedShingles {
+  def compute(words: ArrayData, n: Int): ArrayData = {
+    val nw = words.numElements()
+    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
+    val out = new java.util.ArrayList[java.lang.Long](nw - n + 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    var i = 0
+    while (i + n <= nw) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(space, parts: _*)
+      if (seen.add(s)) out.add(XXH64.hashUTF8String(s, 42L))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** See [[HashedShingles]]. Whole-stage codegen emits one static helper call
+  * per row (the loop itself does not benefit from inlining into the
+  * generated class; what matters is that the expression TREE is native, so
+  * the enclosing projection stays codegen'd instead of falling back to the
+  * lambda interpreter). */
+case class HashedShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle length must be >= 1: $n")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hashed_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedShingles.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.ext.expressions.HashedShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpr =
+    copy(child = newChild)
+}
+
+/** One-pass k-seed MinHash signature over an array<long> of shingle hashes.
+  *
+  * The Column-expression twin
+  * (`array((1 to k).map(j => array_min(transform(sh, s => xxhash64(lit(j), s)))))`)
+  * traverses the array k times through the lambda interpreter, allocating a
+  * k× intermediate array. This computes all k minima in one traversal with
+  * the exact arithmetic the builtin applies: `xxhash64(lit(j), s)` hashes
+  * the int literal j into the default seed 42 then folds in the long s, so
+  * element j−1 of the result is min over s of
+  * `XXH64.hashLong(s, XXH64.hashInt(j, 42L))`.
+  *
+  * Bit-identical to the twin (NativeExprSpec), including the edges: empty
+  * array → every element NULL (`array_min` of an empty array); a NULL
+  * shingle contributes `hashInt(j, 42L)` itself (the builtin SKIPS null
+  * children, leaving the seed fold-state as the value — it does not return
+  * NULL); NULL array → array of k NULLs (the twin's outer `array(...)` is
+  * never null — each `array_min(transform(null, …))` element is). */
+object MinHashSig {
+  def allNulls(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
+
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = XXH64.hashInt(j + 1, 42L); j += 1 }
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all nulls
+    val mins = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      val isNull = hashes.isNullAt(i)
+      val h = if (isNull) 0L else hashes.getLong(i)
+      j = 0
+      while (j < k) {
+        val v = if (isNull) seeds(j) else XXH64.hashLong(h, seeds(j))
+        if (i == 0 || v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** See [[MinHashSig]]. Never NULL itself (mirroring the twin's outer
+  * `array(...)`), so eval/codegen handle the null child inline instead of
+  * through the nullSafe helpers. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"signature length must be >= 1: $k")
+
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) MinHashSig.allNulls(k)
+    else MinHashSig.compute(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $arrayCls ${ev.value} = ${childGen.isNull}
+          ? graft.ext.expressions.MinHashSig.allNulls($k)
+          : graft.ext.expressions.MinHashSig.compute(${childGen.value}, $k);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -207,6 +352,18 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         // second arg = bit width, must be an integer literal
         SimHashExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShinglesExpr].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) =>
+        // second arg = shingle length, must be an integer literal
+        HashedShinglesExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) =>
+        // second arg = signature length, must be an integer literal
+        MinHashSigExpr(children(0),
           children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session registration (alternative to the extensions
@@ -230,6 +387,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) =>
         SimHashExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShinglesExpr].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) =>
+        HashedShinglesExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSigExpr(children(0),
           children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

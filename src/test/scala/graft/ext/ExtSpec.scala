@@ -112,6 +112,20 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.ensureParallelism(wide, par) eq wide)
   }
 
+  test("lshCandidates: minBandMatches keeps only pairs sharing enough bands") {
+    // docs 1,2 share two band values; 1,3 share one; 2,3 share one
+    val sig = Seq(
+      (1L, Seq("x", "y", "q1")),
+      (2L, Seq("x", "y", "q2")),
+      (3L, Seq("x", "z", "q3"))).toDF("doc_id", "sig")
+    val all = Dedup.lshCandidates(sig, "doc_id", "sig")
+      .as[(Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val two = Dedup.lshCandidates(sig, "doc_id", "sig", minBandMatches = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(two === Set((1L, 2L)))
+  }
+
   test("lshCandidates: hashed long bands produce the same pair set as string bands") {
     val sig = (1L to 60L).map(i => (i, Seq(i % 7, i % 5, i % 3, i % 11)))
       .toDF("doc_id", "sig")

@@ -87,4 +87,61 @@ class NativeExprSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head.getDouble(0)
     assert(r === 11.0)
   }
+
+  test("graft_hashed_shingles ≡ the transform/distinct/xxhash64 HOF chain on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 5)) {
+      val diff = docs.select(
+        Dedup.hashedWordShinglesHof(col("text"), n).as("hof"),
+        Dedup.hashedWordShingles(col("text"), n).as("native"))
+        .where(col("hof") =!= col("native")).count()
+      assert(diff === 0, s"n=$n")
+    }
+  }
+
+  test("graft_minhash_sig ≡ the k-fold array_min/xxhash64 chain on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(1, 8, 16)) {
+      val hashed = docs.select(Dedup.hashedWordShingles(col("text"), 3).as("sh"))
+      val diff = hashed.select(
+        Dedup.minhashSignatureFastHof(col("sh"), k).as("hof"),
+        Dedup.minhashSignatureFast(col("sh"), k).as("native"))
+        .where(col("hof") =!= col("native")).count()
+      assert(diff === 0, s"k=$k")
+    }
+  }
+
+  test("graft_minhash_sig edge semantics match the twin: empty, null elem, null array") {
+    val frames = Seq(
+      (Some(Seq[Option[Long]]()), "empty"),
+      (Some(Seq[Option[Long]](Some(7L), None)), "nullelem"),
+      (Option.empty[Seq[Option[Long]]], "nullarr"))
+      .toDF("sh", "label")
+    val rows = frames.select(col("label"),
+      Dedup.minhashSignatureFastHof(col("sh"), 4).as("hof"),
+      Dedup.minhashSignatureFast(col("sh"), 4).as("native")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), r.getString(0))
+      else assert(r.getSeq[Any](1) === r.getSeq[Any](2), r.getString(0))
+    }
+  }
+
+  test("graft_hashed_shingles edge semantics match the twin") {
+    // short doc (< n words), exactly n words, repeated shingles (distinct),
+    // empty string, unicode, and a NULL text
+    val fixtures = Seq("ab", "one two three", "a b a b a b a b", "",
+      "héllo wörld héllo wörld emoji 🙂 here").toDF("text")
+    val rows = fixtures.select(
+      Dedup.hashedWordShinglesHof(col("text"), 3).as("hof"),
+      Dedup.hashedWordShingles(col("text"), 3).as("native")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val nullRow = Seq(Option.empty[String]).toDF("text").select(
+      Dedup.hashedWordShingles(col("text"), 3).as("native")).head
+    assert(nullRow.isNullAt(0))
+    // registered SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_hashed_shingles(array('a','b','c','d'), 3) AS sh")
+      .head.getSeq[Long](0)
+    assert(viaSql.length === 2) // "a b c", "b c d"
+  }
 }
