@@ -254,15 +254,21 @@ object Queries {
         .orderBy("r_name")
     }),
 
-    // window top-k: 3 priciest orders per market segment.
+    // top-k per group: 3 priciest orders per market segment. The oracle
+    // restates it as the classic rank window; the Spark side runs the
+    // bounded-heap TopK aggregator (tie-identical to row_number over
+    // (price desc, key asc) — ExtSpec-asserted), whose map-side partials
+    // cap the shuffle at k rows per (partition, segment) instead of moving
+    // EVERY order of a segment through one window partition — the same
+    // run-scale-path-against-window-oracle pattern as sample_cap_source.
     "q_topk_window" -> ((s, d) => {
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, d, "orders").join(t(s, d, "customer"),
+      val scored = t(s, d, "orders").join(t(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rk"))
-        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      graft.ext.TopK.topKPerKey(scored, "c_mktsegment", "o_totalprice",
+          "o_orderkey", k = 3)
+        .select(col("c_mktsegment"), col("id").as("o_orderkey"),
+          col("score").as("o_totalprice"), col("rank").as("rk"))
         .orderBy("c_mktsegment", "rk")
     }),
 

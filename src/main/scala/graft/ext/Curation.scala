@@ -32,8 +32,13 @@ object Curation {
     * The final label checkpoint is still read lazily by the returned frames,
     * so its ownership passes to the caller's `scope` (null → it stays
     * persisted, the pre-scope behavior). */
+  /** The quality-gate predicate (enough tokens, bounded stopword share). */
+  private def qualityPred(textCol: String, cfg: Config): Column =
+    TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
+      TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio
+
   private def stages(docs: DataFrame, idCol: String, textCol: String,
-                     cfg: Config, scope: CacheScope): (DataFrame, DataFrame, DataFrame) = {
+                     cfg: Config, scope: CacheScope): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // 1. exact dedup: keep the min-id copy of each normalized text
     val afterExact = Dedup.exactDedup(docs, idCol, textCol)
 
@@ -51,10 +56,8 @@ object Curation {
     val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
 
     // 3. quality gate: enough tokens, bounded stopword share
-    val afterQuality = afterNear.where(
-      TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
-        TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio)
-    (afterExact, afterNear, afterQuality)
+    val afterQuality = afterNear.where(qualityPred(textCol, cfg))
+    (afterExact, losers, afterNear, afterQuality)
   }
 
   /** Surviving documents after the full pipeline. Output = input rows of the
@@ -62,16 +65,27 @@ object Curation {
     * after the consuming action to release every cached intermediate. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), scope: CacheScope = null): DataFrame =
-    stages(docs, idCol, textCol, cfg, scope)._3
+    stages(docs, idCol, textCol, cfg, scope)._4
 
-  /** Per-stage funnel counts — the audit a curation run reports. */
+  /** Per-stage funnel counts — the audit a curation run reports. The three
+    * post-input counts come from ONE aggregation job over the exact-dedup
+    * survivors (loser flag via left join + conditional sums), not three
+    * separate actions each re-running the dedup lineage. */
   def funnel(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (afterExact, afterNear, afterQuality) = stages(docs, idCol, textCol, cfg, scope)
-    Seq(("0_input", docs.count()), ("1_exact_dedup", afterExact.count()),
-      ("2_neardup_dedup", afterNear.count()),
-      ("3_quality_gate", afterQuality.count())).toDF("stage", "n_docs")
+    val (afterExact, losers, _, _) = stages(docs, idCol, textCol, cfg, scope)
+    val surviving = col("_loser").isNull
+    val counts = afterExact
+      .join(losers.select(col(idCol), lit(true).as("_loser")), Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(when(surviving, 1L).otherwise(0L)), lit(0L)).as("n_near"),
+        coalesce(sum(when(surviving && qualityPred(textCol, cfg), 1L)
+          .otherwise(0L)), lit(0L)).as("n_quality"))
+      .head()
+    Seq(("0_input", docs.count()), ("1_exact_dedup", counts.getLong(0)),
+      ("2_neardup_dedup", counts.getLong(1)),
+      ("3_quality_gate", counts.getLong(2))).toDF("stage", "n_docs")
   }
 }

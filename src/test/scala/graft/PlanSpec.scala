@@ -54,4 +54,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"probe side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dedup_embedding_lsh_rot: every join keyed on a bucket, no cartesian") {
+    val p = plan("dedup_embedding_lsh_rot")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"unexpected nested loop:\n$p")
+  }
+
+  test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
+    val p = plan("q_topk_window")
+    // the rank-window shape would show a Window node sorting every order of
+    // a segment in one partition; the aggregator shape must not
+    assert(!p.contains("Window"), s"expected the TopK aggregate, got a window:\n$p")
+    assert(p.contains("Aggregate"), s"expected partial/final aggregate nodes:\n$p")
+  }
 }
