@@ -240,17 +240,25 @@ object Queries {
         .orderBy("c_mktsegment")
     }),
 
-    // 5-way star join: revenue per region (dims broadcast).
+    // 5-way star join: revenue per region (dims broadcast). Lineitem revenue
+    // is pre-aggregated per orderkey BELOW the join — each order joins 1:1
+    // with customer/nation/region, and decimal addition is associative, so
+    // the two-level sum is bit-identical to the flat one while the join
+    // shuffle carries one row per order instead of one per lineitem (a
+    // reduction Catalyst does not derive on its own).
     "q5_region_revenue" -> ((s, d) => {
-      t(s, d, "lineitem")
+      val ordRev = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
+          .as("ord_rev"))
+      ordRev
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(money(col("l_extendedprice")) *
-            (lit(java.math.BigDecimal.ONE).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")))
-          .cast("double").as("revenue"))
+        .agg(sum(col("ord_rev")).cast("double").as("revenue"))
         .orderBy("r_name")
     }),
 
