@@ -267,6 +267,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Mixture weighting: per-source Bernoulli fractions (web-style
+    // downsampling), a pure scan-level filter — the kept row set itself is
+    // compared, not just counts. Unlisted sources keep the default 0.1.
+    "sample_mixture" -> ((s, d) => {
+      Sampling.sampleByGroupHash(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget cap per source: rows taken in hash-rank order while the
+    // running token total stays within budget (the first crossing row is
+    // kept, so no domain starves). The kept rows themselves are compared.
+    "sample_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextStats.nTokens(col("text")))
+      Sampling.capPerGroupTokens(docs, "source", "doc_id", "n_tok", budget = 700)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram with
     // the probe slice (doc_id % 20 == 0), with the shared-gram count.
     "decontaminate" -> ((s, d) => {
@@ -927,6 +949,27 @@ object ExtQueries {
       s"""SELECT doc_id, source FROM documents
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_mixture" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${Sql.unitHash("doc_id::VARCHAR")} <
+         |  (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |        WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    // running token total in hash-rank order; ROWS frame explicit so the
+    // cumulative matches Spark's rowsBetween even on (impossible) ties
+    "sample_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    len(string_split(text, ' '))::INT AS n_tok FROM documents)
+         |SELECT doc_id, source, n_tok FROM (
+         |  SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |WHERE cum - n_tok < 700
          |ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->

@@ -104,4 +104,48 @@ object Sampling {
     df.join(kept, df(groupCol) <=> col("_g") && df(keyCol) === col("_k"),
       "left_semi")
   }
+
+  /** Per-group Bernoulli fractions — the mixture-weighting primitive: keep
+    * each row with its OWN group's probability (e.g. web 0.1, books 1.0,
+    * code 0.5). A pure scan-level filter, no shuffle at all: the fractions
+    * ride along as a literal CASE, membership is `unitHash(key) <
+    * fraction(group)`, so the kept set is deterministic, retry-stable, and
+    * nests across fraction changes (raising a group's weight only ADDS
+    * rows — the hash threshold grows, nothing previously kept is lost).
+    * Groups absent from the map keep `defaultFraction` (0 = drop). */
+  def sampleByGroupHash(df: DataFrame, groupCol: String, keyCol: String,
+                        fractions: Map[String, Double],
+                        defaultFraction: Double = 0.0,
+                        salt: String = ""): DataFrame = {
+    (defaultFraction +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction out of range: $f"))
+    val frac = fractions.foldLeft(lit(defaultFraction)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(acc)
+    }
+    df.where(unitHash(col(keyCol), salt) < frac)
+  }
+
+  /** Keep rows per group until a TOKEN budget is exhausted (training-data
+    * mixing caps token counts, not document counts): rows are taken in
+    * hash-rank order (deterministic, same order contract as [[capPerGroup]])
+    * while the RUNNING total of `tokenCol` stays within `budget` — the
+    * first row that crosses the budget is the last one kept, so every group
+    * with any rows keeps at least one (a single over-budget document cannot
+    * deadlock its domain). One shuffle on the group key (the window's
+    * partition), which is the minimum the cumulative semantics allow; for a
+    * corpus-dominating group, cap row COUNT first with
+    * [[capPerGroupSkewSafe]] and budget within the survivors. */
+  def capPerGroupTokens(df: DataFrame, groupCol: String, keyCol: String,
+                        tokenCol: String, budget: Long,
+                        salt: String = ""): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
+    require(!df.columns.contains("_cum"),
+      "capPerGroupTokens: input already has a '_cum' column — it would be clobbered")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(keyCol), salt).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .where(col("_cum") - col(tokenCol).cast("long") < budget)
+      .drop("_cum")
+  }
 }

@@ -526,6 +526,41 @@ class ExtSpec extends SparkSpec {
     assert(heap.count(_._1.isEmpty) === 7) // NULL-group rows not dropped
   }
 
+  test("sampleByGroupHash: per-group fractions, nesting, and the default") {
+    val df = (1L to 400L).map(i => (s"g${i % 4}", i)).toDF("grp", "id")
+    val kept = Sampling.sampleByGroupHash(df, "grp", "id",
+      Map("g0" -> 1.0, "g1" -> 0.5), defaultFraction = 0.0)
+    val byGroup = kept.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup("g0") === 100L)                  // fraction 1.0 keeps all
+    assert(byGroup.getOrElse("g2", 0L) === 0L)      // default 0.0 drops
+    assert(byGroup("g1") > 20L && byGroup("g1") < 80L) // ~half
+    // nesting: raising a group's fraction only ADDS rows
+    val lower = Sampling.sampleByGroupHash(df, "grp", "id", Map("g1" -> 0.2))
+      .select("id").as[Long].collect().toSet
+    val higher = Sampling.sampleByGroupHash(df, "grp", "id", Map("g1" -> 0.6))
+      .select("id").as[Long].collect().toSet
+    assert(lower.subsetOf(higher))
+  }
+
+  test("capPerGroupTokens: budget respected, first-crossing row kept, no starvation") {
+    val df = ((1L to 50L).map(i => ("a", i, 10)) ++
+      Seq(("big", 100L, 999)) ++                    // single over-budget doc
+      (200L to 205L).map(i => ("b", i, 40))).toDF("grp", "id", "n_tok")
+    val kept = Sampling.capPerGroupTokens(df, "grp", "id", "n_tok", budget = 100)
+    val byGroup = kept.collect().groupBy(_.getString(0))
+    // group a: rows of 10 tokens — exactly 10 rows reach the 100 budget
+    assert(byGroup("a").length === 10)
+    // group b: 40+40+40 — the third row CROSSES the budget and is kept
+    assert(byGroup("b").length === 3)
+    // an over-budget single document cannot starve its domain
+    assert(byGroup("big").length === 1)
+    assert(kept.columns.toSeq === df.columns.toSeq) // helper column dropped
+    // deterministic: same kept ids on re-run
+    assert(kept.select("id").as[Long].collect().toSet ===
+      Sampling.capPerGroupTokens(df, "grp", "id", "n_tok", 100)
+        .select("id").as[Long].collect().toSet)
+  }
+
   test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
     // a string key would cast("long") to NULL and silently lose its rows —
     // misuse must throw, not return a partial kept set
