@@ -22,8 +22,14 @@ object Curation {
       maxStopwordRatio: Double = 0.25,
       stopwords: Seq[String] = Seq("data", "table", "row", "value"))
 
-  /** The three pipeline stages as frames (shared by [[curate]] and
-    * [[funnel]] so the heavyweight dedup stages are planned once).
+  /** The quality-gate predicate (enough tokens, bounded stopword share). */
+  private def qualityPred(textCol: String, cfg: Config): Column =
+    TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
+      TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio
+
+  /** The pipeline stages as frames — (afterExact, losers, afterNear,
+    * afterQuality) — shared by [[curate]] and [[funnel]] so the heavyweight
+    * dedup stages are planned once.
     *
     * Cache discipline: the shingle/band frames persisted inside
     * [[Dedup.nearDuplicates]] are fully consumed once
@@ -32,11 +38,6 @@ object Curation {
     * The final label checkpoint is still read lazily by the returned frames,
     * so its ownership passes to the caller's `scope` (null → it stays
     * persisted, the pre-scope behavior). */
-  /** The quality-gate predicate (enough tokens, bounded stopword share). */
-  private def qualityPred(textCol: String, cfg: Config): Column =
-    TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
-      TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio
-
   private def stages(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config, scope: CacheScope): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     // 1. exact dedup: keep the min-id copy of each normalized text
@@ -75,6 +76,8 @@ object Curation {
              cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(!docs.columns.contains("_loser"),
+      "funnel: input already has a '_loser' column — it would collide with the stage flag")
     val (afterExact, losers, _, _) = stages(docs, idCol, textCol, cfg, scope)
     val surviving = col("_loser").isNull
     val counts = afterExact

@@ -309,10 +309,14 @@ object Dedup {
     // bound): keep candidates whose signatures agree on >= minSigAgree
     // positions. With 1-row bands a shared band IS an agreeing position, so
     // the count rides the pair aggregation lshCandidates pays anyway
-    // (minBandMatches) — zero extra joins. With wider bands the agreement is
-    // counted explicitly against the signature frame; only meaningful above
-    // bandRows (every candidate already agrees on one full band).
-    val useBandCount = bandRows == 1 && minSigAgree > 1
+    // (minBandMatches) — zero extra joins. The free path requires UNCAPPED
+    // buckets: a dropped mega-bucket removes its band from the count, and an
+    // agreement the explicit signature comparison would still see must not
+    // silently stop counting. With bucket capping or wider bands the
+    // agreement is counted explicitly against the signature frame; only
+    // meaningful above bandRows (every candidate already agrees on one band).
+    val useBandCount =
+      bandRows == 1 && minSigAgree > 1 && maxBucketSize == Int.MaxValue
     val needSigJoin = !useBandCount && minSigAgree > bandRows
     val sig0 = sh.select(col(idCol), signatureOf(col("sh"), numHashes).as("sig"))
     // With the join prefilter, the signature frame is read three times

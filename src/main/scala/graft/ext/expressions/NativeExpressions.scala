@@ -207,15 +207,22 @@ case class SimHashExpr(child: Expression, bits: Int)
   * null-skipping join `concat_ws` performs), dedup on byte equality (=
   * `array_distinct` string equality, first occurrence kept), hash with the
   * same `XXH64.hashUTF8String(s, 42L)` the builtin `xxhash64(s)` applies.
-  * BIT-IDENTICAL to the twin (NativeExprSpec), including the short-document
-  * edge: fewer than n words → empty array, never phantom shingles. */
+  * BIT-IDENTICAL to the twin (NativeExprSpec), including the edges: fewer
+  * than n words → empty array, never phantom shingles; NULL words array →
+  * empty array too (the twin's `wordShingles` guard `when(size(NULL) >= n)`
+  * falls through to its empty-array branch — it never yields NULL). */
 object HashedShingles {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty = new GenericArrayData(Array.emptyLongArray)
+
+  def empty: ArrayData = Empty
+
   def compute(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
-    if (nw < n) return new GenericArrayData(Array.emptyLongArray)
-    val out = new java.util.ArrayList[java.lang.Long](nw - n + 1)
+    if (nw < n) return Empty
+    val out = new Array[Long](nw - n + 1)
+    var m = 0
     val seen = new java.util.HashSet[UTF8String]()
-    val space = UTF8String.fromString(" ")
     var i = 0
     while (i + n <= nw) {
       val parts = new Array[UTF8String](n)
@@ -224,14 +231,11 @@ object HashedShingles {
         parts(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
         j += 1
       }
-      val s = UTF8String.concatWs(space, parts: _*)
-      if (seen.add(s)) out.add(XXH64.hashUTF8String(s, 42L))
+      val s = UTF8String.concatWs(Space, parts: _*)
+      if (seen.add(s)) { out(m) = XXH64.hashUTF8String(s, 42L); m += 1 }
       i += 1
     }
-    val arr = new Array[Long](out.size)
-    var k = 0
-    while (k < arr.length) { arr(k) = out.get(k); k += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 }
 
@@ -239,21 +243,38 @@ object HashedShingles {
   * per row (the loop itself does not benefit from inlining into the
   * generated class; what matters is that the expression TREE is native, so
   * the enclosing projection stays codegen'd instead of falling back to the
-  * lambda interpreter). */
+  * lambda interpreter). Never NULL itself — a NULL words array yields the
+  * empty shingle set, mirroring the twin — so eval/codegen handle the null
+  * child inline instead of through the nullSafe helpers. */
 case class HashedShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(n >= 1, s"shingle length must be >= 1: $n")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_hashed_shingles"
 
-  override protected def nullSafeEval(input: Any): Any =
-    HashedShingles.compute(input.asInstanceOf[ArrayData], n)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) HashedShingles.empty
+    else HashedShingles.compute(v.asInstanceOf[ArrayData], n)
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.ext.expressions.HashedShingles.compute($c, $n);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $arrayCls ${ev.value} = ${childGen.isNull}
+          ? graft.ext.expressions.HashedShingles.empty()
+          : graft.ext.expressions.HashedShingles.compute(${childGen.value}, $n);
+      """,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): HashedShinglesExpr =
     copy(child = newChild)
@@ -277,20 +298,30 @@ case class HashedShinglesExpr(child: Expression, n: Int)
   * NULL); NULL array → array of k NULLs (the twin's outer `array(...)` is
   * never null — each `array_min(transform(null, …))` element is). */
 object MinHashSig {
+  // seed j = hashInt(j+1, 42L) is a pure function of k — computed once per
+  // signature width, not once per row (the kernel runs per document)
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def seedsFor(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, k => {
+      val s = new Array[Long](k)
+      var j = 0
+      while (j < k) { s(j) = XXH64.hashInt(j + 1, 42L); j += 1 }
+      s
+    })
+
   def allNulls(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
 
   def compute(hashes: ArrayData, k: Int): ArrayData = {
     val n = hashes.numElements()
-    val seeds = new Array[Long](k)
-    var j = 0
-    while (j < k) { seeds(j) = XXH64.hashInt(j + 1, 42L); j += 1 }
-    if (n == 0) return new GenericArrayData(new Array[Any](k)) // all nulls
+    if (n == 0) return allNulls(k)
+    val seeds = seedsFor(k)
     val mins = new Array[Long](k)
     var i = 0
     while (i < n) {
       val isNull = hashes.isNullAt(i)
       val h = if (isNull) 0L else hashes.getLong(i)
-      j = 0
+      var j = 0
       while (j < k) {
         val v = if (isNull) seeds(j) else XXH64.hashLong(h, seeds(j))
         if (i == 0 || v < mins(j)) mins(j) = v

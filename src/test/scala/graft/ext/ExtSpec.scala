@@ -102,6 +102,24 @@ class ExtSpec extends SparkSpec {
     assert(filtered.nonEmpty)
   }
 
+  test("prefilter with bucket capping falls back to the exact signature count") {
+    // when mega-buckets are dropped, the free band-count path would stop
+    // counting agreements that fall in capped buckets — the exact
+    // signature-join prefilter must kick in so no true pair is lost
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val corpus = ((1L to 20L).map { i =>
+      (i, base + (if (i % 4 == 0) s"tail variant $i" else "tail shared words here"))
+    } ++ (30L to 40L).map(i => (i, s"totally unrelated doc $i with its own words ${i * 7}")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.nearDuplicatesFast(corpus, "doc_id", "text",
+        maxBucketSize = 18)
+      .as[(Long, Long, Double)].collect().toSet
+    val cappedNoPrefilter = Dedup.nearDuplicatesFast(corpus, "doc_id", "text",
+        maxBucketSize = 18, minSigAgree = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped === cappedNoPrefilter)
+  }
+
   test("ensureParallelism widens narrow inputs and no-ops on well-split ones") {
     val par = spark.sparkContext.defaultParallelism
     val narrow = spark.range(1000).toDF("id").coalesce(1)

@@ -91,10 +91,12 @@ class NativeExprSpec extends SparkSpec {
   test("graft_hashed_shingles ≡ the transform/distinct/xxhash64 HOF chain on real text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (n <- Seq(1, 3, 5)) {
+      // null-SAFE comparison: a plain =!= would silently skip any row where
+      // exactly one side is NULL — the divergence class under test
       val diff = docs.select(
         Dedup.hashedWordShinglesHof(col("text"), n).as("hof"),
         Dedup.hashedWordShingles(col("text"), n).as("native"))
-        .where(col("hof") =!= col("native")).count()
+        .where(!(col("hof") <=> col("native"))).count()
       assert(diff === 0, s"n=$n")
     }
   }
@@ -106,7 +108,7 @@ class NativeExprSpec extends SparkSpec {
       val diff = hashed.select(
         Dedup.minhashSignatureFastHof(col("sh"), k).as("hof"),
         Dedup.minhashSignatureFast(col("sh"), k).as("native"))
-        .where(col("hof") =!= col("native")).count()
+        .where(!(col("hof") <=> col("native"))).count()
       assert(diff === 0, s"k=$k")
     }
   }
@@ -135,9 +137,13 @@ class NativeExprSpec extends SparkSpec {
       Dedup.hashedWordShinglesHof(col("text"), 3).as("hof"),
       Dedup.hashedWordShingles(col("text"), 3).as("native")).collect()
     rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // NULL text: the twin's wordShingles guard falls through to its
+    // empty-array branch, never NULL — the native expression must match
     val nullRow = Seq(Option.empty[String]).toDF("text").select(
+      Dedup.hashedWordShinglesHof(col("text"), 3).as("hof"),
       Dedup.hashedWordShingles(col("text"), 3).as("native")).head
-    assert(nullRow.isNullAt(0))
+    assert(!nullRow.isNullAt(0) && nullRow.getSeq[Long](0).isEmpty)
+    assert(!nullRow.isNullAt(1) && nullRow.getSeq[Long](1).isEmpty)
     // registered SQL surface
     val viaSql = spark.sql(
       "SELECT graft_hashed_shingles(array('a','b','c','d'), 3) AS sh")
