@@ -338,6 +338,24 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Repetition profile (Gopher/C4-style quality filter): share of a
+    // document's bigram occurrences taken by its most frequent bigram.
+    "text_repetition" -> ((s, d) => {
+      TextStats.repetitionStats(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: per-source greedy concat-and-chunk into 512-token
+    // context windows; each doc tagged with the sequence its start falls in.
+    "sample_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextStats.nTokens(col("text")))
+      Sampling.packIntoSequences(docs, "source", "doc_id", "n_tok",
+          seqTokens = 512)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("seq_no"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary analysis: top-10 tokens per language by document frequency
     // (the stopword-discovery / corpus-stats primitive).
     "text_top_tokens" -> ((s, d) => {
@@ -1015,6 +1033,28 @@ object ExtQueries {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+         |    i -> array_to_string(words[i:i+1], ' '))) AS gram
+         |  FROM w WHERE len(words) >= 2),
+         |c AS (SELECT doc_id, gram, count(*)::BIGINT AS n FROM g GROUP BY 1, 2)
+         |SELECT doc_id, max(n)::BIGINT AS top_gram_n, sum(n)::BIGINT AS n_grams,
+         |  max(n)::DOUBLE / sum(n) AS top_share
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    len(string_split(text, ' '))::INT AS n_tok FROM documents),
+         |x AS (SELECT doc_id, source, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, n_tok, ((cum - n_tok) // 512)::BIGINT AS seq_no
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "text_top_tokens" ->
       """WITH tok AS (SELECT lang,

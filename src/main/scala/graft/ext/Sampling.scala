@@ -148,4 +148,29 @@ object Sampling {
       .where(col("_cum") - col(tokenCol).cast("long") < budget)
       .drop("_cum")
   }
+
+  /** Sequence packing for training: assign each document a `seq_no` such
+    * that concatenating a group's documents in hash-rank order fills
+    * `seqTokens`-sized context windows — seq_no = the window its STARTING
+    * offset falls in (the greedy concat-and-chunk assignment; a document
+    * straddling a boundary belongs to the sequence it starts in). Same
+    * deterministic order contract as [[capPerGroupTokens]]; one shuffle on
+    * the group key. The offset arithmetic is exact in a double up to 2^53
+    * tokens PER GROUP — far past any real per-domain corpus; the group
+    * split is also what keeps the window scalable. */
+  def packIntoSequences(df: DataFrame, groupCol: String, keyCol: String,
+                        tokenCol: String, seqTokens: Long,
+                        salt: String = "", outCol: String = "seq_no"): DataFrame = {
+    require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
+    Seq("_cum", outCol).foreach(c => require(!df.columns.contains(c),
+      s"packIntoSequences: input already has a '$c' column — it would be clobbered"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(unitHash(col(keyCol), salt).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn(outCol,
+        floor((col("_cum") - col(tokenCol).cast("long")) / lit(seqTokens))
+          .cast("long"))
+      .drop("_cum")
+  }
 }

@@ -108,4 +108,33 @@ object TextStats {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
   }
+
+  /** ALL word n-gram occurrences (NOT distinct — [[graft.ext.Dedup.wordShingles]]
+    * dedups for set similarity; repetition measurement needs the counts). */
+  def wordNgramsAll(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - lit(n - 1)),
+        i => concat_ws(" ", slice(w, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Per-document n-gram repetition profile — the Gopher/C4-style quality
+    * signal "what share of the document is its most frequent n-gram":
+    * (id, top_gram_n, n_grams, top_share) for every document with at least
+    * one n-gram. `top_share` near 1 ⟹ boilerplate / degenerate repetition.
+    *
+    * Scale shape: explode is map-side; the two aggregations are keyed on
+    * (id, gram) then (id), both with map-side partial aggregation — no
+    * windows, no per-doc driver work. The share is one division of two
+    * exact counts (cross-engine bit-identical). */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("top_gram_n"), sum(col("_c")).as("n_grams"))
+      .select(col(idCol), col("top_gram_n"), col("n_grams"),
+        (col("top_gram_n").cast("double") / col("n_grams")).as("top_share"))
 }

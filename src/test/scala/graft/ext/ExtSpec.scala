@@ -579,6 +579,44 @@ class ExtSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet)
   }
 
+  test("repetitionStats: degenerate repetition scores near 1, varied text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),         // one bigram, repeated
+      (2L, "one two three four five six"),      // all bigrams distinct
+      (3L, "ab"),                               // single word: no bigram row
+      (4L, "x y x y x y")                       // "x y" 3 of 5
+    ).toDF("doc_id", "text")
+    val stats = TextStats.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats(1L) === ((4L, 4L, 1.0)))
+    assert(stats(2L)._3 === 0.2)                // 1 of 5 bigrams
+    assert(!stats.contains(3L))
+    assert(stats(4L) === ((3L, 5L, 0.6)))
+  }
+
+  test("packIntoSequences: greedy concat-and-chunk by start offset, per group") {
+    val df = (1L to 6L).map(i => ("g", i, 10)).toDF("grp", "id", "n_tok")
+    val packed = Sampling.packIntoSequences(df, "grp", "id", "n_tok", seqTokens = 25)
+    // recompute expected assignments from the same hash order the op uses
+    val order = df.select(col("id"),
+        Sampling.unitHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    val expected = order.zipWithIndex.map { case (id, pos) =>
+      id -> (pos * 10L) / 25L // start offset / seq size
+    }.toMap
+    val got = packed.select("id", "seq_no").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    assert(got.values.min === 0L && got.values.max === 2L) // 60 tokens / 25
+    // helper column dropped, output column present
+    assert(packed.columns.toSeq === df.columns.toSeq :+ "seq_no")
+    // clobber guard
+    val e = intercept[IllegalArgumentException] {
+      Sampling.packIntoSequences(packed, "grp", "id", "n_tok", 25)
+    }
+    assert(e.getMessage.contains("seq_no"))
+  }
+
   test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
     // a string key would cast("long") to NULL and silently lose its rows —
     // misuse must throw, not return a partial kept set
