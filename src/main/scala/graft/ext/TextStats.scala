@@ -124,12 +124,36 @@ object TextStats {
     * (id, top_gram_n, n_grams, top_share) for every document with at least
     * one n-gram. `top_share` near 1 ⟹ boilerplate / degenerate repetition.
     *
-    * Scale shape: explode is map-side; the two aggregations are keyed on
-    * (id, gram) then (id), both with map-side partial aggregation — no
-    * windows, no per-doc driver work. The share is one division of two
-    * exact counts (cross-engine bit-identical). */
+    * Scale shape: ZERO shuffle — the counts come from the one-pass native
+    * expression ([[graft.ext.expressions.RepetitionStatsExpr]]), so the
+    * per-document statistic never leaves its row (the explode twin
+    * [[repetitionStatsViaExplode]] shuffles every n-gram occurrence in the
+    * corpus through a (doc, gram) aggregation — correct, and what the
+    * DuckDB oracle restates, but a corpus-tokens-sized exchange). Exact
+    * string counts in both paths; the share is one division of two exact
+    * counts (cross-engine bit-identical). */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    val stats = GraftColumnBridge.column(
+      graft.ext.expressions.RepetitionStatsExpr(
+        GraftColumnBridge.expression(tokens(col(textCol))), n))
+    // short docs (no n-gram) are excluded by the CHEAP precondition on raw
+    // text, which pushes to the scan — a where(isNotNull) on the expression
+    // output would instead be pushed down as a clone of the whole kernel
+    // (the projection-collapse recompute pathology)
+    df.where(size(tokens(col(textCol))) >= n)
+      .select(col(idCol), stats.as("_rs"))
+      .select(col(idCol),
+        col("_rs.top_gram_n").as("top_gram_n"),
+        col("_rs.n_grams").as("n_grams"),
+        (col("_rs.top_gram_n").cast("double") / col("_rs.n_grams")).as("top_share"))
+  }
+
+  /** Explode/aggregate twin of [[repetitionStats]] — the portable reference
+    * implementation ExtSpec compares against. */
+  private[ext] def repetitionStatsViaExplode(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
     df.select(col(idCol), explode(wordNgramsAll(col(textCol), n)).as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("_c"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -370,6 +370,70 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass per-document n-gram repetition profile: (top_gram_n, n_grams) —
+  * the occurrence count of the most frequent word n-gram and the total
+  * occurrence count. The frame-level twin
+  * ([[graft.ext.TextStats.repetitionStatsViaExplode]]) explodes every n-gram
+  * OCCURRENCE and shuffles them all through a (doc, gram) aggregation — a
+  * corpus-tokens-sized exchange for a statistic that never needs to leave
+  * its row. This computes exact string counts (no hashing, no collisions)
+  * in one traversal with a per-row map bounded by the document length, so
+  * the repetition profile is a pure zero-shuffle projection.
+  *
+  * NULL / short edge: fewer than n words (or a NULL words array) → NULL —
+  * mirroring the explode twin, where such documents produce no row. */
+object RepetitionStats {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(words: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nw = words.numElements()
+    if (nw < n) return null
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0L
+    var i = 0
+    while (i + n <= nw) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (words.isNullAt(i + j)) null else words.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(Space, parts: _*)
+      val c = counts.merge(s, 1, (a, b) => a + b)
+      if (c > top) top = c.toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](top, (nw - n + 1).toLong))
+  }
+}
+
+/** See [[RepetitionStats]]. */
+case class RepetitionStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n-gram length must be >= 1: $n")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_gram_n", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repetition"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.ext.expressions.RepetitionStats.compute($c, $n);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -395,6 +459,12 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         // second arg = signature length, must be an integer literal
         MinHashSigExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),
+      (children: Seq[Expression]) =>
+        // second arg = n-gram length, must be an integer literal
+        RepetitionStatsExpr(children(0),
           children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Idempotent per-session registration (alternative to the extensions
@@ -428,6 +498,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) =>
         MinHashSigExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),
+      (children: Seq[Expression]) =>
+        RepetitionStatsExpr(children(0),
           children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -592,6 +592,14 @@ class ExtSpec extends SparkSpec {
     assert(stats(2L)._3 === 0.2)                // 1 of 5 bigrams
     assert(!stats.contains(3L))
     assert(stats(4L) === ((3L, 5L, 0.6)))
+    // the zero-shuffle native path equals the explode/aggregate twin
+    val viaExplode = TextStats.repetitionStatsViaExplode(docs, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats === viaExplode)
+    // and it IS zero-shuffle: no Exchange anywhere in the plan
+    val plan = TextStats.repetitionStats(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a pure projection:\n$plan")
   }
 
   test("packIntoSequences: greedy concat-and-chunk by start offset, per group") {
