@@ -338,6 +338,19 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // PII redaction over a frame with PLANTED pii (an email + a 7-digit ref
+    // derived from doc_id) — the scrubbed strings themselves are compared,
+    // so any masking difference (greediness, missed span, global-vs-first
+    // replacement) hash-fails.
+    "text_scrub" -> ((s, d) => {
+      val dirty = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com ref "),
+        (col("doc_id") * 7919 + 1000000).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.scrubPii(dirty).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition profile (Gopher/C4-style quality filter): share of a
     // document's bigram occurrences taken by its most frequent bigram.
     "text_repetition" -> ((s, d) => {
@@ -1033,6 +1046,17 @@ object ExtQueries {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // DuckDB regexp_replace defaults to first-match-only — the 'g' flag
+    // makes it global like Spark's
+    "text_scrub" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(
+         |    substr(text, 1, 40) || ' contact user' || doc_id ||
+         |      '@mail.example.com ref ' || (doc_id * 7919 + 1000000),
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words

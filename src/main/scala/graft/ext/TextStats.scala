@@ -109,6 +109,18 @@ object TextStats {
       .where(col("rk") <= k)
   }
 
+  /** PII redaction: mask email addresses then long digit runs (7+ digits —
+    * phone/account/ID shapes) with typed placeholders. Pure `regexp_replace`
+    * chain — codegen'd, per-row, no shuffle. The patterns use the common
+    * RE2/Java subset (character classes + bounded repetition, no
+    * lookaround), so an external engine reproduces the masking exactly;
+    * extend the chain per-deployment for further PII classes. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(email, "[0-9]{7,}", "<NUM>")
+  }
+
   /** ALL word n-gram occurrences (NOT distinct — [[graft.ext.Dedup.wordShingles]]
     * dedups for set similarity; repetition measurement needs the counts). */
   def wordNgramsAll(text: Column, n: Int): Column = {

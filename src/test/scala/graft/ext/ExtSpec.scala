@@ -579,6 +579,19 @@ class ExtSpec extends SparkSpec {
         .select("id").as[Long].collect().toSet)
   }
 
+  test("scrubPii masks emails and long digit runs, leaves short numbers alone") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org or call 5551234567 today"),
+      (2L, "order 42 of 100 units"),                 // short numbers untouched
+      (3L, "a@b.co and c_d%e@f-g.h.io twice")        // two emails, both masked
+    ).toDF("id", "text")
+      .select(col("id"), TextStats.scrubPii(col("text")).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) === "mail me at <EMAIL> or call <NUM> today")
+    assert(rows(2L) === "order 42 of 100 units")
+    assert(rows(3L) === "<EMAIL> and <EMAIL> twice")
+  }
+
   test("repetitionStats: degenerate repetition scores near 1, varied text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),         // one bigram, repeated
