@@ -75,6 +75,13 @@ object ExtQueries {
         .orderBy("fingerprint")
     }),
 
+    // Span-level exact dedup: tile into 16-token spans, keep the first
+    // corpus-wide occurrence of each distinct span, reassemble survivors.
+    "dedup_spans" -> ((s, d) => {
+      Dedup.dedupSpans(t(s, d, "documents"), "doc_id", "text", window = 16)
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -349,6 +356,21 @@ object ExtQueries {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.scrubPii(dirty).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // Fixed-window chunking with overlap (context-window prep): 32-token
+    // chunks every 24 tokens, short tail chunk kept.
+    "text_chunk" -> ((s, d) => {
+      TextStats.chunkWords(t(s, d, "documents"), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+    // Integer-exact tf-idf-proxy keyword extraction: top 3 terms per
+    // document by (tf DESC, corpus doc-frequency ASC, term ASC).
+    "text_keywords" -> ((s, d) => {
+      TextStats.topKeywords(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
     }),
 
     // Repetition profile (Gopher/C4-style quality filter): share of a
@@ -750,6 +772,21 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
+    // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
+    // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, len(words) - 1, 16)) AS s FROM w),
+        |c AS (SELECT doc_id, (s // 16)::INT AS chunk_no,
+        |    array_to_string(words[s + 1 : s + 16], ' ') AS chunk_text FROM st),
+        |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_no) = 1)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
+        |  count(*)::BIGINT AS n_spans
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
          |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
@@ -1057,6 +1094,28 @@ object ExtQueries {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, len(words) - 1, 24)) AS s FROM w)
+        |SELECT doc_id, (s // 24)::INT AS chunk_no,
+        |  array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text,
+        |  least(32, len(words) - s)::INT AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "text_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, rk, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS INT) AS rk
+        |  FROM tf JOIN dfreq USING (term))
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     "text_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words

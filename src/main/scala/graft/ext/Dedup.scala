@@ -119,6 +119,39 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Span-level exact dedup — the scalable stand-in for exact substring
+    * dedup (suffix-array substring removal à la Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * approximated by fixed tiles so it distributes): tile every document
+    * into non-overlapping `window`-token spans, keep only the FIRST
+    * corpus-wide occurrence of each distinct span text (first = min
+    * (id, span position)), and reassemble each document from its surviving
+    * spans in order. A document whose every span occurred earlier vanishes
+    * entirely. Returns (id, clean_text, n_spans).
+    *
+    * Scale shape: tiling is a zero-shuffle generator
+    * ([[TextStats.chunkWords]] with stride = window); ownership is a
+    * min-aggregate window partitioned by span text — the span value is the
+    * shuffle key, each partition is one span's duplicate list, and min
+    * needs no sort (unlike row_number); reassembly is one (id)-keyed
+    * aggregation whose collect_list is bounded by that document's own span
+    * count, not the corpus. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = TextStats.chunkWords(df, idCol, textCol, window, window)
+    val key = struct(col(idCol), col("chunk_no"))
+    spans
+      .withColumn("_own", min(key).over(Window.partitionBy(col("chunk_text"))))
+      .where(col("_own") === key)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
+
   /** LSH candidate pairs from per-document signatures: documents sharing any
     * band value. `sigDf` must have (id, sig: array) with signatures from a
     * NON-EMPTY shingle set (see [[nearDuplicates]]) — no null-band filter

@@ -109,6 +109,67 @@ object TextStats {
       .where(col("rk") <= k)
   }
 
+  /** Fixed-token-window chunking (context-window prep for training /
+    * retrieval): one output row per chunk start s ∈ {0, stride, 2·stride, …}
+    * < nTokens, carrying `window` whitespace tokens (fewer at the tail).
+    * stride < window overlaps consecutive chunks; stride == window tiles the
+    * document exactly. Output: (id, chunk_no, chunk_text, n_tokens), with
+    * chunk_no = s / stride.
+    *
+    * Scale shape: a pure generator projection — the per-document word array
+    * never leaves its row and nothing shuffles; chunk rows stream straight
+    * into whatever the caller does next (a 100 TB corpus chunks at scan
+    * speed). */
+  def chunkWords(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, window: Int,
+                 stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"chunk window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"chunk stride must be in [1, window], got: $stride")
+    val w = split(col(textCol), " ")
+    df.select(col(idCol), w.as("_w"),
+        posexplode(sequence(lit(0), size(w) - 1, lit(stride)))
+          .as(Seq("chunk_no", "_s")))
+      .select(col(idCol), col("chunk_no"),
+        concat_ws(" ", slice(col("_w"), col("_s") + 1, lit(window)))
+          .as("chunk_text"),
+        least(lit(window), size(col("_w")) - col("_s")).as("n_tokens"))
+  }
+
+  /** Per-document top-k keywords by an integer-exact tf-idf proxy: rank a
+    * document's terms by (term frequency DESC, corpus document frequency
+    * ASC, term ASC) and keep the first k — high-tf rare-in-corpus terms
+    * first, exactly the order tf·idf induces among a document's terms at
+    * equal tf. The lexicographic integer rank replaces the float
+    * `tf·ln(N/df)` score deliberately: `ln` is libm-dependent and not
+    * bit-portable across engines, while (tf, df) counts are exact
+    * everywhere.
+    *
+    * Scale shape: tf is one (id, term)-keyed aggregation with map-side
+    * partials; df aggregates the per-document DISTINCT vocabulary (distinct
+    * taken before the explode). The join is term-keyed with the
+    * vocabulary-sized df frame on the build side, and the rank window
+    * partitions per document over at most that document's distinct terms —
+    * never over raw corpus rows. */
+  def topKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"keyword count must be positive: $k")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = df
+      .select(explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"), col("df"))
+  }
+
   /** PII redaction: mask email addresses then long digit runs (7+ digits —
     * phone/account/ID shapes) with typed placeholders. Pure `regexp_replace`
     * chain — codegen'd, per-row, no shuffle. The patterns use the common

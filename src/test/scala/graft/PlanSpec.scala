@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"unexpected nested loop:\n$p")
   }
 
+  test("chunkWords is a pure generator projection — no exchange at all") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ext.TextStats.chunkWords(docs, "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected a generator node:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of

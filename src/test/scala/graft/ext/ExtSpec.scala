@@ -592,6 +592,41 @@ class ExtSpec extends SparkSpec {
     assert(rows(3L) === "<EMAIL> and <EMAIL> twice")
   }
 
+  test("chunkWords tiles with stride overlap and keeps the short tail") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g", 1),
+      (2L, 0, "x", 1)))
+    intercept[IllegalArgumentException] {
+      TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 5)
+    }
+  }
+
+  test("dedupSpans drops corpus-wide repeated spans, reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),  // spans (w=3): "a b c", "d e f"
+      (2L, "d e f x y z"),  // "d e f" owned by doc 1 → dropped, "x y z" kept
+      (3L, "a b c d e f")   // every span seen earlier → document vanishes
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", window = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a b c d e f", 2L), (2L, "x y z", 1L)))
+  }
+
+  test("topKeywords ranks by tf desc, then corpus rarity, then term") {
+    val docs = Seq(
+      (1L, "apple apple banana cherry"),
+      (2L, "banana banana banana cherry")
+    ).toDF("doc_id", "text")
+    val got = TextStats.topKeywords(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1, "apple", 2L, 1L), (1L, 2, "banana", 1L, 2L),
+      (2L, 1, "banana", 3L, 2L), (2L, 2, "cherry", 1L, 2L)))
+  }
+
   test("repetitionStats: degenerate repetition scores near 1, varied text low") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),         // one bigram, repeated
