@@ -156,6 +156,14 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Blocked edit-distance near-dup (verification-only, quadratic within
+    // the lang block like dedup_ngram): unit-cost Levenshtein <= 50.
+    "dedup_editdist" -> ((s, d) => {
+      Dedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text",
+          blockCol = "lang", maxDist = 50)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Embedding-cosine near-dup pairs.
     "dedup_embedding" -> ((s, d) => {
       Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
@@ -906,6 +914,14 @@ object ExtQueries {
          |FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_editdist" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.text, b.text)::INT AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 50
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

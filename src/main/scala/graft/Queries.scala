@@ -516,7 +516,8 @@ object Queries {
   )
 
   /** Bench headliners: the queries whose throughput matters at scale.
-    * Quadratic-within-block verification ops (dedup_ngram, dedup_embedding)
+    * Quadratic-within-block verification ops (dedup_ngram, dedup_editdist,
+    * dedup_embedding)
     * are deliberately absent — their scale path is the LSH variants below. */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_segment_revenue", "q5_region_revenue",

@@ -585,4 +585,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Direct blocked edit-distance near-dup: all pairs within a blocking key
+    * at Levenshtein distance <= `maxDist` — the right family for short
+    * near-identical records (titles, names, URLs) where set-similarity
+    * shingles carry too little signal per string. Quadratic within a block
+    * like [[blockedNgramPairs]] — strong blocking required. Unit-cost
+    * Levenshtein is the engine-standard definition, so distances are
+    * integer-exact everywhere; the threshold form of Spark's builtin
+    * abandons a pair's DP as soon as the distance provably exceeds
+    * `maxDist` (banded O(maxDist·len) per pair, not O(len²)). */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative: $maxDist")
+    val t0 = df.select(col(idCol), col(blockCol), col(textCol))
+    t0.select(col(blockCol), col(idCol).as("a_id"), col(textCol).as("_ta"))
+      .join(t0.select(col(blockCol), col(idCol).as("b_id"), col(textCol).as("_tb")),
+        Seq(blockCol))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("_ta"), col("_tb"), maxDist).as("edit_dist"))
+      .where(col("edit_dist") =!= -1)
+  }
 }

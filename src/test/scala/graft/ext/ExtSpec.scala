@@ -615,6 +615,18 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, "a b c d e f", 2L), (2L, "x y z", 1L)))
   }
 
+  test("editDistancePairs finds close pairs within a block, skips far and cross-block") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox"),
+      (2L, "en", "the quick browne fox"),   // dist 1 → pair (1,2)
+      (3L, "en", "completely different words here"),
+      (4L, "de", "the quick brown fox")     // other block — never paired
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", "lang", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1)))
+  }
+
   test("topKeywords ranks by tf desc, then corpus rarity, then term") {
     val docs = Seq(
       (1L, "apple apple banana cherry"),
