@@ -399,6 +399,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Materialized packing: the actual 512-token training sequences the
+    // assignment above describes, docs concatenated in hash-rank order.
+    "sample_pack_text" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", TextStats.nTokens(col("text")))
+      Sampling.packSequencesText(docs, "source", "doc_id", "n_tok", "text",
+          seqTokens = 512)
+        .orderBy("source", "seq_no")
+    }),
+
     // Vocabulary analysis: top-10 tokens per language by document frequency
     // (the stopword-discovery / corpus-stats primitive).
     "text_top_tokens" -> ((s, d) => {
@@ -1154,6 +1164,22 @@ object ExtQueries {
          |  FROM d)
          |SELECT doc_id, source, n_tok, ((cum - n_tok) // 512)::BIGINT AS seq_no
          |FROM x ORDER BY doc_id""".stripMargin,
+
+    "sample_pack_text" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    len(string_split(text, ' '))::INT AS n_tok FROM documents),
+         |x AS (SELECT doc_id, source, text, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY source
+         |      ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d),
+         |p AS (SELECT source, ((cum - n_tok) // 512)::BIGINT AS seq_no,
+         |    doc_id, text, n_tok FROM x)
+         |SELECT source, seq_no,
+         |  string_agg(text, ' ' ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC,
+         |    doc_id ASC) AS seq_text,
+         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM p GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
 
     "text_top_tokens" ->
       """WITH tok AS (SELECT lang,

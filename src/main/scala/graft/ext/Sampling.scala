@@ -173,4 +173,28 @@ object Sampling {
           .cast("long"))
       .drop("_cum")
   }
+
+  /** Materialized sequence packing: each (group, seq_no) of
+    * [[packIntoSequences]] concatenated into its actual training sequence
+    * text, documents in the same deterministic hash-rank order that
+    * assigned them. Output: (group, seq_no, seq_text, n_docs, n_tokens).
+    * One (group, seq_no)-keyed aggregation on top of the assignment window;
+    * the collected list is bounded by a sequence's own documents
+    * (≈ seqTokens tokens by construction), never by the group. */
+  def packSequencesText(df: DataFrame, groupCol: String, keyCol: String,
+                        tokenCol: String, textCol: String, seqTokens: Long,
+                        salt: String = ""): DataFrame = {
+    val packed = packIntoSequences(df, groupCol, keyCol, tokenCol, seqTokens, salt)
+    packed
+      .groupBy(col(groupCol), col("seq_no"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(
+            unitHash(col(keyCol), salt).as("h"),
+            col(keyCol).as("k"),
+            col(textCol).as("t")))),
+          s => s.getField("t"))).as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+  }
 }

@@ -604,6 +604,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("chunkWords with stride == window reconstructs the document exactly") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val rebuilt = TextStats.chunkWords(docs, "doc_id", "text", 16, 16)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("rebuilt"))
+    val bad = docs.join(rebuilt, "doc_id")
+      .where(col("text") =!= col("rebuilt")).count()
+    assert(bad === 0)
+  }
+
+  test("packSequencesText materializes sequences consistent with the assignment") {
+    val docs = Seq.tabulate(6)(i => (i.toLong, "g", s"w${i}a w${i}b"))
+      .toDF("doc_id", "grp", "text")
+      .withColumn("n_tok", size(split(col("text"), " ")))
+    val assign = Sampling.packIntoSequences(docs, "grp", "doc_id", "n_tok", 4)
+      .select(col("doc_id"), col("seq_no")).as[(Long, Long)].collect().toMap
+    val seqs = Sampling
+      .packSequencesText(docs, "grp", "doc_id", "n_tok", "text", 4)
+      .as[(String, Long, String, Long, Long)].collect()
+    assert(seqs.map(_._4).sum === 6)  // every doc in exactly one sequence
+    assert(seqs.forall(s => s._5 === s._3.split(" ").length.toLong))
+    for ((id, sq) <- assign) {        // each doc landed in its assigned seq
+      val row = seqs.find(_._2 == sq).get
+      assert(row._3.contains(s"w${id}a w${id}b"))
+    }
+  }
+
   test("dedupSpans drops corpus-wide repeated spans, reassembles in order") {
     val docs = Seq(
       (1L, "a b c d e f"),  // spans (w=3): "a b c", "d e f"
