@@ -232,6 +232,18 @@ object ExtQueries {
     // at-scale shape for distincts/percentiles — partial sketches merge
     // map-side, so the shuffle carries sketches, not values. Estimates are
     // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
+    // Streaming near-dup candidates, driven in batch mode (the whole frame
+    // as one micro-batch): deterministic pair SET (per-bucket processing is
+    // id-ordered), but the decision is a signature-agreement ESTIMATE the
+    // oracle cannot restate without xxhash64 — rows-only by design, like
+    // the sketches; the streaming statefulness is MemoryStream-tested.
+    "q_streaming_neardup" -> ((s, d) => {
+      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text")
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .toDF()
+    }),
+
     "q_sketch_distinct" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(col("event_type"))

@@ -63,6 +63,90 @@ object EventTimeOps {
       .dropDuplicatesWithinWatermark("_fingerprint")
       .drop("_fingerprint") // schema matches the input, like batch exactDedup
 
+  final case class BandDoc(band_key: Long, id: Long, sig: Array[Long])
+  final case class NearDupCandidate(a_id: Long, b_id: Long, n_agree: Int,
+                                    est_jaccard: Double)
+
+  /** Streaming near-duplicate detection: stateful MinHash LSH across
+    * micro-batches — the streaming form of
+    * [[graft.ext.Dedup.nearDuplicatesFast]], for flagging near-dups at
+    * ingest time instead of in a nightly batch. Each document's xxhash64
+    * signature (`numHashes` seeds) explodes into 1-row bands; state is
+    * keyed by the band bucket and remembers the bucket's most recent
+    * `maxPerBucket` (id, signature) residents; an arrival is scored against
+    * residents by signature-position agreement (agree / numHashes — the
+    * standard unbiased Jaccard estimate). The decision is estimate-based
+    * (exact verification would need unbounded shingle state per bucket);
+    * route flagged pairs through the exact batch verifier when false
+    * positives matter.
+    *
+    * Emissions are canonical (a_id < b_id) but the same pair can surface
+    * from several agreeing bands — dedup downstream by (a_id, b_id)
+    * (`dropDuplicatesWithinWatermark`, or a distinct in the sink).
+    *
+    * Scale shape: the shuffle is keyed on the band bucket, exactly like the
+    * batch LSH join; per-bucket state is hard-bounded at `maxPerBucket`
+    * signatures (oldest evicted — a pair whose earlier member was evicted
+    * is the at-least-once residue the downstream idempotent merge absorbs);
+    * `idleTimeout` additionally evicts cold buckets (same
+    * processing-time-timeout caveat as [[runningStats]]). Within a
+    * micro-batch, arrivals are processed in id order, so the emitted pair
+    * SET is deterministic under any partitioning — in batch mode this
+    * processes the whole frame as one "batch" and subsumes the single-pass
+    * candidate generation. */
+  def streamingNearDedup(docs: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, numHashes: Int = 16,
+                         threshold: Double = 0.5, maxPerBucket: Int = 64,
+                         idleTimeout: Option[String] = None): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    import graft.ext.Dedup
+    val sig = Dedup.minhashSignatureFast(
+      Dedup.hashedWordShingles(col(textCol), shingleLen), numHashes)
+    val bands = docs
+      // non-empty shingle set via the CHEAP raw-text precondition — a
+      // filter on the signature itself would be pushed down as a clone of
+      // the whole kernel (the projection-collapse recompute pathology)
+      .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+      .select(col(idCol).cast("long").as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(col("sig")).as(Seq("band", "v")))
+      .select(xxhash64(col("band"), col("v")).as("band_key"), col("id"),
+        col("sig"))
+      .as[BandDoc]
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    bands
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[(Long, Array[Long])], NearDupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var residents = state.getOption.getOrElse(Nil) // newest first
+            val out = List.newBuilder[NearDupCandidate]
+            rows.toSeq.sortBy(_.id).foreach { d =>
+              residents.foreach { case (rid, rsig) =>
+                if (rid != d.id) {
+                  var agree = 0
+                  var i = 0
+                  while (i < rsig.length) {
+                    if (rsig(i) == d.sig(i)) agree += 1
+                    i += 1
+                  }
+                  if (agree.toDouble / numHashes >= threshold)
+                    out += NearDupCandidate(math.min(rid, d.id),
+                      math.max(rid, d.id), agree, agree.toDouble / numHashes)
+                }
+              }
+              residents = ((d.id, d.sig) :: residents).take(maxPerBucket)
+            }
+            state.update(residents)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp)
   final case class RunningStats(key: Long, n: Long, first_ts: java.sql.Timestamp,
                                 last_ts: java.sql.Timestamp)

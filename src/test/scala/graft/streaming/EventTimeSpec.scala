@@ -60,6 +60,29 @@ class EventTimeSpec extends SparkSpec {
     assert(last(2L) === 1L)
   }
 
+  test("streamingNearDedup pairs a later arrival with an earlier batch's resident") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = EventTimeOps.streamingNearDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = pairs.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    in.addData((1L, base))
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 (one appended word) + an unrelated doc —
+    // the match can only come from STATE carried across micro-batches
+    in.addData((2L, base + " tonight"),
+      (3L, "completely different words about spark shuffle exchange metal pipes everywhere"))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("neardup_sink").select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("streamingExactDedup drops re-arrivals of the same text across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
