@@ -228,15 +228,11 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
-    // at-scale shape for distincts/percentiles — partial sketches merge
-    // map-side, so the shuffle carries sketches, not values. Estimates are
-    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
     // Streaming near-dup candidates, driven in batch mode (the whole frame
     // as one micro-batch): deterministic pair SET (per-bucket processing is
     // id-ordered), but the decision is a signature-agreement ESTIMATE the
     // oracle cannot restate without xxhash64 — rows-only by design, like
-    // the sketches; the streaming statefulness is MemoryStream-tested.
+    // the sketches below; the streaming statefulness is MemoryStream-tested.
     "q_streaming_neardup" -> ((s, d) => {
       EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text")
         .dropDuplicates("a_id", "b_id")
@@ -244,6 +240,10 @@ object ExtQueries {
         .toDF()
     }),
 
+    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
+    // at-scale shape for distincts/percentiles — partial sketches merge
+    // map-side, so the shuffle carries sketches, not values. Estimates are
+    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
     "q_sketch_distinct" -> ((s, d) => {
       t(s, d, "events")
         .groupBy(col("event_type"))
@@ -1133,6 +1133,8 @@ object ExtQueries {
          |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // a start whose previous chunk already reached the end (s + 32-24 >=
+    // len) would be a contained sub-span — dropped on both sides
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |st AS (SELECT doc_id, words,
@@ -1140,7 +1142,8 @@ object ExtQueries {
         |SELECT doc_id, (s // 24)::INT AS chunk_no,
         |  array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text,
         |  least(32, len(words) - s)::INT AS n_tokens
-        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+        |FROM st WHERE s = 0 OR s + 8 < len(words)
+        |ORDER BY doc_id, chunk_no""".stripMargin,
 
     "text_keywords" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -184,13 +184,25 @@ object Sampling {
   def packSequencesText(df: DataFrame, groupCol: String, keyCol: String,
                         tokenCol: String, textCol: String, seqTokens: Long,
                         salt: String = ""): DataFrame = {
-    val packed = packIntoSequences(df, groupCol, keyCol, tokenCol, seqTokens, salt)
-    packed
+    require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
+    Seq("_h", "_cum", "seq_no").foreach(c => require(!df.columns.contains(c),
+      s"packSequencesText: input already has a '$c' column — it would be clobbered"))
+    // same assignment arithmetic as packIntoSequences (the ExtSpec
+    // consistency test pins the equivalence), with the unit hash computed
+    // ONCE and reused for both the window sort and the in-sequence order
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_h", unitHash(col(keyCol), salt))
+      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("seq_no",
+        floor((col("_cum") - col(tokenCol).cast("long")) / lit(seqTokens))
+          .cast("long"))
       .groupBy(col(groupCol), col("seq_no"))
       .agg(
         concat_ws(" ", transform(
           array_sort(collect_list(struct(
-            unitHash(col(keyCol), salt).as("h"),
+            col("_h").as("h"),
             col(keyCol).as("k"),
             col(textCol).as("t")))),
           s => s.getField("t"))).as("seq_text"),

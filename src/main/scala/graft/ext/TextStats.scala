@@ -113,8 +113,11 @@ object TextStats {
     * retrieval): one output row per chunk start s ∈ {0, stride, 2·stride, …}
     * < nTokens, carrying `window` whitespace tokens (fewer at the tail).
     * stride < window overlaps consecutive chunks; stride == window tiles the
-    * document exactly. Output: (id, chunk_no, chunk_text, n_tokens), with
-    * chunk_no = s / stride.
+    * document exactly. A non-initial start whose previous chunk already
+    * reached the document end (s + window - stride >= nTokens) is NOT
+    * emitted — its span would be a strict sub-span of the previous chunk,
+    * shipping duplicated windows downstream. Output:
+    * (id, chunk_no, chunk_text, n_tokens), with chunk_no = s / stride.
     *
     * Scale shape: a pure generator projection — the per-document word array
     * never leaves its row and nothing shuffles; chunk rows stream straight
@@ -127,9 +130,10 @@ object TextStats {
     require(stride > 0 && stride <= window,
       s"chunk stride must be in [1, window], got: $stride")
     val w = split(col(textCol), " ")
+    val starts = filter(sequence(lit(0), size(w) - 1, lit(stride)),
+      s => s === 0 || s + lit(window - stride) < size(w))
     df.select(col(idCol), w.as("_w"),
-        posexplode(sequence(lit(0), size(w) - 1, lit(stride)))
-          .as(Seq("chunk_no", "_s")))
+        posexplode(starts).as(Seq("chunk_no", "_s")))
       .select(col(idCol), col("chunk_no"),
         concat_ws(" ", slice(col("_w"), col("_s") + 1, lit(window)))
           .as("chunk_text"),
@@ -145,10 +149,16 @@ object TextStats {
     * bit-portable across engines, while (tf, df) counts are exact
     * everywhere.
     *
-    * Scale shape: tf is one (id, term)-keyed aggregation with map-side
-    * partials; df aggregates the per-document DISTINCT vocabulary (distinct
-    * taken before the explode). The join is term-keyed with the
-    * vocabulary-sized df frame on the build side, and the rank window
+    * Scale shape: two corpus passes, each one scan + one keyed exchange —
+    * tf aggregates (id, term) with map-side partials; df explodes the
+    * per-document DISTINCT vocabulary (distinct taken before the explode,
+    * so the term exchange carries one row per (doc, distinct term)).
+    * Deriving df from the tf aggregate instead does NOT save the second
+    * scan: column pruning gives the two tf branches different canonical
+    * forms, exchange reuse never fires, and the derivation adds an
+    * (id, term) exchange on the df side — measured, not assumed. Cache the
+    * input upstream if the raw scan dominates. The join is term-keyed with
+    * the vocabulary-sized df frame on the build side, and the rank window
     * partitions per document over at most that document's distinct terms —
     * never over raw corpus rows. */
   def topKeywords(df: org.apache.spark.sql.DataFrame, idCol: String,

@@ -88,6 +88,11 @@ object EventTimeOps {
     * batch LSH join; per-bucket state is hard-bounded at `maxPerBucket`
     * signatures (oldest evicted — a pair whose earlier member was evicted
     * is the at-least-once residue the downstream idempotent merge absorbs);
+    * a single micro-batch's arrivals into one bucket are ALSO bounded: only
+    * the `maxBatchPerBucket` lowest-id arrivals are processed (bounded-heap
+    * selection, so the task never materializes a degenerate band — the
+    * streaming analog of the batch path's `maxBucketSize` mega-bucket cap;
+    * agreement on a near-universal band carries ~no similarity signal).
     * `idleTimeout` additionally evicts cold buckets (same
     * processing-time-timeout caveat as [[runningStats]]). Within a
     * micro-batch, arrivals are processed in id order, so the emitted pair
@@ -97,6 +102,7 @@ object EventTimeOps {
   def streamingNearDedup(docs: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, numHashes: Int = 16,
                          threshold: Double = 0.5, maxPerBucket: Int = 64,
+                         maxBatchPerBucket: Int = 4096,
                          idleTimeout: Option[String] = None): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
@@ -124,7 +130,17 @@ object EventTimeOps {
           else {
             var residents = state.getOption.getOrElse(Nil) // newest first
             val out = List.newBuilder[NearDupCandidate]
-            rows.toSeq.sortBy(_.id).foreach { d =>
+            // keep the maxBatchPerBucket lowest ids without materializing
+            // the whole group (max-heap of bounded size)
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[BandDoc](Ordering.by[BandDoc, Long](_.id))
+            rows.foreach { d =>
+              heap.enqueue(d)
+              if (heap.size > maxBatchPerBucket) { heap.dequeue(); () }
+            }
+            val batch = new scala.collection.mutable.ArrayBuffer[BandDoc](heap.size)
+            while (heap.nonEmpty) batch += heap.dequeue() // descending id
+            batch.reverseIterator.foreach { d =>
               residents.foreach { case (rid, rsig) =>
                 if (rid != d.id) {
                   var agree = 0

@@ -592,13 +592,20 @@ class ExtSpec extends SparkSpec {
     assert(rows(3L) === "<EMAIL> and <EMAIL> twice")
   }
 
-  test("chunkWords tiles with stride overlap and keeps the short tail") {
+  test("chunkWords overlaps by stride and drops contained tail sub-spans") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
     val got = TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 3)
       .as[(Long, Int, String, Int)].collect().toSet
+    // the start at 6 ("g") is contained in the chunk at 3 — not emitted
     assert(got === Set(
-      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4), (1L, 2, "g", 1),
+      (1L, 0, "a b c d", 4), (1L, 1, "d e f g", 4),
       (2L, 0, "x", 1)))
+    // a genuine short tail (not contained) IS kept: 8 words, last chunk = 2
+    val tail = Seq((9L, "a b c d e f g h")).toDF("doc_id", "text")
+    val tg = TextStats.chunkWords(tail, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(tg === Set(
+      (9L, 0, "a b c d", 4), (9L, 1, "d e f g", 4), (9L, 2, "g h", 2)))
     intercept[IllegalArgumentException] {
       TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 5)
     }

@@ -83,6 +83,28 @@ class EventTimeSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("streamingNearDedup evicts the oldest resident at maxPerBucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = EventTimeOps.streamingNearDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", maxPerBucket = 1)
+    val q = pairs.writeStream.format("memory").queryName("evict_sink")
+      .outputMode("append").start()
+
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    in.addData((1L, base)); q.processAllAvailable()
+    // doc 2 is IDENTICAL (same signature, same buckets): pairs with 1, then
+    // evicts 1 from every bucket (cap 1 keeps only the newest resident)
+    in.addData((2L, base)); q.processAllAvailable()
+    // doc 3 near-dups both — but can only see 2: (1,3) would prove a leak
+    in.addData((3L, base + " tonight")); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("evict_sink").select(col("a_id"), col("b_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (2L, 3L)))
+  }
+
   test("streamingExactDedup drops re-arrivals of the same text across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
