@@ -326,6 +326,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Shuffle-join twin for beyond-broadcast probe sets — same contract,
+    // same oracle restatement, gram-keyed exchange instead of a broadcast.
+    "decontaminate_join" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Decontaminate.contaminatedDocsJoin(
+          docs.where(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.where(col("doc_id") % 20 === 0), "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
     // ─────────────────────── text analysis (§2.8) ─────────────────────────
     // Vocabulary-profile language/domain ID.
     "text_langid" -> ((s, d) => {
@@ -1079,6 +1089,17 @@ object ExtQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShinglesN(4)} AS s FROM w),
+         |pg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0),
+         |dg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 0)
+         |SELECT doc_id, count(*)::BIGINT AS n_shared
+         |FROM dg JOIN pg USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical restatement — the Spark twins differ only in join strategy
+    "decontaminate_join" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
          |  FROM documents),
          |sh AS (SELECT doc_id, ${Sql.wordShinglesN(4)} AS s FROM w),

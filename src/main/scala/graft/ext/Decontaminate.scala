@@ -35,6 +35,27 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Shuffle-join twin of [[contaminatedDocs]] for probe sets too large to
+    * broadcast (a full eval-suite collection, or decontaminating one corpus
+    * against another): same result, but the gram join is a hash-partitioned
+    * sort-merge/shuffled-hash join keyed on the gram — the corpus pays one
+    * corpus-n-grams-sized exchange, which is the honest price of a
+    * beyond-broadcast probe side. Prefer [[contaminatedDocs]] whenever the
+    * distinct probe grams fit an executor (the common case). */
+  def contaminatedDocsJoin(docs: DataFrame, idCol: String, textCol: String,
+                           probes: DataFrame, probeTextCol: String,
+                           n: Int = 8): DataFrame = {
+    val probeGrams = probes
+      .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
+      .distinct()
+    docs
+      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      // hash-build the (per-partition) probe grams, never a broadcast —
+      // that is the other twin
+      .join(probeGrams.hint("shuffle_hash"), "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The corpus with contaminated docs removed — the op a pipeline actually
     * runs before training. Left-anti on the flagged ids. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,

@@ -61,6 +61,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"unexpected nested loop:\n$p")
   }
 
+  test("decontaminate_join: gram-keyed hash join, never a broadcast") {
+    val p = plan("decontaminate_join")
+    assert(p.contains("ShuffledHashJoin"), s"expected a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin"), s"the join twin must not broadcast:\n$p")
+  }
+
   test("chunkWords is a pure generator projection — no exchange at all") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.ext.TextStats.chunkWords(docs, "doc_id", "text", 32, 24)

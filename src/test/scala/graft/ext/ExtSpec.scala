@@ -592,6 +592,23 @@ class ExtSpec extends SparkSpec {
     assert(rows(3L) === "<EMAIL> and <EMAIL> twice")
   }
 
+  test("contaminatedDocsJoin matches the broadcast twin exactly") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y z w v u t s"),
+      (3L, "a b c d q r s t")
+    ).toDF("doc_id", "text")
+    val probes = Seq((99L, "a b c d e")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    val bc = rows(Decontaminate.contaminatedDocs(
+      corpus, "doc_id", "text", probes, "text", n = 4))
+    val sj = rows(Decontaminate.contaminatedDocsJoin(
+      corpus, "doc_id", "text", probes, "text", n = 4))
+    assert(bc === sj)
+    assert(bc === Set((1L, 2L), (3L, 1L))) // doc1 shares 2 grams, doc3 one
+  }
+
   test("chunkWords overlaps by stride and drops contained tail sub-spans") {
     val docs = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
     val got = TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 3)
