@@ -592,6 +592,25 @@ class ExtSpec extends SparkSpec {
     assert(rows(3L) === "<EMAIL> and <EMAIL> twice")
   }
 
+  test("new-operator edge cases: null text, empty text, zero edit distance") {
+    // scrubPii propagates NULL (regexp_replace semantics both engines)
+    val piiRows = Seq((1L, null: String), (2L, "a@b.co x"))
+      .toDF("id", "text")
+      .select(col("id"), TextStats.scrubPii(col("text")).as("t"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(piiRows(1L).isEmpty && piiRows(2L).contains("<EMAIL> x"))
+    // empty text chunks to exactly one empty chunk (split("") = [""]) —
+    // mirrors DuckDB string_split('', ' ') = ['']
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+    assert(TextStats.chunkWords(empty, "doc_id", "text", 4, 4)
+      .as[(Long, Int, String, Int)].collect().toSeq === Seq((1L, 0, "", 1)))
+    // maxDist = 0 pairs exact duplicates only
+    val dup = Seq((1L, "en", "same text"), (2L, "en", "same text"),
+      (3L, "en", "same texx")).toDF("doc_id", "lang", "text")
+    assert(Dedup.editDistancePairs(dup, "doc_id", "text", "lang", maxDist = 0)
+      .as[(Long, Long, Int)].collect().toSet === Set((1L, 2L, 0)))
+  }
+
   test("contaminatedDocsJoin matches the broadcast twin exactly") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),
