@@ -4,14 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the composition a user actually runs —
-  * exact dedup → near-dup cluster dedup → quality gate — over a documents
-  * table. Each stage is one of the §2.8 operators; this wires them with the
+  * exact dedup → near-dup cluster dedup → quality gate, plus optional
+  * benchmark decontamination and PII scrubbing — over a documents table.
+  * Each stage is one of the §2.8 operators; this wires them with the
   * survivor policy made explicit (min-id wins everywhere, so the pipeline is
   * deterministic and re-runs are idempotent).
   *
   * Scale shape: stages communicate by doc_id (semi/anti joins on the id,
   * never by re-shipping text); the only heavyweight stages are the two dedup
-  * shuffles, both keyed on hash/bucket values. */
+  * shuffles, both keyed on hash/bucket values. Decontamination runs AFTER
+  * the dedup/quality stages (fewest docs probe the n-gram join) and PII
+  * scrubbing last (a pure projection — masking earlier would perturb the
+  * dedup fingerprints). */
 object Curation {
 
   final case class Config(
@@ -20,7 +24,13 @@ object Curation {
       jaccardThreshold: Double = 0.5,
       minTokens: Int = 30,
       maxStopwordRatio: Double = 0.25,
-      stopwords: Seq[String] = Seq("data", "table", "row", "value"))
+      stopwords: Seq[String] = Seq("data", "table", "row", "value"),
+      /** Probe set for benchmark decontamination (None = stage off). */
+      probes: Option[DataFrame] = None,
+      probeTextCol: String = "text",
+      decontamNgram: Int = 8,
+      /** Mask emails / long digit runs in the survivors' text. */
+      scrubPii: Boolean = false)
 
   /** The quality-gate predicate (enough tokens, bounded stopword share). */
   private def qualityPred(textCol: String, cfg: Config): Column =
@@ -61,12 +71,24 @@ object Curation {
     (afterExact, losers, afterNear, afterQuality)
   }
 
+  /** Decontamination stage over a survivors frame (no-op without probes). */
+  private def decontamStage(survivors: DataFrame, idCol: String,
+                            textCol: String, cfg: Config): DataFrame =
+    cfg.probes.fold(survivors)(p => Decontaminate.decontaminate(
+      survivors, idCol, textCol, p, cfg.probeTextCol, cfg.decontamNgram))
+
   /** Surviving documents after the full pipeline. Output = input rows of the
-    * survivors (all columns pass through). Pass a [[CacheScope]] and close it
+    * survivors (all columns pass through; with `cfg.scrubPii` the text
+    * column carries the masked form). Pass a [[CacheScope]] and close it
     * after the consuming action to release every cached intermediate. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             cfg: Config = Config(), scope: CacheScope = null): DataFrame =
-    stages(docs, idCol, textCol, cfg, scope)._4
+             cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
+    val decon = decontamStage(stages(docs, idCol, textCol, cfg, scope)._4,
+      idCol, textCol, cfg)
+    if (cfg.scrubPii)
+      decon.withColumn(textCol, TextStats.scrubPii(col(textCol)))
+    else decon
+  }
 
   /** Per-stage funnel counts — the audit a curation run reports. The three
     * post-input counts come from ONE aggregation job over the exact-dedup
@@ -78,7 +100,8 @@ object Curation {
     import spark.implicits._
     require(!docs.columns.contains("_loser"),
       "funnel: input already has a '_loser' column — it would collide with the stage flag")
-    val (afterExact, losers, _, _) = stages(docs, idCol, textCol, cfg, scope)
+    val (afterExact, losers, _, afterQuality) =
+      stages(docs, idCol, textCol, cfg, scope)
     val surviving = col("_loser").isNull
     val counts = afterExact
       .join(losers.select(col(idCol), lit(true).as("_loser")), Seq(idCol), "left")
@@ -87,8 +110,15 @@ object Curation {
         coalesce(sum(when(surviving && qualityPred(textCol, cfg), 1L)
           .otherwise(0L)), lit(0L)).as("n_quality"))
       .head()
-    Seq(("0_input", docs.count()), ("1_exact_dedup", counts.getLong(0)),
+    val base = Seq(("0_input", docs.count()),
+      ("1_exact_dedup", counts.getLong(0)),
       ("2_neardup_dedup", counts.getLong(1)),
-      ("3_quality_gate", counts.getLong(2))).toDF("stage", "n_docs")
+      ("3_quality_gate", counts.getLong(2)))
+    // the optional decontamination row costs one extra action (the probe
+    // join over the quality survivors) — only when the stage is on
+    val rows = if (cfg.probes.isEmpty) base
+      else base :+ ("4_decontaminated",
+        decontamStage(afterQuality, idCol, textCol, cfg).count())
+    rows.toDF("stage", "n_docs")
   }
 }

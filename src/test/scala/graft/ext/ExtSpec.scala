@@ -611,6 +611,24 @@ class ExtSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet === Set((1L, 2L, 0)))
   }
 
+  test("curate runs the optional decontamination and PII-scrub stages") {
+    val corpus = Seq(
+      (1L, "mail me at a1b@x.io now ok fine"),          // email, clean
+      (2L, "p1 p2 p3 p4 p5 p6 p7 p8 tail words")        // contaminated
+    ).toDF("doc_id", "text")
+    val probes = Seq((9L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("pid", "ptext")
+    val cfg = Curation.Config(minTokens = 5, probes = Some(probes),
+      probeTextCol = "ptext", decontamNgram = 8, scrubPii = true)
+    val kept = Curation.curate(corpus, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(kept === Map(1L -> "mail me at <EMAIL> now ok fine"))
+    val funnel = Curation.funnel(corpus, "doc_id", "text", cfg)
+      .as[(String, Long)].collect().toMap
+    assert(funnel === Map("0_input" -> 2L, "1_exact_dedup" -> 2L,
+      "2_neardup_dedup" -> 2L, "3_quality_gate" -> 2L,
+      "4_decontaminated" -> 1L))
+  }
+
   test("contaminatedDocsJoin matches the broadcast twin exactly") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),
