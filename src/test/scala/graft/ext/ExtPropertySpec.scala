@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the round-5 text/sampling operators, over
+  * generated corpora rather than fixtures (same raw-ScalaCheck style as
+  * `graft.etl.PropertySpec` — the scalatest bridge artifact isn't in the
+  * offline cache; failures print the seed). */
+class ExtPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic forAll replacement: n samples from fixed seeds. */
+  private def forSamples[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      val seed = Seed(i.toLong * 104729)
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) =>
+          try body(a)
+          catch { case e: Throwable =>
+            throw new AssertionError(s"property failed for seed $i: $e", e) }
+        case None => ()
+      }
+    }
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx", "gx", "hx")
+  private val docGen: Gen[List[String]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, wordGen))
+
+  test("chunkWords properties: coverage, no contained chunks, exact content") {
+    val caseGen = for {
+      words <- docGen
+      window <- Gen.choose(1, 8)
+      stride <- Gen.choose(1, window)
+    } yield (words, window, stride)
+    forSamples(caseGen, n = 12) { case (words, window, stride) =>
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = TextStats.chunkWords(df, "doc_id", "text", window, stride)
+        .as[(Long, Int, String, Int)].collect().sortBy(_._2)
+      // every token is covered and the ledger is exact
+      assert(chunks.map(c => c._2 * stride + c._4).max === words.length)
+      // no chunk is contained in its predecessor
+      assert(chunks.filter(_._2 > 0).forall(_._4 > window - stride))
+      // each chunk is exactly its slice of the document
+      chunks.foreach { case (_, no, text, n) =>
+        val s = no * stride
+        assert(text === words.slice(s, s + window).mkString(" "))
+        assert(n === math.min(window, words.length - s))
+      }
+    }
+  }
+
+  test("dedupSpans conservation: survivors carry each distinct span exactly once") {
+    val corpusGen = Gen.choose(2, 6)
+      .flatMap(k => Gen.listOfN(k, docGen))
+    forSamples(corpusGen, n = 8) { docLists =>
+      val window = 3
+      val docs = docLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = Dedup.dedupSpans(docs, "doc_id", "text", window)
+        .as[(Long, String, Long)].collect()
+      val allSpans = docLists.flatMap(ws =>
+        ws.grouped(window).map(_.mkString(" ")).toList)
+      // each DISTINCT span of the corpus survives exactly once in total
+      assert(out.map(_._3).sum === allSpans.distinct.size.toLong)
+      // survivors' reassembled text tiles back into original spans only
+      out.foreach { case (id, text, n) =>
+        val spans = docLists(id.toInt).grouped(window).map(_.mkString(" ")).toSet
+        val tiles = text.split(" ").grouped(window).map(_.mkString(" ")).toList
+        assert(tiles.length.toLong === n)
+        assert(tiles.forall(spans.contains))
+      }
+    }
+  }
+
+  test("scrubPii is idempotent and masks every planted email / long number") {
+    val textGen = for {
+      words <- docGen
+      email <- Gen.oneOf("a.b+c@ex-1.example.org", "x@y.io", "u_1%2@a.b.co")
+      num <- Gen.choose(1000000L, 999999999L)
+    } yield (words.take(5) ++ List(email) ++ words.drop(5) ++ List(num.toString))
+      .mkString(" ")
+    forSamples(textGen, n = 10) { text =>
+      val once = Seq((1L, text)).toDF("id", "t")
+        .select(TextStats.scrubPii(col("t")).as("t"))
+        .as[String].head()
+      val twice = Seq((1L, once)).toDF("id", "t")
+        .select(TextStats.scrubPii(col("t")).as("t"))
+        .as[String].head()
+      assert(once === twice)                       // idempotent
+      assert(!once.contains("@") && !once.matches(".*[0-9]{7,}.*"))
+      assert(once.contains("<EMAIL>") && once.contains("<NUM>"))
+    }
+  }
+
+  test("sampleByHash fractions nest and withSplit partitions exactly") {
+    val fracGen = for {
+      f1 <- Gen.choose(0.0, 1.0)
+      f2 <- Gen.choose(0.0, 1.0)
+    } yield (math.min(f1, f2), math.max(f1, f2))
+    val keys = (1L to 200L).toDF("k")
+    forSamples(fracGen, n = 8) { case (lo, hi) =>
+      def ids(f: Double) = Sampling.sampleByHash(keys, "k", f)
+        .as[Long].collect().toSet
+      val (small, big) = (ids(lo), ids(hi))
+      assert(small.subsetOf(big))                  // fractions nest
+      val split = Sampling.withSplit(keys, "k", testFraction = lo)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(split.values.sum === 200L)            // exact partition
+      assert(split.getOrElse("test", 0L) === small.size.toLong)
+    }
+  }
+}
