@@ -246,6 +246,14 @@ object Queries {
     // the two-level sum is bit-identical to the flat one while the join
     // shuffle carries one row per order instead of one per lineitem (a
     // reduction Catalyst does not derive on its own).
+    // MEASURED (graft.tools.MeasureQ5, local[32], median of 3 after warmup):
+    // sf0.1 pre-agg 0.71 s vs flat 0.96 s; at a 10× replicated scale-up
+    // 1.77 s vs 1.72 s (within run spread). The pre-agg wins locally and
+    // ties at 10×, while its join shuffle stays O(orders) instead of
+    // O(lineitems) — the shape that matters at 100 TB — so it stays. (The
+    // r05 bench's 1.84 s median for this query did not reproduce: the full
+    // bench on the same code measures 0.78 s median — run-environment
+    // variance, not the rewrite.)
     "q5_region_revenue" -> ((s, d) => {
       val ordRev = t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
