@@ -74,6 +74,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, Right(ts)) => median(ts) }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
+    // A compact trailer so a bounded `tail` of the artifact always captures
+    // the headline number even when the full JSON line above is truncated.
+    println(s"""BENCH_TOTAL {"total_sec":$total,"n_queries":${headline.size},"n_failed":${results.count(_._2.isLeft)}}""")
     spark.stop()
   }
 }

@@ -82,6 +82,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Shingle-anchored span dedup: spans cut at content-defined boundaries
+    // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
+    // the same spans at ANY document offset — the phase-robust variant of
+    // dedup_spans (fixed tiles miss phase-shifted duplicates).
+    "dedup_spans_anchored" -> ((s, d) => {
+      Dedup.dedupSpansAnchored(t(s, d, "documents"), "doc_id", "text",
+          anchorMod = 8)
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -120,9 +130,13 @@ object ExtQueries {
     }),
 
     // The curation audit: per-stage funnel counts (input → exact dedup →
-    // near-dup dedup → quality gate) — the numbers a curation run reports.
+    // near-dup dedup → quality gate → PII scrub) — the numbers a curation
+    // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
+    // (scrub last, a row-preserving projection — its count equals the
+    // quality gate's, which is exactly what the oracle asserts).
     "curation_funnel" -> ((s, d) => {
-      Curation.funnel(t(s, d, "documents"), "doc_id", "text")
+      Curation.funnel(t(s, d, "documents"), "doc_id", "text",
+          Curation.Config(scrubPii = true))
         .orderBy("stage")
     }),
 
@@ -156,11 +170,20 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
-    // Blocked edit-distance near-dup (verification-only, quadratic within
-    // the lang block like dedup_ngram): unit-cost Levenshtein <= 50.
+    // Blocked edit-distance near-dup: quadratic within a block, so the demo
+    // models the documented STRONG-blocking contract — (length bucket ×
+    // first token), under which edit-dist<=50 survivors are near-identical
+    // records (a `lang` block is the scaladoc's own anti-pattern: 5 blocks
+    // of 100+ docs each ran 43 s at sf0.1; this key runs in bench-class
+    // time). A <=50-edit pair CAN straddle a 50-length bucket boundary or
+    // differ in token 1 — the block defines the operator's contract, and
+    // the oracle mirrors it exactly.
     "dedup_editdist" -> ((s, d) => {
-      Dedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text",
-          blockCol = "lang", maxDist = 50)
+      val blocked = t(s, d, "documents").withColumn("blk",
+        concat_ws("|", floor(length(col("text")) / 50).cast("int"),
+          element_at(split(col("text"), " "), 1)))
+      Dedup.editDistancePairs(blocked, "doc_id", "text",
+          blockCol = "blk", maxDist = 50)
         .orderBy("a_id", "b_id")
     }),
 
@@ -827,6 +850,32 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // content-defined tiling: cut after every token whose md5-prefix hash
+    // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the
+    // identical first-owner + reassembly chain as dedup_spans
+    "dedup_spans_anchored" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words, list_concat(list_concat(
+        |    [0],
+        |    list_filter(range(1, len(words) + 1),
+        |      i -> ('0x' || substr(md5(words[i]), 1, 8))::BIGINT % 8 = 0)),
+        |    [len(words)]) AS bounds FROM w),
+        |sp AS (SELECT doc_id, unnest(range(1, len(bounds))) AS pos, words, bounds
+        |  FROM b),
+        |s0 AS (SELECT doc_id, pos,
+        |    array_to_string(words[bounds[pos] + 1 : bounds[pos + 1]], ' ') AS chunk_text
+        |  FROM sp),
+        |c AS (SELECT doc_id,
+        |    (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT AS chunk_no,
+        |    chunk_text
+        |  FROM s0 WHERE chunk_text <> ''),
+        |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_no) = 1)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
+        |  count(*)::BIGINT AS n_spans
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
          |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
@@ -874,6 +923,10 @@ object ExtQueries {
          |  ((SELECT count(*) FROM docs0) - (SELECT count(*) FROM losers))::BIGINT
          |UNION ALL
          |SELECT '3_quality_gate', (SELECT count(*) FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred})::BIGINT
+         |UNION ALL
+         |SELECT '5_scrubbed', (SELECT count(*) FROM docs0
          |  WHERE doc_id NOT IN (SELECT s FROM losers)
          |    AND ${Sql.curationQualityPred})::BIGINT
          |ORDER BY stage""".stripMargin,
@@ -947,11 +1000,16 @@ object ExtQueries {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
+    // the (length bucket × first token) block restated as a two-condition
+    // equi-join — injective vs the Spark side's "len|tok" key (the int
+    // component cannot contain the '|' delimiter)
     "dedup_editdist" ->
       """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  levenshtein(a.text, b.text)::INT AS edit_dist
         |FROM documents a JOIN documents b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON (length(a.text) // 50) = (length(b.text) // 50)
+        |  AND string_split(a.text, ' ')[1] = string_split(b.text, ' ')[1]
+        |  AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.text, b.text) <= 50
         |ORDER BY a_id, b_id""".stripMargin,
 

@@ -116,9 +116,16 @@ object Curation {
       ("3_quality_gate", counts.getLong(2)))
     // the optional decontamination row costs one extra action (the probe
     // join over the quality survivors) — only when the stage is on
-    val rows = if (cfg.probes.isEmpty) base
+    val withDecon = if (cfg.probes.isEmpty) base
       else base :+ ("4_decontaminated",
         decontamStage(afterQuality, idCol, textCol, cfg).count())
+    // the optional PII-scrub row pins stage ORDER (scrub runs last, after
+    // decontamination); scrubbing is a pure projection that drops no rows,
+    // so the count is the previous stage's — zero extra jobs. Stage labels
+    // stay fixed ("5_scrubbed" even when decontamination is off) so a
+    // funnel reader keys on stable names.
+    val rows = if (!cfg.scrubPii) withDecon
+      else withDecon :+ ("5_scrubbed", withDecon.last._2)
     rows.toDF("stage", "n_docs")
   }
 }

@@ -131,25 +131,103 @@ object Dedup {
     *
     * Scale shape: tiling is a zero-shuffle generator
     * ([[TextStats.chunkWords]] with stride = window); ownership is a
-    * min-aggregate window partitioned by span text — the span value is the
-    * shuffle key, each partition is one span's duplicate list, and min
-    * needs no sort (unlike row_number); reassembly is one (id)-keyed
-    * aggregation whose collect_list is bounded by that document's own span
-    * count, not the corpus. */
+    * groupBy(span text).agg(min(id, chunk_no)) — the span value is the
+    * shuffle key and map-side PARTIAL aggregation collapses a
+    * mass-duplicated boilerplate span to one row per input partition
+    * BEFORE the exchange, so the operator's own target workload (a span
+    * shared by millions of documents) costs one row per partition, not a
+    * one-task duplicate list (the `min().over(Window.partitionBy(text))`
+    * form ships every occurrence into a single window partition — the skew
+    * trap this round removed; [[dedupSpansWindowed]] is kept only as the
+    * spec's equivalence reference). The aggregate's group row IS the
+    * surviving span, so no join back is needed; reassembly is one
+    * (id)-keyed aggregation whose collect_list is bounded by that
+    * document's own span count, not the corpus. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
-                 window: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spans = TextStats.chunkWords(df, idCol, textCol, window, window)
-    val key = struct(col(idCol), col("chunk_no"))
+                 window: Int): DataFrame =
+    reassembleSpans(
+      ownSpans(TextStats.chunkWords(df, idCol, textCol, window, window), idCol),
+      idCol)
+
+  /** Ownership: one row per DISTINCT span text, keyed by its first
+    * corpus-wide occurrence (min (id, chunk_no) — struct min is
+    * lexicographic). Output: (id, chunk_no, chunk_text) of the survivors. */
+  private def ownSpans(spans: DataFrame, idCol: String): DataFrame =
     spans
-      .withColumn("_own", min(key).over(Window.partitionBy(col("chunk_text"))))
-      .where(col("_own") === key)
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_no"))).as("_own"))
+      .select(col("_own").getField(idCol).as(idCol),
+        col("_own").getField("chunk_no").as("chunk_no"),
+        col("chunk_text"))
+
+  /** Reassemble each document from its surviving spans in chunk order.
+    * Output: (id, clean_text, n_spans). */
+  private def reassembleSpans(owned: DataFrame, idCol: String): DataFrame =
+    owned
       .groupBy(col(idCol))
       .agg(
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
           s => s.getField("chunk_text"))).as("clean_text"),
         count(lit(1)).as("n_spans"))
+
+  /** The pre-round-6 window-based ownership form of [[dedupSpans]] —
+    * result-identical, but every occurrence of a span lands in ONE window
+    * partition with no map-side reduction (the boilerplate-span skew trap).
+    * Kept private as ExtSpec's equivalence reference only. */
+  private[ext] def dedupSpansWindowed(df: DataFrame, idCol: String,
+                                      textCol: String, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = TextStats.chunkWords(df, idCol, textCol, window, window)
+    val key = struct(col(idCol), col("chunk_no"))
+    spans
+      .withColumn("_own", min(key).over(Window.partitionBy(col("chunk_text"))))
+      .where(col("_own") === key)
+      .drop("_own", "n_tokens")
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_no"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_spans"))
+  }
+
+  /** Shingle-anchored (content-defined) span dedup — the phase-robust
+    * variant of [[dedupSpans]]: span boundaries are cut AFTER every token
+    * whose portable hash ≡ 0 (mod `anchorMod`) instead of at fixed
+    * positions, so a duplicated passage produces the SAME spans wherever it
+    * sits in a document (fixed tiles miss a duplicate that straddles tile
+    * boundaries at a different phase — the documented gap this closes).
+    * Expected span length is `anchorMod` tokens; a document with no anchor
+    * token becomes one span (the content-defined-chunking tail risk —
+    * standard CDC trades bounded length for alignment). Ownership and
+    * reassembly are exactly [[dedupSpans]]'s (same partial-aggregate scale
+    * shape); the anchor hash is the portable md5-derived [[tokenHash]], so
+    * an external engine reproduces the cuts bit-for-bit.
+    * Returns (id, clean_text, n_spans). */
+  def dedupSpansAnchored(df: DataFrame, idCol: String, textCol: String,
+                         anchorMod: Int): DataFrame =
+    reassembleSpans(
+      ownSpans(anchoredChunks(df, idCol, textCol, anchorMod), idCol), idCol)
+
+  /** Content-defined chunking: (id, chunk_no, chunk_text) rows with
+    * boundaries after anchor tokens (hash ≡ 0 mod `anchorMod`). A pure
+    * generator projection like [[TextStats.chunkWords]] — zero shuffle. */
+  private[ext] def anchoredChunks(df: DataFrame, idCol: String,
+                                  textCol: String, anchorMod: Int): DataFrame = {
+    require(anchorMod > 1, s"anchorMod must exceed 1: $anchorMod")
+    val w = split(col(textCol), " ")
+    // cut positions: after token i (1-based) when its hash lands on 0 mod k;
+    // bounds = 0 ++ cuts ++ n, span j = tokens bounds(j)+1 .. bounds(j+1).
+    val cuts = filter(sequence(lit(1), size(w)),
+      i => pmod(tokenHash(element_at(w, i)), lit(anchorMod)) === 0)
+    val bounds = concat(array(lit(0)), cuts, array(size(w)))
+    df.select(col(idCol), w.as("_w"), bounds.as("_b"))
+      .select(col(idCol), posexplode(filter(
+        transform(sequence(lit(1), size(col("_b")) - 1), j =>
+          concat_ws(" ", slice(col("_w"), element_at(col("_b"), j) + 1,
+            element_at(col("_b"), j + 1) - element_at(col("_b"), j)))),
+        t => t =!= "")).as(Seq("chunk_no", "chunk_text")))
   }
 
   /** LSH candidate pairs from per-document signatures: documents sharing any
@@ -211,7 +289,7 @@ object Dedup {
     val bandOf: Column => Column =
       if (hashBands) sl => xxhash64(sl)
       else sl => concat_ws("|",
-        transform(sl, v => coalesce(v.cast("string"), lit(" "))))
+        transform(sl, v => coalesce(v.cast("string"), lit("\u0000"))))
     val bandArr = transform(sequence(lit(1), nBands),
       b => bandOf(slice(col(sigCol), (b - 1) * bandRows + 1, lit(bandRows))))
     val bands = sigDf
@@ -389,6 +467,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Exact-verify routing for estimate-based candidate sources — the
+    * promised batch path for
+    * [[graft.streaming.EventTimeOps.streamingNearDedup]]'s flagged pairs
+    * (its decision is signature-agreement ONLY; this is where false
+    * positives die). Joins the candidate (aCol, bCol) pairs against the
+    * corpus' exact hashed shingle sets and keeps pairs whose TRUE Jaccard
+    * meets `threshold`. Output: (aCol, bCol, jaccard).
+    *
+    * Scale shape: candidates are distinct-ed first (the same pair surfaces
+    * from several bands), then two id-keyed joins against the shingle frame
+    * — the shingle computation is a scan-speed projection and the joins
+    * shuffle on the id, so cost is O(corpus) + O(candidates), never
+    * quadratic. The shingle frame is persisted because it feeds both join
+    * sides (without it the scan + shingle kernel runs twice); pass a
+    * [[CacheScope]] and close it after the consuming action. */
+  def verifyPairs(cands: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, aCol: String = "a_id", bCol: String = "b_id",
+                  shingleLen: Int = 3, threshold: Double = 0.5,
+                  scope: CacheScope = null): DataFrame = {
+    val sh = corpus
+      .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+      .select(col(idCol), hashedWordShingles(col(textCol), shingleLen).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(sh)
+    cands
+      .select(col(aCol), col(bCol)).distinct()
+      .join(sh.select(col(idCol).as(aCol), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), aCol)
+      .join(sh.select(col(idCol).as(bCol), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), bCol)
+      .select(col(aCol), col(bCol),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("ni"),
+        col("na"), col("nb"))
+      .select(col(aCol), col(bCol),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** n-bit SimHash over pre-hashed tokens: bit i is set iff the sum over
     * tokens of ±1 (sign of hash-bit i) is positive. Near-dups then cluster
     * by fingerprint equality or small Hamming distance. The token hashes
@@ -514,10 +631,16 @@ object Dedup {
     // concurrent use. (Use reliable checkpointing on a real cluster: a
     // local checkpoint dies with its executor.)
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    // The RDD currently being materialized: set the instant it is persisted
+    // (inside eagerCheckpoint), cleared once `labelRdd` owns it — so a
+    // failure ANYWHERE between persist and ownership transfer (the count,
+    // the changed-count join) still finds it in the catch block below.
+    var pendingRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     def eagerCheckpoint(df: DataFrame)
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
       val r = df.queryExecution.toRdd.map(_.copy())
       r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pendingRdd = r
       r.localCheckpoint()
       r.count() // materialize: lineage is truncated from here on
       (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r)
@@ -527,15 +650,21 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelRdd) = eagerCheckpoint(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("rep")))
+    var labels: DataFrame = null
+    var labelRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
     var changed = 1L
     var iter = 0
     // Any exit before the happy-path return — non-convergence below, or a
-    // failure inside a round — must release the persisted edges and the
-    // current round's labels, or they leak in a long-lived session.
+    // failure inside a round — must release the persisted edges, the
+    // current round's labels, AND a freshly persisted not-yet-owned RDD,
+    // or they leak in a long-lived session.
     try {
+      val first = eagerCheckpoint(
+        edges.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("rep")))
+      labels = first._1
+      labelRdd = first._2
+      pendingRdd = null
       while (changed > 0 && iter < maxIter) {
         // (a) candidate label for each node: min of own and neighbors' labels
         val viaEdges = edges
@@ -553,6 +682,7 @@ object Dedup {
         labelRdd.unpersist(false) // previous round, fully superseded
         labels = next
         labelRdd = nextRdd
+        pendingRdd = null // ownership transferred to labelRdd
         iter += 1
       }
       require(changed == 0,
@@ -560,7 +690,9 @@ object Dedup {
     } catch {
       case t: Throwable =>
         edges.unpersist(false)
-        labelRdd.unpersist(false)
+        if (labelRdd != null) labelRdd.unpersist(false)
+        if ((pendingRdd != null) && (pendingRdd ne labelRdd))
+          pendingRdd.unpersist(false)
         throw t
     }
     edges.unpersist(false) // final labels are materialized — lineage done

@@ -106,6 +106,12 @@ object EventTimeOps {
                          idleTimeout: Option[String] = None): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
+    // The state tuple keys ids as primitive Long: a non-numeric id column
+    // would cast to NULL and die opaquely in the typed encoder — fail fast
+    // on the contract instead.
+    val idType = docs.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"streamingNearDedup requires a numeric id column ('$idCol' is $idType) — state keys ids as Long")
     val sig = Dedup.minhashSignatureFast(
       Dedup.hashedWordShingles(col(textCol), shingleLen), numHashes)
     val bands = docs

@@ -75,6 +75,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("dedup_spans: ownership is a partial-aggregated groupBy, never a window") {
+    // the windowed ownership form ships every occurrence of a boilerplate
+    // span into ONE task; the groupBy form must show map-side partial_min
+    val p = plan("dedup_spans")
+    assert(!p.contains("Window"), s"span ownership regressed to a window:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("dedup_spans_anchored: generator chunking + partial-aggregated ownership") {
+    val p = plan("dedup_spans_anchored")
+    assert(p.contains("Generate"), s"expected a generator for the chunking:\n$p")
+    assert(!p.contains("Window"), s"span ownership regressed to a window:\n$p")
+    assert(p.contains("partial_min"), s"expected map-side partial aggregation:\n$p")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of

@@ -97,6 +97,41 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("lshCandidates: capped buckets are excluded from the band-match count") {
+    // pins the documented conservative interaction: a bucket above
+    // maxBucketSize is dropped BEFORE the pair join, so it contributes
+    // neither candidates nor minBandMatches counts — checked against a
+    // brute-force reference over generated small-value-space signatures
+    // (lots of genuine collisions and hot buckets).
+    val caseGen = for {
+      nDocs <- Gen.choose(4, 12)
+      sigs <- Gen.listOfN(nDocs, Gen.listOfN(6, Gen.choose(0L, 3L)))
+      cap <- Gen.choose(2, 5)
+      m <- Gen.choose(1, 3)
+    } yield (sigs, cap, m)
+    forSamples(caseGen, n = 10) { case (sigs, cap, m) =>
+      val df = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "sig")
+      val scope = new CacheScope
+      val got =
+        try Dedup.lshCandidates(df, "id", "sig", bandRows = 1,
+            maxBucketSize = cap, scope = scope, minBandMatches = m)
+          .as[(Long, Long)].collect().toSet
+        finally scope.close()
+      // reference: band (j, v) survives iff its bucket has <= cap docs; a
+      // pair is emitted iff it shares >= m SURVIVING bands
+      val ids = sigs.indices
+      def bucketSize(j: Int, v: Long) = ids.count(i => sigs(i)(j) == v)
+      val ref = (for {
+        a <- ids; b <- ids if a < b
+        n = (0 until 6).count(j =>
+          sigs(a)(j) == sigs(b)(j) && bucketSize(j, sigs(a)(j)) <= cap)
+        if n >= m
+      } yield (a.toLong, b.toLong)).toSet
+      assert(got === ref)
+    }
+  }
+
   test("sampleByHash fractions nest and withSplit partitions exactly") {
     val fracGen = for {
       f1 <- Gen.choose(0.0, 1.0)

@@ -58,6 +58,12 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(funnel === Map("0_input" -> 5L, "1_exact_dedup" -> 4L,
       "2_neardup_dedup" -> 3L, "3_quality_gate" -> 1L))
+    // scrubPii on: the funnel reports the stage (last, row-preserving — the
+    // count equals the previous stage's) under its stable label
+    val scrubbed = Curation.funnel(corpus, "doc_id", "text",
+        cfg.copy(scrubPii = true))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scrubbed === funnel + ("5_scrubbed" -> 1L))
   }
 
   test("duplicateClusters converges on a long chain (pointer jumping)") {
@@ -166,6 +172,48 @@ class ExtSpec extends SparkSpec {
     val capped = Dedup.lshCandidates(sig, "doc_id", "sig", maxBucketSize = 10)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(capped === Set((101L, 102L), (101L, 103L), (102L, 103L)))
+  }
+
+  test("dedupSpans groupBy ownership ≡ the windowed form on a boilerplate-heavy corpus") {
+    // 30 docs sharing two boilerplate spans + a unique tail — the exact
+    // workload whose window form degenerates to a one-task duplicate list
+    val boiler = "standard legal disclaimer text here now"
+    val corpus = (1L to 30L).map(i => (i, s"$boiler unique tail $i"))
+      .toDF("doc_id", "text")
+    val grouped = Dedup.dedupSpans(corpus, "doc_id", "text", window = 3)
+      .as[(Long, String, Long)].collect().toSet
+    val windowed = Dedup.dedupSpansWindowed(corpus, "doc_id", "text", window = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(grouped === windowed)
+    // doc 1 owns the boilerplate; every other doc keeps only its tail span
+    assert(grouped.find(_._1 == 1L).get._3 === 3L)
+    assert(grouped.filter(_._1 > 1L).forall(_._3 === 1L))
+  }
+
+  test("dedupSpansAnchored catches a phase-shifted duplicate that fixed tiles miss") {
+    val passage = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+      "do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val shifted = "zz ww " + passage + " qq" // 2-token offset: off-phase for any tile width
+    val corpus = Seq((1L, passage), (2L, shifted)).toDF("doc_id", "text")
+    def clean(out: org.apache.spark.sql.DataFrame) = out
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    // fixed tiles: doc 2's tiles are all phase-shifted copies — NONE dedup
+    val fixed = clean(Dedup.dedupSpans(corpus, "doc_id", "text", window = 4))
+    assert(fixed(2L) === shifted)
+    // anchored: interior spans align regardless of the offset, so doc 2
+    // loses the passage body; doc 1 (first occurrence) keeps everything
+    val anchored = clean(Dedup.dedupSpansAnchored(corpus, "doc_id", "text", anchorMod = 4))
+    assert(anchored(1L) === passage)
+    assert(!anchored(2L).contains("dolor sit amet"))
+    assert(anchored(2L).startsWith("zz ww") && anchored(2L).endsWith("qq"))
+  }
+
+  test("verifyPairs: candidate pairs below the exact-Jaccard threshold are dropped") {
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("a_id", "b_id")
+    val verified = Dedup.verifyPairs(cands, docs, "doc_id", "text",
+        threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(verified === Set((1L, 2L))) // 1-4 share no shingles
   }
 
   test("CacheScope: a scoped curation run leaves no cached blocks behind") {
@@ -626,7 +674,7 @@ class ExtSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(funnel === Map("0_input" -> 2L, "1_exact_dedup" -> 2L,
       "2_neardup_dedup" -> 2L, "3_quality_gate" -> 2L,
-      "4_decontaminated" -> 1L))
+      "4_decontaminated" -> 1L, "5_scrubbed" -> 1L))
   }
 
   test("contaminatedDocsJoin matches the broadcast twin exactly") {

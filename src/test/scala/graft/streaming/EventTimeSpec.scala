@@ -105,6 +105,51 @@ class EventTimeSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (2L, 3L)))
   }
 
+  test("verifyPairs filters streamingNearDedup's estimate-flagged false positives") {
+    // pairs (2p, 2p+1) with per-pair disjoint vocabularies: odd p at exact
+    // Jaccard 0.44 (11 shared shingles / union 25 — BELOW the 0.5 contract,
+    // but the 16-seed signature estimate lands >= 0.5 for several of them),
+    // even p at 0.714 (true pairs that must survive the verifier)
+    def doc(pair: Int, variant: Int, shared: Int, distinct: Int): String =
+      ((1 to shared).map(j => s"p${pair}s$j") ++
+        (1 to distinct).map(j => s"p${pair}v${variant}d$j")).mkString(" ")
+    val docs = (1 to 12).flatMap { p =>
+      val (sh, di) = if (p % 2 == 1) (13, 7) else (17, 3)
+      Seq((2L * p, doc(p, 0, sh, di)), (2L * p + 1, doc(p, 1, sh, di)))
+    }.toDF("doc_id", "text")
+    // batch mode: the whole frame is one "micro-batch"
+    val flagged = EventTimeOps.streamingNearDedup(docs, "doc_id", "text",
+        threshold = 0.5)
+      .select("a_id", "b_id").distinct().as[(Long, Long)].collect().toSet
+    // the estimate-based decision DOES flag below-threshold pairs
+    // (deterministic: xxhash64 signatures are fixed for this corpus)
+    assert(flagged.contains((2L, 3L)), s"expected FP bait in $flagged")
+    val verified = graft.ext.Dedup.verifyPairs(
+        flagged.toSeq.toDF("a_id", "b_id"),
+        docs, "doc_id", "text", threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // independent truth: exact shingle-set Jaccard per flagged pair
+    val sh = docs.select(col("doc_id"),
+      graft.ext.Dedup.hashedWordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Array[Long])].collect().toMap
+    def jac(a: Long, b: Long) = {
+      val (x, y) = (sh(a).toSet, sh(b).toSet)
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val truth = flagged.filter { case (a, b) => jac(a, b) >= 0.5 }
+    assert(verified === truth)
+    assert(!verified.contains((2L, 3L))) // the false positive died here
+    assert(verified.exists { case (a, b) => (a / 2) % 2 == 0 }) // true pairs survive
+  }
+
+  test("streamingNearDedup fails fast on a non-numeric id column") {
+    val docs = Seq(("a", "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      EventTimeOps.streamingNearDedup(docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("numeric id column"))
+  }
+
   test("streamingExactDedup drops re-arrivals of the same text across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
