@@ -202,25 +202,32 @@ object Dedup {
     * token becomes one span (the content-defined-chunking tail risk —
     * standard CDC trades bounded length for alignment). Ownership and
     * reassembly are exactly [[dedupSpans]]'s (same partial-aggregate scale
-    * shape); the anchor hash is the portable md5-derived [[tokenHash]], so
-    * an external engine reproduces the cuts bit-for-bit.
+    * shape); the default anchor hash is the portable md5-derived
+    * [[tokenHash]] (an external engine reproduces the cuts bit-for-bit —
+    * the DuckDB oracle checks exactly that); `fastHash = true` swaps in the
+    * codegen'd xxhash64 [[tokenHashFast]] for the 100 TB path — the
+    * alignment property is hash-agnostic, only WHERE the cuts fall moves.
     * Returns (id, clean_text, n_spans). */
   def dedupSpansAnchored(df: DataFrame, idCol: String, textCol: String,
-                         anchorMod: Int): DataFrame =
+                         anchorMod: Int, fastHash: Boolean = false): DataFrame =
     reassembleSpans(
-      ownSpans(anchoredChunks(df, idCol, textCol, anchorMod), idCol), idCol)
+      ownSpans(anchoredChunks(df, idCol, textCol, anchorMod, fastHash), idCol),
+      idCol)
 
   /** Content-defined chunking: (id, chunk_no, chunk_text) rows with
     * boundaries after anchor tokens (hash ≡ 0 mod `anchorMod`). A pure
     * generator projection like [[TextStats.chunkWords]] — zero shuffle. */
   private[ext] def anchoredChunks(df: DataFrame, idCol: String,
-                                  textCol: String, anchorMod: Int): DataFrame = {
+                                  textCol: String, anchorMod: Int,
+                                  fastHash: Boolean = false): DataFrame = {
     require(anchorMod > 1, s"anchorMod must exceed 1: $anchorMod")
     val w = split(col(textCol), " ")
+    val anchorHash: Column => Column =
+      if (fastHash) tokenHashFast(_) else tokenHash
     // cut positions: after token i (1-based) when its hash lands on 0 mod k;
     // bounds = 0 ++ cuts ++ n, span j = tokens bounds(j)+1 .. bounds(j+1).
     val cuts = filter(sequence(lit(1), size(w)),
-      i => pmod(tokenHash(element_at(w, i)), lit(anchorMod)) === 0)
+      i => pmod(anchorHash(element_at(w, i)), lit(anchorMod)) === 0)
     val bounds = concat(array(lit(0)), cuts, array(size(w)))
     df.select(col(idCol), w.as("_w"), bounds.as("_b"))
       .select(col(idCol), posexplode(filter(

@@ -206,6 +206,13 @@ class ExtSpec extends SparkSpec {
     assert(anchored(1L) === passage)
     assert(!anchored(2L).contains("dolor sit amet"))
     assert(anchored(2L).startsWith("zz ww") && anchored(2L).endsWith("qq"))
+    // the alignment property is hash-agnostic: the fast-hash scale variant
+    // also dedups the shifted passage body (its cuts fall elsewhere, so
+    // only the phase-robustness claim is asserted, not exact spans)
+    val fast = clean(Dedup.dedupSpansAnchored(corpus, "doc_id", "text",
+      anchorMod = 4, fastHash = true))
+    assert(fast(1L) === passage)
+    assert(fast(2L).length < shifted.length)
   }
 
   test("verifyPairs: candidate pairs below the exact-Jaccard threshold are dropped") {
