@@ -92,6 +92,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
+    // of the portable md5 token hash (~10× cheaper per token). Cut positions
+    // differ from the md5 form and DuckDB has no xxhash64, so no external
+    // oracle can restate the spans — rows-only by design (like
+    // dedup_minhash_fast's band hashes); ExtSpec pins the phase-robustness
+    // contract across both hash families.
+    "dedup_spans_anchored_fast" -> ((s, d) => {
+      Dedup.dedupSpansAnchored(t(s, d, "documents"), "doc_id", "text",
+          anchorMod = 8, fastHash = true)
+        .orderBy("doc_id")
+    }),
+
+    // Shuffle-lean span dedup: ownership keyed on xxhash64(chunk_text)
+    // (fixed-width exchange rows instead of text keys); reassembly re-slices
+    // surviving tiles from the doc's own text, so corpus text crosses one
+    // exchange instead of two. Result ≡ dedup_spans absent a 64-bit span
+    // collision — the text-keyed oracle SQL applies verbatim.
+    "dedup_spans_hashed" -> ((s, d) => {
+      Dedup.dedupSpansHashed(t(s, d, "documents"), "doc_id", "text",
+          window = 16)
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -739,6 +762,22 @@ object ExtQueries {
 
   /** Shared SQL fragments (generated where repetitive). */
   private object Sql {
+    // non-overlapping 16-token tile dedup (shared by the text-keyed
+    // dedup_spans row and its hash-keyed shuffle-lean twin, which is
+    // result-identical absent a 64-bit span-hash collision)
+    lazy val dedupSpansTiled: String =
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, len(words) - 1, 16)) AS s FROM w),
+        |c AS (SELECT doc_id, (s // 16)::INT AS chunk_no,
+        |    array_to_string(words[s + 1 : s + 16], ' ') AS chunk_text FROM st),
+        |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_no) = 1)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
+        |  count(*)::BIGINT AS n_spans
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
     // strict-left-fold dot product of two DOUBLE[] expressions, 64 dims
     def dot(a: String, b: String): String =
       s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
@@ -837,18 +876,12 @@ object ExtQueries {
 
     // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
     // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
-    "dedup_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |st AS (SELECT doc_id, words,
-        |  unnest(generate_series(0, len(words) - 1, 16)) AS s FROM w),
-        |c AS (SELECT doc_id, (s // 16)::INT AS chunk_no,
-        |    array_to_string(words[s + 1 : s + 16], ' ') AS chunk_text FROM st),
-        |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
-        |  QUALIFY row_number() OVER (PARTITION BY chunk_text
-        |    ORDER BY doc_id, chunk_no) = 1)
-        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
-        |  count(*)::BIGINT AS n_spans
-        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_spans" -> Sql.dedupSpansTiled,
+
+    // the hash-keyed form is result-identical to the text-keyed one absent
+    // a 64-bit span-hash collision (none at this scale, deterministically),
+    // so the same oracle SQL checks it bit-for-bit
+    "dedup_spans_hashed" -> Sql.dedupSpansTiled,
 
     // content-defined tiling: cut after every token whose md5-prefix hash
     // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the

@@ -214,6 +214,46 @@ object Dedup {
       ownSpans(anchoredChunks(df, idCol, textCol, anchorMod, fastHash), idCol),
       idCol)
 
+  /** Shuffle-lean twin of [[dedupSpans]] for the 100 TB path: ownership is
+    * keyed on xxhash64(chunk_text) instead of the span text itself, so the
+    * ownership exchange carries fixed-width (hash, id, chunk_no) rows
+    * (~24 B) instead of ~100 B text keys — and reassembly re-derives the
+    * surviving span text from the document's OWN text: survivors collapse
+    * to a per-document int list (tiny, id-keyed), one id-keyed join brings
+    * the doc text back, and a pure projection re-slices the kept tiles.
+    * Corpus text therefore crosses ONE exchange (the reassembly join)
+    * instead of [[dedupSpans]]'s two (text-keyed ownership + collect_list
+    * reassembly); DedupMetricsSpec measures the shuffle-byte reduction.
+    *
+    * The price: two DISTINCT span texts colliding in 64 bits erroneously
+    * dedup the later one — expected collisions ≈ S²/2⁶⁵ for S distinct
+    * spans (at S = 10¹² that is ~3·10⁴ spans, a ~3·10⁻⁸ fraction), and
+    * deterministic, the same accepted-risk class as [[lshCandidates]]'
+    * `hashBands`. The text-keyed [[dedupSpans]] stays the collision-free
+    * oracle form; ExtSpec pins result equivalence, and the catalog row
+    * shares dedup_spans' DuckDB oracle (equal absent a collision).
+    * Returns (id, clean_text, n_spans). */
+  def dedupSpansHashed(df: DataFrame, idCol: String, textCol: String,
+                       window: Int): DataFrame = {
+    val spans = TextStats.chunkWords(df, idCol, textCol, window, window)
+      .select(col(idCol), col("chunk_no"), xxhash64(col("chunk_text")).as("_h"))
+    val own = spans.groupBy(col("_h"))
+      .agg(min(struct(col(idCol), col("chunk_no"))).as("_own"))
+      .select(col("_own").getField(idCol).as(idCol),
+        col("_own").getField("chunk_no").as("chunk_no"))
+    val keep = own.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("chunk_no"))).as("_keep"))
+    // tiles are non-overlapping with stride = window, so kept tile j spans
+    // tokens j·window+1 .. j·window+window of the document's own word array
+    val w = split(col(textCol), " ")
+    df.join(keep, Seq(idCol))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("_keep"),
+          j => concat_ws(" ", slice(w, j * window + 1, lit(window)))))
+          .as("clean_text"),
+        size(col("_keep")).cast("long").as("n_spans"))
+  }
+
   /** Content-defined chunking: (id, chunk_no, chunk_text) rows with
     * boundaries after anchor tokens (hash ≡ 0 mod `anchorMod`). A pure
     * generator projection like [[TextStats.chunkWords]] — zero shuffle. */
@@ -235,6 +275,30 @@ object Dedup {
           concat_ws(" ", slice(col("_w"), element_at(col("_b"), j) + 1,
             element_at(col("_b"), j + 1) - element_at(col("_b"), j)))),
         t => t =!= "")).as(Seq("chunk_no", "chunk_text")))
+  }
+
+  /** Corpus-size-derived default for [[lshCandidates]]' `maxBucketSize`:
+    * `cap = max(minCap, ⌈c·√N⌉)` for a corpus of N documents.
+    *
+    * Why √N: a band bucket of size b contributes ~b²/2 candidate pairs to
+    * the bucket self-join, so capping b at c·√N bounds per-bucket join work
+    * by c²·N/2 — the WHOLE bucket join stays O(bands · c² · N), linear in
+    * corpus size, and a 100× scale-up needs no retuning (the cap grows 10×,
+    * exactly keeping per-bucket quadratic cost proportional to N; the
+    * property test pins cap²/N constant across scale-ups). Recall cost is
+    * ~nil: a bucket with more than c·√N members is a near-universal band
+    * value (boilerplate shingle) carrying almost no similarity signal, and
+    * a genuinely similar pair also agrees on other, selective bands;
+    * [[lshCandidates]] logs the dropped-candidate-pair upper bound
+    * Σ bsz·(bsz−1)/2 so every run carries its own audit trail. `minCap`
+    * keeps small corpora uncapped in practice (a cap below ~64 would bite
+    * legitimate medium buckets long before quadratic cost matters). */
+  def adaptiveBucketCap(corpusSize: Long, c: Double = 8.0,
+                        minCap: Int = 64): Int = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    require(c > 0, s"cap coefficient must be positive: $c")
+    val cap = math.ceil(c * math.sqrt(corpusSize.toDouble))
+    math.max(minCap.toDouble, math.min(cap, Int.MaxValue.toDouble)).toInt
   }
 
   /** LSH candidate pairs from per-document signatures: documents sharing any
@@ -310,13 +374,20 @@ object Dedup {
         val hot = bands.groupBy(col("band"), col("v"))
           .agg(count(lit(1)).as("_bsz"))
           .where(col("_bsz") > maxBucketSize)
-          .select(col("band"), col("v"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (scope != null) scope.own(hot)
-        val nHot = hot.count() // also materializes the bands cache
+        // one pass over the hot list yields the count AND the dropped-pair
+        // upper bound Σ bsz·(bsz−1)/2 (pairs co-occurring ONLY in a dropped
+        // bucket are the ones actually lost — this logs the ceiling), and
+        // materializes the bands cache as a side effect
+        val stats = hot.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("_bsz") * (col("_bsz") - 1)), lit(0L)).as("p2")).head()
+        val nHot = stats.getLong(0)
         if (nHot > 0) org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"lshCandidates: dropping $nHot band-buckets larger than $maxBucketSize rows")
-        bands.join(broadcast(hot), Seq("band", "v"), "left_anti")
+          .warn(s"lshCandidates: dropping $nHot band-buckets larger than " +
+            s"$maxBucketSize rows (dropped candidate-pair bound: ${stats.getLong(1) / 2})")
+        bands.join(broadcast(hot.select(col("band"), col("v"))),
+          Seq("band", "v"), "left_anti")
       }
     val joined = pruned.as("a")
       .join(pruned.as("b"),
@@ -487,8 +558,14 @@ object Dedup {
     * — the shingle computation is a scan-speed projection and the joins
     * shuffle on the id, so cost is O(corpus) + O(candidates), never
     * quadratic. The shingle frame is persisted because it feeds both join
-    * sides (without it the scan + shingle kernel runs twice); pass a
-    * [[CacheScope]] and close it after the consuming action. */
+    * sides (without it the scan + shingle kernel runs twice). Cache
+    * lifetime: pass a [[CacheScope]] and close it after the consuming
+    * action for explicit control; with no scope the cache releases ITSELF
+    * after the first completed action that reads the result (a
+    * QueryExecutionListener — see [[releaseAfterFirstAction]]), so the
+    * default usage is leak-free in a long-lived session. Only re-consuming
+    * the result repeatedly warrants a scope (later actions recompute the
+    * shingles). */
   def verifyPairs(cands: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, aCol: String = "a_id", bCol: String = "b_id",
                   shingleLen: Int = 3, threshold: Double = 0.5,
@@ -497,7 +574,7 @@ object Dedup {
       .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
       .select(col(idCol), hashedWordShingles(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (scope != null) scope.own(sh)
+    if (scope != null) scope.own(sh) else releaseAfterFirstAction(sh)
     cands
       .select(col(aCol), col(bCol)).distinct()
       .join(sh.select(col(idCol).as(aCol), col("sh").as("sh_a"),
@@ -511,6 +588,40 @@ object Dedup {
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Self-releasing cache for scope-less callers: unpersist `df` as soon as
+    * the FIRST action that reads it completes (success or failure), via a
+    * session QueryExecutionListener that matches the cached frame's analyzed
+    * plan as a subtree of each finished query. This makes the default usage
+    * of a persisting operator leak-free in a long-lived session — the
+    * opt-in [[CacheScope]] remains the tool for callers that consume the
+    * result MORE than once (after self-release, later actions recompute
+    * from lineage: correct, just uncached). The listener fires on the
+    * session's async listener bus, so release is eventually-after-action —
+    * a second action racing the release at worst recomputes. */
+  private[ext] def releaseAfterFirstAction(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    val target = df.queryExecution.analyzed
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        // `analyzed` is pre-cache-substitution, so the persisted frame's
+        // plan appears verbatim as a subtree of any consuming query.
+        if (qe.analyzed.exists(_.sameResult(target)) &&
+            released.compareAndSet(false, true)) {
+          df.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 
   /** n-bit SimHash over pre-hashed tokens: bit i is set iff the sum over

@@ -90,6 +90,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), s"expected map-side partial aggregation:\n$p")
   }
 
+  /** Total "shuffle bytes written" across every exchange of an executed
+    * plan (AQE stages and reused exchanges included). SQLMetrics are
+    * accumulators merged on task completion, which the DAGScheduler
+    * processes before the action returns — no listener-bus race. */
+  private def shuffleBytesWritten(df: org.apache.spark.sql.DataFrame): Long = {
+    // drive df's OWN QueryExecution (df.count() would plan and execute a
+    // separate aggregate query whose metrics live on different plan nodes)
+    df.queryExecution.toRdd.count()
+    def sum(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      val own = p.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+      val below = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          sum(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sum(q.plan)
+        case other => other.children.map(sum).sum
+      }
+      own + below
+    }
+    sum(df.queryExecution.executedPlan)
+  }
+
+  test("dedup_spans_hashed exchanges fewer bytes than the text-keyed form") {
+    // the hash-keyed ownership shuffles fixed-width (hash, id, chunk_no)
+    // rows and re-derives survivor text from the doc's own text, so corpus
+    // text crosses at most one exchange instead of two — the measured
+    // claim behind Dedup.dedupSpansHashed's scaladoc
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val texted = shuffleBytesWritten(
+      graft.ext.Dedup.dedupSpans(docs, "doc_id", "text", window = 16))
+    val hashed = shuffleBytesWritten(
+      graft.ext.Dedup.dedupSpansHashed(docs, "doc_id", "text", window = 16))
+    assert(hashed > 0, "expected the hashed form to report shuffle metrics")
+    assert(hashed < texted * 0.8,
+      s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of

@@ -132,6 +132,31 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("adaptiveBucketCap: per-bucket quadratic cost stays proportional to N") {
+    // the formula's whole point: cap(s·N)² / (s·N) == cap(N)² / N for any
+    // scale-up s (above the minCap floor), so the bucket self-join stays
+    // LINEAR in corpus size with no retuning — checked at two corpus sizes
+    // per sample, plus monotonicity and the small-corpus floor
+    val caseGen = for {
+      n <- Gen.choose(10000L, 10000000L)
+      scaleUp <- Gen.oneOf(4L, 100L, 10000L)
+      c <- Gen.choose(2.0, 16.0)
+    } yield (n, scaleUp, c)
+    forSamples(caseGen, n = 12) { case (n, s, c) =>
+      val cap1 = Dedup.adaptiveBucketCap(n, c)
+      val cap2 = Dedup.adaptiveBucketCap(n * s, c)
+      assert(cap2 >= cap1) // monotone in corpus size
+      val work1 = cap1.toDouble * cap1 / n
+      val work2 = cap2.toDouble * cap2 / (n * s)
+      // ceil() rounding perturbs the ratio by at most ~2/(c·√N) per side
+      assert(math.abs(work2 - work1) / work1 < 0.01,
+        s"per-bucket work must not drift across a ${s}× scale-up: $work1 vs $work2")
+    }
+    assert(Dedup.adaptiveBucketCap(0L) === 64)    // floor on empty/tiny corpora
+    assert(Dedup.adaptiveBucketCap(10L) === 64)
+    assert(Dedup.adaptiveBucketCap(1000000L, c = 8.0) === 8000)
+  }
+
   test("sampleByHash fractions nest and withSplit partitions exactly") {
     val fracGen = for {
       f1 <- Gen.choose(0.0, 1.0)

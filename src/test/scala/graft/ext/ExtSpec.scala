@@ -190,6 +190,41 @@ class ExtSpec extends SparkSpec {
     assert(grouped.filter(_._1 > 1L).forall(_._3 === 1L))
   }
 
+  test("dedupSpansHashed ≡ dedupSpans (boilerplate corpus and docs that vanish)") {
+    val boiler = "standard legal disclaimer text here now"
+    // doc 31 duplicates doc 1 exactly: every span is owned elsewhere, so the
+    // doc must VANISH from both variants (the inner-join edge case)
+    val corpus = ((1L to 30L).map(i => (i, s"$boiler unique tail $i")) :+
+      (31L, s"$boiler unique tail 1")).toDF("doc_id", "text")
+    val texted = Dedup.dedupSpans(corpus, "doc_id", "text", window = 3)
+      .as[(Long, String, Long)].collect().toSet
+    val hashed = Dedup.dedupSpansHashed(corpus, "doc_id", "text", window = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(hashed === texted)
+    assert(!hashed.exists(_._1 == 31L)) // fully-duplicated doc vanishes
+  }
+
+  test("dedupSpansAnchored contract holds for both hash families: unique corpus unchanged") {
+    // docs with all-distinct spans must come back VERBATIM (clean_text ==
+    // text, byte-for-byte) whichever anchor hash cuts the spans — the
+    // hash only moves WHERE boundaries fall, never what survives when
+    // nothing duplicates. This is the production fastHash path's
+    // equivalence-of-contract pin (its cuts are not md5's, so only the
+    // contract, not the spans, can be compared).
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"),
+      (3L, "spark shuffles partition data across executors during wide operations")
+    ).toDF("doc_id", "text")
+    for (fast <- Seq(false, true)) {
+      val out = Dedup.dedupSpansAnchored(corpus, "doc_id", "text",
+          anchorMod = 4, fastHash = fast)
+        .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+      val orig = corpus.as[(Long, String)].collect().toMap
+      assert(out === orig, s"fastHash=$fast must keep a duplicate-free corpus verbatim")
+    }
+  }
+
   test("dedupSpansAnchored catches a phase-shifted duplicate that fixed tiles miss") {
     val passage = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
       "do eiusmod tempor incididunt ut labore et dolore magna aliqua"
@@ -221,6 +256,20 @@ class ExtSpec extends SparkSpec {
         threshold = 0.3)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(verified === Set((1L, 2L))) // 1-4 share no shingles
+  }
+
+  test("verifyPairs without a scope self-releases its cache after the first action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("a_id", "b_id")
+    val verified = Dedup.verifyPairs(cands, docs, "doc_id", "text",
+        threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(verified === Set((1L, 2L)))
+    // the release rides the async listener bus — poll briefly for it
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
   }
 
   test("CacheScope: a scoped curation run leaves no cached blocks behind") {
