@@ -127,6 +127,53 @@ class PlanSpec extends SparkSpec {
       s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
   }
 
+  test("fact assembly at a replicated scale-up never routes through the unpartitioned window") {
+    // The pipeline's fact path (StarStore.runBatch → Fact.resolveSkeys →
+    // Fact.withFactIdsScalable) must stay broadcast-joined and id-assigned
+    // via zipWithIndex: a 100× fact pushed through the deterministic
+    // row_number().over(Window.orderBy) twin would serialize the WHOLE
+    // batch into one task — the classic silent scale-killer this test pins
+    // out of the pipeline. Same composition, replicated input.
+    import graft.etl.{Dims, Fact}
+    import org.apache.spark.sql.functions._
+    val base = (1 to 50).map(i => (s"20230101${"%04d".format(i)}",
+      s"P${i % 3}", s"S${i % 4}", s"T$i"))
+    import spark.implicits._
+    val cleaned = base.toDF("DATETIME", "PLATFORM", "SITE", "TITLE")
+      .crossJoin(spark.range(100).select(col("id").as("_rep"))).drop("_rep")
+      .repartition(8)
+    // materialize the dims (tiny by construction) so their own legitimate
+    // row_number windows don't appear in the fact plan under test — the
+    // assert below must pin the FACT side window-free
+    def dim(naturalKey: String, skeyCol: String) = {
+      val d = Dims.build(cleaned, naturalKey, skeyCol)
+      spark.createDataFrame(
+        java.util.Arrays.asList(d.collect(): _*), d.schema)
+    }
+    val resolved = Fact.resolveSkeys(cleaned,
+      dim("DATETIME", "DATETIME_SKEY"), dim("PLATFORM", "PLATFORM_SKEY"),
+      dim("SITE", "SITE_SKEY"), dim("TITLE", "TITLE_SKEY"))
+    val rp = resolved.queryExecution.executedPlan.toString
+    assert(rp.contains("BroadcastHashJoin"), s"dim lookups must broadcast:\n$rp")
+    assert(!rp.contains("SortMergeJoin") && !rp.contains("ShuffledHashJoin"),
+      s"the fact side must not shuffle for dim joins:\n$rp")
+    assert(!rp.contains("Window"), s"no window in SKEY resolution:\n$rp")
+    val fact = Fact.withFactIdsScalable(resolved, existingMax = 1000L)
+    // zipWithIndex preserves the batch's partitioning — ids are assigned in
+    // every partition in parallel (vs the window twin's single partition)
+    assert(fact.rdd.getNumPartitions === resolved.rdd.getNumPartitions,
+      "scalable factid assignment must not collapse partitioning")
+    val Array((n, distinct, lo, hi)) = fact
+      .agg(count(lit(1)), countDistinct(col("factid")),
+        min(col("factid")), max(col("factid")))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(n === 5000L && distinct === n) // unique
+    assert(lo === 1001L && hi === 1000L + n) // contiguous from existingMax
+    // the contrast that justifies the routing rule: the deterministic
+    // window twin (dims/tests only) serializes through ONE partition
+    assert(Fact.withFactIds(resolved).rdd.getNumPartitions === 1)
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of

@@ -155,6 +155,81 @@ class StarPipelineSpec extends SparkSpec {
     assert(store.dimPlatform.count() === 2)
   }
 
+  test("soak: 50 streamed micro-batches with repeated auto-compaction keep views, FKs, and file counts healthy") {
+    // The long-lived-session story end-to-end (the per-mechanism tests above
+    // each cover one moving part): ONE streaming query drives 50 foreachBatch
+    // publishes through a store that auto-compacts every 4 live deltas —
+    // ~12 compactions interleaved with publishes — and at the end the SQL
+    // views still resolve, FKs are intact, factids stayed contiguous across
+    // every compaction, the replay guard still remembers pre-compaction
+    // batch ids, and the physical layout is bounded (no version/_tmp/delta
+    // accumulation).
+    val stage = tmpDir("graft-stage-soak")
+    val root = tmpDir("graft-star-soak")
+    val ckpt = tmpDir("graft-ckpt-soak")
+    (1 to 50).foreach { i =>
+      // every 10th file replays an existing title/minute — the anti-join
+      // upsert path must keep dims stable under the soak, not just grow
+      val (minute, title) =
+        if (i % 10 == 0) (1, "news| Video 1") else (i, s"news| Video $i")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(f"$stage/f$i%03d.csv"),
+        "DateTime,VideoTitle,events\n" +
+          f"2017-01-11T00:$minute%02d:00.000Z,$title,206")
+    }
+    val store = StarStore(spark, root, autoCompactAfter = 4)
+    val q = spark.readStream
+      .schema(RawSchemas.raw)
+      .option("header", "true")
+      .option("maxFilesPerTrigger", "1") // each file = its own micro-batch
+      .csv(stage)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        store.runBatch(batch, batchId.toString): Unit
+        // register once the store exists; every later publish/compaction
+        // must then re-register or the views dangle on retired version dirs
+        if (batchId == 0L) store.registerViews()
+      }
+      .start()
+    q.awaitTermination()
+
+    val fact = store.fact
+    assert(fact.count() === 50)
+    assert(fact.where($"DATETIME_SKEY".isNull || $"PLATFORM_SKEY".isNull ||
+      $"SITE_SKEY".isNull || $"TITLE_SKEY".isNull).count() === 0)
+    // factids contiguous across ~12 interleaved compactions (maxFactId is
+    // manifest-carried, never re-derived from a compacted fact scan)
+    assert(fact.select("factid").as[Long].collect().sorted.toSeq
+      === (1L to 50L))
+    // dims: 45 distinct minutes/titles (5 replayed), SKEYs unique
+    assert(store.dimDate.count() === 45)
+    assert(store.dimTitle.count() === 45)
+    val skeys = store.dimTitle.select("TITLE_SKEY").as[Long].collect()
+    assert(skeys.toSet.size === skeys.length)
+    // views survived 50 publishes + compactions (re-registered each time)
+    assert(spark.sql("SELECT count(*) FROM fact_videostart").as[Long].head() === 50)
+    assert(spark.sql(
+      """SELECT count(*) FROM fact_videostart f
+        |JOIN dim_title t ON f.TITLE_SKEY = t.TITLE_SKEY""".stripMargin)
+      .as[Long].head() === 50)
+    // physical layout bounded: live deltas ≤ autoCompactAfter + 1, exactly
+    // one live version dir, no _tmp staging leftovers
+    val factDirs = new java.io.File(s"$root/facts").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(factDirs.length <= 5, s"live deltas not bounded: ${factDirs.toSeq}")
+    val versionDirs = new java.io.File(s"$root/versions").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(versionDirs.count(_.startsWith("_tmp")) === 0,
+      s"staging leftovers: ${versionDirs.toSeq}")
+    assert(versionDirs.length === 1, s"retired versions linger: ${versionDirs.toSeq}")
+    // the replay guard survived every compaction: any streamed batch id is
+    // still a no-op, even ones whose delta dir was compacted away long ago
+    assert(store.runBatch(rawBatch1, "2") === 0)
+    assert(store.fact.count() === 50)
+  }
+
   test("incremental: ProcessingTime cadence merges successive micro-batches (row 35)") {
     val stage = tmpDir("graft-stage-pt")
     val root = tmpDir("graft-star-pt")
