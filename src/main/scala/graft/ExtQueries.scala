@@ -323,6 +323,15 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
+    // Deterministic global corpus shuffle: pseudo-random order as a pure
+    // function of (key, salt) — the retry-stable, engine-reproducible
+    // replacement for orderBy(rand()) before sequence packing. The oracle
+    // re-derives the exact permutation (shuffle_key is portable md5).
+    "sample_shuffle" -> ((s, d) => {
+      Sampling.deterministicShuffle(t(s, d, "documents"), "doc_id", salt = "ep1")
+        .select(col("doc_id"), col("shuffle_key"))
+    }),
+
     // Leakage-free train/test split on the doc key.
     "sample_split" -> ((s, d) => {
       Sampling.withSplit(t(s, d, "documents"), "doc_id", 0.25, salt = "v1")
@@ -1157,6 +1166,10 @@ object ExtQueries {
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= 10
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle:ep1') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
 
     "sample_mixture" ->
       s"""SELECT doc_id, source FROM documents

@@ -301,6 +301,14 @@ object Dedup {
     math.max(minCap.toDouble, math.min(cap, Int.MaxValue.toDouble)).toInt
   }
 
+  /** Sentinel for the `maxBucketSize` parameter of [[nearDuplicates]] /
+    * [[nearDuplicatesFast]]: derive the cap from the corpus size at runtime
+    * via [[adaptiveBucketCap]]. The count runs over the operator's own
+    * persisted shingle frame — one pass that materializes a cache every
+    * downstream stage needs anyway — so opting into the scale valve costs
+    * ~nothing and never needs retuning across corpus sizes. */
+  val AdaptiveBucket: Int = -1
+
   /** LSH candidate pairs from per-document signatures: documents sharing any
     * band value. `sigDf` must have (id, sig: array) with signatures from a
     * NON-EMPTY shingle set (see [[nearDuplicates]]) — no null-band filter
@@ -343,6 +351,10 @@ object Dedup {
                     scope: CacheScope = null,
                     hashBands: Boolean = false,
                     minBandMatches: Int = 1): DataFrame = {
+    // the AdaptiveBucket sentinel is resolved by nearDupPairs (which owns a
+    // corpus-size count); here a non-positive cap would drop EVERY bucket
+    require(maxBucketSize > 0,
+      s"maxBucketSize must be positive (resolve Dedup.AdaptiveBucket upstream): $maxBucketSize")
     // band b = concatenation of bandRows consecutive signature values:
     // a candidate must agree on ALL rows of some band. bandRows=1 maximizes
     // recall (any shared minhash); bandRows=2 cuts false candidates ~
@@ -455,7 +467,12 @@ object Dedup {
     * only ADD a match, never remove one, so the bound is conservative. The
     * candidate set feeding the expensive shingle-array join shrinks by
     * orders of magnitude; and like the shingle hashing, the filter is
-    * deterministic — a passing corpus keeps passing. */
+    * deterministic — a passing corpus keeps passing.
+    *
+    * Pass `maxBucketSize = Dedup.AdaptiveBucket` to derive the hot-bucket
+    * cap from the corpus size at runtime (c·√N via [[adaptiveBucketCap]] —
+    * keeps the band self-join linear in N with no retuning across
+    * scale-ups). */
   def nearDuplicatesFast(df: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, numHashes: Int = 16,
                          threshold: Double = 0.5, bandRows: Int = 1,
@@ -494,6 +511,13 @@ object Dedup {
       .select(col(idCol), shinglesOf(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(sh)
+    // AdaptiveBucket resolves to c·√N here, where the count is a single
+    // pass that materializes the shingle cache everything downstream reads
+    require(maxBucketSize > 0 || maxBucketSize == AdaptiveBucket,
+      s"maxBucketSize must be positive or Dedup.AdaptiveBucket: $maxBucketSize")
+    val bucketCap =
+      if (maxBucketSize == AdaptiveBucket) adaptiveBucketCap(sh.count())
+      else maxBucketSize
     // Estimated-Jaccard prefilter (see [[nearDuplicatesFast]] for the recall
     // bound): keep candidates whose signatures agree on >= minSigAgree
     // positions. With 1-row bands a shared band IS an agreeing position, so
@@ -505,7 +529,7 @@ object Dedup {
     // agreement is counted explicitly against the signature frame; only
     // meaningful above bandRows (every candidate already agrees on one band).
     val useBandCount =
-      bandRows == 1 && minSigAgree > 1 && maxBucketSize == Int.MaxValue
+      bandRows == 1 && minSigAgree > 1 && bucketCap == Int.MaxValue
     val needSigJoin = !useBandCount && minSigAgree > bandRows
     val sig0 = sh.select(col(idCol), signatureOf(col("sh"), numHashes).as("sig"))
     // With the join prefilter, the signature frame is read three times
@@ -518,7 +542,7 @@ object Dedup {
         if (scope != null) scope.own(p)
         p
       }
-    val cand0 = lshCandidates(sig, idCol, "sig", bandRows, maxBucketSize, scope,
+    val cand0 = lshCandidates(sig, idCol, "sig", bandRows, bucketCap, scope,
       hashBands = hashBands,
       minBandMatches = if (useBandCount) minSigAgree else 1)
     val cand =

@@ -54,6 +54,32 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Deterministically shuffle a corpus into a pseudo-random global order —
+    * the pre-writer step that decorrelates adjacent documents (source runs,
+    * crawl order, curriculum artifacts) before sequence packing, so training
+    * batches don't see correlated neighbors. Order = ascending portable
+    * hash of (key, salt): a pure function of the key, so re-runs, retried
+    * stages, and external engines agree on the EXACT permutation — unlike
+    * `orderBy(rand())`, which is neither retry-stable nor reproducible, and
+    * whose non-determinism under task retry can silently duplicate or drop
+    * rows in a written dataset. Different salts give independent epochs'
+    * orders. The emitted `shuffle_key` column is the sort key itself, so
+    * downstream writers can verify or re-establish the order.
+    *
+    * Scale shape: one range-partitioning exchange + per-partition sort
+    * (Spark's distributed orderBy) — the minimum a global reorder can pay;
+    * the md5 keys are uniformly distributed, so the range partitions are
+    * balanced by construction regardless of input skew. */
+  def deterministicShuffle(df: DataFrame, keyCol: String,
+                           salt: String = ""): DataFrame = {
+    require(!df.columns.contains("shuffle_key"),
+      "deterministicShuffle: input already has a 'shuffle_key' column")
+    df.withColumn("shuffle_key",
+        md5(concat(col(keyCol).cast("string"), lit(":shuffle:" + salt))))
+      // tie-break on the key so duplicate-key rows also order stably
+      .orderBy(col("shuffle_key"), col(keyCol))
+  }
+
   /** Keep at most `n` rows per group, chosen by hash rank (deterministic
     * "reservoir"): the standard cap-per-domain / data-mixing primitive.
     * One shuffle on the group key; rank ties broken by the key itself, so

@@ -127,6 +127,16 @@ class PlanSpec extends SparkSpec {
       s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
   }
 
+  test("sample_shuffle: distributed range-partitioned sort, never a window") {
+    // the global pseudo-random reorder must be Spark's distributed orderBy
+    // (balanced range partitions over uniform md5 keys) — a row_number
+    // window or a coalesce(1) would serialize the corpus through one task
+    val p = plan("sample_shuffle")
+    assert(p.contains("rangepartitioning"), s"expected a range exchange:\n$p")
+    assert(p.contains("Sort"), s"expected a distributed sort:\n$p")
+    assert(!p.contains("Window"), s"global order must not use a window:\n$p")
+  }
+
   test("fact assembly at a replicated scale-up never routes through the unpartitioned window") {
     // The pipeline's fact path (StarStore.runBatch → Fact.resolveSkeys →
     // Fact.withFactIdsScalable) must stay broadcast-joined and id-assigned

@@ -157,6 +157,19 @@ class ExtPropertySpec extends SparkSpec {
     assert(Dedup.adaptiveBucketCap(1000000L, c = 8.0) === 8000)
   }
 
+  test("deterministicShuffle: exact permutation, stable under repartitioning, salt-independent") {
+    val keys = (1L to 300L).toDF("k")
+    def order(df: org.apache.spark.sql.DataFrame, salt: String): Seq[Long] =
+      Sampling.deterministicShuffle(df, "k", salt).select("k").as[Long].collect().toSeq
+    val o1 = order(keys, "ep1")
+    assert(o1.sorted === (1L to 300L)) // a permutation — nothing lost or duplicated
+    assert(o1 !== (1L to 300L)) // and actually shuffled
+    // pure function of the key: the physical layout of the input is irrelevant
+    assert(order(keys.repartition(7), "ep1") === o1)
+    // different salts → independent epoch orders
+    assert(order(keys, "ep2") !== o1)
+  }
+
   test("sampleByHash fractions nest and withSplit partitions exactly") {
     val fracGen = for {
       f1 <- Gen.choose(0.0, 1.0)

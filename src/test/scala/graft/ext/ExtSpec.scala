@@ -108,6 +108,24 @@ class ExtSpec extends SparkSpec {
     assert(filtered.nonEmpty)
   }
 
+  test("AdaptiveBucket sentinel: cap derived from corpus size, pair set unchanged on a small corpus") {
+    // 64-floor cap > any bucket on this corpus, so the adaptive run must
+    // return exactly the uncapped pair set — the sentinel wires the c·√N
+    // valve in without changing small-corpus results
+    val uncapped = Dedup.nearDuplicatesFast(docs, "doc_id", "text", threshold = 0.3)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val adaptive = Dedup.nearDuplicatesFast(docs, "doc_id", "text", threshold = 0.3,
+        maxBucketSize = Dedup.AdaptiveBucket)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(adaptive === uncapped)
+    // the raw band join refuses the unresolved sentinel outright
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignatureFast(Dedup.hashedWordShingles(col("text"), 3), 4).as("sig"))
+    intercept[IllegalArgumentException] {
+      Dedup.lshCandidates(sig, "doc_id", "sig", maxBucketSize = Dedup.AdaptiveBucket)
+    }
+  }
+
   test("prefilter with bucket capping falls back to the exact signature count") {
     // when mega-buckets are dropped, the free band-count path would stop
     // counting agreements that fall in capped buckets — the exact
