@@ -145,6 +145,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-priority cluster survivors: per near-dup cluster keep the
+    // highest-quality member (regex word count; ties → min doc_id) — the
+    // production survivor policy (keep the cleanest copy of a duplicated
+    // page, not whichever crawl got the lowest id). Spark side is a
+    // partial-aggregating max(struct(quality, -id)); the oracle restates it
+    // as a rank window.
+    "dedup_survivors_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.duplicateClusters(
+          Dedup.nearDuplicates(docs, "doc_id", "text"))
+        .select(col("id"), col("rep"))
+      val quality = docs.select(col("doc_id"),
+        TextStats.nWords(col("text")).as("q"))
+      Dedup.qualitySurvivors(clusters, quality, "doc_id", "q")
+        .orderBy("rep")
+    }),
+
     // The full curation pipeline: exact dedup → near-dup cluster dedup →
     // quality gate; output = surviving document ids.
     "curation_pipeline" -> ((s, d) => {
@@ -271,6 +288,33 @@ object ExtQueries {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ-compressed ANN via asymmetric distance computation: the corpus is
+    // stored as m=16 code ints (16× compression vs 64 raw floats; a real
+    // deployment packs them into 16 bytes) and each candidate costs 16
+    // table lookups instead of 64 multiplies. Scores are quantized by
+    // codebook resolution, so no external engine can restate them —
+    // rows-only by design; ExtSpec pins recall vs the exact scan (≥0.6
+    // measured 0.70 on this corpus — random embeddings are PQ's worst
+    // case) and exactness when the codebook covers the corpus.
+    "sim_topk_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, m = 16, ksub = 64, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
+    // — the classic billion-scale ANN recipe (prune by cell, score against
+    // codes, never touch raw vectors after encode). Rows-only for the same
+    // reason as sim_topk_pq.
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 4,
+          m = 16, ksub = 64, fitIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -441,6 +485,40 @@ object ExtQueries {
       t(s, d, "documents")
         .select(col("doc_id"), TextStats.scrubPii(dirty).as("clean_text"))
         .orderBy("doc_id")
+    }),
+
+    // Markup stripping on planted markup (same planted-content pattern as
+    // text_scrub): tags out, the five predefined entities decoded exactly
+    // once (&amp; decoded last — planted "&amp;lt;" must surface as the
+    // literal "&lt;", not "<"), whitespace collapsed. Zero shuffle.
+    "text_strip_html" -> ((s, d) => {
+      val marked = concat(
+        lit("<html><body><h1>Doc "), col("doc_id"),
+        lit("</h1> <p class=\"lead\">"), substring(col("text"), 1, 60),
+        lit("</p> <br/> &quot;q&quot; &#39;s&#39; 1 &lt; 2 &amp; 3 &gt; 2" +
+          " &amp;lt;escaped&amp;gt;</body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), TextStats.stripMarkup(marked).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher/C4-style quality gate battery: integer-exact per-doc stats +
+    // one boolean per gate + the AND — the cheap-filter pass every
+    // web-scale curation run applies before model scoring. One projection,
+    // zero shuffle.
+    "text_quality_gates" -> ((s, d) => {
+      TextStats.qualityGates(t(s, d, "documents"), "doc_id", "text",
+          stopwords, minWords = 40)
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index: term → document frequency + sorted posting list
+    // (comma-joined; engine-portable where array serialization is not).
+    // One exchange keyed on the term; per-doc distinct before the explode.
+    "text_inverted_index" -> ((s, d) => {
+      TextStats.invertedIndex(t(s, d, "documents"), "doc_id", "text",
+          minDf = 5)
+        .orderBy("term")
     }),
 
     // Fixed-window chunking with overlap (context-window prep): 32-token
@@ -996,6 +1074,37 @@ object ExtQueries {
          |SELECT s AS doc_id, least(s, min(t))::BIGINT AS rep
          |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
 
+    // same reachability CTE as dedup_clusters, then the survivor choice
+    // restated as a rank window (quality DESC, doc_id ASC) — the Spark side
+    // computes the identical row via partial-aggregating max(struct)
+    "dedup_survivors_quality" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |cl AS (SELECT s AS doc_id, least(s, min(t)) AS rep FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS q FROM documents)
+         |SELECT rep::BIGINT AS rep, doc_id::BIGINT AS survivor_id, q::BIGINT AS quality FROM (
+         |  SELECT cl.rep, cl.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY cl.rep ORDER BY q.q DESC, cl.doc_id ASC) AS rk
+         |  FROM cl JOIN q USING (doc_id))
+         |WHERE rk = 1 ORDER BY rep""".stripMargin,
+
     "dedup_simhash" ->
       s"""SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (
          |  SELECT doc_id, list_distinct(list_transform(
@@ -1257,6 +1366,52 @@ object ExtQueries {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // entity decode order matters and is pinned on both sides: &lt;/&gt;/
+    // &quot;/&#39; first, &amp; LAST (planted &amp;lt; → literal "&lt;")
+    "text_strip_html" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      '<html><body><h1>Doc ' || doc_id || '</h1> <p class="lead">' ||
+        |        substr(text, 1, 60) ||
+        |        '</p> <br/> &quot;q&quot; &#39;s&#39; 1 &lt; 2 &amp; 3 &gt; 2 &amp;lt;escaped&amp;gt;</body></html>',
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality_gates" ->
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+         |  has_lorem, has_brace,
+         |  (n_words BETWEEN 40 AND 100000) AS gate_len,
+         |  coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS gate_word_len,
+         |  coalesce(symbol_ratio <= 0.1, false) AS gate_symbol,
+         |  (stop_hits >= 2) AS gate_stop,
+         |  ((n_words BETWEEN 40 AND 100000)
+         |    AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+         |    AND coalesce(symbol_ratio <= 0.1, false)
+         |    AND stop_hits >= 2 AND NOT has_lorem AND NOT has_brace) AS pass
+         |FROM (SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '[a-z]+'))::INT AS n_words,
+         |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN NULL
+         |    ELSE length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+         |      / len(regexp_extract_all(lower(text), '[a-z]+')) END AS mean_word_len,
+         |  CASE WHEN length(text) = 0 THEN NULL
+         |    ELSE length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+         |      / length(text) END AS symbol_ratio,
+         |  ${Sql.markerCountOver(stopwords, "string_split(lower(text), ' ')")}::INT AS stop_hits,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  contains(text, '{') AS has_brace
+         |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "text_inverted_index" ->
+      """SELECT term, count(*)::BIGINT AS n_docs,
+        |  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+        |FROM (SELECT doc_id,
+        |  unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents)
+        |GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin,
 
     // a start whose previous chunk already reached the end (s + 32-24 >=
     // len) would be a contained sub-span — dropped on both sides

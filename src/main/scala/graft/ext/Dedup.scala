@@ -842,6 +842,30 @@ object Dedup {
     labels
   }
 
+  /** Quality-priority survivor selection: given duplicate-cluster labels
+    * ([[duplicateClusters]] output: one (id, rep) row per clustered doc) and
+    * a per-document quality score, pick each cluster's BEST member — max
+    * quality, ties to the smallest id — instead of the min-id default. This
+    * is how production dedup keeps the cleanest copy of a duplicated page
+    * rather than whichever crawl happened to get the lowest id.
+    *
+    * Scale shape: one join keyed on the id, then one hash aggregation on the
+    * cluster label with map-side partials — `max(struct(quality, -id))` is
+    * an ordinary partial-aggregating max (a mega-cluster collapses to one
+    * row per map partition before the exchange), where the rank-window
+    * formulation the oracle restates would buffer every member of a cluster
+    * in one task. The negated id turns "min id on quality tie" into plain
+    * struct-max ordering. */
+  def qualitySurvivors(clusters: DataFrame, quality: DataFrame,
+                       idCol: String, qCol: String): DataFrame = {
+    val q = quality.select(col(idCol).as("id"), col(qCol).cast("long").as("_q"))
+    clusters.join(q, "id")
+      .groupBy(col("rep"))
+      .agg(max(struct(col("_q"), (-col("id")).as("_negid"))).as("_best"))
+      .select(col("rep"), (-col("_best._negid")).as("survivor_id"),
+        col("_best._q").as("quality"))
+  }
+
   /** Direct blocked n-gram-Jaccard near-dup: all pairs within a blocking key
     * (e.g. language), char-n-gram Jaccard >= threshold. Quadratic within a
     * block — use only with strong blocking; MinHash LSH is the unblocked

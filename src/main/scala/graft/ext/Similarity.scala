@@ -240,6 +240,158 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ───────────────── product quantization (IVF-PQ family) ────────────────
+
+  /** Squared L2 distance between two equal-length vectors — strict left fold
+    * in index order (same portability contract as [[dot]]). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, z) => acc + z)
+
+  /** Fit PQ codebooks driver-side: split the `dim`-vector into `m`
+    * contiguous subspaces of dim/m and learn `ksub` codewords per subspace.
+    * Deterministic init — the subvectors of the `ksub` lowest-id corpus
+    * vectors (dependency-free, like [[centroidArray]]); `fitIters` rounds of
+    * per-subspace Lloyd refinement, each one zero-exchange assignment
+    * projection plus one (subspace, code, pos) aggregation shuffle whose
+    * m·ksub·dim/m = ksub·dim means come back to the driver — the same tiny
+    * payload the codebook broadcast ships out. Codewords that lose all
+    * members keep their previous value. Returns cb(subspace)(code) =
+    * codeword subvector. */
+  private[ext] def fitPqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, ksub: Int,
+      fitIters: Int): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && ksub > 0, s"pq: m=$m and ksub=$ksub must be positive")
+    val rows = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .orderBy("id").limit(ksub).collect()
+    require(rows.nonEmpty, "pq: empty corpus")
+    val dim = rows.head.getSeq[Double](1).size
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    var cb: Seq[Seq[Seq[Double]]] = (0 until m).map { i =>
+      rows.toSeq.map(_.getSeq[Double](1).slice(i * dsub, i * dsub + dsub).toSeq)
+    }
+    val c = corpus.select(asDouble(col(vecCol)).as("v"))
+    for (_ <- 1 to fitIters) {
+      val assigned = c.select(col("v"),
+        posexplode(pqEncode(col("v"), typedLit(cb), dsub)).as(Seq("sub", "code")))
+      val means = assigned
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("v"), col("sub") * lit(dsub) + 1, lit(dsub)))
+            .as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mval"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rs) =>
+          key -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      cb = cb.zipWithIndex.map { case (cbi, i) =>
+        cbi.zipWithIndex.map { case (cw, j) => means.getOrElse((i, j), cw) }
+      }
+    }
+    cb
+  }
+
+  /** PQ code assignment as a pure projection: for each subspace, the index
+    * of the nearest codeword by squared L2 (ties → lowest index; the
+    * [array(dist, idx)]-fold dodges the same struct-alias analysis pitfall
+    * as [[nearestCell]]). Output: array<int> of length m — the compressed
+    * representation. Zero exchange; the codebook rides along as a literal. */
+  def pqEncode(v: Column, cb: Column, dsub: Int): Column =
+    transform(cb, (cbi, i) => {
+      val sub = slice(v, i * lit(dsub) + 1, lit(dsub))
+      val scored = transform(cbi, (cw, j) => array(sqDist(sub, cw), j.cast("double")))
+      val best = aggregate(scored, array(lit(Double.MaxValue), lit(-1.0)),
+        (b, s) => when(element_at(s, 1) < element_at(b, 1), s).otherwise(b))
+      element_at(best, 2).cast("int")
+    })
+
+  /** PQ-compressed ANN top-k via asymmetric distance computation (ADC) —
+    * the memory-side scale path next to [[ivfTopK]]'s candidate pruning: the
+    * corpus is stored as m small code ints per vector (m·~1 byte vs dim·4
+    * bytes raw — a 64-dim float corpus compresses ~32× at m=8), and scoring
+    * a candidate costs m table lookups + adds instead of dim multiplies.
+    *
+    * Each query precomputes (broadcast-side, once) the dot product of its
+    * subvectors against every codeword; a candidate's approximate dot is the
+    * sum of its codes' table entries, and its reconstructed norm comes from
+    * a second (query-independent) codeword-norm table — exact for the
+    * reconstruction because subspaces partition the coordinates. Score =
+    * cosine(query, reconstruction); recall is governed by m·ksub (quantizer
+    * resolution), orthogonal to any candidate pruning stacked on top
+    * ([[ivfPqTopK]]). Scale shape: codebooks + queries broadcast, corpus
+    * encoded in one zero-exchange projection, one scan; shuffle = the k-row
+    * per-query TopK aggregation only. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, ksub: Int,
+             fitIters: Int = 0): DataFrame = {
+    val cb = fitPqCodebooks(corpus, idCol, vecCol, m, ksub, fitIters)
+    val scored = pqScore(corpus, queries, idCol, vecCol, cb)
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ: [[ivfTopK]]'s cell pruning composed with [[pqTopK]]'s
+    * compressed ADC scan — the classic large-scale ANN recipe (prune
+    * candidates by inverted file, score survivors against codes, never touch
+    * raw vectors after encode). Both index structures ride along as literal
+    * broadcasts; every join is keyed on the cell id. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCells: Int, nProbe: Int,
+                m: Int, ksub: Int, fitIters: Int = 0): DataFrame = {
+    val cents =
+      if (fitIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, fitIters)
+      else centroidArray(corpus, idCol, vecCol, nCells)
+    val cb = fitPqCodebooks(corpus, idCol, vecCol, m, ksub, fitIters)
+    val cell = nearestCell(col("v"), cents)
+    val scored = pqScore(corpus, queries, idCol, vecCol, cb,
+      corpusExtra = Seq(cell.as("cell")),
+      probe = q => q.select(col("*"),
+        explode(nearestCells(col("qv"), cents, nProbe)).as("cell")),
+      joinKeys = Seq("cell"))
+    rankTopK(scored, k)
+  }
+
+  /** Shared ADC scoring plan for [[pqTopK]] / [[ivfPqTopK]]: encode the
+    * corpus, precompute per-query lookup tables, join (cross or cell-keyed),
+    * sum m lookups per candidate. */
+  private def pqScore(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, cb: Seq[Seq[Seq[Double]]],
+      corpusExtra: Seq[Column] = Nil,
+      probe: DataFrame => DataFrame = identity,
+      joinKeys: Seq[String] = Nil): DataFrame = {
+    val m = cb.size
+    val dsub = cb.head.head.size
+    val cbLit = typedLit(cb)
+    // query-independent: squared norm of every codeword
+    val normTab = typedLit(cb.map(_.map(cw => cw.map(x => x * x).sum)))
+    val base = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val enc = base.select((col("id") +:
+      pqEncode(col("v"), cbLit, dsub).as("codes") +: corpusExtra): _*)
+    val qtab = transform(cbLit, (cbi, i) => transform(cbi, cw =>
+      aggregate(zip_with(slice(col("qv"), i * lit(dsub) + 1, lit(dsub)), cw,
+        (x, y) => x * y), lit(0.0), (acc, z) => acc + z)))
+    val q0 = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), col("qv"), qtab.as("qtab"),
+        norm(col("qv")).as("qn"))
+    val qp = probe(q0)
+    val joined =
+      if (joinKeys.isEmpty) enc.crossJoin(broadcast(qp))
+      else enc.join(broadcast(qp), joinKeys)
+    val subIdx = sequence(lit(0), lit(m - 1))
+    val adcDot = aggregate(subIdx, lit(0.0), (acc, i) => acc +
+      element_at(element_at(col("qtab"), i + 1),
+        element_at(col("codes"), i + 1) + 1))
+    val reconSq = aggregate(subIdx, lit(0.0), (acc, i) => acc +
+      element_at(element_at(normTab, i + 1),
+        element_at(col("codes"), i + 1) + 1))
+    joined
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        try_divide(adcDot, col("qn") * sqrt(reconSq)).as("score"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine >=
     * threshold. Unblocked all-pairs is quadratic — correct at verification
     * scale; at 100 TB block first ([[signBucket]] equi-join, same contract as

@@ -192,6 +192,85 @@ object TextStats {
     regexp_replace(email, "[0-9]{7,}", "<NUM>")
   }
 
+  /** Markup stripping for web-crawl text: drop tags, decode the five
+    * predefined HTML entities, collapse whitespace. Pure `regexp_replace`
+    * chain — codegen'd, per-row, zero shuffle; the patterns stay in the
+    * common RE2/Java subset so an external engine reproduces the cleaning
+    * exactly. `&amp;` is decoded LAST: decoding it first would turn
+    * `&amp;lt;` into `&lt;` and then (wrongly) into `<` — the classic
+    * double-decode bug. A real boilerplate extractor (readability-style DOM
+    * scoring) needs an HTML parser; this is the regex tier every crawl
+    * pipeline runs first. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Gopher/C4-style per-document quality gates: the standard battery of
+    * cheap filters a web-scale curation pass applies before any model-based
+    * scoring. Output per document: the underlying integer-exact stats plus
+    * one boolean per gate and the AND of all gates.
+    *
+    *  - `n_words` in [minWords, maxWords] — fragment / concatenation guard;
+    *  - `mean_word_len` in [3, 10] — OCR noise / symbol soup guard
+    *    (letter chars / letter runs, one division of exact ints);
+    *  - `symbol_ratio` ≤ 0.1 — share of chars outside [A-Za-z0-9 ];
+    *  - ≥ 2 stopword hits — C4's "real prose contains function words";
+    *  - no "lorem ipsum", no '{' — template / code-leak guards.
+    *
+    * Scale shape: a pure projection (zero shuffle); every stat is computed
+    * from the raw text column, so the whole battery rides one scan. */
+  def qualityGates(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, stopwords: Seq[String],
+                   minWords: Int = 40, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    val txt = col(textCol)
+    val letters = length(regexp_replace(lower(txt), "[^a-z]", ""))
+    val stats = df.select(col(idCol),
+      nWords(txt).as("n_words"),
+      when(nWords(txt) === 0, lit(null).cast("double"))
+        .otherwise(letters.cast("double") / nWords(txt)).as("mean_word_len"),
+      when(length(txt) === 0, lit(null).cast("double"))
+        .otherwise(length(regexp_replace(txt, "[A-Za-z0-9 ]", "")).cast("double")
+          / length(txt)).as("symbol_ratio"),
+      markerHits(tokens(txt), stopwords).as("stop_hits"),
+      lower(txt).contains("lorem ipsum").as("has_lorem"),
+      txt.contains("{").as("has_brace"))
+    stats.select(col("*"),
+      col("n_words").between(minWords, maxWords).as("gate_len"),
+      coalesce(col("mean_word_len").between(3.0, 10.0), lit(false))
+        .as("gate_word_len"),
+      coalesce(col("symbol_ratio") <= 0.1, lit(false)).as("gate_symbol"),
+      (col("stop_hits") >= 2).as("gate_stop"))
+      .select(col("*"),
+        (col("gate_len") && col("gate_word_len") && col("gate_symbol") &&
+          col("gate_stop") && !col("has_lorem") && !col("has_brace")).as("pass"))
+  }
+
+  /** Inverted index over the corpus: one row per distinct term with its
+    * document frequency and the sorted posting list (comma-joined string —
+    * engine-portable where a native array column's serialization is not).
+    * `minDf` drops hapax noise.
+    *
+    * Scale shape: per-doc DISTINCT vocabulary exploded (so the exchange
+    * carries one row per (doc, distinct term), never per occurrence), then
+    * ONE shuffle keyed on the term; `collect_list` is bounded by the term's
+    * document frequency — for web-scale corpora cap or bucket the posting
+    * list of stopword-class terms (they fail any practical `minDf`-style
+    * ceiling anyway, and a real index shards postings by (term, bucket)). */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minDf: Int = 1)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(sort_array(collect_list(col("_id"))), ",").as("postings"))
+      .where(col("n_docs") >= minDf)
+
   /** ALL word n-gram occurrences (NOT distinct — [[graft.ext.Dedup.wordShingles]]
     * dedups for set similarity; repetition measurement needs the counts). */
   def wordNgramsAll(text: Column, n: Int): Column = {

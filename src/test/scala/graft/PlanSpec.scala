@@ -127,6 +127,33 @@ class PlanSpec extends SparkSpec {
       s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
   }
 
+  test("qualityGates and stripMarkup are zero-exchange projections") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val g = graft.ext.TextStats.qualityGates(docs, "doc_id", "text",
+      Seq("data", "table"))
+    val p1 = g.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"), s"quality battery must not shuffle:\n$p1")
+    val m = docs.select(graft.ext.TextStats.stripMarkup(col("text")))
+    val p2 = m.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"), s"markup strip must not shuffle:\n$p2")
+  }
+
+  test("dedup_survivors_quality: partial-aggregated max(struct), never a window") {
+    // the rank-window survivor choice would buffer every member of a
+    // mega-cluster in one task; the struct-max form must show map-side
+    // partials and no Window anywhere in the plan
+    val p = plan("dedup_survivors_quality")
+    assert(p.contains("partial_max"), s"expected map-side partial max:\n$p")
+    assert(!p.contains("Window"), s"survivor choice regressed to a window:\n$p")
+  }
+
+  test("sim_topk_ivfpq: cell-keyed broadcast join, never a cartesian") {
+    val p = plan("sim_topk_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"expected cell-keyed probe join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("sample_shuffle: distributed range-partitioned sort, never a window") {
     // the global pseudo-random reorder must be Spark's distributed orderBy
     // (balanced range partitions over uniform md5 keys) — a row_number

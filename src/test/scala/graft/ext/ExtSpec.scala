@@ -505,6 +505,59 @@ class ExtSpec extends SparkSpec {
     assert(m3.subsetOf(r3.toSet))
   }
 
+  // ─────────────────────────── PQ / IVF-PQ ────────────────────────────────
+
+  test("pqTopK is exact when the codebook covers every corpus subvector") {
+    // 4 vectors, dim 4, m=2 → ksub=4 codebook (init = all 4 vectors'
+    // subvectors) reconstructs every vector exactly ⇒ ADC ranking must
+    // equal brute force, scores equal up to subspace-partial summation
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f, 0.3f)),
+      (1L, Array(0.9f, 0.2f, 0.1f, 0.3f)),
+      (2L, Array(0.0f, 1.0f, 0.8f, 0.1f)),
+      (3L, Array(-1.0f, 0.0f, 0.2f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(tiny, tiny.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3)
+      .select("rank", "id", "score").as[(Int, Long, Double)].collect()
+    val pq = Similarity.pqTopK(tiny, tiny.where(col("vec_id") === 0L),
+        "vec_id", "embedding", k = 3, m = 2, ksub = 4)
+      .select("rank", "id", "score").as[(Int, Long, Double)].collect()
+    assert(pq.map(r => (r._1, r._2)).toSeq === bf.map(r => (r._1, r._2)).toSeq)
+    pq.zip(bf).foreach { case (p, b) => assert(math.abs(p._3 - b._3) < 1e-12) }
+  }
+
+  test("pqEncode is a zero-exchange projection; ties go to the first codeword") {
+    val cb = Similarity.fitPqCodebooks(vecs, "vec_id", "embedding",
+      m = 1, ksub = 4, fitIters = 0)
+    val enc = vecs.select(col("vec_id"),
+      Similarity.pqEncode(Similarity.asDouble(col("embedding")),
+        typedLit(cb), dsub = 3).as("codes"))
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free encode:\n$plan")
+    // with the full corpus as codebook, every vector encodes to itself
+    val codes = enc.select(col("vec_id"), element_at(col("codes"), 1))
+      .as[(Long, Int)].collect().toMap
+    assert(codes === Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+  }
+
+  test("pq recall on the real corpus; full-probe ivfPq equals the pq scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 10,
+        m = 16, ksub = 64, fitIters = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (pq & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"pq recall@10 too low: $recall") // measured 0.70
+    // nProbe = nCells ⇒ IVF prunes nothing ⇒ identical to the flat ADC scan
+    val ivfpq = Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 10,
+        nCells = 4, nProbe = 4, m = 16, ksub = 64, fitIters = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(ivfpq === pq)
+  }
+
   // ─────────────────────────── TopK ───────────────────────────────────────
 
   test("TopK aggregator equals the window row_number ranking, ties included") {
@@ -785,6 +838,69 @@ class ExtSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextStats.chunkWords(docs, "doc_id", "text", window = 4, stride = 5)
     }
+  }
+
+  test("stripMarkup: tags out, entities decoded once, &amp; decoded last") {
+    val cases = Seq(
+      (1L, "<p>a <b>bold</b> move</p>"),
+      (2L, "1 &lt; 2 &amp; 3 &gt; 2"),
+      (3L, "&amp;lt;not a tag&amp;gt;"),   // must NOT double-decode
+      (4L, "&quot;q&quot; &#39;s&#39;"),
+      (5L, "  spaced\t\tout\n\ntext  "),
+      (6L, "<div class=\"x\" data-y='1'>attrs</div>")
+    ).toDF("id", "t")
+    val out = cases.select(col("id"), TextStats.stripMarkup(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "a bold move")
+    assert(out(2L) === "1 < 2 & 3 > 2")
+    assert(out(3L) === "&lt;not a tag&gt;") // one decode level only
+    assert(out(4L) === "\"q\" 's'")
+    assert(out(5L) === "spaced out text")
+    assert(out(6L) === "attrs")
+  }
+
+  test("qualityGates: each gate fires on its own pathology, null-safe") {
+    val battery = Seq(
+      (1L, ("the data value is here and the table row shows it " * 5).trim),
+      (2L, "too short"),                                  // gate_len
+      (3L, ("@#$% !!! " * 40) + ("data table row value word " * 10).trim), // symbols
+      (4L, ("lorem ipsum dolor sit amet " * 20).trim),    // template leak
+      (5L, ""),                                           // empty: no NPE, fails
+      (6L, ("x " * 80).trim)                              // 1-char words + no stopwords
+    ).toDF("doc_id", "text")
+    val g = TextStats.qualityGates(battery, "doc_id", "text",
+        Seq("data", "table", "row", "value"), minWords = 40)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(1L).getAs[Boolean]("pass"))
+    assert(!g(2L).getAs[Boolean]("gate_len") && !g(2L).getAs[Boolean]("pass"))
+    assert(!g(3L).getAs[Boolean]("gate_symbol") && !g(3L).getAs[Boolean]("pass"))
+    assert(g(4L).getAs[Boolean]("has_lorem") && !g(4L).getAs[Boolean]("pass"))
+    assert(!g(5L).getAs[Boolean]("pass")) // nulls coalesce to failed gates
+    assert(!g(6L).getAs[Boolean]("gate_word_len") && !g(6L).getAs[Boolean]("gate_stop"))
+  }
+
+  test("invertedIndex: per-doc distinct, sorted postings, minDf filter") {
+    val corpus = Seq(
+      (3L, "spark spark shuffle"),   // dup token counts once per doc
+      (1L, "spark join"),
+      (2L, "spark shuffle")
+    ).toDF("doc_id", "text")
+    val idx = TextStats.invertedIndex(corpus, "doc_id", "text", minDf = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(idx === Map(
+      "spark" -> (3L, "1,2,3"),     // sorted numerically, not by arrival
+      "shuffle" -> (2L, "2,3")))    // "join" dropped by minDf
+  }
+
+  test("qualitySurvivors: max quality wins, quality ties go to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "rep")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L))
+      .toDF("doc_id", "q")
+    val s = Dedup.qualitySurvivors(clusters, quality, "doc_id", "q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(s === Set((1L, 2L, 9L),   // 2 beats 3 on the tie, both beat 1
+                     (10L, 10L, 4L))) // tie at 4 → min id
   }
 
   test("chunkWords with stride == window reconstructs the document exactly") {
