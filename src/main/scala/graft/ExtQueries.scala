@@ -169,6 +169,14 @@ object ExtQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // The same pipeline under the quality-priority survivor policy: each
+    // near-dup cluster keeps its max-word-count member instead of min id.
+    "curation_pipeline_quality" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), "doc_id", "text",
+          Curation.Config(survivorQuality = Some(TextStats.nWords(col("text")))))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // The curation audit: per-stage funnel counts (input → exact dedup →
     // near-dup dedup → quality gate → PII scrub) — the numbers a curation
     // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
@@ -289,6 +297,17 @@ object ExtQueries {
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8, fitIters = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // k-NN graph construction: every vector's 5 nearest neighbors among
+    // multi-probe sign-bucket candidates — the precursor structure for
+    // graph ANN and embedding-space clustering. Bucket equi-join + the
+    // bounded-heap TopK; the sign buckets are portable, so the oracle
+    // restates the full candidate rule.
+    "sim_knn_graph" -> ((s, d) => {
+      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, bits = 6)
+        .orderBy("id", "rank")
     }),
 
     // PQ-compressed ANN via asymmetric distance computation: the corpus is
@@ -510,6 +529,14 @@ object ExtQueries {
       TextStats.qualityGates(t(s, d, "documents"), "doc_id", "text",
           stopwords, minWords = 40)
         .orderBy("doc_id")
+    }),
+
+    // Per-language vocabulary profile: distinct terms, hapax count/share,
+    // max document frequency — corpus-health numbers (a ballooning hapax
+    // share flags OCR junk / encoding damage).
+    "text_vocab_stats" -> ((s, d) => {
+      TextStats.vocabularyStats(t(s, d, "documents"), "text", "lang")
+        .orderBy("lang")
     }),
 
     // Inverted index: term → document frequency + sorted posting list
@@ -1032,6 +1059,25 @@ object ExtQueries {
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
 
+    // quality-priority survivor policy: losers = cluster members minus each
+    // cluster's (quality DESC, doc_id ASC) best; quality = regex word count
+    // over the exact-dedup survivors, exactly as the Spark side computes it
+    "curation_pipeline_quality" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes},
+         |cl AS (SELECT s AS doc_id, least(s, min(t)) AS rep FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS q FROM docs0),
+         |surv AS (SELECT doc_id FROM (
+         |  SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.rep
+         |    ORDER BY q.q DESC, cl.doc_id ASC) AS rk
+         |  FROM cl JOIN q USING (doc_id)) WHERE rk = 1),
+         |qlosers AS (SELECT doc_id AS s FROM cl
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM surv))
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM qlosers)
+         |  AND ${Sql.curationQualityPred}
+         |ORDER BY doc_id""".stripMargin,
+
     "curation_funnel" ->
       s"""WITH RECURSIVE
          |${Sql.curationCtes}
@@ -1404,6 +1450,35 @@ object ExtQueries {
          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
          |  contains(text, '{') AS has_brace
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n),
+         |cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT id, rank::INT AS rank, nbr_id, score FROM (
+         |  SELECT id, nbr_id, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY id, rank""".stripMargin,
+
+    "text_vocab_stats" ->
+      """SELECT lang, count(*)::BIGINT AS vocab_size,
+        |  sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax_terms,
+        |  max(n_docs)::BIGINT AS max_df,
+        |  sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS hapax_share
+        |FROM (SELECT lang, token, count(*) AS n_docs
+        |  FROM (SELECT lang,
+        |    unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        |    FROM documents)
+        |  GROUP BY lang, token)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_inverted_index" ->
       """SELECT term, count(*)::BIGINT AS n_docs,

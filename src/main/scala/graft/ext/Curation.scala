@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
   * exact dedup → near-dup cluster dedup → quality gate, plus optional
   * benchmark decontamination and PII scrubbing — over a documents table.
   * Each stage is one of the §2.8 operators; this wires them with the
-  * survivor policy made explicit (min-id wins everywhere, so the pipeline is
-  * deterministic and re-runs are idempotent).
+  * survivor policy made explicit: min-id everywhere by default (so the
+  * pipeline is deterministic and re-runs are idempotent), or
+  * quality-priority near-dup survivors via `Config.survivorQuality`
+  * (still deterministic — quality DESC, id ASC).
   *
   * Scale shape: stages communicate by doc_id (semi/anti joins on the id,
   * never by re-shipping text); the only heavyweight stages are the two dedup
@@ -30,7 +32,12 @@ object Curation {
       probeTextCol: String = "text",
       decontamNgram: Int = 8,
       /** Mask emails / long digit runs in the survivors' text. */
-      scrubPii: Boolean = false)
+      scrubPii: Boolean = false,
+      /** Per-document quality expression (evaluated over the input columns)
+        * for near-dup survivor choice: each cluster keeps its max-quality
+        * member, ties to min id ([[Dedup.qualitySurvivors]]). None = the
+        * min-id (cluster representative) default. */
+      survivorQuality: Option[Column] = None)
 
   /** The quality-gate predicate (enough tokens, bounded stopword share). */
   private def qualityPred(textCol: String, cfg: Config): Column =
@@ -60,9 +67,20 @@ object Curation {
       try {
         val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
           cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold, scope = inner)
-        Dedup.duplicateClusters(pairs, scope = scope)
-          .where(col("id") =!= col("rep"))
-          .select(col("id").as(idCol))
+        val clusters = Dedup.duplicateClusters(pairs, scope = scope)
+        cfg.survivorQuality match {
+          case None => clusters
+            .where(col("id") =!= col("rep"))
+            .select(col("id").as(idCol))
+          case Some(q) =>
+            // quality-priority survivors: losers = cluster members minus
+            // each cluster's best member (anti join keyed on the id)
+            val survivors = Dedup.qualitySurvivors(clusters,
+                afterExact.select(col(idCol), q.as("_q")), idCol, "_q")
+              .select(col("survivor_id").as("id"))
+            clusters.join(survivors, Seq("id"), "left_anti")
+              .select(col("id").as(idCol))
+        }
       } finally inner.close() // converged OR thrown ⇒ shingles/bands released
     val afterNear = afterExact.join(losers, Seq(idCol), "left_anti")
 

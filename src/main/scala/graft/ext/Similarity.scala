@@ -240,6 +240,38 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN graph over the corpus: every vector's k nearest neighbors among
+    * candidates sharing a sign bucket with it or any single-bit flip of its
+    * bucket (the [[cosineNearDupPairsMultiProbe]] candidate rule, so
+    * sign-straddling near-neighbors are recovered). Output:
+    * (id, rank, nbr_id, score). The k-NN graph is the precursor structure
+    * for graph-based ANN (HNSW-class) and for graph clustering /
+    * connected-component dedup over embeddings.
+    *
+    * Scale shape: self-equi-join keyed on the bucket (probe side expanded
+    * (bits+1)×, each qualifying pair matched via exactly one probe — the
+    * probe set has pairwise-distinct values), then the bounded-heap TopK
+    * caps the shuffle at k rows per node; nothing is quadratic in the
+    * corpus, only within a bucket (cap buckets per [[graft.ext.Dedup]]'s
+    * adaptive rule if the bucket histogram is skewed). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               bits: Int): DataFrame = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val probeSet = array((col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+    val cand = v
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        explode(probeSet).as("bucket"))
+      .join(v.select(col("bucket"), col("id").as("nid"), col("v").as("nv")),
+        Seq("bucket"))
+      .where(col("query_id") =!= col("nid"))
+      .select(col("query_id"), col("nid").as("id"),
+        cosine(col("qv"), col("nv")).as("score"))
+    TopK.topKPerKey(cand, "query_id", "score", "id", k)
+      .toDF("id", "rank", "nbr_id", "score")
+  }
+
   // ───────────────── product quantization (IVF-PQ family) ────────────────
 
   /** Squared L2 distance between two equal-length vectors — strict left fold

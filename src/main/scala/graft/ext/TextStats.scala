@@ -109,6 +109,21 @@ object TextStats {
       .where(col("rk") <= k)
   }
 
+  /** Per-group vocabulary profile: distinct-term count, hapax count (terms
+    * in exactly one document — the noise/OCR-junk signal), max document
+    * frequency, and the hapax share (one division of exact ints). Rides on
+    * [[tokenDocFrequencies]]: two keyed aggregations, both with map-side
+    * partials; the second runs over the vocabulary, not the corpus. */
+  def vocabularyStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      groupCol: String): org.apache.spark.sql.DataFrame =
+    tokenDocFrequencies(df, textCol, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("hapax_terms"),
+        max(col("n_docs")).as("max_df"))
+      .withColumn("hapax_share",
+        col("hapax_terms").cast("double") / col("vocab_size"))
+
   /** Fixed-token-window chunking (context-window prep for training /
     * retrieval): one output row per chunk start s ∈ {0, stride, 2·stride, …}
     * < nTokens, carrying `window` whitespace tokens (fewer at the tail).

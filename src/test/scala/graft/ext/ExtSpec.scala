@@ -505,6 +505,56 @@ class ExtSpec extends SparkSpec {
     assert(m3.subsetOf(r3.toSet))
   }
 
+  test("knnGraph: probes covering every bucket reproduce brute force; " +
+      "sign-straddling neighbors recovered") {
+    // bits=1 ⇒ two buckets, and own+flip probing covers both ⇒ the graph
+    // must equal the exact k-NN of every node
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3, bits = 1)
+      .select("id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(g === bf)
+    // a near-identical pair straddling the first sign bit still links up
+    val straddle = Seq(
+      (0L, Array(0.01f, 1f, 1f)),
+      (1L, Array(-0.01f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(straddle, "vec_id", "embedding",
+        k = 1, bits = 3)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(edges === Set((0L, 1L), (1L, 0L)))
+  }
+
+  test("vocabularyStats: per-doc distinct, hapax counted over the group vocab") {
+    val corpus = Seq(
+      ("g1", "a b a"),   // doc vocab {a, b}
+      ("g1", "b c"),     // doc vocab {b, c} → df: a=1, b=2, c=1
+      ("g2", "x x x")    // df: x=1
+    ).toDF("lang", "text")
+    val s = TextStats.vocabularyStats(corpus, "text", "lang")
+      .select("lang", "vocab_size", "hapax_terms", "max_df", "hapax_share")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (l, a, b, c, d) => l -> ((a, b, c, d)) }.toMap
+    assert(s("g1") === ((3L, 2L, 2L, 2.0 / 3)))
+    assert(s("g2") === ((1L, 1L, 1L, 1.0)))
+  }
+
+  test("curation survivorQuality keeps the best cluster member, not min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (1L, base + "one two three"),
+      (2L, base + "one two three four five six seven") // near-dup, LONGER
+    ).toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 20)
+    val defaultKept = Curation.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(defaultKept === Set(1L)) // min-id policy
+    val qualityKept = Curation.curate(corpus, "doc_id", "text",
+        cfg.copy(survivorQuality = Some(TextStats.nWords(col("text")))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(qualityKept === Set(2L)) // word-count policy keeps the long copy
+  }
+
   // ─────────────────────────── PQ / IVF-PQ ────────────────────────────────
 
   test("pqTopK is exact when the codebook covers every corpus subvector") {
