@@ -115,6 +115,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental dedup: a new batch checked against a historical store via
+    // a BloomFilterAggregate blob + exact confirm join — the store is
+    // scanned but NEVER shuffled (the continuous-ingest shape at 100 TB).
+    // Result is exact (the bloom only routes candidates; the confirm join
+    // compares fingerprint values), so the plain NOT EXISTS oracle applies.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"))
+      val hist = docs.where(col("doc_id") % 10 < 7)
+      val batch = docs.where(col("doc_id") % 10 >= 7)
+      Dedup.newAgainstHistory(batch, hist, "fingerprint",
+          expectedHistItems = 4096, fpp = 0.01)
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -599,6 +615,25 @@ object ExtQueries {
         .orderBy("lang", "rk")
     }),
 
+    // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
+    // vocabulary (stopword-class terms dropped = Bayardo-style df-capped
+    // all-pairs) — the term-overlap retrieval modality next to the dense
+    // ANN suite. Integer dots/norms + correctly-rounded sqrt/div keep the
+    // score bit-portable.
+    "sim_lexical_pairs" -> ((s, d) => {
+      Similarity.lexicalCosinePairs(t(s, d, "documents"), "doc_id", "text",
+          maxDf = 50, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Corpus-frequency LM scoring: per-doc mean corpus-frequency of its
+    // tokens — the deterministic stand-in for the CCNet KenLM-perplexity
+    // quality filter (integer-exact evidence + one double division).
+    "text_lm_score" -> ((s, d) => {
+      TextStats.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Full column profile: nulls / exact distincts / min-max lengths, one
     // aggregation job, one output row per column (the reference's audit
     // stops at max length — SURVEY §2 rows 26-27 extended).
@@ -740,6 +775,22 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), min(col("props")).as("min_props"),
           countDistinct(col("props")).as("n_props"))
         .orderBy("event_type")
+    }),
+
+    // SCD Type-2 historization: each user's event_type stream becomes
+    // validity intervals (valid_from/valid_to/version/is_current) — the
+    // standard warehouse extension of the reference's SCD1 dim upsert.
+    // Timestamps are formatted to strings for cross-engine comparison
+    // (DuckDB reads the parquet as TIMESTAMP_NS, Spark as truncated micros
+    // — both are µs-aligned in this data, asserted before adoption).
+    "etl_scd2" -> ((s, d) => {
+      graft.etl.Scd.historize(t(s, d, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyyMMddHHmmss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyyMMddHHmmss.SSSSSS").as("valid_to"),
+          col("version"), col("is_current"))
+        .orderBy("user_id", "version")
     }),
 
     // JSON-lines sink + scan round-trip with an explicit schema — source-
@@ -1676,6 +1727,68 @@ object ExtQueries {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_scd2" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w0 AS prev,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS vf, event_id
+        |  FROM obs WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y%m%d%H%M%S.%f') AS valid_from,
+        |  strftime(lead(vf) OVER w, '%Y%m%d%H%M%S.%f') AS valid_to,
+        |  (row_number() OVER w)::BIGINT AS version,
+        |  (lead(vf) OVER w IS NULL) AS is_current
+        |FROM cp
+        |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint
+        |  FROM documents),
+        |hist AS (SELECT fingerprint FROM fp WHERE doc_id % 10 < 7)
+        |SELECT doc_id, fingerprint FROM fp b
+        |WHERE doc_id % 10 >= 7
+        |  AND NOT EXISTS (SELECT 1 FROM hist h
+        |                  WHERE h.fingerprint = b.fingerprint)
+        |ORDER BY doc_id""".stripMargin,
+
+    "sim_lexical_pairs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+        |keep AS (SELECT term FROM (
+        |    SELECT term, count(*) AS df FROM tf GROUP BY 1) WHERE df <= 50),
+        |tff AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN keep USING (term)),
+        |norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tff GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    sum(a.tf * b.tf)::BIGINT AS dot
+        |  FROM tff a JOIN tff b USING (term) WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot,
+        |  dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.doc_id = a_id
+        |JOIN norms nb ON nb.doc_id = b_id
+        |WHERE dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        |  FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+        |cf AS (SELECT token, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+        |  sum(tf.tf * cf.cf)::BIGINT AS freq_sum,
+        |  (sum(tf.tf * cf.cf)::DOUBLE / sum(tf.tf)::DOUBLE) AS mean_token_freq
+        |FROM tf JOIN cf USING (token)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "etl_partitioned_scan" ->
       """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,

@@ -533,5 +533,6 @@ object Queries {
     "etl_fact_resolve", "etl_merge_dedup", "etl_minute_dim",
     "dedup_exact", "dedup_minhash_fast", "dedup_simhash", "dedup_embedding_lsh",
     "sim_topk", "sim_topk_lsh", "text_tokens", "text_fingerprint",
-    "q_asof_join", "q_session_window", "q_sketch_distinct")
+    "q_asof_join", "q_session_window", "q_sketch_distinct",
+    "dedup_incremental", "text_lm_score", "etl_scd2")
 }

@@ -905,4 +905,63 @@ object Dedup {
         levenshtein(col("_ta"), col("_tb"), maxDist).as("edit_dist"))
       .where(col("edit_dist") =!= -1)
   }
+
+  /** Incremental dedup of a new batch against a historical store, EXACT
+    * result with ZERO shuffle of the store — the continuously-ingesting
+    * pipeline's workhorse (every fresh crawl must be checked against
+    * everything already kept; at 100 TB the store side must never be
+    * re-partitioned just to admit a batch a thousandth its size).
+    *
+    * Three passes, none of which exchanges a store row:
+    *  1. the store's key column is folded into a Bloom filter by Spark's
+    *     own codegen'd `BloomFilterAggregate` (partial filters OR-merge
+    *     map-side; only fixed-size bitset blobs reach the driver — the
+    *     runtime-filter machinery Spark itself injects for join pruning,
+    *     driven here explicitly via the catalyst bridge);
+    *  2. the batch is filtered by `BloomFilterMightContain` against the
+    *     broadcast blob — no false negatives, so unflagged rows are
+    *     PROVABLY new and never touch a join;
+    *  3. the candidate keys (true dups + the fpp share of false positives,
+    *     both ≪ batch) are broadcast against the store for an exact
+    *     confirm, and confirmed keys anti-join the batch. An xxhash64
+    *     collision inside the filter only costs a candidate row — the
+    *     confirm join compares the key VALUE, so the result is exact.
+    *
+    * Returns the batch rows whose `keyCol` does not occur in `hist` —
+    * identical to `batch.join(hist, key, "left_anti")`, which remains the
+    * right call when batch and store are the same order of magnitude
+    * (then nothing is small enough to broadcast and the plain anti-join's
+    * symmetric shuffle is the honest price).
+    *
+    * `expectedHistItems`/`fpp` size the filter (bits ≈ -n·ln(fpp)/ln²2 —
+    * 1.2 GB at 10⁹ keys/1 % fpp, fine to broadcast); undersizing only
+    * raises the false-positive share routed to the confirm join, never
+    * breaks exactness. */
+  def newAgainstHistory(batch: DataFrame, hist: DataFrame, keyCol: String,
+                        expectedHistItems: Long = 1L << 22,
+                        fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    require(expectedHistItems > 0 && fpp > 0 && fpp < 1,
+      s"bad filter sizing: items=$expectedHistItems fpp=$fpp")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedHistItems, fpp)
+    val blob = hist
+      .select(column(new BloomFilterAggregate(
+          expression(xxhash64(col(keyCol))),
+          CatLit(expectedHistItems), CatLit(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (blob == null) return batch // empty store: the whole batch is new
+    val mightContain = column(BloomFilterMightContain(
+      CatLit.create(blob, BinaryType), expression(xxhash64(col(keyCol)))))
+    val candidates = batch.where(mightContain).select(col(keyCol)).distinct()
+    val confirmed = hist
+      .join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct()
+    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+  }
 }

@@ -511,4 +511,55 @@ object Similarity {
       .where(col("score") >= threshold)
     flip.unionByName(rot).distinct()
   }
+
+  /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf
+    * family, complementing the dense-embedding ANN suite with the other
+    * standard retrieval modality (term overlap, not embedding geometry).
+    * Emits (a_id, b_id, dot, cosine) for every document pair whose
+    * term-frequency vectors — over the `df <= maxDf` vocabulary — meet the
+    * cosine threshold. Dropping stopword-class terms (df > maxDf) before
+    * vectorization is both the signal-bearing choice (ubiquitous terms
+    * carry no lexical-similarity information) and what makes the all-pairs
+    * join tractable: it is exactly the df-capping of all-pairs similarity
+    * search (Bayardo et al., WWW 2007), so each term contributes at most
+    * maxDf² candidate pairs and the quadratic blowup of web-scale stopwords
+    * never materializes.
+    *
+    * Scale shape: token rows collapse to (doc, term, tf) BEFORE any join;
+    * the candidate self-join is keyed on the term; dots and norms are
+    * term/doc-keyed aggregations. Exact arithmetic throughout: dot and
+    * norm² are integer sums, and cosine = dot / (√a·√b) composes only
+    * correctly-rounded IEEE ops (÷, ×, √) on exact integers — bit-identical
+    * in any engine, unlike a log-weighted tf-idf score. */
+  def lexicalCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                         maxDf: Int, threshold: Double,
+                         scope: CacheScope = null): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be positive: $maxDf")
+    var tf = df
+      .select(col(idCol).as("_lid"), explode(Dedup.words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("_lid"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds the df filter, both self-join sides, and the norms — persist
+    // it when the caller provides a scope (the long-lived-session contract
+    // shared with nearDuplicates); without one it recomputes from lineage.
+    if (scope != null)
+      tf = scope.own(tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val keep = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("term"))
+    val tfKept = tf.join(keep, "term")
+    val norms = tfKept.groupBy(col("_lid"))
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    tfKept.select(col("term"), col("_lid").as("a_id"), col("tf").as("a_tf"))
+      .join(tfKept.select(col("term"), col("_lid").as("b_id"), col("tf").as("b_tf")),
+        Seq("term"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+      .join(norms.select(col("_lid").as("a_id"), col("norm2").as("_na")), Seq("a_id"))
+      .join(norms.select(col("_lid").as("b_id"), col("norm2").as("_nb")), Seq("b_id"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("dot"), col("cosine"))
+  }
 }

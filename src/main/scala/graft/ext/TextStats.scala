@@ -124,6 +124,39 @@ object TextStats {
       .withColumn("hapax_share",
         col("hapax_terms").cast("double") / col("vocab_size"))
 
+  /** Corpus-frequency language-model scoring — the cheap stand-in for the
+    * KenLM-perplexity quality filter of the CCNet pipeline (Wenzek et al.
+    * 2020): score each document by how typical its tokens are of the corpus
+    * itself. Emits per doc the exact integer evidence
+    * (`n_tokens`, `freq_sum` = Σ_tokens corpus-frequency-of-token) plus
+    * `mean_token_freq` = freq_sum / n_tokens — a high mean marks
+    * stopword-ish/templated text, an unusually low mean marks OCR junk and
+    * lorem-style noise, exactly the two tails a perplexity filter cuts. A
+    * real LM swaps into the same shape: the `cf` frame becomes the
+    * broadcast model's log-prob table and nothing else changes.
+    *
+    * Scale shape: token rows collapse to per-(doc, token) counts BEFORE any
+    * exchange (zipfian corpora make `tf` rows ≪ token occurrences); the
+    * vocabulary is aggregated FROM those counts and joined back keyed on
+    * the token, so the two shuffles carry (doc, distinct-token) pairs and
+    * vocabulary rows — never raw token streams. The division is one
+    * double-divide of two exact longs (bit-identical across engines). */
+  def corpusFrequencyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
+    tf.join(cf, "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cf")).as("freq_sum"))
+      .withColumn("mean_token_freq",
+        col("freq_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Fixed-token-window chunking (context-window prep for training /
     * retrieval): one output row per chunk start s ∈ {0, stride, 2·stride, …}
     * < nTokens, carrying `window` whitespace tokens (fewer at the tail).

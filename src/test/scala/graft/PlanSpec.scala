@@ -154,6 +154,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("dedup_incremental: bloom probe filter + broadcast joins, store never shuffled") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("might_contain"), s"expected the bloom probe filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"confirm/anti joins must broadcast the candidate side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the store side must never be exchanged for a join:\n$p")
+  }
+
   test("sample_shuffle: distributed range-partitioned sort, never a window") {
     // the global pseudo-random reorder must be Spark's distributed orderBy
     // (balanced range partitions over uniform md5 keys) — a row_number

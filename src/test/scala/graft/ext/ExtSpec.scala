@@ -994,6 +994,47 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, "a b c d e f", 2L), (2L, "x y z", 1L)))
   }
 
+  test("newAgainstHistory == plain anti-join; bloom only routes candidates") {
+    val hist = (1L to 200L).map(i => (i, s"fp_${i % 50}")).toDF("id", "fp")
+    val batch = (1000L to 1100L).map(i => (i, s"fp_${i % 73}")).toDF("id", "fp")
+    val got = Dedup.newAgainstHistory(batch, hist, "fp",
+        expectedHistItems = 64, fpp = 0.25) // deliberately undersized:
+      .select("id").as[Long].collect().toSet // fpp only adds candidates
+    val want = batch.join(hist, Seq("fp"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got === want && got.nonEmpty && got.size < 101)
+  }
+
+  test("newAgainstHistory: empty store passes everything, full store nothing") {
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
+    assert(Dedup.newAgainstHistory(batch, batch.limit(0), "fp").count() === 2)
+    assert(Dedup.newAgainstHistory(batch, batch, "fp").count() === 0)
+  }
+
+  test("lexicalCosinePairs: df-capped tf cosine on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "x x y common"), (2L, "x y z common"),
+      (3L, "unrelated words here common"), (4L, "common common")
+    ).toDF("doc_id", "text")
+    // maxDf=2 drops "common" (df=4): vec1={x:2,y:1} n2=5, vec2={x:1,y:1,z:1}
+    // n2=3 → dot=3, cos=3/√15≈0.775; docs 3/4 share only the dropped term.
+    val got = Similarity.lexicalCosinePairs(docs, "doc_id", "text",
+        maxDf = 2, threshold = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3L, 3.0 / (math.sqrt(5.0) * math.sqrt(3.0)))))
+  }
+
+  test("corpusFrequencyScore: exact integer evidence on a hand-checked corpus") {
+    val docs = Seq(
+      (1L, "a a b"),   // tf: a=2,b=1 ; cf: a=3,b=2,c=1
+      (2L, "a b c")    // doc1: n=3 freq=2*3+1*2=8 ; doc2: n=3 freq=3+2+1=6
+    ).toDF("doc_id", "text")
+    val got = TextStats.corpusFrequencyScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 3L, 8L, 8.0 / 3.0), (2L, 3L, 6L, 2.0)))
+  }
+
   test("editDistancePairs finds close pairs within a block, skips far and cross-block") {
     val docs = Seq(
       (1L, "en", "the quick brown fox"),
