@@ -365,6 +365,22 @@ object ExtQueries {
         .toDF()
     }),
 
+    // Streaming SCD2, batch-driven: the stateful dimension-history op run
+    // over the full events table as one batch — closed versions are
+    // deterministic (a version is final exactly when its successor opens),
+    // so unlike the near-dup stream this row IS oracle-checkable.
+    "q_streaming_scd2" -> ((s, d) => {
+      import s.implicits._
+      val obs = t(s, d, "events").select(
+          col("user_id").as("key"), unix_micros(col("ts")).as("ts"),
+          col("event_type").as("attr"), col("event_id").as("tie"))
+        .as[EventTimeOps.ScdObs]
+      EventTimeOps.streamingScd2(obs).toDF()
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          col("valid_from"), col("valid_to"), col("version"))
+        .orderBy("user_id", "version")
+    }),
+
     // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
     // at-scale shape for distincts/percentiles — partial sketches merge
     // map-side, so the shuffle carries sketches, not values. Estimates are
@@ -1745,6 +1761,25 @@ object ExtQueries {
         |  (lead(vf) OVER w IS NULL) AS is_current
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "q_streaming_scd2" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w0 AS prev,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS vf, event_id
+        |  FROM obs WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(vf)::BIGINT AS valid_from,
+        |  epoch_us(lead(vf) OVER w)::BIGINT AS valid_to,
+        |  (row_number() OVER w)::BIGINT AS version
+        |FROM cp
+        |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        |QUALIFY lead(vf) OVER w IS NOT NULL
         |ORDER BY user_id, version""".stripMargin,
 
     "dedup_incremental" ->

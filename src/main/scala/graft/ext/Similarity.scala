@@ -535,15 +535,17 @@ object Similarity {
                          maxDf: Int, threshold: Double,
                          scope: CacheScope = null): DataFrame = {
     require(maxDf >= 1, s"maxDf must be positive: $maxDf")
-    var tf = df
+    // tf feeds the df filter, both self-join sides, and the norms — always
+    // persist it (recomputing the corpus explode four times is the single
+    // biggest cost of the operator). A caller-provided scope owns the cache
+    // across repeated consumption; the scope-less default self-releases
+    // after the first action (the same leak-free contract as verifyPairs).
+    val tf = df
       .select(col(idCol).as("_lid"), explode(Dedup.words(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("_lid"), col("term")).agg(count(lit(1)).as("tf"))
-    // tf feeds the df filter, both self-join sides, and the norms — persist
-    // it when the caller provides a scope (the long-lived-session contract
-    // shared with nearDuplicates); without one it recomputes from lineage.
-    if (scope != null)
-      tf = scope.own(tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
     val keep = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("term"))
     val tfKept = tf.join(keep, "term")

@@ -169,6 +169,64 @@ object EventTimeOps {
       }
   }
 
+  final case class ScdObs(key: Long, ts: Long, attr: String, tie: Long)
+  final case class ScdClosed(key: Long, attr: String, valid_from: Long,
+                             valid_to: Long, version: Long)
+  final case class ScdOpen(attr: String, valid_from: Long, version: Long)
+
+  /** Streaming SCD Type-2 — the stateful twin of [[graft.etl.Scd]]: maintain
+    * each key's dimension history continuously, emitting a version the
+    * moment the attribute CHANGES (append mode can only emit finalized
+    * rows, and a version is final exactly when its successor opens). The
+    * open run lives in keyed state: (attr, valid_from, version) — three
+    * fields per key, bounded by the dimension's key cardinality, not by the
+    * observation volume.
+    *
+    * Emitted closed versions are identical to
+    * `Scd.historize(allObservations).where(!is_current)` (EventTimeSpec
+    * pins the equivalence; the batch-driven catalog twin `q_streaming_scd2`
+    * oracle-checks it against DuckDB), under the same contract as
+    * [[graft.etl.Scd.upsert]]: per key, observations never arrive with a
+    * smaller ts than an already-processed batch's (within a micro-batch,
+    * order is free — the group sorts by (ts, tie) before folding).
+    * Re-observing an unchanged attribute extends the run and emits nothing,
+    * so replays mint no history.
+    *
+    * `idleTimeout` evicts a key's OPEN run from state: correct only for
+    * retired keys (a re-appearing key would restart at version 1), which is
+    * why the default keeps state forever. */
+  def streamingScd2(obs: Dataset[ScdObs],
+                    idleTimeout: Option[String] = None): Dataset[ScdClosed] = {
+    import obs.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    obs
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ScdOpen, ScdClosed](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(o => (o.ts, o.tie))
+            val out = List.newBuilder[ScdClosed]
+            var cur = state.getOption
+            sorted.foreach { o =>
+              cur match {
+                case None =>
+                  cur = Some(ScdOpen(o.attr, o.ts, 1L))
+                case Some(c) if c.attr == o.attr => () // run extension
+                case Some(c) =>
+                  out += ScdClosed(key, c.attr, c.valid_from, o.ts, c.version)
+                  cur = Some(ScdOpen(o.attr, o.ts, c.version + 1L))
+              }
+            }
+            cur.foreach(state.update)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class KeyedEvent(key: Long, ts: java.sql.Timestamp)
   final case class RunningStats(key: Long, n: Long, first_ts: java.sql.Timestamp,
                                 last_ts: java.sql.Timestamp)

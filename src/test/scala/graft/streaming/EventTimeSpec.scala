@@ -173,6 +173,43 @@ class EventTimeSpec extends SparkSpec {
     assert(!ids.contains(3L)) // the cross-batch duplicate was dropped
   }
 
+  test("streamingScd2 closes versions across micro-batches, extends runs silently") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventTimeOps.ScdObs]
+    val closed = EventTimeOps.streamingScd2(in.toDS())
+    val q = closed.writeStream.format("memory").queryName("scd2_sink")
+      .outputMode("append").start()
+
+    // batch 1 (unsorted on purpose — the group sorts by (ts, tie)):
+    // k1: a@10, a@20 (extension), b@30 → closes a@[10,30) v1
+    in.addData(EventTimeOps.ScdObs(1L, 30L, "b", 3L),
+      EventTimeOps.ScdObs(1L, 10L, "a", 1L),
+      EventTimeOps.ScdObs(1L, 20L, "a", 2L),
+      EventTimeOps.ScdObs(2L, 10L, "x", 4L))
+    q.processAllAvailable()
+    // batch 2: k1 c@40 closes b@[30,40) v2 — the closure spans state
+    // carried from batch 1; k2 stays open and must emit nothing
+    in.addData(EventTimeOps.ScdObs(1L, 40L, "c", 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("scd2_sink")
+      .select("key", "attr", "valid_from", "valid_to", "version")
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, "a", 10L, 30L, 1L), (1L, "b", 30L, 40L, 2L)))
+
+    // equivalence with the batch historizer: closed streaming versions ==
+    // historize(all observations) minus the open runs
+    val all = Seq((1L, 10L, "a", 1L), (1L, 20L, "a", 2L), (1L, 30L, "b", 3L),
+      (1L, 40L, "c", 5L), (2L, 10L, "x", 4L)).toDF("key", "ts", "attr", "tie")
+    val batchClosed = graft.etl.Scd.historize(all, "key", "ts", "attr", "tie")
+      .where(!col("is_current"))
+      .select(col("key"), col("attr"), col("valid_from"),
+        col("valid_to").cast("long").as("valid_to"), col("version"))
+      .as[(Long, String, Long, Long, Long)].collect().sorted.toSeq
+    assert(batchClosed === got)
+  }
+
   test("sessionCounts merges events within the gap, batch mode") {
     val df = Seq(
       (1L, ts("10:00")), (1L, ts("10:05")), // one session
