@@ -631,6 +631,22 @@ object ExtQueries {
         .orderBy("lang", "rk")
     }),
 
+    // Graph-ANN beam search: greedy navigation of the kNN graph from a
+    // deterministic entry set (2 hops, beam 16) — the HNSW-style search
+    // path over the graph sim_knn_graph builds. Fully deterministic
+    // relational ops, so the oracle restates entries, both hops, and the
+    // final ranking verbatim.
+    "sim_topk_graph" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 5, bits = 6)
+        .select(col("id"), col("nbr_id"))
+      Similarity.graphTopK(emb, "vec_id", "embedding", graph,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, beamWidth = 16, hops = 2, entryMod = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
     // vocabulary (stopword-class terms dropped = Bayardo-style df-capped
     // all-pairs) — the term-overlap retrieval modality next to the dense
@@ -1791,6 +1807,60 @@ object ExtQueries {
         |  AND NOT EXISTS (SELECT 1 FROM hist h
         |                  WHERE h.fingerprint = b.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    "sim_topk_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n),
+         |gcand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id),
+         |graph AS (SELECT id, nbr_id FROM (
+         |  SELECT id, nbr_id, row_number() OVER (
+         |    PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rk FROM gcand)
+         |  WHERE rk <= 5),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qnm FROM n WHERE vec_id < 5),
+         |f0 AS (SELECT query_id, id FROM (
+         |  SELECT q.query_id, c.vec_id AS id, row_number() OVER (
+         |    PARTITION BY q.query_id
+         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c.vec_id) AS rk
+         |  FROM q JOIN n c ON c.vec_id % 8 = 0 AND c.vec_id <> q.query_id)
+         |  WHERE rk <= 16),
+         |c1 AS (SELECT DISTINCT query_id, id FROM (
+         |  SELECT query_id, id FROM f0
+         |  UNION ALL
+         |  SELECT f0.query_id, g.nbr_id AS id FROM f0 JOIN graph g ON f0.id = g.id)),
+         |f1 AS (SELECT query_id, id FROM (
+         |  SELECT c1.query_id, c1.id, row_number() OVER (
+         |    PARTITION BY c1.query_id
+         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c1.id) AS rk
+         |  FROM c1 JOIN q ON q.query_id = c1.query_id
+         |  JOIN n c ON c.vec_id = c1.id
+         |  WHERE c1.id <> c1.query_id) WHERE rk <= 16),
+         |c2 AS (SELECT DISTINCT query_id, id FROM (
+         |  SELECT query_id, id FROM f1
+         |  UNION ALL
+         |  SELECT f1.query_id, g.nbr_id AS id FROM f1 JOIN graph g ON f1.id = g.id)),
+         |f2 AS (SELECT query_id, id FROM (
+         |  SELECT c2.query_id, c2.id, row_number() OVER (
+         |    PARTITION BY c2.query_id
+         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c2.id) AS rk
+         |  FROM c2 JOIN q ON q.query_id = c2.query_id
+         |  JOIN n c ON c.vec_id = c2.id
+         |  WHERE c2.id <> c2.query_id) WHERE rk <= 16)
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT f2.query_id, f2.id AS id,
+         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
+         |    row_number() OVER (PARTITION BY f2.query_id
+         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f2.id)::INT AS rank
+         |  FROM f2 JOIN q ON q.query_id = f2.query_id
+         |  JOIN n c ON c.vec_id = f2.id
+         |  WHERE f2.id <> f2.query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_lexical_pairs" ->
       """WITH tok AS (SELECT doc_id,

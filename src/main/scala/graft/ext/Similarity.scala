@@ -512,6 +512,65 @@ object Similarity {
     flip.unionByName(rot).distinct()
   }
 
+  /** Greedy beam search over a k-NN graph — single-layer HNSW-style
+    * navigation, closing the graph-ANN gap next to the IVF/PQ/LSH family:
+    * from a deterministic entry set, repeatedly score the current beam's
+    * graph neighbors against the query and keep the best `beamWidth`
+    * candidates; after `hops` rounds, the top `k` of the final beam is the
+    * answer. With the full corpus as entries (entryMod = 1) the search is
+    * EXACT regardless of the graph (the contract test); with sparse entries
+    * recall comes from graph navigability, the property a kNN graph
+    * ([[knnGraph]]) is built to provide.
+    *
+    * Scale shape: per hop, one equi-join of the beam against the edge list
+    * (keyed on the node id), one equi-join to fetch candidate vectors, and
+    * a bounded-heap [[TopK]] aggregation — the shuffle carries beam rows
+    * (queries × beamWidth), never the corpus. Each hop's beam is persisted
+    * EAGERLY and the previous one released (the lineage otherwise doubles
+    * per hop: the beam feeds both the neighbor expansion and the re-rank
+    * union); the final beam self-releases after the first consuming action,
+    * or is owned by the caller's scope — the kmeans precedent for
+    * iterative operators that run jobs at call time. */
+  def graphTopK(vecs: DataFrame, idCol: String, vecCol: String,
+                graph: DataFrame, queries: DataFrame, qidCol: String,
+                qvecCol: String, k: Int, beamWidth: Int, hops: Int,
+                entryMod: Long = 8L, scope: CacheScope = null): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(entryMod >= 1 && hops >= 0, s"bad search params: $entryMod/$hops")
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      asDouble(col(qvecCol)).as("qv")))
+    val c = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"))
+    val g = graph.select(col("id").as("_gid"), col("nbr_id"))
+    // (query_id, _gid) candidates → scored rows; self-matches excluded like
+    // the brute-force catalog convention
+    def scored(cands: DataFrame): DataFrame = cands
+      .join(c, "_gid").join(q, "query_id")
+      .where(col("_gid") =!= col("query_id"))
+      .select(col("query_id"), col("_gid"),
+        cosine(col("qv"), col("cv")).as("score"))
+    def beamOf(cands: DataFrame): DataFrame =
+      TopK.topKPerKey(scored(cands), "query_id", "score", "_gid", beamWidth)
+        .select(col("query_id"), col("id").as("_gid"))
+    val entries = q.select(col("query_id"))
+      .crossJoin(c.where(pmod(col("_gid"), lit(entryMod)) === 0).select(col("_gid")))
+    var frontier = beamOf(entries)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    frontier.count(): Unit
+    for (_ <- 1 to hops) {
+      val nbrs = frontier.join(g, "_gid")
+        .select(col("query_id"), col("nbr_id").as("_gid"))
+      val next = beamOf(frontier.unionByName(nbrs).distinct())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count(): Unit
+      frontier.unpersist()
+      frontier = next
+    }
+    if (scope != null) scope.own(frontier)
+    else Dedup.releaseAfterFirstAction(frontier)
+    TopK.topKPerKey(scored(frontier), "query_id", "score", "_gid", k)
+      .toDF("query_id", "rank", "id", "score")
+  }
+
   /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf
     * family, complementing the dense-embedding ANN suite with the other
     * standard retrieval modality (term overlap, not embedding geometry).

@@ -1011,6 +1011,41 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.newAgainstHistory(batch, batch, "fp").count() === 0)
   }
 
+  test("graphTopK with full entries is exact; sparse entries self-release their beam") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, bits = 6)
+      .select(col("id"), col("nbr_id"))
+    // entryMod = 1 seeds the beam with the whole corpus → the search is
+    // exact regardless of graph quality (beamWidth >= corpus would also do,
+    // but full entries pins the contract the operator documents)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val full = Similarity.graphTopK(emb, "vec_id", "embedding", graph,
+        queries, "vec_id", "embedding", k = 5, beamWidth = 600, hops = 0,
+        entryMod = 1)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+
+    // sparse entries: recall measured against exact, and the persisted
+    // beam must self-release after the consuming action (async bus)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Similarity.graphTopK(emb, "vec_id", "embedding", graph,
+        queries, "vec_id", "embedding", k = 5, beamWidth = 16, hops = 3,
+        entryMod = 8)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect()
+    val recall = got.map(r => (r._1, r._3)).toSet
+      .intersect(exact.map(r => (r._1, r._3))).size.toDouble / exact.size
+    assert(got.length === 15 && recall >= 0.4, s"recall $recall") // random
+    // vectors are the navigability worst case — the bound is a floor, not
+    // the operator's merit; structured embeddings navigate far better
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
+
   test("lexicalCosinePairs: df-capped tf cosine on a hand-checked corpus") {
     val docs = Seq(
       (1L, "x x y common"), (2L, "x y z common"),
