@@ -444,6 +444,26 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact proportional stratified sample: ceil(10%) of EVERY source by
+    // deterministic hash order — per-stratum counts exact, not binomial;
+    // runs the skew-safe bounded-heap path, oracle restates the rank window.
+    "sample_stratified" -> ((s, d) => {
+      Sampling.stratifiedSample(t(s, d, "documents"), "source", "doc_id",
+          frac = 0.1, salt = "strat")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quality gate: keep each source's top 20% by a per-doc
+    // score (n_chars as the stand-in — any quality column plugs in); the
+    // relative-threshold filter CCNet applies per language bucket.
+    "sample_top_quality" -> ((s, d) => {
+      Sampling.topFractionPerGroupSkewSafe(t(s, d, "documents"),
+          "source", "doc_id", col("n_chars"), frac = 0.2)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture weighting: per-source Bernoulli fractions (web-style
     // downsampling), a pure scan-level filter — the kept row set itself is
     // compared, not just counts. Unlisted sources keep the default 0.1.
@@ -1408,6 +1428,20 @@ object ExtQueries {
     "sample_shuffle" ->
       """SELECT doc_id, md5(doc_id::VARCHAR || ':shuffle:ep1') AS shuffle_key
         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY ${Sql.unitHash("doc_id::VARCHAR", "strat")} ASC, doc_id ASC)
+         |  <= ceil(count(*) OVER (PARTITION BY source) * 0.1)
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_top_quality" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id ASC)
+        |  <= ceil(count(*) OVER (PARTITION BY source) * 0.2)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_mixture" ->
       s"""SELECT doc_id, source FROM documents

@@ -131,6 +131,74 @@ object Sampling {
       "left_semi")
   }
 
+  /** Per-group top-FRACTION selection, window form: keep each group's best
+    * `ceil(frac * n)` rows by (`scoreCol` desc, `keyCol` asc). Unlike the
+    * Bernoulli [[sampleByGroupHash]] (binomial per-group counts) this is
+    * EXACT per group — the draw an eval split or a per-source quality gate
+    * needs when "the top 20 % of every source" must mean exactly that.
+    * The per-group rank window serializes each group through one task —
+    * fine for bounded groups; route heavy-tailed group distributions to
+    * [[topFractionPerGroupSkewSafe]]. */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                          scoreCol: Column, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"fraction out of range: $frac")
+    require(!df.columns.contains("_rk") && !df.columns.contains("_n"),
+      "topFractionPerGroup: input already has a '_rk'/'_n' column")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(scoreCol.desc, col(keyCol).asc)
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .where(col("_rk") <= ceil(col("_n") * lit(frac)))
+      .drop("_rk", "_n")
+  }
+
+  /** [[topFractionPerGroup]] for skewed group distributions — the
+    * [[capPerGroupSkewSafe]] move with per-group caps: group sizes are
+    * aggregated first (`cap = ceil(frac * n)`, broadcast), the bounded-heap
+    * [[TopK]] keeps each group's best max-cap rows with map-side partial
+    * aggregation (each partition contributes ≤ cap rows to the exchange),
+    * and the per-group cap is applied to the ranked survivors. Identical
+    * kept set to the window form (ExtSpec). Heap memory is O(frac ×
+    * largest group) per reducer — intended for the small fractions quality
+    * gates and eval draws use; at frac near 1 the window twin's full sort
+    * costs the same and needs no heap. Requires an integral unique
+    * `keyCol` (TopK keys ids as long). */
+  def topFractionPerGroupSkewSafe(df: DataFrame, groupCol: String,
+                                  keyCol: String, scoreCol: Column,
+                                  frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"fraction out of range: $frac")
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"topFractionPerGroupSkewSafe requires an integral keyCol (got $keyCol: ${other.sql})")
+    }
+    val caps = df.groupBy(col(groupCol))
+      .agg(ceil(count(lit(1)) * lit(frac)).cast("long").as("_cap"))
+    val maxCap = caps.agg(max(col("_cap"))).head.getLong(0)
+    require(maxCap <= Int.MaxValue, s"cap $maxCap exceeds the heap bound")
+    val scored = df.select(col(groupCol), scoreCol.cast("double").as("_score"),
+      col(keyCol).cast("long").as("_id"))
+    val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", maxCap.toInt)
+      .join(broadcast(caps), Seq(groupCol))
+      .where(col("rank") <= col("_cap"))
+      .select(col(groupCol).as("_g"), col("id").as("_k"))
+    df.join(kept, df(groupCol) <=> col("_g") && df(keyCol) === col("_k"),
+      "left_semi")
+  }
+
+  /** Exact proportional stratified sample: `ceil(frac * n)` rows of EVERY
+    * stratum, chosen by the deterministic unit-hash order — membership is a
+    * pure function of (key, salt), so re-runs, retries, and external
+    * engines agree on the exact row set (unlike `sampleBy`, whose per-
+    * stratum counts are binomial). Sugar over the skew-safe top-fraction
+    * with score = negated hash (TopK's score-desc/id-asc IS hash-asc/key-
+    * asc, the [[capPerGroupSkewSafe]] ordering contract). */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       frac: Double, salt: String = ""): DataFrame =
+    topFractionPerGroupSkewSafe(df, strataCol, keyCol,
+      -unitHash(col(keyCol), salt), frac)
+
   /** Per-group Bernoulli fractions — the mixture-weighting primitive: keep
     * each row with its OWN group's probability (e.g. web 0.1, books 1.0,
     * code 0.5). A pure scan-level filter, no shuffle at all: the fractions

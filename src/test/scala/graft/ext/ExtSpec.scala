@@ -1140,6 +1140,20 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("seq_no"))
   }
 
+  test("topFraction: skew-safe == window form, per-stratum counts exact") {
+    val rows = (1L to 100L).map(i => (i, s"s${i % 3}", (i * 37 % 101).toInt))
+    val df = rows.toDF("id", "grp", "q")
+    val win = Sampling.topFractionPerGroup(df, "grp", "id", col("q"), 0.2)
+      .select("id").as[Long].collect().toSet
+    val safe = Sampling.topFractionPerGroupSkewSafe(df, "grp", "id", col("q"), 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(safe === win)
+    // strata sizes 34/33/33 → ceil(0.2·n) = 7/7/7 exactly
+    val perGroup = Sampling.stratifiedSample(df, "grp", "id", 0.2)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perGroup === Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+  }
+
   test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
     // a string key would cast("long") to NULL and silently lose its rows —
     // misuse must throw, not return a partial kept set
