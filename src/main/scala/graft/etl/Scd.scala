@@ -60,11 +60,18 @@ object Scd {
     * each key's CURRENT row can be closed by a change arriving after its
     * `valid_from`; new keys open at version 1.
     *
-    * Contract (asserted in StarPipelineSpec): for any split point,
+    * Contract (asserted in ScdSpec): for any split point,
     * `upsert(historize(first), second) == historize(first ∪ second)`,
-    * provided the split respects time order per key (no observation in
-    * `second` predates one in `first` for the same key — the watermark
-    * contract every incremental warehouse load already has).
+    * provided the split respects STRICT time order per key: every batch
+    * observation's ts exceeds the key's current `valid_from` (the watermark
+    * contract every incremental warehouse load already has). A batch
+    * observation at EXACTLY the current run's valid_from with a different
+    * attribute is outside the contract — the re-injected current row
+    * carries a NULL tie (sorting first), so the fold places it before the
+    * same-ts newcomer regardless of the newcomer's tie, which a full
+    * rebuild (ordering by the original ties) may disagree with. Equal-ts
+    * REPLAYS of the run-opening observation are safe: same attribute,
+    * so the run extends regardless of order.
     *
     * Scale shape: the existing dim's closed rows pass through untouched
     * (no shuffle); only current rows + the batch enter the per-key window
@@ -79,14 +86,18 @@ object Scd {
       .select(col(keyCol), col("valid_from").as(tsCol), col(attrCol),
         lit(null).cast(batch.schema(tieCol).dataType).as(tieCol),
         (col("version") - 1L).as("__offset"))
-    val offsets = currentAsObs.select(col(keyCol), col("__offset"))
-    val reopened = historize(
+    // null-safe on the key (a NULL natural key is still a key — historize's
+    // window groups it as one; a plain equi-join would lose its offset and
+    // silently restart its versions at 1)
+    val offsets = currentAsObs.select(col(keyCol).as("__ok"), col("__offset"))
+    val rehist = historize(
       currentAsObs.drop("__offset")
         .unionByName(batch.select(col(keyCol), col(tsCol), col(attrCol), col(tieCol))),
       keyCol, tsCol, attrCol, tieCol)
-      .join(offsets, Seq(keyCol), "left")
+    val reopened = rehist
+      .join(offsets, rehist(keyCol) <=> col("__ok"), "left")
       .withColumn("version", col("version") + coalesce(col("__offset"), lit(0L)))
-      .drop("__offset")
+      .drop("__offset", "__ok")
     closed.unionByName(reopened)
   }
 }

@@ -936,7 +936,21 @@ object Dedup {
     * `expectedHistItems`/`fpp` size the filter (bits ≈ -n·ln(fpp)/ln²2 —
     * 1.2 GB at 10⁹ keys/1 % fpp, fine to broadcast); undersizing only
     * raises the false-positive share routed to the confirm join, never
-    * breaks exactness. */
+    * breaks exactness.
+    *
+    * Sizing gotcha, handled here: `BloomFilterAggregate` (and Spark 4's
+    * `stat.bloomFilter`, which delegates to it) CEILINGS its sizing at the
+    * runtime-join-filter confs
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`,
+    * 4M items / 8 MB by default — tuned for Spark's own injected join
+    * pruning, not for an explicit store-membership filter). Left alone that
+    * ceiling would cap this operator's filter ~250× below its 10⁹-key
+    * design point and melt the fpp toward 1, flooding the confirm join.
+    * The build therefore raises the two confs to its own sizing for the
+    * duration of the (eager, driver-blocking) build and restores them in a
+    * finally — Spark's own runtime filters are planned against whatever
+    * values are current at THEIR optimization time, so the temporary raise
+    * does not loosen them retroactively. */
   def newAgainstHistory(batch: DataFrame, hist: DataFrame, keyCol: String,
                         expectedHistItems: Long = 1L << 22,
                         fpp: Double = 0.01): DataFrame = {
@@ -949,12 +963,24 @@ object Dedup {
       s"bad filter sizing: items=$expectedHistItems fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedHistItems, fpp)
-    val blob = hist
-      .select(column(new BloomFilterAggregate(
-          expression(xxhash64(col(keyCol))),
-          CatLit(expectedHistItems), CatLit(numBits))
-        .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+    val conf = hist.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
+    val blob =
+      try {
+        conf.set(itemsKey, math.max(oldItems.toLong, expectedHistItems).toString)
+        conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
+        hist
+          .select(column(new BloomFilterAggregate(
+              expression(xxhash64(col(keyCol))),
+              CatLit(expectedHistItems), CatLit(numBits))
+            .toAggregateExpression()).as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     if (blob == null) return batch // empty store: the whole batch is new
     val mightContain = column(BloomFilterMightContain(
       CatLit.create(blob, BinaryType), expression(xxhash64(col(keyCol)))))

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The TopK id slot and the `_k` equi-join of the skew-safe operators
+    * require a lossless cast to long; a string key would cast to NULL and
+    * silently drop its rows, so misuse must fail loudly instead. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+                                 caller: String): Unit =
+    df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$caller requires an integral keyCol (got $keyCol: ${other.sql}); " +
+          "use the window twin for non-numeric keys")
+    }
+
   /** Engine-portable uniform hash in [0, 1): first 8 md5 hex digits of
     * (key ++ salt) as a 32-bit integer, scaled. ~1e-9 resolution — plenty
     * for sampling decisions. The key is hashed via its STRING form — use
@@ -111,16 +124,7 @@ object Sampling {
   def capPerGroupSkewSafe(df: DataFrame, groupCol: String, keyCol: String,
                           n: Int, salt: String = ""): DataFrame = {
     require(n > 0, s"cap must be positive: $n")
-    // the TopK id slot and the `_k` equi-join require a lossless cast to
-    // long; a string key would cast to NULL and silently drop its rows, so
-    // misuse must fail loudly here instead
-    df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"capPerGroupSkewSafe requires an integral keyCol (got $keyCol: ${other.sql}); " +
-          "use capPerGroup for non-numeric keys")
-    }
+    requireIntegralKey(df, keyCol, "capPerGroupSkewSafe")
     val scored = df.select(col(groupCol),
       (-unitHash(col(keyCol), salt)).as("_score"), col(keyCol).cast("long").as("_id"))
     val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", n)
@@ -144,9 +148,14 @@ object Sampling {
     require(frac > 0 && frac <= 1, s"fraction out of range: $frac")
     require(!df.columns.contains("_rk") && !df.columns.contains("_n"),
       "topFractionPerGroup: input already has a '_rk'/'_n' column")
+    // NULL scores are excluded up front (they can never be in a top
+    // fraction, and the skew-safe twin's TopK drops them by construction —
+    // filtering here keeps the two forms row-identical) and the fraction
+    // is of the SCORED rows
+    val scored = df.where(scoreCol.isNotNull)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(scoreCol.desc, col(keyCol).asc)
-    df.withColumn("_rk", row_number().over(w))
+    scored.withColumn("_rk", row_number().over(w))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
       .where(col("_rk") <= ceil(col("_n") * lit(frac)))
       .drop("_rk", "_n")
@@ -167,22 +176,30 @@ object Sampling {
                                   keyCol: String, scoreCol: Column,
                                   frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"fraction out of range: $frac")
-    df.schema(keyCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"topFractionPerGroupSkewSafe requires an integral keyCol (got $keyCol: ${other.sql})")
-    }
-    val caps = df.groupBy(col(groupCol))
+    requireIntegralKey(df, keyCol, "topFractionPerGroupSkewSafe")
+    // the fraction is of the SCORED rows (matching the window twin, which
+    // filters NULL scores before counting) — and the caps frame is
+    // collected ONCE: it is broadcast-small by construction, the driver
+    // copy yields maxCap for free, and re-aggregating df inside the join
+    // would double-scan the input
+    val withScore = df.where(scoreCol.isNotNull)
+    val caps = withScore.groupBy(col(groupCol))
       .agg(ceil(count(lit(1)) * lit(frac)).cast("long").as("_cap"))
-    val maxCap = caps.agg(max(col("_cap"))).head.getLong(0)
+    val capRows = caps.collect()
+    if (capRows.isEmpty) return df.where(lit(false)) // empty input, typed empty out
+    val maxCap = capRows.map(_.getLong(1)).max
     require(maxCap <= Int.MaxValue, s"cap $maxCap exceeds the heap bound")
-    val scored = df.select(col(groupCol), scoreCol.cast("double").as("_score"),
-      col(keyCol).cast("long").as("_id"))
-    val kept = TopK.topKPerKey(scored, groupCol, "_score", "_id", maxCap.toInt)
-      .join(broadcast(caps), Seq(groupCol))
+    val capsDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(capRows: _*), caps.schema)
+    val scored = withScore.select(col(groupCol),
+      scoreCol.cast("double").as("_score"), col(keyCol).cast("long").as("_id"))
+    val ranked = TopK.topKPerKey(scored, groupCol, "_score", "_id", maxCap.toInt)
+    // null-safe on the group (a NULL group is still a group, as elsewhere)
+    val kept = ranked
+      .join(broadcast(capsDf.withColumnRenamed(groupCol, "_cg")),
+        ranked(groupCol) <=> col("_cg"))
       .where(col("rank") <= col("_cap"))
-      .select(col(groupCol).as("_g"), col("id").as("_k"))
+      .select(ranked(groupCol).as("_g"), col("id").as("_k"))
     df.join(kept, df(groupCol) <=> col("_g") && df(keyCol) === col("_k"),
       "left_semi")
   }

@@ -142,12 +142,18 @@ object TextStats {
     * vocabulary rows — never raw token streams. The division is one
     * double-divide of two exact longs (bit-identical across engines). */
   def corpusFrequencyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
-                           textCol: String): org.apache.spark.sql.DataFrame = {
+                           textCol: String,
+                           scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+    // tf feeds both the vocabulary aggregation and the join-back — persist
+    // it so one action doesn't run the corpus explode twice (caller scope,
+    // or the verifyPairs-style self-release as the leak-free default)
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
     val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
     tf.join(cf, "token")
       .groupBy(col(idCol))

@@ -1009,6 +1009,14 @@ class ExtSpec extends SparkSpec {
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
     assert(Dedup.newAgainstHistory(batch, batch.limit(0), "fp").count() === 2)
     assert(Dedup.newAgainstHistory(batch, batch, "fp").count() === 0)
+    // sizing ABOVE Spark's runtime-join-filter ceilings (4M items / 64M
+    // bits) must still build and answer correctly — the operator raises
+    // the confs around the build; without that this call fails analysis
+    assert(Dedup.newAgainstHistory(batch, batch.limit(0), "fp",
+      expectedHistItems = 5000000L, fpp = 0.001).count() === 2)
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems") === "4000000",
+      "the conf raise must be restored after the build")
   }
 
   test("graphTopK with full entries is exact; sparse entries self-release their beam") {
@@ -1152,6 +1160,9 @@ class ExtSpec extends SparkSpec {
     val perGroup = Sampling.stratifiedSample(df, "grp", "id", 0.2)
       .groupBy("grp").count().as[(String, Long)].collect().toMap
     assert(perGroup === Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    // empty input: typed empty result, not a driver NPE on max(empty)
+    assert(Sampling.topFractionPerGroupSkewSafe(
+      df.limit(0), "grp", "id", col("q"), 0.2).count() === 0)
   }
 
   test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
