@@ -198,6 +198,21 @@ object ExtQueries {
     // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
     // (scrub last, a row-preserving projection — its count equals the
     // quality gate's, which is exactly what the oracle asserts).
+    // Incremental curation: the batch (doc_id % 10 >= 7) curated with the
+    // kept-fingerprint store of a previous run over the rest — the history
+    // probe (bloom + exact confirm, store never shuffled) runs BEFORE the
+    // pipeline; the oracle feeds the same NOT EXISTS-filtered batch
+    // through the shared curation CTE chain.
+    "curation_pipeline_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.where(col("doc_id") % 10 < 7)
+        .select(md5(lower(col("text"))).as("fingerprint"))
+      Curation.curate(docs.where(col("doc_id") % 10 >= 7), "doc_id", "text",
+          Curation.Config(history = Some(hist)))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "curation_funnel" -> ((s, d) => {
       Curation.funnel(t(s, d, "documents"), "doc_id", "text",
           Curation.Config(scrubPii = true))
@@ -1053,12 +1068,14 @@ object ExtQueries {
         |  (acc, ch) -> (acc * 31 + ch) % 1000000007)""".stripMargin
 
     // The shared curation-pipeline CTE chain (exact dedup survivors →
-    // minhash LSH pairs → connected components → losers), used by both the
-    // curation_pipeline and curation_funnel oracles. Must follow a
-    // "WITH RECURSIVE" header.
-    lazy val curationCtes: String =
-      s"""docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id IN (
-         |  SELECT min(doc_id) FROM documents GROUP BY md5(lower(text)))),
+    // minhash LSH pairs → connected components → losers), used by the
+    // curation_pipeline/_quality/_incremental and curation_funnel oracles.
+    // Must follow a "WITH RECURSIVE" header. `src` is the input relation —
+    // a table name or a parenthesized subquery (the incremental row feeds
+    // the history-filtered batch through the SAME chain).
+    def curationCtes(src: String = "documents"): String =
+      s"""docs0 AS (SELECT doc_id, text FROM $src d0 WHERE doc_id IN (
+         |  SELECT min(doc_id) FROM $src d1 GROUP BY md5(lower(text)))),
          |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0),
          |sh AS (SELECT doc_id, $wordShingles3 AS s FROM w),
          |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
@@ -1156,7 +1173,7 @@ object ExtQueries {
 
     "curation_pipeline" ->
       s"""WITH RECURSIVE
-         |${Sql.curationCtes}
+         |${Sql.curationCtes()}
          |SELECT doc_id FROM docs0
          |WHERE doc_id NOT IN (SELECT s FROM losers)
          |  AND ${Sql.curationQualityPred}
@@ -1167,7 +1184,7 @@ object ExtQueries {
     // over the exact-dedup survivors, exactly as the Spark side computes it
     "curation_pipeline_quality" ->
       s"""WITH RECURSIVE
-         |${Sql.curationCtes},
+         |${Sql.curationCtes()},
          |cl AS (SELECT s AS doc_id, least(s, min(t)) AS rep FROM reach GROUP BY s),
          |q AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS q FROM docs0),
          |surv AS (SELECT doc_id FROM (
@@ -1181,9 +1198,20 @@ object ExtQueries {
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
 
+    "curation_pipeline_incremental" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes("""(SELECT d.doc_id, d.text FROM documents d
+           |  WHERE d.doc_id % 10 >= 7 AND NOT EXISTS (
+           |    SELECT 1 FROM documents h WHERE h.doc_id % 10 < 7
+           |    AND md5(lower(h.text)) = md5(lower(d.text))))""".stripMargin)}
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM losers)
+         |  AND ${Sql.curationQualityPred}
+         |ORDER BY doc_id""".stripMargin,
+
     "curation_funnel" ->
       s"""WITH RECURSIVE
-         |${Sql.curationCtes}
+         |${Sql.curationCtes()}
          |SELECT '0_input' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n_docs
          |UNION ALL
          |SELECT '1_exact_dedup', (SELECT count(*) FROM docs0)::BIGINT

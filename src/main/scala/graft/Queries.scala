@@ -313,6 +313,38 @@ object Queries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // true pivot API (q_conditional_agg is the CASE-sum shape): daily event
+    // counts, one column per type. The explicit value list skips pivot's
+    // distinct-values pre-job; na.fill(0) aligns absent combinations with
+    // SQL's count-over-CASE (0, not NULL).
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(dayofmonth(col("ts")).cast("int").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
+    // rank-function breadth: rank/dense_rank/cume_dist over the VALUE order
+    // (deterministic under ties — they depend only on the ordering values)
+    // and ntile over a fully tie-broken order (ntile depends on row
+    // position, so a total order is what makes it engine-portable).
+    "q_rank_funcs" -> ((s, d) => {
+      val wv = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(money(col("c_acctbal")).desc)
+      val wt = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(money(col("c_acctbal")).desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          money(col("c_acctbal")).as("bal"),
+          rank().over(wv).as("rnk"),
+          dense_rank().over(wv).as("drnk"),
+          cume_dist().over(wv).as("cdist"),
+          ntile(4).over(wt).as("quartile"))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    }),
+
     // conditional aggregation (pivot shape).
     "q_conditional_agg" -> ((s, d) => {
       t(s, d, "orders")
@@ -508,6 +540,27 @@ object Queries {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT day(ts)::INT AS day,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END)::BIGINT AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END)::BIGINT AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal::DECIMAL(18,2) AS bal,
+        |  (rank() OVER wv)::INT AS rnk,
+        |  (dense_rank() OVER wv)::INT AS drnk,
+        |  cume_dist() OVER wv AS cdist,
+        |  (ntile(4) OVER wt)::INT AS quartile
+        |FROM customer
+        |WINDOW
+        |  wv AS (PARTITION BY c_mktsegment ORDER BY c_acctbal::DECIMAL(18,2) DESC),
+        |  wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal::DECIMAL(18,2) DESC, c_custkey)
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT o_orderstatus,

@@ -37,7 +37,17 @@ object Curation {
         * for near-dup survivor choice: each cluster keeps its max-quality
         * member, ties to min id ([[Dedup.qualitySurvivors]]). None = the
         * min-id (cluster representative) default. */
-      survivorQuality: Option[Column] = None)
+      survivorQuality: Option[Column] = None,
+      /** Fingerprint store of previously-KEPT documents for incremental
+        * (continuous-ingest) runs: a frame with a `fingerprint` column
+        * holding `md5(lower(text))` values ([[Dedup.exactGroups]]' key).
+        * Batch documents whose fingerprint is already in the store are
+        * dropped BEFORE every other stage via
+        * [[Dedup.newAgainstHistory]] — exact result, zero shuffle of the
+        * store. None = full (from-scratch) run. */
+      history: Option[DataFrame] = None,
+      /** Bloom sizing for the history probe (items in the store). */
+      historyExpectedItems: Long = 1L << 22)
 
   /** The quality-gate predicate (enough tokens, bounded stopword share). */
   private def qualityPred(textCol: String, cfg: Config): Column =
@@ -56,9 +66,14 @@ object Curation {
     * so its ownership passes to the caller's `scope` (null → it stays
     * persisted, the pre-scope behavior). */
   private def stages(docs: DataFrame, idCol: String, textCol: String,
-                     cfg: Config, scope: CacheScope): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+                     cfg: Config, scope: CacheScope)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // 0. incremental runs: drop documents already kept by a previous run
+    //    (bloom probe + exact confirm — the store is never shuffled)
+    val incoming = incomingStage(docs, textCol, cfg)
+
     // 1. exact dedup: keep the min-id copy of each normalized text
-    val afterExact = Dedup.exactDedup(docs, idCol, textCol)
+    val afterExact = Dedup.exactDedup(incoming, idCol, textCol)
 
     // 2. near-dup cluster dedup: MinHash pairs → components → keep each
     //    component's min id (non-members pass through untouched)
@@ -86,8 +101,23 @@ object Curation {
 
     // 3. quality gate: enough tokens, bounded stopword share
     val afterQuality = afterNear.where(qualityPred(textCol, cfg))
-    (afterExact, losers, afterNear, afterQuality)
+    (incoming, afterExact, losers, afterNear, afterQuality)
   }
+
+  /** History pre-filter (no-op without `cfg.history`). */
+  private def incomingStage(docs: DataFrame, textCol: String,
+                            cfg: Config): DataFrame =
+    cfg.history.fold(docs) { h =>
+      require(h.columns.contains("fingerprint"),
+        "Config.history must carry a 'fingerprint' column (md5 of normalized text)")
+      require(!docs.columns.contains("_fp"),
+        "curate: input already has a '_fp' column — it would collide with the history probe")
+      Dedup.newAgainstHistory(
+          docs.withColumn("_fp", md5(lower(col(textCol)))),
+          h.select(col("fingerprint").as("_fp")), "_fp",
+          cfg.historyExpectedItems)
+        .drop("_fp")
+    }
 
   /** Decontamination stage over a survivors frame (no-op without probes). */
   private def decontamStage(survivors: DataFrame, idCol: String,
@@ -101,7 +131,7 @@ object Curation {
     * after the consuming action to release every cached intermediate. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
-    val decon = decontamStage(stages(docs, idCol, textCol, cfg, scope)._4,
+    val decon = decontamStage(stages(docs, idCol, textCol, cfg, scope)._5,
       idCol, textCol, cfg)
     if (cfg.scrubPii)
       decon.withColumn(textCol, TextStats.scrubPii(col(textCol)))
@@ -118,7 +148,7 @@ object Curation {
     import spark.implicits._
     require(!docs.columns.contains("_loser"),
       "funnel: input already has a '_loser' column — it would collide with the stage flag")
-    val (afterExact, losers, _, afterQuality) =
+    val (incoming, afterExact, losers, _, afterQuality) =
       stages(docs, idCol, textCol, cfg, scope)
     val surviving = col("_loser").isNull
     val counts = afterExact
@@ -128,8 +158,12 @@ object Curation {
         coalesce(sum(when(surviving && qualityPred(textCol, cfg), 1L)
           .otherwise(0L)), lit(0L)).as("n_quality"))
       .head()
-    val base = Seq(("0_input", docs.count()),
-      ("1_exact_dedup", counts.getLong(0)),
+    // the optional vs-history row costs one extra action, only when the
+    // incremental stage is on; "0b" keeps the stable-label ordering
+    val base = Seq(("0_input", docs.count())) ++
+      (if (cfg.history.isEmpty) Nil
+       else Seq(("0b_vs_history", incoming.count()))) ++
+      Seq(("1_exact_dedup", counts.getLong(0)),
       ("2_neardup_dedup", counts.getLong(1)),
       ("3_quality_gate", counts.getLong(2)))
     // the optional decontamination row costs one extra action (the probe

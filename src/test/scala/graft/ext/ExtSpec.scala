@@ -994,6 +994,29 @@ class ExtSpec extends SparkSpec {
     assert(got === Set((1L, "a b c d e f", 2L), (2L, "x y z", 1L)))
   }
 
+  test("curate with history drops previously-kept docs; funnel gains 0b row") {
+    val corpus = (1L to 40L).map { i =>
+      (i, s"document number ${i % 20} with enough filler words to pass " +
+        "the quality gate easily " + ("alpha beta gamma delta epsilon " * 6))
+    }.toDF("doc_id", "text")
+    // history = fingerprints of docs 1-20 (every text of the batch 21-40
+    // duplicates one of them, id % 20 pairing) → incremental run keeps none
+    val hist = corpus.where(col("doc_id") <= 20)
+      .select(md5(lower(col("text"))).as("fingerprint"))
+    val batch = corpus.where(col("doc_id") > 20)
+    val kept = Curation.curate(batch, "doc_id", "text",
+      Curation.Config(history = Some(hist)))
+    assert(kept.count() === 0)
+    val funnel = Curation.funnel(batch, "doc_id", "text",
+        Curation.Config(history = Some(hist)))
+      .as[(String, Long)].collect().toMap
+    assert(funnel("0_input") === 20L && funnel("0b_vs_history") === 0L)
+    // no history → the stage row is absent and the batch self-dedups
+    val full = Curation.funnel(batch, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(!full.contains("0b_vs_history") && full("1_exact_dedup") === 20L)
+  }
+
   test("newAgainstHistory == plain anti-join; bloom only routes candidates") {
     val hist = (1L to 200L).map(i => (i, s"fp_${i % 50}")).toDF("id", "fp")
     val batch = (1000L to 1100L).map(i => (i, s"fp_${i % 73}")).toDF("id", "fp")
