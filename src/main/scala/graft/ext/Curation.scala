@@ -69,8 +69,23 @@ object Curation {
                      cfg: Config, scope: CacheScope)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     // 0. incremental runs: drop documents already kept by a previous run
-    //    (bloom probe + exact confirm — the store is never shuffled)
-    val incoming = incomingStage(docs, textCol, cfg)
+    //    (bloom probe + exact confirm — the store is never shuffled).
+    //    PERSISTED: every downstream stage consumes this frame repeatedly
+    //    (shingles, bands, cluster iterations, anti-joins) and each
+    //    re-execution would otherwise re-probe the bloom AND re-scan the
+    //    store for the confirm join — measured 7× the whole pipeline's
+    //    cost at sf0.1 before this cache. Ownership passes to the caller's
+    //    scope (null → stays persisted, the same contract as the cluster
+    //    label checkpoint documented above).
+    val incoming = {
+      val inc = incomingStage(docs, textCol, cfg)
+      if (inc eq docs) docs
+      else {
+        val cached = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (scope != null) scope.own(cached)
+        cached
+      }
+    }
 
     // 1. exact dedup: keep the min-id copy of each normalized text
     val afterExact = Dedup.exactDedup(incoming, idCol, textCol)

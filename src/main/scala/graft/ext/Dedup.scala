@@ -955,10 +955,8 @@ object Dedup {
                         expectedHistItems: Long = 1L << 22,
                         fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression}
-    import org.apache.spark.sql.types.BinaryType
     require(expectedHistItems > 0 && fpp > 0 && fpp < 1,
       s"bad filter sizing: items=$expectedHistItems fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
@@ -982,8 +980,13 @@ object Dedup {
         conf.set(bitsKey, oldBits)
       }
     if (blob == null) return batch // empty store: the whole batch is new
-    val mightContain = column(BloomFilterMightContain(
-      CatLit.create(blob, BinaryType), expression(xxhash64(col(keyCol)))))
+    // the blob rides a TORRENT BROADCAST, not a plan literal: a literal is
+    // re-serialized into EVERY task binary of every consuming stage (fatal
+    // for iterative consumers already at MB filters, impossible at the GB
+    // design point); the broadcast ships once per executor
+    val blobBc = hist.sparkSession.sparkContext.broadcast(blob)
+    val mightContain = column(expressions.BloomProbeExpr(
+      blobBc, expression(xxhash64(col(keyCol)))))
     val candidates = batch.where(mightContain).select(col(keyCol)).distinct()
     val confirmed = hist
       .join(broadcast(candidates), Seq(keyCol), "left_semi")

@@ -434,6 +434,43 @@ case class RepetitionStatsExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership probe against a TORRENT-BROADCAST serialized
+  * filter — the scale-correct carrier for a big filter blob. Spark's own
+  * `BloomFilterMightContain` requires a foldable filter side, which embeds
+  * the whole bitset into every task binary as a literal: measurably fatal
+  * already at a 5 MB filter × an iterative consumer (multi-MiB "large task
+  * binary" per stage, driver OOM), and a non-starter at the GB-scale
+  * filters a billion-key store needs. Here the task binary carries only
+  * the broadcast HANDLE; executors fetch the blob once and deserialize
+  * lazily per closure instance. Codegen'd via a reference object, so the
+  * probe stays inside the whole-stage loop. */
+case class BloomProbeExpr(filterBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+                          child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBc.value))
+
+  def probe(h: Long): Boolean = filter.mightContainLong(h)
+
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomProbeExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),

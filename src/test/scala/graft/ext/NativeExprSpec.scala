@@ -88,6 +88,26 @@ class NativeExprSpec extends SparkSpec {
     assert(r === 11.0)
   }
 
+  test("BloomProbeExpr ≡ BloomFilterMightContain on the same blob; no false negatives") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val blob = (1L to 1000L).toDF("k")
+      .select(column(new BloomFilterAggregate(
+          expression(xxhash64(col("k"))), Literal(1000L), Literal(16384L))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val bc = spark.sparkContext.broadcast(blob)
+    val probes = (500L to 1500L).toDF("k").select(col("k"),
+      column(graft.ext.expressions.BloomProbeExpr(bc,
+        expression(xxhash64(col("k"))))).as("a"),
+      column(BloomFilterMightContain(Literal.create(blob, BinaryType),
+        expression(xxhash64(col("k"))))).as("b"))
+    assert(probes.where(col("a") =!= col("b")).count() === 0)
+    assert(probes.where(col("k") <= 1000L && !col("a")).count() === 0)
+  }
+
   test("graft_hashed_shingles ≡ the transform/distinct/xxhash64 HOF chain on real text") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (n <- Seq(1, 3, 5)) {

@@ -16,8 +16,10 @@ object MeasureR7 {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val qs = graft.SparkEntry.queries
-    for (name <- Seq("dedup_spans", "dedup_spans_hashed",
-        "dedup_spans_anchored", "dedup_spans_anchored_fast")) {
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("dedup_spans", "dedup_spans_hashed",
+        "dedup_spans_anchored", "dedup_spans_anchored_fast")
+    for (name <- names) {
       qs(name)(spark, sfDir).count() // warm
       spark.catalog.clearCache()
       val ts = (1 to 5).map { _ =>
