@@ -693,6 +693,17 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Vocabulary drift between two snapshots (old = src0/src1, new = the
+    // rest): new/dropped/common term counts + per-side occurrence mass —
+    // the crawl-health check per ingest, integer-exact.
+    "text_vocab_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextStats.vocabularyDrift(
+          docs.where(col("source").isin("src0", "src1")),
+          docs.where(!col("source").isin("src0", "src1")), "text")
+        .orderBy("status")
+    }),
+
     // Corpus-frequency LM scoring: per-doc mean corpus-frequency of its
     // tokens — the deterministic stand-in for the CCNet KenLM-perplexity
     // quality filter (integer-exact evidence + one double division).
@@ -1944,6 +1955,24 @@ object ExtQueries {
         |JOIN norms nb ON nb.doc_id = b_id
         |WHERE dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "text_vocab_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |tb AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |ca AS (SELECT term, count(*)::BIGINT AS occ_a FROM ta
+        |  WHERE length(term) > 0 GROUP BY 1),
+        |cb AS (SELECT term, count(*)::BIGINT AS occ_b FROM tb
+        |  WHERE length(term) > 0 GROUP BY 1)
+        |SELECT CASE WHEN ca.term IS NULL THEN 'new'
+        |            WHEN cb.term IS NULL THEN 'dropped'
+        |            ELSE 'common' END AS status,
+        |  count(*)::BIGINT AS n_terms,
+        |  sum(coalesce(occ_a, 0))::BIGINT AS occurrences_a,
+        |  sum(coalesce(occ_b, 0))::BIGINT AS occurrences_b
+        |FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id,

@@ -163,6 +163,38 @@ object TextStats {
         col("freq_sum").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary drift between two corpus snapshots — the crawl-health
+    * check a continuously-refreshed training set runs per ingest: which
+    * terms appeared, which vanished, and how the shared mass shifted.
+    * Returns one row per status (`new` / `dropped` / `common`) with the
+    * distinct-term count and each side's total occurrences — integer-exact
+    * evidence (a JS-divergence-style summary needs logs and is
+    * deliberately left to the caller; these counts are the
+    * engine-portable core it would be computed from).
+    *
+    * Scale shape: each side collapses to (term, occurrences) BEFORE the
+    * full-outer join (vocabulary-sized, not corpus-sized); the join is
+    * term-keyed; the final aggregation has three groups. */
+  def vocabularyDrift(a: org.apache.spark.sql.DataFrame,
+                      b: org.apache.spark.sql.DataFrame,
+                      textCol: String): org.apache.spark.sql.DataFrame = {
+    def counts(df: org.apache.spark.sql.DataFrame, out: String) = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    counts(a, "occ_a").join(counts(b, "occ_b"), Seq("term"), "full_outer")
+      .select(
+        when(col("occ_a").isNull, "new")
+          .when(col("occ_b").isNull, "dropped")
+          .otherwise("common").as("status"),
+        coalesce(col("occ_a"), lit(0L)).as("occ_a"),
+        coalesce(col("occ_b"), lit(0L)).as("occ_b"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("occ_a")).as("occurrences_a"),
+        sum(col("occ_b")).as("occurrences_b"))
+  }
+
   /** Fixed-token-window chunking (context-window prep for training /
     * retrieval): one output row per chunk start s ∈ {0, stride, 2·stride, …}
     * < nTokens, carrying `window` whitespace tokens (fewer at the tail).

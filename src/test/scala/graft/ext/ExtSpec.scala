@@ -1090,6 +1090,18 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 3L, 3.0 / (math.sqrt(5.0) * math.sqrt(3.0)))))
   }
 
+  test("vocabularyDrift: new/dropped/common counts on a hand-checked pair") {
+    val a = Seq((1L, "x x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "y z")).toDF("doc_id", "text")
+    val got = TextStats.vocabularyDrift(a, b, "text")
+      .orderBy("status")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("common", 1L, 1L, 1L),   // y
+      ("dropped", 1L, 2L, 0L),  // x (twice in a)
+      ("new", 1L, 0L, 1L)))     // z
+  }
+
   test("corpusFrequencyScore: exact integer evidence on a hand-checked corpus") {
     val docs = Seq(
       (1L, "a a b"),   // tf: a=2,b=1 ; cf: a=3,b=2,c=1
