@@ -871,6 +871,26 @@ object ExtQueries {
         .orderBy("user_id", "version")
     }),
 
+    // SCD2 incremental upsert under the driver gate: fold the second half
+    // of the month into the first half's historized dim and compare against
+    // the FULL-REBUILD oracle (etl_scd2's own SQL) — upsert∘historize ≡
+    // historize∘union is the operator's contract, so the full rebuild IS
+    // the oracle. The ts<=T / ts>T split satisfies the strict per-key
+    // watermark the contract requires.
+    "etl_scd2_upsert" -> ((s, d) => {
+      val obs = t(s, d, "events")
+      val split = to_timestamp(lit("2024-01-16 00:00:00"))
+      val first = graft.etl.Scd.historize(obs.where(col("ts") <= split),
+        "user_id", "ts", "event_type", "event_id")
+      graft.etl.Scd.upsert(first, obs.where(col("ts") > split),
+          "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyyMMddHHmmss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyyMMddHHmmss.SSSSSS").as("valid_to"),
+          col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+
     // JSON-lines sink + scan round-trip with an explicit schema — source-
     // format breadth next to the CSV round-trip; the oracle aggregates the
     // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
@@ -1869,6 +1889,27 @@ object ExtQueries {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |QUALIFY lead(vf) OVER w IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+
+    // identical to etl_scd2's oracle ON PURPOSE: the incremental upsert's
+    // contract is equality with the full rebuild
+    "etl_scd2_upsert" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w0 AS prev,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS vf, event_id
+        |  FROM obs WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y%m%d%H%M%S.%f') AS valid_from,
+        |  strftime(lead(vf) OVER w, '%Y%m%d%H%M%S.%f') AS valid_to,
+        |  (row_number() OVER w)::BIGINT AS version,
+        |  (lead(vf) OVER w IS NULL) AS is_current
+        |FROM cp
+        |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
 
     "dedup_incremental" ->
