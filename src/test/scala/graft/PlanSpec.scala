@@ -163,6 +163,16 @@ class PlanSpec extends SparkSpec {
       s"the store side must never be exchanged for a join:\n$p")
   }
 
+  test("sim_topk_graph: final ranking is bucket/id-keyed joins, never a cartesian") {
+    // the deliberate exception is the ENTRY step's broadcast-queries ×
+    // corpus-sample cross (the sim_topk shape) — it runs in the eager beam
+    // jobs, not in the returned plan; the final plan must be equi-joins
+    val p = plan("sim_topk_graph")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"expected keyed candidate joins:\n$p")
+  }
+
   test("sample_shuffle: distributed range-partitioned sort, never a window") {
     // the global pseudo-random reorder must be Spark's distributed orderBy
     // (balanced range partitions over uniform md5 keys) — a row_number
