@@ -330,6 +330,11 @@ object Queries {
     // (deterministic under ties — they depend only on the ordering values)
     // and ntile over a fully tie-broken order (ntile depends on row
     // position, so a total order is what makes it engine-portable).
+    // cume_dist is restated as its integer evidence — n_le (the RANGE-frame
+    // count up to and including all peers, i.e. the cume_dist numerator) and
+    // n_part (the partition size, the denominator) — because a raw
+    // window-produced DOUBLE is the one value class whose engine formatting
+    // can differ even when the data is identical; cume_dist = n_le / n_part.
     "q_rank_funcs" -> ((s, d) => {
       val wv = Window.partitionBy(col("c_mktsegment"))
         .orderBy(money(col("c_acctbal")).desc)
@@ -340,7 +345,10 @@ object Queries {
           money(col("c_acctbal")).as("bal"),
           rank().over(wv).as("rnk"),
           dense_rank().over(wv).as("drnk"),
-          cume_dist().over(wv).as("cdist"),
+          count(lit(1)).over(wv.rangeBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("int").as("n_le"),
+          count(lit(1)).over(Window.partitionBy(col("c_mktsegment")))
+            .cast("int").as("n_part"),
           ntile(4).over(wt).as("quartile"))
         .orderBy("c_mktsegment", "rnk", "c_custkey")
     }),
@@ -554,7 +562,9 @@ object Queries {
       """SELECT c_custkey, c_mktsegment, c_acctbal::DECIMAL(18,2) AS bal,
         |  (rank() OVER wv)::INT AS rnk,
         |  (dense_rank() OVER wv)::INT AS drnk,
-        |  cume_dist() OVER wv AS cdist,
+        |  (count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal::DECIMAL(18,2) DESC
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INT AS n_le,
+        |  (count(*) OVER (PARTITION BY c_mktsegment))::INT AS n_part,
         |  (ntile(4) OVER wt)::INT AS quartile
         |FROM customer
         |WINDOW
