@@ -512,6 +512,27 @@ object Similarity {
     flip.unionByName(rot).distinct()
   }
 
+  /** Sentinel for the `entryMod` parameter of [[graphTopK]]: derive the
+    * entry-set density from the corpus size at runtime via
+    * [[adaptiveEntryMod]] — the [[Dedup.AdaptiveBucket]] pattern. */
+  val AdaptiveEntries: Long = -1L
+
+  /** Entry modulus giving ~max(minEntries, c·√N) entry points over a corpus
+    * of `corpusSize` vectors. Entries scale as √N, so the entry stage's work
+    * (queries × entries) grows sub-linearly in the corpus instead of being a
+    * fixed fraction of it: at N = 1e4 this is ~400 entries (mod 25), at
+    * N = 1e10 it is ~4e5 entries (mod 25,000) — where a fixed mod 8 would
+    * score 1.25e9 candidates per query. Monotonic by construction: a larger
+    * corpus never yields a smaller modulus. */
+  def adaptiveEntryMod(corpusSize: Long, c: Double = 4.0,
+                       minEntries: Int = 64): Long = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    require(c > 0, s"entry coefficient must be positive: $c")
+    val entries = math.max(minEntries.toDouble,
+      math.ceil(c * math.sqrt(corpusSize.toDouble)))
+    math.max(1L, (corpusSize / entries).toLong)
+  }
+
   /** Greedy beam search over a k-NN graph — single-layer HNSW-style
     * navigation, closing the graph-ANN gap next to the IVF/PQ/LSH family:
     * from a deterministic entry set, repeatedly score the current beam's
@@ -521,6 +542,15 @@ object Similarity {
     * EXACT regardless of the graph (the contract test); with sparse entries
     * recall comes from graph navigability, the property a kNN graph
     * ([[knnGraph]]) is built to provide.
+    *
+    * The DEFAULT entry set is adaptive ([[AdaptiveEntries]]): the entry
+    * COUNT is derived from the corpus size as c·√N and entryMod = N/count.
+    * A fixed modulus would make the entry stage score a constant FRACTION
+    * of the corpus per query — brute-force-class at scale, silently — the
+    * same failure mode [[Dedup.adaptiveBucketCap]] exists to prevent for
+    * LSH buckets. With √N entries the entry stage is O(queries·√N) while
+    * navigability still holds (√N seeds cover a connected kNN graph densely
+    * enough that some seed lands within a few hops of the true neighbors).
     *
     * Scale shape: per hop, one equi-join of the beam against the edge list
     * (keyed on the node id), one equi-join to fetch candidate vectors, and
@@ -534,12 +564,17 @@ object Similarity {
   def graphTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 graph: DataFrame, queries: DataFrame, qidCol: String,
                 qvecCol: String, k: Int, beamWidth: Int, hops: Int,
-                entryMod: Long = 8L, scope: CacheScope = null): DataFrame = {
+                entryMod: Long = AdaptiveEntries,
+                scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
-    require(entryMod >= 1 && hops >= 0, s"bad search params: $entryMod/$hops")
+    require((entryMod >= 1 || entryMod == AdaptiveEntries) && hops >= 0,
+      s"bad search params: $entryMod/$hops")
     val q = broadcast(queries.select(col(qidCol).as("query_id"),
       asDouble(col(qvecCol)).as("qv")))
     val c = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"))
+    val mod =
+      if (entryMod != AdaptiveEntries) entryMod
+      else adaptiveEntryMod(c.count())
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
     // (query_id, _gid) candidates → scored rows; self-matches excluded like
     // the brute-force catalog convention
@@ -552,7 +587,7 @@ object Similarity {
       TopK.topKPerKey(scored(cands), "query_id", "score", "_gid", beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
     val entries = q.select(col("query_id"))
-      .crossJoin(c.where(pmod(col("_gid"), lit(entryMod)) === 0).select(col("_gid")))
+      .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
     var frontier = beamOf(entries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     frontier.count(): Unit

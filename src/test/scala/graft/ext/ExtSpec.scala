@@ -1039,7 +1039,36 @@ class ExtSpec extends SparkSpec {
       expectedHistItems = 5000000L, fpp = 0.001).count() === 2)
     assert(spark.conf.get(
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems") === "4000000",
-      "the conf raise must be restored after the build")
+      "the conf raise runs on a cloned session — caller's conf never changes")
+  }
+
+  test("bloom blob broadcast lifecycle: destroyed after first scope-less action; scope owns until close") {
+    // scope-less: the destroy listener fires once the consuming action
+    // completes (async bus — poll); a destroyed broadcast throws on read
+    val bc = spark.sparkContext.broadcast(Array[Byte](1, 2, 3))
+    val consumer = Seq(1L, 2L).toDF("x")
+    Dedup.destroyAfterFirstAction(consumer, bc)
+    assert(bc.value.length === 3, "live before the action")
+    assert(consumer.count() === 2)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (scala.util.Try(bc.value).isSuccess && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(scala.util.Try(bc.value).isFailure,
+      "blob broadcast must be destroyed after the first consuming action")
+
+    // scope ownership: survives arbitrarily many actions, destroyed at close
+    val scope = new CacheScope
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "fp")
+    val kept = Dedup.newAgainstHistory(batch, Seq((9L, "b")).toDF("id", "fp"),
+      "fp", scope = scope)
+    assert(kept.count() === 1 && kept.count() === 1, "multi-consumption OK")
+    val bc2 = spark.sparkContext.broadcast(Array[Byte](7))
+    scope.ownBroadcast(bc2)
+    scope.close()
+    val deadline2 = System.nanoTime() + 10e9.toLong
+    while (scala.util.Try(bc2.value).isSuccess && System.nanoTime() < deadline2)
+      Thread.sleep(50)
+    assert(scala.util.Try(bc2.value).isFailure, "scope.close() destroys owned broadcasts")
   }
 
   test("graphTopK with full entries is exact; sparse entries self-release their beam") {
@@ -1075,6 +1104,35 @@ class ExtSpec extends SparkSpec {
     def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
+
+  test("adaptiveEntryMod: entry COUNT scales as √N, never a corpus fraction") {
+    // hand-checked at two corpus sizes: entries ≈ max(64, 4·√N), mod = N/entries
+    assert(Similarity.adaptiveEntryMod(10000L) === 25L)    // 4·√1e4 = 400 entries
+    assert(Similarity.adaptiveEntryMod(100000000L) === 2500L) // 4·√1e8 = 40k entries
+    // property at two sizes: the implied entry count is Θ(√N) — a 100×
+    // corpus gets ~10× the entries, NOT 100× (which a fixed mod would give)
+    for (n <- Seq(1000000L, 100000000L)) {
+      val mod = Similarity.adaptiveEntryMod(n)
+      val entries = n / mod
+      val target = 4.0 * math.sqrt(n.toDouble)
+      assert(entries >= target * 0.9 && entries <= target * 1.5,
+        s"N=$n entries=$entries target=$target")
+    }
+    // monotone in N, small corpora degrade to scanning everything (mod 1)
+    assert(Similarity.adaptiveEntryMod(100L) === 1L)
+    assert(Similarity.adaptiveEntryMod(1000000L) <
+      Similarity.adaptiveEntryMod(100000000L))
+    // the default sentinel resolves adaptively inside graphTopK: sf0.001 has
+    // 500 vectors → mod = 500/max(64, 4·√500)=500/90 → 5, so the run must
+    // return k rows per query like any sparse-entry search
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 2)
+    val graph = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, bits = 6)
+      .select(col("id"), col("nbr_id"))
+    val got = Similarity.graphTopK(emb, "vec_id", "embedding", graph,
+      queries, "vec_id", "embedding", k = 5, beamWidth = 16, hops = 1)
+    assert(got.count() === 10)
   }
 
   test("lexicalCosinePairs: df-capped tf cosine on a hand-checked corpus") {
