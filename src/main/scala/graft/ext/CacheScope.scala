@@ -20,6 +20,8 @@ import org.apache.spark.sql.Dataset
 final class CacheScope {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val rdds = scala.collection.mutable.ArrayBuffer.empty[RDD[_]]
+  private val bcs =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
   /** Register an already-persisted frame for later release. */
   def own[T <: Dataset[_]](df: T): T = synchronized { frames += df; df }
@@ -27,11 +29,21 @@ final class CacheScope {
   /** Register persisted RDDs (e.g. a localCheckpoint's backing RDD). */
   def ownRdds(rs: Seq[RDD[_]]): Unit = synchronized { rdds ++= rs }
 
-  /** Unpersist every owned frame and RDD (idempotent). */
+  /** Register an explicit broadcast (e.g. the bloom blob of
+    * [[Dedup.newAgainstHistory]]) for destruction at close. Unlike frames,
+    * a DESTROYED broadcast cannot be re-read — close only after the last
+    * action that consumes the owning operator's result. */
+  def ownBroadcast[T](bc: org.apache.spark.broadcast.Broadcast[T])
+      : org.apache.spark.broadcast.Broadcast[T] = synchronized { bcs += bc; bc }
+
+  /** Unpersist every owned frame and RDD, destroy every owned broadcast
+    * (idempotent). */
   def close(blocking: Boolean = false): Unit = synchronized {
     frames.foreach(_.unpersist(blocking))
     frames.clear()
     rdds.foreach(_.unpersist(blocking))
     rdds.clear()
+    bcs.foreach(_.destroy())
+    bcs.clear()
   }
 }

@@ -78,7 +78,7 @@ object Curation {
     //    scope (null → stays persisted, the same contract as the cluster
     //    label checkpoint documented above).
     val incoming = {
-      val inc = incomingStage(docs, textCol, cfg)
+      val inc = incomingStage(docs, textCol, cfg, scope)
       if (inc eq docs) docs
       else {
         val cached = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -119,9 +119,12 @@ object Curation {
     (incoming, afterExact, losers, afterNear, afterQuality)
   }
 
-  /** History pre-filter (no-op without `cfg.history`). */
+  /** History pre-filter (no-op without `cfg.history`). The bloom blob's
+    * broadcast follows the caller's scope (destroyed at `scope.close()`);
+    * scope-less it self-destroys after the first action — safe here because
+    * [[stages]] persists the incoming frame, so the probe executes once. */
   private def incomingStage(docs: DataFrame, textCol: String,
-                            cfg: Config): DataFrame =
+                            cfg: Config, scope: CacheScope): DataFrame =
     cfg.history.fold(docs) { h =>
       require(h.columns.contains("fingerprint"),
         "Config.history must carry a 'fingerprint' column (md5 of normalized text)")
@@ -130,7 +133,7 @@ object Curation {
       Dedup.newAgainstHistory(
           docs.withColumn("_fp", md5(lower(col(textCol)))),
           h.select(col("fingerprint").as("_fp")), "_fp",
-          cfg.historyExpectedItems)
+          cfg.historyExpectedItems, scope = scope)
         .drop("_fp")
     }
 

@@ -946,39 +946,47 @@ object Dedup {
     * pruning, not for an explicit store-membership filter). Left alone that
     * ceiling would cap this operator's filter ~250× below its 10⁹-key
     * design point and melt the fpp toward 1, flooding the confirm join.
-    * The build therefore raises the two confs to its own sizing for the
-    * duration of the (eager, driver-blocking) build and restores them in a
-    * finally — Spark's own runtime filters are planned against whatever
-    * values are current at THEIR optimization time, so the temporary raise
-    * does not loosen them retroactively. */
+    * The build therefore runs on a CLONED session (`newSession()` — shared
+    * SparkContext, isolated SQL conf) with the two confs raised to its own
+    * sizing: the raise is invisible to the caller's session, so queries
+    * planned concurrently never see loosened runtime-filter ceilings and
+    * two concurrent builds cannot interleave a save/restore on shared
+    * state (the race a conf-mutating version of this build would have).
+    *
+    * Broadcast lifecycle: the blob broadcast is DESTROYED once the first
+    * action consuming the returned frame completes (scope-less default) —
+    * without that, the operator's own design loop (per-batch calls in a
+    * long-lived continuous-ingest session, [[Curation.Config.history]])
+    * accumulates executor-resident GB blobs until the session dies. A
+    * scope-less caller therefore gets a SINGLE-consumption frame: persist
+    * the result (as [[Curation]] does) or pass a [[CacheScope]], which
+    * takes ownership and destroys the blob at `close()`, to consume it
+    * more than once. A second action racing the async release at worst
+    * fails loudly on the destroyed broadcast — never silently wrong. */
   def newAgainstHistory(batch: DataFrame, hist: DataFrame, keyCol: String,
                         expectedHistItems: Long = 1L << 22,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 0.01,
+                        scope: CacheScope = null): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression, inSession}
     require(expectedHistItems > 0 && fpp > 0 && fpp < 1,
       s"bad filter sizing: items=$expectedHistItems fpp=$fpp")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedHistItems, fpp)
-    val conf = hist.sparkSession.conf
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val (oldItems, oldBits) = (conf.get(itemsKey), conf.get(bitsKey))
-    val blob =
-      try {
-        conf.set(itemsKey, math.max(oldItems.toLong, expectedHistItems).toString)
-        conf.set(bitsKey, math.max(oldBits.toLong, numBits).toString)
-        hist
-          .select(column(new BloomFilterAggregate(
-              expression(xxhash64(col(keyCol))),
-              CatLit(expectedHistItems), CatLit(numBits))
-            .toAggregateExpression()).as("bf"))
-          .head.getAs[Array[Byte]]("bf")
-      } finally {
-        conf.set(itemsKey, oldItems)
-        conf.set(bitsKey, oldBits)
-      }
+    val cloned = hist.sparkSession.newSession()
+    cloned.conf.set(itemsKey,
+      math.max(cloned.conf.get(itemsKey).toLong, expectedHistItems).toString)
+    cloned.conf.set(bitsKey,
+      math.max(cloned.conf.get(bitsKey).toLong, numBits).toString)
+    val blob = inSession(cloned, hist)
+      .select(column(new BloomFilterAggregate(
+          expression(xxhash64(col(keyCol))),
+          CatLit(expectedHistItems), CatLit(numBits))
+        .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
     if (blob == null) return batch // empty store: the whole batch is new
     // the blob rides a TORRENT BROADCAST, not a plan literal: a literal is
     // re-serialized into EVERY task binary of every consuming stage (fatal
@@ -991,6 +999,36 @@ object Dedup {
     val confirmed = hist
       .join(broadcast(candidates), Seq(keyCol), "left_semi")
       .select(col(keyCol)).distinct()
-    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+    val result = batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+    if (scope != null) scope.ownBroadcast(blobBc)
+    else destroyAfterFirstAction(result, blobBc)
+    result
+  }
+
+  /** Broadcast twin of [[releaseAfterFirstAction]]: destroy `bc` as soon as
+    * the first action consuming `result` completes (success or failure).
+    * Destroyed broadcasts do NOT recompute — callers needing multiple
+    * consumption own the broadcast via [[CacheScope.ownBroadcast]] instead. */
+  private[ext] def destroyAfterFirstAction(
+      result: DataFrame, bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    val spark = result.sparkSession
+    val target = result.queryExecution.analyzed
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) &&
+            released.compareAndSet(false, true)) {
+          bc.destroy()
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 }

@@ -21,6 +21,10 @@ private[sql] object Bridge {
                               schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+  def inSession(spark: SparkSession, df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }
 
 /** Public face of the bridge for graft code. */
@@ -35,4 +39,13 @@ object GraftColumnBridge {
   def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
                               schema: StructType): DataFrame =
     Bridge.internalCreateDataFrame(spark, rdd, schema)
+
+  /** Re-host an already-ANALYZED frame on another session of the same
+    * SparkContext (`Dataset.ofRows` is `private[sql]`). The use case is
+    * running a query under session-local SQL confs (a `newSession()` clone)
+    * without mutating the caller's shared conf — the analyzed plan carries
+    * its resolved relations, so no re-resolution against the clone's (empty)
+    * temp-view catalog happens. */
+  def inSession(spark: SparkSession, df: DataFrame): DataFrame =
+    Bridge.inSession(spark, df)
 }
