@@ -891,6 +891,28 @@ object ExtQueries {
         .orderBy("user_id", "version")
     }),
 
+    // SCD2 point-in-time resolve: purchase facts (ts shifted back 1h, so
+    // probes land mid-history and some fall BEFORE their user's first
+    // version → NULL resolution, the left-join contract) against the full
+    // historized dim. The oracle restates it as the general INTERVAL join
+    // (ts >= valid_from AND ts < valid_to OR open) — asof-carry ≡ interval
+    // join on a tiling dim is exactly the operator's contract, so the row
+    // cross-checks the two formulations against each other.
+    "etl_scd2_resolve" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val dim = graft.etl.Scd.historize(ev, "user_id", "ts", "event_type", "event_id")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("ts"))
+      graft.etl.Scd.resolveAtTime(facts, dim, "user_id", "ts", "event_type")
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), "yyyyMMddHHmmss.SSSSSS").as("ts_s"),
+          col("asof_event_type"),
+          date_format(col("asof_valid_from"), "yyyyMMddHHmmss.SSSSSS").as("valid_from_s"),
+          col("asof_version"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // JSON-lines sink + scan round-trip with an explicit schema — source-
     // format breadth next to the CSV round-trip; the oracle aggregates the
     // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
@@ -1911,6 +1933,36 @@ object ExtQueries {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "etl_scd2_resolve" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w0 AS prev,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS vf, event_id
+        |  FROM obs WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |dim AS (
+        |  SELECT user_id, event_type, vf,
+        |    lead(vf) OVER w AS vt,
+        |    (row_number() OVER w)::BIGINT AS version
+        |  FROM cp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)),
+        |facts AS (
+        |  SELECT user_id, event_id, ts - INTERVAL 1 HOUR AS fts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id,
+        |  strftime(f.fts, '%Y%m%d%H%M%S.%f') AS ts_s,
+        |  d.event_type AS asof_event_type,
+        |  strftime(d.vf, '%Y%m%d%H%M%S.%f') AS valid_from_s,
+        |  d.version AS asof_version
+        |FROM facts f
+        |LEFT JOIN dim d
+        |  ON f.user_id = d.user_id AND f.fts >= d.vf
+        |  AND (f.fts < d.vt OR d.vt IS NULL)
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint

@@ -100,4 +100,49 @@ object Scd {
       .drop("__offset", "__ok")
     closed.unionByName(reopened)
   }
+
+  /** Point-in-time resolve: join each fact row to the dimension version
+    * valid AT its event time — the canonical consumer of [[historize]], and
+    * the query every SCD2 warehouse exists to answer ("which attribute did
+    * this key have when the fact happened", summary.pdf §NOTE's Type-2
+    * discussion). Equivalent to the interval join
+    * `ON key AND ts >= valid_from AND (ts < valid_to OR valid_to IS NULL)`;
+    * facts before a key's first version resolve to NULLs (left semantics).
+    *
+    * Implementation is NOT that interval join: because [[historize]]'s
+    * intervals TILE each key's timeline (every `valid_to` is the next run's
+    * `valid_from`), the valid version is exactly the one with the greatest
+    * `valid_from <= ts` — an as-of carry ([[graft.ext.AsofJoin.asof]]):
+    * one exchange keyed on the natural key + one per-key sorted window,
+    * linear in |facts| + |dim|, no range-predicate join for Catalyst to
+    * plan as a per-key cross product. Facts at EXACTLY a version's
+    * `valid_from` resolve to that version (`>=` boundary), matching the
+    * interval form, because the previous version's `valid_to` excludes the
+    * boundary instant. When two runs of one key open at the same instant
+    * (same-ts observations with different ties), the earlier run's interval
+    * is empty — only the highest version at that instant can match, so the
+    * dim is deduplicated to it before the carry, keeping the as-of result
+    * identical to the interval join's.
+    *
+    * @param facts   probe side; all columns pass through; must not already
+    *                carry `asof_`-prefixed output columns
+    * @param dim     a [[historize]]/[[upsert]]-shaped frame:
+    *                (key, attr, valid_from, valid_to, version, is_current)
+    * @param keyCol  natural key column, present on both sides
+    * @param tsCol   fact event-time column; compared against `valid_from`
+    * @param attrCol the dimension attribute column to resolve
+    * @return facts + (asof_<attrCol>, asof_valid_from, asof_version) */
+  def resolveAtTime(facts: DataFrame, dim: DataFrame, keyCol: String,
+                    tsCol: String, attrCol: String): DataFrame = {
+    val byStart = Window.partitionBy(col(keyCol), col("valid_from"))
+      .orderBy(col("version").desc)
+    val versions = dim
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("version"))
+      .withColumn("__rn", row_number().over(byStart))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("valid_from").as(tsCol),
+        col(attrCol), col("valid_from"), col("version"))
+    graft.ext.AsofJoin.asof(facts, versions, keyCol, tsCol,
+      Seq(attrCol, "valid_from", "version"))
+  }
 }

@@ -78,4 +78,37 @@ class ScdSpec extends SparkSpec {
       ("b", 20L, Some(40L), 2L, false), // re-observed b extends, no new version
       ("c", 40L, None, 3L, true)))
   }
+
+  test("resolveAtTime: interval semantics via the asof carry, edges pinned") {
+    // key 1: a@[10,30) b@[30,50) a@[50,∞); key 2: x@[10,∞);
+    // key 3: same-instant double run — p@[10,10) is EMPTY, q@[10,∞) v2
+    val dim = Scd.historize(
+      obs((1L, 10L, "a", 1L), (1L, 30L, "b", 2L), (1L, 50L, "a", 3L),
+          (2L, 10L, "x", 4L),
+          (3L, 10L, "p", 5L), (3L, 10L, "q", 6L)),
+      "k", "ts", "attr", "tie")
+    val facts = Seq(
+      (1L, 5L, 100L),  // before first version → NULL resolution
+      (1L, 10L, 101L), // boundary: exactly at valid_from → that version
+      (1L, 29L, 102L), // interior of a closed interval
+      (1L, 30L, 103L), // boundary: previous valid_to excludes the instant
+      (1L, 99L, 104L), // open (current) interval
+      (2L, 10L, 105L),
+      (3L, 10L, 106L)  // empty-interval run must lose to version 2
+    ).toDF("k", "ts", "fid")
+    val got = Scd.resolveAtTime(facts, dim, "k", "ts", "attr")
+      .orderBy("fid")
+      .select("k", "ts", "fid", "asof_attr", "asof_valid_from", "asof_version")
+      .collect()
+      .map(r => (r.getLong(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      .toSeq
+    assert(got === Seq(
+      (100L, None, None, None),
+      (101L, Some("a"), Some(10L), Some(1L)),
+      (102L, Some("a"), Some(10L), Some(1L)),
+      (103L, Some("b"), Some(30L), Some(2L)),
+      (104L, Some("a"), Some(50L), Some(3L)),
+      (105L, Some("x"), Some(10L), Some(1L)),
+      (106L, Some("q"), Some(10L), Some(2L))))
+  }
 }
