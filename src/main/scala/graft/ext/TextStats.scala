@@ -137,12 +137,20 @@ object TextStats {
     *
     * Scale shape: token rows collapse to per-(doc, token) counts BEFORE any
     * exchange (zipfian corpora make `tf` rows ≪ token occurrences); the
-    * vocabulary is aggregated FROM those counts and joined back keyed on
-    * the token, so the two shuffles carry (doc, distinct-token) pairs and
-    * vocabulary rows — never raw token streams. The division is one
-    * double-divide of two exact longs (bit-identical across engines). */
+    * vocabulary is aggregated FROM those counts and joined back. The
+    * join-back is the operator's one skew surface — keyed on the token, the
+    * 'the'-class hot tokens of a web corpus pile their (doc, token) rows
+    * onto single partitions — so when the vocabulary fits a broadcast
+    * (`maxBroadcastVocab`, counted at call time from the already-persisted
+    * tf frame) the cf side is BROADCAST and the token exchange disappears
+    * entirely: tf streams map-side through the hash join into the
+    * doc-keyed aggregation, and skew cannot exist without a shuffle.
+    * Above the threshold the shuffle join returns and AQE's skew-join
+    * split is the (runtime) fallback. The division is one double-divide
+    * of two exact longs (bit-identical across engines). */
   def corpusFrequencyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String,
+                           maxBroadcastVocab: Long = 1L << 20,
                            scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
     // tf feeds both the vocabulary aggregation and the join-back — persist
     // it so one action doesn't run the corpus explode twice (caller scope,
@@ -153,9 +161,16 @@ object TextStats {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
     val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
-    tf.join(cf, "token")
+    // the sizing count is eager (kmeans/bloom precedent for operators that
+    // run jobs at call time); it also materializes the tf cache every
+    // downstream stage reuses, so the job is not pure overhead. The
+    // self-release listener registers AFTER the count — registered before,
+    // the count itself would be the "first action" and evict the cache the
+    // caller's real action needs.
+    val cfSide = if (cf.count() <= maxBroadcastVocab) broadcast(cf) else cf
+    if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
+    tf.join(cfSide, "token")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("cf")).as("freq_sum"))

@@ -230,6 +230,40 @@ class PlanSpec extends SparkSpec {
     assert(Fact.withFactIds(resolved).rdd.getNumPartitions === 1)
   }
 
+  test("text_lm_score: cf vocabulary broadcast below the threshold, shuffle join above") {
+    // auto-broadcast off: at sf0.001 Catalyst's own stats would broadcast
+    // ANY join side, masking what is being pinned here — that the
+    // OPERATOR's explicit hint (driven by its vocab count) decides the plan
+    val abKey = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(abKey)
+    try {
+      spark.conf.set(abKey, "-1")
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // vocab ≪ the default threshold → hinted broadcast hash join: no
+      // token-keyed exchange for hot-token skew to live in
+      val p = graft.ext.TextStats.corpusFrequencyScore(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"cf side must broadcast:\n$p")
+      // the valve: threshold 0 (a too-large-to-broadcast vocabulary) must
+      // fall back to the shuffle join
+      val fp = graft.ext.TextStats.corpusFrequencyScore(
+          docs, "doc_id", "text", maxBroadcastVocab = 0L)
+        .queryExecution.executedPlan.toString
+      assert(!fp.contains("BroadcastHashJoin"),
+        s"threshold 0 must fall back to the shuffle join:\n$fp")
+    } finally {
+      spark.conf.set(abKey, old)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("etl_scd2_resolve: asof carry plans keyed exchanges + window, never an interval join") {
+    val p = plan("etl_scd2_resolve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"point-in-time resolve must not plan a range join:\n$p")
+    assert(p.contains("Window"), s"expected the per-key asof carry window:\n$p")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of
