@@ -48,6 +48,25 @@ object TextStats {
   def nSubwords(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), lit(0)))
 
+  /** REAL greedy-BPE subword count over a ranked merges table
+    * ([[graft.ext.expressions.Bpe]]): native codegen'd expression, one
+    * whole-stage-loop call per document. */
+  def nSubwordsBpe(text: Column, merges: Array[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.BpeCountExpr(
+      merges, GraftColumnBridge.expression(text)))
+  }
+
+  /** File seam closing the BPE stand-in gap WITHOUT a network dependency:
+    * when `mergesPath` exists locally it is parsed as a public-format
+    * `merges.txt` (rank = line order) and the count is the real greedy-BPE
+    * piece count; otherwise the regex stand-in keeps the pipeline running.
+    * The file is read once at plan-construction time on the driver. */
+  def nSubwordsAuto(text: Column, mergesPath: String): Column =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(mergesPath)))
+      nSubwordsBpe(text, graft.ext.expressions.Bpe.loadMerges(mergesPath))
+    else nSubwords(text)
+
   /** Mean token length = non-space chars / tokens (integer-derived double). */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / nTokens(text)
@@ -176,6 +195,60 @@ object TextStats {
         sum(col("tf") * col("cf")).as("freq_sum"))
       .withColumn("mean_token_freq",
         col("freq_sum").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Load a token→log-probability table from a local TSV
+    * (`token<TAB>logprob`, `#` comments skipped) as a two-column frame —
+    * the model side of [[lmScore]]. A unigram LM table is
+    * vocabulary-sized, i.e. broadcast-small by construction. */
+  def loadLogProbTable(spark: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.spark.sql.DataFrame = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val rows =
+      try src.getLines()
+        .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          require(i > 0, s"bad logprob line (want 'token\\tlogprob'): $l")
+          (l.substring(0, i), l.substring(i + 1).toDouble)
+        }.toSeq
+      finally src.close()
+    import spark.implicits._
+    rows.toDF("token", "logprob")
+  }
+
+  /** Unigram-LM document scoring with a REAL model table when one exists at
+    * `modelPath` — the file seam closing [[corpusFrequencyScore]]'s
+    * documented stand-in gap without a network dependency. Loaded path:
+    * per-document `(n_tokens, score_sum = Σ tf·logprob, mean_score)` with
+    * out-of-vocabulary tokens at `oovLogProb` (the standard unknown-token
+    * floor). No file → the corpus-frequency stand-in under the same output
+    * names, so downstream quality gates are insensitive to which model
+    * backs the score.
+    *
+    * Scale shape: identical to [[corpusFrequencyScore]]'s broadcast branch —
+    * tf collapse before any exchange, the model table BROADCAST onto it
+    * (a unigram vocabulary is small by construction), one doc-keyed
+    * aggregation. The model file is read once on the driver. */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, modelPath: String, oovLogProb: Double = -20.0,
+              scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(modelPath)))
+      return corpusFrequencyScore(df, idCol, textCol, scope = scope)
+        .select(col(idCol), col("n_tokens"),
+          col("freq_sum").cast("double").as("score_sum"),
+          col("mean_token_freq").as("mean_score"))
+    val table = loadLogProbTable(df.sparkSession, modelPath)
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(table), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") *
+          coalesce(col("logprob"), lit(oovLogProb))).as("score_sum"))
+      .withColumn("mean_score", col("score_sum") / col("n_tokens").cast("double"))
   }
 
   /** Vocabulary drift between two corpus snapshots — the crawl-health

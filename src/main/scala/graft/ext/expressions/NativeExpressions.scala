@@ -471,6 +471,115 @@ case class BloomProbeExpr(filterBc: org.apache.spark.broadcast.Broadcast[Array[B
     copy(child = newChild)
 }
 
+/** Greedy byte-pair-encoding over a ranked merges table — the real
+  * tokenizer behind [[BpeCountExpr]], filling the documented stand-in gap of
+  * `TextStats.nSubwords`. The merges format is the public `merges.txt`
+  * convention (one space-separated symbol pair per line, rank = line order,
+  * `#`-prefixed header/comment lines skipped). Encoding is the textbook
+  * loop (Sennrich et al. 2016): start from single characters and repeatedly
+  * merge EVERY adjacent occurrence of the lowest-ranked pair until no
+  * adjacent pair is in the table. No end-of-word marker is appended — the
+  * merges file must be authored against plain character symbols. */
+object Bpe {
+  def loadMerges(path: String): Array[(String, String)] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    try src.getLines()
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val parts = l.split(" ")
+        require(parts.length == 2, s"bad merges line (want 'a b'): $l")
+        (parts(0), parts(1))
+      }.toArray
+    finally src.close()
+  }
+
+  /** rank lookup keyed "a b" (symbols never contain NUL). */
+  def rankMap(merges: Array[(String, String)]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      m.putIfAbsent(merges(i)._1 + " " + merges(i)._2, i)
+      i += 1
+    }
+    m
+  }
+
+  /** Number of BPE pieces `word` encodes to (the count is what token
+    * budgeting needs; the pieces themselves are never materialized). */
+  def encodeCount(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
+    if (word.isEmpty) return 0
+    var symbols = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { // codepoint-safe char split
+      val cp = word.codePointAt(i)
+      symbols.add(word.substring(i, i + Character.charCount(cp)))
+      i += Character.charCount(cp)
+    }
+    while (symbols.size > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < symbols.size - 1) {
+        val r = ranks.get(symbols.get(j) + " " + symbols.get(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; best = j }
+        j += 1
+      }
+      if (best < 0) return symbols.size
+      // merge every adjacent occurrence of the best pair, left to right
+      val (a, b) = (symbols.get(best), symbols.get(best + 1))
+      val merged = new java.util.ArrayList[String](symbols.size)
+      var k = 0
+      while (k < symbols.size) {
+        if (k < symbols.size - 1 && symbols.get(k) == a && symbols.get(k + 1) == b) {
+          merged.add(a + b); k += 2
+        } else { merged.add(symbols.get(k)); k += 1 }
+      }
+      symbols = merged
+    }
+    symbols.size
+  }
+
+  /** Whole-document piece count: lowercased whitespace tokens (the
+    * `TextStats.tokens` convention), summed over words. */
+  def countDocument(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val words = text.toString.toLowerCase.split(" ")
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      total += encodeCount(words(i), ranks)
+      i += 1
+    }
+    total
+  }
+}
+
+/** See [[Bpe]]. The merges table rides the expression instance (one copy per
+  * task binary — merges files are 10⁴-10⁵ lines, well under broadcast-worthy
+  * size); the rank map is built lazily per executor instance. Codegen'd via
+  * a reference object, so the count stays inside the whole-stage loop. */
+case class BpeCountExpr(merges: Array[(String, String)], child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_bpe_count"
+
+  @transient private lazy val ranks = Bpe.rankMap(merges)
+
+  def count(text: UTF8String): Int = Bpe.countDocument(text, ranks)
+
+  override protected def nullSafeEval(input: Any): Any =
+    count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeCountExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),

@@ -1160,6 +1160,48 @@ class ExtSpec extends SparkSpec {
       ("new", 1L, 0L, 1L)))     // z
   }
 
+  test("nSubwordsAuto: real greedy BPE from a merges file, regex stand-in without one") {
+    // fixture ranks: (l o)=0, (lo w)=1, (e r)=2
+    // "lower": l o w e r → lo w e r → low e r → low er = 2 pieces
+    // "newer": n e w e r → n e w er = 4 (no further adjacent pair ranked)
+    // "low":   l o w → lo w → low = 1
+    // "erer":  e r e r → er er = 2 (best pair merges ALL occurrences)
+    val docs = Seq(
+      (1L, "lower newer low"), (2L, "erer"), (3L, "LOWER"), (4L, "a  b")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextStats.nSubwordsAuto(col("text"),
+          "src/test/resources/graft/bpe_merges.txt").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 7, 2L -> 2, 3L -> 2, 4L -> 2),
+      "hand-computed piece counts (doc 3 lowercases, doc 4's double space yields an empty word = 0 pieces)")
+    // no file at the path → bit-identical to the regex stand-in
+    val fb = docs.select(
+        TextStats.nSubwordsAuto(col("text"), "/nonexistent/merges.txt").as("a"),
+        TextStats.nSubwords(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(fb === 0)
+  }
+
+  test("lmScore: real log-prob table from a TSV, corpus-frequency fallback without one") {
+    val docs = Seq((1L, "the cat the"), (2L, "zzz")).toDF("doc_id", "text")
+    val got = TextStats.lmScore(docs, "doc_id", "text",
+        "src/test/resources/graft/lm_logprobs.tsv")
+      .select("doc_id", "n_tokens", "score_sum", "mean_score")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: 2×the + cat = -5.5 over 3 tokens; doc 2: one OOV at the floor
+    assert(got(1L) === ((3L, -5.5, -5.5 / 3.0)))
+    assert(got(2L) === ((1L, -20.0, -20.0)))
+    // no file → the corpus-frequency stand-in under the same column names:
+    // "a a b" → cf(a)=2 cf(b)=1 → freq_sum = 2·2 + 1 = 5 over 3 tokens
+    val fb = TextStats.lmScore(Seq((7L, "a a b")).toDF("doc_id", "text"),
+        "doc_id", "text", "/nonexistent/model.tsv")
+      .select("doc_id", "n_tokens", "score_sum", "mean_score")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(fb === Seq((7L, 3L, 5.0, 5.0 / 3.0)))
+  }
+
   test("corpusFrequencyScore: exact integer evidence on a hand-checked corpus") {
     val docs = Seq(
       (1L, "a a b"),   // tf: a=2,b=1 ; cf: a=3,b=2,c=1
