@@ -10,6 +10,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-flight load gate: r6 AND r7 artifacts were both measured under
+    // heavy external load (r7: load_avg 6.03 on a bench given 32 threads'
+    // worth of machine) — the self-identifying host fields below let a
+    // judge spot it, but the headline number still needed a manual re-run.
+    // So wait for quiet BEFORE timing: while the 1-minute loadavg exceeds
+    // max(1, cpus/4), sleep 30 s, bounded at 10 tries (~5 min) so a
+    // permanently-busy machine still produces an artifact (flagged by the
+    // recorded attempts + its own load field) instead of hanging the round.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadGate = math.max(1.0, cpus.toInt / 4.0)
+    val loadAtStart = osBean.getSystemLoadAverage
+    var gateAttempts = 0
+    while (osBean.getSystemLoadAverage > loadGate && gateAttempts < 10) {
+      System.err.println(
+        f"BENCH GATE load_avg_1m=${osBean.getSystemLoadAverage}%.2f > $loadGate%.2f, waiting 30s (attempt ${gateAttempts + 1}/10)")
+      Thread.sleep(30000)
+      gateAttempts += 1
+    }
     // Warm up codegen/JIT and the parquet reader before timing: the first
     // query otherwise absorbs several seconds of one-time session cost that
     // says nothing about per-query throughput. (nanosAsLong must be set
@@ -83,11 +101,11 @@ object Bench {
     // the artifact: loadavg far above the core count the bench was given
     // means the medians are measuring the NEIGHBORS, not the code.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage}}"""
+    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}""")
     // A compact trailer so a bounded `tail` of the artifact always captures
     // the headline number even when the full JSON line above is truncated.
-    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.isLeft)},"load_avg_1m":${os.getSystemLoadAverage}}""")
+    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.isLeft)},"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts}""")
     spark.stop()
   }
 }
