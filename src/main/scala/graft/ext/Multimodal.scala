@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * (SURVEY §2.8): payloads are opaque `binary` columns with typed metadata;
   * decode / feature-extract / frame-sample are per-partition transforms.
   *
-  * The media codecs themselves are NOT in this container, so the decode step
-  * is a clearly-marked deterministic fake ([[FakeCodec]]) — but the Spark
-  * plumbing is real and is the part that matters at 100 TB: an explicit
-  * asset schema, `mapPartitions` over a typed `Dataset` (one codec init per
-  * partition, streaming iterator — never a collect), frame explosion via
-  * `posexplode`, and feature columns sized for downstream ANN
-  * ([[Similarity]]). Swap `FakeCodec` for JNI/FFmpeg bindings and nothing
-  * else changes.
+  * Decode is pluggable behind [[Multimodal.Codec]]. [[ByteCodec]] (the
+  * default) REALLY parses two trivial public containers at the byte level —
+  * binary PPM (P6) images and 16-bit PCM RIFF/WAVE audio — no media
+  * library involved, which is exactly what this container can support
+  * honestly; payloads in any other format fall back to the clearly-marked
+  * deterministic [[FakeCodec]]. The Spark plumbing is the part that matters
+  * at 100 TB and is fully real: an explicit asset schema, `mapPartitions`
+  * over a typed `Dataset` (one codec init per partition, streaming iterator
+  * — never a collect), frame explosion via `posexplode`, and feature
+  * columns sized for downstream ANN ([[Similarity]]). Swap in JNI/FFmpeg
+  * bindings as another `Codec` and nothing else changes.
   */
 object Multimodal {
 
@@ -34,11 +37,17 @@ object Multimodal {
                                 feature: Array[Float])
   final case class Frame(asset_id: Long, frame_no: Int, frame: Array[Byte])
 
+  /** Bytes-in, struct-out decoder contract; one instance is shared per
+    * partition (initialize heavyweight state in a lazy field). */
+  trait Codec extends Serializable {
+    def decode(a: RawAsset): DecodedAsset
+  }
+
   /** Deterministic stand-in for the real image/audio/video decoder: derives
     * "decoded" properties from the payload header bytes. Replace with real
     * codec bindings in production — the signature (bytes in, struct out) and
     * the per-partition batch shape are the contract. */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     def decode(a: RawAsset): DecodedAsset = {
       val b = a.payload
       def u(i: Int): Int = if (b != null && b.length > i) b(i) & 0xff else 0
@@ -47,6 +56,120 @@ object Multimodal {
         height = 16 + u(1) % 240,
         n_frames = if (a.modality == "video") 1 + u(2) % 30 else 1,
         feature = Array.tabulate(8)(i => u(i).toFloat / 255f))
+    }
+  }
+
+  /** HONEST byte-level decoder for two trivial public containers — real
+    * container parsing with no media library:
+    *
+    *  - binary PPM (`P6` magic; Netpbm format): ASCII header
+    *    `P6 <width> <height> <maxval>` (whitespace-separated, `#` comments
+    *    allowed), one whitespace byte, then `width·height` raw RGB
+    *    triplets. Emits (width, height, n_frames=1) and feature
+    *    `[meanR/maxval, meanG/maxval, meanB/maxval, width, height, maxval,
+    *    3, 1]`.
+    *  - RIFF/WAVE, 16-bit integer PCM: chunk walk from offset 12 (word-
+    *    aligned sizes), `fmt ` → (format, channels, sample rate, bits),
+    *    `data` → the sample block. Emits (width=sample rate,
+    *    height=channels, n_frames=samples per channel) and feature
+    *    `[meanAbs(ch0)/32768, …, meanAbs(ch7)/32768]` (absent channels 0).
+    *
+    * Truncated or malformed payloads — and every other format — fall back
+    * to [[FakeCodec]], so a mixed asset table always decodes. */
+  object ByteCodec extends Codec {
+    def decode(a: RawAsset): DecodedAsset = {
+      val b = a.payload
+      val parsed =
+        if (b == null) None
+        else if (b.length > 2 && b(0) == 'P' && b(1) == '6') decodePpm(a, b)
+        else if (b.length > 44 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE")
+          decodeWav(a, b)
+        else None
+      parsed.getOrElse(FakeCodec.decode(a))
+    }
+
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    private def leShort(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def leInt(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    private def decodePpm(a: RawAsset, b: Array[Byte]): Option[DecodedAsset] = {
+      var i = 2
+      def skipWs(): Unit = {
+        var go = true
+        while (go && i < b.length) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (Character.isWhitespace(b(i))) i += 1
+          else go = false
+        }
+      }
+      def nextInt(): Option[Int] = {
+        skipWs()
+        val s = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i > s) Some(new String(b, s, i - s).toInt) else None
+      }
+      for {
+        w <- nextInt(); h <- nextInt(); mv <- nextInt()
+        if w > 0 && h > 0 && mv > 0 && mv < 256
+        data = i + 1 // exactly one whitespace byte after maxval
+        if b.length >= data + 3 * w * h // truncated → malformed → fallback
+      } yield {
+        var (r, g, bl) = (0L, 0L, 0L)
+        var p = data
+        val end = data + 3 * w * h
+        while (p < end) {
+          r += b(p) & 0xff; g += b(p + 1) & 0xff; bl += b(p + 2) & 0xff
+          p += 3
+        }
+        val n = (w.toLong * h).toDouble
+        DecodedAsset(a.asset_id, a.modality, width = w, height = h, n_frames = 1,
+          feature = Array((r / n / mv).toFloat, (g / n / mv).toFloat,
+            (bl / n / mv).toFloat, w.toFloat, h.toFloat, mv.toFloat, 3f, 1f))
+      }
+    }
+
+    private def decodeWav(a: RawAsset, b: Array[Byte]): Option[DecodedAsset] = {
+      var fmt = Option.empty[(Int, Int, Int, Int)] // format, ch, rate, bits
+      var data = Option.empty[(Int, Int)]          // offset, size
+      var o = 12
+      while (o + 8 <= b.length) {
+        val id = tag(b, o)
+        val size = leInt(b, o + 4)
+        if (size < 0 || o + 8 + size > b.length) return None
+        if (id == "fmt " && size >= 16)
+          fmt = Some((leShort(b, o + 8), leShort(b, o + 10),
+            leInt(b, o + 12), leShort(b, o + 22)))
+        if (id == "data") data = Some((o + 8, size))
+        o += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      for {
+        (format, ch, rate, bits) <- fmt
+        (off, size) <- data
+        if format == 1 && bits == 16 && ch > 0 && rate > 0 // integer PCM only
+      } yield {
+        val frame = ch * 2
+        val nSamples = size / frame
+        val sums = new Array[Long](math.min(ch, 8))
+        var s = 0
+        while (s < nSamples) {
+          var c = 0
+          while (c < sums.length) {
+            sums(c) += math.abs(leShort(b, off + s * frame + c * 2).toShort.toLong)
+            c += 1
+          }
+          s += 1
+        }
+        DecodedAsset(a.asset_id, a.modality, width = rate, height = ch,
+          n_frames = nSamples,
+          feature = Array.tabulate(8)(c =>
+            if (c < sums.length && nSamples > 0)
+              (sums(c).toDouble / nSamples / 32768.0).toFloat
+            else 0f))
+      }
     }
   }
 
@@ -63,21 +186,24 @@ object Multimodal {
         octet_length(col("text").cast("binary")).cast("long").as("bytes"),
         col("source").as("origin")).as("meta"))
 
-  /** Decode assets per partition: codec state (here: none) is initialized
-    * once per partition, rows stream through the iterator — constant memory,
-    * no driver involvement. */
-  def decode(assets: Dataset[RawAsset]): Dataset[DecodedAsset] = {
+  /** Decode assets per partition: the codec ships once per task closure,
+    * heavyweight codec state belongs in a lazy field initialized on first
+    * use per executor, and rows stream through the iterator — constant
+    * memory, no driver involvement. */
+  def decode(assets: Dataset[RawAsset],
+             codec: Codec = ByteCodec): Dataset[DecodedAsset] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       // real impl: open codec / model session here, once per partition
-      it.map(FakeCodec.decode)
+      it.map(codec.decode)
     }
   }
 
   /** Convenience: DataFrame-in, DataFrame-out decode. */
-  def decodeDF(assets: DataFrame): DataFrame = {
+  def decodeDF(assets: DataFrame, codec: Codec = ByteCodec): DataFrame = {
     import assets.sparkSession.implicits._
-    decode(assets.select("asset_id", "modality", "payload").as[RawAsset]).toDF()
+    decode(assets.select("asset_id", "modality", "payload").as[RawAsset],
+      codec).toDF()
   }
 
   /** Sample every `everyN`-th fixed-size "frame" from video payloads — the
@@ -100,6 +226,6 @@ object Multimodal {
   }
 
   /** Per-asset feature table via the typed decode path. */
-  def featuresOf(assets: DataFrame): DataFrame =
-    decodeDF(assets).select(col("asset_id"), col("feature"))
+  def featuresOf(assets: DataFrame, codec: Codec = ByteCodec): DataFrame =
+    decodeDF(assets, codec).select(col("asset_id"), col("feature"))
 }

@@ -1428,6 +1428,38 @@ class ExtSpec extends SparkSpec {
 
   // ─────────────────────────── Multimodal ─────────────────────────────────
 
+  test("ByteCodec: real PPM and WAV container parsing, byte-exact on fixtures") {
+    import java.nio.file.{Files, Paths}
+    val ppm = Files.readAllBytes(Paths.get("src/test/resources/graft/tiny.ppm"))
+    val wav = Files.readAllBytes(Paths.get("src/test/resources/graft/tiny.wav"))
+    val assets = Seq(
+      (1L, "image", ppm), (2L, "audio", wav),
+      (3L, "image", "not a container".getBytes("UTF-8"))
+    ).toDF("asset_id", "modality", "payload")
+    val got = Multimodal.decodeDF(assets).orderBy("asset_id")
+      .as[Multimodal.DecodedAsset].collect()
+    // 2×2 P6 (with a # comment in the header): pixels R,G,B,white →
+    // channel means all (255+255)/4 = 127.5, /maxval = exactly 0.5
+    assert((got(0).width, got(0).height, got(0).n_frames) === ((2, 2, 1)))
+    assert(got(0).feature.toSeq === Seq(0.5f, 0.5f, 0.5f, 2f, 2f, 255f, 3f, 1f))
+    // mono 16-bit PCM @8000 Hz, samples ±1000/±2000 → meanAbs = 1500
+    assert((got(1).width, got(1).height, got(1).n_frames) === ((8000, 1, 4)))
+    assert(got(1).feature.toSeq ===
+      (1500.0 / 32768.0).toFloat +: Seq.fill(7)(0f))
+    // unrecognized payload falls back to the deterministic FakeCodec
+    def flat(d: Multimodal.DecodedAsset) =
+      (d.asset_id, d.modality, d.width, d.height, d.n_frames, d.feature.toSeq)
+    val fake3 = Multimodal.FakeCodec.decode(
+      Multimodal.RawAsset(3L, "image", "not a container".getBytes("UTF-8")))
+    assert(flat(got(2)) === flat(fake3))
+    // truncated PPM (data shorter than width·height·3) must also fall back,
+    // never emit a half-parsed asset
+    val trunc = ppm.dropRight(5)
+    val t = Multimodal.ByteCodec.decode(Multimodal.RawAsset(9L, "image", trunc))
+    assert(flat(t) === flat(
+      Multimodal.FakeCodec.decode(Multimodal.RawAsset(9L, "image", trunc))))
+  }
+
   test("asset building, typed decode, and frame sampling plumbing") {
     val assets = Multimodal.assetsFromDocuments(
       Seq((0L, "hello world payload bytes", "en", "srcA"))
