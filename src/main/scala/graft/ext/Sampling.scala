@@ -171,7 +171,14 @@ object Sampling {
     * largest group) per reducer — intended for the small fractions quality
     * gates and eval draws use; at frac near 1 the window twin's full sort
     * costs the same and needs no heap. Requires an integral unique
-    * `keyCol` (TopK keys ids as long). */
+    * `keyCol` (TopK keys ids as long).
+    *
+    * Score precision bound: the heap orders `scoreCol` AS A DOUBLE, so
+    * integral scores are only ordered faithfully up to ±2^53 — distinct
+    * wider longs can collapse or reorder, silently diverging from the
+    * window twin (which sorts the original type). Scores beyond that range
+    * (and NaN, which the heap's comparator would misplace) are rejected
+    * rather than misranked. */
   def topFractionPerGroupSkewSafe(df: DataFrame, groupCol: String,
                                   keyCol: String, scoreCol: Column,
                                   frac: Double): DataFrame = {
@@ -183,14 +190,37 @@ object Sampling {
     // copy yields maxCap for free, and re-aggregating df inside the join
     // would double-scan the input
     val withScore = df.where(scoreCol.isNotNull)
-    val caps = withScore.groupBy(col(groupCol))
-      .agg(ceil(count(lit(1)) * lit(frac)).cast("long").as("_cap"))
-    val capRows = caps.collect()
-    if (capRows.isEmpty) return df.where(lit(false)) // empty input, typed empty out
-    val maxCap = capRows.map(_.getLong(1)).max
+    // score bounds ride the same scan as the caps: the double-precision
+    // guard costs no extra pass
+    val aggd = withScore.groupBy(col(groupCol))
+      .agg(ceil(count(lit(1)) * lit(frac)).cast("long").as("_cap"),
+        min(scoreCol.cast("double")).as("_smin"),
+        max(scoreCol.cast("double")).as("_smax"))
+    val aggRows = aggd.collect()
+    if (aggRows.isEmpty) return df.where(lit(false)) // empty input, typed empty out
+    val widerThanDouble =
+      withScore.select(scoreCol.as("_s")).schema.head.dataType match {
+        case org.apache.spark.sql.types.LongType => true
+        case d: org.apache.spark.sql.types.DecimalType => d.precision - d.scale > 15
+        case _ => false
+      }
+    val twoTo53 = 9007199254740992.0
+    aggRows.foreach { r =>
+      require(!r.getDouble(3).isNaN,
+        "topFractionPerGroupSkewSafe: NaN scores cannot be ranked")
+      if (widerThanDouble)
+        require(math.abs(r.getDouble(2)) < twoTo53 &&
+            math.abs(r.getDouble(3)) < twoTo53,
+          "topFractionPerGroupSkewSafe: integral scores at or beyond ±2^53 " +
+            "lose ordering as doubles — rescale or rank on a narrower score")
+    }
+    val maxCap = aggRows.map(_.getLong(1)).max
     require(maxCap <= Int.MaxValue, s"cap $maxCap exceeds the heap bound")
+    val capsSchema = org.apache.spark.sql.types.StructType(aggd.schema.take(2))
+    val capRows = aggRows.map(r =>
+      org.apache.spark.sql.Row(r.get(0), r.getLong(1)))
     val capsDf = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(capRows: _*), caps.schema)
+      java.util.Arrays.asList(capRows: _*), capsSchema)
     val scored = withScore.select(col(groupCol),
       scoreCol.cast("double").as("_score"), col(keyCol).cast("long").as("_id"))
     val ranked = TopK.topKPerKey(scored, groupCol, "_score", "_id", maxCap.toInt)

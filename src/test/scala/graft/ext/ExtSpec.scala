@@ -1298,6 +1298,24 @@ class ExtSpec extends SparkSpec {
     // empty input: typed empty result, not a driver NPE on max(empty)
     assert(Sampling.topFractionPerGroupSkewSafe(
       df.limit(0), "grp", "id", col("q"), 0.2).count() === 0)
+    // the heap ranks scores as doubles: long scores at/beyond ±2^53 would
+    // collapse or reorder silently vs the window twin — must throw instead
+    val wide = Seq((1L, "g", (1L << 53) + 1L), (2L, "g", 1L << 53))
+      .toDF("id", "grp", "score")
+    val e53 = intercept[IllegalArgumentException] {
+      Sampling.topFractionPerGroupSkewSafe(wide, "grp", "id", col("score"), 0.5)
+    }
+    assert(e53.getMessage.contains("2^53"))
+    // NaN would be misplaced by the heap comparator — reject
+    val nan = Seq((1L, "g", 1.0), (2L, "g", Double.NaN)).toDF("id", "grp", "score")
+    val eNan = intercept[IllegalArgumentException] {
+      Sampling.topFractionPerGroupSkewSafe(nan, "grp", "id", col("score"), 0.5)
+    }
+    assert(eNan.getMessage.contains("NaN"))
+    // in-range long scores keep working (the common id/count score case)
+    assert(Sampling.topFractionPerGroupSkewSafe(
+      df.select(col("id"), col("grp"), col("q").cast("long").as("q")),
+      "grp", "id", col("q"), 0.2).select("id").as[Long].collect().toSet === win)
   }
 
   test("capPerGroupSkewSafe rejects a non-integral key instead of dropping rows") {
