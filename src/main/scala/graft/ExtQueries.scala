@@ -396,6 +396,27 @@ object ExtQueries {
         .orderBy("user_id", "version")
     }),
 
+    // Watermarked stream-stream interval join, batch-driven: every view of
+    // the same user within 30 minutes BEFORE a purchase — the two-stream
+    // enrichment/attribution shape. The batch form the oracle restates is
+    // the same call (plain keyed join + range filter); the streaming
+    // statefulness (both-side buffers bounded by watermark + lag,
+    // cross-micro-batch matching) is MemoryStream-tested in EventTimeSpec.
+    "q_stream_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      EventTimeOps.streamStreamJoin(purchases, views, "user_id",
+          "p_ts", "v_ts", maxLag = "30 MINUTE", watermark = "1 hour")
+        .select(col("user_id"), col("p_id"),
+          date_format(col("p_ts"), "yyyyMMddHHmmss.SSSSSS").as("p_ts_s"),
+          col("v_id"),
+          date_format(col("v_ts"), "yyyyMMddHHmmss.SSSSSS").as("v_ts_s"))
+        .orderBy("p_id", "v_id")
+    }),
+
     // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
     // at-scale shape for distincts/percentiles — partial sketches merge
     // map-side, so the shuffle carries sketches, not values. Estimates are
@@ -1933,6 +1954,17 @@ object ExtQueries {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id,
+        |  strftime(p.ts, '%Y%m%d%H%M%S.%f') AS p_ts_s,
+        |  v.event_id AS v_id,
+        |  strftime(v.ts, '%Y%m%d%H%M%S.%f') AS v_ts_s
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |ORDER BY p_id, v_id""".stripMargin,
 
     "etl_scd2_resolve" ->
       """WITH obs AS (

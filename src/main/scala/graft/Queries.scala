@@ -313,6 +313,32 @@ object Queries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
+    // full cube next to the rollup: all four grouping-set combinations.
+    "q_cube" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // EXACT per-group median as an ACTUAL row value — rank-selected, no
+    // interpolation arithmetic, so the emitted double is a raw input value
+    // both engines read identically (the portable exact-quantile shape;
+    // percentile_approx / q_sketch_quantiles is the at-scale path — this
+    // one pays a per-group sort and is verification-class by design).
+    // Lower median at even n: rn == (n+1) div 2 under a total order.
+    "q_exact_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("value"), col("event_id"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(Window.partitionBy(col("event_type"))).as("n"))
+        .where(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("value").as("median_value"), col("n"))
+        .orderBy("event_type")
+    }),
+
     // true pivot API (q_conditional_agg is the CASE-sum shape): daily event
     // counts, one column per type. The explicit value list skips pivot's
     // distinct-values pre-job; na.fill(0) aligns absent combinations with
@@ -548,6 +574,22 @@ object Queries {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_exact_median" ->
+      """WITH ranked AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, value AS median_value, n::BIGINT AS n
+        |FROM ranked WHERE rn = (n + 1) // 2
+        |ORDER BY event_type""".stripMargin,
 
     "q_pivot" ->
       """SELECT day(ts)::INT AS day,

@@ -46,6 +46,46 @@ object EventTimeOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Watermarked stream-stream interval join — the canonical two-stream
+    * enrichment (click joined to every impression of the same key within a
+    * lag bound; attribution, funnel stitching, request/response pairing).
+    * Emits left rows paired with each right row of the same key whose
+    * timestamp falls in `[leftTs - maxLag, leftTs]`.
+    *
+    * On streams BOTH sides carry the watermark and the join condition
+    * carries the time bound — exactly the two things Structured Streaming
+    * requires to bound the buffered state of a stream-stream inner join
+    * (each side's buffer holds only rows younger than watermark + lag;
+    * without the bound the join is rejected/unbounded). On batch frames the
+    * same call is a plain inner join with the range condition — Catalyst
+    * plans it keyed on `keyCol` with the range as a join filter, so nothing
+    * cartesian appears and the shuffle is the key exchange both streams
+    * already need. The right key is renamed internally to keep the output
+    * unambiguous; both timestamp columns pass through (they must be named
+    * differently).
+    *
+    * Cross-batch matching (a right row buffered in one micro-batch joining
+    * a left row arriving in a later one) is pinned in EventTimeSpec; the
+    * batch-driven form is the `q_stream_stream_join` oracle row. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsCol: String, rightTsCol: String,
+                       maxLag: String, watermark: String): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      s"timestamp columns must differ (both pass through): $leftTsCol")
+    val rk = "__rk"
+    require(!left.columns.contains(rk) && !right.columns.contains(rk),
+      s"'$rk' column would collide with the internal right-key alias")
+    val l = if (left.isStreaming) left.withWatermark(leftTsCol, watermark)
+      else left
+    val r0 = right.withColumnRenamed(keyCol, rk)
+    val r = if (r0.isStreaming) r0.withWatermark(rightTsCol, watermark)
+      else r0
+    l.join(r, col(keyCol) === col(rk) &&
+        col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $maxLag") &&
+        col(rightTsCol) <= col(leftTsCol))
+      .drop(rk)
+  }
+
   /** Streaming exact dedup: drop re-arrivals of the same normalized text
     * within the watermark horizon — the streaming form of
     * [[graft.ext.Dedup.exactGroups]]'s fingerprint, for continuous document
