@@ -729,7 +729,11 @@ object ExtQueries {
     // tokens — the deterministic stand-in for the CCNet KenLM-perplexity
     // quality filter (integer-exact evidence + one double division).
     "text_lm_score" -> ((s, d) => {
-      TextStats.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text")
+      // Long.MaxValue asserts the vocab is broadcast-safe (this corpus'
+      // token universe is bounded), skipping the sizing job — callers with
+      // unbounded vocabularies keep the counted default
+      TextStats.corpusFrequencyScore(t(s, d, "documents"), "doc_id", "text",
+          maxBroadcastVocab = Long.MaxValue)
         .orderBy("doc_id")
     }),
 

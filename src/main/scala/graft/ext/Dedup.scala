@@ -976,12 +976,22 @@ object Dedup {
       .optimalNumOfBits(expectedHistItems, fpp)
     val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val cloned = hist.sparkSession.newSession()
-    cloned.conf.set(itemsKey,
-      math.max(cloned.conf.get(itemsKey).toLong, expectedHistItems).toString)
-    cloned.conf.set(bitsKey,
-      math.max(cloned.conf.get(bitsKey).toLong, numBits).toString)
-    val blob = inSession(cloned, hist)
+    // the clone (and its fresh SessionState, ~0.1 s) is only needed when the
+    // sizing actually exceeds the session's current ceilings — a filter that
+    // fits plans identically on the caller's session with no conf touched
+    val sessionConf = hist.sparkSession.conf
+    val buildSession =
+      if (expectedHistItems <= sessionConf.get(itemsKey).toLong &&
+          numBits <= sessionConf.get(bitsKey).toLong) hist.sparkSession
+      else {
+        val cloned = hist.sparkSession.newSession()
+        cloned.conf.set(itemsKey,
+          math.max(cloned.conf.get(itemsKey).toLong, expectedHistItems).toString)
+        cloned.conf.set(bitsKey,
+          math.max(cloned.conf.get(bitsKey).toLong, numBits).toString)
+        cloned
+      }
+    val blob = inSession(buildSession, hist)
       .select(column(new BloomFilterAggregate(
           expression(xxhash64(col(keyCol))),
           CatLit(expectedHistItems), CatLit(numBits))

@@ -181,13 +181,22 @@ object TextStats {
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cf = tf.groupBy(col("token")).agg(sum(col("tf")).as("cf"))
-    // the sizing count is eager (kmeans/bloom precedent for operators that
-    // run jobs at call time); it also materializes the tf cache every
+    // the endpoints skip the sizing job entirely: 0 = never broadcast,
+    // Long.MaxValue = the caller asserts the vocabulary is broadcast-safe
+    // (bounded token universes — a tokenizer vocab, a capped corpus) and
+    // pays nothing for the decision. Between them the count is eager
+    // (kmeans/bloom precedent for operators that run jobs at call time) —
+    // measured ~0.5 s/call at sf0.1, the price of not broadcasting an
+    // unbounded web vocab blind — and it materializes the tf cache every
     // downstream stage reuses, so the job is not pure overhead. The
-    // self-release listener registers AFTER the count — registered before,
+    // self-release listener registers AFTER any count — registered before,
     // the count itself would be the "first action" and evict the cache the
     // caller's real action needs.
-    val cfSide = if (cf.count() <= maxBroadcastVocab) broadcast(cf) else cf
+    val cfSide =
+      if (maxBroadcastVocab <= 0) cf
+      else if (maxBroadcastVocab == Long.MaxValue) broadcast(cf)
+      else if (cf.count() <= maxBroadcastVocab) broadcast(cf)
+      else cf
     if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
     tf.join(cfSide, "token")
       .groupBy(col(idCol))
