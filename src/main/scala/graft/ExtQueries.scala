@@ -594,6 +594,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Consecutive-duplicate-token collapse ("batch batch batch" → "batch"):
+    // stutter normalization, the token-level sibling of duplicate-line
+    // removal — the synthetic corpus plants real runs. The collapsed string
+    // itself is compared plus integer before/after counts. Zero shuffle.
+    "text_collapse_runs" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextStats.collapseRepeatedTokens(col("text")).as("collapsed"),
+          size(w).as("n_before"),
+          size(filter(w, (t, i) => i === lit(0) || t =!= element_at(w, i)))
+            .as("n_after"))
+        .orderBy("doc_id")
+    }),
+
+    // Span-level decontamination: probe 4-grams are MASKED in place (docs
+    // survive, passages don't) in the deterministic md5-of-gram fold order
+    // — the scrubbed strings themselves are compared, so replacement order,
+    // overlap handling, and global-vs-first replacement are all pinned. A
+    // known benchmark sentence is PLANTED into every target (the text_scrub
+    // pattern — the synthetic corpus has no guaranteed natural cross-doc
+    // 4-grams), so every output row exercises a real masking, including the
+    // overlapping-gram fold where the first-masked gram destroys the
+    // others' matches.
+    "text_scrub_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), concat(lower(col("text")),
+          lit(" the quick brown fox jumps over the lazy dog end")).as("text"))
+      val probes = s.range(1)
+        .select(lit("quick brown fox jumps over the lazy").as("text"))
+      Decontaminate.scrubSpans(docs, "text", probes, "text",
+          n = 4, mask = "[_]")
+        .select(col("doc_id"), col("text").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // Markup stripping on planted markup (same planted-content pattern as
     // text_scrub): tags out, the five predefined entities decoded exactly
     // once (&amp; decoded last — planted "&amp;lt;" must surface as the
@@ -1635,6 +1671,35 @@ object ExtQueries {
          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |    '[0-9]{7,}', '<NUM>', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_collapse_runs" ->
+      """SELECT doc_id,
+        |  array_to_string(list_filter(string_split(text, ' '),
+        |    (x, i) -> i = 1 OR x <> string_split(text, ' ')[i-1]), ' ') AS collapsed,
+        |  len(string_split(text, ' '))::INT AS n_before,
+        |  len(list_filter(string_split(text, ' '),
+        |    (x, i) -> i = 1 OR x <> string_split(text, ' ')[i-1]))::INT AS n_after
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the fold is restated as a recursive CTE stepping through the grams in
+    // the same md5 order Spark folds them — replacement order, overlaps,
+    // and global replacement are all part of the compared strings
+    "text_scrub_spans" ->
+      s"""WITH RECURSIVE pw AS (
+         |  SELECT string_split('quick brown fox jumps over the lazy', ' ') AS words),
+         |pg AS (SELECT DISTINCT unnest(${Sql.wordShinglesN(4)}) AS g FROM pw),
+         |grams AS (SELECT row_number() OVER (ORDER BY md5(g)) AS i, g FROM pg),
+         |tgt AS (SELECT doc_id, lower(text) ||
+         |          ' the quick brown fox jumps over the lazy dog end' AS text
+         |        FROM documents WHERE doc_id % 17 = 0),
+         |step AS (
+         |  SELECT doc_id, text, 0::BIGINT AS i FROM tgt
+         |  UNION ALL
+         |  SELECT s.doc_id, replace(s.text, g.g, '[_]'), s.i + 1
+         |  FROM step s JOIN grams g ON g.i = s.i + 1)
+         |SELECT doc_id, text AS scrubbed FROM step
+         |WHERE i = (SELECT count(*) FROM grams)
+         |ORDER BY doc_id""".stripMargin,
 
     // entity decode order matters and is pinned on both sides: &lt;/&gt;/
     // &quot;/&#39; first, &amp; LAST (planted &amp;lt; → literal "&lt;")

@@ -63,4 +63,42 @@ object Decontaminate {
                     n: Int = 8): DataFrame =
     docs.join(contaminatedDocs(docs, idCol, textCol, probes, probeTextCol, n)
       .select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** SPAN-level decontamination: mask every probe-n-gram occurrence inside
+    * the text instead of dropping the document — the curation move when
+    * documents are valuable but contaminated passages must not be trained
+    * on verbatim. Replacements fold in a DETERMINISTIC, engine-portable
+    * order (ascending md5 of the gram — code-point/collation orderings
+    * differ between engines on non-ASCII text, hex digests never do), each
+    * gram replacing ALL its literal occurrences in turn; overlapping grams
+    * therefore mask in md5 order, a fixed documented contract rather than
+    * an engine accident.
+    *
+    * Scale shape: the gram list is driver-collected and folded into a
+    * literal replace chain — probes are benchmark-sized by this family's
+    * contract (the same broadcast-small bound as [[contaminatedDocs]]), and
+    * `maxGrams` guards the expression-tree size (a documented failure beats
+    * a silently giant plan). The scrub itself is a pure per-row projection:
+    * zero shuffle, the corpus scan IS the cost at any scale.
+    *
+    * Shingling lower-cases ([[Dedup.words]]), so pass a lower-cased
+    * `textCol` for the masks to land (the catalog row does). */
+  def scrubSpans(docs: DataFrame, textCol: String,
+                 probes: DataFrame, probeTextCol: String,
+                 n: Int = 8, mask: String = "[_]",
+                 maxGrams: Int = 10000): DataFrame = {
+    val grams = probes
+      .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
+      .distinct()
+      .select(col("g"), md5(col("g")).as("h"))
+      .collect()
+      .sortBy(_.getString(1))
+      .map(_.getString(0))
+    require(grams.length <= maxGrams,
+      s"scrubSpans: ${grams.length} probe grams exceed maxGrams=$maxGrams — " +
+        "thin the probe set or raise the bound deliberately")
+    val scrubbed = grams.foldLeft(col(textCol))((c, g) =>
+      replace(c, lit(g), lit(mask)))
+    docs.withColumn(textCol, scrubbed)
+  }
 }

@@ -67,6 +67,18 @@ object TextStats {
       nSubwordsBpe(text, graft.ext.expressions.Bpe.loadMerges(mergesPath))
     else nSubwords(text)
 
+  /** Collapse runs of consecutive identical whitespace tokens to one
+    * occurrence ("batch batch batch" → "batch") — the stutter-normalization
+    * cleaning pass for OCR/scrape/keyboard-mash artifacts, the token-level
+    * sibling of consecutive-duplicate-line removal. Pure projection (the
+    * token array never leaves its row, zero shuffle); the 0-based HOF index
+    * against 1-based `element_at` makes `element_at(w, i)` exactly the
+    * previous token. */
+  def collapseRepeatedTokens(text: Column): Column = {
+    val w = split(text, " ")
+    array_join(filter(w, (t, i) => i === lit(0) || t =!= element_at(w, i)), " ")
+  }
+
   /** Mean token length = non-space chars / tokens (integer-derived double). */
   def avgTokenLen(text: Column): Column =
     length(regexp_replace(text, " ", "")).cast("double") / nTokens(text)

@@ -1160,6 +1160,36 @@ class ExtSpec extends SparkSpec {
       ("new", 1L, 0L, 1L)))     // z
   }
 
+  test("collapseRepeatedTokens: runs collapse, alternations survive") {
+    val got = Seq(
+      (1L, "a a b b b c a"), (2L, "x"), (3L, "y y"), (4L, "a b a b")
+    ).toDF("id", "text")
+      .select(col("id"), TextStats.collapseRepeatedTokens(col("text")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a b c a", 2L -> "x", 3L -> "y", 4L -> "a b a b"))
+  }
+
+  test("scrubSpans masks probe grams in place, md5 fold order, cap enforced") {
+    val docs = Seq((1L, "w x y z tail"), (2L, "clean text here none")).toDF("doc_id", "text")
+    val probes = Seq((9L, "w x y z")).toDF("doc_id", "text")
+    // probe 2-grams: "w x", "x y", "y z" — whichever masks first destroys
+    // the overlap for the others; the md5 order makes the outcome a fixed
+    // contract, asserted against a hand-computed fold
+    val gramsInOrder = Seq("w x", "x y", "y z")
+      .sortBy(g => java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val expected = gramsInOrder.foldLeft("w x y z tail")(_.replace(_, "[_]"))
+    val got = Decontaminate.scrubSpans(docs, "text", probes, "text",
+        n = 2, mask = "[_]")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) === expected)
+    assert(got(2L) === "clean text here none") // untouched doc passes through
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.scrubSpans(docs, "text", probes, "text", n = 2, maxGrams = 1)
+    }
+    assert(e.getMessage.contains("maxGrams"))
+  }
+
   test("nSubwordsAuto: real greedy BPE from a merges file, regex stand-in without one") {
     // fixture ranks: (l o)=0, (lo w)=1, (e r)=2
     // "lower": l o w e r → lo w e r → low e r → low er = 2 pieces
