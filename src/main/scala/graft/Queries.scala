@@ -639,5 +639,6 @@ object Queries {
     "dedup_exact", "dedup_minhash_fast", "dedup_simhash", "dedup_embedding_lsh",
     "sim_topk", "sim_topk_lsh", "text_tokens", "text_fingerprint",
     "q_asof_join", "q_session_window", "q_sketch_distinct",
-    "dedup_incremental", "text_lm_score", "etl_scd2")
+    "dedup_incremental", "text_lm_score", "etl_scd2",
+    "etl_scd2_resolve", "q_stream_stream_join")
 }
