@@ -368,6 +368,19 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
+    // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
+    // re-ranks the shortlist — the retrieve-then-rerank pattern. Both
+    // stages are deterministic strict folds, so the WHOLE pipeline is
+    // restated in the oracle (shortlist membership included), unlike
+    // PQ's codebook-dependent shortlist.
+    "sim_topk_refined" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.refinedTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, prefixDims = 16, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
     // Streaming near-dup candidates, driven in batch mode (the whole frame
     // as one micro-batch): deterministic pair SET (per-bucket processing is
     // id-ordered), but the decision is a signature-agreement ESTIMATE the
@@ -1124,9 +1137,13 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+    // strict-left-fold dot product of two DOUBLE[] expressions over the
+    // first n dims (mirrors Similarity.dotHof's fold order exactly)
+    def dotN(a: String, b: String, n: Int): String =
+      s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
     // strict-left-fold dot product of two DOUBLE[] expressions, 64 dims
-    def dot(a: String, b: String): String =
-      s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def dot(a: String, b: String): String = dotN(a, b, 64)
 
     val minhashSigs: String =
       "[" + (1 to 8).map(j =>
@@ -1520,6 +1537,28 @@ object ExtQueries {
          |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
          |ranked AS (SELECT query_id, id, score, row_number() OVER (
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${Sql.dotN("v", "v", 16)}) AS pnm,
+         |  sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pre AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dotN("q.v", "c.v", 16)} / (q.pnm * c.pnm) AS pscore
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |short AS (SELECT query_id, id FROM (
+         |  SELECT query_id, id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY pscore DESC, id) AS r FROM pre)
+         |  WHERE r <= 50),
+         |rescored AS (SELECT s.query_id, s.id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM short s
+         |  JOIN n q ON q.vec_id = s.query_id
+         |  JOIN n c ON c.vec_id = s.id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM rescored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 

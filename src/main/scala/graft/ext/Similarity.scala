@@ -105,6 +105,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-stage refined top-k — the retrieve-then-rerank pattern (the rerank
+    * stage of PQ/IVF systems; Matryoshka-style prefix scoring): stage 1
+    * scores every candidate on only the FIRST `prefixDims` coordinates — a
+    * prefixDims/dim flop cut on the one stage that touches all N vectors —
+    * and keeps a per-query `shortlist` via the bounded heap; stage 2
+    * re-scores ONLY the shortlist at full dimension and returns its exact-
+    * cosine top k. For embeddings whose information concentrates in leading
+    * dimensions (PCA'd / Matryoshka-trained), shortlist ≫ k makes misses
+    * rare; shortlist ≥ N-1 degenerates to exact brute force (the ExtSpec
+    * contract). Deterministic end to end (strict-fold scores, desc-score/
+    * asc-id ties), so the whole two-stage pipeline is DuckDB-restatable —
+    * unlike PQ, whose shortlist depends on fitted codebooks.
+    *
+    * Scale shape: stage 1 is the same broadcast-queries corpus scan as
+    * [[bruteForceTopK]] with cheaper arithmetic, shuffle capped at
+    * shortlist rows per (partition, query) by the heap; stage 2's exchange
+    * carries queries × shortlist rows into one id-keyed corpus equi-join —
+    * never a second scan-wide cross product. */
+  def refinedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, prefixDims: Int,
+                  shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(prefixDims >= 1, s"prefixDims must be positive: $prefixDims")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val pre = c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(slice(col("qv"), 1, prefixDims), slice(col("v"), 1, prefixDims))
+          .as("score"))
+    val short = TopK.topKPerKey(pre, "query_id", "score", "id", shortlist)
+      .select(col("query_id"), col("id"))
+    val rescored = short
+      .join(c, "id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("id"),
+        cosine(col("qv"), col("v")).as("score"))
+    rankTopK(rescored, k)
+  }
+
   /** The centroid set as ONE literal column: an array of
     * (cent_id, cv: array<double>) structs, collected from the `nCells`
     * lowest-id corpus vectors (deterministic and dependency-free; swap in

@@ -264,6 +264,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-key asof carry window:\n$p")
   }
 
+  test("sim_topk_refined: one scan-wide product only; rerank joins are keyed") {
+    val p = plan("sim_topk_refined")
+    // the broadcast-queries corpus scan (stage 1) is the single permitted
+    // nested-loop product; the rerank stage must reach the corpus via a
+    // keyed equi-join on the shortlist ids, never a second scan-wide product
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj <= 1, s"rerank must not plan a second scan-wide product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), s"expected keyed rerank joins:\n$p")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of

@@ -1106,6 +1106,26 @@ class ExtSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
   }
 
+  test("refinedTopK: full shortlist is exact; narrow shortlist keeps k rows with recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    // shortlist >= N-1 admits every candidate → stage 2 IS brute force
+    val full = Similarity.refinedTopK(emb, queries, "vec_id", "embedding",
+        k = 5, prefixDims = 16, shortlist = 600)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(full === exact)
+    // narrow shortlist: k rows per query; recall floor on the worst-case
+    // random corpus (prefix dims carry 1/4 of independent random signal)
+    val got = Similarity.refinedTopK(emb, queries, "vec_id", "embedding",
+        k = 5, prefixDims = 16, shortlist = 50)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect()
+    val recall = got.map(r => (r._1, r._3)).toSet
+      .intersect(exact.map(r => (r._1, r._3))).size.toDouble / exact.size
+    assert(got.length === 15 && recall >= 0.2, s"recall $recall")
+  }
+
   test("adaptiveEntryMod: entry COUNT scales as √N, never a corpus fraction") {
     // hand-checked at two corpus sizes: entries ≈ max(64, 4·√N), mod = N/entries
     assert(Similarity.adaptiveEntryMod(10000L) === 25L)    // 4·√1e4 = 400 entries
