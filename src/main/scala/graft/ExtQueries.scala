@@ -368,6 +368,18 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Int8-quantized brute-force ANN: 4x smaller corpus vectors (memory
+    // bandwidth IS the brute-force bottleneck at scale), integer-dot
+    // cosine. Deterministic floor(x*127/maxabs + 0.5) quantization makes
+    // codes AND scores engine-exact, so the quantized search is fully
+    // oracle-checked — unlike PQ's fitted codebooks.
+    "sim_topk_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.int8TopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
     // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
     // re-ranks the shortlist — the retrieve-then-rerank pattern. Both
@@ -1137,6 +1149,10 @@ object ExtQueries {
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+    // integer dot product of two BIGINT[] code arrays (exact — order-free)
+    def intDot(a: String, b: String): String =
+      s"list_reduce(list_concat([0::BIGINT], list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
     // strict-left-fold dot product of two DOUBLE[] expressions over the
     // first n dims (mirrors Similarity.dotHof's fold order exactly)
     def dotN(a: String, b: String, n: Int): String =
@@ -1534,6 +1550,24 @@ object ExtQueries {
          |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
          |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+         |qt AS (SELECT vec_id, CASE WHEN ma = 0
+         |    THEN list_transform(v, x -> 0::BIGINT)
+         |    ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5)::BIGINT)
+         |  END AS cv FROM m),
+         |n AS (SELECT vec_id, cv,
+         |  sqrt((${Sql.intDot("cv", "cv")})::DOUBLE) AS nm FROM qt),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  (${Sql.intDot("q.cv", "c.cv")})::DOUBLE / (q.nm * c.nm) AS score
          |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
          |ranked AS (SELECT query_id, id, score, row_number() OVER (
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)

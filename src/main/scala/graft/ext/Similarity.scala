@@ -105,6 +105,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Symmetric per-vector int8 quantization: code_i = floor(x_i·127/maxabs
+    * + 0.5), an int in [-127, 127] (the all-zero vector quantizes to all
+    * zeros). 4× memory cut vs float32 — the storage/bandwidth form of a
+    * billion-vector corpus — and DETERMINISTIC: maxabs is an
+    * order-independent max, the scale arithmetic is three IEEE ops in fixed
+    * order, and floor(·+0.5) is the engine-portable round-half-up (neither
+    * HALF_EVEN vs HALF_UP library rounding nor collation is involved), so
+    * quantized corpora — and everything computed from them — reproduce
+    * bit-exactly anywhere. */
+  def quantizeInt8(v: Column): Column = {
+    val maxabs = array_max(transform(v, x => abs(x)))
+    when(maxabs === lit(0.0), transform(v, _ => lit(0L)))
+      .otherwise(transform(v,
+        x => floor(x * lit(127.0) / maxabs + lit(0.5)).cast("long")))
+  }
+
+  /** Integer dot product of two code arrays — exact (codes ≤ 127, 64 dims
+    * ⇒ ≪ 2^63), so unlike float dots the reduction order is irrelevant and
+    * the value is trivially engine-identical. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Brute-force cosine top-k over int8-QUANTIZED vectors: the integer-dot
+    * cosine of the code arrays (norms precomputed per side). Scores are a
+    * ratio of exact integers under fixed-order IEEE ops — bit-portable, so
+    * the quantized search is fully oracle-checkable, unlike PQ whose codes
+    * depend on fitted codebooks. Same scan shape as [[bruteForceTopK]];
+    * at scale the win is the 4× smaller corpus side (memory bandwidth IS
+    * the brute-force bottleneck) and SIMD-friendly integer arithmetic. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    def quantized(df: DataFrame, idAs: String, vAs: String, nmAs: String) = df
+      .select(col(idCol).as(idAs), quantizeInt8(asDouble(col(vecCol))).as(vAs))
+      .withColumn(nmAs, sqrt(intDot(col(vAs), col(vAs)).cast("double")))
+    val c = quantized(corpus, "id", "cv", "cnm")
+    val q = quantized(queries, "query_id", "qv", "qnm")
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        try_divide(intDot(col("qv"), col("cv")).cast("double"),
+          col("qnm") * col("cnm")).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Two-stage refined top-k — the retrieve-then-rerank pattern (the rerank
     * stage of PQ/IVF systems; Matryoshka-style prefix scoring): stage 1
     * scores every candidate on only the FIRST `prefixDims` coordinates — a

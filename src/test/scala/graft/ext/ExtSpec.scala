@@ -1106,6 +1106,29 @@ class ExtSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
   }
 
+  test("quantizeInt8: hand-checked codes; int8TopK recall on real embeddings") {
+    // maxabs=1.0: floor(x·127 + 0.5) → 127 / -63 (−63.5+0.5 = −63) / 0 / 32
+    val codes = Seq((1L, Seq(1.0, -0.5, 0.0, 0.254)))
+      .toDF("id", "v")
+      .select(Similarity.quantizeInt8(col("v")).as("c"))
+      .as[Seq[Long]].head()
+    assert(codes === Seq(127L, -63L, 0L, 32L))
+    // all-zero vector: all-zero codes, not a division error
+    val z = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+      .select(Similarity.quantizeInt8(col("v")).as("c")).as[Seq[Long]].head()
+    assert(z === Seq(0L, 0L))
+    // 8-bit resolution barely disturbs 64-dim cosine ranks: high recall vs
+    // exact on the real corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val got = Similarity.int8TopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect()
+    val recall = got.toSet.intersect(exact).size.toDouble / exact.size
+    assert(got.length === 15 && recall >= 0.8, s"recall $recall")
+  }
+
   test("refinedTopK: full shortlist is exact; narrow shortlist keeps k rows with recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 3)
