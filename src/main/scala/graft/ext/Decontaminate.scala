@@ -87,15 +87,19 @@ object Decontaminate {
                  probes: DataFrame, probeTextCol: String,
                  n: Int = 8, mask: String = "[_]",
                  maxGrams: Int = 10000): DataFrame = {
+    // the collect is LIMITed to maxGrams + 1 BEFORE it reaches the driver:
+    // guarding after an unbounded collect would let a huge probe set OOM
+    // the driver before the require ever fires
     val grams = probes
       .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
       .distinct()
       .select(col("g"), md5(col("g")).as("h"))
+      .limit(maxGrams + 1)
       .collect()
       .sortBy(_.getString(1))
       .map(_.getString(0))
     require(grams.length <= maxGrams,
-      s"scrubSpans: ${grams.length} probe grams exceed maxGrams=$maxGrams — " +
+      s"scrubSpans: probe grams exceed maxGrams=$maxGrams — " +
         "thin the probe set or raise the bound deliberately")
     val scrubbed = grams.foldLeft(col(textCol))((c, g) =>
       replace(c, lit(g), lit(mask)))

@@ -624,14 +624,26 @@ object Dedup {
     * from lineage: correct, just uncached). The listener fires on the
     * session's async listener bus, so release is eventually-after-action —
     * a second action racing the release at worst recomputes. */
-  private[ext] def releaseAfterFirstAction(df: DataFrame): Unit = {
+  private[ext] def releaseAfterFirstAction(df: DataFrame): Unit =
+    releaseAfterFirstAction(df, df)
+
+  /** Two-frame form: unpersist `df` once the first action containing
+    * `trigger`'s plan completes. Operators that run their OWN eager jobs
+    * over the cached frame before returning (a sizing count, a centroid
+    * fit) must watch the RETURNED plan, not the cached one — the async
+    * listener bus may still be delivering the internal job's completion
+    * event when the listener registers, and a listener keyed on the cached
+    * subtree would treat that stale event as the caller's consumption and
+    * evict the cache early. */
+  private[ext] def releaseAfterFirstAction(df: DataFrame,
+                                           trigger: DataFrame): Unit = {
     val spark = df.sparkSession
-    val target = df.queryExecution.analyzed
+    val target = trigger.queryExecution.analyzed
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def maybeRelease(
           qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        // `analyzed` is pre-cache-substitution, so the persisted frame's
+        // `analyzed` is pre-cache-substitution, so the trigger frame's
         // plan appears verbatim as a subtree of any consuming query.
         if (qe.analyzed.exists(_.sameResult(target)) &&
             released.compareAndSet(false, true)) {
@@ -1018,7 +1030,12 @@ object Dedup {
   /** Broadcast twin of [[releaseAfterFirstAction]]: destroy `bc` as soon as
     * the first action consuming `result` completes (success or failure).
     * Destroyed broadcasts do NOT recompute — callers needing multiple
-    * consumption own the broadcast via [[CacheScope.ownBroadcast]] instead. */
+    * consumption own the broadcast via [[CacheScope.ownBroadcast]] instead.
+    * Shared limitation of the listener pattern (frames and broadcasts
+    * alike): a result that is built but NEVER acted on keeps its listener
+    * registered and its resource alive for the session — callers that may
+    * abandon results on error paths should use a [[CacheScope]], whose
+    * `close()` releases unconditionally. */
   private[ext] def destroyAfterFirstAction(
       result: DataFrame, bc: org.apache.spark.broadcast.Broadcast[_]): Unit = {
     val spark = result.sparkSession

@@ -110,13 +110,16 @@ object Multimodal {
         skipWs()
         val s = i
         while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
-        if (i > s) Some(new String(b, s, i - s).toInt) else None
+        // > 9 digits can't be a sane header field — malformed, not a crash
+        if (i > s && i - s <= 9) Some(new String(b, s, i - s).toInt) else None
       }
       for {
         w <- nextInt(); h <- nextInt(); mv <- nextInt()
         if w > 0 && h > 0 && mv > 0 && mv < 256
         data = i + 1 // exactly one whitespace byte after maxval
-        if b.length >= data + 3 * w * h // truncated → malformed → fallback
+        // Long arithmetic: 3·w·h overflows Int already at 27k×27k, which
+        // would slip a crafted header past the truncation guard
+        if b.length.toLong >= data.toLong + 3L * w * h
       } yield {
         var (r, g, bl) = (0L, 0L, 0L)
         var p = data
@@ -139,7 +142,9 @@ object Multimodal {
       while (o + 8 <= b.length) {
         val id = tag(b, o)
         val size = leInt(b, o + 4)
-        if (size < 0 || o + 8 + size > b.length) return None
+        // Long arithmetic: a crafted size near Int.MaxValue would wrap the
+        // bound negative and walk the reader off the array
+        if (size < 0 || o.toLong + 8L + size > b.length) return None
         if (id == "fmt " && size >= 16)
           fmt = Some((leShort(b, o + 8), leShort(b, o + 10),
             leInt(b, o + 12), leShort(b, o + 22)))

@@ -649,7 +649,7 @@ object Similarity {
   def graphTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 graph: DataFrame, queries: DataFrame, qidCol: String,
                 qvecCol: String, k: Int, beamWidth: Int, hops: Int,
-                entryMod: Long = AdaptiveEntries,
+                entryMod: Long = AdaptiveEntries, corpusSize: Long = -1L,
                 scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require((entryMod >= 1 || entryMod == AdaptiveEntries) && hops >= 0,
@@ -657,9 +657,12 @@ object Similarity {
     val q = broadcast(queries.select(col(qidCol).as("query_id"),
       asDouble(col(qvecCol)).as("qv")))
     val c = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"))
+    // the adaptive default needs N: take the caller's hint when one is
+    // given (callers that just built the kNN graph know it) — the count
+    // fallback is one extra corpus scan, real money at the design scale
     val mod =
       if (entryMod != AdaptiveEntries) entryMod
-      else adaptiveEntryMod(c.count())
+      else adaptiveEntryMod(if (corpusSize >= 0) corpusSize else c.count())
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
     // (query_id, _gid) candidates → scored rows; self-matches excluded like
     // the brute-force catalog convention

@@ -200,22 +200,25 @@ object TextStats {
     // (kmeans/bloom precedent for operators that run jobs at call time) —
     // measured ~0.5 s/call at sf0.1, the price of not broadcasting an
     // unbounded web vocab blind — and it materializes the tf cache every
-    // downstream stage reuses, so the job is not pure overhead. The
-    // self-release listener registers AFTER any count — registered before,
-    // the count itself would be the "first action" and evict the cache the
-    // caller's real action needs.
+    // downstream stage reuses, so the job is not pure overhead.
     val cfSide =
       if (maxBroadcastVocab <= 0) cf
       else if (maxBroadcastVocab == Long.MaxValue) broadcast(cf)
       else if (cf.count() <= maxBroadcastVocab) broadcast(cf)
       else cf
-    if (scope != null) scope.own(tf) else Dedup.releaseAfterFirstAction(tf)
-    tf.join(cfSide, "token")
+    val result = tf.join(cfSide, "token")
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("cf")).as("freq_sum"))
       .withColumn("mean_token_freq",
         col("freq_sum").cast("double") / col("n_tokens").cast("double"))
+    // the scope-less release listener watches the RESULT plan, not tf: the
+    // sizing count's completion event may still be in flight on the async
+    // listener bus when the listener registers, and a tf-keyed listener
+    // would treat it as the caller's consumption and evict the cache early
+    if (scope != null) scope.own(tf)
+    else Dedup.releaseAfterFirstAction(tf, result)
+    result
   }
 
   /** Load a token→log-probability table from a local TSV

@@ -542,7 +542,10 @@ object Bpe {
   /** Whole-document piece count: lowercased whitespace tokens (the
     * `TextStats.tokens` convention), summed over words. */
   def countDocument(text: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
-    val words = text.toString.toLowerCase.split(" ")
+    // Locale.ROOT: default-locale lowercasing (Turkish dotless-ı class)
+    // would make counts host-dependent and diverge from Spark's
+    // locale-independent lower()
+    val words = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ")
     var total = 0
     var i = 0
     while (i < words.length) {

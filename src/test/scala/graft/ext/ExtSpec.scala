@@ -1549,6 +1549,21 @@ class ExtSpec extends SparkSpec {
     val t = Multimodal.ByteCodec.decode(Multimodal.RawAsset(9L, "image", trunc))
     assert(flat(t) === flat(
       Multimodal.FakeCodec.decode(Multimodal.RawAsset(9L, "image", trunc))))
+    // crafted payloads must fall back, not crash or half-decode:
+    // (a) PPM whose 3·w·h overflows Int (65536² ⇒ 3·2^32 wraps to 0)
+    // (b) PPM with an over-long header digit run (NumberFormatException bait)
+    // (c) WAV chunk size near Int.MaxValue (o+8+size wraps negative)
+    val crafted = Seq(
+      "P6\n65536 65536\n255\n####".getBytes("UTF-8"),
+      "P6\n99999999999 1\n255\n#".getBytes("UTF-8"),
+      "RIFF".getBytes("UTF-8") ++ Array[Byte](44, 0, 0, 0) ++
+        "WAVE".getBytes("UTF-8") ++ "junk".getBytes("UTF-8") ++
+        Array[Byte](-16, -1, -1, 127) ++ Array.fill[Byte](29)(0))
+    crafted.zipWithIndex.foreach { case (p, idx) =>
+      val a = Multimodal.RawAsset(20L + idx, "image", p)
+      assert(flat(Multimodal.ByteCodec.decode(a)) ===
+        flat(Multimodal.FakeCodec.decode(a)), s"crafted payload $idx")
+    }
   }
 
   test("asset building, typed decode, and frame sampling plumbing") {
