@@ -999,6 +999,80 @@ object ExtQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
+    // capped at the top bucket — no engine histogram function involved),
+    // integer counts + decimal mass per bucket. The groupBy is the
+    // histogram; map-side partials make it one small exchange at any scale.
+    "q_histogram" -> ((s, d) => {
+      val bucket = least(floor(col("value") / 10.0), lit(19.0)).cast("int")
+      t(s, d, "events")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("mass"))
+        .orderBy("bucket")
+    }),
+
+    // RANGE-frame window over event time: each event's trailing-1-hour
+    // per-user count and decimal value sum. The frame bound is an integer
+    // epoch-microsecond range on BOTH engines — interval frames restate
+    // portably once the ordering key is integral; decimal sums are
+    // order-independent where a double sum would be engine-luck.
+    "q_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).cast("long").as("n_1h"),
+          sum(col("value").cast("decimal(18,2)")).over(w).as("sum_1h"))
+        .orderBy("event_id")
+    }),
+
+    // Schema-evolution scan: two parquet batches with DIFFERENT column
+    // sets (old writer / new writer), read back as one frame via
+    // mergeSchema — the source-breadth case every long-lived lake hits.
+    // The oracle aggregates the ORIGINAL rows, so missing-column nulls,
+    // column alignment, and the union semantics are all on the hash.
+    "etl_schema_evolution" -> ((s, d) => {
+      val tmp = scratchDir("graft_schema_ev", d)
+      val ev = t(s, d, "events")
+      ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      ev.where(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .agg(count(lit(1)).as("n"),
+          count(col("user_id")).as("n_user"),
+          count(col("value")).as("n_value"),
+          sum(col("user_id")).as("sum_user"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+    }),
+
+    // Dynamic partition overwrite: write a partitioned store, then
+    // overwrite ONLY the partitions present in a corrective batch (day 5
+    // re-stated with doubled values) — untouched partitions must survive.
+    // The read-back aggregation is hashed against the oracle's CASE
+    // restatement over the original rows.
+    "etl_partition_overwrite" -> ((s, d) => {
+      val tmp = scratchDir("graft_part_ow", d)
+      val ev = t(s, d, "events")
+        .withColumn("day", dayofmonth(col("ts")).cast("int"))
+      ev.where(col("day") <= 10)
+        .select(col("event_id"), col("value"), col("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(tmp)
+      ev.where(col("day") === 5)
+        .select(col("event_id"), (col("value") * 2).as("value"), col("day"))
+        .write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+        .orderBy("day")
+    }),
+
     // JSON-lines sink + scan round-trip with an explicit schema — source-
     // format breadth next to the CSV round-trip; the oracle aggregates the
     // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
@@ -2037,6 +2111,35 @@ object ExtQueries {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,
+        |  count(*)::BIGINT AS n,
+        |  sum(value::DECIMAL(18,2)) AS mass
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id,
+        |  (count(*) OVER w)::BIGINT AS n_1h,
+        |  sum(value::DECIMAL(18,2)) OVER w AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "etl_schema_evolution" ->
+      """SELECT count(*)::BIGINT AS n,
+        |  count(CASE WHEN event_id % 2 = 0 THEN user_id END)::BIGINT AS n_user,
+        |  count(CASE WHEN event_id % 2 = 1 THEN value END)::BIGINT AS n_value,
+        |  sum(CASE WHEN event_id % 2 = 0 THEN user_id END)::BIGINT AS sum_user,
+        |  sum(CASE WHEN event_id % 2 = 1 THEN value::DECIMAL(18,2) END) AS sum_value
+        |FROM events""".stripMargin,
+
+    "etl_partition_overwrite" ->
+      """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
+        |  sum((CASE WHEN day(ts) = 5 THEN value * 2 ELSE value END)::DECIMAL(18,2)) AS sum_value
+        |FROM events WHERE day(ts) <= 10
+        |GROUP BY 1 ORDER BY day""".stripMargin,
 
     "etl_scd2" ->
       """WITH obs AS (
