@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Multimodal, RangeJoin, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -997,6 +997,21 @@ object ExtQueries {
           date_format(col("asof_valid_from"), "yyyyMMddHHmmss.SSSSSS").as("valid_from_s"),
           col("asof_version"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Per-key minute-grid gap fill with carry-forward: densify each user's
+    // day-1 event stream onto its observed minute span — the resampling
+    // step between raw telemetry and evenly-spaced consumers. Carried raw
+    // values + an observed flag; timestamps formatted for the cross-engine
+    // hash (the scd2 convention).
+    "etl_gap_fill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .where(col("user_id") < 20 && dayofmonth(col("ts")) === 1)
+      Resample.gapFillMinutes(ev, "user_id", "ts", "value", "event_id")
+        .select(col("user_id"),
+          date_format(col("minute"), "yyyyMMddHHmm").as("minute_s"),
+          col("value"), col("is_observed"))
+        .orderBy("user_id", "minute_s")
     }),
 
     // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
@@ -2111,6 +2126,26 @@ object ExtQueries {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_gap_fill" ->
+      """WITH e AS (SELECT user_id, ts, value, event_id FROM events
+        |  WHERE user_id < 20 AND day(ts) = 1),
+        |obs AS (SELECT user_id, date_trunc('minute', ts) AS minute,
+        |  arg_max(value, strftime(ts, '%Y%m%d%H%M%S.%f') || '-' ||
+        |    lpad(event_id::VARCHAR, 12, '0')) AS obs
+        |  FROM e GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(
+        |    date_trunc('minute', min(ts)), date_trunc('minute', max(ts)),
+        |    INTERVAL 1 MINUTE)) AS minute
+        |  FROM e GROUP BY user_id)
+        |SELECT g.user_id, strftime(g.minute, '%Y%m%d%H%M') AS minute_s,
+        |  last_value(o.obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.minute
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (o.obs IS NOT NULL) AS is_observed
+        |FROM grid g LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND g.minute = o.minute
+        |ORDER BY g.user_id, minute_s""".stripMargin,
 
     "q_histogram" ->
       """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,

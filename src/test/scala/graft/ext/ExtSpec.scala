@@ -1203,6 +1203,28 @@ class ExtSpec extends SparkSpec {
       ("new", 1L, 0L, 1L)))     // z
   }
 
+  test("gapFillMinutes: grid spans observed range, latest-per-minute wins, carry fills") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      // key 1: obs at 10:00 (two in-minute, later wins), gap, obs at 10:03
+      (1L, ts("10:00:10"), 5.0, 1L), (1L, ts("10:00:40"), 7.0, 2L),
+      (1L, ts("10:03:05"), 9.0, 3L),
+      // key 2: single observation → single-row grid
+      (2L, ts("11:30:00"), 1.0, 4L)
+    ).toDF("k", "ts", "v", "tie")
+    val got = Resample.gapFillMinutes(ev, "k", "ts", "v", "tie")
+      .select(col("k"), date_format(col("minute"), "HH:mm").as("m"),
+        col("v"), col("is_observed"))
+      .as[(Long, String, Double, Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, "10:00", 7.0, true),  // in-minute tie: later ts wins
+      (1L, "10:01", 7.0, false), // gap rows carry the last observation
+      (1L, "10:02", 7.0, false),
+      (1L, "10:03", 9.0, true),
+      (2L, "11:30", 1.0, true)))
+  }
+
   test("collapseRepeatedTokens: runs collapse, alternations survive") {
     val got = Seq(
       (1L, "a a b b b c a"), (2L, "x"), (3L, "y y"), (4L, "a b a b")
