@@ -115,6 +115,16 @@ object Similarity {
     * quantized corpora — and everything computed from them — reproduce
     * bit-exactly anywhere. */
   def quantizeInt8(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.QuantizeInt8Expr(
+      GraftColumnBridge.expression(v)))
+  }
+
+  /** Higher-order-function twin of [[quantizeInt8]] — three CodegenFallback
+    * HOFs per row, kept as the portable reference (NativeExprSpec asserts
+    * bit-equality); the native one-pass expression replaced it on the scan
+    * path, where the lambda interpreter was the measured bottleneck. */
+  def quantizeInt8Hof(v: Column): Column = {
     val maxabs = array_max(transform(v, x => abs(x)))
     when(maxabs === lit(0.0), transform(v, _ => lit(0L)))
       .otherwise(transform(v,
@@ -123,8 +133,22 @@ object Similarity {
 
   /** Integer dot product of two code arrays — exact (codes ≤ 127, 64 dims
     * ⇒ ≪ 2^63), so unlike float dots the reduction order is irrelevant and
-    * the value is trivially engine-identical. */
-  def intDot(a: Column, b: Column): Column =
+    * the value is trivially engine-identical. Native codegen'd expression
+    * ([[graft.ext.expressions.IntDotExpr]]); [[intDotHof]] is the portable
+    * reference twin (NativeExprSpec asserts equality). Measured honestly
+    * (MeasureInt8): the fold alone was a modest win — the 4.5× gap on the
+    * int8 scan was the THREE-HOF quantizer, fixed by
+    * [[graft.ext.expressions.QuantizeInt8Expr]]; with both native,
+    * int8TopK reaches float-scan parity even paying per-run quantization
+    * (a stored int8 corpus skips that and keeps the 4× bandwidth cut). */
+  def intDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.IntDotExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-function twin of [[intDot]]. */
+  def intDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Brute-force cosine top-k over int8-QUANTIZED vectors: the integer-dot

@@ -121,6 +121,123 @@ case class DotProductExpr(left: Expression, right: Expression)
       newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
 }
 
+/** Integer twin of [[DotProductExpr]] over two array<long> columns — exact
+  * long arithmetic (quantized codes ≤ 127 over ≤ thousands of dims never
+  * approach 2^63), same NULL semantics as the HOF fold
+  * `aggregate(zip_with(a,b,_*_), 0L, _+_)`, minus the lambda interpreter.
+  * Honest measurement (MeasureInt8): a modest win alone — the dominant
+  * int8-scan cost was the three-HOF quantizer ([[QuantizeInt8Expr]]). */
+case class IntDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_int_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntDotExpr = copy(left = newLeft, right = newRight)
+}
+
+/** One-pass symmetric int8 quantizer over array<double> — the native twin of
+  * [[graft.ext.Similarity.quantizeInt8Hof]]
+  * (`when(array_max(transform(v, abs)) === 0, zeros)
+  *   .otherwise(transform(v, x => floor(x·127/maxabs + 0.5)))`).
+  * The Column twin runs THREE CodegenFallback higher-order functions per
+  * row (abs-transform, array_max, code-transform), each driving the lambda
+  * interpreter per element AND breaking whole-stage codegen for the whole
+  * projection — on the int8 ANN scan that interpreter, not the dot product,
+  * was the measured bottleneck. This computes maxabs and the codes in two
+  * tight loops per row, inside codegen.
+  *
+  * Twin-exact edges (NativeExprSpec): NULL array → NULL; empty array →
+  * empty; all-NULL elements → all-NULL codes (maxabs is NULL, so the
+  * otherwise-branch division nulls every element); maxabs == 0 → all-ZERO
+  * codes, NULL elements included (the zeros lambda ignores its input);
+  * NaN |x_i| is greatest (array_max ordering). Finite-input cast semantics
+  * (floor(·+0.5) then double→long) match the non-ANSI cast the twin uses. */
+object QuantizeInt8 {
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var maxabs = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val a = math.abs(v.getDouble(i))
+        if (!any || a > maxabs || java.lang.Double.isNaN(a)) maxabs = a
+        any = true
+      }
+      i += 1
+    }
+    if (!any) return new GenericArrayData(new Array[Any](n))
+    if (maxabs == 0.0) return new GenericArrayData(new Array[Long](n))
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        out(i) = math.floor(v.getDouble(i) * 127.0 / maxabs + 0.5).toLong
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** See [[QuantizeInt8]]. */
+case class QuantizeInt8Expr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_quantize_int8"
+
+  override protected def nullSafeEval(v: Any): Any =
+    QuantizeInt8.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.ext.expressions.QuantizeInt8.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
 /** n-bit SimHash over an array<long> of token hashes in ONE pass: bit i of
   * the result is set iff Σ over tokens of (±1 by hash-bit i) is positive.
   * The Column-expression twin (`Dedup.simhashN`) folds the array once PER
@@ -591,6 +708,12 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
+      (children: Seq[Expression]) => IntDotExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "graft_quantize_int8"),
+      (children: Seq[Expression]) => QuantizeInt8Expr(children.head)),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) =>
@@ -633,6 +756,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
+      (children: Seq[Expression]) => IntDotExpr(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "graft_quantize_int8"),
+      (children: Seq[Expression]) => QuantizeInt8Expr(children.head)))
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) =>

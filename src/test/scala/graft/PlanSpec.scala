@@ -264,6 +264,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-key asof carry window:\n$p")
   }
 
+  test("etl_gap_fill: grid join keyed on (key, minute), never a cartesian or calendar cross join") {
+    val p = plan("etl_gap_fill")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"grid must come from the per-key aggregate, not a calendar product:\n$p")
+    assert(p.contains("Window"), s"expected the per-key carry window:\n$p")
+  }
+
   test("sim_topk_refined: one scan-wide product only; rerank joins are keyed") {
     val p = plan("sim_topk_refined")
     // the broadcast-queries corpus scan (stage 1) is the single permitted

@@ -66,6 +66,65 @@ class NativeExprSpec extends SparkSpec {
     assert(rows.isNullAt(2))
   }
 
+  test("IntDotExpr ≡ the zip_with/aggregate fold on quantized codes, incl. null semantics") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(Similarity.asDouble(col("embedding"))).as("c"))
+    val pairs = e.select(col("vec_id").as("a_id"), col("c").as("ca"))
+      .crossJoin(e.select(col("vec_id").as("b_id"), col("c").as("cb")))
+      .where(col("a_id") < 20 && col("b_id") < 20)
+    val diff = pairs.select(
+      Similarity.intDotHof(col("ca"), col("cb")).as("hof"),
+      Similarity.intDot(col("ca"), col("cb")).as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(diff === 0)
+    // null semantics mirror the HOF twin: mismatched lengths, null element,
+    // null side → NULL
+    val rows = Seq((Seq(1L, 2L), Seq(3L))).toDF("a", "b")
+      .select(Similarity.intDot(col("a"), col("b")).as("mismatch"),
+        Similarity.intDot(array(lit(1L), lit(null).cast("long")),
+          array(lit(3L), lit(4L))).as("nullelem"),
+        Similarity.intDot(lit(null).cast("array<bigint>"),
+          array(lit(3L))).as("nullside"))
+      .head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+  }
+
+  test("QuantizeInt8Expr ≡ the three-HOF twin on real embeddings, incl. edges") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+    val diff = e.select(
+      Similarity.quantizeInt8(col("v")).as("native"),
+      Similarity.quantizeInt8Hof(col("v")).as("hof"))
+      .where(not(col("native") <=> col("hof"))).count()
+    assert(diff === 0)
+    // edges: zero vector → zeros; empty → empty; all-null elements →
+    // all-null codes; null element passes through; null array → null
+    val edges = Seq(
+      (Seq(0.0, 0.0), "zeros"),
+      (Seq.empty[Double], "empty")).toDF("v", "tag")
+      .select(col("tag"), col("v").cast("array<double>").as("v"))
+      .select(col("tag"),
+        Similarity.quantizeInt8(col("v")).as("native"),
+        Similarity.quantizeInt8Hof(col("v")).as("hof"))
+    assert(edges.where(not(col("native") <=> col("hof"))).count() === 0)
+    val nulls = spark.range(1).select(
+      Similarity.quantizeInt8(array(lit(null).cast("double"),
+        lit(null).cast("double"))).as("allnull"),
+      Similarity.quantizeInt8Hof(array(lit(null).cast("double"),
+        lit(null).cast("double"))).as("allnull_hof"),
+      Similarity.quantizeInt8(array(lit(2.0), lit(null).cast("double"),
+        lit(-1.0))).as("mixed"),
+      Similarity.quantizeInt8Hof(array(lit(2.0), lit(null).cast("double"),
+        lit(-1.0))).as("mixed_hof"),
+      Similarity.quantizeInt8(lit(null).cast("array<double>")).as("nullarr"))
+      .head
+    assert(nulls.getSeq[Any](0) === nulls.getSeq[Any](1))
+    assert(nulls.getSeq[Any](2) === nulls.getSeq[Any](3))
+    assert(nulls.getSeq[Any](2) === Seq(127L, null, -63L))
+    assert(nulls.isNullAt(4))
+  }
+
   test("graft_dot mirrors zip_with null semantics on mismatched/null input") {
     val rows = spark.sql(
       """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
