@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -1014,6 +1014,21 @@ object ExtQueries {
         .orderBy("user_id", "minute_s")
     }),
 
+    // Z-order (Morton) layout key — the OPTIMIZE ZORDER BY capability of
+    // Delta/Iceberg-class formats: interleave the bits of two columns into
+    // one sort key so range-partitioned parquet gets row-group min/max
+    // locality on BOTH dimensions (a single-column sort clusters only
+    // itself; MeasureZorder quantifies the 2-D pruning win at sf0.1). Pure
+    // shift/and/or integer arithmetic — codegen primitives, engine-exact,
+    // so the key itself is fully oracle-checked via the same unrolled
+    // arithmetic in DuckDB. The layout write path (range partition on the
+    // key = disjoint curve segments per file) is pinned in LayoutSpec.
+    "etl_zorder_key" -> ((s, d) => {
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zorderKey(16, col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
     // capped at the top bucket — no engine histogram function involved),
     // integer counts + decimal mass per bucket. The groupBy is the
@@ -1237,6 +1252,17 @@ object ExtQueries {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    // Morton/Z-order bit interleave, unrolled to shift/and/or terms —
+    // mirrors Layout.zorderKey exactly (bit i of column j → bit i·d + j,
+    // inputs clamped to [0, 2^bits) after a BIGINT cast)
+    def zorder(colsExpr: Seq[String], bits: Int): String = {
+      val d = colsExpr.size
+      colsExpr.zipWithIndex.flatMap { case (c, j) =>
+        val cl = s"least(greatest($c::BIGINT, 0), ${(1L << bits) - 1})"
+        (0 until bits).map(i => s"((($cl >> $i) & 1) << ${i * d + j})")
+      }.mkString(" | ")
+    }
 
     // integer dot product of two BIGINT[] code arrays (exact — order-free)
     def intDot(a: String, b: String): String =
@@ -2146,6 +2172,11 @@ object ExtQueries {
         |FROM grid g LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND g.minute = o.minute
         |ORDER BY g.user_id, minute_s""".stripMargin,
+
+    "etl_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (${Sql.zorder(Seq("l_partkey", "l_suppkey"), 16)}) AS zkey
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_histogram" ->
       """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,

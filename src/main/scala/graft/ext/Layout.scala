@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the `OPTIMIZE ZORDER BY`
+  * capability of Delta/Iceberg-class table formats, expressed Spark-first.
+  *
+  * Why it matters at 100 TB: parquet scans prune row groups from footer
+  * min/max statistics, but a table sorted on ONE column only clusters that
+  * column — a predicate on any other column reads everything. Interleaving
+  * the bits of several columns into one sort key (a Morton / Z-order curve)
+  * gives every interleaved column locality at once: a range predicate on
+  * ANY of them touches a contiguous-ish fraction of the curve, so most row
+  * groups fall outside its min/max envelope and never leave the object
+  * store. MeasureZorder quantifies it on sf0.1 lineitem: a 2-D predicate
+  * scans ~N/k rows from a z-ordered layout vs ~N from a single-column sort.
+  *
+  * The key is pure integer bit arithmetic (shift/and/or — whole-stage
+  * codegen primitives, no HOF, no UDF), deterministic and engine-exact, so
+  * the catalog row (`etl_zorder_key`) is fully oracle-checked against the
+  * same unrolled arithmetic in DuckDB.
+  */
+object Layout {
+
+  /** Morton (Z-order) key: interleave the low `bits` bits of each column —
+    * bit `i` of column `j` lands at output bit `i·d + j` (d = column
+    * count), so co-located values in EVERY dimension produce nearby keys.
+    * Inputs are clamped to `[0, 2^bits)` after a long cast (negative →
+    * 0, over-range → max — a clamped coordinate still sorts correctly
+    * relative to in-range ones; callers with signed/skewed domains should
+    * pre-normalize, e.g. rank or bucket the column first). NULL in any
+    * coordinate → NULL key (sorts last under Spark's default NULLS LAST,
+    * i.e. a dedicated "unknown" region at the curve's end).
+    *
+    * `bits · cols.size` must fit a long's 63 value bits. 16 bits × 2-3
+    * dims covers row-group-level pruning: the curve only has to separate
+    * row groups (thousands per table), not individual rows. */
+  def zorderKey(bits: Int, cols: Column*): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(bits >= 1, s"bits must be positive: $bits")
+    require(bits * cols.size <= 63,
+      s"bits ($bits) x dims (${cols.size}) must fit a long's 63 value bits")
+    val d = cols.size
+    val max = (1L << bits) - 1
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      clamped = least(greatest(c.cast("long"), lit(0L)), lit(max))
+      i <- 0 until bits
+    } yield shiftleft(shiftright(clamped, i).bitwiseAND(lit(1L)), i * d + j)
+    // greatest/least SKIP nulls (a null coordinate would silently clamp to
+    // the origin) — guard explicitly so unknown coordinates stay unknown
+    val anyNull = cols.map(_.isNull).reduce(_ or _)
+    when(anyNull, lit(null).cast("long")).otherwise(terms.reduce(_ bitwiseOR _))
+  }
+
+  /** Monotone rescale of a long column from `[lo, hi]` onto the full
+    * `[0, 2^bits)` coordinate range: `floor((x - lo) · 2^bits / span)`,
+    * clamped. Interleaving RAW columns with unequal domains wastes curve
+    * resolution — a 15-bit column interleaved with a 10-bit one puts the
+    * key's entire top in the wide column's bits, degenerating the coarse
+    * layout to a single-column sort (measured: the raw-key layout pruned
+    * WORSE than a linear sort on sf0.1 lineitem). Rescaling both to the
+    * full width balances the curve, the Delta OPTIMIZE approach (it
+    * range-ranks columns for the same reason). Exact integer arithmetic:
+    * (x-lo)·2^bits stays far under 2^53, so the double division is exact
+    * enough to floor deterministically. */
+  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = math.max(1L, hi - lo + 1)
+    val raw = floor((c.cast("long") - lit(lo)) * lit(1L << bits) / lit(span))
+      .cast("long")
+    least(greatest(raw, lit(0L)), lit((1L << bits) - 1))
+  }
+
+  /** Cluster `df` on the z-order curve of `cols`: each column is min/max
+    * rescaled to the full `bits`-wide range ([[scaleTo]] — one cheap
+    * bounds aggregation), keys interleave the scaled coordinates, and the
+    * frame is range-partitioned on the key (`numFiles` output splits, each
+    * a contiguous curve segment — the segments are DISJOINT, so per-file
+    * min/max envelopes never overlap on the key) and sorted within
+    * partitions so row groups inside large files stay clustered too. The
+    * caller writes the result; the key column is dropped — it exists to
+    * shape the layout, not the data. */
+  def zorderLayout(df: DataFrame, bits: Int, numFiles: Int,
+                   cols: Column*): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be positive: $numFiles")
+    val bounds = df.select(cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast("long")).as(s"lo$i"), max(c.cast("long")).as(s"hi$i"))
+    }: _*).head
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      if (bounds.isNullAt(2 * i)) c.cast("long") // all-null column: no scale
+      else scaleTo(c, bounds.getLong(2 * i), bounds.getLong(2 * i + 1), bits)
+    }
+    val keyed = df.withColumn("__zkey", zorderKey(bits, scaled: _*))
+    keyed.repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+}

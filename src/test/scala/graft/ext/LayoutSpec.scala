@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey interleaves bits: hand-computed examples") {
+    // x=5 (101) -> bits 0,4; y=3 (011) -> bits 1,3  =>  1+16 + 2+8 = 27
+    // swapped: x=3 -> bits 0,2 (=5); y=5 -> bits 1,5 (=34)  =>  39
+    val r = spark.range(1).select(
+      Layout.zorderKey(3, lit(5L), lit(3L)).as("a"),
+      Layout.zorderKey(3, lit(3L), lit(5L)).as("b"),
+      Layout.zorderKey(3, lit(0L), lit(0L)).as("zero"),
+      Layout.zorderKey(1, lit(1L), lit(1L), lit(1L)).as("three_d")).head
+    assert(r.getLong(0) === 27L)
+    assert(r.getLong(1) === 39L)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 7L) // 3 dims, 1 bit each: 1|2|4
+  }
+
+  test("zorderKey clamps out-of-range coordinates and nulls the null row") {
+    val r = spark.range(1).select(
+      Layout.zorderKey(3, lit(-7L), lit(99L)).as("clamped"),
+      Layout.zorderKey(3, lit(null).cast("long"), lit(3L)).as("n")).head
+    // -7 -> 0 contributes nothing; 99 -> 7 (111) at odd bits = 2+8+32
+    assert(r.getLong(0) === 42L)
+    assert(r.isNullAt(1))
+  }
+
+  test("zorderKey is monotone in each coordinate with the other fixed") {
+    val grid = spark.range(16).select(col("id").as("x"))
+      .crossJoin(spark.range(16).select(col("id").as("y")))
+      .select(col("x"), col("y"), Layout.zorderKey(4, col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for (f <- 0L until 16L; a <- 0L until 15L) {
+      assert(grid((a, f)) < grid((a + 1, f)), s"x not monotone at ($a, $f)")
+      assert(grid((f, a)) < grid((f, a + 1)), s"y not monotone at ($f, $a)")
+    }
+  }
+
+  test("zorderLayout: per-file zkey envelopes are disjoint and data survives") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val out = tmpDir("zorder")
+    Layout.zorderLayout(li, bits = 16, numFiles = 8,
+        col("l_partkey"), col("l_suppkey"))
+      .write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count())
+    // recompute the (scaled) key on read-back: each file's [min,max]
+    // interval must not overlap any other's (range partitioning = disjoint
+    // curve spans)
+    val b = li.selectExpr("min(l_partkey)::long", "max(l_partkey)::long",
+      "min(l_suppkey)::long", "max(l_suppkey)::long").head
+    val spans = back
+      .select(input_file_name().as("f"),
+        Layout.zorderKey(16,
+          Layout.scaleTo(col("l_partkey"), b.getLong(0), b.getLong(1), 16),
+          Layout.scaleTo(col("l_suppkey"), b.getLong(2), b.getLong(3), 16)).as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(spans.length > 1, "expected multiple output files")
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"overlapping file envelopes: $hi1 > $lo2")
+      case _ =>
+    }
+  }
+}
