@@ -1014,6 +1014,22 @@ object ExtQueries {
         .orderBy("user_id", "minute_s")
     }),
 
+    // BM25 retrieval top-k — the search-engine modality next to the dense
+    // ANN suite: three 2-term queries against the corpus, k=10 each. Every
+    // scoring ingredient is an exact integer (tf/df/dl/N/Σdl) and the
+    // per-term contribution is floored to 2^20 fixed point after a fixed
+    // order of correctly-rounded IEEE ops, so the score is an
+    // order-independent integer sum restated verbatim in the oracle — the
+    // rational-idf variant exists precisely because ln is NOT
+    // correctly-rounded across engines (see Retrieval scaladoc).
+    "text_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
+        (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
+      ext.Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text", q, k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Z-order (Morton) layout key — the OPTIMIZE ZORDER BY capability of
     // Delta/Iceberg-class formats: interleave the bits of two columns into
     // one sort key so range-partitioned parquet gets row-group min/max
@@ -2172,6 +2188,33 @@ object ExtQueries {
         |FROM grid g LEFT JOIN obs o
         |  ON g.user_id = o.user_id AND g.minute = o.minute
         |ORDER BY g.user_id, minute_s""".stripMargin,
+
+    "text_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+        |post AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        |  FROM post GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |q(query_id, token) AS (VALUES (0::BIGINT, 'vector'),
+        |  (0::BIGINT, 'stream'), (1::BIGINT, 'customer'),
+        |  (1::BIGINT, 'query'), (2::BIGINT, 'scan'), (2::BIGINT, 'window')),
+        |scored AS (SELECT q.query_id, tf.doc_id,
+        |    sum(floor((((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE)))))
+        |      ) * 1048576.0))::BIGINT AS score_fp
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rank, score_fp FROM (
+        |  SELECT query_id, doc_id, score_fp,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, doc_id)::INT AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "etl_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,

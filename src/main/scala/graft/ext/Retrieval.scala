@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance retrieval over a document corpus — the search-engine
+  * modality next to the dense ([[Similarity]]) and sparse-cosine
+  * ([[Similarity.lexicalCosinePairs]]) suites: score documents against
+  * small term queries with BM25 and return the top k per query.
+  *
+  * Engine-portable scoring discipline (the repo's integer-evidence rule):
+  * every BM25 ingredient is an exact integer (tf, df, dl, N, Σdl) and the
+  * per-term contribution is computed in a FIXED order of correctly-rounded
+  * IEEE ops, then floored to 2^20 fixed point — so the per-(query, doc)
+  * score is an exact integer SUM of exact integers, order-independent
+  * across partitions and bit-identical in any engine that parses the same
+  * literals. The classical formula's `ln` is NOT correctly rounded across
+  * engines/libms, so the catalog-checked score uses the RATIONAL idf
+  * `(N - df + ½)/(df + ½)` (the argument of the classical `ln`); pass
+  * `logIdf = true` for the textbook damped variant where cross-engine
+  * bit-reproducibility is not required (per-term idf is a monotone map of
+  * the rational form, but the cross-term SUM can rank differently — the
+  * rational default weighs rare terms more heavily).
+  *
+  * Scale shape: token rows collapse to (doc, token, tf) BEFORE any join
+  * (corpus-sized explode never crosses an exchange); doc-frequency and
+  * length tables aggregate from that collapsed frame; the query-term set
+  * is broadcast; candidate generation is a token-keyed equi-join producing
+  * ≤ df(token) rows per query term; the final ranking is the bounded-heap
+  * [[TopK]] (shuffle = k rows per partition per query, never the candidate
+  * set). Stopword-class terms make candidate generation corpus-sized —
+  * `maxDf` drops tokens above a document-frequency ceiling (the
+  * [[Similarity.lexicalCosinePairs]] Bayardo discipline; BM25 already
+  * scores them near zero, so dropping them changes little and caps the
+  * join fan-out).
+  *
+  * Precision bound (same class as `Sampling.capPerGroupSkewSafe`): the
+  * fixed-point score rides through the heap as a Double, exact below 2^53
+  * — with the 2^20 scale that is Σ contributions < 2^33, far beyond any
+  * real query's term count times the idf ceiling 2N. */
+object Retrieval {
+
+  /** BM25 top-k: `queryTerms` is a (query id, token) frame — small, it is
+    * broadcast; `k1`/`b` are the standard saturation/length-normalization
+    * dials. Returns (query_id, doc_id, rank, score_fp): rank 1..k by
+    * (score desc, doc id asc), score_fp the 2^20 fixed-point integer
+    * score. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Option[Long] = None,
+               logIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val q = queryTerms.toDF("query_id", "token")
+
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextStats.tokens(col(textCol)).as("ts"))
+    val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    // collapse to (doc, token, tf) before anything crosses an exchange
+    val tf = toks.select(col("doc_id"), explode(col("ts")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dfreq = maxDf.fold(dfreq0)(cap => dfreq0.where(col("df") <= cap))
+
+    // two exact integers; their division is the one correctly-rounded op —
+    // identical in any engine
+    val stats = dl.agg(count(lit(1)).cast("long").as("n"),
+      sum("dl").cast("long").as("sdl")).head
+    val n = stats.getLong(0)
+    val sumDl = stats.getLong(1)
+    val avgdl = sumDl.toDouble / n.toDouble
+
+    val idfRational = (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val idf = if (logIdf) log(idfRational) else idfRational
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / lit(avgdl))))
+    val contrib = floor(idf * tfNorm * lit(1048576.0)).cast("long")
+
+    val scored = tf
+      .join(broadcast(q), "token")
+      .join(dfreq, "token")
+      .join(dl, "doc_id")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(contrib).as("score_fp"))
+
+    TopK.topKPerKey(
+        scored.select(col("query_id"), col("doc_id").as("id"),
+          col("score_fp").cast("double").as("score")),
+        "query_id", "score", "id", k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("score").cast("long").as("score_fp"))
+  }
+}

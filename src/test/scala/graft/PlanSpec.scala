@@ -271,6 +271,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected the per-key carry window:\n$p")
   }
 
+  test("text_bm25_topk: query terms broadcast, every join keyed, no product") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast query terms:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay token/doc-keyed:\n$p")
+  }
+
   test("sim_topk_refined: one scan-wide product only; rerank joins are keyed") {
     val p = plan("sim_topk_refined")
     // the broadcast-queries corpus scan (stage 1) is the single permitted
