@@ -1030,6 +1030,29 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hybrid retrieval: BM25 text ranks ⊕ dense cosine ranks, fused with
+    // reciprocal-rank fusion. Query ids are shared across modalities
+    // (testdata links doc_id ↔ vec_id 1:1): each query is 2 BM25 terms
+    // against `documents` plus the embedding of vec_id = query_id against
+    // `embeddings`, depth 20 per list, final top-10. The fused score is
+    // pure integer arithmetic (2^20 div (60 + rank), summed) so the
+    // oracle restates both rankings AND the fusion bit-exactly.
+    "sim_hybrid_topk" -> ((s, d) => {
+      import s.implicits._
+      val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
+        (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
+      val text = ext.Retrieval
+        .bm25TopK(t(s, d, "documents"), "doc_id", "text", q, k = 20)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val e = t(s, d, "embeddings")
+      val dense = Similarity
+        .bruteForceTopK(e, e.where(col("vec_id") < 3),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("id"), col("rank"))
+      ext.Retrieval.rrfFuse(Seq(text, dense), k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Z-order (Morton) layout key — the OPTIMIZE ZORDER BY capability of
     // Delta/Iceberg-class formats: interleave the bits of two columns into
     // one sort key so range-partitioned parquet gets row-group min/max
@@ -2215,6 +2238,53 @@ object ExtQueries {
         |      ORDER BY score_fp DESC, doc_id)::INT AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_hybrid_topk" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+         |  FROM documents),
+         |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+         |post AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+         |  FROM post GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q(query_id, token) AS (VALUES (0::BIGINT, 'vector'),
+         |  (0::BIGINT, 'stream'), (1::BIGINT, 'customer'),
+         |  (1::BIGINT, 'query'), (2::BIGINT, 'scan'), (2::BIGINT, 'window')),
+         |bm25 AS (SELECT q.query_id, tf.doc_id,
+         |    sum(floor((((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + 0.75
+         |          * (dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE)))))
+         |      ) * 1048576.0))::BIGINT AS s
+         |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY 1, 2),
+         |text_top AS (SELECT query_id, id, rank FROM (
+         |  SELECT query_id, doc_id AS id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY s DESC, doc_id)::INT AS rank
+         |  FROM bm25) WHERE rank <= 20),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |dense AS (SELECT qv.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("qv.v", "c.v")} / (qv.nm * c.nm) AS score
+         |  FROM nrm qv JOIN nrm c ON qv.vec_id < 3 AND c.vec_id <> qv.vec_id),
+         |dense_top AS (SELECT query_id, id, rank FROM (
+         |  SELECT query_id, id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM dense) WHERE rank <= 20),
+         |contrib AS (
+         |  SELECT query_id, id, 1048576::BIGINT // (60 + rank)::BIGINT AS c
+         |    FROM text_top
+         |  UNION ALL
+         |  SELECT query_id, id, 1048576::BIGINT // (60 + rank)::BIGINT AS c
+         |    FROM dense_top),
+         |fused AS (SELECT query_id, id, sum(c)::BIGINT AS score_fp
+         |  FROM contrib GROUP BY 1, 2)
+         |SELECT query_id, id, rank, score_fp FROM (
+         |  SELECT query_id, id, score_fp, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_fp DESC, id)::INT AS rank
+         |  FROM fused)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "etl_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber,

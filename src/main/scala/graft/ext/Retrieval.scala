@@ -90,4 +90,46 @@ object Retrieval {
       .select(col("query_id"), col("id").as("doc_id"), col("rank"),
         col("score").cast("long").as("score_fp"))
   }
+
+  /** Reciprocal-rank fusion — the standard combiner for hybrid retrieval
+    * (BM25 text ranks ⊕ dense ANN ranks, or any mix of retrievers): each
+    * input ranking contributes `scale div (k0 + rank)` to a candidate's
+    * fused score, summed across lists, final top-k per query. `k0 = 60` is
+    * the constant from the original RRF paper (Cormack/Clarke/Buettcher,
+    * SIGIR 2009); `scale = 2^20` lifts the reciprocal onto the repo's
+    * fixed-point integer grid. The contribution is PURE INTEGER division
+    * (Spark `div` ≡ DuckDB `//` on positives — no floating point anywhere),
+    * so fused scores are bit-identical in any engine; ties break on id asc.
+    *
+    * Each ranking frame must carry (query_id, id, rank) — rank 1-based as
+    * produced by [[bm25TopK]] / [[TopK.topKPerKey]]. A candidate absent
+    * from a list simply contributes nothing for it (no outer-join NULL
+    * handling: the union never manufactures rows).
+    *
+    * Scale shape: the inputs are already top-k lists (|queries| × depth
+    * rows — vanishingly small next to the corpora that produced them), so
+    * fusion is a union + map-side-partial hash aggregate + bounded-heap
+    * [[TopK]]; no join at all, nothing corpus-sized crosses an exchange.
+    *
+    * Precision bound: each contribution ≤ scale/(k0+1) < 2^14 at the
+    * defaults; a fused sum stays exact in the heap's Double far beyond any
+    * real list count (overflow needs ≈ 2^39 lists). */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int,
+              k0: Int = 60, scale: Long = 1L << 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1, s"k must be positive: $k")
+    require(k0 >= 0, s"k0 must be non-negative: $k0")
+    require(scale >= 1, s"scale must be positive: $scale")
+    val contribs = rankings.map(_.select(col("query_id"), col("id"),
+      expr(s"${scale}L div (${k0}L + cast(rank as bigint))").as("contrib")))
+    val fused = contribs.reduce(_ unionAll _)
+      .groupBy("query_id", "id")
+      .agg(sum("contrib").as("score_fp"))
+    TopK.topKPerKey(
+        fused.select(col("query_id"), col("id"),
+          col("score_fp").cast("double").as("score")),
+        "query_id", "score", "id", k)
+      .select(col("query_id"), col("id"), col("rank"),
+        col("score").cast("long").as("score_fp"))
+  }
 }

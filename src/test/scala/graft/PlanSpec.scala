@@ -278,6 +278,19 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay token/doc-keyed:\n$p")
   }
 
+  test("sim_hybrid_topk: fusion adds no join — only the retrievers' own") {
+    val p = plan("sim_hybrid_topk")
+    // the dense brute-force scorer owns the single permitted scan-wide
+    // product; BM25 candidate generation stays keyed; the RRF layer itself
+    // is union + aggregate, so no join class may appear more than the two
+    // retrievers already plan
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nlj <= 1, s"fusion must not add a product beyond the dense scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian anywhere:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected BM25's keyed joins:\n$p")
+    assert(p.contains("Union"), s"expected the fusion union:\n$p")
+  }
+
   test("sim_topk_refined: one scan-wide product only; rerank joins are keyed") {
     val p = plan("sim_topk_refined")
     // the broadcast-queries corpus scan (stage 1) is the single permitted

@@ -73,6 +73,53 @@ class RetrievalSpec extends SparkSpec {
     assert(r2.count() === 3)
   }
 
+  test("rrfFuse matches an independent integer reimplementation") {
+    // list A: docs 10,20,30 at ranks 1..3; list B: 20,10,40
+    val a = Seq((0L, 10L, 1), (0L, 20L, 2), (0L, 30L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 20L, 1), (0L, 10L, 2), (0L, 40L, 3))
+      .toDF("query_id", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    def c(rank: Int): Long = 1048576L / (60L + rank)
+    val expected = Map(
+        10L -> (c(1) + c(2)), 20L -> (c(2) + c(1)),
+        30L -> c(3), 40L -> c(3))
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, s), i) => (id, i + 1, s) }
+    assert(got.toSeq === expected)
+    // 10 and 20 tie exactly (same contributions, opposite order): id asc
+    assert(got(0)._1 === 10L && got(1)._1 === 20L
+      && got(0)._3 === got(1)._3)
+    // 30 and 40 tie at rank-3-only: id asc again
+    assert(got(2)._1 === 30L && got(3)._1 === 40L)
+  }
+
+  test("rrfFuse: fusing a list with itself doubles scores, keeps order") {
+    val a = Seq((0L, 5L, 1), (0L, 7L, 2), (1L, 9L, 1))
+      .toDF("query_id", "id", "rank")
+    val once = Retrieval.rrfFuse(Seq(a), k = 10)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val twice = Retrieval.rrfFuse(Seq(a, a), k = 10)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(once.map(t => (t._1, t._2, t._3)).toSeq
+      === twice.map(t => (t._1, t._2, t._3)).toSeq)
+    assert(twice.map(_._4).toSeq === once.map(_._4 * 2).toSeq)
+  }
+
+  test("rrfFuse k bound and absent-list candidates") {
+    val a = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((0L, 2L, 1)).toDF("query_id", "id", "rank")
+    // doc 2 in both lists outranks doc 1 (rank-1 once) despite a's order
+    val r = Retrieval.rrfFuse(Seq(a, b), k = 2).orderBy("rank").collect()
+    assert(r.length === 2)
+    assert(r.map(_.getLong(1)).toSeq === Seq(2L, 1L))
+  }
+
   test("logIdf variant ranks rare-term docs above stopword-heavy ones too") {
     val q = Seq((0L, "shuffle"), (0L, "window")).toDF("query_id", "token")
     val r = Retrieval.bm25TopK(corpus, "doc_id", "text", q, k = 10,
