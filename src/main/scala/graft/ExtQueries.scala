@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, Curation, Decontaminate, Dedup, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -1255,6 +1255,26 @@ object ExtQueries {
       SkewJoin.saltedEquiJoin(big, small, "partkey", saltFactor = 8)
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
+    // Bloom-prefiltered join — like the salt, the bloom must be
+    // semantically invisible: the oracle is the PLAIN selective join, so a
+    // false NEGATIVE (dropped matching row) or a leaked false positive
+    // hash-fails. The build side (p_size <= 3) matches ~6% of parts, so the
+    // probe prefilter drops the bulk of lineitem before the join exchange —
+    // the shape whose shuffle-byte cut PlanSpec measures directly.
+    "q_bloom_join" -> ((s, d) => {
+      val probe = t(s, d, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val build = t(s, d, "part").where(col("p_size") <= 3)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      BloomJoin.prefilteredEquiJoin(probe, build, "partkey",
+          expectedBuildItems = 1L << 14)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          sum(col("price")).cast("double").as("sum_price"))
         .orderBy("p_brand")
     }),
 
@@ -2593,6 +2613,13 @@ object ExtQueries {
     "q_salted_join" ->
       """SELECT p_brand, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT p_brand, count(*)::BIGINT AS n, sum(l_quantity) AS sum_qty,
+        |  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q17_small_qty" ->

@@ -979,44 +979,12 @@ object Dedup {
                         expectedHistItems: Long = 1L << 22,
                         fpp: Double = 0.01,
                         scope: CacheScope = null): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column, expression, inSession}
-    require(expectedHistItems > 0 && fpp > 0 && fpp < 1,
-      s"bad filter sizing: items=$expectedHistItems fpp=$fpp")
-    val numBits = org.apache.spark.util.sketch.BloomFilter
-      .optimalNumOfBits(expectedHistItems, fpp)
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    // the clone (and its fresh SessionState, ~0.1 s) is only needed when the
-    // sizing actually exceeds the session's current ceilings — a filter that
-    // fits plans identically on the caller's session with no conf touched
-    val sessionConf = hist.sparkSession.conf
-    val buildSession =
-      if (expectedHistItems <= sessionConf.get(itemsKey).toLong &&
-          numBits <= sessionConf.get(bitsKey).toLong) hist.sparkSession
-      else {
-        val cloned = hist.sparkSession.newSession()
-        cloned.conf.set(itemsKey,
-          math.max(cloned.conf.get(itemsKey).toLong, expectedHistItems).toString)
-        cloned.conf.set(bitsKey,
-          math.max(cloned.conf.get(bitsKey).toLong, numBits).toString)
-        cloned
-      }
-    val blob = inSession(buildSession, hist)
-      .select(column(new BloomFilterAggregate(
-          expression(xxhash64(col(keyCol))),
-          CatLit(expectedHistItems), CatLit(numBits))
-        .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
-    if (blob == null) return batch // empty store: the whole batch is new
-    // the blob rides a TORRENT BROADCAST, not a plan literal: a literal is
-    // re-serialized into EVERY task binary of every consuming stage (fatal
-    // for iterative consumers already at MB filters, impossible at the GB
-    // design point); the broadcast ships once per executor
-    val blobBc = hist.sparkSession.sparkContext.broadcast(blob)
-    val mightContain = column(expressions.BloomProbeExpr(
-      blobBc, expression(xxhash64(col(keyCol)))))
+    // filter build (cloned-session ceiling raise + torrent broadcast) is
+    // the shared [[Bloom]] primitive — [[BloomJoin]] rides the same one
+    val blobOpt = Bloom.buildKeyFilter(hist, keyCol, expectedHistItems, fpp)
+    if (blobOpt.isEmpty) return batch // empty store: the whole batch is new
+    val blobBc = blobOpt.get
+    val mightContain = Bloom.mightContain(blobBc, col(keyCol))
     val candidates = batch.where(mightContain).select(col(keyCol)).distinct()
     val confirmed = hist
       .join(broadcast(candidates), Seq(keyCol), "left_semi")

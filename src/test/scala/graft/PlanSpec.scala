@@ -127,6 +127,42 @@ class PlanSpec extends SparkSpec {
       s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
   }
 
+  test("q_bloom_join: probe rows are bloom-filtered before the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"expected the bloom probe filter in the plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("bloom prefilter cuts probe-side shuffle bytes when broadcast is off") {
+    // the operator's reason to exist: build side too big to broadcast →
+    // shuffle join forced → the bloom drops never-matching probe rows
+    // BEFORE the exchange. p_size <= 3 matches ~6% of parts, so the probe
+    // shuffle should collapse; assert at a lax 2× to stay flake-proof.
+    import org.apache.spark.sql.functions._
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val probe = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val build = spark.read.parquet(s"$sf/part.parquet")
+        .where(col("p_size") <= 3)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      val plainBytes = shuffleBytesWritten(probe.join(build, Seq("partkey")))
+      val bloomBytes = shuffleBytesWritten(graft.ext.BloomJoin
+        .prefilteredEquiJoin(probe, build, "partkey",
+          expectedBuildItems = 1L << 14))
+      assert(plainBytes > 0, "expected the plain shuffle join to report metrics")
+      assert(bloomBytes < plainBytes / 2,
+        s"bloom prefilter must cut the probe shuffle: $bloomBytes vs $plainBytes")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("qualityGates and stripMarkup are zero-exchange projections") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
