@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Funnel, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -327,6 +327,19 @@ object ExtQueries {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Filtered vector search: top-k among label=2 vectors only (~10% of the
+    // corpus) — PRE-filter semantics (a full k from the eligible set, not a
+    // thinned post-filtered list), centroids still fit on everything
+    // (prebuilt-index semantics). nProbe = nCells keeps the exactness
+    // contract, so the oracle is the brute force over the eligible subset.
+    "sim_topk_ivf_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopKFiltered(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", predicate = col("label") === 2,
+          k = 10, nCells = 8, nProbe = 8, fitIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -904,6 +917,25 @@ object ExtQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // Ordered funnel (signup → view → purchase), earliest-transition
+    // semantics: ONE user-keyed exchange + a codegen'd fold over each
+    // user's time-sorted step events. The oracle restates it as the
+    // iterative join chain (t_{k+1} = min ts > t_k), so the fold ≡ join
+    // chain equivalence is itself the checked contract.
+    "q_funnel_depth" -> ((s, d) => {
+      Funnel.funnelDepth(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("signup", "view", "purchase"))
+        .select(col("user_id"), col("steps_completed"),
+          date_format(col("t_reached"), "yyyyMMddHHmmss.SSSSSS").as("t_reached"))
+        .orderBy("user_id")
+    }),
+
+    // The funnel chart derived from the same fold: users reaching each step.
+    "q_funnel_counts" -> ((s, d) => {
+      Funnel.funnelCounts(t(s, d, "events"), "user_id", "event_type", "ts",
+          Seq("signup", "view", "purchase"))
+    }),
+
     // Custom keyed state (mapGroupsWithState) — batch mode is oracle-checked
     // here; cross-micro-batch accumulation is covered by EventTimeSpec.
     "q_running_stats" -> ((s, d) => {
@@ -1066,6 +1098,26 @@ object ExtQueries {
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
         Layout.zorderKey(16, col("l_partkey"), col("l_suppkey")).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Small-file compaction: fragment the table into 16 files, bin-pack
+    // back via the shuffle-free coalesce rewrite (file-count collapse and
+    // the no-Exchange plan are LayoutSpec's claims), and aggregate the
+    // COMPACTED copy — the oracle aggregates the original table, so any
+    // content infidelity in the rewrite (lost/duplicated rows, value
+    // corruption) breaks the hash.
+    "etl_compact" -> ((s, d) => {
+      val root = scratchDir("graft_compact", d)
+      val frag = s"$root/frag"
+      val packed = s"$root/packed"
+      t(s, d, "documents").repartition(16)
+        .write.mode("overwrite").parquet(frag)
+      Layout.compactTo(s, frag, packed, targetFileBytes = 1L << 30)
+      s.read.parquet(packed)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_len"))
+        .orderBy("lang")
     }),
 
     // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
@@ -1795,6 +1847,18 @@ object ExtQueries {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
+    "sim_topk_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c
+         |  ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label = 2),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     "sample_hash" ->
       s"""SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id,
          |  max(doc_id)::BIGINT AS max_id
@@ -2193,6 +2257,38 @@ object ExtQueries {
         |  count(*)::BIGINT AS n
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
+    "q_funnel_depth" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id,
+        |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |    ELSE 1 END)::INT AS steps_completed,
+        |  strftime(coalesce(t3, t2, t1), '%Y%m%d%H%M%S.%f') AS t_reached
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "q_funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT step, step_name, n_users FROM (
+        |  SELECT 1::INT AS step, 'signup' AS step_name,
+        |    (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |WHERE n_users > 0 ORDER BY step""".stripMargin,
+
     "q_running_stats" ->
       """SELECT user_id, count(*)::BIGINT AS n,
         |  strftime(min(ts), '%Y%m%d%H%M%S.%f') AS first_ts,
@@ -2310,6 +2406,11 @@ object ExtQueries {
       s"""SELECT l_orderkey, l_linenumber,
          |  (${Sql.zorder(Seq("l_partkey", "l_suppkey"), 16)}) AS zkey
          |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "etl_compact" ->
+      """SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_id,
+        |  sum(length(text))::BIGINT AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_histogram" ->
       """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,

@@ -96,4 +96,47 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Small-file compaction — the bin-packing half of lakehouse table
+    * maintenance (OPTIMIZE in Delta, `rewrite_data_files` in Iceberg;
+    * [[zorderLayout]] is the clustering half). Streaming sinks, per-batch
+    * appends, and over-parallel writers drift a table toward thousands of
+    * KB-scale files; at 100 TB that is scan-task and namenode poison (every
+    * file = at least one split, one open, one footer read). This rewrites
+    * `inDir`'s parquet as ceil(totalBytes / targetFileBytes) files into
+    * `outDir`.
+    *
+    * SHUFFLE-FREE: the rewrite is a `coalesce`, which assigns input splits
+    * to output tasks without an exchange — compaction is an IO rewrite and
+    * must not pay a cluster-wide repartition of table-sized data
+    * (LayoutSpec asserts the plan carries no Exchange). The trade: coalesce
+    * concatenates whole input files per output task, so per-file min/max
+    * envelopes can widen when non-adjacent inputs merge — compaction
+    * preserves CONTENT and file economics, not clustering; re-cluster with
+    * [[zorderLayout]] when the sort matters more than the rewrite cost.
+    *
+    * Sizing uses the INPUT byte total as the estimate of output bytes
+    * (same codec/schema ⇒ close enough; row-group consolidation usually
+    * shrinks output slightly, never pathologically). Writes to a fresh
+    * `outDir` — pair with the atomic versioned-publish pattern
+    * (`graft.etl.Pipeline`) to swap it in; never compact in place.
+    *
+    * Returns the number of output files planned. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                outDir: String, targetFileBytes: Long): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive: $targetFileBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nOut = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    spark.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut
+  }
 }

@@ -333,11 +333,38 @@ object Similarity {
     * centroids ([[kmeansCentroids]]) without touching the contract. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int, nProbe: Int,
-              fitIters: Int = 0): DataFrame = {
+              fitIters: Int = 0): DataFrame =
+    ivfTopKFiltered(corpus, queries, idCol, vecCol, lit(true), k, nCells,
+      nProbe, fitIters)
+
+  /** Filtered IVF ANN — [[ivfTopK]] with a candidate-eligibility predicate:
+    * top-k nearest AMONG corpus vectors satisfying `predicate`, the
+    * filtered-search mode every production vector store needs (search
+    * within a class / tenant / date slice).
+    *
+    * PRE-filter semantics: eligibility restricts candidates BEFORE scoring,
+    * so the result is a full k from the eligible set (POST-filtering a
+    * k-list instead returns arbitrarily fewer — the classic recall bug).
+    * The index side keeps prebuilt-index semantics: centroids are fit on
+    * the UNFILTERED corpus (an index is not re-fit per query predicate);
+    * the predicate then filters the corpus before cell assignment — on a
+    * parquet-backed corpus a simple predicate lands in `PushedFilters`
+    * (PlanSpec pins it for the catalog row), so ineligible vectors die at
+    * the scan and never reach the probe join's exchange.
+    *
+    * Recall caveat (the textbook filtered-ANN trap): a selective predicate
+    * thins every probed cell, so a fixed nProbe explores fewer eligible
+    * candidates — raise nProbe as selectivity rises. The exactness contract
+    * is unchanged: nProbe = nCells returns exactly the brute force over the
+    * eligible subset, for ANY centroid set (the DuckDB oracle checks it). */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, predicate: Column, k: Int, nCells: Int,
+                      nProbe: Int, fitIters: Int = 0): DataFrame = {
     val cents =
       if (fitIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, fitIters)
       else centroidArray(corpus, idCol, vecCol, nCells)
-    val assigned = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val assigned = corpus.where(predicate)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
     val probes = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -127,6 +127,24 @@ class PlanSpec extends SparkSpec {
       s"hash-keyed span dedup must exchange fewer bytes: $hashed vs $texted")
   }
 
+  test("sim_topk_ivf_filtered: eligibility predicate reaches the parquet scan") {
+    val p = plan("sim_topk_ivf_filtered")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,2)"),
+      s"label predicate not pushed to the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("q_funnel_depth: step filter reaches the scan; one exchange, no window") {
+    val p = plan("q_funnel_depth")
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      s"step isin-filter not pushed to the events scan:\n$p")
+    // presentation orderBy adds a rangepartitioning exchange; the fold
+    // itself must cost exactly the one user-keyed hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"funnel fold must cost exactly one user-keyed exchange:\n$p")
+    assert(!p.contains("Window"), s"no window in the funnel fold:\n$p")
+  }
+
   test("q_bloom_join: probe rows are bloom-filtered before the join") {
     val p = plan("q_bloom_join")
     assert(p.contains("graft_bloom_might_contain"),

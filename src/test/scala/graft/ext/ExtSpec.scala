@@ -425,6 +425,26 @@ class ExtSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.subsetOf(bf2))
   }
 
+  test("ivfTopKFiltered: full probing equals brute force over the eligible subset") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.where(col("vec_id") < 3)
+    val pred = col("label") === 2
+    val filtered = Similarity.ivfTopKFiltered(e, q, "vec_id", "embedding",
+        predicate = pred, k = 10, nCells = 8, nProbe = 8, fitIters = 2)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(e.where(pred), q, "vec_id", "embedding",
+        k = 10)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(filtered === bf,
+      "pre-filter + full probe must equal brute force over eligible vectors")
+    // every neighbor is eligible, and the list is a FULL k (pre-filter, not
+    // a thinned post-filtered list — eligible count >> k here)
+    val ids = filtered.map(_._3)
+    val eligible = e.where(pred).select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf(eligible))
+    assert(filtered.groupBy(_._1).forall(_._2.size === 10))
+  }
+
   test("ivf: centroid-literal cell assignment is exchange-free and correct") {
     val cents = Similarity.centroidArray(vecs, "vec_id", "embedding", 2)
     val assigned = vecs

@@ -68,4 +68,44 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet"))
+
+  test("compactTo collapses a fragmented table, content byte-identical") {
+    val root = tmpDir("compact")
+    val frag = s"$root/frag"
+    val packed = s"$root/packed"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(20).write.parquet(frag)
+    val nFragFiles = parquetFiles(frag).size
+    assert(nFragFiles === 20, "fragmentation setup")
+    val totalBytes = parquetFiles(frag).map(_.length()).sum
+
+    // target ≈ a third of the table: expect ceil(total/target) = 3 files
+    val n = Layout.compactTo(spark, frag, packed, (totalBytes + 2) / 3)
+    assert(n === 3)
+    assert(parquetFiles(packed).size === 3)
+    // content identical as a multiset
+    val a = docs.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val b = spark.read.parquet(packed).collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(a === b, "compaction must preserve content exactly")
+
+    // a target above the table size packs to a single file
+    val one = s"$root/one"
+    assert(Layout.compactTo(spark, frag, one, 1L << 40) === 1)
+    assert(parquetFiles(one).size === 1)
+  }
+
+  test("compactTo is shuffle-free: the rewrite plan has no Exchange") {
+    val root = tmpDir("compact_plan")
+    val frag = s"$root/frag"
+    spark.range(1000).toDF("id").repartition(8).write.parquet(frag)
+    val plan = spark.read.parquet(frag).coalesce(2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Coalesce") && !plan.contains("Exchange"),
+      s"compaction must coalesce, never exchange:\n$plan")
+  }
 }
