@@ -1031,6 +1031,26 @@ object ExtQueries {
         .orderBy("user_id", "event_id")
     }),
 
+    // CDC changelog apply (the general MERGE): a synthetic I/U/D changelog
+    // derived from orders (latest o_orderkey per customer wins; every 37th
+    // orderkey is a delete) merged into the customer snapshot. The oracle
+    // restates compact-then-apply with QUALIFY + anti-select + union — any
+    // wrong survivor (stale seq, resurrected delete, dropped untouched
+    // key) hash-fails.
+    "etl_cdc_apply" -> ((s, d) => {
+      val base = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_name").as("name"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val changes = t(s, d, "orders").select(col("o_custkey").as("k"),
+        col("o_orderkey").as("seq"),
+        when(pmod(col("o_orderkey"), lit(37)) === 0, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        concat(lit("upd_"), col("o_orderkey")).as("name"),
+        col("o_totalprice").cast("decimal(18,2)").as("bal"))
+      graft.etl.Cdc.applyChangelog(base, changes, Seq("k"), "seq", "op")
+        .orderBy("k")
+    }),
+
     // Per-key minute-grid gap fill with carry-forward: densify each user's
     // day-1 event stream onto its observed minute span — the resampling
     // step between raw telemetry and evenly-spaced consumers. Carried raw
@@ -2499,6 +2519,21 @@ object ExtQueries {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    "etl_cdc_apply" ->
+      """WITH base AS (SELECT c_custkey AS k, c_name AS name,
+        |    c_acctbal::DECIMAL(18,2) AS bal FROM customer),
+        |ch AS (SELECT o_custkey AS k, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 37 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    'upd_' || o_orderkey AS name, o_totalprice::DECIMAL(18,2) AS bal
+        |  FROM orders),
+        |latest AS (SELECT * FROM ch QUALIFY
+        |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+        |SELECT k, name, bal FROM base
+        |  WHERE k NOT IN (SELECT k FROM latest)
+        |UNION ALL
+        |SELECT k, name, bal FROM latest WHERE op <> 'D'
+        |ORDER BY k""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT p.user_id, p.event_id AS p_id,

@@ -352,6 +352,37 @@ object Queries {
         .orderBy("day")
     }),
 
+    // unpivot (melt) — the inverse of q_pivot: wide metric columns to
+    // (key, metric, value) rows. Both engines emit the source column NAME
+    // as the discriminator, so the contract is checked end-to-end.
+    "q_unpivot" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").cast("double").as("retail"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+          "metric", "value")
+        .orderBy("p_partkey", "metric")
+    }),
+
+    // explicit GROUPING SETS (rollup/cube are the degenerate cases): the
+    // two one-dimension margins plus the grand total, with grouping()
+    // indicators so an aggregated-away NULL is distinguishable from a
+    // data NULL — the portable way to label grouping-set output.
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gsets")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+          count(*) AS n,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority,
+          o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
     // rank-function breadth: rank/dense_rank/cume_dist over the VALUE order
     // (deterministic under ties — they depend only on the ordering values)
     // and ntile over a fully tie-broken order (ntile depends on row
@@ -600,6 +631,24 @@ object Queries {
         |  count(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        |  SELECT p_partkey, p_size::DOUBLE AS size,
+        |    p_retailprice::DOUBLE AS retail FROM part)
+        |UNPIVOT (value FOR metric IN (size, retail))
+        |ORDER BY p_partkey, metric""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus)::INT AS g_status,
+        |  grouping(o_orderpriority)::INT AS g_priority,
+        |  count(*)::BIGINT AS n,
+        |  (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_priority,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q_rank_funcs" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal::DECIMAL(18,2) AS bal,
         |  (rank() OVER wv)::INT AS rnk,
@@ -640,5 +689,7 @@ object Queries {
     "sim_topk", "sim_topk_lsh", "text_tokens", "text_fingerprint",
     "q_asof_join", "q_session_window", "q_sketch_distinct",
     "dedup_incremental", "text_lm_score", "etl_scd2",
-    "etl_scd2_resolve", "q_stream_stream_join")
+    "etl_scd2_resolve", "q_stream_stream_join",
+    "q_bloom_join", "q_funnel_depth", "sim_topk_ivf_filtered",
+    "text_bm25_topk", "sim_hybrid_topk")
 }
