@@ -334,12 +334,16 @@ object ExtQueries {
     // corpus) — PRE-filter semantics (a full k from the eligible set, not a
     // thinned post-filtered list), centroids still fit on everything
     // (prebuilt-index semantics). nProbe = nCells keeps the exactness
-    // contract, so the oracle is the brute force over the eligible subset.
+    // contract, so the oracle is the brute force over the eligible subset —
+    // and exactness under full probe holds for ANY centroid set, so this
+    // headline row skips the k-means fit (fitIters = 0): it measures the
+    // filtered SEARCH path, not the index build the `sim_topk_ivf` row
+    // already exercises (a prebuilt index is not re-fit per query batch).
     "sim_topk_ivf_filtered" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopKFiltered(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", predicate = col("label") === 2,
-          k = 10, nCells = 8, nProbe = 8, fitIters = 2)
+          k = 10, nCells = 8, nProbe = 8)
         .orderBy("query_id", "rank")
     }),
 
@@ -432,6 +436,28 @@ object ExtQueries {
         .select(col("key").as("user_id"), col("attr").as("event_type"),
           col("valid_from"), col("valid_to"), col("version"))
         .orderBy("user_id", "version")
+    }),
+
+    // Streaming funnel, batch-driven: the full transition set (every
+    // depth advance with its time), which the oracle restates as the
+    // union of the iterative join chain's per-step rows — each s_k CTE is
+    // literally the set of depth-k transitions. Cross-micro-batch state
+    // continuation is MemoryStream-tested in EventTimeSpec.
+    "q_streaming_funnel" -> ((s, d) => {
+      import s.implicits._
+      val step = when(col("event_type") === "signup", 1)
+        .when(col("event_type") === "view", 2)
+        .when(col("event_type") === "purchase", 3)
+      val evs = t(s, d, "events")
+        .where(col("event_type").isin("signup", "view", "purchase"))
+        .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts"),
+          step.cast("int").as("step"))
+        .as[EventTimeOps.StepEvent]
+      EventTimeOps.streamingFunnel(evs, 3).toDF()
+        .select(col("key").as("user_id"), col("depth"),
+          date_format(timestamp_micros(col("ts")), "yyyyMMddHHmmss.SSSSSS")
+            .as("t"))
+        .orderBy("user_id", "depth")
     }),
 
     // Watermarked stream-stream interval join, batch-driven: every view of
@@ -2534,6 +2560,22 @@ object ExtQueries {
         |UNION ALL
         |SELECT k, name, bal FROM latest WHERE op <> 'D'
         |ORDER BY k""".stripMargin,
+
+    "q_streaming_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT user_id, depth, t FROM (
+        |  SELECT user_id, 1::INT AS depth,
+        |    strftime(t1, '%Y%m%d%H%M%S.%f') AS t FROM s1
+        |  UNION ALL SELECT user_id, 2, strftime(t2, '%Y%m%d%H%M%S.%f') FROM s2
+        |  UNION ALL SELECT user_id, 3, strftime(t3, '%Y%m%d%H%M%S.%f') FROM s3)
+        |ORDER BY user_id, depth""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT p.user_id, p.event_id AS p_id,

@@ -309,4 +309,66 @@ object EventTimeOps {
           }
       }
   }
+
+  final case class StepEvent(key: Long, ts: Long, step: Int)
+  final case class FunnelTransition(key: Long, depth: Int, ts: Long)
+  final case class FunnelOpen(depth: Int, ts: Long)
+
+  /** Streaming ordered funnel — the stateful twin of
+    * [[graft.ext.Funnel.funnelDepth]]: track each key's progress through a
+    * fixed step sequence continuously, emitting a transition row
+    * `(key, depth, ts)` the moment the funnel advances (transitions are
+    * final under earliest-transition semantics the instant they happen, so
+    * append mode emits them immediately — no watermark needed for
+    * finality). Keyed state is two fields (depth, last transition ts) per
+    * key — bounded by key cardinality, not event volume, and FAR smaller
+    * than buffering events.
+    *
+    * Input events carry the 1-based index of their step in the funnel
+    * (resolve `event_type` → index before grouping; non-step events should
+    * be filtered out — they would be ignored but still shuffle).
+    *
+    * The transition set equals the batch operator's chain (`t_{k+1} = min
+    * ts STRICTLY after t_k`; the deepest transition per key is exactly
+    * [[graft.ext.Funnel.funnelDepth]]'s row — EventTimeSpec pins the
+    * equivalence, and the batch-driven catalog twin `q_streaming_funnel`
+    * oracle-checks the full transition set against DuckDB's iterative join
+    * chain), under the same cross-batch contract as [[streamingScd2]]: per
+    * key, a batch never carries a ts smaller than an already-processed
+    * batch's (within a micro-batch, order is free — the group sorts by
+    * (ts, step) before folding). A step re-observed at the current depth
+    * advances nothing and emits nothing, so replays are harmless.
+    *
+    * `idleTimeout` evicts a key's progress: correct only for retired keys
+    * (a re-appearing key would restart at depth 0). */
+  def streamingFunnel(events: Dataset[StepEvent], nSteps: Int,
+                      idleTimeout: Option[String] = None)
+      : Dataset[FunnelTransition] = {
+    require(nSteps >= 1, s"nSteps must be positive: $nSteps")
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FunnelOpen, FunnelTransition](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts, e.step))
+            val out = List.newBuilder[FunnelTransition]
+            var cur = state.getOption.getOrElse(FunnelOpen(0, Long.MinValue))
+            sorted.foreach { e =>
+              if (cur.depth < nSteps && e.step == cur.depth + 1 &&
+                  (cur.depth == 0 || e.ts > cur.ts)) {
+                cur = FunnelOpen(cur.depth + 1, e.ts)
+                out += FunnelTransition(key, cur.depth, e.ts)
+              }
+            }
+            if (cur.depth > 0) state.update(cur)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -187,4 +187,43 @@ class ExtPropertySpec extends SparkSpec {
       assert(split.getOrElse("test", 0L) === small.size.toLong)
     }
   }
+
+  test("funnelDepth equals the iterative join chain on random event logs") {
+    // the operator's fold and the textbook formulation (t_{k+1} = min ts
+    // strictly after t_k, anchored at the FIRST step-1) must agree on any
+    // log — including repeated steps, ties, and out-of-order generation
+    val steps = Seq("s1", "s2", "s3")
+    val logGen: Gen[List[(Long, String, Long)]] = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 6L)
+        step <- Gen.oneOf("s1", "s2", "s3", "noise")
+        ts <- Gen.choose(1L, 20L) // small range forces ties
+      } yield (user, step, ts))
+    } yield evs
+    forSamples(logGen, n = 12) { evs =>
+      val df = evs.map { case (u, s, t) => (u, s, new java.sql.Timestamp(t * 1000)) }
+        .toDF("user_id", "event_type", "ts")
+      val got = Funnel.funnelDepth(df, "user_id", "event_type", "ts", steps)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2).getTime / 1000))
+        .toSet
+      // independent reimplementation: per-user iterative min-after chain
+      val byUser = evs.groupBy(_._1)
+      val expected = byUser.flatMap { case (u, rows) =>
+        def minAfter(step: String, after: Option[Long]): Option[Long] = {
+          val ts = rows.collect {
+            case (_, s, t) if s == step && after.forall(t > _) => t
+          }
+          if (ts.isEmpty) None else Some(ts.min)
+        }
+        minAfter("s1", None).map { t1 =>
+          val t2 = minAfter("s2", Some(t1))
+          val t3 = t2.flatMap(t => minAfter("s3", Some(t)))
+          val (depth, t) = t3.map((3, _)).orElse(t2.map((2, _))).getOrElse((1, t1))
+          (u, depth, t)
+        }
+      }.toSet
+      assert(got === expected, s"log: $evs")
+    }
+  }
 }

@@ -243,6 +243,51 @@ class EventTimeSpec extends SparkSpec {
     assert(batchClosed === got)
   }
 
+  test("streamingFunnel advances depth across micro-batches, replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventTimeOps.StepEvent]
+    val trans = EventTimeOps.streamingFunnel(in.toDS(), nSteps = 3)
+    val q = trans.writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+
+    // batch 1 (unsorted on purpose): k1 reaches depth 2 (step1@10, a decoy
+    // step2@5 BEFORE step1 must not fire, step2@20); k2 step2-only → nothing
+    in.addData(EventTimeOps.StepEvent(1L, 20L, 2),
+      EventTimeOps.StepEvent(1L, 5L, 2),
+      EventTimeOps.StepEvent(1L, 10L, 1),
+      EventTimeOps.StepEvent(2L, 10L, 2))
+    q.processAllAvailable()
+    // batch 2: k1 completes via state carried from batch 1; a replayed
+    // step1@10 and a stale step2@15 (before the recorded depth-2 time?
+    // no — AFTER depth advanced past it) emit nothing
+    in.addData(EventTimeOps.StepEvent(1L, 30L, 3),
+      EventTimeOps.StepEvent(1L, 10L, 1),
+      EventTimeOps.StepEvent(2L, 15L, 2))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("funnel_sink")
+      .select("key", "depth", "ts").as[(Long, Int, Long)]
+      .collect().sorted.toSeq
+    assert(got === Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L)))
+
+    // deepest transition per key == the batch operator's row
+    val batch = graft.ext.Funnel.funnelDepth(
+        Seq((1L, "s1", new java.sql.Timestamp(10L)),
+          (1L, "s2", new java.sql.Timestamp(5L)),
+          (1L, "s2", new java.sql.Timestamp(20L)),
+          (1L, "s3", new java.sql.Timestamp(30L)),
+          (2L, "s2", new java.sql.Timestamp(10L)),
+          (2L, "s2", new java.sql.Timestamp(15L)))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("s1", "s2", "s3"))
+      .select(col("user_id"), col("steps_completed"),
+        col("t_reached").cast("long")).as[(Long, Int, Long)]
+      .collect().sorted.toSeq
+    val deepest = got.groupBy(_._1).map(_._2.maxBy(_._2)).toSeq.sorted
+    assert(batch.map(t => (t._1, t._2)) === deepest.map(t => (t._1, t._2)))
+  }
+
   test("sessionCounts merges events within the gap, batch mode") {
     val df = Seq(
       (1L, ts("10:00")), (1L, ts("10:05")), // one session
