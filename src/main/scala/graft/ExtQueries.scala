@@ -931,6 +931,25 @@ object ExtQueries {
         .orderBy("band_type")
     }),
 
+    // Interval-overlap join (interval × interval, the range-join general
+    // form): signup value-windows × error value-windows. Bucketized to an
+    // equi-join on the cell, pairs emitted only in their overlap-start
+    // cell (exactly-once without a distinct); the oracle is the plain
+    // inequality join, so any duplicate or dropped pair hash-fails.
+    "q_interval_overlap" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("a_id"), col("value").as("a_lo"),
+          (col("value") + 15.0).as("a_hi"))
+      val b = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("b_id"), col("value").as("b_lo"),
+          (col("value") + 10.0).as("b_hi"))
+      RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi",
+          bucketWidth = 20.0)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Gap-based session windows (built-in session_window; identical code
     // runs over readStream with a watermark — see EventTimeSpec).
     "q_session_window" -> ((s, d) => {
@@ -2302,6 +2321,15 @@ object ExtQueries {
         |SELECT user_id, strftime(min(ts), '%Y%m%d%H%M%S.%f') AS session_start,
         |  count(*)::BIGINT AS n
         |FROM y GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_interval_overlap" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM (SELECT event_id, value AS lo, value + 15.0 AS hi FROM events
+        |      WHERE event_type = 'signup') a
+        |JOIN (SELECT event_id, value AS lo2, value + 10.0 AS hi2 FROM events
+        |      WHERE event_type = 'error') b
+        |  ON a.lo < b.hi2 AND b.lo2 < a.hi
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_funnel_depth" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -134,6 +134,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("q_interval_overlap: bucketized to an equi-join, no product") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must stay a cell-keyed equi-join:\n$p")
+  }
+
   test("q_funnel_depth: step filter reaches the scan; one exchange, no window") {
     val p = plan("q_funnel_depth")
     assert(p.contains("PushedFilters") && p.contains("In(event_type"),

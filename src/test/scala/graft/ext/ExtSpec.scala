@@ -704,6 +704,28 @@ class ExtSpec extends SparkSpec {
     assert(naive.count() > 0)
   }
 
+  test("intervalOverlap equals the naive cross-join filter, exactly once") {
+    // overlaps spanning many shared cells (wide × wide) must emit ONCE;
+    // touching endpoints (a.hi == b.lo, half-open) must not match
+    val a = Seq((1L, 0.0, 30.0), (2L, 10.0, 12.0), (3L, 50.0, 51.0),
+      (4L, 90.0, 100.0)).toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 5.0, 40.0), (11L, 11.0, 11.5), (12L, 30.0, 35.0),
+      (13L, 100.0, 110.0)).toDF("b_id", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    for (w <- Seq(3.0, 7.0, 100.0)) {
+      val got = RangeJoin.intervalOverlap(a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === naive, s"bucketWidth $w")
+    }
+    // sanity on the fixture: multi-cell overlap present, touch excluded
+    assert(naive.contains((1L, 10L)) && !naive.contains((1L, 13L)))
+    assert(!naive.contains((4L, 13L)), "a.hi == b.lo must not overlap")
+  }
+
   // ─────────────────────────── SkewJoin ───────────────────────────────────
 
   test("saltedEquiJoin is semantically identical to the plain join") {
