@@ -392,6 +392,9 @@ object Queries {
     // n_part (the partition size, the denominator) — because a raw
     // window-produced DOUBLE is the one value class whose engine formatting
     // can differ even when the data is identical; cume_dist = n_le / n_part.
+    // The balance itself is emitted integer-exact as cents (DECIMAL(18,2)
+    // × 100 → BIGINT): every hashed column is INT/BIGINT/STRING, the
+    // catalog's portable-value discipline — no raw DECIMAL/DOUBLE surface.
     "q_rank_funcs" -> ((s, d) => {
       val wv = Window.partitionBy(col("c_mktsegment"))
         .orderBy(money(col("c_acctbal")).desc)
@@ -399,7 +402,7 @@ object Queries {
         .orderBy(money(col("c_acctbal")).desc, col("c_custkey"))
       t(s, d, "customer")
         .select(col("c_custkey"), col("c_mktsegment"),
-          money(col("c_acctbal")).as("bal"),
+          (money(col("c_acctbal")) * 100).cast("long").as("bal_cents"),
           rank().over(wv).as("rnk"),
           dense_rank().over(wv).as("drnk"),
           count(lit(1)).over(wv.rangeBetween(Window.unboundedPreceding, Window.currentRow))
@@ -650,7 +653,8 @@ object Queries {
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q_rank_funcs" ->
-      """SELECT c_custkey, c_mktsegment, c_acctbal::DECIMAL(18,2) AS bal,
+      """SELECT c_custkey, c_mktsegment,
+        |  (c_acctbal::DECIMAL(18,2) * 100)::BIGINT AS bal_cents,
         |  (rank() OVER wv)::INT AS rnk,
         |  (dense_rank() OVER wv)::INT AS drnk,
         |  (count(*) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal::DECIMAL(18,2) DESC
