@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Funnel, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -356,6 +356,23 @@ object ExtQueries {
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
           k = 5, bits = 6)
         .orderBy("id", "rank")
+    }),
+
+    // Link-graph centrality for corpus curation (the Common-Crawl-style
+    // host ranking that feeds web-scale quality gates): integer fixed-point
+    // PageRank over the bidirectional customer<->supplier trade graph, 3
+    // iterations. Every arithmetic step is exact BIGINT (truncating div),
+    // so the fixed-iteration run is restated verbatim in the oracle as
+    // unrolled CTEs — no float reduction order anywhere. Supplier nodes are
+    // offset by 10^6 to disambiguate the shared integer key space.
+    "graph_pagerank" -> ((s, d) => {
+      val oj = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val fwd = oj.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      val e = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankExact(e, "src", "dst", iters = 3).orderBy("node")
     }),
 
     // PQ-compressed ANN via asymmetric distance computation: the corpus is
@@ -1259,6 +1276,26 @@ object ExtQueries {
         .orderBy("day")
     }),
 
+    // ORC sink + scan round-trip — the third columnar/source format next to
+    // CSV and JSON-lines: Spark's native ORC writer+reader (vectorized,
+    // predicate-pushdown-capable like parquet), gated by an oracle that
+    // aggregates the ORIGINAL rows, so type or timestamp infidelity across
+    // the format boundary breaks the hash. The read-back filter runs on the
+    // ORC scan itself, where ORC's min/max stripe stats can serve it.
+    "etl_orc_roundtrip" -> ((s, d) => {
+      val tmp = scratchDir("graft_orc_rt", d)
+      t(s, d, "events").where(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .where(col("event_type") =!= "error")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          date_format(max(col("ts")), "yyyyMMddHHmmss.SSSSSS").as("max_ts"))
+        .orderBy("event_type")
+    }),
+
     // JSON-lines sink + scan round-trip with an explicit schema — source-
     // format breadth next to the CSV round-trip; the oracle aggregates the
     // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
@@ -2115,6 +2152,34 @@ object ExtQueries {
          |  contains(text, '{') AS has_brace
          |  FROM documents) ORDER BY doc_id""".stripMargin,
 
+    "graph_pagerank" ->
+      """WITH eb AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+        |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+        |s1 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s1 s ON s.node = n.node),
+        |s2 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s2 s ON s.node = n.node),
+        |s3 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
     "sim_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
@@ -2374,6 +2439,13 @@ object ExtQueries {
       """SELECT event_type, count(*)::BIGINT AS n, min(props) AS min_props,
         |  count(DISTINCT props)::BIGINT AS n_props
         |FROM events WHERE event_id % 7 = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "etl_orc_roundtrip" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value,
+        |  strftime(max(ts), '%Y%m%d%H%M%S.%f') AS max_ts
+        |FROM events WHERE event_id % 13 = 0 AND event_type <> 'error'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "etl_json_roundtrip" ->

@@ -1661,4 +1661,54 @@ class ExtSpec extends SparkSpec {
     assert(empty.select("modality").as[String].head() === "video") // 2 % 3 → video
     assert(Multimodal.frameSample(empty).count() === 0)
   }
+
+  // ───────────────────────────── Graph ────────────────────────────────────
+
+  /** Driver-side model of [[Graph.pageRankExact]]'s integer fixed-point
+    * update — the independent twin the distributed plan must match exactly
+    * (no tolerance: every step is integer arithmetic). */
+  private def pageRankModel(edges: Seq[(Long, Long)], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val base = scale * (dampDen - dampNum) / dampDen
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val inSum = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => rank(s) / outdeg(s) }.sum
+      }
+      rank = nodes.map(n => n -> (base + dampNum * inSum.getOrElse(n, 0L) / dampDen)).toMap
+    }
+    rank
+  }
+
+  test("pageRankExact matches the integer model exactly, danglers included") {
+    // 4-node graph with a cycle, a dangler (4 has no out-edges), and a
+    // duplicate edge that must collapse before out-degree counting
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (1L, 4L), (2L, 4L))
+    val df = edges.toDF("src", "dst")
+    for (iters <- Seq(0, 1, 3)) {
+      val got = Graph.pageRankExact(df, "src", "dst", iters)
+        .as[(Long, Long)].collect().toMap
+      assert(got === pageRankModel(edges, iters), s"iters=$iters")
+    }
+  }
+
+  test("pageRankExact on a larger random graph: exact, deterministic, bounded") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    val got = Graph.pageRankExact(df, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === pageRankModel(edges, 4))
+    // a second run is bit-identical — no float reduction order anywhere
+    assert(Graph.pageRankExact(df, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap === got)
+    // every rank at least the teleport base; total mass never exceeds N·scale
+    assert(got.values.forall(_ >= 150000L))
+    assert(got.values.sum <= got.size * 1000000L)
+  }
 }
