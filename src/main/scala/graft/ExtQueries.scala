@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -600,6 +600,39 @@ object ExtQueries {
         .withColumn("n_tok", TextStats.nTokens(col("text")))
       Sampling.capPerGroupTokens(docs, "source", "doc_id", "n_tok", budget = 700)
         .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance-weight table (target = src0, raw = all documents):
+    // hashed-bigram bucket probabilities in fixed point, Laplace-smoothed
+    // over the full 64-bucket support — every value an exact BIGINT, the
+    // truncating `div` identical to DuckDB's `//`.
+    "sample_dsir_weights" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dsir.importanceWeightsFixed(docs.where(col("source") === "src0"), docs,
+          "text", nBuckets = 64)
+        .orderBy("bucket")
+    }),
+
+    // Per-document DSIR importance scores against the src0 target: explode
+    // bigrams → broadcast-join the 64-row weight table → one doc-keyed sum.
+    // Docs with no bigrams surface with score 0 (left join, not dropped).
+    "sample_dsir_scores" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val wt = Dsir.importanceWeightsFixed(
+        docs.where(col("source") === "src0"), docs, "text", nBuckets = 64)
+      Dsir.scoreDocuments(docs, "doc_id", "text", wt, nBuckets = 64)
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end DSIR selection: exact top 20% by (score desc, doc_id) —
+    // the deterministic resampling draw, ranked by range-partitioned sort +
+    // zipWithIndex (no single-partition window).
+    "sample_dsir_resample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dsir.resampleTopFraction(docs, "doc_id", "text",
+          docs.where(col("source") === "src0"), frac = 0.2, nBuckets = 64)
+        .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
 
@@ -1477,6 +1510,50 @@ object ExtQueries {
       }.mkString(" | ")
     }
 
+    // DSIR hashed-bigram fixed-point weight table (mirrors
+    // Dsir.importanceWeightsFixed at n=2, scale=2^20, denominator-only
+    // smoothing; target = src0 docs, raw = all documents). Ends in CTE
+    // `wt(bucket, pf, qf)`.
+    def dsirWeights(nBuckets: Int): String =
+      s"""tw AS (SELECT list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+         |  FROM documents WHERE source = 'src0'),
+         |rw AS (SELECT list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |tg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+         |  FROM tw WHERE len(w) >= 2),
+         |rg AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+         |  FROM rw WHERE len(w) >= 2),
+         |tc AS (SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % $nBuckets AS bucket,
+         |    count(*)::BIGINT AS cnt FROM tg GROUP BY 1),
+         |rc AS (SELECT ('0x' || substr(md5(gram), 1, 8))::BIGINT % $nBuckets AS bucket,
+         |    count(*)::BIGINT AS cnt FROM rg GROUP BY 1),
+         |sup AS (SELECT unnest(range(0, $nBuckets))::BIGINT AS bucket),
+         |wt AS (SELECT s.bucket,
+         |    ((coalesce(tc.cnt, 0) * 1048576)
+         |      // ((SELECT coalesce(sum(cnt), 0) + $nBuckets FROM tc)::BIGINT))::BIGINT AS pf,
+         |    ((coalesce(rc.cnt, 0) * 1048576)
+         |      // ((SELECT coalesce(sum(cnt), 0) + $nBuckets FROM rc)::BIGINT))::BIGINT AS qf
+         |  FROM sup s LEFT JOIN tc ON s.bucket = tc.bucket
+         |    LEFT JOIN rc ON s.bucket = rc.bucket)""".stripMargin
+
+    // per-document DSIR scores on top of dsirWeights — ends in CTE
+    // `dsir_scores(doc_id, score_fixed, n_grams)`, gram-less docs at 0
+    def dsirScores(nBuckets: Int): String =
+      s"""${dsirWeights(nBuckets)},
+         |docw AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+         |  FROM documents),
+         |docg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+         |  FROM docw WHERE len(w) >= 2),
+         |occ AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 8))::BIGINT % $nBuckets AS bucket
+         |  FROM docg),
+         |osum AS (SELECT doc_id, sum(wt.pf - wt.qf)::BIGINT AS score_fixed,
+         |    count(*)::BIGINT AS n_grams
+         |  FROM occ JOIN wt USING (bucket) GROUP BY doc_id),
+         |dsir_scores AS (SELECT d.doc_id,
+         |    coalesce(o.score_fixed, 0)::BIGINT AS score_fixed,
+         |    coalesce(o.n_grams, 0)::BIGINT AS n_grams
+         |  FROM documents d LEFT JOIN osum o USING (doc_id))""".stripMargin
+
     // integer dot product of two BIGINT[] code arrays (exact — order-free)
     def intDot(a: String, b: String): String =
       s"list_reduce(list_concat([0::BIGINT], list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
@@ -2018,6 +2095,30 @@ object ExtQueries {
          |  FROM d)
          |WHERE cum - n_tok < 700
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_dsir_weights" ->
+      s"""WITH ${Sql.dsirWeights(64)}
+         |SELECT bucket, pf, qf, (pf - qf)::BIGINT AS w
+         |FROM wt ORDER BY bucket""".stripMargin,
+
+    "sample_dsir_scores" ->
+      s"""WITH ${Sql.dsirScores(64)}
+         |SELECT doc_id, score_fixed, n_grams
+         |FROM dsir_scores ORDER BY doc_id""".stripMargin,
+
+    // exact top-20% draw: rank over (score desc, doc_id asc), keep
+    // rk <= ceil(0.2 · n) — the window restatement of the sort+zipWithIndex
+    // selection
+    "sample_dsir_resample" ->
+      s"""WITH ${Sql.dsirScores(64)},
+         |sel AS (SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY score_fixed DESC, doc_id) AS rk,
+         |      count(*) OVER () AS nn
+         |    FROM dsir_scores)
+         |  WHERE rk <= ceil(0.2 * nn))
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN sel USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "decontaminate" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words

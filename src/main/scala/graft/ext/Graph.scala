@@ -1,7 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+
+import FixedPoint.DivOps
 
 /** Link-graph analytics for corpus curation.
   *
@@ -93,18 +95,4 @@ object Graph {
     out
   }
 
-  /** Truncating integral division as a Column op (Spark's `div` operator,
-    * catalyst `IntegralDivide`), matching DuckDB's `//` on BIGINTs for the
-    * non-negative values PageRank produces — the one arithmetic primitive
-    * fixed-point ranking needs. Exposed via the expression bridge because
-    * `div` has no `functions._` form. */
-  private implicit final class DivOps(private val c: Column) {
-    def divLong(d: Column): Column = {
-      import org.apache.spark.sql.graftbridge.GraftColumnBridge
-      GraftColumnBridge.column(
-        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          GraftColumnBridge.expression(c.cast("long")),
-          GraftColumnBridge.expression(d.cast("long"))))
-    }
-  }
 }

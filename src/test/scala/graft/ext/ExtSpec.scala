@@ -1711,4 +1711,108 @@ class ExtSpec extends SparkSpec {
     assert(got.values.forall(_ >= 150000L))
     assert(got.values.sum <= got.size * 1000000L)
   }
+
+  // ───────────────────────────── Dsir ─────────────────────────────────────
+
+  private def dsirBucket(g: String, nBuckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % nBuckets
+  }
+
+  /** Driver-side integer model of Dsir scoring (same denominator-only
+    * smoothing, same truncating division — Scala `/` truncates positive
+    * longs like `div`; weights can be negative but both divisions are of
+    * non-negative operands). */
+  private def dsirModel(target: Seq[String], raw: Seq[(Long, String)],
+                        nB: Int, scale: Long): Map[Long, (Long, Long)] = {
+    def grams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def counts(ts: Seq[String]): Map[Long, Long] =
+      ts.flatMap(grams).groupBy(g => dsirBucket(g, nB))
+        .view.mapValues(_.size.toLong).toMap
+    val tc = counts(target)
+    val rc = counts(raw.map(_._2))
+    val tTot = tc.values.sum + nB
+    val rTot = rc.values.sum + nB
+    val w = (0L until nB.toLong).map(b => b ->
+      (tc.getOrElse(b, 0L) * scale / tTot -
+        rc.getOrElse(b, 0L) * scale / rTot)).toMap
+    raw.map { case (id, t) =>
+      val gs = grams(t)
+      id -> (gs.map(g => w(dsirBucket(g, nB))).sum, gs.size.toLong)
+    }.toMap
+  }
+
+  // the realistic DSIR setup: the target is a slice OF the raw mixture —
+  // docs 1-5 are the target domain, 6-10 junk, 11 degenerate, 12 a
+  // normalization probe (case + runs of spaces)
+  private lazy val dsirRaw = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta epsilon zeta"),
+    (3L, "gamma delta alpha beta"),
+    (4L, "beta gamma delta epsilon"),
+    (5L, "alpha beta gamma epsilon"),
+    (6L, "totally unrelated junk text here"),
+    (7L, "lorem ipsum dolor sit amet"),
+    (8L, "spark shuffle partition exchange codegen"),
+    (9L, "quarterly revenue grew nine percent"),
+    (10L, "mergers acquisitions leveraged buyout finance"),
+    (11L, "one"),                            // < 2 words: zero grams
+    (12L, "Alpha  Beta   GAMMA delta"))      // normalizes to doc 1's grams
+  private lazy val dsirTarget = dsirRaw.filter(_._1 <= 5L).map(_._2)
+
+  test("dsir scores match the integer model exactly") {
+    // 256 buckets for ~33 distinct grams: few enough collisions that the
+    // sign structure below holds (deterministic — md5 is fixed); the model
+    // equality itself is collision-agnostic
+    val nB = 256
+    val raw = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.map(Tuple1(_)).toDF("text")
+    val wt = Dsir.importanceWeightsFixed(tgt, raw, "text", nB)
+    val got = Dsir.scoreDocuments(raw, "doc_id", "text", wt, nB)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got === dsirModel(dsirTarget, dsirRaw, nB, 1L << 20))
+    // the degenerate doc is PRESENT at score 0, not dropped
+    assert(got(11L) === ((0L, 0L)))
+    // normalization: doc 12 == doc 1 gram-for-gram, so scores are equal
+    assert(got(12L) === got(1L))
+    // selection pressure: every target-domain doc outranks every junk doc
+    val tgtScores = (1L to 5L).map(got(_)._1)
+    val junkScores = (6L to 10L).map(got(_)._1)
+    assert(tgtScores.min > junkScores.max,
+      s"target $tgtScores vs junk $junkScores")
+    // junk docs are strictly negative under centered smoothing: every one
+    // of their grams has tcnt = 0, so its weight is −rcnt·scale div R < 0.
+    // (No symmetric claim for target docs — their sign depends on the
+    // target-vs-raw mixture proportions and the smoothing mass.)
+    assert(junkScores.forall(_ < 0))
+  }
+
+  test("dsir resampleTopFraction kept set equals the score-order window twin") {
+    val nB = 32
+    val raw = dsirRaw.toDF("doc_id", "text")
+    val tgt = dsirTarget.map(Tuple1(_)).toDF("text")
+    for (frac <- Seq(0.3, 0.5, 1.0)) {
+      val kept = Dsir.resampleTopFraction(raw, "doc_id", "text", tgt, frac,
+          nBuckets = nB)
+        .select("doc_id").as[Long].collect().toSet
+      val model = dsirModel(dsirTarget, dsirRaw, nB, 1L << 20)
+      val want = dsirRaw.map(_._1)
+        .sortBy(id => (-model(id)._1, id))
+        .take(math.ceil(frac * dsirRaw.size).toInt).toSet
+      assert(kept === want, s"frac=$frac")
+    }
+  }
+
+  test("dsir ngrams guard short text (no descending-sequence phantoms)") {
+    val out = Seq(("", 0), ("one", 0), ("one two", 1), ("a  b   c", 2))
+      .toDF("text", "want")
+      .select(size(Dsir.ngrams(col("text"), 2)).as("got"), col("want"))
+      .as[(Int, Int)].collect()
+    out.foreach { case (got, want) => assert(got === want) }
+  }
 }
