@@ -249,6 +249,16 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // EXACT word-set Jaccard >= 1/2 pairs via prefix filtering (PPJoin
+    // family) — no blocking key, no false negatives; the oracle is the
+    // exhaustive all-pairs scan, so a single missed or phantom pair
+    // hash-fails. Evidence is integer-exact (intersection/union counts).
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          thresholdNum = 1L, thresholdDen = 2L)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Blocked edit-distance near-dup: quadratic within a block, so the demo
     // models the documented STRONG-blocking contract — (length bucket ×
     // first token), under which edit-dist<=50 survivors are near-identical
@@ -1879,6 +1889,23 @@ object ExtQueries {
          |FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // exhaustive exact restatement: the prefix filter is a Spark-side
+    // optimization with a no-false-negative theorem, so the oracle checks
+    // the SEMANTICS (all qualifying pairs) against a full quadratic scan
+    "dedup_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS ts
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, ts FROM w WHERE len(ts) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.ts, b.ts))::BIGINT AS inter_cnt,
+        |  (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))::BIGINT AS union_cnt
+        |FROM w2 a JOIN w2 b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.ts, b.ts))
+        |  >= (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // the (length bucket × first token) block restated as a two-condition
     // equi-join — injective vs the Spark side's "len|tok" key (the int

@@ -918,6 +918,94 @@ object Dedup {
       .where(col("edit_dist") =!= -1)
   }
 
+  /** EXACT set-similarity self-join via prefix filtering — the PPJoin-family
+    * algorithm (Chaudhuri et al. SSJoin 2006, Xiao et al. PPJoin 2008):
+    * every (a < b) pair of documents whose word SETS have Jaccard >=
+    * `thresholdNum / thresholdDen`, with NO false negatives and no blocking
+    * key. This is the exact complement to the estimate-based families here
+    * ([[nearDuplicates]] can miss a true pair with signature probability;
+    * [[blockedNgramPairs]] only sees pairs sharing a caller-chosen block) —
+    * prefix filtering gets exactness from a theorem instead of a budget:
+    *
+    * Order every document's tokens by ascending document frequency (rarest
+    * first, ties by token). With `s` tokens and threshold `t`, a Jaccard
+    * match needs overlap `>= ceil(t·s)` with ANY partner (union >= either
+    * size), so the intersection cannot fit inside the last `ceil(t·s) − 1`
+    * tokens of either side: two matching documents MUST share a token in
+    * their first `s − ceil(t·s) + 1` tokens. Candidates are therefore an
+    * equi-join on PREFIX tokens only, and the df-ascending order puts the
+    * rarest — least-joinable — tokens in the prefix: a stopword-class token
+    * lands in a prefix only for documents that are almost entirely
+    * stopwords. A size filter (`den·min >= num·max` — a match's sizes are
+    * within the threshold's ratio) prunes candidates before verification.
+    *
+    * The threshold is a RATIONAL `num/den`, and the verdict is the integer
+    * cross-multiplication `den·|a∩b| >= num·|a∪b|` — no float division on
+    * the gate, so the emitted evidence (`inter_cnt`, `union_cnt`) is
+    * integer-exact and engine-portable. Output: (a_id, b_id, inter_cnt,
+    * union_cnt).
+    *
+    * Scale shape: the df table is a vocabulary-sized aggregation; the
+    * ordering join is token-keyed; the candidate join is keyed on prefix
+    * tokens (shuffle = prefix occurrences, not documents²); verification
+    * joins the candidate PAIR LIST back to the token-array frame by id —
+    * token arrays cross the verify exchange once per candidate side rather
+    * than riding every prefix-token row. Degenerate corpora (one token in
+    * every document) are quadratic — as they are for any exact algorithm,
+    * since the true result itself is quadratic there.
+    *
+    * Documents with zero (non-empty) tokens are excluded: their Jaccard
+    * against anything is 0/undefined and they would otherwise pair with
+    * nothing anyway. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         thresholdNum: Long = 1L, thresholdDen: Long = 2L,
+                         scope: CacheScope = null): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
+    import FixedPoint.DivOps
+    val occ = df
+      .select(col(idCol),
+        explode(array_distinct(filter(words(col(textCol)),
+          t => length(t) > 0))).as("token"))
+    val tdf = occ.groupBy(col("token")).agg(count(lit(1)).as("tdf"))
+    // per-document tokens sorted by (df asc, token asc) — a strict total
+    // order (tokens are distinct within a doc), so prefixes are
+    // deterministic; struct sort is lexicographic by field position
+    val ordered = occ.join(tdf, "token")
+      .groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("tdf"), col("token")))),
+        s => s.getField("token")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sz = size(col("ts")).cast("long")
+    // prefix length p = s − ceil(t·s) + 1, integer-exact:
+    // ceil(num·s / den) = (num·s + den − 1) div den; 1 <= p <= s for t <= 1
+    val p = (sz - (sz * lit(thresholdNum) + lit(thresholdDen - 1))
+      .divLong(lit(thresholdDen)) + lit(1L))
+    val pref = ordered.select(col(idCol), sz.as("sz"),
+      explode(slice(col("ts"), lit(1), p.cast("int"))).as("token"))
+    val cand = pref.select(col("token"), col(idCol).as("a_id"), col("sz").as("sa"))
+      .join(pref.select(col("token"), col(idCol).as("b_id"), col("sz").as("sb")),
+        Seq("token"))
+      .where(col("a_id") < col("b_id") &&
+        lit(thresholdDen) * least(col("sa"), col("sb")) >=
+          lit(thresholdNum) * greatest(col("sa"), col("sb")))
+      .select(col("a_id"), col("b_id"))
+      .distinct() // a pair can share several prefix tokens
+    val out = cand
+      .join(ordered.select(col(idCol).as("a_id"), col("ts").as("_ta")), "a_id")
+      .join(ordered.select(col(idCol).as("b_id"), col("ts").as("_tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("_ta"), col("_tb"))).cast("long").as("inter_cnt"),
+        (size(col("_ta")) + size(col("_tb"))).cast("long").as("_sab"))
+      .select(col("a_id"), col("b_id"), col("inter_cnt"),
+        (col("_sab") - col("inter_cnt")).as("union_cnt"))
+      .where(lit(thresholdDen) * col("inter_cnt") >=
+        lit(thresholdNum) * col("union_cnt"))
+    if (scope != null) scope.own(ordered)
+    else releaseAfterFirstAction(ordered, out)
+    out
+  }
+
   /** Incremental dedup of a new batch against a historical store, EXACT
     * result with ZERO shuffle of the store — the continuously-ingesting
     * pipeline's workhorse (every fresh crawl must be checked against

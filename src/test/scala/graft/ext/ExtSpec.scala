@@ -1808,6 +1808,67 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  // ─────────────────────── prefixJaccardPairs ─────────────────────────────
+
+  /** Driver-side exhaustive model: all (a < b) pairs with den·inter >=
+    * num·union over distinct lowercased word sets (empty-token filtered;
+    * token-less docs excluded). */
+  private def jaccardModel(docs: Seq[(Long, String)], num: Long,
+                           den: Long): Set[(Long, Long, Long, Long)] = {
+    val sets = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ").filter(_.nonEmpty).toSet
+    }.filter(_._2.nonEmpty)
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size.toLong
+      union = sa.size + sb.size - inter
+      if den * inter >= num * union
+    } yield (a, b, inter, union)).toSet
+  }
+
+  private def prefixJaccardGot(docs: Seq[(Long, String)], num: Long,
+                               den: Long): Set[(Long, Long, Long, Long)] =
+    Dedup.prefixJaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        num, den)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("prefixJaccardPairs equals the exhaustive exact scan") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "the", "and", "of")
+    // random docs + planted near-identical pairs + stopword-heavy docs
+    val base = (1L to 40L).map(id => id ->
+      (1 to 3 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val docs = base ++ Seq(
+      101L -> "alpha beta gamma delta epsilon",
+      102L -> "alpha beta gamma delta zeta",       // J = 4/6 with 101
+      103L -> "the and of the and",                // stopword-only
+      104L -> "the and of",                        // J = 1 with 103 (same set)
+      105L -> "",                                  // token-less: excluded
+      106L -> "  alpha   beta  ")                  // run-of-spaces normalization
+    for ((num, den) <- Seq((1L, 2L), (2L, 3L), (1L, 1L))) {
+      assert(prefixJaccardGot(docs, num, den) === jaccardModel(docs, num, den),
+        s"threshold $num/$den")
+    }
+  }
+
+  test("prefixJaccardPairs catches pairs sharing only corpus-common tokens") {
+    // every doc contains 'the'; the matching pair is made ENTIRELY of the
+    // most common tokens — df-ascending prefixes must still surface it
+    val docs = Seq(
+      1L -> "the and alpha",
+      2L -> "the and beta",
+      3L -> "the and gamma",
+      4L -> "the and",
+      5L -> "the and",
+      6L -> "the delta epsilon zeta eta theta")
+    val got = prefixJaccardGot(docs, 1L, 2L)
+    assert(got === jaccardModel(docs, 1L, 2L))
+    // the all-stopword identical pair is present with exact evidence
+    assert(got.contains((4L, 5L, 2L, 2L)))
+  }
+
   test("dsir ngrams guard short text (no descending-sequence phantoms)") {
     val out = Seq(("", 0), ("one", 0), ("one two", 1), ("a  b   c", 2))
       .toDF("text", "want")
