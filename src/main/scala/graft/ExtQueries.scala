@@ -161,6 +161,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Same clusters via large-star/small-star (the O(log n)-round published
+    // algorithm for web-scale graphs) — two independent CC algorithms pinned
+    // to one oracle answer.
+    "dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text")
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-priority cluster survivors: per near-dup cluster keep the
     // highest-quality member (regex word count; ties → min doc_id) — the
     // production survivor policy (keep the cleanest copy of a duplicated
@@ -1493,6 +1503,32 @@ object ExtQueries {
 
   /** Shared SQL fragments (generated where repetitive). */
   private object Sql {
+    // MinHash-LSH near-dup pairs → recursive-reachability connected
+    // components (shared by the label-propagation row and its
+    // large/small-star twin: two independent algorithms, one oracle answer)
+    lazy val dedupClustersCc: String =
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, $wordShingles3 AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, $minhashSigs AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest($minhashBands) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+         |SELECT s AS doc_id, least(s, min(t))::BIGINT AS rep
+         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin
+
     // non-overlapping 16-token tile dedup (shared by the text-keyed
     // dedup_spans row and its hash-keyed shuffle-lean twin, which is
     // result-identical absent a 64-bit span-hash collision)
@@ -1790,28 +1826,11 @@ object ExtQueries {
          |    AND ${Sql.curationQualityPred})::BIGINT
          |ORDER BY stage""".stripMargin,
 
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE
-         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
-         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
-         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
-         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
-         |  unnest(${Sql.minhashBands}) AS v FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
-         |  AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT a_id, b_id FROM (
-         |  SELECT a_id, b_id,
-         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
-         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach(s, t) AS (SELECT s, t FROM edges
-         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
-         |SELECT s AS doc_id, least(s, min(t))::BIGINT AS rep
-         |FROM reach GROUP BY s ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> Sql.dedupClustersCc,
+
+    // identical reachability oracle: the star-alternation row must produce
+    // the exact same component labeling as the label-propagation row
+    "dedup_clusters_star" -> Sql.dedupClustersCc,
 
     // same reachability CTE as dedup_clusters, then the survivor choice
     // restated as a rank window (quality DESC, doc_id ASC) — the Spark side

@@ -854,6 +854,120 @@ object Dedup {
     labels
   }
 
+  /** Connected components by LARGE-STAR / SMALL-STAR alternation (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the O(log n)-round twin of [[duplicateClusters]]'s min-label
+    * propagation, and the published algorithm of record for web-scale
+    * graphs. Same contract: one (id, rep) row per node appearing in
+    * `pairs`, rep = the component's minimum id.
+    *
+    * Why a second algorithm for the same answer: label propagation carries
+    * a LABEL TABLE through every round — each iteration joins the full
+    * edge list against the full label frame, so per-round shuffle is
+    * O(E + V) however close to converged the graph is. The star operations
+    * rewrite the EDGE LIST itself toward its fixpoint (every component a
+    * star centered on its minimum): per-round shuffle is the current edge
+    * set, which collapses as components resolve, and convergence is
+    * O(log n) rounds on any topology — a long-path topology (web redirect
+    * chains, linked near-dup spans) costs label propagation rounds
+    * proportional to log(diameter) with its pointer-jump, each at full
+    * O(E + V) width, where the star rounds shrink with the work remaining.
+    *
+    * One round is two halves over the symmetrized neighbor view:
+    *  - LARGE-STAR: every node u links each LARGER neighbor v to
+    *    m(u) = min(N(u) ∪ u) — strictly-decreasing reattachment that
+    *    cannot lose connectivity (v stays reachable from u via m);
+    *  - SMALL-STAR: every node u links each smaller-or-equal neighbor —
+    *    and itself — to its minimum SMALLER neighbor, collapsing the
+    *    chains large-star leaves.
+    * Both emit (bigger, smaller) pairs only, so the edge set stays
+    * canonical; the fixpoint (edge set unchanged by a full round) is
+    * exactly the star forest, checked here structurally (a rep never
+    * appears as a member) before labels are emitted.
+    *
+    * Scale shape: per half-round, one hash aggregation keyed on the node
+    * (the per-node minimum) and one join keyed on the node — no label
+    * table, no window, no driver-side graph. Every round's edge frame is
+    * materialized via the same InternalRow checkpoint discipline as
+    * [[duplicateClusters]] (lineage would otherwise double per round), the
+    * superseded round released immediately. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "a_id",
+                              bCol: String = "b_id", maxIter: Int = 30,
+                              scope: CacheScope = null): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    var pendingRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    def eagerCheckpoint(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Long) = {
+      val r = df.queryExecution.toRdd.map(_.copy())
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pendingRdd = r
+      r.localCheckpoint()
+      val n = r.count() // materialize: lineage is truncated from here on
+      (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r, n)
+    }
+    // symmetric neighbor view of a canonical (x > y) edge frame
+    def nbrs(e: DataFrame): DataFrame =
+      e.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(e.select(col("y").as("u"), col("x").as("v")))
+    var edges: DataFrame = null
+    var edgeRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    var edgeCount = -1L
+    var converged = false
+    var iter = 0
+    try {
+      val first = eagerCheckpoint(
+        pairs.select(greatest(col(aCol), col(bCol)).as("x"),
+            least(col(aCol), col(bCol)).as("y"))
+          .where(col("x") =!= col("y")).distinct())
+      edges = first._1; edgeRdd = first._2; edgeCount = first._3
+      pendingRdd = null
+      while (!converged && iter < maxIter) {
+        // LARGE-STAR: (v, m(u)) for every neighbor v > u
+        val s = nbrs(edges)
+        val m = s.groupBy(col("u")).agg(min(col("v")).as("_mv"))
+          .select(col("u"), least(col("u"), col("_mv")).as("m"))
+        val large = s.where(col("v") > col("u")).join(m, "u")
+          .select(col("v").as("x"), col("m").as("y"))
+          .where(col("x") =!= col("y")).distinct()
+        // SMALL-STAR over the large-star output: every node with smaller
+        // neighbors links them — and itself — to the minimum one
+        val s1 = nbrs(large).where(col("v") < col("u"))
+        val ms = s1.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val small = s1.join(ms, "u")
+          .select(col("v").as("x"), col("m").as("y"))
+          .unionByName(ms.select(col("u").as("x"), col("m").as("y")))
+          .where(col("x") =!= col("y")).distinct()
+        val (next, nextRdd, nextCount) = eagerCheckpoint(small)
+        // fixpoint test: same canonical edge SET as last round — set sizes
+        // equal and their distinct union no larger
+        converged = nextCount == edgeCount &&
+          next.unionByName(edges).distinct().count() == nextCount
+        edgeRdd.unpersist(false)
+        edges = next; edgeRdd = nextRdd; edgeCount = nextCount
+        pendingRdd = null
+        iter += 1
+      }
+      require(converged,
+        s"connectedComponentsStar did not converge in $maxIter rounds — raise maxIter")
+      // structural star check: at the fixpoint no rep is also a member
+      require(edges.select(col("y")).distinct()
+          .join(edges.select(col("x")).distinct(),
+            col("y") === col("x"), "left_semi").isEmpty,
+        "star fixpoint violated: a component representative is itself re-attached")
+    } catch {
+      case t: Throwable =>
+        if (edgeRdd != null) edgeRdd.unpersist(false)
+        if ((pendingRdd != null) && (pendingRdd ne edgeRdd))
+          pendingRdd.unpersist(false)
+        throw t
+    }
+    val labels = edges.select(col("x").as("id"), col("y").as("rep"))
+      .unionByName(edges.select(col("y").as("id"), col("y").as("rep")).distinct())
+    if (scope != null) scope.ownRdds(Seq(edgeRdd))
+    labels
+  }
+
   /** Quality-priority survivor selection: given duplicate-cluster labels
     * ([[duplicateClusters]] output: one (id, rep) row per clustered doc) and
     * a per-document quality score, pick each cluster's BEST member — max

@@ -83,6 +83,45 @@ class ExtSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponentsStar equals label propagation on adversarial graphs") {
+    val rnd = new scala.util.Random(11)
+    // long path (diameter stress) + two bridged cliques + random noise
+    // edges + an isolated pair + star already centered on its max id
+    val path = (100L until 163L).map(i => (i, i + 1))
+    val cliques = for {
+      base <- Seq(1000L, 2000L); a <- 0L until 6L; b <- (a + 1) until 6L
+    } yield (base + a, base + b)
+    val bridge = Seq((1005L, 2000L))
+    val noise = (1 to 30).map(_ =>
+      (3000L + rnd.nextInt(40), 3000L + rnd.nextInt(40)))
+      .filter { case (a, b) => a != b }
+    val starMax = (1L to 5L).map(i => (9000L, 9000L - i)) // hub = max id
+    val pairs = (path ++ cliques ++ bridge ++ noise ++ Seq((7000L, 7001L)) ++
+      starMax).toDF("a_id", "b_id")
+    val viaStar = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaProp = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar === viaProp)
+    assert(viaStar(163L) === 100L) // far path end labeled with the path min
+    assert(viaStar(2005L) === 1000L) // bridged cliques share one component
+  }
+
+  test("connectedComponentsStar: scope owns the fixpoint; non-convergence throws") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val scope = new CacheScope
+    val got = Dedup.connectedComponentsStar(pairs, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scope.close()
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a 16-node path cannot reach its star fixpoint in one round
+    val long = (1L until 16L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(long, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   test("nearDuplicatesFast: pair set AND jaccards equal the portable md5 path") {
     val fast = Dedup.nearDuplicatesFast(docs, "doc_id", "text", threshold = 0.3)
       .as[(Long, Long, Double)].collect().toSet
