@@ -465,8 +465,9 @@ object ExtQueries {
     // so unlike the near-dup stream this row IS oracle-checkable.
     "q_streaming_scd2" -> ((s, d) => {
       import s.implicits._
-      val obs = t(s, d, "events").select(
-          col("user_id").as("key"), unix_micros(col("ts")).as("ts"),
+      val ev = t(s, d, "events")
+      val obs = ev.select(
+          col("user_id").as("key"), Queries.epochMicrosOf(ev, "ts").as("ts"),
           col("event_type").as("attr"), col("event_id").as("tie"))
         .as[EventTimeOps.ScdObs]
       EventTimeOps.streamingScd2(obs).toDF()
@@ -485,9 +486,11 @@ object ExtQueries {
       val step = when(col("event_type") === "signup", 1)
         .when(col("event_type") === "view", 2)
         .when(col("event_type") === "purchase", 3)
-      val evs = t(s, d, "events")
+      val ev0 = t(s, d, "events")
+      val evs = ev0
         .where(col("event_type").isin("signup", "view", "purchase"))
-        .select(col("user_id").as("key"), unix_micros(col("ts")).as("ts"),
+        .select(col("user_id").as("key"),
+          Queries.epochMicrosOf(ev0, "ts").as("ts"),
           step.cast("int").as("step"))
         .as[EventTimeOps.StepEvent]
       EventTimeOps.streamingFunnel(evs, 3).toDF()
@@ -949,6 +952,25 @@ object ExtQueries {
         .orderBy("asset_id")
     }),
 
+    // End-to-end container decode gate: synthesize a spec-valid payload per
+    // doc (PPM/WAV/PNG/JPEG round-robin, dimensions derived from doc_id),
+    // run the REAL ByteCodec parse in the distributed typed-decode path,
+    // emit the parsed geometry. The oracle restates the construction
+    // arithmetic — any header-parse bug (endianness, offsets, marker/chunk
+    // walk) makes parse ≠ construction and breaks the hash.
+    "mm_decode_containers" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        val (fmt, bytes) = Multimodal.syntheticContainerPayload(id)
+        Multimodal.RawAsset(id, fmt, bytes)
+      }
+      Multimodal.decode(assets).toDF()
+        .select(col("asset_id"), col("modality").as("fmt"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("asset_id")
+    }),
+
     // ───────────── streaming-window shape / sources / SQL breadth ─────────
     // Tumbling event-time window (batch semantics of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
@@ -1162,7 +1184,12 @@ object ExtQueries {
           .otherwise(lit("U")).as("op"),
         concat(lit("upd_"), col("o_orderkey")).as("name"),
         col("o_totalprice").cast("decimal(18,2)").as("bal"))
+      // `bal` emitted as integer cents: the driver's value-hash canonicalizes
+      // DECIMAL differently across engines (the r7 q_rank_funcs failure
+      // class), and (decimal(18,2) * 100) :: bigint is exact on both sides.
       graft.etl.Cdc.applyChangelog(base, changes, Seq("k"), "seq", "op")
+        .select(col("k"), col("name"),
+          (col("bal") * 100).cast("bigint").as("bal_cents"))
         .orderBy("k")
     }),
 
@@ -1274,10 +1301,11 @@ object ExtQueries {
     // portably once the ordering key is integral; decimal sums are
     // order-independent where a double sum would be engine-luck.
     "q_range_frame" -> ((s, d) => {
+      val ev = t(s, d, "events")
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(unix_micros(col("ts")))
+        .orderBy(Queries.epochMicrosOf(ev, "ts"))
         .rangeBetween(-3600000000L, 0L)
-      t(s, d, "events")
+      ev
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).cast("long").as("n_1h"),
           sum(col("value").cast("decimal(18,2)")).over(w).as("sum_1h"))
@@ -2487,6 +2515,20 @@ object ExtQueries {
         |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         |ORDER BY asset_id""".stripMargin,
 
+    // restates syntheticContainerPayload's dimension arithmetic: the Spark
+    // side must recover exactly these values by PARSING the bytes it built
+    "mm_decode_containers" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE (doc_id % 4) WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 8000 ELSE 1 + doc_id % 13 END)::INT
+        |    AS width,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 1 + doc_id % 2
+        |    ELSE 1 + doc_id % 7 END)::INT AS height,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 1 + doc_id % 5 ELSE 1 END)::INT
+        |    AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
     "q_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr, event_type,
         |  count(*)::BIGINT AS n
@@ -2802,10 +2844,11 @@ object ExtQueries {
         |  FROM orders),
         |latest AS (SELECT * FROM ch QUALIFY
         |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
-        |SELECT k, name, bal FROM base
+        |SELECT k, name, (bal*100)::BIGINT AS bal_cents FROM base
         |  WHERE k NOT IN (SELECT k FROM latest)
         |UNION ALL
-        |SELECT k, name, bal FROM latest WHERE op <> 'D'
+        |SELECT k, name, (bal*100)::BIGINT AS bal_cents FROM latest
+        |  WHERE op <> 'D'
         |ORDER BY k""".stripMargin,
 
     "q_streaming_funnel" ->

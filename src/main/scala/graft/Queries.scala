@@ -24,14 +24,34 @@ object Queries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The driver's events.parquet uses TIMESTAMP(NANOS) which Spark 4
-      // rejects outright; read nanos as long (runtime conf) and truncate to
-      // micros with integer math (a double division would lose precision —
-      // ns-since-epoch exceeds 2^53).
+      // The driver regenerates events.parquet between rounds and its physical
+      // `ts` type has flipped between TIMESTAMP(NANOS) and TIMESTAMP(MICROS).
+      // Be schema-adaptive: enable nanosAsLong (a no-op on micros files),
+      // then only apply the nanos→micros rewrite when `ts` actually read back
+      // as a long (i.e. the file really is NANOS). Integer `div` keeps full
+      // precision — ns-since-epoch exceeds 2^53, so double math would corrupt.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch-microseconds of an events `ts` column, portable across the
+    * driver testdata's physical-type drift: on TIMESTAMP (LTZ — the old
+    * NANOS fixture after the div-1000 rewrite) `unix_micros` applies
+    * directly; on TIMESTAMP_NTZ (the current MICROS fixture) the wall
+    * clock is pinned to UTC first (`to_utc_timestamp(_, "UTC")`, value-
+    * preserving and session-tz independent) — exactly DuckDB's
+    * `epoch_us` of the same naive column. */
+  private[graft] def epochMicrosOf(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(name), "UTC"))
+      case _ => unix_micros(col(name))
+    }
 
   /** Exact money arithmetic: the column's doubles are 2-decimal values, so
     * the decimal(18,2) cast is exact and identical across engines (no double

@@ -18,6 +18,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def qj(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // Pre-flight schema dump: the driver regenerates the testdata between
+    // rounds and physical-type drift has already voided one round (r8:
+    // events.ts NANOS→MICROS). Printing what each table actually read back
+    // as — into stderr AND the artifact dir — makes the NEXT drift
+    // diagnosable from the round's JSON alone.
+    val allTables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schemaEntries = allTables.map { tbl =>
+      try {
+        val ddl = spark.read.parquet(s"$sfDir/$tbl.parquet").schema.toDDL
+        System.err.println(s"[verify] schema $tbl: $ddl")
+        tbl -> ddl
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] schema $tbl: UNREADABLE ${e.getMessage}")
+        tbl -> s"UNREADABLE: ${String.valueOf(e.getMessage).take(200)}"
+      }
+    }
+    val schemaJson = schemaEntries
+      .map { case (k, v) => s"${qj(k)}: ${qj(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/schemas.json"), schemaJson)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -27,20 +60,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${qj(k)}: ${qj(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -1669,6 +1669,40 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ByteCodec: PNG and JPEG header parsing, byte-exact on fixtures") {
+    import java.nio.file.{Files, Paths}
+    val png = Files.readAllBytes(Paths.get("src/test/resources/graft/tiny.png"))
+    val jpg = Files.readAllBytes(Paths.get("src/test/resources/graft/tiny.jpg"))
+    def flat(d: Multimodal.DecodedAsset) =
+      (d.asset_id, d.modality, d.width, d.height, d.n_frames, d.feature.toSeq)
+    // tiny.png: real 5×3 8-bit truecolor (colorType 2 → 3 channels),
+    // non-interlaced, CRC-valid IHDR/IDAT/IEND
+    val p = Multimodal.ByteCodec.decode(Multimodal.RawAsset(1L, "image", png))
+    assert((p.width, p.height, p.n_frames) === ((5, 3, 1)))
+    assert(p.feature.toSeq === Seq(5f, 3f, 8f, 3f, 2f, 0f, 0f, 0f))
+    // tiny.jpg: baseline SOF0, precision 8, 7×4, 1 component; the marker
+    // walk must skip APP0/DQT and stop at the frame header
+    val j = Multimodal.ByteCodec.decode(Multimodal.RawAsset(2L, "image", jpg))
+    assert((j.width, j.height, j.n_frames) === ((7, 4, 1)))
+    assert(j.feature.toSeq === Seq(7f, 4f, 8f, 1f, 0f, 0f, 0f, 0f))
+    // malformed variants must fall back to FakeCodec, never crash:
+    // (a) PNG signature but garbage where IHDR belongs
+    // (b) PNG with an invalid bit depth
+    // (c) JPEG whose marker stream hits SOS before any SOF
+    // (d) JPEG with a crafted segment length that would overrun the buffer
+    val sosFirst = jpg.take(2) ++ Array[Byte](-1, -38, 0, 6, 1, 1, 0, 0, 63, 0)
+    val badLen = jpg.take(2) ++ Array[Byte](-1, -32, 127, -1) ++ Array.fill[Byte](8)(0)
+    val badDepth = png.clone(); badDepth(24) = 7
+    val crafted = Seq(
+      png.take(8) ++ "garbage-here-not-an-ihdr-chunk".getBytes("UTF-8"),
+      badDepth, sosFirst, badLen)
+    crafted.zipWithIndex.foreach { case (b, idx) =>
+      val a = Multimodal.RawAsset(30L + idx, "image", b)
+      assert(flat(Multimodal.ByteCodec.decode(a)) ===
+        flat(Multimodal.FakeCodec.decode(a)), s"crafted payload $idx")
+    }
+  }
+
   test("asset building, typed decode, and frame sampling plumbing") {
     val assets = Multimodal.assetsFromDocuments(
       Seq((0L, "hello world payload bytes", "en", "srcA"))
