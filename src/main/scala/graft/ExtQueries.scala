@@ -910,6 +910,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram Stupid-Backoff LM scoring against a held-out reference slice
+    // (src0/src1 docs): seen-bigram ratio scores, unigram backoff at α=½,
+    // OOV→0, all floored to 2^20 fixed point — the CCNet-shaped upgrade
+    // over the unigram corpus-frequency row. The src2+ docs genuinely
+    // exercise the backoff and OOV branches.
+    "text_lm_bigram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextStats.bigramBackoffScore(docs, "doc_id", "text",
+          reference = docs.where(col("source").isin("src0", "src1")),
+          maxBroadcast = Long.MaxValue) // bounded synthetic vocab, skip sizing
+        .orderBy("doc_id")
+    }),
+
     // Full column profile: nulls / exact distincts / min-max lengths, one
     // aggregation job, one output row per column (the reference's audit
     // stops at max length — SURVEY §2 rows 26-27 extended).
@@ -3022,6 +3035,42 @@ object ExtQueries {
         |  (sum(tf.tf * cf.cf)::DOUBLE / sum(tf.tf)::DOUBLE) AS mean_token_freq
         |FROM tf JOIN cf USING (token)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.bigramBackoffScore exactly: 2^20 fixed point,
+    // hit = c2/c1(w1), backoff = ½·c1(w2)/N, OOV = 0; every product is
+    // < 2^53 so the double ops are exact and the floor is portable
+    "text_lm_bigram" ->
+      """WITH tw AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |dp AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2
+        |  FROM tw, unnest(range(1, len(w))) AS t(i)),
+        |pf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS pf
+        |  FROM dp GROUP BY 1, 2, 3),
+        |rp AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM dp
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2),
+        |uc AS (SELECT u AS token, count(*)::BIGINT AS c1 FROM
+        |    (SELECT unnest(w) AS u FROM tw WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1),
+        |nt AS (SELECT sum(c1)::BIGINT AS n_total FROM uc),
+        |sc AS (SELECT pf.doc_id, pf.pf, rp.c2, u1.c1 AS c1w1, u2.c1 AS c1w2,
+        |    nt.n_total
+        |  FROM pf LEFT JOIN rp USING (w1, w2)
+        |    LEFT JOIN uc u1 ON u1.token = pf.w1
+        |    LEFT JOIN uc u2 ON u2.token = pf.w2
+        |    CROSS JOIN nt),
+        |agg AS (SELECT doc_id, sum(pf)::BIGINT AS n_bigrams,
+        |    sum(CASE WHEN c2 IS NOT NULL THEN pf ELSE 0 END)::BIGINT
+        |      AS hit_bigrams,
+        |    sum(pf * (CASE
+        |      WHEN c2 IS NOT NULL THEN floor(1048576.0 * c2 / c1w1)
+        |      WHEN c1w2 IS NOT NULL
+        |        THEN floor(1048576.0 * c1w2 / (2.0 * n_total))
+        |      ELSE 0 END))::BIGINT AS score_fp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, hit_bigrams, score_fp,
+        |  (score_fp / (n_bigrams * 1048576.0)) AS mean_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "etl_partitioned_scan" ->
       """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,

@@ -275,6 +275,93 @@ object TextStats {
       .withColumn("mean_score", col("score_sum") / col("n_tokens").cast("double"))
   }
 
+  /** Adjacent token pairs of a token-array column (empty tokens dropped
+    * FIRST, so runs of separators don't break adjacency) as
+    * `array<struct<w1,w2>>`; fewer than two tokens → empty array. */
+  private def adjacentPairs(textArr: Column): Column = {
+    val t = filter(textArr, x => length(x) > 0)
+    val n = size(t) - 1
+    when(n >= 1, zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Bigram LM scoring with Stupid-Backoff-style smoothing (Brants et al.
+    * 2007) — the CCNet-shaped upgrade over [[corpusFrequencyScore]]'s
+    * unigram stand-in: each adjacent pair (w1,w2) scores
+    * `c2(w1,w2)/c1(w1)` when the REFERENCE corpus has seen the bigram,
+    * backs off to `½·c1(w2)/N` when only the unigram is known, and 0 when
+    * w2 is fully out-of-vocabulary. Scores are floored to 2^20 fixed point
+    * after a fixed order of correctly-rounded IEEE ops, so the per-doc
+    * evidence (`n_bigrams`, `hit_bigrams`, `score_fp` = Σ pf·score) is an
+    * order-independent exact integer an oracle can restate verbatim;
+    * `mean_score` = score_fp / (n_bigrams·2^20) is the one double
+    * division. α = ½ (not the paper's 0.4) because ½ is exactly
+    * representable — the constant is a smoothing knob, not a fit.
+    *
+    * `reference` defaults to `df` itself; pass a held-out snapshot to make
+    * the backoff path meaningful (self-scoring can never miss a bigram).
+    * Docs with fewer than two tokens have no pairs and emit no row.
+    *
+    * Scale shape: pair rows collapse to per-(doc,w1,w2) counts BEFORE any
+    * exchange; the reference collapses to vocabulary-sized count frames
+    * (`c2` bigram-keyed, `c1` token-keyed, N one broadcast row). Joins on
+    * single tokens are the skew surface — under `maxBroadcast` (counted,
+    * or asserted with Long.MaxValue) both count frames broadcast and the
+    * token exchange disappears; above it the c2 join keys on the (w1,w2)
+    * COMPOSITE, which dilutes hot-token skew quadratically vs a single
+    * token key, and AQE's skew split is the runtime fallback. */
+  def bigramBackoffScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         textCol: String,
+                         reference: org.apache.spark.sql.DataFrame = null,
+                         refTextCol: String = null,
+                         maxBroadcast: Long = 1L << 20,
+                         scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+    val ref = Option(reference).getOrElse(df)
+    val refText = Option(refTextCol).getOrElse(textCol)
+    val FP = 1L << 20
+    val pf = df
+      .select(col(idCol), explode(adjacentPairs(tokens(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c2 = ref
+      .select(explode(adjacentPairs(tokens(col(refText)))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = ref
+      .select(explode(filter(tokens(col(refText)), x => length(x) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nTot = c1.agg(sum(col("c1")).as("n_total"))
+    def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (maxBroadcast <= 0) f
+      else if (maxBroadcast == Long.MaxValue) broadcast(f)
+      else if (f.count() <= maxBroadcast) broadcast(f)
+      else f
+    val (c2s, c1s) = (side(c2), side(c1))
+    val joined = pf
+      .join(c2s, Seq("w1", "w2"), "left")
+      .join(c1s.select(col("token").as("w1"), col("c1").as("c1_w1")), Seq("w1"), "left")
+      .join(c1s.select(col("token").as("w2"), col("c1").as("c1_w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(nTot))
+    val pairFp = when(col("c2").isNotNull,
+        floor(lit(FP.toDouble) * col("c2").cast("double") / col("c1_w1").cast("double")))
+      .when(col("c1_w2").isNotNull,
+        floor(lit(FP.toDouble) * col("c1_w2").cast("double") /
+          (lit(2.0) * col("n_total").cast("double"))))
+      .otherwise(lit(0L))
+    val result = joined.groupBy(col(idCol))
+      .agg(sum(col("pf")).as("n_bigrams"),
+        sum(when(col("c2").isNotNull, col("pf")).otherwise(lit(0L))).as("hit_bigrams"),
+        sum(col("pf") * pairFp).as("score_fp"))
+      .withColumn("mean_score",
+        col("score_fp").cast("double") / (col("n_bigrams") * FP).cast("double"))
+    if (scope != null) scope.own(pf)
+    else Dedup.releaseAfterFirstAction(pf, result)
+    result
+  }
+
   /** Vocabulary drift between two corpus snapshots — the crawl-health
     * check a continuously-refreshed training set runs per ingest: which
     * terms appeared, which vanished, and how the shared mass shifted.

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The r8 incident, pinned as a spec: the driver regenerates the testdata
+  * between rounds and events.parquet's physical `ts` type has already
+  * flipped once (TIMESTAMP(NANOS) → TIMESTAMP_MICROS). `Queries.table`
+  * must adapt to whichever fixture generation it meets — with
+  * `nanosAsLong` active, a NANOS file reads back as LongType (ns since
+  * epoch) and needs the div-1000 rewrite; a MICROS file reads back as a
+  * timestamp and must pass through untouched. */
+class LoaderSpec extends SparkSpec {
+
+  // one wall-clock instant, expressed both ways
+  private val epochMicros = 1704067200000001L // 2024-01-01T00:00:00.000001Z
+
+  test("events loader adapts to a NANOS-era fixture (ts read back as long)") {
+    import spark.implicits._
+    val dir = tmpDir("loader-nanos")
+    // Spark cannot WRITE TIMESTAMP(NANOS) parquet; what the loader actually
+    // sees on such a file (with nanosAsLong set) is a LongType column of
+    // ns-since-epoch — write exactly that shape.
+    Seq((1L, epochMicros * 1000L + 999L, "purchase"))
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Queries.table(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampType)
+    // integer div truncates the sub-micro tail, never rounds up
+    assert(df.select(unix_micros(col("ts"))).as[Long].head() === epochMicros)
+  }
+
+  test("events loader passes a MICROS-era fixture through untouched") {
+    import spark.implicits._
+    val dir = tmpDir("loader-micros")
+    Seq((1L, java.time.LocalDateTime.ofEpochSecond(
+        epochMicros / 1000000L, ((epochMicros % 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC), "purchase"))
+      .toDF("event_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = Queries.table(spark, dir, "events")
+    assert(df.schema("ts").dataType === TimestampNTZType)
+    assert(df.select(Queries.epochMicrosOf(df, "ts")).as[Long].head()
+      === epochMicros)
+  }
+
+  test("epochMicrosOf is identical across both fixture generations") {
+    import spark.implicits._
+    // LTZ path (what the nanos rewrite produces)
+    val ltz = Seq(1L).toDF("id")
+      .select(timestamp_micros(lit(epochMicros)).as("ts"))
+    // NTZ path (what a micros file reads back as)
+    val ntz = ltz.select(col("ts").cast(TimestampNTZType).as("ts"))
+    assert(ltz.select(Queries.epochMicrosOf(ltz, "ts")).as[Long].head()
+      === ntz.select(Queries.epochMicrosOf(ntz, "ts")).as[Long].head())
+  }
+}

@@ -1389,6 +1389,29 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 8L, 8.0 / 3.0), (2L, 3L, 6L, 2.0)))
   }
 
+  test("bigramBackoffScore: hit, backoff, and OOV branches, hand-checked") {
+    // reference "a b a c": c1 a=2,b=1,c=1, N=4; bigrams (a,b),(b,a),(a,c)
+    val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b x"),  // (a,b) hit: ⌊FP·1/2⌋=524288; (b,x) OOV w2 → 0
+      (2L, "z z"),    // (z,z) fully OOV → 0
+      (3L, "c a a"),  // both unseen bigrams, w2=a known → ⌊FP·2/8⌋=262144 ×2
+      (4L, "solo")    // one token: no pairs, no row
+    ).toDF("doc_id", "text")
+    val got = TextStats.bigramBackoffScore(docs, "doc_id", "text",
+        reference = ref)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 1L, 524288L, 0.25),
+      (2L, 1L, 0L, 0L, 0.0),
+      (3L, 2L, 0L, 524288L, 0.25)))
+    // self-scoring can never miss a bigram: hit_bigrams == n_bigrams
+    val self = TextStats.bigramBackoffScore(docs, "doc_id", "text")
+      .where(col("hit_bigrams") =!= col("n_bigrams")).count()
+    assert(self === 0L)
+  }
+
   test("editDistancePairs finds close pairs within a block, skips far and cross-block") {
     val docs = Seq(
       (1L, "en", "the quick brown fox"),
