@@ -321,6 +321,17 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // SemDeDup-shaped semantic dedup: Voronoi cells around the 8 lowest-id
+    // vectors (deterministic init), within-cell cosine >= 0.4 to a lower id
+    // marks a duplicate. The oracle restates centroid choice, argmax cell
+    // assignment (score desc, cent_id asc tie-break, zero-norm at -2), and
+    // the pair rule verbatim.
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          nCells = 8, threshold = 0.4)
+        .orderBy("id")
+    }),
+
     // ─────────────────────── similarity search (§2.8) ─────────────────────
     // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
     "sim_topk" -> ((s, d) => {
@@ -1988,6 +1999,28 @@ object ExtQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors Similarity.semanticDedup: centroids = 8 lowest-id vectors,
+    // cell = argmax cosine (desc score, asc cent_id tie-break, null→-2),
+    // dup = any lower-id cell-mate at cosine >= 0.4
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id, e.v, c.cent_id,
+         |    coalesce(${Sql.dot("e.v", "c.cv")} /
+         |      (sqrt(${Sql.dot("e.v", "e.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |      -2.0) AS score
+         |  FROM e CROSS JOIN c),
+         |asn AS (SELECT vec_id, v, cent_id AS cell FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, cent_id) = 1),
+         |d AS (SELECT DISTINCT b.vec_id AS id FROM asn a JOIN asn b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} /
+         |    (sqrt(${Sql.dot("a.v", "a.v")}) * sqrt(${Sql.dot("b.v", "b.v")})) >= 0.4)
+         |SELECT asn.vec_id AS id, asn.cell, (d.id IS NOT NULL) AS is_dup
+         |FROM asn LEFT JOIN d ON d.id = asn.vec_id
+         |ORDER BY id""".stripMargin,
 
     "dedup_embedding_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -574,6 +574,45 @@ object Similarity {
       .where(col("score") >= threshold)
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding space, compare only WITHIN a cluster, and mark a vector
+    * duplicate when any lower-id cluster-mate reaches `threshold` cosine —
+    * keep-lowest-id, the dedup family's deterministic survivor rule. Emits
+    * one row per vector: (id, cell, is_dup).
+    *
+    * Vs [[cosineNearDupPairsBucketed]]: sign buckets are data-independent
+    * hyperplane cuts (a near-dup pair can straddle one), Voronoi cells
+    * follow the data — the paper's finding is that semantic duplicates
+    * concentrate inside k-means cells, so the within-cell comparison is the
+    * right candidate generator for embedding-level dedup at corpus scale.
+    *
+    * Scale shape: centroids are a broadcast literal ([[centroidArray]];
+    * deterministic lowest-id init — swap in [[kmeansCentroids]] for balance,
+    * the contract is unchanged), so cell assignment is a zero-exchange
+    * projection; the candidate join is a self-equi-join keyed on the cell,
+    * and per-cell work is O((N/nCells)²) — `nCells` is the knob that holds
+    * cell population flat as the corpus grows (the paper runs 50k clusters
+    * on web scale). A pathological hot cell is AQE-skew-split at runtime. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double): DataFrame = {
+    val cents = centroidArray(corpus, idCol, vecCol, nCells)
+    val assigned = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", nearestCell(col("v"), cents))
+    val dups = assigned
+      .select(col("cell"), col("id").as("a_id"), col("v").as("va"))
+      .join(assigned.select(col("cell"), col("id").as("b_id"), col("v").as("vb")),
+        Seq("cell"))
+      .where(col("a_id") < col("b_id") &&
+        cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    assigned
+      .join(dups.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   /** Bucketed variant of [[cosineNearDupPairs]] — candidates limited to
     * pairs sharing a sign bucket, turning the all-pairs cross product into a
     * self-equi-join on the bucket key (the shuffle key IS the bucket).

@@ -1389,6 +1389,32 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 8L, 8.0 / 3.0), (2L, 3L, 6L, 2.0)))
   }
 
+  test("semanticDedup: within-cell keep-lowest, cross-cell pairs never compared") {
+    // centroids = 2 lowest ids: v1=[1,0] and v2=[0,1]; cells split by axis
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cell 1 (centroid)
+      (2L, Seq(0.0f, 1.0f)),    // cell 2 (centroid)
+      (3L, Seq(0.9f, 0.1f)),    // cell 1, cos(v1,v3) ≈ 0.994 → dup of 1
+      (4L, Seq(0.1f, 0.9f)),    // cell 2, cos(v2,v4) ≈ 0.994 → dup of 2
+      (5L, Seq(0.8f, -0.6f)),   // cell 1, cos(v1,v5) = 0.8  → dup at τ=0.7
+      (6L, Seq(-0.6f, 0.8f))    // cell 2, cos(v2,v6) = 0.8  → dup
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.7)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true),
+      (4L, 2L, true), (5L, 1L, true), (6L, 2L, true)))
+    // raise the bar: only the near-copies stay flagged — 0.8-cosine pairs
+    // survive, proving the threshold gates the pair rule, not the cell
+    val strict = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.9)
+      .where(col("is_dup")).select("id").as[Long].collect().toSet
+    assert(strict === Set(3L, 4L))
+    // cross-cell near-parallel vectors are never compared: v5 vs v1' in the
+    // other cell would pass the threshold but shares no cell — exactly the
+    // approximation SemDeDup trades for the N²→(N/k)² cut
+  }
+
   test("bigramBackoffScore: hit, backoff, and OOV branches, hand-checked") {
     // reference "a b a c": c1 a=2,b=1,c=1, N=4; bigrams (a,b),(b,a),(a,c)
     val ref = Seq((100L, "a b a c")).toDF("doc_id", "text")
