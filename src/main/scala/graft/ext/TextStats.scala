@@ -185,7 +185,15 @@ object TextStats {
                            scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
     // tf feeds both the vocabulary aggregation and the join-back — persist
     // it so one action doesn't run the corpus explode twice (caller scope,
-    // or the verifyPairs-style self-release as the leak-free default)
+    // or the verifyPairs-style self-release as the leak-free default).
+    // NOTE (r9 measurement): this explode+groupBy is already the right
+    // scale shape — hash-aggregate partials collapse a document's tokens
+    // MAP-SIDE (its rows share a partition), so the exchange carries
+    // ~collapsed-tf rows, not raw occurrences. A row-local HOF collapse
+    // was prototyped and rejected: the index-probing variant planned
+    // 25-100× slower (expression-tree blowup), and the linear fold variant
+    // is O(n·k) per row — quadratic in per-doc distinct count, a hazard
+    // for long documents that the shuffle shape does not have.
     val tf = df
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
@@ -320,6 +328,9 @@ object TextStats {
     val ref = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
+    // explode+groupBy is the scale shape here too: partial aggregation
+    // collapses per-doc pairs map-side before any exchange (see the
+    // corpusFrequencyScore note on the rejected row-local alternatives)
     val pf = df
       .select(col(idCol), explode(adjacentPairs(tokens(col(textCol)))).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
