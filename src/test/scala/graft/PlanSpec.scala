@@ -362,6 +362,25 @@ class PlanSpec extends SparkSpec {
       p.contains("SortMergeJoin"), s"expected keyed rerank joins:\n$p")
   }
 
+  test("dedup_semantic: cell assignment is a projection; the pair join is cell-keyed") {
+    val p = plan("dedup_semantic")
+    // centroids ride as a literal, so assignment must not plan a
+    // centroid join or window — and the candidate join is keyed on the
+    // cell, never a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell comparison must stay a cell-keyed equi-join:\n$p")
+    assert(!p.contains("Window"), s"assignment must be a pure projection:\n$p")
+  }
+
+  test("text_lm_bigram: all three count frames broadcast, no token-keyed shuffle join") {
+    val p = plan("text_lm_bigram")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"c2/c1(w1)/c1(w2) must all broadcast under the asserted cap:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no token-keyed shuffle join may remain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("q_topk_window: bounded-heap aggregate, not a full-segment sort window") {
     val p = plan("q_topk_window")
     // the rank-window shape would show a Window node sorting every order of
