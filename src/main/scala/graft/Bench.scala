@@ -121,7 +121,17 @@ object Bench {
     // means the medians are measuring the NEIGHBORS, not the code.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}""")
+    val jsonLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // the driver's artifact capture has truncated this line before (r8:
+    // 2000-char tail cut mid-JSON) — persist the full line to a build-dir
+    // file so per-query timings always survive for a local re-read
+    try {
+      val out = java.nio.file.Paths.get("target/bench_latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, jsonLine + "\n")
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
     // A compact trailer so a bounded `tail` of the artifact always captures
     // the headline number even when the full JSON line above is truncated.
     println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.isLeft)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts}""")
