@@ -229,6 +229,13 @@ object ExtQueries {
         .orderBy("stage")
     }),
 
+    // Cross-source contamination audit: distinct canonical-fingerprint
+    // overlap per source pair — run before mixing corpora.
+    "curation_source_overlap" -> ((s, d) => {
+      Curation.sourceOverlap(t(s, d, "documents"), "source", "text")
+        .orderBy("src_a", "src_b")
+    }),
+
     // SimHash fingerprints (16-bit) per document.
     "dedup_simhash" -> ((s, d) => {
       Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text")
@@ -1877,6 +1884,16 @@ object ExtQueries {
          |  WHERE doc_id NOT IN (SELECT s FROM losers)
          |    AND ${Sql.curationQualityPred})::BIGINT
          |ORDER BY stage""".stripMargin,
+
+    // same fingerprint idiom as text_fingerprint's canon_fp
+    "curation_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT source AS src,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_common
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "dedup_clusters" -> Sql.dedupClustersCc,
 

@@ -198,4 +198,30 @@ object Curation {
       else withDecon :+ ("5_scrubbed", withDecon.last._2)
     rows.toDF("stage", "n_docs")
   }
+
+  /** Pairwise source-overlap matrix: for every pair of sources, how many
+    * distinct canonical fingerprints ([[TextStats.canonicalFingerprint]] —
+    * order/duplication-insensitive bag-of-words identity) appear in BOTH —
+    * the cross-source contamination audit run before mixing corpora (a
+    * crawl snapshot re-sold under two vendors, a benchmark laundered into a
+    * "new" source, boilerplate shared between mirrors all surface here).
+    *
+    * Scale shape: each side collapses to DISTINCT (source, fingerprint)
+    * rows first (fingerprint-keyed aggregation with map-side partials —
+    * corpus text never crosses an exchange, only 32-char digests), the
+    * self-join is keyed on the fingerprint (never a product), and the
+    * output is at most |sources|² rows. A fingerprint shared by k sources
+    * contributes k·(k−1)/2 pairs — bounded by the source count, not the
+    * corpus. */
+  def sourceOverlap(docs: DataFrame, groupCol: String,
+                    textCol: String): DataFrame = {
+    val fp = docs.select(col(groupCol).as("src"),
+        TextStats.canonicalFingerprint(col(textCol)).as("fp"))
+      .distinct()
+    fp.select(col("src").as("src_a"), col("fp"))
+      .join(fp.select(col("src").as("src_b"), col("fp")), Seq("fp"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
 }

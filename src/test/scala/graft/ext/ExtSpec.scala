@@ -1389,6 +1389,22 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 8L, 8.0 / 3.0), (2L, 3L, 6L, 2.0)))
   }
 
+  test("sourceOverlap: fingerprint identity across sources, pairs ordered, self-pairs absent") {
+    val docs = Seq(
+      (1L, "A", "shared doc one"),
+      (2L, "B", "one doc shared"),      // token-order shuffle → same fp as 1
+      (3L, "B", "shared doc one"),      // duplicate within B: distinct collapses
+      (4L, "C", "shared doc one"),      // in A∩C and B∩C too
+      (5L, "A", "only in a"),
+      (6L, "C", "unique to c")
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.sourceOverlap(docs, "source", "text")
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect().toSeq
+    // one shared fingerprint across all three sources → each pair counts 1
+    assert(got === Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L)))
+  }
+
   test("semanticDedup: within-cell keep-lowest, cross-cell pairs never compared") {
     // centroids = 2 lowest ids: v1=[1,0] and v2=[0,1]; cells split by axis
     val vecs = Seq(
