@@ -622,6 +622,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail: source-relative quality terciles by word
+    // count (score desc, doc_id asc ties) — the bucketing run before
+    // keep-head+middle sampling. Every doc labeled, oracle restates the
+    // rank-window twin.
+    "sample_quality_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Sampling.qualityBuckets(docs, "source", "doc_id",
+          TextStats.nWords(col("text")).cast("long"))
+        .select(col("doc_id"), col("source"),
+          TextStats.nWords(col("text")).cast("long").as("score"),
+          col("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Mixture weighting: per-source Bernoulli fractions (web-style
     // downsampling), a pure scan-level filter — the kept row set itself is
     // compared, not just counts. Unlisted sources keep the default 0.1.
@@ -2211,6 +2225,23 @@ object ExtQueries {
         |    ORDER BY n_chars DESC, doc_id ASC)
         |  <= ceil(count(*) OVER (PARTITION BY source) * 0.2)
         |ORDER BY doc_id""".stripMargin,
+
+    // fraction literals written n * (1.0/3.0) to match Spark's
+    // ceil(count * lit(1.0/3)) bit-for-bit (n / 3.0 is a DIFFERENT double)
+    "sample_quality_buckets" ->
+      """WITH scored AS (SELECT doc_id, source,
+        |    len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS score
+        |  FROM documents),
+        |r AS (SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM scored)
+        |SELECT doc_id, source, score,
+        |  CASE WHEN rk <= ceil(n * (1.0/3.0)) THEN 'head'
+        |       WHEN rk <= ceil(n * (2.0/3.0)) THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "sample_mixture" ->
       s"""SELECT doc_id, source FROM documents

@@ -246,6 +246,46 @@ object Sampling {
     topFractionPerGroupSkewSafe(df, strataCol, keyCol,
       -unitHash(col(keyCol), salt), frac)
 
+  /** CCNet-style head/middle/tail bucketing: label every row with its
+    * source-RELATIVE quality tercile — `head` = each group's best
+    * `ceil(headFrac·n)` rows by (`scoreCol` desc, `keyCol` asc), `middle`
+    * = the next rows up to `ceil(midFrac·n)`, `tail` = the rest. The
+    * canonical use is per-source perplexity bucketing before sampling
+    * (keep head+middle, downweight tail) — a source-ABSOLUTE threshold
+    * would empty low-resource sources, which is exactly what the relative
+    * bucket avoids. NULL scores are excluded (they cannot be ranked),
+    * matching the top-fraction twins.
+    *
+    * Built on [[topFractionPerGroupSkewSafe]] (membership at both
+    * fractions, then two id-keyed joins): exact `ceil` counts per group,
+    * deterministic ties, bounded-heap map-side partials instead of a
+    * per-group sort window — a 10-TB source never serializes through one
+    * task. The joins exchange id-only rows (fixed width, uniform keys).
+    * `skewSafe = false` routes to the window twin (identical result,
+    * simpler plan) for bounded group sizes. */
+  def qualityBuckets(df: DataFrame, groupCol: String, keyCol: String,
+                     scoreCol: Column, headFrac: Double = 1.0 / 3,
+                     midFrac: Double = 2.0 / 3,
+                     skewSafe: Boolean = true): DataFrame = {
+    require(headFrac > 0 && midFrac > headFrac && midFrac <= 1,
+      s"need 0 < headFrac < midFrac <= 1, got ($headFrac, $midFrac)")
+    val pick: Double => DataFrame =
+      if (skewSafe) topFractionPerGroupSkewSafe(df, groupCol, keyCol, scoreCol, _)
+      else topFractionPerGroup(df, groupCol, keyCol, scoreCol, _)
+    val head = pick(headFrac)
+      .select(col(keyCol).as("_bk_h"), lit(true).as("_in_h"))
+    val headMid = pick(midFrac)
+      .select(col(keyCol).as("_bk_hm"), lit(true).as("_in_hm"))
+    df.where(scoreCol.isNotNull)
+      .join(head, col(keyCol) === col("_bk_h"), "left")
+      .join(headMid, col(keyCol) === col("_bk_hm"), "left")
+      .withColumn("bucket",
+        when(col("_in_h"), "head")
+          .when(col("_in_hm"), "middle")
+          .otherwise("tail"))
+      .drop("_bk_h", "_in_h", "_bk_hm", "_in_hm")
+  }
+
   /** Per-group Bernoulli fractions — the mixture-weighting primitive: keep
     * each row with its OWN group's probability (e.g. web 0.1, books 1.0,
     * code 0.5). A pure scan-level filter, no shuffle at all: the fractions

@@ -1389,6 +1389,30 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 8L, 8.0 / 3.0), (2L, 3L, 6L, 2.0)))
   }
 
+  test("qualityBuckets: exact ceil terciles, ties by id, both paths identical") {
+    // group A: 5 rows → head = ceil(5/3)=2, middle = ranks 3..ceil(10/3)=4,
+    // tail = rank 5; score ties (30,30) break by id asc → 3 before 4
+    val rows = Seq(
+      (1L, "A", 50L), (2L, "A", 40L), (3L, "A", 30L), (4L, "A", 30L),
+      (5L, "A", 10L),
+      (6L, "B", 7L), (7L, "B", 9L) // 2 rows → head=1 (id 7), middle=2 (id 6)
+    ).toDF("id", "grp", "score")
+    val got = Sampling.qualityBuckets(rows, "grp", "id", col("score"))
+      .orderBy("id").select("id", "bucket").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "head"), (2L, "head"), (3L, "middle"),
+      (4L, "middle"), (5L, "tail"), (6L, "middle"), (7L, "head")))
+    // the window twin labels identically
+    val win = Sampling.qualityBuckets(rows, "grp", "id", col("score"),
+        skewSafe = false)
+      .orderBy("id").select("id", "bucket").as[(Long, String)].collect().toSeq
+    assert(win === got)
+    // null scores are excluded, never labeled
+    val withNull = rows.union(Seq((8L, "A", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "grp", "score"))
+    assert(Sampling.qualityBuckets(withNull, "grp", "id", col("score"))
+      .where(col("id") === 8L).count() === 0L)
+  }
+
   test("sourceOverlap: fingerprint identity across sources, pairs ordered, self-pairs absent") {
     val docs = Seq(
       (1L, "A", "shared doc one"),
