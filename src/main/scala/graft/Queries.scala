@@ -715,5 +715,5 @@ object Queries {
     "dedup_incremental", "text_lm_score", "etl_scd2",
     "etl_scd2_resolve", "q_stream_stream_join",
     "q_bloom_join", "q_funnel_depth", "sim_topk_ivf_filtered",
-    "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram")
+    "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram", "dedup_semantic")
 }
