@@ -539,6 +539,28 @@ object ExtQueries {
         .orderBy("p_id", "v_id")
     }),
 
+    // Left-OUTER stream-stream interval join, batch-driven: every purchase
+    // with its 30-minute-preceding view count — zero for the unmatched ones
+    // (the "which conversions had NO preceding touchpoint" attribution
+    // question). Aggregated to counts so no nullable sort key crosses
+    // engines (null ordering differs); the streaming semantics — the
+    // null-extended row emits only once the watermark closes the window —
+    // are MemoryStream-pinned in EventTimeSpec.
+    "q_stream_stream_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      EventTimeOps.streamStreamJoin(purchases, views, "user_id",
+          "p_ts", "v_ts", maxLag = "30 MINUTE", watermark = "1 hour",
+          joinType = "left_outer")
+        .groupBy(col("p_id"))
+        .agg(count(col("v_id")).as("n_views_30m"),
+          coalesce(min(col("v_id")), lit(-1L)).as("first_v_id"))
+        .orderBy("p_id")
+    }),
+
     // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
     // at-scale shape for distincts/percentiles — partial sketches merge
     // map-side, so the shuffle carries sketches, not values. Estimates are
@@ -2960,6 +2982,17 @@ object ExtQueries {
         |  UNION ALL SELECT user_id, 2, strftime(t2, '%Y%m%d%H%M%S.%f') FROM s2
         |  UNION ALL SELECT user_id, 3, strftime(t3, '%Y%m%d%H%M%S.%f') FROM s3)
         |ORDER BY user_id, depth""".stripMargin,
+
+    "q_stream_stream_outer" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, ts AS v_ts FROM events
+        |    WHERE event_type = 'view')
+        |SELECT p.p_id, count(v.v_id)::BIGINT AS n_views_30m,
+        |  coalesce(min(v.v_id), -1)::BIGINT AS first_v_id
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE AND v.v_ts <= p.p_ts
+        |GROUP BY p.p_id ORDER BY p_id""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT p.user_id, p.event_id AS p_id,

@@ -66,12 +66,24 @@ object EventTimeOps {
     *
     * Cross-batch matching (a right row buffered in one micro-batch joining
     * a left row arriving in a later one) is pinned in EventTimeSpec; the
-    * batch-driven form is the `q_stream_stream_join` oracle row. */
+    * batch-driven form is the `q_stream_stream_join` oracle row.
+    *
+    * `joinType = "left_outer"` gives the unmatched-left variant (the
+    * attribution question "which purchases had NO preceding view"): on
+    * streams, Structured Streaming emits the null-extended left row only
+    * once the watermark passes the end of its match window — finality, not
+    * latency, is the contract (EventTimeSpec pins the delayed emission);
+    * on batch frames it is a plain left join. Only inner and left_outer
+    * are accepted: right/full outer would need the LEFT side's window
+    * re-derived on the right's clock, a different operator. */
   def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
                        leftTsCol: String, rightTsCol: String,
-                       maxLag: String, watermark: String): DataFrame = {
+                       maxLag: String, watermark: String,
+                       joinType: String = "inner"): DataFrame = {
     require(leftTsCol != rightTsCol,
       s"timestamp columns must differ (both pass through): $leftTsCol")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"streamStreamJoin supports inner/left_outer, got: $joinType")
     val rk = "__rk"
     require(!left.columns.contains(rk) && !right.columns.contains(rk),
       s"'$rk' column would collide with the internal right-key alias")
@@ -82,7 +94,7 @@ object EventTimeOps {
       else r0
     l.join(r, col(keyCol) === col(rk) &&
         col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $maxLag") &&
-        col(rightTsCol) <= col(leftTsCol))
+        col(rightTsCol) <= col(leftTsCol), joinType)
       .drop(rk)
   }
 

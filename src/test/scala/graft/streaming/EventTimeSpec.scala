@@ -73,6 +73,43 @@ class EventTimeSpec extends SparkSpec {
     // so reaching here IS the bounded-state proof)
   }
 
+  test("streamStreamJoin left_outer emits the unmatched left only after the watermark closes its window") {
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Long, Timestamp)]  // (user, p_id, p_ts)
+    val right = MemoryStream[(Long, Long, Timestamp)] // (user, v_id, v_ts)
+    val joined = EventTimeOps.streamStreamJoin(
+      left.toDF().toDF("user_id", "p_id", "p_ts"),
+      right.toDF().toDF("user_id", "v_id", "v_ts"),
+      "user_id", "p_ts", "v_ts", maxLag = "30 MINUTE", watermark = "10 minutes",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssjo_sink").outputMode("append").start()
+
+    // p7 has a matching view; p8 has none — but p8 must NOT null-emit yet:
+    // a matching view could still arrive until the watermark passes 10:25
+    right.addData((1L, 100L, ts("10:00")))
+    left.addData((1L, 7L, ts("10:25")), (2L, 8L, ts("10:25")))
+    q.processAllAvailable()
+    val early = spark.table("ssjo_sink").select("p_id").as[Long].collect().toSet
+    assert(!early.contains(8L),
+      "unmatched left emitted before the watermark closed its window")
+
+    // advance event time far past 10:25 + lag + watermark → p8's window is
+    // provably closed, the null-extended row must appear exactly once
+    right.addData((99L, 999L, ts("12:00")))
+    q.processAllAvailable()
+    right.addData((99L, 998L, ts("13:00"))) // one more batch to flush state
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ssjo_sink")
+      .select(col("p_id"), col("v_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.count(_ == (8L, -1L)) === 1, s"expected one null-extended p8 row, got ${rows.toSeq}")
+    assert(rows.toSet.contains((7L, 100L)))
+    assert(!rows.contains((7L, -1L)), "matched left must not also null-emit")
+  }
+
   test("runningStats accumulates per-key state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventTimeOps.KeyedEvent]
