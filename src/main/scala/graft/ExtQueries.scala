@@ -1353,6 +1353,24 @@ object ExtQueries {
     // capped at the top bucket — no engine histogram function involved),
     // integer counts + decimal mass per bucket. The groupBy is the
     // histogram; map-side partials make it one small exchange at any scale.
+    // OHLC bars: resample each user's value stream to hourly
+    // open/high/low/close — the time-series downsampling aggregation.
+    // open/close are SELECTED doubles (min_by/max_by on the unique
+    // (ts, event_id) order — no arithmetic, so raw doubles hash-compare),
+    // restated in DuckDB as ordered first()/last().
+    "q_ohlc" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr"))
+        .agg(
+          min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "hr")
+    }),
+
     "q_histogram" -> ((s, d) => {
       val bucket = least(floor(col("value") / 10.0), lit(19.0)).cast("int")
       t(s, d, "events")
@@ -2862,6 +2880,14 @@ object ExtQueries {
       """SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_id,
         |  sum(length(text))::BIGINT AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_ohlc" ->
+      """SELECT user_id, strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+        |  first(value ORDER BY ts, event_id) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  last(value ORDER BY ts, event_id) AS close,
+        |  count(*)::BIGINT AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, hr""".stripMargin,
 
     "q_histogram" ->
       """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,
