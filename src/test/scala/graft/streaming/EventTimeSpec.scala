@@ -94,11 +94,19 @@ class EventTimeSpec extends SparkSpec {
     assert(!early.contains(8L),
       "unmatched left emitted before the watermark closed its window")
 
-    // advance event time far past 10:25 + lag + watermark → p8's window is
-    // provably closed, the null-extended row must appear exactly once
+    // advance event time far past 10:25 + lag + watermark ON BOTH INPUTS —
+    // the global watermark is the MIN across streams (multipleWatermarkPolicy
+    // = min), so a stale left watermark would keep p8's window open forever.
+    // Once both pass, p8's window is provably closed and the null-extended
+    // row must appear exactly once (on a following batch).
     right.addData((99L, 999L, ts("12:00")))
+    left.addData((99L, 900L, ts("12:30")))
     q.processAllAvailable()
-    right.addData((99L, 998L, ts("13:00"))) // one more batch to flush state
+    right.addData((99L, 998L, ts("13:00"))) // further batches flush state
+    left.addData((98L, 901L, ts("13:30")))
+    q.processAllAvailable()
+    right.addData((97L, 997L, ts("14:00")))
+    left.addData((97L, 902L, ts("14:30")))
     q.processAllAvailable()
     q.stop()
 
