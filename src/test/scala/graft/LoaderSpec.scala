@@ -44,6 +44,23 @@ class LoaderSpec extends SparkSpec {
       === epochMicros)
   }
 
+  test("loader normalizes integer-width drift to the canonical types") {
+    import spark.implicits._
+    val dir = tmpDir("loader-width")
+    // a regenerated fixture that narrowed doc_id/n_chars to int32
+    Seq((7, "some text", "en", "src0", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = Queries.table(spark, dir, "documents")
+    assert(df.schema("doc_id").dataType === LongType)
+    assert(df.schema("n_chars").dataType === LongType)
+    assert(df.select("doc_id").as[Long].head() === 7L)
+    // a matching fixture passes through with no cast in the plan
+    val real = Queries.table(spark, "/root/testdata/sf0.001", "documents")
+    assert(!real.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("cast(doc_id"), "same-type normalization must be a no-op")
+  }
+
   test("epochMicrosOf is identical across both fixture generations") {
     import spark.implicits._
     // LTZ path (what the nanos rewrite produces)
