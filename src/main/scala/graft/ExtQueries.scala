@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats, Urls}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -50,6 +50,29 @@ object ExtQueries {
   }
   private def scratchDir(prefix: String, datasetDir: String): String =
     s"$scratchRoot/${prefix}_${datasetDir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** Deterministic per-document URL for the two URL rows: five construction
+    * branches (doc_id mod 5) over the `source` column, chosen so every
+    * canonicalization rule is exercised — mixed-case scheme and host,
+    * userinfo, explicit default port (dropped by canon) and non-default
+    * port (kept), empty path (canon "/"), trailing-dot host, a multi-label
+    * public suffix (co.uk), query string, fragment. All five hosts are
+    * DISTINCT per source, so host ↔ (source, branch) is bijective — the
+    * property curation_host_rank's integer host id relies on. */
+  private def synthUrl: Column = {
+    val s = col("source")
+    val id = col("doc_id").cast("string")
+    val m = col("doc_id") % 5
+    when(m === 0, concat(lit("https://WWW."), s, lit(".Example.CO.UK:443/wiki/"),
+        id, lit("?q=spark&lang=en#Top")))
+      .when(m === 1, concat(lit("http://u:p@api."), upper(s),
+        lit(".example.com:8080/a/b/c")))
+      .when(m === 2, concat(lit("https://cdn."), s, lit(".example.com/assets/"),
+        id, lit(".js?v=2&x=")))
+      .when(m === 3, concat(lit("HTTP://"), s, lit(".example.com:80")))
+      .otherwise(concat(lit("ftp://files."), s, lit(".example.org./pub/"),
+        id, lit("#readme")))
+  }
 
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
@@ -411,6 +434,59 @@ object ExtQueries {
       val e = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankExact(e, "src", "dst", iters = 3).orderBy("node")
+    }),
+
+    // URL parse + canonicalization — the first hop of a crawl-curation
+    // pipeline. The fixture has no URL column, so one is SYNTHESIZED
+    // deterministically per document (five construction branches exercising
+    // mixed-case scheme/host, userinfo, explicit default + non-default
+    // ports, empty path, trailing-dot host, multi-label public suffix,
+    // query, fragment); the oracle restates the BRANCH ARITHMETIC — the
+    // expected field values per branch — so the Spark side's actual regex
+    // parse is what's on the hash, with zero regex-dialect coupling. The
+    // whole row is one codegen'd projection: no shuffle before the
+    // determinism sort.
+    "text_url_parse" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+      Urls.withUrlParts(docs, "url")
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+          col("port"), col("reg_domain"), col("path"), col("query"),
+          col("frag"), col("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // Host-level quality join — the consumer graph_pagerank was built for:
+    // canonical hosts derived from the synthesized URLs, a host link graph
+    // (each doc's host links to the hosts of docs id+1 and id+29 — stride
+    // self-joins keyed on doc_id, no corpus count and no cross join
+    // anywhere; tail ids simply emit fewer edges), integer fixed-point
+    // PageRank over it, and the per-host rank joined back onto every
+    // document through a BROADCAST of the host dim — documents never
+    // shuffle for the join. Oracle: same construction + unrolled 3-iter
+    // PageRank CTEs.
+    "curation_host_rank" -> ((s, d) => {
+      val withHost = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+        .withColumn("host", Urls.urlHost(col("url")))
+        // host ↔ (source number, branch) is bijective by construction, so
+        // an arithmetic integer node id avoids hashing hosts to longs
+        .withColumn("host_id",
+          regexp_extract(col("host"), "src([0-9]+)", 1).cast("long") * 5
+            + col("doc_id") % 5)
+      val dstSide = withHost.select(col("doc_id").as("dst_doc"),
+        col("host_id").as("dst_host"))
+      val edges = Seq(1, 29).map { k =>
+        withHost.select((col("doc_id") + k).as("dst_doc"),
+            col("host_id").as("src"))
+          .join(dstSide, "dst_doc")
+          .select(col("src"), col("dst_host").as("dst"))
+      }.reduce(_ unionByName _)
+      val ranks = Graph.pageRankExact(edges, "src", "dst", iters = 3)
+      Urls.hostRankJoin(withHost.select(col("doc_id"), col("host"),
+          col("host_id")), "host_id", ranks, "node", "rank")
+        .select(col("doc_id"), col("host"), col("host_rank"))
+        .orderBy("doc_id")
     }),
 
     // PQ-compressed ANN via asymmetric distance computation: the corpus is
@@ -977,6 +1053,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Trigram Stupid-Backoff LM against the same held-out slice: hit =
+    // c3/c2(w1,w2), tail-bigram backoff at ½, unigram backoff at ¼, OOV→0
+    // — the order-3 (KenLM-context-shaped) upgrade of the bigram row; the
+    // src2+ docs exercise all three backoff levels.
+    "text_lm_trigram" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextStats.trigramBackoffScore(docs, "doc_id", "text",
+          reference = docs.where(col("source").isin("src0", "src1")),
+          maxBroadcast = Long.MaxValue) // bounded synthetic vocab, skip sizing
+        .orderBy("doc_id")
+    }),
+
     // Full column profile: nulls / exact distincts / min-max lengths, one
     // aggregation job, one output row per column (the reference's audit
     // stops at max length — SURVEY §2 rows 26-27 extended).
@@ -1349,10 +1437,6 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
-    // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
-    // capped at the top bucket — no engine histogram function involved),
-    // integer counts + decimal mass per bucket. The groupBy is the
-    // histogram; map-side partials make it one small exchange at any scale.
     // OHLC bars: resample each user's value stream to hourly
     // open/high/low/close — the time-series downsampling aggregation.
     // open/close are SELECTED doubles (min_by/max_by on the unique
@@ -1371,20 +1455,26 @@ object ExtQueries {
         .orderBy("user_id", "hr")
     }),
 
+    // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
+    // capped at the top bucket — no engine histogram function involved),
+    // integer counts + integer-cents mass per bucket. The groupBy is the
+    // histogram; map-side partials make it one small exchange at any scale.
     "q_histogram" -> ((s, d) => {
       val bucket = least(floor(col("value") / 10.0), lit(19.0)).cast("int")
       t(s, d, "events")
         .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("mass"))
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("mass_cents"))
         .orderBy("bucket")
     }),
 
     // RANGE-frame window over event time: each event's trailing-1-hour
-    // per-user count and decimal value sum. The frame bound is an integer
+    // per-user count and value sum. The frame bound is an integer
     // epoch-microsecond range on BOTH engines — interval frames restate
-    // portably once the ordering key is integral; decimal sums are
-    // order-independent where a double sum would be engine-luck.
+    // portably once the ordering key is integral; the sum is carried as
+    // integer cents ((value::dec(18,2)*100)::bigint) so the output schema
+    // has no raw decimal for the driver's value-hash to re-encode.
     "q_range_frame" -> ((s, d) => {
       val ev = t(s, d, "events")
       val w = Window.partitionBy(col("user_id"))
@@ -1393,7 +1483,8 @@ object ExtQueries {
       ev
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).cast("long").as("n_1h"),
-          sum(col("value").cast("decimal(18,2)")).over(w).as("sum_1h"))
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .over(w).as("sum_1h_cents"))
         .orderBy("event_id")
     }),
 
@@ -1416,7 +1507,8 @@ object ExtQueries {
           count(col("user_id")).as("n_user"),
           count(col("value")).as("n_value"),
           sum(col("user_id")).as("sum_user"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_value_cents"))
     }),
 
     // Dynamic partition overwrite: write a partitioned store, then
@@ -1438,7 +1530,8 @@ object ExtQueries {
       s.read.parquet(tmp)
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_value_cents"))
         .orderBy("day")
     }),
 
@@ -1657,6 +1750,51 @@ object ExtQueries {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    // synthUrl's five construction branches verbatim (doc_id concatenated
+    // via an explicit ::VARCHAR — same digits as Spark's cast("string")).
+    // NOTE: no line here may START with '||' — this fragment is spliced
+    // into oracle strings whose OUTER .stripMargin would eat the first '|'.
+    val urlCase: String =
+      """CASE m
+        |  WHEN 0 THEN 'https://WWW.' || s || '.Example.CO.UK:443/wiki/' ||
+        |    doc_id::VARCHAR || '?q=spark&lang=en#Top'
+        |  WHEN 1 THEN 'http://u:p@api.' || upper(s) || '.example.com:8080/a/b/c'
+        |  WHEN 2 THEN 'https://cdn.' || s || '.example.com/assets/' ||
+        |    doc_id::VARCHAR || '.js?v=2&x='
+        |  WHEN 3 THEN 'HTTP://' || s || '.example.com:80'
+        |  ELSE 'ftp://files.' || s || '.example.org./pub/' || doc_id::VARCHAR || '#readme'
+        |  END""".stripMargin
+
+    // the EXPECTED canonical host per branch: lowercased, userinfo and port
+    // stripped, trailing root dot removed (s itself is already lowercase)
+    val urlHostCase: String =
+      """CASE m
+        |  WHEN 0 THEN 'www.' || s || '.example.co.uk'
+        |  WHEN 1 THEN 'api.' || s || '.example.com'
+        |  WHEN 2 THEN 'cdn.' || s || '.example.com'
+        |  WHEN 3 THEN s || '.example.com'
+        |  ELSE 'files.' || s || '.example.org' END""".stripMargin
+
+    // Unrolled integer fixed-point PageRank (mirrors Graph.pageRankExact at
+    // the default 85/100 damping, 10^6 scale): requires a prior CTE
+    // e(src, dst) of DISTINCT edges; ends in CTE r<iters>(node, rank).
+    // `//` is DuckDB's truncating integer division = Spark's `div`.
+    def pagerankUnrolled(iters: Int): String = {
+      val iterCtes = (1 to iters).map { i =>
+        s"""s$i AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+           |  FROM e JOIN deg d ON d.src = e.src
+           |  JOIN r${i - 1} r ON r.node = e.src
+           |  GROUP BY e.dst),
+           |r$i AS (SELECT n.node,
+           |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+           |  FROM nodes n LEFT JOIN s$i s ON s.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+         |$iterCtes""".stripMargin
+    }
 
     // Morton/Z-order bit interleave, unrolled to shift/and/or terms —
     // mirrors Layout.zorderKey exactly (bit i of column j → bit i·d + j,
@@ -2489,6 +2627,56 @@ object ExtQueries {
         |  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
+    // Restates synthUrl's construction and the EXPECTED parse fields per
+    // branch (not a second regex parse — zero regex-dialect coupling):
+    // a wrong offset, missed lowercase, kept default port, or unstripped
+    // trailing dot on the Spark side hash-fails against these literals.
+    "text_url_parse" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents)
+         |SELECT doc_id,
+         |  ${Sql.urlCase} AS url,
+         |  CASE m WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'https'
+         |    WHEN 3 THEN 'http' ELSE 'ftp' END AS scheme,
+         |  ${Sql.urlHostCase} AS host,
+         |  (CASE m WHEN 0 THEN 443 WHEN 1 THEN 8080 WHEN 3 THEN 80
+         |    ELSE NULL END)::INT AS port,
+         |  CASE m WHEN 0 THEN 'example.co.uk' WHEN 4 THEN 'example.org'
+         |    ELSE 'example.com' END AS reg_domain,
+         |  CASE m WHEN 0 THEN '/wiki/' || doc_id WHEN 1 THEN '/a/b/c'
+         |    WHEN 2 THEN '/assets/' || doc_id || '.js' WHEN 3 THEN ''
+         |    ELSE '/pub/' || doc_id END AS path,
+         |  CASE m WHEN 0 THEN 'q=spark&lang=en' WHEN 2 THEN 'v=2&x='
+         |    ELSE NULL END AS "query",
+         |  CASE m WHEN 0 THEN 'Top' WHEN 4 THEN 'readme'
+         |    ELSE NULL END AS frag,
+         |  CASE m WHEN 0 THEN 'https://www.' || s || '.example.co.uk/wiki/'
+         |      || doc_id || '?q=spark&lang=en'
+         |    WHEN 1 THEN 'http://api.' || s || '.example.com:8080/a/b/c'
+         |    WHEN 2 THEN 'https://cdn.' || s || '.example.com/assets/'
+         |      || doc_id || '.js?v=2&x='
+         |    WHEN 3 THEN 'http://' || s || '.example.com/'
+         |    ELSE 'ftp://files.' || s || '.example.org/pub/' || doc_id
+         |    END AS canon_url
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // Same construction, then the stride host link graph (id+1, id+29)
+    // and the SAME unrolled integer PageRank as graph_pagerank, joined
+    // back per document through the arithmetic host id.
+    "curation_host_rank" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents),
+         |h AS (SELECT doc_id, ${Sql.urlHostCase} AS host,
+         |  (regexp_extract(s, 'src([0-9]+)', 1)::BIGINT * 5 + m)::BIGINT AS host_id
+         |  FROM u),
+         |e AS (SELECT a.host_id AS src, b.host_id AS dst
+         |  FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+         |  UNION
+         |  SELECT a.host_id, b.host_id
+         |  FROM h a JOIN h b ON b.doc_id = a.doc_id + 29),
+         |${Sql.pagerankUnrolled(3)}
+         |SELECT h.doc_id, h.host, r.rank AS host_rank
+         |FROM h LEFT JOIN r3 r ON r.node = h.host_id
+         |ORDER BY doc_id""".stripMargin,
+
     "sim_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
@@ -2892,13 +3080,14 @@ object ExtQueries {
     "q_histogram" ->
       """SELECT (least(floor(value / 10.0), 19.0))::INT AS bucket,
         |  count(*)::BIGINT AS n,
-        |  sum(value::DECIMAL(18,2)) AS mass
+        |  sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS mass_cents
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_range_frame" ->
       """SELECT event_id, user_id,
         |  (count(*) OVER w)::BIGINT AS n_1h,
-        |  sum(value::DECIMAL(18,2)) OVER w AS sum_1h
+        |  (sum((value::DECIMAL(18,2) * 100)::BIGINT) OVER w)::BIGINT
+        |    AS sum_1h_cents
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -2909,12 +3098,15 @@ object ExtQueries {
         |  count(CASE WHEN event_id % 2 = 0 THEN user_id END)::BIGINT AS n_user,
         |  count(CASE WHEN event_id % 2 = 1 THEN value END)::BIGINT AS n_value,
         |  sum(CASE WHEN event_id % 2 = 0 THEN user_id END)::BIGINT AS sum_user,
-        |  sum(CASE WHEN event_id % 2 = 1 THEN value::DECIMAL(18,2) END) AS sum_value
+        |  sum(CASE WHEN event_id % 2 = 1
+        |    THEN (value::DECIMAL(18,2) * 100)::BIGINT END)::BIGINT
+        |    AS sum_value_cents
         |FROM events""".stripMargin,
 
     "etl_partition_overwrite" ->
       """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
-        |  sum((CASE WHEN day(ts) = 5 THEN value * 2 ELSE value END)::DECIMAL(18,2)) AS sum_value
+        |  sum(((CASE WHEN day(ts) = 5 THEN value * 2 ELSE value
+        |    END)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events WHERE day(ts) <= 10
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
@@ -3210,6 +3402,54 @@ object ExtQueries {
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, hit_bigrams, score_fp,
         |  (score_fp / (n_bigrams * 1048576.0)) AS mean_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // mirrors TextStats.trigramBackoffScore exactly: 2^20 fixed point,
+    // hit = c3/c2(w1,w2), tail-bigram backoff = ½·c2(w2,w3)/c1(w2),
+    // unigram backoff = ¼·c1(w3)/N, OOV = 0; every product < 2^53 so the
+    // double ops are exact and the floor is portable
+    "text_lm_trigram" ->
+      """WITH tw AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        |  FROM tw, unnest(range(1, len(w) - 1)) AS t(i)),
+        |tf AS (SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS tf
+        |  FROM dt GROUP BY 1, 2, 3, 4),
+        |r3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM dt
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2, 3),
+        |r2 AS (SELECT w1 AS b1, w2 AS b2, count(*)::BIGINT AS c2 FROM
+        |    (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |     FROM tw, unnest(range(1, len(w))) AS t(i)
+        |     WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1, 2),
+        |uc AS (SELECT u AS token, count(*)::BIGINT AS c1 FROM
+        |    (SELECT unnest(w) AS u FROM tw WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1),
+        |nt AS (SELECT sum(c1)::BIGINT AS n_total FROM uc),
+        |sc AS (SELECT tf.doc_id, tf.tf, r3.c3, b12.c2 AS c2_12,
+        |    b23.c2 AS c2_23, u2.c1 AS c1w2, u3.c1 AS c1w3, nt.n_total
+        |  FROM tf LEFT JOIN r3 USING (w1, w2, w3)
+        |    LEFT JOIN r2 b12 ON b12.b1 = tf.w1 AND b12.b2 = tf.w2
+        |    LEFT JOIN r2 b23 ON b23.b1 = tf.w2 AND b23.b2 = tf.w3
+        |    LEFT JOIN uc u2 ON u2.token = tf.w2
+        |    LEFT JOIN uc u3 ON u3.token = tf.w3
+        |    CROSS JOIN nt),
+        |agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+        |    sum(CASE WHEN c3 IS NOT NULL THEN tf ELSE 0 END)::BIGINT
+        |      AS hit_trigrams,
+        |    sum(CASE WHEN c3 IS NULL AND c2_23 IS NOT NULL THEN tf
+        |      ELSE 0 END)::BIGINT AS hit_bigrams,
+        |    sum(tf * (CASE
+        |      WHEN c3 IS NOT NULL THEN floor(1048576.0 * c3 / c2_12)
+        |      WHEN c2_23 IS NOT NULL
+        |        THEN floor(1048576.0 * c2_23 / (2.0 * c1w2))
+        |      WHEN c1w3 IS NOT NULL
+        |        THEN floor(1048576.0 * c1w3 / (4.0 * n_total))
+        |      ELSE 0 END))::BIGINT AS score_fp
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, hit_trigrams, hit_bigrams, score_fp,
+        |  (score_fp / (n_trigrams * 1048576.0)) AS mean_score
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "etl_partitioned_scan" ->

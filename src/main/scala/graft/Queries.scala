@@ -29,7 +29,7 @@ object Queries {
     * column to these types is a no-op while the fixtures match (same-type
     * casts are optimized away) and silently absorbs an int32↔int64-class
     * width drift when they don't. */
-  private val canonicalCols: Map[String, Seq[(String, String)]] = Map(
+  private[graft] val canonicalCols: Map[String, Seq[(String, String)]] = Map(
     "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
     "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
       "n_regionkey" -> "int"),
@@ -53,8 +53,12 @@ object Queries {
       "event_type" -> "string", "value" -> "double", "props" -> "string"),
     "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
       "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
-    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
-      "label" -> "int"))
+    // `embedding` is deliberately NOT normalized: every consumer widens via
+    // Similarity.asDouble (lossless from float), and pinning array<float>
+    // would silently NARROW a future double[] fixture while DuckDB oracles
+    // read the same file at full double precision — the one canonical cast
+    // that would create drift instead of absorbing it.
+    "embeddings" -> Seq("vec_id" -> "bigint", "label" -> "int"))
 
   private def normalize(df: DataFrame, name: String): DataFrame =
     canonicalCols.getOrElse(name, Seq.empty).foldLeft(df) {
@@ -85,14 +89,18 @@ object Queries {
   /** Epoch-microseconds of an events `ts` column, portable across the
     * driver testdata's physical-type drift: on TIMESTAMP (LTZ — the old
     * NANOS fixture after the div-1000 rewrite) `unix_micros` applies
-    * directly; on TIMESTAMP_NTZ (the current MICROS fixture) the wall
-    * clock is pinned to UTC first (`to_utc_timestamp(_, "UTC")`, value-
-    * preserving and session-tz independent) — exactly DuckDB's
-    * `epoch_us` of the same naive column. */
+    * directly; on TIMESTAMP_NTZ (the current MICROS fixture) the value is
+    * pure wall-clock microseconds since the NTZ epoch via `timestampdiff`
+    * over two NTZ operands — no implicit NTZ→LTZ cast, so the result is
+    * identical under ANY session time zone (an earlier
+    * `to_utc_timestamp(ntz, "UTC")` form was only correct because callers
+    * pinned the session to UTC) — exactly DuckDB's `epoch_us` of the same
+    * naive column. */
   private[graft] def epochMicrosOf(df: DataFrame, name: String): org.apache.spark.sql.Column =
     df.schema(name).dataType match {
       case org.apache.spark.sql.types.TimestampNTZType =>
-        unix_micros(to_utc_timestamp(col(name), "UTC"))
+        expr(s"timestampdiff(MICROSECOND, " +
+          s"TIMESTAMP_NTZ '1970-01-01 00:00:00', `$name`)")
       case _ => unix_micros(col(name))
     }
 
@@ -758,5 +766,6 @@ object Queries {
     "dedup_incremental", "text_lm_score", "etl_scd2",
     "etl_scd2_resolve", "q_stream_stream_join",
     "q_bloom_join", "q_funnel_depth", "sim_topk_ivf_filtered",
-    "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram", "dedup_semantic")
+    "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram", "dedup_semantic",
+    "text_url_parse", "curation_host_rank")
 }

@@ -373,6 +373,110 @@ object TextStats {
     result
   }
 
+  /** Adjacent token triples (w1,w2,w3) of a token array, empties dropped —
+    * the order-3 analog of [[adjacentPairs]], still a pure array projection
+    * (two nested zip_with, no explode until the caller asks). */
+  private[ext] def adjacentTriples(textArr: Column): Column = {
+    val t = filter(textArr, x => length(x) > 0)
+    val n = size(t) - 2
+    when(n >= 1,
+      zip_with(
+        zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2"))),
+        slice(t, lit(3), n),
+        (p, c) => struct(p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), c.as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+  }
+
+  /** Trigram LM scoring with Stupid-Backoff smoothing — the order-3 upgrade
+    * of [[bigramBackoffScore]] (KenLM-grade context without the KenLM
+    * binary): each adjacent triple (w1,w2,w3) scores
+    * `c3(w1,w2,w3)/c2(w1,w2)` when the reference has seen the trigram,
+    * backs off to `½·c2(w2,w3)/c1(w2)` when only the tail bigram is known,
+    * to `¼·c1(w3)/N` when only the last token is known, and 0 for full OOV
+    * — α = ½ per backoff step (exactly representable; see the bigram note).
+    * Same 2^20 fixed-point floor ⟹ (`n_trigrams`, `hit_trigrams`,
+    * `hit_bigrams`, `score_fp`) are order-independent exact integers;
+    * `mean_score` is the one double division. Docs with fewer than three
+    * tokens emit no row.
+    *
+    * Scale shape follows the bigram op exactly: triple rows collapse to
+    * per-(doc,w1,w2,w3) counts before any exchange; the reference collapses
+    * to three vocabulary-sized count frames (c3 trigram-keyed, c2
+    * bigram-keyed, c1 token-keyed, N one broadcast row). Under
+    * `maxBroadcast` all three broadcast and no token-keyed exchange exists;
+    * above it the c3/c2 joins key on 3- and 2-token COMPOSITES — cubed /
+    * squared dilution of hot-token skew — with AQE as runtime fallback. */
+  def trigramBackoffScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String,
+                          reference: org.apache.spark.sql.DataFrame = null,
+                          refTextCol: String = null,
+                          maxBroadcast: Long = 1L << 20,
+                          scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+    val ref = Option(reference).getOrElse(df)
+    val refText = Option(refTextCol).getOrElse(textCol)
+    val FP = 1L << 20
+    val tf = df
+      .select(col(idCol), explode(adjacentTriples(tokens(col(textCol)))).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = ref
+      .select(explode(adjacentTriples(tokens(col(refText)))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val c2 = ref
+      .select(explode(adjacentPairs(tokens(col(refText)))).as("p"))
+      .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
+    val c1 = ref
+      .select(explode(filter(tokens(col(refText)), x => length(x) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c1"))
+    val nTot = c1.agg(sum(col("c1")).as("n_total"))
+    def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (maxBroadcast <= 0) f
+      else if (maxBroadcast == Long.MaxValue) broadcast(f)
+      else if (f.count() <= maxBroadcast) broadcast(f)
+      else f
+    val (c3s, c2s, c1s) = (side(c3), side(c2), side(c1))
+    val joined = tf
+      .join(c3s, Seq("w1", "w2", "w3"), "left")
+      .join(c2s.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("c2").as("c2_12")), Seq("w1", "w2"), "left")
+      .join(c2s.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("c2").as("c2_23")), Seq("w2", "w3"), "left")
+      .join(c1s.select(col("token").as("w2"), col("c1").as("c1_w2")),
+        Seq("w2"), "left")
+      .join(c1s.select(col("token").as("w3"), col("c1").as("c1_w3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val tripleFp = when(col("c3").isNotNull,
+        floor(lit(FP.toDouble) * col("c3").cast("double") /
+          col("c2_12").cast("double")))
+      .when(col("c2_23").isNotNull,
+        floor(lit(FP.toDouble) * col("c2_23").cast("double") /
+          (lit(2.0) * col("c1_w2").cast("double"))))
+      .when(col("c1_w3").isNotNull,
+        floor(lit(FP.toDouble) * col("c1_w3").cast("double") /
+          (lit(4.0) * col("n_total").cast("double"))))
+      .otherwise(lit(0L))
+    val result = joined.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, col("tf")).otherwise(lit(0L)))
+          .as("hit_trigrams"),
+        sum(when(col("c3").isNull && col("c2_23").isNotNull, col("tf"))
+          .otherwise(lit(0L))).as("hit_bigrams"),
+        sum(col("tf") * tripleFp).as("score_fp"))
+      .withColumn("mean_score",
+        col("score_fp").cast("double") / (col("n_trigrams") * FP).cast("double"))
+    if (scope != null) scope.own(tf)
+    else Dedup.releaseAfterFirstAction(tf, result)
+    result
+  }
+
   /** Vocabulary drift between two corpus snapshots — the crawl-health
     * check a continuously-refreshed training set runs per ingest: which
     * terms appeared, which vanished, and how the shared mass shifted.

@@ -71,4 +71,53 @@ class LoaderSpec extends SparkSpec {
     assert(ltz.select(Queries.epochMicrosOf(ltz, "ts")).as[Long].head()
       === ntz.select(Queries.epochMicrosOf(ntz, "ts")).as[Long].head())
   }
+
+  test("epochMicrosOf on NTZ is invariant under the session time zone") {
+    import spark.implicits._
+    val ntz = Seq(1L).toDF("id")
+      .select(timestamp_micros(lit(epochMicros)).cast(TimestampNTZType).as("ts"))
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = ntz.select(Queries.epochMicrosOf(ntz, "ts")).as[Long].head()
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc = ntz.select(Queries.epochMicrosOf(ntz, "ts")).as[Long].head()
+      // the NTZ wall clock was produced under UTC, so both must read the
+      // original micros — a session-tz-dependent implicit NTZ→LTZ cast
+      // (the pre-r10 to_utc_timestamp form) shifts the first by -5/-4 h
+      assert(shifted === epochMicros && utc === epochMicros)
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
+  // ───────────────────────── full-drift soak (r10) ──────────────────────
+  // The r8 incident generalized: regenerate EVERY canonical table with
+  // narrowed integer widths (bigint→int32 where values fit) plus a
+  // NANOS-era events.ts in one temp dir, and assert the whole catalog's
+  // table reads come back at the canonical types — so the next driver
+  // regen of ANY table (not just events) is provably absorbed.
+  test("every canonical table read absorbs a narrowed-int + NANOS-ts regen") {
+    val dir = tmpDir("loader-drift-all")
+    val src = "/root/testdata/sf0.001"
+    Queries.canonicalCols.keys.foreach { name =>
+      val real = spark.read.parquet(s"$src/$name.parquet")
+      val drifted = real.schema.fields.foldLeft(real.toDF()) { (df, f) =>
+        (name, f.name, f.dataType) match {
+          case ("events", "ts", _) => // NANOS-era file reads back as long ns
+            df.withColumn("ts",
+              (Queries.epochMicrosOf(df, "ts") * 1000L).cast(LongType))
+          case (_, c, LongType) => df.withColumn(c, col(c).cast(IntegerType))
+          case _ => df
+        }
+      }
+      drifted.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+      val back = Queries.table(spark, dir, name)
+      Queries.canonicalCols(name).foreach { case (c, typ) =>
+        assert(back.schema(c).dataType.simpleString === typ,
+          s"$name.$c did not normalize back to $typ after drift")
+      }
+      if (name == "events")
+        assert(back.schema("ts").dataType === TimestampType,
+          "drifted NANOS events.ts must read back as a timestamp")
+    }
+  }
 }

@@ -388,4 +388,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"expected the TopK aggregate, got a window:\n$p")
     assert(p.contains("Aggregate"), s"expected partial/final aggregate nodes:\n$p")
   }
+
+  test("text_lm_trigram: all five count frames broadcast, no token-keyed shuffle join") {
+    val p = plan("text_lm_trigram")
+    // c3 + c2(w1,w2) + c2(w2,w3) + c1(w2) + c1(w3) under the asserted cap
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5,
+      s"all five reference count joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no token-keyed shuffle join may remain:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("text_url_parse: a single projection over the scan — no join, no window") {
+    val p = plan("text_url_parse")
+    // parse + canonicalize must not plan joins, windows, or aggregates;
+    // the only exchange is the final determinism sort's range partitioning
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"URL parse must stay a zero-shuffle projection before the sort:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"only the output sort may exchange:\n$p")
+  }
+
+  test("curation_host_rank: every join keyed (stride edges + rank join), no product") {
+    val p = plan("curation_host_rank")
+    // stride self-joins key on doc_id and the rank joins key on node/host
+    // ids — nothing in this row may plan a product of any kind
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no product may appear anywhere in the host-rank plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"host rank must join back to documents via broadcast:\n$p")
+  }
 }
