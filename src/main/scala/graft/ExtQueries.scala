@@ -74,6 +74,15 @@ object ExtQueries {
         id, lit("#readme")))
   }
 
+  /** Pinned PQ codebook for sim_topk_pq_fixed: m=16 subspaces × ksub=8
+    * codewords × dsub=4 dims over the 64-dim embeddings, every value from
+    * one integer formula, divided by 8 (a power of two, so each codeword
+    * coordinate is an EXACT double both engines reconstruct bit-for-bit). */
+  private lazy val pinnedCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until 16).map(sub => (0 until 8).map(code =>
+      (0 until 4).map(pos =>
+        (((sub * 31 + code * 7 + pos * 3) % 11) - 5) / 8.0).toSeq).toSeq)
+
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
     * list_sum([]) = NULL (and dodging Spark's descending sequence(1,0)). */
@@ -501,6 +510,19 @@ object ExtQueries {
       val e = t(s, d, "embeddings")
       Similarity.pqTopK(e, e.where(col("vec_id") < 5),
           "vec_id", "embedding", k = 10, m = 16, ksub = 64, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ ADC with a PINNED arithmetic codebook (the production shape:
+    // codebooks trained offline, shipped as an artifact) — and because the
+    // codebook is an explicit constant, the full encode→ADC→rank pipeline
+    // IS restatable: the oracle rebuilds the same codebook from the same
+    // integer formula and mirrors every fold in index order. This is the
+    // oracle-carrying twin of the rows-only fitted row above.
+    "sim_topk_pq_fixed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopKPinned(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, cb = pinnedCodebook)
         .orderBy("query_id", "rank")
     }),
 
@@ -2289,6 +2311,58 @@ object ExtQueries {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.pqTopKPinned over the pinned arithmetic codebook:
+    // same integer codebook formula, encode = strict-< argmin of left-fold
+    // squared distances (= ORDER BY d, code pick-first under exact double
+    // equality), ADC and reconstruction sums folded in SUBSPACE order via
+    // list(... ORDER BY sub), score = adc / (qn · sqrt(reconSq)) — every
+    // double op in the same order as the Spark plan
+    "sim_topk_pq_fixed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT s.s AS sub, c.c AS code,
+         |  list_transform(range(0, 4), p ->
+         |    ((((s.s * 31 + c.c * 7 + p * 3) % 11) - 5)::DOUBLE / 8.0)) AS cw
+         |  FROM (SELECT unnest(range(0, 16)) AS s) s,
+         |       (SELECT unnest(range(0, 8)) AS c) c),
+         |cbn AS (SELECT sub, code, cw,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(cw, x -> x * x)),
+         |    (x, y) -> x + y) AS nsq FROM cb),
+         |dist AS (SELECT e.vec_id, cb.sub, cb.code,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
+         |    (e.v[cb.sub * 4 + i] - cb.cw[i]) * (e.v[cb.sub * 4 + i] - cb.cw[i]))),
+         |    (x, y) -> x + y) AS d
+         |  FROM e, cb),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |recon AS (SELECT c.vec_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(n.nsq ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS rsq
+         |  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+         |  GROUP BY c.vec_id),
+         |q AS (SELECT vec_id AS query_id, v,
+         |  sqrt(${Sql.dot("v", "v")}) AS qn FROM e WHERE vec_id < 5),
+         |qtab AS (SELECT q.query_id, cb.sub, cb.code,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
+         |    q.v[cb.sub * 4 + i] * cb.cw[i])), (x, y) -> x + y) AS qd
+         |  FROM q, cb),
+         |adc AS (SELECT t.query_id, c.vec_id AS id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(t.qd ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS adot
+         |  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+         |  GROUP BY t.query_id, c.vec_id),
+         |scored AS (SELECT a.query_id, a.id,
+         |  a.adot / (q.qn * sqrt(r.rsq)) AS score
+         |  FROM adc a JOIN recon r ON r.vec_id = a.id
+         |  JOIN q ON q.query_id = a.query_id
+         |  WHERE a.id <> a.query_id)
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT query_id, id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_int8" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

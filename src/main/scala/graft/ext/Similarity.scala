@@ -499,6 +499,19 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[pqTopK]] with a CALLER-PINNED codebook instead of a fitted one — the
+    * deployment shape where codebooks are trained once offline and shipped
+    * as an artifact (every production PQ index works this way; re-fitting
+    * per query run would churn the codes under the data). Identical ADC
+    * plan; and because the codebook is an explicit constant, the whole
+    * computation is restatable by an external engine — the fitted path
+    * can't be, which is why `sim_topk_pq` is a rows-only row while
+    * `sim_topk_pq_fixed` carries a full oracle. */
+  def pqTopKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    rankTopK(pqScore(corpus, queries, idCol, vecCol, cb), k)
+
   /** IVF-PQ: [[ivfTopK]]'s cell pruning composed with [[pqTopK]]'s
     * compressed ADC scan — the classic large-scale ANN recipe (prune
     * candidates by inverted file, score survivors against codes, never touch
