@@ -465,6 +465,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // URL-level dedup through canonicalization — crawl frontier dedup: the
+    // same page surfaces under cosmetically different URLs and the
+    // canonical form is the equality key. Each doc contributes its branch
+    // URL plus a textually-distinct twin (fragment appended; offset id)
+    // that MUST collapse onto the same canonical key — and branch 3's URL
+    // embeds no doc id, so whole (source, branch) groups collapse too.
+    // Shape: projection + ONE canon-keyed aggregation with map-side
+    // partials — the crawl-dedup plan that holds at frontier scale.
+    "dedup_url" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+      val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("url"), lit("#m")).as("url"))
+      base.select(col("doc_id"), col("url")).unionByName(twin)
+        .select(col("doc_id"), Urls.canonicalUrl(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("canon_url")
+    }),
+
     // Host-level quality join — the consumer graph_pagerank was built for:
     // canonical hosts derived from the synthesized URLs, a host link graph
     // (each doc's host links to the hosts of docs id+1 and id+29 — stride
@@ -1798,6 +1819,20 @@ object ExtQueries {
         |  WHEN 3 THEN s || '.example.com'
         |  ELSE 'files.' || s || '.example.org' END""".stripMargin
 
+    // the EXPECTED canonical URL per branch: lowercased scheme+host,
+    // default ports dropped, empty path → '/', fragment dropped (same
+    // no-line-starts-with-'||' rule as urlCase)
+    val urlCanonCase: String =
+      """CASE m
+        |  WHEN 0 THEN 'https://www.' || s || '.example.co.uk/wiki/' ||
+        |    doc_id::VARCHAR || '?q=spark&lang=en'
+        |  WHEN 1 THEN 'http://api.' || s || '.example.com:8080/a/b/c'
+        |  WHEN 2 THEN 'https://cdn.' || s || '.example.com/assets/' ||
+        |    doc_id::VARCHAR || '.js?v=2&x='
+        |  WHEN 3 THEN 'http://' || s || '.example.com/'
+        |  ELSE 'ftp://files.' || s || '.example.org/pub/' || doc_id::VARCHAR
+        |  END""".stripMargin
+
     // Unrolled integer fixed-point PageRank (mirrors Graph.pageRankExact at
     // the default 85/100 damping, 10^6 scale): requires a prior CTE
     // e(src, dst) of DISTINCT edges; ends in CTE r<iters>(node, rank).
@@ -2723,15 +2758,21 @@ object ExtQueries {
          |    ELSE NULL END AS "query",
          |  CASE m WHEN 0 THEN 'Top' WHEN 4 THEN 'readme'
          |    ELSE NULL END AS frag,
-         |  CASE m WHEN 0 THEN 'https://www.' || s || '.example.co.uk/wiki/'
-         |      || doc_id || '?q=spark&lang=en'
-         |    WHEN 1 THEN 'http://api.' || s || '.example.com:8080/a/b/c'
-         |    WHEN 2 THEN 'https://cdn.' || s || '.example.com/assets/'
-         |      || doc_id || '.js?v=2&x='
-         |    WHEN 3 THEN 'http://' || s || '.example.com/'
-         |    ELSE 'ftp://files.' || s || '.example.org/pub/' || doc_id
-         |    END AS canon_url
+         |  ${Sql.urlCanonCase} AS canon_url
          |FROM u ORDER BY doc_id""".stripMargin,
+
+    // base + fragment-twin rows both restate to the branch's canonical
+    // URL; the group-by is the dedup — a canonicalizer that kept the
+    // fragment, the default port, or host case would split groups and
+    // hash-fail
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents),
+         |c AS (SELECT doc_id, ${Sql.urlCanonCase} AS canon_url FROM u
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${Sql.urlCanonCase} AS canon_url FROM u)
+         |SELECT canon_url, min(doc_id)::BIGINT AS survivor_id,
+         |  count(*)::BIGINT AS n_urls
+         |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin,
 
     // Same construction, then the stride host link graph (id+1, id+29)
     // and the SAME unrolled integer PageRank as graph_pagerank, joined
