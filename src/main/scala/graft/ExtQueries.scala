@@ -547,6 +547,20 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ with pinned codebook + deterministic centroids and REAL
+    // partial-probe pruning (nProbe=4 of 8 cells — candidates genuinely
+    // drop, unlike the full-probe identity): the billion-scale composition
+    // under a complete oracle — cell assignment (argmax cosine, min-id
+    // ties, zero-norm → -2), query-side top-4 probe cells, PQ encode, ADC,
+    // and ranking all restated in DuckDB.
+    "sim_topk_ivfpq_fixed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqTopKPinned(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 4,
+          cb = pinnedCodebook)
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
     // — the classic billion-scale ANN recipe (prune by cell, score against
     // codes, never touch raw vectors after encode). Rows-only for the same
@@ -1833,6 +1847,45 @@ object ExtQueries {
         |  ELSE 'ftp://files.' || s || '.example.org/pub/' || doc_id::VARCHAR
         |  END""".stripMargin
 
+    // Shared CTE chain for the pinned-codebook PQ oracles (mirrors
+    // Similarity.pqScore over ExtQueries.pinnedCodebook): codebook from the
+    // integer formula, encode = strict-< argmin of left-fold sq dists
+    // (= ORDER BY d, code pick-first under exact double equality),
+    // reconstruction norms and query dot-tables with every fold in index
+    // order. Ends with codes/recon/q/qtab; callers append candidate
+    // generation, the ADC sum (list(... ORDER BY sub) keeps subspace
+    // order), and ranking.
+    lazy val pqPinnedCtes: String =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT s.s AS sub, c.c AS code,
+         |  list_transform(range(0, 4), p ->
+         |    ((((s.s * 31 + c.c * 7 + p * 3) % 11) - 5)::DOUBLE / 8.0)) AS cw
+         |  FROM (SELECT unnest(range(0, 16)) AS s) s,
+         |       (SELECT unnest(range(0, 8)) AS c) c),
+         |cbn AS (SELECT sub, code, cw,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(cw, x -> x * x)),
+         |    (x, y) -> x + y) AS nsq FROM cb),
+         |dist AS (SELECT e.vec_id, cb.sub, cb.code,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
+         |    (e.v[cb.sub * 4 + i] - cb.cw[i]) * (e.v[cb.sub * 4 + i] - cb.cw[i]))),
+         |    (x, y) -> x + y) AS d
+         |  FROM e, cb),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM dist)
+         |  WHERE rn = 1),
+         |recon AS (SELECT c.vec_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(n.nsq ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS rsq
+         |  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
+         |  GROUP BY c.vec_id),
+         |q AS (SELECT vec_id AS query_id, v,
+         |  sqrt(${dot("v", "v")}) AS qn FROM e WHERE vec_id < 5),
+         |qtab AS (SELECT q.query_id, cb.sub, cb.code,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
+         |    q.v[cb.sub * 4 + i] * cb.cw[i])), (x, y) -> x + y) AS qd
+         |  FROM q, cb)""".stripMargin
+
     // Unrolled integer fixed-point PageRank (mirrors Graph.pageRankExact at
     // the default 85/100 damping, 10^6 scale): requires a prior CTE
     // e(src, dst) of DISTINCT edges; ends in CTE r<iters>(node, rank).
@@ -2347,47 +2400,61 @@ object ExtQueries {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.pqTopKPinned over the pinned arithmetic codebook:
-    // same integer codebook formula, encode = strict-< argmin of left-fold
-    // squared distances (= ORDER BY d, code pick-first under exact double
-    // equality), ADC and reconstruction sums folded in SUBSPACE order via
-    // list(... ORDER BY sub), score = adc / (qn · sqrt(reconSq)) — every
-    // double op in the same order as the Spark plan
+    // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain
+    // (Sql.pqPinnedCtes), a flat-scan ADC over every (query, corpus) pair,
+    // score = adc / (qn · sqrt(reconSq)) — every double op in the same
+    // order as the Spark plan
     "sim_topk_pq_fixed" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cb AS (SELECT s.s AS sub, c.c AS code,
-         |  list_transform(range(0, 4), p ->
-         |    ((((s.s * 31 + c.c * 7 + p * 3) % 11) - 5)::DOUBLE / 8.0)) AS cw
-         |  FROM (SELECT unnest(range(0, 16)) AS s) s,
-         |       (SELECT unnest(range(0, 8)) AS c) c),
-         |cbn AS (SELECT sub, code, cw,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(cw, x -> x * x)),
-         |    (x, y) -> x + y) AS nsq FROM cb),
-         |dist AS (SELECT e.vec_id, cb.sub, cb.code,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
-         |    (e.v[cb.sub * 4 + i] - cb.cw[i]) * (e.v[cb.sub * 4 + i] - cb.cw[i]))),
-         |    (x, y) -> x + y) AS d
-         |  FROM e, cb),
-         |codes AS (SELECT vec_id, sub, code FROM (
-         |    SELECT vec_id, sub, code, row_number() OVER (
-         |      PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM dist)
-         |  WHERE rn = 1),
-         |recon AS (SELECT c.vec_id,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list(n.nsq ORDER BY c.sub)),
-         |    (x, y) -> x + y) AS rsq
-         |  FROM codes c JOIN cbn n ON n.sub = c.sub AND n.code = c.code
-         |  GROUP BY c.vec_id),
-         |q AS (SELECT vec_id AS query_id, v,
-         |  sqrt(${Sql.dot("v", "v")}) AS qn FROM e WHERE vec_id < 5),
-         |qtab AS (SELECT q.query_id, cb.sub, cb.code,
-         |  list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 5), i ->
-         |    q.v[cb.sub * 4 + i] * cb.cw[i])), (x, y) -> x + y) AS qd
-         |  FROM q, cb),
+      s"""WITH ${Sql.pqPinnedCtes},
          |adc AS (SELECT t.query_id, c.vec_id AS id,
          |  list_reduce(list_prepend(0.0::DOUBLE, list(t.qd ORDER BY c.sub)),
          |    (x, y) -> x + y) AS adot
          |  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
          |  GROUP BY t.query_id, c.vec_id),
+         |scored AS (SELECT a.query_id, a.id,
+         |  a.adot / (q.qn * sqrt(r.rsq)) AS score
+         |  FROM adc a JOIN recon r ON r.vec_id = a.id
+         |  JOIN q ON q.query_id = a.query_id
+         |  WHERE a.id <> a.query_id)
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT query_id, id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.ivfPqTopKPinned: the same pinned-PQ chain plus
+    // IVF — centroids = 8 lowest-id vectors, corpus cell = argmax cosine
+    // (coalesce -2 for zero norm, min cent_id ties — dedup_semantic's
+    // proven restatement), query probes its top-4 cells, and the ADC sum
+    // runs only over candidates whose cell is probed
+    "sim_topk_ivfpq_fixed" ->
+      s"""WITH ${Sql.pqPinnedCtes},
+         |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |  ORDER BY vec_id LIMIT 8),
+         |casn AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |        coalesce(${Sql.dot("e.v", "c.cv")} /
+         |          (sqrt(${Sql.dot("e.v", "e.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |          -2.0) DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cent_id AS cell, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |        coalesce(${Sql.dot("q.v", "c.cv")} /
+         |          (sqrt(${Sql.dot("q.v", "q.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |          -2.0) DESC, c.cent_id) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |  FROM casn a JOIN probe p ON p.cell = a.cell),
+         |adc AS (SELECT cd.query_id, c.vec_id AS id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(t.qd ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS adot
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN qtab t ON t.query_id = cd.query_id
+         |    AND t.sub = c.sub AND t.code = c.code
+         |  GROUP BY cd.query_id, c.vec_id),
          |scored AS (SELECT a.query_id, a.id,
          |  a.adot / (q.qn * sqrt(r.rsq)) AS score
          |  FROM adc a JOIN recon r ON r.vec_id = a.id

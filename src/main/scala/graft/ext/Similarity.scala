@@ -512,6 +512,26 @@ object Similarity {
                    cb: Seq[Seq[Seq[Double]]]): DataFrame =
     rankTopK(pqScore(corpus, queries, idCol, vecCol, cb), k)
 
+  /** [[ivfPqTopK]] with a caller-pinned codebook and the deterministic
+    * [[centroidArray]] cells — the fully-restatable billion-scale
+    * composition: REAL cell pruning (nProbe < nCells drops candidates, not
+    * the full-probe identity) over the compressed ADC scan, every stage an
+    * explicit constant or deterministic rule an external engine can
+    * reproduce (`sim_topk_ivfpq_fixed` carries the composed oracle; the
+    * fitted `sim_topk_ivfpq` stays rows-only). */
+  def ivfPqTopKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nCells: Int, nProbe: Int,
+                      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val cents = centroidArray(corpus, idCol, vecCol, nCells)
+    val cell = nearestCell(col("v"), cents)
+    val scored = pqScore(corpus, queries, idCol, vecCol, cb,
+      corpusExtra = Seq(cell.as("cell")),
+      probe = q => q.select(col("*"),
+        explode(nearestCells(col("qv"), cents, nProbe)).as("cell")),
+      joinKeys = Seq("cell"))
+    rankTopK(scored, k)
+  }
+
   /** IVF-PQ: [[ivfTopK]]'s cell pruning composed with [[pqTopK]]'s
     * compressed ADC scan — the classic large-scale ANN recipe (prune
     * candidates by inverted file, score survivors against codes, never touch

@@ -409,6 +409,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"only the output sort may exchange:\n$p")
   }
 
+  test("sim_topk_ivfpq_fixed: cell-keyed broadcast probe join, no product") {
+    val p = plan("sim_topk_ivfpq_fixed")
+    // centroids and codebook ride as literals; candidates reach the ADC
+    // via an equi-join on the probed cell, never a scan-wide product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"IVF-PQ candidates must come from the cell equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+  }
+
   test("curation_host_rank: every join keyed (stride edges + rank join), no product") {
     val p = plan("curation_host_rank")
     // stride self-joins key on doc_id and the rank joins key on node/host
