@@ -802,6 +802,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature-flattened mixture (T5/mT5 rebalancing at α = ½): the
+    // skewed lang distribution (en ≈ 3× fr) downsamples to √-flattened
+    // shares — f_g = √(n_min/n_g), the dominant language cut hardest, the
+    // smallest kept whole. Fractions derive from exact group counts via
+    // correctly-rounded √ and one division, so the kept SET (not just
+    // counts) is on the hash; the sample itself is a zero-shuffle scan
+    // filter with the fractions as a CASE literal.
+    "sample_temperature" -> ((s, d) => {
+      Sampling.sampleByTemperature(t(s, d, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Token-budget cap per source: rows taken in hash-rank order while the
     // running token total stays within budget (the first crossing row is
     // kept, so no domain starves). The kept rows themselves are compared.
@@ -2602,6 +2615,18 @@ object ExtQueries {
          |WHERE ${Sql.unitHash("doc_id::VARCHAR")} <
          |  (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
          |        WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+         |ORDER BY doc_id""".stripMargin,
+
+    // per-group √-flattened Bernoulli fractions from exact counts — the
+    // same two correctly-rounded sqrts + one division as the Scala side
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n
+         |  FROM documents GROUP BY 1),
+         |mn AS (SELECT min(n)::BIGINT AS n_min FROM c)
+         |SELECT d.doc_id, d.lang FROM documents d
+         |JOIN c ON c.lang = d.lang CROSS JOIN mn
+         |WHERE ${Sql.unitHash("d.doc_id::VARCHAR")} <
+         |  sqrt(mn.n_min::DOUBLE) / sqrt(c.n::DOUBLE)
          |ORDER BY doc_id""".stripMargin,
 
     // running token total in hash-rank order; ROWS frame explicit so the

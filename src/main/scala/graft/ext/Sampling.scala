@@ -294,6 +294,45 @@ object Sampling {
     * nests across fraction changes (raising a group's weight only ADDS
     * rows — the hash threshold grows, nothing previously kept is lost).
     * Groups absent from the map keep `defaultFraction` (0 = drop). */
+  /** Temperature-flattened mixture sampling — the T5/mT5 multilingual
+    * rebalancing rule: target share q_g ∝ n_g^α with α < 1 upweighting
+    * small groups relative to large ones, realized by downsampling only
+    * (no upsampling): the group that flattening favors most keeps
+    * everything and every other group keeps the Bernoulli fraction
+    * f_g = (n_min / n_g)^(1−α) (the closed form of "largest total such
+    * that no group exceeds 1"; α = 1 is the identity, α = 0 equalizes
+    * counts to the smallest group).
+    *
+    * α is restricted to {0, ½, 1}: these make f_g a single division of
+    * correctly-rounded IEEE ops (√ is correctly rounded; a general α needs
+    * `pow`, which differs across libms — the same reason BM25 avoids `ln`)
+    * so the kept SET is engine-portable and oracle-checkable.
+    *
+    * Scale shape: one aggregation collects the per-group counts (bounded
+    * by group cardinality — the centroid-broadcast contract), the
+    * fractions ride back as a literal CASE inside [[sampleByGroupHash]],
+    * and the sample is a zero-shuffle scan filter. */
+  def sampleByTemperature(df: DataFrame, groupCol: String, keyCol: String,
+                          alpha: Double = 0.5,
+                          salt: String = ""): DataFrame = {
+    require(Set(0.0, 0.5, 1.0).contains(alpha),
+      s"alpha must be 0, 0.5, or 1 for engine-portable fractions: $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+    if (counts.isEmpty) df
+    else {
+      val nMin = counts.map(_._2).min
+      val fractions = counts.map { case (g, n) =>
+        g -> (alpha match {
+          case 1.0 => 1.0
+          case 0.5 => math.sqrt(nMin.toDouble) / math.sqrt(n.toDouble)
+          case _ => nMin.toDouble / n.toDouble
+        })
+      }.toMap
+      sampleByGroupHash(df, groupCol, keyCol, fractions, salt = salt)
+    }
+  }
+
   def sampleByGroupHash(df: DataFrame, groupCol: String, keyCol: String,
                         fractions: Map[String, Double],
                         defaultFraction: Double = 0.0,

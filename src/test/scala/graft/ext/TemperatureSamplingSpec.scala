@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sampling.sampleByTemperature]] contract: α=1 identity, the smallest
+  * group survives whole at every α, flattening is monotone in group size,
+  * α=0 equalizes expected counts to the smallest group. */
+class TemperatureSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed corpus: group sizes 160 / 40 / 10
+  private lazy val docs = (
+    (0 until 160).map(i => (i.toLong, "big")) ++
+    (160 until 200).map(i => (i.toLong, "mid")) ++
+    (200 until 210).map(i => (i.toLong, "small"))
+  ).toDF("doc_id", "grp")
+
+  test("alpha = 1 is the identity") {
+    val kept = Sampling.sampleByTemperature(docs, "grp", "doc_id", alpha = 1.0)
+    assert(kept.count() === docs.count())
+  }
+
+  test("the smallest group is always fully kept") {
+    for (a <- Seq(0.0, 0.5)) {
+      val kept = Sampling.sampleByTemperature(docs, "grp", "doc_id", alpha = a)
+        .where(col("grp") === "small")
+      assert(kept.count() === 10L, s"alpha=$a must keep the smallest group")
+    }
+  }
+
+  test("flattening is monotone: larger groups keep smaller fractions") {
+    val kept = Sampling.sampleByTemperature(docs, "grp", "doc_id", alpha = 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    val fBig = kept.getOrElse("big", 0L).toDouble / 160
+    val fMid = kept.getOrElse("mid", 0L).toDouble / 40
+    val fSmall = kept.getOrElse("small", 0L).toDouble / 10
+    assert(fBig < fMid && fMid <= fSmall,
+      s"kept fractions must rise as groups shrink: $fBig / $fMid / $fSmall")
+    // target fraction for the big group is sqrt(10/160) = 0.25 — the
+    // deterministic hash realizes it within sampling noise
+    assert(math.abs(fBig - 0.25) < 0.15, s"big-group fraction off: $fBig")
+  }
+
+  test("alpha = 0 targets equal counts per group") {
+    val kept = Sampling.sampleByTemperature(docs, "grp", "doc_id", alpha = 0.0)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    // expected ~10 per group; hash realization within noise
+    kept.foreach { case (g, n) =>
+      assert(n >= 3 && n <= 20, s"group $g kept $n, expected ~10")
+    }
+  }
+
+  test("unsupported alpha is rejected; empty input passes through") {
+    intercept[IllegalArgumentException] {
+      Sampling.sampleByTemperature(docs, "grp", "doc_id", alpha = 0.3)
+    }
+    val empty = docs.where(lit(false))
+    assert(Sampling.sampleByTemperature(empty, "grp", "doc_id").count() === 0L)
+  }
+}
