@@ -465,6 +465,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Registered-domain blocklist — the most common crawl-curation gate
+    // (spam/adult/boilerplate domain lists): reg_domain derived per doc
+    // (zero-shuffle projection), membership against a broadcast-literal
+    // blocklist, kept docs pass. Drops the ftp branch's example.org docs
+    // plus one co.uk entry, so both the multi-label suffix rule and the
+    // filter itself are on the hash.
+    "curation_domain_filter" -> ((s, d) => {
+      val blocked = Seq("example.org", "example.co.uk")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+        .withColumn("host", Urls.urlHost(col("url")))
+      docs
+        .withColumn("reg_domain", Urls.registeredDomain(col("host")))
+        .where(!col("reg_domain").isInCollection(blocked))
+        .select(col("doc_id"), col("host"), col("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
     // URL-level dedup through canonicalization — crawl frontier dedup: the
     // same page surfaces under cosmetically different URLs and the
     // canonical form is the equality key. Each doc contributes its branch
@@ -2852,6 +2870,16 @@ object ExtQueries {
          |    ELSE NULL END AS frag,
          |  ${Sql.urlCanonCase} AS canon_url
          |FROM u ORDER BY doc_id""".stripMargin,
+
+    // branch hosts → branch reg domains; blocked = example.org (branch 4)
+    // and example.co.uk (branch 0) — survivors are branches 1/2/3
+    "curation_domain_filter" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents)
+         |SELECT doc_id, ${Sql.urlHostCase} AS host,
+         |  CASE m WHEN 0 THEN 'example.co.uk' WHEN 4 THEN 'example.org'
+         |    ELSE 'example.com' END AS reg_domain
+         |FROM u WHERE m IN (1, 2, 3)
+         |ORDER BY doc_id""".stripMargin,
 
     // base + fragment-twin rows both restate to the branch's canonical
     // URL; the group-by is the dedup — a canonicalizer that kept the
