@@ -458,7 +458,7 @@ object ExtQueries {
     "text_url_parse" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
         .withColumn("url", synthUrl)
-      Urls.withUrlParts(docs, "url")
+      Urls.withUrlPartsNative(docs, "url")
         .select(col("doc_id"), col("url"), col("scheme"), col("host"),
           col("port"), col("reg_domain"), col("path"), col("query"),
           col("frag"), col("canon_url"))
@@ -475,7 +475,7 @@ object ExtQueries {
       val blocked = Seq("example.org", "example.co.uk")
       val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
         .withColumn("url", synthUrl)
-        .withColumn("host", Urls.urlHost(col("url")))
+        .withColumn("host", Urls.urlHostNative(col("url")))
       docs
         .withColumn("reg_domain", Urls.registeredDomain(col("host")))
         .where(!col("reg_domain").isInCollection(blocked))
@@ -497,7 +497,7 @@ object ExtQueries {
       val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(col("url"), lit("#m")).as("url"))
       base.select(col("doc_id"), col("url")).unionByName(twin)
-        .select(col("doc_id"), Urls.canonicalUrl(col("url")).as("canon_url"))
+        .select(col("doc_id"), Urls.canonicalUrlNative(col("url")).as("canon_url"))
         .groupBy(col("canon_url"))
         .agg(min(col("doc_id")).as("survivor_id"),
           count(lit(1)).as("n_urls"))
@@ -516,7 +516,7 @@ object ExtQueries {
     "curation_host_rank" -> ((s, d) => {
       val withHost = t(s, d, "documents").select(col("doc_id"), col("source"))
         .withColumn("url", synthUrl)
-        .withColumn("host", Urls.urlHost(col("url")))
+        .withColumn("host", Urls.urlHostNative(col("url")))
         // host ↔ (source number, branch) is bijective by construction, so
         // an arithmetic integer node id avoids hashing hosts to longs
         .withColumn("host_id",
