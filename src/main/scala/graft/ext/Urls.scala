@@ -49,10 +49,14 @@ object Urls {
       "."), lit(""))
 
   /** Explicit port as INT, NULL when absent (default-port inference is the
-    * canonicalizer's concern, not the parser's). */
-  def urlPort(url: Column): Column =
-    nullif(regexp_extract(authority(url), ":([0-9]+)$", 1), lit(""))
-      .cast("int")
+    * canonicalizer's concern, not the parser's). A digit run longer than 9
+    * is treated as absent rather than cast: under ANSI mode an overflow
+    * cast THROWS, and one malformed URL must never kill a crawl-scale scan
+    * (≤9 digits can't overflow INT). */
+  def urlPort(url: Column): Column = {
+    val raw = nullif(regexp_extract(authority(url), ":([0-9]+)$", 1), lit(""))
+    when(length(raw) <= 9, raw.cast("int"))
+  }
 
   /** Path component, possibly empty ("" for "https://h" — the canonical
     * form maps it to "/"). */

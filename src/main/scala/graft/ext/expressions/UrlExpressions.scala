@@ -81,10 +81,12 @@ object UrlParse {
       while (e > 0 && lowered.charAt(e - 1) == '.') e -= 1
       if (e > 0) out(1) = UTF8String.fromString(lowered.substring(0, e))
 
-      // port: digit run at the END preceded by ':' (twin: `:([0-9]+)$`)
+      // port: digit run at the END preceded by ':' (twin: `:([0-9]+)$`);
+      // runs longer than 9 digits are absent — the twin's ANSI-safe rule
       var j = auth.length
       while (j > 0 && isDigit(auth.charAt(j - 1))) j -= 1
-      if (j > 0 && j < auth.length && auth.charAt(j - 1) == ':')
+      if (j > 0 && j < auth.length && auth.charAt(j - 1) == ':' &&
+          auth.length - j <= 9)
         out(2) = java.lang.Integer.parseInt(auth.substring(j))
     }
 

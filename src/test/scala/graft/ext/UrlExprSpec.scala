@@ -35,6 +35,8 @@ class UrlExprSpec extends SparkSpec {
       "http://a@b@c.example.com/x",     // userinfo strips through FIRST @
       "http://h.example.com:80a/x",     // port must be END-anchored → null
       "http://h.example.com:/x",        // empty port digits → null
+      "http://h.example.com:99999999999/x", // >9-digit port → null, no throw
+      "http://h.example.com:000000080/x",   // 9 digits with zeros → 80
       "http://@:80/x",                  // empty host with port
       "//proto.relative/path?q",        // authority without scheme
       "mailto:someone",                 // scheme, no authority
