@@ -286,7 +286,7 @@ object TextStats {
   /** Adjacent token pairs of a token-array column (empty tokens dropped
     * FIRST, so runs of separators don't break adjacency) as
     * `array<struct<w1,w2>>`; fewer than two tokens → empty array. */
-  private def adjacentPairs(textArr: Column): Column = {
+  private[ext] def adjacentPairs(textArr: Column): Column = {
     val t = filter(textArr, x => length(x) > 0)
     val n = size(t) - 1
     when(n >= 1, zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
@@ -332,17 +332,17 @@ object TextStats {
     // collapses per-doc pairs map-side before any exchange (see the
     // corpusFrequencyScore note on the rejected row-local alternatives)
     val pf = df
-      .select(col(idCol), explode(adjacentPairs(tokens(col(textCol)))).as("p"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 2)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("pf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = ref
-      .select(explode(adjacentPairs(tokens(col(refText)))).as("p"))
+      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = ref
-      .select(explode(filter(tokens(col(refText)), x => length(x) > 0)).as("token"))
+      .select(explode(tokenNgrams(col(refText), 1)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c1"))
     val nTot = c1.agg(sum(col("c1")).as("n_total"))
     def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -371,6 +371,18 @@ object TextStats {
     if (scope != null) scope.own(pf)
     else Dedup.releaseAfterFirstAction(pf, result)
     result
+  }
+
+  /** Fused native tokenize + adjacent n-grams (lowercase → single-space
+    * split dropping empties → n-gram structs, one pass): bit-identical to
+    * `adjacentPairs/adjacentTriples(tokens(text))` (NgramExprSpec), minus
+    * the nested zip_with/slice HOFs' lambda-interpreter cost and the three
+    * intermediate arrays they materialize — the LM ops' explode feeds from
+    * this. n = 1 returns the plain non-empty token array. */
+  private def tokenNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.TokenNgramsExpr(
+      GraftColumnBridge.expression(text), n))
   }
 
   /** Adjacent token triples (w1,w2,w3) of a token array, empties dropped —
@@ -418,22 +430,22 @@ object TextStats {
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
     val tf = df
-      .select(col(idCol), explode(adjacentTriples(tokens(col(textCol)))).as("p"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 3)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.w3").as("w3"))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c3 = ref
-      .select(explode(adjacentTriples(tokens(col(refText)))).as("p"))
+      .select(explode(tokenNgrams(col(refText), 3)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     val c2 = ref
-      .select(explode(adjacentPairs(tokens(col(refText)))).as("p"))
+      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
       .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
       .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
     val c1 = ref
-      .select(explode(filter(tokens(col(refText)), x => length(x) > 0)).as("token"))
+      .select(explode(tokenNgrams(col(refText), 1)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c1"))
     val nTot = c1.agg(sum(col("c1")).as("n_total"))
     def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
