@@ -195,8 +195,7 @@ object TextStats {
     // is O(n·k) per row — quadratic in per-doc distinct count, a hazard
     // for long documents that the shuffle shape does not have.
     val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .where(length(col("token")) > 0)
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 1)).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -271,8 +270,7 @@ object TextStats {
           col("freq_sum").cast("double").as("score_sum"),
           col("mean_token_freq").as("mean_score"))
     val table = loadLogProbTable(df.sparkSession, modelPath)
-    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .where(length(col("token")) > 0)
+    df.select(col(idCol), explode(tokenNgrams(col(textCol), 1)).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(table), Seq("token"), "left")
@@ -505,8 +503,7 @@ object TextStats {
                       b: org.apache.spark.sql.DataFrame,
                       textCol: String): org.apache.spark.sql.DataFrame = {
     def counts(df: org.apache.spark.sql.DataFrame, out: String) = df
-      .select(explode(tokens(col(textCol))).as("term"))
-      .where(length(col("term")) > 0)
+      .select(explode(tokenNgrams(col(textCol), 1)).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as(out))
     counts(a, "occ_a").join(counts(b, "occ_b"), Seq("term"), "full_outer")
       .select(
