@@ -809,6 +809,36 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-SAFE split: the split key is the near-duplicate cluster
+    // representative (reachability over the same minhash pair graph as
+    // dedup_clusters), so near-twins can never straddle train/test — the
+    // eval-contamination hole a per-doc split leaves open. Docs in no
+    // cluster are their own singleton rep; the full (doc_id, rep, split)
+    // assignment is compared, and the oracle re-derives reachability with
+    // the recursive CTE + the md5 threshold on the rep.
+    "sample_split_leakage_safe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDuplicates(docs, "doc_id", "text")
+      Sampling.splitByCluster(docs, "doc_id",
+          Dedup.duplicateClusters(pairs), 0.25, salt = "lkg")
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Fractional-epoch materialization (data-recipe upsampling): src0 rides
+    // 2.5 epochs (every doc 2×, the hash-chosen half 3×), src1 exactly 2,
+    // src2 thins to 0.75, everything else 1× — expected multiplicity
+    // exactly the weight, the multiset a pure (key, salt) hash function.
+    // Zero shuffle: a scan-level explode(sequence()). The full repeated
+    // multiset (doc_id, source, copy_no) is compared row-for-row.
+    "sample_epochs" -> ((s, d) => {
+      Sampling.epochMaterialize(t(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.75),
+          defaultEpochs = 1.0, salt = "ep")
+        .select(col("doc_id"), col("source"), col("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    }),
+
     // Mixture weighting: per-source Bernoulli fractions (web-style
     // downsampling), a pure scan-level filter — the kept row set itself is
     // compared, not just counts. Unlisted sources keep the default 0.1.
@@ -911,6 +941,16 @@ object ExtQueries {
     }),
 
     // Quality scoring: token counts, mean token length, stopword ratio.
+    // fastText-shaped quality-classifier inference: hashed unigram+bigram
+    // features, a deterministic keyed-hash linear weight per bucket (the
+    // seam a trained weight vector drops into), exact integer score — one
+    // zero-shuffle aggregate() HOF per doc. The oracle restates the feature
+    // hashing, the weight formula, and the sum verbatim.
+    "text_quality_classifier" -> ((s, d) => {
+      TextStats.hashedLinearScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, d) => {
       val base = t(s, d, "documents").select(
         col("doc_id"),
@@ -2587,6 +2627,52 @@ object ExtQueries {
          |  lang, count(*)::BIGINT AS n
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
+    // same reachability CTE as dedup_clusters (identical pair graph), then
+    // the split decision restated on the md5 of the effective cluster rep —
+    // docs in no cluster fall back to their own id via the LEFT JOIN
+    "sample_split_leakage_safe" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |cc AS (SELECT s AS doc_id, least(s, min(t))::BIGINT AS rep
+         |  FROM reach GROUP BY s)
+         |SELECT d.doc_id, coalesce(cc.rep, d.doc_id)::BIGINT AS rep,
+         |  CASE WHEN ${Sql.unitHash("coalesce(cc.rep, d.doc_id)::VARCHAR", "lkg")} < 0.25
+         |    THEN 'test' ELSE 'train' END AS split
+         |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // floor(e) guaranteed copies + one hash-fraction extra; the WHERE drops
+    // hash-missed rows of sub-1.0 groups (generate_series(1,0) is empty
+    // anyway — the guard documents the thinning path)
+    "sample_epochs" ->
+      s"""WITH e AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+         |         WHEN 'src2' THEN 0.75 ELSE 1.0 END AS ep
+         |  FROM documents),
+         |n AS (SELECT doc_id, source,
+         |    (floor(ep) + CASE WHEN ${Sql.unitHash("doc_id::VARCHAR", "ep")} < ep - floor(ep)
+         |       THEN 1 ELSE 0 END)::INT AS nc
+         |  FROM e)
+         |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
+         |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
+
     "sample_cap_source" ->
       s"""SELECT doc_id, source FROM documents
          |QUALIFY row_number() OVER (PARTITION BY source
@@ -2720,6 +2806,27 @@ object ExtQueries {
          |    ELSE 'relational' END AS pred
          |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // feature hashing + keyed-hash linear weights restated verbatim:
+    // unigrams ++ adjacent bigram conjunctions, bucket = md5-derived 32-bit
+    // mod 4096, weight = (b·1103515245 + 12345) mod 2001 − 1000, exact sum
+    "text_quality_classifier" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_concat(toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+        |      ELSE []::VARCHAR[] END) AS feats
+        |  FROM w),
+        |s AS (SELECT doc_id, len(feats)::INT AS n_feats,
+        |    coalesce(list_sum(list_transform(feats, t ->
+        |      ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+        |        * 1103515245 + 12345) % 2001 - 1000)), 0)::BIGINT AS score_fp
+        |  FROM f)
+        |SELECT doc_id, n_feats, score_fp,
+        |  (CASE WHEN score_fp > 0 THEN 1 ELSE 0 END)::INT AS label
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id, n_tok, n_words, avg_tok_len, stop_ratio,

@@ -429,4 +429,70 @@ object Sampling {
         count(lit(1)).as("n_docs"),
         sum(col(tokenCol).cast("long")).as("n_tokens"))
   }
+
+  /** Leakage-safe train/test split: the split decision is keyed on the
+    * document's near-duplicate CLUSTER representative, not the document
+    * itself, so two near-duplicates can never straddle the boundary — the
+    * classic eval-contamination hole of per-document splits (a test doc
+    * whose near-twin sits in train leaks the answer). `clusters` is the
+    * (id, rep) labeling from [[Dedup.duplicateClusters]] /
+    * [[Dedup.connectedComponentsStar]]; documents absent from it (the
+    * un-duplicated majority) are their own singleton cluster, so the split
+    * fraction still governs the whole corpus. Adds `rep` (the effective
+    * cluster key) and `outCol`.
+    *
+    * Scale shape: one equi-join against the cluster labeling — which holds
+    * ONLY docs that belong to some duplicate pair, typically a small
+    * fraction of the corpus, so AQE broadcasts it at most real scales —
+    * then a scan-level hash projection. No other shuffle. */
+  def splitByCluster(df: DataFrame, keyCol: String, clusters: DataFrame,
+                     testFraction: Double, salt: String = "",
+                     outCol: String = "split"): DataFrame = {
+    require(testFraction >= 0 && testFraction <= 1,
+      s"fraction out of range: $testFraction")
+    Seq("rep", outCol).foreach(c => require(!df.columns.contains(c),
+      s"splitByCluster: input already has a '$c' column — it would be clobbered"))
+    val lab = clusters.select(col("id").as(keyCol), col("rep").as("_rep"))
+    df.join(lab, Seq(keyCol), "left")
+      .withColumn("rep", coalesce(col("_rep"), col(keyCol).cast("long")))
+      .drop("_rep")
+      .withColumn(outCol,
+        when(unitHash(col("rep"), salt) < testFraction, "test")
+          .otherwise("train"))
+  }
+
+  /** Fractional-epoch materialization — the "data recipe" step that
+    * repeats high-value sources and thins low-value ones in ONE pass:
+    * a group with epoch weight e keeps floor(e) copies of every row plus
+    * one more for the deterministic hash-fraction (e - floor(e)) of its
+    * rows, so the expected multiplicity is exactly e (e = 2.5 → every row
+    * 2×, half the rows 3×; e = 0.3 → a 30% subsample; e = 1 → identity).
+    * Copies carry `copy_no` (1-based) so downstream shuffle/packing can
+    * decorrelate them (feed `copy_no` into the shuffle salt). Which rows
+    * get the extra copy is a pure (key, salt) hash — re-runs, retried
+    * tasks, and external engines materialize the identical multiset.
+    *
+    * Scale shape: a scan-level `explode(sequence())` projection — zero
+    * shuffle, output size = Σ e·|group| by construction. */
+  def epochMaterialize(df: DataFrame, groupCol: String, keyCol: String,
+                       epochs: Map[String, Double],
+                       defaultEpochs: Double = 1.0,
+                       salt: String = "",
+                       outCol: String = "copy_no"): DataFrame = {
+    (defaultEpochs +: epochs.values.toSeq).foreach(e =>
+      require(e >= 0 && e <= 100, s"epoch weight out of range: $e"))
+    require(!df.columns.contains(outCol),
+      s"epochMaterialize: input already has a '$outCol' column — it would be clobbered")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val copies = (floor(e) +
+      when(unitHash(col(keyCol), salt) < e - floor(e), 1).otherwise(0))
+      .cast("int")
+    // sequence(1, 0) DESCENDS in Spark (step defaults to -1), so the
+    // zero-copy case must map to an empty array for explode to drop the row
+    df.withColumn(outCol, explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

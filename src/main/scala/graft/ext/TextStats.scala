@@ -732,4 +732,45 @@ object TextStats {
       .agg(max(col("_c")).as("top_gram_n"), sum(col("_c")).as("n_grams"))
       .select(col(idCol), col("top_gram_n"), col("n_grams"),
         (col("top_gram_n").cast("double") / col("n_grams")).as("top_share"))
+
+  /** fastText-shaped quality-classifier INFERENCE (Joulin et al. 2016, the
+    * architecture behind CCNet/DCLM-style quality filters): features are
+    * the document's unigrams plus adjacent-bigram conjunctions, each hashed
+    * into a fixed `dim`-bucket space (the hashing trick — no vocabulary
+    * file, OOV-free by construction), scored by a linear weight per bucket
+    * and summed. Weights here are a deterministic keyed-hash stand-in
+    * ((b·1103515245 + 12345) mod 2001 − 1000, integers in [−1000, 1000] —
+    * the seam where a TRAINED weight vector drops in: it is a pure
+    * bucket→int map, so swapping in learned weights changes one
+    * subexpression, not the plan), and the score is an exact integer sum,
+    * so any engine with an md5 reproduces it bit-for-bit.
+    *
+    * Output: (id, n_feats, score_fp, label) — label = 1 iff score_fp > 0.
+    * Scale shape: one `aggregate` HOF over the token array per document —
+    * a scan-level projection, zero shuffle, zero driver state; the weight
+    * table never materializes anywhere (a learned one would ride the
+    * closure as a broadcast array indexed by bucket). */
+  def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String, dim: Int = 4096,
+                        salt: String = "qc"): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
+    val nb = size(toks) - 1
+    val bigrams = when(nb >= 1,
+      zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    val feats = concat(toks, bigrams)
+    def weightOf(t: Column): Column = {
+      val bucket = conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
+        .cast("long") % dim
+      (bucket * 1103515245L + 12345L) % 2001L - 1000L
+    }
+    df.select(col(idCol), feats.as("_f"))
+      .select(col(idCol),
+        size(col("_f")).as("n_feats"),
+        aggregate(col("_f"), lit(0L), (acc, t) => acc + weightOf(t))
+          .as("score_fp"))
+      .withColumn("label", when(col("score_fp") > 0, 1).otherwise(0))
+  }
 }
