@@ -767,5 +767,6 @@ object Queries {
     "etl_scd2_resolve", "q_stream_stream_join",
     "q_bloom_join", "q_funnel_depth", "sim_topk_ivf_filtered",
     "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram", "dedup_semantic",
-    "text_url_parse", "curation_host_rank", "text_lm_trigram", "dedup_url")
+    "text_url_parse", "curation_host_rank", "text_lm_trigram", "dedup_url",
+    "text_quality_classifier", "sample_epochs")
 }

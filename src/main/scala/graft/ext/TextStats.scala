@@ -746,13 +746,36 @@ object TextStats {
     * so any engine with an md5 reproduces it bit-for-bit.
     *
     * Output: (id, n_feats, score_fp, label) — label = 1 iff score_fp > 0.
-    * Scale shape: one `aggregate` HOF over the token array per document —
-    * a scan-level projection, zero shuffle, zero driver state; the weight
-    * table never materializes anywhere (a learned one would ride the
-    * closure as a broadcast array indexed by bucket). */
+    * Scale shape: ONE native one-pass expression per document
+    * ([[graft.ext.expressions.HashedLinearScoreExpr]] — tokenize, hash the
+    * raw digest bytes, weigh, accumulate; no hex strings, no per-feature
+    * lambda interpretation) — a scan-level projection, zero shuffle, zero
+    * driver state; the weight table never materializes anywhere (a learned
+    * one would ride the closure as a broadcast array indexed by bucket).
+    * Bit-equality with the portable Column-chain twin
+    * ([[hashedLinearScoreHof]]) is pinned in RecipeSamplingSpec. */
   def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, dim: Int = 4096,
                         salt: String = "qc"): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    val scored = GraftColumnBridge.column(
+      graft.ext.expressions.HashedLinearScoreExpr(
+        GraftColumnBridge.expression(col(textCol)), dim, salt))
+    df.select(col(idCol), scored.as("_s"))
+      .select(col(idCol),
+        col("_s.n_feats").as("n_feats"),
+        col("_s.score_fp").as("score_fp"))
+      .withColumn("label", when(col("score_fp") > 0, 1).otherwise(0))
+  }
+
+  /** Built-in-Column twin of [[hashedLinearScore]] (HOF `aggregate` over the
+    * md5/conv string chain) — the portable reference implementation
+    * RecipeSamplingSpec pins the native kernel against bit-for-bit. */
+  private[ext] def hashedLinearScoreHof(df: org.apache.spark.sql.DataFrame,
+                                        idCol: String, textCol: String,
+                                        dim: Int = 4096,
+                                        salt: String = "qc"): org.apache.spark.sql.DataFrame = {
     require(dim > 0, s"feature dimension must be positive: $dim")
     val toks = filter(tokens(col(textCol)), t => length(t) > 0)
     val nb = size(toks) - 1

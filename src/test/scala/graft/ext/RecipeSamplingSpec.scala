@@ -170,6 +170,16 @@ class RecipeSamplingSpec extends SparkSpec {
     assert(got.map(_._4).distinct.size === 2)
   }
 
+  test("native kernel is bit-identical to the Column-chain twin on testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = TextStats.hashedLinearScore(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    val hof = TextStats.hashedLinearScoreHof(docs, "doc_id", "text")
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._1)
+    assert(native.length === hof.length && native.length > 0)
+    native.zip(hof).foreach { case (n, h) => assert(n === h) }
+  }
+
   test("hashedLinearScore: n_feats is 2n-1 for n>=1 clean tokens, 0 for empty") {
     val df = Seq((1L, "a b c d"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
     val out = TextStats.hashedLinearScore(df, "doc_id", "text")
