@@ -944,8 +944,9 @@ object ExtQueries {
     // fastText-shaped quality-classifier inference: hashed unigram+bigram
     // features, a deterministic keyed-hash linear weight per bucket (the
     // seam a trained weight vector drops into), exact integer score — one
-    // zero-shuffle aggregate() HOF per doc. The oracle restates the feature
-    // hashing, the weight formula, and the sum verbatim.
+    // zero-shuffle native one-pass kernel per doc (HashedLinearScoreExpr;
+    // bit-equal Column-chain twin spec-pinned). The oracle restates the
+    // feature hashing, the weight formula, and the sum verbatim.
     "text_quality_classifier" -> ((s, d) => {
       TextStats.hashedLinearScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")

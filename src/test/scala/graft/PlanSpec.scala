@@ -427,4 +427,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"host rank must join back to documents via broadcast:\n$p")
   }
+
+  test("text_quality_classifier: one native projection over the scan, no shuffle before the sort") {
+    val p = plan("text_quality_classifier")
+    assert(p.contains("graft_hashed_linear_score"),
+      s"classifier must plan the native kernel:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"classifier inference is scan-level — no join/window/agg:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("sample_epochs: scan-level explode, no join, no aggregation") {
+    val p = plan("sample_epochs")
+    assert(p.contains("Generate explode"),
+      s"epoch materialization must plan a Generate:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"epoch materialization is a projection — no join/window/agg:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("sample_split_leakage_safe: one labeling join, no product anywhere") {
+    val p = plan("sample_split_leakage_safe")
+    // reachability runs eagerly inside duplicateClusters; the FINAL plan is
+    // documents joined once against the (id, rep) labeling + the hash
+    // projection — no product of any kind, and exactly one labeling join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no product may appear in the split plan:\n$p")
+    assert(p.contains("LeftOuter") &&
+      "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
+      s"the labeling must arrive via one keyed left join:\n$p")
+  }
 }
