@@ -227,6 +227,23 @@ object ExtQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // The WHOLE training-data recipe in one row: curate (exact + near dedup
+    // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
+    // pure scan-level filter via the native kernel — no score join) →
+    // fractional-epoch materialization by source. Output is the final
+    // repeated multiset a trainer would read; the oracle restates every
+    // stage (curation CTEs + classifier arithmetic + floor/hash epochs).
+    "curation_recipe_e2e" -> ((s, d) => {
+      val surv = Curation.curate(t(s, d, "documents"), "doc_id", "text")
+      val kept = surv.where(
+        TextStats.hashedLinearScoreCol(col("text")).getField("score_fp") > 0)
+      Sampling.epochMaterialize(kept, "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.75),
+          defaultEpochs = 1.0, salt = "ep")
+        .select(col("doc_id"), col("source"), col("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    }),
+
     // The same pipeline under the quality-priority survivor policy: each
     // near-dup cluster keeps its max-word-count member instead of min id.
     "curation_pipeline_quality" -> ((s, d) => {
@@ -2209,6 +2226,42 @@ object ExtQueries {
          |WHERE doc_id NOT IN (SELECT s FROM losers)
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
+
+    // every stage of the one-row recipe restated: the shared curation CTE
+    // chain, then the classifier's feature-hash arithmetic as a gate, then
+    // the floor+hash epoch multiset — a drift in ANY stage hash-fails
+    "curation_recipe_e2e" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes()},
+         |surv AS (SELECT doc_id, text FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred}),
+         |survs AS (SELECT surv.doc_id, surv.text, d.source
+         |  FROM surv JOIN documents d ON d.doc_id = surv.doc_id),
+         |tok AS (SELECT doc_id, source,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |  FROM survs),
+         |f AS (SELECT doc_id, source, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+         |      ELSE []::VARCHAR[] END) AS feats
+         |  FROM tok),
+         |sc AS (SELECT doc_id, source,
+         |    coalesce(list_sum(list_transform(feats, t ->
+         |      ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+         |        * 1103515245 + 12345) % 2001 - 1000)), 0)::BIGINT AS score_fp
+         |  FROM f),
+         |kept AS (SELECT doc_id, source FROM sc WHERE score_fp > 0),
+         |e AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+         |         WHEN 'src2' THEN 0.75 ELSE 1.0 END AS ep
+         |  FROM kept),
+         |n AS (SELECT doc_id, source,
+         |    (floor(ep) + CASE WHEN ${Sql.unitHash("doc_id::VARCHAR", "ep")} < ep - floor(ep)
+         |       THEN 1 ELSE 0 END)::INT AS nc
+         |  FROM e)
+         |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
+         |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
 
     // quality-priority survivor policy: losers = cluster members minus each
     // cluster's (quality DESC, doc_id ASC) best; quality = regex word count

@@ -754,14 +754,22 @@ object TextStats {
     * one would ride the closure as a broadcast array indexed by bucket).
     * Bit-equality with the portable Column-chain twin
     * ([[hashedLinearScoreHof]]) is pinned in RecipeSamplingSpec. */
+  /** The classifier kernel as a bare Column — `struct<n_feats, score_fp>`
+    * over a text column, so a pipeline can GATE on the score as a pure
+    * scan-level filter (no join against a score frame). */
+  def hashedLinearScoreCol(text: Column, dim: Int = 4096,
+                           salt: String = "qc"): Column = {
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(
+      graft.ext.expressions.HashedLinearScoreExpr(
+        GraftColumnBridge.expression(text), dim, salt))
+  }
+
   def hashedLinearScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String, dim: Int = 4096,
                         salt: String = "qc"): org.apache.spark.sql.DataFrame = {
-    require(dim > 0, s"feature dimension must be positive: $dim")
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    val scored = GraftColumnBridge.column(
-      graft.ext.expressions.HashedLinearScoreExpr(
-        GraftColumnBridge.expression(col(textCol)), dim, salt))
+    val scored = hashedLinearScoreCol(col(textCol), dim, salt)
     df.select(col(idCol), scored.as("_s"))
       .select(col(idCol),
         col("_s.n_feats").as("n_feats"),
