@@ -1211,6 +1211,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney trigram (KenLM-grade): continuation counts
+    // at the lower orders, every order interpolating with the one below,
+    // d = 3/4 exactly representable. Same broadcast-count-frame shape as
+    // the Stupid-Backoff rows — the continuation frames aggregate the
+    // ALREADY-aggregated c3/c2, never a second corpus pass. The oracle
+    // restates the whole fixed IEEE tree.
+    "text_lm_kn" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextStats.knTrigramScore(docs, "doc_id", "text",
+          reference = docs.where(col("source").isin("src0", "src1")),
+          maxBroadcast = Long.MaxValue) // bounded synthetic vocab, skip sizing
+        .orderBy("doc_id")
+    }),
+
     // Full column profile: nulls / exact distincts / min-max lengths, one
     // aggregation job, one output row per column (the reference's audit
     // stops at max length — SURVEY §2 rows 26-27 extended).
@@ -3845,6 +3859,66 @@ object ExtQueries {
         |      ELSE 0 END))::BIGINT AS score_fp
         |  FROM sc GROUP BY doc_id)
         |SELECT doc_id, n_trigrams, hit_trigrams, hit_bigrams, score_fp,
+        |  (score_fp / (n_trigrams * 1048576.0)) AS mean_score
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // interpolated KN restated stage by stage: the c3/c2 frames, the five
+    // continuation-count aggregates OF those frames, the seven left joins,
+    // and the fixed p1→p2→p3 IEEE tree with d = 0.75 — any drift in a
+    // count, a coalesce, or the operation order hash-fails
+    "text_lm_kn" ->
+      """WITH tw AS (SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |dt AS (SELECT doc_id, source, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        |  FROM tw, unnest(range(1, len(w) - 1)) AS t(i)),
+        |tf AS (SELECT doc_id, w1, w2, w3, count(*)::BIGINT AS tf
+        |  FROM dt GROUP BY 1, 2, 3, 4),
+        |r3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM dt
+        |  WHERE source IN ('src0', 'src1') GROUP BY 1, 2, 3),
+        |r2 AS (SELECT w1 AS b1, w2 AS b2, count(*)::BIGINT AS c2 FROM
+        |    (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        |     FROM tw, unnest(range(1, len(w))) AS t(i)
+        |     WHERE source IN ('src0', 'src1'))
+        |  GROUP BY 1, 2),
+        |k12 AS (SELECT w1, w2, count(*)::BIGINT AS n12dot FROM r3 GROUP BY 1, 2),
+        |k23 AS (SELECT w2, w3, count(*)::BIGINT AS ndot23 FROM r3 GROUP BY 1, 2),
+        |k2 AS (SELECT w2, count(*)::BIGINT AS ndot2dot FROM r3 GROUP BY 1),
+        |g2 AS (SELECT b1 AS w2, count(*)::BIGINT AS n2dot FROM r2 GROUP BY 1),
+        |g3 AS (SELECT b2 AS w3, count(*)::BIGINT AS ndot3 FROM r2 GROUP BY 1),
+        |nb AS (SELECT count(*)::BIGINT AS n_bigrams FROM r2),
+        |sc AS (SELECT tf.doc_id, tf.tf, r3.c3, b12.c2 AS c2_12, k12.n12dot,
+        |    k23.ndot23, k2.ndot2dot, g2.n2dot, g3.ndot3, nb.n_bigrams
+        |  FROM tf LEFT JOIN r3 USING (w1, w2, w3)
+        |    LEFT JOIN r2 b12 ON b12.b1 = tf.w1 AND b12.b2 = tf.w2
+        |    LEFT JOIN k12 ON k12.w1 = tf.w1 AND k12.w2 = tf.w2
+        |    LEFT JOIN k23 ON k23.w2 = tf.w2 AND k23.w3 = tf.w3
+        |    LEFT JOIN k2 ON k2.w2 = tf.w2
+        |    LEFT JOIN g2 ON g2.w2 = tf.w2
+        |    LEFT JOIN g3 ON g3.w3 = tf.w3
+        |    CROSS JOIN nb),
+        |pp AS (SELECT *, CASE WHEN n_bigrams > 0 THEN
+        |      CAST(coalesce(ndot3, 0) AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        |    ELSE 0.0 END AS p1
+        |  FROM sc),
+        |q2 AS (SELECT *, CASE WHEN ndot2dot IS NOT NULL THEN
+        |      greatest(CAST(coalesce(ndot23, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(ndot2dot AS DOUBLE)
+        |      + ((0.75 * CAST(coalesce(n2dot, 0) AS DOUBLE))
+        |        / CAST(ndot2dot AS DOUBLE)) * p1
+        |    ELSE p1 END AS p2 FROM pp),
+        |q3 AS (SELECT *, CASE WHEN c2_12 IS NOT NULL THEN
+        |      greatest(CAST(coalesce(c3, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(c2_12 AS DOUBLE)
+        |      + ((0.75 * CAST(coalesce(n12dot, 0) AS DOUBLE))
+        |        / CAST(c2_12 AS DOUBLE)) * p2
+        |    ELSE p2 END AS p3 FROM q2),
+        |agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+        |    sum(CASE WHEN c3 IS NOT NULL THEN tf ELSE 0 END)::BIGINT
+        |      AS hit_trigrams,
+        |    sum(tf * floor(1048576.0 * p3))::BIGINT AS score_fp
+        |  FROM q3 GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, hit_trigrams, score_fp,
         |  (score_fp / (n_trigrams * 1048576.0)) AS mean_score
         |FROM agg ORDER BY doc_id""".stripMargin,
 

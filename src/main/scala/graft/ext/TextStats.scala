@@ -487,6 +487,126 @@ object TextStats {
     result
   }
 
+  /** Interpolated Kneser-Ney trigram scoring (Kneser & Ney 1995; the
+    * modified-KN shape of Chen & Goodman 1999 with one discount) — the
+    * KenLM-grade upgrade over [[trigramBackoffScore]]'s Stupid Backoff:
+    * instead of hard backoff steps, every order INTERPOLATES with the one
+    * below, and the lower orders use CONTINUATION counts (in how many
+    * distinct contexts a word appears) rather than raw frequency — the
+    * fix for the "Francisco problem" (frequent but context-bound words
+    * stop leaking probability mass):
+    *
+    *   p3 = max(c3−d,0)/c2(w1,w2) + d·N1+(w1w2•)/c2(w1,w2) · p2
+    *   p2 = max(N1+(•w2w3)−d,0)/N1+(•w2•) + d·N1+(w2•)/N1+(•w2•) · p1
+    *   p1 = N1+(•w3) / N1+(••)
+    *
+    * d = ¾ (exactly representable; the Chen-Goodman estimate for the
+    * usual n1/n2 ratios). An unseen (w1,w2) context interpolates with
+    * weight 1 into p2 (likewise p2→p1); an unseen w3 scores 0. A (w1,w2)
+    * bigram that never PREFIXES a trigram (text-final position) carries a
+    * zero continuation bonus — deterministic on both engines. Per-trigram
+    * probabilities are a FIXED tree of correctly-rounded IEEE doubles
+    * (each branch one or two divisions) floored to 2^20 fixed point, so
+    * the oracle restates the arithmetic bit-for-bit; `mean_score` is the
+    * one final double division. Output per doc: (id, n_trigrams,
+    * hit_trigrams, score_fp, mean_score); docs with <3 tokens emit no row.
+    *
+    * Scale shape: the SAME broadcast-count-frame architecture as E9f —
+    * trigram rows collapse per (doc,w1,w2,w3) map-side; the reference
+    * collapses to the c3/c2 count frames ONCE (persisted, vocab-sized),
+    * and every continuation-count frame (N1+(w1w2•), N1+(•w2w3),
+    * N1+(•w2•), N1+(w2•), N1+(•w3), N1+(••)) derives from those
+    * aggregates, never from a second corpus pass. Under `maxBroadcast`
+    * all seven reference joins broadcast and no token-keyed exchange
+    * exists; above it the high-order joins key on composite
+    * (w1,w2)/(w2,w3) — quadratic hot-token dilution — with AQE skew
+    * splits as the runtime fallback. */
+  def knTrigramScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     reference: org.apache.spark.sql.DataFrame = null,
+                     refTextCol: String = null,
+                     maxBroadcast: Long = 1L << 20,
+                     scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+    val ref = Option(reference).getOrElse(df)
+    val refText = Option(refTextCol).getOrElse(textCol)
+    val FP = 1L << 20
+    val D = 0.75
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val tf = df
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 3)).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(lvl)
+    val c3 = ref
+      .select(explode(tokenNgrams(col(refText), 3)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+      .persist(lvl)
+    val c2 = ref
+      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
+      .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
+      .persist(lvl)
+    // continuation counts — every frame an aggregate OF the aggregates
+    val n12dot = c3.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12dot"))
+    val ndot23 = c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ndot23"))
+    val ndot2dot = c3.groupBy(col("w2")).agg(count(lit(1)).as("ndot2dot"))
+    val n2dot = c2.groupBy(col("b1")).agg(count(lit(1)).as("n2dot"))
+    val ndot3 = c2.groupBy(col("b2")).agg(count(lit(1)).as("ndot3"))
+    val nBigrams = c2.agg(count(lit(1)).as("n_bigrams"))
+    def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (maxBroadcast <= 0) f
+      else if (maxBroadcast == Long.MaxValue) broadcast(f)
+      else if (f.count() <= maxBroadcast) broadcast(f)
+      else f
+    val joined = tf
+      .join(side(c3), Seq("w1", "w2", "w3"), "left")
+      .join(side(c2.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("c2").as("c2_12"))), Seq("w1", "w2"), "left")
+      .join(side(n12dot), Seq("w1", "w2"), "left")
+      .join(side(ndot23), Seq("w2", "w3"), "left")
+      .join(side(ndot2dot), Seq("w2"), "left")
+      .join(side(n2dot.select(col("b1").as("w2"), col("n2dot"))),
+        Seq("w2"), "left")
+      .join(side(ndot3.select(col("b2").as("w3"), col("ndot3"))),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nBigrams))
+    // the fixed IEEE tree the oracle restates verbatim (the n_bigrams
+    // guard keeps a bigram-free reference at 0, not NaN)
+    val p1 = when(col("n_bigrams") > 0,
+        coalesce(col("ndot3"), lit(0L)).cast("double") /
+          col("n_bigrams").cast("double"))
+      .otherwise(lit(0.0))
+    val p2 = when(col("ndot2dot").isNotNull,
+        greatest(coalesce(col("ndot23"), lit(0L)).cast("double") - lit(D),
+          lit(0.0)) / col("ndot2dot").cast("double") +
+        ((lit(D) * coalesce(col("n2dot"), lit(0L)).cast("double")) /
+          col("ndot2dot").cast("double")) * p1)
+      .otherwise(p1)
+    val p3 = when(col("c2_12").isNotNull,
+        greatest(coalesce(col("c3"), lit(0L)).cast("double") - lit(D),
+          lit(0.0)) / col("c2_12").cast("double") +
+        ((lit(D) * coalesce(col("n12dot"), lit(0L)).cast("double")) /
+          col("c2_12").cast("double")) * p2)
+      .otherwise(p2)
+    val result = joined.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        sum(when(col("c3").isNotNull, col("tf")).otherwise(lit(0L)))
+          .as("hit_trigrams"),
+        sum(col("tf") * floor(lit(FP.toDouble) * p3)).as("score_fp"))
+      .withColumn("mean_score",
+        col("score_fp").cast("double") / (col("n_trigrams") * FP).cast("double"))
+    Seq(tf, c3, c2).foreach { f =>
+      if (scope != null) scope.own(f)
+      else Dedup.releaseAfterFirstAction(f, result)
+    }
+    result
+  }
+
   /** Vocabulary drift between two corpus snapshots — the crawl-health
     * check a continuously-refreshed training set runs per ingest: which
     * terms appeared, which vanished, and how the shared mass shifted.
