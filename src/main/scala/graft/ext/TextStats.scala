@@ -549,7 +549,11 @@ object TextStats {
       .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
       .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
       .persist(lvl)
-    // continuation counts — every frame an aggregate OF the aggregates
+    // continuation counts — every frame an aggregate OF the aggregates.
+    // Same-key frames pre-merge so the query side pays FIVE joins, not
+    // seven (the count-frame joins are vocab-sized and lossless: every
+    // trigram prefix/middle is itself a bigram/bigram-head, so c2 and
+    // n2dot are supersets of their left-joined partners).
     val n12dot = c3.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12dot"))
     val ndot23 = c3.groupBy(col("w2"), col("w3"))
@@ -558,6 +562,11 @@ object TextStats {
     val n2dot = c2.groupBy(col("b1")).agg(count(lit(1)).as("n2dot"))
     val ndot3 = c2.groupBy(col("b2")).agg(count(lit(1)).as("ndot3"))
     val nBigrams = c2.agg(count(lit(1)).as("n_bigrams"))
+    val ctx12 = c2.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("c2").as("c2_12"))
+      .join(n12dot, Seq("w1", "w2"), "left")
+    val ctx2 = n2dot.select(col("b1").as("w2"), col("n2dot"))
+      .join(ndot2dot, Seq("w2"), "left")
     def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       if (maxBroadcast <= 0) f
       else if (maxBroadcast == Long.MaxValue) broadcast(f)
@@ -565,13 +574,9 @@ object TextStats {
       else f
     val joined = tf
       .join(side(c3), Seq("w1", "w2", "w3"), "left")
-      .join(side(c2.select(col("b1").as("w1"), col("b2").as("w2"),
-        col("c2").as("c2_12"))), Seq("w1", "w2"), "left")
-      .join(side(n12dot), Seq("w1", "w2"), "left")
+      .join(side(ctx12), Seq("w1", "w2"), "left")
       .join(side(ndot23), Seq("w2", "w3"), "left")
-      .join(side(ndot2dot), Seq("w2"), "left")
-      .join(side(n2dot.select(col("b1").as("w2"), col("n2dot"))),
-        Seq("w2"), "left")
+      .join(side(ctx2), Seq("w2"), "left")
       .join(side(ndot3.select(col("b2").as("w3"), col("ndot3"))),
         Seq("w3"), "left")
       .crossJoin(broadcast(nBigrams))
