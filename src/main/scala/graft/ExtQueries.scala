@@ -227,6 +227,31 @@ object ExtQueries {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // Per-source data card — the summary a curation run publishes with a
+    // released dataset: doc/token volume, language breadth, exact-dup
+    // membership (global fingerprint groups ≥ 2, counted per source), and
+    // the classifier pass rate (native kernel as a projection). One
+    // fingerprint-keyed aggregation + one broadcast-able dup-set join +
+    // one source-keyed aggregation.
+    "curation_datacard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val stats = docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_tok"),
+        md5(lower(col("text"))).as("fp"),
+        when(TextStats.hashedLinearScoreCol(col("text"))
+          .getField("score_fp") > 0, 1L).otherwise(0L).as("pos"))
+      val dupFps = stats.groupBy(col("fp"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") >= 2).select(col("fp"))
+      stats.join(dupFps.withColumn("_dup", lit(1L)), Seq("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(coalesce(col("_dup"), lit(0L))).as("n_dup_docs"),
+          sum(col("pos")).as("n_quality_pos"))
+        .orderBy("source")
+    }),
+
     // The WHOLE training-data recipe in one row: curate (exact + near dedup
     // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
     // pure scan-level filter via the native kernel — no score join) →
@@ -2240,6 +2265,32 @@ object ExtQueries {
          |WHERE doc_id NOT IN (SELECT s FROM losers)
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
+
+    // volume, language breadth, global dup membership, classifier pass
+    // rate — the classifier arithmetic restated once more as a gate
+    "curation_datacard" ->
+      """WITH st AS (SELECT source, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5(lower(text)) AS fp,
+        |    CASE WHEN coalesce(list_sum(list_transform(
+        |        (SELECT list_concat(toks,
+        |           CASE WHEN len(toks) >= 2
+        |             THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+        |             ELSE []::VARCHAR[] END)
+        |         FROM (SELECT list_filter(string_split(lower(text), ' '),
+        |           t -> t <> '') AS toks)),
+        |        t -> ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+        |          * 1103515245 + 12345) % 2001 - 1000)), 0) > 0
+        |      THEN 1 ELSE 0 END::BIGINT AS pos
+        |  FROM documents),
+        |dup AS (SELECT fp FROM st GROUP BY fp HAVING count(*) >= 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  sum(CASE WHEN st.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_docs,
+        |  sum(pos)::BIGINT AS n_quality_pos
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
     // every stage of the one-row recipe restated: the shared curation CTE
     // chain, then the classifier's feature-hash arithmetic as a gate, then
