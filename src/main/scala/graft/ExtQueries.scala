@@ -881,6 +881,19 @@ object ExtQueries {
         .orderBy("doc_id", "copy_no")
     }),
 
+    // Deterministic shard manifest: shard = floor(hash·16) as a pure key
+    // function, then one shard-keyed aggregation to the trainer-facing
+    // manifest — doc count, token volume, and an order-independent md5-sum
+    // checksum per shard (one missing/duplicated/swapped doc changes it;
+    // partition order and retries never do).
+    "sample_shards" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      Sampling.shardManifest(docs, "doc_id", "n_tok", nShards = 16,
+          salt = "sh")
+        .orderBy("shard_id")
+    }),
+
     // Mixture weighting: per-source Bernoulli fractions (web-style
     // downsampling), a pure scan-level filter — the kept row set itself is
     // compared, not just counts. Unlisted sources keep the default 0.1.
@@ -2791,6 +2804,14 @@ object ExtQueries {
          |  FROM e)
          |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
          |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
+
+    // floor(hash·16) shard + the commutative md5-prefix-sum checksum
+    "sample_shards" ->
+      s"""SELECT floor(${Sql.unitHash("doc_id::VARCHAR", "sh")} * 16)::INT AS shard_id,
+         |  count(*)::BIGINT AS n_docs,
+         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+         |  sum(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::BIGINT AS checksum
+         |FROM documents GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     "sample_cap_source" ->
       s"""SELECT doc_id, source FROM documents

@@ -495,4 +495,39 @@ object Sampling {
       when(copies >= 1, sequence(lit(1), copies))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Deterministic shard assignment: shard = ⌊hash(key, salt)·n⌋ — a pure
+    * function of the key, so a re-run, a retried stage, or another engine
+    * lands every document in the SAME shard (contrast `repartition(n)`,
+    * whose round-robin is partition-layout-dependent). The md5 hash makes
+    * the shards uniform regardless of key distribution. */
+  def withShard(df: DataFrame, keyCol: String, nShards: Int,
+                salt: String = "", outCol: String = "shard_id"): DataFrame = {
+    require(nShards > 0, s"shard count must be positive: $nShards")
+    require(!df.columns.contains(outCol),
+      s"withShard: input already has a '$outCol' column — it would be clobbered")
+    df.withColumn(outCol,
+      floor(unitHash(col(keyCol), salt) * nShards).cast("int"))
+  }
+
+  /** Shard MANIFEST — the artifact a trainer validates a delivered dataset
+    * against: one row per shard with the document count, token volume, and
+    * an order-independent integer checksum (the SUM of each member's
+    * 32-bit md5 key prefix — commutative, so partition order, retries, and
+    * engine never change it; a single missing, duplicated, or swapped
+    * document does). Output: (shard_id, n_docs, n_tokens, checksum).
+    *
+    * Scale shape: one shard-keyed aggregation over a scan-level
+    * projection — map-side partials collapse each partition to ≤ nShards
+    * rows before the one small exchange. */
+  def shardManifest(df: DataFrame, keyCol: String, tokenCol: String,
+                    nShards: Int, salt: String = ""): DataFrame = {
+    val keyHash = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    withShard(df, keyCol, nShards, salt)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"),
+        sum(keyHash).as("checksum"))
+  }
 }

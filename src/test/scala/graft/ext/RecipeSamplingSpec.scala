@@ -134,6 +134,34 @@ class RecipeSamplingSpec extends SparkSpec {
     }
   }
 
+  // ──────────────────────── shard manifest ────────────────────────────────
+
+  test("withShard: pure key function, in range, matching the local hash") {
+    val out = Sampling.withShard(corpus, "doc_id", 16, salt = "sh")
+      .select("doc_id", "shard_id").as[(Long, Int)].collect()
+    out.foreach { case (id, sh) =>
+      assert(sh >= 0 && sh < 16)
+      assert(sh === math.floor(unitHashLocal(id.toString, "sh") * 16).toInt)
+    }
+  }
+
+  test("shardManifest: totals add up and a dropped doc changes exactly its shard") {
+    val docs = corpus.withColumn("n_tok",
+      org.apache.spark.sql.functions.size(split(col("text"), " ")))
+    val full = Sampling.shardManifest(docs, "doc_id", "n_tok", 16, salt = "sh")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(full.values.map(_._2).sum === 120L)
+    val dropped = Sampling.shardManifest(docs.where(col("doc_id") =!= 7L),
+      "doc_id", "n_tok", 16, salt = "sh")
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val shard7 = math.floor(unitHashLocal("7", "sh") * 16).toInt
+    assert(dropped(shard7)._2 === full(shard7)._2 - 1)
+    assert(dropped(shard7)._4 !== full(shard7)._4,
+      "checksum must change when a doc goes missing")
+    (full.keySet - shard7).foreach(k => assert(dropped.get(k) === Some(full(k)),
+      s"untouched shard $k must keep its manifest row"))
+  }
+
   // ──────────────────────── hashedLinearScore ─────────────────────────────
 
   private def naiveScore(text: String, dim: Int, salt: String): (Int, Long) = {
