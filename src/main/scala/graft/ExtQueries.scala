@@ -658,6 +658,34 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
+    // assignment on exact-integer arithmetic, truncating-integer-mean
+    // centroid update — so unlike the FP kmeansCentroids fit (reduction-
+    // order-dependent, never restatable) BOTH the fitted centroids and the
+    // final assignments are on the hash: the oracle unrolls all three
+    // assignment passes and both updates (Sql.kmeansUnrolled). k = 8 cells
+    // seeded from the 8 lowest vec_ids, 2 Lloyd rounds, one row per vector.
+    "sim_kmeans" -> ((s, d) => {
+      Similarity.kmeansAssignPortable(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 8, updates = 2)
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced downsampling (the E15e consumer): cap every fitted
+    // k-means cell at 40 vectors by deterministic hash order — the
+    // diversity-preserving prune (SemDeDup-style: dense cells shed
+    // redundant mass, sparse cells survive whole). Assignment is the
+    // zero-exchange kmeans projection; the cap runs the bounded-heap
+    // skew-safe path, so one mega-cell costs O(partitions·cap), not
+    // O(cell) — the window twin would serialize it through one task.
+    "sample_cluster_balance" -> ((s, d) => {
+      val assigned = Similarity.kmeansAssignPortable(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, updates = 2)
+      Sampling.capPerGroupSkewSafe(assigned, "cell", "vec_id", 40, salt = "bal")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
     // Streaming near-dup candidates, driven in batch mode (the whole frame
     // as one micro-batch): deterministic pair SET (per-bucket processing is
     // id-ordered), but the decision is a signature-agreement ESTIMATE the
@@ -2114,6 +2142,53 @@ object ExtQueries {
     // strict-left-fold dot product of two DOUBLE[] expressions, 64 dims
     def dot(a: String, b: String): String = dotN(a, b, 64)
 
+    // int8 quantization of embeddings into BIGINT[] codes — the
+    // sim_topk_int8-proven restatement of Similarity.quantizeInt8. Ends in
+    // CTE qt(vec_id, cq).
+    lazy val int8Codes: String =
+      """qe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qm AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS ma FROM qe),
+        |qt AS (SELECT vec_id, CASE WHEN ma = 0
+        |    THEN list_transform(v, x -> 0::BIGINT)
+        |    ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5)::BIGINT)
+        |  END AS cq FROM qm)""".stripMargin
+
+    // Unrolled portable integer k-means (mirrors
+    // Similarity.kmeansAssignPortable at k cells / `updates` Lloyd rounds):
+    // exact-integer cosine assignment over the int8 codes (score DESC,
+    // cent_id ASC tie-break, zero-norm coalesced to -2 — DuckDB's x/0.0 is
+    // NULL like Spark's try_divide), truncating integer mean update (`//`
+    // truncates toward zero = Scala Long division), empty cells keep their
+    // previous centroid via the LEFT JOIN coalesce. Requires a prior CTE
+    // qt(vec_id, cq BIGINT[]) — see [[int8Codes]] — and ends in CTE
+    // a<updates+1>(vec_id, cell, score).
+    def kmeansUnrolled(k: Int, updates: Int): String = {
+      def assign(i: Int, cFrom: String) =
+        s"""sc$i AS (SELECT q.vec_id, c.cent_id,
+           |  coalesce((${intDot("q.cq", "c.cq")})::DOUBLE /
+           |    (sqrt((${intDot("q.cq", "q.cq")})::DOUBLE) *
+           |     sqrt((${intDot("c.cq", "c.cq")})::DOUBLE)), -2.0) AS score
+           |  FROM qt q CROSS JOIN $cFrom c),
+           |a$i AS (SELECT vec_id, cent_id AS cell, score FROM sc$i
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY score DESC, cent_id) = 1)""".stripMargin
+      def update(i: Int) =
+        s"""s$i AS (SELECT a.cell, p.pos, sum(q.cq[p.pos]) AS s, count(*) AS n
+           |  FROM a$i a JOIN qt q ON q.vec_id = a.vec_id
+           |  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+           |  GROUP BY a.cell, p.pos),
+           |m$i AS (SELECT cell, list(s // n ORDER BY pos) AS cq
+           |  FROM s$i GROUP BY cell),
+           |c$i AS (SELECT p.cent_id, coalesce(m.cq, p.cq) AS cq
+           |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cell = p.cent_id)""".stripMargin
+      val rounds = (1 to updates)
+        .map(i => assign(i, s"c${i - 1}") + ",\n" + update(i)).mkString(",\n")
+      s"""c0 AS (SELECT vec_id AS cent_id, cq FROM qt ORDER BY vec_id LIMIT $k),
+         |$rounds,
+         |${assign(updates + 1, s"c$updates")}""".stripMargin
+    }
+
     val minhashSigs: String =
       "[" + (1 to 8).map(j =>
         s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
@@ -2708,6 +2783,24 @@ object ExtQueries {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM rescored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.kmeansAssignPortable(k=8, updates=2): int8 codes,
+    // three unrolled exact-integer cosine assignments, two truncating
+    // integer-mean updates — fitted centroids AND assignments on the hash
+    "sim_kmeans" ->
+      s"""WITH ${Sql.int8Codes},
+         |${Sql.kmeansUnrolled(8, 2)}
+         |SELECT vec_id, cell, score FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set
+    // identical to the rank-window form, which the oracle restates)
+    "sample_cluster_balance" ->
+      s"""WITH ${Sql.int8Codes},
+         |${Sql.kmeansUnrolled(8, 2)}
+         |SELECT vec_id, cell FROM a3
+         |QUALIFY row_number() OVER (PARTITION BY cell
+         |  ORDER BY ${Sql.unitHash("vec_id::VARCHAR", "bal")} ASC, vec_id ASC) <= 40
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_topk_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

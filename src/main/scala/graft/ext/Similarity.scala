@@ -272,6 +272,60 @@ object Similarity {
     centroidLiteral(cents)
   }
 
+  /** Fully PORTABLE integer k-means (Lloyd's) over int8-quantized vectors —
+    * the oracle-checkable twin of [[kmeansCentroids]], whose fitted FP means
+    * depend on reduction order and so never restate cross-engine. Three
+    * exact-integer choices buy the portability: (1) vectors become int8
+    * codes ([[quantizeInt8]] — `floor(x·127/max|x| + ½)`, the
+    * `sim_topk_int8`-proven restatement); (2) cosine assignment runs over
+    * the integer-VALUED doubles (every product ≤ 127² and every partial sum
+    * ≤ 127²·dim — exact, so fold order is irrelevant) with [[nearestCell]]'s
+    * score-desc / min-cent-id tie-break and zero-norm → first cell; (3) the
+    * centroid update is the TRUNCATING integer mean `sum / count` per
+    * dimension (Scala Long division = DuckDB `//`), so refitted centroids
+    * are integer vectors again and the next assignment stays exact. Cells
+    * that lose all members keep their previous centroid (same convention as
+    * [[kmeansCentroids]]); cosine is scale-invariant, so the unnormalized
+    * integer mean is a faithful spherical-k-means update up to the
+    * quantization the portability contract demands.
+    *
+    * Scale shape: each assignment pass is a zero-exchange scan projection
+    * against a broadcast centroid literal; each update is ONE (cell, dim)-
+    * keyed aggregation — k·dim keys, map-side partials — whose k·dim Longs
+    * return to the driver, the same contract-bounded payload every centroid
+    * broadcast already ships out. `updates` Lloyd rounds, then one final
+    * assignment; output one (vec_id, cell, score) row per corpus vector. */
+  def kmeansAssignPortable(corpus: DataFrame, idCol: String, vecCol: String,
+                           k: Int, updates: Int): DataFrame = {
+    val codes = corpus.select(col(idCol).as("vec_id"),
+      quantizeInt8(asDouble(col(vecCol))).as("q"))
+    val qd = codes.withColumn("qd", col("q").cast("array<double>"))
+    var cents: Seq[(Any, Seq[Double])] = qd
+      .select(col("vec_id").as("cent_id"), col("qd").as("cv"))
+      .orderBy("cent_id").limit(k).collect()
+      .toSeq.map(r => (r.get(0), r.getSeq[Double](1)))
+    require(cents.nonEmpty, "kmeansAssignPortable: empty corpus")
+    for (_ <- 1 to updates) {
+      val means = qd
+        .select(nearestCell(col("qd"), centroidLiteral(cents)).as("cell"),
+          posexplode(col("q")))
+        .toDF("cell", "pos", "x")
+        .groupBy("cell", "pos")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getLong(2) / r.getLong(3)).toDouble).toSeq
+        }
+      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+    }
+    val centLit = centroidLiteral(cents)
+    qd.select(col("vec_id"),
+      nearestCell(col("qd"), centLit).as("cell"),
+      nearestCellScore(col("qd"), centLit).as("score"))
+  }
+
   /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
     * norm vector) coalesces to -2 — below any real cosine — so comparisons
     * stay two-valued and a zero-norm vector lands deterministically in the

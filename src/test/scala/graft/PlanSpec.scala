@@ -459,4 +459,25 @@ class PlanSpec extends SparkSpec {
       "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined,
       s"the labeling must arrive via one keyed left join:\n$p")
   }
+
+  test("sim_kmeans: final assignment is a pure scan projection — no join/window/agg") {
+    // the Lloyd updates run eagerly at build time (contract-bounded k·dim
+    // collects); what the cluster executes per row afterwards is ONE
+    // projection against the broadcast centroid literal
+    val p = plan("sim_kmeans")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"assignment must not join or window:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("sample_cluster_balance: bounded-heap cap, no per-cell sort window, no product") {
+    val p = plan("sample_cluster_balance")
+    assert(!p.contains("Window"),
+      s"the skew-safe cap must not plan a rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product may appear:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"kept rows must come back via the semi-join:\n$p")
+  }
 }
