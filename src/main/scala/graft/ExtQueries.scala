@@ -658,6 +658,16 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
+    // of a DIFFERENT label — the contrastive-training batch builder.
+    // bruteForceTopK's scan shape with a pair-level label-mismatch filter.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegativesTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
     // assignment on exact-integer arithmetic, truncating-integer-mean
     // centroid update — so unlike the FP kmeansCentroids fit (reduction-
@@ -2781,6 +2791,20 @@ object ExtQueries {
          |  JOIN n c ON c.vec_id = s.id),
          |ranked AS (SELECT query_id, id, score, row_number() OVER (
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM rescored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.hardNegativesTopK: sim_topk's scored join under a
+    // label-mismatch predicate (which also excludes the anchor itself)
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c
+         |  ON q.vec_id < 5 AND c.label <> q.label),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 

@@ -72,6 +72,27 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k most
+    * similar corpus vectors with a DIFFERENT label — the highest-loss
+    * negatives an InfoNCE/triplet batch wants (random draws give easy
+    * negatives; the near-boundary ones come from exactly this query). Same
+    * scan shape as [[bruteForceTopK]] — anchors broadcast, corpus scanned
+    * once, bounded-heap top-k — with the label-mismatch predicate on the
+    * pair, filtered before the cosine so a same-class candidate costs one
+    * comparison, not 64 multiplies. The anchor never matches itself (its own
+    * label is never a mismatch). */
+  def hardNegativesTopK(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                        vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(labelCol).as("c_label"),
+      asDouble(col(vecCol)).as("v"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      col(labelCol).as("q_label"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Sign-quantization LSH bucket: bit i of the key is sign(v[i+1] > 0) for
     * the first `bits` dimensions. Deterministic, engine-portable (no random
     * hyperplanes to ship), and a genuine member of the random-hyperplane LSH
