@@ -83,6 +83,60 @@ object ExtQueries {
       (0 until 4).map(pos =>
         (((sub * 31 + code * 7 + pos * 3) % 11) - 5) / 8.0).toSeq).toSeq)
 
+  /** Pinned BPE merge table for text_bpe_encode (rank = Seq position) —
+    * letter pairs that actually fire on the corpus, with two-stage chains
+    * (t+h→th, th+e→the; a+n→an, an+d→and) so rank precedence and merged-
+    * symbol re-merging are both exercised. 8 rounds is at-or-beyond
+    * convergence for every chain here, so the fixed budget equals fixpoint. */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "o" -> "n", "an" -> "d", "e" -> "d")
+  private val bpeRounds = 8
+
+  /** One unrolled BPE merge round for the DuckDB oracle, over the
+    * "(sym)(sym)…" wrapped-symbol encoding: the CASE picks the LOWEST-RANK
+    * pair present (first match in table order), and `replace`'s
+    * non-overlapping left-to-right scan — continuing AFTER each replacement
+    * — is exactly the kernel's scan-skip merge ("(a)(a)(a)" → "(aa)(a)").
+    * The wrapping makes matches exact: a letter-only pattern "(a)(b)" can
+    * only match at a symbol boundary, because multi-char symbols are
+    * letter-only concatenations and paren CHARS in text wrap to "(()"/"())"
+    * which contain no letters. */
+  private def bpeRoundSql(prev: String): String =
+    bpeMerges.map { case (a, b) =>
+      s"WHEN contains($prev, '($a)($b)') THEN replace($prev, '($a)($b)', '($a$b)')"
+    }.mkString("CASE ", " ", s" ELSE $prev END")
+
+  /** Unrolled DuckDB restatement of TextStats.bpeTrainMerges: per round r,
+    * p_r = weighted adjacent-pair counts over the wrapped-symbol state,
+    * b_r = the argmax under the (count DESC, a, b) tie-break, s_r = the
+    * chosen merge applied via `replace`'s non-overlapping left-to-right
+    * scan (= the fold's scan-skip). The state chain s0→s8 makes every
+    * round's selection depend on every earlier round's application. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT pr.a AS a, pr.b AS b, sum(cnt)::BIGINT AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(tl)),
+         |    i -> {'a': tl[i], 'b': tl[i+1]})) AS pr, cnt
+         |  FROM (SELECT string_split(substr(s, 2, length(s) - 2), ')(') AS tl,
+         |        cnt FROM $prev)) GROUP BY pr.a, pr.b),
+         |b$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS (SELECT replace(s, '(' || a || ')(' || b || ')',
+         |  '(' || a || b || ')') AS s, cnt FROM $prev CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges)
+      .map(r => s"SELECT $r AS rank, a, b, c AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH wf AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |    FROM documents WHERE regexp_matches(text, '^[ -~]*$$')) GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, cnt FROM wf),
+       |$rounds
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
     * list_sum([]) = NULL (and dodging Spark's descending sequence(1,0)). */
@@ -1068,6 +1122,37 @@ object ExtQueries {
           sum(TextStats.nWords(col("text")).cast("long")).as("sum_words"),
           sum(TextStats.nSubwords(col("text")).cast("long")).as("sum_subwords"))
         .orderBy("lang")
+    }),
+
+    // Real BPE ENCODE under the pinned merge table (E9i): per doc, the
+    // exact subword stream after 8 merge rounds — posexplode so every token
+    // AND its position is hash-compared (a wrong merge order, a missed
+    // occurrence, or a rank-precedence bug all reorder the stream).
+    // ASCII-printable docs only: the kernel iterates UTF-16 units, the
+    // oracle regex codepoints — identical on ASCII, divergent on surrogate
+    // pairs. Pure scan-level projection; the explode is the only growth.
+    "text_bpe_encode" -> ((s, d) => {
+      t(s, d, "documents")
+        .where(col("doc_id") < 120 && col("text").rlike("^[ -~]*$"))
+        .select(col("doc_id"),
+          posexplode(TextStats.bpeEncode(col("text"), bpeMerges, bpeRounds))
+            .as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // BPE merge-table TRAINING under the oracle gate (E9j): the tokenizer
+    // FIT itself — 8 learned merges with their weighted pair counts. One
+    // corpus pass to the word-frequency table, then every round is
+    // vocab-sized; the oracle unrolls all 8 rounds (pair counts, argmax
+    // with the (count DESC, a, b) tie-break, scan-skip merge application),
+    // so a counting, selection, or state-update drift anywhere hash-fails.
+    "text_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val corpus = t(s, d, "documents").where(col("text").rlike("^[ -~]*$"))
+      TextStats.bpeTrainMerges(corpus, "text", nMerges = 8)
+        .zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
+        .toDF("rank", "a", "b", "pair_count")
+        .orderBy("rank")
     }),
 
     // PII redaction over a frame with PLANTED pii (an email + a 7-digit ref
@@ -3103,6 +3188,40 @@ object ExtQueries {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirrors TextStats.bpeEncode under the pinned table: each word is
+    // wrapped "(c)(c)…", each of the 8 rounds is one unrolled
+    // lowest-rank-present CASE + a scan-skip `replace` (see bpeRoundSql),
+    // then tokens are recovered by stripping the outer parens and splitting
+    // on the ")(" symbol boundary — exact because multi-char symbols are
+    // letter-only, so neither "(x)(y)" patterns nor ")(" separators can
+    // occur inside a symbol
+    "text_bpe_encode" -> {
+      val rounds = (1 to bpeRounds).map { r =>
+        val (prev, from) =
+          if (r == 1) ("s0", "wrapped") else ("s", s"r${r - 1}")
+        s"r$r AS (SELECT doc_id, word_ord, ${bpeRoundSql(prev)} AS s FROM $from)"
+      }.mkString(",\n")
+      s"""WITH docs AS (SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS wl
+         |  FROM documents WHERE doc_id < 120 AND regexp_matches(text, '^[ -~]*$$')),
+         |words AS (SELECT doc_id, unnest(range(1, len(wl)+1)) AS word_ord,
+         |  unnest(wl) AS w FROM docs),
+         |wrapped AS (SELECT doc_id, word_ord,
+         |  regexp_replace(w, '(.)', '(\\1)', 'g') AS s0 FROM words),
+         |$rounds,
+         |toks AS (SELECT doc_id, word_ord,
+         |  string_split(substr(s, 2, length(s) - 2), ')(') AS tl FROM r$bpeRounds),
+         |ex AS (SELECT doc_id, word_ord, unnest(range(1, len(tl)+1)) AS tok_ord,
+         |  unnest(tl) AS token FROM toks)
+         |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY word_ord, tok_ord) - 1)::INT AS pos, token
+         |FROM ex ORDER BY doc_id, pos""".stripMargin
+    },
+
+    // see bpeTrainOracle: all 8 training rounds unrolled, each consuming
+    // the previous round's applied state
+    "text_bpe_train" -> bpeTrainOracle(8),
 
     // DuckDB regexp_replace defaults to first-match-only — the 'g' flag
     // makes it global like Spark's

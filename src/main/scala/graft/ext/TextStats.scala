@@ -67,6 +67,88 @@ object TextStats {
       nSubwordsBpe(text, graft.ext.expressions.Bpe.loadMerges(mergesPath))
     else nSubwords(text)
 
+  /** Full BPE ENCODE (not just the count): `text → array<string>` of subword
+    * tokens under a pinned merge table with a FIXED round budget — the
+    * oracle-restatable sibling of [[nSubwordsBpe]], whose until-fixpoint loop
+    * SQL cannot unroll. Any `rounds` at or beyond convergence yields the
+    * same tokens, so the budget is a restatement device, not a semantics
+    * change. One native one-pass kernel per document
+    * ([[graft.ext.expressions.BpeEncodeExpr]]); pure projection, zero
+    * shuffle — the tokenizer stage of a training-data pipeline at any scale. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)], rounds: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.BpeEncodeExpr(
+      GraftColumnBridge.expression(text), merges, rounds))
+  }
+
+  /** BPE merge-table TRAINING (Sennrich et al. 2016) — the tokenizer FIT
+    * whose output [[bpeEncode]] consumes, distributed in the canonical
+    * shape: ONE corpus pass builds the word-frequency table, then every
+    * merge round runs on that VOCAB-sized frame (the classic trick — pair
+    * statistics over distinct words weighted by count, never a second
+    * corpus scan). Per round: adjacent-pair counts (overlapping positions,
+    * weighted by word count) → one small aggregation → argmax collected to
+    * the driver (ONE row per round, contract-bounded like the k-means
+    * centroid collects) → the chosen merge applied to the symbol state as a
+    * pure array-fold projection. Deterministic end to end: ties break on
+    * (count DESC, a ASC, b ASC), and the left-fold merge equals the
+    * scan-skip form because a merged symbol `a+b` never equals `a`
+    * (nonempty `b`). Training state is maintained EXACTLY (one merge per
+    * round), not re-derived by encode-priority — the two can diverge when a
+    * later merge creates an earlier-rank pair.
+    *
+    * Returns (a, b, weightedPairCount) in learned order. */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges out of range: $nMerges")
+    val w = col("w")
+    val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+    val words = docs
+      .select(explode(filter(split(lower(col(textCol)), " "), x => x =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(chars.as("syms"), col("cnt"))
+      .persist()
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var frame = words
+      var r = 0
+      var dry = false
+      while (r < nMerges && !dry) {
+        val sy = col("syms")
+        val top = frame
+          .select(explode(arrays_zip(
+              slice(sy, lit(1), size(sy) - 1).as("a"),
+              slice(sy, lit(2), size(sy) - 1).as("b"))).as("p"), col("cnt"))
+          .select(col("p.a"), col("p.b"), col("cnt"))
+          .groupBy("a", "b").agg(sum("cnt").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val a: String = top(0).getString(0)
+          val b: String = top(0).getString(1)
+          val c: Long = top(0).getLong(2)
+          out += ((a, b, c))
+          frame = frame.select(applyMerge(col("syms"), a, b).as("syms"), col("cnt"))
+          r += 1
+        }
+      }
+      out.toSeq
+    } finally words.unpersist()
+  }
+
+  /** One merge applied to a symbol array as a left fold: if the running
+    * tail is `a` and the next symbol is `b`, replace the tail with `a+b` —
+    * exactly scan-skip (the merged `a+b` can never re-match as `a`). `get`
+    * (0-based, null out of bounds) keeps the empty-accumulator probe from
+    * ANSI-throwing. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+          get(acc, size(acc) - 1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
   /** Collapse runs of consecutive identical whitespace tokens to one
     * occurrence ("batch batch batch" → "batch") — the stutter-normalization
     * cleaning pass for OCR/scrape/keyboard-mash artifacts, the token-level

@@ -480,4 +480,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"),
       s"kept rows must come back via the semi-join:\n$p")
   }
+
+  test("text_bpe_encode: native kernel + explode, no join/window/agg") {
+    val p = plan("text_bpe_encode")
+    assert(p.contains("graft_bpe_encode"),
+      s"encode must plan the native kernel:\n$p")
+    assert(p.contains("Generate"),
+      s"the token stream must arrive via a Generate:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"BPE encode is scan-level — no join/window/agg:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("sim_hard_negatives: anchors broadcast over one corpus scan, heap top-k") {
+    val p = plan("sim_hard_negatives")
+    // the scan-wide product is the DESIGN (tiny anchor side broadcast, one
+    // corpus pass) — what must never appear is an unbroadcast product or a
+    // per-anchor rank window replacing the bounded heap
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"anchors must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must be the bounded heap, not a rank window:\n$p")
+  }
 }
