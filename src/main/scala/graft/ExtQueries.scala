@@ -107,6 +107,86 @@ object ExtQueries {
       s"WHEN contains($prev, '($a)($b)') THEN replace($prev, '($a)($b)', '($a$b)')"
     }.mkString("CASE ", " ", s" ELSE $prev END")
 
+  /** Unrolled DuckDB restatement of TextStats.perceptronTrain(dim=64): the
+    * feature space is E9g's (unigrams + `_`-bigrams, md5 bucket), one fx
+    * row per feature OCCURRENCE so Σy over joined rows equals Σ y·count.
+    * Each epoch chains off the previous epoch's weight CTE. */
+  private def perceptronChain(epochs: Int, trainWhere: String,
+                              dim: Int): String = {
+    val rounds = (1 to epochs).map { e =>
+      val pw = s"w${e - 1}"
+      s"""d$e AS (SELECT fx.doc_id, fx.y, sum(w.wt)::BIGINT AS dot
+         |  FROM fx JOIN $pw w USING (b) GROUP BY fx.doc_id, fx.y),
+         |m$e AS (SELECT doc_id FROM d$e
+         |  WHERE (CASE WHEN dot >= 0 THEN 1 ELSE -1 END) <> y),
+         |g$e AS (SELECT fx.b, sum(fx.y)::BIGINT AS delta
+         |  FROM fx JOIN m$e USING (doc_id) GROUP BY fx.b),
+         |w$e AS (SELECT $pw.b, ($pw.wt + coalesce(g$e.delta, 0))::BIGINT AS wt
+         |  FROM $pw LEFT JOIN g$e USING (b))""".stripMargin
+    }.mkString(",\n")
+    s"""t0 AS (SELECT doc_id, y,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM corpus$trainWhere),
+       |f0 AS (SELECT doc_id, y, list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+       |      ELSE []::VARCHAR[] END) AS feats FROM t0),
+       |fx AS (SELECT doc_id, y,
+       |    ('0x' || substr(md5(f || 'qc'), 1, 8))::BIGINT % $dim AS b
+       |  FROM (SELECT doc_id, y, unnest(feats) AS f FROM f0)),
+       |w0 AS (SELECT unnest(range(0, $dim))::BIGINT AS b, 0::BIGINT AS wt),
+       |$rounds""".stripMargin
+  }
+
+  private def perceptronTrainOracle(epochs: Int): String =
+    s"""WITH corpus AS (SELECT doc_id,
+       |    (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y, text
+       |  FROM documents),
+       |${perceptronChain(epochs, "", dim = 64)}
+       |SELECT b::INT AS bucket, wt AS w FROM w$epochs ORDER BY bucket""".stripMargin
+
+  /** The e2e corpus: a PLANTED noisy class signal — marker token matches
+    * the ±1 label for 85% of docs (the 15% flip set is a keyed hash of
+    * doc_id), so held-out accuracy ≈ the planted signal strength and the
+    * row demonstrates GENERALIZATION, not memorization. Label (doc_id%4<2)
+    * is balanced within each parity half, so the even/odd split stratifies. */
+  private val perceptronE2eCorpus: String =
+    s"""corpus AS (SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 < 2 THEN 1 ELSE -1 END)::BIGINT AS y,
+       |    text || repeat(' ' || (CASE WHEN (doc_id % 4 < 2) <>
+       |        ((doc_id * 1103515245 + 12345) % 100 < 15)
+       |      THEN 'qpos' ELSE 'qneg' END), 8) AS text
+       |  FROM documents)""".stripMargin
+
+  /** Train on even doc_ids, score the odd held-out half against the final
+    * weight CTE. The LEFT JOIN keeps zero-feature docs (dot coalesces to 0,
+    * matching the Spark fold over an empty bucket array). */
+  private def perceptronE2eOracle(epochs: Int): String =
+    s"""WITH $perceptronE2eCorpus,
+       |${perceptronChain(epochs, " WHERE doc_id % 2 = 0", dim = 128)},
+       |wavg AS (SELECT b, sum(wt)::BIGINT AS wt FROM (
+       |  ${(1 to epochs).map(e => s"SELECT b, wt FROM w$e").mkString(" UNION ALL ")}
+       |  ) GROUP BY b),
+       |odd AS (SELECT doc_id, y,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM corpus WHERE doc_id % 2 = 1),
+       |of0 AS (SELECT doc_id, y, list_concat(toks,
+       |    CASE WHEN len(toks) >= 2
+       |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+       |      ELSE []::VARCHAR[] END) AS feats FROM odd),
+       |ofx AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f || 'qc'), 1, 8))::BIGINT % 128 AS b
+       |  FROM (SELECT doc_id, unnest(feats) AS f FROM of0)),
+       |dots AS (SELECT ofx.doc_id, sum(w.wt)::BIGINT AS dot
+       |  FROM ofx JOIN wavg w USING (b) GROUP BY ofx.doc_id),
+       |sc AS (SELECT odd.doc_id, coalesce(dots.dot, 0)::BIGINT AS score_fp, odd.y
+       |  FROM odd LEFT JOIN dots USING (doc_id))
+       |SELECT doc_id, score_fp,
+       |  (CASE WHEN score_fp >= 0 THEN 1 ELSE -1 END)::INT AS pred,
+       |  (CASE WHEN (CASE WHEN score_fp >= 0 THEN 1 ELSE -1 END) = y
+       |     THEN 1 ELSE 0 END)::INT AS correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Unrolled DuckDB restatement of TextStats.bpeTrainMerges: per round r,
     * p_r = weighted adjacent-pair counts over the wrapped-symbol state,
     * b_r = the argmax under the (count DESC, a, b) tie-break, s_r = the
@@ -1138,6 +1218,56 @@ object ExtQueries {
           posexplode(TextStats.bpeEncode(col("text"), bpeMerges, bpeRounds))
             .as(Seq("pos", "token")))
         .orderBy("doc_id", "pos")
+    }),
+
+    // Classifier TRAINING under the oracle gate (E9k): integer batch
+    // perceptron over E9g's exact feature space (same md5 bucket, same
+    // `_`-bigrams, dim=64 here so the oracle's weight CTEs stay 64-row),
+    // 3 epochs, label = lang=='en' as ±1 (a MECHANISM pin — the synthetic
+    // lang labels are not learnable from text; the e2e row below
+    // demonstrates actual learning). The oracle unrolls every epoch —
+    // per-doc dots, the sign-vs-label misclassification set, the bucket-
+    // keyed gradient, the weight update — so a drift in hashing, sign
+    // convention, or update arithmetic hash-fails. Output: the learned
+    // 64-long integer weight vector, the artifact E9g's seam consumes.
+    "text_classifier_train" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("text"),
+        when(col("lang") === "en", 1).otherwise(-1).as("y"))
+      TextStats.perceptronTrain(docs, "text", "y", dim = 64, epochs = 3)
+        .zipWithIndex.map { case (wt, b) => (b, wt) }
+        .toDF("bucket", "w")
+        .orderBy("bucket")
+    }),
+
+    // Train→infer E2E (E9k2): fit on EVEN doc_ids, score the held-out ODD
+    // docs with the learned vector via the closed E9g seam — per held-out
+    // doc the exact integer score, sign prediction, and correctness flag,
+    // so GENERALIZATION (not just the fit) is part of the compared surface.
+    // The corpus carries a planted noisy class signal (marker token agrees
+    // with the label on 85% of docs, flips keyed-hashed on doc_id), so the
+    // learned accuracy ≈ signal strength — a real learning demonstration on
+    // synthetic text whose raw lang labels are unlearnable. Inference is a
+    // pure scan projection; the weights ride as a literal. dim=128,
+    // 6 epochs, AVERAGED snapshots (Freund-Schapire integer form) — the
+    // full-batch update oscillates class-wide on its own; the snapshot sum
+    // damps it (held-out: 200/250 = 0.80 vs the 0.85 planted ceiling).
+    "text_classifier_e2e" -> ((s, d) => {
+      val y = when(col("doc_id") % 4 < 2, 1L).otherwise(-1L)
+      val flip = (col("doc_id") * 1103515245L + 12345L) % 100L < 15L
+      val marker = when((col("doc_id") % 4 < 2) =!= flip, "qpos").otherwise("qneg")
+      val all = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), repeat(concat(lit(" "), marker), 8)).as("text"),
+        y.as("y"))
+      val w = TextStats.perceptronTrain(all.where(col("doc_id") % 2 === 0),
+        "text", "y", dim = 128, epochs = 6, averaged = true)
+      all.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          TextStats.trainedScoreCol(col("text"), w).as("score_fp"), col("y"))
+        .withColumn("pred", when(col("score_fp") >= 0, 1).otherwise(-1))
+        .select(col("doc_id"), col("score_fp"), col("pred"),
+          (col("pred") === col("y")).cast("int").as("correct"))
+        .orderBy("doc_id")
     }),
 
     // BPE merge-table TRAINING under the oracle gate (E9j): the tokenizer
@@ -3222,6 +3352,17 @@ object ExtQueries {
     // see bpeTrainOracle: all 8 training rounds unrolled, each consuming
     // the previous round's applied state
     "text_bpe_train" -> bpeTrainOracle(8),
+
+    // mirrors TextStats.perceptronTrain(dim=64, epochs=3): per epoch e,
+    // d_e = per-doc dots against w_{e-1} (weights as 64 rows, joined on
+    // bucket), m_e = docs whose sign-prediction misses the ±1 label,
+    // g_e = bucket-keyed Σy over m_e's feature occurrences,
+    // w_e = w_{e-1} + g_e. Zero-feature docs never enter fx, so they are
+    // absent from m_e — harmless, their gradient contribution is zero.
+    "text_classifier_train" -> perceptronTrainOracle(3),
+
+    // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
+    "text_classifier_e2e" -> perceptronE2eOracle(6),
 
     // DuckDB regexp_replace defaults to first-match-only — the 'g' flag
     // makes it global like Spark's

@@ -992,13 +992,7 @@ object TextStats {
                                         dim: Int = 4096,
                                         salt: String = "qc"): org.apache.spark.sql.DataFrame = {
     require(dim > 0, s"feature dimension must be positive: $dim")
-    val toks = filter(tokens(col(textCol)), t => length(t) > 0)
-    val nb = size(toks) - 1
-    val bigrams = when(nb >= 1,
-      zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
-        (a, b) => concat(a, lit("_"), b)))
-      .otherwise(array().cast("array<string>"))
-    val feats = concat(toks, bigrams)
+    val feats = classifierFeats(col(textCol))
     def weightOf(t: Column): Column = {
       val bucket = conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
         .cast("long") % dim
@@ -1010,5 +1004,86 @@ object TextStats {
         aggregate(col("_f"), lit(0L), (acc, t) => acc + weightOf(t))
           .as("score_fp"))
       .withColumn("label", when(col("score_fp") > 0, 1).otherwise(0))
+  }
+
+  /** The unigram + adjacent-bigram feature array of [[hashedLinearScore]]'s
+    * feature space ("tok" and "tok_tok", multiplicity kept). */
+  private def classifierFeats(text: Column): Column = {
+    val toks = filter(tokens(text), t => length(t) > 0)
+    val nb = size(toks) - 1
+    val bigrams = when(nb >= 1,
+      zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** Classifier TRAINING under the oracle gate: an integer BATCH perceptron
+    * over [[hashedLinearScore]]'s exact feature space (same tokenize, same
+    * `_`-joined bigrams, same md5 bucket), so the learned vector drops
+    * straight into the E9g inference seam. Batch (not sequential) updates
+    * make the fit order-independent and therefore restatable: per epoch,
+    *   w ← w + Σ_misclassified y·x   (x = integer bucket-count vector,
+    *   prediction = +1 iff w·x ≥ 0, labels ∈ {+1,−1}, all arithmetic exact).
+    * Distributed shape per epoch: the weight vector rides the plan as a
+    * `dim`-long literal array, the dot product is a scan-level fold over
+    * each doc's (persisted) bucket array — no join against a weight table —
+    * and the gradient is ONE bucket-keyed aggregation whose result (≤ dim
+    * rows, like the k-means centroid collects) updates the driver copy.
+    * Epochs are sequential jobs over the cached feature frame; nothing
+    * corpus-sized ever reaches the driver.
+    *
+    * Returns the weight per bucket, index 0..dim-1, after `epochs` rounds. */
+  def perceptronTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      labelCol: String, dim: Int, epochs: Int,
+                      salt: String = "qc",
+                      averaged: Boolean = false): Seq[Long] = {
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    require(epochs >= 1, s"epochs out of range: $epochs")
+    def bucketOf(t: Column): Column =
+      conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
+        .cast("long") % dim
+    val docFeats = docs
+      .select(col(labelCol).cast("long").as("y"),
+        transform(classifierFeats(col(textCol)), bucketOf(_)).as("bs"))
+      .persist()
+    try {
+      val w = Array.fill(dim)(0L)
+      val wSum = Array.fill(dim)(0L)
+      for (_ <- 1 to epochs) {
+        val wLit = array(w.toIndexedSeq.map(lit): _*)
+        val dot = aggregate(col("bs"), lit(0L),
+          (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+        docFeats
+          .select(col("y"), col("bs"), dot.as("dot"))
+          .where(when(col("dot") >= 0, 1L).otherwise(-1L) =!= col("y"))
+          .select(col("y"), explode(col("bs")).as("b"))
+          .groupBy("b").agg(sum(col("y")).as("delta"))
+          .collect()
+          .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+        for (b <- 0 until dim) wSum(b) += w(b)
+      }
+      // averaged = the SUM of the per-epoch snapshots (Freund & Schapire's
+      // averaged perceptron, integer form — the positive scale factor
+      // doesn't move the decision boundary): damps the full-batch
+      // oscillation where each epoch flips a whole class's predictions
+      if (averaged) wSum.toSeq else w.toSeq
+    } finally docFeats.unpersist()
+  }
+
+  /** Inference with a TRAINED weight vector — the seam [[hashedLinearScore]]
+    * documents, closed: same feature space, weights as a literal array
+    * riding the plan (broadcast-by-construction), score = exact integer
+    * fold over the doc's buckets. Pure scan-level projection, zero shuffle.
+    * `weights.length` is the feature dimension. */
+  def trainedScoreCol(text: Column, weights: Seq[Long],
+                      salt: String = "qc"): Column = {
+    require(weights.nonEmpty, "trainedScoreCol: empty weight vector")
+    val dim = weights.length
+    val wLit = array(weights.map(lit): _*)
+    val bs = transform(classifierFeats(text), t =>
+      conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
+        .cast("long") % dim)
+    aggregate(bs, lit(0L), (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
   }
 }
