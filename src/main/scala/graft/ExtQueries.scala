@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
 import graft.streaming.EventTimeOps
 
 /** Extension-operator catalog (SURVEY §2.8 + coverage breadth): dedup,
@@ -936,6 +936,24 @@ object ExtQueries {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
         .orderBy("event_type")
+    }),
+
+    // PORTABLE integer HLL (E26c) — the oracle-gated sibling of the
+    // engine-specific rows-only sketch above: md5-derived 60-bit hash,
+    // 64 max-merged registers, and a fixed-point estimate with NO float
+    // rounding anywhere, so both engines agree bit-for-bit. Register table
+    // + denominator + estimate + the exact distinct all in one 64-row
+    // frame (est/exact constant per row — everything post-shuffle is ≤ 64
+    // rows; the one real aggregation is the 64-group map-side max).
+    "q_hll_portable" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val regs = Sketches.hllRegisters(ev, col("user_id"))
+      val est = Sketches.hllEstimate(regs)
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+      regs.crossJoin(est).crossJoin(exact)
+        .select(col("bucket"), col("register"), col("d_denom"),
+          col("est").as("est_users"), col("exact_users"))
+        .orderBy("bucket")
     }),
 
     // Scalar p50/p95 projections (not the raw array<double>): the driver's
@@ -3363,6 +3381,29 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
+    // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),
+    // D = Σ 2^(55−register) as exact integers, est = the 24-digit decimal
+    // numerator integral-divided by 1000·D (HUGEINT here, DECIMAL(38,0) div
+    // on the Spark side — both truncate toward zero on positives)
+    "q_hll_portable" ->
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (SELECT h & 63 AS bucket, h >> 6 AS rem FROM h),
+         |r AS (SELECT bucket,
+         |  CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rho FROM b),
+         |regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY bucket),
+         |spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         |f AS (SELECT spine.bucket, coalesce(register, 0)::INT AS register
+         |  FROM spine LEFT JOIN regs USING (bucket)),
+         |d AS (SELECT sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_denom FROM f),
+         |est AS (SELECT d_denom,
+         |  ((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT
+         |    AS est_users FROM d),
+         |ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_users FROM events)
+         |SELECT bucket, register, d_denom, est_users, exact_users
+         |FROM f, est, ex ORDER BY bucket""".stripMargin,
 
     // DuckDB regexp_replace defaults to first-match-only — the 'g' flag
     // makes it global like Spark's

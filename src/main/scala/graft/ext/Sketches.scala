@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PORTABLE integer HyperLogLog (Flajolet et al. 2007) — the oracle-gated
+  * sibling of the engine-specific `hll_sketch_agg` row: every piece is an
+  * exact integer (or an exact power-of-two double), so two engines produce
+  * the SAME register table and the SAME fixed-point estimate, bit for bit.
+  *
+  * Hash: the first 15 hex chars of md5(key || salt) — a 60-bit positive
+  * integer. Low 6 bits pick one of m=64 registers; the remaining 54 bits
+  * feed rho = position of the leftmost 1-bit (= 55 − bitlength, 55 for an
+  * all-zero remainder), computed via `bin()` string length, identical on
+  * both engines. The register table is a bucket-keyed MAX — the mergeable
+  * sketch shape: partials combine map-side, the shuffle carries ≤ m rows
+  * per partition, and unioning two corpora is just max-merging registers.
+  *
+  * Estimate: alpha_64·m²/Σ2^−M_j restated in integers — the denominator is
+  * scaled by 2^55 (every term 2^(55−M) an exact BIGINT, Σ ≤ 64·2^55),
+  * and the division is integral: est = (709·4096·2^55) div (1000·D), the
+  * 24-digit numerator carried as DECIMAL(38,0)/HUGEINT. No float rounding
+  * anywhere ⇒ no order dependence ⇒ restatable. */
+object Sketches {
+
+  val HllM = 64
+  /** 709·4096·2^55 — alpha_64·m²·2^55 with alpha_64 = 0.709 as 709/1000. */
+  val HllEstNumerator = "104629932386080576765952"
+
+  /** 60-bit md5 hash of the key (15 hex chars → positive BIGINT). */
+  private def hash60(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The m=64 register table: (bucket, register), every bucket present
+    * (empty registers 0). One scan + one 64-group max aggregation. */
+  def hllRegisters(df: DataFrame, key: Column,
+                   salt: String = "hll"): DataFrame = {
+    val spark = df.sparkSession
+    val h = hash60(key, salt)
+    val rem = shiftright(h, 6)
+    val rho = when(rem === 0, lit(55))
+      .otherwise(lit(55) - length(bin(rem)))
+    val regs = df
+      .select(h.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("register"))
+    spark.range(0, HllM).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("register"), lit(0)).as("register"))
+  }
+
+  /** (d_denom, est) from a register table: D = Σ 2^(55−M_j) exactly (the
+    * powers are exact doubles cast back to BIGINT before summing), est via
+    * integral division of the decimal numerator. */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(sum(pow(lit(2.0), lit(55) - col("register")).cast("long"))
+        .as("d_denom"))
+      .select(col("d_denom"),
+        expr(s"CAST('$HllEstNumerator' AS DECIMAL(38,0)) div " +
+          "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est"))
+}

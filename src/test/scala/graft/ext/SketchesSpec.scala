@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Sketches]] portable HLL: register table bit-identical to a naive JVM
+  * model over the same md5 hash, registers merge by max (the sketch
+  * property), and the fixed-point estimate lands within the theoretical
+  * error bound on a known cardinality. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveRegisters(keys: Seq[Long], salt: String = "hll"): Array[Int] = {
+    val regs = Array.fill(Sketches.HllM)(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foreach { k =>
+      val hex = md.digest((k.toString + salt).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val bucket = (h & 63L).toInt
+      val rem = h >> 6
+      val rho = if (rem == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      if (rho > regs(bucket)) regs(bucket) = rho
+    }
+    regs
+  }
+
+  private def sparkRegisters(keys: Seq[Long]): Array[Int] = {
+    val out = Array.fill(Sketches.HllM)(0)
+    Sketches.hllRegisters(keys.toDF("k"), col("k")).collect()
+      .foreach(r => out(r.getLong(0).toInt) = r.getInt(1))
+    out
+  }
+
+  test("register table matches the naive model") {
+    val keys = (1L to 500L) ++ Seq(0L, -7L, Long.MaxValue, 123456789L)
+    assert(sparkRegisters(keys) === naiveRegisters(keys))
+  }
+
+  test("duplicate keys do not move registers") {
+    val once = sparkRegisters(Seq(1L, 2L, 3L))
+    val dup = sparkRegisters(Seq(1L, 1L, 2L, 2L, 2L, 3L))
+    assert(once === dup)
+  }
+
+  test("registers merge by max (union = element-wise max of partials)") {
+    val a = (1L to 300L); val b = (200L to 600L)
+    val merged = naiveRegisters(a).zip(naiveRegisters(b)).map(t => t._1 max t._2)
+    assert(sparkRegisters((a ++ b).distinct) === merged)
+  }
+
+  test("estimate is within 3 standard errors of a known cardinality") {
+    val n = 5000
+    val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
+    val est = Sketches.hllEstimate(regs).collect()(0).getLong(1)
+    val se = 1.04 / math.sqrt(Sketches.HllM) // ≈ 13%
+    assert(math.abs(est - n).toDouble / n < 3 * se,
+      s"estimate $est too far from $n")
+  }
+}
