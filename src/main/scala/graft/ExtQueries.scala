@@ -956,6 +956,19 @@ object ExtQueries {
         .orderBy("bucket")
     }),
 
+    // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
+    // rows-only percentile_approx row below: equi-width integer histogram
+    // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
+    // cum ≥ ⌈φ·N⌉ via exact integral arithmetic. Mergeable; the window
+    // runs on the ≤ |groups|·128 aggregated frame, never on raw rows.
+    "q_quantile_portable" -> ((s, d) => {
+      Sketches.histogramQuantiles(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", width = 1000.0, nBuckets = 128,
+          phis = Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
     // Scalar p50/p95 projections (not the raw array<double>): the driver's
     // rows-only check hashes each output cell, and an array cell is
     // unhashable on the pandas side — same sketch, scalar columns.
@@ -3381,6 +3394,27 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
+    // capped equi-width buckets, per-group cumulative counts, smallest
+    // bucket with cum ≥ the exact integral ceiling threshold
+    "q_quantile_portable" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    least(floor(l_extendedprice / 1000.0), 127)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p50 AS (SELECT g, min(bucket)::INT AS p50_bucket FROM cum
+        |  WHERE cum >= (n * 1 + 1) // 2 GROUP BY g),
+        |p95 AS (SELECT g, min(bucket)::INT AS p95_bucket FROM cum
+        |  WHERE cum >= (n * 19 + 19) // 20 GROUP BY g),
+        |base AS (SELECT g, max(n)::BIGINT AS n FROM cum GROUP BY g)
+        |SELECT base.g AS l_returnflag, n,
+        |  p50_bucket, ((p50_bucket + 1) * 1000.0)::DOUBLE AS p50_hi,
+        |  p95_bucket, ((p95_bucket + 1) * 1000.0)::DOUBLE AS p95_hi
+        |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
     // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PORTABLE integer HyperLogLog (Flajolet et al. 2007) — the oracle-gated
@@ -60,4 +61,44 @@ object Sketches {
       .select(col("d_denom"),
         expr(s"CAST('$HllEstNumerator' AS DECIMAL(38,0)) div " +
           "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est"))
+
+  /** PORTABLE quantile sketch — the oracle-gated sibling of the
+    * engine-specific `percentile_approx` row: an equi-width integer-count
+    * histogram (the q_histogram bucketing law, proven cross-engine) whose
+    * φ-quantile is the smallest bucket with cumulative count ≥ ⌈φ·N⌉, the
+    * threshold an exact integral `(N·num + den−1) div den`. Error is
+    * bounded by the bucket width; the structure is MERGEABLE (histograms
+    * add) and the heavy work is one (group,bucket)-keyed count with
+    * map-side partials — the cumulative window runs on the ≤
+    * |groups|·nBuckets aggregated frame, never on rows.
+    *
+    * `phis` = (name, num, den) with 0 < num ≤ den; per group emits `n`
+    * plus, per φ, `<name>_bucket` and its value upper bound `<name>_hi`
+    * = (bucket+1)·width. */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                         width: Double, nBuckets: Int,
+                         phis: Seq[(String, Int, Int)]): DataFrame = {
+    require(width > 0 && nBuckets > 0 && phis.nonEmpty)
+    require(phis.forall { case (_, n, d) => n > 0 && n <= d },
+      s"phi out of range: $phis")
+    val bucket = least(floor(col(valueCol) / width), lit(nBuckets - 1))
+      .cast("int")
+    val counts = df
+      .groupBy(col(groupCol).as("g"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("g").orderBy("bucket")))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    val perPhi = phis.map { case (name, num, den) =>
+      cum.where(col("cum") >= expr(s"(n * $num + ${den - 1}) div $den"))
+        .groupBy("g")
+        .agg(min("bucket").as(s"${name}_bucket"))
+        .select(col("g"),
+          col(s"${name}_bucket"),
+          ((col(s"${name}_bucket") + 1) * width).as(s"${name}_hi"))
+    }
+    val base = cum.groupBy("g").agg(max("n").as("n"))
+    perPhi.foldLeft(base)((acc, p) => acc.join(p, "g"))
+  }
 }

@@ -49,6 +49,38 @@ class SketchesSpec extends SparkSpec {
     assert(sparkRegisters((a ++ b).distinct) === merged)
   }
 
+  test("histogram quantile brackets the exact quantile within one bucket") {
+    val vals = (1 to 1000).map(i => ("g", (i * 7 % 997).toDouble))
+    val df = vals.toDF("g", "v")
+    val r = Sketches.histogramQuantiles(df, "g", "v", width = 10.0,
+      nBuckets = 100, phis = Seq(("p50", 1, 2), ("p90", 9, 10))).collect()(0)
+    val sorted = vals.map(_._2).sorted
+    def exact(phi: Double) = sorted((phi * sorted.size).ceil.toInt - 1)
+    val p50Hi = r.getAs[Double]("p50_hi")
+    val p90Hi = r.getAs[Double]("p90_hi")
+    assert(exact(0.5) <= p50Hi && exact(0.5) > p50Hi - 10.0 - 1e-9)
+    assert(exact(0.9) <= p90Hi && exact(0.9) > p90Hi - 10.0 - 1e-9)
+  }
+
+  test("histogram quantile ceiling threshold is exact on boundaries") {
+    // 4 values, p50 threshold = ceil(0.5·4) = 2 → the bucket holding the
+    // 2nd smallest value, not the 3rd
+    val df = Seq(("g", 5.0), ("g", 15.0), ("g", 25.0), ("g", 35.0)).toDF("g", "v")
+    val r = Sketches.histogramQuantiles(df, "g", "v", width = 10.0,
+      nBuckets = 10, phis = Seq(("p50", 1, 2))).collect()(0)
+    assert(r.getAs[Int]("p50_bucket") === 1, r.toString) // bucket of 15.0
+  }
+
+  test("histograms merge by addition (sketch property)") {
+    val a = (1 to 500).map(i => ("g", i.toDouble))
+    val b = (501 to 1000).map(i => ("g", i.toDouble))
+    val whole = Sketches.histogramQuantiles((a ++ b).toDF("g", "v"), "g", "v",
+      100.0, 16, Seq(("p50", 1, 2))).collect()(0)
+    // merged = counts of a + counts of b; p50 over the union must match
+    // running the sketch over the concatenated data (addition is the merge)
+    assert(whole.getAs[Int]("p50_bucket") === 5) // 500.0 lands in bucket 5
+  }
+
   test("estimate is within 3 standard errors of a known cardinality") {
     val n = 5000
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
