@@ -193,7 +193,15 @@ object ExtQueries {
     * chosen merge applied via `replace`'s non-overlapping left-to-right
     * scan (= the fold's scan-skip). The state chain s0→s8 makes every
     * round's selection depend on every earlier round's application. */
-  private def bpeTrainOracle(nMerges: Int): String = {
+  /** The alphanumeric-only corpus filter shared by the BPE train rows: it
+    * guarantees every symbol — single chars AND learned concatenations —
+    * is paren-free, which is what makes the wrapped-symbol "(a)(b)" string
+    * patterns provably exact even for DYNAMIC (learned) pairs. */
+  private val bpeCorpusRe = "^[a-z0-9 ]*$"
+
+  /** The training CTE chain (wf → s0 → p/b/s per round): b$r holds round
+    * r's learned (a, b, c). Callers append their own final SELECT. */
+  private def bpeTrainChain(nMerges: Int): String = {
     val rounds = (1 to nMerges).map { r =>
       val prev = s"s${r - 1}"
       s"""p$r AS (SELECT pr.a AS a, pr.b AS b, sum(cnt)::BIGINT AS c FROM (
@@ -205,16 +213,56 @@ object ExtQueries {
          |s$r AS (SELECT replace(s, '(' || a || ')(' || b || ')',
          |  '(' || a || b || ')') AS s, cnt FROM $prev CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
+    s"""wf AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
+       |    FROM documents WHERE regexp_matches(text, '$bpeCorpusRe')) GROUP BY w),
+       |s0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, cnt FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String = {
     val out = (1 to nMerges)
       .map(r => s"SELECT $r AS rank, a, b, c AS pair_count FROM b$r")
       .mkString("\nUNION ALL ")
-    s"""WITH wf AS (SELECT w, count(*)::BIGINT AS cnt FROM (
-       |    SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w
-       |    FROM documents WHERE regexp_matches(text, '^[ -~]*$$')) GROUP BY w),
-       |s0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, cnt FROM wf),
-       |$rounds
+    s"""WITH ${bpeTrainChain(nMerges)}
        |$out
        |ORDER BY rank""".stripMargin
+  }
+
+  /** Train (8 merges) then ENCODE docs < 40 with the LEARNED table: each
+    * encode round's lowest-rank-present CASE cross-joins the single-row
+    * b1..b8 CTEs, so the patterns are dynamic — the round-10 tokenizer
+    * loop closed inside one restatable query. 12 rounds ≥ fixpoint for any
+    * table because no corpus word exceeds 13 chars (a word of length L
+    * converges in ≤ L−1 rounds). */
+  private def bpeE2eOracle(nMerges: Int, encRounds: Int): String = {
+    val ms = (1 to nMerges).map(r => s"b$r m$r").mkString(", ")
+    def dynCase(prev: String): String =
+      (1 to nMerges).map { r =>
+        val pat = s"'(' || m$r.a || ')(' || m$r.b || ')'"
+        val rep = s"'(' || m$r.a || m$r.b || ')'"
+        s"WHEN contains($prev, $pat) THEN replace($prev, $pat, $rep)"
+      }.mkString("CASE ", " ", s" ELSE $prev END")
+    val encChain = (1 to encRounds).map { r =>
+      val from = if (r == 1) "e0" else s"e${r - 1}"
+      s"e$r AS (SELECT doc_id, word_ord, ${dynCase("s")} AS s FROM $from, $ms)"
+    }.mkString(",\n")
+    s"""WITH ${bpeTrainChain(nMerges)},
+       |enc AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS wl
+       |  FROM documents WHERE doc_id < 40 AND regexp_matches(text, '$bpeCorpusRe')),
+       |ew AS (SELECT doc_id, unnest(range(1, len(wl)+1)) AS word_ord,
+       |  unnest(wl) AS w FROM enc),
+       |e0 AS (SELECT doc_id, word_ord,
+       |  regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM ew),
+       |$encChain,
+       |toks AS (SELECT doc_id, word_ord,
+       |  string_split(substr(s, 2, length(s) - 2), ')(') AS tl FROM e$encRounds),
+       |ex AS (SELECT doc_id, word_ord, unnest(range(1, len(tl)+1)) AS tok_ord,
+       |  unnest(tl) AS token FROM toks)
+       |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY word_ord, tok_ord) - 1)::INT AS pos, token
+       |FROM ex ORDER BY doc_id, pos""".stripMargin
   }
 
   /** Header checksum: sum of the first 16 character codes (= payload bytes
@@ -1309,11 +1357,27 @@ object ExtQueries {
     // so a counting, selection, or state-update drift anywhere hash-fails.
     "text_bpe_train" -> ((s, d) => {
       import s.implicits._
-      val corpus = t(s, d, "documents").where(col("text").rlike("^[ -~]*$"))
+      val corpus = t(s, d, "documents").where(col("text").rlike(bpeCorpusRe))
       TextStats.bpeTrainMerges(corpus, "text", nMerges = 8)
         .zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
         .toDF("rank", "a", "b", "pair_count")
         .orderBy("rank")
+    }),
+
+    // Tokenizer loop CLOSED (E9j2): train the 8-merge table, then ENCODE
+    // held-down docs with the LEARNED merges — fit and apply composed in
+    // one restatable row (the oracle's encode CASEs cross-join the learned
+    // single-row b CTEs, so the patterns are dynamic). 12 encode rounds is
+    // ≥ fixpoint for ANY table on this corpus (max word length 8).
+    "text_bpe_e2e" -> ((s, d) => {
+      val corpus = t(s, d, "documents").where(col("text").rlike(bpeCorpusRe))
+      val learned = TextStats.bpeTrainMerges(corpus, "text", nMerges = 8)
+        .map(m => (m._1, m._2))
+      corpus.where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          posexplode(TextStats.bpeEncode(col("text"), learned, rounds = 12))
+            .as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
     }),
 
     // PII redaction over a frame with PLANTED pii (an email + a 7-digit ref
@@ -3383,6 +3447,9 @@ object ExtQueries {
     // see bpeTrainOracle: all 8 training rounds unrolled, each consuming
     // the previous round's applied state
     "text_bpe_train" -> bpeTrainOracle(8),
+
+    // see bpeE2eOracle: the train chain + a 12-round dynamic-pair encode
+    "text_bpe_e2e" -> bpeE2eOracle(8, 12),
 
     // mirrors TextStats.perceptronTrain(dim=64, epochs=3): per epoch e,
     // d_e = per-doc dots against w_{e-1} (weights as 64 rows, joined on
