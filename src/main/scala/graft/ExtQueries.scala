@@ -1004,6 +1004,24 @@ object ExtQueries {
         .orderBy("bucket")
     }),
 
+    // Per-hour portable-HLL estimates (E19d): one sketch per window via
+    // the SPINE-FREE grouped shape — only observed buckets aggregate; each
+    // empty register adds exactly 2^55 to the denominator in closed form,
+    // so nothing widens to 64 rows per group (the many-groups shape: a
+    // sketch per hour×source at 100 TB). Streaming twin
+    // (EventTimeOps.streamingHllRegisters) is EventTimeSpec-pinned equal.
+    "q_hll_windowed" -> ((s, d) => {
+      val hr = date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr")
+      val ev = t(s, d, "events").withColumn("hr", hr)
+      val exact = ev.groupBy(col("hr"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      Sketches.hllEstimateBy(ev, Seq("hr"), col("user_id"))
+        .join(exact, "hr")
+        .select(col("hr"), col("buckets_hit"), col("d_denom"),
+          col("est").as("est_users"), col("exact_users"))
+        .orderBy("hr")
+    }),
+
     // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
     // rows-only percentile_approx row below: equi-width integer histogram
     // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
@@ -3462,6 +3480,32 @@ object ExtQueries {
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
 
+    // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
+    // closed-form 2^55 per empty register, integral-division estimate
+    "q_hll_windowed" ->
+      s"""WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+         |    ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT hr, h & 63 AS bucket,
+         |  CASE WHEN (h >> 6) = 0 THEN 55
+         |       ELSE 55 - length(bin(h >> 6)) END AS rho FROM h),
+         |regs AS (SELECT hr, bucket, max(rho) AS register FROM r GROUP BY hr, bucket),
+         |agg AS (SELECT hr, count(*)::BIGINT AS buckets_hit,
+         |  sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_obs
+         |  FROM regs GROUP BY hr),
+         |d AS (SELECT hr, buckets_hit,
+         |  (d_obs + (64 - buckets_hit) * (1::BIGINT << 55))::BIGINT AS d_denom
+         |  FROM agg),
+         |est AS (SELECT hr, buckets_hit, d_denom,
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d),
+         |ex AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+         |  count(DISTINCT user_id)::BIGINT AS exact_users FROM events GROUP BY 1)
+         |SELECT est.hr, buckets_hit, d_denom, est_users, exact_users
+         |FROM est JOIN ex USING (hr) ORDER BY hr""".stripMargin,
+
     // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
     // capped equi-width buckets, per-group cumulative counts, smallest
     // bucket with cum ≥ the exact integral ceiling threshold
@@ -3499,9 +3543,13 @@ object ExtQueries {
          |f AS (SELECT spine.bucket, coalesce(register, 0)::INT AS register
          |  FROM spine LEFT JOIN regs USING (bucket)),
          |d AS (SELECT sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_denom FROM f),
+         |hits AS (SELECT sum(CASE WHEN register > 0 THEN 1 ELSE 0 END)::BIGINT
+         |  AS buckets_hit FROM f),
          |est AS (SELECT d_denom,
-         |  ((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT
-         |    AS est_users FROM d),
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d, hits),
          |ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_users FROM events)
          |SELECT bucket, register, d_denom, est_users, exact_users
          |FROM f, est, ex ORDER BY bucket""".stripMargin,

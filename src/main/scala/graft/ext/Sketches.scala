@@ -28,22 +28,58 @@ object Sketches {
   /** 709·4096·2^55 — alpha_64·m²·2^55 with alpha_64 = 0.709 as 709/1000. */
   val HllEstNumerator = "104629932386080576765952"
 
+  /** Linear-counting small-range correction m·ln(m/V) for V empty
+    * registers, PRE-ROUNDED here and embedded as the same literal table on
+    * both engine sides — the one place HLL needs a logarithm, made portable
+    * by having only 64 possible inputs. Index V (1..64); index 0 unused. */
+  val HllLinearCounting: IndexedSeq[Long] =
+    0L +: (1 to HllM).map(v =>
+      Math.round(HllM.toDouble * Math.log(HllM.toDouble / v)))
+
+  /** The raw estimate switches to linear counting at or below this (the
+    * standard 2.5·m threshold) when any register is empty. */
+  val HllLcThreshold = 160L
+
+  /** Corrected estimate from (raw est, buckets_hit) — the Column form
+    * shared by the grouped and global paths. */
+  private def hllCorrected(raw: Column, hit: Column): Column = {
+    val lc = array(HllLinearCounting.map(lit): _*)
+    when(raw <= HllLcThreshold && hit < HllM,
+      element_at(lc, (lit(HllM) - hit + 1).cast("int")))
+      .otherwise(raw)
+  }
+
+  /** The correction restated for the DuckDB oracle: same literal table,
+    * same threshold. `raw`/`hit` are SQL expressions. */
+  def hllCorrectedSql(raw: String, hit: String): String = {
+    val lcList = HllLinearCounting.mkString("[", ", ", "]")
+    s"(CASE WHEN $raw <= $HllLcThreshold AND $hit < $HllM " +
+      s"THEN $lcList[$HllM - $hit + 1] ELSE $raw END)::BIGINT"
+  }
+
   /** 60-bit md5 hash of the key (15 hex chars → positive BIGINT). */
   private def hash60(key: Column, salt: String): Column =
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
       .cast("long")
+
+  /** Register index for a key: the hash's low 6 bits. */
+  def hllBucket(key: Column, salt: String = "hll"): Column =
+    hash60(key, salt).bitwiseAND(lit(63L))
+
+  /** rho for a key: leftmost-1-bit position of the upper 54 hash bits
+    * (55 − bitlength via `bin()`, 55 for an all-zero remainder). */
+  def hllRho(key: Column, salt: String = "hll"): Column = {
+    val rem = shiftright(hash60(key, salt), 6)
+    when(rem === 0, lit(55)).otherwise(lit(55) - length(bin(rem)))
+  }
 
   /** The m=64 register table: (bucket, register), every bucket present
     * (empty registers 0). One scan + one 64-group max aggregation. */
   def hllRegisters(df: DataFrame, key: Column,
                    salt: String = "hll"): DataFrame = {
     val spark = df.sparkSession
-    val h = hash60(key, salt)
-    val rem = shiftright(h, 6)
-    val rho = when(rem === 0, lit(55))
-      .otherwise(lit(55) - length(bin(rem)))
     val regs = df
-      .select(h.bitwiseAND(lit(63L)).as("bucket"), rho.as("rho"))
+      .select(hllBucket(key, salt).as("bucket"), hllRho(key, salt).as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("register"))
     spark.range(0, HllM).select(col("id").as("bucket"))
       .join(regs, Seq("bucket"), "left")
@@ -51,16 +87,46 @@ object Sketches {
         coalesce(col("register"), lit(0)).as("register"))
   }
 
-  /** (d_denom, est) from a register table: D = Σ 2^(55−M_j) exactly (the
-    * powers are exact doubles cast back to BIGINT before summing), est via
-    * integral division of the decimal numerator. */
+  /** Per-group estimates WITHOUT a bucket spine: only observed buckets are
+    * aggregated; each of the (64 − hit) empty registers contributes
+    * exactly 2^55 to the denominator, added in closed form. One
+    * (group, bucket)-keyed max + one group-keyed sum — nothing widens to
+    * 64 rows per group, so this is the shape for MANY groups (e.g. one
+    * sketch per hour × source at 100 TB). */
+  def hllEstimateBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                    salt: String = "hll"): DataFrame = {
+    val gs = groupCols.map(col)
+    df.select(gs :+ hllBucket(key, salt).as("bucket")
+        :+ hllRho(key, salt).as("rho"): _*)
+      .groupBy(gs :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("register"))
+      .groupBy(gs: _*)
+      .agg(count(lit(1)).as("buckets_hit"),
+        sum(pow(lit(2.0), lit(55) - col("register")).cast("long")).as("d_obs"))
+      .select(gs ++ Seq(
+        col("buckets_hit"),
+        (col("d_obs") +
+          (lit(HllM.toLong) - col("buckets_hit")) * lit(1L << 55))
+          .as("d_denom")): _*)
+      .withColumn("est_raw",
+        expr(s"CAST('$HllEstNumerator' AS DECIMAL(38,0)) div " +
+          "(CAST(1000 AS DECIMAL(10,0)) * d_denom)"))
+      .withColumn("est", hllCorrected(col("est_raw"), col("buckets_hit")))
+  }
+
+  /** (d_denom, buckets_hit, est_raw, est) from a register table: D =
+    * Σ 2^(55−M_j) exactly (the powers are exact doubles cast back to
+    * BIGINT before summing), raw est via integral division of the decimal
+    * numerator, then the literal-table linear-counting correction. */
   def hllEstimate(registers: DataFrame): DataFrame =
     registers
       .agg(sum(pow(lit(2.0), lit(55) - col("register")).cast("long"))
-        .as("d_denom"))
-      .select(col("d_denom"),
+          .as("d_denom"),
+        sum(when(col("register") > 0, 1L).otherwise(0L)).as("buckets_hit"))
+      .select(col("d_denom"), col("buckets_hit"),
         expr(s"CAST('$HllEstNumerator' AS DECIMAL(38,0)) div " +
-          "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est"))
+          "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est_raw"))
+      .withColumn("est", hllCorrected(col("est_raw"), col("buckets_hit")))
 
   /** PORTABLE quantile sketch — the oracle-gated sibling of the
     * engine-specific `percentile_approx` row: an equi-width integer-count

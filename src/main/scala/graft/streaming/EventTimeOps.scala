@@ -36,6 +36,21 @@ object EventTimeOps {
       .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Windowed PORTABLE-HLL register table over a stream: per (window,
+    * bucket) the max rho — `max` is associative/commutative, so the sketch
+    * accumulates incrementally in the state store across micro-batches and
+    * the final registers equal the batch run's bit-for-bit (EventTimeSpec
+    * pins it). The streaming twin of [[graft.ext.Sketches.hllRegisters]]:
+    * state per window is ≤ 64 rows, evicted at the watermark — distinct
+    * counting over an unbounded stream in bounded state. */
+  def streamingHllRegisters(events: DataFrame, tsCol: String, keyCol: String,
+                            windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        graft.ext.Sketches.hllBucket(col(keyCol)).as("bucket"))
+      .agg(max(graft.ext.Sketches.hllRho(col(keyCol))).as("register"))
+
   /** Session windows (gap-based) per key: events closer than `gap` merge into
     * one session. Built-in `session_window` keeps this inside Catalyst
     * (codegen + native state store) — no custom state needed. */

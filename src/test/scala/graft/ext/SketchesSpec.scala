@@ -81,10 +81,25 @@ class SketchesSpec extends SparkSpec {
     assert(whole.getAs[Int]("p50_bucket") === 5) // 500.0 lands in bucket 5
   }
 
+  test("linear counting kicks in below the threshold and is near-exact") {
+    val n = 30 // well under 2.5·m = 160
+    val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
+    val r = Sketches.hllEstimate(regs).collect()(0)
+    val est = r.getAs[Long]("est")
+    assert(r.getAs[Long]("est_raw") !== est, "correction should have applied")
+    assert(math.abs(est - n) <= 6, s"linear counting too far: $est vs $n")
+  }
+
+  test("correction table is the rounded m·ln(m/V) law") {
+    assert(Sketches.HllLinearCounting(64) === 0L)   // nothing observed
+    assert(Sketches.HllLinearCounting(1) ===
+      Math.round(64.0 * Math.log(64.0)))            // one empty register
+  }
+
   test("estimate is within 3 standard errors of a known cardinality") {
     val n = 5000
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
-    val est = Sketches.hllEstimate(regs).collect()(0).getLong(1)
+    val est = Sketches.hllEstimate(regs).collect()(0).getAs[Long]("est")
     val se = 1.04 / math.sqrt(Sketches.HllM) // ≈ 13%
     assert(math.abs(est - n).toDouble / n < 3 * se,
       s"estimate $est too far from $n")

@@ -40,6 +40,30 @@ class EventTimeSpec extends SparkSpec {
     assert(rows.contains(("10:00", "b", 1L)))
   }
 
+  test("streamingHllRegisters accumulates to the batch sketch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val regs = EventTimeOps.streamingHllRegisters(
+      in.toDF().toDF("ts", "uid"), "ts", "uid", "1 hour", "15 minutes")
+    val q = regs.writeStream.format("memory")
+      .queryName("hll_sink").outputMode("update").start()
+
+    // two micro-batches carving the same hour — max must accumulate
+    in.addData((1L to 40L).map(u => (ts("10:05"), u)): _*)
+    q.processAllAvailable()
+    in.addData((30L to 90L).map(u => (ts("10:40"), u)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("hll_sink")
+      .groupBy("bucket").agg(max("register").as("register")) // update-mode re-emits
+      .as[(Long, Int)].collect().toMap
+    val batch = graft.ext.Sketches
+      .hllRegisters((1L to 90L).toDF("uid"), col("uid"))
+      .as[(Long, Int)].collect().filter(_._2 > 0).toMap
+    assert(streamed === batch)
+  }
+
   test("streamStreamJoin matches across micro-batches within the lag bound") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, Long, Timestamp)]  // (user, p_id, p_ts)
