@@ -1022,6 +1022,23 @@ object ExtQueries {
         .orderBy("hr")
     }),
 
+    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
+    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
+    // combining), point estimate = min over rows, always ≥ truth. Probes =
+    // the 10 most frequent tokens; the compared surface includes the
+    // overcount, so hash/row/min drift anywhere fails.
+    "q_cms_portable" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(filter(TextStats.tokens(col("text")),
+          x => length(x) > 0)).as("tok"))
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("tok")).limit(10)
+      Sketches.cmsEstimates(toks, truth)
+        .select(col("tok"), col("true_n"), col("cms_est"),
+          (col("cms_est") - col("true_n")).as("overcount"))
+        .orderBy(col("true_n").desc, col("tok"))
+    }),
+
     // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
     // rows-only percentile_approx row below: equi-width integer histogram
     // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
@@ -3479,6 +3496,29 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
+    // SUM counter frame under salt cms<j>; estimate = least of the four
+    "q_cms_portable" -> {
+      def b(expr: String, j: Int) =
+        s"(('0x' || substr(md5($expr || 'cms$j'), 1, 15))::BIGINT & 255)"
+      val counters = (0 until 4).map(j =>
+        s"c$j AS (SELECT ${b("tok", j)} AS b, count(*)::BIGINT AS c FROM tk GROUP BY 1)")
+        .mkString(",\n")
+      val joins = (0 until 4).map(j =>
+        s"JOIN c$j x$j ON ${b("t.tok", j)} = x$j.b").mkString("\n")
+      val m = (0 until 4).map(j => s"x$j.c").mkString("least(", ", ", ")")
+      s"""WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS tok FROM documents),
+         |truth AS (SELECT tok, count(*)::BIGINT AS true_n FROM tk
+         |  GROUP BY tok ORDER BY true_n DESC, tok LIMIT 10),
+         |$counters
+         |SELECT t.tok, t.true_n, $m::BIGINT AS cms_est,
+         |  ($m - t.true_n)::BIGINT AS overcount
+         |FROM truth t
+         |$joins
+         |ORDER BY true_n DESC, tok""".stripMargin
+    },
 
     // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
     // closed-form 2^55 per empty register, integral-division estimate

@@ -128,6 +128,38 @@ object Sketches {
           "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est_raw"))
       .withColumn("est", hllCorrected(col("est_raw"), col("buckets_hit")))
 
+  /** PORTABLE Count-Min Sketch (Cormode & Muthukrishnan 2005) — frequency
+    * estimation completing the sketch triad (distinct/quantile/frequency).
+    * d rows × 2^wBits counters; row j's hash is the md5-60-bit under salt
+    * "cms<j>", masked to wBits. Counters are SUMS — order-independent,
+    * mergeable by addition, map-side-combining into ≤ d·w cells — so the
+    * whole structure restates exactly. A point estimate is the MIN over
+    * the d counters and always ≥ the true count (spec-pinned).
+    *
+    * `items`: one row per occurrence, column `tok`. `probes`: the keys to
+    * estimate, column `tok`. Returns probes ⨝ (cms_est). Counter frames
+    * are ≤ 2^wBits rows and broadcast to the probe join. */
+  def cmsEstimates(items: DataFrame, probes: DataFrame,
+                   d: Int = 4, wBits: Int = 8): DataFrame = {
+    require(d >= 1 && wBits >= 1 && wBits <= 20)
+    val mask = (1L << wBits) - 1
+    val withEsts = (0 until d).foldLeft(probes) { (acc, j) =>
+      val counters = items
+        .groupBy(hllBucketW(col("tok"), s"cms$j", mask).as(s"b$j"))
+        .agg(count(lit(1)).as(s"c$j"))
+      acc.join(broadcast(counters),
+          hllBucketW(acc("tok"), s"cms$j", mask) === counters(s"b$j"), "left")
+        .drop(s"b$j")
+    }
+    withEsts.withColumn("cms_est",
+      least((0 until d).map(j => coalesce(col(s"c$j"), lit(0L))): _*))
+      .drop((0 until d).map(j => s"c$j"): _*)
+  }
+
+  /** Masked hash for CMS rows (exposed for the oracle restatement). */
+  private def hllBucketW(key: Column, salt: String, mask: Long): Column =
+    hash60(key, salt).bitwiseAND(lit(mask))
+
   /** PORTABLE quantile sketch — the oracle-gated sibling of the
     * engine-specific `percentile_approx` row: an equi-width integer-count
     * histogram (the q_histogram bucketing law, proven cross-engine) whose

@@ -81,6 +81,31 @@ class SketchesSpec extends SparkSpec {
     assert(whole.getAs[Int]("p50_bucket") === 5) // 500.0 lands in bucket 5
   }
 
+  test("CMS estimates are never below the true count, exact sans collision") {
+    val items = (Seq.fill(50)("a") ++ Seq.fill(20)("b") ++
+      (1 to 300).map(i => s"t$i")).toDF("tok")
+    val probes = Seq("a", "b", "t1").toDF("tok")
+    // wBits=4 → 16 buckets for ~302 distinct: collisions guaranteed
+    val got = Sketches.cmsEstimates(items, probes, d = 4, wBits = 4)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_est")).toMap
+    assert(got("a") >= 50 && got("b") >= 20 && got("t1") >= 1)
+    // wide sketch: no collisions among 3 distinct keys
+    val exact = Sketches.cmsEstimates(
+      (Seq.fill(5)("x") ++ Seq.fill(3)("y") ++ Seq("z")).toDF("tok"),
+      Seq("x", "y", "z").toDF("tok"), d = 4, wBits = 12)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_est")).toMap
+    assert(exact === Map("x" -> 5L, "y" -> 3L, "z" -> 1L))
+  }
+
+  test("CMS counters merge by addition (sum of halves = whole)") {
+    val a = (1 to 200).map(i => s"k${i % 20}")
+    val b = (1 to 100).map(i => s"k${i % 10}")
+    val whole = Sketches.cmsEstimates((a ++ b).toDF("tok"),
+      Seq("k1").toDF("tok"), d = 2, wBits = 10).collect()(0).getAs[Long]("cms_est")
+    // k1: 10 in a, 10 in b — counters are sums, so the union sketch sees 20
+    assert(whole === 20L)
+  }
+
   test("linear counting kicks in below the threshold and is near-exact") {
     val n = 30 // well under 2.5·m = 160
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
