@@ -669,6 +669,22 @@ object ExtQueries {
       Graph.pageRankExact(e, "src", "dst", iters = 3).orderBy("node")
     }),
 
+    // Exact triangle count (E30b) over a circulant doc graph (strides
+    // 1,2,3 mod N — exactly 3·N triangles, an analytic cross-check): the
+    // degree-ordered wedge join, each triangle once, fan-out bounded by
+    // the max ORIENTED out-degree (O(√m) on any graph — the celebrity-node
+    // guard). All joins node-keyed; output is the 1-row census.
+    "graph_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val e = docs.crossJoin(nRow)
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") + col("k"), col("n")).as("dst"))
+      Graph.triangleStats(e, "src", "dst")
+    }),
+
     // URL parse + canonicalization — the first hop of a crawl-curation
     // pipeline. The fixture has no URL column, so one is SYNTHESIZED
     // deterministically per document (five construction branches exercising
@@ -3496,6 +3512,33 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors Graph.triangleStats over the stride-1,2,3 circulant: same
+    // canonical undirected edges, same (degree, id) orientation, same
+    // wedge + closure joins
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + k.k) % nn.n AS dst
+        |  FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM (
+        |  SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |wd AS (SELECT und.a, und.b, da.deg AS da, db.deg AS db FROM und
+        |  JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        |o AS (SELECT
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+        |  FROM wd),
+        |w AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |  FROM o e1 JOIN o e2 ON e1.v = e2.u),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles
+        |  FROM w JOIN o ON w.u = o.u AND w.w = o.v)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM und)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+        |  n_triangles
+        |FROM tri""".stripMargin,
 
     // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
     // SUM counter frame under salt cms<j>; estimate = least of the four

@@ -2038,4 +2038,23 @@ class ExtSpec extends SparkSpec {
       .as[(Int, Int)].collect()
     out.foreach { case (got, want) => assert(got === want) }
   }
+
+  test("triangleStats counts known graphs exactly") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+      val r = Graph.triangleStats(edges.toDF("s", "d"), "s", "d").collect()(0)
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_triangles"))
+    }
+    // K3: one triangle; direction/duplicates/self-loops must not matter
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L))) ===
+      ((3L, 3L, 1L)))
+    // K4: 4 triangles
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    assert(tri(k4) === ((4L, 6L, 4L)))
+    // path and star: none
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L)))._3 === 0L)
+    assert(tri(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))._3 === 0L)
+    // two triangles sharing an edge (bowtie-ish)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))._3 === 2L)
+  }
 }
