@@ -1723,6 +1723,22 @@ object ExtQueries {
         .orderBy("asset_id")
     }),
 
+    // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
+    // synthesized P6 PPMs with the REAL byte walk (header parse + strided
+    // pixel reads); exact per-channel integer sums. The oracle restates
+    // the pixel-construction arithmetic ((id + offset) % 256 at the
+    // sampled offsets), so parse ≠ construction — a stride/offset/header
+    // bug — hash-fails. Non-PPM assets (3 of every 4) emit no row.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        val (fmt, bytes) = Multimodal.syntheticContainerPayload(id)
+        Multimodal.RawAsset(id, fmt, bytes)
+      }
+      Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
+    }),
+
     // ───────────── streaming-window shape / sources / SQL breadth ─────────
     // Tumbling event-time window (batch semantics of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
@@ -3512,6 +3528,25 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
+    // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
+    // 3·(y·w+x)+c — restated at exactly the strided sample positions
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id AS asset_id, (1 + doc_id % 13)::INT AS w,
+        |    (1 + doc_id % 7)::INT AS h
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sx AS (SELECT asset_id, w, h, unnest(range(0, w, 2)) AS x FROM p),
+        |s AS (SELECT asset_id, w, h, x, unnest(range(0, h, 2)) AS y FROM sx),
+        |sums AS (SELECT asset_id,
+        |  max((w + 1) // 2)::INT AS w_out, max((h + 1) // 2)::INT AS h_out,
+        |  count(*)::BIGINT AS n_sampled,
+        |  sum((asset_id + 3*(y*w + x)) % 256)::BIGINT AS r_sum,
+        |  sum((asset_id + 3*(y*w + x) + 1) % 256)::BIGINT AS g_sum,
+        |  sum((asset_id + 3*(y*w + x) + 2) % 256)::BIGINT AS b_sum
+        |  FROM s GROUP BY asset_id)
+        |SELECT asset_id, w_out, h_out, n_sampled, r_sum, g_sum, b_sum
+        |FROM sums ORDER BY asset_id""".stripMargin,
 
     // mirrors Graph.triangleStats over the stride-1,2,3 circulant: same
     // canonical undirected edges, same (degree, id) orientation, same

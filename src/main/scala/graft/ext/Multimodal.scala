@@ -378,4 +378,64 @@ object Multimodal {
   /** Per-asset feature table via the typed decode path. */
   def featuresOf(assets: DataFrame, codec: Codec = ByteCodec): DataFrame =
     decodeDF(assets, codec).select(col("asset_id"), col("feature"))
+
+  final case class ResizedAsset(asset_id: Long, w_out: Int, h_out: Int,
+                                n_sampled: Long, r_sum: Long, g_sum: Long,
+                                b_sum: Long)
+
+  /** Nearest-neighbor downsample over P6 PPM assets — the RESIZE stage of
+    * an image-preprocessing pipeline, with the real byte walk: parse the
+    * header, then read every `factor`-th pixel in both axes and keep the
+    * per-channel sums as EXACT integers (so the result restates
+    * cross-engine; a mean would be one float division away). Non-PPM or
+    * malformed payloads emit no row — quarantine semantics, same as the
+    * decode path. Same mapPartitions batch shape as [[decode]]: streaming
+    * iterator, constant memory, a real resampler drops into `sampleOne`. */
+  def resizePpm(assets: Dataset[RawAsset], factor: Int = 2): Dataset[ResizedAsset] = {
+    require(factor >= 1, s"factor out of range: $factor")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap(a => resizeOne(a, factor)))
+  }
+
+  private def resizeOne(a: RawAsset, factor: Int): Option[ResizedAsset] = {
+    val b = a.payload
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < b.length) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (Character.isWhitespace(b(i))) i += 1
+        else go = false
+      }
+    }
+    def nextInt(): Option[Int] = {
+      skipWs()
+      val s = i
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+      if (i > s && i - s <= 9) Some(new String(b, s, i - s).toInt) else None
+    }
+    for {
+      w <- nextInt(); h <- nextInt(); mv <- nextInt()
+      if w > 0 && h > 0 && mv > 0 && mv < 256
+      data = i + 1
+      if b.length.toLong >= data.toLong + 3L * w * h
+    } yield {
+      var (r, g, bl) = (0L, 0L, 0L)
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = data + 3 * (y * w + x)
+          r += b(p) & 0xff; g += b(p + 1) & 0xff; bl += b(p + 2) & 0xff
+          n += 1
+          x += factor
+        }
+        y += factor
+      }
+      ResizedAsset(a.asset_id, (w + factor - 1) / factor,
+        (h + factor - 1) / factor, n, r, g, bl)
+    }
+  }
 }

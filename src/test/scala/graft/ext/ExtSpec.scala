@@ -2039,6 +2039,28 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (got, want) => assert(got === want) }
   }
 
+  test("resizePpm samples the strided pixel lattice exactly") {
+    // 4×3 image, bytes 0..35 in order: factor 2 samples (x,y) ∈
+    // {0,2}×{0,2}... y ∈ {0,2}; offsets 3·(y·4+x) = 0, 6, 24, 30
+    val header = "P6\n4 3\n255\n".getBytes("US-ASCII")
+    val px = Array.tabulate[Byte](36)(_.toByte)
+    val assets = Seq(
+      Multimodal.RawAsset(1L, "ppm", header ++ px),
+      Multimodal.RawAsset(2L, "png", Array[Byte](1, 2, 3)), // not PPM → no row
+      Multimodal.RawAsset(3L, "ppm", "P6\n9 9\n255\n".getBytes("US-ASCII"))) // truncated
+    val out = Multimodal.resizePpm(assets.toDS(), factor = 2).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.w_out, r.h_out, r.n_sampled) === ((2, 2, 4L)))
+    assert(r.r_sum === (0 + 6 + 24 + 30))
+    assert(r.g_sum === (1 + 7 + 25 + 31))
+    assert(r.b_sum === (2 + 8 + 26 + 32))
+    // factor 1 = no resize: sums over every pixel
+    val full = Multimodal.resizePpm(assets.take(1).toDS(), factor = 1).collect()(0)
+    assert(full.n_sampled === 12L && full.w_out === 4 && full.h_out === 3)
+    assert(full.r_sum === (0 until 36 by 3).sum)
+  }
+
   test("triangleStats counts known graphs exactly") {
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
       val r = Graph.triangleStats(edges.toDF("s", "d"), "s", "d").collect()(0)
