@@ -1739,6 +1739,59 @@ object ExtQueries {
       Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
     }),
 
+    // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
+    // nonpositive user, unknown enum, nonpositive measure, timestamp
+    // window) over a deterministically CORRUPTED twin of events — each
+    // rule's violation count is nonzero and prime-keyed to a distinct
+    // corruption, so a rule that silently stops firing (or fires on the
+    // wrong column) hash-fails. One pass: five conditional sums collapsed
+    // map-side, then a 5-row unpivot.
+    "etl_expectations" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val corrupted = ev.select(
+        when(col("event_id") % 997 === 0, lit(null).cast("bigint"))
+          .otherwise(col("event_id")).as("event_id"),
+        col("ts"),
+        when(col("event_id") % 991 === 0, -col("user_id"))
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_id") % 983 === 0, lit("bogus"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(col("event_id") % 977 === 0, -col("value"))
+          .otherwise(col("value")).as("value"))
+      corrupted.agg(
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("r1"),
+          sum(when(col("user_id") <= 0, 1L).otherwise(0L)).as("r2"),
+          sum(when(!col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"), 1L)
+            .otherwise(0L)).as("r3"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("r4"),
+          sum(when(col("ts") < lit("2024-01-01 00:00:00")
+            .cast("timestamp_ntz"), 1L).otherwise(0L)).as("r5"))
+        .select(expr("stack(5, 'null_event_id', r1, 'nonpositive_user', r2, " +
+          "'unknown_event_type', r3, 'nonpositive_value', r4, " +
+          "'ts_before_window', r5) AS (rule, n_violations)"))
+        .withColumn("pass", (col("n_violations") === 0).cast("int"))
+        .orderBy("rule")
+    }),
+
+    // Cohort retention (E2d): cohort = a user's first active hour;
+    // retention = distinct users active at hour offsets 0..5 from their
+    // cohort — the canonical product-analytics matrix. Two user-keyed
+    // aggregations + one user-keyed join, nothing row-quadratic.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      val first = ev.groupBy("user_id").agg(min(col("hr")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("timestampdiff(HOUR, cohort, hr)").as("offset_hr"))
+        .where(col("offset_hr") <= 5)
+        .groupBy(date_format(col("cohort"), "yyyyMMddHH").as("cohort_hr"),
+          col("offset_hr"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_hr", "offset_hr")
+    }),
+
     // ───────────── streaming-window shape / sources / SQL breadth ─────────
     // Tumbling event-time window (batch semantics of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
@@ -3528,6 +3581,44 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors etl_expectations' corrupted twin + five conditional sums
+    "etl_expectations" ->
+      """WITH c AS (SELECT
+        |  CASE WHEN event_id % 997 = 0 THEN NULL ELSE event_id END AS eid,
+        |  ts,
+        |  CASE WHEN event_id % 991 = 0 THEN -user_id ELSE user_id END AS uid,
+        |  CASE WHEN event_id % 983 = 0 THEN 'bogus' ELSE event_type END AS et,
+        |  CASE WHEN event_id % 977 = 0 THEN -value ELSE value END AS v
+        |  FROM events),
+        |a AS (SELECT
+        |  sum(CASE WHEN eid IS NULL THEN 1 ELSE 0 END)::BIGINT AS r1,
+        |  sum(CASE WHEN uid <= 0 THEN 1 ELSE 0 END)::BIGINT AS r2,
+        |  sum(CASE WHEN et NOT IN ('click','error','purchase','signup','view')
+        |      THEN 1 ELSE 0 END)::BIGINT AS r3,
+        |  sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END)::BIGINT AS r4,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END)::BIGINT AS r5
+        |  FROM c),
+        |u AS (SELECT 'null_event_id' AS rule, r1 AS n_violations FROM a
+        |  UNION ALL SELECT 'nonpositive_user', r2 FROM a
+        |  UNION ALL SELECT 'unknown_event_type', r3 FROM a
+        |  UNION ALL SELECT 'nonpositive_value', r4 FROM a
+        |  UNION ALL SELECT 'ts_before_window', r5 FROM a)
+        |SELECT rule, n_violations,
+        |  (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS pass
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // mirrors q_cohort_retention: first-hour cohort join, hour offsets
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events),
+        |f AS (SELECT user_id, min(hr) AS cohort FROM e GROUP BY user_id),
+        |j AS (SELECT e.user_id, f.cohort,
+        |  date_diff('hour', f.cohort, e.hr) AS offset_hr
+        |  FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y%m%d%H') AS cohort_hr, offset_hr,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM j WHERE offset_hr <= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
     // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
