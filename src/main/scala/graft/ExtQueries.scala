@@ -1739,6 +1739,65 @@ object ExtQueries {
       Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
     }),
 
+    // Source-concentration diagnostics (E28c): HHI (Σ share², the
+    // antitrust/data-mixing concentration index) and top-source share in
+    // exact integer fixed-point (×10⁶, integral division) — the balance
+    // check a mixture designer runs before weighting sources. One count
+    // aggregation + a 1-row reduction.
+    "curation_source_mix" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("cnt")).as("n_total"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"), max(col("cnt")).as("max_cnt"))
+        .select(col("n_sources"),
+          expr("(sum_sq * 1000000) div (n_total * n_total)").as("hhi_fp"),
+          expr("(max_cnt * 1000000) div n_total").as("top_share_fp"))
+    }),
+
+    // A/B chi-square (E2e): users hash-split into two arms, outcome =
+    // any event with value > 222 (the per-user-max median, so the split
+    // is balanced; every user has every event TYPE, so type-based
+    // outcomes degenerate); the 2×2 contingency table plus the χ² statistic
+    // in exact integer fixed-point (×1000) — χ² is RATIONAL
+    // (n·(ad−bc)²/row·col products), so no float ever appears; wide
+    // decimals carry the squared cross-term at any scale.
+    "q_ab_chisq" -> ((s, d) => {
+      val conv = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("value") > 222.0, 1).otherwise(0)).as("conv"))
+        .select(col("user_id") % 2 === 0 as "arm_a", col("conv") === 1 as "c")
+      conv.agg(
+          sum(when(col("arm_a") && col("c"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm_a") && !col("c"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("arm_a") && col("c"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("arm_a") && !col("c"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          expr("((CAST(a AS DECIMAL(38,0)) + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) div " +
+            "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))").as("chi2_fp"))
+    }),
+
+    // Integer 3σ anomaly detection (E2f): per event_type, flag values
+    // with |x−μ| > 3σ using the ALL-INTEGER inequality
+    // (n·x − S)² > 9·(n·Q − S²) over cents (S=Σx, Q=Σx²) — variance is
+    // rational, so the z-test needs no sqrt and restates exactly; wide
+    // decimals carry the squares. Outliers are PLANTED (value×10 on
+    // event_id % 499 == 0) since the uniform base has none; the tiny
+    // per-type stats frame broadcasts back to the scan.
+    "q_anomaly_events" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        (when(col("event_id") % 499 === 0, col("value") * 10)
+          .otherwise(col("value")).cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+      ev.join(broadcast(stats), "event_type")
+        .where(expr("(CAST(n AS DECIMAL(38,0))*cents - s) * (CAST(n AS DECIMAL(38,0))*cents - s) > " +
+          "9 * (CAST(n AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*s)"))
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy("event_id")
+    }),
+
     // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
     // nonpositive user, unknown enum, nonpositive measure, timestamp
     // window) over a deterministically CORRUPTED twin of events — each
@@ -3581,6 +3640,43 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors curation_source_mix's fixed-point concentration arithmetic
+    "curation_source_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+        |a AS (SELECT count(*)::BIGINT AS n_sources, sum(cnt)::BIGINT AS n_total,
+        |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
+        |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
+        |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+    // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²
+    "q_ab_chisq" ->
+      """WITH u AS (SELECT user_id, user_id % 2 = 0 AS arm_a,
+        |  max(CASE WHEN value > 222.0 THEN 1 ELSE 0 END) = 1 AS c
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |  sum(CASE WHEN arm_a AND c THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN NOT arm_a AND c THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN NOT arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  (((a::HUGEINT + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) //
+        |   ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)))::BIGINT AS chi2_fp
+        |FROM t""".stripMargin,
+
+    // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
+    "q_anomaly_events" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  ((CASE WHEN event_id % 499 = 0 THEN value * 10 ELSE value END)
+        |    ::DECIMAL(18,2) * 100)::BIGINT AS cents FROM events),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |  sum(cents::HUGEINT * cents)::HUGEINT AS q FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type, cents
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE (n::HUGEINT*cents - s) * (n::HUGEINT*cents - s) >
+        |      9 * (n::HUGEINT*q - s::HUGEINT*s)
+        |ORDER BY event_id""".stripMargin,
 
     // mirrors etl_expectations' corrupted twin + five conditional sums
     "etl_expectations" ->
