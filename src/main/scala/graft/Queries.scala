@@ -768,5 +768,7 @@ object Queries {
     "q_bloom_join", "q_funnel_depth", "sim_topk_ivf_filtered",
     "text_bm25_topk", "sim_hybrid_topk", "text_lm_bigram", "dedup_semantic",
     "text_url_parse", "curation_host_rank", "text_lm_trigram", "dedup_url",
-    "text_quality_classifier", "sample_epochs", "text_lm_kn", "sim_kmeans")
+    "text_quality_classifier", "sample_epochs", "text_lm_kn", "sim_kmeans",
+    "q_hll_portable", "q_quantile_portable", "q_cms_portable",
+    "graph_triangles", "q_cohort_retention")
 }
