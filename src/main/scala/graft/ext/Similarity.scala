@@ -320,7 +320,13 @@ object Similarity {
                            k: Int, updates: Int): DataFrame = {
     val codes = corpus.select(col(idCol).as("vec_id"),
       quantizeInt8(asDouble(col(vecCol))).as("q"))
+    // persisted: the seed collect + each Lloyd round's assignment and the
+    // final labeling all re-read this frame — without the cache every pass
+    // re-runs the scan + int8 quantization (bench-neutral at sf0.1 where
+    // the explode aggregations dominate, load-bearing when the input scan
+    // is the expensive part). Released when the RETURNED frame is consumed.
     val qd = codes.withColumn("qd", col("q").cast("array<double>"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Any, Seq[Double])] = qd
       .select(col("vec_id").as("cent_id"), col("qd").as("cv"))
       .orderBy("cent_id").limit(k).collect()
@@ -342,9 +348,11 @@ object Similarity {
       cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
     }
     val centLit = centroidLiteral(cents)
-    qd.select(col("vec_id"),
+    val out = qd.select(col("vec_id"),
       nearestCell(col("qd"), centLit).as("cell"),
       nearestCellScore(col("qd"), centLit).as("score"))
+    Dedup.releaseAfterFirstAction(qd, out)
+    out
   }
 
   /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
