@@ -481,6 +481,32 @@ class PlanSpec extends SparkSpec {
       s"kept rows must come back via the semi-join:\n$p")
   }
 
+  test("graph_triangles: every join keyed — no product anywhere") {
+    val p = plan("graph_triangles")
+    // wedge + closure must be EQUI-joins on node ids (the O(√m) bound
+    // rests on it); the broadcast nested-loops are all 1-row frames (the
+    // N-count riding the edge builder + the census joins) — cheap by
+    // construction, but an unbroadcast product is never acceptable
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"wedge/closure must be keyed joins:\n$p")
+  }
+
+  test("mm_resize: typed mapPartitions scan, no join/window/agg") {
+    val p = plan("mm_resize")
+    assert(!p.contains("Join") && !p.contains("Window") && !p.contains("HashAggregate"),
+      s"resize is scan-level — no join/window/agg:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("q_cms_portable: counter frames broadcast to the probe join") {
+    val p = plan("q_cms_portable")
+    assert(p.contains("BroadcastHashJoin"), s"counters must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product may appear:\n$p")
+  }
+
   test("text_bpe_encode: native kernel + explode, no join/window/agg") {
     val p = plan("text_bpe_encode")
     assert(p.contains("graft_bpe_encode"),
