@@ -1739,6 +1739,44 @@ object ExtQueries {
       Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
     }),
 
+    // Per-hour quantile sketch (E19f): the E19c histogram grouped by hour
+    // — the windowed-percentile dashboard (p50/p95 latency-style) from the
+    // same mergeable counters; one (hr,bucket)-keyed count, windows only
+    // on the aggregated frame.
+    "q_quantile_windowed" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr"),
+        col("value"))
+      Sketches.histogramQuantiles(ev, "hr", "value", width = 25.0,
+          nBuckets = 20, phis = Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .withColumnRenamed("g", "hr")
+        .orderBy("hr")
+    }),
+
+    // Corpus snapshot DIFF (E28d): the dataset-versioning audit — old vs a
+    // deterministically perturbed new snapshot (drop %17, rewrite %13, add
+    // %19 under shifted ids), compared by doc_id + text fingerprint via
+    // ONE full-outer join; the added/removed/changed/unchanged census is
+    // what a release note and a reproducibility check both need.
+    "curation_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val old = docs.select(col("doc_id"), md5(col("text")).as("fp_old"))
+      val neu = docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), md5(when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_new"))
+        .unionByName(docs.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            md5(col("text")).as("fp_new")))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("fp_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("fp_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("fp_old").isNotNull && col("fp_new").isNotNull &&
+            col("fp_old") =!= col("fp_new"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("fp_old") === col("fp_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+    }),
+
     // Source-concentration diagnostics (E28c): HHI (Σ share², the
     // antitrust/data-mixing concentration index) and top-source share in
     // exact integer fixed-point (×10⁶, integral division) — the balance
@@ -3640,6 +3678,41 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors q_quantile_windowed: the E19c histogram law per hour
+    "q_quantile_windowed" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS g,
+        |    least(floor(value / 25.0), 19)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p50 AS (SELECT g, min(bucket)::INT AS p50_bucket FROM cum
+        |  WHERE cum >= (n * 1 + 1) // 2 GROUP BY g),
+        |p95 AS (SELECT g, min(bucket)::INT AS p95_bucket FROM cum
+        |  WHERE cum >= (n * 19 + 19) // 20 GROUP BY g),
+        |base AS (SELECT g, max(n)::BIGINT AS n FROM cum GROUP BY g)
+        |SELECT base.g AS hr, n,
+        |  p50_bucket, ((p50_bucket + 1) * 25.0)::DOUBLE AS p50_hi,
+        |  p95_bucket, ((p95_bucket + 1) * 25.0)::DOUBLE AS p95_hi
+        |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
+        |ORDER BY hr""".stripMargin,
+
+    // mirrors curation_snapshot_diff's perturbation + full-outer census
+    "curation_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+        |neu AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT doc_id + 100000, md5(text) FROM documents
+        |  WHERE doc_id % 19 = 0)
+        |SELECT
+        |  sum(CASE WHEN fp_old IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |  sum(CASE WHEN fp_new IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN fp_old IS NOT NULL AND fp_new IS NOT NULL
+        |      AND fp_old <> fp_new THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+        |FROM old FULL OUTER JOIN neu USING (doc_id)""".stripMargin,
 
     // mirrors curation_source_mix's fixed-point concentration arithmetic
     "curation_source_mix" ->
