@@ -1055,6 +1055,39 @@ object ExtQueries {
         .orderBy(col("true_n").desc, col("tok"))
     }),
 
+    // Sliding-window distinct via REGISTER MERGE (E19g): hourly HLL
+    // partials are built ONCE, then every 3-hour sliding window derives
+    // purely from the tiny register table (each hourly register feeds the
+    // 3 windows that cover it; merge = max) — the sketch-merge payoff: the
+    // slide never rescans events. Exact twin computed per window for the
+    // compared surface.
+    "q_hll_sliding" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hr = date_trunc("hour", col("ts"))
+      val hourly = ev.select(hr.as("hr"),
+          Sketches.hllBucket(col("user_id")).as("bucket"),
+          Sketches.hllRho(col("user_id")).as("rho"))
+        .groupBy("hr", "bucket").agg(max(col("rho")).as("register"))
+      val winRegs = hourly
+        .select(col("hr"), col("bucket"), col("register"),
+          explode(sequence(lit(0), lit(2))).as("o"))
+        .select(expr("hr + make_interval(0, 0, 0, 0, o)").as("win_hr"),
+          col("bucket"), col("register"))
+        .groupBy("win_hr", "bucket").agg(max(col("register")).as("register"))
+      val est = Sketches.hllEstimateFromRegisters(winRegs, Seq("win_hr"))
+      val exact = ev
+        .select(hr.as("hr"), col("user_id"),
+          explode(sequence(lit(0), lit(2))).as("o"))
+        .select(expr("hr + make_interval(0, 0, 0, 0, o)").as("win_hr"),
+          col("user_id"))
+        .groupBy("win_hr").agg(count_distinct(col("user_id")).as("exact_users"))
+      est.join(exact, "win_hr")
+        .select(date_format(col("win_hr"), "yyyyMMddHH").as("win_hr"),
+          col("buckets_hit"), col("d_denom"), col("est").as("est_users"),
+          col("exact_users"))
+        .orderBy("win_hr")
+    }),
+
     // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
     // rows-only percentile_approx row below: equi-width integer histogram
     // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
@@ -3678,6 +3711,35 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    // mirrors q_hll_sliding: hourly registers → 3-window explode →
+    // max-merge → the spine-free estimate; exact twin via the same explode
+    "q_hll_sliding" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr, user_id,
+         |    ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS x
+         |  FROM events),
+         |r AS (SELECT hr, x & 63 AS bucket,
+         |  CASE WHEN (x >> 6) = 0 THEN 55
+         |       ELSE 55 - length(bin(x >> 6)) END AS rho FROM h),
+         |regs AS (SELECT hr, bucket, max(rho) AS register FROM r GROUP BY 1, 2),
+         |m AS (SELECT hr + o.o * INTERVAL 1 HOUR AS win_hr, bucket, register
+         |  FROM regs, (SELECT unnest(range(0, 3)) AS o) o),
+         |wr AS (SELECT win_hr, bucket, max(register) AS register FROM m GROUP BY 1, 2),
+         |agg AS (SELECT win_hr, count(*)::BIGINT AS buckets_hit,
+         |  sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_obs FROM wr GROUP BY 1),
+         |d AS (SELECT win_hr, buckets_hit,
+         |  (d_obs + (64 - buckets_hit) * (1::BIGINT << 55))::BIGINT AS d_denom FROM agg),
+         |est AS (SELECT win_hr, buckets_hit, d_denom,
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d),
+         |ex AS (SELECT hr + o.o * INTERVAL 1 HOUR AS win_hr,
+         |  count(DISTINCT user_id)::BIGINT AS exact_users
+         |  FROM h, (SELECT unnest(range(0, 3)) AS o) o GROUP BY 1)
+         |SELECT strftime(est.win_hr, '%Y%m%d%H') AS win_hr, buckets_hit,
+         |  d_denom, est_users, exact_users
+         |FROM est JOIN ex USING (win_hr) ORDER BY win_hr""".stripMargin,
 
     // mirrors q_quantile_windowed: the E19c histogram law per hour
     "q_quantile_windowed" ->

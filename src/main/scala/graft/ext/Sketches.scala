@@ -96,10 +96,22 @@ object Sketches {
   def hllEstimateBy(df: DataFrame, groupCols: Seq[String], key: Column,
                     salt: String = "hll"): DataFrame = {
     val gs = groupCols.map(col)
-    df.select(gs :+ hllBucket(key, salt).as("bucket")
+    val regs = df
+      .select(gs :+ hllBucket(key, salt).as("bucket")
         :+ hllRho(key, salt).as("rho"): _*)
       .groupBy(gs :+ col("bucket"): _*)
       .agg(max(col("rho")).as("register"))
+    hllEstimateFromRegisters(regs, groupCols)
+  }
+
+  /** Estimates from an OBSERVED-bucKET register table (bucket, register,
+    * group cols) — the consumption half of [[hllEstimateBy]], split out so
+    * MERGED register tables (sliding windows, unions of corpora) estimate
+    * without touching raw keys again. */
+  def hllEstimateFromRegisters(regs: DataFrame,
+                               groupCols: Seq[String]): DataFrame = {
+    val gs = groupCols.map(col)
+    regs
       .groupBy(gs: _*)
       .agg(count(lit(1)).as("buckets_hit"),
         sum(pow(lit(2.0), lit(55) - col("register")).cast("long")).as("d_obs"))
