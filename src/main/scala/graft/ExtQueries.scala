@@ -1843,8 +1843,11 @@ object ExtQueries {
           sum(when(!col("arm_a") && col("c"), 1L).otherwise(0L)).as("c"),
           sum(when(!col("arm_a") && !col("c"), 1L).otherwise(0L)).as("d"))
         .select(col("a"), col("b"), col("c"), col("d"),
-          expr("((CAST(a AS DECIMAL(38,0)) + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) div " +
-            "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d))").as("chi2_fp"))
+          // a zero margin (degenerate table under a future data regen)
+          // yields the sentinel -1 instead of an ANSI divide-by-zero
+          expr("CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1 " +
+            "ELSE ((CAST(a AS DECIMAL(38,0)) + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) div " +
+            "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) END").as("chi2_fp"))
     }),
 
     // Integer 3σ anomaly detection (E2f): per event_type, flag values
@@ -3796,8 +3799,9 @@ object ExtQueries {
         |  sum(CASE WHEN NOT arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS d
         |  FROM u)
         |SELECT a, b, c, d,
-        |  (((a::HUGEINT + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) //
-        |   ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)))::BIGINT AS chi2_fp
+        |  (CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1
+        |   ELSE ((a::HUGEINT + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) //
+        |        ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)) END)::BIGINT AS chi2_fp
         |FROM t""".stripMargin,
 
     // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
