@@ -1872,6 +1872,45 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    // Winsorization (E5c): clip each event's value at its type's PORTABLE
+    // p99 (the E19c histogram bound — no engine percentile involved), then
+    // the per-type census of survivors/clipped/sum — the outlier-robust
+    // cleaning stage, with the bound frame broadcast back to the scan.
+    "etl_winsorize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Sketches.histogramQuantiles(ev, "event_type", "value",
+          width = 5.0, nBuckets = 100, phis = Seq(("p99", 99, 100)))
+        .select(col("g").as("event_type"), col("p99_hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          (least(col("value"), col("p99_hi")).cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          (col("value") > col("p99_hi")).cast("long").as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("clipped").as("n_clipped"),
+          sum("cents").as("sum_cents_clipped"))
+        .orderBy("event_type")
+    }),
+
+    // Hourly rank movers (E2g): rank event types by hourly volume, then
+    // each type's rank delta vs the previous hour (lag) — the "what moved"
+    // dashboard. Both windows run on the 720×5 aggregated frame only.
+    "q_rank_movers" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = hourly.withColumn("rnk",
+        rank().over(Window.partitionBy("hr")
+          .orderBy(col("n").desc, col("event_type"))))
+      ranked.withColumn("prev_rnk",
+          lag(col("rnk"), 1).over(Window.partitionBy("event_type").orderBy("hr")))
+        .select(col("hr"), col("event_type"), col("n"), col("rnk"),
+          coalesce(col("prev_rnk"), lit(-1)).as("prev_rnk"),
+          (col("rnk") - coalesce(col("prev_rnk"), col("rnk"))).as("delta"))
+        .orderBy("hr", "event_type")
+    }),
+
     // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
     // nonpositive user, unknown enum, nonpositive measure, timestamp
     // window) over a deterministically CORRUPTED twin of events — each
@@ -3816,6 +3855,40 @@ object ExtQueries {
         |WHERE (n::HUGEINT*cents - s) * (n::HUGEINT*cents - s) >
         |      9 * (n::HUGEINT*q - s::HUGEINT*s)
         |ORDER BY event_id""".stripMargin,
+
+    // mirrors etl_winsorize: the E19c p99 bound per type, then the clip
+    "etl_winsorize" ->
+      """WITH c AS (SELECT event_type AS g,
+        |    least(floor(value / 5.0), 99)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p99 AS (SELECT g, min(bucket)::INT AS p99_bucket FROM cum
+        |  WHERE cum >= (n * 99 + 99) // 100 GROUP BY g),
+        |b AS (SELECT g AS event_type, ((p99_bucket + 1) * 5.0)::DOUBLE AS p99_hi
+        |  FROM p99)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN e.value > b.p99_hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+        |  sum((least(e.value, b.p99_hi)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+        |    AS sum_cents_clipped
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // mirrors q_rank_movers: hourly volume rank + previous-hour lag
+    "q_rank_movers" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+        |    event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT hr, event_type, n,
+        |  rank() OVER (PARTITION BY hr ORDER BY n DESC, event_type)::INT AS rnk
+        |  FROM h),
+        |m AS (SELECT hr, event_type, n, rnk,
+        |  lag(rnk) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+        |  FROM r)
+        |SELECT hr, event_type, n, rnk,
+        |  coalesce(prev, -1)::INT AS prev_rnk,
+        |  (rnk - coalesce(prev, rnk))::INT AS delta
+        |FROM m ORDER BY hr, event_type""".stripMargin,
 
     // mirrors etl_expectations' corrupted twin + five conditional sums
     "etl_expectations" ->
