@@ -1964,6 +1964,21 @@ object ExtQueries {
         .orderBy("cohort_hr", "offset_hr")
     }),
 
+    // MP4/ISO-BMFF container walk (E32f): spec-valid synthesized boxes
+    // (real big-endian sizes, nested moov{mvhd+trak*}), parsed by the REAL
+    // walker in the typed mapPartitions path; the oracle restates the
+    // construction arithmetic, so an endianness/offset/nesting bug makes
+    // parse ≠ construction and hash-fails — video-container coverage next
+    // to the PNG/JPEG/PPM/WAV codecs.
+    "mm_decode_mp4" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      ids.map(id => Multimodal.RawAsset(id, "mp4",
+          Multimodal.syntheticMp4Payload(id)))
+        .mapPartitions(_.flatMap(Multimodal.decodeMp4))
+        .toDF().orderBy("asset_id")
+    }),
+
     // ───────────── streaming-window shape / sources / SQL breadth ─────────
     // Tumbling event-time window (batch semantics of the streaming agg).
     "q_tumbling_window" -> ((s, d) => {
@@ -3927,6 +3942,15 @@ object ExtQueries {
         |SELECT strftime(cohort, '%Y%m%d%H') AS cohort_hr, offset_hr,
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM j WHERE offset_hr <= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors syntheticMp4Payload: 3 top boxes, 1+id%3 traks, timescale
+    // 1000+id%9000, duration (id·37)%100000
+    "mm_decode_mp4" ->
+      """SELECT doc_id AS asset_id, 3 AS n_top_boxes,
+        |  (1 + doc_id % 3)::INT AS n_traks,
+        |  (1000 + doc_id % 9000)::BIGINT AS timescale,
+        |  ((doc_id * 37) % 100000)::BIGINT AS duration
+        |FROM documents ORDER BY asset_id""".stripMargin,
 
     // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
     // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset

@@ -379,6 +379,76 @@ object Multimodal {
   def featuresOf(assets: DataFrame, codec: Codec = ByteCodec): DataFrame =
     decodeDF(assets, codec).select(col("asset_id"), col("feature"))
 
+  final case class Mp4Info(asset_id: Long, n_top_boxes: Int, n_traks: Int,
+                           timescale: Long, duration: Long)
+
+  /** Spec-valid minimal ISO-BMFF (MP4) payload: ftyp + a free box with an
+    * id-derived pad + moov{mvhd(v0, id-derived timescale/duration) +
+    * (1 + id%3) empty trak boxes}. Every size field is the real big-endian
+    * box length, so a correct walker recovers exactly the constructed
+    * geometry and a wrong one (endianness, offset, nesting) diverges. */
+  def syntheticMp4Payload(id: Long): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + body.length)
+        .putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body).array()
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(12)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+      .put("iso2".getBytes("US-ASCII")).array())
+    val free = box("free", new Array[Byte]((id % 5).toInt))
+    val timescale = 1000L + id % 9000
+    val duration = (id * 37) % 100000
+    val mvhdBody = java.nio.ByteBuffer.allocate(100)
+    mvhdBody.putInt(0)                    // version + flags
+    mvhdBody.putInt(0).putInt(0)          // creation, modification
+    mvhdBody.putInt(timescale.toInt).putInt(duration.toInt)
+    val mvhd = box("mvhd", mvhdBody.array()) // zero-padded tail
+    val traks = Array.fill((1 + id % 3).toInt)(box("trak", Array.empty[Byte]))
+    ftyp ++ free ++ box("moov", mvhd ++ traks.flatten)
+  }
+
+  /** Real ISO-BMFF box walk: top-level (size, fourcc) boxes, then inside
+    * `moov` the mvhd v0 timescale/duration (offsets 12/16 past the box
+    * header: version+flags, creation, modification) and the trak count.
+    * Truncated/undersized boxes quarantine to None, never a crash. */
+  def decodeMp4(a: RawAsset): Option[Mp4Info] = {
+    val b = a.payload
+    if (b == null || b.length < 8) return None
+    var nTop = 0
+    var nTrak = -1
+    var timescale = -1L
+    var duration = -1L
+    var i = 0
+    def beInt(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def fourcc(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    while (i + 8 <= b.length) {
+      val size = beInt(i)
+      if (size < 8 || i + size > b.length) return None
+      nTop += 1
+      if (fourcc(i) == "moov") {
+        nTrak = 0
+        var j = i + 8
+        val end = i + size.toInt
+        while (j + 8 <= end) {
+          val cs = beInt(j)
+          if (cs < 8 || j + cs > end) return None
+          fourcc(j) match {
+            case "mvhd" if cs >= 8 + 20 && (b(j + 8) & 0xff) == 0 =>
+              timescale = beInt(j + 8 + 12)
+              duration = beInt(j + 8 + 16)
+            case "trak" => nTrak += 1
+            case _ => ()
+          }
+          j += cs.toInt
+        }
+      }
+      i += size.toInt
+    }
+    if (nTrak < 0 || timescale < 0) None
+    else Some(Mp4Info(a.asset_id, nTop, nTrak, timescale, duration))
+  }
+
   final case class ResizedAsset(asset_id: Long, w_out: Int, h_out: Int,
                                 n_sampled: Long, r_sum: Long, g_sum: Long,
                                 b_sum: Long)

@@ -51,6 +51,23 @@ object EventTimeOps {
         graft.ext.Sketches.hllBucket(col(keyCol)).as("bucket"))
       .agg(max(graft.ext.Sketches.hllRho(col(keyCol))).as("register"))
 
+  /** Windowed portable-HISTOGRAM counters over a stream — the quantile
+    * sketch's streaming twin (counts are sums, so the state store
+    * accumulates them incrementally exactly like the HLL registers' max):
+    * ≤ nBuckets rows of state per window, evicted at the watermark. The
+    * batch consumer (`Sketches.histogramQuantiles`'s cumulative selection)
+    * reads the final counter table unchanged — EventTimeSpec pins
+    * streamed counters == batch counters. */
+  def streamingHistogramCounts(events: DataFrame, tsCol: String,
+                               valueCol: String, width: Double, nBuckets: Int,
+                               windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        least(floor(col(valueCol) / width), lit(nBuckets - 1))
+          .cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Session windows (gap-based) per key: events closer than `gap` merge into
     * one session. Built-in `session_window` keeps this inside Catalyst
     * (codegen + native state store) — no custom state needed. */

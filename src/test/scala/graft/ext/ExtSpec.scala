@@ -2039,6 +2039,23 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (got, want) => assert(got === want) }
   }
 
+  test("decodeMp4 walks boxes and quarantines malformed payloads") {
+    val good = Multimodal.decodeMp4(
+      Multimodal.RawAsset(7L, "mp4", Multimodal.syntheticMp4Payload(7L)))
+    assert(good === Some(Multimodal.Mp4Info(7L, 3, (1 + 7 % 3).toInt,
+      1000 + 7 % 9000, (7 * 37) % 100000)))
+    // truncated mid-box, undersized size field, empty → all None, no crash
+    val full = Multimodal.syntheticMp4Payload(7L)
+    assert(Multimodal.decodeMp4(
+      Multimodal.RawAsset(1L, "mp4", full.take(full.length - 3))).isEmpty)
+    val badSize = full.clone(); badSize(3) = 2 // top box claims size 2
+    assert(Multimodal.decodeMp4(
+      Multimodal.RawAsset(1L, "mp4", badSize)).isEmpty)
+    assert(Multimodal.decodeMp4(
+      Multimodal.RawAsset(1L, "mp4", Array.empty[Byte])).isEmpty)
+    assert(Multimodal.decodeMp4(Multimodal.RawAsset(1L, "mp4", null)).isEmpty)
+  }
+
   test("resizePpm samples the strided pixel lattice exactly") {
     // 4×3 image, bytes 0..35 in order: factor 2 samples (x,y) ∈
     // {0,2}×{0,2}... y ∈ {0,2}; offsets 3·(y·4+x) = 0, 6, 24, 30

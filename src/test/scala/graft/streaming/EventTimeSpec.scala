@@ -64,6 +64,27 @@ class EventTimeSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streamingHistogramCounts accumulates to the batch counters") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val counts = EventTimeOps.streamingHistogramCounts(
+      in.toDF().toDF("ts", "v"), "ts", "v", width = 10.0, nBuckets = 8,
+      "1 hour", "15 minutes")
+    val q = counts.writeStream.format("memory")
+      .queryName("hist_sink").outputMode("update").start()
+    in.addData(Seq(1.0, 5.0, 15.0, 99.0).map(v => (ts("10:05"), v)): _*)
+    q.processAllAvailable()
+    in.addData(Seq(7.0, 15.0, 200.0).map(v => (ts("10:40"), v)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // update-mode re-emits running totals; the max per key is the final
+    val streamed = spark.table("hist_sink")
+      .groupBy("bucket").agg(max("c").as("c"))
+      .as[(Int, Long)].collect().toMap
+    // batch twin: bucket = min(floor(v/10), 7)
+    assert(streamed === Map(0 -> 3L, 1 -> 2L, 7 -> 2L))
+  }
+
   test("streamStreamJoin matches across micro-batches within the lag bound") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, Long, Timestamp)]  // (user, p_id, p_ts)
