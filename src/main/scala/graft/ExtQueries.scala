@@ -235,7 +235,10 @@ object ExtQueries {
     * loop closed inside one restatable query. 12 rounds ≥ fixpoint for any
     * table because no corpus word exceeds 13 chars (a word of length L
     * converges in ≤ L−1 rounds). */
-  private def bpeE2eOracle(nMerges: Int, encRounds: Int): String = {
+  /** Shared train-chain + learned-pair encode CTEs ending at `toks`
+    * (doc_id, word_ord, token-list). */
+  private def bpeEncodeChain(nMerges: Int, encRounds: Int,
+                             docWhere: String): String = {
     val ms = (1 to nMerges).map(r => s"b$r m$r").mkString(", ")
     def dynCase(prev: String): String =
       (1 to nMerges).map { r =>
@@ -247,23 +250,39 @@ object ExtQueries {
       val from = if (r == 1) "e0" else s"e${r - 1}"
       s"e$r AS (SELECT doc_id, word_ord, ${dynCase("s")} AS s FROM $from, $ms)"
     }.mkString(",\n")
-    s"""WITH ${bpeTrainChain(nMerges)},
+    s"""${bpeTrainChain(nMerges)},
        |enc AS (SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS wl
-       |  FROM documents WHERE doc_id < 40 AND regexp_matches(text, '$bpeCorpusRe')),
+       |  FROM documents WHERE $docWhere AND regexp_matches(text, '$bpeCorpusRe')),
        |ew AS (SELECT doc_id, unnest(range(1, len(wl)+1)) AS word_ord,
        |  unnest(wl) AS w FROM enc),
        |e0 AS (SELECT doc_id, word_ord,
        |  regexp_replace(w, '(.)', '(\\1)', 'g') AS s FROM ew),
        |$encChain,
        |toks AS (SELECT doc_id, word_ord,
-       |  string_split(substr(s, 2, length(s) - 2), ')(') AS tl FROM e$encRounds),
+       |  string_split(substr(s, 2, length(s) - 2), ')(') AS tl FROM e$encRounds)""".stripMargin
+  }
+
+  private def bpeE2eOracle(nMerges: Int, encRounds: Int): String =
+    s"""WITH ${bpeEncodeChain(nMerges, encRounds, "doc_id < 40")},
        |ex AS (SELECT doc_id, word_ord, unnest(range(1, len(tl)+1)) AS tok_ord,
        |  unnest(tl) AS token FROM toks)
        |SELECT doc_id, (row_number() OVER (PARTITION BY doc_id
        |    ORDER BY word_ord, tok_ord) - 1)::INT AS pos, token
        |FROM ex ORDER BY doc_id, pos""".stripMargin
-  }
+
+  /** chars-per-token ratio under the learned table: char counts join the
+    * per-doc token counts (empty-token docs keep ratio 0). */
+  private def bpeRatioOracle(nMerges: Int, encRounds: Int): String =
+    s"""WITH ${bpeEncodeChain(nMerges, encRounds, "doc_id < 200")},
+       |tc AS (SELECT doc_id, sum(len(tl))::INT AS n_tokens FROM toks GROUP BY doc_id),
+       |cc AS (SELECT doc_id,
+       |    length(replace(lower(text), ' ', ''))::INT AS n_chars
+       |  FROM documents WHERE doc_id < 200 AND regexp_matches(text, '$bpeCorpusRe'))
+       |SELECT cc.doc_id, n_chars, coalesce(n_tokens, 0)::INT AS n_tokens,
+       |  (CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0
+       |   ELSE (n_chars * 1000) // n_tokens END)::BIGINT AS ratio_fp
+       |FROM cc LEFT JOIN tc USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Header checksum: sum of the first 16 character codes (= payload bytes
     * for ASCII payloads). NULL for empty text — matching DuckDB's
@@ -1446,6 +1465,26 @@ object ExtQueries {
         .zipWithIndex.map { case ((a, b, c), i) => (i + 1, a, b, c) }
         .toDF("rank", "a", "b", "pair_count")
         .orderBy("rank")
+    }),
+
+    // BPE compression ratio as a quality signal (E9j3): chars-per-token
+    // under the LEARNED table (natural text compresses; gibberish stays
+    // near one char per token — the CCNet-adjacent "languageness" signal),
+    // in exact integer fixed-point ×1000. Composes the E9j fit with a
+    // scan-level kernel projection; per-doc ints, zero shuffle.
+    "text_bpe_ratio" -> ((s, d) => {
+      val corpus = t(s, d, "documents").where(col("text").rlike(bpeCorpusRe))
+      val learned = TextStats.bpeTrainMerges(corpus, "text", nMerges = 8)
+        .map(m => (m._1, m._2))
+      corpus.where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(regexp_replace(lower(col("text")), " ", "")).as("n_chars"),
+          size(TextStats.bpeEncode(col("text"), learned, rounds = 12))
+            .as("n_tokens"))
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+          expr("CASE WHEN n_tokens = 0 THEN 0 " +
+            "ELSE (n_chars * 1000) div n_tokens END").as("ratio_fp"))
+        .orderBy("doc_id")
     }),
 
     // Tokenizer loop CLOSED (E9j2): train the 8-merge table, then ENCODE
@@ -3757,6 +3796,9 @@ object ExtQueries {
 
     // see bpeE2eOracle: the train chain + a 12-round dynamic-pair encode
     "text_bpe_e2e" -> bpeE2eOracle(8, 12),
+
+    // see bpeRatioOracle: the same chains, reduced to chars-per-token
+    "text_bpe_ratio" -> bpeRatioOracle(8, 12),
 
     // mirrors TextStats.perceptronTrain(dim=64, epochs=3): per epoch e,
     // d_e = per-doc dots against w_{e-1} (weights as 64 rows, joined on

@@ -81,6 +81,18 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 
+  test("tokens round-trip: concatenation rebuilds the lowercased words") {
+    val texts = Seq("The Quick Brown", "aaa aaaa", "the theater  there ", "")
+    texts.toDF("text")
+      .select(col("text"),
+        TextStats.bpeEncode(col("text"), merges, 8).as("toks"))
+      .collect().foreach { r =>
+        val rebuilt = r.getSeq[String](1).mkString("")
+        val want = r.getString(0).toLowerCase.split(' ').filter(_.nonEmpty).mkString("")
+        assert(rebuilt === want, s"round-trip broke for '${r.getString(0)}'")
+      }
+  }
+
   test("any budget at or beyond convergence yields the same tokens") {
     val texts = Seq("aaaaaaaa theater there", "aaa the era", "a t h e r")
     val df = texts.toDF("text")
