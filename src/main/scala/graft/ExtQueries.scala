@@ -1849,6 +1849,26 @@ object ExtQueries {
             .as("n_unchanged"))
     }),
 
+    // Word2vec-style negative-sampling table (E23k): unigram^(3/4)
+    // weights (Mikolov et al. 2013) with NO float power — c^(3/4) =
+    // floor(sqrt(c·floor(sqrt(c)))): sqrt is IEEE-correctly-rounded on
+    // exact-integer inputs < 2^53, so both engines floor the same value
+    // and the table restates exactly. Top-15 tokens + fixed-point shares;
+    // one token aggregation, then tiny frames only.
+    "sample_negatives" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(filter(TextStats.tokens(col("text")),
+          x => length(x) > 0)).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(15)
+        .withColumn("w34",
+          expr("CAST(floor(sqrt(CAST(cnt * CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS DOUBLE))) AS BIGINT)"))
+      top.crossJoin(top.agg(sum(col("w34")).as("w_total")))
+        .select(col("tok"), col("cnt"), col("w34"),
+          expr("(w34 * 1000000) div w_total").as("share_fp"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     // Source-concentration diagnostics (E28c): HHI (Σ share², the
     // antitrust/data-mixing concentration index) and top-source share in
     // exact integer fixed-point (×10⁶, integral division) — the balance
@@ -3874,6 +3894,18 @@ object ExtQueries {
         |      AND fp_old <> fp_new THEN 1 ELSE 0 END)::BIGINT AS n_changed,
         |  sum(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
         |FROM old FULL OUTER JOIN neu USING (doc_id)""".stripMargin,
+
+    // mirrors sample_negatives' sqrt-composed 3/4-power arithmetic
+    "sample_negatives" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok FROM documents),
+        |top AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 15),
+        |w AS (SELECT tok, cnt,
+        |  floor(sqrt(cnt * floor(sqrt(cnt))::BIGINT))::BIGINT AS w34 FROM top),
+        |t AS (SELECT sum(w34)::BIGINT AS w_total FROM w)
+        |SELECT tok, cnt, w34, ((w34 * 1000000) // w_total)::BIGINT AS share_fp
+        |FROM w, t ORDER BY cnt DESC, tok""".stripMargin,
 
     // mirrors curation_source_mix's fixed-point concentration arithmetic
     "curation_source_mix" ->
