@@ -2140,6 +2140,48 @@ object ExtQueries {
           Seq("signup", "view", "purchase"))
     }),
 
+    // Funnel conversion RATES (E2h): step-over-step rates in integer
+    // fixed-point ×10⁶ on top of the ordered-funnel counts (step 1 rates
+    // against the distinct-user total). The lag window runs on the 3-row
+    // counts frame only.
+    "q_funnel_rates" -> ((s, d) => {
+      val counts = Funnel.funnelCounts(t(s, d, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "view", "purchase"))
+      val total = t(s, d, "events")
+        .agg(count_distinct(col("user_id")).as("n_total"))
+      counts
+        .withColumn("prev", lag(col("n_users"), 1).over(
+          Window.orderBy("step")))
+        .crossJoin(total)
+        .select(col("step"), col("step_name"), col("n_users"),
+          expr("(n_users * 1000000) div coalesce(prev, n_total)")
+            .as("rate_fp"))
+        .orderBy("step")
+    }),
+
+    // Leave-one-out bigram NOVELTY (E9l): the share of a doc's distinct
+    // bigrams that appear in NO other document (df = 1) — original content
+    // scores high, boilerplate low. One gram-keyed aggregation (the
+    // canonical shape), then the df frame joins back on the gram key.
+    "text_ngram_novelty" -> ((s, d) => {
+      val toks = filter(TextStats.tokens(col("text")), x => length(x) > 0)
+      val nb = size(toks) - 1
+      val grams = when(nb >= 1, array_distinct(
+          zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+            (a, b) => concat(a, lit("_"), b))))
+        .otherwise(array().cast("array<string>"))
+      val g = t(s, d, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+      val df = g.groupBy("g").agg(count(lit(1)).as("df"))
+      g.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("(n_unique * 1000000) div n_grams").as("novelty_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Custom keyed state (mapGroupsWithState) — batch mode is oracle-checked
     // here; cross-micro-batch accumulation is covered by EventTimeSpec.
     "q_running_stats" -> ((s, d) => {
@@ -4602,6 +4644,45 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
+
+    // mirrors q_funnel_rates: the funnel CTEs + lag over the counts frame
+    "q_funnel_rates" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+        |c AS (SELECT step, step_name, n_users FROM (
+        |  SELECT 1::INT AS step, 'signup' AS step_name,
+        |    (SELECT count(*) FROM s1)::BIGINT AS n_users
+        |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |  WHERE n_users > 0),
+        |t AS (SELECT count(DISTINCT user_id)::BIGINT AS n_total FROM events),
+        |l AS (SELECT step, step_name, n_users,
+        |  lag(n_users) OVER (ORDER BY step) AS prev FROM c)
+        |SELECT step, step_name, n_users,
+        |  ((n_users * 1000000) // coalesce(prev, n_total))::BIGINT AS rate_fp
+        |FROM l, t ORDER BY step""".stripMargin,
+
+    // mirrors text_ngram_novelty: distinct bigrams per doc, corpus df,
+    // df=1 share in fixed point
+    "text_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i+1]))) AS g
+        |  FROM w),
+        |df AS (SELECT g, count(*)::BIGINT AS df FROM g GROUP BY g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+        |  ((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+        |    AS novelty_fp
+        |FROM g JOIN df USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_running_stats" ->
       """SELECT user_id, count(*)::BIGINT AS n,
