@@ -2140,6 +2140,28 @@ object ExtQueries {
           Seq("signup", "view", "purchase"))
     }),
 
+    // Hourly trend slope (E2i): least-squares slope of hourly volume per
+    // event_type — RATIONAL (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so the
+    // regression restates in exact integer fixed-point ×10⁶ with no float;
+    // the intercept derives from the already-rounded slope identically on
+    // both sides. One hourly aggregation, then per-type sums.
+    "q_trend_slope" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', " +
+            "date_trunc('hour', ts))").as("x"))
+        .agg(count(lit(1)).as("y"))
+      hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("event_type"), col("cnt").as("n_hours"),
+          expr("CASE WHEN cnt * sxx - sx * sx = 0 THEN 0 " +
+            "ELSE ((cnt * sxy - sx * sy) * 1000000) div (cnt * sxx - sx * sx) END")
+            .as("slope_fp"))
+        .orderBy("event_type")
+    }),
+
     // Funnel conversion RATES (E2h): step-over-step rates in integer
     // fixed-point ×10⁶ on top of the ordered-funnel counts (step 1 rates
     // against the distinct-user total). The lag window runs on the 3-row
@@ -4644,6 +4666,23 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
+
+    // mirrors q_trend_slope's rational least-squares arithmetic
+    "q_trend_slope" ->
+      """WITH h AS (SELECT event_type,
+        |    date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+        |      date_trunc('hour', ts))::BIGINT AS x,
+        |    count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*)::BIGINT AS cnt, sum(x)::BIGINT AS sx,
+        |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx
+        |  FROM h GROUP BY event_type)
+        |SELECT event_type, cnt AS n_hours,
+        |  (CASE WHEN cnt * sxx - sx * sx = 0 THEN 0
+        |   ELSE ((cnt * sxy - sx * sy) * 1000000) // (cnt * sxx - sx * sx)
+        |   END)::BIGINT AS slope_fp
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // mirrors q_funnel_rates: the funnel CTEs + lag over the counts frame
     "q_funnel_rates" ->
