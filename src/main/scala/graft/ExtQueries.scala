@@ -631,6 +631,33 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN recall EVALUATION harness (E15g): recall@5 of the pruned LSH
+    // path against brute-force ground truth, per query, in fixed point —
+    // quality measurement as a first-class operator (the number a recall
+    // SLO monitors), not a spec-only assertion. Both retrievers' own scale
+    // shapes; the comparison is two tiny top-k frames joined on
+    // (query, id).
+    "sim_recall_eval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val lsh = Similarity.bucketedTopK(e, q, "vec_id", "embedding",
+        k = 5, bits = 6)
+      val trueN = bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+      val gotN = lsh.groupBy("query_id").agg(count(lit(1)).as("n_retrieved"))
+      val hits = bf.select(col("query_id"), col("id"))
+        .join(lsh.select(col("query_id"), col("id")), Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      trueN.join(gotN, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .select(col("query_id"), col("n_true"), col("n_retrieved"), col("hits"),
+          expr("(hits * 1000000) div n_true").as("recall_fp"))
+        .orderBy("query_id")
+    }),
+
     // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
     // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
     // even with k-means-fitted cells (fitIters=2 exercises the fitting under
@@ -3578,6 +3605,36 @@ object ExtQueries {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors sim_recall_eval: the brute and LSH chains side by side, then
+    // the per-query overlap census
+    "sim_recall_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |brk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bsc),
+         |bf AS (SELECT query_id, id FROM brk WHERE rank <= 5),
+         |lsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 5
+         |  AND c.vec_id <> q.vec_id),
+         |lrk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM lsc),
+         |ls AS (SELECT query_id, id FROM lrk WHERE rank <= 5),
+         |tn AS (SELECT query_id, count(*)::BIGINT AS n_true FROM bf GROUP BY 1),
+         |gn AS (SELECT query_id, count(*)::BIGINT AS n_retrieved FROM ls GROUP BY 1),
+         |hv AS (SELECT bf.query_id, count(*)::BIGINT AS hits
+         |  FROM bf JOIN ls USING (query_id, id) GROUP BY 1)
+         |SELECT tn.query_id, n_true,
+         |  coalesce(n_retrieved, 0)::BIGINT AS n_retrieved,
+         |  coalesce(hits, 0)::BIGINT AS hits,
+         |  ((coalesce(hits, 0) * 1000000) // n_true)::BIGINT AS recall_fp
+         |FROM tn LEFT JOIN gn USING (query_id) LEFT JOIN hv USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
     "sim_topk_ivf" ->
