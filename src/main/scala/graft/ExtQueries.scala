@@ -643,18 +643,21 @@ object ExtQueries {
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
       val lsh = Similarity.bucketedTopK(e, q, "vec_id", "embedding",
         k = 5, bits = 6)
-      val trueN = bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-      val gotN = lsh.groupBy("query_id").agg(count(lit(1)).as("n_retrieved"))
-      val hits = bf.select(col("query_id"), col("id"))
-        .join(lsh.select(col("query_id"), col("id")), Seq("query_id", "id"))
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      trueN.join(gotN, Seq("query_id"), "left")
-        .join(hits, Seq("query_id"), "left")
+      val mp = Similarity.bucketedTopKMultiProbe(e, q, "vec_id", "embedding",
+        k = 5, bits = 6)
+      def hitsOf(got: DataFrame, name: String) =
+        bf.select(col("query_id"), col("id"))
+          .join(got.select(col("query_id"), col("id")), Seq("query_id", "id"))
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hitsOf(lsh, "hits_lsh"), Seq("query_id"), "left")
+        .join(hitsOf(mp, "hits_mp"), Seq("query_id"), "left")
         .select(col("query_id"), col("n_true"),
-          coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
-          coalesce(col("hits"), lit(0L)).as("hits"))
-        .select(col("query_id"), col("n_true"), col("n_retrieved"), col("hits"),
-          expr("(hits * 1000000) div n_true").as("recall_fp"))
+          coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+          coalesce(col("hits_mp"), lit(0L)).as("hits_mp"))
+        .select(col("query_id"), col("n_true"), col("hits_lsh"), col("hits_mp"),
+          expr("(hits_lsh * 1000000) div n_true").as("recall_lsh_fp"),
+          expr("(hits_mp * 1000000) div n_true").as("recall_mp_fp"))
         .orderBy("query_id")
     }),
 
@@ -3625,15 +3628,27 @@ object ExtQueries {
          |lrk AS (SELECT query_id, id, row_number() OVER (
          |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM lsc),
          |ls AS (SELECT query_id, id FROM lrk WHERE rank <= 5),
+         |mpr AS (SELECT vec_id AS query_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n WHERE vec_id < 5),
+         |msc AS (SELECT p.query_id, c.vec_id AS id,
+         |  ${Sql.dot("p.v", "c.v")} / (p.nm * c.nm) AS score
+         |  FROM mpr p JOIN n c ON p.pbucket = c.bucket AND c.vec_id <> p.query_id),
+         |mrk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM msc),
+         |ms AS (SELECT query_id, id FROM mrk WHERE rank <= 5),
          |tn AS (SELECT query_id, count(*)::BIGINT AS n_true FROM bf GROUP BY 1),
-         |gn AS (SELECT query_id, count(*)::BIGINT AS n_retrieved FROM ls GROUP BY 1),
-         |hv AS (SELECT bf.query_id, count(*)::BIGINT AS hits
-         |  FROM bf JOIN ls USING (query_id, id) GROUP BY 1)
+         |h1 AS (SELECT bf.query_id, count(*)::BIGINT AS hits_lsh
+         |  FROM bf JOIN ls USING (query_id, id) GROUP BY 1),
+         |h2 AS (SELECT bf.query_id, count(*)::BIGINT AS hits_mp
+         |  FROM bf JOIN ms USING (query_id, id) GROUP BY 1)
          |SELECT tn.query_id, n_true,
-         |  coalesce(n_retrieved, 0)::BIGINT AS n_retrieved,
-         |  coalesce(hits, 0)::BIGINT AS hits,
-         |  ((coalesce(hits, 0) * 1000000) // n_true)::BIGINT AS recall_fp
-         |FROM tn LEFT JOIN gn USING (query_id) LEFT JOIN hv USING (query_id)
+         |  coalesce(hits_lsh, 0)::BIGINT AS hits_lsh,
+         |  coalesce(hits_mp, 0)::BIGINT AS hits_mp,
+         |  ((coalesce(hits_lsh, 0) * 1000000) // n_true)::BIGINT AS recall_lsh_fp,
+         |  ((coalesce(hits_mp, 0) * 1000000) // n_true)::BIGINT AS recall_mp_fp
+         |FROM tn LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
          |ORDER BY query_id""".stripMargin,
 
     // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim

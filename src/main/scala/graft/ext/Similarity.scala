@@ -126,6 +126,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** [[bucketedTopK]] with single-bit-flip MULTI-PROBE: each query also
+    * probes the `bits` buckets one Hamming step away, recovering neighbors
+    * that straddle a single sign boundary (the dominant LSH miss mode).
+    * The probe set is pairwise-distinct, so every (query, candidate) pair
+    * matches via exactly one probe — no dedup stage; the query side
+    * expands (bits+1)× and stays broadcast. */
+  def bucketedTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int,
+                             bits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"), signBucket(col(vecCol), bits).as("bucket"))
+    val probeSet = array((col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+    val qp = q.select(col("query_id"), col("qv"),
+      explode(probeSet).as("bucket"))
+    val scored = c.join(broadcast(qp), Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("qv"), col("v")).as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Symmetric per-vector int8 quantization: code_i = floor(x_i·127/maxabs
     * + 0.5), an int in [-127, 127] (the all-zero vector quantizes to all
     * zeros). 4× memory cut vs float32 — the storage/bandwidth form of a
