@@ -2170,6 +2170,21 @@ object ExtQueries {
           Seq("signup", "view", "purchase"))
     }),
 
+    // Partition-skew audit (E5d): daily row counts + the max/mean skew
+    // ratio in fixed point ((max·n_days·10⁶) div total — rational, no
+    // float) — the pre-run diagnostic that decides whether a date-keyed
+    // write needs salting/AQE before it burns a cluster.
+    "etl_partition_skew_audit" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyyMMdd").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("total_rows"),
+          max(col("n")).as("max_day_rows"))
+        .select(col("n_days"), col("total_rows"), col("max_day_rows"),
+          expr("(max_day_rows * n_days * 1000000) div total_rows")
+            .as("skew_fp"))
+    }),
+
     // Hourly trend slope (E2i): least-squares slope of hourly volume per
     // event_type — RATIONAL (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so the
     // regression restates in exact integer fixed-point ×10⁶ with no float;
@@ -4738,6 +4753,16 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
+
+    // mirrors etl_partition_skew_audit's rational skew ratio
+    "etl_partition_skew_audit" ->
+      """WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y%m%d') AS day,
+        |    count(*)::BIGINT AS n FROM events GROUP BY 1),
+        |a AS (SELECT count(*)::BIGINT AS n_days, sum(n)::BIGINT AS total_rows,
+        |  max(n)::BIGINT AS max_day_rows FROM d)
+        |SELECT n_days, total_rows, max_day_rows,
+        |  ((max_day_rows * n_days * 1000000) // total_rows)::BIGINT AS skew_fp
+        |FROM a""".stripMargin,
 
     // mirrors q_trend_slope's rational least-squares arithmetic
     "q_trend_slope" ->
