@@ -2400,6 +2400,28 @@ object ExtQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // RAG indexing pipeline composed (E39): chunk (32-token window, 24
+    // stride) → BM25 over the CHUNK corpus → top-5 chunks per query with
+    // (doc_id, chunk_no) provenance — retrieval returns the passage, not
+    // the document, which is what a RAG consumer actually feeds a model.
+    // Chunk ids are doc_id·1000 + chunk_no (docs are far under 1000
+    // chunks), so provenance is pure arithmetic; every stage reuses an
+    // already-gated operator and the oracle restates the whole chain.
+    "rag_pipeline_e2e" -> ((s, d) => {
+      import s.implicits._
+      val chunks = TextStats.chunkWords(t(s, d, "documents"), "doc_id",
+          "text", window = 32, stride = 24)
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+          col("chunk_text"))
+      val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
+        (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
+      ext.Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text", q, k = 5)
+        .select(col("query_id"), col("rank"),
+          expr("doc_id div 1000").as("doc_id"),
+          expr("doc_id % 1000").cast("int").as("chunk_no"), col("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Hybrid retrieval: BM25 text ranks ⊕ dense cosine ranks, fused with
     // reciprocal-rank fusion. Query ids are shared across modalities
     // (testdata links doc_id ↔ vec_id 1:1): each query is 2 BM25 terms
@@ -4892,6 +4914,41 @@ object ExtQueries {
         |      ORDER BY score_fp DESC, doc_id)::INT AS rank
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors rag_pipeline_e2e: the text_chunk CTE → chunk ids → the BM25
+    // chain over chunks → provenance arithmetic
+    "rag_pipeline_e2e" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |st AS (SELECT doc_id, words,
+        |  unnest(generate_series(0, len(words) - 1, 24)) AS s FROM w),
+        |ch AS (SELECT doc_id * 1000 + (s // 24) AS chunk_id,
+        |  array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text
+        |  FROM st WHERE s = 0 OR s + 8 < len(words)),
+        |toks AS (SELECT chunk_id, string_split(lower(chunk_text), ' ') AS ts FROM ch),
+        |dl AS (SELECT chunk_id, len(ts)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+        |post AS (SELECT chunk_id, unnest(ts) AS token FROM toks),
+        |tf AS (SELECT chunk_id, token, count(*)::BIGINT AS tf
+        |  FROM post GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |q(query_id, token) AS (VALUES (0::BIGINT, 'vector'),
+        |  (0::BIGINT, 'stream'), (1::BIGINT, 'customer'),
+        |  (1::BIGINT, 'query'), (2::BIGINT, 'scan'), (2::BIGINT, 'window')),
+        |scored AS (SELECT q.query_id, tf.chunk_id,
+        |    sum(floor((((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE)))))
+        |      ) * 1048576.0))::BIGINT AS score_fp
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dl USING (chunk_id) CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, (chunk_id // 1000)::BIGINT AS doc_id,
+        |  (chunk_id % 1000)::INT AS chunk_no, score_fp FROM (
+        |  SELECT query_id, chunk_id, score_fp,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, chunk_id)::INT AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_hybrid_topk" ->
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
