@@ -93,6 +93,11 @@ object ExtQueries {
     "e" -> "r", "o" -> "n", "an" -> "d", "e" -> "d")
   private val bpeRounds = 8
 
+  /** Benford expected-share table ×10⁶, pre-rounded ONCE here and embedded
+    * as the same literals on both engine sides. */
+  private val benfordP: Seq[(Int, Long)] =
+    (1 to 9).map(d => (d, Math.round(1e6 * Math.log10(1.0 + 1.0 / d))))
+
   /** One unrolled BPE merge round for the DuckDB oracle, over the
     * "(sym)(sym)…" wrapped-symbol encoding: the CASE picks the LOWEST-RANK
     * pair present (first match in table order), and `replace`'s
@@ -2168,6 +2173,50 @@ object ExtQueries {
     "q_funnel_counts" -> ((s, d) => {
       Funnel.funnelCounts(t(s, d, "events"), "user_id", "event_type", "ts",
           Seq("signup", "view", "purchase"))
+    }),
+
+    // Tamper-evident export ledger (E5f): per day, an md5 HASH CHAIN over
+    // the rows in (ts, event_id) order — one reordered/dropped/altered row
+    // changes every downstream digest (unlike the commutative shard
+    // checksum of E23j, order is part of the contract here). Day-bounded
+    // group fold — the real-ledger contract chains within bounded shards;
+    // the day key IS the shard.
+    "etl_ledger_chain" -> ((s, d) => {
+      val lst = t(s, d, "events")
+        .select(date_format(date_trunc("day", col("ts")), "yyyyMMdd").as("day"),
+          struct(col("ts"), col("event_id")).as("ord"),
+          md5(col("event_id").cast("string")).as("rd"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          collect_list(struct(col("ord"), col("rd"))).as("lst"))
+      lst.select(col("day"), col("n"),
+          aggregate(
+            transform(array_sort(col("lst")), x => x.getField("rd")),
+            lit("seed"),
+            (acc, x) => md5(concat(acc, x))).as("chain"))
+        .orderBy("day")
+    }),
+
+    // Benford first-digit audit (E5e): the fraud/data-quality classic —
+    // observed leading-digit counts of the integer cents vs the Benford
+    // expectation, whose 9 log10 probabilities ride as the SAME pre-rounded
+    // fixed-point literal table on both engines (the HLL linear-counting
+    // trick). Leading digit via integer string length — no float
+    // formatting anywhere.
+    "q_benford_audit" -> ((s, d) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val digit = expr("cents div CAST(pow(10, length(CAST(cents AS STRING)) - 1) AS BIGINT)")
+      val obs = t(s, d, "events")
+        .select(cents.as("cents")).where(col("cents") > 0)
+        .select(digit.cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val total = obs.agg(sum(col("n_obs")).as("n_total"))
+      import s.implicits._
+      obs.join(benfordP.toDF("digit", "p_fp"), "digit")
+        .crossJoin(total)
+        .select(col("digit"), col("n_obs"),
+          expr("(n_obs * 1000000) div n_total").as("share_fp"), col("p_fp"))
+        .orderBy("digit")
     }),
 
     // Partition-skew audit (E5d): daily row counts + the max/mean skew
@@ -4775,6 +4824,34 @@ object ExtQueries {
         |  UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
+
+    // mirrors etl_ledger_chain: ordered list + seeded left fold of md5
+    "etl_ledger_chain" ->
+      """WITH e AS (SELECT strftime(date_trunc('day', ts), '%Y%m%d') AS day,
+        |    ts, event_id, md5(event_id::VARCHAR) AS rd FROM events),
+        |l AS (SELECT day, count(*)::BIGINT AS n,
+        |  list(rd ORDER BY ts, event_id) AS lst FROM e GROUP BY day)
+        |SELECT day, n,
+        |  list_reduce(list_prepend('seed', lst), (acc, x) -> md5(acc || x)) AS chain
+        |FROM l ORDER BY day""".stripMargin,
+
+    // mirrors q_benford_audit: same literal expectation table, same
+    // string-length leading-digit extraction over cents
+    "q_benford_audit" -> {
+      val table = benfordP
+        .map { case (dd, p) => s"($dd, ${p}::BIGINT)" }.mkString(", ")
+      s"""WITH c AS (SELECT (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+         |  FROM events),
+         |p AS (SELECT cents,
+         |  (cents // (10 ** (length(cents::VARCHAR) - 1))::BIGINT)::INT AS digit
+         |  FROM c WHERE cents > 0),
+         |obs AS (SELECT digit, count(*)::BIGINT AS n_obs FROM p GROUP BY digit),
+         |t(digit, p_fp) AS (VALUES $table),
+         |tot AS (SELECT sum(n_obs)::BIGINT AS n_total FROM obs)
+         |SELECT obs.digit, n_obs,
+         |  ((n_obs * 1000000) // n_total)::BIGINT AS share_fp, p_fp
+         |FROM obs JOIN t USING (digit), tot ORDER BY digit""".stripMargin
+    },
 
     // mirrors etl_partition_skew_audit's rational skew ratio
     "etl_partition_skew_audit" ->
