@@ -666,6 +666,17 @@ object ExtQueries {
         .orderBy("query_id")
     }),
 
+    // MMR diversified re-ranking (E15h): greedy rel − ½·max-sim-to-selected
+    // over the brute top-10, five unrolled rounds — the anti-redundancy
+    // pass a RAG context builder runs after retrieval, fully restated
+    // (selection order AND scores compared).
+    "sim_mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 5), "vec_id",
+          "embedding", kCand = 10, kSel = 5)
+        .orderBy("query_id", "sel_rank")
+    }),
+
     // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
     // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
     // even with k-means-fitted cells (fitIters=2 exercises the fitting under
@@ -3694,6 +3705,45 @@ object ExtQueries {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.mmrRerank(kCand=10, kSel=5): brute candidates,
+    // candidate-pair cosines, then the greedy rounds unrolled — each
+    // round's penalty joins the accumulated selection
+    "sim_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        val prev = s"sa${r - 1}"
+        s"""pen$r AS (SELECT s.query_id, s.a AS id, max(s.sim) AS maxsim
+           |  FROM sims s JOIN $prev t ON t.query_id = s.query_id AND t.id = s.b
+           |  GROUP BY 1, 2),
+           |cr$r AS (SELECT c.query_id, c.id, c.rel - 0.5 * p.maxsim AS sc
+           |  FROM cands c JOIN pen$r p ON p.query_id = c.query_id AND p.id = c.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev t
+           |    WHERE t.query_id = c.query_id AND t.id = c.id)),
+           |sel$r AS (SELECT query_id, $r AS sel_rank, id, sc AS mmr FROM (
+           |  SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sc DESC, id) AS rn FROM cr$r) WHERE rn = 1),
+           |sa$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |brk AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bsc),
+         |cands AS (SELECT query_id, id, score AS rel FROM brk WHERE rank <= 10),
+         |cv AS (SELECT c.query_id, c.id, n.v, n.nm FROM cands c
+         |  JOIN n ON n.vec_id = c.id),
+         |sims AS (SELECT x.query_id, x.id AS a, y.id AS b,
+         |  ${Sql.dot("x.v", "y.v")} / (x.nm * y.nm) AS sim
+         |  FROM cv x JOIN cv y ON x.query_id = y.query_id AND x.id <> y.id),
+         |sa1 AS (SELECT query_id, 1 AS sel_rank, id, rel AS mmr FROM (
+         |  SELECT query_id, id, rel, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1),
+         |$rounds
+         |SELECT query_id, sel_rank, id, mmr FROM sa5
+         |ORDER BY query_id, sel_rank""".stripMargin
+    },
 
     // mirrors sim_recall_eval: the brute and LSH chains side by side, then
     // the per-query overlap census

@@ -149,6 +149,79 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998) —
+    * DIVERSIFIED selection from a top-k candidate list: greedily pick the
+    * candidate maximizing rel − λ·max-sim-to-already-selected, λ = 1/2.
+    * The anti-redundancy pass a RAG context builder runs after retrieval:
+    * near-duplicate passages stop crowding out coverage. The greedy rounds
+    * are UNROLLED (select is deterministic: score DESC, id ASC), so the
+    * whole selection restates as SQL; every frame after the candidate
+    * top-k is per-query-tiny (candidates², never corpus²).
+    *
+    * `cands`: (query_id, id, rel) — e.g. [[bruteForceTopK]] output with
+    * `score` renamed `rel`. `sims`: (query_id, a, b, sim) pairwise over
+    * each query's candidates. Returns (query_id, sel_rank, id, mmr). */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k out of range: $k")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_s").desc, col("id"))
+    // each round's winner (ONE row per query) is collected to the driver
+    // and re-ships as a literal frame — the contract-bounded collect
+    // pattern (≤ k·|queries| rows total); chaining the rounds lazily
+    // instead doubles the lineage per round (selected is referenced twice)
+    // and re-executes round 1 up to 2^k times
+    def winners(scored: DataFrame, r: Int): Seq[(Long, Int, Long, Double)] =
+      scored.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+        .select(col("query_id").cast("long"), lit(r), col("id").cast("long"),
+          col("_s"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    var selected = winners(cands.withColumn("_s", col("rel")), 1)
+    for (r <- 2 to k) {
+      val selDF = selected.toDF("query_id", "sel_rank", "id", "mmr")
+      val pen = sims.join(broadcast(selDF.select(col("query_id"),
+          col("id").as("b"))), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val scored = cands
+        .join(broadcast(selDF.select(col("query_id"), col("id"),
+          lit(1).as("_sel"))), Seq("query_id", "id"), "left")
+        .where(col("_sel").isNull)
+        .join(pen, Seq("query_id", "id"))
+        .withColumn("_s", col("rel") - lit(0.5) * col("maxsim"))
+      selected = selected ++ winners(scored, r)
+    }
+    selected.toDF("query_id", "sel_rank", "id", "mmr")
+  }
+
+  /** [[mmrSelect]] end-to-end: brute-force top-`kCand` as candidates,
+    * pairwise cosines among each query's candidates (candidates², never
+    * corpus²), then `kSel` greedy MMR rounds. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, kCand: Int, kSel: Int): DataFrame = {
+    // persisted: every greedy round's lineage re-reads candidates AND the
+    // sim matrix — uncached, each of the kSel rounds would re-run the
+    // corpus-wide top-k scan (measured 22 s → ~3 s at the sf0.01 gate)
+    val cands = bruteForceTopK(corpus, queries, idCol, vecCol, kCand)
+      .select(col("query_id"), col("id"), col("score").as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vv"))
+    val cv = cands.select("query_id", "id").join(v, "id")
+    val sims = cv.select(col("query_id"), col("id").as("a"), col("vv").as("va"))
+      .join(cv.select(col("query_id"), col("id").as("b"), col("vv").as("vb")),
+        Seq("query_id"))
+      .where(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosine(col("va"), col("vb")).as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = mmrSelect(cands, sims, kSel)
+    Dedup.releaseAfterFirstAction(cands, out)
+    Dedup.releaseAfterFirstAction(sims, out)
+    out
+  }
+
   /** Symmetric per-vector int8 quantization: code_i = floor(x_i·127/maxabs
     * + 0.5), an int in [-127, 127] (the all-zero vector quantizes to all
     * zeros). 4× memory cut vs float32 — the storage/bandwidth form of a

@@ -2039,6 +2039,22 @@ class ExtSpec extends SparkSpec {
     out.foreach { case (got, want) => assert(got === want) }
   }
 
+  test("mmrSelect trades relevance for diversity") {
+    // candidates: 1 (rel .9), 2 (rel .8, near-dup of 1), 3 (rel .5, diverse)
+    val cands = Seq((0L, 1L, 0.9), (0L, 2L, 0.8), (0L, 3L, 0.5))
+      .toDF("query_id", "id", "rel")
+    val sims = Seq(
+      (0L, 1L, 2L, 0.95), (0L, 2L, 1L, 0.95),
+      (0L, 1L, 3L, 0.1), (0L, 3L, 1L, 0.1),
+      (0L, 2L, 3L, 0.1), (0L, 3L, 2L, 0.1))
+      .toDF("query_id", "a", "b", "sim")
+    val got = Similarity.mmrSelect(cands, sims, k = 3)
+      .orderBy("sel_rank").select("id").as[Long].collect().toSeq
+    // greedy: 1 first; then 2 scores .8-.475=.325 vs 3 scores .5-.05=.45
+    // → the DIVERSE 3 beats the redundant 2 despite lower relevance
+    assert(got === Seq(1L, 3L, 2L))
+  }
+
   test("decodeMp4 walks boxes and quarantines malformed payloads") {
     val good = Multimodal.decodeMp4(
       Multimodal.RawAsset(7L, "mp4", Multimodal.syntheticMp4Payload(7L)))
