@@ -1217,6 +1217,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Class-balanced downsampling (E23l): every lang capped at the
+    // MINORITY class size (the classifier-training prep that stops a
+    // 90/10 label skew from training a majority-voter) — the cap is a
+    // 1-row contract-bounded collect, the cut runs the skew-safe
+    // bounded-heap path by deterministic hash order.
+    "sample_balanced_classes" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val minN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .agg(min(col("n"))).collect()(0).getLong(0).toInt
+      Sampling.capPerGroupSkewSafe(docs, "lang", "doc_id", minN)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Exact proportional stratified sample: ceil(10%) of EVERY source by
     // deterministic hash order — per-stratum counts exact, not binomial;
     // runs the skew-safe bounded-heap path, oracle restates the rank window.
@@ -3882,6 +3896,16 @@ object ExtQueries {
       s"""SELECT doc_id, source FROM documents
          |QUALIFY row_number() OVER (PARTITION BY source
          |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= 10
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors sample_balanced_classes: the same hash-order rank window,
+    // cap = the scalar minority-class size
+    "sample_balanced_classes" ->
+      s"""WITH m AS (SELECT min(n) AS min_n FROM (
+         |  SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang))
+         |SELECT doc_id, lang FROM documents, m
+         |QUALIFY row_number() OVER (PARTITION BY lang
+         |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= m.min_n
          |ORDER BY doc_id""".stripMargin,
 
     "sample_shuffle" ->
