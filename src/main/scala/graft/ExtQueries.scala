@@ -202,7 +202,10 @@ object ExtQueries {
     * guarantees every symbol — single chars AND learned concatenations —
     * is paren-free, which is what makes the wrapped-symbol "(a)(b)" string
     * patterns provably exact even for DYNAMIC (learned) pairs. */
-  private val bpeCorpusRe = "^[a-z0-9 ]*$"
+  // \z-anchored (not $): Java regex '$' matches before a trailing newline
+  // while RE2's does not — \z means absolute end-of-text in BOTH engines,
+  // so a future newline-bearing fixture can't silently diverge the gates.
+  private val bpeCorpusRe = "^[a-z0-9 ]*\\z"
 
   /** The training CTE chain (wf → s0 → p/b/s per round): b$r holds round
     * r's learned (a, b, c). Callers append their own final SELECT. */
@@ -1455,7 +1458,7 @@ object ExtQueries {
     // pairs. Pure scan-level projection; the explode is the only growth.
     "text_bpe_encode" -> ((s, d) => {
       t(s, d, "documents")
-        .where(col("doc_id") < 120 && col("text").rlike("^[ -~]*$"))
+        .where(col("doc_id") < 120 && col("text").rlike("^[ -~]*\\z"))
         .select(col("doc_id"),
           posexplode(TextStats.bpeEncode(col("text"), bpeMerges, bpeRounds))
             .as(Seq("pos", "token")))
@@ -1964,8 +1967,13 @@ object ExtQueries {
         .select(col("a"), col("b"), col("c"), col("d"),
           // a zero margin (degenerate table under a future data regen)
           // yields the sentinel -1 instead of an ANSI divide-by-zero
-          expr("CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1 " +
-            "ELSE ((CAST(a AS DECIMAL(38,0)) + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) div " +
+          // cross-term and margin products widen to DECIMAL(38,0) BEFORE
+          // multiplying: with arm counts ~3e9 the 64-bit products would
+          // wrap silently in non-ANSI Spark (and error in DuckDB)
+          expr("CASE WHEN CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) = 0 THEN -1 " +
+            "ELSE ((CAST(a AS DECIMAL(38,0)) + b + c + d) * " +
+            "(CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c) * " +
+            "(CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c) * 1000) div " +
             "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) END").as("chi2_fp"))
     }),
 
@@ -4091,7 +4099,7 @@ object ExtQueries {
       }.mkString(",\n")
       s"""WITH docs AS (SELECT doc_id,
          |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS wl
-         |  FROM documents WHERE doc_id < 120 AND regexp_matches(text, '^[ -~]*$$')),
+         |  FROM documents WHERE doc_id < 120 AND regexp_matches(text, '^[ -~]*\\z')),
          |words AS (SELECT doc_id, unnest(range(1, len(wl)+1)) AS word_ord,
          |  unnest(wl) AS w FROM docs),
          |wrapped AS (SELECT doc_id, word_ord,
@@ -4223,8 +4231,9 @@ object ExtQueries {
         |  sum(CASE WHEN NOT arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS d
         |  FROM u)
         |SELECT a, b, c, d,
-        |  (CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1
-        |   ELSE ((a::HUGEINT + b + c + d) * (a*d - b*c) * (a*d - b*c) * 1000) //
+        |  (CASE WHEN (a::HUGEINT + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1
+        |   ELSE ((a::HUGEINT + b + c + d) * (a::HUGEINT*d - b::HUGEINT*c) *
+        |         (a::HUGEINT*d - b::HUGEINT*c) * 1000) //
         |        ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)) END)::BIGINT AS chi2_fp
         |FROM t""".stripMargin,
 

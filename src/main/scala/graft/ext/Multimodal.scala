@@ -409,6 +409,9 @@ object Multimodal {
   /** Real ISO-BMFF box walk: top-level (size, fourcc) boxes, then inside
     * `moov` the mvhd v0 timescale/duration (offsets 12/16 past the box
     * header: version+flags, creation, modification) and the trak count.
+    * All three spec-valid size encodings are handled: compact 32-bit,
+    * size==1 (64-bit largesize follows the fourcc — common for mdat),
+    * and size==0 (box extends to the end of the enclosing scope).
     * Truncated/undersized boxes quarantine to None, never a crash. */
   def decodeMp4(a: RawAsset): Option[Mp4Info] = {
     val b = a.payload
@@ -421,22 +424,35 @@ object Multimodal {
     def beInt(o: Int): Long =
       ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def beLong(o: Int): Long =
+      (0 until 8).foldLeft(0L)((acc, k) => (acc << 8) | (b(o + k) & 0xffL))
     def fourcc(o: Int): String = new String(b, o + 4, 4, "US-ASCII")
+    // (headerLen, boxSize) of the box at `o` within scope ending at `end`,
+    // or null if malformed under any of the three size encodings
+    def boxAt(o: Int, end: Int): (Int, Long) = beInt(o) match {
+      case 1 => // 64-bit largesize after the fourcc; 16-byte header
+        if (o + 16 > end) null
+        else { val ls = beLong(o + 8); if (ls < 16 || o + ls > end) null else (16, ls) }
+      case 0 => (8, (end - o).toLong) // to end of enclosing scope
+      case s => if (s < 8 || o + s > end) null else (8, s)
+    }
     while (i + 8 <= b.length) {
-      val size = beInt(i)
-      if (size < 8 || i + size > b.length) return None
+      val box = boxAt(i, b.length)
+      if (box == null) return None
+      val (hdr, size) = box
       nTop += 1
       if (fourcc(i) == "moov") {
         nTrak = 0
-        var j = i + 8
+        var j = i + hdr
         val end = i + size.toInt
         while (j + 8 <= end) {
-          val cs = beInt(j)
-          if (cs < 8 || j + cs > end) return None
+          val inner = boxAt(j, end)
+          if (inner == null) return None
+          val (ihdr, cs) = inner
           fourcc(j) match {
-            case "mvhd" if cs >= 8 + 20 && (b(j + 8) & 0xff) == 0 =>
-              timescale = beInt(j + 8 + 12)
-              duration = beInt(j + 8 + 16)
+            case "mvhd" if cs >= ihdr + 20 && (b(j + ihdr) & 0xff) == 0 =>
+              timescale = beInt(j + ihdr + 12)
+              duration = beInt(j + ihdr + 16)
             case "trak" => nTrak += 1
             case _ => ()
           }

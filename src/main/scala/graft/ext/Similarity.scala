@@ -163,37 +163,46 @@ object Similarity {
     * each query's candidates. Returns (query_id, sel_rank, id, mmr). */
   def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
     require(k >= 1, s"k out of range: $k")
     val spark = cands.sparkSession
-    import spark.implicits._
     val w = Window.partitionBy("query_id")
       .orderBy(col("_s").desc, col("id"))
+    // winner rows keep the CALLER'S query_id/id types (string ids work like
+    // they do in the sibling top-k operators): the selection frame is
+    // rebuilt from the input schema, never from a hard long cast
+    val selSchema = StructType(Seq(
+      cands.schema("query_id"), StructField("sel_rank", IntegerType, nullable = false),
+      cands.schema("id"), StructField("mmr", DoubleType)))
+    def selDF(rows: Seq[Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), selSchema)
     // each round's winner (ONE row per query) is collected to the driver
     // and re-ships as a literal frame — the contract-bounded collect
     // pattern (≤ k·|queries| rows total); chaining the rounds lazily
     // instead doubles the lineage per round (selected is referenced twice)
     // and re-executes round 1 up to 2^k times
-    def winners(scored: DataFrame, r: Int): Seq[(Long, Int, Long, Double)] =
+    def winners(scored: DataFrame, r: Int): Seq[Row] =
       scored.withColumn("_r", row_number().over(w)).where(col("_r") === 1)
-        .select(col("query_id").cast("long"), lit(r), col("id").cast("long"),
-          col("_s"))
-        .as[(Long, Int, Long, Double)].collect().toSeq
+        .select(col("query_id"), lit(r).as("sel_rank"), col("id"),
+          col("_s").cast("double").as("mmr"))
+        .collect().toSeq
     var selected = winners(cands.withColumn("_s", col("rel")), 1)
     for (r <- 2 to k) {
-      val selDF = selected.toDF("query_id", "sel_rank", "id", "mmr")
-      val pen = sims.join(broadcast(selDF.select(col("query_id"),
+      val sel = selDF(selected)
+      val pen = sims.join(broadcast(sel.select(col("query_id"),
           col("id").as("b"))), Seq("query_id", "b"))
         .groupBy(col("query_id"), col("a").as("id"))
         .agg(max(col("sim")).as("maxsim"))
       val scored = cands
-        .join(broadcast(selDF.select(col("query_id"), col("id"),
+        .join(broadcast(sel.select(col("query_id"), col("id"),
           lit(1).as("_sel"))), Seq("query_id", "id"), "left")
         .where(col("_sel").isNull)
         .join(pen, Seq("query_id", "id"))
         .withColumn("_s", col("rel") - lit(0.5) * col("maxsim"))
       selected = selected ++ winners(scored, r)
     }
-    selected.toDF("query_id", "sel_rank", "id", "mmr")
+    selDF(selected)
   }
 
   /** [[mmrSelect]] end-to-end: brute-force top-`kCand` as candidates,

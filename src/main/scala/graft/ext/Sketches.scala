@@ -112,6 +112,13 @@ object Sketches {
                                groupCols: Seq[String]): DataFrame = {
     val gs = groupCols.map(col)
     regs
+      // a SPINED register table (e.g. hllRegisters output) carries
+      // register=0 rows for never-hit buckets; counting those as
+      // buckets_hit would suppress the linear-counting small-range
+      // correction, and their 2^55 term is already added in closed form
+      // below — so zero registers are dropped here, making observed-only
+      // and spined inputs estimate identically
+      .where(col("register") > 0)
       .groupBy(gs: _*)
       .agg(count(lit(1)).as("buckets_hit"),
         sum(pow(lit(2.0), lit(55) - col("register")).cast("long")).as("d_obs"))
