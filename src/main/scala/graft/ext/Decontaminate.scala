@@ -74,12 +74,17 @@ object Decontaminate {
     * therefore mask in md5 order, a fixed documented contract rather than
     * an engine accident.
     *
-    * Scale shape: the gram list is driver-collected and folded into a
-    * literal replace chain — probes are benchmark-sized by this family's
-    * contract (the same broadcast-small bound as [[contaminatedDocs]]), and
-    * `maxGrams` guards the expression-tree size (a documented failure beats
-    * a silently giant plan). The scrub itself is a pure per-row projection:
-    * zero shuffle, the corpus scan IS the cost at any scale.
+    * Scale shape: the gram list is driver-collected and shipped as the
+    * DATA of one native [[graft.ext.expressions.ScrubGramsExpr]] (a folded
+    * replace chain would nest one plan node per gram — at thousands of
+    * grams that single deep tree breaks codegen method limits and the
+    * optimizer's recursive transforms; here plan size and generated code
+    * are constant at any gram count). Probes are benchmark-sized by this
+    * family's contract (the same broadcast-small bound as
+    * [[contaminatedDocs]]), and `maxGrams` guards the driver collect (a
+    * documented failure beats a silent driver OOM). The scrub itself is a
+    * pure per-row projection: zero shuffle, the corpus scan IS the cost at
+    * any scale.
     *
     * Shingling lower-cases ([[Dedup.words]]), so pass a lower-cased
     * `textCol` for the masks to land (the catalog row does). */
@@ -101,8 +106,11 @@ object Decontaminate {
     require(grams.length <= maxGrams,
       s"scrubSpans: probe grams exceed maxGrams=$maxGrams — " +
         "thin the probe set or raise the bound deliberately")
-    val scrubbed = grams.foldLeft(col(textCol))((c, g) =>
-      replace(c, lit(g), lit(mask)))
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    val scrubbed = GraftColumnBridge.column(
+      graft.ext.expressions.ScrubGramsExpr(
+        GraftColumnBridge.expression(col(textCol)),
+        grams.toIndexedSeq, mask))
     docs.withColumn(textCol, scrubbed)
   }
 }

@@ -747,6 +747,51 @@ object GraftFunctions {
     }
 }
 
+/** Sequential literal-substring scrub: `s.replace(g, mask)` applied for
+  * every gram IN ARRAY ORDER — semantically identical to folding one
+  * `replace` Column per gram, but the fold form nests one expression node
+  * per gram, so at thousands of grams the single 10k-deep tree overflows
+  * codegen method limits (interpreted fallback) or the optimizer's
+  * recursive transforms (planning failure). Here the gram array rides a
+  * codegen REFERENCE OBJECT and the loop is data, not code: constant plan
+  * size and constant generated-method size at ANY gram count, and the
+  * whole-stage loop keeps the scrub inside codegen. */
+case class ScrubGramsExpr(child: Expression, grams: Seq[String], mask: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_scrub_grams"
+
+  @transient private lazy val gramArr: Array[String] = grams.toArray
+  @transient private lazy val maskStr: String = mask
+
+  def scrub(in: UTF8String): UTF8String = {
+    var s = in.toString
+    var i = 0
+    while (i < gramArr.length) {
+      // String.replace is the same non-overlapping left-to-right
+      // replace-all as Spark's replace(): skip the allocation unless the
+      // gram actually occurs (most grams miss most documents)
+      if (s.contains(gramArr(i))) s = s.replace(gramArr(i), maskStr)
+      i += 1
+    }
+    UTF8String.fromString(s)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    scrub(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scrubGrams", this,
+      classOf[ScrubGramsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.scrub($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubGramsExpr =
+    copy(child = newChild)
+}
+
 /** For `spark.sql.extensions=graft.ext.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

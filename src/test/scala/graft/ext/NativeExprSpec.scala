@@ -229,4 +229,36 @@ class NativeExprSpec extends SparkSpec {
       .head.getSeq[Long](0)
     assert(viaSql.length === 2) // "a b c", "b c d"
   }
+
+  test("scrubSpans plans and runs codegen'd at the full maxGrams=10000 bound") {
+    // 10,000 distinct probe 2-grams: the old per-gram replace FOLD built a
+    // 10k-deep expression tree here (codegen method-limit fallback or a
+    // planning stack overflow); the native expr carries the grams as data,
+    // so the plan is one constant-size projection regardless of gram count
+    val probes = spark.range(10000).select(
+      concat(lit("pa"), col("id"), lit(" pb"), col("id")).as("text"))
+    // range-backed (not a local Seq): a LocalRelation would be folded away
+    // by ConvertToLocalRelation and never reach a codegen stage at all
+    val docs = spark.range(2).select(col("id").as("doc_id"),
+      when(col("id") === 1, lit("pa77 pb77 keep pa9999 pb9999"))
+        .otherwise(lit("nothing here")).as("text"))
+    val out = Decontaminate.scrubSpans(docs, "text", probes, "text", n = 2)
+    assert(out.queryExecution.executedPlan
+      .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    val got = out.as[(Long, String)].collect().toMap
+    assert(got(1L) === "[_] keep [_]")
+    assert(got(0L) === "nothing here")
+  }
+
+  test("ScrubGramsExpr ≡ the sequential replace fold, order-sensitive overlaps included") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    val grams = Seq("x y", "y z", "w x") // overlapping: order changes the result
+    val docs = Seq("w x y z tail", "", "no hits", "x yx y z").toDF("text")
+    val native = GraftColumnBridge.column(graft.ext.expressions.ScrubGramsExpr(
+      GraftColumnBridge.expression(col("text")), grams, "[_]"))
+    val fold = grams.foldLeft(col("text"))((c, g) => replace(c, lit(g), lit("[_]")))
+    val diff = docs.select(native.as("n"), fold.as("f"))
+      .where(col("n") =!= col("f")).count()
+    assert(diff === 0)
+  }
 }
