@@ -2660,6 +2660,41 @@ object ExtQueries {
         .orderBy("day")
     }),
 
+    // Snapshot TIME TRAVEL over the versioned star publish: three batches
+    // land (days 1-3, 4-5, 6) under retainVersions=2, so version 1 is
+    // retention-swept and versions 2 and 3 stay readable; each retained
+    // version is then read AS OF its publish — fact row count, dim_date
+    // cardinality and max minute key, dim_title cardinality — and the
+    // oracle restates every snapshot from the cumulative day ranges. A
+    // stale read (current-version leak into v2) or a broken sweep (v1
+    // surviving) both change the emitted rows.
+    "etl_time_travel" -> ((s, d) => {
+      val tmp = scratchDir("graft_time_travel", d)
+      val store = graft.etl.StarStore(s, tmp, Int.MaxValue, 2)
+      val ev = t(s, d, "events")
+      def raw(lo: Int, hi: Int) = ev
+        .where(dayofmonth(col("ts")).between(lo, hi))
+        .select(
+          date_format(date_trunc("minute", col("ts")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("DateTime"),
+          concat(lit("news| T"), (col("user_id") % 97).cast("string"))
+            .as("VideoTitle"),
+          lit("206").as("events"))
+      store.runBatch(raw(1, 3), "tt1")
+      store.runBatch(raw(4, 5), "tt2")
+      store.runBatch(raw(6, 6), "tt3")
+      store.versions.map { v =>
+        store.readVersion("fact", v).agg(count(lit(1)).as("n_fact"))
+          .crossJoin(store.readVersion("dim_date", v)
+            .agg(count(lit(1)).as("n_minutes"),
+              max(col("DATETIME")).as("max_minute")))
+          .crossJoin(store.readVersion("dim_title", v)
+            .agg(count(lit(1)).as("n_titles")))
+          .select(lit(v).as("version"), col("n_fact"), col("n_minutes"),
+            col("max_minute"), col("n_titles"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // ORC sink + scan round-trip — the third columnar/source format next to
     // CSV and JSON-lines: Spark's native ORC writer+reader (vectorized,
     // predicate-pushdown-capable like parquet), gated by an oracle that
@@ -5207,6 +5242,19 @@ object ExtQueries {
         |    END)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events WHERE day(ts) <= 10
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // mirrors etl_time_travel: version N ≡ the cumulative day range its
+    // batches covered; every event row survives clean() by construction
+    "etl_time_travel" ->
+      """WITH e AS (SELECT date_trunc('minute', ts) AS m, user_id % 97 AS tk,
+        |  day(ts) AS dd FROM events),
+        |v(version, max_day) AS (VALUES (2, 5), (3, 6))
+        |SELECT v.version::BIGINT AS version, count(*)::BIGINT AS n_fact,
+        |  count(DISTINCT e.m)::BIGINT AS n_minutes,
+        |  strftime(max(e.m), '%Y%m%d%H%M') AS max_minute,
+        |  count(DISTINCT e.tk)::BIGINT AS n_titles
+        |FROM v JOIN e ON e.dd <= v.max_day
+        |GROUP BY v.version ORDER BY version""".stripMargin,
 
     "etl_scd2" ->
       """WITH obs AS (

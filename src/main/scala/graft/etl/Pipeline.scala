@@ -41,10 +41,20 @@ import org.apache.spark.sql.functions._
   *                         than this many live fact-delta dirs (the union
   *                         plan and file listing grow linearly with them);
   *                         `Int.MaxValue` disables. Compaction preserves the
-  *                         `applied` replay guard. */
+  *                         `applied` replay guard.
+  * @param retainVersions   how many published versions stay readable for
+  *                         time travel ([[readVersion]]). The default 1
+  *                         keeps only the live version (the pre-time-travel
+  *                         behavior); larger values retain history — cheap,
+  *                         because a version dir is tiny dim snapshots plus
+  *                         a manifest, and fact delta files are immutable
+  *                         and SHARED across versions (only compaction ever
+  *                         rewrites fact bytes). */
 class StarStore(spark: SparkSession, root: String,
-                autoCompactAfter: Int = StarStore.DefaultAutoCompactAfter) {
+                autoCompactAfter: Int = StarStore.DefaultAutoCompactAfter,
+                retainVersions: Int = 1) {
   import StarStore._
+  require(retainVersions >= 1, s"retainVersions out of range: $retainVersions")
 
   private val fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -108,8 +118,58 @@ class StarStore(spark: SparkSession, root: String,
     * metadata-only swap. */
   def fact: DataFrame = {
     val v = currentVersion.getOrElse(sys.error(s"empty star store at $root"))
+    factOf(v)
+  }
+
+  private def factOf(v: String): DataFrame =
     manifest(v).batches.map(b => spark.read.parquet(s"$root/facts/batch_$b"))
       .reduce(_.unionByName(_))
+
+  // ── time travel ──────────────────────────────────────────────────────────
+
+  /** Versions still on disk, ascending — the readable time-travel range
+    * (bounded by `retainVersions`; [[sweepVersions]] prunes older ones). */
+  def versions: Seq[Long] = {
+    val vdir = new Path(s"$root/versions")
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Read a table AS OF a published version — the snapshot-isolation read
+    * the versioned layout was built to serve (what `table@v<N>` is in a
+    * full table format). `name` is one of `dim_date`, `dim_platform`,
+    * `dim_site`, `dim_title`, `fact`. The fact at version N is the union
+    * of exactly the delta dirs its manifest listed — immutable files, so
+    * the result is bit-stable no matter how many batches published since.
+    * Fails with the retained range if the version has been swept. */
+  def readVersion(name: String, version: Long): DataFrame = {
+    val v = f"v$version%08d"
+    require(fs.exists(new Path(versionDir(v))),
+      s"version $version not retained at $root " +
+        s"(retained: ${versions.mkString(",")})")
+    if (name == "fact") factOf(v)
+    else spark.read.parquet(s"${versionDir(v)}/$name")
+  }
+
+  /** Retention sweep: keep the newest `retainVersions` version dirs, delete
+    * older ones, then reclaim fact delta dirs referenced by NO surviving
+    * manifest (delta files are shared across versions, so a dir is only
+    * reclaimable once every retained version stopped referencing it —
+    * i.e. after a compaction ages out of the window). Runs automatically
+    * after every publish; idempotent and safe to call any time. */
+  def sweepVersions(): Unit = {
+    val vs = versions
+    vs.dropRight(retainVersions)
+      .foreach(v => fs.delete(new Path(versionDir(f"v$v%08d")), true))
+    val referenced = vs.takeRight(retainVersions)
+      .flatMap(v => manifest(f"v$v%08d").batches).toSet
+    val fdir = new Path(s"$root/facts")
+    if (fs.exists(fdir)) fs.listStatus(fdir).map(_.getPath).foreach { p =>
+      if (p.getName.startsWith("batch_") &&
+          !referenced.contains(p.getName.stripPrefix("batch_")))
+        fs.delete(p, true): Unit
+    }
   }
 
   // ── write side ───────────────────────────────────────────────────────────
@@ -213,9 +273,10 @@ class StarStore(spark: SparkSession, root: String,
     // 3. swap the CURRENT pointer (recovery: highest version wins, above).
     swapPointer(nextV)
 
-    // 4. retire the previous version dir (fact data files are shared and
-    //    never copied, so this only removes tiny dim snapshots).
-    prior.foreach { case (v, _) => fs.delete(new Path(versionDir(v)), true) }
+    // 4. retention sweep: retire version dirs beyond the time-travel window
+    //    (fact data files are shared and never copied, so with the default
+    //    retainVersions=1 this only removes tiny dim snapshots).
+    sweepVersions()
 
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
 
@@ -251,8 +312,10 @@ class StarStore(spark: SparkSession, root: String,
     writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId), m.applied))
     publishVersion(tmp, nextV)
     swapPointer(nextV)
-    m.batches.foreach(b => fs.delete(new Path(s"$root/facts/batch_$b"), true))
-    fs.delete(new Path(versionDir(v)), true)
+    // pre-compaction delta dirs are reclaimed by the sweep only once no
+    // RETAINED version still references them — time-travel reads into the
+    // pre-compaction window keep working until it ages out
+    sweepVersions()
     refreshViews()
     m.batches.length.toLong
   }
@@ -275,4 +338,8 @@ object StarStore {
 
   def apply(spark: SparkSession, root: String, autoCompactAfter: Int): StarStore =
     new StarStore(spark, root, autoCompactAfter)
+
+  def apply(spark: SparkSession, root: String, autoCompactAfter: Int,
+            retainVersions: Int): StarStore =
+    new StarStore(spark, root, autoCompactAfter, retainVersions)
 }

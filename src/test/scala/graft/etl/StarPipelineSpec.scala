@@ -133,6 +133,45 @@ class StarPipelineSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dim_date").as[Long].head() === 6)
   }
 
+  test("time travel: readVersion snapshots, retention sweep, across compaction") {
+    val root = tmpDir("graft-star-tt")
+    val store = StarStore(spark, root, autoCompactAfter = Int.MaxValue,
+      retainVersions = 2)
+    def raw(i: Int) = Seq(
+      (f"2017-01-11T00:0$i%d:00.000Z", s"news| Video $i", "206")
+    ).toDF("DateTime", "VideoTitle", "events")
+
+    (1 to 3).foreach(i => assert(store.runBatch(raw(i), s"t$i") === 1))
+    // retain 2 of 3: v1 swept, v2/v3 readable
+    assert(store.versions === Seq(2L, 3L))
+    assert(store.readVersion("fact", 2).count() === 2)
+    assert(store.readVersion("fact", 3).count() === 3)
+    assert(store.readVersion("dim_title", 2).count() === 2)
+    val e = intercept[IllegalArgumentException](store.readVersion("fact", 1))
+    assert(e.getMessage.contains("not retained"))
+
+    // snapshot isolation: v2's frame is bit-stable across later publishes
+    val v2 = store.readVersion("fact", 2)
+    assert(store.runBatch(raw(4), "t4") === 1)
+    assert(v2.count() === 2)
+    assert(store.versions === Seq(3L, 4L))
+
+    // compaction: the pre-compaction version's delta dirs must survive the
+    // sweep while a retained manifest still references them
+    assert(store.compact() === 4)
+    assert(store.versions === Seq(4L, 5L))
+    assert(store.readVersion("fact", 4).count() === 4) // pre-compaction read
+    assert(store.readVersion("fact", 5).count() === 4) // compacted read
+    // next publish ages v4 out → its delta dirs become reclaimable
+    assert(store.runBatch(raw(5), "t5") === 1)
+    assert(store.versions === Seq(5L, 6L))
+    val factDirs = new java.io.File(s"$root/facts").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(factDirs === Set("batch_compact_5", "batch_t5"),
+      s"pre-compaction deltas not reclaimed after aging out: $factDirs")
+    assert(store.fact.count() === 5)
+  }
+
   test("incremental: file-source stream + foreachBatch merge (rows 33-37)") {
     val stage = tmpDir("graft-stage")
     val root = tmpDir("graft-star-inc")
