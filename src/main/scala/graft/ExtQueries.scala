@@ -192,6 +192,74 @@ object ExtQueries {
        |     THEN 1 ELSE 0 END)::INT AS correct
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Unrolled DuckDB restatement of the ONE-VS-ALL trained language ID
+    * (TextStats.perceptronTrainOvA + argmax inference): three independent
+    * per-class epoch chains over one shared hashed-feature CTE (`fxe`),
+    * averaged snapshots per class, held-out odd-half scoring, first-wins
+    * argmax — every per-doc score, the prediction, and correctness on the
+    * hash. */
+  private def langidTrainedOracle(epochs: Int, dim: Int): String = {
+    def chain(k: Int): String = {
+      val rounds = (1 to epochs).map { e =>
+        val pw = s"w${k}_${e - 1}"
+        s"""d${k}_$e AS (SELECT fx.doc_id, y.y, sum(w.wt)::BIGINT AS dot
+           |  FROM fxe fx JOIN y$k y USING (doc_id) JOIN $pw w USING (b)
+           |  GROUP BY fx.doc_id, y.y),
+           |m${k}_$e AS (SELECT doc_id FROM d${k}_$e
+           |  WHERE (CASE WHEN dot >= 0 THEN 1 ELSE -1 END) <> y),
+           |g${k}_$e AS (SELECT fx.b, sum(y.y)::BIGINT AS delta
+           |  FROM fxe fx JOIN y$k y USING (doc_id) JOIN m${k}_$e USING (doc_id)
+           |  GROUP BY fx.b),
+           |w${k}_$e AS (SELECT p.b, (p.wt + coalesce(g.delta, 0))::BIGINT AS wt
+           |  FROM $pw p LEFT JOIN g${k}_$e g USING (b))""".stripMargin
+      }.mkString(",\n")
+      s"""y$k AS (SELECT doc_id, (CASE WHEN c = $k THEN 1 ELSE -1 END)::BIGINT AS y
+         |  FROM corpus WHERE doc_id % 2 = 0),
+         |w${k}_0 AS (SELECT unnest(range(0, $dim))::BIGINT AS b, 0::BIGINT AS wt),
+         |$rounds,
+         |wa$k AS (SELECT b, sum(wt)::BIGINT AS wt FROM (
+         |  ${(1 to epochs).map(e => s"SELECT b, wt FROM w${k}_$e").mkString(" UNION ALL ")}
+         |  ) GROUP BY b),
+         |dt$k AS (SELECT ofx.doc_id, sum(w.wt)::BIGINT AS dot
+         |  FROM ofx JOIN wa$k w USING (b) GROUP BY ofx.doc_id)""".stripMargin
+    }
+    val feats =
+      """list_concat(toks, CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+        |      ELSE []::VARCHAR[] END)""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, doc_id % 3 AS c,
+       |    text || repeat(' ' || (CASE ((doc_id % 3 +
+       |        CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 15 THEN 1 ELSE 0 END) % 3)
+       |      WHEN 0 THEN 'lza' WHEN 1 THEN 'lzb' ELSE 'lzc' END), 8) AS text
+       |  FROM documents),
+       |t0e AS (SELECT doc_id,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM corpus WHERE doc_id % 2 = 0),
+       |f0e AS (SELECT doc_id, $feats AS feats FROM t0e),
+       |fxe AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f || 'qc'), 1, 8))::BIGINT % $dim AS b
+       |  FROM (SELECT doc_id, unnest(feats) AS f FROM f0e)),
+       |odd AS (SELECT doc_id, c,
+       |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+       |  FROM corpus WHERE doc_id % 2 = 1),
+       |of0 AS (SELECT doc_id, $feats AS feats FROM odd),
+       |ofx AS (SELECT doc_id,
+       |    ('0x' || substr(md5(f || 'qc'), 1, 8))::BIGINT % $dim AS b
+       |  FROM (SELECT doc_id, unnest(feats) AS f FROM of0)),
+       |${(0 until 3).map(chain).mkString(",\n")},
+       |sc AS (SELECT odd.doc_id, odd.c,
+       |    coalesce(dt0.dot, 0)::BIGINT AS s0, coalesce(dt1.dot, 0)::BIGINT AS s1,
+       |    coalesce(dt2.dot, 0)::BIGINT AS s2
+       |  FROM odd LEFT JOIN dt0 USING (doc_id) LEFT JOIN dt1 USING (doc_id)
+       |    LEFT JOIN dt2 USING (doc_id))
+       |SELECT doc_id, s0, s1, s2,
+       |  (CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+       |    WHEN s1 >= s2 THEN 1 ELSE 2 END)::BIGINT AS pred,
+       |  (CASE WHEN (CASE WHEN s0 >= s1 AND s0 >= s2 THEN 0
+       |    WHEN s1 >= s2 THEN 1 ELSE 2 END) = c THEN 1 ELSE 0 END)::INT AS correct
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** Unrolled DuckDB restatement of TextStats.bpeTrainMerges: per round r,
     * p_r = weighted adjacent-pair counts over the wrapped-symbol state,
     * b_r = the argmax under the (count DESC, a, b) tie-break, s_r = the
@@ -1409,6 +1477,40 @@ object ExtQueries {
         TextStats.markerHits(toks, langClasses(1)._2).as("s_streaming"),
         TextStats.markerHits(toks, langClasses(2)._2).as("s_relational"),
         TextStats.classify(toks, langClasses).as("pred"))
+        .orderBy("doc_id")
+    }),
+
+    // TRAINED multi-class language ID — the flagship lang-id path: a
+    // one-vs-all AVERAGED perceptron (3 classes) over E9g's hashed
+    // unigram+bigram feature space, fit on EVEN doc_ids, argmax inference
+    // on the held-out ODD half. The corpus carries a planted noisy
+    // 3-class signal (class marker token, flipped to the NEXT class on a
+    // keyed-hashed 15% of docs), so held-out accuracy ≈ the planted
+    // ceiling — a real multi-class learning demonstration, replacing the
+    // fixed marker-vocabulary argmax (text_langid) as flagship. The
+    // oracle unrolls all three per-class epoch chains plus the averaged
+    // snapshots and the first-wins argmax; per-doc scores for every
+    // class, the prediction, and the correctness flag are all on the hash.
+    "text_langid_trained" -> ((s, d) => {
+      val cls = col("doc_id") % 3
+      val flip = (col("doc_id") * 1103515245L + 12345L) % 100L < 15L
+      val mcls = when(flip, (cls + 1) % 3).otherwise(cls)
+      val marker = element_at(
+        array(lit("lza"), lit("lzb"), lit("lzc")), mcls.cast("int") + 1)
+      val all = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), repeat(concat(lit(" "), marker), 8)).as("text"),
+        cls.as("c"))
+      val ws = TextStats.perceptronTrainOvA(all.where(col("doc_id") % 2 === 0),
+        "text", "c", nClasses = 3, dim = 128, epochs = 4, averaged = true)
+      all.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("c"),
+          TextStats.trainedScoreCol(col("text"), ws(0)).as("s0"),
+          TextStats.trainedScoreCol(col("text"), ws(1)).as("s1"),
+          TextStats.trainedScoreCol(col("text"), ws(2)).as("s2"))
+        .withColumn("pred",
+          TextStats.argmaxFirst(Seq(col("s0"), col("s1"), col("s2"))))
+        .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("pred"),
+          (col("pred") === col("c")).cast("int").as("correct"))
         .orderBy("doc_id")
     }),
 
@@ -4169,6 +4271,8 @@ object ExtQueries {
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
+
+    "text_langid_trained" -> langidTrainedOracle(epochs = 4, dim = 128),
 
     // mirrors q_hll_sliding: hourly registers → 3-window explode →
     // max-merge → the spine-free estimate; exact twin via the same explode

@@ -1040,35 +1040,73 @@ object TextStats {
                       averaged: Boolean = false): Seq[Long] = {
     require(dim > 0, s"feature dimension must be positive: $dim")
     require(epochs >= 1, s"epochs out of range: $epochs")
-    def bucketOf(t: Column): Column =
-      conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
-        .cast("long") % dim
     val docFeats = docs
       .select(col(labelCol).cast("long").as("y"),
-        transform(classifierFeats(col(textCol)), bucketOf(_)).as("bs"))
+        transform(classifierFeats(col(textCol)), bucketCol(_, dim, salt))
+          .as("bs"))
       .persist()
-    try {
-      val w = Array.fill(dim)(0L)
-      val wSum = Array.fill(dim)(0L)
-      for (_ <- 1 to epochs) {
-        val wLit = array(w.toIndexedSeq.map(lit): _*)
-        val dot = aggregate(col("bs"), lit(0L),
-          (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
-        docFeats
-          .select(col("y"), col("bs"), dot.as("dot"))
-          .where(when(col("dot") >= 0, 1L).otherwise(-1L) =!= col("y"))
-          .select(col("y"), explode(col("bs")).as("b"))
-          .groupBy("b").agg(sum(col("y")).as("delta"))
-          .collect()
-          .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
-        for (b <- 0 until dim) wSum(b) += w(b)
-      }
-      // averaged = the SUM of the per-epoch snapshots (Freund & Schapire's
-      // averaged perceptron, integer form — the positive scale factor
-      // doesn't move the decision boundary): damps the full-batch
-      // oscillation where each epoch flips a whole class's predictions
-      if (averaged) wSum.toSeq else w.toSeq
-    } finally docFeats.unpersist()
+    try trainLoop(docFeats, dim, epochs, averaged)
+    finally docFeats.unpersist()
+  }
+
+  /** ONE-VS-ALL multi-class training — [[perceptronTrain]]'s exact
+    * per-class loop run once per class over ONE shared persisted feature
+    * frame (the tokenize+hash pass is the corpus-sized cost; the k fits
+    * re-read the cache). `classCol` holds the class index 0..nClasses-1.
+    * Semantically identical to k independent binary fits with
+    * y = (class == k ? +1 : −1), which is what lets an external oracle
+    * restate each class's chain independently. Returns the per-class
+    * weight vectors in class order — argmax inference over these is the
+    * trained flagship language-ID path ([[trainedArgmax]]). */
+  def perceptronTrainOvA(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                         classCol: String, nClasses: Int, dim: Int,
+                         epochs: Int, salt: String = "qc",
+                         averaged: Boolean = false): Seq[Seq[Long]] = {
+    require(dim > 0, s"feature dimension must be positive: $dim")
+    require(epochs >= 1, s"epochs out of range: $epochs")
+    require(nClasses >= 2, s"nClasses out of range: $nClasses")
+    val feats = docs
+      .select(col(classCol).cast("long").as("c"),
+        transform(classifierFeats(col(textCol)), bucketCol(_, dim, salt))
+          .as("bs"))
+      .persist()
+    try (0 until nClasses).map { k =>
+      trainLoop(feats.select(
+        when(col("c") === k, 1L).otherwise(-1L).as("y"), col("bs")),
+        dim, epochs, averaged)
+    } finally feats.unpersist()
+  }
+
+  private def bucketCol(t: Column, dim: Int, salt: String): Column =
+    conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
+      .cast("long") % dim
+
+  /** The shared epochs loop over a (y, bs) frame (persisted by callers):
+    * per epoch the weight vector rides as a literal array, the dot is a
+    * scan-level fold, the gradient ONE bucket-keyed aggregation collected
+    * at ≤ dim rows. */
+  private def trainLoop(docFeats: org.apache.spark.sql.DataFrame, dim: Int,
+                        epochs: Int, averaged: Boolean): Seq[Long] = {
+    val w = Array.fill(dim)(0L)
+    val wSum = Array.fill(dim)(0L)
+    for (_ <- 1 to epochs) {
+      val wLit = array(w.toIndexedSeq.map(lit): _*)
+      val dot = aggregate(col("bs"), lit(0L),
+        (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+      docFeats
+        .select(col("y"), col("bs"), dot.as("dot"))
+        .where(when(col("dot") >= 0, 1L).otherwise(-1L) =!= col("y"))
+        .select(col("y"), explode(col("bs")).as("b"))
+        .groupBy("b").agg(sum(col("y")).as("delta"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      for (b <- 0 until dim) wSum(b) += w(b)
+    }
+    // averaged = the SUM of the per-epoch snapshots (Freund & Schapire's
+    // averaged perceptron, integer form — the positive scale factor
+    // doesn't move the decision boundary): damps the full-batch
+    // oscillation where each epoch flips a whole class's predictions
+    if (averaged) wSum.toSeq else w.toSeq
   }
 
   /** Inference with a TRAINED weight vector — the seam [[hashedLinearScore]]
@@ -1085,5 +1123,25 @@ object TextStats {
       conv(substring(md5(concat(t, lit(salt))), 1, 8), 16, 10)
         .cast("long") % dim)
     aggregate(bs, lit(0L), (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+  }
+
+  /** First-wins argmax over per-class score columns — the inference half of
+    * [[perceptronTrainOvA]]: class k is predicted iff its score is >= every
+    * LATER class's score and no earlier class already won (ties break to
+    * the lowest index — the same first-match CASE shape an external SQL
+    * restatement produces). Pure scalar projection. */
+  def argmaxFirst(scores: Seq[Column]): Column = {
+    require(scores.nonEmpty, "argmaxFirst: no score columns")
+    val n = scores.length
+    if (n == 1) lit(0L)
+    else {
+      var c: Column = null
+      for (k <- 0 until n - 1) {
+        val cond = (k + 1 until n).map(j => scores(k) >= scores(j))
+          .reduce(_ && _)
+        c = if (c == null) when(cond, k.toLong) else c.when(cond, k.toLong)
+      }
+      c.otherwise((n - 1).toLong)
+    }
   }
 }

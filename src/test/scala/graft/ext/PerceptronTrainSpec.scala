@@ -81,6 +81,38 @@ class PerceptronTrainSpec extends SparkSpec {
     }
   }
 
+  test("one-vs-all ≡ k independent binary fits; argmax learns a 3-class corpus") {
+    val docs = Seq(
+      ("alpha beta common", 0), ("beta alpha common", 0), ("alpha alpha", 0),
+      ("gamma delta common", 1), ("delta gamma common", 1), ("gamma gamma", 1),
+      ("zeta eta common", 2), ("eta zeta common", 2), ("zeta zeta", 2))
+    val dim = 256
+    val ova = TextStats.perceptronTrainOvA(docs.toDF("text", "c"), "text", "c",
+      nClasses = 3, dim = dim, epochs = 10, averaged = true)
+    // contract: per-class vector == the independent binary fit with ±1 labels
+    (0 until 3).foreach { k =>
+      val bin = TextStats.perceptronTrain(
+        docs.map { case (t, c) => (t, if (c == k) 1 else -1) }.toDF("text", "y"),
+        "text", "y", dim, epochs = 10, averaged = true)
+      assert(ova(k) === bin, s"class $k diverges from the binary fit")
+    }
+    // argmax inference recovers every training label on the separable corpus
+    import org.apache.spark.sql.functions.col
+    val scored = docs.toDF("text", "c").select(col("c"),
+      TextStats.argmaxFirst((0 until 3).map(k =>
+        TextStats.trainedScoreCol(col("text"), ova(k)))).as("pred"))
+    assert(scored.where(col("pred") =!= col("c")).count() === 0)
+  }
+
+  test("argmaxFirst tie-breaks to the lowest class index") {
+    import org.apache.spark.sql.functions.lit
+    val r = spark.range(1).select(
+      TextStats.argmaxFirst(Seq(lit(5L), lit(5L), lit(3L))).as("a"),
+      TextStats.argmaxFirst(Seq(lit(1L), lit(2L), lit(2L))).as("b"),
+      TextStats.argmaxFirst(Seq(lit(7L))).as("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 1L, 0L)))
+  }
+
   test("learned weights drop into the E9g scoring seam shape") {
     // the trained vector indexes the same bucket space hashedLinearScore
     // uses — scoring with it is a pure bucket lookup sum
