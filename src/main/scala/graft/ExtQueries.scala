@@ -1960,6 +1960,26 @@ object ExtQueries {
         .orderBy("asset_id")
     }),
 
+    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
+    // zlib concatenation, Inflater, and real unfiltering of all five PNG
+    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
+    // per row). The oracle restates the pixel-construction arithmetic
+    // ((id + i) % 256): exact channel sums plus the position-weighted sum
+    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
+    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
+    // CRC was computed) and must be quarantined — the oracle excludes
+    // exactly those ids, so skipping CRC verification also hash-fails.
+    "mm_decode_png_pixels" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        Multimodal.RawAsset(id, "png",
+          Multimodal.syntheticPngPixelPayload(id, corrupt = id % 29 == 0))
+      }
+      assets.mapPartitions(_.flatMap(Multimodal.decodePngPixels)).toDF()
+        .orderBy("asset_id")
+    }),
+
     // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
     // synthesized P6 PPMs with the REAL byte walk (header parse + strided
     // pixel reads); exact per-channel integer sums. The oracle restates
@@ -4469,6 +4489,21 @@ object ExtQueries {
         |  (1000 + doc_id % 9000)::BIGINT AS timescale,
         |  ((doc_id * 37) % 100000)::BIGINT AS duration
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to
+    // (id + i) % 256 (i row-major interleaved over 3·w·h bytes); corrupted
+    // ids (doc_id % 29 = 0) are quarantined and must be absent
+    "mm_decode_png_pixels" ->
+      """WITH px AS (SELECT doc_id, (1 + doc_id % 13)::INT AS w,
+        |    (1 + doc_id % 7)::INT AS h
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |e AS (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM px)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        |  sum(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 END)::BIGINT AS r_sum,
+        |  sum(CASE WHEN i % 3 = 1 THEN (doc_id + i) % 256 END)::BIGINT AS g_sum,
+        |  sum(CASE WHEN i % 3 = 2 THEN (doc_id + i) % 256 END)::BIGINT AS b_sum,
+        |  sum((i + 1) * ((doc_id + i) % 256))::BIGINT AS wsum
+        |FROM e GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
 
     // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
     // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset

@@ -323,6 +323,166 @@ object Multimodal {
     }
   }
 
+  final case class PngPixels(asset_id: Long, width: Int, height: Int,
+                             r_sum: Long, g_sum: Long, b_sum: Long,
+                             wsum: Long)
+
+  /** Spec-valid FULL PNG (8-bit truecolor) whose pixel bytes are the
+    * construction sequence `(id + i) % 256` (i = row-major interleaved byte
+    * index): every scanline is REALLY filtered (filter type = row % 5, so
+    * None/Sub/Up/Average/Paeth all occur in any image with ≥ 5 rows), the
+    * filtered stream is zlib-deflated, split across TWO IDAT chunks when
+    * `id % 3 == 0` (multi-chunk concatenation is part of the format), and
+    * every chunk carries its real CRC-32. `corrupt = true` flips the first
+    * IDAT body byte AFTER the CRC was computed — a decoder that skips CRC
+    * verification decodes garbage instead of quarantining. */
+  def syntheticPngPixelPayload(id: Long, corrupt: Boolean = false): Array[Byte] = {
+    val w = (1 + id % 13).toInt
+    val h = (1 + id % 7).toInt
+    val stride = 3 * w
+    val raw = Array.tabulate(stride * h)(i => ((id + i) % 256).toByte)
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (r <- 0 until h) {
+      val ft = r % 5
+      filtered(r * (1 + stride)) = ft.toByte
+      for (x <- 0 until stride) {
+        val cur = raw(r * stride + x) & 0xff
+        val left = if (x >= 3) raw(r * stride + x - 3) & 0xff else 0
+        val up = if (r > 0) raw((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= 3) raw((r - 1) * stride + x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paethPredictor(left, up, ul)
+        }
+        filtered(r * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val z = zOut.toByteArray
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tb).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val split = if (id % 3 == 0) math.min(7, z.length) else z.length
+    val idats = chunk("IDAT", z.take(split)) ++
+      (if (split < z.length) chunk("IDAT", z.drop(split)) else Array.empty[Byte])
+    val out = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ chunk("IHDR", ihdr) ++ idats ++
+      chunk("IEND", Array.empty[Byte])
+    // first IDAT body byte sits after sig(8) + IHDR chunk(25) + len+type(8)
+    if (corrupt) out(8 + 25 + 8) = (out(8 + 25 + 8) ^ 0x55).toByte
+    out
+  }
+
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** FULL PNG pixel decode — the real path, no stand-ins: CRC-verified
+    * chunk walk, multi-IDAT zlib stream concatenation, `Inflater`
+    * decompression, and per-scanline UNFILTERING of all five PNG filter
+    * types (None/Sub/Up/Average/Paeth, bpp=3). Supports the 8-bit
+    * truecolor non-interlaced profile the synthetic corpus emits; anything
+    * else — and any CRC mismatch, inflate error, or short pixel stream —
+    * quarantines to None, never a crash. Emits exact integer per-channel
+    * sums plus a position-weighted sum Σ (i+1)·vᵢ that pins BYTE ORDER
+    * (channel sums alone are permutation-blind), so the oracle's
+    * construction-arithmetic restatement catches filter/offset/stride bugs. */
+  def decodePngPixels(a: RawAsset): Option[PngPixels] = {
+    val b = a.payload
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b == null || b.length < 8 + 25 ||
+      !(0 until 8).forall(i => (b(i) & 0xff) == sig(i))) return None
+    def beInt(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var w = -1; var h = -1; var depth = -1; var color = -1; var interlace = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var done = false
+    while (!done) {
+      if (o + 12 > b.length) return None
+      val len = beInt(o)
+      if (len > Int.MaxValue - 12 || o + 12 + len > b.length) return None
+      val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, o + 4, 4 + len.toInt)
+      if (crc.getValue != beInt(o + 8 + len.toInt)) return None // CRC mismatch
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = beInt(o + 8).toInt; h = beInt(o + 12).toInt
+          depth = b(o + 16) & 0xff; color = b(o + 17) & 0xff
+          interlace = b(o + 20) & 0xff
+        case "IDAT" => idat.write(b, o + 8, len.toInt)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      o += 12 + len.toInt
+    }
+    if (w <= 0 || h <= 0 || depth != 8 || color != 2 || interlace != 0) return None
+    val stride = 3 * w
+    val expected = h * (1 + stride)
+    val filtered = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(filtered, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      if (got < expected) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val raw = new Array[Int](stride * h)
+    for (r <- 0 until h) {
+      val ft = filtered(r * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      for (x <- 0 until stride) {
+        val v = filtered(r * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= 3) raw(r * stride + x - 3) else 0
+        val up = if (r > 0) raw((r - 1) * stride + x) else 0
+        val ul = if (r > 0 && x >= 3) raw((r - 1) * stride + x - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paethPredictor(left, up, ul)
+        }
+        raw(r * stride + x) = (v + pred) & 0xff
+      }
+    }
+    var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+    var i = 0
+    while (i < raw.length) {
+      val v = raw(i).toLong
+      (i % 3) match { case 0 => rs += v; case 1 => gs += v; case _ => bs += v }
+      ws += (i + 1) * v
+      i += 1
+    }
+    Some(PngPixels(a.asset_id, w, h, rs, gs, bs, ws))
+  }
+
   /** Build an asset table from the documents table (payload = UTF-8 bytes of
     * the text) — the driver testdata has no binary table, so this supplies a
     * deterministic one with the right schema. */

@@ -2072,6 +2072,33 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodeMp4(Multimodal.RawAsset(1L, "mp4", null)).isEmpty)
   }
 
+  test("decodePngPixels: full decode recovers construction bytes; CRC/truncation quarantine") {
+    // id=9: 10×3 → rows use filters 0,1,2 (None/Sub/Up); id=6: %3==0 &&
+    // 7 rows → two IDAT chunks + filters through Paeth — both must
+    // round-trip filter→deflate→inflate→unfilter to (id + i) % 256
+    Seq(9L, 6L).foreach { id =>
+      val got = Multimodal.decodePngPixels(Multimodal.RawAsset(id, "png",
+        Multimodal.syntheticPngPixelPayload(id))).get
+      val w = (1 + id % 13).toInt; val h = (1 + id % 7).toInt
+      val bytes = Array.tabulate(3 * w * h)(i => ((id + i) % 256))
+      assert((got.width, got.height) === ((w, h)))
+      assert(got.r_sum === bytes.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v.toLong }.sum)
+      assert(got.g_sum === bytes.zipWithIndex.collect { case (v, i) if i % 3 == 1 => v.toLong }.sum)
+      assert(got.b_sum === bytes.zipWithIndex.collect { case (v, i) if i % 3 == 2 => v.toLong }.sum)
+      assert(got.wsum === bytes.zipWithIndex.map { case (v, i) => (i + 1).toLong * v }.sum)
+    }
+    // corrupted IDAT body (CRC now wrong) → quarantined, not garbage
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png",
+      Multimodal.syntheticPngPixelPayload(9L, corrupt = true))).isEmpty)
+    // truncated stream / empty / null → quarantined
+    val full = Multimodal.syntheticPngPixelPayload(9L)
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png",
+      full.take(full.length - 6))).isEmpty)
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png",
+      Array.empty[Byte])).isEmpty)
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png", null)).isEmpty)
+  }
+
   test("resizePpm samples the strided pixel lattice exactly") {
     // 4×3 image, bytes 0..35 in order: factor 2 samples (x,y) ∈
     // {0,2}×{0,2}... y ∈ {0,2}; offsets 3·(y·4+x) = 0, 6, 24, 30
