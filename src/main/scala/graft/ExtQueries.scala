@@ -192,6 +192,73 @@ object ExtQueries {
        |     THEN 1 ELSE 0 END)::INT AS correct
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE program for the hierarchical-ANN oracles: the md5-geometric
+    * level law, the three nested layer node sets with their kNN graphs
+    * (k=5, bits=6 multi-probe candidate rule — the sim_topk_graph build
+    * restated per layer), and the full beam descent (all top-layer nodes →
+    * 1 hop per upper layer → 2 hops in the base). `f0_2` is the final base
+    * beam both consumers rank. */
+  private lazy val hnswOracleCtes: String = {
+    val h = "('0x' || substr(md5(vec_id::VARCHAR || 'hnsw'), 1, 15))::BIGINT"
+    def layer(nl: String, gl: String, whereLvl: String): String =
+      s"""$nl AS (SELECT vec_id, v, nm, bucket FROM lv$whereLvl),
+         |pr_$nl AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM $nl),
+         |gc_$nl AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr_$nl a JOIN $nl b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id),
+         |$gl AS (SELECT id, nbr_id FROM (
+         |  SELECT id, nbr_id, row_number() OVER (
+         |    PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rk FROM gc_$nl)
+         |  WHERE rk <= 5)""".stripMargin
+    Seq(
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |lv AS (SELECT vec_id, v, nm, bucket,
+         |  (CASE WHEN $h % 64 = 0 THEN 2 WHEN $h % 8 = 0 THEN 1 ELSE 0 END) AS lvl
+         |  FROM n),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qnm FROM n WHERE vec_id < 5)""".stripMargin,
+      layer("n2", "g2", " WHERE lvl >= 2"),
+      layer("n1", "g1", " WHERE lvl >= 1"),
+      layer("n0", "g0", ""),
+      "e2 AS (SELECT q.query_id, c.vec_id AS id FROM q CROSS JOIN n2 c)",
+      beamRankCte("f2_0", "e2", "n2", 16),
+      beamExpandCte("c2_1", "f2_0", "g2"),
+      beamRankCte("f2_1", "c2_1", "n2", 16),
+      beamRankCte("f1_0", "f2_1", "n1", 16),
+      beamExpandCte("c1_1", "f1_0", "g1"),
+      beamRankCte("f1_1", "c1_1", "n1", 16),
+      beamRankCte("f0_0", "f1_1", "n0", 16),
+      beamExpandCte("c0_1", "f0_0", "g0"),
+      beamRankCte("f0_1", "c0_1", "n0", 16),
+      beamExpandCte("c0_2", "f0_1", "g0"),
+      beamRankCte("f0_2", "c0_2", "n0", 16)
+    ).mkString(",\n")
+  }
+
+  /** One beam re-rank: keep the top-`width` of candidate set `cands`
+    * (query_id, id) scored against layer node set `nl`, self excluded —
+    * the beamOf step of Similarity's beam loop. */
+  private def beamRankCte(out: String, cands: String, nl: String,
+                          width: Int): String =
+    s"""$out AS (SELECT query_id, id FROM (
+       |  SELECT cd.query_id, cd.id, row_number() OVER (
+       |    PARTITION BY cd.query_id
+       |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, cd.id) AS rk
+       |  FROM $cands cd JOIN q ON q.query_id = cd.query_id
+       |  JOIN $nl c ON c.vec_id = cd.id
+       |  WHERE cd.id <> cd.query_id) WHERE rk <= $width)""".stripMargin
+
+  /** One hop expansion: beam ∪ beam-neighbors along `g`, distinct. */
+  private def beamExpandCte(out: String, beam: String, g: String): String =
+    s"""$out AS (SELECT DISTINCT query_id, id FROM (
+       |  SELECT query_id, id FROM $beam
+       |  UNION ALL
+       |  SELECT b.query_id, g.nbr_id AS id FROM $beam b JOIN $g g ON b.id = g.id))""".stripMargin
+
   /** Unrolled DuckDB restatement of the ONE-VS-ALL trained language ID
     * (TextStats.perceptronTrainOvA + argmax inference): three independent
     * per-class epoch chains over one shared hashed-feature CTE (`fxe`),
@@ -1824,6 +1891,55 @@ object ExtQueries {
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, beamWidth = 16, hops = 2, entryMod = 8)
         .orderBy("query_id", "rank")
+    }),
+
+    // HIERARCHICAL graph ANN (HNSW-style): deterministic md5-geometric
+    // levels (m=8, 2 upper layers), per-layer kNN graphs, top-layer entry
+    // set + beam DESCENT (1 hop per upper layer, 2 in the base) — the
+    // log-scale entry structure that keeps hop counts flat at 10⁹ vectors,
+    // next to the single-layer sim_topk_graph. The oracle restates the
+    // level law, all three layer graphs, and every beam round.
+    "sim_topk_hnsw" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.hnswTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, beamWidth = 16, knnK = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
+    // single-layer search vs the hierarchical descent, same beam width
+    // (16), same base graph (k=5, bits=6), same base hops (2), and the
+    // SAME entry count — 5 entry points each (flat: vec_id % 100 = 0;
+    // hnsw: the 5-node top layer). The hierarchy's descent is the only
+    // difference, so the recall gap measures exactly what the layers buy.
+    // In-engine quality measurement like sim_recall_eval, oracle-gated.
+    "sim_recall_graph" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val g0 = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, bits = 6)
+        .select(col("id"), col("nbr_id"))
+      val flat = Similarity.graphTopK(e, "vec_id", "embedding", g0, q,
+        "vec_id", "embedding", k = 5, beamWidth = 16, hops = 2,
+        entryMod = 100)
+      val hnsw = Similarity.hnswTopK(e, "vec_id", "embedding", q, "vec_id",
+        "embedding", k = 5, beamWidth = 16, knnK = 5, bits = 6)
+      def hitsOf(got: DataFrame, name: String) =
+        bf.select(col("query_id"), col("id"))
+          .join(got.select(col("query_id"), col("id")), Seq("query_id", "id"))
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hitsOf(flat, "hits_flat"), Seq("query_id"), "left")
+        .join(hitsOf(hnsw, "hits_hnsw"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("hits_flat"), lit(0L)).as("hits_flat"),
+          coalesce(col("hits_hnsw"), lit(0L)).as("hits_hnsw"))
+        .select(col("query_id"), col("n_true"), col("hits_flat"),
+          col("hits_hnsw"),
+          expr("(hits_flat * 1000000) div n_true").as("recall_flat_fp"),
+          expr("(hits_hnsw * 1000000) div n_true").as("recall_hnsw_fp"))
+        .orderBy("query_id")
     }),
 
     // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
@@ -5601,6 +5717,52 @@ object ExtQueries {
          |  JOIN n c ON c.vec_id = f2.id
          |  WHERE f2.id <> f2.query_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the shared hierarchical descent CTEs + the final top-10 re-rank
+    "sim_topk_hnsw" ->
+      s"""WITH $hnswOracleCtes
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT f.query_id, f.id AS id,
+         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
+         |    row_number() OVER (PARTITION BY f.query_id
+         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f.id)::INT AS rank
+         |  FROM f0_2 f JOIN q ON q.query_id = f.query_id
+         |  JOIN n c ON c.vec_id = f.id
+         |  WHERE f.id <> f.query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the same descent CTEs + the flat equal-budget chain (5 entries at
+    // vec_id % 100 = 0, 2 hops on the base graph) + brute-force truth and
+    // per-query hit counts
+    "sim_recall_graph" ->
+      s"""WITH $hnswOracleCtes,
+         |ef AS (SELECT q.query_id, c.vec_id AS id FROM q
+         |  JOIN n c ON c.vec_id % 100 = 0),
+         |${beamRankCte("ff_0", "ef", "n0", 16)},
+         |${beamExpandCte("cf_1", "ff_0", "g0")},
+         |${beamRankCte("ff_1", "cf_1", "n0", 16)},
+         |${beamExpandCte("cf_2", "ff_1", "g0")},
+         |${beamRankCte("ff_2", "cf_2", "n0", 16)},
+         |${beamRankCte("flat5", "ff_2", "n0", 5)},
+         |${beamRankCte("hh5", "f0_2", "n0", 5)},
+         |bf AS (SELECT query_id, id FROM (
+         |  SELECT q.query_id, c.vec_id AS id, row_number() OVER (
+         |    PARTITION BY q.query_id
+         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c.vec_id) AS rk
+         |  FROM q JOIN n c ON c.vec_id <> q.query_id) WHERE rk <= 5),
+         |agg AS (SELECT query_id, count(*)::BIGINT AS n_true FROM bf GROUP BY 1),
+         |hf AS (SELECT bf.query_id, count(*)::BIGINT AS hits
+         |  FROM bf JOIN flat5 USING (query_id, id) GROUP BY 1),
+         |hh AS (SELECT bf.query_id, count(*)::BIGINT AS hits
+         |  FROM bf JOIN hh5 USING (query_id, id) GROUP BY 1)
+         |SELECT a.query_id, a.n_true,
+         |  coalesce(hf.hits, 0)::BIGINT AS hits_flat,
+         |  coalesce(hh.hits, 0)::BIGINT AS hits_hnsw,
+         |  ((coalesce(hf.hits, 0) * 1000000) // a.n_true)::BIGINT AS recall_flat_fp,
+         |  ((coalesce(hh.hits, 0) * 1000000) // a.n_true)::BIGINT AS recall_hnsw_fp
+         |FROM agg a LEFT JOIN hf ON hf.query_id = a.query_id
+         |LEFT JOIN hh ON hh.query_id = a.query_id
+         |ORDER BY a.query_id""".stripMargin,
 
     "sim_lexical_pairs" ->
       """WITH tok AS (SELECT doc_id,

@@ -975,18 +975,38 @@ object Similarity {
       if (entryMod != AdaptiveEntries) entryMod
       else adaptiveEntryMod(if (corpusSize >= 0) corpusSize else c.count())
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
-    // (query_id, _gid) candidates → scored rows; self-matches excluded like
-    // the brute-force catalog convention
-    def scored(cands: DataFrame): DataFrame = cands
+    val entries = q.select(col("query_id"))
+      .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
+    val frontier = beamLoop(c, g, q, entries, beamWidth, hops)
+    if (scope != null) scope.own(frontier)
+    else Dedup.releaseAfterFirstAction(frontier)
+    TopK.topKPerKey(beamScored(c, q)(frontier), "query_id", "score", "_gid", k)
+      .toDF("query_id", "rank", "id", "score")
+  }
+
+  /** (query_id, _gid) candidates → scored rows against `c` (_gid, cv) and
+    * broadcast `q` (query_id, qv); self-matches excluded like the
+    * brute-force catalog convention. */
+  private def beamScored(c: DataFrame, q: DataFrame)(cands: DataFrame): DataFrame =
+    cands
       .join(c, "_gid").join(q, "query_id")
       .where(col("_gid") =!= col("query_id"))
       .select(col("query_id"), col("_gid"),
         cosine(col("qv"), col("cv")).as("score"))
+
+  /** The shared greedy beam loop: seed a beam from `entries`, then per hop
+    * expand along `g` and re-rank to `beamWidth` (bounded-heap TopK; the
+    * shuffle carries beam rows, never the corpus). Each hop's beam is
+    * persisted eagerly and the previous released (see [[graphTopK]]'s
+    * lineage rationale); the RETURNED beam is still persisted — callers own
+    * its release. */
+  private def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
+                       entries: DataFrame, beamWidth: Int,
+                       hops: Int): DataFrame = {
     def beamOf(cands: DataFrame): DataFrame =
-      TopK.topKPerKey(scored(cands), "query_id", "score", "_gid", beamWidth)
+      TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
+          beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
-    val entries = q.select(col("query_id"))
-      .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
     var frontier = beamOf(entries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     frontier.count(): Unit
@@ -999,9 +1019,75 @@ object Similarity {
       frontier.unpersist()
       frontier = next
     }
+    frontier
+  }
+
+  /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`
+    * with md5-60bit(id, salt) ≡ 0 (mod m^L) — the geometric level law
+    * (P[level ≥ L] = m^-L, Malkov & Yashunin 2016) in a keyed-hash form an
+    * external oracle can restate exactly (no RNG state). Level sets nest:
+    * layer L contains every node of level ≥ L. */
+  def hnswLevel(id: Column, m: Int, maxLevel: Int,
+                salt: String = "hnsw"): Column = {
+    require(m >= 2 && maxLevel >= 1, s"bad level params: m=$m max=$maxLevel")
+    val h = conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    (maxLevel to 1 by -1).foldLeft(Option.empty[Column]) { (acc, l) =>
+      val cond = h % math.pow(m.toDouble, l.toDouble).toLong === 0
+      Some(acc.fold(when(cond, l))(_.when(cond, l)))
+    }.get.otherwise(0)
+  }
+
+  /** HIERARCHICAL graph ANN — multi-layer HNSW-style search over nested
+    * kNN-graph layers, the log-scale entry descent that keeps hop counts
+    * flat as the corpus grows (single-layer [[graphTopK]] needs √N entry
+    * points; here the top layer IS the entry set, m^maxLevel-fold smaller
+    * than the corpus, and each layer's beam seeds the next layer down).
+    * Levels come from [[hnswLevel]] (deterministic, oracle-restatable);
+    * layer L's graph is [[knnGraph]] over the nodes of level ≥ L — built
+    * here per layer, upper layers costing m^-L of the base build.
+    *
+    * Search: score ALL top-layer nodes per query (the top layer is
+    * corpus/m^maxLevel nodes — the descent's entry cost), beam down with
+    * `hopsPerLevel` hops inside each upper layer, then `baseHops` hops in
+    * the full base layer; top `k` of the final beam is the answer.
+    *
+    * Scale shape: identical per-hop joins to [[graphTopK]] (beam-sized
+    * shuffles only); the extra cost over single-layer is the upper-layer
+    * graph builds (≤ 1/m + 1/m² + … of the base build) bought back by the
+    * entry stage shrinking from √N·queries to N/m^maxLevel·queries scored
+    * rows plus strictly-better-seeded base navigation. */
+  def hnswTopK(vecs: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, beamWidth: Int, knnK: Int, bits: Int,
+               m: Int = 8, maxLevel: Int = 2, hopsPerLevel: Int = 1,
+               baseHops: Int = 2, salt: String = "hnsw",
+               scope: CacheScope = null): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(hopsPerLevel >= 0 && baseHops >= 0,
+      s"bad hops: $hopsPerLevel/$baseHops")
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      asDouble(col(qvecCol)).as("qv")))
+    val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
+    val cAll = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"),
+      lvl.as("_lv"))
+    var entries = q.select(col("query_id"))
+      .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
+    var frontier: DataFrame = null
+    for (level <- maxLevel to 0 by -1) {
+      val layerG = knnGraph(vecs.where(lvl >= level), idCol, vecCol, knnK, bits)
+        .select(col("id").as("_gid"), col("nbr_id"))
+      val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
+      val hops = if (level == 0) baseHops else hopsPerLevel
+      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)
+      if (frontier != null) frontier.unpersist(): Unit
+      frontier = beam
+      entries = beam
+    }
     if (scope != null) scope.own(frontier)
     else Dedup.releaseAfterFirstAction(frontier)
-    TopK.topKPerKey(scored(frontier), "query_id", "score", "_gid", k)
+    TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
+        "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
   }
 

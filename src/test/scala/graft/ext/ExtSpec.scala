@@ -1187,6 +1187,28 @@ class ExtSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
   }
 
+  test("hnswTopK: md5-geometric level law, nested layers, descent beats flat at equal budget") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // level law == the manual md5-60bit rule (what the oracle restates)
+    val lv = emb.select(col("vec_id"),
+      Similarity.hnswLevel(col("vec_id"), m = 8, maxLevel = 2).as("lv"),
+      expr("conv(substring(md5(concat(cast(vec_id as string), 'hnsw')), 1, 15), 16, 10)")
+        .cast("long").as("h"))
+    assert(lv.where(col("lv") =!=
+      when(col("h") % 64 === 0, 2).when(col("h") % 8 === 0, 1).otherwise(0))
+      .count() === 0)
+    // geometric thinning: each layer is a strict, non-empty subset
+    val sizes = (0 to 2).map(l => lv.where(col("lv") >= l).count())
+    assert(sizes(0) > sizes(1) && sizes(1) > sizes(2) && sizes(2) > 0, sizes.toString)
+    // the equal-budget catalog comparison: same beam width, base graph,
+    // base hops, and entry COUNT — the descent must win on mean recall
+    val r = graft.ExtQueries.all("sim_recall_graph")(spark, "/root/testdata/sf0.001")
+      .agg(avg(col("recall_hnsw_fp")).as("h"), avg(col("recall_flat_fp")).as("f"))
+      .head()
+    assert(r.getDouble(0) > r.getDouble(1),
+      s"hierarchical descent not beating flat: hnsw=${r.getDouble(0)} flat=${r.getDouble(1)}")
+  }
+
   test("quantizeInt8: hand-checked codes; int8TopK recall on real embeddings") {
     // maxabs=1.0: floor(x·127 + 0.5) → 127 / -63 (−63.5+0.5 = −63) / 0 / 32
     val codes = Seq((1L, Seq(1.0, -0.5, 0.0, 0.254)))
