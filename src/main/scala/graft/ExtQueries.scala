@@ -1109,6 +1109,21 @@ object ExtQueries {
         .toDF()
     }),
 
+    // The ORACLE-GATED twin of q_streaming_neardup: the SAME stateful LSH
+    // operator (banding, bucket state, in-batch id-order processing,
+    // agreement scoring) running the portable md5-60bit signature family
+    // instead of xxhash64. At gate SF no bucket approaches the caps, so
+    // the emitted pair set is exactly {(a,b): n_agree >= 8 of 16}, which
+    // DuckDB restates from the md5 signature law — the statefulness itself
+    // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
+    "q_streaming_neardup_portable" -> ((s, d) => {
+      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text",
+          signature = Some(Dedup.minhashSignature60(col("text"), 3, 16)))
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .toDF()
+    }),
+
     // Streaming SCD2, batch-driven: the stateful dimension-history op run
     // over the full events table as one batch — closed versions are
     // deterministic (a version is final exactly when its successor opens),
@@ -5529,6 +5544,24 @@ object ExtQueries {
         |FROM cp
         |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
         |ORDER BY user_id, version""".stripMargin,
+
+    // mirrors q_streaming_neardup_portable: with 1-row bands a shared
+    // bucket ⟺ ≥1 agreeing position, which n_agree >= 8 implies — so the
+    // pair set is the all-pairs agreement filter over the md5-60bit
+    // signature law (no bucket ever nears the caps at gate SF)
+    "q_streaming_neardup_portable" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i]))::INT AS n_agree
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, n_agree, n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY a_id, b_id""".stripMargin,
 
     "q_streaming_scd2" ->
       """WITH obs AS (

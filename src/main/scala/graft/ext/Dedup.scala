@@ -87,6 +87,17 @@ object Dedup {
       array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
     }: _*)
 
+  /** PORTABLE md5 minhash signature as 60-bit longs: the [[minhashSignature]]
+    * md5-string family with each per-seed minimum mapped to its first-15-hex
+    * 60-bit integer ('0x'-prefix law, the [[Sketches]] hash60 convention).
+    * The string minimum IS the numeric-prefix minimum (equal-length hex
+    * strings order lexicographically = numerically), so the long array
+    * restates externally while fitting the Array[Long] state shape the
+    * streaming near-dup operator keeps per bucket. */
+  def minhashSignature60(text: Column, shingleLen: Int, k: Int): Column =
+    transform(minhashSignature(wordShingles(text, shingleLen), k),
+      s => conv(substring(s, 1, 15), 16, 10).cast("long"))
+
   /** Fast-path signature (xxhash64-based, one long per seed). Native
     * one-pass expression ([[expressions.MinHashSigExpr]]) — bit-identical to
     * the k-fold twin [[minhashSignatureFastHof]] (asserted in

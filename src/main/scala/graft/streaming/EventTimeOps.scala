@@ -187,7 +187,8 @@ object EventTimeOps {
                          shingleLen: Int = 3, numHashes: Int = 16,
                          threshold: Double = 0.5, maxPerBucket: Int = 64,
                          maxBatchPerBucket: Int = 4096,
-                         idleTimeout: Option[String] = None): Dataset[NearDupCandidate] = {
+                         idleTimeout: Option[String] = None,
+                         signature: Option[Column] = None): Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
     // The state tuple keys ids as primitive Long: a non-numeric id column
@@ -196,8 +197,13 @@ object EventTimeOps {
     val idType = docs.schema(idCol).dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"streamingNearDedup requires a numeric id column ('$idCol' is $idType) — state keys ids as Long")
-    val sig = Dedup.minhashSignatureFast(
-      Dedup.hashedWordShingles(col(textCol), shingleLen), numHashes)
+    // the signature FAMILY is pluggable (must be array<long> of length
+    // numHashes over the same text column): the default is the xxhash64
+    // fast path; [[graft.ext.Dedup.minhashSignature60]] is the portable
+    // md5 family an external oracle can restate — the banding, state,
+    // eviction, and agreement machinery is identical for both
+    val sig = signature.getOrElse(Dedup.minhashSignatureFast(
+      Dedup.hashedWordShingles(col(textCol), shingleLen), numHashes))
     val bands = docs
       // non-empty shingle set via the CHEAP raw-text precondition — a
       // filter on the signature itself would be pushed down as a clone of

@@ -228,6 +228,39 @@ class EventTimeSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (2L, 3L)))
   }
 
+  test("streamingNearDedup portable family: streamed across micro-batches == batch mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Dedup
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val docs = Seq(
+      (1L, base), (2L, base + " tonight"), (3L, base),
+      (4L, "completely different words about spark shuffle exchange metal pipes everywhere"),
+      (5L, base + " tonight again"))
+    val sig = Some(Dedup.minhashSignature60(col("text"), 3, 16))
+
+    // batch mode: the whole frame as one micro-batch
+    val batch = EventTimeOps.streamingNearDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", signature = sig)
+      .toDF().dropDuplicates("a_id", "b_id")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    // streamed: one doc per micro-batch — every pair must cross state
+    val in = MemoryStream[(Long, String)]
+    val q = EventTimeOps.streamingNearDedup(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", signature = sig)
+      .writeStream.format("memory").queryName("portable_sink")
+      .outputMode("append").start()
+    docs.foreach { d => in.addData(d); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("portable_sink")
+      .dropDuplicates("a_id", "b_id")
+      .as[(Long, Long, Int, Double)].collect().toSet
+
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+    assert(batch.map(p => (p._1, p._2)).contains((1L, 3L))) // exact dup pair
+    assert(batch.exists(p => (p._1, p._2) == (1L, 2L) && p._3 < 16)) // near, not exact
+  }
+
   test("verifyPairs filters streamingNearDedup's estimate-flagged false positives") {
     // pairs (2p, 2p+1) with per-pair disjoint vocabularies: odd p at exact
     // Jaccard 0.44 (11 shared shingles / union 25 — BELOW the 0.5 contract,
