@@ -458,6 +458,32 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
+    // distributed prefix-doubling suffix ranks: every 16-char window that
+    // repeats anywhere in the corpus — any doc, any offset, any phase —
+    // yields a merged duplicated span for each non-first occurrence. The
+    // fixture is CONSTRUCTED (ids from the documents table, text from
+    // integer formulas both engines restate): a shared 24-char motif
+    // planted at a per-doc arbitrary offset inside quadratic-residue
+    // filler, so the duplicate alignment differs doc to doc — exactly what
+    // the tile/anchor stand-ins cannot see below their period. The oracle
+    // brute-forces every window of the same constructed text.
+    "dedup_substring_sa" -> ((s, d) => {
+      val did = col("doc_id")
+      def seg(n: Column, f: Column => Column): Column =
+        array_join(transform(sequence(lit(0), n.cast("int") - 1),
+          j => chr(f(j) % 26 + 97)), "")
+      val motifStr = (0 until 24).map(j => ('a' + (5 * j + 2) % 26).toChar).mkString
+      val docs = t(s, d, "documents").select(col("doc_id")).where(did < 26)
+        .select(did, concat(
+          seg(lit(8) + (did * 3) % 11, j => did * 7 + j * j),
+          lit(motifStr),
+          seg(lit(10) + (did * 5) % 9, j => did * 7 + (j + 40) * (j + 40)))
+          .as("text"))
+      Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 16)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Shingle-anchored span dedup: spans cut at content-defined boundaries
     // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
     // the same spans at ANY document offset — the phase-robust variant of
@@ -3473,6 +3499,35 @@ object ExtQueries {
     // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
     // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
     "dedup_spans" -> Sql.dedupSpansTiled,
+
+    // mirrors dedup_substring_sa: the same constructed fixture text, then
+    // BRUTE-FORCE window comparison — every 16-char window, grouped by its
+    // literal string; non-first occurrences (global (doc_id, pos) order)
+    // union their [i, i+16) cover and merge to islands per doc
+    "dedup_substring_sa" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 26),
+        |txt AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 8 + (doc_id * 3) % 11),
+        |    j -> chr(((doc_id * 7 + j * j) % 26 + 97)::INT)), '')
+        |  || array_to_string(list_transform(range(0, 24),
+        |    j -> chr(((5 * j + 2) % 26 + 97)::INT)), '')
+        |  || array_to_string(list_transform(range(0, 10 + (doc_id * 5) % 9),
+        |    j -> chr(((doc_id * 7 + (j + 40) * (j + 40)) % 26 + 97)::INT)), '')
+        |  AS text FROM d),
+        |w AS (SELECT doc_id, unnest(range(0, length(text) - 15)) AS i, text
+        |  FROM txt),
+        |win AS (SELECT doc_id, i, substr(text, (i + 1)::INT, 16) AS wdw FROM w),
+        |firsts AS (SELECT wdw, min(doc_id * 1000 + i) AS firstkey,
+        |  count(*) AS n FROM win GROUP BY wdw),
+        |dup AS (SELECT win.doc_id, win.i FROM win JOIN firsts USING (wdw)
+        |  WHERE firsts.n > 1 AND (win.doc_id * 1000 + win.i) <> firsts.firstkey),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(i, i + 16)) AS p FROM dup)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+        |SELECT doc_id, min(p)::BIGINT AS span_start,
+        |  (max(p) - min(p) + 1)::BIGINT AS span_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // the hash-keyed form is result-identical to the text-keyed one absent
     // a 64-bit span-hash collision (none at this scale, deterministically),

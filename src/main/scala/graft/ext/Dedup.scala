@@ -625,6 +625,225 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  // ─────────────── suffix-array substring dedup (Lee et al. 2021) ────────
+
+  /** Global 0-based order index over `ord`, assigned SCALABLY: range
+    * repartition + within-partition sort gives globally sorted partitions,
+    * and `zipWithIndex`'s internal per-partition count pass turns partition
+    * offsets into a contiguous global index — no single-partition window
+    * anywhere. Used as the dense-rank primitive of the prefix-doubling
+    * rounds (the rows are made DISTINCT by the caller, so the index IS the
+    * dense rank). */
+  private def orderIndex(df: DataFrame, ord: Seq[String],
+                         outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(ord.map(col): _*)
+      .sortWithinPartitions(ord.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Sentinel for "no rank at this shifted position" (suffix runs past the
+    * corpus end). Distinct from every real rank (ranks are ≥ −2^31-ish char
+    * codes initially, then dense non-negative) and every separator code. */
+  private val NoRank: Long = Long.MinValue
+
+  /** `rounds` rounds of prefix doubling (Manber–Myers) over a global
+    * character frame `chars` (gpos: Long, code: Long): after round t the
+    * returned rank satisfies rank[i] == rank[j] ⟺ the corpus substrings
+    * of length 2^t starting at i and j are identical — the suffix-array
+    * equivalence classes at that prefix length. Each round is two
+    * equi-joins keyed on the position plus one distinct + global
+    * order-index over the (rank, rank+2^t) pairs; every round's output is
+    * localCheckpoint-materialized so lineage stays CONSTANT per round (the
+    * [[connectedComponentsStar]] iteration discipline — without it the
+    * plan doubles per round and the optimizer, not the data, becomes the
+    * bottleneck). Run to ⌈log₂ n⌉ rounds for a full suffix array; stop at
+    * ⌊log₂ L⌋ for length-L window equality (what substring dedup needs). */
+  private[ext] def prefixDoubleRanks(chars: DataFrame,
+                                     rounds: Int): DataFrame = {
+    val spark = chars.sparkSession
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    def eagerCheckpoint(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      val r = df.queryExecution.toRdd.map(_.copy())
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.localCheckpoint()
+      r.count(): Unit
+      (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r)
+    }
+    var (ranks, ranksRdd) = eagerCheckpoint(
+      chars.select(col("gpos"), col("code").as("rank")))
+    for (t <- 1 to rounds) {
+      val h = 1L << (t - 1)
+      val shifted = ranks.select((col("gpos") - h).as("gpos"),
+        col("rank").as("_r2"))
+      val paired = ranks.join(shifted, Seq("gpos"), "left")
+        .select(col("gpos"), col("rank").as("_r1"),
+          coalesce(col("_r2"), lit(NoRank)).as("_r2"))
+      val keys = orderIndex(
+        paired.select(col("_r1"), col("_r2")).distinct(),
+        Seq("_r1", "_r2"), "_nr")
+      val (next, nextRdd) = eagerCheckpoint(
+        paired.join(keys, Seq("_r1", "_r2"))
+          .select(col("gpos"), col("_nr").as("rank")))
+      ranksRdd.unpersist(false)
+      ranks = next; ranksRdd = nextRdd
+    }
+    releaseRddAfterFirstAction(ranksRdd, ranks)
+    ranks
+  }
+
+  /** RDD form of [[releaseAfterFirstAction]]: the checkpoint-iteration
+    * operators persist raw InternalRow RDDs (not DataFrames), which
+    * `df.unpersist` cannot release — this listener unpersists the RDD once
+    * the first Dataset action containing `trigger`'s plan completes. */
+  private[ext] def releaseRddAfterFirstAction(
+      rdd: org.apache.spark.rdd.RDD[_], trigger: DataFrame): Unit = {
+    val spark = trigger.sparkSession
+    val target = trigger.queryExecution.analyzed
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) &&
+            released.compareAndSet(false, true)) {
+          rdd.unpersist(false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    }
+    spark.listenerManager.register(listener)
+  }
+
+  /** SUBSTRING-level dedup at ARBITRARY offsets (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): find
+    * every length-`minLen` character window that occurs more than once
+    * ANYWHERE in the corpus — any document, any offset, any phase — and
+    * emit the merged duplicated spans of every non-first occurrence.
+    * This is the gap the span-tile ([[dedupSpans]]) and shingle-anchored
+    * ([[dedupSpansAnchored]]) stand-ins leave: tiles miss any offset shift,
+    * anchors miss shifts below the anchor period; the suffix-ranks test is
+    * EXACT string equality at every offset, no hashing anywhere.
+    *
+    * Mechanism: documents concatenate (in doc_id order) into one global
+    * character frame with a DISTINCT separator code per document boundary
+    * (−doc_id−1 — no window equality can cross a boundary);
+    * [[prefixDoubleRanks]] runs a = ⌊log₂ minLen⌋ rounds, and the
+    * length-minLen window fingerprint is the classic overlapping-power
+    * pair (rank_a[i], rank_a[i + minLen − 2^a]) — exact equality of the
+    * full window, since both halves lie inside the document for every
+    * valid start. Fingerprint groups with >1 member are duplicates; the
+    * minimum global position in each group is the retained original, and
+    * every other member's [i, i + minLen) interval merges into the per-doc
+    * duplicated spans (gaps-and-islands over positions sorted per doc).
+    *
+    * Returns (doc_id, span_start, span_len), span_start 0-based in doc
+    * coordinates.
+    *
+    * Scale shape: offsets come from a partition-wise prefix sum (no
+    * single-partition window); every prefix-doubling round is
+    * position-keyed equi-joins plus one distinct + range-sort (the
+    * distributed dense rank); round count is log₂ minLen — CONSTANT in the
+    * corpus (16 → 4 rounds), not log n; per-round frames are exactly
+    * corpus-character-sized with checkpointed lineage; the group test and
+    * span merge are one fingerprint-keyed aggregation and one
+    * doc-partitioned sort. Nothing is quadratic and nothing rides the
+    * driver beyond per-partition sums. */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        minLen: Int): DataFrame = {
+    require(minLen >= 2 && minLen <= (1 << 20),
+      s"minLen out of range: $minLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val a = 63 - java.lang.Long.numberOfLeadingZeros(minLen.toLong) // ⌊log₂⌋
+    val tail = minLen - (1L << a)
+
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"),
+      length(col(textCol)).cast("long").as("len"))
+
+    // partition-wise prefix sum of (len + 1) in doc_id order → global
+    // offset per doc (the +1 reserves the separator slot)
+    val sortedLens = lens.select(col("doc_id"), col("len"))
+      .repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .as[(Long, Long)].rdd
+    val partTotals = sortedLens
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single((i, it.map(_._2 + 1).sum))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = partTotals.scanLeft(0L)(_ + _)
+    val offsets = sortedLens.mapPartitionsWithIndex { (i, it) =>
+      var acc = bases(i)
+      it.map { case (d, l) => val o = acc; acc += l + 1; (d, o) }
+    }.toDF("doc_id", "offset")
+
+    val withOff = lens.join(offsets, "doc_id")
+    // size guard: sequence(1, 0) yields a DESCENDING [1, 0], which would
+    // fabricate phantom characters for an empty document
+    val codesOf = when(col("len") >= 1,
+      transform(sequence(lit(1), col("len").cast("int")),
+        i => ascii(col("text").substr(i, lit(1))).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val textChars = withOff
+      .select(col("doc_id"), col("len"), col("offset"), posexplode(codesOf))
+      .select(col("doc_id"), col("len"), col("col").as("code"),
+        col("pos").cast("long").as("lpos"),
+        (col("offset") + col("pos")).as("gpos"))
+    val sepChars = withOff.select(col("doc_id"), col("len"),
+      (-col("doc_id") - 1).as("code"), col("len").as("lpos"),
+      (col("offset") + col("len")).as("gpos"))
+    val chars = textChars.unionByName(sepChars)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chars.count(): Unit
+
+    val ranks = prefixDoubleRanks(chars.select(col("gpos"), col("code")), a)
+    val second = ranks.select((col("gpos") - tail).as("gpos"),
+      col("rank").as("_f2"))
+    val fps = ranks.join(second, Seq("gpos"), "left")
+      .select(col("gpos"), col("rank").as("_f1"),
+        coalesce(col("_f2"), lit(NoRank)).as("_f2"))
+
+    val starts = chars
+      .where(col("lpos") + minLen <= col("len"))
+      .select(col("doc_id"), col("lpos"), col("gpos"))
+      .join(fps, "gpos")
+    val groups = starts.groupBy(col("_f1"), col("_f2"))
+      .agg(count(lit(1)).as("_n"), min(col("gpos")).as("_first"))
+    val dups = starts.join(groups, Seq("_f1", "_f2"))
+      .where(col("_n") > 1 && col("gpos") > col("_first"))
+      .select(col("doc_id"), col("lpos").as("start"),
+        (col("lpos") + minLen).as("end"))
+
+    // gaps-and-islands merge of the covering intervals, per doc
+    val w = Window.partitionBy("doc_id").orderBy("start")
+    val prevMax = max(col("end")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val out = dups
+      .withColumn("_new",
+        when(col("start") > coalesce(prevMax, lit(Long.MinValue)), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("_isl"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("end")) - min(col("start"))).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+    releaseAfterFirstAction(chars, out)
+    out
+  }
+
   /** Self-releasing cache for scope-less callers: unpersist `df` as soon as
     * the FIRST action that reads it completes (success or failure), via a
     * session QueryExecutionListener that matches the cached frame's analyzed

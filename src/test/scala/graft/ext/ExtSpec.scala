@@ -2094,6 +2094,61 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodeMp4(Multimodal.RawAsset(1L, "mp4", null)).isEmpty)
   }
 
+  test("substringDupSpans: exact arbitrary-offset dedup, hand-checked spans") {
+    // doc 1 owns the motif; doc 2 repeats it at offset 3 (phase 3), doc 3
+    // carries two copies (its own second copy also dedups); doc 4 clean.
+    // minLen=8 over a 12-char motif → covered span = the full 12 chars
+    // (starts 0..4 of the motif all duplicate → union [off, off+12))
+    val motif = "abcdefghijkl"
+    val docs = Seq(
+      (1L, s"zzz${motif}qqq"),          // first occurrence (owner)
+      (2L, s"xy$motif"),                // copy at offset 2
+      (3L, s"$motif--$motif"),          // copies at 0? owner is doc 1 → both dup
+      (4L, "nothingtoseeherefolks")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1 [3,15) is the FIRST occurrence → not emitted; doc2 [2,14), doc3
+    // both copies [0,12) and [14,26)
+    assert(got === Seq((2L, 2L, 12L), (3L, 0L, 12L), (3L, 14L, 12L)), got.toString)
+  }
+
+  test("substringDupSpans catches the phase-shifted duplicate the anchored path misses") {
+    // a 1-char phase shift: below ANY anchor period, so content-defined
+    // anchor cuts land on different shingles and the anchored span dedup
+    // sees two distinct span sets — while the suffix-rank window test is
+    // offset-blind. The duplicated region carries no anchor (no token hash
+    // ≡ 0 mod 8 inside it) for the md5 family at this text, making the
+    // miss deterministic; substringDupSpans needs no such luck.
+    val dup = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"a $dup"),
+      (2L, s"bb $dup") // shifted by ONE character
+    ).toDF("doc_id", "text")
+
+    // anchored path: it can only dedup from the first content-defined
+    // anchor cut onward, so the duplicated text BELOW the anchor period —
+    // here 19 verbatim chars — survives in doc 2's cleaned text
+    val leftover = "the quick brown fox" // ≥ minLen, verbatim in doc 1
+    val anchored = Dedup.dedupSpansAnchored(docs, "doc_id", "text", anchorMod = 8)
+      .where(col("doc_id") === 2)
+      .select(col("doc_id"), col("clean_text")).as[(Long, String)].collect()
+    assert(anchored.length == 1 && anchored(0)._2.contains(leftover),
+      s"expected the sub-anchor-period duplicate to survive the anchored path: ${anchored.toSeq}")
+
+    // suffix-rank path: doc 2's duplicated span covers the FULL repeated
+    // region (chars 3 until end) — including the leftover the anchored
+    // path missed
+    val spans = Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 16)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the true shared region includes the space BEFORE dup (both docs have
+    // " " + dup), so the span is [2, 54) — covering the whole repeat
+    assert(spans == Seq((2L, 2L, 1L + dup.length)),
+      s"substring dedup missed the phase-shifted duplicate: $spans")
+    assert(!spans.exists(_._1 == 1L), s"owner doc wrongly flagged: $spans")
+  }
+
   test("decodePngPixels: full decode recovers construction bytes; CRC/truncation quarantine") {
     // id=9: 10×3 → rows use filters 0,1,2 (None/Sub/Up); id=6: %3==0 &&
     // 7 rows → two IDAT chunks + filters through Paeth — both must
