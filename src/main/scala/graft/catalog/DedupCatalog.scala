@@ -1,0 +1,994 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.streaming.EventTimeOps
+
+/** Deduplication family (SURVEY §2.8 E1): exact/span/anchored/substring, MinHash/SimHash/edit-distance/semantic LSH, cluster closure, survivors, incremental.
+  *
+  * One catalog family of [[ExtQueries]] (split from the former monolith,
+  * zero behavior change): `queries` are the Spark definitions, `oracle`
+  * the DuckDB restatements the driver gates them against. Portability
+  * rules are documented on [[ExtQueries]]; shared fixtures/helpers live
+  * in [[CatalogShared]]. */
+object DedupCatalog {
+  import CatalogShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one hash-aggregate on the normalization fingerprint.
+    "dedup_exact" -> ((s, d) => {
+      Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint")
+    }),
+
+    // Span-level exact dedup: tile into 16-token spans, keep the first
+    // corpus-wide occurrence of each distinct span, reassemble survivors.
+
+    // Span-level exact dedup: tile into 16-token spans, keep the first
+    // corpus-wide occurrence of each distinct span, reassemble survivors.
+    "dedup_spans" -> ((s, d) => {
+      Dedup.dedupSpans(t(s, d, "documents"), "doc_id", "text", window = 16)
+        .orderBy("doc_id")
+    }),
+
+    // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
+    // distributed prefix-doubling suffix ranks: every 16-char window that
+    // repeats anywhere in the corpus — any doc, any offset, any phase —
+    // yields a merged duplicated span for each non-first occurrence. The
+    // fixture is CONSTRUCTED (ids from the documents table, text from
+    // integer formulas both engines restate): a shared 24-char motif
+    // planted at a per-doc arbitrary offset inside quadratic-residue
+    // filler, so the duplicate alignment differs doc to doc — exactly what
+    // the tile/anchor stand-ins cannot see below their period. The oracle
+    // brute-forces every window of the same constructed text.
+
+    // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
+    // distributed prefix-doubling suffix ranks: every 16-char window that
+    // repeats anywhere in the corpus — any doc, any offset, any phase —
+    // yields a merged duplicated span for each non-first occurrence. The
+    // fixture is CONSTRUCTED (ids from the documents table, text from
+    // integer formulas both engines restate): a shared 24-char motif
+    // planted at a per-doc arbitrary offset inside quadratic-residue
+    // filler, so the duplicate alignment differs doc to doc — exactly what
+    // the tile/anchor stand-ins cannot see below their period. The oracle
+    // brute-forces every window of the same constructed text.
+    "dedup_substring_sa" -> ((s, d) => {
+      val did = col("doc_id")
+      def seg(n: Column, f: Column => Column): Column =
+        array_join(transform(sequence(lit(0), n.cast("int") - 1),
+          j => chr(f(j) % 26 + 97)), "")
+      val motifStr = (0 until 24).map(j => ('a' + (5 * j + 2) % 26).toChar).mkString
+      val docs = t(s, d, "documents").select(col("doc_id")).where(did < 26)
+        .select(did, concat(
+          seg(lit(8) + (did * 3) % 11, j => did * 7 + j * j),
+          lit(motifStr),
+          seg(lit(10) + (did * 5) % 9, j => did * 7 + (j + 40) * (j + 40)))
+          .as("text"))
+      Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 16)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // Shingle-anchored span dedup: spans cut at content-defined boundaries
+    // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
+    // the same spans at ANY document offset — the phase-robust variant of
+    // dedup_spans (fixed tiles miss phase-shifted duplicates).
+
+    // Shingle-anchored span dedup: spans cut at content-defined boundaries
+    // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
+    // the same spans at ANY document offset — the phase-robust variant of
+    // dedup_spans (fixed tiles miss phase-shifted duplicates).
+    "dedup_spans_anchored" -> ((s, d) => {
+      Dedup.dedupSpansAnchored(t(s, d, "documents"), "doc_id", "text",
+          anchorMod = 8)
+        .orderBy("doc_id")
+    }),
+
+    // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
+    // of the portable md5 token hash (~10× cheaper per token). Cut positions
+    // differ from the md5 form and DuckDB has no xxhash64, so no external
+    // oracle can restate the spans — rows-only by design (like
+    // dedup_minhash_fast's band hashes); ExtSpec pins the phase-robustness
+    // contract across both hash families.
+
+    // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
+    // of the portable md5 token hash (~10× cheaper per token). Cut positions
+    // differ from the md5 form and DuckDB has no xxhash64, so no external
+    // oracle can restate the spans — rows-only by design (like
+    // dedup_minhash_fast's band hashes); ExtSpec pins the phase-robustness
+    // contract across both hash families.
+    "dedup_spans_anchored_fast" -> ((s, d) => {
+      Dedup.dedupSpansAnchored(t(s, d, "documents"), "doc_id", "text",
+          anchorMod = 8, fastHash = true)
+        .orderBy("doc_id")
+    }),
+
+    // Shuffle-lean span dedup: ownership keyed on xxhash64(chunk_text)
+    // (fixed-width exchange rows instead of text keys); reassembly re-slices
+    // surviving tiles from the doc's own text, so corpus text crosses one
+    // exchange instead of two. Result ≡ dedup_spans absent a 64-bit span
+    // collision — the text-keyed oracle SQL applies verbatim.
+
+    // Shuffle-lean span dedup: ownership keyed on xxhash64(chunk_text)
+    // (fixed-width exchange rows instead of text keys); reassembly re-slices
+    // surviving tiles from the doc's own text, so corpus text crosses one
+    // exchange instead of two. Result ≡ dedup_spans absent a 64-bit span
+    // collision — the text-keyed oracle SQL applies verbatim.
+    "dedup_spans_hashed" -> ((s, d) => {
+      Dedup.dedupSpansHashed(t(s, d, "documents"), "doc_id", "text",
+          window = 16)
+        .orderBy("doc_id")
+    }),
+
+    // Incremental dedup: a new batch checked against a historical store via
+    // a BloomFilterAggregate blob + exact confirm join — the store is
+    // scanned but NEVER shuffled (the continuous-ingest shape at 100 TB).
+    // Result is exact (the bloom only routes candidates; the confirm join
+    // compares fingerprint values), so the plain NOT EXISTS oracle applies.
+
+    // Incremental dedup: a new batch checked against a historical store via
+    // a BloomFilterAggregate blob + exact confirm join — the store is
+    // scanned but NEVER shuffled (the continuous-ingest shape at 100 TB).
+    // Result is exact (the bloom only routes candidates; the confirm join
+    // compares fingerprint values), so the plain NOT EXISTS oracle applies.
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), md5(lower(col("text"))).as("fingerprint"))
+      val hist = docs.where(col("doc_id") % 10 < 7)
+      val batch = docs.where(col("doc_id") % 10 >= 7)
+      Dedup.newAgainstHistory(batch, hist, "fingerprint",
+          expectedHistItems = 4096, fpp = 0.01)
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash + LSH near-dup: shingle → signature → band bucket join →
+    // exact-Jaccard verify. The at-scale dedup workhorse.
+
+    // MinHash + LSH near-dup: shingle → signature → band bucket join →
+    // exact-Jaccard verify. The at-scale dedup workhorse.
+    "dedup_minhash" -> ((s, d) => {
+      Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 8, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
+    // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
+    // the exact-Jaccard verify makes the output the TRUE pair set — which is
+    // what the oracle checks, via an exhaustive pair scan (no hash to
+    // reproduce cross-engine). This is the benched dedup path; dedup_minhash
+    // above stays as the portable-hash oracle row.
+
+    // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
+    // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
+    // the exact-Jaccard verify makes the output the TRUE pair set — which is
+    // what the oracle checks, via an exhaustive pair scan (no hash to
+    // reproduce cross-engine). This is the benched dedup path; dedup_minhash
+    // above stays as the portable-hash oracle row.
+    "dedup_minhash_fast" -> ((s, d) => {
+      Dedup.nearDuplicatesFast(t(s, d, "documents"), "doc_id", "text",
+          shingleLen = 3, numHashes = 16, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Pair → cluster resolution: connected components over the MinHash
+    // near-dup pairs, every member labeled with its component's min id (the
+    // survivor). Without this step A≈B, B≈C dedup keeps two survivors.
+
+    // Pair → cluster resolution: connected components over the MinHash
+    // near-dup pairs, every member labeled with its component's min id (the
+    // survivor). Without this step A≈B, B≈C dedup keeps two survivors.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text")
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Same clusters via large-star/small-star (the O(log n)-round published
+    // algorithm for web-scale graphs) — two independent CC algorithms pinned
+    // to one oracle answer.
+
+    // Same clusters via large-star/small-star (the O(log n)-round published
+    // algorithm for web-scale graphs) — two independent CC algorithms pinned
+    // to one oracle answer.
+    "dedup_clusters_star" -> ((s, d) => {
+      val pairs = Dedup.nearDuplicates(t(s, d, "documents"), "doc_id", "text")
+      Dedup.connectedComponentsStar(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-priority cluster survivors: per near-dup cluster keep the
+    // highest-quality member (regex word count; ties → min doc_id) — the
+    // production survivor policy (keep the cleanest copy of a duplicated
+    // page, not whichever crawl got the lowest id). Spark side is a
+    // partial-aggregating max(struct(quality, -id)); the oracle restates it
+    // as a rank window.
+
+    // Quality-priority cluster survivors: per near-dup cluster keep the
+    // highest-quality member (regex word count; ties → min doc_id) — the
+    // production survivor policy (keep the cleanest copy of a duplicated
+    // page, not whichever crawl got the lowest id). Spark side is a
+    // partial-aggregating max(struct(quality, -id)); the oracle restates it
+    // as a rank window.
+    "dedup_survivors_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val clusters = Dedup.duplicateClusters(
+          Dedup.nearDuplicates(docs, "doc_id", "text"))
+        .select(col("id"), col("rep"))
+      val quality = docs.select(col("doc_id"),
+        TextStats.nWords(col("text")).as("q"))
+      Dedup.qualitySurvivors(clusters, quality, "doc_id", "q")
+        .orderBy("rep")
+    }),
+
+    // The full curation pipeline: exact dedup → near-dup cluster dedup →
+    // quality gate; output = surviving document ids.
+
+    // The full curation pipeline: exact dedup → near-dup cluster dedup →
+    // quality gate; output = surviving document ids.
+    "curation_pipeline" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // Per-source data card — the summary a curation run publishes with a
+    // released dataset: doc/token volume, language breadth, exact-dup
+    // membership (global fingerprint groups ≥ 2, counted per source), and
+    // the classifier pass rate (native kernel as a projection). One
+    // fingerprint-keyed aggregation + one broadcast-able dup-set join +
+    // one source-keyed aggregation.
+
+    // Per-source data card — the summary a curation run publishes with a
+    // released dataset: doc/token volume, language breadth, exact-dup
+    // membership (global fingerprint groups ≥ 2, counted per source), and
+    // the classifier pass rate (native kernel as a projection). One
+    // fingerprint-keyed aggregation + one broadcast-able dup-set join +
+    // one source-keyed aggregation.
+    "curation_datacard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val stats = docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).as("n_tok"),
+        md5(lower(col("text"))).as("fp"),
+        when(TextStats.hashedLinearScoreCol(col("text"))
+          .getField("score_fp") > 0, 1L).otherwise(0L).as("pos"))
+      val dupFps = stats.groupBy(col("fp"))
+        .agg(count(lit(1)).as("_n")).where(col("_n") >= 2).select(col("fp"))
+      stats.join(dupFps.withColumn("_dup", lit(1L)), Seq("fp"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(coalesce(col("_dup"), lit(0L))).as("n_dup_docs"),
+          sum(col("pos")).as("n_quality_pos"))
+        .orderBy("source")
+    }),
+
+    // The WHOLE training-data recipe in one row: curate (exact + near dedup
+    // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
+    // pure scan-level filter via the native kernel — no score join) →
+    // fractional-epoch materialization by source. Output is the final
+    // repeated multiset a trainer would read; the oracle restates every
+    // stage (curation CTEs + classifier arithmetic + floor/hash epochs).
+
+    // The WHOLE training-data recipe in one row: curate (exact + near dedup
+    // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
+    // pure scan-level filter via the native kernel — no score join) →
+    // fractional-epoch materialization by source. Output is the final
+    // repeated multiset a trainer would read; the oracle restates every
+    // stage (curation CTEs + classifier arithmetic + floor/hash epochs).
+    "curation_recipe_e2e" -> ((s, d) => {
+      val surv = Curation.curate(t(s, d, "documents"), "doc_id", "text")
+      val kept = surv.where(
+        TextStats.hashedLinearScoreCol(col("text")).getField("score_fp") > 0)
+      Sampling.epochMaterialize(kept, "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.75),
+          defaultEpochs = 1.0, salt = "ep")
+        .select(col("doc_id"), col("source"), col("copy_no"))
+        .orderBy("doc_id", "copy_no")
+    }),
+
+    // The same pipeline under the quality-priority survivor policy: each
+    // near-dup cluster keeps its max-word-count member instead of min id.
+
+    // The same pipeline under the quality-priority survivor policy: each
+    // near-dup cluster keeps its max-word-count member instead of min id.
+    "curation_pipeline_quality" -> ((s, d) => {
+      Curation.curate(t(s, d, "documents"), "doc_id", "text",
+          Curation.Config(survivorQuality = Some(TextStats.nWords(col("text")))))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+    // The curation audit: per-stage funnel counts (input → exact dedup →
+    // near-dup dedup → quality gate → PII scrub) — the numbers a curation
+    // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
+    // (scrub last, a row-preserving projection — its count equals the
+    // quality gate's, which is exactly what the oracle asserts).
+    // Incremental curation: the batch (doc_id % 10 >= 7) curated with the
+    // kept-fingerprint store of a previous run over the rest — the history
+    // probe (bloom + exact confirm, store never shuffled) runs BEFORE the
+    // pipeline; the oracle feeds the same NOT EXISTS-filtered batch
+    // through the shared curation CTE chain.
+
+    // The curation audit: per-stage funnel counts (input → exact dedup →
+    // near-dup dedup → quality gate → PII scrub) — the numbers a curation
+    // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
+    // (scrub last, a row-preserving projection — its count equals the
+    // quality gate's, which is exactly what the oracle asserts).
+    // Incremental curation: the batch (doc_id % 10 >= 7) curated with the
+    // kept-fingerprint store of a previous run over the rest — the history
+    // probe (bloom + exact confirm, store never shuffled) runs BEFORE the
+    // pipeline; the oracle feeds the same NOT EXISTS-filtered batch
+    // through the shared curation CTE chain.
+    "curation_pipeline_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.where(col("doc_id") % 10 < 7)
+        .select(md5(lower(col("text"))).as("fingerprint"))
+      Curation.curate(docs.where(col("doc_id") % 10 >= 7), "doc_id", "text",
+          Curation.Config(history = Some(hist)))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "curation_funnel" -> ((s, d) => {
+      Curation.funnel(t(s, d, "documents"), "doc_id", "text",
+          Curation.Config(scrubPii = true))
+        .orderBy("stage")
+    }),
+
+    // Cross-source contamination audit: distinct canonical-fingerprint
+    // overlap per source pair — run before mixing corpora.
+
+    // Cross-source contamination audit: distinct canonical-fingerprint
+    // overlap per source pair — run before mixing corpora.
+    "curation_source_overlap" -> ((s, d) => {
+      Curation.sourceOverlap(t(s, d, "documents"), "source", "text")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // SimHash fingerprints (16-bit) per document.
+
+    // SimHash fingerprints (16-bit) per document.
+    "dedup_simhash" -> ((s, d) => {
+      Dedup.simhashOf(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup PAIRS: banded-nibble candidates (exact by pigeonhole
+    // for hamming <= 3) + Hamming verify — the join that turns E3's
+    // fingerprints into an actual dedup operator.
+
+    // SimHash near-dup PAIRS: banded-nibble candidates (exact by pigeonhole
+    // for hamming <= 3) + Hamming verify — the join that turns E3's
+    // fingerprints into an actual dedup operator.
+    "dedup_simhash_pairs" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The at-scale SimHash pair join: 60-bit fingerprints, 6 bands of 10
+    // bits (exact for hamming <= 5; ~2^-10 per-band random collision where
+    // the 16-bit variant's nibbles saturate on a big corpus).
+
+    // The at-scale SimHash pair join: 60-bit fingerprints, 6 bands of 10
+    // bits (exact for hamming <= 5; ~2^-10 per-band random collision where
+    // the 16-bit variant's nibbles saturate on a big corpus).
+    "dedup_simhash_pairs_wide" -> ((s, d) => {
+      Dedup.simhashPairsWide(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
+
+    // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
+    "dedup_ngram" -> ((s, d) => {
+      Dedup.blockedNgramPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCol = "lang", n = 4, threshold = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // EXACT word-set Jaccard >= 1/2 pairs via prefix filtering (PPJoin
+    // family) — no blocking key, no false negatives; the oracle is the
+    // exhaustive all-pairs scan, so a single missed or phantom pair
+    // hash-fails. Evidence is integer-exact (intersection/union counts).
+
+    // EXACT word-set Jaccard >= 1/2 pairs via prefix filtering (PPJoin
+    // family) — no blocking key, no false negatives; the oracle is the
+    // exhaustive all-pairs scan, so a single missed or phantom pair
+    // hash-fails. Evidence is integer-exact (intersection/union counts).
+    "dedup_jaccard_prefix" -> ((s, d) => {
+      Dedup.prefixJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          thresholdNum = 1L, thresholdDen = 2L)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Blocked edit-distance near-dup: quadratic within a block, so the demo
+    // models the documented STRONG-blocking contract — (length bucket ×
+    // first token), under which edit-dist<=50 survivors are near-identical
+    // records (a `lang` block is the scaladoc's own anti-pattern: 5 blocks
+    // of 100+ docs each ran 43 s at sf0.1; this key runs in bench-class
+    // time). A <=50-edit pair CAN straddle a 50-length bucket boundary or
+    // differ in token 1 — the block defines the operator's contract, and
+    // the oracle mirrors it exactly.
+
+    // Blocked edit-distance near-dup: quadratic within a block, so the demo
+    // models the documented STRONG-blocking contract — (length bucket ×
+    // first token), under which edit-dist<=50 survivors are near-identical
+    // records (a `lang` block is the scaladoc's own anti-pattern: 5 blocks
+    // of 100+ docs each ran 43 s at sf0.1; this key runs in bench-class
+    // time). A <=50-edit pair CAN straddle a 50-length bucket boundary or
+    // differ in token 1 — the block defines the operator's contract, and
+    // the oracle mirrors it exactly.
+    "dedup_editdist" -> ((s, d) => {
+      val blocked = t(s, d, "documents").withColumn("blk",
+        concat_ws("|", floor(length(col("text")) / 50).cast("int"),
+          element_at(split(col("text"), " "), 1)))
+      Dedup.editDistancePairs(blocked, "doc_id", "text",
+          blockCol = "blk", maxDist = 50)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup pairs.
+
+    // Embedding-cosine near-dup pairs.
+    "dedup_embedding" -> ((s, d) => {
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Sign-bucketed embedding near-dup — the scale path (equi-join on the
+    // bucket replaces the all-pairs cross product).
+
+    // Sign-bucketed embedding near-dup — the scale path (equi-join on the
+    // bucket replaces the all-pairs cross product).
+    "dedup_embedding_lsh" -> ((s, d) => {
+      Similarity.cosineNearDupPairsBucketed(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Multi-probe variant: probe side expanded to its bucket + every
+    // single-bit flip — recovers near-dup pairs straddling one sign
+    // boundary, the dominant single-bucket miss mode. Candidate set is a
+    // strict superset of dedup_embedding_lsh's.
+
+    // Multi-probe variant: probe side expanded to its bucket + every
+    // single-bit flip — recovers near-dup pairs straddling one sign
+    // boundary, the dominant single-bucket miss mode. Candidate set is a
+    // strict superset of dedup_embedding_lsh's.
+    "dedup_embedding_lsh_mp" -> ((s, d) => {
+      Similarity.cosineNearDupPairsMultiProbe(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Rotated-bucketing multi-probe: single-bit-flip probing UNION a second
+    // independent sign bucketing over dims 7-12 — recovers pairs at
+    // bucket-Hamming >= 2 in the first slice that every flip probe misses.
+    // Candidates are a strict superset of dedup_embedding_lsh_mp's.
+
+    // Rotated-bucketing multi-probe: single-bit-flip probing UNION a second
+    // independent sign bucketing over dims 7-12 — recovers pairs at
+    // bucket-Hamming >= 2 in the first slice that every flip probe misses.
+    // Candidates are a strict superset of dedup_embedding_lsh_mp's.
+    "dedup_embedding_lsh_rot" -> ((s, d) => {
+      Similarity.cosineNearDupPairsRotated(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.3, bits = 6, rotOffset = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SemDeDup-shaped semantic dedup: Voronoi cells around the 8 lowest-id
+    // vectors (deterministic init), within-cell cosine >= 0.4 to a lower id
+    // marks a duplicate. The oracle restates centroid choice, argmax cell
+    // assignment (score desc, cent_id asc tie-break, zero-norm at -2), and
+    // the pair rule verbatim.
+
+    // SemDeDup-shaped semantic dedup: Voronoi cells around the 8 lowest-id
+    // vectors (deterministic init), within-cell cosine >= 0.4 to a lower id
+    // marks a duplicate. The oracle restates centroid choice, argmax cell
+    // assignment (score desc, cent_id asc tie-break, zero-norm at -2), and
+    // the pair rule verbatim.
+    "dedup_semantic" -> ((s, d) => {
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+          nCells = 8, threshold = 0.4)
+        .orderBy("id")
+    }),
+
+    // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "dedup_exact" ->
+      """SELECT md5(lower(text)) AS fingerprint, min(doc_id)::BIGINT AS keep_id,
+        |  count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
+    // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
+
+    // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
+    // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
+    "dedup_spans" -> Sql.dedupSpansTiled,
+
+    // mirrors dedup_substring_sa: the same constructed fixture text, then
+    // BRUTE-FORCE window comparison — every 16-char window, grouped by its
+    // literal string; non-first occurrences (global (doc_id, pos) order)
+    // union their [i, i+16) cover and merge to islands per doc
+
+    // mirrors dedup_substring_sa: the same constructed fixture text, then
+    // BRUTE-FORCE window comparison — every 16-char window, grouped by its
+    // literal string; non-first occurrences (global (doc_id, pos) order)
+    // union their [i, i+16) cover and merge to islands per doc
+    "dedup_substring_sa" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 26),
+        |txt AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 8 + (doc_id * 3) % 11),
+        |    j -> chr(((doc_id * 7 + j * j) % 26 + 97)::INT)), '')
+        |  || array_to_string(list_transform(range(0, 24),
+        |    j -> chr(((5 * j + 2) % 26 + 97)::INT)), '')
+        |  || array_to_string(list_transform(range(0, 10 + (doc_id * 5) % 9),
+        |    j -> chr(((doc_id * 7 + (j + 40) * (j + 40)) % 26 + 97)::INT)), '')
+        |  AS text FROM d),
+        |w AS (SELECT doc_id, unnest(range(0, length(text) - 15)) AS i, text
+        |  FROM txt),
+        |win AS (SELECT doc_id, i, substr(text, (i + 1)::INT, 16) AS wdw FROM w),
+        |firsts AS (SELECT wdw, min(doc_id * 1000 + i) AS firstkey,
+        |  count(*) AS n FROM win GROUP BY wdw),
+        |dup AS (SELECT win.doc_id, win.i FROM win JOIN firsts USING (wdw)
+        |  WHERE firsts.n > 1 AND (win.doc_id * 1000 + win.i) <> firsts.firstkey),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(i, i + 16)) AS p FROM dup)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+        |SELECT doc_id, min(p)::BIGINT AS span_start,
+        |  (max(p) - min(p) + 1)::BIGINT AS span_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+
+    // the hash-keyed form is result-identical to the text-keyed one absent
+    // a 64-bit span-hash collision (none at this scale, deterministically),
+    // so the same oracle SQL checks it bit-for-bit
+
+    // the hash-keyed form is result-identical to the text-keyed one absent
+    // a 64-bit span-hash collision (none at this scale, deterministically),
+    // so the same oracle SQL checks it bit-for-bit
+    "dedup_spans_hashed" -> Sql.dedupSpansTiled,
+
+    // content-defined tiling: cut after every token whose md5-prefix hash
+    // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the
+    // identical first-owner + reassembly chain as dedup_spans
+
+    // content-defined tiling: cut after every token whose md5-prefix hash
+    // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the
+    // identical first-owner + reassembly chain as dedup_spans
+    "dedup_spans_anchored" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words, list_concat(list_concat(
+        |    [0],
+        |    list_filter(range(1, len(words) + 1),
+        |      i -> ('0x' || substr(md5(words[i]), 1, 8))::BIGINT % 8 = 0)),
+        |    [len(words)]) AS bounds FROM w),
+        |sp AS (SELECT doc_id, unnest(range(1, len(bounds))) AS pos, words, bounds
+        |  FROM b),
+        |s0 AS (SELECT doc_id, pos,
+        |    array_to_string(words[bounds[pos] + 1 : bounds[pos + 1]], ' ') AS chunk_text
+        |  FROM sp),
+        |c AS (SELECT doc_id,
+        |    (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT AS chunk_no,
+        |    chunk_text
+        |  FROM s0 WHERE chunk_text <> ''),
+        |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY chunk_text
+        |    ORDER BY doc_id, chunk_no) = 1)
+        |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
+        |  count(*)::BIGINT AS n_spans
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |  len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // TRUE pair set via exhaustive pair scan — the fast path's xxhash64 LSH
+    // is not reproduced here, only its contract: every jaccard>=0.5 pair.
+
+    // TRUE pair set via exhaustive pair scan — the fast path's xxhash64 LSH
+    // is not reproduced here, only its contract: every jaccard>=0.5 pair.
+    "dedup_minhash_fast" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "curation_pipeline" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes()}
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM losers)
+         |  AND ${Sql.curationQualityPred}
+         |ORDER BY doc_id""".stripMargin,
+
+    // volume, language breadth, global dup membership, classifier pass
+    // rate — the classifier arithmetic restated once more as a gate
+
+    // volume, language breadth, global dup membership, classifier pass
+    // rate — the classifier arithmetic restated once more as a gate
+    "curation_datacard" ->
+      """WITH st AS (SELECT source, lang,
+        |    len(string_split(text, ' '))::BIGINT AS n_tok,
+        |    md5(lower(text)) AS fp,
+        |    CASE WHEN coalesce(list_sum(list_transform(
+        |        (SELECT list_concat(toks,
+        |           CASE WHEN len(toks) >= 2
+        |             THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+        |             ELSE []::VARCHAR[] END)
+        |         FROM (SELECT list_filter(string_split(lower(text), ' '),
+        |           t -> t <> '') AS toks)),
+        |        t -> ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+        |          * 1103515245 + 12345) % 2001 - 1000)), 0) > 0
+        |      THEN 1 ELSE 0 END::BIGINT AS pos
+        |  FROM documents),
+        |dup AS (SELECT fp FROM st GROUP BY fp HAVING count(*) >= 2)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_tok)::BIGINT AS n_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs,
+        |  sum(CASE WHEN st.fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_dup_docs,
+        |  sum(pos)::BIGINT AS n_quality_pos
+        |FROM st GROUP BY source ORDER BY source""".stripMargin,
+
+    // every stage of the one-row recipe restated: the shared curation CTE
+    // chain, then the classifier's feature-hash arithmetic as a gate, then
+    // the floor+hash epoch multiset — a drift in ANY stage hash-fails
+
+    // every stage of the one-row recipe restated: the shared curation CTE
+    // chain, then the classifier's feature-hash arithmetic as a gate, then
+    // the floor+hash epoch multiset — a drift in ANY stage hash-fails
+    "curation_recipe_e2e" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes()},
+         |surv AS (SELECT doc_id, text FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred}),
+         |survs AS (SELECT surv.doc_id, surv.text, d.source
+         |  FROM surv JOIN documents d ON d.doc_id = surv.doc_id),
+         |tok AS (SELECT doc_id, source,
+         |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+         |  FROM survs),
+         |f AS (SELECT doc_id, source, list_concat(toks,
+         |    CASE WHEN len(toks) >= 2
+         |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+         |      ELSE []::VARCHAR[] END) AS feats
+         |  FROM tok),
+         |sc AS (SELECT doc_id, source,
+         |    coalesce(list_sum(list_transform(feats, t ->
+         |      ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+         |        * 1103515245 + 12345) % 2001 - 1000)), 0)::BIGINT AS score_fp
+         |  FROM f),
+         |kept AS (SELECT doc_id, source FROM sc WHERE score_fp > 0),
+         |e AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+         |         WHEN 'src2' THEN 0.75 ELSE 1.0 END AS ep
+         |  FROM kept),
+         |n AS (SELECT doc_id, source,
+         |    (floor(ep) + CASE WHEN ${Sql.unitHash("doc_id::VARCHAR", "ep")} < ep - floor(ep)
+         |       THEN 1 ELSE 0 END)::INT AS nc
+         |  FROM e)
+         |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
+         |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
+
+    // quality-priority survivor policy: losers = cluster members minus each
+    // cluster's (quality DESC, doc_id ASC) best; quality = regex word count
+    // over the exact-dedup survivors, exactly as the Spark side computes it
+
+    // quality-priority survivor policy: losers = cluster members minus each
+    // cluster's (quality DESC, doc_id ASC) best; quality = regex word count
+    // over the exact-dedup survivors, exactly as the Spark side computes it
+    "curation_pipeline_quality" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes()},
+         |cl AS (SELECT s AS doc_id, least(s, min(t)) AS rep FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+')) AS q FROM docs0),
+         |surv AS (SELECT doc_id FROM (
+         |  SELECT cl.doc_id, row_number() OVER (PARTITION BY cl.rep
+         |    ORDER BY q.q DESC, cl.doc_id ASC) AS rk
+         |  FROM cl JOIN q USING (doc_id)) WHERE rk = 1),
+         |qlosers AS (SELECT doc_id AS s FROM cl
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM surv))
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM qlosers)
+         |  AND ${Sql.curationQualityPred}
+         |ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline_incremental" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes("""(SELECT d.doc_id, d.text FROM documents d
+           |  WHERE d.doc_id % 10 >= 7 AND NOT EXISTS (
+           |    SELECT 1 FROM documents h WHERE h.doc_id % 10 < 7
+           |    AND md5(lower(h.text)) = md5(lower(d.text))))""".stripMargin)}
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM losers)
+         |  AND ${Sql.curationQualityPred}
+         |ORDER BY doc_id""".stripMargin,
+
+    "curation_funnel" ->
+      s"""WITH RECURSIVE
+         |${Sql.curationCtes()}
+         |SELECT '0_input' AS stage, (SELECT count(*) FROM documents)::BIGINT AS n_docs
+         |UNION ALL
+         |SELECT '1_exact_dedup', (SELECT count(*) FROM docs0)::BIGINT
+         |UNION ALL
+         |SELECT '2_neardup_dedup',
+         |  ((SELECT count(*) FROM docs0) - (SELECT count(*) FROM losers))::BIGINT
+         |UNION ALL
+         |SELECT '3_quality_gate', (SELECT count(*) FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred})::BIGINT
+         |UNION ALL
+         |SELECT '5_scrubbed', (SELECT count(*) FROM docs0
+         |  WHERE doc_id NOT IN (SELECT s FROM losers)
+         |    AND ${Sql.curationQualityPred})::BIGINT
+         |ORDER BY stage""".stripMargin,
+
+    // same fingerprint idiom as text_fingerprint's canon_fp
+
+    // same fingerprint idiom as text_fingerprint's canon_fp
+    "curation_source_overlap" ->
+      """WITH fp AS (SELECT DISTINCT source AS src,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(lower(text), ' '))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS n_common
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    "dedup_clusters" -> Sql.dedupClustersCc,
+
+    // identical reachability oracle: the star-alternation row must produce
+    // the exact same component labeling as the label-propagation row
+
+    // identical reachability oracle: the star-alternation row must produce
+    // the exact same component labeling as the label-propagation row
+    "dedup_clusters_star" -> Sql.dedupClustersCc,
+
+    // same reachability CTE as dedup_clusters, then the survivor choice
+    // restated as a rank window (quality DESC, doc_id ASC) — the Spark side
+    // computes the identical row via partial-aggregating max(struct)
+
+    // same reachability CTE as dedup_clusters, then the survivor choice
+    // restated as a rank window (quality DESC, doc_id ASC) — the Spark side
+    // computes the identical row via partial-aggregating max(struct)
+    "dedup_survivors_quality" ->
+      s"""WITH RECURSIVE
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |  AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT a_id, b_id FROM (
+         |  SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |  WHERE jaccard >= 0.5),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |cl AS (SELECT s AS doc_id, least(s, min(t)) AS rep FROM reach GROUP BY s),
+         |q AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS q FROM documents)
+         |SELECT rep::BIGINT AS rep, doc_id::BIGINT AS survivor_id, q::BIGINT AS quality FROM (
+         |  SELECT cl.rep, cl.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY cl.rep ORDER BY q.q DESC, cl.doc_id ASC) AS rk
+         |  FROM cl JOIN q USING (doc_id))
+         |WHERE rk = 1 ORDER BY rep""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    string_split(lower(text), ' '),
+         |    tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT)) AS hs
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    // exhaustive scan — the banded Spark plan is provably recall-1 for
+    // hamming <= 3, so the true pair set IS its contract
+
+    // exhaustive scan — the banded Spark plan is provably recall-1 for
+    // hamming <= 3, so the true pair set IS its contract
+    "dedup_simhash_pairs" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, (${Sql.simhashBits})::BIGINT AS simhash FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      string_split(lower(text), ' '),
+         |      tk -> ('0x' || substr(md5(tk), 1, 8))::BIGINT)) AS hs
+         |    FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash_pairs_wide" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, (${Sql.simhashBitsN(60)})::BIGINT AS simhash FROM (
+         |    SELECT doc_id, list_distinct(list_transform(
+         |      string_split(lower(text), ' '),
+         |      tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT)) AS hs
+         |    FROM documents))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+         |FROM f a JOIN f b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH c AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+         |sh AS (SELECT doc_id, lang, ${Sql.charShingles4} AS s FROM c),
+         |sh2 AS (SELECT doc_id, lang, s FROM sh WHERE len(s) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         |FROM sh2 a JOIN sh2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // exhaustive exact restatement: the prefix filter is a Spark-side
+    // optimization with a no-false-negative theorem, so the oracle checks
+    // the SEMANTICS (all qualifying pairs) against a full quadratic scan
+
+    // exhaustive exact restatement: the prefix filter is a Spark-side
+    // optimization with a no-false-negative theorem, so the oracle checks
+    // the SEMANTICS (all qualifying pairs) against a full quadratic scan
+    "dedup_jaccard_prefix" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_distinct(list_filter(string_split(lower(text), ' '),
+        |      t -> len(t) > 0)) AS ts
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, ts FROM w WHERE len(ts) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.ts, b.ts))::BIGINT AS inter_cnt,
+        |  (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))::BIGINT AS union_cnt
+        |FROM w2 a JOIN w2 b ON a.doc_id < b.doc_id
+        |WHERE 2 * len(list_intersect(a.ts, b.ts))
+        |  >= (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the (length bucket × first token) block restated as a two-condition
+    // equi-join — injective vs the Spark side's "len|tok" key (the int
+    // component cannot contain the '|' delimiter)
+
+    // the (length bucket × first token) block restated as a two-condition
+    // equi-join — injective vs the Spark side's "len|tok" key (the int
+    // component cannot contain the '|' delimiter)
+    "dedup_editdist" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.text, b.text)::INT AS edit_dist
+        |FROM documents a JOIN documents b
+        |  ON (length(a.text) // 50) = (length(b.text) // 50)
+        |  AND string_split(a.text, ' ')[1] = string_split(b.text, ' ')[1]
+        |  AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 50
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // mirrors Similarity.semanticDedup: centroids = 8 lowest-id vectors,
+    // cell = argmax cosine (desc score, asc cent_id tie-break, null→-2),
+    // dup = any lower-id cell-mate at cosine >= 0.4
+
+    // mirrors Similarity.semanticDedup: centroids = 8 lowest-id vectors,
+    // cell = argmax cosine (desc score, asc cent_id tie-break, null→-2),
+    // dup = any lower-id cell-mate at cosine >= 0.4
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+         |sc AS (SELECT e.vec_id, e.v, c.cent_id,
+         |    coalesce(${Sql.dot("e.v", "c.cv")} /
+         |      (sqrt(${Sql.dot("e.v", "e.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |      -2.0) AS score
+         |  FROM e CROSS JOIN c),
+         |asn AS (SELECT vec_id, v, cent_id AS cell FROM sc
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY score DESC, cent_id) = 1),
+         |d AS (SELECT DISTINCT b.vec_id AS id FROM asn a JOIN asn b
+         |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} /
+         |    (sqrt(${Sql.dot("a.v", "a.v")}) * sqrt(${Sql.dot("b.v", "b.v")})) >= 0.4)
+         |SELECT asn.vec_id AS id, asn.cell, (d.id IS NOT NULL) AS is_dup
+         |FROM asn LEFT JOIN d ON d.id = asn.vec_id
+         |ORDER BY id""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding_lsh_mp" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // single-bit-flip probe UNION rotated second bucketing (dims 7-12);
+    // UNION is set-semantics, deduplicating pairs found by both branches
+    // (scores are bit-identical: same strict left fold)
+
+    // single-bit-flip probe UNION rotated second bucketing (dims 7-12);
+    // UNION is set-semantics, deduplicating pairs found by both branches
+    // (scores are bit-identical: same strict left fold)
+    "dedup_embedding_lsh_rot" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket,
+         |  (${Sql.signBucket6At(6)})::BIGINT AS rbucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, rbucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n)
+         |SELECT a_id, b_id, score FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
+         |  UNION
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM n a JOIN n b ON a.rbucket = b.rbucket AND a.vec_id < b.vec_id
+         |  WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH fp AS (SELECT doc_id, md5(lower(text)) AS fingerprint
+        |  FROM documents),
+        |hist AS (SELECT fingerprint FROM fp WHERE doc_id % 10 < 7)
+        |SELECT doc_id, fingerprint FROM fp b
+        |WHERE doc_id % 10 >= 7
+        |  AND NOT EXISTS (SELECT 1 FROM hist h
+        |                  WHERE h.fingerprint = b.fingerprint)
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,712 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.streaming.EventTimeOps
+
+/** Multimodal family (E32): container decodes (PPM/WAV/PNG/JPEG/MP4), PNG pixel decode, resize, frame sampling, payload stats.
+  *
+  * One catalog family of [[ExtQueries]] (split from the former monolith,
+  * zero behavior change): `queries` are the Spark definitions, `oracle`
+  * the DuckDB restatements the driver gates them against. Portability
+  * rules are documented on [[ExtQueries]]; shared fixtures/helpers live
+  * in [[CatalogShared]]. */
+object MultimodalCatalog {
+  import CatalogShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Binary payload + typed metadata stats (decode itself is the stubbed
+    // per-partition step — see graft.ext.Multimodal and its spec).
+    "mm_payload_stats" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Multimodal.assetsFromDocuments(docs)
+        .join(docs.select(col("doc_id").as("asset_id"), col("text")), "asset_id")
+        .select(col("asset_id"), col("modality"),
+          col("meta.bytes").as("payload_bytes"),
+          headerSum(col("text")).as("header_sum"))
+        .orderBy("asset_id")
+    }),
+
+    // Frame-sampling plumbing over video assets: every 2nd 16-byte frame,
+    // counted per asset (the decode itself is the stubbed mapPartitions
+    // step; this checks the explode/sampling arithmetic end-to-end).
+
+    // Frame-sampling plumbing over video assets: every 2nd 16-byte frame,
+    // counted per asset (the decode itself is the stubbed mapPartitions
+    // step; this checks the explode/sampling arithmetic end-to-end).
+    "mm_frame_sample" -> ((s, d) => {
+      val assets = Multimodal.assetsFromDocuments(t(s, d, "documents"))
+      Multimodal.frameSample(assets, frameBytes = 16, everyN = 2)
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_sampled"), max(col("frame_no")).as("max_frame"))
+        .orderBy("asset_id")
+    }),
+
+    // End-to-end container decode gate: synthesize a spec-valid payload per
+    // doc (PPM/WAV/PNG/JPEG round-robin, dimensions derived from doc_id),
+    // run the REAL ByteCodec parse in the distributed typed-decode path,
+    // emit the parsed geometry. The oracle restates the construction
+    // arithmetic — any header-parse bug (endianness, offsets, marker/chunk
+    // walk) makes parse ≠ construction and breaks the hash.
+
+    // End-to-end container decode gate: synthesize a spec-valid payload per
+    // doc (PPM/WAV/PNG/JPEG round-robin, dimensions derived from doc_id),
+    // run the REAL ByteCodec parse in the distributed typed-decode path,
+    // emit the parsed geometry. The oracle restates the construction
+    // arithmetic — any header-parse bug (endianness, offsets, marker/chunk
+    // walk) makes parse ≠ construction and breaks the hash.
+    "mm_decode_containers" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        val (fmt, bytes) = Multimodal.syntheticContainerPayload(id)
+        Multimodal.RawAsset(id, fmt, bytes)
+      }
+      Multimodal.decode(assets).toDF()
+        .select(col("asset_id"), col("modality").as("fmt"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("asset_id")
+    }),
+
+    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
+    // zlib concatenation, Inflater, and real unfiltering of all five PNG
+    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
+    // per row). The oracle restates the pixel-construction arithmetic
+    // ((id + i) % 256): exact channel sums plus the position-weighted sum
+    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
+    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
+    // CRC was computed) and must be quarantined — the oracle excludes
+    // exactly those ids, so skipping CRC verification also hash-fails.
+
+    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
+    // zlib concatenation, Inflater, and real unfiltering of all five PNG
+    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
+    // per row). The oracle restates the pixel-construction arithmetic
+    // ((id + i) % 256): exact channel sums plus the position-weighted sum
+    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
+    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
+    // CRC was computed) and must be quarantined — the oracle excludes
+    // exactly those ids, so skipping CRC verification also hash-fails.
+    "mm_decode_png_pixels" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        Multimodal.RawAsset(id, "png",
+          Multimodal.syntheticPngPixelPayload(id, corrupt = id % 29 == 0))
+      }
+      assets.mapPartitions(_.flatMap(Multimodal.decodePngPixels)).toDF()
+        .orderBy("asset_id")
+    }),
+
+    // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
+    // synthesized P6 PPMs with the REAL byte walk (header parse + strided
+    // pixel reads); exact per-channel integer sums. The oracle restates
+    // the pixel-construction arithmetic ((id + offset) % 256 at the
+    // sampled offsets), so parse ≠ construction — a stride/offset/header
+    // bug — hash-fails. Non-PPM assets (3 of every 4) emit no row.
+
+    // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
+    // synthesized P6 PPMs with the REAL byte walk (header parse + strided
+    // pixel reads); exact per-channel integer sums. The oracle restates
+    // the pixel-construction arithmetic ((id + offset) % 256 at the
+    // sampled offsets), so parse ≠ construction — a stride/offset/header
+    // bug — hash-fails. Non-PPM assets (3 of every 4) emit no row.
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        val (fmt, bytes) = Multimodal.syntheticContainerPayload(id)
+        Multimodal.RawAsset(id, fmt, bytes)
+      }
+      Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
+    }),
+
+    // Per-hour quantile sketch (E19f): the E19c histogram grouped by hour
+    // — the windowed-percentile dashboard (p50/p95 latency-style) from the
+    // same mergeable counters; one (hr,bucket)-keyed count, windows only
+    // on the aggregated frame.
+
+    // Per-hour quantile sketch (E19f): the E19c histogram grouped by hour
+    // — the windowed-percentile dashboard (p50/p95 latency-style) from the
+    // same mergeable counters; one (hr,bucket)-keyed count, windows only
+    // on the aggregated frame.
+    "q_quantile_windowed" -> ((s, d) => {
+      val ev = t(s, d, "events").select(
+        date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr"),
+        col("value"))
+      Sketches.histogramQuantiles(ev, "hr", "value", width = 25.0,
+          nBuckets = 20, phis = Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .withColumnRenamed("g", "hr")
+        .orderBy("hr")
+    }),
+
+    // Corpus snapshot DIFF (E28d): the dataset-versioning audit — old vs a
+    // deterministically perturbed new snapshot (drop %17, rewrite %13, add
+    // %19 under shifted ids), compared by doc_id + text fingerprint via
+    // ONE full-outer join; the added/removed/changed/unchanged census is
+    // what a release note and a reproducibility check both need.
+
+    // Corpus snapshot DIFF (E28d): the dataset-versioning audit — old vs a
+    // deterministically perturbed new snapshot (drop %17, rewrite %13, add
+    // %19 under shifted ids), compared by doc_id + text fingerprint via
+    // ONE full-outer join; the added/removed/changed/unchanged census is
+    // what a release note and a reproducibility check both need.
+    "curation_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val old = docs.select(col("doc_id"), md5(col("text")).as("fp_old"))
+      val neu = docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), md5(when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))).as("fp_new"))
+        .unionByName(docs.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            md5(col("text")).as("fp_new")))
+      old.join(neu, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(when(col("fp_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("fp_new").isNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("fp_old").isNotNull && col("fp_new").isNotNull &&
+            col("fp_old") =!= col("fp_new"), 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("fp_old") === col("fp_new"), 1L).otherwise(0L))
+            .as("n_unchanged"))
+    }),
+
+    // Word2vec-style negative-sampling table (E23k): unigram^(3/4)
+    // weights (Mikolov et al. 2013) with NO float power — c^(3/4) =
+    // floor(sqrt(c·floor(sqrt(c)))): sqrt is IEEE-correctly-rounded on
+    // exact-integer inputs < 2^53, so both engines floor the same value
+    // and the table restates exactly. Top-15 tokens + fixed-point shares;
+    // one token aggregation, then tiny frames only.
+
+    // Word2vec-style negative-sampling table (E23k): unigram^(3/4)
+    // weights (Mikolov et al. 2013) with NO float power — c^(3/4) =
+    // floor(sqrt(c·floor(sqrt(c)))): sqrt is IEEE-correctly-rounded on
+    // exact-integer inputs < 2^53, so both engines floor the same value
+    // and the table restates exactly. Top-15 tokens + fixed-point shares;
+    // one token aggregation, then tiny frames only.
+    "sample_negatives" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(filter(TextStats.tokens(col("text")),
+          x => length(x) > 0)).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(15)
+        .withColumn("w34",
+          expr("CAST(floor(sqrt(CAST(cnt * CAST(floor(sqrt(CAST(cnt AS DOUBLE))) AS BIGINT) AS DOUBLE))) AS BIGINT)"))
+      top.crossJoin(top.agg(sum(col("w34")).as("w_total")))
+        .select(col("tok"), col("cnt"), col("w34"),
+          expr("(w34 * 1000000) div w_total").as("share_fp"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    // Source-concentration diagnostics (E28c): HHI (Σ share², the
+    // antitrust/data-mixing concentration index) and top-source share in
+    // exact integer fixed-point (×10⁶, integral division) — the balance
+    // check a mixture designer runs before weighting sources. One count
+    // aggregation + a 1-row reduction.
+
+    // Source-concentration diagnostics (E28c): HHI (Σ share², the
+    // antitrust/data-mixing concentration index) and top-source share in
+    // exact integer fixed-point (×10⁶, integral division) — the balance
+    // check a mixture designer runs before weighting sources. One count
+    // aggregation + a 1-row reduction.
+    "curation_source_mix" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("cnt")).as("n_total"),
+          sum(col("cnt") * col("cnt")).as("sum_sq"), max(col("cnt")).as("max_cnt"))
+        .select(col("n_sources"),
+          expr("(sum_sq * 1000000) div (n_total * n_total)").as("hhi_fp"),
+          expr("(max_cnt * 1000000) div n_total").as("top_share_fp"))
+    }),
+
+    // A/B chi-square (E2e): users hash-split into two arms, outcome =
+    // any event with value > 222 (the per-user-max median, so the split
+    // is balanced; every user has every event TYPE, so type-based
+    // outcomes degenerate); the 2×2 contingency table plus the χ² statistic
+    // in exact integer fixed-point (×1000) — χ² is RATIONAL
+    // (n·(ad−bc)²/row·col products), so no float ever appears; wide
+    // decimals carry the squared cross-term at any scale.
+
+    // A/B chi-square (E2e): users hash-split into two arms, outcome =
+    // any event with value > 222 (the per-user-max median, so the split
+    // is balanced; every user has every event TYPE, so type-based
+    // outcomes degenerate); the 2×2 contingency table plus the χ² statistic
+    // in exact integer fixed-point (×1000) — χ² is RATIONAL
+    // (n·(ad−bc)²/row·col products), so no float ever appears; wide
+    // decimals carry the squared cross-term at any scale.
+    "q_ab_chisq" -> ((s, d) => {
+      val conv = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("value") > 222.0, 1).otherwise(0)).as("conv"))
+        .select(col("user_id") % 2 === 0 as "arm_a", col("conv") === 1 as "c")
+      conv.agg(
+          sum(when(col("arm_a") && col("c"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm_a") && !col("c"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("arm_a") && col("c"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("arm_a") && !col("c"), 1L).otherwise(0L)).as("d"))
+        .select(col("a"), col("b"), col("c"), col("d"),
+          // a zero margin (degenerate table under a future data regen)
+          // yields the sentinel -1 instead of an ANSI divide-by-zero
+          // cross-term and margin products widen to DECIMAL(38,0) BEFORE
+          // multiplying: with arm counts ~3e9 the 64-bit products would
+          // wrap silently in non-ANSI Spark (and error in DuckDB)
+          expr("CASE WHEN CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) = 0 THEN -1 " +
+            "ELSE ((CAST(a AS DECIMAL(38,0)) + b + c + d) * " +
+            "(CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c) * " +
+            "(CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c) * 1000) div " +
+            "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) END").as("chi2_fp"))
+    }),
+
+    // Integer 3σ anomaly detection (E2f): per event_type, flag values
+    // with |x−μ| > 3σ using the ALL-INTEGER inequality
+    // (n·x − S)² > 9·(n·Q − S²) over cents (S=Σx, Q=Σx²) — variance is
+    // rational, so the z-test needs no sqrt and restates exactly; wide
+    // decimals carry the squares. Outliers are PLANTED (value×10 on
+    // event_id % 499 == 0) since the uniform base has none; the tiny
+    // per-type stats frame broadcasts back to the scan.
+
+    // Integer 3σ anomaly detection (E2f): per event_type, flag values
+    // with |x−μ| > 3σ using the ALL-INTEGER inequality
+    // (n·x − S)² > 9·(n·Q − S²) over cents (S=Σx, Q=Σx²) — variance is
+    // rational, so the z-test needs no sqrt and restates exactly; wide
+    // decimals carry the squares. Outliers are PLANTED (value×10 on
+    // event_id % 499 == 0) since the uniform base has none; the tiny
+    // per-type stats frame broadcasts back to the scan.
+    "q_anomaly_events" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        (when(col("event_id") % 499 === 0, col("value") * 10)
+          .otherwise(col("value")).cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      val stats = ev.groupBy("event_type").agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("q"))
+      ev.join(broadcast(stats), "event_type")
+        .where(expr("(CAST(n AS DECIMAL(38,0))*cents - s) * (CAST(n AS DECIMAL(38,0))*cents - s) > " +
+          "9 * (CAST(n AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*s)"))
+        .select(col("event_id"), col("event_type"), col("cents"))
+        .orderBy("event_id")
+    }),
+
+    // Winsorization (E5c): clip each event's value at its type's PORTABLE
+    // p99 (the E19c histogram bound — no engine percentile involved), then
+    // the per-type census of survivors/clipped/sum — the outlier-robust
+    // cleaning stage, with the bound frame broadcast back to the scan.
+
+    // Winsorization (E5c): clip each event's value at its type's PORTABLE
+    // p99 (the E19c histogram bound — no engine percentile involved), then
+    // the per-type census of survivors/clipped/sum — the outlier-robust
+    // cleaning stage, with the bound frame broadcast back to the scan.
+    "etl_winsorize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bounds = Sketches.histogramQuantiles(ev, "event_type", "value",
+          width = 5.0, nBuckets = 100, phis = Seq(("p99", 99, 100)))
+        .select(col("g").as("event_type"), col("p99_hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_type"),
+          (least(col("value"), col("p99_hi")).cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"),
+          (col("value") > col("p99_hi")).cast("long").as("clipped"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("clipped").as("n_clipped"),
+          sum("cents").as("sum_cents_clipped"))
+        .orderBy("event_type")
+    }),
+
+    // Hourly rank movers (E2g): rank event types by hourly volume, then
+    // each type's rank delta vs the previous hour (lag) — the "what moved"
+    // dashboard. Both windows run on the 720×5 aggregated frame only.
+
+    // Hourly rank movers (E2g): rank event types by hourly volume, then
+    // each type's rank delta vs the previous hour (lag) — the "what moved"
+    // dashboard. Both windows run on the 720×5 aggregated frame only.
+    "q_rank_movers" -> ((s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = hourly.withColumn("rnk",
+        rank().over(Window.partitionBy("hr")
+          .orderBy(col("n").desc, col("event_type"))))
+      ranked.withColumn("prev_rnk",
+          lag(col("rnk"), 1).over(Window.partitionBy("event_type").orderBy("hr")))
+        .select(col("hr"), col("event_type"), col("n"), col("rnk"),
+          coalesce(col("prev_rnk"), lit(-1)).as("prev_rnk"),
+          (col("rnk") - coalesce(col("prev_rnk"), col("rnk"))).as("delta"))
+        .orderBy("hr", "event_type")
+    }),
+
+    // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
+    // nonpositive user, unknown enum, nonpositive measure, timestamp
+    // window) over a deterministically CORRUPTED twin of events — each
+    // rule's violation count is nonzero and prime-keyed to a distinct
+    // corruption, so a rule that silently stops firing (or fires on the
+    // wrong column) hash-fails. One pass: five conditional sums collapsed
+    // map-side, then a 5-row unpivot.
+
+    // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
+    // nonpositive user, unknown enum, nonpositive measure, timestamp
+    // window) over a deterministically CORRUPTED twin of events — each
+    // rule's violation count is nonzero and prime-keyed to a distinct
+    // corruption, so a rule that silently stops firing (or fires on the
+    // wrong column) hash-fails. One pass: five conditional sums collapsed
+    // map-side, then a 5-row unpivot.
+    "etl_expectations" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val corrupted = ev.select(
+        when(col("event_id") % 997 === 0, lit(null).cast("bigint"))
+          .otherwise(col("event_id")).as("event_id"),
+        col("ts"),
+        when(col("event_id") % 991 === 0, -col("user_id"))
+          .otherwise(col("user_id")).as("user_id"),
+        when(col("event_id") % 983 === 0, lit("bogus"))
+          .otherwise(col("event_type")).as("event_type"),
+        when(col("event_id") % 977 === 0, -col("value"))
+          .otherwise(col("value")).as("value"))
+      corrupted.agg(
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("r1"),
+          sum(when(col("user_id") <= 0, 1L).otherwise(0L)).as("r2"),
+          sum(when(!col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"), 1L)
+            .otherwise(0L)).as("r3"),
+          sum(when(col("value") <= 0, 1L).otherwise(0L)).as("r4"),
+          sum(when(col("ts") < lit("2024-01-01 00:00:00")
+            .cast("timestamp_ntz"), 1L).otherwise(0L)).as("r5"))
+        .select(expr("stack(5, 'null_event_id', r1, 'nonpositive_user', r2, " +
+          "'unknown_event_type', r3, 'nonpositive_value', r4, " +
+          "'ts_before_window', r5) AS (rule, n_violations)"))
+        .withColumn("pass", (col("n_violations") === 0).cast("int"))
+        .orderBy("rule")
+    }),
+
+    // Cohort retention (E2d): cohort = a user's first active hour;
+    // retention = distinct users active at hour offsets 0..5 from their
+    // cohort — the canonical product-analytics matrix. Two user-keyed
+    // aggregations + one user-keyed join, nothing row-quadratic.
+
+    // Cohort retention (E2d): cohort = a user's first active hour;
+    // retention = distinct users active at hour offsets 0..5 from their
+    // cohort — the canonical product-analytics matrix. Two user-keyed
+    // aggregations + one user-keyed join, nothing row-quadratic.
+    "q_cohort_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      val first = ev.groupBy("user_id").agg(min(col("hr")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("user_id"), col("cohort"),
+          expr("timestampdiff(HOUR, cohort, hr)").as("offset_hr"))
+        .where(col("offset_hr") <= 5)
+        .groupBy(date_format(col("cohort"), "yyyyMMddHH").as("cohort_hr"),
+          col("offset_hr"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_hr", "offset_hr")
+    }),
+
+    // MP4/ISO-BMFF container walk (E32f): spec-valid synthesized boxes
+    // (real big-endian sizes, nested moov{mvhd+trak*}), parsed by the REAL
+    // walker in the typed mapPartitions path; the oracle restates the
+    // construction arithmetic, so an endianness/offset/nesting bug makes
+    // parse ≠ construction and hash-fails — video-container coverage next
+    // to the PNG/JPEG/PPM/WAV codecs.
+
+    // MP4/ISO-BMFF container walk (E32f): spec-valid synthesized boxes
+    // (real big-endian sizes, nested moov{mvhd+trak*}), parsed by the REAL
+    // walker in the typed mapPartitions path; the oracle restates the
+    // construction arithmetic, so an endianness/offset/nesting bug makes
+    // parse ≠ construction and hash-fails — video-container coverage next
+    // to the PNG/JPEG/PPM/WAV codecs.
+    "mm_decode_mp4" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      ids.map(id => Multimodal.RawAsset(id, "mp4",
+          Multimodal.syntheticMp4Payload(id)))
+        .mapPartitions(_.flatMap(Multimodal.decodeMp4))
+        .toDF().orderBy("asset_id")
+    }),
+
+    // Tumbling event-time window (batch semantics of the streaming agg).
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    // mirrors q_quantile_windowed: the E19c histogram law per hour
+    "q_quantile_windowed" ->
+      """WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS g,
+        |    least(floor(value / 25.0), 19)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p50 AS (SELECT g, min(bucket)::INT AS p50_bucket FROM cum
+        |  WHERE cum >= (n * 1 + 1) // 2 GROUP BY g),
+        |p95 AS (SELECT g, min(bucket)::INT AS p95_bucket FROM cum
+        |  WHERE cum >= (n * 19 + 19) // 20 GROUP BY g),
+        |base AS (SELECT g, max(n)::BIGINT AS n FROM cum GROUP BY g)
+        |SELECT base.g AS hr, n,
+        |  p50_bucket, ((p50_bucket + 1) * 25.0)::DOUBLE AS p50_hi,
+        |  p95_bucket, ((p95_bucket + 1) * 25.0)::DOUBLE AS p95_hi
+        |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
+        |ORDER BY hr""".stripMargin,
+
+    // mirrors curation_snapshot_diff's perturbation + full-outer census
+
+    // mirrors curation_snapshot_diff's perturbation + full-outer census
+    "curation_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS fp_old FROM documents),
+        |neu AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL SELECT doc_id + 100000, md5(text) FROM documents
+        |  WHERE doc_id % 19 = 0)
+        |SELECT
+        |  sum(CASE WHEN fp_old IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_added,
+        |  sum(CASE WHEN fp_new IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+        |  sum(CASE WHEN fp_old IS NOT NULL AND fp_new IS NOT NULL
+        |      AND fp_old <> fp_new THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+        |  sum(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
+        |FROM old FULL OUTER JOIN neu USING (doc_id)""".stripMargin,
+
+    // mirrors sample_negatives' sqrt-composed 3/4-power arithmetic
+
+    // mirrors sample_negatives' sqrt-composed 3/4-power arithmetic
+    "sample_negatives" ->
+      """WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok FROM documents),
+        |top AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY tok
+        |  ORDER BY cnt DESC, tok LIMIT 15),
+        |w AS (SELECT tok, cnt,
+        |  floor(sqrt(cnt * floor(sqrt(cnt))::BIGINT))::BIGINT AS w34 FROM top),
+        |t AS (SELECT sum(w34)::BIGINT AS w_total FROM w)
+        |SELECT tok, cnt, w34, ((w34 * 1000000) // w_total)::BIGINT AS share_fp
+        |FROM w, t ORDER BY cnt DESC, tok""".stripMargin,
+
+    // mirrors curation_source_mix's fixed-point concentration arithmetic
+
+    // mirrors curation_source_mix's fixed-point concentration arithmetic
+    "curation_source_mix" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+        |a AS (SELECT count(*)::BIGINT AS n_sources, sum(cnt)::BIGINT AS n_total,
+        |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
+        |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
+        |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+    // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²
+
+    // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²
+    "q_ab_chisq" ->
+      """WITH u AS (SELECT user_id, user_id % 2 = 0 AS arm_a,
+        |  max(CASE WHEN value > 222.0 THEN 1 ELSE 0 END) = 1 AS c
+        |  FROM events GROUP BY user_id),
+        |t AS (SELECT
+        |  sum(CASE WHEN arm_a AND c THEN 1 ELSE 0 END)::BIGINT AS a,
+        |  sum(CASE WHEN arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS b,
+        |  sum(CASE WHEN NOT arm_a AND c THEN 1 ELSE 0 END)::BIGINT AS c,
+        |  sum(CASE WHEN NOT arm_a AND NOT c THEN 1 ELSE 0 END)::BIGINT AS d
+        |  FROM u)
+        |SELECT a, b, c, d,
+        |  (CASE WHEN (a::HUGEINT + b) * (c + d) * (a + c) * (b + d) = 0 THEN -1
+        |   ELSE ((a::HUGEINT + b + c + d) * (a::HUGEINT*d - b::HUGEINT*c) *
+        |         (a::HUGEINT*d - b::HUGEINT*c) * 1000) //
+        |        ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)) END)::BIGINT AS chi2_fp
+        |FROM t""".stripMargin,
+
+    // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
+
+    // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
+    "q_anomaly_events" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |  ((CASE WHEN event_id % 499 = 0 THEN value * 10 ELSE value END)
+        |    ::DECIMAL(18,2) * 100)::BIGINT AS cents FROM events),
+        |st AS (SELECT event_type, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+        |  sum(cents::HUGEINT * cents)::HUGEINT AS q FROM e GROUP BY event_type)
+        |SELECT event_id, e.event_type, cents
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE (n::HUGEINT*cents - s) * (n::HUGEINT*cents - s) >
+        |      9 * (n::HUGEINT*q - s::HUGEINT*s)
+        |ORDER BY event_id""".stripMargin,
+
+    // mirrors etl_winsorize: the E19c p99 bound per type, then the clip
+
+    // mirrors etl_winsorize: the E19c p99 bound per type, then the clip
+    "etl_winsorize" ->
+      """WITH c AS (SELECT event_type AS g,
+        |    least(floor(value / 5.0), 99)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p99 AS (SELECT g, min(bucket)::INT AS p99_bucket FROM cum
+        |  WHERE cum >= (n * 99 + 99) // 100 GROUP BY g),
+        |b AS (SELECT g AS event_type, ((p99_bucket + 1) * 5.0)::DOUBLE AS p99_hi
+        |  FROM p99)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN e.value > b.p99_hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+        |  sum((least(e.value, b.p99_hi)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT
+        |    AS sum_cents_clipped
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // mirrors q_rank_movers: hourly volume rank + previous-hour lag
+
+    // mirrors q_rank_movers: hourly volume rank + previous-hour lag
+    "q_rank_movers" ->
+      """WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+        |    event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT hr, event_type, n,
+        |  rank() OVER (PARTITION BY hr ORDER BY n DESC, event_type)::INT AS rnk
+        |  FROM h),
+        |m AS (SELECT hr, event_type, n, rnk,
+        |  lag(rnk) OVER (PARTITION BY event_type ORDER BY hr) AS prev
+        |  FROM r)
+        |SELECT hr, event_type, n, rnk,
+        |  coalesce(prev, -1)::INT AS prev_rnk,
+        |  (rnk - coalesce(prev, rnk))::INT AS delta
+        |FROM m ORDER BY hr, event_type""".stripMargin,
+
+    // mirrors etl_expectations' corrupted twin + five conditional sums
+
+    // mirrors etl_expectations' corrupted twin + five conditional sums
+    "etl_expectations" ->
+      """WITH c AS (SELECT
+        |  CASE WHEN event_id % 997 = 0 THEN NULL ELSE event_id END AS eid,
+        |  ts,
+        |  CASE WHEN event_id % 991 = 0 THEN -user_id ELSE user_id END AS uid,
+        |  CASE WHEN event_id % 983 = 0 THEN 'bogus' ELSE event_type END AS et,
+        |  CASE WHEN event_id % 977 = 0 THEN -value ELSE value END AS v
+        |  FROM events),
+        |a AS (SELECT
+        |  sum(CASE WHEN eid IS NULL THEN 1 ELSE 0 END)::BIGINT AS r1,
+        |  sum(CASE WHEN uid <= 0 THEN 1 ELSE 0 END)::BIGINT AS r2,
+        |  sum(CASE WHEN et NOT IN ('click','error','purchase','signup','view')
+        |      THEN 1 ELSE 0 END)::BIGINT AS r3,
+        |  sum(CASE WHEN v <= 0 THEN 1 ELSE 0 END)::BIGINT AS r4,
+        |  sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END)::BIGINT AS r5
+        |  FROM c),
+        |u AS (SELECT 'null_event_id' AS rule, r1 AS n_violations FROM a
+        |  UNION ALL SELECT 'nonpositive_user', r2 FROM a
+        |  UNION ALL SELECT 'unknown_event_type', r3 FROM a
+        |  UNION ALL SELECT 'nonpositive_value', r4 FROM a
+        |  UNION ALL SELECT 'ts_before_window', r5 FROM a)
+        |SELECT rule, n_violations,
+        |  (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS pass
+        |FROM u ORDER BY rule""".stripMargin,
+
+    // mirrors q_cohort_retention: first-hour cohort join, hour offsets
+
+    // mirrors q_cohort_retention: first-hour cohort join, hour offsets
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, date_trunc('hour', ts) AS hr FROM events),
+        |f AS (SELECT user_id, min(hr) AS cohort FROM e GROUP BY user_id),
+        |j AS (SELECT e.user_id, f.cohort,
+        |  date_diff('hour', f.cohort, e.hr) AS offset_hr
+        |  FROM e JOIN f USING (user_id))
+        |SELECT strftime(cohort, '%Y%m%d%H') AS cohort_hr, offset_hr,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM j WHERE offset_hr <= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors syntheticMp4Payload: 3 top boxes, 1+id%3 traks, timescale
+    // 1000+id%9000, duration (id·37)%100000
+
+    // mirrors syntheticMp4Payload: 3 top boxes, 1+id%3 traks, timescale
+    // 1000+id%9000, duration (id·37)%100000
+    "mm_decode_mp4" ->
+      """SELECT doc_id AS asset_id, 3 AS n_top_boxes,
+        |  (1 + doc_id % 3)::INT AS n_traks,
+        |  (1000 + doc_id % 9000)::BIGINT AS timescale,
+        |  ((doc_id * 37) % 100000)::BIGINT AS duration
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to
+    // (id + i) % 256 (i row-major interleaved over 3·w·h bytes); corrupted
+    // ids (doc_id % 29 = 0) are quarantined and must be absent
+
+    // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to
+    // (id + i) % 256 (i row-major interleaved over 3·w·h bytes); corrupted
+    // ids (doc_id % 29 = 0) are quarantined and must be absent
+    "mm_decode_png_pixels" ->
+      """WITH px AS (SELECT doc_id, (1 + doc_id % 13)::INT AS w,
+        |    (1 + doc_id % 7)::INT AS h
+        |  FROM documents WHERE doc_id % 29 <> 0),
+        |e AS (SELECT doc_id, w, h, unnest(range(0, 3 * w * h)) AS i FROM px)
+        |SELECT doc_id AS asset_id, w AS width, h AS height,
+        |  sum(CASE WHEN i % 3 = 0 THEN (doc_id + i) % 256 END)::BIGINT AS r_sum,
+        |  sum(CASE WHEN i % 3 = 1 THEN (doc_id + i) % 256 END)::BIGINT AS g_sum,
+        |  sum(CASE WHEN i % 3 = 2 THEN (doc_id + i) % 256 END)::BIGINT AS b_sum,
+        |  sum((i + 1) * ((doc_id + i) % 256))::BIGINT AS wsum
+        |FROM e GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
+
+    // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
+    // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
+    // 3·(y·w+x)+c — restated at exactly the strided sample positions
+
+    // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
+    // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
+    // 3·(y·w+x)+c — restated at exactly the strided sample positions
+    "mm_resize" ->
+      """WITH p AS (SELECT doc_id AS asset_id, (1 + doc_id % 13)::INT AS w,
+        |    (1 + doc_id % 7)::INT AS h
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sx AS (SELECT asset_id, w, h, unnest(range(0, w, 2)) AS x FROM p),
+        |s AS (SELECT asset_id, w, h, x, unnest(range(0, h, 2)) AS y FROM sx),
+        |sums AS (SELECT asset_id,
+        |  max((w + 1) // 2)::INT AS w_out, max((h + 1) // 2)::INT AS h_out,
+        |  count(*)::BIGINT AS n_sampled,
+        |  sum((asset_id + 3*(y*w + x)) % 256)::BIGINT AS r_sum,
+        |  sum((asset_id + 3*(y*w + x) + 1) % 256)::BIGINT AS g_sum,
+        |  sum((asset_id + 3*(y*w + x) + 2) % 256)::BIGINT AS b_sum
+        |  FROM s GROUP BY asset_id)
+        |SELECT asset_id, w_out, h_out, n_sampled, r_sum, g_sum, b_sum
+        |FROM sums ORDER BY asset_id""".stripMargin,
+
+    // mirrors Graph.triangleStats over the stride-1,2,3 circulant: same
+    // canonical undirected edges, same (degree, id) orientation, same
+    // wedge + closure joins
+
+    "mm_payload_stats" ->
+      """SELECT doc_id AS asset_id,
+        |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+        |  octet_length(encode(text))::BIGINT AS payload_bytes,
+        |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
+        |    i -> ord(substr(text, i, 1))))::BIGINT AS header_sum
+        |FROM documents ORDER BY asset_id""".stripMargin,
+
+    // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
+    // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
+    // frame = 2*(ceil(nframes/2)-1). Zero-frame (empty-payload) assets emit
+    // NO row — matching the Spark side, where posexplode of an empty frame
+    // array yields nothing (a groupBy after it cannot see the asset).
+
+    // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
+    // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
+    // frame = 2*(ceil(nframes/2)-1). Zero-frame (empty-payload) assets emit
+    // NO row — matching the Spark side, where posexplode of an empty frame
+    // array yields nothing (a groupBy after it cannot see the asset).
+    "mm_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        |  ((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2)::BIGINT
+        |    AS n_sampled,
+        |  (2 * (((ceil(octet_length(encode(text)) / 16.0)::BIGINT + 1) // 2) - 1))::INT
+        |    AS max_frame
+        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+        |ORDER BY asset_id""".stripMargin,
+
+    // restates syntheticContainerPayload's dimension arithmetic: the Spark
+    // side must recover exactly these values by PARSING the bytes it built
+
+    // restates syntheticContainerPayload's dimension arithmetic: the Spark
+    // side must recover exactly these values by PARSING the bytes it built
+    "mm_decode_containers" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE (doc_id % 4) WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+        |    WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 8000 ELSE 1 + doc_id % 13 END)::INT
+        |    AS width,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 1 + doc_id % 2
+        |    ELSE 1 + doc_id % 7 END)::INT AS height,
+        |  (CASE (doc_id % 4) WHEN 1 THEN 1 + doc_id % 5 ELSE 1 END)::INT
+        |    AS n_frames
+        |FROM documents ORDER BY asset_id""".stripMargin,
+  )
+}

@@ -1,0 +1,1510 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.streaming.EventTimeOps
+
+/** Similarity-search family (E15): brute/LSH/IVF/PQ/int8/graph/HNSW ANN, k-means, MMR, recall harnesses, hybrid retrieval.
+  *
+  * One catalog family of [[ExtQueries]] (split from the former monolith,
+  * zero behavior change): `queries` are the Spark definitions, `oracle`
+  * the DuckDB restatements the driver gates them against. Portability
+  * rules are documented on [[ExtQueries]]; shared fixtures/helpers live
+  * in [[CatalogShared]]. */
+object SimilarityCatalog {
+  import CatalogShared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
+    "sim_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Sign-quantization LSH bucketed top-k (the pruned scale path).
+
+    // Sign-quantization LSH bucketed top-k (the pruned scale path).
+    "sim_topk_lsh" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bucketedTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, bits = 6)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ANN recall EVALUATION harness (E15g): recall@5 of the pruned LSH
+    // path against brute-force ground truth, per query, in fixed point —
+    // quality measurement as a first-class operator (the number a recall
+    // SLO monitors), not a spec-only assertion. Both retrievers' own scale
+    // shapes; the comparison is two tiny top-k frames joined on
+    // (query, id).
+
+    // ANN recall EVALUATION harness (E15g): recall@5 of the pruned LSH
+    // path against brute-force ground truth, per query, in fixed point —
+    // quality measurement as a first-class operator (the number a recall
+    // SLO monitors), not a spec-only assertion. Both retrievers' own scale
+    // shapes; the comparison is two tiny top-k frames joined on
+    // (query, id).
+    "sim_recall_eval" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      val lsh = Similarity.bucketedTopK(e, q, "vec_id", "embedding",
+        k = 5, bits = 6)
+      val mp = Similarity.bucketedTopKMultiProbe(e, q, "vec_id", "embedding",
+        k = 5, bits = 6)
+      def hitsOf(got: DataFrame, name: String) =
+        bf.select(col("query_id"), col("id"))
+          .join(got.select(col("query_id"), col("id")), Seq("query_id", "id"))
+          .groupBy("query_id").agg(count(lit(1)).as(name))
+      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
+        .join(hitsOf(lsh, "hits_lsh"), Seq("query_id"), "left")
+        .join(hitsOf(mp, "hits_mp"), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("hits_lsh"), lit(0L)).as("hits_lsh"),
+          coalesce(col("hits_mp"), lit(0L)).as("hits_mp"))
+        .select(col("query_id"), col("n_true"), col("hits_lsh"), col("hits_mp"),
+          expr("(hits_lsh * 1000000) div n_true").as("recall_lsh_fp"),
+          expr("(hits_mp * 1000000) div n_true").as("recall_mp_fp"))
+        .orderBy("query_id")
+    }),
+
+    // MMR diversified re-ranking (E15h): greedy rel − ½·max-sim-to-selected
+    // over the brute top-10, five unrolled rounds — the anti-redundancy
+    // pass a RAG context builder runs after retrieval, fully restated
+    // (selection order AND scores compared).
+
+    // MMR diversified re-ranking (E15h): greedy rel − ½·max-sim-to-selected
+    // over the brute top-10, five unrolled rounds — the anti-redundancy
+    // pass a RAG context builder runs after retrieval, fully restated
+    // (selection order AND scores compared).
+    "sim_mmr_rerank" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.mmrRerank(e, e.where(col("vec_id") < 5), "vec_id",
+          "embedding", kCand = 10, kSel = 5)
+        .orderBy("query_id", "sel_rank")
+    }),
+
+    // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
+    // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
+    // even with k-means-fitted cells (fitIters=2 exercises the fitting under
+    // the gate); the point under test is the zero-exchange cell-assignment
+    // projection + cell-keyed probe join (ExtSpec asserts the plan).
+
+    // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
+    // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
+    // even with k-means-fitted cells (fitIters=2 exercises the fitting under
+    // the gate); the point under test is the zero-exchange cell-assignment
+    // projection + cell-keyed probe join (ExtSpec asserts the plan).
+    "sim_topk_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 8, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Filtered vector search: top-k among label=2 vectors only (~10% of the
+    // corpus) — PRE-filter semantics (a full k from the eligible set, not a
+    // thinned post-filtered list), centroids still fit on everything
+    // (prebuilt-index semantics). nProbe = nCells keeps the exactness
+    // contract, so the oracle is the brute force over the eligible subset —
+    // and exactness under full probe holds for ANY centroid set, so this
+    // headline row skips the k-means fit (fitIters = 0): it measures the
+    // filtered SEARCH path, not the index build the `sim_topk_ivf` row
+    // already exercises (a prebuilt index is not re-fit per query batch).
+
+    // Filtered vector search: top-k among label=2 vectors only (~10% of the
+    // corpus) — PRE-filter semantics (a full k from the eligible set, not a
+    // thinned post-filtered list), centroids still fit on everything
+    // (prebuilt-index semantics). nProbe = nCells keeps the exactness
+    // contract, so the oracle is the brute force over the eligible subset —
+    // and exactness under full probe holds for ANY centroid set, so this
+    // headline row skips the k-means fit (fitIters = 0): it measures the
+    // filtered SEARCH path, not the index build the `sim_topk_ivf` row
+    // already exercises (a prebuilt index is not re-fit per query batch).
+    "sim_topk_ivf_filtered" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfTopKFiltered(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", predicate = col("label") === 2,
+          k = 10, nCells = 8, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // k-NN graph construction: every vector's 5 nearest neighbors among
+    // multi-probe sign-bucket candidates — the precursor structure for
+    // graph ANN and embedding-space clustering. Bucket equi-join + the
+    // bounded-heap TopK; the sign buckets are portable, so the oracle
+    // restates the full candidate rule.
+
+    // k-NN graph construction: every vector's 5 nearest neighbors among
+    // multi-probe sign-bucket candidates — the precursor structure for
+    // graph ANN and embedding-space clustering. Bucket equi-join + the
+    // bounded-heap TopK; the sign buckets are portable, so the oracle
+    // restates the full candidate rule.
+    "sim_knn_graph" -> ((s, d) => {
+      Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 5, bits = 6)
+        .orderBy("id", "rank")
+    }),
+
+    // Link-graph centrality for corpus curation (the Common-Crawl-style
+    // host ranking that feeds web-scale quality gates): integer fixed-point
+    // PageRank over the bidirectional customer<->supplier trade graph, 3
+    // iterations. Every arithmetic step is exact BIGINT (truncating div),
+    // so the fixed-iteration run is restated verbatim in the oracle as
+    // unrolled CTEs — no float reduction order anywhere. Supplier nodes are
+    // offset by 10^6 to disambiguate the shared integer key space.
+
+    // Link-graph centrality for corpus curation (the Common-Crawl-style
+    // host ranking that feeds web-scale quality gates): integer fixed-point
+    // PageRank over the bidirectional customer<->supplier trade graph, 3
+    // iterations. Every arithmetic step is exact BIGINT (truncating div),
+    // so the fixed-iteration run is restated verbatim in the oracle as
+    // unrolled CTEs — no float reduction order anywhere. Supplier nodes are
+    // offset by 10^6 to disambiguate the shared integer key space.
+    "graph_pagerank" -> ((s, d) => {
+      val oj = t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      val fwd = oj.select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      val e = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankExact(e, "src", "dst", iters = 3).orderBy("node")
+    }),
+
+    // Exact triangle count (E30b) over a circulant doc graph (strides
+    // 1,2,3 mod N — exactly 3·N triangles, an analytic cross-check): the
+    // degree-ordered wedge join, each triangle once, fan-out bounded by
+    // the max ORIENTED out-degree (O(√m) on any graph — the celebrity-node
+    // guard). All joins node-keyed; output is the 1-row census.
+
+    // Exact triangle count (E30b) over a circulant doc graph (strides
+    // 1,2,3 mod N — exactly 3·N triangles, an analytic cross-check): the
+    // degree-ordered wedge join, each triangle once, fan-out bounded by
+    // the max ORIENTED out-degree (O(√m) on any graph — the celebrity-node
+    // guard). All joins node-keyed; output is the 1-row census.
+    "graph_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nRow = docs.agg(count(lit(1)).as("n"))
+      val e = docs.crossJoin(nRow)
+        .select(col("doc_id"), col("n"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") + col("k"), col("n")).as("dst"))
+      Graph.triangleStats(e, "src", "dst")
+    }),
+
+    // URL parse + canonicalization — the first hop of a crawl-curation
+    // pipeline. The fixture has no URL column, so one is SYNTHESIZED
+    // deterministically per document (five construction branches exercising
+    // mixed-case scheme/host, userinfo, explicit default + non-default
+    // ports, empty path, trailing-dot host, multi-label public suffix,
+    // query, fragment); the oracle restates the BRANCH ARITHMETIC — the
+    // expected field values per branch — so the Spark side's actual regex
+    // parse is what's on the hash, with zero regex-dialect coupling. The
+    // whole row is one codegen'd projection: no shuffle before the
+    // determinism sort.
+
+    // URL parse + canonicalization — the first hop of a crawl-curation
+    // pipeline. The fixture has no URL column, so one is SYNTHESIZED
+    // deterministically per document (five construction branches exercising
+    // mixed-case scheme/host, userinfo, explicit default + non-default
+    // ports, empty path, trailing-dot host, multi-label public suffix,
+    // query, fragment); the oracle restates the BRANCH ARITHMETIC — the
+    // expected field values per branch — so the Spark side's actual regex
+    // parse is what's on the hash, with zero regex-dialect coupling. The
+    // whole row is one codegen'd projection: no shuffle before the
+    // determinism sort.
+    "text_url_parse" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+      Urls.withUrlPartsNative(docs, "url")
+        .select(col("doc_id"), col("url"), col("scheme"), col("host"),
+          col("port"), col("reg_domain"), col("path"), col("query"),
+          col("frag"), col("canon_url"))
+        .orderBy("doc_id")
+    }),
+
+    // Registered-domain blocklist — the most common crawl-curation gate
+    // (spam/adult/boilerplate domain lists): reg_domain derived per doc
+    // (zero-shuffle projection), membership against a broadcast-literal
+    // blocklist, kept docs pass. Drops the ftp branch's example.org docs
+    // plus one co.uk entry, so both the multi-label suffix rule and the
+    // filter itself are on the hash.
+
+    // Registered-domain blocklist — the most common crawl-curation gate
+    // (spam/adult/boilerplate domain lists): reg_domain derived per doc
+    // (zero-shuffle projection), membership against a broadcast-literal
+    // blocklist, kept docs pass. Drops the ftp branch's example.org docs
+    // plus one co.uk entry, so both the multi-label suffix rule and the
+    // filter itself are on the hash.
+    "curation_domain_filter" -> ((s, d) => {
+      val blocked = Seq("example.org", "example.co.uk")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+        .withColumn("host", Urls.urlHostNative(col("url")))
+      docs
+        .withColumn("reg_domain", Urls.registeredDomain(col("host")))
+        .where(!col("reg_domain").isInCollection(blocked))
+        .select(col("doc_id"), col("host"), col("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-level dedup through canonicalization — crawl frontier dedup: the
+    // same page surfaces under cosmetically different URLs and the
+    // canonical form is the equality key. Each doc contributes its branch
+    // URL plus a textually-distinct twin (fragment appended; offset id)
+    // that MUST collapse onto the same canonical key — and branch 3's URL
+    // embeds no doc id, so whole (source, branch) groups collapse too.
+    // Shape: projection + ONE canon-keyed aggregation with map-side
+    // partials — the crawl-dedup plan that holds at frontier scale.
+
+    // URL-level dedup through canonicalization — crawl frontier dedup: the
+    // same page surfaces under cosmetically different URLs and the
+    // canonical form is the equality key. Each doc contributes its branch
+    // URL plus a textually-distinct twin (fragment appended; offset id)
+    // that MUST collapse onto the same canonical key — and branch 3's URL
+    // embeds no doc id, so whole (source, branch) groups collapse too.
+    // Shape: projection + ONE canon-keyed aggregation with map-side
+    // partials — the crawl-dedup plan that holds at frontier scale.
+    "dedup_url" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+      val twin = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("url"), lit("#m")).as("url"))
+      base.select(col("doc_id"), col("url")).unionByName(twin)
+        .select(col("doc_id"), Urls.canonicalUrlNative(col("url")).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          count(lit(1)).as("n_urls"))
+        .orderBy("canon_url")
+    }),
+
+    // Host-level quality join — the consumer graph_pagerank was built for:
+    // canonical hosts derived from the synthesized URLs, a host link graph
+    // (each doc's host links to the hosts of docs id+1 and id+29 — stride
+    // self-joins keyed on doc_id, no corpus count and no cross join
+    // anywhere; tail ids simply emit fewer edges), integer fixed-point
+    // PageRank over it, and the per-host rank joined back onto every
+    // document through a BROADCAST of the host dim — documents never
+    // shuffle for the join. Oracle: same construction + unrolled 3-iter
+    // PageRank CTEs.
+
+    // Host-level quality join — the consumer graph_pagerank was built for:
+    // canonical hosts derived from the synthesized URLs, a host link graph
+    // (each doc's host links to the hosts of docs id+1 and id+29 — stride
+    // self-joins keyed on doc_id, no corpus count and no cross join
+    // anywhere; tail ids simply emit fewer edges), integer fixed-point
+    // PageRank over it, and the per-host rank joined back onto every
+    // document through a BROADCAST of the host dim — documents never
+    // shuffle for the join. Oracle: same construction + unrolled 3-iter
+    // PageRank CTEs.
+    "curation_host_rank" -> ((s, d) => {
+      val withHost = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("url", synthUrl)
+        .withColumn("host", Urls.urlHostNative(col("url")))
+        // host ↔ (source number, branch) is bijective by construction, so
+        // an arithmetic integer node id avoids hashing hosts to longs
+        .withColumn("host_id",
+          regexp_extract(col("host"), "src([0-9]+)", 1).cast("long") * 5
+            + col("doc_id") % 5)
+      val dstSide = withHost.select(col("doc_id").as("dst_doc"),
+        col("host_id").as("dst_host"))
+      val edges = Seq(1, 29).map { k =>
+        withHost.select((col("doc_id") + k).as("dst_doc"),
+            col("host_id").as("src"))
+          .join(dstSide, "dst_doc")
+          .select(col("src"), col("dst_host").as("dst"))
+      }.reduce(_ unionByName _)
+      val ranks = Graph.pageRankExact(edges, "src", "dst", iters = 3)
+      Urls.hostRankJoin(withHost.select(col("doc_id"), col("host"),
+          col("host_id")), "host_id", ranks, "node", "rank")
+        .select(col("doc_id"), col("host"), col("host_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // PQ-compressed ANN via asymmetric distance computation: the corpus is
+    // stored as m=16 code ints (16× compression vs 64 raw floats; a real
+    // deployment packs them into 16 bytes) and each candidate costs 16
+    // table lookups instead of 64 multiplies. Scores are quantized by
+    // codebook resolution, so no external engine can restate them —
+    // rows-only by design; ExtSpec pins recall vs the exact scan (≥0.6
+    // measured 0.70 on this corpus — random embeddings are PQ's worst
+    // case) and exactness when the codebook covers the corpus.
+
+    // PQ-compressed ANN via asymmetric distance computation: the corpus is
+    // stored as m=16 code ints (16× compression vs 64 raw floats; a real
+    // deployment packs them into 16 bytes) and each candidate costs 16
+    // table lookups instead of 64 multiplies. Scores are quantized by
+    // codebook resolution, so no external engine can restate them —
+    // rows-only by design; ExtSpec pins recall vs the exact scan (≥0.6
+    // measured 0.70 on this corpus — random embeddings are PQ's worst
+    // case) and exactness when the codebook covers the corpus.
+    "sim_topk_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, m = 16, ksub = 64, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ ADC with a PINNED arithmetic codebook (the production shape:
+    // codebooks trained offline, shipped as an artifact) — and because the
+    // codebook is an explicit constant, the full encode→ADC→rank pipeline
+    // IS restatable: the oracle rebuilds the same codebook from the same
+    // integer formula and mirrors every fold in index order. This is the
+    // oracle-carrying twin of the rows-only fitted row above.
+
+    // PQ ADC with a PINNED arithmetic codebook (the production shape:
+    // codebooks trained offline, shipped as an artifact) — and because the
+    // codebook is an explicit constant, the full encode→ADC→rank pipeline
+    // IS restatable: the oracle rebuilds the same codebook from the same
+    // integer formula and mirrors every fold in index order. This is the
+    // oracle-carrying twin of the rows-only fitted row above.
+    "sim_topk_pq_fixed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.pqTopKPinned(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, cb = pinnedCodebook)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ with pinned codebook + deterministic centroids and REAL
+    // partial-probe pruning (nProbe=4 of 8 cells — candidates genuinely
+    // drop, unlike the full-probe identity): the billion-scale composition
+    // under a complete oracle — cell assignment (argmax cosine, min-id
+    // ties, zero-norm → -2), query-side top-4 probe cells, PQ encode, ADC,
+    // and ranking all restated in DuckDB.
+
+    // IVF-PQ with pinned codebook + deterministic centroids and REAL
+    // partial-probe pruning (nProbe=4 of 8 cells — candidates genuinely
+    // drop, unlike the full-probe identity): the billion-scale composition
+    // under a complete oracle — cell assignment (argmax cosine, min-id
+    // ties, zero-norm → -2), query-side top-4 probe cells, PQ encode, ADC,
+    // and ranking all restated in DuckDB.
+    "sim_topk_ivfpq_fixed" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqTopKPinned(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 4,
+          cb = pinnedCodebook)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
+    // — the classic billion-scale ANN recipe (prune by cell, score against
+    // codes, never touch raw vectors after encode). Rows-only for the same
+    // reason as sim_topk_pq.
+
+    // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
+    // — the classic billion-scale ANN recipe (prune by cell, score against
+    // codes, never touch raw vectors after encode). Rows-only for the same
+    // reason as sim_topk_pq.
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, nCells = 8, nProbe = 4,
+          m = 16, ksub = 64, fitIters = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Int8-quantized brute-force ANN: 4x smaller corpus vectors (memory
+    // bandwidth IS the brute-force bottleneck at scale), integer-dot
+    // cosine. Deterministic floor(x*127/maxabs + 0.5) quantization makes
+    // codes AND scores engine-exact, so the quantized search is fully
+    // oracle-checked — unlike PQ's fitted codebooks.
+
+    // Int8-quantized brute-force ANN: 4x smaller corpus vectors (memory
+    // bandwidth IS the brute-force bottleneck at scale), integer-dot
+    // cosine. Deterministic floor(x*127/maxabs + 0.5) quantization makes
+    // codes AND scores engine-exact, so the quantized search is fully
+    // oracle-checked — unlike PQ's fitted codebooks.
+    "sim_topk_int8" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.int8TopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
+    // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
+    // re-ranks the shortlist — the retrieve-then-rerank pattern. Both
+    // stages are deterministic strict folds, so the WHOLE pipeline is
+    // restated in the oracle (shortlist membership included), unlike
+    // PQ's codebook-dependent shortlist.
+
+    // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
+    // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
+    // re-ranks the shortlist — the retrieve-then-rerank pattern. Both
+    // stages are deterministic strict folds, so the WHOLE pipeline is
+    // restated in the oracle (shortlist membership included), unlike
+    // PQ's codebook-dependent shortlist.
+    "sim_topk_refined" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.refinedTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, prefixDims = 16, shortlist = 50)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
+    // of a DIFFERENT label — the contrastive-training batch builder.
+    // bruteForceTopK's scan shape with a pair-level label-mismatch filter.
+
+    // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
+    // of a DIFFERENT label — the contrastive-training batch builder.
+    // bruteForceTopK's scan shape with a pair-level label-mismatch filter.
+    "sim_hard_negatives" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.hardNegativesTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
+    // assignment on exact-integer arithmetic, truncating-integer-mean
+    // centroid update — so unlike the FP kmeansCentroids fit (reduction-
+    // order-dependent, never restatable) BOTH the fitted centroids and the
+    // final assignments are on the hash: the oracle unrolls all three
+    // assignment passes and both updates (Sql.kmeansUnrolled). k = 8 cells
+    // seeded from the 8 lowest vec_ids, 2 Lloyd rounds, one row per vector.
+
+    // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
+    // assignment on exact-integer arithmetic, truncating-integer-mean
+    // centroid update — so unlike the FP kmeansCentroids fit (reduction-
+    // order-dependent, never restatable) BOTH the fitted centroids and the
+    // final assignments are on the hash: the oracle unrolls all three
+    // assignment passes and both updates (Sql.kmeansUnrolled). k = 8 cells
+    // seeded from the 8 lowest vec_ids, 2 Lloyd rounds, one row per vector.
+    "sim_kmeans" -> ((s, d) => {
+      Similarity.kmeansAssignPortable(t(s, d, "embeddings"), "vec_id",
+          "embedding", k = 8, updates = 2)
+        .orderBy("vec_id")
+    }),
+
+    // Cluster-balanced downsampling (the E15e consumer): cap every fitted
+    // k-means cell at 40 vectors by deterministic hash order — the
+    // diversity-preserving prune (SemDeDup-style: dense cells shed
+    // redundant mass, sparse cells survive whole). Assignment is the
+    // zero-exchange kmeans projection; the cap runs the bounded-heap
+    // skew-safe path, so one mega-cell costs O(partitions·cap), not
+    // O(cell) — the window twin would serialize it through one task.
+
+    // Cluster-balanced downsampling (the E15e consumer): cap every fitted
+    // k-means cell at 40 vectors by deterministic hash order — the
+    // diversity-preserving prune (SemDeDup-style: dense cells shed
+    // redundant mass, sparse cells survive whole). Assignment is the
+    // zero-exchange kmeans projection; the cap runs the bounded-heap
+    // skew-safe path, so one mega-cell costs O(partitions·cap), not
+    // O(cell) — the window twin would serialize it through one task.
+    "sample_cluster_balance" -> ((s, d) => {
+      val assigned = Similarity.kmeansAssignPortable(t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8, updates = 2)
+      Sampling.capPerGroupSkewSafe(assigned, "cell", "vec_id", 40, salt = "bal")
+        .select(col("vec_id"), col("cell"))
+        .orderBy("vec_id")
+    }),
+
+    // Streaming near-dup candidates, driven in batch mode (the whole frame
+    // as one micro-batch): deterministic pair SET (per-bucket processing is
+    // id-ordered), but the decision is a signature-agreement ESTIMATE the
+    // oracle cannot restate without xxhash64 — rows-only by design, like
+    // the sketches below; the streaming statefulness is MemoryStream-tested.
+
+    // Streaming near-dup candidates, driven in batch mode (the whole frame
+    // as one micro-batch): deterministic pair SET (per-bucket processing is
+    // id-ordered), but the decision is a signature-agreement ESTIMATE the
+    // oracle cannot restate without xxhash64 — rows-only by design, like
+    // the sketches below; the streaming statefulness is MemoryStream-tested.
+    "q_streaming_neardup" -> ((s, d) => {
+      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text")
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .toDF()
+    }),
+
+    // The ORACLE-GATED twin of q_streaming_neardup: the SAME stateful LSH
+    // operator (banding, bucket state, in-batch id-order processing,
+    // agreement scoring) running the portable md5-60bit signature family
+    // instead of xxhash64. At gate SF no bucket approaches the caps, so
+    // the emitted pair set is exactly {(a,b): n_agree >= 8 of 16}, which
+    // DuckDB restates from the md5 signature law — the statefulness itself
+    // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
+
+    // The ORACLE-GATED twin of q_streaming_neardup: the SAME stateful LSH
+    // operator (banding, bucket state, in-batch id-order processing,
+    // agreement scoring) running the portable md5-60bit signature family
+    // instead of xxhash64. At gate SF no bucket approaches the caps, so
+    // the emitted pair set is exactly {(a,b): n_agree >= 8 of 16}, which
+    // DuckDB restates from the md5 signature law — the statefulness itself
+    // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
+    "q_streaming_neardup_portable" -> ((s, d) => {
+      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text",
+          signature = Some(Dedup.minhashSignature60(col("text"), 3, 16)))
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .toDF()
+    }),
+
+    // Streaming SCD2, batch-driven: the stateful dimension-history op run
+    // over the full events table as one batch — closed versions are
+    // deterministic (a version is final exactly when its successor opens),
+    // so unlike the near-dup stream this row IS oracle-checkable.
+
+    // Streaming SCD2, batch-driven: the stateful dimension-history op run
+    // over the full events table as one batch — closed versions are
+    // deterministic (a version is final exactly when its successor opens),
+    // so unlike the near-dup stream this row IS oracle-checkable.
+    "q_streaming_scd2" -> ((s, d) => {
+      import s.implicits._
+      val ev = t(s, d, "events")
+      val obs = ev.select(
+          col("user_id").as("key"), Queries.epochMicrosOf(ev, "ts").as("ts"),
+          col("event_type").as("attr"), col("event_id").as("tie"))
+        .as[EventTimeOps.ScdObs]
+      EventTimeOps.streamingScd2(obs).toDF()
+        .select(col("key").as("user_id"), col("attr").as("event_type"),
+          col("valid_from"), col("valid_to"), col("version"))
+        .orderBy("user_id", "version")
+    }),
+
+    // Streaming funnel, batch-driven: the full transition set (every
+    // depth advance with its time), which the oracle restates as the
+    // union of the iterative join chain's per-step rows — each s_k CTE is
+    // literally the set of depth-k transitions. Cross-micro-batch state
+    // continuation is MemoryStream-tested in EventTimeSpec.
+
+    // Streaming funnel, batch-driven: the full transition set (every
+    // depth advance with its time), which the oracle restates as the
+    // union of the iterative join chain's per-step rows — each s_k CTE is
+    // literally the set of depth-k transitions. Cross-micro-batch state
+    // continuation is MemoryStream-tested in EventTimeSpec.
+    "q_streaming_funnel" -> ((s, d) => {
+      import s.implicits._
+      val step = when(col("event_type") === "signup", 1)
+        .when(col("event_type") === "view", 2)
+        .when(col("event_type") === "purchase", 3)
+      val ev0 = t(s, d, "events")
+      val evs = ev0
+        .where(col("event_type").isin("signup", "view", "purchase"))
+        .select(col("user_id").as("key"),
+          Queries.epochMicrosOf(ev0, "ts").as("ts"),
+          step.cast("int").as("step"))
+        .as[EventTimeOps.StepEvent]
+      EventTimeOps.streamingFunnel(evs, 3).toDF()
+        .select(col("key").as("user_id"), col("depth"),
+          date_format(timestamp_micros(col("ts")), "yyyyMMddHHmmss.SSSSSS")
+            .as("t"))
+        .orderBy("user_id", "depth")
+    }),
+
+    // Watermarked stream-stream interval join, batch-driven: every view of
+    // the same user within 30 minutes BEFORE a purchase — the two-stream
+    // enrichment/attribution shape. The batch form the oracle restates is
+    // the same call (plain keyed join + range filter); the streaming
+    // statefulness (both-side buffers bounded by watermark + lag,
+    // cross-micro-batch matching) is MemoryStream-tested in EventTimeSpec.
+
+    // Watermarked stream-stream interval join, batch-driven: every view of
+    // the same user within 30 minutes BEFORE a purchase — the two-stream
+    // enrichment/attribution shape. The batch form the oracle restates is
+    // the same call (plain keyed join + range filter); the streaming
+    // statefulness (both-side buffers bounded by watermark + lag,
+    // cross-micro-batch matching) is MemoryStream-tested in EventTimeSpec.
+    "q_stream_stream_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      EventTimeOps.streamStreamJoin(purchases, views, "user_id",
+          "p_ts", "v_ts", maxLag = "30 MINUTE", watermark = "1 hour")
+        .select(col("user_id"), col("p_id"),
+          date_format(col("p_ts"), "yyyyMMddHHmmss.SSSSSS").as("p_ts_s"),
+          col("v_id"),
+          date_format(col("v_ts"), "yyyyMMddHHmmss.SSSSSS").as("v_ts_s"))
+        .orderBy("p_id", "v_id")
+    }),
+
+    // Left-OUTER stream-stream interval join, batch-driven: every purchase
+    // with its 30-minute-preceding view count — zero for the unmatched ones
+    // (the "which conversions had NO preceding touchpoint" attribution
+    // question). Aggregated to counts so no nullable sort key crosses
+    // engines (null ordering differs); the streaming semantics — the
+    // null-extended row emits only once the watermark closes the window —
+    // are MemoryStream-pinned in EventTimeSpec.
+
+    // Left-OUTER stream-stream interval join, batch-driven: every purchase
+    // with its 30-minute-preceding view count — zero for the unmatched ones
+    // (the "which conversions had NO preceding touchpoint" attribution
+    // question). Aggregated to counts so no nullable sort key crosses
+    // engines (null ordering differs); the streaming semantics — the
+    // null-extended row emits only once the watermark closes the window —
+    // are MemoryStream-pinned in EventTimeSpec.
+    "q_stream_stream_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("v_id"), col("ts").as("v_ts"))
+      EventTimeOps.streamStreamJoin(purchases, views, "user_id",
+          "p_ts", "v_ts", maxLag = "30 MINUTE", watermark = "1 hour",
+          joinType = "left_outer")
+        .groupBy(col("p_id"))
+        .agg(count(col("v_id")).as("n_views_30m"),
+          coalesce(min(col("v_id")), lit(-1L)).as("first_v_id"))
+        .orderBy("p_id")
+    }),
+
+    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
+    // at-scale shape for distincts/percentiles — partial sketches merge
+    // map-side, so the shuffle carries sketches, not values. Estimates are
+    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
+
+    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
+    // at-scale shape for distincts/percentiles — partial sketches merge
+    // map-side, so the shuffle carries sketches, not values. Estimates are
+    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
+    "q_sketch_distinct" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("hll_users"))
+        .orderBy("event_type")
+    }),
+
+    // PORTABLE integer HLL (E26c) — the oracle-gated sibling of the
+    // engine-specific rows-only sketch above: md5-derived 60-bit hash,
+    // 64 max-merged registers, and a fixed-point estimate with NO float
+    // rounding anywhere, so both engines agree bit-for-bit. Register table
+    // + denominator + estimate + the exact distinct all in one 64-row
+    // frame (est/exact constant per row — everything post-shuffle is ≤ 64
+    // rows; the one real aggregation is the 64-group map-side max).
+
+    // PORTABLE integer HLL (E26c) — the oracle-gated sibling of the
+    // engine-specific rows-only sketch above: md5-derived 60-bit hash,
+    // 64 max-merged registers, and a fixed-point estimate with NO float
+    // rounding anywhere, so both engines agree bit-for-bit. Register table
+    // + denominator + estimate + the exact distinct all in one 64-row
+    // frame (est/exact constant per row — everything post-shuffle is ≤ 64
+    // rows; the one real aggregation is the 64-group map-side max).
+    "q_hll_portable" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val regs = Sketches.hllRegisters(ev, col("user_id"))
+      val est = Sketches.hllEstimate(regs)
+      val exact = ev.agg(count_distinct(col("user_id")).as("exact_users"))
+      regs.crossJoin(est).crossJoin(exact)
+        .select(col("bucket"), col("register"), col("d_denom"),
+          col("est").as("est_users"), col("exact_users"))
+        .orderBy("bucket")
+    }),
+
+    // Per-hour portable-HLL estimates (E19d): one sketch per window via
+    // the SPINE-FREE grouped shape — only observed buckets aggregate; each
+    // empty register adds exactly 2^55 to the denominator in closed form,
+    // so nothing widens to 64 rows per group (the many-groups shape: a
+    // sketch per hour×source at 100 TB). Streaming twin
+    // (EventTimeOps.streamingHllRegisters) is EventTimeSpec-pinned equal.
+
+    // Per-hour portable-HLL estimates (E19d): one sketch per window via
+    // the SPINE-FREE grouped shape — only observed buckets aggregate; each
+    // empty register adds exactly 2^55 to the denominator in closed form,
+    // so nothing widens to 64 rows per group (the many-groups shape: a
+    // sketch per hour×source at 100 TB). Streaming twin
+    // (EventTimeOps.streamingHllRegisters) is EventTimeSpec-pinned equal.
+    "q_hll_windowed" -> ((s, d) => {
+      val hr = date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr")
+      val ev = t(s, d, "events").withColumn("hr", hr)
+      val exact = ev.groupBy(col("hr"))
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      Sketches.hllEstimateBy(ev, Seq("hr"), col("user_id"))
+        .join(exact, "hr")
+        .select(col("hr"), col("buckets_hit"), col("d_denom"),
+          col("est").as("est_users"), col("exact_users"))
+        .orderBy("hr")
+    }),
+
+    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
+    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
+    // combining), point estimate = min over rows, always ≥ truth. Probes =
+    // the 10 most frequent tokens; the compared surface includes the
+    // overcount, so hash/row/min drift anywhere fails.
+
+    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
+    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
+    // combining), point estimate = min over rows, always ≥ truth. Probes =
+    // the 10 most frequent tokens; the compared surface includes the
+    // overcount, so hash/row/min drift anywhere fails.
+    "q_cms_portable" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(filter(TextStats.tokens(col("text")),
+          x => length(x) > 0)).as("tok"))
+      val truth = toks.groupBy("tok").agg(count(lit(1)).as("true_n"))
+        .orderBy(col("true_n").desc, col("tok")).limit(10)
+      Sketches.cmsEstimates(toks, truth)
+        .select(col("tok"), col("true_n"), col("cms_est"),
+          (col("cms_est") - col("true_n")).as("overcount"))
+        .orderBy(col("true_n").desc, col("tok"))
+    }),
+
+    // Sliding-window distinct via REGISTER MERGE (E19g): hourly HLL
+    // partials are built ONCE, then every 3-hour sliding window derives
+    // purely from the tiny register table (each hourly register feeds the
+    // 3 windows that cover it; merge = max) — the sketch-merge payoff: the
+    // slide never rescans events. Exact twin computed per window for the
+    // compared surface.
+
+    // Sliding-window distinct via REGISTER MERGE (E19g): hourly HLL
+    // partials are built ONCE, then every 3-hour sliding window derives
+    // purely from the tiny register table (each hourly register feeds the
+    // 3 windows that cover it; merge = max) — the sketch-merge payoff: the
+    // slide never rescans events. Exact twin computed per window for the
+    // compared surface.
+    "q_hll_sliding" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hr = date_trunc("hour", col("ts"))
+      val hourly = ev.select(hr.as("hr"),
+          Sketches.hllBucket(col("user_id")).as("bucket"),
+          Sketches.hllRho(col("user_id")).as("rho"))
+        .groupBy("hr", "bucket").agg(max(col("rho")).as("register"))
+      val winRegs = hourly
+        .select(col("hr"), col("bucket"), col("register"),
+          explode(sequence(lit(0), lit(2))).as("o"))
+        .select(expr("hr + make_interval(0, 0, 0, 0, o)").as("win_hr"),
+          col("bucket"), col("register"))
+        .groupBy("win_hr", "bucket").agg(max(col("register")).as("register"))
+      val est = Sketches.hllEstimateFromRegisters(winRegs, Seq("win_hr"))
+      val exact = ev
+        .select(hr.as("hr"), col("user_id"),
+          explode(sequence(lit(0), lit(2))).as("o"))
+        .select(expr("hr + make_interval(0, 0, 0, 0, o)").as("win_hr"),
+          col("user_id"))
+        .groupBy("win_hr").agg(count_distinct(col("user_id")).as("exact_users"))
+      est.join(exact, "win_hr")
+        .select(date_format(col("win_hr"), "yyyyMMddHH").as("win_hr"),
+          col("buckets_hit"), col("d_denom"), col("est").as("est_users"),
+          col("exact_users"))
+        .orderBy("win_hr")
+    }),
+
+    // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
+    // rows-only percentile_approx row below: equi-width integer histogram
+    // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
+    // cum ≥ ⌈φ·N⌉ via exact integral arithmetic. Mergeable; the window
+    // runs on the ≤ |groups|·128 aggregated frame, never on raw rows.
+
+    // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
+    // rows-only percentile_approx row below: equi-width integer histogram
+    // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
+    // cum ≥ ⌈φ·N⌉ via exact integral arithmetic. Mergeable; the window
+    // runs on the ≤ |groups|·128 aggregated frame, never on raw rows.
+    "q_quantile_portable" -> ((s, d) => {
+      Sketches.histogramQuantiles(t(s, d, "lineitem"), "l_returnflag",
+          "l_extendedprice", width = 1000.0, nBuckets = 128,
+          phis = Seq(("p50", 1, 2), ("p95", 19, 20)))
+        .withColumnRenamed("g", "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
+    // Scalar p50/p95 projections (not the raw array<double>): the driver's
+    // rows-only check hashes each output cell, and an array cell is
+    // unhashable on the pandas side — same sketch, scalar columns.
+
+    // Scalar p50/p95 projections (not the raw array<double>): the driver's
+    // rows-only check hashes each output cell, and an array cell is
+    // unhashable on the pandas side — same sketch, scalar columns.
+    "q_sketch_quantiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)).as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p50"),
+          element_at(col("q"), 2).as("p95"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Deterministic hash sample: membership is a pure function of the key,
+    // so the oracle re-derives the exact row set (no rand() anywhere).
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain
+    // (Sql.pqPinnedCtes), a flat-scan ADC over every (query, corpus) pair,
+    // score = adc / (qn · sqrt(reconSq)) — every double op in the same
+    // order as the Spark plan
+
+    // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain
+    // (Sql.pqPinnedCtes), a flat-scan ADC over every (query, corpus) pair,
+    // score = adc / (qn · sqrt(reconSq)) — every double op in the same
+    // order as the Spark plan
+    "sim_topk_pq_fixed" ->
+      s"""WITH ${Sql.pqPinnedCtes},
+         |adc AS (SELECT t.query_id, c.vec_id AS id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(t.qd ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS adot
+         |  FROM codes c JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+         |  GROUP BY t.query_id, c.vec_id),
+         |scored AS (SELECT a.query_id, a.id,
+         |  a.adot / (q.qn * sqrt(r.rsq)) AS score
+         |  FROM adc a JOIN recon r ON r.vec_id = a.id
+         |  JOIN q ON q.query_id = a.query_id
+         |  WHERE a.id <> a.query_id)
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT query_id, id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.ivfPqTopKPinned: the same pinned-PQ chain plus
+    // IVF — centroids = 8 lowest-id vectors, corpus cell = argmax cosine
+    // (coalesce -2 for zero norm, min cent_id ties — dedup_semantic's
+    // proven restatement), query probes its top-4 cells, and the ADC sum
+    // runs only over candidates whose cell is probed
+
+    // mirrors Similarity.ivfPqTopKPinned: the same pinned-PQ chain plus
+    // IVF — centroids = 8 lowest-id vectors, corpus cell = argmax cosine
+    // (coalesce -2 for zero norm, min cent_id ties — dedup_semantic's
+    // proven restatement), query probes its top-4 cells, and the ADC sum
+    // runs only over candidates whose cell is probed
+    "sim_topk_ivfpq_fixed" ->
+      s"""WITH ${Sql.pqPinnedCtes},
+         |cent AS (SELECT vec_id AS cent_id, v AS cv FROM e
+         |  ORDER BY vec_id LIMIT 8),
+         |casn AS (SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cent_id AS cell, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |        coalesce(${Sql.dot("e.v", "c.cv")} /
+         |          (sqrt(${Sql.dot("e.v", "e.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |          -2.0) DESC, c.cent_id) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |probe AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cent_id AS cell, row_number() OVER (
+         |      PARTITION BY q.query_id ORDER BY
+         |        coalesce(${Sql.dot("q.v", "c.cv")} /
+         |          (sqrt(${Sql.dot("q.v", "q.v")}) * sqrt(${Sql.dot("c.cv", "c.cv")})),
+         |          -2.0) DESC, c.cent_id) AS rn
+         |    FROM q CROSS JOIN cent c) WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id
+         |  FROM casn a JOIN probe p ON p.cell = a.cell),
+         |adc AS (SELECT cd.query_id, c.vec_id AS id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, list(t.qd ORDER BY c.sub)),
+         |    (x, y) -> x + y) AS adot
+         |  FROM cand cd
+         |  JOIN codes c ON c.vec_id = cd.vec_id
+         |  JOIN qtab t ON t.query_id = cd.query_id
+         |    AND t.sub = c.sub AND t.code = c.code
+         |  GROUP BY cd.query_id, c.vec_id),
+         |scored AS (SELECT a.query_id, a.id,
+         |  a.adot / (q.qn * sqrt(r.rsq)) AS score
+         |  FROM adc a JOIN recon r ON r.vec_id = a.id
+         |  JOIN q ON q.query_id = a.query_id
+         |  WHERE a.id <> a.query_id)
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT query_id, id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM scored)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |m AS (SELECT vec_id, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+         |qt AS (SELECT vec_id, CASE WHEN ma = 0
+         |    THEN list_transform(v, x -> 0::BIGINT)
+         |    ELSE list_transform(v, x -> floor(x * 127.0 / ma + 0.5)::BIGINT)
+         |  END AS cv FROM m),
+         |n AS (SELECT vec_id, cv,
+         |  sqrt((${Sql.intDot("cv", "cv")})::DOUBLE) AS nm FROM qt),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  (${Sql.intDot("q.cv", "c.cv")})::DOUBLE / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_refined" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |  sqrt(${Sql.dotN("v", "v", 16)}) AS pnm,
+         |  sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pre AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dotN("q.v", "c.v", 16)} / (q.pnm * c.pnm) AS pscore
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |short AS (SELECT query_id, id FROM (
+         |  SELECT query_id, id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY pscore DESC, id) AS r FROM pre)
+         |  WHERE r <= 50),
+         |rescored AS (SELECT s.query_id, s.id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM short s
+         |  JOIN n q ON q.vec_id = s.query_id
+         |  JOIN n c ON c.vec_id = s.id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM rescored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.hardNegativesTopK: sim_topk's scored join under a
+    // label-mismatch predicate (which also excludes the anchor itself)
+
+    // mirrors Similarity.hardNegativesTopK: sim_topk's scored join under a
+    // label-mismatch predicate (which also excludes the anchor itself)
+    "sim_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c
+         |  ON q.vec_id < 5 AND c.label <> q.label),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.kmeansAssignPortable(k=8, updates=2): int8 codes,
+    // three unrolled exact-integer cosine assignments, two truncating
+    // integer-mean updates — fitted centroids AND assignments on the hash
+
+    // mirrors Similarity.kmeansAssignPortable(k=8, updates=2): int8 codes,
+    // three unrolled exact-integer cosine assignments, two truncating
+    // integer-mean updates — fitted centroids AND assignments on the hash
+    "sim_kmeans" ->
+      s"""WITH ${Sql.int8Codes},
+         |${Sql.kmeansUnrolled(8, 2)}
+         |SELECT vec_id, cell, score FROM a3 ORDER BY vec_id""".stripMargin,
+
+    // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set
+    // identical to the rank-window form, which the oracle restates)
+
+    // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set
+    // identical to the rank-window form, which the oracle restates)
+    "sample_cluster_balance" ->
+      s"""WITH ${Sql.int8Codes},
+         |${Sql.kmeansUnrolled(8, 2)}
+         |SELECT vec_id, cell FROM a3
+         |QUALIFY row_number() OVER (PARTITION BY cell
+         |  ORDER BY ${Sql.unitHash("vec_id::VARCHAR", "bal")} ASC, vec_id ASC) <= 40
+         |ORDER BY vec_id""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 5
+         |  AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors Similarity.mmrRerank(kCand=10, kSel=5): brute candidates,
+    // candidate-pair cosines, then the greedy rounds unrolled — each
+    // round's penalty joins the accumulated selection
+
+    // mirrors Similarity.mmrRerank(kCand=10, kSel=5): brute candidates,
+    // candidate-pair cosines, then the greedy rounds unrolled — each
+    // round's penalty joins the accumulated selection
+    "sim_mmr_rerank" -> {
+      val rounds = (2 to 5).map { r =>
+        val prev = s"sa${r - 1}"
+        s"""pen$r AS (SELECT s.query_id, s.a AS id, max(s.sim) AS maxsim
+           |  FROM sims s JOIN $prev t ON t.query_id = s.query_id AND t.id = s.b
+           |  GROUP BY 1, 2),
+           |cr$r AS (SELECT c.query_id, c.id, c.rel - 0.5 * p.maxsim AS sc
+           |  FROM cands c JOIN pen$r p ON p.query_id = c.query_id AND p.id = c.id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev t
+           |    WHERE t.query_id = c.query_id AND t.id = c.id)),
+           |sel$r AS (SELECT query_id, $r AS sel_rank, id, sc AS mmr FROM (
+           |  SELECT query_id, id, sc, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sc DESC, id) AS rn FROM cr$r) WHERE rn = 1),
+           |sa$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |brk AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bsc),
+         |cands AS (SELECT query_id, id, score AS rel FROM brk WHERE rank <= 10),
+         |cv AS (SELECT c.query_id, c.id, n.v, n.nm FROM cands c
+         |  JOIN n ON n.vec_id = c.id),
+         |sims AS (SELECT x.query_id, x.id AS a, y.id AS b,
+         |  ${Sql.dot("x.v", "y.v")} / (x.nm * y.nm) AS sim
+         |  FROM cv x JOIN cv y ON x.query_id = y.query_id AND x.id <> y.id),
+         |sa1 AS (SELECT query_id, 1 AS sel_rank, id, rel AS mmr FROM (
+         |  SELECT query_id, id, rel, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, id) AS rn FROM cands) WHERE rn = 1),
+         |$rounds
+         |SELECT query_id, sel_rank, id, mmr FROM sa5
+         |ORDER BY query_id, sel_rank""".stripMargin
+    },
+
+    // mirrors sim_recall_eval: the brute and LSH chains side by side, then
+    // the per-query overlap census
+
+    // mirrors sim_recall_eval: the brute and LSH chains side by side, then
+    // the per-query overlap census
+    "sim_recall_eval" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |bsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |brk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM bsc),
+         |bf AS (SELECT query_id, id FROM brk WHERE rank <= 5),
+         |lsc AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id < 5
+         |  AND c.vec_id <> q.vec_id),
+         |lrk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM lsc),
+         |ls AS (SELECT query_id, id FROM lrk WHERE rank <= 5),
+         |mpr AS (SELECT vec_id AS query_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n WHERE vec_id < 5),
+         |msc AS (SELECT p.query_id, c.vec_id AS id,
+         |  ${Sql.dot("p.v", "c.v")} / (p.nm * c.nm) AS score
+         |  FROM mpr p JOIN n c ON p.pbucket = c.bucket AND c.vec_id <> p.query_id),
+         |mrk AS (SELECT query_id, id, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id) AS rank FROM msc),
+         |ms AS (SELECT query_id, id FROM mrk WHERE rank <= 5),
+         |tn AS (SELECT query_id, count(*)::BIGINT AS n_true FROM bf GROUP BY 1),
+         |h1 AS (SELECT bf.query_id, count(*)::BIGINT AS hits_lsh
+         |  FROM bf JOIN ls USING (query_id, id) GROUP BY 1),
+         |h2 AS (SELECT bf.query_id, count(*)::BIGINT AS hits_mp
+         |  FROM bf JOIN ms USING (query_id, id) GROUP BY 1)
+         |SELECT tn.query_id, n_true,
+         |  coalesce(hits_lsh, 0)::BIGINT AS hits_lsh,
+         |  coalesce(hits_mp, 0)::BIGINT AS hits_mp,
+         |  ((coalesce(hits_lsh, 0) * 1000000) // n_true)::BIGINT AS recall_lsh_fp,
+         |  ((coalesce(hits_mp, 0) * 1000000) // n_true)::BIGINT AS recall_mp_fp
+         |FROM tn LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
+
+    // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
+    "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivf_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c
+         |  ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label = 2),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors q_hll_sliding: hourly registers → 3-window explode →
+    // max-merge → the spine-free estimate; exact twin via the same explode
+    "q_hll_sliding" ->
+      s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr, user_id,
+         |    ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS x
+         |  FROM events),
+         |r AS (SELECT hr, x & 63 AS bucket,
+         |  CASE WHEN (x >> 6) = 0 THEN 55
+         |       ELSE 55 - length(bin(x >> 6)) END AS rho FROM h),
+         |regs AS (SELECT hr, bucket, max(rho) AS register FROM r GROUP BY 1, 2),
+         |m AS (SELECT hr + o.o * INTERVAL 1 HOUR AS win_hr, bucket, register
+         |  FROM regs, (SELECT unnest(range(0, 3)) AS o) o),
+         |wr AS (SELECT win_hr, bucket, max(register) AS register FROM m GROUP BY 1, 2),
+         |agg AS (SELECT win_hr, count(*)::BIGINT AS buckets_hit,
+         |  sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_obs FROM wr GROUP BY 1),
+         |d AS (SELECT win_hr, buckets_hit,
+         |  (d_obs + (64 - buckets_hit) * (1::BIGINT << 55))::BIGINT AS d_denom FROM agg),
+         |est AS (SELECT win_hr, buckets_hit, d_denom,
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d),
+         |ex AS (SELECT hr + o.o * INTERVAL 1 HOUR AS win_hr,
+         |  count(DISTINCT user_id)::BIGINT AS exact_users
+         |  FROM h, (SELECT unnest(range(0, 3)) AS o) o GROUP BY 1)
+         |SELECT strftime(est.win_hr, '%Y%m%d%H') AS win_hr, buckets_hit,
+         |  d_denom, est_users, exact_users
+         |FROM est JOIN ex USING (win_hr) ORDER BY win_hr""".stripMargin,
+
+    // mirrors q_quantile_windowed: the E19c histogram law per hour
+
+    // mirrors Graph.triangleStats over the stride-1,2,3 circulant: same
+    // canonical undirected edges, same (degree, id) orientation, same
+    // wedge + closure joins
+    "graph_triangles" ->
+      """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+        |e0 AS (SELECT doc_id AS src, (doc_id + k.k) % nn.n AS dst
+        |  FROM documents, nn, (SELECT unnest([1, 2, 3]) AS k) k),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM e0 WHERE src <> dst),
+        |deg AS (SELECT x AS node, count(*)::BIGINT AS deg FROM (
+        |  SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |wd AS (SELECT und.a, und.b, da.deg AS da, db.deg AS db FROM und
+        |  JOIN deg da ON da.node = und.a JOIN deg db ON db.node = und.b),
+        |o AS (SELECT
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS u,
+        |  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS v
+        |  FROM wd),
+        |w AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |  FROM o e1 JOIN o e2 ON e1.v = e2.u),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles
+        |  FROM w JOIN o ON w.u = o.u AND w.w = o.v)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (SELECT count(*) FROM und)::BIGINT AS n_edges,
+        |  (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+        |  n_triangles
+        |FROM tri""".stripMargin,
+
+    // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
+    // SUM counter frame under salt cms<j>; estimate = least of the four
+
+    // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
+    // SUM counter frame under salt cms<j>; estimate = least of the four
+    "q_cms_portable" -> {
+      def b(expr: String, j: Int) =
+        s"(('0x' || substr(md5($expr || 'cms$j'), 1, 15))::BIGINT & 255)"
+      val counters = (0 until 4).map(j =>
+        s"c$j AS (SELECT ${b("tok", j)} AS b, count(*)::BIGINT AS c FROM tk GROUP BY 1)")
+        .mkString(",\n")
+      val joins = (0 until 4).map(j =>
+        s"JOIN c$j x$j ON ${b("t.tok", j)} = x$j.b").mkString("\n")
+      val m = (0 until 4).map(j => s"x$j.c").mkString("least(", ", ", ")")
+      s"""WITH tk AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+         |    x -> x <> '')) AS tok FROM documents),
+         |truth AS (SELECT tok, count(*)::BIGINT AS true_n FROM tk
+         |  GROUP BY tok ORDER BY true_n DESC, tok LIMIT 10),
+         |$counters
+         |SELECT t.tok, t.true_n, $m::BIGINT AS cms_est,
+         |  ($m - t.true_n)::BIGINT AS overcount
+         |FROM truth t
+         |$joins
+         |ORDER BY true_n DESC, tok""".stripMargin
+    },
+
+    // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
+    // closed-form 2^55 per empty register, integral-division estimate
+
+    // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
+    // closed-form 2^55 per empty register, integral-division estimate
+    "q_hll_windowed" ->
+      s"""WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+         |    ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT hr, h & 63 AS bucket,
+         |  CASE WHEN (h >> 6) = 0 THEN 55
+         |       ELSE 55 - length(bin(h >> 6)) END AS rho FROM h),
+         |regs AS (SELECT hr, bucket, max(rho) AS register FROM r GROUP BY hr, bucket),
+         |agg AS (SELECT hr, count(*)::BIGINT AS buckets_hit,
+         |  sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_obs
+         |  FROM regs GROUP BY hr),
+         |d AS (SELECT hr, buckets_hit,
+         |  (d_obs + (64 - buckets_hit) * (1::BIGINT << 55))::BIGINT AS d_denom
+         |  FROM agg),
+         |est AS (SELECT hr, buckets_hit, d_denom,
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d),
+         |ex AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+         |  count(DISTINCT user_id)::BIGINT AS exact_users FROM events GROUP BY 1)
+         |SELECT est.hr, buckets_hit, d_denom, est_users, exact_users
+         |FROM est JOIN ex USING (hr) ORDER BY hr""".stripMargin,
+
+    // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
+    // capped equi-width buckets, per-group cumulative counts, smallest
+    // bucket with cum ≥ the exact integral ceiling threshold
+
+    // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
+    // capped equi-width buckets, per-group cumulative counts, smallest
+    // bucket with cum ≥ the exact integral ceiling threshold
+    "q_quantile_portable" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+        |    least(floor(l_extendedprice / 1000.0), 127)::INT AS bucket,
+        |    count(*)::BIGINT AS c FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT g, bucket, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY bucket)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY g)::BIGINT AS n FROM c),
+        |p50 AS (SELECT g, min(bucket)::INT AS p50_bucket FROM cum
+        |  WHERE cum >= (n * 1 + 1) // 2 GROUP BY g),
+        |p95 AS (SELECT g, min(bucket)::INT AS p95_bucket FROM cum
+        |  WHERE cum >= (n * 19 + 19) // 20 GROUP BY g),
+        |base AS (SELECT g, max(n)::BIGINT AS n FROM cum GROUP BY g)
+        |SELECT base.g AS l_returnflag, n,
+        |  p50_bucket, ((p50_bucket + 1) * 1000.0)::DOUBLE AS p50_hi,
+        |  p95_bucket, ((p95_bucket + 1) * 1000.0)::DOUBLE AS p95_hi
+        |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
+    // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),
+    // D = Σ 2^(55−register) as exact integers, est = the 24-digit decimal
+    // numerator integral-divided by 1000·D (HUGEINT here, DECIMAL(38,0) div
+    // on the Spark side — both truncate toward zero on positives)
+
+    // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
+    // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),
+    // D = Σ 2^(55−register) as exact integers, est = the 24-digit decimal
+    // numerator integral-divided by 1000·D (HUGEINT here, DECIMAL(38,0) div
+    // on the Spark side — both truncate toward zero on positives)
+    "q_hll_portable" ->
+      s"""WITH h AS (SELECT ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+         |  FROM events),
+         |b AS (SELECT h & 63 AS bucket, h >> 6 AS rem FROM h),
+         |r AS (SELECT bucket,
+         |  CASE WHEN rem = 0 THEN 55 ELSE 55 - length(bin(rem)) END AS rho FROM b),
+         |regs AS (SELECT bucket, max(rho) AS register FROM r GROUP BY bucket),
+         |spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         |f AS (SELECT spine.bucket, coalesce(register, 0)::INT AS register
+         |  FROM spine LEFT JOIN regs USING (bucket)),
+         |d AS (SELECT sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d_denom FROM f),
+         |hits AS (SELECT sum(CASE WHEN register > 0 THEN 1 ELSE 0 END)::BIGINT
+         |  AS buckets_hit FROM f),
+         |est AS (SELECT d_denom,
+         |  ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d_denom))::BIGINT",
+             "buckets_hit")}
+         |    AS est_users FROM d, hits),
+         |ex AS (SELECT count(DISTINCT user_id)::BIGINT AS exact_users FROM events)
+         |SELECT bucket, register, d_denom, est_users, exact_users
+         |FROM f, est, ex ORDER BY bucket""".stripMargin,
+
+    // DuckDB regexp_replace defaults to first-match-only — the 'g' flag
+    // makes it global like Spark's
+
+    "graph_pagerank" ->
+      """WITH eb AS (SELECT DISTINCT o_custkey AS src,
+        |    1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM eb UNION SELECT dst, src FROM eb),
+        |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY src),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM nodes),
+        |s1 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r0 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s1 s ON s.node = n.node),
+        |s2 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r1 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s2 s ON s.node = n.node),
+        |s3 AS (SELECT e.dst AS node, sum(r.rank // d.outdeg) AS in_sum
+        |  FROM e JOIN deg d ON d.src = e.src JOIN r2 r ON r.node = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (SELECT n.node,
+        |  (150000 + (85 * COALESCE(s.in_sum, 0)) // 100)::BIGINT AS rank
+        |  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
+
+    // Restates synthUrl's construction and the EXPECTED parse fields per
+    // branch (not a second regex parse — zero regex-dialect coupling):
+    // a wrong offset, missed lowercase, kept default port, or unstripped
+    // trailing dot on the Spark side hash-fails against these literals.
+
+    // Restates synthUrl's construction and the EXPECTED parse fields per
+    // branch (not a second regex parse — zero regex-dialect coupling):
+    // a wrong offset, missed lowercase, kept default port, or unstripped
+    // trailing dot on the Spark side hash-fails against these literals.
+    "text_url_parse" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents)
+         |SELECT doc_id,
+         |  ${Sql.urlCase} AS url,
+         |  CASE m WHEN 0 THEN 'https' WHEN 1 THEN 'http' WHEN 2 THEN 'https'
+         |    WHEN 3 THEN 'http' ELSE 'ftp' END AS scheme,
+         |  ${Sql.urlHostCase} AS host,
+         |  (CASE m WHEN 0 THEN 443 WHEN 1 THEN 8080 WHEN 3 THEN 80
+         |    ELSE NULL END)::INT AS port,
+         |  CASE m WHEN 0 THEN 'example.co.uk' WHEN 4 THEN 'example.org'
+         |    ELSE 'example.com' END AS reg_domain,
+         |  CASE m WHEN 0 THEN '/wiki/' || doc_id WHEN 1 THEN '/a/b/c'
+         |    WHEN 2 THEN '/assets/' || doc_id || '.js' WHEN 3 THEN ''
+         |    ELSE '/pub/' || doc_id END AS path,
+         |  CASE m WHEN 0 THEN 'q=spark&lang=en' WHEN 2 THEN 'v=2&x='
+         |    ELSE NULL END AS "query",
+         |  CASE m WHEN 0 THEN 'Top' WHEN 4 THEN 'readme'
+         |    ELSE NULL END AS frag,
+         |  ${Sql.urlCanonCase} AS canon_url
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    // branch hosts → branch reg domains; blocked = example.org (branch 4)
+    // and example.co.uk (branch 0) — survivors are branches 1/2/3
+
+    // branch hosts → branch reg domains; blocked = example.org (branch 4)
+    // and example.co.uk (branch 0) — survivors are branches 1/2/3
+    "curation_domain_filter" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents)
+         |SELECT doc_id, ${Sql.urlHostCase} AS host,
+         |  CASE m WHEN 0 THEN 'example.co.uk' WHEN 4 THEN 'example.org'
+         |    ELSE 'example.com' END AS reg_domain
+         |FROM u WHERE m IN (1, 2, 3)
+         |ORDER BY doc_id""".stripMargin,
+
+    // base + fragment-twin rows both restate to the branch's canonical
+    // URL; the group-by is the dedup — a canonicalizer that kept the
+    // fragment, the default port, or host case would split groups and
+    // hash-fail
+
+    // base + fragment-twin rows both restate to the branch's canonical
+    // URL; the group-by is the dedup — a canonicalizer that kept the
+    // fragment, the default port, or host case would split groups and
+    // hash-fail
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents),
+         |c AS (SELECT doc_id, ${Sql.urlCanonCase} AS canon_url FROM u
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, ${Sql.urlCanonCase} AS canon_url FROM u)
+         |SELECT canon_url, min(doc_id)::BIGINT AS survivor_id,
+         |  count(*)::BIGINT AS n_urls
+         |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin,
+
+    // Same construction, then the stride host link graph (id+1, id+29)
+    // and the SAME unrolled integer PageRank as graph_pagerank, joined
+    // back per document through the arithmetic host id.
+
+    // Same construction, then the stride host link graph (id+1, id+29)
+    // and the SAME unrolled integer PageRank as graph_pagerank, joined
+    // back per document through the arithmetic host id.
+    "curation_host_rank" ->
+      s"""WITH u AS (SELECT doc_id, source AS s, doc_id % 5 AS m FROM documents),
+         |h AS (SELECT doc_id, ${Sql.urlHostCase} AS host,
+         |  (regexp_extract(s, 'src([0-9]+)', 1)::BIGINT * 5 + m)::BIGINT AS host_id
+         |  FROM u),
+         |e AS (SELECT a.host_id AS src, b.host_id AS dst
+         |  FROM h a JOIN h b ON b.doc_id = a.doc_id + 1
+         |  UNION
+         |  SELECT a.host_id, b.host_id
+         |  FROM h a JOIN h b ON b.doc_id = a.doc_id + 29),
+         |${Sql.pagerankUnrolled(3)}
+         |SELECT h.doc_id, h.host, r.rank AS host_rank
+         |FROM h LEFT JOIN r3 r ON r.node = h.host_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
+         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |pr AS (SELECT vec_id, v, nm,
+         |  unnest(list_concat([bucket],
+         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |  FROM n),
+         |cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id)
+         |SELECT id, rank::INT AS rank, nbr_id, score FROM (
+         |  SELECT id, nbr_id, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM cand)
+         |WHERE rank <= 5 ORDER BY id, rank""".stripMargin,
+
+    // mirrors q_streaming_neardup_portable: with 1-row bands a shared
+    // bucket ⟺ ≥1 agreeing position, which n_agree >= 8 implies — so the
+    // pair set is the all-pairs agreement filter over the md5-60bit
+    // signature law (no bucket ever nears the caps at gate SF)
+    "q_streaming_neardup_portable" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_filter(range(1, 17), i -> a.sigs[i] = b.sigs[i]))::INT AS n_agree
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, n_agree, n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY a_id, b_id""".stripMargin,
+
+    "q_streaming_scd2" ->
+      """WITH obs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w0 AS prev,
+        |    row_number() OVER w0 AS rn
+        |  FROM events
+        |  WINDOW w0 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |cp AS (
+        |  SELECT user_id, event_type, ts AS vf, event_id
+        |  FROM obs WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(vf)::BIGINT AS valid_from,
+        |  epoch_us(lead(vf) OVER w)::BIGINT AS valid_to,
+        |  (row_number() OVER w)::BIGINT AS version
+        |FROM cp
+        |WINDOW w AS (PARTITION BY user_id ORDER BY vf, event_id)
+        |QUALIFY lead(vf) OVER w IS NOT NULL
+        |ORDER BY user_id, version""".stripMargin,
+
+    // identical to etl_scd2's oracle ON PURPOSE: the incremental upsert's
+    // contract is equality with the full rebuild
+
+    "q_streaming_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT user_id, depth, t FROM (
+        |  SELECT user_id, 1::INT AS depth,
+        |    strftime(t1, '%Y%m%d%H%M%S.%f') AS t FROM s1
+        |  UNION ALL SELECT user_id, 2, strftime(t2, '%Y%m%d%H%M%S.%f') FROM s2
+        |  UNION ALL SELECT user_id, 3, strftime(t3, '%Y%m%d%H%M%S.%f') FROM s3)
+        |ORDER BY user_id, depth""".stripMargin,
+
+    "q_stream_stream_outer" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS v_id, ts AS v_ts FROM events
+        |    WHERE event_type = 'view')
+        |SELECT p.p_id, count(v.v_id)::BIGINT AS n_views_30m,
+        |  coalesce(min(v.v_id), -1)::BIGINT AS first_v_id
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.v_ts >= p.p_ts - INTERVAL 30 MINUTE AND v.v_ts <= p.p_ts
+        |GROUP BY p.p_id ORDER BY p_id""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT p.user_id, p.event_id AS p_id,
+        |  strftime(p.ts, '%Y%m%d%H%M%S.%f') AS p_ts_s,
+        |  v.event_id AS v_id,
+        |  strftime(v.ts, '%Y%m%d%H%M%S.%f') AS v_ts_s
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        |  AND p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+        |ORDER BY p_id, v_id""".stripMargin,
+  )
+}
