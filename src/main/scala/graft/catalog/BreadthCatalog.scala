@@ -28,8 +28,6 @@ object BreadthCatalog {
         .orderBy("hr", "event_type")
     }),
 
-    // Sliding event-time window (2h window, 1h slide): each event lands in
-    // two windows; batch semantics of the watermarked streaming agg.
 
     // Sliding event-time window (2h window, 1h slide): each event lands in
     // two windows; batch semantics of the watermarked streaming agg.
@@ -42,9 +40,6 @@ object BreadthCatalog {
         .orderBy("ws", "event_type")
     }),
 
-    // As-of join: each purchase picks up the user's most recent prior view
-    // value (union + keyed window, one shuffle — oracle is DuckDB's native
-    // ASOF LEFT JOIN).
 
     // As-of join: each purchase picks up the user's most recent prior view
     // value (union + keyed window, one shuffle — oracle is DuckDB's native
@@ -60,8 +55,6 @@ object BreadthCatalog {
         .orderBy("event_id")
     }),
 
-    // Range join: events matched to derived value bands (bucketized
-    // point-in-interval equi-join, not a cross-join filter).
 
     // Range join: events matched to derived value bands (bucketized
     // point-in-interval equi-join, not a cross-join filter).
@@ -79,11 +72,6 @@ object BreadthCatalog {
         .orderBy("band_type")
     }),
 
-    // Interval-overlap join (interval × interval, the range-join general
-    // form): signup value-windows × error value-windows. Bucketized to an
-    // equi-join on the cell, pairs emitted only in their overlap-start
-    // cell (exactly-once without a distinct); the oracle is the plain
-    // inequality join, so any duplicate or dropped pair hash-fails.
 
     // Interval-overlap join (interval × interval, the range-join general
     // form): signup value-windows × error value-windows. Bucketized to an
@@ -104,8 +92,6 @@ object BreadthCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Gap-based session windows (built-in session_window; identical code
-    // runs over readStream with a watermark — see EventTimeSpec).
 
     // Gap-based session windows (built-in session_window; identical code
     // runs over readStream with a watermark — see EventTimeSpec).
@@ -119,11 +105,6 @@ object BreadthCatalog {
         .orderBy("user_id", "session_start")
     }),
 
-    // Ordered funnel (signup → view → purchase), earliest-transition
-    // semantics: ONE user-keyed exchange + a codegen'd fold over each
-    // user's time-sorted step events. The oracle restates it as the
-    // iterative join chain (t_{k+1} = min ts > t_k), so the fold ≡ join
-    // chain equivalence is itself the checked contract.
 
     // Ordered funnel (signup → view → purchase), earliest-transition
     // semantics: ONE user-keyed exchange + a codegen'd fold over each
@@ -138,7 +119,6 @@ object BreadthCatalog {
         .orderBy("user_id")
     }),
 
-    // The funnel chart derived from the same fold: users reaching each step.
 
     // The funnel chart derived from the same fold: users reaching each step.
     "q_funnel_counts" -> ((s, d) => {
@@ -146,12 +126,6 @@ object BreadthCatalog {
           Seq("signup", "view", "purchase"))
     }),
 
-    // Tamper-evident export ledger (E5f): per day, an md5 HASH CHAIN over
-    // the rows in (ts, event_id) order — one reordered/dropped/altered row
-    // changes every downstream digest (unlike the commutative shard
-    // checksum of E23j, order is part of the contract here). Day-bounded
-    // group fold — the real-ledger contract chains within bounded shards;
-    // the day key IS the shard.
 
     // Tamper-evident export ledger (E5f): per day, an md5 HASH CHAIN over
     // the rows in (ts, event_id) order — one reordered/dropped/altered row
@@ -175,12 +149,6 @@ object BreadthCatalog {
         .orderBy("day")
     }),
 
-    // Benford first-digit audit (E5e): the fraud/data-quality classic —
-    // observed leading-digit counts of the integer cents vs the Benford
-    // expectation, whose 9 log10 probabilities ride as the SAME pre-rounded
-    // fixed-point literal table on both engines (the HLL linear-counting
-    // trick). Leading digit via integer string length — no float
-    // formatting anywhere.
 
     // Benford first-digit audit (E5e): the fraud/data-quality classic —
     // observed leading-digit counts of the integer cents vs the Benford
@@ -204,10 +172,6 @@ object BreadthCatalog {
         .orderBy("digit")
     }),
 
-    // Partition-skew audit (E5d): daily row counts + the max/mean skew
-    // ratio in fixed point ((max·n_days·10⁶) div total — rational, no
-    // float) — the pre-run diagnostic that decides whether a date-keyed
-    // write needs salting/AQE before it burns a cluster.
 
     // Partition-skew audit (E5d): daily row counts + the max/mean skew
     // ratio in fixed point ((max·n_days·10⁶) div total — rational, no
@@ -224,11 +188,6 @@ object BreadthCatalog {
             .as("skew_fp"))
     }),
 
-    // Hourly trend slope (E2i): least-squares slope of hourly volume per
-    // event_type — RATIONAL (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so the
-    // regression restates in exact integer fixed-point ×10⁶ with no float;
-    // the intercept derives from the already-rounded slope identically on
-    // both sides. One hourly aggregation, then per-type sums.
 
     // Hourly trend slope (E2i): least-squares slope of hourly volume per
     // event_type — RATIONAL (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), so the
@@ -252,10 +211,6 @@ object BreadthCatalog {
         .orderBy("event_type")
     }),
 
-    // Funnel conversion RATES (E2h): step-over-step rates in integer
-    // fixed-point ×10⁶ on top of the ordered-funnel counts (step 1 rates
-    // against the distinct-user total). The lag window runs on the 3-row
-    // counts frame only.
 
     // Funnel conversion RATES (E2h): step-over-step rates in integer
     // fixed-point ×10⁶ on top of the ordered-funnel counts (step 1 rates
@@ -276,10 +231,6 @@ object BreadthCatalog {
         .orderBy("step")
     }),
 
-    // Leave-one-out bigram NOVELTY (E9l): the share of a doc's distinct
-    // bigrams that appear in NO other document (df = 1) — original content
-    // scores high, boilerplate low. One gram-keyed aggregation (the
-    // canonical shape), then the df frame joins back on the gram key.
 
     // Leave-one-out bigram NOVELTY (E9l): the share of a doc's distinct
     // bigrams that appear in NO other document (df = 1) — original content
@@ -304,8 +255,6 @@ object BreadthCatalog {
         .orderBy("doc_id")
     }),
 
-    // Custom keyed state (mapGroupsWithState) — batch mode is oracle-checked
-    // here; cross-micro-batch accumulation is covered by EventTimeSpec.
 
     // Custom keyed state (mapGroupsWithState) — batch mode is oracle-checked
     // here; cross-micro-batch accumulation is covered by EventTimeSpec.
@@ -321,9 +270,6 @@ object BreadthCatalog {
         .orderBy("user_id")
     }),
 
-    // CSV sink + scan round-trip with the reference's quote/escape options
-    // (SURVEY §2 rows 1, 3): write a slice, read it back, aggregate. The
-    // oracle aggregates the original rows — any quoting infidelity breaks it.
 
     // CSV sink + scan round-trip with the reference's quote/escape options
     // (SURVEY §2 rows 1, 3): write a slice, read it back, aggregate. The
@@ -348,12 +294,6 @@ object BreadthCatalog {
         .orderBy("event_type")
     }),
 
-    // SCD Type-2 historization: each user's event_type stream becomes
-    // validity intervals (valid_from/valid_to/version/is_current) — the
-    // standard warehouse extension of the reference's SCD1 dim upsert.
-    // Timestamps are formatted to strings for cross-engine comparison
-    // (DuckDB reads the parquet as TIMESTAMP_NS, Spark as truncated micros
-    // — both are µs-aligned in this data, asserted before adoption).
 
     // SCD Type-2 historization: each user's event_type stream becomes
     // validity intervals (valid_from/valid_to/version/is_current) — the
@@ -371,12 +311,6 @@ object BreadthCatalog {
         .orderBy("user_id", "version")
     }),
 
-    // SCD2 incremental upsert under the driver gate: fold the second half
-    // of the month into the first half's historized dim and compare against
-    // the FULL-REBUILD oracle (etl_scd2's own SQL) — upsert∘historize ≡
-    // historize∘union is the operator's contract, so the full rebuild IS
-    // the oracle. The ts<=T / ts>T split satisfies the strict per-key
-    // watermark the contract requires.
 
     // SCD2 incremental upsert under the driver gate: fold the second half
     // of the month into the first half's historized dim and compare against
@@ -398,13 +332,6 @@ object BreadthCatalog {
         .orderBy("user_id", "version")
     }),
 
-    // SCD2 point-in-time resolve: purchase facts (ts shifted back 1h, so
-    // probes land mid-history and some fall BEFORE their user's first
-    // version → NULL resolution, the left-join contract) against the full
-    // historized dim. The oracle restates it as the general INTERVAL join
-    // (ts >= valid_from AND ts < valid_to OR open) — asof-carry ≡ interval
-    // join on a tiling dim is exactly the operator's contract, so the row
-    // cross-checks the two formulations against each other.
 
     // SCD2 point-in-time resolve: purchase facts (ts shifted back 1h, so
     // probes land mid-history and some fall BEFORE their user's first
@@ -428,12 +355,6 @@ object BreadthCatalog {
         .orderBy("user_id", "event_id")
     }),
 
-    // CDC changelog apply (the general MERGE): a synthetic I/U/D changelog
-    // derived from orders (latest o_orderkey per customer wins; every 37th
-    // orderkey is a delete) merged into the customer snapshot. The oracle
-    // restates compact-then-apply with QUALIFY + anti-select + union — any
-    // wrong survivor (stale seq, resurrected delete, dropped untouched
-    // key) hash-fails.
 
     // CDC changelog apply (the general MERGE): a synthetic I/U/D changelog
     // derived from orders (latest o_orderkey per customer wins; every 37th
@@ -460,11 +381,6 @@ object BreadthCatalog {
         .orderBy("k")
     }),
 
-    // Per-key minute-grid gap fill with carry-forward: densify each user's
-    // day-1 event stream onto its observed minute span — the resampling
-    // step between raw telemetry and evenly-spaced consumers. Carried raw
-    // values + an observed flag; timestamps formatted for the cross-engine
-    // hash (the scd2 convention).
 
     // Per-key minute-grid gap fill with carry-forward: densify each user's
     // day-1 event stream onto its observed minute span — the resampling
@@ -481,14 +397,6 @@ object BreadthCatalog {
         .orderBy("user_id", "minute_s")
     }),
 
-    // BM25 retrieval top-k — the search-engine modality next to the dense
-    // ANN suite: three 2-term queries against the corpus, k=10 each. Every
-    // scoring ingredient is an exact integer (tf/df/dl/N/Σdl) and the
-    // per-term contribution is floored to 2^20 fixed point after a fixed
-    // order of correctly-rounded IEEE ops, so the score is an
-    // order-independent integer sum restated verbatim in the oracle — the
-    // rational-idf variant exists precisely because ln is NOT
-    // correctly-rounded across engines (see Retrieval scaladoc).
 
     // BM25 retrieval top-k — the search-engine modality next to the dense
     // ANN suite: three 2-term queries against the corpus, k=10 each. Every
@@ -506,13 +414,6 @@ object BreadthCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // RAG indexing pipeline composed (E39): chunk (32-token window, 24
-    // stride) → BM25 over the CHUNK corpus → top-5 chunks per query with
-    // (doc_id, chunk_no) provenance — retrieval returns the passage, not
-    // the document, which is what a RAG consumer actually feeds a model.
-    // Chunk ids are doc_id·1000 + chunk_no (docs are far under 1000
-    // chunks), so provenance is pure arithmetic; every stage reuses an
-    // already-gated operator and the oracle restates the whole chain.
 
     // RAG indexing pipeline composed (E39): chunk (32-token window, 24
     // stride) → BM25 over the CHUNK corpus → top-5 chunks per query with
@@ -536,13 +437,6 @@ object BreadthCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Hybrid retrieval: BM25 text ranks ⊕ dense cosine ranks, fused with
-    // reciprocal-rank fusion. Query ids are shared across modalities
-    // (testdata links doc_id ↔ vec_id 1:1): each query is 2 BM25 terms
-    // against `documents` plus the embedding of vec_id = query_id against
-    // `embeddings`, depth 20 per list, final top-10. The fused score is
-    // pure integer arithmetic (2^20 div (60 + rank), summed) so the
-    // oracle restates both rankings AND the fusion bit-exactly.
 
     // Hybrid retrieval: BM25 text ranks ⊕ dense cosine ranks, fused with
     // reciprocal-rank fusion. Query ids are shared across modalities
@@ -567,15 +461,6 @@ object BreadthCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Z-order (Morton) layout key — the OPTIMIZE ZORDER BY capability of
-    // Delta/Iceberg-class formats: interleave the bits of two columns into
-    // one sort key so range-partitioned parquet gets row-group min/max
-    // locality on BOTH dimensions (a single-column sort clusters only
-    // itself; MeasureZorder quantifies the 2-D pruning win at sf0.1). Pure
-    // shift/and/or integer arithmetic — codegen primitives, engine-exact,
-    // so the key itself is fully oracle-checked via the same unrolled
-    // arithmetic in DuckDB. The layout write path (range partition on the
-    // key = disjoint curve segments per file) is pinned in LayoutSpec.
 
     // Z-order (Morton) layout key — the OPTIMIZE ZORDER BY capability of
     // Delta/Iceberg-class formats: interleave the bits of two columns into
@@ -592,12 +477,6 @@ object BreadthCatalog {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
-    // Small-file compaction: fragment the table into 16 files, bin-pack
-    // back via the shuffle-free coalesce rewrite (file-count collapse and
-    // the no-Exchange plan are LayoutSpec's claims), and aggregate the
-    // COMPACTED copy — the oracle aggregates the original table, so any
-    // content infidelity in the rewrite (lost/duplicated rows, value
-    // corruption) breaks the hash.
 
     // Small-file compaction: fragment the table into 16 files, bin-pack
     // back via the shuffle-free coalesce rewrite (file-count collapse and
@@ -619,11 +498,6 @@ object BreadthCatalog {
         .orderBy("lang")
     }),
 
-    // OHLC bars: resample each user's value stream to hourly
-    // open/high/low/close — the time-series downsampling aggregation.
-    // open/close are SELECTED doubles (min_by/max_by on the unique
-    // (ts, event_id) order — no arithmetic, so raw doubles hash-compare),
-    // restated in DuckDB as ordered first()/last().
 
     // OHLC bars: resample each user's value stream to hourly
     // open/high/low/close — the time-series downsampling aggregation.
@@ -643,10 +517,6 @@ object BreadthCatalog {
         .orderBy("user_id", "hr")
     }),
 
-    // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
-    // capped at the top bucket — no engine histogram function involved),
-    // integer counts + integer-cents mass per bucket. The groupBy is the
-    // histogram; map-side partials make it one small exchange at any scale.
 
     // Equi-width histogram: portable arithmetic bucketing (floor(value/10)
     // capped at the top bucket — no engine histogram function involved),
@@ -662,12 +532,6 @@ object BreadthCatalog {
         .orderBy("bucket")
     }),
 
-    // RANGE-frame window over event time: each event's trailing-1-hour
-    // per-user count and value sum. The frame bound is an integer
-    // epoch-microsecond range on BOTH engines — interval frames restate
-    // portably once the ordering key is integral; the sum is carried as
-    // integer cents ((value::dec(18,2)*100)::bigint) so the output schema
-    // has no raw decimal for the driver's value-hash to re-encode.
 
     // RANGE-frame window over event time: each event's trailing-1-hour
     // per-user count and value sum. The frame bound is an integer
@@ -688,11 +552,6 @@ object BreadthCatalog {
         .orderBy("event_id")
     }),
 
-    // Schema-evolution scan: two parquet batches with DIFFERENT column
-    // sets (old writer / new writer), read back as one frame via
-    // mergeSchema — the source-breadth case every long-lived lake hits.
-    // The oracle aggregates the ORIGINAL rows, so missing-column nulls,
-    // column alignment, and the union semantics are all on the hash.
 
     // Schema-evolution scan: two parquet batches with DIFFERENT column
     // sets (old writer / new writer), read back as one frame via
@@ -717,11 +576,6 @@ object BreadthCatalog {
             .as("sum_value_cents"))
     }),
 
-    // Dynamic partition overwrite: write a partitioned store, then
-    // overwrite ONLY the partitions present in a corrective batch (day 5
-    // re-stated with doubled values) — untouched partitions must survive.
-    // The read-back aggregation is hashed against the oracle's CASE
-    // restatement over the original rows.
 
     // Dynamic partition overwrite: write a partitioned store, then
     // overwrite ONLY the partitions present in a corrective batch (day 5
@@ -747,14 +601,6 @@ object BreadthCatalog {
         .orderBy("day")
     }),
 
-    // Snapshot TIME TRAVEL over the versioned star publish: three batches
-    // land (days 1-3, 4-5, 6) under retainVersions=2, so version 1 is
-    // retention-swept and versions 2 and 3 stay readable; each retained
-    // version is then read AS OF its publish — fact row count, dim_date
-    // cardinality and max minute key, dim_title cardinality — and the
-    // oracle restates every snapshot from the cumulative day ranges. A
-    // stale read (current-version leak into v2) or a broken sweep (v1
-    // surviving) both change the emitted rows.
 
     // Snapshot TIME TRAVEL over the versioned star publish: three batches
     // land (days 1-3, 4-5, 6) under retainVersions=2, so version 1 is
@@ -791,12 +637,6 @@ object BreadthCatalog {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
-    // ORC sink + scan round-trip — the third columnar/source format next to
-    // CSV and JSON-lines: Spark's native ORC writer+reader (vectorized,
-    // predicate-pushdown-capable like parquet), gated by an oracle that
-    // aggregates the ORIGINAL rows, so type or timestamp infidelity across
-    // the format boundary breaks the hash. The read-back filter runs on the
-    // ORC scan itself, where ORC's min/max stripe stats can serve it.
 
     // ORC sink + scan round-trip — the third columnar/source format next to
     // CSV and JSON-lines: Spark's native ORC writer+reader (vectorized,
@@ -818,10 +658,6 @@ object BreadthCatalog {
         .orderBy("event_type")
     }),
 
-    // JSON-lines sink + scan round-trip with an explicit schema — source-
-    // format breadth next to the CSV round-trip; the oracle aggregates the
-    // ORIGINAL rows, so any serialization infidelity (quoting, escapes in
-    // the nested-JSON props string) breaks the hash.
 
     // JSON-lines sink + scan round-trip with an explicit schema — source-
     // format breadth next to the CSV round-trip; the oracle aggregates the
@@ -843,9 +679,6 @@ object BreadthCatalog {
         .orderBy("event_type")
     }),
 
-    // Hive-style partitioned write + partition-pruned read-back: the scan
-    // must touch only the purchase partition (PlanSpec asserts the
-    // PartitionFilters); the oracle aggregates the original rows.
 
     // Hive-style partitioned write + partition-pruned read-back: the scan
     // must touch only the purchase partition (PlanSpec asserts the
@@ -863,7 +696,6 @@ object BreadthCatalog {
         .orderBy("day")
     }),
 
-    // UNION ALL with provenance tag.
 
     // UNION ALL with provenance tag.
     "q_union_all" -> ((s, d) => {
@@ -876,7 +708,6 @@ object BreadthCatalog {
         .orderBy("half", "event_type")
     }),
 
-    // EXCEPT (distinct set difference).
 
     // EXCEPT (distinct set difference).
     "q_except" -> ((s, d) => {
@@ -887,7 +718,6 @@ object BreadthCatalog {
       minutes("view").except(minutes("purchase")).orderBy("datetime_key")
     }),
 
-    // String-function surface: upper/lower/substr/replace/lpad/length/reverse.
 
     // String-function surface: upper/lower/substr/replace/lpad/length/reverse.
     "q_string_funcs" -> ((s, d) => {
@@ -902,7 +732,6 @@ object BreadthCatalog {
         .orderBy("c_custkey")
     }),
 
-    // Date-function surface: date_add / datediff / last_day / quarter.
 
     // Date-function surface: date_add / datediff / last_day / quarter.
     "q_date_funcs" -> ((s, d) => {
@@ -917,7 +746,6 @@ object BreadthCatalog {
         .orderBy("o_orderkey")
     }),
 
-    // JSON scalar extraction from the events props column.
 
     // JSON scalar extraction from the events props column.
     "q_json_extract" -> ((s, d) => {
@@ -930,7 +758,6 @@ object BreadthCatalog {
         .orderBy("event_type")
     }),
 
-    // FULL OUTER join over partially-overlapping daily aggregates.
 
     // FULL OUTER join over partially-overlapping daily aggregates.
     "q_full_outer" -> ((s, d) => {
@@ -942,8 +769,6 @@ object BreadthCatalog {
       views.join(purch, Seq("day"), "full_outer").orderBy("day")
     }),
 
-    // Salted skew join — the salt must be semantically invisible: the oracle
-    // is the PLAIN join, so any salting bug (dup/dropped rows) hash-fails.
 
     // Salted skew join — the salt must be semantically invisible: the oracle
     // is the PLAIN join, so any salting bug (dup/dropped rows) hash-fails.
@@ -958,12 +783,6 @@ object BreadthCatalog {
         .orderBy("p_brand")
     }),
 
-    // Bloom-prefiltered join — like the salt, the bloom must be
-    // semantically invisible: the oracle is the PLAIN selective join, so a
-    // false NEGATIVE (dropped matching row) or a leaked false positive
-    // hash-fails. The build side (p_size <= 3) matches ~6% of parts, so the
-    // probe prefilter drops the bulk of lineitem before the join exchange —
-    // the shape whose shuffle-byte cut PlanSpec measures directly.
 
     // Bloom-prefiltered join — like the salt, the bloom must be
     // semantically invisible: the oracle is the PLAIN selective join, so a
@@ -985,8 +804,6 @@ object BreadthCatalog {
         .orderBy("p_brand")
     }),
 
-    // Scalar-aggregate join (TPC-H Q17 shape): lineitems below 20% of their
-    // part's mean quantity. Mean of integral doubles = exact sum / count.
 
     // Scalar-aggregate join (TPC-H Q17 shape): lineitems below 20% of their
     // part's mean quantity. Mean of integral doubles = exact sum / count.
@@ -1009,8 +826,6 @@ object BreadthCatalog {
         |  count(*)::BIGINT AS n
         |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin,
 
-    // an event at t belongs to the windows starting at trunc(t,1h) and
-    // trunc(t,1h)-1h — exactly Spark's sliding-window membership
 
     // an event at t belongs to the windows starting at trunc(t,1h) and
     // trunc(t,1h)-1h — exactly Spark's sliding-window membership
@@ -1040,9 +855,6 @@ object BreadthCatalog {
         |ON p.value >= iv.avg_v * 0.5 AND p.value < iv.avg_v * 1.5
         |GROUP BY band_type ORDER BY band_type""".stripMargin,
 
-    // Gaps-and-islands restatement of session_window: a session breaks when
-    // the gap to the previous event is >= 10 minutes (Spark's session extends
-    // while the next event is strictly inside last_ts + gap).
 
     // Gaps-and-islands restatement of session_window: a session breaks when
     // the gap to the previous event is >= 10 minutes (Spark's session extends
@@ -1099,7 +911,6 @@ object BreadthCatalog {
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |WHERE n_users > 0 ORDER BY step""".stripMargin,
 
-    // mirrors etl_ledger_chain: ordered list + seeded left fold of md5
 
     // mirrors etl_ledger_chain: ordered list + seeded left fold of md5
     "etl_ledger_chain" ->
@@ -1111,8 +922,6 @@ object BreadthCatalog {
         |  list_reduce(list_prepend('seed', lst), (acc, x) -> md5(acc || x)) AS chain
         |FROM l ORDER BY day""".stripMargin,
 
-    // mirrors q_benford_audit: same literal expectation table, same
-    // string-length leading-digit extraction over cents
 
     // mirrors q_benford_audit: same literal expectation table, same
     // string-length leading-digit extraction over cents
@@ -1132,7 +941,6 @@ object BreadthCatalog {
          |FROM obs JOIN t USING (digit), tot ORDER BY digit""".stripMargin
     },
 
-    // mirrors etl_partition_skew_audit's rational skew ratio
 
     // mirrors etl_partition_skew_audit's rational skew ratio
     "etl_partition_skew_audit" ->
@@ -1144,7 +952,6 @@ object BreadthCatalog {
         |  ((max_day_rows * n_days * 1000000) // total_rows)::BIGINT AS skew_fp
         |FROM a""".stripMargin,
 
-    // mirrors q_trend_slope's rational least-squares arithmetic
 
     // mirrors q_trend_slope's rational least-squares arithmetic
     "q_trend_slope" ->
@@ -1163,7 +970,6 @@ object BreadthCatalog {
         |   END)::BIGINT AS slope_fp
         |FROM a ORDER BY event_type""".stripMargin,
 
-    // mirrors q_funnel_rates: the funnel CTEs + lag over the counts frame
 
     // mirrors q_funnel_rates: the funnel CTEs + lag over the counts frame
     "q_funnel_rates" ->
@@ -1188,8 +994,6 @@ object BreadthCatalog {
         |  ((n_users * 1000000) // coalesce(prev, n_total))::BIGINT AS rate_fp
         |FROM l, t ORDER BY step""".stripMargin,
 
-    // mirrors text_ngram_novelty: distinct bigrams per doc, corpus df,
-    // df=1 share in fixed point
 
     // mirrors text_ngram_novelty: distinct bigrams per doc, corpus df,
     // df=1 share in fixed point
@@ -1280,8 +1084,6 @@ object BreadthCatalog {
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors rag_pipeline_e2e: the text_chunk CTE → chunk ids → the BM25
-    // chain over chunks → provenance arithmetic
 
     // mirrors rag_pipeline_e2e: the text_chunk CTE → chunk ids → the BM25
     // chain over chunks → provenance arithmetic
@@ -1416,8 +1218,6 @@ object BreadthCatalog {
         |FROM events WHERE day(ts) <= 10
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
-    // mirrors etl_time_travel: version N ≡ the cumulative day range its
-    // batches covered; every event row survives clean() by construction
 
     // mirrors etl_time_travel: version N ≡ the cumulative day range its
     // batches covered; every event row survives clean() by construction

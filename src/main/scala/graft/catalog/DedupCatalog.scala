@@ -24,8 +24,6 @@ object DedupCatalog {
         .orderBy("fingerprint")
     }),
 
-    // Span-level exact dedup: tile into 16-token spans, keep the first
-    // corpus-wide occurrence of each distinct span, reassemble survivors.
 
     // Span-level exact dedup: tile into 16-token spans, keep the first
     // corpus-wide occurrence of each distinct span, reassemble survivors.
@@ -34,16 +32,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
-    // distributed prefix-doubling suffix ranks: every 16-char window that
-    // repeats anywhere in the corpus — any doc, any offset, any phase —
-    // yields a merged duplicated span for each non-first occurrence. The
-    // fixture is CONSTRUCTED (ids from the documents table, text from
-    // integer formulas both engines restate): a shared 24-char motif
-    // planted at a per-doc arbitrary offset inside quadratic-residue
-    // filler, so the duplicate alignment differs doc to doc — exactly what
-    // the tile/anchor stand-ins cannot see below their period. The oracle
-    // brute-forces every window of the same constructed text.
 
     // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
     // distributed prefix-doubling suffix ranks: every 16-char window that
@@ -71,10 +59,18 @@ object DedupCatalog {
         .orderBy("doc_id", "span_start")
     }),
 
-    // Shingle-anchored span dedup: spans cut at content-defined boundaries
-    // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
-    // the same spans at ANY document offset — the phase-robust variant of
-    // dedup_spans (fixed tiles miss phase-shifted duplicates).
+
+    // The same suffix-rank substring dedup over the REAL corpus (every
+    // document, ~150k chars at the gate SF): evidence the operator runs
+    // beyond its constructed fixture. minLen=20 chars; the oracle is the
+    // same brute-force window comparison over the actual text. The corpus
+    // is ASCII-printable at every SF, so char indexing agrees across
+    // engines without a filter.
+    "dedup_substring_real" -> ((s, d) => {
+      Dedup.substringDupSpans(t(s, d, "documents"), "doc_id", "text",
+          minLen = 20)
+        .orderBy("doc_id", "span_start")
+    }),
 
     // Shingle-anchored span dedup: spans cut at content-defined boundaries
     // (portable token hash ≡ 0 mod 8), so a duplicated passage aligns to
@@ -86,12 +82,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
-    // of the portable md5 token hash (~10× cheaper per token). Cut positions
-    // differ from the md5 form and DuckDB has no xxhash64, so no external
-    // oracle can restate the spans — rows-only by design (like
-    // dedup_minhash_fast's band hashes); ExtSpec pins the phase-robustness
-    // contract across both hash families.
 
     // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
     // of the portable md5 token hash (~10× cheaper per token). Cut positions
@@ -105,11 +95,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // Shuffle-lean span dedup: ownership keyed on xxhash64(chunk_text)
-    // (fixed-width exchange rows instead of text keys); reassembly re-slices
-    // surviving tiles from the doc's own text, so corpus text crosses one
-    // exchange instead of two. Result ≡ dedup_spans absent a 64-bit span
-    // collision — the text-keyed oracle SQL applies verbatim.
 
     // Shuffle-lean span dedup: ownership keyed on xxhash64(chunk_text)
     // (fixed-width exchange rows instead of text keys); reassembly re-slices
@@ -122,11 +107,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // Incremental dedup: a new batch checked against a historical store via
-    // a BloomFilterAggregate blob + exact confirm join — the store is
-    // scanned but NEVER shuffled (the continuous-ingest shape at 100 TB).
-    // Result is exact (the bloom only routes candidates; the confirm join
-    // compares fingerprint values), so the plain NOT EXISTS oracle applies.
 
     // Incremental dedup: a new batch checked against a historical store via
     // a BloomFilterAggregate blob + exact confirm join — the store is
@@ -144,8 +124,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // MinHash + LSH near-dup: shingle → signature → band bucket join →
-    // exact-Jaccard verify. The at-scale dedup workhorse.
 
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
@@ -155,12 +133,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
-    // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
-    // the exact-Jaccard verify makes the output the TRUE pair set — which is
-    // what the oracle checks, via an exhaustive pair scan (no hash to
-    // reproduce cross-engine). This is the benched dedup path; dedup_minhash
-    // above stays as the portable-hash oracle row.
 
     // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
     // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
@@ -174,9 +146,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Pair → cluster resolution: connected components over the MinHash
-    // near-dup pairs, every member labeled with its component's min id (the
-    // survivor). Without this step A≈B, B≈C dedup keeps two survivors.
 
     // Pair → cluster resolution: connected components over the MinHash
     // near-dup pairs, every member labeled with its component's min id (the
@@ -188,9 +157,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // Same clusters via large-star/small-star (the O(log n)-round published
-    // algorithm for web-scale graphs) — two independent CC algorithms pinned
-    // to one oracle answer.
 
     // Same clusters via large-star/small-star (the O(log n)-round published
     // algorithm for web-scale graphs) — two independent CC algorithms pinned
@@ -202,12 +168,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // Quality-priority cluster survivors: per near-dup cluster keep the
-    // highest-quality member (regex word count; ties → min doc_id) — the
-    // production survivor policy (keep the cleanest copy of a duplicated
-    // page, not whichever crawl got the lowest id). Spark side is a
-    // partial-aggregating max(struct(quality, -id)); the oracle restates it
-    // as a rank window.
 
     // Quality-priority cluster survivors: per near-dup cluster keep the
     // highest-quality member (regex word count; ties → min doc_id) — the
@@ -226,8 +186,6 @@ object DedupCatalog {
         .orderBy("rep")
     }),
 
-    // The full curation pipeline: exact dedup → near-dup cluster dedup →
-    // quality gate; output = surviving document ids.
 
     // The full curation pipeline: exact dedup → near-dup cluster dedup →
     // quality gate; output = surviving document ids.
@@ -236,12 +194,6 @@ object DedupCatalog {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
-    // Per-source data card — the summary a curation run publishes with a
-    // released dataset: doc/token volume, language breadth, exact-dup
-    // membership (global fingerprint groups ≥ 2, counted per source), and
-    // the classifier pass rate (native kernel as a projection). One
-    // fingerprint-keyed aggregation + one broadcast-able dup-set join +
-    // one source-keyed aggregation.
 
     // Per-source data card — the summary a curation run publishes with a
     // released dataset: doc/token volume, language breadth, exact-dup
@@ -268,12 +220,6 @@ object DedupCatalog {
         .orderBy("source")
     }),
 
-    // The WHOLE training-data recipe in one row: curate (exact + near dedup
-    // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
-    // pure scan-level filter via the native kernel — no score join) →
-    // fractional-epoch materialization by source. Output is the final
-    // repeated multiset a trainer would read; the oracle restates every
-    // stage (curation CTEs + classifier arithmetic + floor/hash epochs).
 
     // The WHOLE training-data recipe in one row: curate (exact + near dedup
     // + quality gates) → hashed-linear classifier gate (score_fp > 0, a
@@ -292,8 +238,6 @@ object DedupCatalog {
         .orderBy("doc_id", "copy_no")
     }),
 
-    // The same pipeline under the quality-priority survivor policy: each
-    // near-dup cluster keeps its max-word-count member instead of min id.
 
     // The same pipeline under the quality-priority survivor policy: each
     // near-dup cluster keeps its max-word-count member instead of min id.
@@ -303,16 +247,6 @@ object DedupCatalog {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
-    // The curation audit: per-stage funnel counts (input → exact dedup →
-    // near-dup dedup → quality gate → PII scrub) — the numbers a curation
-    // run reports. scrubPii on: the 5_scrubbed row pins the stage ORDER
-    // (scrub last, a row-preserving projection — its count equals the
-    // quality gate's, which is exactly what the oracle asserts).
-    // Incremental curation: the batch (doc_id % 10 >= 7) curated with the
-    // kept-fingerprint store of a previous run over the rest — the history
-    // probe (bloom + exact confirm, store never shuffled) runs BEFORE the
-    // pipeline; the oracle feeds the same NOT EXISTS-filtered batch
-    // through the shared curation CTE chain.
 
     // The curation audit: per-stage funnel counts (input → exact dedup →
     // near-dup dedup → quality gate → PII scrub) — the numbers a curation
@@ -340,8 +274,6 @@ object DedupCatalog {
         .orderBy("stage")
     }),
 
-    // Cross-source contamination audit: distinct canonical-fingerprint
-    // overlap per source pair — run before mixing corpora.
 
     // Cross-source contamination audit: distinct canonical-fingerprint
     // overlap per source pair — run before mixing corpora.
@@ -350,7 +282,6 @@ object DedupCatalog {
         .orderBy("src_a", "src_b")
     }),
 
-    // SimHash fingerprints (16-bit) per document.
 
     // SimHash fingerprints (16-bit) per document.
     "dedup_simhash" -> ((s, d) => {
@@ -358,9 +289,6 @@ object DedupCatalog {
         .orderBy("doc_id")
     }),
 
-    // SimHash near-dup PAIRS: banded-nibble candidates (exact by pigeonhole
-    // for hamming <= 3) + Hamming verify — the join that turns E3's
-    // fingerprints into an actual dedup operator.
 
     // SimHash near-dup PAIRS: banded-nibble candidates (exact by pigeonhole
     // for hamming <= 3) + Hamming verify — the join that turns E3's
@@ -370,9 +298,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // The at-scale SimHash pair join: 60-bit fingerprints, 6 bands of 10
-    // bits (exact for hamming <= 5; ~2^-10 per-band random collision where
-    // the 16-bit variant's nibbles saturate on a big corpus).
 
     // The at-scale SimHash pair join: 60-bit fingerprints, 6 bands of 10
     // bits (exact for hamming <= 5; ~2^-10 per-band random collision where
@@ -383,7 +308,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
 
     // Blocked character-n-gram Jaccard near-dup (quadratic within a block).
     "dedup_ngram" -> ((s, d) => {
@@ -392,10 +316,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // EXACT word-set Jaccard >= 1/2 pairs via prefix filtering (PPJoin
-    // family) — no blocking key, no false negatives; the oracle is the
-    // exhaustive all-pairs scan, so a single missed or phantom pair
-    // hash-fails. Evidence is integer-exact (intersection/union counts).
 
     // EXACT word-set Jaccard >= 1/2 pairs via prefix filtering (PPJoin
     // family) — no blocking key, no false negatives; the oracle is the
@@ -407,14 +327,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Blocked edit-distance near-dup: quadratic within a block, so the demo
-    // models the documented STRONG-blocking contract — (length bucket ×
-    // first token), under which edit-dist<=50 survivors are near-identical
-    // records (a `lang` block is the scaladoc's own anti-pattern: 5 blocks
-    // of 100+ docs each ran 43 s at sf0.1; this key runs in bench-class
-    // time). A <=50-edit pair CAN straddle a 50-length bucket boundary or
-    // differ in token 1 — the block defines the operator's contract, and
-    // the oracle mirrors it exactly.
 
     // Blocked edit-distance near-dup: quadratic within a block, so the demo
     // models the documented STRONG-blocking contract — (length bucket ×
@@ -433,7 +345,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Embedding-cosine near-dup pairs.
 
     // Embedding-cosine near-dup pairs.
     "dedup_embedding" -> ((s, d) => {
@@ -442,8 +353,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Sign-bucketed embedding near-dup — the scale path (equi-join on the
-    // bucket replaces the all-pairs cross product).
 
     // Sign-bucketed embedding near-dup — the scale path (equi-join on the
     // bucket replaces the all-pairs cross product).
@@ -453,10 +362,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Multi-probe variant: probe side expanded to its bucket + every
-    // single-bit flip — recovers near-dup pairs straddling one sign
-    // boundary, the dominant single-bucket miss mode. Candidate set is a
-    // strict superset of dedup_embedding_lsh's.
 
     // Multi-probe variant: probe side expanded to its bucket + every
     // single-bit flip — recovers near-dup pairs straddling one sign
@@ -468,10 +373,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Rotated-bucketing multi-probe: single-bit-flip probing UNION a second
-    // independent sign bucketing over dims 7-12 — recovers pairs at
-    // bucket-Hamming >= 2 in the first slice that every flip probe misses.
-    // Candidates are a strict superset of dedup_embedding_lsh_mp's.
 
     // Rotated-bucketing multi-probe: single-bit-flip probing UNION a second
     // independent sign bucketing over dims 7-12 — recovers pairs at
@@ -483,11 +384,6 @@ object DedupCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // SemDeDup-shaped semantic dedup: Voronoi cells around the 8 lowest-id
-    // vectors (deterministic init), within-cell cosine >= 0.4 to a lower id
-    // marks a duplicate. The oracle restates centroid choice, argmax cell
-    // assignment (score desc, cent_id asc tie-break, zero-norm at -2), and
-    // the pair rule verbatim.
 
     // SemDeDup-shaped semantic dedup: Voronoi cells around the 8 lowest-id
     // vectors (deterministic init), within-cell cosine >= 0.4 to a lower id
@@ -510,17 +406,11 @@ object DedupCatalog {
         |  count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
-    // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
-    // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
 
     // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
     // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
     "dedup_spans" -> Sql.dedupSpansTiled,
 
-    // mirrors dedup_substring_sa: the same constructed fixture text, then
-    // BRUTE-FORCE window comparison — every 16-char window, grouped by its
-    // literal string; non-first occurrences (global (doc_id, pos) order)
-    // union their [i, i+16) cover and merge to islands per doc
 
     // mirrors dedup_substring_sa: the same constructed fixture text, then
     // BRUTE-FORCE window comparison — every 16-char window, grouped by its
@@ -551,18 +441,30 @@ object DedupCatalog {
         |  (max(p) - min(p) + 1)::BIGINT AS span_len
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
-    // the hash-keyed form is result-identical to the text-keyed one absent
-    // a 64-bit span-hash collision (none at this scale, deterministically),
-    // so the same oracle SQL checks it bit-for-bit
+    // mirrors dedup_substring_real: brute-force 20-char windows over the
+    // ACTUAL corpus text; global-first key doc_id*100000 + i (max doc
+    // length ≪ 100000) matches the operator's gpos ordering
+    "dedup_substring_real" ->
+      """WITH w AS (SELECT doc_id, unnest(range(0, length(text) - 19)) AS i,
+        |    text FROM documents WHERE length(text) >= 20),
+        |win AS (SELECT doc_id, i, substr(text, (i + 1)::INT, 20) AS wdw FROM w),
+        |firsts AS (SELECT wdw, min(doc_id * 100000 + i) AS firstkey,
+        |  count(*) AS n FROM win GROUP BY wdw),
+        |dup AS (SELECT win.doc_id, win.i FROM win JOIN firsts USING (wdw)
+        |  WHERE firsts.n > 1 AND (win.doc_id * 100000 + win.i) <> firsts.firstkey),
+        |cov AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT doc_id, unnest(range(i, i + 20)) AS p FROM dup)),
+        |isl AS (SELECT doc_id, p,
+        |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov)
+        |SELECT doc_id, min(p)::BIGINT AS span_start,
+        |  (max(p) - min(p) + 1)::BIGINT AS span_len
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
 
     // the hash-keyed form is result-identical to the text-keyed one absent
     // a 64-bit span-hash collision (none at this scale, deterministically),
     // so the same oracle SQL checks it bit-for-bit
     "dedup_spans_hashed" -> Sql.dedupSpansTiled,
 
-    // content-defined tiling: cut after every token whose md5-prefix hash
-    // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the
-    // identical first-owner + reassembly chain as dedup_spans
 
     // content-defined tiling: cut after every token whose md5-prefix hash
     // ≡ 0 mod 8 (the same portable tokenHash the Spark side uses), then the
@@ -606,8 +508,6 @@ object DedupCatalog {
          |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // TRUE pair set via exhaustive pair scan — the fast path's xxhash64 LSH
-    // is not reproduced here, only its contract: every jaccard>=0.5 pair.
 
     // TRUE pair set via exhaustive pair scan — the fast path's xxhash64 LSH
     // is not reproduced here, only its contract: every jaccard>=0.5 pair.
@@ -629,8 +529,6 @@ object DedupCatalog {
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
 
-    // volume, language breadth, global dup membership, classifier pass
-    // rate — the classifier arithmetic restated once more as a gate
 
     // volume, language breadth, global dup membership, classifier pass
     // rate — the classifier arithmetic restated once more as a gate
@@ -658,9 +556,6 @@ object DedupCatalog {
         |  sum(pos)::BIGINT AS n_quality_pos
         |FROM st GROUP BY source ORDER BY source""".stripMargin,
 
-    // every stage of the one-row recipe restated: the shared curation CTE
-    // chain, then the classifier's feature-hash arithmetic as a gate, then
-    // the floor+hash epoch multiset — a drift in ANY stage hash-fails
 
     // every stage of the one-row recipe restated: the shared curation CTE
     // chain, then the classifier's feature-hash arithmetic as a gate, then
@@ -698,9 +593,6 @@ object DedupCatalog {
          |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
          |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
 
-    // quality-priority survivor policy: losers = cluster members minus each
-    // cluster's (quality DESC, doc_id ASC) best; quality = regex word count
-    // over the exact-dedup survivors, exactly as the Spark side computes it
 
     // quality-priority survivor policy: losers = cluster members minus each
     // cluster's (quality DESC, doc_id ASC) best; quality = regex word count
@@ -751,7 +643,6 @@ object DedupCatalog {
          |    AND ${Sql.curationQualityPred})::BIGINT
          |ORDER BY stage""".stripMargin,
 
-    // same fingerprint idiom as text_fingerprint's canon_fp
 
     // same fingerprint idiom as text_fingerprint's canon_fp
     "curation_source_overlap" ->
@@ -765,16 +656,11 @@ object DedupCatalog {
 
     "dedup_clusters" -> Sql.dedupClustersCc,
 
-    // identical reachability oracle: the star-alternation row must produce
-    // the exact same component labeling as the label-propagation row
 
     // identical reachability oracle: the star-alternation row must produce
     // the exact same component labeling as the label-propagation row
     "dedup_clusters_star" -> Sql.dedupClustersCc,
 
-    // same reachability CTE as dedup_clusters, then the survivor choice
-    // restated as a rank window (quality DESC, doc_id ASC) — the Spark side
-    // computes the identical row via partial-aggregating max(struct)
 
     // same reachability CTE as dedup_clusters, then the survivor choice
     // restated as a rank window (quality DESC, doc_id ASC) — the Spark side
@@ -815,8 +701,6 @@ object DedupCatalog {
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
-    // exhaustive scan — the banded Spark plan is provably recall-1 for
-    // hamming <= 3, so the true pair set IS its contract
 
     // exhaustive scan — the banded Spark plan is provably recall-1 for
     // hamming <= 3, so the true pair set IS its contract
@@ -856,9 +740,6 @@ object DedupCatalog {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // exhaustive exact restatement: the prefix filter is a Spark-side
-    // optimization with a no-false-negative theorem, so the oracle checks
-    // the SEMANTICS (all qualifying pairs) against a full quadratic scan
 
     // exhaustive exact restatement: the prefix filter is a Spark-side
     // optimization with a no-false-negative theorem, so the oracle checks
@@ -877,9 +758,6 @@ object DedupCatalog {
         |  >= (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
         |ORDER BY a_id, b_id""".stripMargin,
 
-    // the (length bucket × first token) block restated as a two-condition
-    // equi-join — injective vs the Spark side's "len|tok" key (the int
-    // component cannot contain the '|' delimiter)
 
     // the (length bucket × first token) block restated as a two-condition
     // equi-join — injective vs the Spark side's "len|tok" key (the int
@@ -903,9 +781,6 @@ object DedupCatalog {
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // mirrors Similarity.semanticDedup: centroids = 8 lowest-id vectors,
-    // cell = argmax cosine (desc score, asc cent_id tie-break, null→-2),
-    // dup = any lower-id cell-mate at cosine >= 0.4
 
     // mirrors Similarity.semanticDedup: centroids = 8 lowest-id vectors,
     // cell = argmax cosine (desc score, asc cent_id tie-break, null→-2),
@@ -953,9 +828,6 @@ object DedupCatalog {
          |WHERE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) >= 0.3
          |ORDER BY a_id, b_id""".stripMargin,
 
-    // single-bit-flip probe UNION rotated second bucketing (dims 7-12);
-    // UNION is set-semantics, deduplicating pairs found by both branches
-    // (scores are bit-identical: same strict left fold)
 
     // single-bit-flip probe UNION rotated second bucketing (dims 7-12);
     // UNION is set-semantics, deduplicating pairs found by both branches

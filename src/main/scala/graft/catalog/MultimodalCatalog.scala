@@ -30,9 +30,6 @@ object MultimodalCatalog {
         .orderBy("asset_id")
     }),
 
-    // Frame-sampling plumbing over video assets: every 2nd 16-byte frame,
-    // counted per asset (the decode itself is the stubbed mapPartitions
-    // step; this checks the explode/sampling arithmetic end-to-end).
 
     // Frame-sampling plumbing over video assets: every 2nd 16-byte frame,
     // counted per asset (the decode itself is the stubbed mapPartitions
@@ -45,12 +42,6 @@ object MultimodalCatalog {
         .orderBy("asset_id")
     }),
 
-    // End-to-end container decode gate: synthesize a spec-valid payload per
-    // doc (PPM/WAV/PNG/JPEG round-robin, dimensions derived from doc_id),
-    // run the REAL ByteCodec parse in the distributed typed-decode path,
-    // emit the parsed geometry. The oracle restates the construction
-    // arithmetic — any header-parse bug (endianness, offsets, marker/chunk
-    // walk) makes parse ≠ construction and breaks the hash.
 
     // End-to-end container decode gate: synthesize a spec-valid payload per
     // doc (PPM/WAV/PNG/JPEG round-robin, dimensions derived from doc_id),
@@ -71,15 +62,6 @@ object MultimodalCatalog {
         .orderBy("asset_id")
     }),
 
-    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
-    // zlib concatenation, Inflater, and real unfiltering of all five PNG
-    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
-    // per row). The oracle restates the pixel-construction arithmetic
-    // ((id + i) % 256): exact channel sums plus the position-weighted sum
-    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
-    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
-    // CRC was computed) and must be quarantined — the oracle excludes
-    // exactly those ids, so skipping CRC verification also hash-fails.
 
     // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
     // zlib concatenation, Inflater, and real unfiltering of all five PNG
@@ -101,12 +83,6 @@ object MultimodalCatalog {
         .orderBy("asset_id")
     }),
 
-    // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
-    // synthesized P6 PPMs with the REAL byte walk (header parse + strided
-    // pixel reads); exact per-channel integer sums. The oracle restates
-    // the pixel-construction arithmetic ((id + offset) % 256 at the
-    // sampled offsets), so parse ≠ construction — a stride/offset/header
-    // bug — hash-fails. Non-PPM assets (3 of every 4) emit no row.
 
     // Image RESIZE stage (E32e): nearest-neighbor 2× downsample of the
     // synthesized P6 PPMs with the REAL byte walk (header parse + strided
@@ -124,10 +100,6 @@ object MultimodalCatalog {
       Multimodal.resizePpm(assets, factor = 2).toDF().orderBy("asset_id")
     }),
 
-    // Per-hour quantile sketch (E19f): the E19c histogram grouped by hour
-    // — the windowed-percentile dashboard (p50/p95 latency-style) from the
-    // same mergeable counters; one (hr,bucket)-keyed count, windows only
-    // on the aggregated frame.
 
     // Per-hour quantile sketch (E19f): the E19c histogram grouped by hour
     // — the windowed-percentile dashboard (p50/p95 latency-style) from the
@@ -143,11 +115,6 @@ object MultimodalCatalog {
         .orderBy("hr")
     }),
 
-    // Corpus snapshot DIFF (E28d): the dataset-versioning audit — old vs a
-    // deterministically perturbed new snapshot (drop %17, rewrite %13, add
-    // %19 under shifted ids), compared by doc_id + text fingerprint via
-    // ONE full-outer join; the added/removed/changed/unchanged census is
-    // what a release note and a reproducibility check both need.
 
     // Corpus snapshot DIFF (E28d): the dataset-versioning audit — old vs a
     // deterministically perturbed new snapshot (drop %17, rewrite %13, add
@@ -173,12 +140,6 @@ object MultimodalCatalog {
             .as("n_unchanged"))
     }),
 
-    // Word2vec-style negative-sampling table (E23k): unigram^(3/4)
-    // weights (Mikolov et al. 2013) with NO float power — c^(3/4) =
-    // floor(sqrt(c·floor(sqrt(c)))): sqrt is IEEE-correctly-rounded on
-    // exact-integer inputs < 2^53, so both engines floor the same value
-    // and the table restates exactly. Top-15 tokens + fixed-point shares;
-    // one token aggregation, then tiny frames only.
 
     // Word2vec-style negative-sampling table (E23k): unigram^(3/4)
     // weights (Mikolov et al. 2013) with NO float power — c^(3/4) =
@@ -200,11 +161,6 @@ object MultimodalCatalog {
         .orderBy(col("cnt").desc, col("tok"))
     }),
 
-    // Source-concentration diagnostics (E28c): HHI (Σ share², the
-    // antitrust/data-mixing concentration index) and top-source share in
-    // exact integer fixed-point (×10⁶, integral division) — the balance
-    // check a mixture designer runs before weighting sources. One count
-    // aggregation + a 1-row reduction.
 
     // Source-concentration diagnostics (E28c): HHI (Σ share², the
     // antitrust/data-mixing concentration index) and top-source share in
@@ -221,13 +177,6 @@ object MultimodalCatalog {
           expr("(max_cnt * 1000000) div n_total").as("top_share_fp"))
     }),
 
-    // A/B chi-square (E2e): users hash-split into two arms, outcome =
-    // any event with value > 222 (the per-user-max median, so the split
-    // is balanced; every user has every event TYPE, so type-based
-    // outcomes degenerate); the 2×2 contingency table plus the χ² statistic
-    // in exact integer fixed-point (×1000) — χ² is RATIONAL
-    // (n·(ad−bc)²/row·col products), so no float ever appears; wide
-    // decimals carry the squared cross-term at any scale.
 
     // A/B chi-square (E2e): users hash-split into two arms, outcome =
     // any event with value > 222 (the per-user-max median, so the split
@@ -259,13 +208,6 @@ object MultimodalCatalog {
             "(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)) END").as("chi2_fp"))
     }),
 
-    // Integer 3σ anomaly detection (E2f): per event_type, flag values
-    // with |x−μ| > 3σ using the ALL-INTEGER inequality
-    // (n·x − S)² > 9·(n·Q − S²) over cents (S=Σx, Q=Σx²) — variance is
-    // rational, so the z-test needs no sqrt and restates exactly; wide
-    // decimals carry the squares. Outliers are PLANTED (value×10 on
-    // event_id % 499 == 0) since the uniform base has none; the tiny
-    // per-type stats frame broadcasts back to the scan.
 
     // Integer 3σ anomaly detection (E2f): per event_type, flag values
     // with |x−μ| > 3σ using the ALL-INTEGER inequality
@@ -289,10 +231,6 @@ object MultimodalCatalog {
         .orderBy("event_id")
     }),
 
-    // Winsorization (E5c): clip each event's value at its type's PORTABLE
-    // p99 (the E19c histogram bound — no engine percentile involved), then
-    // the per-type census of survivors/clipped/sum — the outlier-robust
-    // cleaning stage, with the bound frame broadcast back to the scan.
 
     // Winsorization (E5c): clip each event's value at its type's PORTABLE
     // p99 (the E19c histogram bound — no engine percentile involved), then
@@ -314,9 +252,6 @@ object MultimodalCatalog {
         .orderBy("event_type")
     }),
 
-    // Hourly rank movers (E2g): rank event types by hourly volume, then
-    // each type's rank delta vs the previous hour (lag) — the "what moved"
-    // dashboard. Both windows run on the 720×5 aggregated frame only.
 
     // Hourly rank movers (E2g): rank event types by hourly volume, then
     // each type's rank delta vs the previous hour (lag) — the "what moved"
@@ -337,13 +272,6 @@ object MultimodalCatalog {
         .orderBy("hr", "event_type")
     }),
 
-    // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
-    // nonpositive user, unknown enum, nonpositive measure, timestamp
-    // window) over a deterministically CORRUPTED twin of events — each
-    // rule's violation count is nonzero and prime-keyed to a distinct
-    // corruption, so a rule that silently stops firing (or fires on the
-    // wrong column) hash-fails. One pass: five conditional sums collapsed
-    // map-side, then a 5-row unpivot.
 
     // Data-quality EXPECTATIONS suite (E5b): five rules (null key,
     // nonpositive user, unknown enum, nonpositive measure, timestamp
@@ -380,10 +308,6 @@ object MultimodalCatalog {
         .orderBy("rule")
     }),
 
-    // Cohort retention (E2d): cohort = a user's first active hour;
-    // retention = distinct users active at hour offsets 0..5 from their
-    // cohort — the canonical product-analytics matrix. Two user-keyed
-    // aggregations + one user-keyed join, nothing row-quadratic.
 
     // Cohort retention (E2d): cohort = a user's first active hour;
     // retention = distinct users active at hour offsets 0..5 from their
@@ -403,12 +327,6 @@ object MultimodalCatalog {
         .orderBy("cohort_hr", "offset_hr")
     }),
 
-    // MP4/ISO-BMFF container walk (E32f): spec-valid synthesized boxes
-    // (real big-endian sizes, nested moov{mvhd+trak*}), parsed by the REAL
-    // walker in the typed mapPartitions path; the oracle restates the
-    // construction arithmetic, so an endianness/offset/nesting bug makes
-    // parse ≠ construction and hash-fails — video-container coverage next
-    // to the PNG/JPEG/PPM/WAV codecs.
 
     // MP4/ISO-BMFF container walk (E32f): spec-valid synthesized boxes
     // (real big-endian sizes, nested moov{mvhd+trak*}), parsed by the REAL
@@ -449,7 +367,6 @@ object MultimodalCatalog {
         |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
         |ORDER BY hr""".stripMargin,
 
-    // mirrors curation_snapshot_diff's perturbation + full-outer census
 
     // mirrors curation_snapshot_diff's perturbation + full-outer census
     "curation_snapshot_diff" ->
@@ -467,7 +384,6 @@ object MultimodalCatalog {
         |  sum(CASE WHEN fp_old = fp_new THEN 1 ELSE 0 END)::BIGINT AS n_unchanged
         |FROM old FULL OUTER JOIN neu USING (doc_id)""".stripMargin,
 
-    // mirrors sample_negatives' sqrt-composed 3/4-power arithmetic
 
     // mirrors sample_negatives' sqrt-composed 3/4-power arithmetic
     "sample_negatives" ->
@@ -481,7 +397,6 @@ object MultimodalCatalog {
         |SELECT tok, cnt, w34, ((w34 * 1000000) // w_total)::BIGINT AS share_fp
         |FROM w, t ORDER BY cnt DESC, tok""".stripMargin,
 
-    // mirrors curation_source_mix's fixed-point concentration arithmetic
 
     // mirrors curation_source_mix's fixed-point concentration arithmetic
     "curation_source_mix" ->
@@ -491,7 +406,6 @@ object MultimodalCatalog {
         |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
         |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
 
-    // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²
 
     // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²
     "q_ab_chisq" ->
@@ -511,7 +425,6 @@ object MultimodalCatalog {
         |        ((a::HUGEINT + b) * (c + d) * (a + c) * (b + d)) END)::BIGINT AS chi2_fp
         |FROM t""".stripMargin,
 
-    // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
 
     // mirrors q_anomaly_events: planted ×10 outliers, the integer z² test
     "q_anomaly_events" ->
@@ -526,7 +439,6 @@ object MultimodalCatalog {
         |      9 * (n::HUGEINT*q - s::HUGEINT*s)
         |ORDER BY event_id""".stripMargin,
 
-    // mirrors etl_winsorize: the E19c p99 bound per type, then the clip
 
     // mirrors etl_winsorize: the E19c p99 bound per type, then the clip
     "etl_winsorize" ->
@@ -547,7 +459,6 @@ object MultimodalCatalog {
         |FROM events e JOIN b USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
-    // mirrors q_rank_movers: hourly volume rank + previous-hour lag
 
     // mirrors q_rank_movers: hourly volume rank + previous-hour lag
     "q_rank_movers" ->
@@ -564,7 +475,6 @@ object MultimodalCatalog {
         |  (rnk - coalesce(prev, rnk))::INT AS delta
         |FROM m ORDER BY hr, event_type""".stripMargin,
 
-    // mirrors etl_expectations' corrupted twin + five conditional sums
 
     // mirrors etl_expectations' corrupted twin + five conditional sums
     "etl_expectations" ->
@@ -593,7 +503,6 @@ object MultimodalCatalog {
         |  (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::INT AS pass
         |FROM u ORDER BY rule""".stripMargin,
 
-    // mirrors q_cohort_retention: first-hour cohort join, hour offsets
 
     // mirrors q_cohort_retention: first-hour cohort join, hour offsets
     "q_cohort_retention" ->
@@ -606,8 +515,6 @@ object MultimodalCatalog {
         |  count(DISTINCT user_id)::BIGINT AS n_users
         |FROM j WHERE offset_hr <= 5 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // mirrors syntheticMp4Payload: 3 top boxes, 1+id%3 traks, timescale
-    // 1000+id%9000, duration (id·37)%100000
 
     // mirrors syntheticMp4Payload: 3 top boxes, 1+id%3 traks, timescale
     // 1000+id%9000, duration (id·37)%100000
@@ -618,9 +525,6 @@ object MultimodalCatalog {
         |  ((doc_id * 37) % 100000)::BIGINT AS duration
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to
-    // (id + i) % 256 (i row-major interleaved over 3·w·h bytes); corrupted
-    // ids (doc_id % 29 = 0) are quarantined and must be absent
 
     // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to
     // (id + i) % 256 (i row-major interleaved over 3·w·h bytes); corrupted
@@ -637,9 +541,6 @@ object MultimodalCatalog {
         |  sum((i + 1) * ((doc_id + i) % 256))::BIGINT AS wsum
         |FROM e GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
 
-    // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
-    // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
-    // 3·(y·w+x)+c — restated at exactly the strided sample positions
 
     // mirrors Multimodal.resizePpm(factor=2): PPM assets are doc_id%4==0
     // with w=1+id%13, h=1+id%7, pixel byte (id + offset) % 256 at offset
@@ -672,11 +573,6 @@ object MultimodalCatalog {
         |    i -> ord(substr(text, i, 1))))::BIGINT AS header_sum
         |FROM documents ORDER BY asset_id""".stripMargin,
 
-    // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
-    // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
-    // frame = 2*(ceil(nframes/2)-1). Zero-frame (empty-payload) assets emit
-    // NO row — matching the Spark side, where posexplode of an empty frame
-    // array yields nothing (a groupBy after it cannot see the asset).
 
     // video assets are doc_id % 3 == 2; frames 0..ceil(bytes/16)-1, sampled
     // where frame_no % 2 = 0 → n_sampled = ceil(nframes/2), max sampled
@@ -692,8 +588,6 @@ object MultimodalCatalog {
         |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         |ORDER BY asset_id""".stripMargin,
 
-    // restates syntheticContainerPayload's dimension arithmetic: the Spark
-    // side must recover exactly these values by PARSING the bytes it built
 
     // restates syntheticContainerPayload's dimension arithmetic: the Spark
     // side must recover exactly these values by PARSING the bytes it built

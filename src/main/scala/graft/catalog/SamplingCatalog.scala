@@ -28,10 +28,6 @@ object SamplingCatalog {
         .orderBy("lang")
     }),
 
-    // Deterministic global corpus shuffle: pseudo-random order as a pure
-    // function of (key, salt) — the retry-stable, engine-reproducible
-    // replacement for orderBy(rand()) before sequence packing. The oracle
-    // re-derives the exact permutation (shuffle_key is portable md5).
 
     // Deterministic global corpus shuffle: pseudo-random order as a pure
     // function of (key, salt) — the retry-stable, engine-reproducible
@@ -42,7 +38,6 @@ object SamplingCatalog {
         .select(col("doc_id"), col("shuffle_key"))
     }),
 
-    // Leakage-free train/test split on the doc key.
 
     // Leakage-free train/test split on the doc key.
     "sample_split" -> ((s, d) => {
@@ -51,10 +46,6 @@ object SamplingCatalog {
         .orderBy("split", "lang")
     }),
 
-    // Cap-per-domain (data mixing): at most 10 docs per source, chosen by
-    // hash rank — the kept ids themselves are compared, not just counts.
-    // Runs the skew-safe bounded-heap path; the oracle is the window
-    // restatement, so their equivalence is oracle-checked too.
 
     // Cap-per-domain (data mixing): at most 10 docs per source, chosen by
     // hash rank — the kept ids themselves are compared, not just counts.
@@ -66,11 +57,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Class-balanced downsampling (E23l): every lang capped at the
-    // MINORITY class size (the classifier-training prep that stops a
-    // 90/10 label skew from training a majority-voter) — the cap is a
-    // 1-row contract-bounded collect, the cut runs the skew-safe
-    // bounded-heap path by deterministic hash order.
 
     // Class-balanced downsampling (E23l): every lang capped at the
     // MINORITY class size (the classifier-training prep that stops a
@@ -86,9 +72,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Exact proportional stratified sample: ceil(10%) of EVERY source by
-    // deterministic hash order — per-stratum counts exact, not binomial;
-    // runs the skew-safe bounded-heap path, oracle restates the rank window.
 
     // Exact proportional stratified sample: ceil(10%) of EVERY source by
     // deterministic hash order — per-stratum counts exact, not binomial;
@@ -100,9 +83,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Per-source quality gate: keep each source's top 20% by a per-doc
-    // score (n_chars as the stand-in — any quality column plugs in); the
-    // relative-threshold filter CCNet applies per language bucket.
 
     // Per-source quality gate: keep each source's top 20% by a per-doc
     // score (n_chars as the stand-in — any quality column plugs in); the
@@ -114,10 +94,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // CCNet head/middle/tail: source-relative quality terciles by word
-    // count (score desc, doc_id asc ties) — the bucketing run before
-    // keep-head+middle sampling. Every doc labeled, oracle restates the
-    // rank-window twin.
 
     // CCNet head/middle/tail: source-relative quality terciles by word
     // count (score desc, doc_id asc ties) — the bucketing run before
@@ -133,13 +109,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Leakage-SAFE split: the split key is the near-duplicate cluster
-    // representative (reachability over the same minhash pair graph as
-    // dedup_clusters), so near-twins can never straddle train/test — the
-    // eval-contamination hole a per-doc split leaves open. Docs in no
-    // cluster are their own singleton rep; the full (doc_id, rep, split)
-    // assignment is compared, and the oracle re-derives reachability with
-    // the recursive CTE + the md5 threshold on the rep.
 
     // Leakage-SAFE split: the split key is the near-duplicate cluster
     // representative (reachability over the same minhash pair graph as
@@ -157,12 +126,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Fractional-epoch materialization (data-recipe upsampling): src0 rides
-    // 2.5 epochs (every doc 2×, the hash-chosen half 3×), src1 exactly 2,
-    // src2 thins to 0.75, everything else 1× — expected multiplicity
-    // exactly the weight, the multiset a pure (key, salt) hash function.
-    // Zero shuffle: a scan-level explode(sequence()). The full repeated
-    // multiset (doc_id, source, copy_no) is compared row-for-row.
 
     // Fractional-epoch materialization (data-recipe upsampling): src0 rides
     // 2.5 epochs (every doc 2×, the hash-chosen half 3×), src1 exactly 2,
@@ -178,11 +141,6 @@ object SamplingCatalog {
         .orderBy("doc_id", "copy_no")
     }),
 
-    // Deterministic shard manifest: shard = floor(hash·16) as a pure key
-    // function, then one shard-keyed aggregation to the trainer-facing
-    // manifest — doc count, token volume, and an order-independent md5-sum
-    // checksum per shard (one missing/duplicated/swapped doc changes it;
-    // partition order and retries never do).
 
     // Deterministic shard manifest: shard = floor(hash·16) as a pure key
     // function, then one shard-keyed aggregation to the trainer-facing
@@ -197,9 +155,6 @@ object SamplingCatalog {
         .orderBy("shard_id")
     }),
 
-    // Mixture weighting: per-source Bernoulli fractions (web-style
-    // downsampling), a pure scan-level filter — the kept row set itself is
-    // compared, not just counts. Unlisted sources keep the default 0.1.
 
     // Mixture weighting: per-source Bernoulli fractions (web-style
     // downsampling), a pure scan-level filter — the kept row set itself is
@@ -212,13 +167,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Temperature-flattened mixture (T5/mT5 rebalancing at α = ½): the
-    // skewed lang distribution (en ≈ 3× fr) downsamples to √-flattened
-    // shares — f_g = √(n_min/n_g), the dominant language cut hardest, the
-    // smallest kept whole. Fractions derive from exact group counts via
-    // correctly-rounded √ and one division, so the kept SET (not just
-    // counts) is on the hash; the sample itself is a zero-shuffle scan
-    // filter with the fractions as a CASE literal.
 
     // Temperature-flattened mixture (T5/mT5 rebalancing at α = ½): the
     // skewed lang distribution (en ≈ 3× fr) downsamples to √-flattened
@@ -233,9 +181,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Token-budget cap per source: rows taken in hash-rank order while the
-    // running token total stays within budget (the first crossing row is
-    // kept, so no domain starves). The kept rows themselves are compared.
 
     // Token-budget cap per source: rows taken in hash-rank order while the
     // running token total stays within budget (the first crossing row is
@@ -248,10 +193,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // DSIR importance-weight table (target = src0, raw = all documents):
-    // hashed-bigram bucket probabilities in fixed point, Laplace-smoothed
-    // over the full 64-bucket support — every value an exact BIGINT, the
-    // truncating `div` identical to DuckDB's `//`.
 
     // DSIR importance-weight table (target = src0, raw = all documents):
     // hashed-bigram bucket probabilities in fixed point, Laplace-smoothed
@@ -264,9 +205,6 @@ object SamplingCatalog {
         .orderBy("bucket")
     }),
 
-    // Per-document DSIR importance scores against the src0 target: explode
-    // bigrams → broadcast-join the 64-row weight table → one doc-keyed sum.
-    // Docs with no bigrams surface with score 0 (left join, not dropped).
 
     // Per-document DSIR importance scores against the src0 target: explode
     // bigrams → broadcast-join the 64-row weight table → one doc-keyed sum.
@@ -279,9 +217,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // End-to-end DSIR selection: exact top 20% by (score desc, doc_id) —
-    // the deterministic resampling draw, ranked by range-partitioned sort +
-    // zipWithIndex (no single-partition window).
 
     // End-to-end DSIR selection: exact top 20% by (score desc, doc_id) —
     // the deterministic resampling draw, ranked by range-partitioned sort +
@@ -294,8 +229,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Benchmark decontamination: corpus docs sharing any word 4-gram with
-    // the probe slice (doc_id % 20 == 0), with the shared-gram count.
 
     // Benchmark decontamination: corpus docs sharing any word 4-gram with
     // the probe slice (doc_id % 20 == 0), with the shared-gram count.
@@ -307,8 +240,6 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Shuffle-join twin for beyond-broadcast probe sets — same contract,
-    // same oracle restatement, gram-keyed exchange instead of a broadcast.
 
     // Shuffle-join twin for beyond-broadcast probe sets — same contract,
     // same oracle restatement, gram-keyed exchange instead of a broadcast.
@@ -338,9 +269,6 @@ object SamplingCatalog {
          |  lang, count(*)::BIGINT AS n
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
-    // same reachability CTE as dedup_clusters (identical pair graph), then
-    // the split decision restated on the md5 of the effective cluster rep —
-    // docs in no cluster fall back to their own id via the LEFT JOIN
 
     // same reachability CTE as dedup_clusters (identical pair graph), then
     // the split decision restated on the md5 of the effective cluster rep —
@@ -373,9 +301,6 @@ object SamplingCatalog {
          |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    // floor(e) guaranteed copies + one hash-fraction extra; the WHERE drops
-    // hash-missed rows of sub-1.0 groups (generate_series(1,0) is empty
-    // anyway — the guard documents the thinning path)
 
     // floor(e) guaranteed copies + one hash-fraction extra; the WHERE drops
     // hash-missed rows of sub-1.0 groups (generate_series(1,0) is empty
@@ -392,7 +317,6 @@ object SamplingCatalog {
          |SELECT doc_id, source, unnest(generate_series(1, nc))::INT AS copy_no
          |FROM n WHERE nc >= 1 ORDER BY doc_id, copy_no""".stripMargin,
 
-    // floor(hash·16) shard + the commutative md5-prefix-sum checksum
 
     // floor(hash·16) shard + the commutative md5-prefix-sum checksum
     "sample_shards" ->
@@ -408,8 +332,6 @@ object SamplingCatalog {
          |  ORDER BY ${Sql.unitHash("doc_id::VARCHAR")} ASC, doc_id ASC) <= 10
          |ORDER BY doc_id""".stripMargin,
 
-    // mirrors sample_balanced_classes: the same hash-order rank window,
-    // cap = the scalar minority-class size
 
     // mirrors sample_balanced_classes: the same hash-order rank window,
     // cap = the scalar minority-class size
@@ -439,8 +361,6 @@ object SamplingCatalog {
         |  <= ceil(count(*) OVER (PARTITION BY source) * 0.2)
         |ORDER BY doc_id""".stripMargin,
 
-    // fraction literals written n * (1.0/3.0) to match Spark's
-    // ceil(count * lit(1.0/3)) bit-for-bit (n / 3.0 is a DIFFERENT double)
 
     // fraction literals written n * (1.0/3.0) to match Spark's
     // ceil(count * lit(1.0/3)) bit-for-bit (n / 3.0 is a DIFFERENT double)
@@ -466,8 +386,6 @@ object SamplingCatalog {
          |        WHEN 'src2' THEN 0.25 ELSE 0.1 END)
          |ORDER BY doc_id""".stripMargin,
 
-    // per-group √-flattened Bernoulli fractions from exact counts — the
-    // same two correctly-rounded sqrts + one division as the Scala side
 
     // per-group √-flattened Bernoulli fractions from exact counts — the
     // same two correctly-rounded sqrts + one division as the Scala side
@@ -481,8 +399,6 @@ object SamplingCatalog {
          |  sqrt(mn.n_min::DOUBLE) / sqrt(c.n::DOUBLE)
          |ORDER BY doc_id""".stripMargin,
 
-    // running token total in hash-rank order; ROWS frame explicit so the
-    // cumulative matches Spark's rowsBetween even on (impossible) ties
 
     // running token total in hash-rank order; ROWS frame explicit so the
     // cumulative matches Spark's rowsBetween even on (impossible) ties
@@ -508,9 +424,6 @@ object SamplingCatalog {
          |SELECT doc_id, score_fixed, n_grams
          |FROM dsir_scores ORDER BY doc_id""".stripMargin,
 
-    // exact top-20% draw: rank over (score desc, doc_id asc), keep
-    // rk <= ceil(0.2 · n) — the window restatement of the sort+zipWithIndex
-    // selection
 
     // exact top-20% draw: rank over (score desc, doc_id asc), keep
     // rk <= ceil(0.2 · n) — the window restatement of the sort+zipWithIndex
@@ -536,7 +449,6 @@ object SamplingCatalog {
          |FROM dg JOIN pg USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // identical restatement — the Spark twins differ only in join strategy
 
     // identical restatement — the Spark twins differ only in join strategy
     "decontaminate_join" ->

@@ -26,7 +26,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Sign-quantization LSH bucketed top-k (the pruned scale path).
 
     // Sign-quantization LSH bucketed top-k (the pruned scale path).
     "sim_topk_lsh" -> ((s, d) => {
@@ -36,12 +35,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // ANN recall EVALUATION harness (E15g): recall@5 of the pruned LSH
-    // path against brute-force ground truth, per query, in fixed point —
-    // quality measurement as a first-class operator (the number a recall
-    // SLO monitors), not a spec-only assertion. Both retrievers' own scale
-    // shapes; the comparison is two tiny top-k frames joined on
-    // (query, id).
 
     // ANN recall EVALUATION harness (E15g): recall@5 of the pruned LSH
     // path against brute-force ground truth, per query, in fixed point —
@@ -73,10 +66,6 @@ object SimilarityCatalog {
         .orderBy("query_id")
     }),
 
-    // MMR diversified re-ranking (E15h): greedy rel − ½·max-sim-to-selected
-    // over the brute top-10, five unrolled rounds — the anti-redundancy
-    // pass a RAG context builder runs after retrieval, fully restated
-    // (selection order AND scores compared).
 
     // MMR diversified re-ranking (E15h): greedy rel − ½·max-sim-to-selected
     // over the brute top-10, five unrolled rounds — the anti-redundancy
@@ -89,11 +78,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "sel_rank")
     }),
 
-    // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
-    // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
-    // even with k-means-fitted cells (fitIters=2 exercises the fitting under
-    // the gate); the point under test is the zero-exchange cell-assignment
-    // projection + cell-keyed probe join (ExtSpec asserts the plan).
 
     // IVF ANN with every cell probed (nProbe = nCells) — returns exactly the
     // brute-force answer FOR ANY CENTROIDS, so the oracle is sim_topk's SQL
@@ -107,15 +91,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Filtered vector search: top-k among label=2 vectors only (~10% of the
-    // corpus) — PRE-filter semantics (a full k from the eligible set, not a
-    // thinned post-filtered list), centroids still fit on everything
-    // (prebuilt-index semantics). nProbe = nCells keeps the exactness
-    // contract, so the oracle is the brute force over the eligible subset —
-    // and exactness under full probe holds for ANY centroid set, so this
-    // headline row skips the k-means fit (fitIters = 0): it measures the
-    // filtered SEARCH path, not the index build the `sim_topk_ivf` row
-    // already exercises (a prebuilt index is not re-fit per query batch).
 
     // Filtered vector search: top-k among label=2 vectors only (~10% of the
     // corpus) — PRE-filter semantics (a full k from the eligible set, not a
@@ -134,11 +109,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // k-NN graph construction: every vector's 5 nearest neighbors among
-    // multi-probe sign-bucket candidates — the precursor structure for
-    // graph ANN and embedding-space clustering. Bucket equi-join + the
-    // bounded-heap TopK; the sign buckets are portable, so the oracle
-    // restates the full candidate rule.
 
     // k-NN graph construction: every vector's 5 nearest neighbors among
     // multi-probe sign-bucket candidates — the precursor structure for
@@ -151,13 +121,6 @@ object SimilarityCatalog {
         .orderBy("id", "rank")
     }),
 
-    // Link-graph centrality for corpus curation (the Common-Crawl-style
-    // host ranking that feeds web-scale quality gates): integer fixed-point
-    // PageRank over the bidirectional customer<->supplier trade graph, 3
-    // iterations. Every arithmetic step is exact BIGINT (truncating div),
-    // so the fixed-iteration run is restated verbatim in the oracle as
-    // unrolled CTEs — no float reduction order anywhere. Supplier nodes are
-    // offset by 10^6 to disambiguate the shared integer key space.
 
     // Link-graph centrality for corpus curation (the Common-Crawl-style
     // host ranking that feeds web-scale quality gates): integer fixed-point
@@ -176,11 +139,6 @@ object SimilarityCatalog {
       Graph.pageRankExact(e, "src", "dst", iters = 3).orderBy("node")
     }),
 
-    // Exact triangle count (E30b) over a circulant doc graph (strides
-    // 1,2,3 mod N — exactly 3·N triangles, an analytic cross-check): the
-    // degree-ordered wedge join, each triangle once, fan-out bounded by
-    // the max ORIENTED out-degree (O(√m) on any graph — the celebrity-node
-    // guard). All joins node-keyed; output is the 1-row census.
 
     // Exact triangle count (E30b) over a circulant doc graph (strides
     // 1,2,3 mod N — exactly 3·N triangles, an analytic cross-check): the
@@ -198,16 +156,6 @@ object SimilarityCatalog {
       Graph.triangleStats(e, "src", "dst")
     }),
 
-    // URL parse + canonicalization — the first hop of a crawl-curation
-    // pipeline. The fixture has no URL column, so one is SYNTHESIZED
-    // deterministically per document (five construction branches exercising
-    // mixed-case scheme/host, userinfo, explicit default + non-default
-    // ports, empty path, trailing-dot host, multi-label public suffix,
-    // query, fragment); the oracle restates the BRANCH ARITHMETIC — the
-    // expected field values per branch — so the Spark side's actual regex
-    // parse is what's on the hash, with zero regex-dialect coupling. The
-    // whole row is one codegen'd projection: no shuffle before the
-    // determinism sort.
 
     // URL parse + canonicalization — the first hop of a crawl-curation
     // pipeline. The fixture has no URL column, so one is SYNTHESIZED
@@ -229,12 +177,6 @@ object SimilarityCatalog {
         .orderBy("doc_id")
     }),
 
-    // Registered-domain blocklist — the most common crawl-curation gate
-    // (spam/adult/boilerplate domain lists): reg_domain derived per doc
-    // (zero-shuffle projection), membership against a broadcast-literal
-    // blocklist, kept docs pass. Drops the ftp branch's example.org docs
-    // plus one co.uk entry, so both the multi-label suffix rule and the
-    // filter itself are on the hash.
 
     // Registered-domain blocklist — the most common crawl-curation gate
     // (spam/adult/boilerplate domain lists): reg_domain derived per doc
@@ -254,14 +196,6 @@ object SimilarityCatalog {
         .orderBy("doc_id")
     }),
 
-    // URL-level dedup through canonicalization — crawl frontier dedup: the
-    // same page surfaces under cosmetically different URLs and the
-    // canonical form is the equality key. Each doc contributes its branch
-    // URL plus a textually-distinct twin (fragment appended; offset id)
-    // that MUST collapse onto the same canonical key — and branch 3's URL
-    // embeds no doc id, so whole (source, branch) groups collapse too.
-    // Shape: projection + ONE canon-keyed aggregation with map-side
-    // partials — the crawl-dedup plan that holds at frontier scale.
 
     // URL-level dedup through canonicalization — crawl frontier dedup: the
     // same page surfaces under cosmetically different URLs and the
@@ -284,15 +218,6 @@ object SimilarityCatalog {
         .orderBy("canon_url")
     }),
 
-    // Host-level quality join — the consumer graph_pagerank was built for:
-    // canonical hosts derived from the synthesized URLs, a host link graph
-    // (each doc's host links to the hosts of docs id+1 and id+29 — stride
-    // self-joins keyed on doc_id, no corpus count and no cross join
-    // anywhere; tail ids simply emit fewer edges), integer fixed-point
-    // PageRank over it, and the per-host rank joined back onto every
-    // document through a BROADCAST of the host dim — documents never
-    // shuffle for the join. Oracle: same construction + unrolled 3-iter
-    // PageRank CTEs.
 
     // Host-level quality join — the consumer graph_pagerank was built for:
     // canonical hosts derived from the synthesized URLs, a host link graph
@@ -327,14 +252,6 @@ object SimilarityCatalog {
         .orderBy("doc_id")
     }),
 
-    // PQ-compressed ANN via asymmetric distance computation: the corpus is
-    // stored as m=16 code ints (16× compression vs 64 raw floats; a real
-    // deployment packs them into 16 bytes) and each candidate costs 16
-    // table lookups instead of 64 multiplies. Scores are quantized by
-    // codebook resolution, so no external engine can restate them —
-    // rows-only by design; ExtSpec pins recall vs the exact scan (≥0.6
-    // measured 0.70 on this corpus — random embeddings are PQ's worst
-    // case) and exactness when the codebook covers the corpus.
 
     // PQ-compressed ANN via asymmetric distance computation: the corpus is
     // stored as m=16 code ints (16× compression vs 64 raw floats; a real
@@ -351,12 +268,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // PQ ADC with a PINNED arithmetic codebook (the production shape:
-    // codebooks trained offline, shipped as an artifact) — and because the
-    // codebook is an explicit constant, the full encode→ADC→rank pipeline
-    // IS restatable: the oracle rebuilds the same codebook from the same
-    // integer formula and mirrors every fold in index order. This is the
-    // oracle-carrying twin of the rows-only fitted row above.
 
     // PQ ADC with a PINNED arithmetic codebook (the production shape:
     // codebooks trained offline, shipped as an artifact) — and because the
@@ -371,12 +282,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-PQ with pinned codebook + deterministic centroids and REAL
-    // partial-probe pruning (nProbe=4 of 8 cells — candidates genuinely
-    // drop, unlike the full-probe identity): the billion-scale composition
-    // under a complete oracle — cell assignment (argmax cosine, min-id
-    // ties, zero-norm → -2), query-side top-4 probe cells, PQ encode, ADC,
-    // and ranking all restated in DuckDB.
 
     // IVF-PQ with pinned codebook + deterministic centroids and REAL
     // partial-probe pruning (nProbe=4 of 8 cells — candidates genuinely
@@ -392,10 +297,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
-    // — the classic billion-scale ANN recipe (prune by cell, score against
-    // codes, never touch raw vectors after encode). Rows-only for the same
-    // reason as sim_topk_pq.
 
     // IVF-PQ: inverted-file candidate pruning composed with the PQ ADC scan
     // — the classic billion-scale ANN recipe (prune by cell, score against
@@ -409,11 +310,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Int8-quantized brute-force ANN: 4x smaller corpus vectors (memory
-    // bandwidth IS the brute-force bottleneck at scale), integer-dot
-    // cosine. Deterministic floor(x*127/maxabs + 0.5) quantization makes
-    // codes AND scores engine-exact, so the quantized search is fully
-    // oracle-checked — unlike PQ's fitted codebooks.
 
     // Int8-quantized brute-force ANN: 4x smaller corpus vectors (memory
     // bandwidth IS the brute-force bottleneck at scale), integer-dot
@@ -427,12 +323,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
-    // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
-    // re-ranks the shortlist — the retrieve-then-rerank pattern. Both
-    // stages are deterministic strict folds, so the WHOLE pipeline is
-    // restated in the oracle (shortlist membership included), unlike
-    // PQ's codebook-dependent shortlist.
 
     // Two-stage refined ANN: prefix-dim scoring shortlists 50 candidates
     // per query (a 4× flop cut on the all-N stage), exact full-dim cosine
@@ -447,9 +337,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
-    // of a DIFFERENT label — the contrastive-training batch builder.
-    // bruteForceTopK's scan shape with a pair-level label-mismatch filter.
 
     // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
     // of a DIFFERENT label — the contrastive-training batch builder.
@@ -461,13 +348,6 @@ object SimilarityCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
-    // assignment on exact-integer arithmetic, truncating-integer-mean
-    // centroid update — so unlike the FP kmeansCentroids fit (reduction-
-    // order-dependent, never restatable) BOTH the fitted centroids and the
-    // final assignments are on the hash: the oracle unrolls all three
-    // assignment passes and both updates (Sql.kmeansUnrolled). k = 8 cells
-    // seeded from the 8 lowest vec_ids, 2 Lloyd rounds, one row per vector.
 
     // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
     // assignment on exact-integer arithmetic, truncating-integer-mean
@@ -482,13 +362,6 @@ object SimilarityCatalog {
         .orderBy("vec_id")
     }),
 
-    // Cluster-balanced downsampling (the E15e consumer): cap every fitted
-    // k-means cell at 40 vectors by deterministic hash order — the
-    // diversity-preserving prune (SemDeDup-style: dense cells shed
-    // redundant mass, sparse cells survive whole). Assignment is the
-    // zero-exchange kmeans projection; the cap runs the bounded-heap
-    // skew-safe path, so one mega-cell costs O(partitions·cap), not
-    // O(cell) — the window twin would serialize it through one task.
 
     // Cluster-balanced downsampling (the E15e consumer): cap every fitted
     // k-means cell at 40 vectors by deterministic hash order — the
@@ -505,11 +378,6 @@ object SimilarityCatalog {
         .orderBy("vec_id")
     }),
 
-    // Streaming near-dup candidates, driven in batch mode (the whole frame
-    // as one micro-batch): deterministic pair SET (per-bucket processing is
-    // id-ordered), but the decision is a signature-agreement ESTIMATE the
-    // oracle cannot restate without xxhash64 — rows-only by design, like
-    // the sketches below; the streaming statefulness is MemoryStream-tested.
 
     // Streaming near-dup candidates, driven in batch mode (the whole frame
     // as one micro-batch): deterministic pair SET (per-bucket processing is
@@ -523,13 +391,6 @@ object SimilarityCatalog {
         .toDF()
     }),
 
-    // The ORACLE-GATED twin of q_streaming_neardup: the SAME stateful LSH
-    // operator (banding, bucket state, in-batch id-order processing,
-    // agreement scoring) running the portable md5-60bit signature family
-    // instead of xxhash64. At gate SF no bucket approaches the caps, so
-    // the emitted pair set is exactly {(a,b): n_agree >= 8 of 16}, which
-    // DuckDB restates from the md5 signature law — the statefulness itself
-    // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
 
     // The ORACLE-GATED twin of q_streaming_neardup: the SAME stateful LSH
     // operator (banding, bucket state, in-batch id-order processing,
@@ -546,10 +407,6 @@ object SimilarityCatalog {
         .toDF()
     }),
 
-    // Streaming SCD2, batch-driven: the stateful dimension-history op run
-    // over the full events table as one batch — closed versions are
-    // deterministic (a version is final exactly when its successor opens),
-    // so unlike the near-dup stream this row IS oracle-checkable.
 
     // Streaming SCD2, batch-driven: the stateful dimension-history op run
     // over the full events table as one batch — closed versions are
@@ -568,11 +425,6 @@ object SimilarityCatalog {
         .orderBy("user_id", "version")
     }),
 
-    // Streaming funnel, batch-driven: the full transition set (every
-    // depth advance with its time), which the oracle restates as the
-    // union of the iterative join chain's per-step rows — each s_k CTE is
-    // literally the set of depth-k transitions. Cross-micro-batch state
-    // continuation is MemoryStream-tested in EventTimeSpec.
 
     // Streaming funnel, batch-driven: the full transition set (every
     // depth advance with its time), which the oracle restates as the
@@ -598,12 +450,6 @@ object SimilarityCatalog {
         .orderBy("user_id", "depth")
     }),
 
-    // Watermarked stream-stream interval join, batch-driven: every view of
-    // the same user within 30 minutes BEFORE a purchase — the two-stream
-    // enrichment/attribution shape. The batch form the oracle restates is
-    // the same call (plain keyed join + range filter); the streaming
-    // statefulness (both-side buffers bounded by watermark + lag,
-    // cross-micro-batch matching) is MemoryStream-tested in EventTimeSpec.
 
     // Watermarked stream-stream interval join, batch-driven: every view of
     // the same user within 30 minutes BEFORE a purchase — the two-stream
@@ -626,13 +472,6 @@ object SimilarityCatalog {
         .orderBy("p_id", "v_id")
     }),
 
-    // Left-OUTER stream-stream interval join, batch-driven: every purchase
-    // with its 30-minute-preceding view count — zero for the unmatched ones
-    // (the "which conversions had NO preceding touchpoint" attribution
-    // question). Aggregated to counts so no nullable sort key crosses
-    // engines (null ordering differs); the streaming semantics — the
-    // null-extended row emits only once the watermark closes the window —
-    // are MemoryStream-pinned in EventTimeSpec.
 
     // Left-OUTER stream-stream interval join, batch-driven: every purchase
     // with its 30-minute-preceding view count — zero for the unmatched ones
@@ -656,10 +495,6 @@ object SimilarityCatalog {
         .orderBy("p_id")
     }),
 
-    // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
-    // at-scale shape for distincts/percentiles — partial sketches merge
-    // map-side, so the shuffle carries sketches, not values. Estimates are
-    // engine-specific ⇒ deliberately NO DuckDB oracle (rows-only check).
 
     // Mergeable-sketch aggregates (HLL distinct, quantile sketch): the
     // at-scale shape for distincts/percentiles — partial sketches merge
@@ -673,13 +508,6 @@ object SimilarityCatalog {
         .orderBy("event_type")
     }),
 
-    // PORTABLE integer HLL (E26c) — the oracle-gated sibling of the
-    // engine-specific rows-only sketch above: md5-derived 60-bit hash,
-    // 64 max-merged registers, and a fixed-point estimate with NO float
-    // rounding anywhere, so both engines agree bit-for-bit. Register table
-    // + denominator + estimate + the exact distinct all in one 64-row
-    // frame (est/exact constant per row — everything post-shuffle is ≤ 64
-    // rows; the one real aggregation is the 64-group map-side max).
 
     // PORTABLE integer HLL (E26c) — the oracle-gated sibling of the
     // engine-specific rows-only sketch above: md5-derived 60-bit hash,
@@ -699,12 +527,6 @@ object SimilarityCatalog {
         .orderBy("bucket")
     }),
 
-    // Per-hour portable-HLL estimates (E19d): one sketch per window via
-    // the SPINE-FREE grouped shape — only observed buckets aggregate; each
-    // empty register adds exactly 2^55 to the denominator in closed form,
-    // so nothing widens to 64 rows per group (the many-groups shape: a
-    // sketch per hour×source at 100 TB). Streaming twin
-    // (EventTimeOps.streamingHllRegisters) is EventTimeSpec-pinned equal.
 
     // Per-hour portable-HLL estimates (E19d): one sketch per window via
     // the SPINE-FREE grouped shape — only observed buckets aggregate; each
@@ -724,11 +546,6 @@ object SimilarityCatalog {
         .orderBy("hr")
     }),
 
-    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
-    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
-    // combining), point estimate = min over rows, always ≥ truth. Probes =
-    // the 10 most frequent tokens; the compared surface includes the
-    // overcount, so hash/row/min drift anywhere fails.
 
     // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
     // triad — 4×256 SUM counters (order-independent, mergeable, map-side
@@ -747,12 +564,6 @@ object SimilarityCatalog {
         .orderBy(col("true_n").desc, col("tok"))
     }),
 
-    // Sliding-window distinct via REGISTER MERGE (E19g): hourly HLL
-    // partials are built ONCE, then every 3-hour sliding window derives
-    // purely from the tiny register table (each hourly register feeds the
-    // 3 windows that cover it; merge = max) — the sketch-merge payoff: the
-    // slide never rescans events. Exact twin computed per window for the
-    // compared surface.
 
     // Sliding-window distinct via REGISTER MERGE (E19g): hourly HLL
     // partials are built ONCE, then every 3-hour sliding window derives
@@ -787,11 +598,6 @@ object SimilarityCatalog {
         .orderBy("win_hr")
     }),
 
-    // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
-    // rows-only percentile_approx row below: equi-width integer histogram
-    // (the proven q_histogram bucketing), φ-quantile = smallest bucket with
-    // cum ≥ ⌈φ·N⌉ via exact integral arithmetic. Mergeable; the window
-    // runs on the ≤ |groups|·128 aggregated frame, never on raw rows.
 
     // PORTABLE quantile sketch (E19c) — oracle-gated sibling of the
     // rows-only percentile_approx row below: equi-width integer histogram
@@ -806,9 +612,6 @@ object SimilarityCatalog {
         .orderBy("l_returnflag")
     }),
 
-    // Scalar p50/p95 projections (not the raw array<double>): the driver's
-    // rows-only check hashes each output cell, and an array cell is
-    // unhashable on the pandas side — same sketch, scalar columns.
 
     // Scalar p50/p95 projections (not the raw array<double>): the driver's
     // rows-only check hashes each output cell, and an array cell is
@@ -841,10 +644,6 @@ object SimilarityCatalog {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain
-    // (Sql.pqPinnedCtes), a flat-scan ADC over every (query, corpus) pair,
-    // score = adc / (qn · sqrt(reconSq)) — every double op in the same
-    // order as the Spark plan
 
     // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain
     // (Sql.pqPinnedCtes), a flat-scan ADC over every (query, corpus) pair,
@@ -868,11 +667,6 @@ object SimilarityCatalog {
          |  FROM scored)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.ivfPqTopKPinned: the same pinned-PQ chain plus
-    // IVF — centroids = 8 lowest-id vectors, corpus cell = argmax cosine
-    // (coalesce -2 for zero norm, min cent_id ties — dedup_semantic's
-    // proven restatement), query probes its top-4 cells, and the ADC sum
-    // runs only over candidates whose cell is probed
 
     // mirrors Similarity.ivfPqTopKPinned: the same pinned-PQ chain plus
     // IVF — centroids = 8 lowest-id vectors, corpus cell = argmax cosine
@@ -958,8 +752,6 @@ object SimilarityCatalog {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.hardNegativesTopK: sim_topk's scored join under a
-    // label-mismatch predicate (which also excludes the anchor itself)
 
     // mirrors Similarity.hardNegativesTopK: sim_topk's scored join under a
     // label-mismatch predicate (which also excludes the anchor itself)
@@ -975,9 +767,6 @@ object SimilarityCatalog {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.kmeansAssignPortable(k=8, updates=2): int8 codes,
-    // three unrolled exact-integer cosine assignments, two truncating
-    // integer-mean updates — fitted centroids AND assignments on the hash
 
     // mirrors Similarity.kmeansAssignPortable(k=8, updates=2): int8 codes,
     // three unrolled exact-integer cosine assignments, two truncating
@@ -987,8 +776,6 @@ object SimilarityCatalog {
          |${Sql.kmeansUnrolled(8, 2)}
          |SELECT vec_id, cell, score FROM a3 ORDER BY vec_id""".stripMargin,
 
-    // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set
-    // identical to the rank-window form, which the oracle restates)
 
     // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set
     // identical to the rank-window form, which the oracle restates)
@@ -1013,9 +800,6 @@ object SimilarityCatalog {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    // mirrors Similarity.mmrRerank(kCand=10, kSel=5): brute candidates,
-    // candidate-pair cosines, then the greedy rounds unrolled — each
-    // round's penalty joins the accumulated selection
 
     // mirrors Similarity.mmrRerank(kCand=10, kSel=5): brute candidates,
     // candidate-pair cosines, then the greedy rounds unrolled — each
@@ -1056,8 +840,6 @@ object SimilarityCatalog {
          |ORDER BY query_id, sel_rank""".stripMargin
     },
 
-    // mirrors sim_recall_eval: the brute and LSH chains side by side, then
-    // the per-query overlap census
 
     // mirrors sim_recall_eval: the brute and LSH chains side by side, then
     // the per-query overlap census
@@ -1101,7 +883,6 @@ object SimilarityCatalog {
          |FROM tn LEFT JOIN h1 USING (query_id) LEFT JOIN h2 USING (query_id)
          |ORDER BY query_id""".stripMargin,
 
-    // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
 
     // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
     "sim_topk_ivf" ->
@@ -1185,8 +966,6 @@ object SimilarityCatalog {
         |  n_triangles
         |FROM tri""".stripMargin,
 
-    // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
-    // SUM counter frame under salt cms<j>; estimate = least of the four
 
     // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
     // SUM counter frame under salt cms<j>; estimate = least of the four
@@ -1211,8 +990,6 @@ object SimilarityCatalog {
          |ORDER BY true_n DESC, tok""".stripMargin
     },
 
-    // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
-    // closed-form 2^55 per empty register, integral-division estimate
 
     // mirrors Sketches.hllEstimateBy grouped by hour: observed-bucket max,
     // closed-form 2^55 per empty register, integral-division estimate
@@ -1240,9 +1017,6 @@ object SimilarityCatalog {
          |SELECT est.hr, buckets_hit, d_denom, est_users, exact_users
          |FROM est JOIN ex USING (hr) ORDER BY hr""".stripMargin,
 
-    // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
-    // capped equi-width buckets, per-group cumulative counts, smallest
-    // bucket with cum ≥ the exact integral ceiling threshold
 
     // mirrors Sketches.histogramQuantiles(width=1000, n=128, p50, p95):
     // capped equi-width buckets, per-group cumulative counts, smallest
@@ -1265,11 +1039,6 @@ object SimilarityCatalog {
         |FROM base JOIN p50 USING (g) JOIN p95 USING (g)
         |ORDER BY l_returnflag""".stripMargin,
 
-    // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
-    // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),
-    // D = Σ 2^(55−register) as exact integers, est = the 24-digit decimal
-    // numerator integral-divided by 1000·D (HUGEINT here, DECIMAL(38,0) div
-    // on the Spark side — both truncate toward zero on positives)
 
     // mirrors Sketches.hllRegisters + hllEstimate: 60-bit md5 hash, low 6
     // bits → bucket, rho = 55 − bitlength(rem) via bin() (55 when rem=0),
@@ -1329,10 +1098,6 @@ object SimilarityCatalog {
         |  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
-    // Restates synthUrl's construction and the EXPECTED parse fields per
-    // branch (not a second regex parse — zero regex-dialect coupling):
-    // a wrong offset, missed lowercase, kept default port, or unstripped
-    // trailing dot on the Spark side hash-fails against these literals.
 
     // Restates synthUrl's construction and the EXPECTED parse fields per
     // branch (not a second regex parse — zero regex-dialect coupling):
@@ -1359,8 +1124,6 @@ object SimilarityCatalog {
          |  ${Sql.urlCanonCase} AS canon_url
          |FROM u ORDER BY doc_id""".stripMargin,
 
-    // branch hosts → branch reg domains; blocked = example.org (branch 4)
-    // and example.co.uk (branch 0) — survivors are branches 1/2/3
 
     // branch hosts → branch reg domains; blocked = example.org (branch 4)
     // and example.co.uk (branch 0) — survivors are branches 1/2/3
@@ -1372,10 +1135,6 @@ object SimilarityCatalog {
          |FROM u WHERE m IN (1, 2, 3)
          |ORDER BY doc_id""".stripMargin,
 
-    // base + fragment-twin rows both restate to the branch's canonical
-    // URL; the group-by is the dedup — a canonicalizer that kept the
-    // fragment, the default port, or host case would split groups and
-    // hash-fail
 
     // base + fragment-twin rows both restate to the branch's canonical
     // URL; the group-by is the dedup — a canonicalizer that kept the
@@ -1390,9 +1149,6 @@ object SimilarityCatalog {
          |  count(*)::BIGINT AS n_urls
          |FROM c GROUP BY 1 ORDER BY canon_url""".stripMargin,
 
-    // Same construction, then the stride host link graph (id+1, id+29)
-    // and the SAME unrolled integer PageRank as graph_pagerank, joined
-    // back per document through the arithmetic host id.
 
     // Same construction, then the stride host link graph (id+1, id+29)
     // and the SAME unrolled integer PageRank as graph_pagerank, joined

@@ -30,17 +30,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // TRAINED multi-class language ID — the flagship lang-id path: a
-    // one-vs-all AVERAGED perceptron (3 classes) over E9g's hashed
-    // unigram+bigram feature space, fit on EVEN doc_ids, argmax inference
-    // on the held-out ODD half. The corpus carries a planted noisy
-    // 3-class signal (class marker token, flipped to the NEXT class on a
-    // keyed-hashed 15% of docs), so held-out accuracy ≈ the planted
-    // ceiling — a real multi-class learning demonstration, replacing the
-    // fixed marker-vocabulary argmax (text_langid) as flagship. The
-    // oracle unrolls all three per-class epoch chains plus the averaged
-    // snapshots and the first-wins argmax; per-doc scores for every
-    // class, the prediction, and the correctness flag are all on the hash.
 
     // TRAINED multi-class language ID — the flagship lang-id path: a
     // one-vs-all AVERAGED perceptron (3 classes) over E9g's hashed
@@ -76,13 +65,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Quality scoring: token counts, mean token length, stopword ratio.
-    // fastText-shaped quality-classifier inference: hashed unigram+bigram
-    // features, a deterministic keyed-hash linear weight per bucket (the
-    // seam a trained weight vector drops into), exact integer score — one
-    // zero-shuffle native one-pass kernel per doc (HashedLinearScoreExpr;
-    // bit-equal Column-chain twin spec-pinned). The oracle restates the
-    // feature hashing, the weight formula, and the sum verbatim.
 
     // Quality scoring: token counts, mean token length, stopword ratio.
     // fastText-shaped quality-classifier inference: hashed unigram+bigram
@@ -109,7 +91,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Token counting per language: whitespace, regex-word, BPE-ish subword.
 
     // Token counting per language: whitespace, regex-word, BPE-ish subword.
     "text_tokens" -> ((s, d) => {
@@ -123,13 +104,6 @@ object TextCatalog {
         .orderBy("lang")
     }),
 
-    // Real BPE ENCODE under the pinned merge table (E9i): per doc, the
-    // exact subword stream after 8 merge rounds — posexplode so every token
-    // AND its position is hash-compared (a wrong merge order, a missed
-    // occurrence, or a rank-precedence bug all reorder the stream).
-    // ASCII-printable docs only: the kernel iterates UTF-16 units, the
-    // oracle regex codepoints — identical on ASCII, divergent on surrogate
-    // pairs. Pure scan-level projection; the explode is the only growth.
 
     // Real BPE ENCODE under the pinned merge table (E9i): per doc, the
     // exact subword stream after 8 merge rounds — posexplode so every token
@@ -147,16 +121,6 @@ object TextCatalog {
         .orderBy("doc_id", "pos")
     }),
 
-    // Classifier TRAINING under the oracle gate (E9k): integer batch
-    // perceptron over E9g's exact feature space (same md5 bucket, same
-    // `_`-bigrams, dim=64 here so the oracle's weight CTEs stay 64-row),
-    // 3 epochs, label = lang=='en' as ±1 (a MECHANISM pin — the synthetic
-    // lang labels are not learnable from text; the e2e row below
-    // demonstrates actual learning). The oracle unrolls every epoch —
-    // per-doc dots, the sign-vs-label misclassification set, the bucket-
-    // keyed gradient, the weight update — so a drift in hashing, sign
-    // convention, or update arithmetic hash-fails. Output: the learned
-    // 64-long integer weight vector, the artifact E9g's seam consumes.
 
     // Classifier TRAINING under the oracle gate (E9k): integer batch
     // perceptron over E9g's exact feature space (same md5 bucket, same
@@ -178,18 +142,6 @@ object TextCatalog {
         .orderBy("bucket")
     }),
 
-    // Train→infer E2E (E9k2): fit on EVEN doc_ids, score the held-out ODD
-    // docs with the learned vector via the closed E9g seam — per held-out
-    // doc the exact integer score, sign prediction, and correctness flag,
-    // so GENERALIZATION (not just the fit) is part of the compared surface.
-    // The corpus carries a planted noisy class signal (marker token agrees
-    // with the label on 85% of docs, flips keyed-hashed on doc_id), so the
-    // learned accuracy ≈ signal strength — a real learning demonstration on
-    // synthetic text whose raw lang labels are unlearnable. Inference is a
-    // pure scan projection; the weights ride as a literal. dim=128,
-    // 6 epochs, AVERAGED snapshots (Freund-Schapire integer form) — the
-    // full-batch update oscillates class-wide on its own; the snapshot sum
-    // damps it (held-out: 200/250 = 0.80 vs the 0.85 planted ceiling).
 
     // Train→infer E2E (E9k2): fit on EVEN doc_ids, score the held-out ODD
     // docs with the learned vector via the closed E9g seam — per held-out
@@ -221,12 +173,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // BPE merge-table TRAINING under the oracle gate (E9j): the tokenizer
-    // FIT itself — 8 learned merges with their weighted pair counts. One
-    // corpus pass to the word-frequency table, then every round is
-    // vocab-sized; the oracle unrolls all 8 rounds (pair counts, argmax
-    // with the (count DESC, a, b) tie-break, scan-skip merge application),
-    // so a counting, selection, or state-update drift anywhere hash-fails.
 
     // BPE merge-table TRAINING under the oracle gate (E9j): the tokenizer
     // FIT itself — 8 learned merges with their weighted pair counts. One
@@ -243,11 +189,6 @@ object TextCatalog {
         .orderBy("rank")
     }),
 
-    // BPE compression ratio as a quality signal (E9j3): chars-per-token
-    // under the LEARNED table (natural text compresses; gibberish stays
-    // near one char per token — the CCNet-adjacent "languageness" signal),
-    // in exact integer fixed-point ×1000. Composes the E9j fit with a
-    // scan-level kernel projection; per-doc ints, zero shuffle.
 
     // BPE compression ratio as a quality signal (E9j3): chars-per-token
     // under the LEARNED table (natural text compresses; gibberish stays
@@ -269,11 +210,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Tokenizer loop CLOSED (E9j2): train the 8-merge table, then ENCODE
-    // held-down docs with the LEARNED merges — fit and apply composed in
-    // one restatable row (the oracle's encode CASEs cross-join the learned
-    // single-row b CTEs, so the patterns are dynamic). 12 encode rounds is
-    // ≥ fixpoint for ANY table on this corpus (max word length 8).
 
     // Tokenizer loop CLOSED (E9j2): train the 8-merge table, then ENCODE
     // held-down docs with the LEARNED merges — fit and apply composed in
@@ -291,10 +227,6 @@ object TextCatalog {
         .orderBy("doc_id", "pos")
     }),
 
-    // PII redaction over a frame with PLANTED pii (an email + a 7-digit ref
-    // derived from doc_id) — the scrubbed strings themselves are compared,
-    // so any masking difference (greediness, missed span, global-vs-first
-    // replacement) hash-fails.
 
     // PII redaction over a frame with PLANTED pii (an email + a 7-digit ref
     // derived from doc_id) — the scrubbed strings themselves are compared,
@@ -309,10 +241,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Consecutive-duplicate-token collapse ("batch batch batch" → "batch"):
-    // stutter normalization, the token-level sibling of duplicate-line
-    // removal — the synthetic corpus plants real runs. The collapsed string
-    // itself is compared plus integer before/after counts. Zero shuffle.
 
     // Consecutive-duplicate-token collapse ("batch batch batch" → "batch"):
     // stutter normalization, the token-level sibling of duplicate-line
@@ -329,15 +257,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Span-level decontamination: probe 4-grams are MASKED in place (docs
-    // survive, passages don't) in the deterministic md5-of-gram fold order
-    // — the scrubbed strings themselves are compared, so replacement order,
-    // overlap handling, and global-vs-first replacement are all pinned. A
-    // known benchmark sentence is PLANTED into every target (the text_scrub
-    // pattern — the synthetic corpus has no guaranteed natural cross-doc
-    // 4-grams), so every output row exercises a real masking, including the
-    // overlapping-gram fold where the first-masked gram destroys the
-    // others' matches.
 
     // Span-level decontamination: probe 4-grams are MASKED in place (docs
     // survive, passages don't) in the deterministic md5-of-gram fold order
@@ -360,10 +279,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Markup stripping on planted markup (same planted-content pattern as
-    // text_scrub): tags out, the five predefined entities decoded exactly
-    // once (&amp; decoded last — planted "&amp;lt;" must surface as the
-    // literal "&lt;", not "<"), whitespace collapsed. Zero shuffle.
 
     // Markup stripping on planted markup (same planted-content pattern as
     // text_scrub): tags out, the five predefined entities decoded exactly
@@ -380,10 +295,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Gopher/C4-style quality gate battery: integer-exact per-doc stats +
-    // one boolean per gate + the AND — the cheap-filter pass every
-    // web-scale curation run applies before model scoring. One projection,
-    // zero shuffle.
 
     // Gopher/C4-style quality gate battery: integer-exact per-doc stats +
     // one boolean per gate + the AND — the cheap-filter pass every
@@ -395,9 +306,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Per-language vocabulary profile: distinct terms, hapax count/share,
-    // max document frequency — corpus-health numbers (a ballooning hapax
-    // share flags OCR junk / encoding damage).
 
     // Per-language vocabulary profile: distinct terms, hapax count/share,
     // max document frequency — corpus-health numbers (a ballooning hapax
@@ -407,9 +315,6 @@ object TextCatalog {
         .orderBy("lang")
     }),
 
-    // Inverted index: term → document frequency + sorted posting list
-    // (comma-joined; engine-portable where array serialization is not).
-    // One exchange keyed on the term; per-doc distinct before the explode.
 
     // Inverted index: term → document frequency + sorted posting list
     // (comma-joined; engine-portable where array serialization is not).
@@ -420,8 +325,6 @@ object TextCatalog {
         .orderBy("term")
     }),
 
-    // Fixed-window chunking with overlap (context-window prep): 32-token
-    // chunks every 24 tokens, short tail chunk kept.
 
     // Fixed-window chunking with overlap (context-window prep): 32-token
     // chunks every 24 tokens, short tail chunk kept.
@@ -431,8 +334,6 @@ object TextCatalog {
         .orderBy("doc_id", "chunk_no")
     }),
 
-    // Integer-exact tf-idf-proxy keyword extraction: top 3 terms per
-    // document by (tf DESC, corpus doc-frequency ASC, term ASC).
 
     // Integer-exact tf-idf-proxy keyword extraction: top 3 terms per
     // document by (tf DESC, corpus doc-frequency ASC, term ASC).
@@ -441,8 +342,6 @@ object TextCatalog {
         .orderBy("doc_id", "rk")
     }),
 
-    // Repetition profile (Gopher/C4-style quality filter): share of a
-    // document's bigram occurrences taken by its most frequent bigram.
 
     // Repetition profile (Gopher/C4-style quality filter): share of a
     // document's bigram occurrences taken by its most frequent bigram.
@@ -451,8 +350,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Sequence packing: per-source greedy concat-and-chunk into 512-token
-    // context windows; each doc tagged with the sequence its start falls in.
 
     // Sequence packing: per-source greedy concat-and-chunk into 512-token
     // context windows; each doc tagged with the sequence its start falls in.
@@ -465,8 +362,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Materialized packing: the actual 512-token training sequences the
-    // assignment above describes, docs concatenated in hash-rank order.
 
     // Materialized packing: the actual 512-token training sequences the
     // assignment above describes, docs concatenated in hash-rank order.
@@ -478,8 +373,6 @@ object TextCatalog {
         .orderBy("source", "seq_no")
     }),
 
-    // Vocabulary analysis: top-10 tokens per language by document frequency
-    // (the stopword-discovery / corpus-stats primitive).
 
     // Vocabulary analysis: top-10 tokens per language by document frequency
     // (the stopword-discovery / corpus-stats primitive).
@@ -489,11 +382,6 @@ object TextCatalog {
         .orderBy("lang", "rk")
     }),
 
-    // Graph-ANN beam search: greedy navigation of the kNN graph from a
-    // deterministic entry set (2 hops, beam 16) — the HNSW-style search
-    // path over the graph sim_knn_graph builds. Fully deterministic
-    // relational ops, so the oracle restates entries, both hops, and the
-    // final ranking verbatim.
 
     // Graph-ANN beam search: greedy navigation of the kNN graph from a
     // deterministic entry set (2 hops, beam 16) — the HNSW-style search
@@ -511,12 +399,6 @@ object TextCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // HIERARCHICAL graph ANN (HNSW-style): deterministic md5-geometric
-    // levels (m=8, 2 upper layers), per-layer kNN graphs, top-layer entry
-    // set + beam DESCENT (1 hop per upper layer, 2 in the base) — the
-    // log-scale entry structure that keeps hop counts flat at 10⁹ vectors,
-    // next to the single-layer sim_topk_graph. The oracle restates the
-    // level law, all three layer graphs, and every beam round.
 
     // HIERARCHICAL graph ANN (HNSW-style): deterministic md5-geometric
     // levels (m=8, 2 upper layers), per-layer kNN graphs, top-layer entry
@@ -532,13 +414,6 @@ object TextCatalog {
         .orderBy("query_id", "rank")
     }),
 
-    // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
-    // single-layer search vs the hierarchical descent, same beam width
-    // (16), same base graph (k=5, bits=6), same base hops (2), and the
-    // SAME entry count — 5 entry points each (flat: vec_id % 100 = 0;
-    // hnsw: the 5-node top layer). The hierarchy's descent is the only
-    // difference, so the recall gap measures exactly what the layers buy.
-    // In-engine quality measurement like sim_recall_eval, oracle-gated.
 
     // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
     // single-layer search vs the hierarchical descent, same beam width
@@ -575,11 +450,6 @@ object TextCatalog {
         .orderBy("query_id")
     }),
 
-    // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
-    // vocabulary (stopword-class terms dropped = Bayardo-style df-capped
-    // all-pairs) — the term-overlap retrieval modality next to the dense
-    // ANN suite. Integer dots/norms + correctly-rounded sqrt/div keep the
-    // score bit-portable.
 
     // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
     // vocabulary (stopword-class terms dropped = Bayardo-style df-capped
@@ -592,9 +462,6 @@ object TextCatalog {
         .orderBy("a_id", "b_id")
     }),
 
-    // Vocabulary drift between two snapshots (old = src0/src1, new = the
-    // rest): new/dropped/common term counts + per-side occurrence mass —
-    // the crawl-health check per ingest, integer-exact.
 
     // Vocabulary drift between two snapshots (old = src0/src1, new = the
     // rest): new/dropped/common term counts + per-side occurrence mass —
@@ -607,9 +474,6 @@ object TextCatalog {
         .orderBy("status")
     }),
 
-    // Corpus-frequency LM scoring: per-doc mean corpus-frequency of its
-    // tokens — the deterministic stand-in for the CCNet KenLM-perplexity
-    // quality filter (integer-exact evidence + one double division).
 
     // Corpus-frequency LM scoring: per-doc mean corpus-frequency of its
     // tokens — the deterministic stand-in for the CCNet KenLM-perplexity
@@ -623,11 +487,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Bigram Stupid-Backoff LM scoring against a held-out reference slice
-    // (src0/src1 docs): seen-bigram ratio scores, unigram backoff at α=½,
-    // OOV→0, all floored to 2^20 fixed point — the CCNet-shaped upgrade
-    // over the unigram corpus-frequency row. The src2+ docs genuinely
-    // exercise the backoff and OOV branches.
 
     // Bigram Stupid-Backoff LM scoring against a held-out reference slice
     // (src0/src1 docs): seen-bigram ratio scores, unigram backoff at α=½,
@@ -642,10 +501,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Trigram Stupid-Backoff LM against the same held-out slice: hit =
-    // c3/c2(w1,w2), tail-bigram backoff at ½, unigram backoff at ¼, OOV→0
-    // — the order-3 (KenLM-context-shaped) upgrade of the bigram row; the
-    // src2+ docs exercise all three backoff levels.
 
     // Trigram Stupid-Backoff LM against the same held-out slice: hit =
     // c3/c2(w1,w2), tail-bigram backoff at ½, unigram backoff at ¼, OOV→0
@@ -659,12 +514,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Interpolated Kneser-Ney trigram (KenLM-grade): continuation counts
-    // at the lower orders, every order interpolating with the one below,
-    // d = 3/4 exactly representable. Same broadcast-count-frame shape as
-    // the Stupid-Backoff rows — the continuation frames aggregate the
-    // ALREADY-aggregated c3/c2, never a second corpus pass. The oracle
-    // restates the whole fixed IEEE tree.
 
     // Interpolated Kneser-Ney trigram (KenLM-grade): continuation counts
     // at the lower orders, every order interpolating with the one below,
@@ -680,9 +529,6 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
-    // Full column profile: nulls / exact distincts / min-max lengths, one
-    // aggregation job, one output row per column (the reference's audit
-    // stops at max length — SURVEY §2 rows 26-27 extended).
 
     // Full column profile: nulls / exact distincts / min-max lengths, one
     // aggregation job, one output row per column (the reference's audit
@@ -693,7 +539,6 @@ object TextCatalog {
         .orderBy("col_name")
     }),
 
-    // Document fingerprinting: canonical bag-of-words md5 + rolling hash.
 
     // Document fingerprinting: canonical bag-of-words md5 + rolling hash.
     "text_fingerprint" -> ((s, d) => {
@@ -725,9 +570,6 @@ object TextCatalog {
          |FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
-    // feature hashing + keyed-hash linear weights restated verbatim:
-    // unigrams ++ adjacent bigram conjunctions, bucket = md5-derived 32-bit
-    // mod 4096, weight = (b·1103515245 + 12345) mod 2001 − 1000, exact sum
 
     // feature hashing + keyed-hash linear weights restated verbatim:
     // unigrams ++ adjacent bigram conjunctions, bucket = md5-derived 32-bit
@@ -769,13 +611,6 @@ object TextCatalog {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // mirrors TextStats.bpeEncode under the pinned table: each word is
-    // wrapped "(c)(c)…", each of the 8 rounds is one unrolled
-    // lowest-rank-present CASE + a scan-skip `replace` (see bpeRoundSql),
-    // then tokens are recovered by stripping the outer parens and splitting
-    // on the ")(" symbol boundary — exact because multi-char symbols are
-    // letter-only, so neither "(x)(y)" patterns nor ")(" separators can
-    // occur inside a symbol
 
     // mirrors TextStats.bpeEncode under the pinned table: each word is
     // wrapped "(c)(c)…", each of the 8 rounds is one unrolled
@@ -807,29 +642,19 @@ object TextCatalog {
          |FROM ex ORDER BY doc_id, pos""".stripMargin
     },
 
-    // see bpeTrainOracle: all 8 training rounds unrolled, each consuming
-    // the previous round's applied state
 
     // see bpeTrainOracle: all 8 training rounds unrolled, each consuming
     // the previous round's applied state
     "text_bpe_train" -> bpeTrainOracle(8),
 
-    // see bpeE2eOracle: the train chain + a 12-round dynamic-pair encode
 
     // see bpeE2eOracle: the train chain + a 12-round dynamic-pair encode
     "text_bpe_e2e" -> bpeE2eOracle(8, 12),
 
-    // see bpeRatioOracle: the same chains, reduced to chars-per-token
 
     // see bpeRatioOracle: the same chains, reduced to chars-per-token
     "text_bpe_ratio" -> bpeRatioOracle(8, 12),
 
-    // mirrors TextStats.perceptronTrain(dim=64, epochs=3): per epoch e,
-    // d_e = per-doc dots against w_{e-1} (weights as 64 rows, joined on
-    // bucket), m_e = docs whose sign-prediction misses the ±1 label,
-    // g_e = bucket-keyed Σy over m_e's feature occurrences,
-    // w_e = w_{e-1} + g_e. Zero-feature docs never enter fx, so they are
-    // absent from m_e — harmless, their gradient contribution is zero.
 
     // mirrors TextStats.perceptronTrain(dim=64, epochs=3): per epoch e,
     // d_e = per-doc dots against w_{e-1} (weights as 64 rows, joined on
@@ -839,7 +664,6 @@ object TextCatalog {
     // absent from m_e — harmless, their gradient contribution is zero.
     "text_classifier_train" -> perceptronTrainOracle(3),
 
-    // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
 
     // see perceptronE2eOracle: the full train-on-even / score-odd pipeline
     "text_classifier_e2e" -> perceptronE2eOracle(6),
@@ -869,9 +693,6 @@ object TextCatalog {
         |    (x, i) -> i = 1 OR x <> string_split(text, ' ')[i-1]))::INT AS n_after
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // the fold is restated as a recursive CTE stepping through the grams in
-    // the same md5 order Spark folds them — replacement order, overlaps,
-    // and global replacement are all part of the compared strings
 
     // the fold is restated as a recursive CTE stepping through the grams in
     // the same md5 order Spark folds them — replacement order, overlaps,
@@ -893,8 +714,6 @@ object TextCatalog {
          |WHERE i = (SELECT count(*) FROM grams)
          |ORDER BY doc_id""".stripMargin,
 
-    // entity decode order matters and is pinned on both sides: &lt;/&gt;/
-    // &quot;/&#39; first, &amp; LAST (planted &amp;lt; → literal "&lt;")
 
     // entity decode order matters and is pinned on both sides: &lt;/&gt;/
     // &quot;/&#39; first, &amp; LAST (planted &amp;lt; → literal "&lt;")
@@ -954,8 +773,6 @@ object TextCatalog {
         |  FROM documents)
         |GROUP BY term HAVING count(*) >= 5 ORDER BY term""".stripMargin,
 
-    // a start whose previous chunk already reached the end (s + 32-24 >=
-    // len) would be a contained sub-span — dropped on both sides
 
     // a start whose previous chunk already reached the end (s + 32-24 >=
     // len) would be a contained sub-span — dropped on both sides
@@ -1112,7 +929,6 @@ object TextCatalog {
          |  WHERE f2.id <> f2.query_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // the shared hierarchical descent CTEs + the final top-10 re-rank
 
     // the shared hierarchical descent CTEs + the final top-10 re-rank
     "sim_topk_hnsw" ->
@@ -1127,9 +943,6 @@ object TextCatalog {
          |  WHERE f.id <> f.query_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
-    // the same descent CTEs + the flat equal-budget chain (5 entries at
-    // vec_id % 100 = 0, 2 hops on the base graph) + brute-force truth and
-    // per-query hit counts
 
     // the same descent CTEs + the flat equal-budget chain (5 entries at
     // vec_id % 100 = 0, 2 hops on the base graph) + brute-force truth and
@@ -1215,9 +1028,6 @@ object TextCatalog {
         |FROM tf JOIN cf USING (token)
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
-    // mirrors TextStats.bigramBackoffScore exactly: 2^20 fixed point,
-    // hit = c2/c1(w1), backoff = ½·c1(w2)/N, OOV = 0; every product is
-    // < 2^53 so the double ops are exact and the floor is portable
 
     // mirrors TextStats.bigramBackoffScore exactly: 2^20 fixed point,
     // hit = c2/c1(w1), backoff = ½·c1(w2)/N, OOV = 0; every product is
@@ -1255,10 +1065,6 @@ object TextCatalog {
         |  (score_fp / (n_bigrams * 1048576.0)) AS mean_score
         |FROM agg ORDER BY doc_id""".stripMargin,
 
-    // mirrors TextStats.trigramBackoffScore exactly: 2^20 fixed point,
-    // hit = c3/c2(w1,w2), tail-bigram backoff = ½·c2(w2,w3)/c1(w2),
-    // unigram backoff = ¼·c1(w3)/N, OOV = 0; every product < 2^53 so the
-    // double ops are exact and the floor is portable
 
     // mirrors TextStats.trigramBackoffScore exactly: 2^20 fixed point,
     // hit = c3/c2(w1,w2), tail-bigram backoff = ½·c2(w2,w3)/c1(w2),
@@ -1308,10 +1114,6 @@ object TextCatalog {
         |  (score_fp / (n_trigrams * 1048576.0)) AS mean_score
         |FROM agg ORDER BY doc_id""".stripMargin,
 
-    // interpolated KN restated stage by stage: the c3/c2 frames, the five
-    // continuation-count aggregates OF those frames, the seven left joins,
-    // and the fixed p1→p2→p3 IEEE tree with d = 0.75 — any drift in a
-    // count, a coalesce, or the operation order hash-fails
 
     // interpolated KN restated stage by stage: the c3/c2 frames, the five
     // continuation-count aggregates OF those frames, the seven left joins,
