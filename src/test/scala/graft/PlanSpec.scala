@@ -519,6 +519,36 @@ class PlanSpec extends SparkSpec {
       s"only the output sort may exchange:\n$p")
   }
 
+  test("sim_topk_hnsw: final re-rank joins keyed/broadcast, never an unbroadcast product") {
+    // the layer builds + beam hops run eagerly at call time (each beam is
+    // checkpoint-materialized); the returned frame's plan is the final
+    // re-rank of the base beam: beam→vector and beam→query equi-joins plus
+    // the bounded-heap top-k — an unbroadcast product or a rank window
+    // would mean the descent degenerated to a scan-wide compare
+    val p = plan("sim_topk_hnsw")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must be the bounded heap, not a rank window:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"final re-rank must be keyed joins:\n$p")
+  }
+
+  test("dedup_substring_real: keyed fingerprint joins, per-doc islands window only") {
+    // the prefix-doubling rounds run eagerly (checkpoint-materialized); the
+    // returned plan is the window-fingerprint group/join + the per-doc
+    // islands merge: every join keyed, and the ONLY window is partitioned
+    // by doc_id (a global unpartitioned window would serialize the corpus
+    // through one task)
+    val p = plan("dedup_substring_real")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product may appear:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"fingerprint grouping must join keyed:\n$p")
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("doc_id")),
+      s"islands window must be doc-partitioned:\n${windowLines.mkString("\n")}")
+  }
+
   test("sim_hard_negatives: anchors broadcast over one corpus scan, heap top-k") {
     val p = plan("sim_hard_negatives")
     // the scan-wide product is the DESIGN (tiny anchor side broadcast, one
