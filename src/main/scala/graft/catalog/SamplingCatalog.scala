@@ -251,10 +251,37 @@ object SamplingCatalog {
         .orderBy("doc_id")
     }),
 
-    // Vocabulary-profile language/domain ID.
+    // SEMANTIC decontamination: corpus embeddings within cosine >= 0.35 of
+    // any probe-slice embedding (vec_id % 20 == 0) — the paraphrase-robust
+    // sibling of the verbatim n-gram test (a reworded benchmark question
+    // shares no 4-gram but sits on top of it in embedding space). Probe
+    // side broadcasts; the corpus is scanned once. Hit counts AND the
+    // strongest probe cosine are on the hash.
+    "decontaminate_semantic" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Decontaminate.contaminatedByEmbedding(
+          e.where(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+          e.where(col("vec_id") % 20 === 0), "embedding", threshold = 0.35)
+        .orderBy("vec_id")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
+
+    // mirrors Decontaminate.contaminatedByEmbedding: all probe×corpus
+    // cosines (the dedup_semantic-proven float restatement), >= 0.35 hits
+    // counted per corpus vector with the max cosine
+    "decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+         |p AS (SELECT v AS pv FROM e WHERE vec_id % 20 = 0),
+         |sc AS (SELECT c.vec_id,
+         |    ${Sql.dot("c.v", "p.pv")} /
+         |      (sqrt(${Sql.dot("c.v", "c.v")}) * sqrt(${Sql.dot("p.pv", "p.pv")})) AS cos
+         |  FROM c CROSS JOIN p)
+         |SELECT vec_id, count(*)::BIGINT AS n_hits, max(cos) AS max_cos
+         |FROM sc WHERE cos >= 0.35
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "sample_hash" ->
       s"""SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS min_id,

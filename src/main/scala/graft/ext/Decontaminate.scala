@@ -56,6 +56,37 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the n-gram
+    * overlap test: flag corpus items whose embedding is within cosine ≥
+    * `threshold` of ANY probe (eval-set) embedding. Catches the paraphrased
+    * contamination the verbatim n-gram test cannot (a reworded benchmark
+    * question shares no 8-gram but sits on top of it in embedding space);
+    * run BOTH — they fail independently.
+    *
+    * Returns (idCol, n_hits, max_cos) per flagged item: the hit count and
+    * the strongest probe cosine (bit-portable per the repo's float rule:
+    * exact float→double casts, strict left-fold dot, correctly-rounded
+    * sqrt/÷ — the dedup_semantic-proven restatement).
+    *
+    * Scale shape: probes are an eval suite — thousands against a corpus of
+    * billions — so they BROADCAST and the scan-wide nested-loop product is
+    * the design (the brute-force-ANN class: one corpus pass, no shuffle);
+    * the per-id aggregation is the only exchange. For probe sets beyond
+    * broadcast, pre-bucket both sides with the LSH family instead. */
+  def contaminatedByEmbedding(corpus: DataFrame, idCol: String,
+                              vecCol: String, probes: DataFrame,
+                              probeVecCol: String,
+                              threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol),
+      Similarity.asDouble(col(vecCol)).as("_v"))
+    val p = probes.select(Similarity.asDouble(col(probeVecCol)).as("_pv"))
+    c.crossJoin(broadcast(p))
+      .select(col(idCol), Similarity.cosine(col("_v"), col("_pv")).as("_cos"))
+      .where(col("_cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("_cos")).as("max_cos"))
+  }
+
   /** The corpus with contaminated docs removed — the op a pipeline actually
     * runs before training. Left-anti on the flagged ids. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
