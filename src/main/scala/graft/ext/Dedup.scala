@@ -772,7 +772,9 @@ object Dedup {
 
     val lens = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"),
-      length(col(textCol)).cast("long").as("len"))
+      // null text → length 0 (a null len would NPE the primitive-tuple
+      // encoder inside the offset prefix sum)
+      coalesce(length(col(textCol)).cast("long"), lit(0L)).as("len"))
 
     // partition-wise prefix sum of (len + 1) in doc_id order → global
     // offset per doc (the +1 reserves the separator slot)

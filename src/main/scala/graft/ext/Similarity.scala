@@ -1082,6 +1082,11 @@ object Similarity {
     val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
     val cAll = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"),
       lvl.as("_lv"))
+    // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
+    // zero results for every query — fail fast with the fix instead
+    require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
+      s"hnswTopK: top layer (level >= $maxLevel at m=$m) is empty — " +
+        "lower maxLevel (or m) for this corpus size")
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
     var frontier: DataFrame = null

@@ -2114,6 +2114,17 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((2L, 2L, 12L), (3L, 0L, 12L), (3L, 14L, 12L)), got.toString)
   }
 
+  test("substringDupSpans releases its persisted char frame and rank RDD after the action") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "abcdefghij klmnop"), (2L, "zz abcdefghij klmnop"))
+      .toDF("doc_id", "text")
+    Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 8).count()
+    val deadline = System.nanoTime() + 10e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"leaked cached RDD ids: $leaked")
+  }
+
   test("substringDupSpans catches the phase-shifted duplicate the anchored path misses") {
     // a 1-char phase shift: below ANY anchor period, so content-defined
     // anchor cuts land on different shingles and the anchored span dedup
