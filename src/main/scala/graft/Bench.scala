@@ -94,7 +94,7 @@ object Bench {
     // re-measure happened and the median it REPLACED, so the artifact shows
     // both draws instead of silently reporting the optimistic one.
     final case class Measured(kept: Either[String, Seq[Double]], load: Double,
-      retried: Boolean, discardedMed: Option[Double])
+      retried: Boolean, discardedMeds: List[Double])
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
     val results: Seq[(String, Measured)] = headline.map { name =>
       val loadHere = osBean.getSystemLoadAverage
@@ -117,30 +117,32 @@ object Bench {
         // band is interference, not signal; every displaced median is
         // recorded so all draws stay visible
         var best = first
-        var discarded: Option[Double] = None
+        var discarded: List[Double] = Nil
         var attempts = 0
         while (ratio(best) > 1.15 && attempts < 3) {
           val next = passes(name)
           (best, next) match {
+            case (Left(_), Right(_)) =>
+              best = next // any clean draw replaces an errored first draw
             case (Right(b), Right(_)) if ratio(next) < ratio(best) =>
-              discarded = Some(med(b)); best = next
-            case (_, Right(n)) => discarded = discarded.orElse(Some(med(n)))
+              discarded = med(b) :: discarded; best = next
+            case (_, Right(n)) => discarded = med(n) :: discarded
             case _ => ()
           }
           attempts += 1
         }
-        Measured(best, loadHere, retried = attempts > 0, discarded)
+        Measured(best, loadHere, retried = attempts > 0, discarded.reverse)
       } else first match {
         case Right(ts) if ts.head > 0 &&
             (ts.last / ts.head > 5.0 || med(ts) / ts.head > 2.0) =>
           passes(name) match {
             case Right(ts2) if med(ts2) < med(ts) =>
-              Measured(Right(ts2), loadHere, retried = true, Some(med(ts)))
+              Measured(Right(ts2), loadHere, retried = true, List(med(ts)))
             case Right(ts2) =>
-              Measured(first, loadHere, retried = true, Some(med(ts2)))
-            case _ => Measured(first, loadHere, retried = true, None)
+              Measured(first, loadHere, retried = true, List(med(ts2)))
+            case _ => Measured(first, loadHere, retried = true, Nil)
           }
-        case other => Measured(other, loadHere, retried = false, None)
+        case other => Measured(other, loadHere, retried = false, Nil)
       }
       name -> m
     }
@@ -162,7 +164,9 @@ object Bench {
     // load and what a re-measure displaced, rather than inferring it from a
     // single end-of-run load figure.
     val spread = results.collect { case (k, Measured(Right(ts), ld, re, disc)) =>
-      val discStr = disc.map(d => s""","discarded_med":$d""").getOrElse("")
+      val discStr =
+        if (disc.isEmpty) ""
+        else s""","discarded_meds":${disc.mkString("[", ",", "]")}"""
       s"\"" + k + s"""":{"min":${ts.head},"med":${med(ts)},"max":${ts.last},"load_avg":$ld,"retried":$re$discStr}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Measured(Left(_), _, _, _)) => "\"" + k + "\"" }

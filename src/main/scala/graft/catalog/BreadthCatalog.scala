@@ -638,6 +638,29 @@ object BreadthCatalog {
     }),
 
 
+    // CDC-style snapshot diff via the GENERIC Audit.snapshotDiff operator
+    // (PK + null-safe multi-column compare — the reusable API behind the
+    // inline corpus census curation_snapshot_diff, and the reconciliation
+    // consumer of readVersion time travel, spec'd in CdcSpec): old = days
+    // 1-5, new = days 2-6 with day-3 values restated ×2, so every status
+    // materializes (day 1 removed, day 6 added, day 3 changed, days
+    // 2/4/5 unchanged; value×2 is exact in binary floating point, so both
+    // engines agree bit-for-bit). One PK-keyed full outer join + a
+    // map-side-partial status count; the oracle restates the diff with
+    // IS NOT DISTINCT FROM against the same parquet rows.
+    "etl_snapshot_diff" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("day", dayofmonth(col("ts")))
+      val old = ev.where(col("day").between(1, 5))
+        .select(col("event_id"), col("event_type"), col("value"))
+      val nu = ev.where(col("day").between(2, 6))
+        .select(col("event_id"), col("event_type"),
+          when(col("day") === 3, col("value") * 2)
+            .otherwise(col("value")).as("value"))
+      graft.etl.Audit.snapshotDiff(old, nu, Seq("event_id"))
+        .orderBy("status")
+    }),
+
+
     // ORC sink + scan round-trip — the third columnar/source format next to
     // CSV and JSON-lines: Spark's native ORC writer+reader (vectorized,
     // predicate-pushdown-capable like parquet), gated by an oracle that
@@ -1217,6 +1240,23 @@ object BreadthCatalog {
         |    END)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events WHERE day(ts) <= 10
         |GROUP BY 1 ORDER BY day""".stripMargin,
+
+
+    "etl_snapshot_diff" ->
+      """WITH o AS (SELECT event_id, event_type, value FROM events
+        |  WHERE day(ts) BETWEEN 1 AND 5),
+        |n AS (SELECT event_id, event_type,
+        |    CASE WHEN day(ts) = 3 THEN value * 2 ELSE value END AS value
+        |  FROM events WHERE day(ts) BETWEEN 2 AND 6)
+        |SELECT status, count(*)::BIGINT AS n_rows FROM (
+        |  SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+        |              WHEN n.event_id IS NULL THEN 'removed'
+        |              WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+        |               AND o.value IS NOT DISTINCT FROM n.value
+        |                THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM o FULL OUTER JOIN n USING (event_id))
+        |GROUP BY 1 ORDER BY status""".stripMargin,
 
 
     // mirrors etl_time_travel: version N ≡ the cumulative day range its

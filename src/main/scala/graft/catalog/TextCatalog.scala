@@ -383,86 +383,6 @@ object TextCatalog {
     }),
 
 
-    // Graph-ANN beam search: greedy navigation of the kNN graph from a
-    // deterministic entry set (2 hops, beam 16) — the HNSW-style search
-    // path over the graph sim_knn_graph builds. Fully deterministic
-    // relational ops, so the oracle restates entries, both hops, and the
-    // final ranking verbatim.
-    "sim_topk_graph" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
-          k = 5, bits = 6)
-        .select(col("id"), col("nbr_id"))
-      Similarity.graphTopK(emb, "vec_id", "embedding", graph,
-          emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, beamWidth = 16, hops = 2, entryMod = 8)
-        .orderBy("query_id", "rank")
-    }),
-
-
-    // HIERARCHICAL graph ANN (HNSW-style): deterministic md5-geometric
-    // levels (m=8, 2 upper layers), per-layer kNN graphs, top-layer entry
-    // set + beam DESCENT (1 hop per upper layer, 2 in the base) — the
-    // log-scale entry structure that keeps hop counts flat at 10⁹ vectors,
-    // next to the single-layer sim_topk_graph. The oracle restates the
-    // level law, all three layer graphs, and every beam round.
-    "sim_topk_hnsw" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      Similarity.hnswTopK(emb, "vec_id", "embedding",
-          emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, beamWidth = 16, knnK = 5, bits = 6)
-        .orderBy("query_id", "rank")
-    }),
-
-
-    // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
-    // single-layer search vs the hierarchical descent, same beam width
-    // (16), same base graph (k=5, bits=6), same base hops (2), and the
-    // SAME entry count — 5 entry points each (flat: vec_id % 100 = 0;
-    // hnsw: the 5-node top layer). The hierarchy's descent is the only
-    // difference, so the recall gap measures exactly what the layers buy.
-    // In-engine quality measurement like sim_recall_eval, oracle-gated.
-    "sim_recall_graph" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.where(col("vec_id") < 5)
-      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-      val g0 = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, bits = 6)
-        .select(col("id"), col("nbr_id"))
-      val flat = Similarity.graphTopK(e, "vec_id", "embedding", g0, q,
-        "vec_id", "embedding", k = 5, beamWidth = 16, hops = 2,
-        entryMod = 100)
-      val hnsw = Similarity.hnswTopK(e, "vec_id", "embedding", q, "vec_id",
-        "embedding", k = 5, beamWidth = 16, knnK = 5, bits = 6)
-      def hitsOf(got: DataFrame, name: String) =
-        bf.select(col("query_id"), col("id"))
-          .join(got.select(col("query_id"), col("id")), Seq("query_id", "id"))
-          .groupBy("query_id").agg(count(lit(1)).as(name))
-      bf.groupBy("query_id").agg(count(lit(1)).as("n_true"))
-        .join(hitsOf(flat, "hits_flat"), Seq("query_id"), "left")
-        .join(hitsOf(hnsw, "hits_hnsw"), Seq("query_id"), "left")
-        .select(col("query_id"), col("n_true"),
-          coalesce(col("hits_flat"), lit(0L)).as("hits_flat"),
-          coalesce(col("hits_hnsw"), lit(0L)).as("hits_hnsw"))
-        .select(col("query_id"), col("n_true"), col("hits_flat"),
-          col("hits_hnsw"),
-          expr("(hits_flat * 1000000) div n_true").as("recall_flat_fp"),
-          expr("(hits_hnsw * 1000000) div n_true").as("recall_hnsw_fp"))
-        .orderBy("query_id")
-    }),
-
-
-    // Sparse lexical cosine pairs: tf-vector cosine over the df<=maxDf
-    // vocabulary (stopword-class terms dropped = Bayardo-style df-capped
-    // all-pairs) — the term-overlap retrieval modality next to the dense
-    // ANN suite. Integer dots/norms + correctly-rounded sqrt/div keep the
-    // score bit-portable.
-    "sim_lexical_pairs" -> ((s, d) => {
-      Similarity.lexicalCosinePairs(t(s, d, "documents"), "doc_id", "text",
-          maxDf = 50, threshold = 0.5)
-        .orderBy("a_id", "b_id")
-    }),
-
-
     // Vocabulary drift between two snapshots (old = src0/src1, new = the
     // rest): new/dropped/common term counts + per-side occurrence mass —
     // the crawl-health check per ingest, integer-exact.
@@ -874,129 +794,6 @@ object TextCatalog {
          |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS canon_fp,
          |  (CASE WHEN length(text) = 0 THEN 0 ELSE ${Sql.rollHash} END)::BIGINT AS roll_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
-
-    "sim_topk_graph" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
-         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
-         |pr AS (SELECT vec_id, v, nm,
-         |  unnest(list_concat([bucket],
-         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
-         |  FROM n),
-         |gcand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
-         |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
-         |  FROM pr a JOIN n b ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id),
-         |graph AS (SELECT id, nbr_id FROM (
-         |  SELECT id, nbr_id, row_number() OVER (
-         |    PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rk FROM gcand)
-         |  WHERE rk <= 5),
-         |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qnm FROM n WHERE vec_id < 5),
-         |f0 AS (SELECT query_id, id FROM (
-         |  SELECT q.query_id, c.vec_id AS id, row_number() OVER (
-         |    PARTITION BY q.query_id
-         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c.vec_id) AS rk
-         |  FROM q JOIN n c ON c.vec_id % 8 = 0 AND c.vec_id <> q.query_id)
-         |  WHERE rk <= 16),
-         |c1 AS (SELECT DISTINCT query_id, id FROM (
-         |  SELECT query_id, id FROM f0
-         |  UNION ALL
-         |  SELECT f0.query_id, g.nbr_id AS id FROM f0 JOIN graph g ON f0.id = g.id)),
-         |f1 AS (SELECT query_id, id FROM (
-         |  SELECT c1.query_id, c1.id, row_number() OVER (
-         |    PARTITION BY c1.query_id
-         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c1.id) AS rk
-         |  FROM c1 JOIN q ON q.query_id = c1.query_id
-         |  JOIN n c ON c.vec_id = c1.id
-         |  WHERE c1.id <> c1.query_id) WHERE rk <= 16),
-         |c2 AS (SELECT DISTINCT query_id, id FROM (
-         |  SELECT query_id, id FROM f1
-         |  UNION ALL
-         |  SELECT f1.query_id, g.nbr_id AS id FROM f1 JOIN graph g ON f1.id = g.id)),
-         |f2 AS (SELECT query_id, id FROM (
-         |  SELECT c2.query_id, c2.id, row_number() OVER (
-         |    PARTITION BY c2.query_id
-         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c2.id) AS rk
-         |  FROM c2 JOIN q ON q.query_id = c2.query_id
-         |  JOIN n c ON c.vec_id = c2.id
-         |  WHERE c2.id <> c2.query_id) WHERE rk <= 16)
-         |SELECT query_id, rank, id, score FROM (
-         |  SELECT f2.query_id, f2.id AS id,
-         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
-         |    row_number() OVER (PARTITION BY f2.query_id
-         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f2.id)::INT AS rank
-         |  FROM f2 JOIN q ON q.query_id = f2.query_id
-         |  JOIN n c ON c.vec_id = f2.id
-         |  WHERE f2.id <> f2.query_id)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-
-    // the shared hierarchical descent CTEs + the final top-10 re-rank
-    "sim_topk_hnsw" ->
-      s"""WITH $hnswOracleCtes
-         |SELECT query_id, rank, id, score FROM (
-         |  SELECT f.query_id, f.id AS id,
-         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
-         |    row_number() OVER (PARTITION BY f.query_id
-         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f.id)::INT AS rank
-         |  FROM f0_2 f JOIN q ON q.query_id = f.query_id
-         |  JOIN n c ON c.vec_id = f.id
-         |  WHERE f.id <> f.query_id)
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
-
-
-    // the same descent CTEs + the flat equal-budget chain (5 entries at
-    // vec_id % 100 = 0, 2 hops on the base graph) + brute-force truth and
-    // per-query hit counts
-    "sim_recall_graph" ->
-      s"""WITH $hnswOracleCtes,
-         |ef AS (SELECT q.query_id, c.vec_id AS id FROM q
-         |  JOIN n c ON c.vec_id % 100 = 0),
-         |${beamRankCte("ff_0", "ef", "n0", 16)},
-         |${beamExpandCte("cf_1", "ff_0", "g0")},
-         |${beamRankCte("ff_1", "cf_1", "n0", 16)},
-         |${beamExpandCte("cf_2", "ff_1", "g0")},
-         |${beamRankCte("ff_2", "cf_2", "n0", 16)},
-         |${beamRankCte("flat5", "ff_2", "n0", 5)},
-         |${beamRankCte("hh5", "f0_2", "n0", 5)},
-         |bf AS (SELECT query_id, id FROM (
-         |  SELECT q.query_id, c.vec_id AS id, row_number() OVER (
-         |    PARTITION BY q.query_id
-         |    ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, c.vec_id) AS rk
-         |  FROM q JOIN n c ON c.vec_id <> q.query_id) WHERE rk <= 5),
-         |agg AS (SELECT query_id, count(*)::BIGINT AS n_true FROM bf GROUP BY 1),
-         |hf AS (SELECT bf.query_id, count(*)::BIGINT AS hits
-         |  FROM bf JOIN flat5 USING (query_id, id) GROUP BY 1),
-         |hh AS (SELECT bf.query_id, count(*)::BIGINT AS hits
-         |  FROM bf JOIN hh5 USING (query_id, id) GROUP BY 1)
-         |SELECT a.query_id, a.n_true,
-         |  coalesce(hf.hits, 0)::BIGINT AS hits_flat,
-         |  coalesce(hh.hits, 0)::BIGINT AS hits_hnsw,
-         |  ((coalesce(hf.hits, 0) * 1000000) // a.n_true)::BIGINT AS recall_flat_fp,
-         |  ((coalesce(hh.hits, 0) * 1000000) // a.n_true)::BIGINT AS recall_hnsw_fp
-         |FROM agg a LEFT JOIN hf ON hf.query_id = a.query_id
-         |LEFT JOIN hh ON hh.query_id = a.query_id
-         |ORDER BY a.query_id""".stripMargin,
-
-    "sim_lexical_pairs" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
-        |  FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
-        |keep AS (SELECT term FROM (
-        |    SELECT term, count(*) AS df FROM tf GROUP BY 1) WHERE df <= 50),
-        |tff AS (SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN keep USING (term)),
-        |norms AS (SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM tff GROUP BY 1),
-        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    sum(a.tf * b.tf)::BIGINT AS dot
-        |  FROM tff a JOIN tff b USING (term) WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT a_id, b_id, dot,
-        |  dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) AS cosine
-        |FROM dots
-        |JOIN norms na ON na.doc_id = a_id
-        |JOIN norms nb ON nb.doc_id = b_id
-        |WHERE dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
-        |ORDER BY a_id, b_id""".stripMargin,
 
     "text_vocab_drift" ->
       """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term

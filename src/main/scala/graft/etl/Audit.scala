@@ -71,4 +71,41 @@ object Audit {
     wide.select(expr(
       s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_len, max_len)"))
   }
+
+  /** CDC-style SNAPSHOT DIFF between two versions of a table — the audit
+    * consumer of [[StarStore.readVersion]] time travel, and the general
+    * "what changed between yesterday's publish and today's" reconciliation
+    * every warehouse load answers before trusting an incremental feed:
+    * full outer join on the primary key, per-key status
+    * added / removed / changed / unchanged (non-key columns compared
+    * NULL-SAFELY, so a value going null or non-null counts as changed,
+    * not as a silent join miss), aggregated to one row per status.
+    *
+    * Scale shape: ONE shuffle keyed on the PK (the full outer join — AQE
+    * picks sort-merge vs broadcast by actual size), then a count-by-status
+    * with map-side partials. No window, no driver loop; the canonical
+    * two-snapshot reconciliation plan at any scale. Both inputs must carry
+    * `pk` and `compareCols` (default: every non-PK column of `oldDf`). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, pk: Seq[String],
+                   compareCols: Seq[String] = null): DataFrame = {
+    require(pk.nonEmpty, "snapshotDiff: empty primary key")
+    val cmp = Option(compareCols).getOrElse(
+      oldDf.columns.toSeq.filterNot(pk.contains))
+    val o = oldDf.select(
+      pk.map(col) ++ cmp.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newDf.select(
+      pk.map(col) ++ cmp.map(c => col(c).as(s"_n_$c")) :+
+        lit(1).as("_in_new"): _*)
+    // presence flags survive the outer join (a PK column would too, but
+    // only via per-side aliases; a literal flag keeps the key columns
+    // coalesced by the USING-style join)
+    val j = o.withColumn("_in_old", lit(1)).join(n, pk, "full_outer")
+    val same = cmp.map(c => col(s"_o_$c") <=> col(s"_n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    j.select(
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(same, "unchanged").otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+  }
 }

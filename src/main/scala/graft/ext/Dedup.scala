@@ -667,36 +667,77 @@ object Dedup {
     * ⌊log₂ L⌋ for length-L window equality (what substring dedup needs). */
   private[ext] def prefixDoubleRanks(chars: DataFrame,
                                      rounds: Int): DataFrame = {
-    val spark = chars.sparkSession
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    def eagerCheckpoint(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-      val r = df.queryExecution.toRdd.map(_.copy())
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      r.localCheckpoint()
-      r.count(): Unit
-      (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r)
-    }
-    var (ranks, ranksRdd) = eagerCheckpoint(
-      chars.select(col("gpos"), col("code").as("rank")))
-    for (t <- 1 to rounds) {
-      val h = 1L << (t - 1)
-      val shifted = ranks.select((col("gpos") - h).as("gpos"),
-        col("rank").as("_r2"))
-      val paired = ranks.join(shifted, Seq("gpos"), "left")
-        .select(col("gpos"), col("rank").as("_r1"),
-          coalesce(col("_r2"), lit(NoRank)).as("_r2"))
-      val keys = orderIndex(
-        paired.select(col("_r1"), col("_r2")).distinct(),
-        Seq("_r1", "_r2"), "_nr")
-      val (next, nextRdd) = eagerCheckpoint(
-        paired.join(keys, Seq("_r1", "_r2"))
-          .select(col("gpos"), col("_nr").as("rank")))
-      ranksRdd.unpersist(false)
-      ranks = next; ranksRdd = nextRdd
+    val cp = new CheckpointRounds(chars.sparkSession)
+    var ranks: DataFrame = null
+    var ranksRdd: CheckpointRounds.IRdd = null
+    // Failure anywhere between a round's persist and the happy-path return
+    // must release the current round AND the in-flight RDD, or
+    // corpus-character-sized caches leak in a long-lived session (the
+    // [[connectedComponentsStar]] discipline).
+    try {
+      val fst = cp.eagerCheckpoint(
+        chars.select(col("gpos"), col("code").as("rank")))
+      ranks = fst._1; ranksRdd = fst._2; cp.pending = null
+      for (t <- 1 to rounds) {
+        val h = 1L << (t - 1)
+        val shifted = ranks.select((col("gpos") - h).as("gpos"),
+          col("rank").as("_r2"))
+        val paired = ranks.join(shifted, Seq("gpos"), "left")
+          .select(col("gpos"), col("rank").as("_r1"),
+            coalesce(col("_r2"), lit(NoRank)).as("_r2"))
+        val keys = orderIndex(
+          paired.select(col("_r1"), col("_r2")).distinct(),
+          Seq("_r1", "_r2"), "_nr")
+        val (next, nextRdd, _) = cp.eagerCheckpoint(
+          paired.join(keys, Seq("_r1", "_r2"))
+            .select(col("gpos"), col("_nr").as("rank")))
+        cp.pending = null
+        ranksRdd.unpersist(false)
+        ranks = next; ranksRdd = nextRdd
+      }
+    } catch {
+      case t: Throwable =>
+        cp.releasePendingUnless(ranksRdd)
+        if (ranksRdd != null) ranksRdd.unpersist(false)
+        throw t
     }
     releaseRddAfterFirstAction(ranksRdd, ranks)
     ranks
+  }
+
+  /** Per-call state for the checkpoint-iteration discipline shared by the
+    * iterative operators ([[duplicateClusters]], [[connectedComponentsStar]],
+    * [[prefixDoubleRanks]]): each round's frame is materialized as a
+    * persisted + localCheckpoint'd InternalRow RDD (lineage stays CONSTANT
+    * per round), and the RDD currently being materialized is tracked in
+    * `pending` so a failure ANYWHERE between persist and ownership transfer
+    * still finds it in the operator's catch block. One instance per call —
+    * never shared across threads. */
+  private[ext] object CheckpointRounds {
+    type IRdd =
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]
+  }
+  private[ext] final class CheckpointRounds(
+      spark: org.apache.spark.sql.SparkSession) {
+    import CheckpointRounds.IRdd
+    /** Set the instant an RDD is persisted; the caller clears it (null)
+      * once an owner variable holds the returned RDD. */
+    var pending: IRdd = null
+    def eagerCheckpoint(df: DataFrame): (DataFrame, IRdd, Long) = {
+      val r = df.queryExecution.toRdd.map(_.copy())
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pending = r
+      r.localCheckpoint()
+      val n = r.count() // materialize: lineage is truncated from here on
+      (org.apache.spark.sql.graftbridge.GraftColumnBridge
+        .internalCreateDataFrame(spark, r, df.schema), r, n)
+    }
+    /** Failure-path sweep: release the in-flight RDD unless an owner
+      * variable (whose release the catch block handles itself) already
+      * holds it. */
+    def releasePendingUnless(owned: IRdd*): Unit =
+      if (pending != null && !owned.exists(_ eq pending))
+        pending.unpersist(false)
   }
 
   /** RDD form of [[releaseAfterFirstAction]]: the checkpoint-iteration
@@ -810,7 +851,12 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chars.count(): Unit
 
-    val ranks = prefixDoubleRanks(chars.select(col("gpos"), col("code")), a)
+    // prefixDoubleRanks runs eager jobs: a failure inside it (or anywhere
+    // before the self-release listener registers) must not strand the
+    // persisted character frame in a long-lived session.
+    val ranks =
+      try prefixDoubleRanks(chars.select(col("gpos"), col("code")), a)
+      catch { case t: Throwable => chars.unpersist(false); throw t }
     val second = ranks.select((col("gpos") - tail).as("gpos"),
       col("rank").as("_f2"))
     val fps = ranks.join(second, Seq("gpos"), "left")
@@ -1016,28 +1062,18 @@ object Dedup {
     // a shared session, so it is deliberately avoided here. Safe under
     // concurrent use. (Use reliable checkpointing on a real cluster: a
     // local checkpoint dies with its executor.)
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    // The RDD currently being materialized: set the instant it is persisted
-    // (inside eagerCheckpoint), cleared once `labelRdd` owns it — so a
+    // The shared checkpoint-iteration discipline: cp.pending is the RDD
+    // currently being materialized, cleared once `labelRdd` owns it — so a
     // failure ANYWHERE between persist and ownership transfer (the count,
     // the changed-count join) still finds it in the catch block below.
-    var pendingRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
-    def eagerCheckpoint(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
-      val r = df.queryExecution.toRdd.map(_.copy())
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pendingRdd = r
-      r.localCheckpoint()
-      r.count() // materialize: lineage is truncated from here on
-      (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r)
-    }
+    val cp = new CheckpointRounds(spark)
     // undirected edge list, both directions
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels: DataFrame = null
-    var labelRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    var labelRdd: CheckpointRounds.IRdd = null
     var changed = 1L
     var iter = 0
     // Any exit before the happy-path return — non-convergence below, or a
@@ -1045,12 +1081,12 @@ object Dedup {
     // current round's labels, AND a freshly persisted not-yet-owned RDD,
     // or they leak in a long-lived session.
     try {
-      val first = eagerCheckpoint(
+      val first = cp.eagerCheckpoint(
         edges.select(col("src").as("id")).distinct()
           .select(col("id"), col("id").as("rep")))
       labels = first._1
       labelRdd = first._2
-      pendingRdd = null
+      cp.pending = null
       while (changed > 0 && iter < maxIter) {
         // (a) candidate label for each node: min of own and neighbors' labels
         val viaEdges = edges
@@ -1060,7 +1096,7 @@ object Dedup {
           .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
         // (b) pointer jump: rep → label(rep) (labels only shrink, so the
         // looked-up label is never worse than the current one)
-        val (next, nextRdd) = eagerCheckpoint(viaEdges
+        val (next, nextRdd, _) = cp.eagerCheckpoint(viaEdges
           .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
           .select(col("id"), col("rep2").as("rep")))
         changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
@@ -1068,7 +1104,7 @@ object Dedup {
         labelRdd.unpersist(false) // previous round, fully superseded
         labels = next
         labelRdd = nextRdd
-        pendingRdd = null // ownership transferred to labelRdd
+        cp.pending = null // ownership transferred to labelRdd
         iter += 1
       }
       require(changed == 0,
@@ -1077,8 +1113,7 @@ object Dedup {
       case t: Throwable =>
         edges.unpersist(false)
         if (labelRdd != null) labelRdd.unpersist(false)
-        if ((pendingRdd != null) && (pendingRdd ne labelRdd))
-          pendingRdd.unpersist(false)
+        cp.releasePendingUnless(labelRdd)
         throw t
     }
     edges.unpersist(false) // final labels are materialized — lineage done
@@ -1127,33 +1162,23 @@ object Dedup {
                               bCol: String = "b_id", maxIter: Int = 30,
                               scope: CacheScope = null): DataFrame = {
     val spark = pairs.sparkSession
-    import org.apache.spark.sql.graftbridge.GraftColumnBridge
-    var pendingRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
-    def eagerCheckpoint(df: DataFrame)
-        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], Long) = {
-      val r = df.queryExecution.toRdd.map(_.copy())
-      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pendingRdd = r
-      r.localCheckpoint()
-      val n = r.count() // materialize: lineage is truncated from here on
-      (GraftColumnBridge.internalCreateDataFrame(spark, r, df.schema), r, n)
-    }
+    val cp = new CheckpointRounds(spark)
     // symmetric neighbor view of a canonical (x > y) edge frame
     def nbrs(e: DataFrame): DataFrame =
       e.select(col("x").as("u"), col("y").as("v"))
         .unionByName(e.select(col("y").as("u"), col("x").as("v")))
     var edges: DataFrame = null
-    var edgeRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = null
+    var edgeRdd: CheckpointRounds.IRdd = null
     var edgeCount = -1L
     var converged = false
     var iter = 0
     try {
-      val first = eagerCheckpoint(
+      val first = cp.eagerCheckpoint(
         pairs.select(greatest(col(aCol), col(bCol)).as("x"),
             least(col(aCol), col(bCol)).as("y"))
           .where(col("x") =!= col("y")).distinct())
       edges = first._1; edgeRdd = first._2; edgeCount = first._3
-      pendingRdd = null
+      cp.pending = null
       while (!converged && iter < maxIter) {
         // LARGE-STAR: (v, m(u)) for every neighbor v > u
         val s = nbrs(edges)
@@ -1170,14 +1195,14 @@ object Dedup {
           .select(col("v").as("x"), col("m").as("y"))
           .unionByName(ms.select(col("u").as("x"), col("m").as("y")))
           .where(col("x") =!= col("y")).distinct()
-        val (next, nextRdd, nextCount) = eagerCheckpoint(small)
+        val (next, nextRdd, nextCount) = cp.eagerCheckpoint(small)
         // fixpoint test: same canonical edge SET as last round — set sizes
         // equal and their distinct union no larger
         converged = nextCount == edgeCount &&
           next.unionByName(edges).distinct().count() == nextCount
         edgeRdd.unpersist(false)
         edges = next; edgeRdd = nextRdd; edgeCount = nextCount
-        pendingRdd = null
+        cp.pending = null
         iter += 1
       }
       require(converged,
@@ -1190,8 +1215,7 @@ object Dedup {
     } catch {
       case t: Throwable =>
         if (edgeRdd != null) edgeRdd.unpersist(false)
-        if ((pendingRdd != null) && (pendingRdd ne edgeRdd))
-          pendingRdd.unpersist(false)
+        cp.releasePendingUnless(edgeRdd)
         throw t
     }
     val labels = edges.select(col("x").as("id"), col("y").as("rep"))

@@ -438,8 +438,15 @@ object Multimodal {
       o += 12 + len.toInt
     }
     if (w <= 0 || h <= 0 || depth != 8 || color != 2 || interlace != 0) return None
-    val stride = 3 * w
-    val expected = h * (1 + stride)
+    // Header w/h are unchecked 31-bit values from the wire: compute the
+    // buffer sizes in Long and quarantine anything past a sane decode bound
+    // so a crafted IHDR can't overflow the Int stride math into a negative
+    // allocation (crash) — the contract is None, never a throw.
+    val strideL = 3L * w
+    val expectedL = h * (1L + strideL)
+    if (expectedL > (1L << 28)) return None // implausible decode size: quarantine
+    val stride = strideL.toInt
+    val expected = expectedL.toInt
     val filtered = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -447,7 +454,10 @@ object Multimodal {
       var got = 0
       while (got < expected && !inf.finished()) {
         val n = inf.inflate(filtered, got, expected - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 with no appetite for more input covers both a truncated
+        // stream (needsInput) and a preset-dictionary header (needsDictionary,
+        // spec-invalid inside PNG) — either way bail, or the loop spins forever.
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += n
       }
       if (got < expected) return None

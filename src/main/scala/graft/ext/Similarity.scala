@@ -1073,6 +1073,7 @@ object Similarity {
                k: Int, beamWidth: Int, knnK: Int, bits: Int,
                m: Int = 8, maxLevel: Int = 2, hopsPerLevel: Int = 1,
                baseHops: Int = 2, salt: String = "hnsw",
+               baseGraph: DataFrame = null,
                scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require(hopsPerLevel >= 0 && baseHops >= 0,
@@ -1091,8 +1092,15 @@ object Similarity {
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
     var frontier: DataFrame = null
     for (level <- maxLevel to 0 by -1) {
-      val layerG = knnGraph(vecs.where(lvl >= level), idCol, vecCol, knnK, bits)
-        .select(col("id").as("_gid"), col("nbr_id"))
+      // the base (level-0) graph is the dominant build cost — a caller that
+      // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
+      // the flat search it is being compared against) passes it via
+      // `baseGraph` ((id, nbr_id) rows) instead of paying the build twice
+      val layerG =
+        (if (level == 0 && baseGraph != null)
+           baseGraph.select(col("id"), col("nbr_id"))
+         else knnGraph(vecs.where(lvl >= level), idCol, vecCol, knnK, bits))
+          .select(col("id").as("_gid"), col("nbr_id"))
       val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
       val hops = if (level == 0) baseHops else hopsPerLevel
       val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)

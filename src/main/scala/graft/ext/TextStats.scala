@@ -1135,9 +1135,14 @@ object TextStats {
     val n = scores.length
     if (n == 1) lit(0L)
     else {
+      // A null score would null every comparison and fall through to the
+      // LAST class, while an external SQL restatement that coalesces missing
+      // dot-products to 0 predicts class 0 — coalesce here so null scores
+      // behave as 0 on both sides.
+      val s = scores.map(coalesce(_, lit(0L)))
       var c: Column = null
       for (k <- 0 until n - 1) {
-        val cond = (k + 1 until n).map(j => scores(k) >= scores(j))
+        val cond = (k + 1 until n).map(j => s(k) >= s(j))
           .reduce(_ && _)
         c = if (c == null) when(cond, k.toLong) else c.when(cond, k.toLong)
       }

@@ -763,7 +763,11 @@ case class ScrubGramsExpr(child: Expression, grams: Seq[String], mask: String)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_scrub_grams"
 
-  @transient private lazy val gramArr: Array[String] = grams.toArray
+  // Spark's replace() is a no-op on an empty search string, but Java's
+  // String.replace("", mask) inserts the mask between every character —
+  // drop empty grams so the kernel matches the replace-fold it stands for.
+  @transient private lazy val gramArr: Array[String] =
+    grams.filter(_.nonEmpty).toArray
   @transient private lazy val maskStr: String = mask
 
   def scrub(in: UTF8String): UTF8String = {

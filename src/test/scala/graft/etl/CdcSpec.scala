@@ -73,4 +73,35 @@ class CdcSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       s"base must never shuffle for the anti-join:\n$plan")
   }
+
+  test("snapshotDiff: all four statuses; null transitions count as changed") {
+    val old = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 20L),
+      (3L, Option("c"), 30L), (4L, Option("d"), 40L)).toDF("k", "name", "v")
+    val nu = Seq(
+      (2L, Option("b"), 20L),          // null → "b": changed, not a join miss
+      (3L, Option("c"), 30L),          // unchanged
+      (4L, Option.empty[String], 40L), // "d" → null: changed
+      (5L, Option("e"), 50L)           // added; k=1 removed
+    ).toDF("k", "name", "v")
+    val got = Audit.snapshotDiff(old, nu, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 2L, "unchanged" -> 1L))
+  }
+
+  test("snapshotDiff reconciles two readVersion snapshots (time-travel consumer)") {
+    // append-only star publish: version N vs N+1 diffs as added+unchanged,
+    // never changed/removed — and the surviving dim SKEYs must be stable
+    val store = StarStore(spark, tmpDir("graft-star-diff"),
+      autoCompactAfter = Int.MaxValue, retainVersions = 3)
+    def raw(i: Int) = Seq(
+      (f"2017-01-11T00:0$i%d:00.000Z", s"news| Video $i", "206")
+    ).toDF("DateTime", "VideoTitle", "events")
+    (1 to 2).foreach(i => assert(store.runBatch(raw(i), s"d$i") === 1))
+    val diff = Audit.snapshotDiff(
+      store.readVersion("dim_title", 1), store.readVersion("dim_title", 2),
+      Seq("TITLE"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(diff === Map("added" -> 1L, "unchanged" -> 1L))
+  }
 }

@@ -2187,6 +2187,35 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png", null)).isEmpty)
   }
 
+  test("decodePngPixels quarantines crafted headers: overflow dims and a preset-dictionary zlib stream") {
+    // chunks with REAL CRCs, so only the guarded condition differs from a
+    // valid file — the contract is None, never a crash or a hang
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(tb); crc.update(body)
+      java.nio.ByteBuffer.allocate(12 + body.length)
+        .putInt(body.length).put(tb).put(body)
+        .putInt(crc.getValue.toInt).array()
+    }
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def ihdr(w: Int, h: Int) = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // w=2^30, h=3: stride = 3·w overflows 32-bit Int to negative — the old
+    // Int math threw NegativeArraySizeException out of the decoder
+    val overflow = sig ++ chunk("IHDR", ihdr(1 << 30, 3)) ++
+      chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(1L, "png", overflow)).isEmpty)
+    // zlib header with FDICT set (0x78 0x20: (CMF·256+FLG) % 31 == 0,
+    // bit 5 on): Inflater returns 0 with needsDictionary() — the old loop
+    // (which only bailed on needsInput) span forever
+    val fdict = sig ++ chunk("IHDR", ihdr(2, 2)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x20, 0, 0, 0, 1)) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(2L, "png", fdict)).isEmpty)
+  }
+
   test("resizePpm samples the strided pixel lattice exactly") {
     // 4×3 image, bytes 0..35 in order: factor 2 samples (x,y) ∈
     // {0,2}×{0,2}... y ∈ {0,2}; offsets 3·(y·4+x) = 0, 6, 24, 30

@@ -261,4 +261,21 @@ class NativeExprSpec extends SparkSpec {
       .where(col("n") =!= col("f")).count()
     assert(diff === 0)
   }
+
+  test("ScrubGramsExpr treats an empty gram as a no-op, like Spark's replace()") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    // Spark's replace(text, '', mask) is a no-op; Java's
+    // String.replace("", mask) inserts the mask between every character.
+    // An empty gram reaches the kernel whenever a probe text has a
+    // leading/trailing/double space at n=1 (wordShingles keeps empty
+    // tokens) — it must not corrupt the corpus.
+    val grams = Seq("", "fox")
+    val docs = Seq("the fox", "", "plain").toDF("text")
+    val native = GraftColumnBridge.column(graft.ext.expressions.ScrubGramsExpr(
+      GraftColumnBridge.expression(col("text")), grams, "[_]"))
+    val fold = grams.foldLeft(col("text"))((c, g) => replace(c, lit(g), lit("[_]")))
+    val rows = docs.select(native.as("n"), fold.as("f")).collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+    assert(rows.map(_.getString(0)).toSeq === Seq("the [_]", "", "plain"))
+  }
 }

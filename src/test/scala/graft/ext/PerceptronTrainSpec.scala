@@ -113,6 +113,20 @@ class PerceptronTrainSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 1L, 0L)))
   }
 
+  test("argmaxFirst treats null scores as 0 (an external coalesce-to-0 restatement agrees)") {
+    import org.apache.spark.sql.functions.lit
+    val nul = lit(null).cast("long")
+    val r = spark.range(1).select(
+      // all null → all 0 → first-wins class 0 (the old fall-through
+      // predicted the LAST class here)
+      TextStats.argmaxFirst(Seq(nul, nul, nul)).as("a"),
+      // null vs positive: the real score must still win
+      TextStats.argmaxFirst(Seq(nul, lit(5L), lit(3L))).as("b"),
+      // negative scores lose to a null-as-0
+      TextStats.argmaxFirst(Seq(lit(-2L), nul, lit(-1L))).as("c")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((0L, 1L, 1L)))
+  }
+
   test("learned weights drop into the E9g scoring seam shape") {
     // the trained vector indexes the same bucket space hashedLinearScore
     // uses — scoring with it is a pure bucket lookup sum
