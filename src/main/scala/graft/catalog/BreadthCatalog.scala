@@ -638,6 +638,30 @@ object BreadthCatalog {
     }),
 
 
+    // Manifest-level FILE SKIPPING (Delta/Iceberg-style data skipping):
+    // events days 1-10 written range-clustered on day with per-file
+    // [min,max] envelopes in a _graft_manifest.json, then a day-4..6 read
+    // planned FROM THE MANIFEST — the file list shrinks before any footer
+    // is opened, which at 100 TB is the scan-task count itself (pruning
+    // asserted in LayoutSpec via inputFiles; this row gates the pruned
+    // read's ANSWER against the oracle's plain filter, because skipping
+    // must be an optimization and never the filter).
+    "etl_files_pruned" -> ((s, d) => {
+      val tmp = scratchDir("graft_manifest_skip", d)
+      val ev = t(s, d, "events").withColumn("day", dayofmonth(col("ts")))
+        .where(col("day") <= 10)
+        .select(col("event_id"), col("day"), col("value"))
+        .repartitionByRange(8, col("day"))
+      Layout.writeWithManifest(s, ev, tmp, Seq("day"))
+      Layout.readPruned(s, tmp, "day", 4, 6)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_value_cents"))
+        .orderBy("day")
+    }),
+
+
     // CDC-style snapshot diff via the GENERIC Audit.snapshotDiff operator
     // (PK + null-safe multi-column compare — the reusable API behind the
     // inline corpus census curation_snapshot_diff, and the reconciliation
@@ -1239,6 +1263,15 @@ object BreadthCatalog {
         |  sum(((CASE WHEN day(ts) = 5 THEN value * 2 ELSE value
         |    END)::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events WHERE day(ts) <= 10
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+
+    // the pruned read must answer exactly like a plain filter over the
+    // original rows — file skipping is transparent to semantics
+    "etl_files_pruned" ->
+      """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
+        |  sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
+        |FROM events WHERE day(ts) BETWEEN 4 AND 6
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
 

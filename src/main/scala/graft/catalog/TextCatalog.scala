@@ -92,6 +92,26 @@ object TextCatalog {
     }),
 
 
+    // Unicode NFC normalization (UAX #15 canonical composition — run
+    // before any hash/dedup/tokenize on multilingual text): the corpus is
+    // ASCII, so each doc gets a planted DECOMPOSED suffix (combining acute
+    // U+0301 + diaeresis U+0308 + a doc-keyed digit); NFC must compose
+    // them — the code-point length shrinks by exactly the two combining
+    // marks and the md5 runs over the composed bytes. The JDK Normalizer
+    // and the oracle's nfc_normalize implement the same published Unicode
+    // algorithm, which is what puts a normalization kernel under the hash.
+    "text_normalize_nfc" -> ((s, d) => {
+      val withSuffix = concat(col("text"),
+        lit(" cafe\u0301 no\u0308el "), (col("doc_id") % 7).cast("string"))
+      val norm = TextStats.normalizeNfc(withSuffix)
+      t(s, d, "documents").select(col("doc_id"),
+          length(withSuffix).as("n_before"),
+          length(norm).as("n_after"),
+          md5(norm).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+
     // Token counting per language: whitespace, regex-word, BPE-ish subword.
     "text_tokens" -> ((s, d) => {
       t(s, d, "documents")
@@ -794,6 +814,18 @@ object TextCatalog {
          |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS canon_fp,
          |  (CASE WHEN length(text) = 0 THEN 0 ELSE ${Sql.rollHash} END)::BIGINT AS roll_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(769)/chr(776) = the combining acute/diaeresis the Spark side
+    // plants as Scala \u escapes; both engines then run Unicode NFC
+    "text_normalize_nfc" ->
+      """WITH x AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' no' || chr(776) || 'el ' ||
+        |      (doc_id % 7)::VARCHAR AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw)::INT AS n_before,
+        |  length(nfc_normalize(raw))::INT AS n_after,
+        |  md5(nfc_normalize(raw)) AS fp
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "text_vocab_drift" ->
       """WITH ta AS (SELECT unnest(string_split(lower(text), ' ')) AS term

@@ -139,4 +139,121 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     nOut
   }
+
+  /** Manifest-level DATA SKIPPING — the file-pruning half of Delta/Iceberg
+    * scan avoidance ([[zorderLayout]] clusters; this SKIPS). Parquet's own
+    * row-group pruning still opens every file to read its footer; at 100 TB
+    * and object-store latencies the scan-task COUNT is the cost, so real
+    * table formats keep per-file column envelopes in a separate manifest
+    * and plan the file list BEFORE any file is opened. `writeWithManifest`
+    * writes `df` and a `_graft_manifest.json` of per-file [min,max]
+    * envelopes for `statsCols` (computed in ONE distributed pass over the
+    * written files via `input_file_name`, not a per-file driver loop);
+    * [[readPruned]] consults the manifest and hands Spark only the files
+    * whose envelope intersects the predicate.
+    *
+    * Envelope stats are stored as STRINGS with a type tag per column
+    * (numeric envelopes compare as longs, everything else lexically) — the
+    * manifest must round-trip through JSON without engine-float drift.
+    * Cluster the layout on the stats columns ([[zorderLayout]] or a range
+    * partition) for tight envelopes; an unclustered write still answers
+    * correctly, it just prunes nothing. */
+  def writeWithManifest(spark: org.apache.spark.sql.SparkSession,
+                        df: DataFrame, outDir: String,
+                        statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "writeWithManifest: no stats columns")
+    df.write.mode("overwrite").parquet(outDir)
+    val aggs = statsCols.flatMap { c =>
+      // try_cast, not cast: ANSI mode throws on a non-numeric string column,
+      // and a lexical column must simply fall back to string envelopes
+      Seq(min(col(c).cast("string")).as(s"_mn_$c"),
+        max(col(c).cast("string")).as(s"_mx_$c"),
+        min(col(c).try_cast("long")).as(s"_ln_$c"),
+        max(col(c).try_cast("long")).as(s"_lx_$c"))
+    }
+    val stats = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per FILE — bounded by file count, not data
+    val entries = stats.map { r =>
+      val file = r.getString(0)
+      val cols = statsCols.map { c =>
+        val isNum = !r.isNullAt(r.fieldIndex(s"_ln_$c"))
+        val (mnI, mxI) =
+          if (isNum) (r.fieldIndex(s"_ln_$c"), r.fieldIndex(s"_lx_$c"))
+          else (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
+        val mn = if (r.isNullAt(mnI)) null else String.valueOf(r.get(mnI))
+        val mx = if (r.isNullAt(mxI)) null else String.valueOf(r.get(mxI))
+        def q(s: String) =
+          if (s == null) "null"
+          else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        s"""{"col":${q(c)},"numeric":$isNum,"min":${q(mn)},"max":${q(mx)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"file":"${file.replace("\\", "\\\\").replace("\"", "\\\"")}","cols":$cols}"""
+    }
+    val manifest = entries.mkString("[", ",\n", "]")
+    val mPath = new org.apache.hadoop.fs.Path(outDir, "_graft_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mPath, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read `dir` with manifest file skipping: keep only the files whose
+    * [min,max] envelope for `statsCol` intersects `[lo, hi]` (null
+    * envelopes — all-null or absent stats — are conservatively KEPT), and
+    * apply the residual predicate on the scan (skipping is an optimization,
+    * never the filter). Returns the pruned frame; `df.inputFiles` exposes
+    * how many files survived — the number a 100 TB table plans scan tasks
+    * from. */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 statsCol: String, lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"empty range: [$lo, $hi]")
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mPath), s"no _graft_manifest.json under $dir")
+    val in = fs.open(mPath)
+    val json = try {
+      val bs = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bs.write(buf, 0, n); n = in.read(buf) }
+      bs.toString("UTF-8")
+    } finally in.close()
+    // json4s ships with Spark — parse the manifest structurally instead of
+    // regex-scraping the serialization
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    val kept = (for {
+      JObject(entry) <- parsed
+      ("file", JString(file)) <- entry
+    } yield {
+      val colsV = entry.collectFirst { case ("cols", JArray(cs)) => cs }
+        .getOrElse(Nil)
+      val keep = colsV.collectFirst {
+        case JObject(cf) if cf.contains(("col", JString(statsCol))) =>
+          val numeric = cf.collectFirst { case ("numeric", JBool(b)) => b }
+            .getOrElse(false)
+          val mn = cf.collectFirst { case ("min", v) => v }.flatMap(str)
+          val mx = cf.collectFirst { case ("max", v) => v }.flatMap(str)
+          (mn, mx) match {
+            case (Some(a), Some(b)) if numeric =>
+              b.toLong >= lo && a.toLong <= hi // envelope intersects range
+            case (Some(_), Some(_)) => true // lexical stats: numeric range N/A
+            case _ => true // null envelope (all-null column): keep
+          }
+      }.getOrElse(true) // column not in manifest: keep conservatively
+      (file, keep)
+    })
+    require(kept.nonEmpty, s"manifest under $dir lists no files")
+    val files = kept.collect { case (f, true) => f }
+    val pred = col(statsCol).cast("long").between(lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(kept.head._1).where(lit(false)) // schema, no rows
+    else spark.read.parquet(files: _*).where(pred)
+  }
 }

@@ -187,6 +187,18 @@ object TextStats {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Unicode NFC normalization — canonical composition
+    * ([[graft.ext.expressions.NormalizeNfcExpr]], native codegen'd): run it
+    * BEFORE any hash/dedup/tokenize step on multilingual text, or visually
+    * identical strings with different code-point sequences ("é" vs
+    * "e"+U+0301) split dedup groups and fragment tokens. Zero allocation on
+    * already-normalized (e.g. all-ASCII) input. */
+  def normalizeNfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.NormalizeNfcExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Higher-order-function twin of [[rollingHash]]. */
   def rollingHashHof(text: Column): Column = {
     val folded = aggregate(

@@ -700,6 +700,44 @@ case class BpeCountExpr(merges: Array[(String, String)], child: Expression)
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (`java.text.Normalizer`) — the canonical
+  * composition every text pipeline runs before hashing, deduplicating, or
+  * tokenizing multilingual text: visually identical strings with different
+  * code-point sequences ("é" composed vs "e"+U+0301) must hash and match
+  * identically, or dedup silently splits and tokenizers fragment. Spark
+  * has no built-in normalizer, so this is a native codegen'd kernel; the
+  * JDK implements Unicode NFC per UAX #15, the same algorithm any
+  * conforming engine implements, which is what makes an external
+  * restatement possible. Fast path: `Normalizer.isNormalized` (true for
+  * all-ASCII and most real text) returns the INPUT UTF8String — zero
+  * allocation unless composition actually happens. */
+case class NormalizeNfcExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  def normalize(in: UTF8String): UTF8String = {
+    val s = in.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) in
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcExpr", this,
+      classOf[NormalizeNfcExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.normalize($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeNfcExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -737,7 +775,10 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         // second arg = n-gram length, must be an integer literal
         RepetitionStatsExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())))
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NormalizeNfcExpr].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */

@@ -108,4 +108,42 @@ class LayoutSpec extends SparkSpec {
     assert(plan.contains("Coalesce") && !plan.contains("Exchange"),
       s"compaction must coalesce, never exchange:\n$plan")
   }
+
+  test("manifest data skipping: pruned read touches fewer files, same answer") {
+    val root = tmpDir("manifest_skip")
+    val dir = s"$root/t"
+    // 8 files clustered on k (range partition → tight disjoint envelopes)
+    val df = spark.range(8000).select(
+      (col("id") % 80).as("k"), col("id").as("v"))
+      .repartitionByRange(8, col("k"))
+    Layout.writeWithManifest(spark, df, dir, Seq("k"))
+    val total = parquetFiles(dir).size
+    assert(total === 8, s"layout setup: $total files")
+
+    val pruned = Layout.readPruned(spark, dir, "k", 20, 29)
+    // pruning is real: the planned file list shrank
+    assert(pruned.inputFiles.length < total,
+      s"no files skipped: ${pruned.inputFiles.length} of $total")
+    // and the answer is exactly the plain filtered read
+    val want = spark.read.parquet(dir).where(col("k").between(20, 29))
+      .agg(count(lit(1)), sum(col("v"))).head
+    val got = pruned.agg(count(lit(1)), sum(col("v"))).head
+    assert(got === want)
+
+    // an empty range returns zero rows with the right schema
+    assert(Layout.readPruned(spark, dir, "k", 500, 600).count() === 0)
+  }
+
+  test("manifest skipping keeps files conservatively for lexical and all-null stats") {
+    val root = tmpDir("manifest_cons")
+    val dir = s"$root/t"
+    import spark.implicits._
+    val df = Seq((Option("a"), Option.empty[Long], 1L),
+      (Option("b"), Option.empty[Long], 2L)).toDF("s", "n", "v")
+    Layout.writeWithManifest(spark, df, dir, Seq("s", "n"))
+    // string stats: numeric range can't prune — every file kept, all rows
+    assert(Layout.readPruned(spark, dir, "v", 1, 2).count() === 2)
+    // all-null column: null envelope is kept, residual predicate drops rows
+    assert(Layout.readPruned(spark, dir, "n", 0, 9).count() === 0)
+  }
 }

@@ -262,6 +262,28 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("graft_nfc composes decomposed sequences; identity on normalized text; null-safe") {
+    val rows = Seq(
+      "cafe\u0301",        // e + combining acute -> \u00e9
+      "no\u0308el",        // o + combining diaeresis -> \u00f6
+      "plain ascii",       // already normalized: untouched
+      "",                  // empty
+      "caf\u00e9")         // already composed: untouched
+      .toDF("text")
+    val got = rows.select(TextStats.normalizeNfc(col("text")).as("n"))
+      .as[String].collect().toSeq
+    val want = Seq("caf\u00e9", "n\u00f6el", "plain ascii", "", "caf\u00e9")
+    assert(got === want)
+    // code-point length shrinks by exactly the composed marks
+    val lens = rows.select(length(TextStats.normalizeNfc(col("text"))))
+      .as[Int].collect().toSeq
+    assert(lens === Seq(4, 4, 11, 0, 4))
+    // null propagates, not NPEs
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextStats.normalizeNfc(col("text"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("ScrubGramsExpr treats an empty gram as a no-op, like Spark's replace()") {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     // Spark's replace(text, '', mask) is a no-op; Java's
