@@ -178,6 +178,25 @@ object MultimodalCatalog {
     }),
 
 
+    // Histogram DRIFT monitor (E19j): the per-feature distribution-shift
+    // check a training pipeline runs between ingests — old = days 1-15,
+    // new = days 16+ with a planted +37.0 value shift (exact in binary
+    // FP), 20 equi-width buckets of 25; the two-sample chi-square
+    // distance in exact fixed point (×10^6), per-bucket terms AND the
+    // summed statistic on the hash. Chi-square, not PSI: PSI needs ln
+    // (not engine-portable), chi-square is rational in the counts.
+    "q_histogram_drift" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("day", dayofmonth(col("ts")))
+      val o = ev.where(col("day") <= 15).select(col("value"))
+      val n = ev.where(col("day") > 15)
+        .select((col("value") + 37.0).as("value"))
+      val terms = Sketches.histogramDrift(o, n, "value",
+        width = 25.0, nBuckets = 20)
+      terms.crossJoin(terms.agg(sum(col("term_fp")).as("chisq_fp")))
+        .orderBy("bucket")
+    }),
+
+
     // A/B chi-square (E2e): users hash-split into two arms, outcome =
     // any event with value > 222 (the per-user-max median, so the split
     // is balanced; every user has every event TYPE, so type-based
@@ -405,6 +424,31 @@ object MultimodalCatalog {
         |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
         |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
         |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+
+    // mirrors q_histogram_drift: same clamped equi-width buckets, HUGEINT
+    // cross-term, truncating // — term-by-term identical fixed point
+    "q_histogram_drift" ->
+      """WITH o AS (SELECT least(greatest(floor(value / 25.0), 0), 19)::INT AS bucket
+        |  FROM events WHERE day(ts) <= 15),
+        |n AS (SELECT least(greatest(floor((value + 37.0) / 25.0), 0), 19)::INT AS bucket
+        |  FROM events WHERE day(ts) > 15),
+        |spine AS (SELECT unnest(range(0, 20))::INT AS bucket),
+        |co AS (SELECT bucket, count(*)::BIGINT AS n_old FROM o GROUP BY 1),
+        |cn AS (SELECT bucket, count(*)::BIGINT AS n_new FROM n GROUP BY 1),
+        |j AS (SELECT spine.bucket, coalesce(n_old, 0)::BIGINT AS n_old,
+        |    coalesce(n_new, 0)::BIGINT AS n_new
+        |  FROM spine LEFT JOIN co USING (bucket) LEFT JOIN cn USING (bucket)),
+        |t AS (SELECT sum(n_old)::BIGINT AS ta, sum(n_new)::BIGINT AS tb FROM j),
+        |terms AS (SELECT bucket, n_old, n_new,
+        |  (CASE WHEN n_old + n_new > 0 AND ta > 0 AND tb > 0 THEN
+        |    ((n_old::HUGEINT * tb - n_new::HUGEINT * ta) *
+        |     (n_old::HUGEINT * tb - n_new::HUGEINT * ta) * 1000000)
+        |    // (ta::HUGEINT * tb * (n_old + n_new))
+        |  ELSE 0 END)::BIGINT AS term_fp FROM j, t),
+        |s AS (SELECT sum(term_fp)::BIGINT AS chisq_fp FROM terms)
+        |SELECT bucket, n_old, n_new, term_fp, chisq_fp
+        |FROM terms, s ORDER BY bucket""".stripMargin,
 
 
     // mirrors q_ab_chisq: hash-parity arms, purchase conversion, rational χ²

@@ -610,6 +610,28 @@ object SimilarityCatalog {
     }),
 
 
+    // HLL SET ALGEBRA (E19i): cross-source user overlap via register-max
+    // UNION (the native HLL set operation — two 64-row tables merge
+    // without re-scanning either input, which is the whole point at
+    // 100 TB) + inclusion-exclusion for the intersection, clamped at 0.
+    // The tiny synthetic corpus has every user everywhere, so the sides
+    // are planted overlapping id BANDS (A = id < 100, B = id ≥ 50: three
+    // genuinely different cardinalities 100/100/150 flow through the
+    // estimator). exact_intersect rides along so the row also measures
+    // the sketch's accuracy instead of asserting it. The oracle restates
+    // all three register tables and the differenced intersection.
+    "q_hll_setops" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.where(col("user_id") < 100)
+      val b = ev.where(col("user_id") >= 50)
+      val ex = a.select(col("user_id")).distinct()
+        .join(b.select(col("user_id")).distinct(), Seq("user_id"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      Sketches.hllOverlap(a, col("user_id"), b, col("user_id"))
+        .crossJoin(ex)
+    }),
+
+
     // Per-hour portable-HLL estimates (E19d): one sketch per window via
     // the SPINE-FREE grouped shape — only observed buckets aggregate; each
     // empty register adds exactly 2^55 to the denominator in closed form,
@@ -713,7 +735,47 @@ object SimilarityCatalog {
     // so the oracle re-derives the exact row set (no rand() anywhere).
   )
 
+  // One side of the q_hll_setops oracle: hash → rho → max-per-bucket →
+  // 64-bucket spine → the corrected integer estimate, parameterized by the
+  // side's WHERE predicate. Mirrors Sketches.{hllRegisters,hllEstimate}.
+  private def hllSideCtes(tag: String, pred: String): String = {
+    val raw =
+      s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d))::BIGINT"
+    s"""h$tag AS (SELECT ('0x' || substr(md5(user_id::VARCHAR || 'hll'), 1, 15))::BIGINT AS h
+       |  FROM events WHERE $pred),
+       |r$tag AS (SELECT h & 63 AS bucket,
+       |  CASE WHEN h >> 6 = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END AS rho FROM h$tag),
+       |g$tag AS (SELECT bucket, max(rho) AS register FROM r$tag GROUP BY bucket),
+       |f$tag AS (SELECT spine.bucket, coalesce(register, 0)::INT AS register
+       |  FROM spine LEFT JOIN g$tag USING (bucket)),
+       |e$tag AS (SELECT ${Sketches.hllCorrectedSql(raw, "hits")} AS est FROM (
+       |  SELECT sum(CASE WHEN register > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d
+       |  FROM f$tag))""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q_hll_setops" ->
+      s"""WITH spine AS (SELECT unnest(range(0, 64)) AS bucket),
+         |${hllSideCtes("A", "user_id < 100")},
+         |${hllSideCtes("B", "user_id >= 50")},
+         |gU AS (SELECT bucket, max(register) AS register FROM (
+         |  SELECT * FROM fA UNION ALL SELECT * FROM fB) GROUP BY bucket),
+         |eU AS (SELECT ${Sketches.hllCorrectedSql(
+             s"((${Sketches.HllEstNumerator}::HUGEINT) // (1000::HUGEINT * d))::BIGINT",
+             "hits")} AS est FROM (
+         |  SELECT sum(CASE WHEN register > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+         |    sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d
+         |  FROM gU)),
+         |ex AS (SELECT count(*)::BIGINT AS exact_intersect FROM
+         |  (SELECT DISTINCT user_id FROM events WHERE user_id < 100) xa
+         |  JOIN (SELECT DISTINCT user_id FROM events WHERE user_id >= 50) xb
+         |  USING (user_id))
+         |SELECT eA.est AS est_a, eB.est AS est_b, eU.est AS est_union,
+         |  greatest(eA.est + eB.est - eU.est, 0)::BIGINT AS est_intersect,
+         |  ex.exact_intersect
+         |FROM eA, eB, eU, ex""".stripMargin,
 
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -112,6 +112,26 @@ object TextCatalog {
     }),
 
 
+    // Diacritic stripping (NFD + drop Unicode marks, the utf8proc-style
+    // contract): the canonical "search across Latin-script languages"
+    // normalization next to NFC — the planted suffix carries combining
+    // acute/diaeresis/tilde on e/o/n/U plus a COMPOSED \u00e9, and every
+    // one must strip to its base letter; the doc-keyed digit varies the
+    // tail. Both the JDK kernel and the oracle's strip_accents implement
+    // NFD-then-drop-marks, which is what puts the kernel on the hash.
+    "text_strip_accents" -> ((s, d) => {
+      val withSuffix = concat(col("text"),
+        lit(" cafe\u0301 no\u0308el n\u0303 U\u0308 caf\u00e9 "),
+        (col("doc_id") % 7).cast("string"))
+      val stripped = TextStats.stripAccents(withSuffix)
+      t(s, d, "documents").select(col("doc_id"),
+          length(withSuffix).as("n_before"),
+          length(stripped).as("n_after"),
+          md5(stripped).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+
     // Token counting per language: whitespace, regex-word, BPE-ish subword.
     "text_tokens" -> ((s, d) => {
       t(s, d, "documents")
@@ -814,6 +834,19 @@ object TextCatalog {
          |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS canon_fp,
          |  (CASE WHEN length(text) = 0 THEN 0 ELSE ${Sql.rollHash} END)::BIGINT AS roll_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(769)/chr(776)/chr(771) = combining acute/diaeresis/tilde; chr(233)
+    // = the composed e-acute the strip must also flatten
+    "text_strip_accents" ->
+      """WITH x AS (SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' no' || chr(776) || 'el n' ||
+        |      chr(771) || ' U' || chr(776) || ' caf' || chr(233) || ' ' ||
+        |      (doc_id % 7)::VARCHAR AS raw
+        |  FROM documents)
+        |SELECT doc_id, length(raw)::INT AS n_before,
+        |  length(strip_accents(raw))::INT AS n_after,
+        |  md5(strip_accents(raw)) AS fp
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     // chr(769)/chr(776) = the combining acute/diaeresis the Spark side
     // plants as Scala \u escapes; both engines then run Unicode NFC

@@ -147,6 +147,44 @@ object Sketches {
           "(CAST(1000 AS DECIMAL(10,0)) * d_denom)").as("est_raw"))
       .withColumn("est", hllCorrected(col("est_raw"), col("buckets_hit")))
 
+  /** Register-table UNION — HLL's defining mergeability (max per bucket):
+    * sketches built independently per source / shard / day union without
+    * ever touching raw keys again, which is exactly why HLL is THE
+    * distinct counter at 100 TB (the union of two 64-row register tables
+    * is a 64-row aggregation, not a re-scan of either input). Spined
+    * inputs ([[hllRegisters]]) stay spined; observed-only tables mix in
+    * freely (max with an absent bucket ≡ max with 0). */
+  def hllUnionRegisters(tables: Seq[DataFrame],
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    require(tables.nonEmpty, "hllUnionRegisters: no register tables")
+    tables.reduce(_.unionByName(_))
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
+  }
+
+  /** Inclusion–exclusion OVERLAP estimate between two key sets — the
+    * cross-source / cross-snapshot contamination question ("how many users
+    * appear in BOTH halves?") answered without any exact distinct: sketch
+    * each side, union via register max (the native HLL set operation),
+    * est∩ = estA + estB − est∪, clamped at 0 because sketch error can
+    * drive a small true overlap negative. Every arithmetic step is the
+    * portable integer estimator, so the whole set-algebra chain restates
+    * exactly in an external engine. Returns one row:
+    * (est_a, est_b, est_union, est_intersect). */
+  def hllOverlap(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+                 salt: String = "hll"): DataFrame = {
+    val ra = hllRegisters(a, aKey, salt)
+    val rb = hllRegisters(b, bKey, salt)
+    val ru = hllUnionRegisters(Seq(ra, rb))
+    val ea = hllEstimate(ra).select(col("est").as("est_a"))
+    val eb = hllEstimate(rb).select(col("est").as("est_b"))
+    val eu = hllEstimate(ru).select(col("est").as("est_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+          .as("est_intersect"))
+  }
+
   /** PORTABLE Count-Min Sketch (Cormode & Muthukrishnan 2005) — frequency
     * estimation completing the sketch triad (distinct/quantile/frequency).
     * d rows × 2^wBits counters; row j's hash is the md5-60-bit under salt
@@ -192,6 +230,50 @@ object Sketches {
     * `phis` = (name, num, den) with 0 < num ≤ den; per group emits `n`
     * plus, per φ, `<name>_bucket` and its value upper bound `<name>_hi`
     * = (bucket+1)·width. */
+  /** Distribution DRIFT between two snapshots of a numeric column — the
+    * training-data monitoring question ("did the feature distribution move
+    * between yesterday's corpus and today's?") as a two-sample chi-square
+    * distance over equi-width histogram buckets, in EXACT integer/decimal
+    * arithmetic: a PSI needs ln (IEEE ln is not engine-portable), while
+    * the chi-square statistic is a pure rational function of the counts.
+    * Per bucket with counts a (old) / b (new) and side totals A / B, the
+    * fixed-point term is (a·B − b·A)² · 10^6 div (A·B·(a+b)) — truncating
+    * integer division on DECIMAL(38,0) (HUGEINT in an external engine), so
+    * the per-bucket table AND the summed statistic restate exactly.
+    * Empty buckets (a+b = 0) contribute 0. Exact while side totals stay
+    * ≤ ~10^8 ((A·B)²·10^6 must fit 38 digits); pre-scale counts beyond.
+    *
+    * Scale shape: one bucket-keyed aggregation per side (map-side
+    * partials), a spine join over nBuckets rows, 1-row totals crossed in —
+    * past the two histogram scans nothing grows with the data.
+    * Returns (bucket, n_old, n_new, term_fp), nBuckets rows. */
+  def histogramDrift(oldDf: DataFrame, newDf: DataFrame, valueCol: String,
+                     width: Double, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, s"bad histogram: $width x $nBuckets")
+    val spark = oldDf.sparkSession
+    def counts(df: DataFrame, out: String) = {
+      val bucket = least(greatest(floor(col(valueCol) / width), lit(0)),
+        lit(nBuckets - 1)).cast("int")
+      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as(out))
+    }
+    val spine = spark.range(0, nBuckets).select(col("id").cast("int").as("bucket"))
+    val joined = spine
+      .join(counts(oldDf, "n_old"), Seq("bucket"), "left")
+      .join(counts(newDf, "n_new"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    val totals = joined.agg(sum(col("n_old")).as("_ta"), sum(col("n_new")).as("_tb"))
+    joined.crossJoin(totals)
+      .select(col("bucket"), col("n_old"), col("n_new"),
+        when(col("n_old") + col("n_new") > 0 && col("_ta") > 0 && col("_tb") > 0,
+          expr("CAST((CAST(n_old AS DECIMAL(38,0)) * _tb - CAST(n_new AS DECIMAL(38,0)) * _ta) *" +
+            " (CAST(n_old AS DECIMAL(38,0)) * _tb - CAST(n_new AS DECIMAL(38,0)) * _ta) * 1000000 AS DECIMAL(38,0))" +
+            " div (CAST(_ta AS DECIMAL(38,0)) * _tb * (n_old + n_new))"))
+          .otherwise(lit(0L)).cast("long").as("term_fp"))
+      .orderBy("bucket")
+  }
+
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          width: Double, nBuckets: Int,
                          phis: Seq[(String, Int, Int)]): DataFrame = {

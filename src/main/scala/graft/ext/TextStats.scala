@@ -199,6 +199,16 @@ object TextStats {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Diacritic stripping ([[graft.ext.expressions.StripAccentsExpr]],
+    * native codegen'd): NFD + drop all Unicode Marks, no recomposition —
+    * "café" ≡ "cafe" for cross-language search/match/dedup; non-mark base
+    * letters (ß, æ) pass through. Zero allocation on all-ASCII input. */
+  def stripAccents(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.StripAccentsExpr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Higher-order-function twin of [[rollingHash]]. */
   def rollingHashHof(text: Column): Column = {
     val folded = aggregate(

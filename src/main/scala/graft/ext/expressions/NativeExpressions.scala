@@ -738,6 +738,53 @@ case class NormalizeNfcExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Diacritic stripping — NFD decomposition + removal of every Unicode Mark
+  * (Mn/Mc/Me), the other half of text canonicalization next to
+  * [[NormalizeNfcExpr]]: search, matching, and dedup across Latin-script
+  * languages usually want "café" ≡ "cafe". Deliberately NO recomposition
+  * pass afterwards (the utf8proc-style contract external engines
+  * implement): base letters that are not marks — ß, æ — pass through
+  * untouched. Fast path: an all-ASCII string (the overwhelmingly common
+  * case) returns the input UTF8String with zero allocation. */
+case class StripAccentsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+
+  def strip(in: UTF8String): UTF8String = {
+    val s = in.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return in
+    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var j = 0
+    while (j < d.length) {
+      val cp = d.codePointAt(j)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stripAccents", this,
+      classOf[StripAccentsExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.strip($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccentsExpr =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -778,7 +825,10 @@ object GraftFunctions {
           children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeNfcExpr].getName, "graft_nfc"),
-      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)))
+      (children: Seq[Expression]) => NormalizeNfcExpr(children.head)),
+    (FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+      (children: Seq[Expression]) => StripAccentsExpr(children.head)))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */

@@ -262,6 +262,21 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("graft_strip_accents: NFD + mark removal; base letters survive; ASCII fast path") {
+    val rows = Seq(
+      "caf\u00e9",        // composed e-acute -> cafe
+      "cafe\u0301",       // decomposed -> cafe
+      "n\u00f6 n\u0303 \u00df \u00e6", // o-diaeresis, n-tilde strip; eszett/ae survive
+      "plain ascii")
+      .toDF("text")
+    val got = rows.select(TextStats.stripAccents(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(got === Seq("cafe", "cafe", "no n \u00df \u00e6", "plain ascii"))
+    // SQL registration + null safety
+    val r = spark.sql("SELECT graft_strip_accents('caf\u00e9'), graft_strip_accents(cast(null as string))").head
+    assert(r.getString(0) === "cafe" && r.isNullAt(1))
+  }
+
   test("graft_nfc composes decomposed sequences; identity on normalized text; null-safe") {
     val rows = Seq(
       "cafe\u0301",        // e + combining acute -> \u00e9

@@ -129,4 +129,48 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - n).toDouble / n < 3 * se,
       s"estimate $est too far from $n")
   }
+
+  test("hllUnionRegisters: merge ≡ sketch of the concatenation, exactly; idempotent") {
+    val a = (1L to 800L).toDF("k")
+    val b = (500L to 1200L).toDF("k")
+    val ra = Sketches.hllRegisters(a, col("k"))
+    val rb = Sketches.hllRegisters(b, col("k"))
+    def regMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the HLL law the set algebra rests on: register-max merge equals
+    // sketching the unioned keys directly — EXACT, not approximate
+    val merged = regMap(Sketches.hllUnionRegisters(Seq(ra, rb)))
+    val direct = regMap(Sketches.hllRegisters(a.unionByName(b), col("k")))
+    assert(merged === direct)
+    // idempotent: A ∪ A = A
+    assert(regMap(Sketches.hllUnionRegisters(Seq(ra, ra))) === regMap(ra))
+  }
+
+  test("histogramDrift: zero on identical distributions, hand-checked terms on a planted shift") {
+    val a = (0 until 100).map(i => (i % 10) * 10.0).toDF("value")
+    // identical snapshots → every cross-term (a·B − b·A) is 0 → statistic 0
+    val same = Sketches.histogramDrift(a, a, "value", width = 10.0, nBuckets = 10)
+    assert(same.agg(sum(col("term_fp"))).head.getLong(0) === 0L)
+    // all mass moves one bucket: old all-in-0, new all-in-1, A=B=4
+    // → term(0) = (4·4 − 0)²·10^6 / (16·4) = 4·10^6, same for bucket 1
+    val o = Seq(1.0, 2.0, 3.0, 4.0).toDF("value")
+    val n = Seq(11.0, 12.0, 13.0, 14.0).toDF("value")
+    val t = Sketches.histogramDrift(o, n, "value", width = 10.0, nBuckets = 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(t(0) === 4000000L && t(1) === 4000000L)
+    assert((2 until 10).forall(t(_) === 0L))
+  }
+
+  test("hllOverlap: inclusion-exclusion recovers a planted overlap within error") {
+    val a = (1L to 1000L).toDF("k")
+    val b = (501L to 1500L).toDF("k") // |A|=|B|=1000, |A∩B|=500, |A∪B|=1500
+    val r = Sketches.hllOverlap(a, col("k"), b, col("k")).collect()(0)
+    val estI = r.getAs[Number]("est_intersect").longValue()
+    // inclusion-exclusion compounds the per-sketch error (~13% at m=64);
+    // a generous 3x band still catches sign/denominator bugs
+    assert(math.abs(estI - 500L) < 500,
+      s"intersect estimate $estI implausible for true 500 ($r)")
+    assert(r.getAs[Number]("est_union").longValue() >
+      r.getAs[Number]("est_a").longValue(), s"union must exceed one side: $r")
+  }
 }
