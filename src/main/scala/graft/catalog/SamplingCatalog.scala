@@ -29,6 +29,20 @@ object SamplingCatalog {
     }),
 
 
+    // Weighted priority sampling (Sequential Poisson / priority sampling,
+    // E22c): 60 docs kept with probability ∝ token count — priority =
+    // unit-hash/weight, bottom-k via a bounded TakeOrdered heap (never a
+    // full sort). The hash is exact in a double and the one division is
+    // correctly rounded, so kept set, order, AND the priority doubles
+    // restate bit-identically in the oracle.
+    "sample_weighted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextStats.nTokens(col("text")).as("w"))
+      Sampling.weightedPrioritySample(docs, "doc_id", "w", k = 60)
+        .orderBy("rank")
+    }),
+
+
     // Deterministic global corpus shuffle: pseudo-random order as a pure
     // function of (key, salt) — the retry-stable, engine-reproducible
     // replacement for orderBy(rand()) before sequence packing. The oracle
@@ -267,6 +281,23 @@ object SamplingCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // mirrors weightedPrioritySample: 32-bit md5 unit hash (exact in a
+    // double), ONE correctly-rounded division by the token weight, bottom
+    // 60 by (priority, doc_id) — priorities compared on the hash
+    "sample_weighted" ->
+      """WITH w AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::INT AS w FROM documents),
+        |h AS (SELECT doc_id, w,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || 'wps'), 1, 8))::BIGINT AS hv
+        |  FROM w WHERE w >= 1),
+        |p AS (SELECT doc_id, w,
+        |    (hv::DOUBLE / 4294967296.0) / w AS priority FROM h)
+        |SELECT doc_id, w, priority, rank FROM (
+        |  SELECT doc_id, w, priority,
+        |    row_number() OVER (ORDER BY priority, doc_id)::INT AS rank FROM p)
+        |WHERE rank <= 60 ORDER BY rank""".stripMargin,
+
 
     // mirrors Decontaminate.contaminatedByEmbedding: all probe×corpus
     // cosines (the dedup_semantic-proven float restatement), >= 0.35 hits

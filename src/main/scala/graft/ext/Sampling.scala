@@ -51,6 +51,41 @@ object Sampling {
     df.where(unitHash(col(keyCol), salt) < fraction)
   }
 
+  /** Weighted PRIORITY sampling (Sequential Poisson, Ohlsson 1998 — the
+    * priority-sampling family of Duffield/Lund/Thorup 2007): keep the `k`
+    * rows with the smallest priority h(key)/w, giving inclusion
+    * probability asymptotically ∝ w — the production weighted
+    * without-replacement sample (mix documents ∝ a quality or token
+    * weight) at any scale, because selection is a bounded TopK
+    * (per-partition heaps via TakeOrdered), never a full sort.
+    *
+    * Deterministic AND engine-portable: h = [[unitHash]] (a 32-bit md5
+    * value scaled by 2^32 — both steps exact in a double), w a positive
+    * integral column, and the single priority division is one
+    * correctly-rounded IEEE op on exact inputs — so the kept set, its
+    * order, and the priorities themselves restate bit-identically in an
+    * external engine. Ties break by key. Rows with w ≤ 0 or null weight
+    * are excluded (a zero weight means "never sample"; negative is a
+    * caller bug surfaced by the exclusion, not a crash).
+    *
+    * Returns (keyCol, weightCol, priority, rank), rank 1..k by ascending
+    * priority. */
+  def weightedPrioritySample(df: DataFrame, keyCol: String,
+                             weightCol: String, k: Int,
+                             salt: String = "wps"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val p = (unitHash(col(keyCol), salt) / col(weightCol)).as("priority")
+    val kept = df
+      .where(col(weightCol).isNotNull && col(weightCol) >= 1)
+      .select(col(keyCol), col(weightCol), p)
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k) // TakeOrderedAndProject: bounded heap, no global sort
+    // rank over the ≤ k survivors — a k-row single-partition window, not
+    // a data-sized one
+    kept.withColumn("rank", row_number().over(
+      Window.orderBy(col("priority"), col(keyCol))))
+  }
+
   /** Add a split column ("test" below `testFraction`, else "train") —
     * the leakage-free alternative to random splits: membership depends only
     * on the key, so regenerating the dataset never migrates rows. Refuses an

@@ -58,4 +58,33 @@ class TemperatureSamplingSpec extends SparkSpec {
     val empty = docs.where(lit(false))
     assert(Sampling.sampleByTemperature(empty, "grp", "doc_id").count() === 0L)
   }
+
+  test("weightedPrioritySample: bounded TakeOrdered plan, inclusion tracks weight, bad weights excluded") {
+    import spark.implicits._
+    // 1000 keys, weight 20 for ids < 100 (heavy decile), 1 otherwise
+    val df = spark.range(1000).select(col("id").as("k"),
+      when(col("id") < 100, 20).otherwise(1).as("w"))
+    val kept = Sampling.weightedPrioritySample(df, "k", "w", k = 100)
+    // plan: a bounded heap (TakeOrderedAndProject), never a global sort
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be a bounded TakeOrdered:\n$plan")
+    val rows = kept.collect()
+    assert(rows.length === 100)
+    assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 100))
+    // the heavy decile holds 100·20 / (100·20 + 900·1) = 69% of the mass;
+    // with k=100 draws its share lands far above the unweighted 10%
+    val heavy = rows.count(_.getAs[Long]("k") < 100L)
+    assert(heavy > 40, s"weighting too weak: $heavy/100 heavy keys")
+    // deterministic: same call, same keys, same order
+    val again = Sampling.weightedPrioritySample(df, "k", "w", k = 100)
+      .collect().map(_.getAs[Long]("k")).toSeq
+    assert(again === rows.map(_.getAs[Long]("k")).toSeq)
+    // w <= 0 / null rows are excluded, not crashed on
+    val bad = Seq((1L, Some(0)), (2L, Some(-3)), (3L, Option.empty[Int]),
+      (4L, Some(5))).toDF("k", "w")
+    val keptBad = Sampling.weightedPrioritySample(bad, "k", "w", k = 10)
+      .collect().map(_.getAs[Long]("k")).toSeq
+    assert(keptBad === Seq(4L))
+  }
 }
