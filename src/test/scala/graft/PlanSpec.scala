@@ -560,4 +560,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"top-k must be the bounded heap, not a rank window:\n$p")
   }
+
+  test("etl_snapshot_diff: one PK-keyed outer join, status count map-side partial") {
+    val p = plan("etl_snapshot_diff")
+    // the diff is ONE full-outer join keyed on the PK — no product, no
+    // window, and the census aggregation carries map-side partial_count
+    assert(p.contains("FullOuter"), s"diff must be a full outer join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no product may appear:\n$p")
+    assert(!p.contains("Window"), s"census must aggregate, not window:\n$p")
+    assert(p.contains("partial_count"),
+      s"status census must combine map-side:\n$p")
+  }
+
+  test("q_hll_setops: register tables aggregate keyed, estimates cross tiny frames only") {
+    val p = plan("q_hll_setops")
+    // per-side register tables are bucket-keyed aggregations; the only
+    // products are the 1-row estimate frames crossing in — never a
+    // data-sized side
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(p.contains("partial_max") || p.contains("max("),
+      s"registers must max-aggregate:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the sketch:\n$p")
+  }
+
+  test("sample_weighted: bounded TakeOrdered selection, no data-sized window") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be the bounded heap:\n$p")
+    // the only window ranks the <= k survivors AFTER the TakeOrdered —
+    // fine; what must not appear is a join or product
+    assert(!p.contains("Join"), s"no join belongs here:\n$p")
+  }
 }
