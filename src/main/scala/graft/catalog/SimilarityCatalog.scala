@@ -101,6 +101,27 @@ object SimilarityCatalog {
     // headline row skips the k-means fit (fitIters = 0): it measures the
     // filtered SEARCH path, not the index build the `sim_topk_ivf` row
     // already exercises (a prebuilt index is not re-fit per query batch).
+    // Incremental IVF INDEX APPEND (E15l): centroids pinned from the
+    // first-300 "initial build", the later vectors assigned WITHOUT refit
+    // (a zero-exchange projection over only the new batch — streaming
+    // ingest into a vector index), the union searched at nProbe = nCells
+    // so the exactness contract gates the whole appended index: any
+    // assignment bug that drops, duplicates, or mis-cells a vector breaks
+    // the brute-force hash.
+    "sim_ivf_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val old = e.where(col("vec_id") < 300)
+      val neu = e.where(col("vec_id") >= 300)
+      val cents = Similarity.centroidArray(old, "vec_id", "embedding",
+        nCells = 8)
+      val index = Similarity.ivfAssign(old, "vec_id", "embedding", cents)
+        .unionByName(Similarity.ivfAssign(neu, "vec_id", "embedding", cents))
+      Similarity.ivfSearchAssigned(index, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", cents, k = 10, nProbe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+
     "sim_topk_ivf_filtered" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       Similarity.ivfTopKFiltered(e, e.where(col("vec_id") < 5),
@@ -1030,6 +1051,19 @@ object SimilarityCatalog {
 
     // full-probe IVF ≡ brute force, so this is sim_topk's oracle verbatim
     "sim_topk_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the appended index at nProbe = nCells is exact → brute force, same
+    // law the sim_topk_ivf gate pins
+    "sim_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,

@@ -562,9 +562,33 @@ object Similarity {
     val cents =
       if (fitIters > 0) kmeansCentroids(corpus, idCol, vecCol, nCells, fitIters)
       else centroidArray(corpus, idCol, vecCol, nCells)
-    val assigned = corpus.where(predicate)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    ivfSearchAssigned(ivfAssign(corpus.where(predicate), idCol, vecCol, cents),
+      queries, idCol, vecCol, cents, k, nProbe)
+  }
+
+  /** Stateless IVF cell assignment against a PINNED centroid set — the
+    * INDEX-MAINTENANCE half of [[ivfTopK]], split out because a production
+    * vector index ingests continuously: assignment is a pure function of
+    * (vector, centroids), so appending a batch is a zero-exchange
+    * projection over only the NEW rows — no refit, no touch of the
+    * existing index, and `assign(old) ∪ assign(new) ≡ assign(old ∪ new)`
+    * exactly (spec-pinned). Returns (id, v, cell) rows ready to union
+    * with (or persist next to) an existing assigned index frame. */
+  def ivfAssign(vecs: DataFrame, idCol: String, vecCol: String,
+                cents: Column): DataFrame =
+    vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("cell", nearestCell(col("v"), cents))
+
+  /** Search an ASSIGNED index frame ([[ivfAssign]] output, possibly the
+    * union of many ingest batches) under the same pinned centroids: probe
+    * each query's `nProbe` nearest cells, score, bounded-heap top-k.
+    * `ivfTopK` ≡ this over `ivfAssign(corpus)` with the same centroid
+    * set; the split lets the index persist and GROW between searches.
+    * The `nProbe = nCells` exactness contract is unchanged — probing every
+    * cell of ANY assigned frame returns the brute force over its rows. */
+  def ivfSearchAssigned(assigned: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, cents: Column,
+                        k: Int, nProbe: Int): DataFrame = {
     val probes = queries
       .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .select(col("query_id"), col("qv"),

@@ -484,6 +484,30 @@ class ExtSpec extends SparkSpec {
     assert(filtered.groupBy(_._1).forall(_._2.size === 10))
   }
 
+  test("ivfAssign/ivfSearchAssigned: the append law and the ivfTopK decomposition hold") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.centroidArray(e, "vec_id", "embedding", 4)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").as[(Long, Long)].collect().toSet
+    // append law: assignment is stateless, so batch-wise union ≡ one pass
+    val old = e.where(col("vec_id") < 200)
+    val neu = e.where(col("vec_id") >= 200)
+    val appended = Similarity.ivfAssign(old, "vec_id", "embedding", cents)
+      .unionByName(Similarity.ivfAssign(neu, "vec_id", "embedding", cents))
+    assert(asSet(appended) === asSet(
+      Similarity.ivfAssign(e, "vec_id", "embedding", cents)))
+    // decomposition: ivfTopK ≡ search(assign(corpus)) under the same cents
+    val q = e.where(col("vec_id") < 3)
+    val composed = Similarity.ivfSearchAssigned(
+        Similarity.ivfAssign(e, "vec_id", "embedding", cents),
+        q, "vec_id", "embedding", cents, k = 5, nProbe = 2)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val direct = Similarity.ivfTopK(e, q, "vec_id", "embedding",
+        k = 5, nCells = 4, nProbe = 2)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(composed === direct)
+  }
+
   test("ivf: centroid-literal cell assignment is exchange-free and correct") {
     val cents = Similarity.centroidArray(vecs, "vec_id", "embedding", 2)
     val assigned = vecs
