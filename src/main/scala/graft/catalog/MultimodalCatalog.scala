@@ -430,9 +430,9 @@ object MultimodalCatalog {
     // cross-term, truncating // — term-by-term identical fixed point
     "q_histogram_drift" ->
       """WITH o AS (SELECT least(greatest(floor(value / 25.0), 0), 19)::INT AS bucket
-        |  FROM events WHERE day(ts) <= 15),
+        |  FROM events WHERE day(ts) <= 15 AND value IS NOT NULL),
         |n AS (SELECT least(greatest(floor((value + 37.0) / 25.0), 0), 19)::INT AS bucket
-        |  FROM events WHERE day(ts) > 15),
+        |  FROM events WHERE day(ts) > 15 AND value IS NOT NULL),
         |spine AS (SELECT unnest(range(0, 20))::INT AS bucket),
         |co AS (SELECT bucket, count(*)::BIGINT AS n_old FROM o GROUP BY 1),
         |cn AS (SELECT bucket, count(*)::BIGINT AS n_new FROM n GROUP BY 1),

@@ -691,9 +691,9 @@ object Dedup {
         val (next, nextRdd, _) = cp.eagerCheckpoint(
           paired.join(keys, Seq("_r1", "_r2"))
             .select(col("gpos"), col("_nr").as("rank")))
-        cp.pending = null
         ranksRdd.unpersist(false)
         ranks = next; ranksRdd = nextRdd
+        cp.pending = null // cleared only AFTER ranksRdd owns the new RDD
       }
     } catch {
       case t: Throwable =>

@@ -184,9 +184,17 @@ object Layout {
           else (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
         val mn = if (r.isNullAt(mnI)) null else String.valueOf(r.get(mnI))
         val mx = if (r.isNullAt(mxI)) null else String.valueOf(r.get(mxI))
+        // full JSON string escaping: a lexical envelope from real text can
+        // carry newlines/tabs/control chars, and one raw control byte makes
+        // the whole manifest unparseable for every later read
         def q(s: String) =
           if (s == null) "null"
-          else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          else s.flatMap {
+            case '\\' => "\\\\"
+            case '"' => "\\\""
+            case c if c < 0x20 => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          }.mkString("\"", "", "\"")
         s"""{"col":${q(c)},"numeric":$isNum,"min":${q(mn)},"max":${q(mx)}}"""
       }.mkString("[", ",", "]")
       s"""{"file":"${file.replace("\\", "\\\\").replace("\"", "\\\"")}","cols":$cols}"""
@@ -251,9 +259,19 @@ object Layout {
     })
     require(kept.nonEmpty, s"manifest under $dir lists no files")
     val files = kept.collect { case (f, true) => f }
-    val pred = col(statsCol).cast("long").between(lo, hi)
     if (files.isEmpty)
-      spark.read.parquet(kept.head._1).where(lit(false)) // schema, no rows
-    else spark.read.parquet(files: _*).where(pred)
+      return spark.read.parquet(kept.head._1).where(lit(false)) // schema, no rows
+    val out = spark.read.parquet(files: _*)
+    // a numeric range over a non-numeric column is caller misuse: fail
+    // loudly here rather than crash at scan time (ANSI cast) or silently
+    // return zero rows (try_cast) — either of which would masquerade as a
+    // pruning result
+    out.schema(statsCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"readPruned needs a numeric statsCol for a [lo, hi] range " +
+          s"(got $statsCol: ${other.sql})")
+    }
+    out.where(col(statsCol).cast("long").between(lo, hi))
   }
 }

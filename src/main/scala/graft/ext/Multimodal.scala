@@ -438,10 +438,12 @@ object Multimodal {
       o += 12 + len.toInt
     }
     if (w <= 0 || h <= 0 || depth != 8 || color != 2 || interlace != 0) return None
-    // Header w/h are unchecked 31-bit values from the wire: compute the
-    // buffer sizes in Long and quarantine anything past a sane decode bound
-    // so a crafted IHDR can't overflow the Int stride math into a negative
-    // allocation (crash) — the contract is None, never a throw.
+    // Header w/h are unchecked 31-bit values from the wire: bound each
+    // DIMENSION first (2^26 keeps every product below 2^54, so the Long
+    // arithmetic below cannot itself overflow — w = h = 2^31-1 would wrap
+    // h·(1+3w) negative and sail past a size-only guard), then quarantine
+    // anything past a sane decode size. The contract is None, never a throw.
+    if (w > (1 << 26) || h > (1 << 26)) return None
     val strideL = 3L * w
     val expectedL = h * (1L + strideL)
     if (expectedL > (1L << 28)) return None // implausible decode size: quarantine

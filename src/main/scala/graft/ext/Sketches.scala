@@ -254,7 +254,12 @@ object Sketches {
     def counts(df: DataFrame, out: String) = {
       val bucket = least(greatest(floor(col(valueCol) / width), lit(0)),
         lit(nBuckets - 1)).cast("int")
-      df.groupBy(bucket.as("bucket")).agg(count(lit(1)).as(out))
+      // greatest() SKIPS nulls, so a null value would silently land in
+      // bucket 0 and read as drift toward zero — exclude nulls instead (a
+      // null-rate shift is a different monitor than a value-distribution
+      // shift)
+      df.where(col(valueCol).isNotNull)
+        .groupBy(bucket.as("bucket")).agg(count(lit(1)).as(out))
     }
     val spine = spark.range(0, nBuckets).select(col("id").cast("int").as("bucket"))
     val joined = spine

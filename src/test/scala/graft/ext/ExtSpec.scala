@@ -2231,6 +2231,11 @@ class ExtSpec extends SparkSpec {
     val overflow = sig ++ chunk("IHDR", ihdr(1 << 30, 3)) ++
       chunk("IDAT", Array[Byte](1, 2, 3)) ++ chunk("IEND", Array.empty[Byte])
     assert(Multimodal.decodePngPixels(Multimodal.RawAsset(1L, "png", overflow)).isEmpty)
+    // w=h=2^31-1: h·(1+3w) wraps the LONG negative too, sailing past a
+    // size-only guard — the per-dimension bound must quarantine it first
+    val overflow64 = sig ++ chunk("IHDR", ihdr(Int.MaxValue, Int.MaxValue)) ++
+      chunk("IDAT", Array[Byte](1)) ++ chunk("IEND", Array.empty[Byte])
+    assert(Multimodal.decodePngPixels(Multimodal.RawAsset(3L, "png", overflow64)).isEmpty)
     // zlib header with FDICT set (0x78 0x20: (CMF·256+FLG) % 31 == 0,
     // bit 5 on): Inflater returns 0 with needsDictionary() — the old loop
     // (which only bailed on needsInput) span forever

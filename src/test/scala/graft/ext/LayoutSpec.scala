@@ -138,12 +138,19 @@ class LayoutSpec extends SparkSpec {
     val root = tmpDir("manifest_cons")
     val dir = s"$root/t"
     import spark.implicits._
-    val df = Seq((Option("a"), Option.empty[Long], 1L),
-      (Option("b"), Option.empty[Long], 2L)).toDF("s", "n", "v")
+    // lexical values with control characters: the manifest must stay
+    // parseable JSON (one raw newline would poison every later read)
+    val df = Seq((Option("a\nb\t\"c\\"), Option.empty[Long], 1L),
+      (Option("z"), Option.empty[Long], 2L)).toDF("s", "n", "v")
     Layout.writeWithManifest(spark, df, dir, Seq("s", "n"))
     // string stats: numeric range can't prune — every file kept, all rows
     assert(Layout.readPruned(spark, dir, "v", 1, 2).count() === 2)
     // all-null column: null envelope is kept, residual predicate drops rows
     assert(Layout.readPruned(spark, dir, "n", 0, 9).count() === 0)
+    // a numeric range over the lexical column itself is caller misuse —
+    // loud, not an ANSI scan crash or a silent zero-row result
+    val e = intercept[IllegalArgumentException](
+      Layout.readPruned(spark, dir, "s", 1, 2).count())
+    assert(e.getMessage.contains("numeric statsCol"))
   }
 }

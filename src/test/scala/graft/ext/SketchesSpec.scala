@@ -159,6 +159,13 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
     assert(t(0) === 4000000L && t(1) === 4000000L)
     assert((2 until 10).forall(t(_) === 0L))
+    // nulls are EXCLUDED, not counted as bucket 0: a new snapshot that
+    // went all-null must not read as drift toward zero
+    val withNulls = Seq(Some(1.0), None, None, Some(2.0), Some(3.0), Some(4.0))
+      .toDF("value")
+    val t2 = Sketches.histogramDrift(o, withNulls, "value", 10.0, 10)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(t2(0) === ((4L, 4L)), s"null rows leaked into the histogram: $t2")
   }
 
   test("hllOverlap: inclusion-exclusion recovers a planted overlap within error") {
