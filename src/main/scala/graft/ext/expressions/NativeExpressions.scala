@@ -836,6 +836,11 @@ object GraftFunctions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** The extensions-config path ([[GraftExtensions]]) injects the SAME
+    * registry, so the two registration routes can never drift apart. */
+  def injectInto(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
 }
 
 /** Sequential literal-substring scrub: `s.replace(g, mask)` applied for
@@ -889,38 +894,9 @@ case class ScrubGramsExpr(child: Expression, grams: Seq[String], mask: String)
 
 /** For `spark.sql.extensions=graft.ext.expressions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_rolling_hash"),
-      new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
-      (children: Seq[Expression]) => RollingHashExpr(children.head)))
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
-    ext.injectFunction((FunctionIdentifier("graft_int_dot"),
-      new ExpressionInfo(classOf[IntDotExpr].getName, "graft_int_dot"),
-      (children: Seq[Expression]) => IntDotExpr(children(0), children(1))))
-    ext.injectFunction((FunctionIdentifier("graft_quantize_int8"),
-      new ExpressionInfo(classOf[QuantizeInt8Expr].getName, "graft_quantize_int8"),
-      (children: Seq[Expression]) => QuantizeInt8Expr(children.head)))
-    ext.injectFunction((FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
-      (children: Seq[Expression]) =>
-        SimHashExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())))
-    ext.injectFunction((FunctionIdentifier("graft_hashed_shingles"),
-      new ExpressionInfo(classOf[HashedShinglesExpr].getName, "graft_hashed_shingles"),
-      (children: Seq[Expression]) =>
-        HashedShinglesExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())))
-    ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
-      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) =>
-        MinHashSigExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())))
-    ext.injectFunction((FunctionIdentifier("graft_repetition"),
-      new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),
-      (children: Seq[Expression]) =>
-        RepetitionStatsExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())))
-  }
+  // one registry: the extensions path injects exactly the functions
+  // GraftFunctions.register installs — a second hand-maintained list here
+  // had already drifted (it missed the two newest kernels)
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.injectInto(ext)
 }

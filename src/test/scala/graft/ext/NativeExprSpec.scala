@@ -262,6 +262,24 @@ class NativeExprSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("every registered graft_* kernel resolves and evaluates in SQL") {
+    // the single registry drives BOTH registration routes (per-session
+    // register() and the GraftExtensions injector), so this sweep also
+    // guards the extensions path against a function silently missing
+    val probes = Seq(
+      "graft_rolling_hash('x')",
+      "graft_dot(array(1.0d), array(2.0d))",
+      "graft_int_dot(array(1L), array(2L))",
+      "graft_quantize_int8(array(1.0d))",
+      "graft_simhash(array(5L), 16)",
+      "graft_hashed_shingles(array('a', 'b', 'c'), 2)",
+      "graft_minhash_sig(array(5L, 7L), 4)",
+      "graft_repetition(array('a', 'a', 'a'), 2)",
+      "graft_nfc('x')",
+      "graft_strip_accents('x')")
+    probes.foreach(e => spark.sql(s"SELECT $e").collect())
+  }
+
   test("graft_strip_accents: NFD + mark removal; base letters survive; ASCII fast path") {
     val rows = Seq(
       "caf\u00e9",        // composed e-acute -> cafe
