@@ -662,6 +662,31 @@ object BreadthCatalog {
     }),
 
 
+    // Manifest APPEND path: initial build (days 1-5) + an appended batch
+    // (days 6-10) whose envelopes are computed over ONLY the new files
+    // and spliced into the manifest — streaming ingest with O(batch)
+    // stats maintenance; the day-4..7 read then plans across both
+    // generations from the spliced manifest. Answer gated against the
+    // oracle's plain filter (skipping is never the filter).
+    "etl_manifest_append" -> ((s, d) => {
+      val tmp = scratchDir("graft_manifest_app", d)
+      val ev = t(s, d, "events").withColumn("day", dayofmonth(col("ts")))
+        .select(col("event_id"), col("day"), col("value"))
+      Layout.writeWithManifest(s,
+        ev.where(col("day") <= 5).repartitionByRange(4, col("day")),
+        tmp, Seq("day"))
+      Layout.appendWithManifest(s,
+        ev.where(col("day").between(6, 10)).repartitionByRange(4, col("day")),
+        tmp, Seq("day"))
+      Layout.readPruned(s, tmp, "day", 4, 7)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_value_cents"))
+        .orderBy("day")
+    }),
+
+
     // CDC-style snapshot diff via the GENERIC Audit.snapshotDiff operator
     // (PK + null-safe multi-column compare — the reusable API behind the
     // inline corpus census curation_snapshot_diff, and the reconciliation
@@ -1272,6 +1297,15 @@ object BreadthCatalog {
       """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
         |  sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
         |FROM events WHERE day(ts) BETWEEN 4 AND 6
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+
+
+    // the spliced two-generation manifest must answer exactly like a
+    // plain filter over the original rows
+    "etl_manifest_append" ->
+      """SELECT day(ts)::INT AS day, count(*)::BIGINT AS n,
+        |  sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_value_cents
+        |FROM events WHERE day(ts) BETWEEN 4 AND 7
         |GROUP BY 1 ORDER BY day""".stripMargin,
 
 

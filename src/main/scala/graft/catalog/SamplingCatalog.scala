@@ -53,6 +53,19 @@ object SamplingCatalog {
     }),
 
 
+    // Leakage-free K-FOLD assignment (5 folds): the cross-validation
+    // split — fold membership a pure function of the key, so folds never
+    // migrate when the corpus regenerates; per-(fold, lang) counts plus
+    // id extrema on the hash, the oracle re-deriving every assignment.
+    "sample_folds" -> ((s, d) => {
+      Sampling.withFolds(t(s, d, "documents"), "doc_id", k = 5, salt = "cv1")
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("fold", "lang")
+    }),
+
+
     // Leakage-free train/test split on the doc key.
     "sample_split" -> ((s, d) => {
       Sampling.withSplit(t(s, d, "documents"), "doc_id", 0.25, salt = "v1")
@@ -326,6 +339,14 @@ object SamplingCatalog {
          |    THEN 'test' ELSE 'train' END AS split,
          |  lang, count(*)::BIGINT AS n
          |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // fold = floor(unit-hash * k): one correctly-rounded multiply on an
+    // exact double, so every assignment restates
+    "sample_folds" ->
+      s"""SELECT floor(${Sql.unitHash("doc_id::VARCHAR", "cv1")} * 5)::INT AS fold,
+         |  lang, count(*)::BIGINT AS n,
+         |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+         |FROM documents GROUP BY 1, 2 ORDER BY fold, lang""".stripMargin,
 
 
     // same reachability CTE as dedup_clusters (identical pair graph), then

@@ -163,19 +163,69 @@ object Layout {
                         statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "writeWithManifest: no stats columns")
     df.write.mode("overwrite").parquet(outDir)
+    val entries = manifestEntries(spark.read.parquet(outDir), statsCols)
+    writeManifestText(spark, outDir, entries.mkString("[", ",\n", "]"))
+  }
+
+  /** APPEND a batch to a manifest-tracked table: write `df` in append
+    * mode, compute envelopes for ONLY the newly written files (one
+    * distributed pass over just the batch — existing data is never
+    * re-read, which keeps stats maintenance O(batch) under streaming
+    * ingest), and splice their entries into the manifest. Same stats and
+    * escaping rules as [[writeWithManifest]]. Concurrent appends to one
+    * directory need external serialization, like every file-listing
+    * commit protocol without a lock service. */
+  def appendWithManifest(spark: org.apache.spark.sql.SparkSession,
+                         df: DataFrame, dir: String,
+                         statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "appendWithManifest: no stats columns")
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    require(fs.exists(mPath),
+      s"no _graft_manifest.json under $dir — writeWithManifest first")
+    def listParquet(): Set[String] = {
+      val it = fs.listFiles(dPath, false)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) b += f.toString
+      }
+      b.result()
+    }
+    val before = listParquet()
+    df.write.mode("append").parquet(dir)
+    val fresh = (listParquet() -- before).toSeq.sorted
+    if (fresh.isEmpty) return // empty batch: nothing to splice
+    val entries = manifestEntries(spark.read.parquet(fresh: _*), statsCols)
+    // an empty batch can still materialize zero-row part files; they have
+    // no stats rows and carry no data, so they are simply not listed (the
+    // manifest IS the table's file listing, Delta-log style)
+    if (entries.isEmpty) return
+    val old = readManifestText(spark, dir).trim
+    val merged =
+      if (old == "[]") entries.mkString("[", ",\n", "]")
+      else old.stripSuffix("]") + ",\n" + entries.mkString(",\n") + "]"
+    writeManifestText(spark, dir, merged)
+  }
+
+  /** One manifest entry per file of `src`: per-column [min,max] envelopes
+    * (numeric via try_cast — ANSI-safe on lexical columns — else string),
+    * gathered in a single `input_file_name`-keyed pass; the collect is one
+    * row per FILE, bounded by file count, never by data. */
+  private def manifestEntries(src: DataFrame,
+                              statsCols: Seq[String]): Seq[String] = {
     val aggs = statsCols.flatMap { c =>
-      // try_cast, not cast: ANSI mode throws on a non-numeric string column,
-      // and a lexical column must simply fall back to string envelopes
       Seq(min(col(c).cast("string")).as(s"_mn_$c"),
         max(col(c).cast("string")).as(s"_mx_$c"),
         min(col(c).try_cast("long")).as(s"_ln_$c"),
         max(col(c).try_cast("long")).as(s"_lx_$c"))
     }
-    val stats = spark.read.parquet(outDir)
+    val stats = src
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect() // one row per FILE — bounded by file count, not data
-    val entries = stats.map { r =>
+      .collect()
+    stats.toSeq.map { r =>
       val file = r.getString(0)
       val cols = statsCols.map { c =>
         val isNum = !r.isNullAt(r.fieldIndex(s"_ln_$c"))
@@ -184,26 +234,44 @@ object Layout {
           else (r.fieldIndex(s"_mn_$c"), r.fieldIndex(s"_mx_$c"))
         val mn = if (r.isNullAt(mnI)) null else String.valueOf(r.get(mnI))
         val mx = if (r.isNullAt(mxI)) null else String.valueOf(r.get(mxI))
-        // full JSON string escaping: a lexical envelope from real text can
-        // carry newlines/tabs/control chars, and one raw control byte makes
-        // the whole manifest unparseable for every later read
-        def q(s: String) =
-          if (s == null) "null"
-          else s.flatMap {
-            case '\\' => "\\\\"
-            case '"' => "\\\""
-            case c if c < 0x20 => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          }.mkString("\"", "", "\"")
-        s"""{"col":${q(c)},"numeric":$isNum,"min":${q(mn)},"max":${q(mx)}}"""
+        s"""{"col":${jsonStr(c)},"numeric":$isNum,"min":${jsonStr(mn)},"max":${jsonStr(mx)}}"""
       }.mkString("[", ",", "]")
-      s"""{"file":"${file.replace("\\", "\\\\").replace("\"", "\\\"")}","cols":$cols}"""
+      s"""{"file":${jsonStr(file)},"cols":$cols}"""
     }
-    val manifest = entries.mkString("[", ",\n", "]")
-    val mPath = new org.apache.hadoop.fs.Path(outDir, "_graft_manifest.json")
+  }
+
+  /** Full JSON string escaping: a lexical envelope from real text can carry
+    * newlines/tabs/control chars, and one raw control byte makes the whole
+    * manifest unparseable for every later read. */
+  private def jsonStr(s: String): String =
+    if (s == null) "null"
+    else s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+
+  private def writeManifestText(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, text: String): Unit = {
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mPath, true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifestText(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(mPath)
+    try {
+      val bs = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bs.write(buf, 0, n); n = in.read(buf) }
+      bs.toString("UTF-8")
+    } finally in.close()
   }
 
   /** Read `dir` with manifest file skipping: keep only the files whose
@@ -219,14 +287,7 @@ object Layout {
     val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
     val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mPath), s"no _graft_manifest.json under $dir")
-    val in = fs.open(mPath)
-    val json = try {
-      val bs = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bs.write(buf, 0, n); n = in.read(buf) }
-      bs.toString("UTF-8")
-    } finally in.close()
+    val json = readManifestText(spark, dir)
     // json4s ships with Spark — parse the manifest structurally instead of
     // regex-scraping the serialization
     import org.json4s._

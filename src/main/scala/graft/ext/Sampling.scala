@@ -102,6 +102,23 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Leakage-free K-FOLD assignment — the cross-validation sibling of
+    * [[withSplit]]: fold = ⌊unitHash · k⌋, a pure function of (key, salt),
+    * so the k folds are disjoint, cover every row, stay stable when the
+    * dataset regenerates (no row ever migrates folds), and reproduce in
+    * any engine with an md5. The hash is exact in a double and u·k is one
+    * correctly-rounded multiply, so the assignment itself is portable.
+    * Zero shuffle: a scan-level projection. */
+  def withFolds(df: DataFrame, keyCol: String, k: Int,
+                salt: String = "", outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"withFolds needs k >= 2: $k")
+    require(!df.columns.contains(outCol),
+      s"withFolds: input already has a '$outCol' column — refusing to " +
+        "overwrite an existing fold assignment (pass outCol to rename)")
+    df.withColumn(outCol,
+      floor(unitHash(col(keyCol), salt) * k).cast("int"))
+  }
+
   /** Deterministically shuffle a corpus into a pseudo-random global order —
     * the pre-writer step that decorrelates adjacent documents (source runs,
     * crawl order, curriculum artifacts) before sequence packing, so training

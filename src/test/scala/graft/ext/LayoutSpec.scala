@@ -134,6 +134,37 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readPruned(spark, dir, "k", 500, 600).count() === 0)
   }
 
+  test("appendWithManifest: batch-only stats pass, spliced manifest still prunes") {
+    val root = tmpDir("manifest_append")
+    val dir = s"$root/t"
+    // initial build: keys 0..39 across 4 range-clustered files
+    val base = spark.range(4000).select((col("id") % 40).as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k"))
+    Layout.writeWithManifest(spark, base, dir, Seq("k"))
+    val baseFiles = parquetFiles(dir).size
+    // append a later batch with DISJOINT keys 100..119 (2 files)
+    val batch = spark.range(1000).select((col("id") % 20 + 100).as("k"),
+      (col("id") + 10000).as("v")).repartitionByRange(2, col("k"))
+    Layout.appendWithManifest(spark, batch, dir, Seq("k"))
+    assert(parquetFiles(dir).size === baseFiles + 2, "append file count")
+
+    // a query into the APPENDED key range reads only the new files
+    val inNew = Layout.readPruned(spark, dir, "k", 100, 119)
+    assert(inNew.inputFiles.length === 2,
+      s"append range must touch only the batch files: ${inNew.inputFiles.length}")
+    assert(inNew.count() === 1000)
+    // a query into the BASE range skips the appended files
+    val inBase = Layout.readPruned(spark, dir, "k", 0, 9)
+    assert(inBase.inputFiles.length < baseFiles + 2,
+      "base range must not read every file")
+    val want = spark.read.parquet(dir).where(col("k").between(0, 9)).count()
+    assert(inBase.count() === want)
+    // an empty append is a no-op, manifest still parseable
+    Layout.appendWithManifest(spark,
+      base.where(lit(false)), dir, Seq("k"))
+    assert(Layout.readPruned(spark, dir, "k", 100, 119).count() === 1000)
+  }
+
   test("manifest skipping keeps files conservatively for lexical and all-null stats") {
     val root = tmpDir("manifest_cons")
     val dir = s"$root/t"
