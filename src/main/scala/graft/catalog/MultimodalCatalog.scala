@@ -178,6 +178,25 @@ object MultimodalCatalog {
     }),
 
 
+    // EXACT distributed selection (E19k): the exact median and p90 of
+    // value-cents via 256-ary histogram refinement — ≤5 full passes for
+    // any 40-bit domain, NO sort anywhere, 256 longs of driver state.
+    // Completes the quantile ladder: q_sketch_quantiles estimates,
+    // q_exact_median pays a per-group window SORT (verification-class by
+    // design), this is the exact answer in the shape that survives 100 TB.
+    // k-th-of-sorted-multiset semantics, restated by the oracle as a rank
+    // lookup.
+    "q_exact_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val cents = t(s, d, "events")
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val n = cents.where(col("c").isNotNull).count()
+      val med = Sketches.exactKth(cents, "c", (n + 1) / 2)
+      val p90 = Sketches.exactKth(cents, "c", math.max(1L, (n * 9 + 9) / 10))
+      Seq((n, med, p90)).toDF("n", "median_cents", "p90_cents")
+    }),
+
+
     // Histogram DRIFT monitor (E19j): the per-feature distribution-shift
     // check a training pipeline runs between ingests — old = days 1-15,
     // new = days 16+ with a planted +37.0 value shift (exact in binary
@@ -424,6 +443,19 @@ object MultimodalCatalog {
         |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
         |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
         |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+
+    // rank lookup over the sorted multiset: the value at rank k is
+    // well-defined under ties regardless of row_number's tie order
+    "q_exact_quantiles" ->
+      """WITH c AS (SELECT (value::DECIMAL(18,2) * 100)::BIGINT AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT count(*)::BIGINT AS n FROM c),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM c)
+        |SELECT n.n,
+        |  (SELECT c FROM r, n WHERE rk = (n + 1) // 2) AS median_cents,
+        |  (SELECT c FROM r, n WHERE rk = greatest((n * 9 + 9) // 10, 1)) AS p90_cents
+        |FROM n""".stripMargin,
 
 
     // mirrors q_histogram_drift: same clamped equi-width buckets, HUGEINT

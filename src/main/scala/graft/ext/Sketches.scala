@@ -279,6 +279,52 @@ object Sketches {
       .orderBy("bucket")
   }
 
+  /** EXACT k-th smallest of an integral column by iterative 256-ary
+    * histogram refinement — the exact-selection answer at scale, where a
+    * global sort is unpayable and [[histogramQuantiles]]'s one-bucket
+    * bracket isn't exact: each round histograms the surviving value range
+    * into ≤256 buckets (ONE filtered aggregation with map-side partials —
+    * the range predicate pushes to the scan), walks the 256 counts on the
+    * driver to find the bucket holding global rank k, and recurses into
+    * it. Round count is ⌈log₂₅₆(range)⌉ — ≤ 5 full passes for any 40-bit
+    * domain, independent of row count; driver state is 256 longs.
+    * `k` is 1-based; duplicates count with multiplicity (the k-th element
+    * of the sorted multiset). Nulls are excluded. Returns the value. */
+  def exactKth(df: DataFrame, valueCol: String, k: Long): Long = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val vals = df.select(col(valueCol).cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+    val bounds = vals.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+      count(lit(1)).as("n")).head
+    require(!bounds.isNullAt(0), "exactKth: no non-null values")
+    require(k <= bounds.getLong(2),
+      s"k=$k exceeds the ${bounds.getLong(2)} non-null rows")
+    var lo = bounds.getLong(0)
+    var hi = bounds.getLong(1)
+    require(hi - lo >= 0,
+      "exactKth: value range exceeds 2^63 — rescale the column first")
+    var rank = k
+    while (lo < hi) {
+      // ceil-div width so 256 buckets always cover [lo, hi]
+      val width = math.max(1L, ((hi - lo) >>> 8) + 1L)
+      // DIV, not /: Spark's / on longs is DOUBLE division, which loses
+      // exactness on wide ranges — the bucket id must be integral math
+      val counts = vals.where(col("_v").between(lo, hi))
+        .groupBy(expr(s"CAST((_v - ${lo}L) DIV ${width}L AS INT)").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      var b = 0
+      var cum = 0L
+      while (cum + counts.getOrElse(b, 0L) < rank) {
+        cum += counts.getOrElse(b, 0L); b += 1
+      }
+      rank -= cum
+      lo = lo + b * width
+      hi = math.min(hi, lo + width - 1)
+    }
+    lo
+  }
+
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          width: Double, nBuckets: Int,
                          phis: Seq[(String, Int, Int)]): DataFrame = {

@@ -146,6 +146,24 @@ class SketchesSpec extends SparkSpec {
     assert(regMap(Sketches.hllUnionRegisters(Seq(ra, ra))) === regMap(ra))
   }
 
+  test("exactKth: every rank of a known multiset, duplicates, wide range, nulls excluded") {
+    // multiset with duplicates: sorted = [1,2,2,5,5,5,9]
+    val m = Seq(5L, 2L, 9L, 5L, 1L, 2L, 5L).toDF("v")
+    val sortedVals = Seq(1L, 2L, 2L, 5L, 5L, 5L, 9L)
+    sortedVals.zipWithIndex.foreach { case (want, i) =>
+      assert(Sketches.exactKth(m, "v", i + 1) === want, s"rank ${i + 1}")
+    }
+    // range wider than one 256-bucket round forces real refinement
+    val wide = ((0L until 1000L).map(_ * 1000003L)).toDF("v")
+    assert(Sketches.exactKth(wide, "v", 500) === 499L * 1000003L)
+    assert(Sketches.exactKth(wide, "v", 1) === 0L)
+    assert(Sketches.exactKth(wide, "v", 1000) === 999L * 1000003L)
+    // nulls excluded; k beyond the non-null count is loud
+    val withNulls = Seq(Some(3L), None, Some(1L)).toDF("v")
+    assert(Sketches.exactKth(withNulls, "v", 2) === 3L)
+    intercept[IllegalArgumentException](Sketches.exactKth(withNulls, "v", 3))
+  }
+
   test("histogramDrift: zero on identical distributions, hand-checked terms on a planted shift") {
     val a = (0 until 100).map(i => (i % 10) * 10.0).toDF("value")
     // identical snapshots → every cross-term (a·B − b·A) is 0 → statistic 0
