@@ -197,6 +197,21 @@ object MultimodalCatalog {
     }),
 
 
+    // Grouped exact selection (E19k2): the per-group lower median of
+    // value-cents with NO per-group sort — every event_type's range
+    // refines simultaneously through one (group, bucket)-keyed
+    // aggregation per round, O(groups·256) driver state. Same semantics
+    // as the window-sort q_exact_median row, scale-shaped; the oracle is
+    // the rank-lookup restatement per group.
+    "q_exact_median_grouped" -> ((s, d) => {
+      val cents = t(s, d, "events").select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      Sketches.exactKthBy(cents, "event_type", "cents", n => (n + 1) / 2)
+        .withColumnRenamed("value", "median_cents")
+        .orderBy("event_type")
+    }),
+
+
     // Histogram DRIFT monitor (E19j): the per-feature distribution-shift
     // check a training pipeline runs between ingests — old = days 1-15,
     // new = days 16+ with a planted +37.0 value shift (exact in binary
@@ -443,6 +458,20 @@ object MultimodalCatalog {
         |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
         |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
         |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+
+    // per-group rank lookup: the value at a rank within each partition is
+    // tie-order-independent
+    "q_exact_median_grouped" ->
+      """WITH c AS (SELECT event_type,
+        |    (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c)
+        |SELECT event_type, n::BIGINT AS n, cents AS median_cents
+        |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""".stripMargin,
 
 
     // rank lookup over the sorted multiset: the value at rank k is

@@ -325,6 +325,78 @@ object Sketches {
     lo
   }
 
+  /** Per-GROUP exact k-th selection — [[exactKth]] generalized to one rank
+    * per group in the same bounded pass count: every round histograms
+    * EVERY active group's surviving value range in ONE aggregation keyed
+    * on (group, bucket) — collect size and driver state are
+    * O(groups · 256) per round, independent of row count, and the round
+    * count is ⌈log₂₅₆(max group range)⌉. No per-group sort anywhere: this
+    * is the grouped exact-median shape that survives 100 TB, next to the
+    * window-sort verification row. `rankOf` maps a group's non-null count
+    * to the wanted 1-based rank (e.g. lower median `n => (n + 1) / 2`).
+    * Returns (groupCol, n, value) — one row per group with ≥1 non-null
+    * value. Group count must be driver-bounded (state is O(groups)). */
+  def exactKthBy(df: DataFrame, groupCol: String, valueCol: String,
+                 rankOf: Long => Long): DataFrame = {
+    val spark = df.sparkSession
+    val vals = df.select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+      .where(col("_v").isNotNull && col("_g").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = vals.groupBy(col("_g"))
+        .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+      // state per group: surviving [lo, hi] and the rank within it
+      var state: Map[String, (Long, Long, Long)] = bounds.map { r =>
+        val n = r.getLong(3)
+        val k = rankOf(n)
+        require(k >= 1 && k <= n,
+          s"rankOf($n) = $k out of [1, $n] for group ${r.getString(0)}")
+        r.getString(0) -> (r.getLong(1), r.getLong(2), k)
+      }.toMap
+      val nOf = bounds.map(r => r.getString(0) -> r.getLong(3)).toMap
+      state.foreach { case (g, (lo, hi, _)) =>
+        require(hi - lo >= 0,
+          s"exactKthBy: group $g value range exceeds 2^63 — rescale first")
+      }
+      var active = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      while (active.nonEmpty) {
+        import spark.implicits._
+        val ranges = active.toSeq.map { case (g, (lo, hi, _)) =>
+          (g, lo, hi, math.max(1L, ((hi - lo) >>> 8) + 1L))
+        }.toDF("_g", "_lo", "_hi", "_w")
+        val counts = vals.join(broadcast(ranges), "_g")
+          .where(col("_v").between(col("_lo"), col("_hi")))
+          .groupBy(col("_g"),
+            expr("CAST((_v - _lo) DIV _w AS INT)").as("_b"))
+          .agg(count(lit(1)).as("_c"))
+          .collect()
+          .groupBy(_.getString(0))
+          .view.mapValues(_.map(r => r.getInt(1) -> r.getLong(2)).toMap)
+          .toMap
+        state = state.map {
+          case (g, st @ (lo, hi, rank)) if active.contains(g) =>
+            val width = math.max(1L, ((hi - lo) >>> 8) + 1L)
+            val cs = counts(g)
+            var b = 0
+            var cum = 0L
+            while (cum + cs.getOrElse(b, 0L) < rank) {
+              cum += cs.getOrElse(b, 0L); b += 1
+            }
+            val nlo = lo + b * width
+            g -> (nlo, math.min(hi, nlo + width - 1), rank - cum)
+          case other => other
+        }
+        active = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      }
+      import spark.implicits._
+      state.toSeq.map { case (g, (lo, _, _)) => (g, nOf(g), lo) }
+        .toDF(groupCol, "n", "value")
+    } finally vals.unpersist(false)
+  }
+
   def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                          width: Double, nBuckets: Int,
                          phis: Seq[(String, Int, Int)]): DataFrame = {

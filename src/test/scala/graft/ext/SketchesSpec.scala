@@ -164,6 +164,31 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketches.exactKth(withNulls, "v", 3))
   }
 
+  test("exactKthBy: per-group medians match per-group sorts; groups converge independently") {
+    // groups with different sizes, ranges, and duplicate structure —
+    // including one that needs multiple refinement rounds (wide range)
+    // and one that is done after bounds (single value)
+    val rows =
+      (1L to 101L).map(i => ("a", (i * 9973L) % 100000L)) ++
+      Seq(("b", 7L), ("b", 3L), ("b", 7L), ("b", 1L)) ++
+      Seq(("c", 42L)) ++
+      (1L to 50L).map(i => ("d", i * 1000003L))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.exactKthBy(df, "g", "v", n => (n + 1) / 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> (vs.size.toLong, sorted(((vs.size + 1) / 2 - 1).toInt))
+    }
+    assert(got === want, s"grouped medians diverge: $got vs $want")
+    // null groups and null values are excluded, not crashed on
+    val withNulls = Seq((Option("a"), Option(5L)), (Option.empty[String], Option(9L)),
+      (Option("a"), Option.empty[Long])).toDF("g", "v")
+    val g2 = Sketches.exactKthBy(withNulls, "g", "v", n => n)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(g2 === Map("a" -> 5L))
+  }
+
   test("histogramDrift: zero on identical distributions, hand-checked terms on a planted shift") {
     val a = (0 until 100).map(i => (i % 10) * 10.0).toDF("value")
     // identical snapshots → every cross-term (a·B − b·A) is 0 → statistic 0
