@@ -414,6 +414,19 @@ object TextCatalog {
     }),
 
 
+    // DISTINCTIVE terms per source (E9o): over-representation lift
+    // P(term|source)/P(term) in exact fixed point (pure rational in the
+    // counts — no log-odds, logs aren't engine-portable), min corpus
+    // count 5, top-5 per source — the spam-source / data-card signal
+    // next to the raw-frequency text_top_tokens. Oracle restates counts,
+    // the HUGEINT-widened lift, and the rank.
+    "text_distinctive_terms" -> ((s, d) => {
+      TextStats.distinctiveTerms(t(s, d, "documents"), "text", "source",
+          k = 5, minCount = 5)
+        .orderBy("source", "rk")
+    }),
+
+
     // Vocabulary analysis: top-10 tokens per language by document frequency
     // (the stopword-discovery / corpus-stats primitive).
     "text_top_tokens" -> ((s, d) => {
@@ -796,6 +809,29 @@ object TextCatalog {
          |    doc_id ASC) AS seq_text,
          |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
          |FROM p GROUP BY source, seq_no ORDER BY source, seq_no""".stripMargin,
+
+    // mirrors TextStats.distinctiveTerms: occurrence counts (not doc
+    // frequencies), min corpus count 5, HUGEINT-widened fixed-point lift,
+    // rank by (lift desc, term)
+    "text_distinctive_terms" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents),
+        |bg AS (SELECT source, term, count(*)::BIGINT AS c_gt FROM tok
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |bt AS (SELECT term, sum(c_gt)::BIGINT AS c_t FROM bg GROUP BY 1
+        |  HAVING sum(c_gt) >= 5),
+        |tg AS (SELECT source, sum(c_gt)::BIGINT AS t_g FROM bg GROUP BY 1),
+        |ta AS (SELECT sum(t_g)::BIGINT AS t_all FROM tg),
+        |sc AS (SELECT bg.source, bg.term, bg.c_gt, bt.c_t,
+        |    ((bg.c_gt::HUGEINT * ta.t_all * 1000000) //
+        |     (bt.c_t::HUGEINT * tg.t_g))::BIGINT AS lift_fp
+        |  FROM bg JOIN bt USING (term) JOIN tg USING (source), ta)
+        |SELECT source, rk, term, lift_fp, c_gt, c_t FROM (
+        |  SELECT source, term, c_gt, c_t, lift_fp, row_number() OVER (
+        |    PARTITION BY source ORDER BY lift_fp DESC, term)::INT AS rk
+        |  FROM sc)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "text_top_tokens" ->
       """WITH tok AS (SELECT lang,

@@ -244,6 +244,54 @@ object TextStats {
       .where(col("rk") <= k)
   }
 
+  /** DISTINCTIVE terms per group — which terms are over-represented in a
+    * source relative to the whole corpus, the curation question behind
+    * spam-source detection and per-source data cards: lift(term, g) =
+    * P(term | g) / P(term) restated in exact fixed point as
+    * (c_g,t · T · 10^6) div (c_t · T_g), where c_g,t is the term's
+    * occurrence count in the group, c_t its corpus count, T_g / T the
+    * group / corpus token totals — a pure rational in the counts, so the
+    * score is engine-exact (no logs, unlike log-odds). Terms below
+    * `minCount` corpus occurrences are dropped (hapax noise dominates
+    * lift otherwise); top `k` per group by (lift desc, term asc).
+    *
+    * Scale shape: one (group, term) aggregation over the token stream,
+    * one term-keyed join against the vocabulary-sized corpus counts, one
+    * group-keyed join against the ≤|groups| totals (broadcast), then a
+    * per-group rank window over the VOCABULARY-sized scored frame (the
+    * corpus never reaches the window), so nothing is quadratic and the
+    * only corpus-wide operation is the first aggregation. */
+  def distinctiveTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       groupCol: String, k: Int,
+                       minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val byGroup = toks.groupBy(col("g"), col("term"))
+      .agg(count(lit(1)).as("c_gt"))
+    val byTerm = byGroup.groupBy(col("term"))
+      .agg(sum(col("c_gt")).as("c_t"))
+      .where(col("c_t") >= minCount)
+    val totals = byGroup.groupBy(col("g")).agg(sum(col("c_gt")).as("t_g"))
+    val grand = totals.agg(sum(col("t_g")).as("t_all"))
+    val scored = byGroup
+      .join(byTerm, "term")
+      .join(broadcast(totals), "g")
+      .crossJoin(broadcast(grand))
+      .select(col("g"), col("term"), col("c_gt"), col("c_t"),
+        // widened BEFORE multiplying: at corpus scale c_gt·T·10^6 blows
+        // past 2^63 (10^14 tokens × 10^12 occurrences); DECIMAL(38) here,
+        // HUGEINT in an external restatement
+        expr("CAST((CAST(c_gt AS DECIMAL(38,0)) * t_all * 1000000) div " +
+          "(CAST(c_t AS DECIMAL(38,0)) * t_g) AS BIGINT)").as("lift_fp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("lift_fp").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("g").as(groupCol), col("rk"), col("term"),
+        col("lift_fp"), col("c_gt"), col("c_t"))
+  }
+
   /** Per-group vocabulary profile: distinct-term count, hapax count (terms
     * in exactly one document — the noise/OCR-junk signal), max document
     * frequency, and the hapax share (one division of exact ints). Rides on

@@ -484,6 +484,24 @@ class ExtSpec extends SparkSpec {
     assert(filtered.groupBy(_._1).forall(_._2.size === 10))
   }
 
+  test("distinctiveTerms: hand-computed lift, min-count floor, rank order") {
+    // corpus: 'common' everywhere; 'spam' only in source b (6 of 12 b-tokens)
+    val docs = Seq(
+      ("a", "common common common common common common"),
+      ("b", "common common common common common common"),
+      ("b", "spam spam spam spam spam spam")).toDF("source", "text")
+    val got = TextStats.distinctiveTerms(docs, "text", "source", k = 2,
+        minCount = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // T = 18, spam: c_gt=6, c_t=6, t_b=12 → lift = 6·18·1e6/(6·12) = 1.5e6
+    // common in b: 6·18e6/(12·12) = 750000; common in a: 6·18e6/(12·6) = 1.5e6
+    assert(got === Seq(
+      ("a", 1, "common", 1500000L),
+      ("b", 1, "spam", 1500000L),
+      ("b", 2, "common", 750000L)))
+  }
+
   test("ivfAssign/ivfSearchAssigned: the append law and the ivfTopK decomposition hold") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = Similarity.centroidArray(e, "vec_id", "embedding", 4)
