@@ -197,6 +197,45 @@ object MultimodalCatalog {
     }),
 
 
+    // Robust outlier census (E19k3): median + MAD per event_type, both
+    // EXACT via two grouped-refinement selections (no sort, no mean/
+    // stddev — a heavy tail corrupts moment-based z-scores, which is why
+    // production monitors use MAD), then the count of rows with
+    // |x − med| · 10 > 3 · 14826 · MAD / 1000 — the 1.4826 consistency
+    // constant carried in exact fixed point. Everything is integer
+    // arithmetic over value-cents, restated by rank lookups.
+    "q_outliers_mad" -> ((s, d) => {
+      import s.implicits._
+      val cents = t(s, d, "events").select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val med = Sketches.exactKthBy(cents, "event_type", "cents",
+        n => (n + 1) / 2)
+      val medMap = med.collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val medLit = typedLit(medMap)
+      val dev = cents.select(col("event_type"),
+        abs(col("cents") - element_at(medLit, col("event_type"))).as("dev"))
+      val mad = Sketches.exactKthBy(dev, "event_type", "dev",
+        n => (n + 1) / 2)
+      val madMap = mad.collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val madLit = typedLit(madMap)
+      val outliers = dev
+        .where(col("dev") * 10000L >
+          lit(3L) * lit(14826L) * element_at(madLit, col("event_type")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_outliers"))
+      med.select(col("event_type"), col("n"),
+          col("value").as("median_cents"))
+        .join(mad.select(col("event_type"), col("value").as("mad_cents")),
+          "event_type")
+        .join(outliers, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("median_cents"),
+          col("mad_cents"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
+
     // Grouped exact selection (E19k2): the per-group lower median of
     // value-cents with NO per-group sort — every event_type's range
     // refines simultaneously through one (group, bucket)-keyed
@@ -458,6 +497,33 @@ object MultimodalCatalog {
         |  sum(cnt * cnt)::BIGINT AS sum_sq, max(cnt)::BIGINT AS max_cnt FROM c)
         |SELECT n_sources, ((sum_sq * 1000000) // (n_total * n_total))::BIGINT AS hhi_fp,
         |  ((max_cnt * 1000000) // n_total)::BIGINT AS top_share_fp FROM a""".stripMargin,
+
+
+    // median and MAD restated as rank lookups; same fixed-point 1.4826
+    // threshold, cross-multiplied
+    "q_outliers_mad" ->
+      """WITH c AS (SELECT event_type,
+        |    (value::DECIMAL(18,2) * 100)::BIGINT AS cents
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (SELECT event_type, cents AS med, n FROM (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM c)
+        |  WHERE rk = (n + 1) // 2),
+        |dv AS (SELECT c.event_type, abs(c.cents - m.med) AS dev
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, dev AS mad FROM (
+        |  SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM dv)
+        |  WHERE rk = (n + 1) // 2),
+        |o AS (SELECT dv.event_type, count(*)::BIGINT AS n_outliers
+        |  FROM dv JOIN md USING (event_type)
+        |  WHERE dev * 10000 > 3 * 14826 * mad GROUP BY 1)
+        |SELECT m.event_type, m.n::BIGINT AS n, m.med AS median_cents,
+        |  md.mad AS mad_cents, coalesce(o.n_outliers, 0)::BIGINT AS n_outliers
+        |FROM m JOIN md USING (event_type) LEFT JOIN o USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
 
 
     // per-group rank lookup: the value at a rank within each partition is
