@@ -43,6 +43,21 @@ object SamplingCatalog {
     }),
 
 
+    // Per-SOURCE weighted quota (mixture construction): 8 docs per source
+    // with inclusion ∝ token weight — the bounded-heap TopK keyed on the
+    // source (shuffle ≤ k per partition-group), negated-priority ordering
+    // ≡ (priority asc, id asc). Kept ids, ranks, AND the priority doubles
+    // on the hash.
+    "sample_weighted_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"),
+          TextStats.nTokens(col("text")).as("w"))
+      Sampling.weightedPrioritySampleByGroup(docs, "source", "doc_id", "w",
+          k = 8)
+        .orderBy("source", "rank")
+    }),
+
+
     // Deterministic global corpus shuffle: pseudo-random order as a pure
     // function of (key, salt) — the retry-stable, engine-reproducible
     // replacement for orderBy(rand()) before sequence packing. The oracle
@@ -294,6 +309,21 @@ object SamplingCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // same hash/priority as sample_weighted, ranked per source
+    "sample_weighted_by_source" ->
+      """WITH w AS (SELECT source, doc_id,
+        |    len(string_split(text, ' '))::INT AS w FROM documents),
+        |p AS (SELECT source, doc_id, w,
+        |    ((('0x' || substr(md5(doc_id::VARCHAR || 'wps'), 1, 8))::BIGINT)::DOUBLE
+        |      / 4294967296.0) / w AS priority
+        |  FROM w WHERE w >= 1)
+        |SELECT source, rank, doc_id, priority FROM (
+        |  SELECT source, doc_id, priority,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY priority, doc_id)::INT AS rank FROM p)
+        |WHERE rank <= 8 ORDER BY source, rank""".stripMargin,
+
 
     // mirrors weightedPrioritySample: 32-bit md5 unit hash (exact in a
     // double), ONE correctly-rounded division by the token weight, bottom

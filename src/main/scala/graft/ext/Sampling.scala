@@ -102,6 +102,31 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Per-GROUP weighted priority sampling — [[weightedPrioritySample]]
+    * with a quota per group, the mixture-construction form (k documents
+    * per source, inclusion ∝ weight within each source). Selection is the
+    * bounded-heap TopK keyed on the group — map-side partials cap the
+    * shuffle at k rows per (partition, group), never the corpus — with
+    * score = NEGATED priority, so the heap's (score desc, id asc) order
+    * is exactly (priority asc, key asc); negation of a positive double is
+    * exact, keeping the portability contract of the global operator.
+    * Integral key required (the heap's id slot). Returns
+    * (groupCol, rank, keyCol, priority). */
+  def weightedPrioritySampleByGroup(df: DataFrame, groupCol: String,
+                                    keyCol: String, weightCol: String,
+                                    k: Int, salt: String = "wps"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    requireIntegralKey(df, keyCol, "weightedPrioritySampleByGroup")
+    val scored = df
+      .where(col(weightCol).isNotNull && col(weightCol) >= 1)
+      .select(col(groupCol), col(keyCol),
+        (-(unitHash(col(keyCol), salt) / col(weightCol))).as("_negp"))
+    TopK.topKPerKey(scored, groupCol, "_negp", keyCol, k)
+      .toDF(groupCol, "rank", keyCol, "_negp")
+      .select(col(groupCol), col("rank"), col(keyCol),
+        (-col("_negp")).as("priority"))
+  }
+
   /** Leakage-free K-FOLD assignment — the cross-validation sibling of
     * [[withSplit]]: fold = ⌊unitHash · k⌋, a pure function of (key, salt),
     * so the k folds are disjoint, cover every row, stay stable when the
