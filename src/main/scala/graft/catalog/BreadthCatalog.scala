@@ -888,6 +888,101 @@ object BreadthCatalog {
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_extprice"))
+    }),
+
+
+    // Incremental MATERIALIZED-AGGREGATE maintenance (etl.Materialize):
+    // a per-(day, event_type) summary of count/sum/min/max cents built by
+    // folding three batch PARTIALS — days 1-2, days 3-4 plus day-5 evens,
+    // then the day-5 odds as a LATE batch touching a key already in the
+    // summary — never re-reading history. The oracle recomputes the same
+    // summary from scratch over days 1-5, so any broken merge law (a sum
+    // that double-counts, a min that resets) hash-fails.
+    "etl_incremental_agg" -> ((s, d) => {
+      import graft.etl.Materialize
+      import graft.etl.Materialize.AggSpec
+      val ev = t(s, d, "events")
+        .withColumn("day", dayofmonth(col("ts")).cast("int"))
+        .where(col("day") <= 5)
+        .select(col("day"), col("event_type"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val keys = Seq("day", "event_type")
+      val aggs = Seq(AggSpec("count", "cents", "n"),
+        AggSpec("sum", "cents", "sum_cents"),
+        AggSpec("min", "cents", "min_cents"),
+        AggSpec("max", "cents", "max_cents"))
+      val batches = Seq(
+        ev.where(col("day") <= 2),
+        ev.where(col("day").between(3, 4) ||
+          (col("day") === 5 && col("event_id") % 2 === 0)),
+        ev.where(col("day") === 5 && col("event_id") % 2 === 1))
+      batches.tail
+        .foldLeft(Materialize.partial(batches.head, keys, aggs)) { (sum0, b) =>
+          Materialize.merge(sum0, Materialize.partial(b, keys, aggs), keys, aggs)
+        }
+        .orderBy("day", "event_type")
+    }),
+
+
+    // DELETION VECTORS (Layout.markDeleted / readWithDeletes /
+    // compactDeletes): events days 1-6 land once; a GDPR-style user purge
+    // (user_id % 7 = 0) and a corrective day-2 retraction mark OVERLAPPING
+    // delete sets without rewriting a byte of data; the logical read
+    // (broadcast anti-join against the vector) and the physical read
+    // (after compaction clears the vector) are BOTH emitted and must agree
+    // with the oracle's plain filter — a leaked deleted row, a
+    // double-subtracted overlap, or a lossy compaction all hash-fail.
+    "etl_delete_vectors" -> ((s, d) => {
+      val tmp = scratchDir("graft_dv", d)
+      val tmpC = scratchDir("graft_dv_compact", d)
+      val ev = t(s, d, "events")
+        .withColumn("day", dayofmonth(col("ts")).cast("int"))
+        .where(col("day") <= 6)
+        .select(col("event_id"), col("day"), col("user_id"), col("value"))
+      ev.write.mode("overwrite").parquet(tmp)
+      Layout.markDeleted(s, tmp,
+        ev.where(col("user_id") % 7 === 0).select("event_id"))
+      Layout.markDeleted(s, tmp,
+        ev.where(col("day") === 2).select("event_id"))
+      Layout.compactDeletes(s, tmp, tmpC, "event_id")
+      def census(df: DataFrame, stage: String) = df
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .as("sum_cents"))
+        .withColumn("stage", lit(stage))
+      census(Layout.readWithDeletes(s, tmp, "event_id"), "logical")
+        .unionByName(census(s.read.parquet(tmpC), "physical"))
+        .orderBy("stage", "day")
+    }),
+
+
+    // k-ANONYMITY census (ext.Privacy): quasi-identifier = (event_type,
+    // user_id % 25) — per-threshold counts of groups and rows below k,
+    // plus the dataset's actual k-anonymity (min group size), all derived
+    // from ONE group-size aggregation. The oracle restates the census from
+    // the same QI grouping; Privacy.suppressToK (enforcement) is spec'd in
+    // ExtSpec against the census's own arithmetic.
+    "q_k_anonymity" -> ((s, d) => {
+      graft.ext.Privacy.kAnonymityCensus(
+          t(s, d, "events")
+            .select(col("event_type"), (col("user_id") % 25).as("ub")),
+          Seq("event_type", "ub"), Seq(70, 80, 100))
+        .orderBy("k")
+    }),
+
+
+    // Sketch-guided EXACT heavy hitters (Sketches.heavyHitters): users
+    // with ≥ 70 events, found by a per-partition Misra–Gries candidate
+    // pass (bounded state — the shape that survives 10^10 distinct keys
+    // where a plain groupBy's partial-agg state cannot) + an exact verify
+    // over only the candidates. The sketch PRUNES, the verify DECIDES, so
+    // the result equals the oracle's plain HAVING-count query bit for bit
+    // — which is precisely what this row gates.
+    "q_heavy_hitters" -> ((s, d) => {
+      Sketches.heavyHitters(t(s, d, "events"), "user_id",
+          threshold = 70L, capacity = 4096)
+        .orderBy("user_id")
     })
   )
 
@@ -1504,6 +1599,54 @@ object BreadthCatalog {
         |  SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*)) AS qty_thresh
         |  FROM lineitem GROUP BY l_partkey) p
         |ON l.l_partkey = p.l_partkey
-        |WHERE l.l_quantity < p.qty_thresh""".stripMargin
+        |WHERE l.l_quantity < p.qty_thresh""".stripMargin,
+
+
+    // full recompute over days 1-5 — the incremental fold must equal it
+    "etl_incremental_agg" ->
+      """SELECT day(ts)::INT AS day, event_type, count(*)::BIGINT AS n,
+        |  sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_cents,
+        |  min((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS min_cents,
+        |  max((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS max_cents
+        |FROM events WHERE day(ts) <= 5
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+
+    // logical (vector-applied) and physical (compacted) reads must BOTH
+    // equal the plain filter: deletes are the union of the two marks
+    "etl_delete_vectors" ->
+      """WITH live AS (
+        |  SELECT day(ts)::INT AS day, value FROM events
+        |  WHERE day(ts) <= 6
+        |    AND NOT (user_id % 7 = 0 OR day(ts) = 2)),
+        |c AS (SELECT day, count(*)::BIGINT AS n,
+        |    sum((value::DECIMAL(18,2) * 100)::BIGINT)::BIGINT AS sum_cents
+        |  FROM live GROUP BY day)
+        |SELECT day, n, sum_cents, 'logical' AS stage FROM c
+        |UNION ALL
+        |SELECT day, n, sum_cents, 'physical' AS stage FROM c
+        |ORDER BY stage, day""".stripMargin,
+
+
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT event_type, user_id % 25 AS ub,
+        |    count(*)::BIGINT AS gsz
+        |  FROM events GROUP BY 1, 2),
+        |k(k) AS (VALUES (70), (80), (100))
+        |SELECT k.k::INT AS k,
+        |  sum(CASE WHEN g.gsz < k.k THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_groups_below,
+        |  sum(CASE WHEN g.gsz < k.k THEN g.gsz ELSE 0 END)::BIGINT
+        |    AS n_rows_below,
+        |  min(g.gsz)::BIGINT AS min_group_size,
+        |  count(*)::BIGINT AS n_groups
+        |FROM k CROSS JOIN g
+        |GROUP BY k.k ORDER BY k""".stripMargin,
+
+
+    // the sketch prunes, the verify decides: exact HAVING-count semantics
+    "q_heavy_hitters" ->
+      """SELECT user_id, count(*)::BIGINT AS n FROM events
+        |GROUP BY 1 HAVING count(*) >= 70 ORDER BY user_id""".stripMargin
   )
 }

@@ -281,6 +281,55 @@ object Layout {
     * never the filter). Returns the pruned frame; `df.inputFiles` exposes
     * how many files survived — the number a 100 TB table plans scan tasks
     * from. */
+  /** DELETION VECTORS — the soft-delete half of lakehouse mutation
+    * (Delta's deletion vectors, Iceberg's equality deletes), expressed
+    * Spark-first as EQUALITY deletes on a key column. Deleting from
+    * immutable columnar files by rewriting them is O(table) per delete; at
+    * 100 TB a GDPR erasure request cannot pay that. Instead the deleted
+    * keys are APPENDED to a side store (`_graft_deletes/` — the leading
+    * underscore makes it invisible to plain parquet reads of the data
+    * dir, exactly how `_graft_manifest.json` hides), reads subtract them
+    * with a broadcast anti-join ([[readWithDeletes]] — the delete set is
+    * small relative to data by construction, so the apply is exchange-free
+    * on the data side), and a periodic [[compactDeletes]] physically
+    * rewrites the survivors, clearing the vector. Logical and physical
+    * reads MUST agree — the catalog row `etl_delete_vectors` gates both
+    * stages against one oracle filter.
+    *
+    * Null keys never match (SQL anti-join semantics): deletion keys are
+    * primary keys and a null PK row is upstream breakage, not a deletable
+    * identity. Appends to one dir need external serialization, like every
+    * file-listing commit protocol without a lock service. */
+  def markDeleted(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  keys: DataFrame): Unit = {
+    require(keys.columns.length == 1,
+      s"markDeleted wants exactly one key column, got ${keys.columns.mkString(",")}")
+    keys.write.mode("append").parquet(s"$dir/_graft_deletes")
+  }
+
+  /** Read `dir` with its deletion vector applied: data rows whose `pkCol`
+    * appears in `_graft_deletes/` are subtracted via a broadcast left-anti
+    * join (the vector is deduplicated first — overlapping delete batches
+    * are the normal case). No vector dir ⇒ a plain read. */
+  def readWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      pkCol: String): DataFrame = {
+    val data = spark.read.parquet(dir)
+    val dvPath = new org.apache.hadoop.fs.Path(dir, "_graft_deletes")
+    val fs = dvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dvPath)) return data
+    val dv = spark.read.parquet(dvPath.toString).toDF("__del_key").distinct()
+    data.join(broadcast(dv), data(pkCol) === dv("__del_key"), "left_anti")
+  }
+
+  /** Physically apply the deletion vector: rewrite the survivors of `dir`
+    * into a fresh `outDir` with NO vector (reads of `outDir` are plain
+    * scans again). Pair with the atomic versioned-publish pattern to swap
+    * it in — never compact in place. */
+  def compactDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     outDir: String, pkCol: String): Unit =
+    readWithDeletes(spark, dir, pkCol)
+      .write.mode("overwrite").parquet(outDir)
+
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  statsCol: String, lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"empty range: [$lo, $hi]")

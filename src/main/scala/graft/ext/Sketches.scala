@@ -423,4 +423,69 @@ object Sketches {
     val base = cum.groupBy("g").agg(max("n").as("n"))
     perPhi.foldLeft(base)((acc, p) => acc.join(p, "g"))
   }
+
+  /** Sketch-guided EXACT heavy hitters (frequent items): every key whose
+    * count ≥ `threshold`, found WITHOUT a full-cardinality aggregation.
+    *
+    * Why not plain `groupBy(key).count().where(n >= T)`: map-side partial
+    * aggregation keeps state per DISTINCT key seen in the partition — over
+    * a 100 TB table of high-cardinality keys (URLs, user ids) that state
+    * blows the hash-aggregate budget, spills, and the shuffle carries close
+    * to one row per input row. The two-pass shape bounds both: pass 1 runs
+    * a per-partition Misra–Gries summary with `capacity` counters (O(1)
+    * state per partition, amortized O(1) per row), whose survivors are a
+    * SUPERSET of every key with global count > N/(capacity+1) — pigeonhole:
+    * such a key must exceed its share in at least one partition, and MG
+    * never evicts a key whose partition count exceeds n_p/(capacity+1).
+    * Pass 2 exactly counts ONLY the candidates (a broadcast semi-join —
+    * ≤ capacity × partitions keys — then a groupBy whose state is bounded
+    * by the candidate set) and applies the threshold. The sketch only
+    * PRUNES; correctness comes from the exact second pass, so the result
+    * equals the plain HAVING-count query bit for bit — which is exactly
+    * what the oracle gate checks.
+    *
+    * Soundness bound: `threshold · (capacity+1) > N` is REQUIRED (checked
+    * against a count of `df`) — below it MG may evict a qualifying key and
+    * the superset property breaks. Keys are cast to long (the integral-id
+    * contract of `capPerGroupSkewSafe`); null keys cannot qualify and are
+    * dropped. */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+                   capacity: Int = 1024): DataFrame = {
+    require(threshold >= 1, s"threshold must be positive: $threshold")
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    val keyed = df.where(col(keyCol).isNotNull)
+    val n = keyed.count()
+    require(threshold * (capacity + 1L) > n,
+      s"heavyHitters unsound: threshold=$threshold, capacity=$capacity " +
+        s"admits misses at n=$n rows — raise capacity above ${n / threshold}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = keyed.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val m = new scala.collection.mutable.HashMap[Long, Long]
+        while (it.hasNext) {
+          val k = it.next()
+          m.get(k) match {
+            case Some(c) => m.update(k, c + 1)
+            case None if m.size < capacity => m.update(k, 1L)
+            case None =>
+              // Misra–Gries: a new key against a full table decrements
+              // every counter; zeros evict (collect first — no mutation
+              // mid-iteration)
+              val dead = m.iterator.collect { case (kk, 1L) => kk }.toArray
+              m.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(m.remove)
+          }
+        }
+        m.keysIterator
+      }
+      .distinct() // ≤ capacity × partitions rows by construction
+      .toDF("__hh_key")
+    keyed
+      .join(broadcast(candidates),
+        col(keyCol).cast("long") === col("__hh_key"), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= threshold)
+  }
 }

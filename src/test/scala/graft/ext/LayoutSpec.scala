@@ -184,4 +184,33 @@ class LayoutSpec extends SparkSpec {
       Layout.readPruned(spark, dir, "s", 1, 2).count())
     assert(e.getMessage.contains("numeric statsCol"))
   }
+
+  test("deletion vectors: mark/read/compact round-trip, overlap-safe") {
+    val dir = tmpDir("dv")
+    val data = (1L to 100L).map(i => (i, i % 10)).toDF("id", "g")
+    data.write.mode("overwrite").parquet(dir)
+    // no vector yet: plain read
+    assert(Layout.readWithDeletes(spark, dir, "id").count() === 100)
+    // two OVERLAPPING delete batches: ids 1-10 and 5-15 → 15 distinct
+    Layout.markDeleted(spark, dir, (1L to 10L).toDF("id"))
+    Layout.markDeleted(spark, dir, (5L to 15L).toDF("id"))
+    val live = Layout.readWithDeletes(spark, dir, "id")
+    assert(live.count() === 85, "overlapping marks must subtract once")
+    assert(live.agg(min("id")).head.getLong(0) === 16L)
+    // the vector store is invisible to a plain parquet read of the dir
+    assert(spark.read.parquet(dir).count() === 100)
+    // physical compaction: same answer, and the rewrite carries no vector
+    val out = tmpDir("dv_out")
+    Layout.compactDeletes(spark, dir, out, "id")
+    assert(spark.read.parquet(out).count() === 85)
+    assert(!new java.io.File(out, "_graft_deletes").exists(),
+      "compaction must clear the deletion vector")
+    // deleting a key not present is a no-op, not an error
+    Layout.markDeleted(spark, dir, Seq(999L).toDF("id"))
+    assert(Layout.readWithDeletes(spark, dir, "id").count() === 85)
+    // multi-column delete frame is caller misuse — loud
+    val e = intercept[IllegalArgumentException](
+      Layout.markDeleted(spark, dir, data))
+    assert(e.getMessage.contains("one key column"))
+  }
 }

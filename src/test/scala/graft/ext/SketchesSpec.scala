@@ -223,4 +223,35 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Number]("est_union").longValue() >
       r.getAs[Number]("est_a").longValue(), s"union must exceed one side: $r")
   }
+
+  test("heavyHitters equals the exact HAVING-count query on a skewed frame") {
+    // zipf-ish: key k appears 200/k times for k=1..40, plus a long tail of
+    // singletons — repartitioned so keys straddle partition boundaries
+    val rows = (1L to 40L).flatMap(k => Seq.fill((200 / k).toInt)(k)) ++
+      (1000L to 1400L)
+    val df = rows.toDF("key").repartition(7)
+    val want = df.groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 25).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(want.nonEmpty && want.size < 40, "fixture lost its skew")
+    val got = Sketches.heavyHitters(df, "key", threshold = 25L, capacity = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, "sketch-guided result must be EXACT")
+  }
+
+  test("heavyHitters rejects an unsound threshold/capacity pair loudly") {
+    val df = (1L to 1000L).toDF("key")
+    val e = intercept[IllegalArgumentException](
+      Sketches.heavyHitters(df, "key", threshold = 10L, capacity = 8))
+    assert(e.getMessage.contains("unsound"))
+  }
+
+  test("heavyHitters drops null keys and survives an all-null frame") {
+    val df = Seq(Some(1L), Some(1L), None, None, None).toDF("key")
+    val r = Sketches.heavyHitters(df, "key", threshold = 2L, capacity = 8)
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((1L, 2L)))
+    val empty = Seq[Option[Long]](None, None).toDF("key")
+    assert(Sketches.heavyHitters(empty, "key", 1L, 8).count() === 0)
+  }
 }
