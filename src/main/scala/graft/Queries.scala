@@ -770,5 +770,7 @@ object Queries {
     "text_url_parse", "curation_host_rank", "text_lm_trigram", "dedup_url",
     "text_quality_classifier", "sample_epochs", "text_lm_kn", "sim_kmeans",
     "q_hll_portable", "q_quantile_portable", "q_cms_portable",
-    "graph_triangles", "q_cohort_retention")
+    "graph_triangles", "q_cohort_retention",
+    "etl_incremental_agg", "etl_delete_vectors", "q_k_anonymity",
+    "q_heavy_hitters")
 }

@@ -962,7 +962,7 @@ object BreadthCatalog {
     // plus the dataset's actual k-anonymity (min group size), all derived
     // from ONE group-size aggregation. The oracle restates the census from
     // the same QI grouping; Privacy.suppressToK (enforcement) is spec'd in
-    // ExtSpec against the census's own arithmetic.
+    // PrivacySpec against the census's own arithmetic.
     "q_k_anonymity" -> ((s, d) => {
       graft.ext.Privacy.kAnonymityCensus(
           t(s, d, "events")

@@ -592,4 +592,41 @@ class PlanSpec extends SparkSpec {
     // fine; what must not appear is a join or product
     assert(!p.contains("Join"), s"no join belongs here:\n$p")
   }
+
+  test("etl_delete_vectors: the vector applies as a broadcast anti-join") {
+    val p = plan("etl_delete_vectors")
+    // the logical read subtracts the delete set without an exchange on the
+    // data side — at 100 TB the vector is the only thing that moves
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"vector must apply as a broadcast anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
+
+  test("etl_incremental_agg: union of partials, no join, map-side combine") {
+    val p = plan("etl_incremental_agg")
+    // the fold is union + re-aggregate over already-collapsed partials —
+    // a join (outer-merge dance) or window would be the wrong shape
+    assert(p.contains("Union"), s"merge must union partials:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the merge:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the merge:\n$p")
+    assert(p.contains("partial_"), s"partials must combine map-side:\n$p")
+  }
+
+  test("q_k_anonymity: one group-size aggregation feeds every threshold — no join") {
+    val p = plan("q_k_anonymity")
+    assert(p.contains("Generate"),
+      s"thresholds must explode against the group frame:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the census:\n$p")
+    assert(p.contains("partial_count"),
+      s"group sizes must combine map-side:\n$p")
+  }
+
+  test("q_heavy_hitters: candidates broadcast into a semi-join, never a product") {
+    val p = plan("q_heavy_hitters")
+    // the exact verify restricts the data via a broadcast semi-join on the
+    // bounded candidate set; the data side never shuffles for the filter
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      s"candidate filter must be a broadcast semi-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
 }
