@@ -983,6 +983,26 @@ object BreadthCatalog {
       Sketches.heavyHitters(t(s, d, "events"), "user_id",
           threshold = 70L, capacity = 4096)
         .orderBy("user_id")
+    }),
+
+
+    // PSEUDONYMIZATION + MASKING (ext.Privacy): user_id becomes a stable
+    // salted md5 surrogate — the same value tokenizes identically in
+    // every table sharing the salt, so joins/group-bys survive the
+    // de-identification (this row groups ON the token) — and a synthetic
+    // email column is display-masked to its last 4 chars. Both transforms
+    // are scalar (codegen'd at the scan, no shuffle); the oracle restates
+    // token and mask with DuckDB's own md5/repeat/right, so any hashing
+    // or redaction divergence hash-fails.
+    "etl_pseudonymize" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("email",
+          concat(col("user_id").cast("string"), lit("@example.com")))
+      graft.ext.Privacy.pseudonymize(ev, Seq("user_id"), "graft-salt")
+        .groupBy(col("user_id").as("user_tok"),
+          graft.ext.Privacy.maskKeepLast(col("email"), 4).as("email_masked"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("user_tok")
     })
   )
 
@@ -1647,6 +1667,16 @@ object BreadthCatalog {
     // the sketch prunes, the verify decides: exact HAVING-count semantics
     "q_heavy_hitters" ->
       """SELECT user_id, count(*)::BIGINT AS n FROM events
-        |GROUP BY 1 HAVING count(*) >= 70 ORDER BY user_id""".stripMargin
+        |GROUP BY 1 HAVING count(*) >= 70 ORDER BY user_id""".stripMargin,
+
+
+    "etl_pseudonymize" ->
+      """WITH e AS (SELECT md5('graft-salt' || user_id::VARCHAR) AS user_tok,
+        |    user_id::VARCHAR || '@example.com' AS email
+        |  FROM events)
+        |SELECT user_tok,
+        |  repeat('*', length(email) - 4) || right(email, 4) AS email_masked,
+        |  count(*)::BIGINT AS n
+        |FROM e GROUP BY 1, 2 ORDER BY user_tok""".stripMargin
   )
 }

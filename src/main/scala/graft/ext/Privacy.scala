@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy auditing for release pipelines — k-ANONYMITY over quasi-
@@ -62,5 +62,38 @@ object Privacy {
     // join must match them together too (<=> per column)
     val cond = qi.map(c => df(c) <=> keep(c)).reduce(_ && _)
     df.join(keep, cond, "left_semi")
+  }
+
+  /** PSEUDONYMIZATION — replace direct identifiers with a stable salted
+    * surrogate: md5(salt ‖ value). Deterministic, so the SAME value maps
+    * to the SAME token in every table sharing the salt — joins and
+    * group-bys on the identifier keep working on the released data
+    * (referential integrity survives the de-identification), while the
+    * raw identifier never leaves the pipeline. Purely scalar (codegen'd
+    * md5 at the scan — no shuffle, no state); re-identification risk is
+    * governed by salt custody, the standard tokenization trade. Null
+    * identifiers stay null (no token must mean no identity). Non-string
+    * columns are cast to string first, so the token is type-independent. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame = {
+    require(cols.nonEmpty, "pseudonymize: no columns")
+    require(salt.nonEmpty, "pseudonymize: empty salt defeats tokenization")
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        md5(concat(lit(salt), col(c).cast("string"))))
+    }
+  }
+
+  /** MASKING — redact all but the last `keep` characters ("************
+    * 1234"): the display-safe form of a value whose tail is needed for
+    * human reconciliation. Values at or under `keep` chars mask nothing
+    * (the tail IS the value — callers wanting full redaction should
+    * [[pseudonymize]] instead). Null in, null out. */
+  def maskKeepLast(c: Column, keep: Int): Column = {
+    require(keep >= 0, s"maskKeepLast: negative keep $keep")
+    // explicit short-value branch: negative-position substring edge
+    // semantics differ across engines; the contract must not
+    when(length(c) <= keep, c).otherwise(concat(
+      repeat(lit("*"), length(c) - keep),
+      substring(c, -keep, keep)))
   }
 }

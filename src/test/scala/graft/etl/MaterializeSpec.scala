@@ -58,4 +58,35 @@ class MaterializeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](AggSpec("median", "v", "m"))
     assert(e.getMessage.contains("mergeable"))
   }
+
+  test("streaming foreachBatch maintenance equals the batch recompute") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    // each micro-batch contributes ONE partial; snapshot partial rows per
+    // batch (batch frames are only valid inside foreachBatch)
+    val partials = scala.collection.mutable.ArrayBuffer.empty[Seq[
+      (String, Long, Long, Long, Long)]]
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        partials += Materialize.partial(b, Seq("k"), aggs).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq
+        (): Unit
+      }
+      .start()
+    val allRows = Seq(("a", 5L), ("b", 2L), ("a", -1L), ("c", 7L), ("a", 3L))
+    in.addData(allRows.take(2): _*); q.processAllAvailable()
+    in.addData(allRows.slice(2, 4): _*); q.processAllAvailable()
+    in.addData(allRows.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    assert(partials.length === 3, "one partial per micro-batch")
+    val summary = partials.map(p =>
+        p.toDF("k", "n", "s", "mn", "mx"))
+      .reduce((acc, p) => Materialize.merge(acc, p, Seq("k"), aggs))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(summary === fullRecompute(allRows),
+      "streamed fold diverged from the batch recompute")
+  }
 }

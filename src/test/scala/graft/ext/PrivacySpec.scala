@@ -35,6 +35,37 @@ class PrivacySpec extends SparkSpec {
     assert(Privacy.suppressToK(frame, Seq("t", "z"), 100).count() === 0)
   }
 
+  test("pseudonymize: stable across tables, null-preserving, join-consistent") {
+    val a = Seq(Some(1L), Some(2L), None).toDF("uid")
+    val b = Seq(Some(2L), Some(3L)).toDF("uid")
+    val ta = Privacy.pseudonymize(a, Seq("uid"), "s1")
+    val tb = Privacy.pseudonymize(b, Seq("uid"), "s1")
+    // same value, same salt → same token (referential integrity survives)
+    assert(ta.join(tb, "uid").count() === 1, "uid=2 must still join by token")
+    // null identity stays null, never a token
+    assert(ta.where(col("uid").isNull).count() === 1)
+    // a different salt is a different token universe
+    val tc = Privacy.pseudonymize(b, Seq("uid"), "s2")
+    assert(tb.join(tc, "uid").count() === 0, "salts must not collide")
+    // tokens are md5 surrogates — raw values never appear
+    assert(ta.where(col("uid").isNotNull)
+      .collect().forall(_.getString(0).matches("[0-9a-f]{32}")))
+  }
+
+  test("maskKeepLast: redacts all but the tail; short and null values safe") {
+    val r = Seq("12345678", "abcd", "ab", "").toDF("v")
+      .select(Privacy.maskKeepLast(col("v"), 4).as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(r === Seq("****5678", "abcd", "ab", ""))
+    val n = Seq[Option[String]](None).toDF("v")
+      .select(Privacy.maskKeepLast(col("v"), 4)).head
+    assert(n.isNullAt(0), "null in, null out")
+    // keep = 0 is full redaction
+    val z = Seq("abc").toDF("v")
+      .select(Privacy.maskKeepLast(col("v"), 0)).head.getString(0)
+    assert(z === "***")
+  }
+
   test("census agrees with suppression arithmetic on random frames") {
     val rnd = new scala.util.Random(7)
     val rows = Seq.fill(200)((s"t${rnd.nextInt(4)}", rnd.nextInt(6)))
