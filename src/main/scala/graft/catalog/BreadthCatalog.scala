@@ -1003,6 +1003,39 @@ object BreadthCatalog {
           graft.ext.Privacy.maskKeepLast(col("email"), 4).as("email_masked"))
         .agg(count(lit(1)).as("n"))
         .orderBy("user_tok")
+    }),
+
+
+    // EARLY-ARRIVING FACTS / LATE-ARRIVING DIMENSION (Dims.upsertInferred
+    // + Dims.enrich): day-1 facts reference title tokens the dim has
+    // never seen — each becomes an INFERRED member (real SKEY, null name);
+    // the dimension source then delivers names for tokens < 30, enriching
+    // IN PLACE (SKEYs untouched); day-2 facts add more members AFTER the
+    // delivery, so tokens < 30 arriving late stay inferred (the delta was
+    // already consumed). The oracle restates SKEY assignment (day-1
+    // members ranked by token, then day-2-only members offset past them)
+    // and exactly which rows carry a name — a lost member, a re-keyed
+    // SKEY, or an enrichment leaking onto late members all hash-fail.
+    "etl_late_dim" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      import graft.etl.Dims
+      val ev = t(s, d, "events")
+        .withColumn("day", dayofmonth(col("ts")))
+        .withColumn("tk", col("user_id") % 97)
+      val dim0 = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("title_skey", LongType),
+          StructField("tk", LongType),
+          StructField("title_name", StringType),
+          StructField("is_inferred", BooleanType))))
+      val dim1 = Dims.upsertInferred(dim0, ev.where(col("day") === 1),
+        "tk", "title_skey")
+      val delta = ev.select(col("tk")).where(col("tk") < 30).distinct()
+        .withColumn("title_name", concat(lit("T"), col("tk").cast("string")))
+      val dim2 = Dims.enrich(dim1, delta, "tk", Seq("title_name"))
+      Dims.upsertInferred(dim2, ev.where(col("day") === 2),
+          "tk", "title_skey")
+        .orderBy("tk")
     })
   )
 
@@ -1677,6 +1710,29 @@ object BreadthCatalog {
         |SELECT user_tok,
         |  repeat('*', length(email) - 4) || right(email, 4) AS email_masked,
         |  count(*)::BIGINT AS n
-        |FROM e GROUP BY 1, 2 ORDER BY user_tok""".stripMargin
+        |FROM e GROUP BY 1, 2 ORDER BY user_tok""".stripMargin,
+
+
+    // gen 1 = day-1 members (ranked by token), gen 2 = day-2-only members
+    // (offset past gen 1); only gen-1 tokens < 30 were enriched — day-2
+    // members missed the delivery and stay inferred
+    "etl_late_dim" ->
+      """WITH f1 AS (SELECT DISTINCT user_id % 97 AS tk FROM events
+        |  WHERE day(ts) = 1),
+        |f2o AS (SELECT DISTINCT user_id % 97 AS tk FROM events
+        |  WHERE day(ts) = 2 AND user_id % 97 NOT IN (SELECT tk FROM f1)),
+        |d AS (
+        |  SELECT tk, row_number() OVER (ORDER BY tk) AS skey, 1 AS gen
+        |  FROM f1
+        |  UNION ALL
+        |  SELECT tk,
+        |    (SELECT count(*) FROM f1) + row_number() OVER (ORDER BY tk),
+        |    2 AS gen
+        |  FROM f2o)
+        |SELECT skey::BIGINT AS title_skey, tk::BIGINT AS tk,
+        |  CASE WHEN gen = 1 AND tk < 30 THEN 'T' || tk::VARCHAR END
+        |    AS title_name,
+        |  (gen <> 1 OR tk >= 30) AS is_inferred
+        |FROM d ORDER BY tk""".stripMargin
   )
 }

@@ -70,4 +70,57 @@ object Dims {
   /** Build a dim from scratch (first batch): distinct members + SKEYs. */
   def build(delta: DataFrame, naturalKey: String, skeyCol: String): DataFrame =
     withSkeys(distinctDim(delta, naturalKey), naturalKey, skeyCol)
+
+  /** EARLY-ARRIVING FACTS — a fact batch referencing natural keys the dim
+    * has never seen must not drop rows or stall the load (the Kimball
+    * "late-arriving dimension" pattern): unknown members are inserted as
+    * INFERRED rows — real surrogate key, null attributes,
+    * `is_inferred = true` — so FK integrity holds immediately and the
+    * facts resolve like any other batch. When the dimension source
+    * eventually delivers the member, [[enrich]] fills the attributes IN
+    * PLACE (the SKEY never changes, so no fact rewrite — the whole point
+    * of the pattern). `existing` must carry an `is_inferred` boolean and
+    * the natural-key/SKEY columns; any other column is nulled on the
+    * inferred rows at its existing type. */
+  def upsertInferred(existing: DataFrame, factDelta: DataFrame,
+                     naturalKey: String, skeyCol: String): DataFrame = {
+    require(existing.columns.contains("is_inferred"),
+      "upsertInferred needs an is_inferred boolean on the dim")
+    val fresh = newMembers(distinctDim(factDelta, naturalKey), existing, naturalKey)
+    val maxSkey = existing.agg(coalesce(max(col(skeyCol)), lit(0L))).head.getLong(0)
+    val keyed = withSkeys(fresh, naturalKey, skeyCol, maxSkey)
+    val widened = existing.columns.foldLeft(keyed) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else if (c == "is_inferred") acc.withColumn(c, lit(true))
+      else acc.withColumn(c, lit(null).cast(existing.schema(c).dataType))
+    }
+    existing.unionByName(widened.select(existing.columns.map(col): _*))
+  }
+
+  /** LATE-ARRIVING DIMENSION delivery: adopt `attrCols` from `dimDelta`
+    * onto the INFERRED rows whose natural key it covers, flipping
+    * `is_inferred` to false — an update-only merge (a delta member absent
+    * from the dim is ignored; route genuinely new members through
+    * [[upsert]]/[[upsertInferred]]). Rows already enriched keep their
+    * attributes (first delivery wins — re-delivery must be idempotent).
+    * SKEYs are untouched. The delta is broadcast (dim deltas are
+    * dim-sized). */
+  def enrich(existing: DataFrame, dimDelta: DataFrame, naturalKey: String,
+             attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "enrich: no attribute columns")
+    val renamed = attrCols.foldLeft(
+        dimDelta.select((naturalKey +: attrCols).map(col): _*)) {
+      (a, c) => a.withColumnRenamed(c, s"__new_$c")
+    }.withColumn("__matched", lit(true))
+    val joined = existing.join(broadcast(renamed), Seq(naturalKey), "left")
+    val adopt = col("is_inferred") && col("__matched")
+    attrCols.foldLeft(joined) { (a, c) =>
+        a.withColumn(c, when(adopt, col(s"__new_$c")).otherwise(col(c)))
+      }
+      .withColumn("is_inferred",
+        when(adopt, lit(false)).otherwise(col("is_inferred")))
+      .drop("__matched")
+      .drop(attrCols.map(c => s"__new_$c"): _*)
+      .select(existing.columns.map(col): _*)
+  }
 }

@@ -308,17 +308,29 @@ object Layout {
   }
 
   /** Read `dir` with its deletion vector applied: data rows whose `pkCol`
-    * appears in `_graft_deletes/` are subtracted via a broadcast left-anti
-    * join (the vector is deduplicated first — overlapping delete batches
-    * are the normal case). No vector dir ⇒ a plain read. */
+    * appears in `_graft_deletes/` are subtracted via a left-anti join (the
+    * vector is deduplicated first — overlapping delete batches are the
+    * normal case). No vector dir ⇒ a plain read.
+    *
+    * The anti-join is broadcast only while the vector's on-disk size stays
+    * under `maxBroadcastBytes` (64 MB default — the usual case: deletes
+    * are tiny relative to data, so the apply is exchange-free on the data
+    * side). A vector that has grown past the bound — mass erasure backlog,
+    * compaction overdue — falls back to a shuffled anti-join instead of
+    * risking the driver on a forced broadcast; that state is also the
+    * signal to run [[compactDeletes]]. The size probe reads file lengths
+    * only, never data. */
   def readWithDeletes(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      pkCol: String): DataFrame = {
+                      pkCol: String,
+                      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     val data = spark.read.parquet(dir)
     val dvPath = new org.apache.hadoop.fs.Path(dir, "_graft_deletes")
     val fs = dvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dvPath)) return data
+    val dvBytes = fs.getContentSummary(dvPath).getLength
     val dv = spark.read.parquet(dvPath.toString).toDF("__del_key").distinct()
-    data.join(broadcast(dv), data(pkCol) === dv("__del_key"), "left_anti")
+    val build = if (dvBytes <= maxBroadcastBytes) broadcast(dv) else dv
+    data.join(build, data(pkCol) === dv("__del_key"), "left_anti")
   }
 
   /** Physically apply the deletion vector: rewrite the survivors of `dir`
