@@ -185,6 +185,28 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric statsCol"))
   }
 
+  test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
+    // the runtime sibling of manifest skipping: when the selective
+    // predicate lives on the DIM side, only a runtime filter can prune the
+    // fact's partitions — at 100 TB this is the difference between
+    // scanning 3 partitions and 20. Pin that Spark's DPP actually fires on
+    // the layout this library produces (hive-partitioned fact, broadcast
+    // dim), so a conf or layout regression that silently disables it
+    // fails here, not on a cluster.
+    val dir = tmpDir("dpp")
+    val dimDir = tmpDir("dpp_dim")
+    (1 to 1000).map(i => (i, i % 20)).toDF("v", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    (0 to 19).map(i => (i, if (i < 3) "keep" else "drop"))
+      .toDF("part", "tag").write.mode("overwrite").parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(spark.read.parquet(dimDir).where(col("tag") === "keep"), "part")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+    assert(joined.count() === 150)
+  }
+
   test("deletion vectors: mark/read/compact round-trip, overlap-safe") {
     val dir = tmpDir("dv")
     val data = (1L to 100L).map(i => (i, i % 10)).toDF("id", "g")
