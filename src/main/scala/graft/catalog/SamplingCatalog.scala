@@ -306,6 +306,21 @@ object SamplingCatalog {
           e.where(col("vec_id") % 20 === 0), "embedding", threshold = 0.35)
         .orderBy("vec_id")
     }),
+
+
+    // LEARNED data-mixing weights (Sampling.mixtureWeightsMW): linearized
+    // multiplicative-weights reweighting of the three sources by excess
+    // mean document length — the DoReMi loop shape with every update an
+    // exact integer, so three unrolled rounds restate verbatim in the
+    // oracle. The heavy pass is ONE corpus aggregation; the rounds
+    // iterate a |domains|-sized state (driver math at the k-means-
+    // centroids altitude). A wrong average, a mis-signed excess, or a
+    // divergent division all hash-fail.
+    "sample_mixture_mw" -> ((s, d) => {
+      Sampling.mixtureWeightsMW(t(s, d, "documents"), "source",
+          col("n_chars"), rounds = 3, etaDen = 4L)
+        .orderBy("source")
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -569,5 +584,32 @@ object SamplingCatalog {
          |SELECT doc_id, count(*)::BIGINT AS n_shared
          |FROM dg JOIN pg USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // three unrolled MW rounds; all-positive integers ⇒ truncating and
+    // floor division agree on both engines
+    "sample_mixture_mw" ->
+      """WITH b AS (SELECT source,
+        |    (sum(n_chars)::BIGINT * 1048576) // count(*) AS lq
+        |  FROM documents GROUP BY 1),
+        |r0 AS (SELECT source, lq, 1048576::BIGINT AS w FROM b),
+        |r1 AS (SELECT source, lq,
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |  FROM (SELECT source, lq, w,
+        |    (SELECT sum(w*lq) FROM r0) // (SELECT sum(w) FROM r0) AS A
+        |    FROM r0)),
+        |r2 AS (SELECT source, lq,
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |  FROM (SELECT source, lq, w,
+        |    (SELECT sum(w*lq) FROM r1) // (SELECT sum(w) FROM r1) AS A
+        |    FROM r1)),
+        |r3 AS (SELECT source, lq,
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |  FROM (SELECT source, lq, w,
+        |    (SELECT sum(w*lq) FROM r2) // (SELECT sum(w) FROM r2) AS A
+        |    FROM r2))
+        |SELECT source, lq, w,
+        |  (w * 1000000) // (SELECT sum(w) FROM r3) AS share_ppm
+        |FROM r3 ORDER BY source""".stripMargin,
   )
 }

@@ -607,4 +607,72 @@ object Sampling {
         sum(col(tokenCol).cast("long")).as("n_tokens"),
         sum(keyHash).as("checksum"))
   }
+
+  /** Fixed point for [[mixtureWeightsMW]]: 2^20 — weights and quantized
+    * losses carry 20 fractional bits, far under overflow at the documented
+    * bounds. */
+  val MwScale: Long = 1L << 20
+
+  /** LEARNED data-mixing weights — multiplicative-weights reweighting of
+    * domains by their excess loss (the DoReMi idea: a domain whose loss
+    * sits above the mixture-weighted average earns more weight; one that
+    * sits below loses some), LINEARIZED so every step is exact integer
+    * arithmetic any engine reproduces bit for bit:
+    *
+    *   Lq_g   = (Σ loss_g · 2^20) div n_g            (quantized mean loss)
+    *   w_g(0) = 2^20
+    *   per round:  A = (Σ w·Lq) div (Σ w)            (weighted avg loss)
+    *               w_g ← (w_g · (η·A + (Lq_g − A))) div (η·A)
+    *
+    * i.e. the factor is 1 + excess/(η·A) — the first-order expansion of
+    * DoReMi's exp(excess·lr), with the learning rate expressed as the
+    * integer `etaDen` (η above; larger = gentler). All quantities stay
+    * positive (`loss` must be > 0): Lq − A > −A ≥ −η·A, so no clamp path
+    * is ever data-reachable, and truncating division equals floor on both
+    * engines. Output: (group, lq, w, share_ppm) with share_ppm the
+    * normalized mixture in parts-per-million.
+    *
+    * Scale shape: the DATA-sized work is one group-by aggregation of the
+    * corpus; the MW rounds iterate a |domains|-sized state, which is
+    * driver math by design (the k-means-centroids altitude) — the collect
+    * is contract-bounded by the domain count, documented like every other
+    * bounded collect in this library. Rounds ≤ 16 keeps the growth factor
+    * well inside long range at any loss spread. */
+  def mixtureWeightsMW(df: DataFrame, groupCol: String, loss: Column,
+                       rounds: Int, etaDen: Long = 4L): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds out of [1,16]: $rounds")
+    require(etaDen >= 2, s"etaDen must be >= 2 (eta <= 1/2): $etaDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(loss.cast("long")).as("s"), count(lit(1)).as("n"))
+      .select(col("g"), expr(s"(s * ${MwScale}L) div n").as("lq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(base.nonEmpty, "mixtureWeightsMW: empty input")
+    require(base.forall(_._2 > 0),
+      "mixtureWeightsMW needs a strictly positive loss signal per domain")
+    val lqs = base.map(_._2)
+    var w = Array.fill(base.length)(MwScale)
+    // loud overflow guard (check in BigInt, arithmetic stays long — the
+    // BIGINT semantics the oracle restates): Σ w·Lq at a generous w
+    // headroom of 2^28 must fit a long
+    require(BigInt(base.length) * BigInt(lqs.max) * BigInt(1L << 28) <
+      BigInt(Long.MaxValue),
+      s"mixtureWeightsMW overflow risk: ${base.length} domains x max " +
+        s"quantized loss ${lqs.max} — rescale the loss signal down")
+    for (_ <- 1 to rounds) {
+      val t = w.sum
+      val a = w.iterator.zip(lqs.iterator).map { case (wi, li) => wi * li }.sum / t
+      w = w.iterator.zip(lqs.iterator).map { case (wi, li) =>
+        math.max(1L, (wi * (etaDen * a + (li - a))) / (etaDen * a))
+      }.toArray
+      require(w.max < (1L << 28),
+        "mixtureWeightsMW diverged: a weight outgrew its headroom — " +
+          "raise etaDen or lower rounds")
+    }
+    val tw = w.sum
+    base.indices.map { i =>
+      (base(i)._1, lqs(i), w(i), w(i) * 1000000L / tw)
+    }.toDF(groupCol, "lq", "w", "share_ppm")
+  }
 }

@@ -444,27 +444,31 @@ object Sketches {
     * equals the plain HAVING-count query bit for bit — which is exactly
     * what the oracle gate checks.
     *
-    * Soundness bound: `threshold · (capacity+1) > N` is REQUIRED (checked
-    * against a count of `df`) — below it MG may evict a qualifying key and
-    * the superset property breaks. Keys are cast to long (the integral-id
-    * contract of `capPerGroupSkewSafe`); null keys cannot qualify and are
-    * dropped. */
+    * Soundness bound: `threshold · (capacity+1) > N` is REQUIRED — below
+    * it MG may evict a qualifying key and the superset property breaks.
+    * N is tallied INSIDE the candidate pass (each partition emits its row
+    * count next to its survivors), so the whole operator scans the data
+    * exactly twice — candidates, then verify — with no third pass just to
+    * count; the check still happens before any verify work runs. The
+    * candidate collect is contract-bounded: ≤ capacity·partitions + 1 rows
+    * per partition, the same keys the verify pass broadcasts anyway. Keys
+    * are cast to long (the integral-id contract of `capPerGroupSkewSafe`);
+    * null keys cannot qualify and are dropped. */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    capacity: Int = 1024): DataFrame = {
     require(threshold >= 1, s"threshold must be positive: $threshold")
     require(capacity >= 1, s"capacity must be positive: $capacity")
     val keyed = df.where(col(keyCol).isNotNull)
-    val n = keyed.count()
-    require(threshold * (capacity + 1L) > n,
-      s"heavyHitters unsound: threshold=$threshold, capacity=$capacity " +
-        s"admits misses at n=$n rows — raise capacity above ${n / threshold}")
     val spark = df.sparkSession
     import spark.implicits._
-    val candidates = keyed.select(col(keyCol).cast("long")).as[Long]
+    // per partition: one (false, rowCount) tally row + (true, key) survivors
+    val summary = keyed.select(col(keyCol).cast("long")).as[Long]
       .mapPartitions { it =>
         val m = new scala.collection.mutable.HashMap[Long, Long]
+        var np = 0L
         while (it.hasNext) {
           val k = it.next()
+          np += 1
           m.get(k) match {
             case Some(c) => m.update(k, c + 1)
             case None if m.size < capacity => m.update(k, 1L)
@@ -477,10 +481,15 @@ object Sketches {
               dead.foreach(m.remove)
           }
         }
-        m.keysIterator
+        Iterator.single((false, np)) ++ m.keysIterator.map(k => (true, k))
       }
-      .distinct() // ≤ capacity × partitions rows by construction
-      .toDF("__hh_key")
+      .collect() // bounded by capacity × partitions (+1 tally each)
+    val n = summary.iterator.collect { case (false, np) => np }.sum
+    require(threshold * (capacity + 1L) > n,
+      s"heavyHitters unsound: threshold=$threshold, capacity=$capacity " +
+        s"admits misses at n=$n rows — raise capacity above ${n / threshold}")
+    val candidates = summary.iterator.collect { case (true, k) => k }
+      .toArray.distinct.toSeq.toDF("__hh_key")
     keyed
       .join(broadcast(candidates),
         col(keyCol).cast("long") === col("__hh_key"), "left_semi")
