@@ -1006,6 +1006,29 @@ object BreadthCatalog {
     }),
 
 
+    // Per-file BLOOM-INDEX file skipping (Layout.writeBloomIndex /
+    // readPrunedPoint): events land UNCLUSTERED in 8 files — every file
+    // spans the full event_id range, so min/max envelopes can never prune
+    // — and four point lookups (three present keys, one absent) plan
+    // their file lists from per-file Bloom filters instead of opening
+    // everything. False positives cost a wasted open, never a wrong row:
+    // the equality predicate always runs on the scan, and this row gates
+    // the four lookups' union against the oracle's plain IN-list filter.
+    "etl_files_pruned_point" -> ((s, d) => {
+      val tmp = scratchDir("graft_bloom_pt", d)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"))
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+      Layout.writeBloomIndex(s, tmp, "event_id",
+        expectedPerFile = 1L << 16, fpp = 0.01)
+      Seq(123L, 4567L, 8888L, 10000000L)
+        .map(k => Layout.readPrunedPoint(s, tmp, "event_id", k))
+        .reduce(_.unionByName(_)).orderBy("event_id")
+    }),
+
+
     // EARLY-ARRIVING FACTS / LATE-ARRIVING DIMENSION (Dims.upsertInferred
     // + Dims.enrich): day-1 facts reference title tokens the dim has
     // never seen — each becomes an INFERRED member (real SKEY, null name);
@@ -1711,6 +1734,14 @@ object BreadthCatalog {
         |  repeat('*', length(email) - 4) || right(email, 4) AS email_masked,
         |  count(*)::BIGINT AS n
         |FROM e GROUP BY 1, 2 ORDER BY user_tok""".stripMargin,
+
+
+    // bloom skipping must answer exactly like a plain IN-list filter
+    "etl_files_pruned_point" ->
+      """SELECT event_id, user_id,
+        |  (value::DECIMAL(18,2) * 100)::BIGINT AS value_cents
+        |FROM events WHERE event_id IN (123, 4567, 8888, 10000000)
+        |ORDER BY event_id""".stripMargin,
 
 
     // gen 1 = day-1 members (ranked by token), gen 2 = day-2-only members

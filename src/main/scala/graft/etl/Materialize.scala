@@ -42,6 +42,10 @@ object Materialize {
   def partial(batch: DataFrame, keys: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
     require(keys.nonEmpty, "partial: no keys")
     require(aggs.nonEmpty, "partial: no aggregates")
+    require(aggs.map(_.as).distinct.size == aggs.size,
+      s"partial: duplicate output names in ${aggs.map(_.as)}")
+    require(!keys.exists(aggs.map(_.as).contains),
+      s"partial: an aggregate output shadows a key column")
     val exprs = aggs.map {
       case AggSpec("count", _, as) => count(lit(1)).as(as)
       case AggSpec("sum", c, as)   => sum(col(c)).as(as)

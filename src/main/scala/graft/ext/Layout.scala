@@ -281,6 +281,114 @@ object Layout {
     * never the filter). Returns the pruned frame; `df.inputFiles` exposes
     * how many files survived — the number a 100 TB table plans scan tasks
     * from. */
+  /** Per-file BLOOM INDEX — equality-lookup file skipping for
+    * high-cardinality columns, where [[writeWithManifest]]'s min/max
+    * envelopes prune nothing (an unclustered id column spans the full
+    * range in every file). Real table formats (Delta bloom indexes,
+    * parquet bloom filters) answer "which files might contain key = v?"
+    * from a compact per-file filter; a point lookup over a 100 TB table
+    * then opens the ~1 file that can match instead of all of them.
+    *
+    * [[writeBloomIndex]] scans `dir` once, building one sized Bloom
+    * filter per file (per-split partials OR-merge on the driver — the
+    * index is file-count-bounded, the same order as the manifest itself;
+    * a table whose file COUNT outgrows one driver shards its manifest,
+    * and this index with it), serialized base64 into
+    * `_graft_bloom.json`. [[readPrunedPoint]] keeps only the files whose
+    * filter might contain the key — false positives cost a wasted file
+    * open, never a wrong row, because the equality predicate always runs
+    * on the scan (skipping is an optimization, never the filter). Null
+    * keys are not indexed: NULL never equals a point lookup. Keys follow
+    * the integral-id contract (cast to long). */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      keyCol: String, expectedPerFile: Long = 1L << 20,
+                      fpp: Double = 0.03): Unit = {
+    require(expectedPerFile > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom sizing: items=$expectedPerFile fpp=$fpp")
+    import spark.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
+    val partials = spark.read.parquet(dir)
+      .where(col(keyCol).isNotNull)
+      .select(input_file_name().as("f"), col(keyCol).cast("long").as("k"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val m = new scala.collection.mutable.HashMap[String, BloomFilter]
+        it.foreach { case (f, k) =>
+          m.getOrElseUpdate(f,
+            BloomFilter.create(expectedPerFile, fpp)).putLong(k)
+        }
+        m.iterator.map { case (f, b) =>
+          val bs = new java.io.ByteArrayOutputStream()
+          b.writeTo(bs)
+          (f, bs.toByteArray)
+        }
+      }
+      .collect() // one blob per (file, split) — file-count-bounded
+    val perFile = partials.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (f, blobs) =>
+        val merged = BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(blobs.head._2))
+        blobs.tail.foreach { case (_, bytes) =>
+          merged.mergeInPlace(BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes)))
+        }
+        val bs = new java.io.ByteArrayOutputStream()
+        merged.writeTo(bs)
+        val b64 = java.util.Base64.getEncoder.encodeToString(bs.toByteArray)
+        s"""{"file":${jsonStr(f)},"b64":"$b64"}"""
+    }
+    val text = s"""{"col":${jsonStr(keyCol)},"files":[${perFile.mkString(",\n")}]}"""
+    val bPath = new org.apache.hadoop.fs.Path(dir, "_graft_bloom.json")
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(bPath, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Point-lookup read via the Bloom index: plan only the files whose
+    * filter might contain `value`, then apply the equality predicate on
+    * the scan. The index IS the table's file listing (the
+    * [[readPruned]]/Delta-log convention — re-run [[writeBloomIndex]]
+    * after appends); `df.inputFiles` exposes the planned file count. */
+  def readPrunedPoint(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      keyCol: String, value: Long): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bPath = new org.apache.hadoop.fs.Path(dir, "_graft_bloom.json")
+    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(bPath), s"no _graft_bloom.json under $dir — writeBloomIndex first")
+    val in = fs.open(bPath)
+    val json = try {
+      val bs = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bs.write(buf, 0, n); n = in.read(buf) }
+      bs.toString("UTF-8")
+    } finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val parsed = JsonMethods.parse(json)
+    val indexedCol = parsed \ "col" match {
+      case JString(c) => c
+      case _ => throw new IllegalArgumentException(
+        s"malformed _graft_bloom.json under $dir")
+    }
+    require(indexedCol == keyCol,
+      s"bloom index under $dir covers '$indexedCol', not '$keyCol'")
+    val indexed = for {
+      JObject(entry) <- (parsed \ "files")
+      ("file", JString(f)) <- entry
+      ("b64", JString(b64)) <- entry
+    } yield f -> b64
+    require(indexed.nonEmpty, s"bloom index under $dir lists no files")
+    val kept = indexed.collect {
+      case (f, b64) if BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64))).mightContainLong(value) => f
+    }
+    val out =
+      if (kept.isEmpty) spark.read.parquet(indexed.head._1).where(lit(false))
+      else spark.read.parquet(kept: _*)
+    out.where(col(keyCol).cast("long") === value)
+  }
+
   /** DELETION VECTORS — the soft-delete half of lakehouse mutation
     * (Delta's deletion vectors, Iceberg's equality deletes), expressed
     * Spark-first as EQUALITY deletes on a key column. Deleting from

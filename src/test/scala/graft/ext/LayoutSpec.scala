@@ -185,6 +185,32 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric statsCol"))
   }
 
+  test("bloom index: point lookup opens a fraction of the files, same answer") {
+    val dir = tmpDir("bloomidx")
+    // unclustered ids: every file spans the full range, so min/max
+    // envelopes could never prune — exactly the bloom index's case
+    val df = (1L to 4000L).map(i => (i, i % 7)).toDF("id", "g")
+      .repartition(8)
+    df.write.mode("overwrite").parquet(dir)
+    Layout.writeBloomIndex(spark, dir, "id", expectedPerFile = 1000L,
+      fpp = 0.01)
+    val total = spark.read.parquet(dir).inputFiles.length
+    val hit = Layout.readPrunedPoint(spark, dir, "id", 2500L)
+    assert(hit.inputFiles.length < total,
+      s"bloom index pruned nothing: ${hit.inputFiles.length} of $total")
+    assert(hit.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((2500L, 2500L % 7)))
+    // an absent key: typically zero files, never a wrong row
+    assert(Layout.readPrunedPoint(spark, dir, "id", 999999L).count() === 0)
+    // index/column mismatch and missing index are loud
+    val e = intercept[IllegalArgumentException](
+      Layout.readPrunedPoint(spark, dir, "g", 1L))
+    assert(e.getMessage.contains("covers"))
+    val e2 = intercept[IllegalArgumentException](
+      Layout.readPrunedPoint(spark, tmpDir("noidx"), "id", 1L))
+    assert(e2.getMessage.contains("writeBloomIndex"))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact x filtered dim join") {
     // the runtime sibling of manifest skipping: when the selective
     // predicate lives on the DIM side, only a runtime filter can prune the
