@@ -191,6 +191,25 @@ class StarStore(spark: SparkSession, root: String,
       s"version publish failed: $tmp -> $nextV")
   }
 
+  /** OPTIMISTIC-CONCURRENCY check, run immediately before a publish: the
+    * store version must still be the one this batch read its inputs from.
+    * A second writer that published in between moved CURRENT — committing
+    * anyway would assign duplicate SKEYs/fact ids from the stale snapshot
+    * and [[publishVersion]] would clobber the winner's version dir as a
+    * "crash leftover". This is conflict DETECTION, not prevention (a
+    * filesystem has no compare-and-swap; the residual window is the
+    * check→rename gap): like every file-listing commit protocol without a
+    * lock service, true concurrent writers need external serialization —
+    * this guard turns the accidental double-writer from silent corruption
+    * into a loud retryable failure. */
+  private[etl] def publishGuard(priorV: Option[String]): Unit = {
+    val nowV = currentVersion
+    require(nowV == priorV,
+      s"concurrent publish detected at $root: version moved from " +
+        s"${priorV.getOrElse("<empty>")} to ${nowV.getOrElse("<empty>")} " +
+        "since this batch read its inputs — re-run the batch on the new version")
+  }
+
   private def swapPointer(nextV: String): Unit = {
     val curTmp = new Path(s"$root/CURRENT._tmp")
     val cur = new Path(s"$root/CURRENT")
@@ -268,6 +287,7 @@ class StarStore(spark: SparkSession, root: String,
       prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId,
       prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
     writeManifest(tmp, newManifest)
+    publishGuard(prior.map(_._1)) // loud on a concurrent publish
     publishVersion(tmp, nextV)
 
     // 3. swap the CURRENT pointer (recovery: highest version wins, above).

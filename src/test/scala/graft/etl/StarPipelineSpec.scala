@@ -311,4 +311,22 @@ class StarPipelineSpec extends SparkSpec {
       assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
     } finally q.stop()
   }
+
+  test("optimistic concurrency: a publish from a stale snapshot fails loudly") {
+    val root = tmpDir("graft-star-occ")
+    val store = StarStore(spark, root)
+    assert(store.runBatch(rawBatch1, "b1") === 3)
+    // a writer that read v1 and then lost the race to a v2 publisher: its
+    // guard must refuse to commit from the stale snapshot
+    val staleView = Some("v00000001")
+    store.publishGuard(staleView) // still current — passes
+    assert(store.runBatch(rawBatch2, "b2") === 2)
+    val e = intercept[IllegalArgumentException](store.publishGuard(staleView))
+    assert(e.getMessage.contains("concurrent publish"))
+    // a writer that saw an empty store races an initializer the same way
+    val e2 = intercept[IllegalArgumentException](store.publishGuard(None))
+    assert(e2.getMessage.contains("concurrent publish"))
+    // the store itself is untouched by refused publishes
+    assert(store.fact.count() === 5)
+  }
 }
