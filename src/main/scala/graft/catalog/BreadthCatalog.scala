@@ -980,8 +980,11 @@ object BreadthCatalog {
     // the result equals the oracle's plain HAVING-count query bit for bit
     // — which is precisely what this row gates.
     "q_heavy_hitters" -> ((s, d) => {
+      // capacity 16384 keeps the soundness bound satisfied up to sf1
+      // (10^6 rows / threshold 70); the candidate collect stays bounded
+      // by capacity x partitions either way
       Sketches.heavyHitters(t(s, d, "events"), "user_id",
-          threshold = 70L, capacity = 4096)
+          threshold = 70L, capacity = 16384)
         .orderBy("user_id")
     }),
 

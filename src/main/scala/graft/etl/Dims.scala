@@ -108,8 +108,19 @@ object Dims {
   def enrich(existing: DataFrame, dimDelta: DataFrame, naturalKey: String,
              attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "enrich: no attribute columns")
-    val renamed = attrCols.foldLeft(
-        dimDelta.select((naturalKey +: attrCols).map(col): _*)) {
+    val delta = dimDelta.select((naturalKey +: attrCols).map(col): _*)
+    // a delta carrying the same member twice would MULTIPLY dim rows
+    // through the join and pick an arbitrary delivery — refuse loudly
+    // (dedupe upstream with an explicit rule instead); the check is one
+    // cheap job over a dim-sized frame
+    val (nAll, nKeys) = {
+      val r = delta.agg(count(lit(1)), count_distinct(col(naturalKey))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nAll == nKeys,
+      s"enrich: delta has duplicate '$naturalKey' members ($nAll rows, " +
+        s"$nKeys keys) — deduplicate the delivery first")
+    val renamed = attrCols.foldLeft(delta) {
       (a, c) => a.withColumnRenamed(c, s"__new_$c")
     }.withColumn("__matched", lit(true))
     val joined = existing.join(broadcast(renamed), Seq(naturalKey), "left")

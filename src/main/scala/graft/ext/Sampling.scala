@@ -642,6 +642,8 @@ object Sampling {
                        rounds: Int, etaDen: Long = 4L): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds out of [1,16]: $rounds")
     require(etaDen >= 2, s"etaDen must be >= 2 (eta <= 1/2): $etaDen")
+    require(!Seq("lq", "w", "share_ppm").contains(groupCol),
+      s"mixtureWeightsMW: group column '$groupCol' collides with an output")
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.groupBy(col(groupCol).cast("string").as("g"))

@@ -59,6 +59,14 @@ class LateDimSpec extends SparkSpec {
     assert(byK(2L) === (("two", false)))
   }
 
+  test("a delta delivering the same member twice is refused, not multiplied") {
+    val dim1 = Dims.upsertInferred(emptyDim, Seq(1L).toDF("k"), "k", "skey")
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException](
+      Dims.enrich(dim1, dup, "k", Seq("name")).collect())
+    assert(e.getMessage.contains("duplicate"))
+  }
+
   test("upsertInferred without the is_inferred contract fails loudly") {
     val bare = Seq((1L, 1L)).toDF("skey", "k")
     val e = intercept[IllegalArgumentException](
