@@ -112,14 +112,16 @@ object Dims {
     // a delta carrying the same member twice would MULTIPLY dim rows
     // through the join and pick an arbitrary delivery — refuse loudly
     // (dedupe upstream with an explicit rule instead); the check is one
-    // cheap job over a dim-sized frame
-    val (nAll, nKeys) = {
-      val r = delta.agg(count(lit(1)), count_distinct(col(naturalKey))).head
+    // cheap job over a dim-sized frame. count(col) vs count(*): null
+    // natural keys are harmless to the join (null matches nothing) and
+    // must not read as phantom duplicates
+    val (nKeyed, nKeys) = {
+      val r = delta.agg(count(col(naturalKey)), count_distinct(col(naturalKey))).head
       (r.getLong(0), r.getLong(1))
     }
-    require(nAll == nKeys,
-      s"enrich: delta has duplicate '$naturalKey' members ($nAll rows, " +
-        s"$nKeys keys) — deduplicate the delivery first")
+    require(nKeyed == nKeys,
+      s"enrich: delta has duplicate '$naturalKey' members ($nKeyed keyed " +
+        s"rows, $nKeys keys) — deduplicate the delivery first")
     val renamed = attrCols.foldLeft(delta) {
       (a, c) => a.withColumnRenamed(c, s"__new_$c")
     }.withColumn("__matched", lit(true))

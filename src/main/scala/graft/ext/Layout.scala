@@ -252,19 +252,21 @@ object Layout {
       case c => c.toString
     }.mkString("\"", "", "\"")
 
-  private def writeManifestText(spark: org.apache.spark.sql.SparkSession,
-                                dir: String, text: String): Unit = {
-    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(mPath, true)
+  /** Sidecar-file IO shared by the manifest and the bloom index: one
+    * place for the create/write/close and open/read-loop/close edges. */
+  private def writeSidecarText(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, name: String, text: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readManifestText(spark: org.apache.spark.sql.SparkSession,
-                               dir: String): String = {
-    val mPath = new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(mPath)
+  private def readSidecarText(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
     try {
       val bs = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -274,13 +276,14 @@ object Layout {
     } finally in.close()
   }
 
-  /** Read `dir` with manifest file skipping: keep only the files whose
-    * [min,max] envelope for `statsCol` intersects `[lo, hi]` (null
-    * envelopes — all-null or absent stats — are conservatively KEPT), and
-    * apply the residual predicate on the scan (skipping is an optimization,
-    * never the filter). Returns the pruned frame; `df.inputFiles` exposes
-    * how many files survived — the number a 100 TB table plans scan tasks
-    * from. */
+  private def writeManifestText(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, text: String): Unit =
+    writeSidecarText(spark, dir, "_graft_manifest.json", text)
+
+  private def readManifestText(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    readSidecarText(spark, dir, "_graft_manifest.json")
+
   /** Per-file BLOOM INDEX — equality-lookup file skipping for
     * high-cardinality columns, where [[writeWithManifest]]'s min/max
     * envelopes prune nothing (an unclustered id column spans the full
@@ -338,10 +341,7 @@ object Layout {
         s"""{"file":${jsonStr(f)},"b64":"$b64"}"""
     }
     val text = s"""{"col":${jsonStr(keyCol)},"files":[${perFile.mkString(",\n")}]}"""
-    val bPath = new org.apache.hadoop.fs.Path(dir, "_graft_bloom.json")
-    val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(bPath, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
+    writeSidecarText(spark, dir, "_graft_bloom.json", text)
   }
 
   /** Point-lookup read via the Bloom index: plan only the files whose
@@ -355,14 +355,7 @@ object Layout {
     val bPath = new org.apache.hadoop.fs.Path(dir, "_graft_bloom.json")
     val fs = bPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(bPath), s"no _graft_bloom.json under $dir — writeBloomIndex first")
-    val in = fs.open(bPath)
-    val json = try {
-      val bs = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n > 0) { bs.write(buf, 0, n); n = in.read(buf) }
-      bs.toString("UTF-8")
-    } finally in.close()
+    val json = readSidecarText(spark, dir, "_graft_bloom.json")
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val parsed = JsonMethods.parse(json)
@@ -412,7 +405,11 @@ object Layout {
                   keys: DataFrame): Unit = {
     require(keys.columns.length == 1,
       s"markDeleted wants exactly one key column, got ${keys.columns.mkString(",")}")
-    keys.write.mode("append").parquet(s"$dir/_graft_deletes")
+    // canonicalize the column name at WRITE time: batches marked under
+    // different caller names would otherwise land as different parquet
+    // schemas in one store, and a non-mergeSchema read nulls the minority
+    // name — silently resurrecting deleted rows
+    keys.toDF("__del_key").write.mode("append").parquet(s"$dir/_graft_deletes")
   }
 
   /** Read `dir` with its deletion vector applied: data rows whose `pkCol`
@@ -436,7 +433,8 @@ object Layout {
     val fs = dvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dvPath)) return data
     val dvBytes = fs.getContentSummary(dvPath).getLength
-    val dv = spark.read.parquet(dvPath.toString).toDF("__del_key").distinct()
+    val dv = spark.read.parquet(dvPath.toString)
+      .select(col("__del_key")).distinct()
     val build = if (dvBytes <= maxBroadcastBytes) broadcast(dv) else dv
     data.join(build, data(pkCol) === dv("__del_key"), "left_anti")
   }
@@ -450,6 +448,13 @@ object Layout {
     readWithDeletes(spark, dir, pkCol)
       .write.mode("overwrite").parquet(outDir)
 
+  /** Read `dir` with manifest file skipping: keep only the files whose
+    * [min,max] envelope for `statsCol` intersects `[lo, hi]` (null
+    * envelopes — all-null or absent stats — are conservatively KEPT), and
+    * apply the residual predicate on the scan (skipping is an optimization,
+    * never the filter). Returns the pruned frame; `df.inputFiles` exposes
+    * how many files survived — the number a 100 TB table plans scan tasks
+    * from. */
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  statsCol: String, lo: Long, hi: Long): DataFrame = {
     require(lo <= hi, s"empty range: [$lo, $hi]")

@@ -641,7 +641,9 @@ object Sampling {
   def mixtureWeightsMW(df: DataFrame, groupCol: String, loss: Column,
                        rounds: Int, etaDen: Long = 4L): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"rounds out of [1,16]: $rounds")
-    require(etaDen >= 2, s"etaDen must be >= 2 (eta <= 1/2): $etaDen")
+    require(etaDen >= 2 && etaDen <= (1L << 16),
+      s"etaDen out of [2, 2^16]: $etaDen — the update factor's " +
+        "etaDen·avg term shares the long headroom the overflow guard checks")
     require(!Seq("lq", "w", "share_ppm").contains(groupCol),
       s"mixtureWeightsMW: group column '$groupCol' collides with an output")
     val spark = df.sparkSession
@@ -656,12 +658,13 @@ object Sampling {
     val lqs = base.map(_._2)
     var w = Array.fill(base.length)(MwScale)
     // loud overflow guard (check in BigInt, arithmetic stays long — the
-    // BIGINT semantics the oracle restates): Σ w·Lq at a generous w
-    // headroom of 2^28 must fit a long
-    require(BigInt(base.length) * BigInt(lqs.max) * BigInt(1L << 28) <
-      BigInt(Long.MaxValue),
-      s"mixtureWeightsMW overflow risk: ${base.length} domains x max " +
-        s"quantized loss ${lqs.max} — rescale the loss signal down")
+    // BIGINT semantics the oracle restates): both Σ w·Lq and the update's
+    // w·etaDen·avg term, at a generous w headroom of 2^28, must fit a long
+    require(BigInt(base.length.toLong.max(etaDen)) * BigInt(lqs.max) *
+      BigInt(1L << 28) < BigInt(Long.MaxValue),
+      s"mixtureWeightsMW overflow risk: ${base.length} domains, " +
+        s"etaDen=$etaDen, max quantized loss ${lqs.max} — rescale the " +
+        "loss signal down or lower etaDen")
     for (_ <- 1 to rounds) {
       val t = w.sum
       val a = w.iterator.zip(lqs.iterator).map { case (wi, li) => wi * li }.sum / t

@@ -65,6 +65,12 @@ class LateDimSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       Dims.enrich(dim1, dup, "k", Seq("name")).collect())
     assert(e.getMessage.contains("duplicate"))
+    // a null natural key is harmless to the join and must NOT read as a
+    // phantom duplicate (count(*) vs count_distinct would)
+    val withNull = Seq((Some(1L), "one"), (None, "junk")).toDF("k", "name")
+    val ok = Dims.enrich(dim1, withNull, "k", Seq("name"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(ok === Map(1L -> "one"))
   }
 
   test("upsertInferred without the is_inferred contract fails loudly") {

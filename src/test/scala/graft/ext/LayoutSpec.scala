@@ -239,9 +239,12 @@ class LayoutSpec extends SparkSpec {
     data.write.mode("overwrite").parquet(dir)
     // no vector yet: plain read
     assert(Layout.readWithDeletes(spark, dir, "id").count() === 100)
-    // two OVERLAPPING delete batches: ids 1-10 and 5-15 → 15 distinct
+    // two OVERLAPPING delete batches marked under DIFFERENT caller column
+    // names (ids 1-10, 5-15 → 15 distinct): the store canonicalizes the
+    // name at write time, so mixed-name batches must still all subtract —
+    // a schema split here silently resurrected the minority batch
     Layout.markDeleted(spark, dir, (1L to 10L).toDF("id"))
-    Layout.markDeleted(spark, dir, (5L to 15L).toDF("id"))
+    Layout.markDeleted(spark, dir, (5L to 15L).toDF("purge_key"))
     val live = Layout.readWithDeletes(spark, dir, "id")
     assert(live.count() === 85, "overlapping marks must subtract once")
     assert(live.agg(min("id")).head.getLong(0) === 16L)

@@ -45,5 +45,11 @@ class MixtureWeightsSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Sampling.mixtureWeightsMW(huge, "g", col("loss"), 2))
     assert(e3.getMessage.contains("overflow"))
+    // an unbounded etaDen would wrap the update's etaDen·avg term long
+    // before the domain-count guard noticed
+    val e4 = intercept[IllegalArgumentException](
+      Sampling.mixtureWeightsMW(Seq(("a", 1L)).toDF("g", "loss"), "g",
+        col("loss"), 1, etaDen = 1L << 45))
+    assert(e4.getMessage.contains("etaDen"))
   }
 }
