@@ -72,6 +72,24 @@ object MultimodalCatalog {
     // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
     // CRC was computed) and must be quarantined — the oracle excludes
     // exactly those ids, so skipping CRC verification also hash-fails.
+    // Frame-level AUDIO FEATURE EXTRACTION (E32h) over real WAV bytes:
+    // every doc synthesizes a mono 16-bit PCM square wave (half-period,
+    // amplitude, and length all id-derived integers), the REAL chunk walk
+    // recovers the samples, and the kernel emits per-16-sample-frame
+    // energy / zero-crossing count / peak — the classic VAD triple, all
+    // exact integers. The oracle regenerates every sample from the
+    // construction arithmetic and recomputes the features, so an
+    // endianness, framing, sign, or offset bug hash-fails.
+    "mm_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map(id =>
+        Multimodal.RawAsset(id, "wav", Multimodal.syntheticAudioPayload(id)))
+      Multimodal.audioFrameFeatures(assets, frameSize = 16).toDF()
+        .orderBy("asset_id", "frame_no")
+    }),
+
+
     "mm_decode_png_pixels" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -758,6 +776,29 @@ object MultimodalCatalog {
         |    AS max_frame
         |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         |ORDER BY asset_id""".stripMargin,
+
+
+    // regenerates every square-wave sample from syntheticAudioPayload's
+    // construction arithmetic and recomputes the frame features — the
+    // Spark side must recover the SAME integers by parsing the WAV bytes
+    "mm_audio_features" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 5 AS hp,
+        |    1000 + (doc_id % 100) * 10 AS a, 64 + doc_id % 32 AS n
+        |  FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, n)) AS i, hp, a FROM p),
+        |v AS (SELECT doc_id, i,
+        |    CASE WHEN ((i // hp) % 2) = 0 THEN a ELSE -a END AS x
+        |  FROM s),
+        |f AS (SELECT doc_id, (i // 16)::INT AS frame_no, i, x,
+        |    lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS px
+        |  FROM v)
+        |SELECT doc_id AS asset_id, frame_no,
+        |  count(*)::INT AS n_samples,
+        |  sum(x::BIGINT * x)::BIGINT AS energy,
+        |  sum(CASE WHEN i % 16 <> 0 AND px * x < 0 THEN 1 ELSE 0 END)::INT
+        |    AS zcr,
+        |  max(abs(x))::INT AS peak
+        |FROM f GROUP BY 1, 2 ORDER BY asset_id, frame_no""".stripMargin,
 
 
     // restates syntheticContainerPayload's dimension arithmetic: the Spark

@@ -696,4 +696,96 @@ object Multimodal {
         (h + factor - 1) / factor, n, r, g, bl)
     }
   }
+
+  /** Deterministic REAL audio fixture: a mono 16-bit PCM WAV whose samples
+    * are an integer SQUARE WAVE — half-period `P = 2 + id%5`, amplitude
+    * `A = 1000 + (id%100)·10`, `N = 64 + id%32` samples at 8 kHz:
+    * `s_i = +A` when `(i div P)` is even, else `−A`. Square, not sine: the
+    * construction stays pure integer arithmetic, so an oracle restates
+    * every sample — and therefore every frame feature — exactly. */
+  def syntheticAudioPayload(id: Long): Array[Byte] = {
+    val p = (2 + id % 5).toInt
+    val amp = (1000 + (id % 100) * 10).toInt
+    val n = (64 + id % 32).toInt
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until n).foreach(i =>
+      bb.putShort(if ((i / p) % 2 == 0) amp.toShort else (-amp).toShort))
+    bb.array()
+  }
+
+  final case class AudioFrame(asset_id: Long, frame_no: Int, n_samples: Int,
+                              energy: Long, zcr: Int, peak: Int)
+
+  /** Frame-level AUDIO FEATURE EXTRACTION over real decoded WAV bytes —
+    * the classic first-line features behind voice-activity/silence
+    * detection and level normalization: per frame of `frameSize` samples
+    * (final partial frame kept), short-term energy `Σx²`, zero-crossing
+    * count (strict sign flips — a zero sample breaks the run), and peak
+    * `max|x|`. All EXACT integers, so the features restate cross-engine.
+    *
+    * The WAV parse is the real chunk walk (RIFF sanity, `fmt `/`data`
+    * discovery, word-aligned sizes, little-endian 16-bit reads) — mono
+    * integer PCM only; anything else quarantines (no row), the decode
+    * path's convention. Same mapPartitions shape as [[decode]]: streaming
+    * iterator, constant memory per task, one output row per frame. */
+  def audioFrameFeatures(assets: Dataset[RawAsset],
+                         frameSize: Int = 16): Dataset[AudioFrame] = {
+    require(frameSize >= 2, s"frameSize out of range: $frameSize")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      wavSamplesMono(a.payload) match {
+        case None => Iterator.empty
+        case Some(samples) =>
+          samples.grouped(frameSize).zipWithIndex.map { case (fr, fi) =>
+            var energy = 0L; var zcr = 0; var peak = 0
+            var j = 0
+            while (j < fr.length) {
+              val x = fr(j)
+              energy += x.toLong * x
+              val ax = math.abs(x)
+              if (ax > peak) peak = ax
+              if (j > 0 && fr(j - 1) * x < 0) zcr += 1
+              j += 1
+            }
+            AudioFrame(a.asset_id, fi, fr.length, energy, zcr, peak)
+          }
+      }
+    })
+  }
+
+  /** Mono 16-bit PCM sample extraction — the [[ByteCodec]] WAV chunk walk,
+    * returning raw samples instead of summary stats. */
+  private def wavSamplesMono(b: Array[Byte]): Option[Array[Int]] = {
+    if (b == null || b.length <= 44) return None
+    def tag(o: Int) = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def leShort(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def leInt(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt = Option.empty[(Int, Int, Int)] // format, ch, bits
+    var data = Option.empty[(Int, Int)]
+    var o = 12
+    while (o + 8 <= b.length) {
+      val id = tag(o)
+      val size = leInt(o + 4)
+      if (size < 0 || o.toLong + 8L + size > b.length) return None
+      if (id == "fmt " && size >= 16)
+        fmt = Some((leShort(o + 8), leShort(o + 10), leShort(o + 22)))
+      if (id == "data") data = Some((o + 8, size))
+      o += 8 + size + (size & 1)
+    }
+    for {
+      (format, ch, bits) <- fmt
+      (off, size) <- data
+      if format == 1 && ch == 1 && bits == 16
+    } yield Array.tabulate(size / 2)(i => leShort(off + 2 * i).toShort.toInt)
+  }
 }

@@ -2285,6 +2285,38 @@ class ExtSpec extends SparkSpec {
     assert(full.r_sum === (0 until 36 by 3).sum)
   }
 
+  test("audioFrameFeatures: hand-computed frames; non-mono and junk quarantine") {
+    // square wave via the fixture: id=0 → hp=2, amp=1000, n=64 samples.
+    // frame of 16 = 4 full periods: energy 16·1000², 4 up/down runs of 2
+    // → sign flips at i=2,4,...: 7 in-frame flips (boundary flip belongs
+    // to no frame's interior start), peak 1000
+    val wav = Multimodal.RawAsset(0L, "wav", Multimodal.syntheticAudioPayload(0L))
+    val frames = Multimodal.audioFrameFeatures(Seq(wav).toDS(), frameSize = 16)
+      .collect().sortBy(_.frame_no)
+    assert(frames.length === 4) // 64 / 16
+    frames.foreach { f =>
+      assert(f.n_samples === 16)
+      assert(f.energy === 16L * 1000L * 1000L)
+      assert(f.peak === 1000)
+      assert(f.zcr === 7, s"frame ${f.frame_no}: $f")
+    }
+    // a final PARTIAL frame is kept: 70 samples at frame 16 → frames of
+    // 16,16,16,16,6
+    val wav2 = Multimodal.RawAsset(6L, "wav", Multimodal.syntheticAudioPayload(6L))
+    val f2 = Multimodal.audioFrameFeatures(Seq(wav2).toDS(), frameSize = 16)
+      .collect().sortBy(_.frame_no)
+    assert(f2.map(_.n_samples).sum === 70) // n = 64 + 6
+    assert(f2.last.n_samples === 70 % 16)
+    // stereo and garbage payloads emit no rows (quarantine, not crash)
+    val stereo = {
+      val b = Multimodal.syntheticAudioPayload(1L).clone()
+      b(22) = 2 // fmt channels LE low byte → 2 channels
+      Multimodal.RawAsset(9L, "wav", b)
+    }
+    val junk = Multimodal.RawAsset(10L, "wav", Array[Byte](1, 2, 3))
+    assert(Multimodal.audioFrameFeatures(Seq(stereo, junk).toDS()).count() === 0)
+  }
+
   test("triangleStats counts known graphs exactly") {
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
       val r = Graph.triangleStats(edges.toDF("s", "d"), "s", "d").collect()(0)
