@@ -90,6 +90,38 @@ object MultimodalCatalog {
     }),
 
 
+    // SCENE-CHANGE signal (E32i): every doc synthesizes a multi-frame
+    // netpbm P6 stream (each frame a spec-valid image, pixel bytes pure
+    // id/frame/offset arithmetic); the real header-walk recovers the
+    // frames and the kernel emits the L1 delta per consecutive pair — the
+    // number every practical shot detector thresholds. The oracle
+    // regenerates every byte from the construction and recomputes the
+    // deltas, so a header-walk, offset, or pairing bug hash-fails.
+    "mm_frame_diff" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map(id =>
+        Multimodal.RawAsset(id, "video", Multimodal.syntheticVideoPayload(id)))
+      Multimodal.videoFrameDiff(assets).toDF()
+        .orderBy("asset_id", "frame_no")
+    }),
+
+
+    // Per-channel COLOR HISTOGRAM (E32j): exact integer bucket counts
+    // (value div 32, 8 buckets x RGB) over the first frame of the same
+    // P6 stream — image statistics as a feature (exposure profiling,
+    // near-dup prefilters). The oracle regenerates the pixels and
+    // re-buckets them.
+    "mm_color_histogram" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map(id =>
+        Multimodal.RawAsset(id, "image", Multimodal.syntheticVideoPayload(id)))
+      Multimodal.colorHistogram(assets).toDF()
+        .orderBy("asset_id", "channel", "bucket")
+    }),
+
+
     "mm_decode_png_pixels" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -799,6 +831,32 @@ object MultimodalCatalog {
         |    AS zcr,
         |  max(abs(x))::INT AS peak
         |FROM f GROUP BY 1, 2 ORDER BY asset_id, frame_no""".stripMargin,
+
+
+    // regenerates every frame byte from syntheticVideoPayload's
+    // construction and recomputes the consecutive-pair L1 deltas
+    "mm_frame_diff" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h,
+        |    2 + doc_id % 3 AS nf FROM documents),
+        |fr AS (SELECT doc_id, 3 * w * h AS npx,
+        |    unnest(range(1, nf)) AS f FROM p),
+        |px AS (SELECT doc_id, f, npx, unnest(range(0, npx)) AS i FROM fr)
+        |SELECT doc_id AS asset_id, f::INT AS frame_no, npx::INT AS n_px,
+        |  sum(abs(((doc_id + f * 7 + i) % 256)
+        |        - ((doc_id + (f - 1) * 7 + i) % 256)))::BIGINT AS abs_diff
+        |FROM px GROUP BY 1, 2, 3 ORDER BY asset_id, frame_no""".stripMargin,
+
+
+    // regenerates frame 0's pixels and re-buckets them (value div 32)
+    "mm_color_histogram" ->
+      """WITH p AS (SELECT doc_id, 2 + doc_id % 4 AS w, 1 + doc_id % 3 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, unnest(range(0, 3 * w * h)) AS i FROM p)
+        |SELECT doc_id AS asset_id, (i % 3)::INT AS channel,
+        |  (((doc_id + i) % 256) // 32)::INT AS bucket,
+        |  count(*)::BIGINT AS n
+        |FROM px GROUP BY 1, 2, 3
+        |ORDER BY asset_id, channel, bucket""".stripMargin,
 
 
     // restates syntheticContainerPayload's dimension arithmetic: the Spark

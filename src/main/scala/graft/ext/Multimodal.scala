@@ -761,6 +761,115 @@ object Multimodal {
     })
   }
 
+  /** Deterministic multi-frame video fixture: `n = 2 + id%3` consecutive
+    * FULL P6 PPM images concatenated — the netpbm multi-image stream
+    * convention, so each frame is a spec-valid image and the walk is real
+    * header parsing, not an invented container. Frame `f`'s pixel byte
+    * `p` (of `3·w·h`, w = 2 + id%4, h = 1 + id%3) is
+    * `(id + f·7 + p) % 256` — pure integer construction the oracle
+    * restates per byte. */
+  def syntheticVideoPayload(id: Long): Array[Byte] = {
+    val w = (2 + id % 4).toInt
+    val h = (1 + id % 3).toInt
+    val n = (2 + id % 3).toInt
+    (0 until n).flatMap { f =>
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = Array.tabulate(3 * w * h)(p => ((id + f * 7 + p) % 256).toByte)
+      (header ++ px).toSeq
+    }.toArray
+  }
+
+  final case class FrameDiff(asset_id: Long, frame_no: Int, n_px: Int,
+                             abs_diff: Long)
+
+  /** SCENE-CHANGE / shot-boundary signal over a multi-image PPM stream:
+    * per consecutive frame pair, the sum of absolute byte differences
+    * (the L1 frame delta every practical shot detector thresholds). One
+    * row per frame from frame 1 on; exact integers. Streams whose frames
+    * disagree on dimensions — or any malformed frame — quarantine (no
+    * rows), the decode path's convention. Same mapPartitions shape as
+    * [[decode]]: constant memory, one parsed frame pair in flight. */
+  def videoFrameDiff(assets: Dataset[RawAsset]): Dataset[FrameDiff] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmStream(a.payload) match {
+        case Some(frames) if frames.length >= 2 &&
+            frames.forall(_.length == frames.head.length) =>
+          frames.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
+            var d = 0L
+            var j = 0
+            while (j < cur.length) {
+              d += math.abs((cur(j) & 0xff) - (prev(j) & 0xff))
+              j += 1
+            }
+            FrameDiff(a.asset_id, i + 1, cur.length, d)
+          }
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  final case class ChannelBucket(asset_id: Long, channel: Int, bucket: Int,
+                                 n: Long)
+
+  /** Per-channel COLOR HISTOGRAM of a P6 PPM — the image-statistics
+    * feature (exposure/color-cast profiling, near-dup prefilters) as
+    * exact integer counts: value div 32 → 8 buckets per RGB channel.
+    * Non-PPM or malformed payloads emit no rows. */
+  def colorHistogram(assets: Dataset[RawAsset]): Dataset[ChannelBucket] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmStream(a.payload) match {
+        case Some(frames) if frames.nonEmpty =>
+          val counts = new Array[Long](3 * 8)
+          val px = frames.head
+          var j = 0
+          while (j < px.length) {
+            counts((j % 3) * 8 + ((px(j) & 0xff) >> 5)) += 1
+            j += 1
+          }
+          (0 until 24).iterator.filter(counts(_) > 0).map(k =>
+            ChannelBucket(a.asset_id, k / 8, k % 8, counts(k)))
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  /** Walk a stream of concatenated P6 images, returning each frame's raw
+    * RGB bytes; None on the first malformed frame (a stream is all-good
+    * or quarantined — partial decodes would silently bias frame stats). */
+  private def parsePpmStream(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (b == null || b.length < 2) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < b.length) {
+      if (i + 2 > b.length || b(i) != 'P' || b(i + 1) != '6') return None
+      i += 2
+      def nextInt(): Option[Int] = {
+        var go = true
+        while (go && i < b.length) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (Character.isWhitespace(b(i))) i += 1
+          else go = false
+        }
+        val s = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i > s && i - s <= 9) Some(new String(b, s, i - s).toInt) else None
+      }
+      val parsed = for {
+        w <- nextInt(); h <- nextInt(); mv <- nextInt()
+        if w > 0 && h > 0 && mv > 0 && mv < 256
+        if i + 1 <= b.length && b.length.toLong >= i.toLong + 1L + 3L * w * h
+      } yield {
+        val start = i + 1 // the single whitespace byte after maxval
+        frames += java.util.Arrays.copyOfRange(b, start, start + 3 * w * h)
+        i = start + 3 * w * h
+      }
+      if (parsed.isEmpty) return None
+    }
+    Some(frames.result())
+  }
+
   /** Mono 16-bit PCM sample extraction — the [[ByteCodec]] WAV chunk walk,
     * returning raw samples instead of summary stats. */
   private def wavSamplesMono(b: Array[Byte]): Option[Array[Int]] = {

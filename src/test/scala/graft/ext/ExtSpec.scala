@@ -2317,6 +2317,28 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFrameFeatures(Seq(stereo, junk).toDS()).count() === 0)
   }
 
+  test("videoFrameDiff and colorHistogram: hand-built streams; mismatches quarantine") {
+    def ppm(px: Array[Byte], w: Int = 1, h: Int = 1) =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    val twoFrames = Multimodal.RawAsset(1L, "video",
+      ppm(Array[Byte](10, 20, 30)) ++ ppm(Array[Byte](13, 27, 30)))
+    val d = Multimodal.videoFrameDiff(Seq(twoFrames).toDS()).collect()
+    assert(d.length === 1)
+    assert((d(0).frame_no, d(0).n_px, d(0).abs_diff) === ((1, 3, 10L)))
+    // frames disagreeing on dimensions quarantine the whole stream
+    val mismatched = Multimodal.RawAsset(2L, "video",
+      ppm(Array[Byte](1, 2, 3)) ++ ppm(Array.fill[Byte](6)(0), w = 2))
+    // a single frame has no pair; junk is not a stream
+    val single = Multimodal.RawAsset(3L, "video", ppm(Array[Byte](1, 2, 3)))
+    val junk = Multimodal.RawAsset(4L, "video", Array[Byte](9, 9))
+    assert(Multimodal.videoFrameDiff(
+      Seq(mismatched, single, junk).toDS()).count() === 0)
+    // histogram: first frame only, value div 32 buckets, channels split
+    val hist = Multimodal.colorHistogram(Seq(twoFrames).toDS())
+      .collect().map(c => (c.channel, c.bucket, c.n)).toSet
+    assert(hist === Set((0, 10 >> 5, 1L), (1, 20 >> 5, 1L), (2, 30 >> 5, 1L)))
+  }
+
   test("triangleStats counts known graphs exactly") {
     def tri(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
       val r = Graph.triangleStats(edges.toDF("s", "d"), "s", "d").collect()(0)
