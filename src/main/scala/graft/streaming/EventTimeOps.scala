@@ -421,4 +421,65 @@ object EventTimeOps {
           }
       }
   }
+
+  final case class HHCand(window_start: Long, shard: Int, key: Long, lb: Long)
+
+  /** STREAMING heavy-hitter candidates — the streaming twin of
+    * `Sketches.heavyHitters`, same contract: a Misra–Gries summary whose
+    * survivors are a SUPERSET of every key above the window's
+    * share-of-traffic bound; the sketch prunes, a downstream exact verify
+    * (batch over the window's candidates, or `streamingHistogramCounts`-
+    * style counters over only them) decides. State per (event-time
+    * window × shard) group is a counter map hard-bounded by `capacity` —
+    * the property that lets the state store survive any key cardinality.
+    * Sharding by `key mod shards` keeps one window from collapsing onto
+    * one task (the window-start-keyed naive version is a hotspot at
+    * scale); per-shard MG preserves the superset property per shard, and
+    * a key's traffic lands wholly in its own shard, so the union of shard
+    * survivors is a superset of the window's heavy keys with the bound
+    * `count > windowShardRows/(capacity+1)`.
+    *
+    * Emits each invocation's surviving (window, shard, key, lower-bound)
+    * rows — update-stream semantics like `streamingNearDedup`: consumers
+    * take the LATEST (max lb) row per key. Integral keys only (state
+    * keys them as Long). */
+  def streamingHeavyHitterCandidates(events: DataFrame, tsCol: String,
+                                     keyCol: String, windowLen: String,
+                                     watermark: String, capacity: Int = 256,
+                                     shards: Int = 8): Dataset[HHCand] = {
+    require(capacity >= 1, s"capacity must be positive: $capacity")
+    require(shards >= 1, s"shards must be positive: $shards")
+    import events.sparkSession.implicits._
+    val keyType = events.schema(keyCol).dataType
+    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"streamingHeavyHitterCandidates requires a numeric key column " +
+        s"('$keyCol' is $keyType) — state keys them as Long")
+    events
+      .withWatermark(tsCol, watermark)
+      .select(
+        window(col(tsCol), windowLen).getField("start").cast("long").as("ws"),
+        col(keyCol).cast("long").as("k"))
+      .where(col("k").isNotNull)
+      .withColumn("shard", pmod(col("k"), lit(shards.toLong)).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState[Map[Long, Long], HHCand](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) { (wk, rows, state) =>
+        val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        state.getOption.foreach(m ++= _)
+        rows.foreach { case (_, k, _) =>
+          m.get(k) match {
+            case Some(c) => m.update(k, c + 1)
+            case None if m.size < capacity => m.update(k, 1L)
+            case None =>
+              val dead = m.iterator.collect { case (kk, 1L) => kk }.toArray
+              m.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(m.remove)
+          }
+        }
+        state.update(m.toMap)
+        m.iterator.map { case (k, lb) => HHCand(wk._1, wk._2, k, lb) }.toList.iterator
+      }
+  }
 }

@@ -422,4 +422,45 @@ class EventTimeSpec extends SparkSpec {
         col("n")).as[(Long, String, Long)].collect().toSet
     assert(sessions === Set((1L, "10:00", 2L), (1L, "10:30", 1L), (2L, "10:00", 1L)))
   }
+
+  test("streaming heavy-hitter candidates: superset across micro-batches, exact verify matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val cand = EventTimeOps.streamingHeavyHitterCandidates(
+      in.toDF().toDF("ts", "key"), "ts", "key", "1 hour", "15 minutes",
+      capacity = 8, shards = 2)
+    val q = cand.writeStream.format("memory").queryName("hh_sink")
+      .outputMode("update").start()
+    // skewed traffic split across two micro-batches: key 7 → 30 events,
+    // key 8 → 12, a 40-key singleton tail (more distinct keys than
+    // capacity·shards, so eviction really happens)
+    val all = Seq.fill(18)(7L) ++ Seq.fill(5)(8L) ++ (100L to 119L)
+    val late = Seq.fill(12)(7L) ++ Seq.fill(7)(8L) ++ (120L to 139L)
+    in.addData(all.map(k => (ts("10:05"), k)): _*)
+    q.processAllAvailable()
+    in.addData(late.map(k => (ts("10:40"), k)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // latest lower bound per key (update stream re-emits)
+    val survivors = spark.table("hh_sink")
+      .groupBy("key").agg(max("lb").as("lb"))
+      .as[(Long, Long)].collect().toMap
+    // superset property: both genuinely-heavy keys must have survived
+    assert(survivors.contains(7L) && survivors.contains(8L),
+      s"heavy keys evicted: ${survivors.keySet}")
+    // MG lower bounds never exceed true counts
+    assert(survivors(7L) <= 30L && survivors(8L) <= 12L)
+    // exact verify over the candidates == the batch operator's answer
+    val data = (all ++ late).toDF("key")
+    val batch = graft.ext.Sketches.heavyHitters(data, "key", threshold = 10L,
+        capacity = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val verified = data
+      .where(col("key").isInCollection(survivors.keys.toSeq))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 10)
+      .as[(Long, Long)].collect().toMap
+    assert(verified === batch,
+      "streamed candidates + exact verify must equal the batch operator")
+  }
 }
