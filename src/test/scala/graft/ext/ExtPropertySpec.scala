@@ -226,4 +226,31 @@ class ExtPropertySpec extends SparkSpec {
       assert(got === expected, s"log: $evs")
     }
   }
+
+  test("heavyHitters property: equals the exact HAVING query for any sound (T, cap)") {
+    val caseGen = for {
+      // zipf-ish multiset: nKeys keys, key k repeated weight(k) times
+      nKeys <- Gen.choose(5, 60)
+      weights <- Gen.listOfN(nKeys, Gen.choose(1, 50))
+      parts <- Gen.choose(1, 9)
+      threshold <- Gen.choose(5L, 25L)
+    } yield (weights, parts, threshold)
+    forSamples(caseGen, n = 10) { case (weights, parts, threshold) =>
+      val rows = weights.zipWithIndex.flatMap { case (w, k) =>
+        Seq.fill(w)(k.toLong)
+      }
+      val n = rows.length.toLong
+      // smallest sound capacity plus a margin — the property must hold at
+      // the BOUNDARY, not only at generous capacities
+      val capacity = (n / threshold).toInt + 1
+      val df = rows.toDF("key").repartition(parts)
+      val want = df.groupBy("key").agg(count(lit(1)).as("n"))
+        .where(col("n") >= threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Sketches.heavyHitters(df, "key", threshold, capacity)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want,
+        s"n=$n threshold=$threshold capacity=$capacity parts=$parts")
+    }
+  }
 }
