@@ -308,6 +308,22 @@ object SamplingCatalog {
     }),
 
 
+    // PERCENTILE SCORE NORMALIZATION (Sampling.percentileNormalize):
+    // per-source scores mapped to within-source percentile ranks the
+    // histogram-CDF way — the corpus collapses to a ≤ sources·buckets CDF
+    // frame that broadcasts back onto the scan (no per-row rank sort, the
+    // shape that survives 100 TB). pct_ppm is an exact integer; the
+    // oracle recomputes the CDF with window sums over the same buckets.
+    "sample_score_normalize" -> ((s, d) => {
+      Sampling.percentileNormalize(
+          t(s, d, "documents").select(col("doc_id"), col("source"),
+            col("n_chars")),
+          "source", "n_chars", width = 50.0, nBuckets = 20)
+        .select(col("doc_id"), col("source"), col("bucket"), col("pct_ppm"))
+        .orderBy("doc_id")
+    }),
+
+
     // LEARNED data-mixing weights (Sampling.mixtureWeightsMW): linearized
     // multiplicative-weights reweighting of the three sources by excess
     // mean document length — the DoReMi loop shape with every update an
@@ -584,6 +600,23 @@ object SamplingCatalog {
          |SELECT doc_id, count(*)::BIGINT AS n_shared
          |FROM dg JOIN pg USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // within-source histogram CDF; ::BIGINT because DuckDB's window sum
+    // is HUGEINT (the decimal-hash rule)
+    "sample_score_normalize" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    least(floor(n_chars / 50.0), 19)::INT AS bucket
+        |  FROM documents),
+        |c AS (SELECT source, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT source, bucket,
+        |    sum(c) OVER (PARTITION BY source ORDER BY bucket) AS cum_le,
+        |    sum(c) OVER (PARTITION BY source) AS n
+        |  FROM c)
+        |SELECT b.doc_id, b.source, b.bucket,
+        |  ((cum.cum_le * 1000000) // cum.n)::BIGINT AS pct_ppm
+        |FROM b JOIN cum USING (source, bucket)
+        |ORDER BY doc_id""".stripMargin,
 
 
     // three unrolled MW rounds; all-positive integers ⇒ truncating and

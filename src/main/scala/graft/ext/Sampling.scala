@@ -608,6 +608,37 @@ object Sampling {
         sum(keyHash).as("checksum"))
   }
 
+  /** PERCENTILE SCORE NORMALIZATION — make per-source quality scores
+    * comparable before a global threshold (two classifiers' raw scores
+    * never share a scale; their percentiles do). The at-scale shape is
+    * histogram-CDF, not rank: an exact per-row percentile needs a global
+    * sort per group, but bucketing scores on the E19c histogram law
+    * (`bucket = min(⌊score/width⌋, nBuckets−1)`) collapses the data to a
+    * ≤ groups·nBuckets CDF frame that BROADCASTS back onto the scan — one
+    * map-side-combined aggregation over the corpus, zero data-sized
+    * shuffle, percentile resolution = one bucket. Output adds `bucket`
+    * and `pct_ppm` = (rows at-or-below the row's bucket within its
+    * group) · 10⁶ div (group rows) — an exact integer both engines agree
+    * on. Null scores are excluded (no percentile without a score). */
+  def percentileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+                          width: Double, nBuckets: Int): DataFrame = {
+    require(width > 0 && nBuckets > 0, s"bad histogram: w=$width n=$nBuckets")
+    val bucket = least(floor(col(scoreCol) / width), lit(nBuckets - 1))
+      .cast("int")
+    val scored = df.where(col(scoreCol).isNotNull)
+      .withColumn("bucket", bucket)
+    val cdf = scored.groupBy(col(groupCol).as("__g"), col("bucket"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum_le", sum("__c").over(
+        Window.partitionBy("__g").orderBy("bucket")))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("__g")))
+      .select(col("__g"), col("bucket"),
+        expr("(__cum_le * 1000000) div __n").as("pct_ppm"))
+    scored.join(broadcast(cdf),
+      scored(groupCol) === cdf("__g") && scored("bucket") === cdf("bucket"))
+      .drop(cdf("bucket")).drop("__g")
+  }
+
   /** Fixed point for [[mixtureWeightsMW]]: 2^20 — weights and quantized
     * losses carry 20 fractional bits, far under overflow at the documented
     * bounds. */

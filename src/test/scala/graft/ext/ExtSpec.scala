@@ -2317,6 +2317,24 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFrameFeatures(Seq(stereo, junk).toDS()).count() === 0)
   }
 
+  test("percentileNormalize: histogram-CDF percentiles, per group, exact integers") {
+    // group a: buckets 0,1,2,3 one row each → 25/50/75/100%; group b: two
+    // rows in bucket 0 of three total → both 666666, last 1000000
+    val df = Seq(("a", 10.0), ("a", 60.0), ("a", 110.0), ("a", 160.0),
+      ("b", 5.0), ("b", 20.0), ("b", 70.0)).toDF("g", "score")
+    val out = Sampling.percentileNormalize(df, "g", "score", 50.0, 20)
+      .select(col("g"), col("score"), col("pct_ppm"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(out(("a", 10.0)) === 250000L && out(("a", 60.0)) === 500000L)
+    assert(out(("a", 110.0)) === 750000L && out(("a", 160.0)) === 1000000L)
+    assert(out(("b", 5.0)) === 666666L && out(("b", 20.0)) === 666666L)
+    assert(out(("b", 70.0)) === 1000000L)
+    // null scores carry no percentile and emit no row
+    val withNull = Seq(("a", Some(10.0)), ("a", None)).toDF("g", "score")
+    assert(Sampling.percentileNormalize(withNull, "g", "score", 50.0, 20)
+      .count() === 1)
+  }
+
   test("videoFrameDiff and colorHistogram: hand-built streams; mismatches quarantine") {
     def ppm(px: Array[Byte], w: Int = 1, h: Int = 1) =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
