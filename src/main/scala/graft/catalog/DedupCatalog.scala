@@ -134,6 +134,28 @@ object DedupCatalog {
     }),
 
 
+    // LSH DETECTION-RATE harness (Dedup.lshDetectionEval): planted pairs
+    // = each doc vs its PREFIX variant (first 2 + id%29 words — a spread
+    // of true Jaccard levels on real text), detection = "some 2-row band
+    // of the 8-hash portable family agrees", bucketed by exact-Jaccard
+    // decile. The emitted S-curve (low deciles mostly missed, high
+    // deciles near-certain) is banding theory MEASURED, not asserted —
+    // the oracle recomputes signatures, bands, and exact Jaccard per
+    // pair, so a hash, banding, or bucketing bug hash-fails.
+    "dedup_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 250)
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 100000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          (col("doc_id") % 29 + 2).cast("int")), " ").as("text"))
+      val pairs = docs.select(col("doc_id").as("a_id"),
+        (col("doc_id") + 100000L).as("b_id"))
+      Dedup.lshDetectionEval(docs.unionByName(variants), "doc_id", "text",
+          pairs, shingleLen = 3, numHashes = 8, bandRows = 2)
+        .orderBy("jac_decile")
+    }),
+
+
     // The at-scale minhash: xxhash64 signatures (codegen'd long arithmetic)
     // with 16 seeds / 1-row bands, so LSH recall ≥ 1-2^-16 per true pair and
     // the exact-Jaccard verify makes the output the TRUE pair set — which is
@@ -491,6 +513,38 @@ object DedupCatalog {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same signature/band law as dedup_minhash, evaluated pair-locally
+    // on the planted prefix-variant pairs, bucketed by exact Jaccard
+    "dedup_eval" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+         |var AS (SELECT b0.doc_id + 100000 AS doc_id,
+         |    array_to_string(list_slice(string_split(b0.text, ' '), 1,
+         |      (b0.doc_id % 29 + 2)::INT), ' ') AS text
+         |  FROM base b0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM corpus),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bnd AS (SELECT doc_id, ${Sql.minhashBands} AS bands FROM sig),
+         |pr AS (SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM base),
+         |ev AS (SELECT
+         |    len(list_intersect(x.s, y.s)) AS i,
+         |    len(list_distinct(list_concat(x.s, y.s))) AS u,
+         |    (ba.bands[1] = bb.bands[1] OR ba.bands[2] = bb.bands[2]
+         |     OR ba.bands[3] = bb.bands[3] OR ba.bands[4] = bb.bands[4]) AS det
+         |  FROM pr
+         |  JOIN sh2 x ON x.doc_id = pr.a_id
+         |  JOIN sh2 y ON y.doc_id = pr.b_id
+         |  JOIN bnd ba ON ba.doc_id = pr.a_id
+         |  JOIN bnd bb ON bb.doc_id = pr.b_id)
+         |SELECT ((i * 10) // u)::INT AS jac_decile, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN det THEN 1 ELSE 0 END)::BIGINT AS n_detected,
+         |  ((sum(CASE WHEN det THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+         |    AS detection_ppm
+         |FROM ev GROUP BY 1 ORDER BY jac_decile""".stripMargin,
+
 
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),

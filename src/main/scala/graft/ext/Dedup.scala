@@ -428,6 +428,50 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
+  /** LSH DETECTION-RATE evaluation — the dedup family's measured-quality
+    * harness (the sibling of the ANN recall harness): per exact-Jaccard
+    * DECILE of a planted pair set, how many pairs does the banded MinHash
+    * family detect? Detection is evaluated pair-locally as "some band's
+    * signature rows all agree" — exactly the law the corpus-scale bucket
+    * join ([[lshCandidates]]) realizes, restated per pair so an external
+    * engine can reproduce it band for band. The S-curve this emits (low
+    * deciles mostly undetected, high deciles near-certain) is the
+    * banding-theory prediction measured on real text, not asserted.
+    *
+    * Scale shape: signatures are one projection over the corpus; the
+    * planted pairs join their two signature rows by id (shuffle keyed on
+    * the pair ids, |pairs| rows) — no all-pairs anything. Pairs with
+    * either side below one shingle drop (no signature, no detection
+    * question). Output: (jac_decile = ⌊10·J⌋, n_pairs, n_detected,
+    * detection_ppm), exact integers. */
+  def lshDetectionEval(corpus: DataFrame, idCol: String, textCol: String,
+                       pairs: DataFrame, shingleLen: Int = 3,
+                       numHashes: Int = 8, bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes ($numHashes) must split into bands of $bandRows")
+    val sh = corpus.select(col(idCol).cast("long").as("id"),
+        array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
+      .where(size(col("sh")) >= 1)
+    val sig = sh.select(col("id"), col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
+    val nBands = numHashes / bandRows
+    val a = sig.toDF("a_id", "a_sh", "a_sig")
+    val b = sig.toDF("b_id", "b_sh", "b_sig")
+    pairs.join(a, "a_id").join(b, "b_id")
+      .select(
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        size(array_union(col("a_sh"), col("b_sh"))).as("uni"),
+        exists(sequence(lit(1), lit(nBands)), bi =>
+          slice(col("a_sig"), (bi - lit(1)) * bandRows + lit(1), lit(bandRows)) ===
+            slice(col("b_sig"), (bi - lit(1)) * bandRows + lit(1), lit(bandRows)))
+          .as("detected"))
+      .groupBy(expr("(inter * 10) div uni").cast("int").as("jac_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"))
+      .withColumn("detection_ppm",
+        expr("(n_detected * 1000000) div n_pairs"))
+  }
+
   /** Near-duplicate pairs: MinHash(k seeds) LSH candidates, verified by
     * exact shingle-set Jaccard >= threshold. Output: (a_id, b_id, jaccard).
     * Portable md5-string signatures — bit-reproducible by an external

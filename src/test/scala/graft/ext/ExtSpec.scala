@@ -2317,6 +2317,20 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFrameFeatures(Seq(stereo, junk).toDS()).count() === 0)
   }
 
+  test("lshDetectionEval: identical pairs always detect, disjoint never") {
+    val corpus = Seq(
+      (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),   // identical → J=1
+      (3L, "aa bb cc dd ee"), (4L, "zz yy xx ww vv"),   // disjoint → J=0
+      (5L, "one two")                                    // < 3 words: no sig
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 5L)).toDF("a_id", "b_id")
+    val r = Dedup.lshDetectionEval(corpus, "doc_id", "text", pairs)
+      .collect().map(x => x.getInt(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // identical signatures: every band agrees; disjoint sets: J=0 decile
+    // with (astronomically) no band collision; the shingle-less pair drops
+    assert(r === Map(10 -> ((1L, 1L)), 0 -> ((1L, 0L))))
+  }
+
   test("percentileNormalize: histogram-CDF percentiles, per group, exact integers") {
     // group a: buckets 0,1,2,3 one row each → 25/50/75/100%; group b: two
     // rows in bucket 0 of three total → both 666666, last 1000000
