@@ -78,6 +78,30 @@ object TextCatalog {
         .orderBy("doc_id")
     }),
 
+
+    // CALIBRATION curve of the hashed-linear classifier against the
+    // rule-based quality gate (the curation predicate): per clamped score
+    // bucket, what fraction of documents pass the gate? The reliability
+    // diagram a model-based gate needs before its threshold is trusted —
+    // eval breadth next to the held-out-accuracy row. floor(x/2000.0) on
+    // BOTH engines (same IEEE op ⇒ same bits; integer `div` would
+    // truncate-vs-floor-diverge on negative scores).
+    "text_classifier_calibration" -> ((s, d) => {
+      val scored = TextStats.hashedLinearScore(t(s, d, "documents"),
+        "doc_id", "text")
+      val gated = t(s, d, "documents").select(col("doc_id"),
+        (TextStats.nTokens(col("text")) >= 30 &&
+          TextStats.stopwordRatio(col("text"), stopwords) <= 0.25)
+          .as("passes"))
+      scored.join(gated, "doc_id")
+        .groupBy(least(greatest(floor(col("score_fp") / 2000.0), lit(-10.0)),
+          lit(10.0)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
+        .withColumn("pass_ppm", expr("(n_pass * 1000000) div n_docs"))
+        .orderBy("bucket")
+    }),
+
     "text_quality" -> ((s, d) => {
       val base = t(s, d, "documents").select(
         col("doc_id"),
@@ -547,6 +571,35 @@ object TextCatalog {
     // feature hashing + keyed-hash linear weights restated verbatim:
     // unigrams ++ adjacent bigram conjunctions, bucket = md5-derived 32-bit
     // mod 4096, weight = (b·1103515245 + 12345) mod 2001 − 1000, exact sum
+    // the classifier-score CTEs of text_quality_classifier + the curation
+    // quality predicate, bucketed; n_pass > 0 only where scores and gates
+    // agree — the curve itself is on the hash
+    "text_classifier_calibration" ->
+      s"""WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_concat(toks,
+        |    CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)), i -> toks[i] || '_' || toks[i + 1])
+        |      ELSE []::VARCHAR[] END) AS feats
+        |  FROM w),
+        |s AS (SELECT doc_id,
+        |    coalesce(list_sum(list_transform(feats, t ->
+        |      ((('0x' || substr(md5(t || 'qc'), 1, 8))::BIGINT % 4096)
+        |        * 1103515245 + 12345) % 2001 - 1000)), 0)::BIGINT AS score_fp
+        |  FROM f),
+        |g AS (SELECT doc_id,
+        |    (${Sql.curationQualityPred}) AS passes
+        |  FROM documents)
+        |SELECT least(greatest(floor(score_fp / 2000.0), -10), 10)::INT AS bucket,
+        |  count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN passes THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+        |  ((sum(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000) // count(*))::BIGINT
+        |    AS pass_ppm
+        |FROM s JOIN g USING (doc_id)
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+
     "text_quality_classifier" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
