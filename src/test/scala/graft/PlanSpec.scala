@@ -621,6 +621,24 @@ class PlanSpec extends SparkSpec {
       s"group sizes must combine map-side:\n$p")
   }
 
+  test("sample_score_normalize: the CDF broadcasts onto the scan") {
+    val p = plan("sample_score_normalize")
+    // the whole point of the histogram-CDF shape: the per-row percentile
+    // attaches via a broadcast of the tiny CDF frame, never a data-sized
+    // shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"CDF must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no data-sized shuffle join belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+  }
+
+  test("dedup_eval: pair-keyed joins only, never a product") {
+    val p = plan("dedup_eval")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the harness must never go all-pairs:\n$p")
+  }
+
   test("q_heavy_hitters: candidates broadcast into a semi-join, never a product") {
     val p = plan("q_heavy_hitters")
     // the exact verify restricts the data via a broadcast semi-join on the
