@@ -27,6 +27,19 @@ object SimilarityCatalog {
     }),
 
 
+    // BINARY quantization retrieve-then-rerank (Similarity.binaryTopK):
+    // 62 sign bits in one BIGINT, Hamming-similarity shortlist (xor +
+    // bit_count per candidate — 32x less memory than float32), exact
+    // cosine rerank of the shortlist. The oracle restates bit packing,
+    // Hamming ranking with its tie law, and the strict-fold rerank.
+    "sim_topk_binary" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.binaryTopK(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, shortlist = 40)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // Sign-quantization LSH bucketed top-k (the pruned scale path).
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -797,6 +810,33 @@ object SimilarityCatalog {
          |  greatest(eA.est + eB.est - eU.est, 0)::BIGINT AS est_intersect,
          |  ex.exact_intersect
          |FROM eA, eB, eU, ex""".stripMargin,
+
+    // sign-bit packing (62 value bits), Hamming shortlist with the
+    // desc-score/asc-id tie law, strict-fold cosine rerank
+    "sim_topk_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm,
+         |  list_reduce(list_concat([0::BIGINT],
+         |    list_transform(range(1, 63), i ->
+         |      CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+         |        ELSE 0::BIGINT END)), (x, y) -> x + y) AS bb
+         |  FROM e),
+         |pre AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    62 - bit_count(xor(q.bb, c.bb)) AS hs
+         |  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |short AS (SELECT query_id, id FROM pre
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hs DESC, id) <= 40),
+         |scored AS (SELECT s.query_id, s.id,
+         |    ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM short s JOIN b q ON q.vec_id = s.query_id
+         |  JOIN b c ON c.vec_id = s.id),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
 
     "sim_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -340,6 +340,40 @@ object Similarity {
     rankTopK(rescored, k)
   }
 
+  /** BINARY-quantized retrieve-then-rerank — the 1-bit point on the
+    * quantization curve next to int8 ([[int8TopK]]) and PQ: 62 of the 64
+    * dims pack their SIGN into one BIGINT's value bits (62, not 64, keeps
+    * every engine's signed-64 shift arithmetic in range), stage 1 ranks
+    * candidates by Hamming similarity `62 − popcount(cb xor qb)` — a
+    * 64-float dot product becomes one xor + bit_count — and stage 2
+    * re-scores only the per-query `shortlist` at full float precision.
+    * 8 bytes per vector where float32 needs 256: the 32× memory cut that
+    * lets a 10⁹-vector first stage live in RAM. Same two-stage shape and
+    * determinism contract as [[refinedTopK]] (integer Hamming scores,
+    * desc-score/asc-id ties), so the whole pipeline restates in DuckDB. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      signBucketAt(asDouble(col(vecCol)), 62, 0).as("cb"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"),
+      signBucketAt(asDouble(col(vecCol)), 62, 0).as("qb"))
+    val pre = c.select("id", "cb")
+      .crossJoin(broadcast(q.select("query_id", "qb")))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        (lit(62) - expr("bit_count(cb ^ qb)")).cast("double").as("score"))
+    val short = TopK.topKPerKey(pre, "query_id", "score", "id", shortlist)
+      .select(col("query_id"), col("id"))
+    val rescored = short
+      .join(c.select("id", "v"), "id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("id"),
+        cosine(col("qv"), col("v")).as("score"))
+    rankTopK(rescored, k)
+  }
+
   /** The centroid set as ONE literal column: an array of
     * (cent_id, cv: array<double>) structs, collected from the `nCells`
     * lowest-id corpus vectors (deterministic and dependency-free; swap in

@@ -2317,6 +2317,26 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.audioFrameFeatures(Seq(stereo, junk).toDS()).count() === 0)
   }
 
+  test("binaryTopK degenerates to exact brute force at full shortlist") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val binFull = Similarity.binaryTopK(vecs, q, "vec_id", "embedding",
+        k = 5, shortlist = 29)
+      .select("query_id", "rank", "id").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(binFull === exact,
+      "full-shortlist binary rerank must equal exact brute force")
+    // a tight shortlist still returns k well-formed rows per query
+    val tight = Similarity.binaryTopK(vecs, q, "vec_id", "embedding", 5, 8)
+    assert(tight.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) === 5L))
+  }
+
   test("lshDetectionEval: identical pairs always detect, disjoint never") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),   // identical → J=1
