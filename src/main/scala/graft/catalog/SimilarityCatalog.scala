@@ -40,6 +40,29 @@ object SimilarityCatalog {
     }),
 
 
+    // Measured RECALL of the binary path (the sim_recall_eval convention:
+    // quality measured in-engine, not asserted): per query, |binary top-5
+    // ∩ exact top-5| at a 4x-k Hamming shortlist. Queries whose binary
+    // list misses everything still emit (recall 0) via the left join.
+    "sim_recall_binary" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("id"))
+      val bin = Similarity.binaryTopK(e, q, "vec_id", "embedding",
+          k = 5, shortlist = 20)
+        .select(col("query_id"), col("id"))
+      val hits = exact.join(bin, Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)) * 200000L).as("recall_ppm"))
+        .orderBy("query_id")
+    }),
+
+
     // Sign-quantization LSH bucketed top-k (the pruned scale path).
     "sim_topk_lsh" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -810,6 +833,48 @@ object SimilarityCatalog {
          |  greatest(eA.est + eB.est - eU.est, 0)::BIGINT AS est_intersect,
          |  ex.exact_intersect
          |FROM eA, eB, eU, ex""".stripMargin,
+
+    // both pipelines restated (exact brute rank + the binary two-stage
+    // with its 20-deep Hamming shortlist), recall = overlap of the two
+    // per-query top-5 id sets
+    "sim_recall_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm,
+         |  list_reduce(list_concat([0::BIGINT],
+         |    list_transform(range(1, 63), i ->
+         |      CASE WHEN v[i] > 0 THEN (1::BIGINT << (i - 1))
+         |        ELSE 0::BIGINT END)), (x, y) -> x + y) AS bb
+         |  FROM e),
+         |exact AS (SELECT query_id, id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) DESC,
+         |        c.vec_id) AS rank
+         |  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |  WHERE rank <= 5),
+         |short AS (SELECT query_id, id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY 62 - bit_count(xor(q.bb, c.bb)) DESC, c.vec_id)
+         |      AS hrank
+         |  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |  WHERE hrank <= 20),
+         |bin AS (SELECT query_id, id FROM (
+         |  SELECT s.query_id, s.id,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) DESC,
+         |        s.id) AS rank
+         |  FROM short s JOIN b q ON q.vec_id = s.query_id
+         |  JOIN b c ON c.vec_id = s.id)
+         |  WHERE rank <= 5),
+         |h AS (SELECT exact.query_id, count(*) AS n_hit
+         |  FROM exact JOIN bin USING (query_id, id) GROUP BY 1)
+         |SELECT e.vec_id AS query_id,
+         |  coalesce(h.n_hit, 0)::BIGINT AS n_hit,
+         |  (coalesce(h.n_hit, 0) * 200000)::BIGINT AS recall_ppm
+         |FROM e LEFT JOIN h ON h.query_id = e.vec_id
+         |WHERE e.vec_id < 5 ORDER BY query_id""".stripMargin,
+
 
     // sign-bit packing (62 value bits), Hamming shortlist with the
     // desc-score/asc-id tie law, strict-fold cosine rerank
