@@ -134,6 +134,26 @@ object DedupCatalog {
     }),
 
 
+    // ASYMMETRIC CONTAINMENT dedup (Dedup.containmentPairs): every doc
+    // gets a 10-word MID-EXCERPT twin (words 4-13 — not a prefix, so
+    // span/anchor alignment isn't what catches it), whose Jaccard against
+    // its source is tiny but whose containment is 1.0 — the short-in-long
+    // case the MinHash-Jaccard pipeline misses BY DESIGN (detection prob
+    // ≈ J). Candidates come from a sampled-shingle inverted join (salted
+    // md5 picks 1/4 of shingles; stop-shingle cap keeps the self-join
+    // linear); the exact verify scores true containment in ppm. The
+    // oracle restates sampling, cap, candidates, and verify.
+    "dedup_containment" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val variants = docs.select((col("doc_id") + 200000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(4), lit(10)), " ")
+          .as("text"))
+      Dedup.containmentPairs(docs.unionByName(variants), "doc_id", "text")
+        .orderBy("a_id", "b_id")
+    }),
+
+
     // LSH DETECTION-RATE harness (Dedup.lshDetectionEval): planted pairs
     // = each doc vs its PREFIX variant (first 2 + id%29 words — a spread
     // of true Jaccard levels on real text), detection = "some 2-row band
@@ -513,6 +533,36 @@ object DedupCatalog {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // sampled inverted index (hash60 '0x' law), stop-shingle cap,
+    // exact-containment verify in ppm
+    "dedup_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |var AS (SELECT b0.doc_id + 200000 AS doc_id,
+         |    array_to_string(list_slice(string_split(b0.text, ' '), 4, 13),
+         |      ' ') AS text
+         |  FROM base b0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM corpus),
+         |sh0 AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh AS (SELECT doc_id, s FROM sh0 WHERE len(s) > 0),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |samp AS (SELECT doc_id, g FROM ex
+         |  WHERE ('0x' || substr(md5('cont:' || g), 1, 15))::BIGINT % 4 = 0),
+         |ok AS (SELECT g FROM samp GROUP BY g HAVING count(*) <= 4096),
+         |idx AS (SELECT samp.doc_id, samp.g FROM samp JOIN ok USING (g)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM idx a JOIN idx b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |v AS (SELECT a_id, b_id,
+         |    len(list_intersect(x.s, y.s)) AS inter,
+         |    len(x.s) AS na, len(y.s) AS nb
+         |  FROM cand JOIN sh x ON x.doc_id = cand.a_id
+         |  JOIN sh y ON y.doc_id = cand.b_id)
+         |SELECT a_id, b_id, inter::INT AS inter, na::INT AS na, nb::INT AS nb,
+         |  ((inter::BIGINT * 1000000) // least(na, nb))::BIGINT AS cont_ppm
+         |FROM v WHERE (inter::BIGINT * 1000000) // least(na, nb) >= 800000
+         |ORDER BY a_id, b_id""".stripMargin,
+
 
     // same signature/band law as dedup_minhash, evaluated pair-locally
     // on the planted prefix-variant pairs, bucketed by exact Jaccard

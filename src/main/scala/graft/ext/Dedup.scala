@@ -472,6 +472,68 @@ object Dedup {
         expr("(n_detected * 1000000) div n_pairs"))
   }
 
+  /** ASYMMETRIC near-dup — CONTAINMENT C(A,B) = |A∩B| / min(|A|,|B|): the
+    * criterion that catches a short document embedded in a long one, which
+    * Jaccard structurally cannot (a 10-shingle excerpt perfectly contained
+    * in a 1000-shingle doc has J ≤ 0.01 — and MinHash banding detects with
+    * probability ≈ J, so the Jaccard pipeline misses it by DESIGN, not by
+    * tuning). Candidates instead come from a SAMPLED-SHINGLE inverted
+    * join: shingles whose salted md5 falls in 1/`sampleMod` of hash space
+    * key an inverted index; two docs sharing any sampled shingle become a
+    * candidate. A contained excerpt of s shingles shares ≥ C·s of them, so
+    * it surfaces unless ALL its sampled shingles miss — P(miss) ≈
+    * (1−1/sampleMod)^(C·s), negligible past a dozen shingles. Shingles
+    * shared by more than `maxBucketSize` docs are dropped from the index
+    * (the stop-shingle guard that keeps the self-join linear — boilerplate
+    * n-grams would otherwise quadratically explode a bucket); the exact
+    * verify then scores candidates on TRUE containment, so caps and
+    * sampling only cost recall, never precision. Deterministic end to end
+    * (md5 sampling, integer containment in ppm) ⇒ DuckDB-restatable.
+    * Output: (a_id, b_id, inter, na, nb, cont_ppm) at cont_ppm ≥
+    * threshold·10⁶. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, thresholdPpm: Long = 800000L,
+                       sampleMod: Int = 4,
+                       maxBucketSize: Int = 4096): DataFrame = {
+    require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
+      s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
+    require(sampleMod >= 1, s"sampleMod must be positive: $sampleMod")
+    require(maxBucketSize >= 1, s"maxBucketSize must be positive: $maxBucketSize")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = ensureParallelism(
+      df.select(col(idCol), col(textCol))
+        .where(size(split(lower(col(textCol)), " ")) >= shingleLen), par)
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = sh
+      .select(col("id"), explode(col("sh")).as("g"))
+      .where(conv(substring(md5(concat(lit("cont:"), col("g"))), 1, 15),
+        16, 10).cast("long") % sampleMod === 0)
+    // stop-shingle guard: an inverted-index bucket of b docs costs b² pairs
+    val hot = sampled.groupBy("g").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucketSize)
+      .select("g")
+    val idx = sampled.join(broadcast(hot), Seq("g"), "left_anti")
+    val cand = idx.as("a").join(idx.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val verified = cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("sh_a"),
+        size(col("sh")).as("na")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("sh_b"),
+        size(col("sh")).as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"),
+        col("na"), col("nb"))
+      .withColumn("cont_ppm",
+        expr("(cast(inter AS bigint) * 1000000) div least(na, nb)"))
+      .where(col("cont_ppm") >= thresholdPpm)
+    releaseAfterFirstAction(sh)
+    verified
+  }
+
   /** Near-duplicate pairs: MinHash(k seeds) LSH candidates, verified by
     * exact shingle-set Jaccard >= threshold. Output: (a_id, b_id, jaccard).
     * Portable md5-string signatures — bit-reproducible by an external

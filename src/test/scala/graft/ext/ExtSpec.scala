@@ -2337,6 +2337,33 @@ class ExtSpec extends SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("containmentPairs catches the short-in-long pair the Jaccard pipeline misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    // 25 contained words → 23 shingles: the 1/4 md5 sample misses ALL of
+    // them with probability 0.75^23 ≈ 0.1% — and deterministically, this
+    // fixture's shingles do sample
+    val short = (20 to 44).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, long), (2L, short), (3L, "qq rr ss tt uu vv"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getInt(2), r.getLong(5)))).toMap
+    // the excerpt: 23 of 23 shingles contained → 1.0; true Jaccard 23/58
+    assert(got === Map((1L, 2L) -> ((23, 1000000L))), got)
+    // the Jaccard pipeline at its own threshold misses this pair BY DESIGN
+    val jac = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.5)
+    assert(jac.where(col("a_id") === 1 && col("b_id") === 2).count() === 0,
+      "a contained excerpt must not be a Jaccard-0.5 pair — else this " +
+        "operator is redundant")
+    // stop-shingle cap: a shingle shared by every doc stops generating
+    // candidates once its bucket exceeds the cap (precision unaffected —
+    // only the SAMPLED index shrinks)
+    val spam = (1L to 10L).map(i => (i, "same same same same boiler plate"))
+      .toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(spam, "doc_id", "text",
+      maxBucketSize = 3).count() === 0)
+  }
+
   test("lshDetectionEval: identical pairs always detect, disjoint never") {
     val corpus = Seq(
       (1L, "aa bb cc dd ee"), (2L, "aa bb cc dd ee"),   // identical → J=1
