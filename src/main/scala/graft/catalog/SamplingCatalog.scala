@@ -308,6 +308,21 @@ object SamplingCatalog {
     }),
 
 
+    // LENGTH-BUCKETED BATCHING (Sampling.lengthBucketBatches): docs
+    // grouped into 16-token-wide length buckets, 8 sequences per batch in
+    // deterministic id order, emitting the padding LEDGER per batch —
+    // n/max/sum tokens and waste_ppm, the number that justifies dynamic
+    // batching (in-batch spread ≤ bucketWidth caps waste). The oracle
+    // recomputes buckets, batch ranks, and the waste arithmetic.
+    "sample_length_batches" -> ((s, d) => {
+      Sampling.lengthBucketBatches(
+          t(s, d, "documents").select(col("doc_id"),
+            size(split(col("text"), " ")).as("tok")),
+          "doc_id", "tok", bucketWidth = 16, batchSize = 8)
+        .orderBy("bucket", "batch_no")
+    }),
+
+
     // PERCENTILE SCORE NORMALIZATION (Sampling.percentileNormalize):
     // per-source scores mapped to within-source percentile ranks the
     // histogram-CDF way — the corpus collapses to a ≤ sources·buckets CDF
@@ -600,6 +615,22 @@ object SamplingCatalog {
          |SELECT doc_id, count(*)::BIGINT AS n_shared
          |FROM dg JOIN pg USING (g)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    // buckets, in-bucket batch ranks, and the waste ledger restated
+    "sample_length_batches" ->
+      """WITH t AS (SELECT doc_id,
+        |    len(string_split(text, ' '))::BIGINT AS tok FROM documents),
+        |b AS (SELECT doc_id, tok, tok // 16 AS bucket FROM t),
+        |r AS (SELECT bucket, tok,
+        |    ((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+        |      // 8)::INT AS batch_no
+        |  FROM b)
+        |SELECT bucket, batch_no, count(*)::BIGINT AS n_seqs,
+        |  max(tok)::BIGINT AS max_tokens, sum(tok)::BIGINT AS sum_tokens,
+        |  (((count(*) * max(tok) - sum(tok)) * 1000000)
+        |    // (count(*) * max(tok)))::BIGINT AS waste_ppm
+        |FROM r GROUP BY 1, 2 ORDER BY bucket, batch_no""".stripMargin,
 
 
     // within-source histogram CDF; ::BIGINT because DuckDB's window sum

@@ -608,6 +608,42 @@ object Sampling {
         sum(keyHash).as("checksum"))
   }
 
+  /** LENGTH-BUCKETED BATCHING — the dynamic-batching step a trainer runs
+    * to bound padding waste: a batch pads every sequence to its longest
+    * member, so batching a 10-token doc with a 1000-token doc wastes 99%
+    * of the compute; grouping into length buckets first caps the
+    * in-batch length spread at `bucketWidth`. Assignment is deterministic
+    * (rank by id within bucket, `batchSize` per batch — re-runs and
+    * engines agree), and the output is the padding LEDGER per batch:
+    * n_seqs, max_tokens (the padded length), sum_tokens (the real
+    * tokens), and waste_ppm = (n·max − sum)·10⁶ div (n·max) — the number
+    * that justifies the bucketing. The window ranks WITHIN a bucket —
+    * state bounded by bucket occupancy; callers with a mega-bucket (all
+    * docs same length) should shard the bucket key first, the
+    * capPerGroupSkewSafe discipline. Null/non-positive token counts are
+    * rejected loudly — a zero-length sequence in a batch ledger is
+    * upstream breakage, not a paddable row. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, tokenCol: String,
+                          bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
+    require(batchSize >= 1, s"batchSize must be positive: $batchSize")
+    val bad = df.where(col(tokenCol).isNull || col(tokenCol) <= 0).limit(1)
+    require(bad.isEmpty,
+      s"lengthBucketBatches: non-positive/null '$tokenCol' rows present")
+    val bucket = expr(s"cast($tokenCol AS bigint) div $bucketWidth")
+      .as("bucket")
+    df.select(col(idCol), col(tokenCol).cast("long").as("__tok"), bucket)
+      .withColumn("batch_no",
+        ((row_number().over(Window.partitionBy("bucket").orderBy(idCol)) - 1)
+          / batchSize).cast("int"))
+      .groupBy(col("bucket"), col("batch_no"))
+      .agg(count(lit(1)).as("n_seqs"),
+        max("__tok").as("max_tokens"),
+        sum("__tok").as("sum_tokens"))
+      .withColumn("waste_ppm", expr(
+        "((n_seqs * max_tokens - sum_tokens) * 1000000) div (n_seqs * max_tokens)"))
+  }
+
   /** PERCENTILE SCORE NORMALIZATION — make per-source quality scores
     * comparable before a global threshold (two classifiers' raw scores
     * never share a scale; their percentiles do). The at-scale shape is

@@ -639,6 +639,13 @@ class PlanSpec extends SparkSpec {
       s"the harness must never go all-pairs:\n$p")
   }
 
+  test("dedup_containment: shingle-keyed inverted join, never a product") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the inverted index must join on the shingle key:\n$p")
+  }
+
   test("q_heavy_hitters: candidates broadcast into a semi-join, never a product") {
     val p = plan("q_heavy_hitters")
     // the exact verify restricts the data via a broadcast semi-join on the

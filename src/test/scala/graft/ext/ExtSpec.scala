@@ -2337,6 +2337,30 @@ class ExtSpec extends SparkSpec {
       .forall(_.getLong(1) === 5L))
   }
 
+  test("lengthBucketBatches: deterministic ledger, bounded waste, loud on bad tokens") {
+    // bucket 0 (width 8): lengths 3,5,7 → one batch of 3, max 7, sum 15
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 7L), (10L, 20L), (11L, 21L),
+      (12L, 22L)).toDF("id", "tok")
+    val out = Sampling.lengthBucketBatches(df, "id", "tok",
+        bucketWidth = 8, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // bucket 0: ids 1,2 batch 0 (max 5, sum 8 → waste 2/10), id 3 batch 1
+    assert(out((0L, 0)) === ((2L, 5L, 8L, 200000L)))
+    assert(out((0L, 1)) === ((1L, 7L, 7L, 0L)))
+    // bucket 2: ids 10,11 batch 0 (max 21, sum 41), id 12 batch 1
+    assert(out((2L, 0)) === ((2L, 21L, 41L, 23809L)))
+    assert(out((2L, 1)) === ((1L, 22L, 22L, 0L)))
+    // in-batch waste is bounded by the bucket width by construction:
+    // max - min < bucketWidth within a bucket
+    assert(out.values.forall(_._4 <= 1000000L * 8 / 9),
+      "waste must stay under width/(width+1) of the padded volume")
+    val e = intercept[IllegalArgumentException](
+      Sampling.lengthBucketBatches(Seq((1L, 0L)).toDF("id", "tok"),
+        "id", "tok", 8, 2))
+    assert(e.getMessage.contains("non-positive"))
+  }
+
   test("containmentPairs catches the short-in-long pair the Jaccard pipeline misses") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
     // 25 contained words → 23 shingles: the 1/4 md5 sample misses ALL of
