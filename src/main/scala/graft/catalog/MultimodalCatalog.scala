@@ -63,15 +63,6 @@ object MultimodalCatalog {
     }),
 
 
-    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
-    // zlib concatenation, Inflater, and real unfiltering of all five PNG
-    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
-    // per row). The oracle restates the pixel-construction arithmetic
-    // ((id + i) % 256): exact channel sums plus the position-weighted sum
-    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
-    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
-    // CRC was computed) and must be quarantined — the oracle excludes
-    // exactly those ids, so skipping CRC verification also hash-fails.
     // Frame-level AUDIO FEATURE EXTRACTION (E32h) over real WAV bytes:
     // every doc synthesizes a mono 16-bit PCM square wave (half-period,
     // amplitude, and length all id-derived integers), the REAL chunk walk
@@ -122,6 +113,15 @@ object MultimodalCatalog {
     }),
 
 
+    // FULL PNG pixel decode (E32f): CRC-verified chunk walk, multi-IDAT
+    // zlib concatenation, Inflater, and real unfiltering of all five PNG
+    // filter types (every synthetic image cycles None/Sub/Up/Average/Paeth
+    // per row). The oracle restates the pixel-construction arithmetic
+    // ((id + i) % 256): exact channel sums plus the position-weighted sum
+    // that pins byte ORDER, so any filter/stride/offset bug hash-fails.
+    // Every 29th asset carries a corrupted IDAT (flipped byte AFTER the
+    // CRC was computed) and must be quarantined — the oracle excludes
+    // exactly those ids, so skipping CRC verification also hash-fails.
     "mm_decode_png_pixels" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id")).as[Long]

@@ -793,16 +793,20 @@ object Multimodal {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.flatMap { a =>
       parsePpmStream(a.payload) match {
+        // geometry must agree, not just byte count: a 2x3 frame against a
+        // 3x2 one has equal length but a meaningless positional delta
         case Some(frames) if frames.length >= 2 &&
-            frames.forall(_.length == frames.head.length) =>
-          frames.sliding(2).zipWithIndex.map { case (Seq(prev, cur), i) =>
-            var d = 0L
-            var j = 0
-            while (j < cur.length) {
-              d += math.abs((cur(j) & 0xff) - (prev(j) & 0xff))
-              j += 1
-            }
-            FrameDiff(a.asset_id, i + 1, cur.length, d)
+            frames.forall { case (w, h, _) =>
+              w == frames.head._1 && h == frames.head._2 } =>
+          frames.sliding(2).zipWithIndex.map {
+            case (Seq((_, _, prev), (_, _, cur)), i) =>
+              var d = 0L
+              var j = 0
+              while (j < cur.length) {
+                d += math.abs((cur(j) & 0xff) - (prev(j) & 0xff))
+                j += 1
+              }
+              FrameDiff(a.asset_id, i + 1, cur.length, d)
           }
         case _ => Iterator.empty
       }
@@ -822,7 +826,7 @@ object Multimodal {
       parsePpmStream(a.payload) match {
         case Some(frames) if frames.nonEmpty =>
           val counts = new Array[Long](3 * 8)
-          val px = frames.head
+          val px = frames.head._3
           var j = 0
           while (j < px.length) {
             counts((j % 3) * 8 + ((px(j) & 0xff) >> 5)) += 1
@@ -835,12 +839,13 @@ object Multimodal {
     })
   }
 
-  /** Walk a stream of concatenated P6 images, returning each frame's raw
-    * RGB bytes; None on the first malformed frame (a stream is all-good
-    * or quarantined — partial decodes would silently bias frame stats). */
-  private def parsePpmStream(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  /** Walk a stream of concatenated P6 images, returning each frame's
+    * (width, height, raw RGB bytes); None on the first malformed frame (a
+    * stream is all-good or quarantined — partial decodes would silently
+    * bias frame stats). */
+  private def parsePpmStream(b: Array[Byte]): Option[Seq[(Int, Int, Array[Byte])]] = {
     if (b == null || b.length < 2) return None
-    val frames = Seq.newBuilder[Array[Byte]]
+    val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
     var i = 0
     while (i < b.length) {
       if (i + 2 > b.length || b(i) != 'P' || b(i + 1) != '6') return None
@@ -862,7 +867,8 @@ object Multimodal {
         if i + 1 <= b.length && b.length.toLong >= i.toLong + 1L + 3L * w * h
       } yield {
         val start = i + 1 // the single whitespace byte after maxval
-        frames += java.util.Arrays.copyOfRange(b, start, start + 3 * w * h)
+        frames += ((w, h,
+          java.util.Arrays.copyOfRange(b, start, start + 3 * w * h)))
         i = start + 3 * w * h
       }
       if (parsed.isEmpty) return None

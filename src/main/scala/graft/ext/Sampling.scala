@@ -627,12 +627,16 @@ object Sampling {
                           bucketWidth: Int, batchSize: Int): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be positive: $bucketWidth")
     require(batchSize >= 1, s"batchSize must be positive: $batchSize")
-    val bad = df.where(col(tokenCol).isNull || col(tokenCol) <= 0).limit(1)
-    require(bad.isEmpty,
-      s"lengthBucketBatches: non-positive/null '$tokenCol' rows present")
+    // in-pass validation: the guard rides the projection the real job
+    // already makes (an eager pre-scan would cost a full extra pass)
+    val tok = when(col(tokenCol).isNull || col(tokenCol) <= 0,
+        raise_error(concat(
+          lit(s"lengthBucketBatches: non-positive/null '$tokenCol' at $idCol="),
+          col(idCol).cast("string"))))
+      .otherwise(col(tokenCol).cast("long"))
     val bucket = expr(s"cast($tokenCol AS bigint) div $bucketWidth")
       .as("bucket")
-    df.select(col(idCol), col(tokenCol).cast("long").as("__tok"), bucket)
+    df.select(col(idCol), tok.as("__tok"), bucket)
       .withColumn("batch_no",
         ((row_number().over(Window.partitionBy("bucket").orderBy(idCol)) - 1)
           / batchSize).cast("int"))

@@ -454,10 +454,42 @@ object Sketches {
     * per partition, the same keys the verify pass broadcasts anyway. Keys
     * are cast to long (the integral-id contract of `capPerGroupSkewSafe`);
     * null keys cannot qualify and are dropped. */
+  /** One Misra–Gries update: count `k` into `m`, evicting by the
+    * decrement-all rule when a new key meets a full table. Shared by the
+    * batch operator below and the streaming twin
+    * (`EventTimeOps.streamingHeavyHitterCandidates`) so the sketch's
+    * soundness-critical inner loop cannot drift between them. */
+  private[graft] def mgUpdate(m: scala.collection.mutable.HashMap[Long, Long],
+                              k: Long, capacity: Int): Unit =
+    m.get(k) match {
+      case Some(c) => m.update(k, c + 1)
+      case None if m.size < capacity => m.update(k, 1L)
+      case None =>
+        // a new key against a full table decrements every counter; zeros
+        // evict (collect first — no mutation mid-iteration)
+        val dead = m.iterator.collect { case (kk, 1L) => kk }.toArray
+        m.mapValuesInPlace((_, c) => c - 1)
+        dead.foreach(m.remove)
+    }
+
+  /** The integral-id contract, enforced: a fractional key would silently
+    * truncate under cast('long') and merge distinct keys. */
+  private[graft] def requireIntegralKey(df: DataFrame, keyCol: String,
+                                        op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(keyCol).dataType
+    // IntegralType is private[sql] — enumerate its members
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"$op requires an integral key column ('$keyCol' is $t) — " +
+        "fractional keys would truncate and merge under the long cast")
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    capacity: Int = 1024): DataFrame = {
     require(threshold >= 1, s"threshold must be positive: $threshold")
     require(capacity >= 1, s"capacity must be positive: $capacity")
+    requireIntegralKey(df, keyCol, "heavyHitters")
     val keyed = df.where(col(keyCol).isNotNull)
     val spark = df.sparkSession
     import spark.implicits._
@@ -467,19 +499,8 @@ object Sketches {
         val m = new scala.collection.mutable.HashMap[Long, Long]
         var np = 0L
         while (it.hasNext) {
-          val k = it.next()
           np += 1
-          m.get(k) match {
-            case Some(c) => m.update(k, c + 1)
-            case None if m.size < capacity => m.update(k, 1L)
-            case None =>
-              // Misra–Gries: a new key against a full table decrements
-              // every counter; zeros evict (collect first — no mutation
-              // mid-iteration)
-              val dead = m.iterator.collect { case (kk, 1L) => kk }.toArray
-              m.mapValuesInPlace((_, c) => c - 1)
-              dead.foreach(m.remove)
-          }
+          mgUpdate(m, it.next(), capacity)
         }
         Iterator.single((false, np)) ++ m.keysIterator.map(k => (true, k))
       }

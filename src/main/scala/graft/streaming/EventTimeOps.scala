@@ -442,18 +442,30 @@ object EventTimeOps {
     * Emits each invocation's surviving (window, shard, key, lower-bound)
     * rows — update-stream semantics like `streamingNearDedup`: consumers
     * take the LATEST (max lb) row per key. Integral keys only (state
-    * keys them as Long). */
+    * keys them as Long; fractional keys would truncate-merge).
+    *
+    * STATE LIFECYCLE: the grouping key includes the window start, so on a
+    * continuous stream groups accrue one per (window × shard) forever —
+    * pass `idleTimeout` (the sibling stateful ops' discipline) to evict a
+    * group's counters once its window has gone quiet for that long; with
+    * `None` the state grows with the stream's window count (bounded only
+    * per group, not across groups — fine for bounded replays, wrong for a
+    * long-running query). The event-time cast strips the watermark
+    * attribute before the stateful op, so the watermark here bounds the
+    * WINDOW ASSIGNMENT of late data upstream but cannot itself evict
+    * state — idleTimeout is the eviction path. */
   def streamingHeavyHitterCandidates(events: DataFrame, tsCol: String,
                                      keyCol: String, windowLen: String,
                                      watermark: String, capacity: Int = 256,
-                                     shards: Int = 8): Dataset[HHCand] = {
+                                     shards: Int = 8,
+                                     idleTimeout: Option[String] = None): Dataset[HHCand] = {
     require(capacity >= 1, s"capacity must be positive: $capacity")
     require(shards >= 1, s"shards must be positive: $shards")
     import events.sparkSession.implicits._
-    val keyType = events.schema(keyCol).dataType
-    require(keyType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"streamingHeavyHitterCandidates requires a numeric key column " +
-        s"('$keyCol' is $keyType) — state keys them as Long")
+    graft.ext.Sketches.requireIntegralKey(events, keyCol,
+      "streamingHeavyHitterCandidates")
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     events
       .withWatermark(tsCol, watermark)
       .select(
@@ -465,21 +477,19 @@ object EventTimeOps {
       .groupByKey(r => (r._1, r._3))
       .flatMapGroupsWithState[Map[Long, Long], HHCand](
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout) { (wk, rows, state) =>
-        val m = scala.collection.mutable.HashMap.empty[Long, Long]
-        state.getOption.foreach(m ++= _)
-        rows.foreach { case (_, k, _) =>
-          m.get(k) match {
-            case Some(c) => m.update(k, c + 1)
-            case None if m.size < capacity => m.update(k, 1L)
-            case None =>
-              val dead = m.iterator.collect { case (kk, 1L) => kk }.toArray
-              m.mapValuesInPlace((_, c) => c - 1)
-              dead.foreach(m.remove)
+        timeoutConf) { (wk, rows, state) =>
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val m = scala.collection.mutable.HashMap.empty[Long, Long]
+          state.getOption.foreach(m ++= _)
+          rows.foreach { case (_, k, _) =>
+            graft.ext.Sketches.mgUpdate(m, k, capacity)
           }
+          state.update(m.toMap)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          m.iterator.map { case (k, lb) => HHCand(wk._1, wk._2, k, lb) }
+            .toList.iterator
         }
-        state.update(m.toMap)
-        m.iterator.map { case (k, lb) => HHCand(wk._1, wk._2, k, lb) }.toList.iterator
       }
   }
 }

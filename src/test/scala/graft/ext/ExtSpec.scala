@@ -2355,9 +2355,11 @@ class ExtSpec extends SparkSpec {
     // max - min < bucketWidth within a bucket
     assert(out.values.forall(_._4 <= 1000000L * 8 / 9),
       "waste must stay under width/(width+1) of the padded volume")
-    val e = intercept[IllegalArgumentException](
+    // the guard rides the projection (no eager pre-scan) and fires at the
+    // action, naming the offending row
+    val e = intercept[Exception](
       Sampling.lengthBucketBatches(Seq((1L, 0L)).toDF("id", "tok"),
-        "id", "tok", 8, 2))
+        "id", "tok", 8, 2).collect())
     assert(e.getMessage.contains("non-positive"))
   }
 
@@ -2431,6 +2433,13 @@ class ExtSpec extends SparkSpec {
     // frames disagreeing on dimensions quarantine the whole stream
     val mismatched = Multimodal.RawAsset(2L, "video",
       ppm(Array[Byte](1, 2, 3)) ++ ppm(Array.fill[Byte](6)(0), w = 2))
+    // ...including the equal-BYTE-COUNT geometry mismatch (2x3 vs 3x2):
+    // same length, meaningless positional delta — must also quarantine
+    val rotated = Multimodal.RawAsset(5L, "video",
+      ppm(Array.fill[Byte](18)(1), w = 2, h = 3) ++
+        ppm(Array.fill[Byte](18)(2), w = 3, h = 2))
+    assert(Multimodal.videoFrameDiff(Seq(rotated).toDS()).count() === 0,
+      "equal byte count must not excuse a geometry mismatch")
     // a single frame has no pair; junk is not a stream
     val single = Multimodal.RawAsset(3L, "video", ppm(Array[Byte](1, 2, 3)))
     val junk = Multimodal.RawAsset(4L, "video", Array[Byte](9, 9))
