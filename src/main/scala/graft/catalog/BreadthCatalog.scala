@@ -891,6 +891,30 @@ object BreadthCatalog {
     }),
 
 
+    // TIME-TO-CONVERT census: per user, the delay from first view to the
+    // first purchase AFTER it (strictly later — a purchase before any
+    // view is not a conversion of it), aggregated to one census row.
+    // Deltas are exact integer seconds over epoch-µs (the q_range_frame
+    // integral-ordering discipline); two tiny per-user aggregates join on
+    // user_id, so the shape is two shuffles of user-cardinality frames.
+    "q_time_to_convert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val us = Queries.epochMicrosOf(ev, "ts") // NTZ-safe epoch-µs
+      val firstView = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(us).as("v_us"))
+      val conv = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("p_us"))
+        .join(firstView, "user_id")
+        .where(col("p_us") > col("v_us"))
+        .groupBy("user_id", "v_us") // v_us is functionally dependent
+        .agg(expr("(min(p_us) - v_us) div 1000000").as("delta_s"))
+      firstView.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(conv.agg(count(lit(1)).as("n_converted"),
+          min("delta_s").as("min_s"), max("delta_s").as("max_s"),
+          sum("delta_s").as("sum_s")))
+    }),
+
+
     // Incremental MATERIALIZED-AGGREGATE maintenance (etl.Materialize):
     // a per-(day, event_type) summary of count/sum/min/max cents built by
     // folding three batch PARTIALS — days 1-2, days 3-4 plus day-5 evens,
@@ -1679,6 +1703,21 @@ object BreadthCatalog {
         |  FROM lineitem GROUP BY l_partkey) p
         |ON l.l_partkey = p.l_partkey
         |WHERE l.l_quantity < p.qty_thresh""".stripMargin,
+
+
+    "q_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS v_us FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id,
+        |    (min(epoch_us(e.ts)) - v.v_us) // 1000000 AS delta_s
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.v_us
+        |  GROUP BY e.user_id, v.v_us)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewers,
+        |  count(*)::BIGINT AS n_converted,
+        |  min(delta_s)::BIGINT AS min_s, max(delta_s)::BIGINT AS max_s,
+        |  sum(delta_s)::BIGINT AS sum_s
+        |FROM c""".stripMargin,
 
 
     // full recompute over days 1-5 — the incremental fold must equal it
