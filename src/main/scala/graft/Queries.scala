@@ -772,5 +772,6 @@ object Queries {
     "q_hll_portable", "q_quantile_portable", "q_cms_portable",
     "graph_triangles", "q_cohort_retention",
     "etl_incremental_agg", "etl_delete_vectors", "q_k_anonymity",
-    "q_heavy_hitters")
+    "q_heavy_hitters",
+    "dedup_substring_sa", "sim_topk_hnsw", "etl_time_travel")
 }

@@ -651,29 +651,32 @@ object SamplingCatalog {
 
 
     // three unrolled MW rounds; all-positive integers ⇒ truncating and
-    // floor division agree on both engines
+    // floor division agree on both engines. Every derived column is cast
+    // ::BIGINT because sum(BIGINT) is HUGEINT in DuckDB and the type leaks
+    // through // into w/A/share_ppm while Spark emits int64 (the
+    // dtype-sensitive driver hash caught exactly this in round 11).
     "sample_mixture_mw" ->
       """WITH b AS (SELECT source,
         |    (sum(n_chars)::BIGINT * 1048576) // count(*) AS lq
         |  FROM documents GROUP BY 1),
         |r0 AS (SELECT source, lq, 1048576::BIGINT AS w FROM b),
         |r1 AS (SELECT source, lq,
-        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A))::BIGINT AS w
         |  FROM (SELECT source, lq, w,
-        |    (SELECT sum(w*lq) FROM r0) // (SELECT sum(w) FROM r0) AS A
+        |    ((SELECT sum(w*lq) FROM r0) // (SELECT sum(w) FROM r0))::BIGINT AS A
         |    FROM r0)),
         |r2 AS (SELECT source, lq,
-        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A))::BIGINT AS w
         |  FROM (SELECT source, lq, w,
-        |    (SELECT sum(w*lq) FROM r1) // (SELECT sum(w) FROM r1) AS A
+        |    ((SELECT sum(w*lq) FROM r1) // (SELECT sum(w) FROM r1))::BIGINT AS A
         |    FROM r1)),
         |r3 AS (SELECT source, lq,
-        |    greatest(1, (w * (4*A + (lq - A))) // (4*A)) AS w
+        |    greatest(1, (w * (4*A + (lq - A))) // (4*A))::BIGINT AS w
         |  FROM (SELECT source, lq, w,
-        |    (SELECT sum(w*lq) FROM r2) // (SELECT sum(w) FROM r2) AS A
+        |    ((SELECT sum(w*lq) FROM r2) // (SELECT sum(w) FROM r2))::BIGINT AS A
         |    FROM r2))
         |SELECT source, lq, w,
-        |  (w * 1000000) // (SELECT sum(w) FROM r3) AS share_ppm
+        |  ((w * 1000000) // (SELECT sum(w) FROM r3))::BIGINT AS share_ppm
         |FROM r3 ORDER BY source""".stripMargin,
   )
 }

@@ -730,8 +730,9 @@ object Sampling {
     var w = Array.fill(base.length)(MwScale)
     // loud overflow guard (check in BigInt, arithmetic stays long — the
     // BIGINT semantics the oracle restates): both Σ w·Lq and the update's
-    // w·etaDen·avg term, at a generous w headroom of 2^28, must fit a long
-    require(BigInt(base.length.toLong.max(etaDen)) * BigInt(lqs.max) *
+    // product w·(η·A + (Lq − A)) ≤ (η+1)·maxLq·w, at a generous w headroom
+    // of 2^28, must fit a long — hence the η+1 factor, not η
+    require(BigInt(base.length.toLong.max(etaDen + 1)) * BigInt(lqs.max) *
       BigInt(1L << 28) < BigInt(Long.MaxValue),
       s"mixtureWeightsMW overflow risk: ${base.length} domains, " +
         s"etaDen=$etaDen, max quantized loss ${lqs.max} — rescale the " +

@@ -52,4 +52,37 @@ class MixtureWeightsSpec extends SparkSpec {
         col("loss"), 1, etaDen = 1L << 45))
     assert(e4.getMessage.contains("etaDen"))
   }
+
+  test("guard boundary: the certified region is exact — a loss at the edge never wraps a long") {
+    // etaDen=4, 2 domains ⇒ guard factor max(2, 4+1)=5; the certified
+    // region is 5·maxLq·2^28 < 2^63 ⇒ maxLq < 2^35/5. loss=6553 puts
+    // lq = 6553·2^20 at 99.99% of that edge and must still pass the guard.
+    val maxLoss = 6553L
+    val lqEdge = maxLoss << 20
+    assert(BigInt(5) * BigInt(lqEdge) * BigInt(1L << 28) < BigInt(Long.MaxValue))
+    assert(BigInt(5) * BigInt((maxLoss + 1) << 20) * BigInt(1L << 28) >
+      BigInt(Long.MaxValue) - BigInt(1L << 48),
+      "the chosen loss should sit near the guard edge, or the test is vacuous")
+    val df = Seq(("hot", maxLoss), ("cold", 3L)).toDF("g", "loss")
+    val got = Sampling.mixtureWeightsMW(df, "g", col("loss"), rounds = 16)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // BigInt-exact replica of the recurrence: equality proves the long
+    // arithmetic inside the certified region never silently wrapped
+    var w = Map("hot" -> BigInt(Sampling.MwScale), "cold" -> BigInt(Sampling.MwScale))
+    val lq = Map("hot" -> BigInt(lqEdge), "cold" -> BigInt(3L << 20))
+    for (_ <- 1 to 16) {
+      val t = w.values.sum
+      val a = w.map { case (g, wi) => wi * lq(g) }.sum / t
+      w = w.map { case (g, wi) =>
+        g -> (wi * (4 * a + (lq(g) - a)) / (4 * a)).max(BigInt(1))
+      }
+    }
+    val tw = w.values.sum
+    for (g <- Seq("hot", "cold")) {
+      assert(got(g)._1 === lq(g).toLong)
+      assert(got(g)._2 === w(g).toLong, s"weight wrapped for $g")
+      assert(got(g)._3 === (w(g) * 1000000 / tw).toLong)
+    }
+  }
 }
