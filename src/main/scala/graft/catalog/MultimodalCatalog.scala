@@ -16,6 +16,11 @@ import graft.streaming.EventTimeOps
 object MultimodalCatalog {
   import CatalogShared._
 
+  // the u=1 / u=2 rows of the fixed-point IDCT basis, interpolated into
+  // the mm_decode_jpeg_pixels oracle so both engines share one table
+  private val jBasis1 = Multimodal.JpegBasisA(1).mkString(", ")
+  private val jBasis2 = Multimodal.JpegBasisA(2).mkString(", ")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary payload + typed metadata stats (decode itself is the stubbed
@@ -110,6 +115,28 @@ object MultimodalCatalog {
         Multimodal.RawAsset(id, "image", Multimodal.syntheticVideoPayload(id)))
       Multimodal.colorHistogram(assets).toDF()
         .orderBy("asset_id", "channel", "bucket")
+    }),
+
+
+    // FULL baseline-JPEG pixel decode (E32m): real marker walk, DQT/DHT
+    // parsing, canonical-Huffman entropy decode of the DC-difference chain
+    // and run-length ACs, dequantize + de-zigzag, and the exact-integer
+    // direct IDCT (13-bit half-cosine basis at scale 2^26) with level
+    // shift, clamp, and MCU edge cropping. The synthetic corpus encodes
+    // each block's DC and one AC through REAL Annex-K Huffman tables with
+    // byte stuffing; the oracle restates the decode arithmetically from
+    // the coefficient construction — a Huffman, zigzag, predictor, or
+    // cropping bug hash-fails. Every 29th asset ships with truncated
+    // entropy data and must be quarantined (the oracle excludes those ids).
+    "mm_decode_jpeg_pixels" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+      val assets = ids.map { id =>
+        Multimodal.RawAsset(id, "jpeg",
+          Multimodal.syntheticJpegPixelPayload(id, corrupt = id % 29 == 0))
+      }
+      assets.mapPartitions(_.flatMap(Multimodal.decodeJpegPixels)).toDF()
+        .orderBy("asset_id")
     }),
 
 
@@ -745,6 +772,42 @@ object MultimodalCatalog {
         |  (1000 + doc_id % 9000)::BIGINT AS timescale,
         |  ((doc_id * 37) % 100000)::BIGINT AS duration
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+
+    // mirrors Multimodal.decodeJpegPixels: block b of asset id carries DC
+    // ((id·5+b·11)%201)−100 and one AC ((id+3b)%31)−15 at zigzag 1+b%3;
+    // pixel = clamp(128 + (dc·Q0·2896² + ac·Qz·2896·A(z)) >> 26) with the
+    // shared fixed-point basis rows interpolated from Multimodal.JpegBasisA
+    // (single source of truth). The floor-shift is restated as nonnegative
+    // truncating division via a 2^52 bias. Truncated ids (%29) are absent.
+    "mm_decode_jpeg_pixels" ->
+      s"""WITH d AS (SELECT doc_id, (8 + doc_id % 23)::INT AS w,
+         |    (8 + doc_id % 13)::INT AS h
+         |  FROM documents WHERE doc_id % 29 <> 0),
+         |gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+         |g AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+         |c AS (SELECT doc_id, w, h, x, y,
+         |    (y // 8) * ((w + 7) // 8) + (x // 8) AS b
+         |  FROM g),
+         |v AS (SELECT doc_id, w, h, x, y,
+         |    (((doc_id*5 + b*11) % 201) - 100) * (1 + doc_id % 7) * 8386816
+         |    + (((doc_id + 3*b) % 31) - 15)
+         |      * (1 + (doc_id + 1 + b % 3) % 7) * 2896
+         |      * (CASE 1 + b % 3
+         |           WHEN 1 THEN ([${jBasis1}])[x % 8 + 1]
+         |           WHEN 2 THEN ([${jBasis1}])[y % 8 + 1]
+         |           ELSE ([${jBasis2}])[y % 8 + 1] END) AS acc
+         |  FROM c),
+         |o AS (SELECT doc_id, w, h, x, y,
+         |    greatest(0, least(255,
+         |      128 + (acc + 33554432 + 4503599627370496) // 67108864
+         |          - 67108864)) AS px
+         |  FROM v)
+         |SELECT doc_id AS asset_id, w AS width, h AS height,
+         |  (((w + 7) // 8) * ((h + 7) // 8))::INT AS n_blocks,
+         |  sum(px)::BIGINT AS px_sum,
+         |  sum((y * w + x + 1) * px)::BIGINT AS wsum
+         |FROM o GROUP BY doc_id, w, h ORDER BY asset_id""".stripMargin,
 
 
     // mirrors Multimodal.decodePngPixels: byte i of asset id decodes to

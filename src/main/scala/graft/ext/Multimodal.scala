@@ -495,6 +495,361 @@ object Multimodal {
     Some(PngPixels(a.asset_id, w, h, rs, gs, bs, ws))
   }
 
+  // ---- Baseline JPEG (ITU-T T.81) pixel decode ---------------------------
+
+  final case class JpegPixels(asset_id: Long, width: Int, height: Int,
+                              n_blocks: Int, px_sum: Long, wsum: Long)
+
+  /** 13-bit fixed-point half-cosine basis `A(u,k) = round(2^13 · C(u) ·
+    * cos((2k+1)uπ/16) / 2)` with `C(0)=1/√2` (the DCT-II normalization of
+    * T.81 §A.3.3): the separable weight of DCT coefficient (v,u) at sample
+    * (x,y) is `A(u,x)·A(v,y)` at scale 2^26, so the whole IDCT is exact
+    * Long arithmetic — which is what lets the DuckDB oracle restate the
+    * decode to the digit. Public constants; shared with the oracle SQL
+    * (interpolated from this array — single source of truth). */
+  val JpegBasisA: Array[Array[Int]] = Array(
+    Array(2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    Array(4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    Array(3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    Array(3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    Array(2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    Array(2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    Array(1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    Array(799, -2276, 3406, -4017, 4017, -3406, 2276, -799))
+
+  /** Zigzag scan order (T.81 Figure A.6): natural index (v·8+u) of each
+    * zigzag position. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K.3.1 typical luminance DC table: code-length counts (1..16)
+    * and the symbols in code order. Public spec data. */
+  private val JpegDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+
+  /** Annex K.3.2 typical luminance AC table. */
+  private val JpegAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val JpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical Huffman codes from a (BITS, HUFFVAL) spec pair — the
+    * generation procedure of T.81 §C.2. Returns symbol → (code, length). */
+  private def huffCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0; var vi = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len - 1)) {
+        out += vals(vi) -> (code, len); code += 1; vi += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Spec-valid baseline JFIF (grayscale, Annex K Huffman tables) whose
+    * decode is exactly restatable by construction arithmetic: block b of
+    * asset id carries DC value `((id·5 + b·11) % 201) − 100` (entropy-coded
+    * as a REAL DC difference chain) and one AC coefficient
+    * `((id + 3b) % 31) − 15` at zigzag position `1 + b % 3`; the quant
+    * table is `1 + (id + k) % 7` by zigzag index k. Dimensions
+    * `w = 8 + id % 23, h = 8 + id % 13` make 1–12 MCUs with genuine
+    * right/bottom edge cropping. The stream is a full marker sequence
+    * (SOI, APP0/JFIF, DQT, SOF0, DHT×2, SOS, entropy-coded data with
+    * 0xFF→0xFF00 byte stuffing, EOI). `corrupt = true` drops the entropy
+    * bytes (a truncated-in-flight payload): a decoder must quarantine,
+    * never emit a half-decoded row. */
+  def syntheticJpegPixelPayload(id: Long, corrupt: Boolean = false): Array[Byte] = {
+    val w = (8 + id % 23).toInt
+    val h = (8 + id % 13).toInt
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    val dcC = huffCodes(JpegDcBits, JpegDcVals)
+    val acC = huffCodes(JpegAcBits, JpegAcVals)
+    // entropy-coded segment with byte stuffing
+    val ent = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          ent.write(acc)
+          if (acc == 0xff) ent.write(0x00) // byte stuffing (T.81 §B.1.1.5)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def putMagnitude(v: Int, s: Int): Unit =
+      if (s > 0) putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+    def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    var prevDc = 0
+    for (b <- 0 until bw * bh) {
+      val dc = (((id * 5 + b * 11) % 201) - 100).toInt
+      val diff = dc - prevDc; prevDc = dc
+      val s = category(diff)
+      val (c, l) = dcC(s); putBits(c, l); putMagnitude(diff, s)
+      val av = (((id + 3 * b) % 31) - 15).toInt
+      val z = 1 + b % 3
+      if (av != 0) {
+        val as = category(av)
+        val (ac, al) = acC(((z - 1) << 4) | as)
+        putBits(ac, al); putMagnitude(av, as)
+        if (z < 63) { val (e, el) = acC(0x00); putBits(e, el) } // EOB
+      } else { val (e, el) = acC(0x00); putBits(e, el) }
+    }
+    if (nbits > 0) { // pad the final byte with 1-bits (§F.1.2.3)
+      acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+      ent.write(acc); if (acc == 0xff) ent.write(0x00)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m); val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff); body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xdb, 0 +: Array.tabulate(64)(k => (1 + (id + k) % 7).toInt)) // DQT, zigzag
+    segment(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0))
+    segment(0xc4, 0x00 +: (JpegDcBits ++ JpegDcVals))
+    segment(0xc4, 0x10 +: (JpegAcBits ++ JpegAcVals))
+    segment(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    if (!corrupt) out.write(ent.toByteArray)
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** FULL baseline-JPEG pixel decode — the real path, no stand-ins: marker
+    * walk (APPn/COM skipped by length), DQT/DHT table parsing with
+    * canonical-Huffman decode tables, SOS entropy decode (bit reader with
+    * 0xFF00 unstuffing and RSTn handling), DC-difference chain with the
+    * §F.2.2.1 EXTEND, run-length AC decode (EOB/ZRL), per-coefficient
+    * dequantize + de-zigzag, and the exact-integer direct IDCT over
+    * [[JpegBasisA]] with level shift + clamp and MCU edge cropping.
+    * Supports the 8-bit single-component baseline profile the synthetic
+    * corpus emits; progressive/multi-component frames, missing tables,
+    * truncated entropy data, or any invalid code quarantine to None,
+    * never a crash. Emits exact pixel sum + the position-weighted sum
+    * Σ (i+1)·vᵢ that pins pixel ORDER, so a block-placement, zigzag,
+    * predictor, or cropping bug hash-fails against the oracle. */
+  def decodeJpegPixels(a: RawAsset): Option[JpegPixels] = {
+    val b = a.payload
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var o = 2
+    var w = -1; var h = -1
+    val quant = new Array[Array[Int]](4) // by table id, zigzag order
+    // decode tables: (maxcode, valptr, mincode) per length, plus symbols
+    final case class HuffTable(minCode: Array[Int], maxCode: Array[Int],
+                               valPtr: Array[Int], vals: Array[Int])
+    def buildDecode(bits: Array[Int], vals: Array[Int]): HuffTable = {
+      val minC = new Array[Int](17); val maxC = new Array[Int](17)
+      val ptr = new Array[Int](17)
+      var code = 0; var vi = 0
+      for (len <- 1 to 16) {
+        ptr(len) = vi; minC(len) = code
+        maxC(len) = if (bits(len - 1) == 0) -1 else code + bits(len - 1) - 1
+        code = (code + bits(len - 1)) << 1; vi += bits(len - 1)
+      }
+      HuffTable(minC, maxC, ptr, vals)
+    }
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var sofSeen = false; var qId = -1
+    var sosAt = -1; var ri = 0
+    while (sosAt < 0) {
+      if (o + 4 > b.length) return None
+      if ((b(o) & 0xff) != 0xff) return None
+      var m = b(o + 1) & 0xff; o += 2
+      while (m == 0xff && o < b.length) { m = b(o) & 0xff; o += 1 } // fill bytes
+      if (m == 0xd9) return None // EOI before SOS: no image data
+      val len = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      if (len < 2 || o + len > b.length) return None
+      val end = o + len
+      var p = o + 2
+      m match {
+        case 0xc0 => // SOF0 baseline
+          if (len < 11 || (b(p) & 0xff) != 8) return None
+          h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+          w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+          if ((b(p + 5) & 0xff) != 1) return None // single-component profile
+          if ((b(p + 7) & 0xff) != 0x11) return None // no subsampling
+          qId = b(p + 8) & 0xff
+          sofSeen = true
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // extended/progressive/lossless: out of profile
+        case 0xdb => // DQT: one or more tables per segment
+          while (p < end) {
+            val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
+            if (pq != 0 || p + 65 > end) return None // 8-bit precision only
+            quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables per segment
+          while (p < end) {
+            val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
+            if (tc > 1 || p + 17 > end) return None
+            val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = bits.sum
+            if (p + 17 + n > end || n > 256) return None
+            val vals = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
+            val t = buildDecode(bits, vals)
+            if (tc == 0) dcTables(th) = t else acTables(th) = t
+            p += 17 + n
+          }
+        case 0xdd => // DRI: restart interval in MCUs
+          if (len != 4) return None
+          ri = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+        case 0xda => // SOS: single scan, then entropy data
+          if (len < 8 || (b(p) & 0xff) != 1) return None
+          val td = (b(p + 2) & 0xff) >> 4; val ta = b(p + 2) & 0x0f
+          if (!sofSeen || quant(qId) == null ||
+            dcTables(td) == null || acTables(ta) == null) return None
+          sosAt = end
+          o = -1 // consumed below
+          // stash chosen tables in slot 0 for the scan loop
+          dcTables(0) = dcTables(td); acTables(0) = acTables(ta)
+        case _ => () // APPn / COM etc.: skip by length
+      }
+      if (sosAt < 0) o = end
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 12) || h > (1 << 12)) return None
+    val q = quant(qId)
+    val bw = (w + 7) / 8; val bh = (h + 7) / 8
+    // entropy bit reader over [sosAt, …): FF00 unstuffing; any bare marker
+    // ends the data (RSTn are consumed proactively at interval boundaries
+    // below, never here — lazy RST discovery would feed pad bits as data)
+    var bp = sosAt; var bitBuf = 0; var bitCnt = 0; var dataEnd = false
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (dataEnd || bp >= b.length) return -1
+        val v = b(bp) & 0xff; bp += 1
+        if (v == 0xff) {
+          val nx = if (bp < b.length) b(bp) & 0xff else -1
+          if (nx == 0x00) bp += 1 // stuffed FF
+          else { dataEnd = true; return -1 } // EOI or next marker
+        }
+        bitBuf = v; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def huffDecode(t: HuffTable): Int = {
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit; len += 1
+        if (t.maxCode(len) >= 0 && code <= t.maxCode(len))
+          return t.vals(t.valPtr(len) + code - t.minCode(len))
+      }
+      -1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) {
+        val bit = nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+    def extend(v: Int, s: Int): Int = // §F.2.2.1
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val px = new Array[Int](w * h)
+    val coef = new Array[Long](64) // natural order, dequantized
+    var dcPred = 0
+    for (blk <- 0 until bw * bh) {
+      if (ri > 0 && blk > 0 && blk % ri == 0) { // §F.2.1.3.1: expect RSTm
+        bitCnt = 0 // discard pad bits to the byte boundary
+        if (bp + 1 >= b.length || (b(bp) & 0xff) != 0xff) return None
+        val mk = b(bp + 1) & 0xff
+        if (mk != 0xd0 + ((blk / ri - 1) % 8)) return None
+        bp += 2; dcPred = 0
+      }
+      java.util.Arrays.fill(coef, 0L)
+      val s = huffDecode(dcTables(0))
+      if (s < 0 || s > 15) return None
+      val raw = receive(s)
+      if (raw == Int.MinValue) return None
+      dcPred += extend(raw, s)
+      coef(0) = dcPred.toLong * q(0)
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val rs = huffDecode(acTables(0))
+        if (rs < 0) return None
+        val r = rs >> 4; val sz = rs & 15
+        if (sz == 0) {
+          if (r == 15) k += 16 else eob = true // ZRL vs EOB
+        } else {
+          k += r
+          if (k > 63) return None
+          val rv = receive(sz)
+          if (rv == Int.MinValue) return None
+          coef(JpegZigzag(k)) = extend(rv, sz).toLong * q(k)
+          k += 1
+        }
+      }
+      // exact-integer direct IDCT + level shift + clamp, cropped to image
+      val bx0 = (blk % bw) * 8; val by0 = (blk / bw) * 8
+      var y = 0
+      while (y < 8 && by0 + y < h) {
+        var x = 0
+        while (x < 8 && bx0 + x < w) {
+          var accum = 0L
+          var n = 0
+          while (n < 64) {
+            val c = coef(n)
+            if (c != 0L)
+              accum += c * JpegBasisA(n & 7)(x) * JpegBasisA(n >> 3)(y)
+            n += 1
+          }
+          val v = 128 + ((accum + (1L << 25)) >> 26)
+          px((by0 + y) * w + bx0 + x) =
+            if (v < 0) 0 else if (v > 255) 255 else v.toInt
+          x += 1
+        }
+        y += 1
+      }
+    }
+    var ps = 0L; var ws = 0L
+    var i = 0
+    while (i < px.length) { ps += px(i); ws += (i + 1).toLong * px(i); i += 1 }
+    Some(JpegPixels(a.asset_id, w, h, bw * bh, ps, ws))
+  }
+
   /** Build an asset table from the documents table (payload = UTF-8 bytes of
     * the text) — the driver testdata has no binary table, so this supplies a
     * deterministic one with the right schema. */

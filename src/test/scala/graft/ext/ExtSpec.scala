@@ -2229,6 +2229,62 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodePngPixels(Multimodal.RawAsset(9L, "png", null)).isEmpty)
   }
 
+  test("decodeJpegPixels: Huffman+IDCT round-trip matches construction arithmetic; malformed quarantine") {
+    // construction-arithmetic model (the oracle's restatement): block b has
+    // DC ((id·5+b·11)%201)−100 and one AC ((id+3b)%31)−15 at zigzag 1+b%3;
+    // pixel = clamp(128 + (dc·Q0·2896² + ac·Qz·2896·A(z)) >> 26)
+    def expected(id: Long): (Int, Int, Int, Long, Long) = {
+      val w = (8 + id % 23).toInt; val h = (8 + id % 13).toInt
+      val bw = (w + 7) / 8; val bh = (h + 7) / 8
+      val a1 = Multimodal.JpegBasisA(1); val a2 = Multimodal.JpegBasisA(2)
+      var ps = 0L; var ws = 0L
+      for (gy <- 0 until h; gx <- 0 until w) {
+        val b = (gy / 8) * bw + gx / 8
+        val dc = ((id * 5 + b * 11) % 201) - 100
+        val av = ((id + 3 * b) % 31) - 15
+        val z = 1 + b % 3
+        val q0 = 1 + id % 7; val qz = 1 + (id + z) % 7
+        val wz = z match {
+          case 1 => a1(gx % 8).toLong * 2896
+          case 2 => a1(gy % 8).toLong * 2896
+          case _ => a2(gy % 8).toLong * 2896
+        }
+        val acc = dc * q0 * 8386816L + av * qz * wz
+        val v0 = 128 + ((acc + (1L << 25)) >> 26)
+        val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0.toInt
+        ps += v; ws += (gy * w + gx + 1).toLong * v
+      }
+      (w, h, bw * bh, ps, ws)
+    }
+    // id=0: single MCU; id=5: 2×2 MCUs (13×13, real edge cropping);
+    // id=22: 4×2 MCUs (30×17) — all three zigzag AC positions and
+    // ac==0 (EOB-only) blocks occur across these
+    Seq(0L, 5L, 22L, 107L).foreach { id =>
+      val got = Multimodal.decodeJpegPixels(Multimodal.RawAsset(id, "jpeg",
+        Multimodal.syntheticJpegPixelPayload(id))).get
+      val (w, h, nb, ps, ws) = expected(id)
+      assert((got.width, got.height, got.n_blocks) === ((w, h, nb)), s"id=$id")
+      assert(got.px_sum === ps, s"px_sum id=$id")
+      assert(got.wsum === ws, s"wsum id=$id")
+    }
+    // truncated entropy data (the corrupt payload) → quarantined
+    assert(Multimodal.decodeJpegPixels(Multimodal.RawAsset(29L, "jpeg",
+      Multimodal.syntheticJpegPixelPayload(29L, corrupt = true))).isEmpty)
+    // progressive frame marker (SOF2) → out of profile, quarantined
+    val prog = Multimodal.syntheticJpegPixelPayload(5L)
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(Multimodal.RawAsset(5L, "jpeg", prog)).isEmpty)
+    // truncated mid-markers / empty / null → quarantined
+    val full = Multimodal.syntheticJpegPixelPayload(5L)
+    assert(Multimodal.decodeJpegPixels(Multimodal.RawAsset(5L, "jpeg",
+      full.take(30))).isEmpty)
+    assert(Multimodal.decodeJpegPixels(Multimodal.RawAsset(5L, "jpeg",
+      Array.empty[Byte])).isEmpty)
+    assert(Multimodal.decodeJpegPixels(Multimodal.RawAsset(5L, "jpeg", null)).isEmpty)
+  }
+
   test("decodePngPixels quarantines crafted headers: overflow dims and a preset-dictionary zlib stream") {
     // chunks with REAL CRCs, so only the guarded condition differs from a
     // valid file — the contract is None, never a crash or a hang
