@@ -173,7 +173,7 @@ object BreadthCatalog {
     }),
 
 
-    // Partition-skew audit (E5d): daily row counts + the max/mean skew
+    // Partition-skew audit (E5d2): daily row counts + the max/mean skew
     // ratio in fixed point ((max·n_days·10⁶) div total — rational, no
     // float) — the pre-run diagnostic that decides whether a date-keyed
     // write needs salting/AQE before it burns a cluster.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
 import graft.streaming.EventTimeOps
 
-/** Multimodal family (E32): container decodes (PPM/WAV/PNG/JPEG/MP4), PNG pixel decode, resize, frame sampling, payload stats.
+/** Multimodal family (E32): container decodes (PPM/WAV/PNG/JPEG/MP4), PNG + baseline-JPEG pixel decode, resize, frame sampling, payload stats.
   *
   * One catalog family of [[ExtQueries]] (split from the former monolith,
   * zero behavior change): `queries` are the Spark definitions, `oracle`
@@ -401,7 +401,7 @@ object MultimodalCatalog {
     }),
 
 
-    // Winsorization (E5c): clip each event's value at its type's PORTABLE
+    // Winsorization (E5c2): clip each event's value at its type's PORTABLE
     // p99 (the E19c histogram bound — no engine percentile involved), then
     // the per-type census of survivors/clipped/sum — the outlier-robust
     // cleaning stage, with the bound frame broadcast back to the scan.

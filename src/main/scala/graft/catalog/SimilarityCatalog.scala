@@ -477,7 +477,7 @@ object SimilarityCatalog {
     }),
 
 
-    // Hard-negative mining (E15f): per anchor, the 10 most-similar vectors
+    // Hard-negative mining (E15f2): per anchor, the 10 most-similar vectors
     // of a DIFFERENT label — the contrastive-training batch builder.
     // bruteForceTopK's scan shape with a pair-level label-mismatch filter.
     "sim_hard_negatives" -> ((s, d) => {
@@ -488,7 +488,7 @@ object SimilarityCatalog {
     }),
 
 
-    // Portable integer k-means (E15e): Lloyd's over int8 codes — cosine
+    // Portable integer k-means (E15e2): Lloyd's over int8 codes — cosine
     // assignment on exact-integer arithmetic, truncating-integer-mean
     // centroid update — so unlike the FP kmeansCentroids fit (reduction-
     // order-dependent, never restatable) BOTH the fitted centroids and the
@@ -502,7 +502,7 @@ object SimilarityCatalog {
     }),
 
 
-    // Cluster-balanced downsampling (the E15e consumer): cap every fitted
+    // Cluster-balanced downsampling (the E15e2 consumer): cap every fitted
     // k-means cell at 40 vectors by deterministic hash order — the
     // diversity-preserving prune (SemDeDup-style: dense cells shed
     // redundant mass, sparse cells survive whole). Assignment is the
