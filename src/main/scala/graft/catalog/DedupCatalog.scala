@@ -16,6 +16,45 @@ import graft.streaming.EventTimeOps
 object DedupCatalog {
   import CatalogShared._
 
+  /** Fixture for the gated xxhash64 anchored-span row: 26 constructed docs
+    * of 3-letter tokens — per-doc prefix/suffix from integer formulas both
+    * engines restate, a shared 6-token motif at a per-doc offset (the
+    * phase-shifted duplicate the anchored cut must re-align). */
+  private[graft] val anchoredMotif: Seq[String] = (0 until 6).map(m =>
+    (0 until 3).map(k => ('a' + (m * 5 + k * 3 + 1) % 26).toChar).mkString)
+
+  private def anchoredFixtureTokens(i: Int): Seq[String] = {
+    def w3(f: Int => Int): String =
+      (0 until 3).map(k => ('a' + f(k) % 26).toChar).mkString
+    val pre = (0 until (3 + (i * 3) % 7)).map(j => w3(k => i * 11 + j * 7 + k * 3))
+    val post = (0 until (4 + (i * 5) % 6)).map(j =>
+      w3(k => i * 11 + (j + 50) * 7 + k * 3 + 5))
+    pre ++ anchoredMotif ++ post
+  }
+
+  /** Spark's `xxhash64(lit(42), token)` — [[graft.ext.Dedup.tokenHashFast]]
+    * — evaluated driver-side through the very same Catalyst expression, so
+    * the pinned cut table can't drift from what the executors compute. */
+  private def xx42(tok: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(42), Literal(tok))).eval(null).asInstanceOf[Long]
+  }
+
+  /** Per-doc cut bounds (0 ++ 1-based anchor positions ++ n) under the
+    * xxhash64 anchor law, precomputed at fixture-construction time — the
+    * mm_decode_containers pinning pattern applied to cut points: the hash
+    * itself has no external restatement (DuckDB lacks xxhash64), so the
+    * cuts ship as a literal table to BOTH engines and everything around
+    * them (spans, first-owner, reassembly) stays independently restated. */
+  private[graft] lazy val anchoredFastBounds: Seq[(Int, Seq[Int])] =
+    (0 until 26).map { i =>
+      val toks = anchoredFixtureTokens(i)
+      val cuts = toks.zipWithIndex.collect {
+        case (t, j) if java.lang.Math.floorMod(xx42(t), 8L) == 0L => j + 1
+      }
+      i -> (0 +: cuts :+ toks.length)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: one hash-aggregate on the normalization fingerprint.
@@ -84,13 +123,28 @@ object DedupCatalog {
 
 
     // The PRODUCTION anchored-span path: codegen'd xxhash64 anchors instead
-    // of the portable md5 token hash (~10× cheaper per token). Cut positions
-    // differ from the md5 form and DuckDB has no xxhash64, so no external
-    // oracle can restate the spans — rows-only by design (like
-    // dedup_minhash_fast's band hashes); ExtSpec pins the phase-robustness
-    // contract across both hash families.
+    // of the portable md5 token hash (~10× cheaper per token). DuckDB has
+    // no xxhash64, so the cut POSITIONS are precomputed at fixture-
+    // construction time through the same Catalyst expression the executors
+    // run and shipped to both engines as a literal table (anchoredFastBounds
+    // — the pinned-constants pattern); the fixture text, span slicing,
+    // first-owner rule, and reassembly are all independently restated, so
+    // the full hash gate applies to everything but the hash law itself.
+    // ExtSpec pins the phase-robustness contract across both hash families.
     "dedup_spans_anchored_fast" -> ((s, d) => {
-      Dedup.dedupSpansAnchored(t(s, d, "documents"), "doc_id", "text",
+      val did = col("doc_id")
+      def w3(f: Column => Column): Column =
+        concat_ws("", transform(sequence(lit(0), lit(2)),
+          k => chr(f(k) % 26 + 97)))
+      val pre = transform(sequence(lit(0), lit(3) + (did * 3) % 7 - 1),
+        j => w3(k => did * 11 + j * 7 + k * 3))
+      val post = transform(sequence(lit(0), lit(4) + (did * 5) % 6 - 1),
+        j => w3(k => did * 11 + (j + 50) * 7 + k * 3 + 5))
+      val motif = array(anchoredMotif.map(lit): _*)
+      val docs = t(s, d, "documents").select(did).where(did < 26)
+        .select(did,
+          concat_ws(" ", concat(pre, motif, post)).as("text"))
+      Dedup.dedupSpansAnchored(docs, "doc_id", "text",
           anchorMod = 8, fastHash = true)
         .orderBy("doc_id")
     }),
@@ -533,6 +587,48 @@ object DedupCatalog {
         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
         |  count(*)::BIGINT AS n_spans
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the xxhash64 twin: same constructed fixture restated from the integer
+    // formulas; only the cut bounds arrive as the pinned literal table
+    // (anchoredFastBounds — computed through the executor's own Catalyst
+    // expression), the span slicing + first-owner + reassembly chain is
+    // restated independently like dedup_spans_anchored's
+    "dedup_spans_anchored_fast" ->
+      s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 26),
+         |txt AS (SELECT doc_id, list_concat(list_concat(
+         |    list_transform(range(0, 3 + (doc_id*3) % 7), j ->
+         |      chr(((doc_id*11 + j*7) % 26 + 97)::INT) ||
+         |      chr(((doc_id*11 + j*7 + 3) % 26 + 97)::INT) ||
+         |      chr(((doc_id*11 + j*7 + 6) % 26 + 97)::INT)),
+         |    [${anchoredMotif.map("'" + _ + "'").mkString(", ")}]),
+         |    list_transform(range(0, 4 + (doc_id*5) % 6), j ->
+         |      chr(((doc_id*11 + (j+50)*7 + 5) % 26 + 97)::INT) ||
+         |      chr(((doc_id*11 + (j+50)*7 + 8) % 26 + 97)::INT) ||
+         |      chr(((doc_id*11 + (j+50)*7 + 11) % 26 + 97)::INT))) AS words
+         |  FROM d),
+         |bt(doc_id, bounds) AS (VALUES ${anchoredFastBounds.map {
+             case (i, b) => s"($i, [${b.mkString(", ")}])"
+           }.mkString(",\n         |  ")}),
+         |tb AS (SELECT t.doc_id AS doc_id, words, bounds
+         |  FROM txt t JOIN bt USING (doc_id)),
+         |sp AS (SELECT doc_id, unnest(range(1, len(bounds))) AS pos,
+         |    words, bounds
+         |  FROM tb),
+         |s0 AS (SELECT doc_id, pos,
+         |    array_to_string(list_slice(words, (bounds[pos] + 1)::INT,
+         |      bounds[pos + 1]::INT), ' ') AS chunk_text
+         |  FROM sp),
+         |c AS (SELECT doc_id,
+         |    (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT AS chunk_no,
+         |    chunk_text
+         |  FROM s0 WHERE chunk_text <> ''),
+         |k AS (SELECT doc_id, chunk_no, chunk_text FROM c
+         |  QUALIFY row_number() OVER (PARTITION BY chunk_text
+         |    ORDER BY doc_id, chunk_no) = 1)
+         |SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_no) AS clean_text,
+         |  count(*)::BIGINT AS n_spans
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
 
     // sampled inverted index (hash60 '0x' law), stop-shingle cap,
     // exact-containment verify in ppm
