@@ -1,0 +1,86 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity}
+
+/** One-off sf1-scale proof of the flagship dedup/ANN heavies: the driver
+  * testdata tops out at sf0.1, so a ~10× corpus is synthesized (replicas
+  * with shifted ids and a per-replica suffix token — deliberately creating
+  * the cross-replica near-duplicate flood a real crawl exhibits) and the
+  * three operators the round-11 verdict called out run once each, with
+  * wall time and per-stage shuffle-write maxima from a stage listener.
+  * Results land in SURVEY §6. Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ScaleProof`
+  */
+object ScaleProof {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val shuffleW = new AtomicLong; val shuffleR = new AtomicLong
+    val maxStageW = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          val w = m.shuffleWriteMetrics.bytesWritten
+          shuffleW.addAndGet(w)
+          shuffleR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          maxStageW.accumulateAndGet(w, Math.max(_, _))
+        }
+      }
+    })
+
+    def measured(name: String)(body: => Long): Unit = {
+      spark.catalog.clearCache()
+      shuffleW.set(0); shuffleR.set(0); maxStageW.set(0)
+      val t0 = System.nanoTime()
+      val n = body
+      // listener events drain asynchronously; give the bus a beat
+      Thread.sleep(1500)
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s  " +
+        f"rows=$n%-9d shufW=${shuffleW.get / 1e6}%9.1f MB  " +
+        f"shufR=${shuffleR.get / 1e6}%9.1f MB  maxStageW=${maxStageW.get / 1e6}%8.1f MB")
+    }
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs: DataFrame = (0 until replicas).map { r =>
+      docs0.select((col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" replica$r")).as("text"))
+    }.reduce(_ unionByName _).cache()
+    val emb: DataFrame = (0 until replicas).map { r =>
+      emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _).cache()
+    val nd = docs.count(); val ne = emb.count()
+    val chars = docs.selectExpr("sum(length(text))").head().getLong(0)
+    println(s"scaled corpus: $nd docs ($chars chars), $ne vectors " +
+      s"(${replicas}x $sfDir)")
+
+    measured("dedup_minhash_fast") {
+      Dedup.nearDuplicatesFast(docs, "doc_id", "text",
+        shingleLen = 3, numHashes = 16, threshold = 0.5).count()
+    }
+    measured("dedup_substring_real") {
+      Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 20).count()
+    }
+    measured("sim_topk_hnsw") {
+      Similarity.hnswTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, beamWidth = 16, knnK = 5, bits = 6).count()
+    }
+    spark.stop()
+  }
+}
