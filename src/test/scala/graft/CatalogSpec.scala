@@ -31,9 +31,9 @@ class CatalogSpec extends AnyFunSuite {
       "duplicate headline entries")
   }
 
-  test("rows-only set is exactly the documented six") {
+  test("rows-only set is exactly the documented five") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("dedup_spans_anchored_fast", "q_sketch_distinct",
+    assert(rowsOnly === Set("q_sketch_distinct",
       "q_sketch_quantiles", "q_streaming_neardup", "sim_topk_pq",
       "sim_topk_ivfpq"),
       s"rows-only set drifted (update SURVEY + this pin together): $rowsOnly")
