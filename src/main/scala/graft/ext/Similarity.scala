@@ -1065,10 +1065,18 @@ object Similarity {
 
   /** The shared greedy beam loop: seed a beam from `entries`, then per hop
     * expand along `g` and re-rank to `beamWidth` (bounded-heap TopK; the
-    * shuffle carries beam rows, never the corpus). Each hop's beam is
-    * persisted eagerly and the previous released (see [[graphTopK]]'s
-    * lineage rationale); the RETURNED beam is still persisted — callers own
-    * its release. */
+    * shuffle carries beam rows, never the corpus).
+    *
+    * Materialization cadence: hops chain LAZILY and the beam is persisted +
+    * counted only every [[BeamCkptEvery]] hops and at the end — each
+    * materialization is a full job (shuffle + scheduling floor), and at
+    * small hop counts those fixed costs dominate the operator (measured on
+    * the bench heavy sim_topk_hnsw: per-hop materialization put ~8 of its
+    * 13 s into job overhead; r12). Chaining ≤ [[BeamCkptEvery]] TopK stages
+    * keeps lineage bounded, and the result is bit-identical either way —
+    * the cadence only decides where jobs are cut. The RETURNED beam is
+    * always persisted + materialized — callers own its release. */
+  private val BeamCkptEvery = 4
   private def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
                        entries: DataFrame, beamWidth: Int,
                        hops: Int): DataFrame = {
@@ -1076,19 +1084,25 @@ object Similarity {
       TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
           beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
+    def ckpt(df: DataFrame, prev: DataFrame): DataFrame = {
+      val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.count(): Unit
+      if (prev != null) prev.unpersist(): Unit
+      m
+    }
     var frontier = beamOf(entries)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    frontier.count(): Unit
+    var chained = 1 // beamOf stages since the last materialization
+    var lastCkpt: DataFrame = null
     for (_ <- 1 to hops) {
+      if (chained >= BeamCkptEvery) { // cut lineage, release the prior cut
+        frontier = ckpt(frontier, lastCkpt); lastCkpt = frontier; chained = 0
+      }
       val nbrs = frontier.join(g, "_gid")
         .select(col("query_id"), col("nbr_id").as("_gid"))
-      val next = beamOf(frontier.unionByName(nbrs).distinct())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count(): Unit
-      frontier.unpersist()
-      frontier = next
+      frontier = beamOf(frontier.unionByName(nbrs).distinct())
+      chained += 1
     }
-    frontier
+    ckpt(frontier, lastCkpt)
   }
 
   /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`
@@ -1139,8 +1153,12 @@ object Similarity {
     val q = broadcast(queries.select(col(qidCol).as("query_id"),
       asDouble(col(qvecCol)).as("qv")))
     val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
+    // (id, vector, level) feeds every layer's candidate set, the entry
+    // cross join, and the final re-score — one corpus projection persisted
+    // for the call's duration (released with the result's first action)
     val cAll = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"),
       lvl.as("_lv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
     // zero results for every query — fail fast with the fix instead
     require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
@@ -1154,23 +1172,36 @@ object Similarity {
       // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
       // the flat search it is being compared against) passes it via
       // `baseGraph` ((id, nbr_id) rows) instead of paying the build twice
-      val layerG =
-        (if (level == 0 && baseGraph != null)
-           baseGraph.select(col("id"), col("nbr_id"))
-         else knnGraph(vecs.where(lvl >= level), idCol, vecCol, knnK, bits))
+      val callerGraph = level == 0 && baseGraph != null
+      val layerG0 =
+        (if (callerGraph) baseGraph.select(col("id"), col("nbr_id"))
+         else knnGraph(cAll.where(col("_lv") >= level), "_gid", "cv",
+           knnK, bits)) // off the persisted corpus frame, not a fresh scan
           .select(col("id").as("_gid"), col("nbr_id"))
+      // a layer's graph is consumed once per hop (and the lazily-chained
+      // hops of one materialization job re-derive it per reference): persist
+      // graphs built HERE for the level's duration — but never a
+      // caller-provided baseGraph, whose caching the caller owns
+      val layerG =
+        if (callerGraph) layerG0
+        else layerG0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
       val hops = if (level == 0) baseHops else hopsPerLevel
       val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)
+      if (!callerGraph) layerG.unpersist(): Unit
       if (frontier != null) frontier.unpersist(): Unit
       frontier = beam
       entries = beam
     }
-    if (scope != null) scope.own(frontier)
-    else Dedup.releaseAfterFirstAction(frontier)
-    TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
+    val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
+    if (scope != null) { scope.own(frontier); scope.own(cAll) }
+    else {
+      Dedup.releaseAfterFirstAction(frontier, out)
+      Dedup.releaseAfterFirstAction(cAll, out)
+    }
+    out
   }
 
   /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf
