@@ -752,6 +752,32 @@ object BreadthCatalog {
     }),
 
 
+    // WARC crawl-archive scan (E50): the Common Crawl container, closing
+    // the loop on the crawl-curation surface — spec-valid segments
+    // (warcinfo + request + HTTP response records; partitions alternate
+    // plain/gzip so both decode paths run) are written per partition
+    // through the Hadoop FileSystem, then read back via the
+    // one-task-per-segment binaryFile walk with Content-Length framing.
+    // The census keeps only 200-status responses; the oracle restates the
+    // synthesis arithmetic (host id%7, 404s at id%13, body = text) — a
+    // framing, gzip, header-parse, or status-split bug hash-fails.
+    "etl_warc_scan" -> ((s, d) => {
+      val tmp = scratchDir("graft_warc", d)
+      val pages = t(s, d, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")).repartition(4, col("doc_id"))
+      graft.etl.Warc.writeSegments(pages, "doc_id", "text", tmp)
+      graft.etl.Warc.read(s, tmp)
+        .where(col("warc_type") === "response" && col("http_status") === 200)
+        .select(
+          regexp_extract(col("target_uri"), "http://(host[0-9]+)\\.", 1).as("host"),
+          length(col("body")).cast("long").as("chars"), col("target_uri"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"), sum(col("chars")).as("sum_chars"),
+          min(col("target_uri")).as("min_uri"))
+        .orderBy("host")
+    }),
+
+
     // Hive-style partitioned write + partition-pruned read-back: the scan
     // must touch only the purchase partition (PlanSpec asserts the
     // PartitionFilters); the oracle aggregates the original rows.
@@ -1306,6 +1332,17 @@ object BreadthCatalog {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors Warc.syntheticSegment: responses for doc_id % 3 = 0 pages,
+    // status 404 at doc_id % 13 = 0 (excluded), host = 'host' || id % 7,
+    // body = the page text verbatim
+    "etl_warc_scan" ->
+      """SELECT 'host' || (doc_id % 7) AS host, count(*)::BIGINT AS n_pages,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  min('http://host' || (doc_id % 7) || '.example/p/' || doc_id)
+        |    AS min_uri
+        |FROM documents WHERE doc_id % 3 = 0 AND doc_id % 13 <> 0
+        |GROUP BY 1 ORDER BY host""".stripMargin,
 
     "etl_gap_fill" ->
       """WITH e AS (SELECT user_id, ts, value, event_id FROM events

@@ -1,0 +1,64 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pages = Seq(5L -> "hello world", 13L -> "gone page",
+    7L -> "second doc\r\n\r\nwith a blank line", 10L -> "ten")
+
+  test("segment round-trip: plain and gzip parse to identical records") {
+    for (gz <- Seq(false, true)) {
+      val recs = Warc.parseSegment(
+        Warc.syntheticSegment(pages.iterator, gzipped = gz)).toSeq
+      // warcinfo + one request per id%5==0 (5, 10) + 4 responses
+      assert(recs.map(_.warc_type).count(_ == "warcinfo") === 1)
+      assert(recs.map(_.warc_type).count(_ == "request") === 2)
+      val resp = recs.filter(_.warc_type == "response")
+      assert(resp.size === 4)
+      // bodies survive verbatim — including a payload containing the
+      // blank-line sequence a separator-scanning parser would split on
+      assert(resp.map(r => r.target_uri -> r.body).toMap ===
+        pages.map { case (id, t) =>
+          s"http://host${id % 7}.example/p/$id" -> t
+        }.toMap)
+      // status law: 404 exactly at id % 13 == 0
+      assert(resp.filter(_.http_status == 404).map(_.target_uri) ===
+        Seq("http://host6.example/p/13"))
+    }
+  }
+
+  test("malformed tail quarantines: truncated segment keeps the records before the cut") {
+    val full = Warc.syntheticSegment(pages.iterator, gzipped = false)
+    val cut = full.take(full.length - 30) // truncate inside the last record
+    val recs = Warc.parseSegment(cut).toSeq
+    assert(recs.nonEmpty && recs.size < 7,
+      s"expected a partial parse, got ${recs.size} records")
+    // nothing half-parsed: every surviving record has its full body
+    assert(recs.filter(_.warc_type == "response")
+      .forall(r => pages.toMap.get(r.target_uri.split("/p/")(1).toLong)
+        .contains(r.body)))
+    assert(Warc.parseSegment(Array.empty[Byte]).isEmpty)
+    assert(Warc.parseSegment("not a warc at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("distributed scan: writeSegments + read over multiple part files") {
+    val dir = tmpDir("graft-warc")
+    val df = spark.range(0, 40).select(col("id").as("doc_id"),
+      concat(lit("body of "), col("id")).as("text"))
+      .repartition(4, col("doc_id"))
+    Warc.writeSegments(df, "doc_id", "text", dir)
+    val got = Warc.read(spark, dir)
+    assert(got.where(col("warc_type") === "warcinfo").count() === 4) // one per segment
+    val resp = got.where(col("warc_type") === "response")
+    assert(resp.count() === 40)
+    assert(resp.where(col("http_status") === 404).count() ===
+      (0 until 40).count(_ % 13 == 0))
+    // both plain and gzip segments were written and both parsed
+    val names = new java.io.File(dir).list().filter(_.contains(".warc")).toSeq
+    assert(names.exists(_.endsWith(".gz")) && names.exists(_.endsWith(".warc")),
+      s"expected mixed plain/gzip segments: $names")
+  }
+}
