@@ -778,6 +778,42 @@ object BreadthCatalog {
     }),
 
 
+    // Common Crawl-shaped pipeline in ONE expression (E50b): WARC segments
+    // whose response bodies are HTML pages → distributed segment scan →
+    // markup strip → word-count quality gate → per-host fetch/keep census.
+    // Every stage is the real operator (Warc.read, TextStats.stripMarkup);
+    // the oracle restates the whole composition from the construction
+    // (host id%7, 404 at id%13, stripped page = "p<id> " + text), so drift
+    // in ANY stage — framing, gzip, strip, tokenization, gate — hash-fails.
+    "curation_warc_e2e" -> ((s, d) => {
+      val tmp = scratchDir("graft_warc_e2e", d)
+      val pages = t(s, d, "documents").where(col("doc_id") % 4 === 1)
+        .select(col("doc_id"), concat(
+          lit("<html><body><h1>p"), col("doc_id"), lit("</h1><p>"),
+          col("text"), lit("</p></body></html>")).as("html"))
+        .repartition(4, col("doc_id"))
+      graft.etl.Warc.writeSegments(pages, "doc_id", "html", tmp)
+      val fetched = graft.etl.Warc.read(s, tmp)
+        .where(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "http://(host[0-9]+)\\.", 1).as("host"),
+          col("http_status"),
+          TextStats.stripMarkup(col("body")).as("clean"))
+      val gated = fetched.withColumn("n_words",
+        size(regexp_extract_all(lower(col("clean")), lit("[a-z]+"), lit(0)))
+          .cast("long"))
+      gated.groupBy("host")
+        .agg(
+          sum(when(col("http_status") === 200, 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("http_status") === 404, 1L).otherwise(0L)).as("n_404"),
+          sum(when(col("http_status") === 200 && col("n_words") >= 20, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("http_status") === 200 && col("n_words") >= 20,
+            col("n_words")).otherwise(0L)).as("sum_words_kept"))
+        .orderBy("host")
+    }),
+
+
     // Hive-style partitioned write + partition-pruned read-back: the scan
     // must touch only the purchase partition (PlanSpec asserts the
     // PartitionFilters); the oracle aggregates the original rows.
@@ -1332,6 +1368,24 @@ object BreadthCatalog {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // restates the whole WARC→strip→gate→census composition from the
+    // construction: stripped page = "p<id> " + text (corpus is markup-free,
+    // asserted before adoption), words = [a-z]+ runs of the lowercase
+    "curation_warc_e2e" ->
+      """WITH d AS (SELECT doc_id, 'host' || (doc_id % 7) AS host,
+        |    (doc_id % 13 = 0) AS nf,
+        |    1 + len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words
+        |  FROM documents WHERE doc_id % 4 = 1)
+        |SELECT host,
+        |  sum(CASE WHEN NOT nf THEN 1 ELSE 0 END)::BIGINT AS n_ok,
+        |  sum(CASE WHEN nf THEN 1 ELSE 0 END)::BIGINT AS n_404,
+        |  sum(CASE WHEN NOT nf AND n_words >= 20 THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_kept,
+        |  sum(CASE WHEN NOT nf AND n_words >= 20 THEN n_words ELSE 0 END)::BIGINT
+        |    AS sum_words_kept
+        |FROM d GROUP BY 1 ORDER BY host""".stripMargin,
+
 
     // mirrors Warc.syntheticSegment: responses for doc_id % 3 = 0 pages,
     // status 404 at doc_id % 13 = 0 (excluded), host = 'host' || id % 7,
