@@ -1078,8 +1078,8 @@ object Similarity {
     * always persisted + materialized — callers own its release. */
   private val BeamCkptEvery = 4
   private def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
-                       entries: DataFrame, beamWidth: Int,
-                       hops: Int): DataFrame = {
+                       entries: DataFrame, beamWidth: Int, hops: Int,
+                       materialize: Boolean = true): DataFrame = {
     def beamOf(cands: DataFrame): DataFrame =
       TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
           beamWidth)
@@ -1094,7 +1094,9 @@ object Similarity {
     var chained = 1 // beamOf stages since the last materialization
     var lastCkpt: DataFrame = null
     for (_ <- 1 to hops) {
-      if (chained >= BeamCkptEvery) { // cut lineage, release the prior cut
+      // cut lineage, release the prior cut (only a materializing call may
+      // checkpoint — a lazy call would leak the cut's cache to its caller)
+      if (materialize && chained >= BeamCkptEvery) {
         frontier = ckpt(frontier, lastCkpt); lastCkpt = frontier; chained = 0
       }
       val nbrs = frontier.join(g, "_gid")
@@ -1102,7 +1104,9 @@ object Similarity {
       frontier = beamOf(frontier.unionByName(nbrs).distinct())
       chained += 1
     }
-    ckpt(frontier, lastCkpt)
+    // materialize=false returns the LAZY beam — the caller folds it into a
+    // later job (hnswTopK chains short upper layers into the base-layer cut)
+    if (materialize) ckpt(frontier, lastCkpt) else frontier
   }
 
   /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`
@@ -1166,7 +1170,9 @@ object Similarity {
         "lower maxLevel (or m) for this corpus size")
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-    var frontier: DataFrame = null
+    var frontier: DataFrame = null // the last MATERIALIZED beam
+    var pendingChain = 0 // lazy beamOf stages carried into the next level
+    val ownedGraphs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (level <- maxLevel to 0 by -1) {
       // the base (level-0) graph is the dominant build cost — a caller that
       // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
@@ -1184,13 +1190,26 @@ object Similarity {
       // caller-provided baseGraph, whose caching the caller owns
       val layerG =
         if (callerGraph) layerG0
-        else layerG0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else {
+          val p = layerG0
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ownedGraphs += p
+          p
+        }
       val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
       val hops = if (level == 0) baseHops else hopsPerLevel
-      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)
-      if (!callerGraph) layerG.unpersist(): Unit
-      if (frontier != null) frontier.unpersist(): Unit
-      frontier = beam
+      // a SHORT upper layer stays lazy and folds into the next level's job
+      // (its graph stays persisted until a materialized cut resolves it);
+      // materialize at the base layer, or whenever the carried chain would
+      // outgrow the checkpoint cadence — same lineage bound either way
+      val mat = level == 0 || pendingChain + 1 + hops >= BeamCkptEvery
+      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops, mat)
+      if (mat) {
+        ownedGraphs.foreach(_.unpersist(): Unit); ownedGraphs.clear()
+        if (frontier != null) frontier.unpersist(): Unit
+        frontier = beam
+        pendingChain = 0
+      } else pendingChain += 1 + hops
       entries = beam
     }
     val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
