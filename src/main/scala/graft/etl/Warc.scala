@@ -127,12 +127,16 @@ object Warc {
       if (bytes0.length > 2 && (bytes0(0) & 0xff) == 0x1f &&
         (bytes0(1) & 0xff) == 0x8b) {
         // multi-member gzip (per-record members or whole-file) — JDK
-        // GZIPInputStream walks concatenated members natively
+        // GZIPInputStream walks concatenated members natively. A corrupt or
+        // truncated stream throws inside the inflater: quarantine to the
+        // bytes decoded so far (partial parse), never a failed task.
         val out = new ByteArrayOutputStream()
-        val in = new GZIPInputStream(new ByteArrayInputStream(bytes0))
-        val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        try {
+          val in = new GZIPInputStream(new ByteArrayInputStream(bytes0))
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } catch { case _: java.io.IOException => () }
         out.toByteArray
       } else bytes0
     new Iterator[WarcRecord] {
@@ -212,6 +216,39 @@ object Warc {
     import spark.implicits._
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(parseSegment))
+      .toDF()
+  }
+
+  /** Continuous-ingest twin of [[read]]: segments landing in `dir` stream
+    * through the same record walk (`binaryFile` is a FileFormat, so the
+    * file-stream source discovers new segments per micro-batch — the
+    * crawl-drop topology: each dump appends segment files, downstream
+    * curation consumes exactly-once via checkpointed file tracking).
+    * Combine with `Trigger.AvailableNow` for catch-up runs or a processing
+    * -time trigger for a live tail; parse semantics are byte-identical to
+    * the batch scan (WarcSpec pins streamed == batch). */
+  def readStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame = {
+    import spark.implicits._
+    // a file-stream source requires the schema up front; binaryFile's is
+    // fixed by the format
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
       .select(col("content"))
       .as[Array[Byte]]
       .mapPartitions(_.flatMap(parseSegment))

@@ -692,6 +692,7 @@ object Multimodal {
       var m = b(o + 1) & 0xff; o += 2
       while (m == 0xff && o < b.length) { m = b(o) & 0xff; o += 1 } // fill bytes
       if (m == 0xd9) return None // EOI before SOS: no image data
+      if (o + 2 > b.length) return None // fill bytes ran past the length field
       val len = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
       if (len < 2 || o + len > b.length) return None
       val end = o + len
@@ -704,6 +705,7 @@ object Multimodal {
           if ((b(p + 5) & 0xff) != 1) return None // single-component profile
           if ((b(p + 7) & 0xff) != 0x11) return None // no subsampling
           qId = b(p + 8) & 0xff
+          if (qId > 3) return None // quant selector out of the spec's 0..3
           sofSeen = true
         case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
@@ -711,14 +713,14 @@ object Multimodal {
         case 0xdb => // DQT: one or more tables per segment
           while (p < end) {
             val pq = (b(p) & 0xff) >> 4; val tq = b(p) & 0x0f
-            if (pq != 0 || p + 65 > end) return None // 8-bit precision only
+            if (pq != 0 || tq > 3 || p + 65 > end) return None // 8-bit, ids 0..3
             quant(tq) = Array.tabulate(64)(k => b(p + 1 + k) & 0xff)
             p += 65
           }
         case 0xc4 => // DHT: one or more tables per segment
           while (p < end) {
             val tc = (b(p) & 0xff) >> 4; val th = b(p) & 0x0f
-            if (tc > 1 || p + 17 > end) return None
+            if (tc > 1 || th > 3 || p + 17 > end) return None
             val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
             val n = bits.sum
             if (p + 17 + n > end || n > 256) return None
@@ -733,6 +735,7 @@ object Multimodal {
         case 0xda => // SOS: single scan, then entropy data
           if (len < 8 || (b(p) & 0xff) != 1) return None
           val td = (b(p + 2) & 0xff) >> 4; val ta = b(p + 2) & 0x0f
+          if (td > 3 || ta > 3) return None
           if (!sofSeen || quant(qId) == null ||
             dcTables(td) == null || acTables(ta) == null) return None
           sosAt = end
