@@ -67,4 +67,25 @@ class FuzzQuarantineSpec extends SparkSpec {
       }
     }
   }
+
+  test("MP4 box walk and the Dataset kernels never throw on corrupted input") {
+    import spark.implicits._
+    val rnd = new Random(46)
+    val assets = (0 until 100).flatMap { i =>
+      corruptions(Multimodal.syntheticMp4Payload(i % 40), rnd)
+        .map(b => Multimodal.RawAsset(i, "video", b)).toSeq ++
+        corruptions(Multimodal.syntheticAudioPayload(i % 40), rnd)
+          .map(b => Multimodal.RawAsset(i + 1000, "audio", b)).toSeq ++
+        corruptions(Multimodal.syntheticVideoPayload(i % 40), rnd)
+          .map(b => Multimodal.RawAsset(i + 2000, "video", b)).toSeq
+    }
+    assets.foreach(a => Multimodal.decodeMp4(a): Unit)
+    // one distributed pass per kernel over every corruption at once —
+    // a single poisoned record failing the stage is exactly the bug class
+    val ds = spark.createDataset(assets)
+    Multimodal.audioFrameFeatures(ds, frameSize = 16).count(): Unit
+    Multimodal.videoFrameDiff(ds).count(): Unit
+    Multimodal.colorHistogram(ds).count(): Unit
+    Multimodal.resizePpm(ds, factor = 2).count(): Unit
+  }
 }
