@@ -1020,12 +1020,14 @@ object Similarity {
     * Scale shape: per hop, one equi-join of the beam against the edge list
     * (keyed on the node id), one equi-join to fetch candidate vectors, and
     * a bounded-heap [[TopK]] aggregation — the shuffle carries beam rows
-    * (queries × beamWidth), never the corpus. Each hop's beam is persisted
-    * EAGERLY and the previous one released (the lineage otherwise doubles
-    * per hop: the beam feeds both the neighbor expansion and the re-rank
-    * union); the final beam self-releases after the first consuming action,
-    * or is owned by the caller's scope — the kmeans precedent for
-    * iterative operators that run jobs at call time. */
+    * (queries × beamWidth), never the corpus. Each hop's beam is CUT into
+    * a driver-side LocalRelation (see [[beamLoop]] — the lineage otherwise
+    * doubles per hop, since the beam feeds both the neighbor expansion and
+    * the re-rank union, and per-hop replanning of the growing tree
+    * dominates wall clock); a beam past [[MaxLocalBeamRows]] falls back to
+    * persist+count, and that final persisted beam self-releases after the
+    * first consuming action or is owned by the caller's scope — the kmeans
+    * precedent for iterative operators that run jobs at call time. */
   def graphTopK(vecs: DataFrame, idCol: String, vecCol: String,
                 graph: DataFrame, queries: DataFrame, qidCol: String,
                 qvecCol: String, k: Int, beamWidth: Int, hops: Int,
@@ -1063,50 +1065,63 @@ object Similarity {
       .select(col("query_id"), col("_gid"),
         cosine(col("qv"), col("cv")).as("score"))
 
+  /** Frontier localization bound: a cut frontier holds at most
+    * |queries| × beamWidth (query_id, _gid) pairs — the same driver-side
+    * magnitude the operator already commits to by broadcasting the query
+    * set. Up to this many rows the cut is a collect into a LocalRelation;
+    * past it, persist + count (≈48 MB of Row overhead at the bound). */
+  private val MaxLocalBeamRows = 1 << 21
+
   /** The shared greedy beam loop: seed a beam from `entries`, then per hop
     * expand along `g` and re-rank to `beamWidth` (bounded-heap TopK; the
     * shuffle carries beam rows, never the corpus).
     *
-    * Materialization cadence: hops chain LAZILY and the beam is persisted +
-    * counted only every [[BeamCkptEvery]] hops and at the end — each
-    * materialization is a full job (shuffle + scheduling floor), and at
-    * small hop counts those fixed costs dominate the operator (measured on
-    * the bench heavy sim_topk_hnsw: per-hop materialization put ~8 of its
-    * 13 s into job overhead; r12). Chaining ≤ [[BeamCkptEvery]] TopK stages
-    * keeps lineage bounded, and the result is bit-identical either way —
-    * the cadence only decides where jobs are cut. The RETURNED beam is
-    * always persisted + materialized — callers own its release. */
-  private val BeamCkptEvery = 4
+    * Frontier cadence: each hop CUTS the frontier by collecting it into a
+    * LocalRelation (the kmeans-centroid precedent — small loop state lives
+    * on the driver as literals). The alternatives — persist + count per
+    * hop, or lazily chained hops — leave every hop's plan referencing the
+    * whole tree built so far, and the per-materialization Catalyst/AQE
+    * replan of that ever-deepening tree is what actually dominated the
+    * operator's wall clock (measured on the bench heavy sim_topk_hnsw:
+    * 84 sequential micro-stages averaging ~130 ms of replan + scheduling
+    * floor over 2 000 corpus rows, ~10 s total; r12). With localized cuts
+    * each hop is one flat LocalTableScan ⋈ graph ⋈ corpus job. Results are
+    * bit-identical either way — the cut only decides where jobs end. A
+    * frontier that outgrows [[MaxLocalBeamRows]] falls back to the
+    * persist+count cut for that hop (released at the next cut; a persisted
+    * FINAL frontier is the caller's to release via scope/self-release —
+    * both release paths are no-ops on a localized frontier). */
   private def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
-                       entries: DataFrame, beamWidth: Int, hops: Int,
-                       materialize: Boolean = true): DataFrame = {
+                       entries: DataFrame, beamWidth: Int,
+                       hops: Int): DataFrame = {
     def beamOf(cands: DataFrame): DataFrame =
       TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
           beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
-    def ckpt(df: DataFrame, prev: DataFrame): DataFrame = {
-      val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      m.count(): Unit
-      if (prev != null) prev.unpersist(): Unit
-      m
+    var lastCkpt: DataFrame = null // the persist-fallback cut, if any
+    def cut(df: DataFrame): DataFrame = {
+      val rows = df.collect() // ≤ |queries|·beamWidth pairs by construction
+      val out =
+        if (rows.length <= MaxLocalBeamRows)
+          df.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), df.schema)
+        else {
+          val m = df
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.count(): Unit
+          m
+        }
+      if (lastCkpt ne null) lastCkpt.unpersist(): Unit
+      lastCkpt = if (rows.length <= MaxLocalBeamRows) null else out
+      out
     }
-    var frontier = beamOf(entries)
-    var chained = 1 // beamOf stages since the last materialization
-    var lastCkpt: DataFrame = null
+    var frontier = cut(beamOf(entries))
     for (_ <- 1 to hops) {
-      // cut lineage, release the prior cut (only a materializing call may
-      // checkpoint — a lazy call would leak the cut's cache to its caller)
-      if (materialize && chained >= BeamCkptEvery) {
-        frontier = ckpt(frontier, lastCkpt); lastCkpt = frontier; chained = 0
-      }
       val nbrs = frontier.join(g, "_gid")
         .select(col("query_id"), col("nbr_id").as("_gid"))
-      frontier = beamOf(frontier.unionByName(nbrs).distinct())
-      chained += 1
+      frontier = cut(beamOf(frontier.unionByName(nbrs).distinct()))
     }
-    // materialize=false returns the LAZY beam — the caller folds it into a
-    // later job (hnswTopK chains short upper layers into the base-layer cut)
-    if (materialize) ckpt(frontier, lastCkpt) else frontier
+    frontier
   }
 
   /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`
@@ -1170,9 +1185,7 @@ object Similarity {
         "lower maxLevel (or m) for this corpus size")
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-    var frontier: DataFrame = null // the last MATERIALIZED beam
-    var pendingChain = 0 // lazy beamOf stages carried into the next level
-    val ownedGraphs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier: DataFrame = null // the last cut beam
     for (level <- maxLevel to 0 by -1) {
       // the base (level-0) graph is the dominant build cost — a caller that
       // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
@@ -1184,32 +1197,22 @@ object Similarity {
          else knnGraph(cAll.where(col("_lv") >= level), "_gid", "cv",
            knnK, bits)) // off the persisted corpus frame, not a fresh scan
           .select(col("id").as("_gid"), col("nbr_id"))
-      // a layer's graph is consumed once per hop (and the lazily-chained
-      // hops of one materialization job re-derive it per reference): persist
-      // graphs built HERE for the level's duration — but never a
-      // caller-provided baseGraph, whose caching the caller owns
+      // a layer's graph is consumed once per hop: persist graphs built HERE
+      // for the level's duration — but never a caller-provided baseGraph,
+      // whose caching the caller owns. Every beamLoop cut materializes, so
+      // the graph is fully consumed when the loop returns and is released
+      // immediately (a persist-FALLBACK frontier may recompute it on cache
+      // eviction — correct either way, just slower on that rare path)
       val layerG =
         if (callerGraph) layerG0
-        else {
-          val p = layerG0
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          ownedGraphs += p
-          p
-        }
+        else layerG0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
       val hops = if (level == 0) baseHops else hopsPerLevel
-      // a SHORT upper layer stays lazy and folds into the next level's job
-      // (its graph stays persisted until a materialized cut resolves it);
-      // materialize at the base layer, or whenever the carried chain would
-      // outgrow the checkpoint cadence — same lineage bound either way
-      val mat = level == 0 || pendingChain + 1 + hops >= BeamCkptEvery
-      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops, mat)
-      if (mat) {
-        ownedGraphs.foreach(_.unpersist(): Unit); ownedGraphs.clear()
-        if (frontier != null) frontier.unpersist(): Unit
-        frontier = beam
-        pendingChain = 0
-      } else pendingChain += 1 + hops
+      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)
+      if (!callerGraph) layerG.unpersist(): Unit
+      if (frontier != null) frontier.unpersist(): Unit // no-op if localized
+      frontier = beam
       entries = beam
     }
     val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),

@@ -21,6 +21,10 @@ object ScaleProof {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    // re-measure a subset after touching one operator without paying for
+    // the others (the substring row alone is ~4 min at 10×)
+    val ops = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
+    def wanted(name: String): Boolean = ops.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.driver.memory", "16g")
@@ -69,14 +73,14 @@ object ScaleProof {
     println(s"scaled corpus: $nd docs ($chars chars), $ne vectors " +
       s"(${replicas}x $sfDir)")
 
-    measured("dedup_minhash_fast") {
+    if (wanted("dedup_minhash_fast")) measured("dedup_minhash_fast") {
       Dedup.nearDuplicatesFast(docs, "doc_id", "text",
         shingleLen = 3, numHashes = 16, threshold = 0.5).count()
     }
-    measured("dedup_substring_real") {
+    if (wanted("dedup_substring_real")) measured("dedup_substring_real") {
       Dedup.substringDupSpans(docs, "doc_id", "text", minLen = 20).count()
     }
-    measured("sim_topk_hnsw") {
+    if (wanted("sim_topk_hnsw")) measured("sim_topk_hnsw") {
       Similarity.hnswTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, beamWidth = 16, knnK = 5, bits = 6).count()
