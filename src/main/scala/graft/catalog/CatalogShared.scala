@@ -639,6 +639,11 @@ object CatalogShared {
     // strict-left-fold dot product of two DOUBLE[] expressions, 64 dims
     def dot(a: String, b: String): String = dotN(a, b, 64)
 
+    // strict-left-fold squared-L2 distance of two DOUBLE[] expressions,
+    // 64 dims (mirrors Similarity.sqDist's zip_with/aggregate fold order)
+    def sqDist(a: String, b: String): String =
+      s"list_reduce(list_concat([0.0::DOUBLE], list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+
     // int8 quantization of embeddings into BIGINT[] codes — the
     // sim_topk_int8-proven restatement of Similarity.quantizeInt8. Ends in
     // CTE qt(vec_id, cq).

@@ -502,6 +502,18 @@ object SimilarityCatalog {
     }),
 
 
+    // Farthest-point sampling (E15n): greedy k-center over squared L2 —
+    // the diversity-maximizing prune next to the redundancy prunes (seed =
+    // lowest id, argmax ties to lowest id, mind chains least() of exact
+    // per-row folds — no cross-row FP reduction, so the whole selection
+    // restates cross-engine). Oracle unrolls all 6 rounds as CTEs.
+    "sim_kcenter" -> ((s, d) => {
+      Similarity.kCenterSelect(t(s, d, "embeddings"), "vec_id", "embedding",
+          k = 6)
+        .orderBy("sel_no")
+    }),
+
+
     // Cluster-balanced downsampling (the E15e2 consumer): cap every fitted
     // k-means cell at 40 vectors by deterministic hash order — the
     // diversity-preserving prune (SemDeDup-style: dense cells shed
@@ -1045,6 +1057,36 @@ object SimilarityCatalog {
       s"""WITH ${Sql.int8Codes},
          |${Sql.kmeansUnrolled(8, 2)}
          |SELECT vec_id, cell, score FROM a3 ORDER BY vec_id""".stripMargin,
+
+
+    // mirrors Similarity.kCenterSelect(k=6): seed = lowest id, then five
+    // unrolled greedy rounds — each picks ORDER BY mind DESC, id LIMIT 1
+    // and chains least(mind, sqdist-to-pick) with the pick filtered out,
+    // the exact per-row fold the engine runs (no cross-row FP reduction)
+    "sim_kcenter" -> {
+      val rounds = (1 to 5).map { r =>
+        val d = s"d$r"; val c = s"c$r"
+        val prev = if (r == 1) "e" else s"d${r - 1}"
+        val prevC = s"c${r - 1}"
+        val mind =
+          if (r == 1) Sql.sqDist("p.v", s"$prevC.v")
+          else s"least(p.mind, ${Sql.sqDist("p.v", s"$prevC.v")})"
+        s"""$d AS (SELECT p.id, p.v, $mind AS mind
+           |  FROM $prev p CROSS JOIN $prevC WHERE p.id <> $prevC.id),
+           |$c AS (SELECT id, v, mind FROM $d
+           |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val picks = (1 to 5)
+        .map(r => s"SELECT $r::INT, id, mind FROM c$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+         |$rounds
+         |SELECT 0::INT AS sel_no, id, NULL::DOUBLE AS radius FROM c0
+         |UNION ALL $picks
+         |ORDER BY sel_no""".stripMargin
+    },
 
 
     // mirrors Sampling.capPerGroupSkewSafe over the kmeans cells (kept set

@@ -505,6 +505,81 @@ object Similarity {
     out
   }
 
+  /** Farthest-point sampling (greedy k-center, Gonzalez 1985) — the
+    * diversity-maximizing k-subset selection a training-data prune wants
+    * when near-dup removal isn't enough: each round picks the point
+    * FARTHEST (squared L2) from everything chosen so far, the classic
+    * 2-approximation to the k-center cover. Complements the redundancy
+    * prunes (SemDeDup drops near-dups, [[Sampling.capPerGroupSkewSafe]]
+    * caps dense cells) with the other direction: points are KEPT for being
+    * far from the kept set.
+    *
+    * Deterministic and oracle-restatable end to end: the seed is the
+    * lowest id; each round's argmax tie-breaks to the lowest id; the
+    * min-distance column chains `least(mind, sqDist(v, picked))` — a
+    * per-row strict fold with no cross-row reduction, so (unlike the FP
+    * k-means fit, whose means are reduction-order-dependent) every value
+    * restates exactly cross-engine.
+    *
+    * Scale shape: k rounds, each ONE flat job over the persisted
+    * (id, v, mind) frame — a zero-exchange projection (the picked vector
+    * rides in as a broadcast literal, kmeans-centroid style) plus a 1-row
+    * `max_by` aggregation back to the driver; the frame is re-persisted
+    * per round and the prior round released, so lineage never deepens.
+    * Driver state is k (id, vector) pairs — the payload every centroid
+    * literal already ships. Stops early when the picked radius is 0 (the
+    * chosen set already covers every remaining point exactly — only
+    * duplicate vectors remain), returning fewer than k rows.
+    *
+    * Output: (sel_no, id, radius) in selection order — `radius` is the
+    * picked point's min squared distance to the prior selection (the
+    * greedy cover radius before the pick lands; NULL for the seed). */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"kCenterSelect: k=$k must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c0 = corpus.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val seed = c0.orderBy("id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterSelect: empty corpus")
+    val picks =
+      scala.collection.mutable.ArrayBuffer[(Long, Option[Double])](
+        (seed(0).getLong(0), None))
+    var cur = c0.where(col("id") =!= seed(0).getLong(0))
+      .withColumn("mind", sqDist(col("v"), typedLit(seed(0).getSeq[Double](1))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cur.count(): Unit
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
+      // unique ids make the (mind, -id) ordering a total order — the
+      // max_by pick is deterministic, matching ORDER BY mind DESC, id
+      val top = cur
+        .agg(max_by(struct(col("id"), col("v"), col("mind")),
+          struct(col("mind"), (-col("id")).as("nid"))).as("t"))
+        .select(col("t.id"), col("t.v"), col("t.mind"))
+        .collect()
+      if (top.isEmpty || top(0).isNullAt(0) || top(0).getDouble(2) <= 0.0)
+        exhausted = true // k ≥ distinct vectors: the cover is already exact
+      else {
+        val (pid, pv, pd) =
+          (top(0).getLong(0), top(0).getSeq[Double](1), top(0).getDouble(2))
+        picks += ((pid, Some(pd)))
+        val next = cur.where(col("id") =!= pid)
+          .withColumn("mind",
+            least(col("mind"), sqDist(col("v"), typedLit(pv))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count(): Unit
+        cur.unpersist(): Unit
+        cur = next
+      }
+    }
+    cur.unpersist(): Unit
+    picks.toSeq.zipWithIndex
+      .map { case ((id, r), i) => (i, id, r) }
+      .toDF("sel_no", "id", "radius")
+  }
+
   /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
     * norm vector) coalesces to -2 — below any real cosine — so comparisons
     * stay two-valued and a zero-norm vector lands deterministically in the

@@ -2525,4 +2525,52 @@ class ExtSpec extends SparkSpec {
     // two triangles sharing an edge (bowtie-ish)
     assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (3L, 4L)))._3 === 2L)
   }
+
+  test("kCenterSelect: hand-checked greedy order, duplicate early-stop, no leaked caches") {
+    // points on a line: 0, 1, 10, 11, 30 (id = coordinate). Greedy from
+    // lowest id 0: pick 30 (d²=900), then 10 (min(100, 400)=100 — 11 is
+    // min(121, 361)=121? no: to 30 it is 19²=361, to 0 it is 121 → 121;
+    // 10 has min(100, 400)=100; argmax is 11 at 121), then 10 would be
+    // covered... verify against the exhaustive reference below instead of
+    // hand arithmetic for the tail.
+    def fps(pts: Map[Long, Seq[Double]], k: Int): Seq[(Long, Option[Double])] = {
+      val seed = pts.keys.min
+      var chosen = Vector((seed, Option.empty[Double]))
+      var mind = (pts - seed).map { case (id, v) =>
+        id -> v.zip(pts(seed)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      while (chosen.size < k && mind.nonEmpty) {
+        val (pid, pd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+        if (pd <= 0.0) return chosen
+        chosen :+= ((pid, Some(pd)))
+        val pv = pts(pid)
+        mind = (mind - pid).map { case (id, d) =>
+          id -> math.min(d,
+            pts(id).zip(pv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+      }
+      chosen
+    }
+    val line = Map(0L -> Seq(0.0), 1L -> Seq(1.0), 10L -> Seq(10.0),
+      11L -> Seq(11.0), 30L -> Seq(30.0))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val got = Similarity
+      .kCenterSelect(line.toSeq.toDF("id", "v"), "id", "v", k = 4)
+      .orderBy("sel_no").collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(2)) Option.empty[Double] else Some(r.getDouble(2))))
+      .toSeq
+    assert(got === fps(line, 4))
+    assert(got.take(3).map(_._1) === Seq(0L, 30L, 11L)) // the hand-checked head
+    // duplicates: once the chosen set covers every distinct vector, the
+    // radius hits 0 and selection stops short of k
+    val dup = Map(1L -> Seq(0.0, 0.0), 2L -> Seq(0.0, 0.0),
+      3L -> Seq(5.0, 0.0), 4L -> Seq(5.0, 0.0))
+    val gotDup = Similarity
+      .kCenterSelect(dup.toSeq.toDF("id", "v"), "id", "v", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(gotDup === Set(1L, 3L), s"expected early stop, got $gotDup")
+    // the per-round re-persisted frames must all be released on return
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
