@@ -521,15 +521,19 @@ object Similarity {
     * k-means fit, whose means are reduction-order-dependent) every value
     * restates exactly cross-engine.
     *
-    * Scale shape: k rounds, each ONE flat job over the persisted
-    * (id, v, mind) frame — a zero-exchange projection (the picked vector
-    * rides in as a broadcast literal, kmeans-centroid style) plus a 1-row
-    * `max_by` aggregation back to the driver; the frame is re-persisted
-    * per round and the prior round released, so lineage never deepens.
-    * Driver state is k (id, vector) pairs — the payload every centroid
-    * literal already ships. Stops early when the picked radius is 0 (the
-    * chosen set already covers every remaining point exactly — only
-    * duplicate vectors remain), returning fewer than k rows.
+    * Scale shape: the corpus (id, v) projection is persisted ONCE; each of
+    * the k rounds is ONE flat job — a zero-exchange projection deriving
+    * the min distance from the selection-ordered centers LITERAL (the
+    * kmeans-centroid discipline: loop state rides in as broadcast
+    * literals, never as a per-round re-cache of a corpus-sized frame) plus
+    * a 1-row `max_by` aggregation back to the driver. Round r scores r
+    * centers per row — Θ(k²·dim/2) per row over the selection, the price
+    * of NOT re-persisting the corpus k times; k is a selection budget
+    * (tens, not thousands), so the fold stays cheap while the cache churn
+    * it replaces would scale with the corpus. Stops early when the picked
+    * radius is 0 (the chosen set already covers every remaining point
+    * exactly — only duplicate vectors remain), returning fewer than k
+    * rows.
     *
     * Output: (sel_no, id, radius) in selection order — `radius` is the
     * picked point's min squared distance to the prior selection (the
@@ -541,20 +545,26 @@ object Similarity {
     import spark.implicits._
     val c0 = corpus.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seed = c0.orderBy("id").limit(1).collect()
     require(seed.nonEmpty, "kCenterSelect: empty corpus")
     val picks =
       scala.collection.mutable.ArrayBuffer[(Long, Option[Double])](
         (seed(0).getLong(0), None))
-    var cur = c0.where(col("id") =!= seed(0).getLong(0))
-      .withColumn("mind", sqDist(col("v"), typedLit(seed(0).getSeq[Double](1))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cur.count(): Unit
+    val centerVecs =
+      scala.collection.mutable.ArrayBuffer(seed(0).getSeq[Double](1))
     var exhausted = false
     for (_ <- 2 to k if !exhausted) {
+      // left-assoc reduce == the incremental least() chain an update-in-
+      // place formulation would carry — same doubles, so the DuckDB
+      // restatement (chained least per round) matches either way
+      val mind = centerVecs
+        .map(cv => sqDist(col("v"), typedLit(cv))).reduce(least(_, _))
       // unique ids make the (mind, -id) ordering a total order — the
       // max_by pick is deterministic, matching ORDER BY mind DESC, id
-      val top = cur
+      val top = c0
+        .where(not(col("id").isin(picks.map(_._1).toSeq: _*)))
+        .select(col("id"), col("v"), mind.as("mind"))
         .agg(max_by(struct(col("id"), col("v"), col("mind")),
           struct(col("mind"), (-col("id")).as("nid"))).as("t"))
         .select(col("t.id"), col("t.v"), col("t.mind"))
@@ -562,19 +572,11 @@ object Similarity {
       if (top.isEmpty || top(0).isNullAt(0) || top(0).getDouble(2) <= 0.0)
         exhausted = true // k ≥ distinct vectors: the cover is already exact
       else {
-        val (pid, pv, pd) =
-          (top(0).getLong(0), top(0).getSeq[Double](1), top(0).getDouble(2))
-        picks += ((pid, Some(pd)))
-        val next = cur.where(col("id") =!= pid)
-          .withColumn("mind",
-            least(col("mind"), sqDist(col("v"), typedLit(pv))))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count(): Unit
-        cur.unpersist(): Unit
-        cur = next
+        picks += ((top(0).getLong(0), Some(top(0).getDouble(2))))
+        centerVecs += top(0).getSeq[Double](1)
       }
     }
-    cur.unpersist(): Unit
+    c0.unpersist(): Unit
     picks.toSeq.zipWithIndex
       .map { case ((id, r), i) => (i, id, r) }
       .toDF("sel_no", "id", "radius")
