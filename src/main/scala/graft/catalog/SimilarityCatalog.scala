@@ -1071,9 +1071,14 @@ object SimilarityCatalog {
         val mind =
           if (r == 1) Sql.sqDist("p.v", s"$prevC.v")
           else s"least(p.mind, ${Sql.sqDist("p.v", s"$prevC.v")})"
+        // mind > 0 gates the pick exactly like kCenterSelect's early stop:
+        // once only zero-distance (duplicate) vectors remain, this round's
+        // pick CTE is empty and every later round (whose candidate CTE
+        // cross-joins it) is empty too, so the unroll returns fewer than k
+        // rows on a low-distinct-vector corpus instead of diverging
         s"""$d AS (SELECT p.id, p.v, $mind AS mind
            |  FROM $prev p CROSS JOIN $prevC WHERE p.id <> $prevC.id),
-           |$c AS (SELECT id, v, mind FROM $d
+           |$c AS (SELECT id, v, mind FROM $d WHERE mind > 0
            |  ORDER BY mind DESC, id LIMIT 1)""".stripMargin
       }.mkString(",\n")
       val picks = (1 to 5)

@@ -546,6 +546,11 @@ object Similarity {
     val c0 = corpus.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every exit below the persist — including the empty-corpus require and
+    // any mid-loop failure — must release the cache entry, so the whole
+    // selection runs inside try/finally (the result is a driver-local
+    // literal frame, so unpersisting before return is always safe)
+    try {
     val seed = c0.orderBy("id").limit(1).collect()
     require(seed.nonEmpty, "kCenterSelect: empty corpus")
     val picks =
@@ -576,10 +581,10 @@ object Similarity {
         centerVecs += top(0).getSeq[Double](1)
       }
     }
-    c0.unpersist(): Unit
     picks.toSeq.zipWithIndex
       .map { case ((id, r), i) => (i, id, r) }
       .toDF("sel_no", "id", "radius")
+    } finally c0.unpersist(): Unit
   }
 
   /** (score, cent_id) per centroid, in centroid order. Null cosine (zero-
@@ -1255,6 +1260,12 @@ object Similarity {
     val cAll = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"),
       lvl.as("_lv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a throw anywhere below — including the empty-top-layer require and
+    // any mid-descent failure — must release the corpus cache (and the last
+    // persist-fallback frontier); the happy path instead hands ownership to
+    // scope/self-release at the bottom, so only the FAILURE path unpersists
+    var frontier: DataFrame = null // the last cut beam
+    try {
     // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
     // zero results for every query — fail fast with the fix instead
     require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
@@ -1262,7 +1273,6 @@ object Similarity {
         "lower maxLevel (or m) for this corpus size")
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-    var frontier: DataFrame = null // the last cut beam
     for (level <- maxLevel to 0 by -1) {
       // the base (level-0) graph is the dominant build cost — a caller that
       // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
@@ -1301,6 +1311,12 @@ object Similarity {
       Dedup.releaseAfterFirstAction(cAll, out)
     }
     out
+    } catch {
+      case t: Throwable =>
+        cAll.unpersist(): Unit
+        if (frontier != null) frontier.unpersist(): Unit // no-op if localized
+        throw t
+    }
   }
 
   /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf

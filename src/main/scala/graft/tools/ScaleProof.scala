@@ -14,8 +14,11 @@ import graft.ext.{Dedup, Similarity}
   * the cross-replica near-duplicate flood a real crawl exhibits) and the
   * three operators the round-11 verdict called out run once each, with
   * wall time and per-stage shuffle-write maxima from a stage listener.
-  * Results land in SURVEY §6. Run:
-  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.tools.ScaleProof`
+  * Results land in SURVEY §6. Heap must come from JVM options — a
+  * `spark.driver.memory` set on the in-process builder after JVM start is
+  * silently ignored in local mode. Run:
+  * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -J-Xmx16g
+  *   'runMain graft.tools.ScaleProof'`
   */
 object ScaleProof {
   def main(args: Array[String]): Unit = {
@@ -27,7 +30,6 @@ object ScaleProof {
     def wanted(name: String): Boolean = ops.forall(_.contains(name))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -2570,6 +2570,26 @@ class ExtSpec extends SparkSpec {
       .kCenterSelect(dup.toSeq.toDF("id", "v"), "id", "v", k = 4)
       .collect().map(_.getLong(1)).toSet
     assert(gotDup === Set(1L, 3L), s"expected early stop, got $gotDup")
+    // 3 distinct vectors among 6 rows, k = 6: the selection must stop at
+    // exactly the 3 distinct representatives (lowest id per value wins the
+    // tie-break) — the corpus shape on which an ungated 5-round oracle
+    // unroll would diverge from the early stop; the catalog oracle now
+    // gates every round's pick on mind > 0 to match (VERDICT r13 task 9)
+    val tri = Map(1L -> Seq(0.0, 0.0), 2L -> Seq(0.0, 0.0),
+      3L -> Seq(5.0, 0.0), 4L -> Seq(5.0, 0.0),
+      5L -> Seq(0.0, 7.0), 6L -> Seq(0.0, 7.0))
+    val gotTri = Similarity
+      .kCenterSelect(tri.toSeq.toDF("id", "v"), "id", "v", k = 6)
+      .orderBy("sel_no")
+      .collect().map(_.getLong(1)).toSeq
+    assert(gotTri === Seq(1L, 5L, 3L), s"expected 3-row early stop, got $gotTri")
+    assert(graft.SparkEntry.oracleSql("sim_kcenter").contains("WHERE mind > 0"),
+      "sim_kcenter oracle must gate each round's pick on mind > 0")
+    // empty corpus: the require must not strand the persisted projection
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterSelect(
+        dup.toSeq.toDF("id", "v").where(col("id") < 0), "id", "v", k = 2)
+    }
     // the per-round re-persisted frames must all be released on return
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
