@@ -183,17 +183,27 @@ object CatalogShared {
 
   /** Shared CTE program for the hierarchical-ANN oracles: the md5-geometric
     * level law, the three nested layer node sets with their kNN graphs
-    * (k=5, bits=6 multi-probe candidate rule — the sim_topk_graph build
-    * restated per layer), and the full beam descent (all top-layer nodes →
-    * 1 hop per upper layer → 2 hops in the base). `f0_2` is the final base
-    * beam both consumers rank. */
+    * (k=5 multi-probe candidate rule — the sim_topk_graph build restated
+    * per layer), and the full beam descent (all top-layer nodes → 1 hop
+    * per upper layer → 2 hops in the base). `f0_2` is the final base beam
+    * both consumers rank.
+    *
+    * Per-layer bucket widths are the ADAPTIVE rule's values at the gate
+    * fixture, spelled as literals (`Similarity.adaptiveSignBits`:
+    * ⌈log₂(N/8)⌉ clamped to ≥ 4): the sf0.01 embeddings corpus has
+    * N = 500 / 55 / 5 nodes at levels ≥ 0/1/2 under the md5 level law,
+    * deriving 6 / 4 / 4 bits. A pure-SQL restatement cannot unroll a
+    * data-dependent bit count, so the oracle pins the derivation's result
+    * for the driver's fixture — if the fixture changes, these literals
+    * change with it. */
   private[graft] lazy val hnswOracleCtes: String = {
     val h = "('0x' || substr(md5(vec_id::VARCHAR || 'hnsw'), 1, 15))::BIGINT"
-    def layer(nl: String, gl: String, whereLvl: String): String =
-      s"""$nl AS (SELECT vec_id, v, nm, bucket FROM lv$whereLvl),
+    def layer(nl: String, gl: String, whereLvl: String, bits: Int): String =
+      s"""$nl AS (SELECT vec_id, v, nm,
+         |  (${Sql.signBucketNOver(bits, "v")})::BIGINT AS bucket FROM lv$whereLvl),
          |pr_$nl AS (SELECT vec_id, v, nm,
          |  unnest(list_concat([bucket],
-         |    list_transform(range(0, 6), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+         |    list_transform(range(0, $bits), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
          |  FROM $nl),
          |gc_$nl AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
          |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
@@ -203,16 +213,15 @@ object CatalogShared {
          |    PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rk FROM gc_$nl)
          |  WHERE rk <= 5)""".stripMargin
     Seq(
-      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |  (${Sql.signBucket6})::BIGINT AS bucket FROM embeddings),
-         |n AS (SELECT vec_id, v, bucket, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
-         |lv AS (SELECT vec_id, v, nm, bucket,
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |lv AS (SELECT vec_id, v, nm,
          |  (CASE WHEN $h % 64 = 0 THEN 2 WHEN $h % 8 = 0 THEN 1 ELSE 0 END) AS lvl
          |  FROM n),
          |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qnm FROM n WHERE vec_id < 5)""".stripMargin,
-      layer("n2", "g2", " WHERE lvl >= 2"),
-      layer("n1", "g1", " WHERE lvl >= 1"),
-      layer("n0", "g0", ""),
+      layer("n2", "g2", " WHERE lvl >= 2", 4),
+      layer("n1", "g1", " WHERE lvl >= 1", 4),
+      layer("n0", "g0", "", 6),
       "e2 AS (SELECT q.query_id, c.vec_id AS id FROM q CROSS JOIN n2 c)",
       beamRankCte("f2_0", "e2", "n2", 16),
       beamExpandCte("c2_1", "f2_0", "g2"),
@@ -713,6 +722,12 @@ object CatalogShared {
     def signBucket6At(offset: Int): String =
       (0 until 6).map(i =>
         s"(CASE WHEN embedding[${offset + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+    // sign bucket of arbitrary width over a named array column (the
+    // per-layer adaptive widths of the hierarchical-ANN oracles)
+    def signBucketNOver(bits: Int, arr: String): String =
+      (0 until bits).map(i =>
+        s"(CASE WHEN $arr[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
     def markerCount(markers: Seq[String]): String = markerCountOver(markers, "toks")
 

@@ -170,24 +170,28 @@ object SimilarityCatalog {
     // k-NN graph construction: every vector's 5 nearest neighbors among
     // multi-probe sign-bucket candidates — the precursor structure for
     // graph ANN and embedding-space clustering. Bucket equi-join + the
-    // bounded-heap TopK; the sign buckets are portable, so the oracle
+    // bounded-heap TopK. The bucket width is ADAPTIVE (⌈log₂(N/8)⌉,
+    // clamped ≥ 4): constant expected bucket population, so the build
+    // stays linear in the corpus instead of bucket-quadratic at a fixed
+    // width. At this fixture (N = 500) the rule derives exactly the 6 bits
+    // the oracle restates; the sign buckets are portable, so the oracle
     // restates the full candidate rule.
     "sim_knn_graph" -> ((s, d) => {
       Similarity.knnGraph(t(s, d, "embeddings"), "vec_id", "embedding",
-          k = 5, bits = 6)
+          k = 5, bits = Similarity.AdaptiveBits)
         .orderBy("id", "rank")
     }),
 
 
     // Graph-ANN beam search: greedy navigation of the kNN graph from a
     // deterministic entry set (2 hops, beam 16) — the HNSW-style search
-    // path over the graph sim_knn_graph builds. Fully deterministic
-    // relational ops, so the oracle restates entries, both hops, and the
-    // final ranking verbatim.
+    // path over the graph sim_knn_graph builds (adaptive width: 6 bits at
+    // this N). Fully deterministic relational ops, so the oracle restates
+    // entries, both hops, and the final ranking verbatim.
     "sim_topk_graph" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
-          k = 5, bits = 6)
+          k = 5, bits = Similarity.AdaptiveBits)
         .select(col("id"), col("nbr_id"))
       Similarity.graphTopK(emb, "vec_id", "embedding", graph,
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
@@ -200,37 +204,43 @@ object SimilarityCatalog {
     // levels (m=8, 2 upper layers), per-layer kNN graphs, top-layer entry
     // set + beam DESCENT (1 hop per upper layer, 2 in the base) — the
     // log-scale entry structure that keeps hop counts flat at 10⁹ vectors,
-    // next to the single-layer sim_topk_graph. The oracle restates the
-    // level law, all three layer graphs, and every beam round.
+    // next to the single-layer sim_topk_graph. Each layer's bucket width
+    // derives from ITS node count (AdaptiveBits): at this fixture the base
+    // layer (500 nodes) gets 6 bits, the upper layers (55 / 5 nodes) the
+    // 4-bit clamp floor — the values the oracle restates per layer. The
+    // oracle restates the level law, all three layer graphs, and every
+    // beam round.
     "sim_topk_hnsw" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.hnswTopK(emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, beamWidth = 16, knnK = 5, bits = 6)
+          k = 10, beamWidth = 16, knnK = 5, bits = Similarity.AdaptiveBits)
         .orderBy("query_id", "rank")
     }),
 
 
     // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
     // single-layer search vs the hierarchical descent, same beam width
-    // (16), same base graph (k=5, bits=6, built ONCE and shared with the
-    // descent via hnswTopK's baseGraph seam), same base hops (2), and the
-    // SAME entry count — 5 entry points each (flat: vec_id % 100 = 0;
-    // hnsw: the 5-node top layer). The hierarchy's descent is the only
-    // difference, so the recall gap measures exactly what the layers buy.
-    // In-engine quality measurement like sim_recall_eval, oracle-gated.
+    // (16), same base graph (k=5, adaptive width — 6 bits at this N, built
+    // ONCE and shared with the descent via hnswTopK's baseGraph seam),
+    // same base hops (2), and the SAME entry count — 5 entry points each
+    // (flat: vec_id % 100 = 0; hnsw: the 5-node top layer). The
+    // hierarchy's descent is the only difference, so the recall gap
+    // measures exactly what the layers buy. In-engine quality measurement
+    // like sim_recall_eval, oracle-gated.
     "sim_recall_graph" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.where(col("vec_id") < 5)
       val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
-      val g0 = Similarity.knnGraph(e, "vec_id", "embedding", k = 5, bits = 6)
+      val g0 = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          bits = Similarity.AdaptiveBits)
         .select(col("id"), col("nbr_id"))
       val flat = Similarity.graphTopK(e, "vec_id", "embedding", g0, q,
         "vec_id", "embedding", k = 5, beamWidth = 16, hops = 2,
         entryMod = 100)
       val hnsw = Similarity.hnswTopK(e, "vec_id", "embedding", q, "vec_id",
-        "embedding", k = 5, beamWidth = 16, knnK = 5, bits = 6,
-        baseGraph = g0)
+        "embedding", k = 5, beamWidth = 16, knnK = 5,
+        bits = Similarity.AdaptiveBits, baseGraph = g0)
       def hitsOf(got: DataFrame, name: String) =
         bf.select(col("query_id"), col("id"))
           .join(got.select(col("query_id"), col("id")), Seq("query_id", "id"))

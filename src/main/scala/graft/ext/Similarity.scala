@@ -715,6 +715,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sentinel for the `bits` parameter of [[knnGraph]]/[[hnswTopK]]: derive
+    * the sign-bucket width from the corpus size at runtime via
+    * [[adaptiveSignBits]] — the [[adaptiveEntryMod]] pattern applied to the
+    * graph build's bucket histogram. */
+  val AdaptiveBits: Int = -1
+
+  /** Sign-bucket width giving an EXPECTED bucket population of
+    * ~`targetBucket` over `corpusSize` decorrelated vectors:
+    * bits = clamp(⌈log₂(N / targetBucket)⌉, minBits, maxBits). Per-bucket
+    * work in the graph build is quadratic in the bucket population, so a
+    * FIXED width makes the build cost grow ~N² (population grows linearly
+    * with N at constant bucket count) — with the derived width the expected
+    * population is constant and total candidate work is Θ(N·bits·target):
+    * linear in the corpus times a log factor from multi-probe expansion.
+    * Monotonic by construction: a larger corpus never yields fewer bits.
+    * `maxBits` must not exceed the embedding dimension (bit i reads
+    * coordinate i+1); the default 32 suits the ≥ 64-dim corpora the
+    * catalog carries. At the gate fixture (N = 500, target 8) this derives
+    * exactly the 6 bits the oracles restate. */
+  def adaptiveSignBits(corpusSize: Long, targetBucket: Int = 8,
+                       minBits: Int = 4, maxBits: Int = 32): Int = {
+    require(corpusSize >= 0, s"corpusSize must be non-negative: $corpusSize")
+    require(targetBucket >= 1, s"targetBucket must be positive: $targetBucket")
+    require(minBits >= 1 && maxBits >= minBits,
+      s"bad bit bounds: $minBits/$maxBits")
+    val raw = math.ceil(
+      math.log(math.max(1.0, corpusSize.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    math.min(maxBits, math.max(minBits, raw))
+  }
+
   /** k-NN graph over the corpus: every vector's k nearest neighbors among
     * candidates sharing a sign bucket with it or any single-bit flip of its
     * bucket (the [[cosineNearDupPairsMultiProbe]] candidate rule, so
@@ -726,15 +757,22 @@ object Similarity {
     * Scale shape: self-equi-join keyed on the bucket (probe side expanded
     * (bits+1)×, each qualifying pair matched via exactly one probe — the
     * probe set has pairwise-distinct values), then the bounded-heap TopK
-    * caps the shuffle at k rows per node; nothing is quadratic in the
-    * corpus, only within a bucket (cap buckets per [[graft.ext.Dedup]]'s
-    * adaptive rule if the bucket histogram is skewed). */
+    * caps the shuffle at k rows per node. Per-bucket work is quadratic in
+    * the bucket population, so `bits` should TRACK the corpus size: pass
+    * [[AdaptiveBits]] (with a `corpusSize` hint to skip the count) to
+    * derive bits = ⌈log₂(N/8)⌉ via [[adaptiveSignBits]] — constant expected
+    * population, build cost linear-with-log in N instead of the ~N² a
+    * fixed width degrades to. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               bits: Int): DataFrame = {
+               bits: Int, corpusSize: Long = -1L): DataFrame = {
+    require(bits == AdaptiveBits || bits >= 1, s"bad bits: $bits")
+    val effBits =
+      if (bits != AdaptiveBits) bits
+      else adaptiveSignBits(if (corpusSize >= 0) corpusSize else df.count())
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-      signBucket(col(vecCol), bits).as("bucket"))
+      signBucket(col(vecCol), effBits).as("bucket"))
     val probeSet = array((col("bucket") +:
-      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+      (0 until effBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
     val cand = v
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(probeSet).as("bucket"))
@@ -1240,7 +1278,11 @@ object Similarity {
     * shuffles only); the extra cost over single-layer is the upper-layer
     * graph builds (≤ 1/m + 1/m² + … of the base build) bought back by the
     * entry stage shrinking from √N·queries to N/m^maxLevel·queries scored
-    * rows plus strictly-better-seeded base navigation. */
+    * rows plus strictly-better-seeded base navigation. Pass
+    * [[AdaptiveBits]] for `bits` to derive EACH layer's bucket width from
+    * that layer's node count ([[adaptiveSignBits]], one histogram
+    * aggregation for all layers) — the graph build then stays
+    * linear-with-log in N instead of bucket-quadratic at a fixed width. */
   def hnswTopK(vecs: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int, beamWidth: Int, knnK: Int, bits: Int,
@@ -1266,11 +1308,23 @@ object Similarity {
     // scope/self-release at the bottom, so only the FAILURE path unpersists
     var frontier: DataFrame = null // the last cut beam
     try {
+    // one tiny aggregation off the persisted corpus yields every layer's
+    // node count: it feeds BOTH the empty-top-layer guard and (under
+    // AdaptiveBits) each layer's derived bucket width — the upper layers
+    // are m^-L of the corpus, so a width tuned to the base layer would
+    // leave them with ~2^bits near-empty buckets while a width tuned to
+    // them would make the base build bucket-quadratic
+    val lvlCounts: Map[Int, Long] = cAll.groupBy("_lv").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def nAtLeast(level: Int): Long =
+      lvlCounts.collect { case (l, n) if l >= level => n }.sum
     // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
     // zero results for every query — fail fast with the fix instead
-    require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
+    require(nAtLeast(maxLevel) > 0,
       s"hnswTopK: top layer (level >= $maxLevel at m=$m) is empty — " +
         "lower maxLevel (or m) for this corpus size")
+    def bitsFor(level: Int): Int =
+      if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
     for (level <- maxLevel to 0 by -1) {
@@ -1282,7 +1336,8 @@ object Similarity {
       val layerG0 =
         (if (callerGraph) baseGraph.select(col("id"), col("nbr_id"))
          else knnGraph(cAll.where(col("_lv") >= level), "_gid", "cv",
-           knnK, bits)) // off the persisted corpus frame, not a fresh scan
+           knnK, bitsFor(level), // per-layer width; no recount (histogram)
+           corpusSize = nAtLeast(level))) // off the persisted corpus frame
           .select(col("id").as("_gid"), col("nbr_id"))
       // a layer's graph is consumed once per hop: persist graphs built HERE
       // for the level's duration — but never a caller-provided baseGraph,

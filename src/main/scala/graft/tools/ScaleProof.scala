@@ -85,7 +85,8 @@ object ScaleProof {
     if (wanted("sim_topk_hnsw")) measured("sim_topk_hnsw") {
       Similarity.hnswTopK(emb, "vec_id", "embedding",
         emb.where(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, beamWidth = 16, knnK = 5, bits = 6).count()
+        k = 10, beamWidth = 16, knnK = 5,
+        bits = Similarity.AdaptiveBits).count()
     }
     spark.stop()
   }

@@ -1323,6 +1323,56 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === 10)
   }
 
+  test("adaptiveSignBits: bucket population pinned across corpus sizes; " +
+      "knnGraph sentinel == explicit derived width") {
+    // the rule at the catalog's own sizes: gate fixture (500) derives the
+    // 6 bits the oracles restate; bench sf0.1 (2000) widens to 8; the
+    // hnsw upper layers (55 / 5 nodes) sit on the 4-bit clamp floor
+    assert(Similarity.adaptiveSignBits(500) === 6)
+    assert(Similarity.adaptiveSignBits(2000) === 8)
+    assert(Similarity.adaptiveSignBits(55) === 4)
+    assert(Similarity.adaptiveSignBits(5) === 4)
+    assert(Similarity.adaptiveSignBits(1L << 40) === 32) // dim-bound cap
+    // monotone: a larger corpus never yields fewer bits
+    val widths = Seq(100L, 1000L, 10000L, 1000000L, 1000000000L)
+      .map(Similarity.adaptiveSignBits(_))
+    assert(widths === widths.sorted, widths.toString)
+    // EXPECTED per-bucket candidate count is pinned to (4, 8] at every
+    // unclamped size — the property a fixed width loses (its population
+    // grows linearly with N, making the bucket-local quadratic a global
+    // one); 3 sizes spanning 64×
+    for (n <- Seq(600L, 5000L, 40000L)) {
+      val b = Similarity.adaptiveSignBits(n)
+      val pop = n.toDouble / (1L << b)
+      assert(pop > 4.0 && pop <= 8.0, s"N=$n bits=$b expected-pop=$pop")
+    }
+    // OBSERVED max bucket population on decorrelated sign patterns stays
+    // within a small factor of the target across the same 3 sizes (the
+    // candidate work per probe is population², so this is the build-cost
+    // bound the adaptive width exists to hold)
+    for (n <- Seq(600, 5000, 40000)) {
+      val b = Similarity.adaptiveSignBits(n.toLong)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Seq.tabulate(32) { j =>
+          if (scala.util.hashing.MurmurHash3.productHash((i, j)) % 2 == 0)
+            1.0 else -1.0
+        })
+      }.toDF("id", "v")
+      val maxPop = vecs
+        .select(Similarity.signBucket(col("v"), b).as("bucket"))
+        .groupBy("bucket").count().agg(max("count")).head().getLong(0)
+      assert(maxPop <= 64L, s"N=$n bits=$b max bucket population $maxPop")
+    }
+    // the sentinel is pure dispatch: AdaptiveBits == the explicitly-derived
+    // width on the real corpus, edge-for-edge
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      bits = Similarity.AdaptiveBits).collect().toSet
+    val explicit = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      bits = 6).collect().toSet
+    assert(auto === explicit)
+  }
+
   test("lexicalCosinePairs: df-capped tf cosine on a hand-checked corpus") {
     val docs = Seq(
       (1L, "x x y common"), (2L, "x y z common"),
