@@ -1168,7 +1168,8 @@ object Similarity {
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
     val entries = q.select(col("query_id"))
       .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
-    val frontier = beamLoop(c, g, q, entries, beamWidth, hops)
+    val frontier = beamLoop(c, g, q, entries, beamWidth, hops,
+      nQueries = q.count()) // one tiny job on the broadcast query frame
     if (scope != null) scope.own(frontier)
     else Dedup.releaseAfterFirstAction(frontier)
     TopK.topKPerKey(beamScored(c, q)(frontier), "query_id", "score", "_gid", k)
@@ -1207,32 +1208,44 @@ object Similarity {
     * floor over 2 000 corpus rows, ~10 s total; r12). With localized cuts
     * each hop is one flat LocalTableScan ⋈ graph ⋈ corpus job. Results are
     * bit-identical either way — the cut only decides where jobs end. A
-    * frontier that outgrows [[MaxLocalBeamRows]] falls back to the
-    * persist+count cut for that hop (released at the next cut; a persisted
-    * FINAL frontier is the caller's to release via scope/self-release —
-    * both release paths are no-ops on a localized frontier). */
-  private def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
+    * beam whose bound outgrows [[MaxLocalBeamRows]] uses the persist+count
+    * cut for EVERY hop (released at the next cut; a persisted FINAL
+    * frontier is the caller's to release via scope/self-release — both
+    * release paths are no-ops on a localized frontier).
+    *
+    * The local-vs-persist choice is made ARITHMETICALLY from the known
+    * bound |queries| × beamWidth BEFORE any job runs — never by collecting
+    * first and measuring: a collect-then-check guard materializes the
+    * frontier on the driver before the bound can refuse it, which is a
+    * driver OOM in exactly the regime the fallback exists for. `nQueries`
+    * is the caller's query count (all callers know it; < 0 falls back to
+    * one tiny count of the broadcast query frame); `maxLocalRows` is a
+    * test seam, defaulted to [[MaxLocalBeamRows]]. */
+  private[ext] def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
                        entries: DataFrame, beamWidth: Int,
-                       hops: Int): DataFrame = {
+                       hops: Int, nQueries: Long = -1L,
+                       maxLocalRows: Long = MaxLocalBeamRows): DataFrame = {
     def beamOf(cands: DataFrame): DataFrame =
       TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
           beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
+    val nQ = if (nQueries >= 0) nQueries else q.count()
+    val localBeam = nQ <= maxLocalRows / math.max(1, beamWidth) // no overflow
     var lastCkpt: DataFrame = null // the persist-fallback cut, if any
     def cut(df: DataFrame): DataFrame = {
-      val rows = df.collect() // ≤ |queries|·beamWidth pairs by construction
       val out =
-        if (rows.length <= MaxLocalBeamRows)
+        if (localBeam) {
+          val rows = df.collect() // ≤ nQ·beamWidth ≤ maxLocalRows, pre-checked
           df.sparkSession.createDataFrame(
             java.util.Arrays.asList(rows: _*), df.schema)
-        else {
+        } else {
           val m = df
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           m.count(): Unit
           m
         }
       if (lastCkpt ne null) lastCkpt.unpersist(): Unit
-      lastCkpt = if (rows.length <= MaxLocalBeamRows) null else out
+      lastCkpt = if (localBeam) null else out
       out
     }
     var frontier = cut(beamOf(entries))
@@ -1325,6 +1338,7 @@ object Similarity {
         "lower maxLevel (or m) for this corpus size")
     def bitsFor(level: Int): Int =
       if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
+    val nQ = q.count() // once for every layer's beam-cut bound
     var entries = q.select(col("query_id"))
       .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
     for (level <- maxLevel to 0 by -1) {
@@ -1351,7 +1365,8 @@ object Similarity {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
       val hops = if (level == 0) baseHops else hopsPerLevel
-      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops)
+      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
+        nQueries = nQ)
       if (!callerGraph) layerG.unpersist(): Unit
       if (frontier != null) frontier.unpersist(): Unit // no-op if localized
       frontier = beam

@@ -1323,6 +1323,38 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === 10)
   }
 
+  test("beamLoop: cut strategy decided arithmetically from the bound — " +
+      "past it, the frontier is persisted, never collected") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c = emb.select(col("vec_id").as("_gid"),
+      col("embedding").cast("array<double>").as("cv"))
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5, bits = 6)
+      .select(col("id").as("_gid"), col("nbr_id"))
+    val q = broadcast(emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv")))
+    val entries = q.select(col("query_id"))
+      .crossJoin(c.where(pmod(col("_gid"), lit(100)) === 0).select(col("_gid")))
+    // inside the bound: every cut is a driver-side LocalRelation
+    val local = Similarity.beamLoop(c, g, q, entries, beamWidth = 8,
+      hops = 1, nQueries = 3)
+    assert(local.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // nQueries·beamWidth = 24 > maxLocalRows = 10: the persist fallback is
+    // chosen from ARITHMETIC alone — the returned frontier is a persisted
+    // distributed frame (storage level set, no LocalRelation anywhere in
+    // the plan), proving no driver materialization happened on this path
+    val spilled = Similarity.beamLoop(c, g, q, entries, beamWidth = 8,
+      hops = 1, nQueries = 3, maxLocalRows = 10)
+    assert(spilled.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE)
+    assert(!spilled.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // the cut only decides where jobs end — results are identical
+    assert(spilled.collect().toSet === local.collect().toSet)
+    spilled.unpersist(): Unit
+  }
+
   test("adaptiveSignBits: bucket population pinned across corpus sizes; " +
       "knnGraph sentinel == explicit derived width") {
     // the rule at the catalog's own sizes: gate fixture (500) derives the
