@@ -117,88 +117,140 @@ object Warc {
       }
   }
 
-  /** Streaming record walk over one segment's bytes. Framing is
-    * Content-Length-driven per the spec; the walk stops (quarantining the
-    * tail) on any violated invariant. HTTP response payloads are split at
-    * the first blank line into status + body; non-HTTP payloads surface
-    * with status -1 and the raw payload as body. */
-  def parseSegment(bytes0: Array[Byte]): Iterator[WarcRecord] = {
-    val bytes =
-      if (bytes0.length > 2 && (bytes0(0) & 0xff) == 0x1f &&
-        (bytes0(1) & 0xff) == 0x8b) {
-        // multi-member gzip (per-record members or whole-file) — JDK
-        // GZIPInputStream walks concatenated members natively. A corrupt or
-        // truncated stream throws inside the inflater: quarantine to the
-        // bytes decoded so far (partial parse), never a failed task.
-        val out = new ByteArrayOutputStream()
-        try {
-          val in = new GZIPInputStream(new ByteArrayInputStream(bytes0))
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-        } catch { case _: java.io.IOException => () }
-        out.toByteArray
-      } else bytes0
+  /** One record (payload) past this cannot surface as a JVM string — a
+    * framing length beyond it quarantines the tail like any other violated
+    * invariant. The bound is PER RECORD; the segment itself is unbounded
+    * (the walk never materializes more than one record). */
+  private val MaxRecordBytes: Long = Int.MaxValue - 16L
+
+  /** Streaming record walk over one segment's BYTES — thin wrapper over
+    * [[parseStream]], kept for callers (and fuzzers) that already hold the
+    * segment in memory. */
+  def parseSegment(bytes0: Array[Byte]): Iterator[WarcRecord] =
+    parseStream(new ByteArrayInputStream(bytes0))
+
+  /** Streaming record walk driven by an InputStream: memory is bounded by
+    * ONE record, never the segment — a multi-GiB (gzipped or plain)
+    * Common Crawl segment walks in constant space, where a whole-segment
+    * buffer would hit the JVM array cap around 2 GiB decompressed. Framing
+    * is Content-Length-driven per the spec; the walk stops (quarantining
+    * the tail) on any violated invariant, on a record past
+    * [[MaxRecordBytes]], and on an I/O or inflater error mid-record (every
+    * record fully decoded before the fault is kept — the same partial-parse
+    * contract the buffered walk had). Gzip is detected from the magic
+    * bytes; multi-member streams (per-record members or whole-file — both
+    * Common Crawl layouts) decompress through the JDK's native
+    * concatenated-member walk. HTTP response payloads split at the first
+    * blank line into status + body; non-HTTP payloads surface with status
+    * -1 and the raw payload as body. The stream is closed when the walk
+    * exhausts or quarantines; a caller abandoning the iterator early owns
+    * the close (the distributed scans register a task-completion backstop). */
+  def parseStream(in0: java.io.InputStream): Iterator[WarcRecord] = {
+    val pb = new java.io.PushbackInputStream(in0, 2)
+    val b0 = pb.read(); val b1 = if (b0 >= 0) pb.read() else -1
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in = new java.io.BufferedInputStream(
+      if (b0 == 0x1f && b1 == 0x8b)
+        try new GZIPInputStream(pb, 65536)
+        catch { case _: java.io.IOException => // corrupt header: no records
+          new ByteArrayInputStream(Array.empty[Byte]) }
+      else pb, 65536)
     new Iterator[WarcRecord] {
-      private var o = 0
+      private var pushed = -1 // one-byte lookahead for the separator walk
+      private var done = false
       private var nextRec: WarcRecord = null
-      private def line(): String = { // CRLF-terminated; null on underrun
-        val start = o
-        while (o + 1 < bytes.length &&
-          !(bytes(o) == '\r' && bytes(o + 1) == '\n')) o += 1
-        if (o + 1 >= bytes.length) null
-        else {
-          val s = new String(bytes, start, o - start, "UTF-8")
-          o += 2; s
+      private def read1(): Int =
+        if (pushed >= 0) { val r = pushed; pushed = -1; r } else in.read()
+      private def readLine(): String = { // CRLF-terminated; null on underrun
+        val buf = new ByteArrayOutputStream(256)
+        var b = read1()
+        while (b >= 0) {
+          if (b == '\r') {
+            val b2 = read1()
+            if (b2 == '\n') return new String(buf.toByteArray, "UTF-8")
+            buf.write(b) // lone \r stays line content, like the byte walk
+            if (b2 < 0) return null
+            b = b2
+          } else { buf.write(b); b = read1() }
         }
+        null
+      }
+      private def readFully(len: Int): Array[Byte] = { // null on underrun
+        val out = new Array[Byte](len)
+        var off = 0
+        while (off < len) {
+          if (pushed >= 0) { out(off) = pushed.toByte; pushed = -1; off += 1 }
+          else {
+            val n = in.read(out, off, len - off)
+            if (n < 0) return null
+            off += n
+          }
+        }
+        out
+      }
+      private def stop(): Unit = {
+        done = true
+        try in.close() catch { case _: java.io.IOException => () }
       }
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && o < bytes.length) {
-          val v = line()
-          if (v == null || !v.startsWith("WARC/")) { o = bytes.length; return }
-          var typ = ""; var uri = ""; var date = ""; var len = -1L
-          var h = line()
-          while (h != null && h.nonEmpty) {
-            val i = h.indexOf(':')
-            if (i > 0) {
-              val k = h.substring(0, i).trim.toLowerCase
-              val value = h.substring(i + 1).trim
-              k match {
-                case "warc-type" => typ = value
-                case "warc-target-uri" => uri = value
-                case "warc-date" => date = value
-                case "content-length" =>
-                  len = try value.toLong catch { case _: NumberFormatException => -1L }
-                case _ => ()
+        try {
+          while (nextRec == null && !done) {
+            val v = readLine()
+            if (v == null || !v.startsWith("WARC/")) { stop(); return }
+            var typ = ""; var uri = ""; var date = ""; var len = -1L
+            var h = readLine()
+            while (h != null && h.nonEmpty) {
+              val i = h.indexOf(':')
+              if (i > 0) {
+                val k = h.substring(0, i).trim.toLowerCase
+                val value = h.substring(i + 1).trim
+                k match {
+                  case "warc-type" => typ = value
+                  case "warc-target-uri" => uri = value
+                  case "warc-date" => date = value
+                  case "content-length" =>
+                    len = try value.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
               }
+              h = readLine()
             }
-            h = line()
+            if (h == null || len < 0 || len > MaxRecordBytes) { stop(); return }
+            val payload = readFully(len.toInt)
+            if (payload == null) { stop(); return }
+            // the spec's two-CRLF record separator (tolerant: up to 4
+            // leading \r/\n bytes consumed, first other byte pushed back)
+            var i = 0
+            while (i < 4) {
+              val b = read1()
+              if (b == '\r' || b == '\n') i += 1
+              else { if (b >= 0) pushed = b; i = 4 }
+            }
+            val (status, body) =
+              if (payload.length >= 5 &&
+                new String(payload, 0, 5, "UTF-8") == "HTTP/") {
+                val sep = payload.indices.drop(3).find(j =>
+                  payload(j - 3) == '\r' && payload(j - 2) == '\n' &&
+                    payload(j - 1) == '\r' && payload(j) == '\n')
+                val head = new String(payload, 0,
+                  sep.map(_ - 3).getOrElse(payload.length), "UTF-8")
+                val st = head.split(" ", 3) match {
+                  case Array(_, code, _*) =>
+                    try code.toInt catch { case _: NumberFormatException => -1 }
+                  case _ => -1
+                }
+                val b = sep.map(j => new String(payload, j + 1,
+                  payload.length - j - 1, "UTF-8")).getOrElse("")
+                (st, b)
+              } else (-1, new String(payload, "UTF-8"))
+            nextRec = WarcRecord(typ, uri, date, len, status, body)
           }
-          if (h == null || len < 0 || o + len > bytes.length) { o = bytes.length; return }
-          val payload = java.util.Arrays.copyOfRange(bytes, o, o + len.toInt)
-          o += len.toInt
-          // the spec's two-CRLF record separator
-          (0 until 4).foreach(_ => if (o < bytes.length &&
-            (bytes(o) == '\r' || bytes(o) == '\n')) o += 1)
-          val (status, body) =
-            if (payload.length >= 5 &&
-              new String(payload, 0, 5, "UTF-8") == "HTTP/") {
-              val sep = payload.indices.drop(3).find(i =>
-                payload(i - 3) == '\r' && payload(i - 2) == '\n' &&
-                  payload(i - 1) == '\r' && payload(i) == '\n')
-              val head = new String(payload, 0,
-                sep.map(_ - 3).getOrElse(payload.length), "UTF-8")
-              val st = head.split(" ", 3) match {
-                case Array(_, code, _*) =>
-                  try code.toInt catch { case _: NumberFormatException => -1 }
-                case _ => -1
-              }
-              val b = sep.map(i => new String(payload, i + 1,
-                payload.length - i - 1, "UTF-8")).getOrElse("")
-              (st, b)
-            } else (-1, new String(payload, "UTF-8"))
-          nextRec = WarcRecord(typ, uri, date, len, status, body)
+        } catch {
+          // I/O or inflater fault mid-record: quarantine the tail, keep
+          // every record decoded before it — never a failed task
+          case _: java.io.IOException => nextRec = null; stop()
         }
       }
       advance()
@@ -209,17 +261,55 @@ object Warc {
     }
   }
 
-  /** Distributed WARC scan: one task per segment file (`binaryFile`
-    * source), streaming record walk per task. Returns (warc_type,
-    * target_uri, warc_date, content_length, http_status, body). */
+  /** Open `path` through its own Hadoop FileSystem and walk its records,
+    * with a task-completion close backstop for consumers that abandon the
+    * iterator early (limits, failures) — the stream otherwise closes
+    * itself when the walk exhausts or quarantines. */
+  private def openAndWalk(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Iterator[WarcRecord] = {
+    val p = new Path(path)
+    val stream = p.getFileSystem(conf).open(p)
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ =>
+      try stream.close() catch { case _: java.io.IOException => () })
+    parseStream(stream)
+  }
+
+  /** List the segment files `dir` denotes: `dir` may be a directory, a
+    * glob of directories (each contributing its immediate `*.warc*`
+    * files), or a glob of files. Scheme-agnostic (the path's own
+    * FileSystem), matching the old `binaryFile` + pathGlobFilter shape. */
+  private def listSegments(spark: SparkSession, dir: String): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(root)).getOrElse(Array.empty).toSeq
+      .flatMap { st =>
+        if (st.isDirectory)
+          Option(fs.globStatus(new Path(st.getPath, "*.warc*")))
+            .getOrElse(Array.empty).toSeq
+        else Seq(st)
+      }
+      .filter(st => st.isFile && st.getPath.getName.contains(".warc"))
+      .map(_.getPath.toString).distinct.sorted
+  }
+
+  /** Distributed WARC scan: one task per segment file, streaming record
+    * walk per task — each task's memory is bounded by ONE record, so
+    * multi-GiB segments (a real Common Crawl segment inflates to 4–5 GB)
+    * parse completely instead of hitting the JVM-array cap a whole-segment
+    * buffer imposes. Returns (warc_type, target_uri, warc_date,
+    * content_length, http_status, body). */
   def read(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc*").load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions(_.flatMap(parseSegment))
-      .toDF()
+    val files = listSegments(spark, dir)
+    if (files.isEmpty) spark.emptyDataset[WarcRecord].toDF()
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      spark.createDataset(files).repartition(files.size)
+        .mapPartitions(_.flatMap(openAndWalk(_, conf.value)))
+        .toDF()
+    }
   }
 
   /** Continuous-ingest twin of [[read]]: segments landing in `dir` stream
@@ -244,14 +334,20 @@ object Warc {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("content",
         org.apache.spark.sql.types.BinaryType)))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // only `path` is selected: binaryFile prunes unrequested columns, so
+    // the source never materializes segment CONTENT (or trips its own 2 GiB
+    // content cap) — each task re-opens the file and walks it with the same
+    // one-record-bounded streaming parse as the batch scan
     spark.readStream.format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.warc*")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions(_.flatMap(parseSegment))
+      .select(col("path"))
+      .as[String]
+      .mapPartitions(_.flatMap(openAndWalk(_, conf.value)))
       .toDF()
   }
 }

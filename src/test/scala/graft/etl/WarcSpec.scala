@@ -44,6 +44,38 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseSegment("not a warc at all".getBytes("UTF-8")).isEmpty)
   }
 
+  test("parseStream: memory bounded by one record — yields records from a " +
+      "stream no whole-segment buffer could hold") {
+    // an ENDLESS lazily-generated WARC stream (concatenated spec-valid
+    // mini-segments): the old walk inflated the whole segment into one
+    // byte[] before the first record came back, so it could never yield
+    // anything here; the streaming walk must produce records while having
+    // consumed only a bounded prefix — the >2 GiB-segment regime in
+    // miniature (the bound is per record, not per segment)
+    class Endless extends java.io.InputStream {
+      private var buf: Array[Byte] = Array.empty
+      private var off = 0
+      private var i = 0L
+      var produced = 0L
+      override def read(): Int = {
+        if (off >= buf.length) {
+          buf = Warc.syntheticSegment(
+            Iterator.single((i, "x" * 1000)), gzipped = false)
+          i += 1; off = 0
+        }
+        produced += 1
+        val b = buf(off) & 0xff; off += 1; b
+      }
+    }
+    val endless = new Endless
+    val got = Warc.parseStream(endless).take(300).toSeq
+    val resp = got.filter(_.warc_type == "response")
+    assert(resp.size >= 100 && resp.forall(_.body == "x" * 1000))
+    assert(endless.produced < 5000000L,
+      s"walk consumed ${endless.produced} bytes for 300 records — not " +
+        "bounded by one record")
+  }
+
   test("streaming ingest: two segment drops land incrementally, streamed == batch") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmpDir("graft-warc-stream")
