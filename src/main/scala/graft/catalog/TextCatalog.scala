@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Extract, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
 import graft.streaming.EventTimeOps
 
 /** Text-analysis family (E9): quality, tokens, BPE train/encode, LM scoring ladder, classifiers, lang-id, scrubbing, BM25/RAG.
@@ -367,6 +367,37 @@ object TextCatalog {
     "text_quality_gates" -> ((s, d) => {
       TextStats.qualityGates(t(s, d, "documents"), "doc_id", "text",
           stopwords, minWords = 40)
+        .orderBy("doc_id")
+    }),
+
+
+    // MAIN-CONTENT extraction feeding the quality-gate pipeline — the
+    // boilerplate-removal hop between the WARC fetch and text_quality_gates
+    // that tag stripping alone cannot provide. Planted-chrome fixture: each
+    // doc's page carries a pure-link nav bar (density 1), a 2-word
+    // heading, the real text in a <p>, a 2-word "Read more" stub, and a
+    // link-heavy copyright footer (7 words, 30 of 46 chars inside anchors
+    // — alive past the word gate, killed by 3·30 > 46 exactly). Only the
+    // body paragraph survives Extract.extractMain's integer-exact rule
+    // (≥ 5 words AND 3·link_chars ≤ chars), and the survivors run the
+    // SAME gate battery as text_quality_gates. The oracle restates the
+    // construction, the full block pipeline, and the gates.
+    "curation_extract_main" -> ((s, d) => {
+      val html = concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About us</a> <a href=\"/c\">Contact</a></div>" +
+          "<h1>Doc "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>Read more</p><div>Copyright 2017 " +
+          "<a href=\"/t\">Terms of service</a> " +
+          "<a href=\"/p\">Privacy policy</a></div></body></html>"))
+      val extracted = Extract.extractMain(
+        t(s, d, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html", minWords = 5)
+      TextStats.qualityGates(extracted, "doc_id", "main_text", stopwords,
+          minWords = 40)
+        .join(extracted.select(col("doc_id"), col("main_text"),
+          col("n_blocks_kept"), col("n_blocks_total")), Seq("doc_id"))
         .orderBy("doc_id")
     }),
 
@@ -778,6 +809,65 @@ object TextCatalog {
          |  contains(lower(text), 'lorem ipsum') AS has_lorem,
          |  contains(text, '{') AS has_brace
          |  FROM documents) ORDER BY doc_id""".stripMargin,
+
+    // restates the fixture construction, Extract.extractMain's full block
+    // pipeline (block-tag split, visible-text collapse, integer-exact
+    // word/link-density rule), and the text_quality_gates battery over the
+    // surviving text
+    "curation_extract_main" -> {
+      // visible text of fragment `x`: tags → space, whitespace collapsed
+      def plain(x: String) =
+        s"trim(regexp_replace(regexp_replace($x, '(?i)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      def nw(x: String) =
+        s"(CASE WHEN ${plain(x)} = '' THEN 0 ELSE len(string_split(${plain(x)}, ' ')) END)"
+      val linkChars = "coalesce(list_sum(list_transform(" +
+        "regexp_extract_all(x, '(?i)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
+        s"t -> length(${plain("t")}))), 0)"
+      val blockTag = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
+        "section|article|header|footer|nav|aside|blockquote|html|body|" +
+        "head|title)(?:\\s[^>]*)?/?>"
+      s"""WITH h AS (SELECT doc_id,
+         |    '<html><body><div class="nav"><a href="/">Home</a> ' ||
+         |    '<a href="/a">About us</a> <a href="/c">Contact</a></div>' ||
+         |    '<h1>Doc ' || doc_id::VARCHAR || '</h1><p>' || text ||
+         |    '</p><p>Read more</p><div>Copyright 2017 ' ||
+         |    '<a href="/t">Terms of service</a> ' ||
+         |    '<a href="/p">Privacy policy</a></div></body></html>' AS html
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    string_split_regex(html, '$blockTag') AS blocks FROM h),
+         |k AS (SELECT doc_id,
+         |    list_filter(blocks, x -> ${nw("x")} >= 5
+         |      AND 3 * $linkChars <= length(${plain("x")})) AS kept,
+         |    len(blocks)::INT AS n_blocks_total FROM b),
+         |m AS (SELECT doc_id,
+         |    array_to_string(list_transform(kept, x -> ${plain("x")}),
+         |      chr(10)) AS main_text,
+         |    len(kept)::INT AS n_blocks_kept, n_blocks_total FROM k)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, stop_hits,
+         |  has_lorem, has_brace,
+         |  (n_words BETWEEN 40 AND 100000) AS gate_len,
+         |  coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS gate_word_len,
+         |  coalesce(symbol_ratio <= 0.1, false) AS gate_symbol,
+         |  (stop_hits >= 2) AS gate_stop,
+         |  ((n_words BETWEEN 40 AND 100000)
+         |    AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+         |    AND coalesce(symbol_ratio <= 0.1, false)
+         |    AND stop_hits >= 2 AND NOT has_lorem AND NOT has_brace) AS pass,
+         |  main_text, n_blocks_kept, n_blocks_total
+         |FROM (SELECT doc_id, main_text, n_blocks_kept, n_blocks_total,
+         |  len(regexp_extract_all(lower(main_text), '[a-z]+'))::INT AS n_words,
+         |  CASE WHEN len(regexp_extract_all(lower(main_text), '[a-z]+')) = 0 THEN NULL
+         |    ELSE length(regexp_replace(lower(main_text), '[^a-z]', '', 'g'))::DOUBLE
+         |      / len(regexp_extract_all(lower(main_text), '[a-z]+')) END AS mean_word_len,
+         |  CASE WHEN length(main_text) = 0 THEN NULL
+         |    ELSE length(regexp_replace(main_text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+         |      / length(main_text) END AS symbol_ratio,
+         |  ${Sql.markerCountOver(stopwords, "string_split(lower(main_text), ' ')")}::INT AS stop_hits,
+         |  contains(lower(main_text), 'lorem ipsum') AS has_lorem,
+         |  contains(main_text, '{') AS has_brace
+         |  FROM m) ORDER BY doc_id""".stripMargin
+    },
 
     "text_vocab_stats" ->
       """SELECT lang, count(*)::BIGINT AS vocab_size,

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MAIN-CONTENT extraction — the boilerplate-removal step between crawl
+  * fetch and quality filtering that every production curation pipeline
+  * carries (C4, RefinedWeb, Gopher all run one): tag stripping alone
+  * ([[TextStats.stripMarkup]]) keeps navigation bars, footers, and
+  * link-farm chrome, which then poison dedup (every page of a site shares
+  * its nav text) and quality scoring (chrome inflates stopword and symbol
+  * ratios).
+  *
+  * The heuristic is the public block-classification family (Boilerpipe,
+  * Kohlschütter et al. WSDM 2010; JusText, Pomikálek 2011) reduced to its
+  * two strongest, ENGINE-PORTABLE signals:
+  *
+  *  - documents split into BLOCKS at block-level tag boundaries
+  *    (`p`, `div`, `h1..h6`, `li`, `table` rows/cells, semantic HTML5
+  *    containers, `br`);
+  *  - a block survives iff it has at least `minWords` words of visible
+  *    text AND its LINK DENSITY is at most 1/3 — compared in exact integer
+  *    arithmetic (3·link_chars ≤ chars), so the decision restates
+  *    bit-identically in any engine. Boilerplate is short and link-heavy
+  *    (nav: all links; footer: copyright + link row); body prose is long
+  *    and link-sparse — the two thresholds separate them cleanly.
+  *
+  * Everything is a zero-shuffle projection over array higher-order
+  * functions (split / filter / transform / aggregate): per-row work is
+  * linear in the document, nothing leaves the partition, and the whole
+  * operator pipelines inside whole-stage codegen at any corpus size.
+  * Entity decoding is deliberately NOT done here — compose with
+  * [[TextStats.stripMarkup]] downstream, which owns the pinned decode
+  * order. */
+object Extract {
+
+  /** Block-level boundary tags: structural + semantic HTML5 + `br`.
+    * Inline markup (`a`, `b`, `i`, `span`, `em`, …) stays INSIDE a block —
+    * that is what makes link density computable per block. */
+  private val BlockTag: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|section|article|" +
+      "header|footer|nav|aside|blockquote|html|body|head|title)" +
+      "(?:\\s[^>]*)?/?>"
+
+  /** Anchor element with its text (group 1); lazy body, first `</a>`
+    * closes. Case-insensitive like the tag split. */
+  private val AnchorRe: String = "(?i)<a(?:\\s[^>]*)?>(.*?)</a>"
+
+  /** Visible text of a fragment: tags → space, whitespace collapsed,
+    * trimmed. Exact on both engines (same regex class semantics). */
+  private def plainOf(b: Column): Column =
+    trim(regexp_replace(regexp_replace(b, "(?i)<[^>]*>", " "), "\\s+", " "))
+
+  private def nWordsOf(plain: Column): Column =
+    when(plain === "", lit(0)).otherwise(size(split(plain, " ")))
+
+  /** Total visible characters inside anchors of a block — the link-density
+    * numerator. Strict left fold with an integer seed: exact. */
+  private def linkCharsOf(b: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(b, lit(AnchorRe), lit(1)),
+        t => length(plainOf(t))),
+      lit(0), (acc, x) => acc + x)
+
+  /** The survival rule: ≥ `minWords` visible words AND link density
+    * ≤ 1/3, tested as 3·link_chars ≤ chars (integer-exact). */
+  private def keepRule(b: Column, minWords: Int): Column = {
+    val plain = plainOf(b)
+    (nWordsOf(plain) >= minWords) &&
+      (lit(3) * linkCharsOf(b) <= length(plain))
+  }
+
+  /** Per-block diagnostic frame: (id, block_no, block_text, n_chars,
+    * n_words, link_chars, keep) — one row per block in document order.
+    * The explode is the only row multiplication; still no shuffle. */
+  def mainContentBlocks(df: DataFrame, idCol: String, htmlCol: String,
+                        minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    df.select(col(idCol),
+        posexplode(split(col(htmlCol), BlockTag)).as(Seq("block_no", "raw")))
+      .select(col(idCol), col("block_no"),
+        plainOf(col("raw")).as("block_text"),
+        length(plainOf(col("raw"))).as("n_chars"),
+        nWordsOf(plainOf(col("raw"))).as("n_words"),
+        linkCharsOf(col("raw")).as("link_chars"),
+        keepRule(col("raw"), minWords).as("keep"))
+  }
+
+  /** Document-level extraction: (id, main_text, n_blocks_kept,
+    * n_blocks_total) — surviving blocks' visible text joined with
+    * newlines, in document order. Pure projection, zero shuffle. */
+  def extractMain(df: DataFrame, idCol: String, htmlCol: String,
+                  minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    val blocks = split(col(htmlCol), BlockTag)
+    val kept = filter(blocks, b => keepRule(b, minWords))
+    df.select(col(idCol),
+      array_join(transform(kept, plainOf(_)), "\n").as("main_text"),
+      size(kept).as("n_blocks_kept"),
+      size(blocks).as("n_blocks_total"))
+  }
+}

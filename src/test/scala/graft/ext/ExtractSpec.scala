@@ -1,0 +1,96 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val page =
+    "<html><body>" +
+      "<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">About us</a></div>" +
+      "<h1>Tiny title</h1>" +
+      "<p>this paragraph carries the actual body prose of the page</p>" +
+      "<p>Read more</p>" +
+      "<div>Copyright 2017 <a href=\"/t\">Terms of service</a> " +
+      "<a href=\"/p\">Privacy policy</a></div>" +
+      "</body></html>"
+
+  test("extractMain: body prose survives, nav/heading/stub/footer drop") {
+    val got = Extract.extractMain(
+        Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .as[(Long, String, Int, Int)].head()
+    assert(got._2 ===
+      "this paragraph carries the actual body prose of the page")
+    assert(got._3 === 1) // exactly one surviving block
+    assert(got._4 > 1)   // out of many
+  }
+
+  test("mainContentBlocks: per-block metrics are integer-exact, " +
+      "boundaries behave (word gate inclusive, density at exactly 1/3 kept)") {
+    val rows = Extract.mainContentBlocks(
+        Seq((1L, page)).toDF("doc_id", "html"), "doc_id", "html")
+      .where(col("block_text") =!= "")
+      .select("block_text", "n_chars", "n_words", "link_chars", "keep")
+      .as[(String, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // nav: every visible char inside anchors → density 1, and < 5 words
+    val nav = rows("Home About us")
+    assert(nav._4 === "HomeAbout us".length && !nav._5)
+    // footer: 7 words ≥ 5 (alive past the word gate) but 3·30 > 46
+    val foot = rows("Copyright 2017 Terms of service Privacy policy")
+    assert(foot._3 === 7 && foot._4 === 30 && foot._2 === 46 && !foot._5)
+    // body: no links, ≥ 5 words → kept
+    assert(rows("this paragraph carries the actual body prose of the page")._5)
+    // stub: 2 words → dropped
+    assert(!rows("Read more")._5)
+
+    // boundary law: exactly minWords words passes (inclusive); link
+    // density of exactly 1/3 passes (3·lc ≤ chars), one char past fails
+    val edge = Seq(
+      (1L, "<p>one two three four five</p>"),                  // 5 words, 0 links
+      (2L, "<p><a href=\"/\">abcd</a> padpadpad</p>"),         // lc=4, chars=14 wait
+      (3L, "<p><a href=\"/\">abcde</a> w x y z padab</p>")
+    ).toDF("doc_id", "html")
+    val e1 = Extract.mainContentBlocks(edge, "doc_id", "html")
+      .where(col("n_words") >= 1)
+      .select("doc_id", "n_chars", "n_words", "link_chars", "keep")
+      .as[(Long, Int, Int, Int, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(e1(1L)._5, "exactly minWords words must pass (inclusive gate)")
+    // doc 3: plain = "abcde w x y z padab" → 19 chars, 6 words, lc=5 →
+    // 3·5 = 15 ≤ 19 → kept (density below 1/3)
+    assert(e1(3L)._2 === 19 && e1(3L)._4 === 5 && e1(3L)._5)
+  }
+
+  test("extractMain: exact density boundary — 3·link_chars == chars keeps, " +
+      "+1 link char drops") {
+    // plain = "abcdef ww x y zz" → 16 chars... construct exact: links 'abcdef'
+    // (6), rest 'ww x y zz' → total chars 6+1+9 = 16? build precisely:
+    // plain = "aaaaaa bb cc dd ee" = 18 chars, lc = 6 → 3·6 = 18 == 18 → keep
+    val keep = Seq((1L, "<p><a href=\"/\">aaaaaa</a> bb cc dd ee</p>"))
+      .toDF("doc_id", "html")
+    val k = Extract.extractMain(keep, "doc_id", "html")
+      .select("n_blocks_kept").as[Int].head()
+    assert(k === 1, "density of exactly 1/3 must be kept (<= rule)")
+    // one more link char: lc = 7, chars 19 → 21 > 19 → dropped
+    val drop = Seq((1L, "<p><a href=\"/\">aaaaaaa</a> bb cc dd ee</p>"))
+      .toDF("doc_id", "html")
+    val d = Extract.extractMain(drop, "doc_id", "html")
+      .select("n_blocks_kept").as[Int].head()
+    assert(d === 0, "density past 1/3 must drop")
+  }
+
+  test("extractMain feeds the gate pipeline: catalog row end-to-end") {
+    val r = graft.ExtQueries.all("curation_extract_main")(
+      spark, "/root/testdata/sf0.001")
+    val n = r.count()
+    assert(n === 500)
+    // the planted chrome never leaks into the extracted text
+    assert(r.where(col("main_text").contains("Copyright") ||
+      col("main_text").contains("Home") ||
+      col("main_text").contains("Read more")).count() === 0)
+    // exactly the body paragraph survives for every doc (min 10 words)
+    assert(r.where(col("n_blocks_kept") =!= 1).count() === 0)
+  }
+}
