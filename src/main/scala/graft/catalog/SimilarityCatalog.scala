@@ -183,6 +183,28 @@ object SimilarityCatalog {
     }),
 
 
+    // Incremental GRAPH-INDEX APPEND (the sim_ivf_append seam for graph
+    // ANN): graph built over the first 300 vectors (adaptive width → 6
+    // bits), the later 200 appended by SEARCH-BASED INSERTION at
+    // entryMod = 1 — the exact-search contract, so the new nodes' old-side
+    // edges are brute-force top-k and any search/patch bug breaks the
+    // hash. Batch-internal edges come from the batch's own bucketed graph
+    // (adaptive at N = 200 → 5 bits); old endpoints of new edges re-rank
+    // reciprocally, every other old node's edges pass through with their
+    // original ranks. The oracle restates the old graph, the batch bucket
+    // rule, the all-pairs exact search, and both re-ranks.
+    "sim_graph_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val old = e.where(col("vec_id") < 300)
+      val neu = e.where(col("vec_id") >= 300)
+      val g = Similarity.knnGraph(old, "vec_id", "embedding", k = 5,
+        bits = Similarity.AdaptiveBits)
+      Similarity.knnGraphAppend(old, g, neu, "vec_id", "embedding",
+          k = 5, beamWidth = 16, hops = 2, entryMod = 1)
+        .orderBy("id", "rank")
+    }),
+
+
     // Graph-ANN beam search: greedy navigation of the kNN graph from a
     // deterministic entry set (2 hops, beam 16) — the HNSW-style search
     // path over the graph sim_knn_graph builds (adaptive width: 6 bits at
@@ -1524,6 +1546,60 @@ object SimilarityCatalog {
          |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
          |  FROM cand)
          |WHERE rank <= 5 ORDER BY id, rank""".stripMargin,
+
+    // the append law end-to-end: old graph (6-bit adaptive bucket rule
+    // over vec_id < 300), batch graph (5-bit rule over the 200 appended),
+    // exact new→old search (entryMod = 1 ⇒ all-pairs top-k), the
+    // reciprocal patch of touched old nodes, untouched edges verbatim.
+    // top-k(top-k(A) ∪ top-k(B)) = top-k(A ∪ B) for disjoint candidate
+    // sets, so the oracle ranks the raw candidate unions directly.
+    "sim_graph_append" -> {
+      def bucketed(src: String, bits: Int, tag: String): String =
+        s"""${tag}b AS (SELECT vec_id, v, nm,
+           |  (${Sql.signBucketNOver(bits, "v")})::BIGINT AS bucket FROM $src),
+           |${tag}pr AS (SELECT vec_id, v, nm,
+           |  unnest(list_concat([bucket],
+           |    list_transform(range(0, $bits), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+           |  FROM ${tag}b),
+           |${tag}cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+           |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+           |  FROM ${tag}pr a JOIN ${tag}b b
+           |  ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |old AS (SELECT * FROM n WHERE vec_id < 300),
+         |neu AS (SELECT * FROM n WHERE vec_id >= 300),
+         |${bucketed("old", 6, "o")},
+         |g0 AS (SELECT id, nbr_id, score, rank FROM (
+         |  SELECT id, nbr_id, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM ocand) WHERE rank <= 5),
+         |${bucketed("neu", 5, "x")},
+         |socand AS (SELECT q.vec_id AS id, c.vec_id AS nbr_id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM neu q CROSS JOIN old c),
+         |newe AS (SELECT id, nbr_id, score, rank FROM (
+         |  SELECT id, nbr_id, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM (SELECT * FROM socand UNION ALL SELECT * FROM xcand))
+         |  WHERE rank <= 5),
+         |rev AS (SELECT nbr_id AS id, id AS nbr_id, score FROM newe
+         |  WHERE nbr_id < 300),
+         |touched AS (SELECT DISTINCT id FROM rev),
+         |patched AS (SELECT id, nbr_id, score, rank FROM (
+         |  SELECT id, nbr_id, score,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+         |  FROM (SELECT g0.id, g0.nbr_id, g0.score FROM g0
+         |      JOIN touched USING (id)
+         |    UNION ALL SELECT id, nbr_id, score FROM rev))
+         |  WHERE rank <= 5)
+         |SELECT id, rank::INT AS rank, nbr_id, score FROM (
+         |  SELECT id, nbr_id, score, rank FROM g0
+         |    WHERE id NOT IN (SELECT id FROM touched)
+         |  UNION ALL SELECT id, nbr_id, score, rank FROM patched
+         |  UNION ALL SELECT id, nbr_id, score, rank FROM newe)
+         |ORDER BY id, rank""".stripMargin
+    },
 
     "sim_topk_graph" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

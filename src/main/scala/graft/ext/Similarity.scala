@@ -785,6 +785,77 @@ object Similarity {
       .toDF("id", "rank", "nbr_id", "score")
   }
 
+  /** INCREMENTAL APPEND for the kNN graph — [[ivfAssign]]'s maintenance
+    * seam applied to graph ANN: a new batch joins the index WITHOUT
+    * rebuilding old nodes, closing the one remaining full-rebuild job in
+    * the ANN family (before this, every ingest meant re-running
+    * [[knnGraph]] over the whole corpus).
+    *
+    * Search-based insertion (the HNSW insert primitive, Malkov & Yashunin
+    * 2016 §4): each new vector's neighbor candidates come from (a) a beam
+    * SEARCH of the existing graph over the old corpus ([[graphTopK]] —
+    * with entryMod = 1 the search is EXACT, the oracle contract; with
+    * sparse adaptive entries it is the scale path) and (b) the batch's own
+    * bucketed kNN graph ([[knnGraph]], width derived from the BATCH size),
+    * re-ranked together to `k`. Old nodes are then patched RECIPROCALLY:
+    * exactly the old endpoints of the new edges re-rank their existing
+    * edge list against the reverse edges (scores are bit-symmetric:
+    * x·y = y·x and ‖a‖·‖b‖ = ‖b‖·‖a‖ in IEEE) — every other old node's
+    * edges pass through UNTOUCHED, byte-identical ranks included.
+    *
+    * `graph` must be [[knnGraph]]-shaped rows (id, rank, nbr_id, score)
+    * over `oldVecs`; old and new id sets must be disjoint. Returns the
+    * appended graph in the same shape.
+    *
+    * Scale shape: the search shuffles beam rows (|batch| × beamWidth),
+    * never the corpus; the batch graph is linear in the batch; reverse
+    * candidates are ≤ k·|batch| rows, so `touched` and the batch id set
+    * broadcast, the patch re-rank moves only touched nodes' ≤ k + k·deg
+    * edges, and untouched edges flow through a broadcast anti-join —
+    * nothing rescans or reshuffles the old graph beyond one pass. */
+  def knnGraphAppend(oldVecs: DataFrame, graph: DataFrame,
+                     newVecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, beamWidth: Int, hops: Int,
+                     entryMod: Long = AdaptiveEntries,
+                     batchBits: Int = AdaptiveBits,
+                     scope: CacheScope = null): DataFrame = {
+    require(k >= 1 && beamWidth >= k, s"bad append params: k=$k/$beamWidth")
+    // (a) new → old: search the existing index like any query batch
+    val searched = graphTopK(oldVecs, idCol, vecCol,
+        graph.select(col("id"), col("nbr_id")), newVecs, idCol, vecCol,
+        k, beamWidth, hops, entryMod, scope = scope)
+      .select(col("query_id").as("id"), col("id").as("nbr_id"), col("score"))
+    // (b) new → new: the batch's own bucketed graph (disjoint candidate
+    // sets — (a) yields old nbrs, (b) new nbrs — so the union is dup-free)
+    val batchG = knnGraph(newVecs, idCol, vecCol, k, batchBits)
+      .select(col("id"), col("nbr_id"), col("score"))
+    val newEdges = TopK.topKPerKey(
+        searched.unionByName(batchG)
+          .select(col("id").as("query_id"), col("score"),
+            col("nbr_id").as("cand")),
+        "query_id", "score", "cand", k)
+      .toDF("id", "rank", "nbr_id", "score")
+    // reciprocal patch: reverse exactly the new edges that land on OLD
+    // nodes (batch ids broadcast; an edge's nbr is old ⟺ not in the batch)
+    val newIds = broadcast(newVecs.select(col(idCol).as("nbr_id")))
+    val revCands = newEdges
+      .join(newIds, Seq("nbr_id"), "left_anti")
+      .select(col("nbr_id").as("id"), col("id").as("nbr_id"), col("score"))
+    val touched = broadcast(revCands.select("id").distinct())
+    val patched = TopK.topKPerKey(
+        graph.select(col("id"), col("nbr_id"), col("score"))
+          .join(touched, Seq("id"))
+          .unionByName(revCands)
+          .select(col("id").as("query_id"), col("score"),
+            col("nbr_id").as("cand")),
+        "query_id", "score", "cand", k)
+      .toDF("id", "rank", "nbr_id", "score")
+    graph.select(col("id"), col("rank"), col("nbr_id"), col("score"))
+      .join(touched, Seq("id"), "left_anti")
+      .unionByName(patched)
+      .unionByName(newEdges)
+  }
+
   // ───────────────── product quantization (IVF-PQ family) ────────────────
 
   /** Squared L2 distance between two equal-length vectors — strict left fold

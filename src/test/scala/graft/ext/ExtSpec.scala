@@ -1323,6 +1323,71 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === 10)
   }
 
+  test("knnGraphAppend: untouched edges verbatim, touched re-ranked by law, " +
+      "append tracks the full rebuild") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.where(col("vec_id") < 300)
+    val neu = emb.where(col("vec_id") >= 300)
+    val g = Similarity.knnGraph(old, "vec_id", "embedding", k = 5,
+      bits = Similarity.AdaptiveBits)
+    val appended = Similarity.knnGraphAppend(old, g, neu, "vec_id",
+      "embedding", k = 5, beamWidth = 16, hops = 2, entryMod = 1)
+    val app = appended.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // every node of old ∪ new carries edges
+    assert(app.map(_._1).size === 500)
+    // OLD-SIDE LAW: every old node's appended edges are exactly the top-5
+    // (score DESC, nbr ASC) of its original edges ∪ the reverse images of
+    // new edges landing on it — computed here independently via a rank
+    // window; untouched nodes fall out byte-identical (ranks included)
+    val newEdges = appended.where(col("id") >= 300)
+    val rev = newEdges.where(col("nbr_id") < 300)
+      .select(col("nbr_id").as("id"), col("id").as("nbr_id"), col("score"))
+    val expOld = g.select(col("id"), col("nbr_id"), col("score"))
+      .unionByName(rev)
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score").desc, col("nbr_id"))).cast("int"))
+      .where(col("rank") <= 5)
+      .select("id", "rank", "nbr_id", "score")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(app.filter(_._1 < 300) === expOld)
+    // NEW-SIDE LAW: each new node's edges are the top-5 of its EXACT old
+    // top-5 (entryMod = 1 search contract, = bruteForceTopK) ∪ its batch
+    // bucket-graph edges — independent operators on both legs
+    val brute = Similarity.bruteForceTopK(old, neu, "vec_id", "embedding",
+        k = 5)
+      .select(col("query_id").as("id"), col("id").as("nbr_id"), col("score"))
+    val batchG = Similarity.knnGraph(neu, "vec_id", "embedding", k = 5,
+        bits = Similarity.AdaptiveBits)
+      .select(col("id"), col("nbr_id"), col("score"))
+    val expNew = brute.unionByName(batchG)
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score").desc, col("nbr_id"))).cast("int"))
+      .where(col("rank") <= 5)
+      .select("id", "rank", "nbr_id", "score")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(app.filter(_._1 >= 300) === expNew)
+    // APPEND TRACKS REBUILD IN QUALITY: both graphs measured against the
+    // TRUE kNN (brute force over all 500) — raw edge overlap with the
+    // rebuild would punish the append for its EXACT old-side edges where
+    // the rebuild's are bucket-approximate. The maintenance seam must not
+    // degrade the index it maintains: append recall ≥ rebuild recall − ε.
+    val exact = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        bits = Similarity.AdaptiveBits)
+      .select("id", "nbr_id").as[(Long, Long)].collect().toSet
+    val got = app.map(t => (t._1, t._3))
+    val recallApp = exact.intersect(got).size.toDouble / exact.size
+    val recallRebuild = exact.intersect(rebuilt).size.toDouble / exact.size
+    assert(recallApp >= recallRebuild - 0.05,
+      s"append quality $recallApp fell behind rebuild $recallRebuild")
+  }
+
   test("beamLoop: cut strategy decided arithmetically from the bound — " +
       "past it, the frontier is persisted, never collected") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
