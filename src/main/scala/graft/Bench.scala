@@ -189,6 +189,23 @@ object Bench {
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, jsonLine + "\n")
     } catch { case _: Throwable => () } // best-effort: never fail the bench
+    // PIN the full per-query record into the repo as bench/r<N>.json: the
+    // round-capture artifact keeps only a truncated log tail, so without
+    // this file only ~a dozen queries are comparable across rounds. N =
+    // one past the highest BENCH_r*.json already present (the driver
+    // writes BENCH_r<N> AFTER this bench runs); committed by the driver's
+    // end-of-round sweep.
+    try {
+      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .maxOption.map(_ + 1)
+      val name = round.map(r => f"bench/r$r%02d.json")
+        .getOrElse("bench/latest.json")
+      val out = java.nio.file.Paths.get(name)
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, jsonLine + "\n")
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
     // A compact trailer so a bounded `tail` of the artifact always captures
     // the headline number even when the full JSON line above is truncated.
     println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts}""")

@@ -773,5 +773,6 @@ object Queries {
     "graph_triangles", "q_cohort_retention",
     "etl_incremental_agg", "etl_delete_vectors", "q_k_anonymity",
     "q_heavy_hitters",
-    "dedup_substring_sa", "sim_topk_hnsw", "etl_time_travel")
+    "dedup_substring_sa", "sim_topk_hnsw", "etl_time_travel",
+    "curation_warc_e2e", "sim_kcenter", "mm_decode_jpeg_pixels")
 }

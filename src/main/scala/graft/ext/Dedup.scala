@@ -770,9 +770,171 @@ object Dedup {
     * [[connectedComponentsStar]] iteration discipline — without it the
     * plan doubles per round and the optimizer, not the data, becomes the
     * bottleneck). Run to ⌈log₂ n⌉ rounds for a full suffix array; stop at
-    * ⌊log₂ L⌋ for length-L window equality (what substring dedup needs). */
+    * ⌊log₂ L⌋ for length-L window equality (what substring dedup needs).
+    *
+    * SHUFFLE PACKING: when the corpus fits the 32-bit regime (n < 2³¹
+    * characters, every initial code in (Int.MinValue, Int.MaxValue] — one
+    * tiny aggregation over the caller-persisted frame decides), every
+    * per-round frame carries ONE packed long instead of two/three columns:
+    * state rows are gpos·2³² | rank, pair rows pack (rank, rank+2ᵗ) the
+    * same way, and join keys are shift expressions evaluated at the
+    * exchange, so the shuffled row is just the packed word — ~45% fewer
+    * shuffled bytes per round at ~260 B/char amplification, the dominant
+    * cost of substring dedup at scale. Ranks are DENSE INDEXES used only
+    * for equality (prefix doubling for window equality never compares
+    * order), so the packed path's different-but-injective pair ordering
+    * yields byte-identical final equivalence classes — the wide path
+    * remains both the >2³¹ fallback and the semantics reference
+    * (DedupSpec pins packed == wide on the same corpus). */
   private[ext] def prefixDoubleRanks(chars: DataFrame,
                                      rounds: Int): DataFrame = {
+    val st = chars.agg(count(lit(1)), min(col("code")), max(col("code"))).head()
+    val n = st.getLong(0)
+    val packable = n > 0 && n < (1L << 31) &&
+      st.getLong(1) > Int.MinValue && st.getLong(2) <= Int.MaxValue
+    if (packable) prefixDoubleRanksPacked(chars, rounds)
+    else prefixDoubleRanksWide(chars, rounds)
+  }
+
+  // ── 32-bit packed-word helpers (the packed-regime shuffle layout) ──────
+  private[ext] val Low32: Long = 0xFFFFFFFFL
+  /** (hi, v) → hi·2³² | low32(v); [[lo32]] sign-extends back exactly for
+    * every |v| < 2³¹ — negative separator codes round-trip. */
+  private[ext] def packHiLo(hi: Column, lo: Column): Column =
+    shiftleft(hi, 32).bitwiseOR(lo.bitwiseAND(lit(Low32)))
+  private[ext] def hi32(p: Column): Column = shiftright(p, 32) // hi ≥ 0
+  private[ext] def lo32(p: Column): Column =
+    shiftright(shiftleft(p, 32), 32)
+  /** Sentinel for "no rank at the shifted position" in the packed regime:
+    * Int.MinValue is outside every initial code (regime guard) and every
+    * dense rank (≥ 0). */
+  private[ext] val NoRank32: Long = Int.MinValue.toLong
+
+  private val prSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("pr",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** DISTRIBUTED DENSE RANK of `df`'s packed-pair column `pp`, fused into
+    * the packed state (gpos·2³² | denseRank(pp)) — the wide path's
+    * distinct + order-index + join-back replaced by ONE range exchange:
+    * rows sort globally by pp; a stats pass sends 3 longs per partition
+    * (first pp, last pp, distinct-run count) to the driver, which prefixes
+    * them with run-continuation adjustment (a pp run crossing a partition
+    * boundary must not count twice); the assign pass then labels rows
+    * locally. The sorted rows are cached serialized between the two
+    * passes (the exchange is fetched ONCE; the caller unpersists as soon
+    * as the assigned state materializes), nothing corpus-sized touches
+    * the driver, and the labels are exactly orderIndex's (ascending-pp
+    * dense index) — deterministic under any partitioning. */
+  private def packedDenseRank(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val spark = df.sparkSession
+    val rowRdd = df.repartitionByRange(col("pp"))
+      .sortWithinPartitions("pp")
+      .select(col("pp"), col("gpos")).rdd
+    // the sorted rows are read TWICE (stats, then assign): cache them
+    // serialized so the second pass hits local blocks instead of
+    // re-fetching the range exchange — the caller unpersists as soon as
+    // the assigned state is checkpoint-materialized
+    rowRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val stats = rowRdd.mapPartitionsWithIndex { (i, it) =>
+      var first: java.lang.Long = null; var last: java.lang.Long = null
+      var runs = 0L
+      it.foreach { r =>
+        val pp = r.getLong(0)
+        if (first == null) first = pp
+        if (last == null || last != pp) runs += 1
+        last = pp
+      }
+      Iterator.single((i, Option(first).map(_.longValue),
+        Option(last).map(_.longValue), runs))
+    }.collect().sortBy(_._1)
+    val bases = new Array[Long](stats.length)
+    var running = 0L
+    var prevLast: Option[Long] = None
+    for ((i, first, last, runs) <- stats) {
+      // a run continuing from the previous nonempty partition keeps its
+      // already-assigned label: shift this partition's base back by one
+      val cont = (prevLast, first) match {
+        case (Some(p), Some(f)) if p == f => 1L
+        case _ => 0L
+      }
+      bases(i) = running - cont
+      if (first.nonEmpty) { running = bases(i) + runs; prevLast = last }
+    }
+    val assigned = rowRdd.mapPartitionsWithIndex { (i, it) =>
+      var idx = bases(i) - 1
+      var prev: java.lang.Long = null
+      it.map { r =>
+        val pp = r.getLong(0)
+        if (prev == null || prev != pp) idx += 1
+        prev = pp
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((r.getLong(1) << 32) | idx)): // idx < 2³¹: no mask
+          org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    (org.apache.spark.sql.graftbridge.GraftColumnBridge
+      .internalCreateDataFrame(spark, assigned, prSchema), rowRdd)
+  }
+
+  /** The packed-regime rounds ([[prefixDoubleRanks]] doc), returning the
+    * PACKED state (pr = gpos·2³² | rank) for consumers that keep joining
+    * on it ([[substringDupSpans]]'s fingerprint stage). Per round exactly
+    * THREE corpus-sized exchanges — the two one-long self-join sides
+    * (shift expressions are the join keys, evaluated at the exchange, so
+    * the shuffled row is just the packed word) and [[packedDenseRank]]'s
+    * single range exchange of (pp, gpos). */
+  private[ext] def prefixDoubleRanksPackedState(chars: DataFrame,
+                                                rounds: Int): DataFrame = {
+    val cp = new CheckpointRounds(chars.sparkSession)
+    var ranks: DataFrame = null
+    var ranksRdd: CheckpointRounds.IRdd = null
+    try {
+      val fst = cp.eagerCheckpoint(
+        chars.select(packHiLo(col("gpos"), col("code")).as("pr")))
+      ranks = fst._1; ranksRdd = fst._2; cp.pending = null
+      for (t <- 1 to rounds) {
+        val h = 1L << (t - 1)
+        // the rank at gpos + h surfaces at gpos: key the probe side by
+        // gpos − h
+        val paired = ranks
+          .join(ranks.select(col("pr").as("pr2")),
+            hi32(col("pr")) === hi32(col("pr2")) - h, "left")
+          .select(hi32(col("pr")).as("gpos"),
+            packHiLo(lo32(col("pr")),
+              coalesce(lo32(col("pr2")), lit(NoRank32))).as("pp"))
+        val (ranked, sortedRows) = packedDenseRank(paired)
+        // the sorted-row cache is dead the moment the assigned state
+        // materializes — release it on success AND failure
+        val (next, nextRdd, _) =
+          try cp.eagerCheckpoint(ranked)
+          finally sortedRows.unpersist(false)
+        ranksRdd.unpersist(false)
+        ranks = next; ranksRdd = nextRdd
+        cp.pending = null
+      }
+    } catch {
+      case t: Throwable =>
+        cp.releasePendingUnless(ranksRdd)
+        if (ranksRdd != null) ranksRdd.unpersist(false)
+        throw t
+    }
+    releaseRddAfterFirstAction(ranksRdd, ranks)
+    ranks
+  }
+
+  /** (gpos, rank) view of [[prefixDoubleRanksPackedState]] — the packed
+    * path behind the [[prefixDoubleRanks]] dispatcher. */
+  private[ext] def prefixDoubleRanksPacked(chars: DataFrame,
+                                           rounds: Int): DataFrame =
+    prefixDoubleRanksPackedState(chars, rounds)
+      .select(hi32(col("pr")).as("gpos"), lo32(col("pr")).as("rank"))
+
+  /** The unpacked rounds — fallback past the 32-bit regime and the
+    * semantics reference for the packed path. */
+  private[ext] def prefixDoubleRanksWide(chars: DataFrame,
+                                    rounds: Int): DataFrame = {
     val cp = new CheckpointRounds(chars.sparkSession)
     var ranks: DataFrame = null
     var ranksRdd: CheckpointRounds.IRdd = null
@@ -957,28 +1119,77 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     chars.count(): Unit
 
-    // prefixDoubleRanks runs eager jobs: a failure inside it (or anywhere
+    // PACKED REGIME: with n < 2³¹ characters and doc ids inside 31 bits
+    // (⇒ every code, rank, gpos, and lpos fits a signed 32-bit half),
+    // every corpus-sized exchange below ships packed longs — the rounds
+    // carry gpos·2³²|rank, the fingerprint is ONE long (rank-pair packed),
+    // and the window-start rows pack (doc_id, lpos). Both halves of the
+    // regime test come from frames already at hand (the offset prefix sum
+    // and one doc-level agg), not from a corpus rescan. Past the regime
+    // the wide path runs unchanged.
+    val maxDocId = lens.agg(max(col("doc_id"))).head() match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val nTotal = bases.last
+    val packedRegime = nTotal > 0 && nTotal < (1L << 31) &&
+      maxDocId >= 0 && maxDocId < Int.MaxValue.toLong
+
+    // prefixDoubleRanks* runs eager jobs: a failure inside it (or anywhere
     // before the self-release listener registers) must not strand the
     // persisted character frame in a long-lived session.
-    val ranks =
-      try prefixDoubleRanks(chars.select(col("gpos"), col("code")), a)
-      catch { case t: Throwable => chars.unpersist(false); throw t }
-    val second = ranks.select((col("gpos") - tail).as("gpos"),
-      col("rank").as("_f2"))
-    val fps = ranks.join(second, Seq("gpos"), "left")
-      .select(col("gpos"), col("rank").as("_f1"),
-        coalesce(col("_f2"), lit(NoRank)).as("_f2"))
-
-    val starts = chars
-      .where(col("lpos") + minLen <= col("len"))
-      .select(col("doc_id"), col("lpos"), col("gpos"))
-      .join(fps, "gpos")
-    val groups = starts.groupBy(col("_f1"), col("_f2"))
-      .agg(count(lit(1)).as("_n"), min(col("gpos")).as("_first"))
-    val dups = starts.join(groups, Seq("_f1", "_f2"))
-      .where(col("_n") > 1 && col("gpos") > col("_first"))
-      .select(col("doc_id"), col("lpos").as("start"),
-        (col("lpos") + minLen).as("end"))
+    val dups = if (packedRegime) {
+      val ranks = // packed state (pr = gpos·2³² | rank)
+        try prefixDoubleRanksPackedState(
+          chars.select(col("gpos"), col("code")), a)
+        catch { case t: Throwable => chars.unpersist(false); throw t }
+      // fingerprint = (rank[i], rank[i + tail]) packed into one long —
+      // both join sides ship a single packed word; the probe side is
+      // keyed gpos − tail so the shifted rank surfaces at i
+      val fps = ranks
+        .join(ranks.select(col("pr").as("pr2")),
+          hi32(col("pr")) === hi32(col("pr2")) - tail, "left")
+        .select(hi32(col("pr")).as("gpos"),
+          packHiLo(lo32(col("pr")),
+            coalesce(lo32(col("pr2")), lit(NoRank32))).as("fp"))
+      val starts = chars
+        .where(col("lpos") + minLen <= col("len"))
+        .select(packHiLo(col("doc_id"), col("lpos")).as("dl"), col("gpos"))
+        .join(fps, "gpos")
+      // group test as ONE fp-keyed window (unbounded frame): the
+      // groupBy + join-back twin would co-shuffle the same start rows by
+      // fp anyway AND recompute the fps join for the second consumer
+      val wg = Window.partitionBy("fp")
+      starts
+        .select(col("dl"), col("gpos"),
+          count(lit(1)).over(wg).as("_n"),
+          min(col("gpos")).over(wg).as("_first"))
+        .where(col("_n") > 1 && col("gpos") > col("_first"))
+        .select(hi32(col("dl")).as("doc_id"), lo32(col("dl")).as("start"),
+          (lo32(col("dl")) + minLen).as("end"))
+    } else {
+      val ranks =
+        try prefixDoubleRanksWide(chars.select(col("gpos"), col("code")), a)
+        catch { case t: Throwable => chars.unpersist(false); throw t }
+      val second = ranks.select((col("gpos") - tail).as("gpos"),
+        col("rank").as("_f2"))
+      val fps = ranks.join(second, Seq("gpos"), "left")
+        .select(col("gpos"), col("rank").as("_f1"),
+          coalesce(col("_f2"), lit(NoRank)).as("_f2"))
+      val starts = chars
+        .where(col("lpos") + minLen <= col("len"))
+        .select(col("doc_id"), col("lpos"), col("gpos"))
+        .join(fps, "gpos")
+      // same one-exchange window group test as the packed branch
+      val wg = Window.partitionBy("_f1", "_f2")
+      starts
+        .select(col("doc_id"), col("lpos"), col("gpos"),
+          count(lit(1)).over(wg).as("_n"),
+          min(col("gpos")).over(wg).as("_first"))
+        .where(col("_n") > 1 && col("gpos") > col("_first"))
+        .select(col("doc_id"), col("lpos").as("start"),
+          (col("lpos") + minLen).as("end"))
+    }
 
     // gaps-and-islands merge of the covering intervals, per doc
     val w = Window.partitionBy("doc_id").orderBy("start")

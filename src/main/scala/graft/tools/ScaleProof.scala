@@ -34,6 +34,9 @@ object ScaleProof {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_STAGE_LOG=1: per-stage shuffle-write lines (stage name +
+    // callsite) for pinpointing WHICH exchange owns the bytes
+    val stageLog = sys.env.get("SPARK_GRAFT_STAGE_LOG").contains("1")
     val shuffleW = new AtomicLong; val shuffleR = new AtomicLong
     val maxStageW = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -44,6 +47,9 @@ object ScaleProof {
           shuffleW.addAndGet(w)
           shuffleR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           maxStageW.accumulateAndGet(w, Math.max(_, _))
+          if (stageLog && w > 0)
+            println(f"  stage ${sc.stageInfo.stageId}%4d w=${w / 1e6}%8.1f MB " +
+              s" ${sc.stageInfo.name.take(120)}")
         }
       }
     })

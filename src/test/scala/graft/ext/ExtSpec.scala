@@ -2303,6 +2303,35 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((2L, 2L, 12L), (3L, 0L, 12L), (3L, 14L, 12L)), got.toString)
   }
 
+  test("prefixDoubleRanks: packed rounds == wide rounds — identical " +
+      "equivalence classes, packed path dispatched in the 32-bit regime") {
+    // the packed path relabels pair ranks (packed-word order instead of
+    // lexicographic), which must be invisible: prefix doubling is used for
+    // window EQUALITY only, so the partition of positions into
+    // equal-window classes is the whole contract. Mixed-sign codes pin
+    // the separator round-trip (negative low-32 sign-extension).
+    val s = "banana_bandana_banana"
+    val rows = s.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) } ++
+      Seq((s.length.toLong, -7L), (s.length + 1L, -3L)) // separator codes
+    val chars = rows.toDF("gpos", "code")
+    def classes(df: org.apache.spark.sql.DataFrame): Set[Set[Long]] =
+      df.as[(Long, Long)].collect().groupBy(_._2)
+        .values.map(_.map(_._1).toSet).toSet
+    for (rounds <- Seq(0, 1, 3)) {
+      val wide = classes(Dedup.prefixDoubleRanksWide(chars, rounds))
+      val packed = classes(Dedup.prefixDoubleRanksPacked(chars, rounds))
+      assert(packed === wide, s"class mismatch at rounds=$rounds")
+      // the dispatcher must take the packed path here (32-bit regime) —
+      // same classes again, via the public seam
+      assert(classes(Dedup.prefixDoubleRanks(chars, rounds)) === wide)
+    }
+    // out-of-regime codes force the wide fallback and stay correct
+    val big = rows :+ (s.length + 2L, Long.MaxValue / 2)
+    val charsBig = big.toDF("gpos", "code")
+    assert(classes(Dedup.prefixDoubleRanks(charsBig, 2)) ===
+      classes(Dedup.prefixDoubleRanksWide(charsBig, 2)))
+  }
+
   test("substringDupSpans releases its persisted char frame and rank RDD after the action") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq((1L, "abcdefghij klmnop"), (2L, "zz abcdefghij klmnop"))
