@@ -533,20 +533,26 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, s"final re-rank must be keyed joins:\n$p")
   }
 
-  test("dedup_substring_real: keyed fingerprint joins, per-doc islands window only") {
+  test("dedup_substring_real: keyed fingerprint joins, every window keyed") {
     // the prefix-doubling rounds run eagerly (checkpoint-materialized); the
-    // returned plan is the window-fingerprint group/join + the per-doc
-    // islands merge: every join keyed, and the ONLY window is partitioned
-    // by doc_id (a global unpartitioned window would serialize the corpus
-    // through one task)
+    // returned plan is the fingerprint group test (r14: a window KEYED on
+    // the packed fingerprint — one exchange instead of groupBy+join-back)
+    // + the per-doc islands merge: every join keyed, and every window
+    // PARTITIONED (by doc_id or by the fingerprint) — a global
+    // unpartitioned window would serialize the corpus through one task
     val p = plan("dedup_substring_real")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"no product may appear:\n$p")
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
-      .findFirstIn(p).isDefined, s"fingerprint grouping must join keyed:\n$p")
+      .findFirstIn(p).isDefined, s"start/fingerprint rows must join keyed:\n$p")
     val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
-    assert(windowLines.nonEmpty && windowLines.forall(_.contains("doc_id")),
-      s"islands window must be doc-partitioned:\n${windowLines.mkString("\n")}")
+    assert(windowLines.nonEmpty &&
+      windowLines.forall(l => l.contains("doc_id") || l.contains("fp#")),
+      s"every window must be partition-keyed:\n${windowLines.mkString("\n")}")
+    // the partition spec bracket must never be empty — the textual twin of
+    // "no window runs unpartitioned"
+    assert(!windowLines.exists(_.contains("], []")),
+      s"unpartitioned window:\n${windowLines.mkString("\n")}")
   }
 
   test("sim_hard_negatives: anchors broadcast over one corpus scan, heap top-k") {
