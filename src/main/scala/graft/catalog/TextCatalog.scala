@@ -402,6 +402,31 @@ object TextCatalog {
     }),
 
 
+    // SITE-TEMPLATE removal — the CROSS-PAGE half of boilerplate
+    // extraction (RefinedWeb/CCNet repeated-paragraph pruning, keyed by
+    // site): a host-wide "welcome portal" block passes the per-page
+    // word/density rule on EVERY page (10 words, zero links — exactly the
+    // chrome extractMain cannot catch) and dies only to the ≥ 3-distinct-
+    // pages frequency rule; a "bulletin" block planted on exactly 1–2
+    // pages per host (pair step 350 = 7·50 keeps the pair on ONE host)
+    // sits under the threshold and survives — the boundary in both
+    // directions. Exact distinct-page counts, integer thresholds.
+    "curation_drop_templates" -> ((s, d) => {
+      val host = concat(lit("h"), col("doc_id") % 7)
+      val html = concat(
+        lit("<div>Welcome to the "), host,
+        lit(" portal with news weather sports and finance</div><p>"),
+        col("text"),
+        lit("</p><p>this bulletin number "), col("doc_id") % 350,
+        lit(" repeats on at most two pages</p>"))
+      Extract.dropTemplates(
+        t(s, d, "documents").select(col("doc_id"), host.as("host"),
+          html.as("html")),
+        "doc_id", "host", "html", minWords = 5, templatePages = 3)
+        .orderBy("doc_id")
+    }),
+
+
     // Per-language vocabulary profile: distinct terms, hapax count/share,
     // max document frequency — corpus-health numbers (a ballooning hapax
     // share flags OCR junk / encoding damage).
@@ -867,6 +892,48 @@ object TextCatalog {
          |  contains(lower(main_text), 'lorem ipsum') AS has_lorem,
          |  contains(main_text, '{') AS has_brace
          |  FROM m) ORDER BY doc_id""".stripMargin
+    },
+
+    // restates the host/template construction, the per-page rule, the
+    // exact distinct-page frequency count, and the positional reassembly
+    "curation_drop_templates" -> {
+      def plain(x: String) =
+        s"trim(regexp_replace(regexp_replace($x, '(?i)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      def nw(x: String) =
+        s"(CASE WHEN ${plain(x)} = '' THEN 0 ELSE len(string_split(${plain(x)}, ' ')) END)"
+      val linkChars = "coalesce(list_sum(list_transform(" +
+        "regexp_extract_all(raw, '(?i)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
+        s"t -> length(${plain("t")}))), 0)"
+      val blockTag = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
+        "section|article|header|footer|nav|aside|blockquote|html|body|" +
+        "head|title)(?:\\s[^>]*)?/?>"
+      s"""WITH h AS (SELECT doc_id, 'h' || (doc_id % 7)::VARCHAR AS host,
+         |    '<div>Welcome to the h' || (doc_id % 7)::VARCHAR ||
+         |    ' portal with news weather sports and finance</div><p>' ||
+         |    text || '</p><p>this bulletin number ' ||
+         |    (doc_id % 350)::VARCHAR ||
+         |    ' repeats on at most two pages</p>' AS html
+         |  FROM documents),
+         |b0 AS (SELECT doc_id, host,
+         |    string_split_regex(html, '$blockTag') AS blocks FROM h),
+         |bl AS (SELECT doc_id, host,
+         |    unnest(list_transform(range(1, len(blocks) + 1),
+         |      i -> {'bno': i, 'raw': blocks[i]}), recursive := true)
+         |  FROM b0),
+         |keepb AS (SELECT doc_id, host, bno, ${plain("raw")} AS btext
+         |  FROM bl
+         |  WHERE ${nw("raw")} >= 5
+         |    AND 3 * $linkChars <= length(${plain("raw")})),
+         |pc AS (SELECT host, btext, count(*)::BIGINT AS pages FROM (
+         |    SELECT DISTINCT host, btext, doc_id FROM keepb) GROUP BY 1, 2),
+         |fl AS (SELECT k.doc_id, k.bno, k.btext, (pc.pages >= 3) AS tpl
+         |  FROM keepb k JOIN pc ON pc.host = k.host AND pc.btext = k.btext)
+         |SELECT doc_id,
+         |  coalesce(string_agg(CASE WHEN NOT tpl THEN btext END,
+         |    chr(10) ORDER BY bno), '') AS main_text,
+         |  count(CASE WHEN NOT tpl THEN 1 END)::INT AS n_blocks_kept,
+         |  count(CASE WHEN tpl THEN 1 END)::INT AS n_blocks_dropped_template
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "text_vocab_stats" ->

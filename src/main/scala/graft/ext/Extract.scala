@@ -99,4 +99,59 @@ object Extract {
       size(kept).as("n_blocks_kept"),
       size(blocks).as("n_blocks_total"))
   }
+
+  /** SITE-TEMPLATE removal — the CROSS-PAGE half of boilerplate
+    * extraction ([[extractMain]] is the per-page half): a block whose
+    * exact visible text recurs on at least `templatePages` distinct pages
+    * of the SAME host is site chrome (sidebar, promo box, cookie banner)
+    * no per-page heuristic can catch — it is long enough and link-sparse
+    * enough to pass the word/density rule on every page it infects. The
+    * production-pipeline precedent is RefinedWeb/CCNet's
+    * repeated-paragraph pruning, keyed by site.
+    *
+    * Rule (integer-exact, engine-portable): per (host, block-text) count
+    * DISTINCT pages; a block survives iff it passes [[extractMain]]'s
+    * per-page rule AND its (host, text) page count < `templatePages`.
+    * Output: (id, main_text, n_blocks_kept, n_blocks_dropped_template) —
+    * one row per page with at least one rule-passing block (a page whose
+    * every block is per-page chrome contributes no row, exactly like a
+    * page [[extractMain]] empties).
+    *
+    * Scale shape: one explode to block rows; the page count is an EXACT
+    * distinct-(host, text, id) aggregation keyed on (host, text) —
+    * map-side partial distinct, then counts joined back on the same key
+    * (the count frame is one row per distinct block text, far smaller
+    * than the block rows). Hosts never concentrate: every exchange key
+    * includes the block TEXT, so even a giant host spreads across its
+    * distinct blocks. Reassembly groups by page, block order restored by
+    * sorting the page's own (position, text) structs — bounded by the
+    * page's block count. */
+  def dropTemplates(df: DataFrame, idCol: String, hostCol: String,
+                    htmlCol: String, minWords: Int = 5,
+                    templatePages: Int = 3): DataFrame = {
+    require(minWords >= 1 && templatePages >= 2,
+      s"bad params: $minWords/$templatePages")
+    val blocks = df.select(col(idCol).as("_id"), col(hostCol).as("_host"),
+        posexplode(split(col(htmlCol), BlockTag)).as(Seq("_bno", "_raw")))
+      .where(keepRule(col("_raw"), minWords))
+      .select(col("_id"), col("_host"), col("_bno"),
+        plainOf(col("_raw")).as("_text"))
+    val pageCounts = blocks.select(col("_host"), col("_text"), col("_id"))
+      .distinct()
+      .groupBy(col("_host"), col("_text"))
+      .agg(count(lit(1)).as("_pages"))
+    val kept = blocks.join(pageCounts, Seq("_host", "_text"))
+      .withColumn("_tpl", col("_pages") >= templatePages)
+    kept.groupBy(col("_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(!col("_tpl"), struct(col("_bno"), col("_text"))))),
+          s => s.getField("_text")), "\n").as("main_text"),
+        count(when(!col("_tpl"), lit(1))).as("n_blocks_kept"),
+        count(when(col("_tpl"), lit(1))).as("n_blocks_dropped_template"))
+      .select(col("_id").as(idCol), col("main_text"),
+        col("n_blocks_kept").cast("int").as("n_blocks_kept"),
+        col("n_blocks_dropped_template").cast("int")
+          .as("n_blocks_dropped_template"))
+  }
 }

@@ -81,6 +81,37 @@ class ExtractSpec extends SparkSpec {
     assert(d === 0, "density past 1/3 must drop")
   }
 
+  test("dropTemplates: host-frequency rule — chrome dies at >= 3 pages, " +
+      "survives at 2, hosts isolated, order preserved") {
+    val sidebar = "<div>visit our site map and partner portal today</div>"
+    def page(id: Long, host: String, body: String) =
+      (id, host, s"$sidebar<p>$body</p>")
+    val docs = Seq(
+      page(1L, "a", "unique body one with plenty of words inside"),
+      page(2L, "a", "unique body two with plenty of words inside"),
+      page(3L, "a", "unique body three with plenty of words inside"),
+      page(4L, "b", "unique body four with plenty of words inside"),
+      page(5L, "b", "unique body five with plenty of words inside")
+    ).toDF("doc_id", "host", "html")
+    val got = Extract.dropTemplates(docs, "doc_id", "host", "html",
+        minWords = 5, templatePages = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect()
+    // host a (3 pages): sidebar is a template — dropped everywhere
+    got.filter(_._1 <= 3).foreach { r =>
+      assert(r._3 === 1 && r._4 === 1, r.toString)
+      assert(!r._2.contains("site map"), r.toString)
+    }
+    // host b (2 pages): the SAME text sits under the threshold — kept,
+    // and in document order (sidebar precedes the body)
+    got.filter(_._1 >= 4).foreach { r =>
+      assert(r._3 === 2 && r._4 === 0, r.toString)
+      assert(r._2.startsWith("visit our site map"), r.toString)
+    }
+    assert(got.find(_._1 == 1).get._2 ===
+      "unique body one with plenty of words inside")
+  }
+
   test("extractMain feeds the gate pipeline: catalog row end-to-end") {
     val r = graft.ExtQueries.all("curation_extract_main")(
       spark, "/root/testdata/sf0.001")
