@@ -812,7 +812,11 @@ object Similarity {
     * candidates are ≤ k·|batch| rows, so `touched` and the batch id set
     * broadcast, the patch re-rank moves only touched nodes' ≤ k + k·deg
     * edges, and untouched edges flow through a broadcast anti-join —
-    * nothing rescans or reshuffles the old graph beyond one pass. */
+    * nothing rescans or reshuffles the old graph beyond one pass. The
+    * batch rides [[graphTopK]]'s QUERY broadcast, so |batch| carries the
+    * same driver/broadcast commitment as a query set — split a
+    * corpus-scale backfill into broadcast-sized batches and fold this
+    * operator over them (each fold's patches stay ≤ k·|batch|). */
   def knnGraphAppend(oldVecs: DataFrame, graph: DataFrame,
                      newVecs: DataFrame, idCol: String, vecCol: String,
                      k: Int, beamWidth: Int, hops: Int,
