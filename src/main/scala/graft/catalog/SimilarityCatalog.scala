@@ -241,6 +241,42 @@ object SimilarityCatalog {
     }),
 
 
+    // The hierarchical index AS DATA: hnswBuild materializes the layer
+    // graphs (the frame a real deployment writes to parquet once),
+    // hnswSearchPrebuilt descends over them — byte-identical to the fused
+    // sim_topk_hnsw by the search∘build law (ExtSpec pins it; this row
+    // gates the materialization seam itself against the same oracle).
+    "sim_hnsw_prebuilt" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = Similarity.hnswBuild(emb, "vec_id", "embedding", knnK = 5,
+        bits = Similarity.AdaptiveBits)
+      Similarity.hnswSearchPrebuilt(emb, "vec_id", "embedding", idx,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, beamWidth = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+
+    // Incremental append for the HIERARCHICAL index (sim_graph_append per
+    // layer): index built over the first 300 vectors (maxLevel = 1 — base
+    // 6-bit / upper 4-bit adaptive widths at 300/34 nodes), the other 200
+    // appended at entryMod = 1, each joining every layer its md5 level
+    // admits (batch widths 5/4 bits at 200/21 nodes). The output is the
+    // appended INDEX itself, so the exactness contract gates both layers'
+    // search + reciprocal patches edge-for-edge.
+    "sim_hnsw_append" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val old = e.where(col("vec_id") < 300)
+      val neu = e.where(col("vec_id") >= 300)
+      val idx = Similarity.hnswBuild(old, "vec_id", "embedding", knnK = 5,
+        bits = Similarity.AdaptiveBits, maxLevel = 1)
+      Similarity.hnswAppend(old, idx, neu, "vec_id", "embedding",
+          knnK = 5, bits = Similarity.AdaptiveBits, beamWidth = 16,
+          hops = 2, maxLevel = 1, entryMod = 1)
+        .orderBy("level", "id", "rank")
+    }),
+
+
     // Graph-ANN recall comparison at EQUAL budget: recall@5 of flat
     // single-layer search vs the hierarchical descent, same beam width
     // (16), same base graph (k=5, adaptive width — 6 bits at this N, built
@@ -1668,6 +1704,83 @@ object SimilarityCatalog {
          |  JOIN n c ON c.vec_id = f.id
          |  WHERE f.id <> f.query_id)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // search ∘ build ≡ the fused operator (ExtSpec law), so the prebuilt
+    // row gates against the SAME descent restatement
+    "sim_hnsw_prebuilt" ->
+      s"""WITH $hnswOracleCtes
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT f.query_id, f.id AS id,
+         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
+         |    row_number() OVER (PARTITION BY f.query_id
+         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f.id)::INT AS rank
+         |  FROM f0_2 f JOIN q ON q.query_id = f.query_id
+         |  JOIN n c ON c.vec_id = f.id
+         |  WHERE f.id <> f.query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // per-layer restatement of the hierarchical append: the md5 level law
+    // (maxLevel = 1: level 1 ⟺ h ≡ 0 mod 8), then for each layer the
+    // sim_graph_append program — old bucket graph (6/4-bit adaptive
+    // widths at 300/34 nodes), batch bucket rule (5/4 bits at 200/21),
+    // exact new→old search, reciprocal patch, untouched edges verbatim
+    "sim_hnsw_append" -> {
+      def bucketed(src: String, bits: Int, tag: String): String =
+        s"""${tag}b AS (SELECT vec_id, v, nm,
+           |  (${Sql.signBucketNOver(bits, "v")})::BIGINT AS bucket FROM $src),
+           |${tag}pr AS (SELECT vec_id, v, nm,
+           |  unnest(list_concat([bucket],
+           |    list_transform(range(0, $bits), i -> xor(bucket, 1::BIGINT << i)))) AS pbucket
+           |  FROM ${tag}b),
+           |${tag}cand AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+           |  ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) AS score
+           |  FROM ${tag}pr a JOIN ${tag}b b
+           |  ON a.pbucket = b.bucket AND a.vec_id <> b.vec_id)""".stripMargin
+      def levelBlock(l: Int, oldBits: Int, batchBits: Int): String =
+        s"""o$l AS (SELECT n.vec_id, n.v, n.nm FROM n JOIN lv USING (vec_id)
+           |  WHERE n.vec_id < 300 AND lv.lvl >= $l),
+           |x$l AS (SELECT n.vec_id, n.v, n.nm FROM n JOIN lv USING (vec_id)
+           |  WHERE n.vec_id >= 300 AND lv.lvl >= $l),
+           |${bucketed(s"o$l", oldBits, s"og$l")},
+           |g$l AS (SELECT id, nbr_id, score, rank FROM (
+           |  SELECT id, nbr_id, score,
+           |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+           |  FROM og${l}cand) WHERE rank <= 5),
+           |${bucketed(s"x$l", batchBits, s"xg$l")},
+           |so$l AS (SELECT q.vec_id AS id, c.vec_id AS nbr_id,
+           |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+           |  FROM x$l q CROSS JOIN o$l c),
+           |ne$l AS (SELECT id, nbr_id, score, rank FROM (
+           |  SELECT id, nbr_id, score,
+           |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+           |  FROM (SELECT * FROM so$l UNION ALL SELECT * FROM xg${l}cand))
+           |  WHERE rank <= 5),
+           |rv$l AS (SELECT nbr_id AS id, id AS nbr_id, score FROM ne$l
+           |  WHERE nbr_id < 300),
+           |tc$l AS (SELECT DISTINCT id FROM rv$l),
+           |pt$l AS (SELECT id, nbr_id, score, rank FROM (
+           |  SELECT id, nbr_id, score,
+           |    row_number() OVER (PARTITION BY id ORDER BY score DESC, nbr_id ASC) AS rank
+           |  FROM (SELECT g$l.id, g$l.nbr_id, g$l.score FROM g$l
+           |      JOIN tc$l USING (id)
+           |    UNION ALL SELECT id, nbr_id, score FROM rv$l))
+           |  WHERE rank <= 5),
+           |out$l AS (
+           |  SELECT $l AS level, id, nbr_id, score, rank FROM g$l
+           |    WHERE id NOT IN (SELECT id FROM tc$l)
+           |  UNION ALL SELECT $l, id, nbr_id, score, rank FROM pt$l
+           |  UNION ALL SELECT $l, id, nbr_id, score, rank FROM ne$l)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |lv AS (SELECT vec_id,
+         |  (CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR || 'hnsw'), 1, 15))::BIGINT % 8 = 0
+         |    THEN 1 ELSE 0 END) AS lvl FROM n),
+         |${levelBlock(0, 6, 5)},
+         |${levelBlock(1, 4, 4)}
+         |SELECT level::INT AS level, id, rank::INT AS rank, nbr_id, score
+         |FROM (SELECT * FROM out0 UNION ALL SELECT * FROM out1)
+         |ORDER BY level, id, rank""".stripMargin
+    },
 
 
     // the same descent CTEs + the flat equal-budget chain (5 entries at

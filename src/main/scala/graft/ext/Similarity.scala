@@ -1464,6 +1464,143 @@ object Similarity {
     }
   }
 
+  /** MATERIALIZED hierarchical ANN index: one frame of
+    * (level, id, rank, nbr_id, score) rows — layer L's [[knnGraph]] over
+    * the nodes of [[hnswLevel]] ≥ L, bucket widths per layer via
+    * [[adaptiveSignBits]] under [[AdaptiveBits]] (one level-histogram
+    * aggregation decides all of them). This is the index [[hnswTopK]]
+    * builds transiently, persisted AS DATA: write it to parquet and the
+    * hierarchy outlives the session — searchable
+    * ([[hnswSearchPrebuilt]], bit-identical to the fused operator) and
+    * appendable ([[hnswAppend]]), completing graph ANN's index-
+    * maintenance story (build once, serve + ingest forever) the way
+    * [[centroidArray]]/[[ivfAssign]] already complete IVF's. */
+  def hnswBuild(vecs: DataFrame, idCol: String, vecCol: String,
+                knnK: Int, bits: Int, m: Int = 8, maxLevel: Int = 2,
+                salt: String = "hnsw"): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1: $maxLevel")
+    val c = vecs.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      hnswLevel(col(idCol), m, maxLevel, salt).as("_lv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lvlCounts: Map[Int, Long] = c.groupBy("_lv").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def nAtLeast(level: Int): Long =
+        lvlCounts.collect { case (l, n) if l >= level => n }.sum
+      require(nAtLeast(maxLevel) > 0,
+        s"hnswBuild: top layer (level >= $maxLevel at m=$m) is empty — " +
+          "lower maxLevel (or m) for this corpus size")
+      def bitsFor(level: Int): Int =
+        if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
+      val out = (0 to maxLevel).map { l =>
+        knnGraph(c.where(col("_lv") >= l), "id", "v", knnK, bitsFor(l),
+            corpusSize = nAtLeast(l))
+          .select(lit(l).as("level"), col("id"), col("rank"),
+            col("nbr_id"), col("score"))
+      }.reduce(_ unionByName _)
+      Dedup.releaseAfterFirstAction(c, out)
+      out
+    } catch { case t: Throwable => c.unpersist(): Unit; throw t }
+  }
+
+  /** Descent over a PREBUILT [[hnswBuild]] index — byte-identical results
+    * to [[hnswTopK]] on the same corpus/parameters (spec-pinned law:
+    * search ∘ build ≡ the fused operator), but the dominant build cost is
+    * paid once and amortized across every query batch. Same beam
+    * mechanics, same per-layer persist hygiene, same failure-path
+    * releases. */
+  def hnswSearchPrebuilt(vecs: DataFrame, idCol: String, vecCol: String,
+                         index: DataFrame, queries: DataFrame,
+                         qidCol: String, qvecCol: String,
+                         k: Int, beamWidth: Int, m: Int = 8,
+                         maxLevel: Int = 2, hopsPerLevel: Int = 1,
+                         baseHops: Int = 2, salt: String = "hnsw",
+                         scope: CacheScope = null): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(hopsPerLevel >= 0 && baseHops >= 0,
+      s"bad hops: $hopsPerLevel/$baseHops")
+    val q = broadcast(queries.select(col(qidCol).as("query_id"),
+      asDouble(col(qvecCol)).as("qv")))
+    val cAll = vecs.select(col(idCol).as("_gid"),
+      asDouble(col(vecCol)).as("cv"),
+      hnswLevel(col(idCol), m, maxLevel, salt).as("_lv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var frontier: DataFrame = null
+    try {
+      require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
+        s"hnswSearchPrebuilt: top layer (level >= $maxLevel at m=$m) is " +
+          "empty — index and search params must agree")
+      val nQ = q.count()
+      var entries = q.select(col("query_id"))
+        .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
+      for (level <- maxLevel to 0 by -1) {
+        val layerG = index.where(col("level") === level)
+          .select(col("id").as("_gid"), col("nbr_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
+        val hops = if (level == 0) baseHops else hopsPerLevel
+        val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
+          nQueries = nQ)
+        layerG.unpersist(): Unit
+        if (frontier != null) frontier.unpersist(): Unit // no-op localized
+        frontier = beam
+        entries = beam
+      }
+      val out = TopK.topKPerKey(
+          beamScored(cAll.select("_gid", "cv"), q)(frontier),
+          "query_id", "score", "_gid", k)
+        .toDF("query_id", "rank", "id", "score")
+      if (scope != null) { scope.own(frontier); scope.own(cAll) }
+      else {
+        Dedup.releaseAfterFirstAction(frontier, out)
+        Dedup.releaseAfterFirstAction(cAll, out)
+      }
+      out
+    } catch {
+      case t: Throwable =>
+        cAll.unpersist(): Unit
+        if (frontier != null) frontier.unpersist(): Unit
+        throw t
+    }
+  }
+
+  /** Incremental append for the HIERARCHICAL index: [[knnGraphAppend]]
+    * applied per layer — each new vector joins every layer its
+    * [[hnswLevel]] admits it to (search-based insertion against that
+    * layer's old nodes + the batch's own per-layer bucketed graph),
+    * old nodes patch reciprocally, untouched edges pass through
+    * byte-identical. Batch widths derive per layer from the batch's OWN
+    * level histogram under [[AdaptiveBits]]. Returns the appended index
+    * in [[hnswBuild]]'s shape. Old and new id sets must be disjoint;
+    * `index` must be an [[hnswBuild]]-shaped frame over `oldVecs` with
+    * the same (m, maxLevel, salt). */
+  def hnswAppend(oldVecs: DataFrame, index: DataFrame, newVecs: DataFrame,
+                 idCol: String, vecCol: String, knnK: Int, bits: Int,
+                 beamWidth: Int, hops: Int, m: Int = 8, maxLevel: Int = 2,
+                 entryMod: Long = AdaptiveEntries,
+                 salt: String = "hnsw"): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1: $maxLevel")
+    val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
+    val newCounts: Map[Int, Long] = newVecs.select(newLvl.as("_lv"))
+      .groupBy("_lv").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def newAtLeast(level: Int): Long =
+      newCounts.collect { case (l, n) if l >= level => n }.sum
+    def batchBitsFor(level: Int): Int =
+      if (bits != AdaptiveBits) bits else adaptiveSignBits(newAtLeast(level))
+    (0 to maxLevel).map { l =>
+      val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
+      val o = oldVecs.where(lvl >= l)
+      val nu = newVecs.where(lvl >= l)
+      val g = index.where(col("level") === l)
+        .select(col("id"), col("rank"), col("nbr_id"), col("score"))
+      knnGraphAppend(o, g, nu, idCol, vecCol, knnK, beamWidth, hops,
+          entryMod, batchBits = batchBitsFor(l))
+        .select(lit(l).as("level"), col("id"), col("rank"),
+          col("nbr_id"), col("score"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf
     * family, complementing the dense-embedding ANN suite with the other
     * standard retrieval modality (term overlap, not embedding geometry).

@@ -1323,6 +1323,58 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === 10)
   }
 
+  test("hnsw index as data: search∘build ≡ fused; append ≡ per-layer " +
+      "knnGraphAppend; the appended index serves") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 5)
+    // LAW 1: the materialized index searched == the fused operator,
+    // row-for-row (same layer graphs, same descent)
+    val idx = Similarity.hnswBuild(emb, "vec_id", "embedding", knnK = 5,
+      bits = Similarity.AdaptiveBits)
+    val viaIndex = Similarity.hnswSearchPrebuilt(emb, "vec_id", "embedding",
+        idx, q, "vec_id", "embedding", k = 10, beamWidth = 16)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fused = Similarity.hnswTopK(emb, "vec_id", "embedding", q,
+        "vec_id", "embedding", k = 10, beamWidth = 16, knnK = 5,
+        bits = Similarity.AdaptiveBits)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaIndex === fused)
+    // LAW 2: hnswAppend is exactly per-layer knnGraphAppend with the
+    // batch's own per-layer adaptive widths
+    val old = emb.where(col("vec_id") < 300)
+    val neu = emb.where(col("vec_id") >= 300)
+    val oldIdx = Similarity.hnswBuild(old, "vec_id", "embedding", knnK = 5,
+      bits = Similarity.AdaptiveBits, maxLevel = 1)
+    val app = Similarity.hnswAppend(old, oldIdx, neu, "vec_id", "embedding",
+      knnK = 5, bits = Similarity.AdaptiveBits, beamWidth = 16, hops = 2,
+      maxLevel = 1, entryMod = 1)
+    val appSet = app.collect().map(r => (r.getInt(0), r.getLong(1),
+      r.getInt(2), r.getLong(3), r.getDouble(4))).toSet
+    for (l <- 0 to 1) {
+      val lvl = Similarity.hnswLevel(col("vec_id"), m = 8, maxLevel = 1)
+      val nNew = neu.where(lvl >= l).count()
+      val exp = Similarity.knnGraphAppend(
+          old.where(lvl >= l),
+          oldIdx.where(col("level") === l)
+            .select(col("id"), col("rank"), col("nbr_id"), col("score")),
+          neu.where(lvl >= l), "vec_id", "embedding", k = 5,
+          beamWidth = 16, hops = 2, entryMod = 1,
+          batchBits = Similarity.adaptiveSignBits(nNew))
+        .collect().map(r => (l, r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(appSet.filter(_._1 == l) === exp, s"layer $l append mismatch")
+    }
+    // LAW 3: the appended index SERVES the full corpus — k rows per query
+    // and every result id real
+    val served = Similarity.hnswSearchPrebuilt(emb, "vec_id", "embedding",
+      app, q, "vec_id", "embedding", k = 5, beamWidth = 16, maxLevel = 1)
+    val rows = served.collect()
+    assert(rows.length === 25)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 500))
+  }
+
   test("knnGraphAppend: untouched edges verbatim, touched re-ranked by law, " +
       "append tracks the full rebuild") {
     import org.apache.spark.sql.expressions.Window
