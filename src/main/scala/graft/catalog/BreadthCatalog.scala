@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Extract, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
 import graft.streaming.EventTimeOps
 
 /** Streaming-window shape, sources/sinks, and SQL-surface breadth: windows, funnels, SCD2, sketches portable twins, ETL round-trips, graph/layout.
@@ -814,6 +814,49 @@ object BreadthCatalog {
     }),
 
 
+    // The crawl recipe with REAL boilerplate removal (E50c feeding E50b's
+    // topology): WARC segments whose response pages carry planted chrome
+    // (pure-link nav, 1-word heading, link-heavy copyright footer) around
+    // the body paragraph → distributed streaming segment walk →
+    // Extract.extractMain (block word/density rule) → word-count gate →
+    // per-host census including the block ledger. By construction exactly
+    // the body survives on every 200 page, so the oracle restates the
+    // whole composition from the synthesis arithmetic — a framing, split,
+    // density, or gate bug hash-fails (the 13-piece block count pins the
+    // tag-split behavior itself).
+    "curation_extract_e2e" -> ((s, d) => {
+      val tmp = scratchDir("graft_extract_e2e", d)
+      val pages = t(s, d, "documents").where(col("doc_id") % 4 === 2)
+        .select(col("doc_id"), concat(
+          lit("<html><body><div><a href=\"/\">Home</a> " +
+            "<a href=\"/s\">Site map</a></div><h1>p"), col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><div>Copyright 2017 " +
+            "<a href=\"/t\">Terms of service</a> " +
+            "<a href=\"/p\">Privacy policy</a></div></body></html>"))
+          .as("html"))
+        .repartition(4, col("doc_id"))
+      graft.etl.Warc.writeSegments(pages, "doc_id", "html", tmp)
+      val fetched = graft.etl.Warc.read(s, tmp)
+        .where(col("warc_type") === "response" && col("http_status") === 200)
+        .select(col("target_uri").as("uri"), col("body").as("html"))
+      Extract.extractMain(fetched, "uri", "html", minWords = 5)
+        .select(
+          regexp_extract(col("uri"), "http://(host[0-9]+)\\.", 1).as("host"),
+          col("n_blocks_kept"), col("n_blocks_total"),
+          size(regexp_extract_all(lower(col("main_text")), lit("[a-z]+"),
+            lit(0))).cast("long").as("n_words"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("n_blocks_kept").cast("long")).as("sum_kept"),
+          sum(col("n_blocks_total").cast("long")).as("sum_blocks"),
+          sum(when(col("n_words") >= 20, 1L).otherwise(0L)).as("n_gated"),
+          sum(when(col("n_words") >= 20, col("n_words")).otherwise(0L))
+            .as("sum_words_gated"))
+        .orderBy("host")
+    }),
+
+
     // Hive-style partitioned write + partition-pruned read-back: the scan
     // must touch only the purchase partition (PlanSpec asserts the
     // PartitionFilters); the oracle aggregates the original rows.
@@ -1386,6 +1429,23 @@ object BreadthCatalog {
         |    AS sum_words_kept
         |FROM d GROUP BY 1 ORDER BY host""".stripMargin,
 
+
+    // restates the E50c e2e composition from the synthesis arithmetic:
+    // 200s only (404 at id % 13 excluded), exactly the body paragraph
+    // survives extraction on every page (nav 3 words/link-density 1,
+    // heading 1 word, footer killed by 3·30 > 46), the tag split yields
+    // 13 pieces per page, and the gate counts the text's own words
+    "curation_extract_e2e" ->
+      """WITH d AS (SELECT doc_id, 'host' || (doc_id % 7) AS host,
+        |    len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_words
+        |  FROM documents WHERE doc_id % 4 = 2 AND doc_id % 13 <> 0)
+        |SELECT host, count(*)::BIGINT AS n_pages,
+        |  count(*)::BIGINT AS sum_kept,
+        |  (13 * count(*))::BIGINT AS sum_blocks,
+        |  sum(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)::BIGINT AS n_gated,
+        |  sum(CASE WHEN n_words >= 20 THEN n_words ELSE 0 END)::BIGINT
+        |    AS sum_words_gated
+        |FROM d GROUP BY 1 ORDER BY host""".stripMargin,
 
     // mirrors Warc.syntheticSegment: responses for doc_id % 3 = 0 pages,
     // status 404 at doc_id % 13 = 0 (excluded), host = 'host' || id % 7,
