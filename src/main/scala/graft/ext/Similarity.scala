@@ -1332,6 +1332,48 @@ object Similarity {
     frontier
   }
 
+  /** The shared hierarchical DESCENT ([[hnswTopK]] and
+    * [[hnswSearchPrebuilt]]): per level, fetch the layer's edge list from
+    * `layerGraphOf` — (frame, callerOwned); a graph NOT owned by the
+    * caller is persisted for the level's duration (consumed once per hop;
+    * every beamLoop cut materializes, so it is fully consumed when the
+    * loop returns — a persist-FALLBACK frontier may recompute it on cache
+    * eviction, correct either way, just slower on that rare path) — beam
+    * `hops` times, seed the next layer with the cut beam. Returns the
+    * final frontier (localized or persist-fallback; the CALLER owns its
+    * release). A mid-descent throw releases the in-flight frontier and
+    * layer graph before rethrowing. */
+  private def hnswDescend(cAll: DataFrame, q: DataFrame, nQ: Long,
+      maxLevel: Int, beamWidth: Int, hopsPerLevel: Int, baseHops: Int,
+      layerGraphOf: Int => (DataFrame, Boolean)): DataFrame = {
+    var frontier: DataFrame = null
+    var entries = q.select(col("query_id"))
+      .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
+    for (level <- maxLevel to 0 by -1) {
+      val (layerG0, callerOwned) = layerGraphOf(level)
+      val layerG =
+        if (callerOwned) layerG0
+        else layerG0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
+      val hops = if (level == 0) baseHops else hopsPerLevel
+      val beam =
+        try beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
+          nQueries = nQ)
+        catch {
+          case t: Throwable =>
+            if (!callerOwned) layerG.unpersist(): Unit
+            if (frontier != null) frontier.unpersist(): Unit
+            throw t
+        }
+      if (!callerOwned) layerG.unpersist(): Unit
+      if (frontier != null) frontier.unpersist(): Unit // no-op if localized
+      frontier = beam
+      entries = beam
+    }
+    frontier
+  }
+
   /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`
     * with md5-60bit(id, salt) ≡ 0 (mod m^L) — the geometric level law
     * (P[level ≥ L] = m^-L, Malkov & Yashunin 2016) in a keyed-hash form an
@@ -1414,39 +1456,20 @@ object Similarity {
     def bitsFor(level: Int): Int =
       if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
     val nQ = q.count() // once for every layer's beam-cut bound
-    var entries = q.select(col("query_id"))
-      .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-    for (level <- maxLevel to 0 by -1) {
-      // the base (level-0) graph is the dominant build cost — a caller that
-      // already built knnGraph(vecs, idCol, vecCol, knnK, bits) (e.g. to run
-      // the flat search it is being compared against) passes it via
-      // `baseGraph` ((id, nbr_id) rows) instead of paying the build twice
-      val callerGraph = level == 0 && baseGraph != null
-      val layerG0 =
-        (if (callerGraph) baseGraph.select(col("id"), col("nbr_id"))
-         else knnGraph(cAll.where(col("_lv") >= level), "_gid", "cv",
-           knnK, bitsFor(level), // per-layer width; no recount (histogram)
-           corpusSize = nAtLeast(level))) // off the persisted corpus frame
-          .select(col("id").as("_gid"), col("nbr_id"))
-      // a layer's graph is consumed once per hop: persist graphs built HERE
-      // for the level's duration — but never a caller-provided baseGraph,
-      // whose caching the caller owns. Every beamLoop cut materializes, so
-      // the graph is fully consumed when the loop returns and is released
-      // immediately (a persist-FALLBACK frontier may recompute it on cache
-      // eviction — correct either way, just slower on that rare path)
-      val layerG =
-        if (callerGraph) layerG0
-        else layerG0
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
-      val hops = if (level == 0) baseHops else hopsPerLevel
-      val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
-        nQueries = nQ)
-      if (!callerGraph) layerG.unpersist(): Unit
-      if (frontier != null) frontier.unpersist(): Unit // no-op if localized
-      frontier = beam
-      entries = beam
-    }
+    frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth, hopsPerLevel,
+      baseHops, level => {
+        // the base (level-0) graph is the dominant build cost — a caller
+        // that already built knnGraph(vecs, idCol, vecCol, knnK, bits)
+        // (e.g. to run the flat search it is being compared against)
+        // passes it via `baseGraph` ((id, nbr_id) rows) instead of paying
+        // the build twice; its caching stays the caller's
+        val callerGraph = level == 0 && baseGraph != null
+        ((if (callerGraph) baseGraph.select(col("id"), col("nbr_id"))
+          else knnGraph(cAll.where(col("_lv") >= level), "_gid", "cv",
+            knnK, bitsFor(level), // per-layer width; no recount (histogram)
+            corpusSize = nAtLeast(level))) // off the persisted corpus frame
+          .select(col("id").as("_gid"), col("nbr_id")), callerGraph)
+      })
     val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
@@ -1531,21 +1554,10 @@ object Similarity {
         s"hnswSearchPrebuilt: top layer (level >= $maxLevel at m=$m) is " +
           "empty — index and search params must agree")
       val nQ = q.count()
-      var entries = q.select(col("query_id"))
-        .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-      for (level <- maxLevel to 0 by -1) {
-        val layerG = index.where(col("level") === level)
-          .select(col("id").as("_gid"), col("nbr_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
-        val hops = if (level == 0) baseHops else hopsPerLevel
-        val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
-          nQueries = nQ)
-        layerG.unpersist(): Unit
-        if (frontier != null) frontier.unpersist(): Unit // no-op localized
-        frontier = beam
-        entries = beam
-      }
+      frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth,
+        hopsPerLevel, baseHops, level =>
+          (index.where(col("level") === level)
+            .select(col("id").as("_gid"), col("nbr_id")), false))
       val out = TopK.topKPerKey(
           beamScored(cAll.select("_gid", "cv"), q)(frontier),
           "query_id", "score", "_gid", k)
