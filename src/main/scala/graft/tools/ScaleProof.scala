@@ -94,6 +94,27 @@ object ScaleProof {
         k = 10, beamWidth = 16, knnK = 5,
         bits = Similarity.AdaptiveBits).count()
     }
+    // the r14 crawl-extraction hop: per-page main-content extraction is a
+    // zero-shuffle projection (shufW must stay ~0 and wall ~linear);
+    // site-template removal adds the one (host, text)-keyed exchange
+    if (wanted("curation_extract")) measured("curation_extract") {
+      val pages = docs.select(col("doc_id"),
+        concat(lit("<div><a href=\"/\">Home</a> <a href=\"/s\">Site " +
+            "map</a></div><h1>p"), col("doc_id"), lit("</h1><p>"),
+          col("text"), lit("</p><div>Copyright 2017 " +
+            "<a href=\"/t\">Terms of service</a> " +
+            "<a href=\"/p\">Privacy policy</a></div>")).as("html"))
+      graft.ext.Extract.extractMain(pages, "doc_id", "html").count()
+    }
+    if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
+      val pages = docs.select(col("doc_id"),
+        concat(lit("h"), col("doc_id") % 199).as("host"),
+        concat(lit("<div>Welcome to the shared host portal with news " +
+            "weather sports and finance</div><p>"), col("text"),
+          lit("</p>")).as("html"))
+      graft.ext.Extract.dropTemplates(pages, "doc_id", "host", "html")
+        .count()
+    }
     spark.stop()
   }
 }
