@@ -555,6 +555,42 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window:\n${windowLines.mkString("\n")}")
   }
 
+  test("curation_extract_main: extraction is a scan-level projection — the " +
+      "only join is the small gate reattach") {
+    // the block pipeline (split/filter/transform/aggregate over the html
+    // column) must stay inside the scan projection: no window, no
+    // generator explode, and the single join is the doc-keyed reattach of
+    // the gate battery onto the extract columns
+    val p = plan("curation_extract_main")
+    assert(!p.contains("CartesianProduct") && !p.contains("Window") &&
+      !p.contains("Generate"),
+      s"extraction must be a pure projection:\n$p")
+  }
+
+  test("curation_drop_templates: every exchange keyed by the block text — " +
+      "no host hot key, no product") {
+    val p = plan("curation_drop_templates")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no product may appear:\n$p")
+    // the frequency count joins back on (host, text): keyed join required
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"frequency join must be keyed:\n$p")
+    // partial aggregation before the exchange on both the distinct-page
+    // count and the per-page reassembly
+    assert(p.contains("HashAggregate"), s"expected aggregation:\n$p")
+    assert(!p.contains("Window"), s"no window may appear:\n$p")
+  }
+
+  test("sim_hnsw_prebuilt: descent over the materialized index ends in " +
+      "keyed joins and the bounded heap") {
+    val p = plan("sim_hnsw_prebuilt")
+    assert(!p.contains("CartesianProduct"), s"unbroadcast product:\n$p")
+    assert(!p.contains("Window"),
+      s"top-k must be the bounded heap, not a rank window:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findFirstIn(p).isDefined, s"final re-rank must be keyed joins:\n$p")
+  }
+
   test("sim_hard_negatives: anchors broadcast over one corpus scan, heap top-k") {
     val p = plan("sim_hard_negatives")
     // the scan-wide product is the DESIGN (tiny anchor side broadcast, one
