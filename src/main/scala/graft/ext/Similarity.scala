@@ -764,19 +764,50 @@ object Similarity {
     * population, build cost linear-with-log in N instead of the ~N² a
     * fixed width degrades to. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               bits: Int, corpusSize: Long = -1L): DataFrame = {
+               bits: Int, corpusSize: Long = -1L,
+               maxBucket: Int = Int.MaxValue): DataFrame = {
     require(bits == AdaptiveBits || bits >= 1, s"bad bits: $bits")
-    val effBits =
-      if (bits != AdaptiveBits) bits
-      else adaptiveSignBits(if (corpusSize >= 0) corpusSize else df.count())
+    require(maxBucket == Dedup.AdaptiveBucket || maxBucket > 0,
+      s"bad maxBucket: $maxBucket")
+    val n =
+      if (corpusSize >= 0) corpusSize
+      else if (bits == AdaptiveBits || maxBucket == Dedup.AdaptiveBucket)
+        df.count()
+      else -1L
+    val effBits = if (bits != AdaptiveBits) bits else adaptiveSignBits(n)
+    // the adaptive WIDTH bounds the mean population; correlated real-world
+    // embeddings can still concentrate a constant corpus fraction in a few
+    // sign patterns (every vector positive in the lead dims — the
+    // correlated twin of MinHash's boilerplate hot bucket). `maxBucket` is
+    // the same scale valve Dedup.lshCandidates carries: each bucket's
+    // candidate-TARGET set truncates to its `maxBucket` lowest-id members
+    // (Dedup.AdaptiveBucket derives c·√N), so per-bucket work is
+    // population × cap, never population². Every node still PROBES — a
+    // hot-bucket node draws neighbors from the bucket's representative set
+    // plus its flip buckets; in-bucket recall trades for the bound,
+    // exactly like the MinHash cap. Default uncapped (byte-identical).
+    val cap =
+      if (maxBucket != Dedup.AdaptiveBucket) maxBucket
+      else Dedup.adaptiveBucketCap(n)
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
       signBucket(col(vecCol), effBits).as("bucket"))
+    val targets =
+      if (cap == Int.MaxValue) v
+      else {
+        // deterministic representatives: the cap lowest ids per bucket; the
+        // rank exchange is keyed on the bucket — the same key the candidate
+        // join shuffles on, so the exchange is not wasted work
+        import org.apache.spark.sql.expressions.Window
+        v.withColumn("_bn", row_number().over(
+            Window.partitionBy("bucket").orderBy("id")))
+          .where(col("_bn") <= cap).drop("_bn")
+      }
     val probeSet = array((col("bucket") +:
       (0 until effBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
     val cand = v
       .select(col("id").as("query_id"), col("v").as("qv"),
         explode(probeSet).as("bucket"))
-      .join(v.select(col("bucket"), col("id").as("nid"), col("v").as("nv")),
+      .join(targets.select(col("bucket"), col("id").as("nid"), col("v").as("nv")),
         Seq("bucket"))
       .where(col("query_id") =!= col("nid"))
       .select(col("query_id"), col("nid").as("id"),

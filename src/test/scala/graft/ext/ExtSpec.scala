@@ -1323,6 +1323,40 @@ class ExtSpec extends SparkSpec {
     assert(got.count() === 10)
   }
 
+  test("knnGraph maxBucket: the hot-bucket valve bounds candidate targets; " +
+      "covering cap is identical to uncapped") {
+    // every vector positive in the first 6 dims → ONE saturated bucket at
+    // width 6 (the correlated-corpus shape the adaptive width cannot fix);
+    // tails differ so neighbors are still meaningful
+    val n = 200
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(16) { j =>
+        if (j < 6) 1.0
+        else math.sin((i + 1.0) * (j + 1.0)) // mixed signs, deterministic
+      })
+    }.toDF("id", "v")
+    val capped = Similarity.knnGraph(vecs, "id", "v", k = 3, bits = 6,
+      maxBucket = 10)
+    val rows = capped.collect().map(r => (r.getLong(0), r.getLong(2)))
+    // candidate TARGETS truncate to the bucket's 10 lowest ids (flip
+    // buckets are empty here), so per-bucket work is population × 10 —
+    // and every non-representative node still finds k neighbors
+    assert(rows.forall(_._2 < 10), "a target escaped the representative set")
+    val perNode = rows.groupBy(_._1).view.mapValues(_.length)
+    assert((10L until n.toLong).forall(perNode.get(_).contains(3)),
+      "a probing node lost its neighbors to the cap")
+    // a cap covering the whole population is byte-identical to uncapped
+    val un = Similarity.knnGraph(vecs, "id", "v", k = 3, bits = 6)
+      .collect().map(_.toSeq).toSet
+    val cover = Similarity.knnGraph(vecs, "id", "v", k = 3, bits = 6,
+      maxBucket = 100000).collect().map(_.toSeq).toSet
+    assert(cover === un)
+    // both sentinels resolve together (adaptive width + adaptive cap)
+    val ad = Similarity.knnGraph(vecs, "id", "v", k = 3,
+      bits = Similarity.AdaptiveBits, maxBucket = Dedup.AdaptiveBucket)
+    assert(ad.select("id").distinct().count() === n.toLong)
+  }
+
   test("hnsw index as data: search∘build ≡ fused; append ≡ per-layer " +
       "knnGraphAppend; the appended index serves") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
