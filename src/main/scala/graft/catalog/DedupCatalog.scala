@@ -72,6 +72,23 @@ object DedupCatalog {
     }),
 
 
+    // INTRA-document repeated-line removal (the Gopher/RefinedWeb
+    // within-doc cleanup the cross-doc span family never sees): each doc
+    // gets a planted newsletter stub and a head-of-text echo, both TWICE —
+    // first occurrences survive in order, repeats drop. The oracle
+    // restates the construction and the first-occurrence window, so it
+    // stays exact even where the echo line happens to equal the full text.
+    "dedup_lines_within" -> ((s, d) => {
+      val multi = concat(col("text"), lit("\nsubscribe to our newsletter\n"),
+        substring(col("text"), 1, 40), lit("\nsubscribe to our newsletter\n"),
+        substring(col("text"), 1, 40))
+      Dedup.dedupLinesWithinDoc(
+        t(s, d, "documents").select(col("doc_id"), multi.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+
     // TRUE substring dedup at ARBITRARY offsets (Lee et al. 2021) via
     // distributed prefix-doubling suffix ranks: every 16-char window that
     // repeats anywhere in the corpus — any doc, any offset, any phase —
@@ -506,6 +523,29 @@ object DedupCatalog {
     // non-overlapping 16-token tiles; first owner by (doc_id, chunk_no) —
     // the same lexicographic order Spark's min(struct(id, chunk_no)) uses
     "dedup_spans" -> Sql.dedupSpansTiled,
+
+    // first-occurrence-per-(doc, line) window over the planted multiline
+    // construction; string_agg's CASE skips repeats like collect_list(when)
+    "dedup_lines_within" ->
+      """WITH h AS (SELECT doc_id, text || chr(10) ||
+        |    'subscribe to our newsletter' || chr(10) ||
+        |    substr(text, 1, 40) || chr(10) ||
+        |    'subscribe to our newsletter' || chr(10) ||
+        |    substr(text, 1, 40) AS t FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(t, chr(10))) + 1),
+        |      i -> {'pos': i, 'line': string_split(t, chr(10))[i]}),
+        |      recursive := true)
+        |  FROM h),
+        |r AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY pos)
+        |    AS clean_text,
+        |  count(*)::INT AS n_lines,
+        |  count(CASE WHEN rn > 1 THEN 1 END)::INT AS n_dupes_removed
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
     // mirrors dedup_substring_sa: the same constructed fixture text, then

@@ -160,6 +160,43 @@ object Dedup {
       ownSpans(TextStats.chunkWords(df, idCol, textCol, window, window), idCol),
       idCol)
 
+  /** INTRA-document repeated-line removal — the WITHIN-doc cleanup of the
+    * Gopher/RefinedWeb repetition family ([[TextStats.repetitionStats]]
+    * MEASURES the symptom; this removes it): keep each document's FIRST
+    * occurrence of every exact line, in original order. Scraped pages
+    * repeat nav stubs, cookie banners, and pagination lines INSIDE one
+    * document — cross-doc span dedup ([[dedupSpans]] family) never sees
+    * them because each document is its own duplicate context.
+    *
+    * Output: (id, clean_text, n_lines, n_dupes_removed).
+    *
+    * Scale shape: one explode to line rows, first-occurrence selection as
+    * a (doc, line)-keyed window (partial nothing — the window IS the one
+    * exchange, keyed by doc AND line text so a hot document spreads
+    * across its distinct lines), reassembly per doc ordered by original
+    * position (collect_list bounded by the document's own line count).
+    * Deliberately NOT the zero-shuffle array_position form — that is
+    * quadratic in a document's line count, the wrong trade for the
+    * million-line degenerate docs this operator exists to clean. */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val first = lines.withColumn("_rn", row_number().over(
+        Window.partitionBy("_id", "_line").orderBy("_pos")))
+    first.groupBy(col("_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("_rn") === 1, struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line")), "\n").as("clean_text"),
+        count(lit(1)).cast("int").as("n_lines"),
+        count(when(col("_rn") > 1, lit(1))).cast("int")
+          .as("n_dupes_removed"))
+      .select(col("_id").as(idCol), col("clean_text"), col("n_lines"),
+        col("n_dupes_removed"))
+  }
+
   /** Ownership: one row per DISTINCT span text, keyed by its first
     * corpus-wide occurrence (min (id, chunk_no) — struct min is
     * lexicographic). Output: (id, chunk_no, chunk_text) of the survivors. */

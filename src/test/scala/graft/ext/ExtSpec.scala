@@ -2389,6 +2389,23 @@ class ExtSpec extends SparkSpec {
     assert(got === Seq((2L, 2L, 12L), (3L, 0L, 12L), (3L, 14L, 12L)), got.toString)
   }
 
+  test("dedupLinesWithinDoc: first occurrence survives in order, " +
+      "repeats drop, blank runs collapse, docs independent") {
+    val docs = Seq(
+      (1L, "alpha\nnav stub\nbeta\nnav stub\nalpha\ngamma"),
+      (2L, "alpha\n\nalpha\n\nbeta"), // doc 2 reuses doc 1's lines — fine
+      (3L, "only one line")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, String, Int, Int)].collect()
+    assert(got(0) === ((1L, "alpha\nnav stub\nbeta\ngamma", 6, 2)))
+    // repeated blank lines collapse like any repeated line; dedup is
+    // PER DOC — doc 2 keeps its own first "alpha" despite doc 1's
+    assert(got(1) === ((2L, "alpha\n\nbeta", 5, 2)))
+    assert(got(2) === ((3L, "only one line", 1, 0)))
+  }
+
   test("prefixDoubleRanks: packed rounds == wide rounds — identical " +
       "equivalence classes, packed path dispatched in the 32-bit regime") {
     // the packed path relabels pair ranks (packed-word order instead of
