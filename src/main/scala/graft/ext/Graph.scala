@@ -126,11 +126,19 @@ object Graph {
     val wedges = oriented.toDF("u", "v")
       .join(oriented.toDF("v", "w"), "v")
       .select(col("u"), col("v"), col("w"))
-    val tris = wedges.join(oriented.toDF("u", "w"), Seq("u", "w"))
+    // wedge census and triangle closure in ONE pass over the wedge join:
+    // oriented is distinct on its (u, v) pair, so the closure probe on
+    // (u, w) matches at most one edge row — a LEFT join preserves wedge
+    // multiplicity exactly and the match marker counts triangles, where
+    // separate count(wedges) + count(wedges ⋈ edges) aggregates would
+    // compute the wedge join (the operator's dominant cost) twice
+    val closed = wedges.join(
+      oriented.toDF("u", "w").withColumn("_hit", lit(1)), Seq("u", "w"),
+      "left")
     val out = deg.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_wedges"),
+        count(col("_hit")).as("n_triangles")))
     Dedup.releaseAfterFirstAction(und, out)
     Dedup.releaseAfterFirstAction(oriented, out)
     out

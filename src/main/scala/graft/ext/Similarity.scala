@@ -1331,17 +1331,28 @@ object Similarity {
                        entries: DataFrame, beamWidth: Int,
                        hops: Int, nQueries: Long = -1L,
                        maxLocalRows: Long = MaxLocalBeamRows): DataFrame = {
+    // candidate streams repeat ids (the frontier unions its own neighbor
+    // expansion; distinct probe buckets can reach the same neighbor) with
+    // the same deterministic score — the dedup-heap TopK collapses them
+    // inside the map-side partials, so no separate distinct() EXCHANGE
+    // precedes the rank exchange (one shuffle per hop, not two; result-
+    // identical by the equal-score argument on TopKDistinctAggregator)
     def beamOf(cands: DataFrame): DataFrame =
-      TopK.topKPerKey(beamScored(c, q)(cands), "query_id", "score", "_gid",
-          beamWidth)
+      TopK.topKPerKeyDistinct(beamScored(c, q)(cands), "query_id", "score",
+          "_gid", beamWidth)
         .select(col("query_id"), col("id").as("_gid"))
     val nQ = if (nQueries >= 0) nQueries else q.count()
     val localBeam = nQ <= maxLocalRows / math.max(1, beamWidth) // no overflow
+    // (measured dead end, r14: re-hosting each cut onto a `newSession`
+    // clone with AQE off did drop the job count 68 → 40 on the bench hnsw
+    // row, but the per-cut re-analysis under the fresh session cost ~2×
+    // what the saved stage-jobs bought — cuts stay on the caller's session)
     var lastCkpt: DataFrame = null // the persist-fallback cut, if any
     def cut(df: DataFrame): DataFrame = {
       val out =
         if (localBeam) {
-          val rows = df.collect() // ≤ nQ·beamWidth ≤ maxLocalRows, pre-checked
+          // ≤ nQ·beamWidth ≤ maxLocalRows rows, pre-checked
+          val rows = df.collect()
           df.sparkSession.createDataFrame(
             java.util.Arrays.asList(rows: _*), df.schema)
         } else {
@@ -1358,51 +1369,64 @@ object Similarity {
     for (_ <- 1 to hops) {
       val nbrs = frontier.join(g, "_gid")
         .select(col("query_id"), col("nbr_id").as("_gid"))
-      frontier = cut(beamOf(frontier.unionByName(nbrs).distinct()))
+      frontier = cut(beamOf(frontier.unionByName(nbrs)))
     }
     frontier
   }
 
   /** The shared hierarchical DESCENT ([[hnswTopK]] and
-    * [[hnswSearchPrebuilt]]): per level, fetch the layer's edge list from
-    * `layerGraphOf` — (frame, callerOwned); a graph NOT owned by the
-    * caller is persisted for the level's duration (consumed once per hop;
-    * every beamLoop cut materializes, so it is fully consumed when the
-    * loop returns — a persist-FALLBACK frontier may recompute it on cache
-    * eviction, correct either way, just slower on that rare path) — beam
-    * `hops` times, seed the next layer with the cut beam. Returns the
-    * final frontier (localized or persist-fallback; the CALLER owns its
-    * release). A mid-descent throw releases the in-flight frontier and
-    * layer graph before rethrowing. */
+    * [[hnswSearchPrebuilt]]): fetch each layer's (_gid, nbr_id) edge list
+    * from `layerGraphOf` — (frame, callerOwned); graphs NOT owned by the
+    * caller persist for the descent's duration and materialize together
+    * in one up-front action (see the inline note) — then beam `hops`
+    * times per level, seeding the next layer with the cut beam. Returns
+    * the final frontier (localized or persist-fallback; the CALLER owns
+    * its release). A mid-descent throw releases the in-flight frontier
+    * and the owned layer graphs before rethrowing. */
   private def hnswDescend(cAll: DataFrame, q: DataFrame, nQ: Long,
       maxLevel: Int, beamWidth: Int, hopsPerLevel: Int, baseHops: Int,
       layerGraphOf: Int => (DataFrame, Boolean)): DataFrame = {
-    var frontier: DataFrame = null
-    var entries = q.select(col("query_id"))
-      .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
-    for (level <- maxLevel to 0 by -1) {
+    // fetch every layer's graph UP FRONT, persist the ones this descent
+    // owns, and materialize them all in ONE action: the layer builds are
+    // independent subtrees, so their stages schedule concurrently instead
+    // of serializing level by level (the base build no longer waits behind
+    // the upper layers), and no beam cut ever carries a build tree in its
+    // plan — cuts read the cache. Peak cache grows from one layer to
+    // Σ layers = (1 + 1/m + …)·base < base·m/(m−1).
+    val layers = (maxLevel to 0 by -1).map { level =>
       val (layerG0, callerOwned) = layerGraphOf(level)
       val layerG =
         if (callerOwned) layerG0
         else layerG0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
-      val hops = if (level == 0) baseHops else hopsPerLevel
-      val beam =
-        try beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
-          nQueries = nQ)
-        catch {
-          case t: Throwable =>
-            if (!callerOwned) layerG.unpersist(): Unit
-            if (frontier != null) frontier.unpersist(): Unit
-            throw t
-        }
-      if (!callerOwned) layerG.unpersist(): Unit
-      if (frontier != null) frontier.unpersist(): Unit // no-op if localized
-      frontier = beam
-      entries = beam
+      (level, layerG, callerOwned)
     }
-    frontier
+    val owned = layers.collect { case (_, g, false) => g }
+    def releaseOwned(): Unit = owned.foreach(_.unpersist(): Unit)
+    var frontier: DataFrame = null
+    try {
+      if (owned.nonEmpty)
+        owned.map(_.select(col("_gid"), col("nbr_id")))
+          .reduce(_ unionByName _).count(): Unit // one parallel materialize
+      var entries = q.select(col("query_id"))
+        .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
+      for ((level, layerG, _) <- layers) {
+        val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
+        val hops = if (level == 0) baseHops else hopsPerLevel
+        val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
+          nQueries = nQ)
+        if (frontier != null) frontier.unpersist(): Unit // no-op if localized
+        frontier = beam
+        entries = beam
+      }
+      releaseOwned()
+      frontier
+    } catch {
+      case t: Throwable =>
+        releaseOwned()
+        if (frontier != null) frontier.unpersist(): Unit
+        throw t
+    }
   }
 
   /** Deterministic HNSW level for a node id: the largest L ≤ `maxLevel`

@@ -46,13 +46,62 @@ object TopK {
     override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
   }
 
+  /** [[TopKAggregator]] with per-id DEDUP inside the bounded buffer: an id
+    * already held is never inserted twice — the better-scored occurrence
+    * wins (equal scores keep the incumbent). For candidate streams where
+    * the same id recurs with the same deterministic score (a beam frontier
+    * unioned with its own neighbor expansion), this is exactly
+    * `distinct()` + [[TopKAggregator]] with the distinct EXCHANGE deleted:
+    * dedup rides the map-side partial aggregation for free. An id evicted
+    * by k better items stays evicted on re-arrival — the bound check
+    * rejects it (its score is unchanged), so eviction cannot readmit
+    * duplicates. O(k) membership scan per insert; k is small by contract. */
+  final class TopKDistinctAggregator(k: Int)
+      extends Aggregator[Scored, Buf, Buf] {
+    override def zero: Buf = Buf(Vector.empty)
+
+    private def insert(b: Buf, a: Scored): Buf =
+      if (b.items.length == k && better(b.items.last, a)) b
+      else {
+        val (front, back) = b.items.span(better(_, a))
+        Buf(((front :+ a) ++ back).take(k))
+      }
+
+    override def reduce(b: Buf, a: Scored): Buf = {
+      val i = b.items.indexWhere(_._2 == a._2)
+      if (i < 0) insert(b, a)
+      else if (!better(a, b.items(i))) b
+      else insert(Buf(b.items.patch(i, Nil, 1)), a)
+    }
+
+    override def merge(b1: Buf, b2: Buf): Buf =
+      b2.items.foldLeft(b1)(reduce)
+
+    override def finish(r: Buf): Buf = r
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+  }
+
   /** Top-k rows per key from a scored frame: input (keyCol, scoreCol, idCol)
     * → output (keyCol, rank, id, score), rank 1..k by (score desc, id asc).
     * Map-side partial aggregation bounds the shuffle at k rows per
     * (partition, key). */
   def topKPerKey(scored: DataFrame, keyCol: String, scoreCol: String,
-                 idCol: String, k: Int): DataFrame = {
-    val agg = udaf(new TopKAggregator(k))
+                 idCol: String, k: Int): DataFrame =
+    topKWith(udaf(new TopKAggregator(k)), scored, keyCol, scoreCol, idCol)
+
+  /** [[topKPerKey]] under [[TopKDistinctAggregator]]: duplicate ids within
+    * a key collapse to their best-scored occurrence, without a separate
+    * `distinct()` pass over the candidate set. */
+  def topKPerKeyDistinct(scored: DataFrame, keyCol: String, scoreCol: String,
+                         idCol: String, k: Int): DataFrame =
+    topKWith(udaf(new TopKDistinctAggregator(k)), scored, keyCol, scoreCol,
+      idCol)
+
+  private def topKWith(agg: org.apache.spark.sql.expressions
+                              .UserDefinedFunction,
+                       scored: DataFrame, keyCol: String, scoreCol: String,
+                       idCol: String): DataFrame = {
     scored
       // a NULL score (e.g. cosine against a zero-norm vector) cannot enter
       // the typed (Double, Long) aggregator — and can never be in a top-k

@@ -727,6 +727,29 @@ class ExtSpec extends SparkSpec {
     assert(viaAgg.count() === 15)
   }
 
+  test("TopKDistinct == distinct() + TopK on duplicated candidates, " +
+      "including re-arrival of an evicted id") {
+    // every id appears 1-3× with its one deterministic score (the beam-
+    // frontier shape: frontier ∪ neighbor expansion repeats ids); ordering
+    // interleaves so low-scored ids re-arrive AFTER eviction by better ones
+    val base = (1L to 200L).map(i => (s"q${i % 4}", (i % 23).toDouble, i))
+    val dup = base ++ base.filter(_._3 % 2 == 0) ++
+      base.filter(_._3 % 3 == 0)
+    val scored = new scala.util.Random(7).shuffle(dup)
+      .toDF("query_id", "score", "id")
+    val viaDistinctAgg = TopK.topKPerKeyDistinct(
+      scored, "query_id", "score", "id", k = 6)
+    val viaDistinctThen = TopK.topKPerKey(
+      scored.distinct(), "query_id", "score", "id", k = 6)
+    assert(viaDistinctAgg.exceptAll(viaDistinctThen).count() === 0)
+    assert(viaDistinctThen.exceptAll(viaDistinctAgg).count() === 0)
+    // single-partition fold exercises reduce-side eviction/readmission
+    // (map-side partials can otherwise hide it behind merge())
+    val one = TopK.topKPerKeyDistinct(
+      scored.coalesce(1), "query_id", "score", "id", k = 6)
+    assert(one.exceptAll(viaDistinctThen).count() === 0)
+  }
+
   // ─────────────────────────── AsofJoin ───────────────────────────────────
 
   test("asof join: latest right row at or before each left ts, per key") {
