@@ -102,6 +102,21 @@ object TextCatalog {
         .orderBy("bucket")
     }),
 
+    // Per-doc unigram diversity (RedPajama-v2 signal family): exact-integer
+    // token/vocab/collision/top-token counts + 2^20 fixed-point ratios
+    // (truncating integer division — engine-exact). Zero shuffle: the token
+    // array sorts and folds inside its own row.
+    "text_unigram_diversity" -> ((s, d) => {
+      val sig = TextStats.unigramDiversity(col("text"))
+      t(s, d, "documents").select(col("doc_id"),
+          sig("n_tok").as("n_tok"), sig("n_distinct").as("n_distinct"),
+          sig("sum_c2").as("sum_c2"), sig("max_c").as("max_c"),
+          sig("uniq_frac_fp").as("uniq_frac_fp"),
+          sig("coll_fp").as("coll_fp"),
+          sig("top_frac_fp").as("top_frac_fp"))
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, d) => {
       val base = t(s, d, "documents").select(
         col("doc_id"),
@@ -673,6 +688,33 @@ object TextCatalog {
         |SELECT doc_id, n_feats, score_fp,
         |  (CASE WHEN score_fp > 0 THEN 1 ELSE 0 END)::INT AS label
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the relational restatement of the row-local fold: unnest → per-token
+    // counts → per-doc aggregates; `//` is DuckDB's truncating BIGINT
+    // division, the exact twin of Spark's IntegralDivide
+    "text_unigram_diversity" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |c AS (SELECT doc_id, t, count(*)::BIGINT AS c
+        |  FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t),
+        |a AS (SELECT doc_id, sum(c)::BIGINT AS n_tok,
+        |    count(*)::BIGINT AS n_distinct, sum(c*c)::BIGINT AS sum_c2,
+        |    max(c)::BIGINT AS max_c
+        |  FROM c GROUP BY doc_id)
+        |SELECT k.doc_id,
+        |  coalesce(a.n_tok, 0)::BIGINT AS n_tok,
+        |  coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+        |  coalesce(a.sum_c2, 0)::BIGINT AS sum_c2,
+        |  coalesce(a.max_c, 0)::BIGINT AS max_c,
+        |  CASE WHEN a.n_tok > 0 THEN (a.n_distinct * 1048576) // a.n_tok
+        |    END::BIGINT AS uniq_frac_fp,
+        |  CASE WHEN a.n_tok > 0 THEN (a.sum_c2 * 1048576) // (a.n_tok * a.n_tok)
+        |    END::BIGINT AS coll_fp,
+        |  CASE WHEN a.n_tok > 0 THEN (a.max_c * 1048576) // a.n_tok
+        |    END::BIGINT AS top_frac_fp
+        |FROM toks k LEFT JOIN a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id, n_tok, n_words, avg_tok_len, stop_ratio,

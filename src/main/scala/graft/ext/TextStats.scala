@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import FixedPoint.DivOps
+
 /** Text analysis for training-data curation (SURVEY §2.8): vocabulary-profile
   * language ID, quality scoring, token counting, and document fingerprinting.
   *
@@ -168,6 +170,58 @@ object TextStats {
   /** Share of tokens in a stopword list (integer-derived double). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
     markerHits(tokens(text), stopwords).cast("double") / nTokens(text)
+
+  /** Per-document unigram-diversity signals (the RedPajama-v2 family of
+    * gibberish/boilerplate detectors — `frac_unique_words`, unigram
+    * concentration): over the non-empty lowercased whitespace tokens,
+    * n_tok = token count, n_distinct = vocabulary size, sum_c2 = Σ count²
+    * (the collision mass — Rényi-2 entropy is −log(sum_c2/n_tok²), left to
+    * presentation so the gated value stays integer-exact), max_c = the top
+    * token's count, plus 2²⁰-fixed-point ratios (truncating integer
+    * division, so bit-identical across engines): uniq_frac_fp =
+    * n_distinct/n_tok, coll_fp = sum_c2/n_tok², top_frac_fp = max_c/n_tok
+    * (null on empty docs). Low uniq_frac / high coll / high top_frac flag
+    * keyword-stuffed or mass-repeated documents that per-line dedup misses.
+    *
+    * Pure projection: the token array is sorted IN ITS ROW and run-lengths
+    * folded with one `aggregate` pass — zero shuffle, no explode, so the
+    * signal costs O(tokens·log tokens) per doc and nothing at the exchange
+    * layer no matter the corpus size. Returns a struct; select fields. */
+  def unigramDiversity(text: Column): Column = {
+    val toks = filter(tokens(coalesce(text, lit(""))), t => t =!= "")
+    val sorted = array_sort(toks)
+    // fold state: (prev token's run still open) — run==0 marks "no prev yet"
+    val z = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("nd"),
+      lit(0L).as("s2"), lit(0L).as("mx"))
+    val folded = aggregate(sorted, z,
+      (acc, tk) =>
+        when(acc("run") === 0L, struct(tk.as("prev"), lit(1L).as("run"),
+          lit(1L).as("nd"), lit(0L).as("s2"), lit(0L).as("mx")))
+        .when(acc("prev") === tk, struct(tk.as("prev"),
+          (acc("run") + 1L).as("run"), acc("nd").as("nd"),
+          acc("s2").as("s2"), acc("mx").as("mx")))
+        .otherwise(struct(tk.as("prev"), lit(1L).as("run"),
+          (acc("nd") + 1L).as("nd"),
+          (acc("s2") + acc("run") * acc("run")).as("s2"),
+          greatest(acc("mx"), acc("run")).as("mx"))),
+      acc => struct(
+        acc("nd").as("n_distinct"),
+        (acc("s2") + acc("run") * acc("run")).as("sum_c2"),
+        greatest(acc("mx"), acc("run")).as("max_c")))
+    val nTok = size(toks).cast("long")
+    val scale = lit(1048576L) // 2^20
+    struct(
+      nTok.as("n_tok"),
+      folded("n_distinct").as("n_distinct"),
+      folded("sum_c2").as("sum_c2"),
+      folded("max_c").as("max_c"),
+      when(nTok > 0, (folded("n_distinct") * scale).divLong(nTok))
+        .as("uniq_frac_fp"),
+      when(nTok > 0, (folded("sum_c2") * scale).divLong(nTok * nTok))
+        .as("coll_fp"),
+      when(nTok > 0, (folded("max_c") * scale).divLong(nTok))
+        .as("top_frac_fp"))
+  }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct token
     * set. Collapses token-order shuffles and duplications to one value —

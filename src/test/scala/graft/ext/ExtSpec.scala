@@ -1635,6 +1635,28 @@ class ExtSpec extends SparkSpec {
     assert(got === Map(1L -> "a b c a", 2L -> "x", 3L -> "y", 4L -> "a b a b"))
   }
 
+  test("unigramDiversity: exact counts, fixed-point ratios, empty doc") {
+    val sig = TextStats.unigramDiversity(col("text"))
+    val got = Seq(
+      (1L, "a b a c a b"), // counts a:3 b:2 c:1 → n=6 nd=3 s2=14 mx=3
+      (2L, "x"),           // n=1 nd=1 s2=1 mx=1 — all ratios = 2^20
+      (3L, ""),            // empty → zero counts, null ratios
+      (4L, "A a  a")       // lowercased, empty tokens dropped → n=3 nd=1
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), sig("n_tok"), sig("n_distinct"), sig("sum_c2"),
+        sig("max_c"), sig("uniq_frac_fp"), sig("coll_fp"), sig("top_frac_fp"))
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // 14·2^20 // 36 = 14680064 // 36 = 407779 (hand-computed truncation)
+    assert(got(1L) === ((1L, 6L, 3L, 14L, 3L,
+      Some(3L * 1048576 / 6), Some(407779L), Some(3L * 1048576 / 6))))
+    assert(got(2L) === ((2L, 1L, 1L, 1L, 1L,
+      Some(1048576L), Some(1048576L), Some(1048576L))))
+    assert(got(3L) === ((3L, 0L, 0L, 0L, 0L, None, None, None)))
+    assert(got(4L) === ((4L, 3L, 1L, 9L, 3L,
+      Some(1048576L / 3), Some(1048576L), Some(1048576L))))
+  }
+
   test("scrubSpans masks probe grams in place, md5 fold order, cap enforced") {
     val docs = Seq((1L, "w x y z tail"), (2L, "clean text here none")).toDF("doc_id", "text")
     val probes = Seq((9L, "w x y z")).toDF("doc_id", "text")
