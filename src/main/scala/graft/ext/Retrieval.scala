@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   * the rational form, but the cross-term SUM can rank differently — the
   * rational default weighs rare terms more heavily).
   *
-  * Scale shape: token rows collapse to (doc, token, tf) BEFORE any join
-  * (corpus-sized explode never crosses an exchange); doc-frequency and
-  * length tables aggregate from that collapsed frame; the query-term set
-  * is broadcast; candidate generation is a token-keyed equi-join producing
-  * ≤ df(token) rows per query term; the final ranking is the bounded-heap
+  * Scale shape: the broadcast query-token set semi-joins the exploded
+  * token rows MAP-SIDE, before the (doc, token, tf) collapse — so the one
+  * corpus-derived exchange carries only query-term postings (≤ df(token)
+  * rows per query term), never the corpus vocabulary; doc-frequency (exact
+  * corpus df for those terms — every posting of a term survives the
+  * filter) and length tables aggregate from collapsed/projected frames;
+  * the final ranking is the bounded-heap
   * [[TopK]] (shuffle = k rows per partition per query, never the candidate
   * set). Stopword-class terms make candidate generation corpus-sized —
   * `maxDf` drops tokens above a document-frequency ceiling (the
@@ -56,8 +58,15 @@ object Retrieval {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextStats.tokens(col(textCol)).as("ts"))
     val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
-    // collapse to (doc, token, tf) before anything crosses an exchange
+    // only query-term postings are ever scored, and df(token) over the
+    // whole corpus is exactly computable from just those postings — so the
+    // broadcast query-token semi-join lands BEFORE the (doc, token)
+    // exchange, map-side on the exploded rows. The collapse then shuffles
+    // df(query terms) rows instead of the corpus's entire vocabulary
+    // (at 100 TB: a few million postings vs trillions of token pairs).
+    val qTok = broadcast(q.select("token").distinct())
     val tf = toks.select(col("doc_id"), explode(col("ts")).as("token"))
+      .join(qTok, "token")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dfreq = maxDf.fold(dfreq0)(cap => dfreq0.where(col("df") <= cap))
