@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Retrieval, Similarity}
 
 /** One-off sf1-scale proof of the flagship dedup/ANN heavies: the driver
   * testdata tops out at sf0.1, so a ~10× corpus is synthesized (replicas
@@ -105,6 +105,16 @@ object ScaleProof {
             "<a href=\"/t\">Terms of service</a> " +
             "<a href=\"/p\">Privacy policy</a></div>")).as("html"))
       graft.ext.Extract.extractMain(pages, "doc_id", "html").count()
+    }
+    // r14 BM25 rework: the broadcast query-token semi-join lands BEFORE
+    // the (doc, token, tf) collapse, so the one corpus-derived exchange
+    // carries only query-term postings — shufW must track df(query terms)
+    // (bounded by docs × terms), never the corpus's full vocabulary
+    if (wanted("text_bm25_topk")) measured("text_bm25_topk") {
+      val q = Seq((0L, "spark"), (0L, "window"), (1L, "merge"),
+        (1L, "vector"), (2L, "stream"), (2L, "filter"))
+        .toDF("query_id", "token")
+      Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10).count()
     }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
