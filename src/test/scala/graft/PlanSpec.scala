@@ -438,6 +438,37 @@ class PlanSpec extends SparkSpec {
       s"only the output sort may exchange:\n$p")
   }
 
+  test("text_unigram_diversity: row-local fold, no join/window/agg") {
+    val p = plan("text_unigram_diversity")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate") && !p.contains("Generate"),
+      s"diversity signals are a per-row fold — no join/window/agg/explode:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("bm25TopK: the corpus-derived exchanges carry only query-term " +
+      "postings (broadcast semi-join below every aggregate)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = Seq((0L, "data"), (1L, "table")).toDF("query_id", "token")
+    val out = graft.ext.Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5)
+    val p = out.queryExecution.executedPlan.toString
+    // the (doc, token, tf) collapse must sit ABOVE the broadcast query-token
+    // join in the plan (filter-then-aggregate): a BroadcastHashJoin appears,
+    // and no aggregate below it is keyed on the raw exploded token stream
+    assert(p.contains("BroadcastHashJoin"), s"query tokens must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected product:\n$p")
+    // plan order proof: the FIRST (deepest-listed) hash aggregate over
+    // (doc_id, token) appears after a broadcast join in execution order —
+    // textually, every "HashAggregate(keys=[doc_id..., token..." block in
+    // the tree has a BroadcastHashJoin beneath it
+    val aggIdx = p.indexOf("HashAggregate(keys=[doc_id")
+    val lastBcast = p.lastIndexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && lastBcast > aggIdx,
+      s"tf collapse must consume the broadcast-filtered token stream:\n$p")
+  }
+
   test("sample_epochs: scan-level explode, no join, no aggregation") {
     val p = plan("sample_epochs")
     assert(p.contains("Generate explode"),
