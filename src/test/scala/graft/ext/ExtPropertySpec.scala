@@ -253,4 +253,42 @@ class ExtPropertySpec extends SparkSpec {
         s"n=$n threshold=$threshold capacity=$capacity parts=$parts")
     }
   }
+
+  test("unigramDiversity equals the relational explode/groupBy twin on " +
+      "random corpora (case folds, multi-space, empty docs)") {
+    // docs with repeated tokens, mixed case, runs of separators, and the
+    // occasional empty string — the fold's run-length state vs a plain
+    // explode → per-token count → per-doc aggregate reimplementation
+    val rawDocGen: Gen[String] = Gen.frequency(
+      1 -> Gen.const(""),
+      9 -> (for {
+        n <- Gen.choose(1, 30)
+        ws <- Gen.listOfN(n, Gen.oneOf("ax", "AX", "bx", "bX", "cx", "", " "))
+      } yield ws.mkString(" ")))
+    val corpusGen: Gen[List[String]] =
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, rawDocGen))
+    forSamples(corpusGen, n = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sig = TextStats.unigramDiversity(col("text"))
+      val got = df.select(col("doc_id"), sig("n_tok"), sig("n_distinct"),
+          sig("sum_c2"), sig("max_c"))
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      // relational twin: explode non-empty lowercased tokens, count per
+      // (doc, token), aggregate per doc; docs with zero tokens re-enter
+      // with zeros via the left join
+      val counts = df
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val agg = counts.groupBy("doc_id").agg(
+        sum("c").as("n_tok"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"), max("c").as("max_c"))
+      val want = df.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .na.fill(0L)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(got.toSeq === want.toSeq, s"corpus=$texts")
+    }
+  }
 }
