@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, TopK, Urls}
 import graft.streaming.EventTimeOps
 
 /** Similarity-search family (E15): brute/LSH/IVF/PQ/int8/graph/HNSW ANN, k-means, MMR, recall harnesses, hybrid retrieval.
@@ -793,6 +793,30 @@ object SimilarityCatalog {
     // combining), point estimate = min over rows, always ≥ truth. Probes =
     // the 10 most frequent tokens; the compared surface includes the
     // overcount, so hash/row/min drift anywhere fails.
+    // Per-hour CMS counter tables + point estimates (E19e's windowed/
+    // streamed shape, mirroring q_hll_windowed): the counter table is the
+    // sketch AS DATA — ≤ d·2^wBits SUM rows per hour, mergeable by
+    // addition, exactly what the streaming twin
+    // (EventTimeOps.streamingCmsCounters, EventTimeSpec-pinned equal)
+    // accumulates in bounded state. Probes = each hour's 3 most active
+    // users; the compared surface includes the overcount.
+    "q_cms_windowed" -> ((s, d) => {
+      val hr = date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hr")
+      val ev = t(s, d, "events").withColumn("hr", hr)
+      val truth = TopK.topKPerKey(
+          ev.groupBy(col("hr"), col("user_id"))
+            .agg(count(lit(1)).cast("double").as("n"))
+            .select(col("hr"), col("user_id").as("id"), col("n").as("score")),
+          "hr", "score", "id", 3)
+        .toDF("hr", "rank", "user_id", "n")
+        .select(col("hr"), col("user_id"), col("n").cast("long").as("true_n"))
+      val counters = Sketches.cmsCountersBy(ev, Seq("hr"), col("user_id"))
+      Sketches.cmsEstimatesFromCounters(counters, truth, Seq("hr"), "user_id")
+        .select(col("hr"), col("user_id"), col("true_n"), col("cms_est"),
+          (col("cms_est") - col("true_n")).as("overcount"))
+        .orderBy("hr", "user_id")
+    }),
+
     "q_cms_portable" -> ((s, d) => {
       val toks = t(s, d, "documents")
         .select(explode(filter(TextStats.tokens(col("text")),
@@ -1364,6 +1388,35 @@ object SimilarityCatalog {
         |  n_triangles
         |FROM tri""".stripMargin,
 
+
+    // mirrors cmsCountersBy(hr) + cmsEstimatesFromCounters: per (hr, row j)
+    // a bucket-keyed SUM counter frame under salt cms<j>; probes = each
+    // hour's 3 most active users (n desc, user_id asc); estimate = least
+    // of the four hour-local counters
+    "q_cms_windowed" -> {
+      def b(expr: String, j: Int) =
+        s"(('0x' || substr(md5($expr || 'cms$j'), 1, 15))::BIGINT & 255)"
+      val counters = (0 until 4).map(j =>
+        s"c$j AS (SELECT hr, ${b("user_id::VARCHAR", j)} AS b, count(*)::BIGINT AS c FROM ev GROUP BY 1, 2)")
+        .mkString(",\n")
+      val joins = (0 until 4).map(j =>
+        s"LEFT JOIN c$j x$j ON x$j.hr = t.hr AND ${b("t.user_id::VARCHAR", j)} = x$j.b")
+        .mkString("\n")
+      val m = (0 until 4).map(j => s"coalesce(x$j.c, 0)").mkString("least(", ", ", ")")
+      s"""WITH ev AS (SELECT strftime(date_trunc('hour', ts), '%Y%m%d%H') AS hr,
+         |    user_id FROM events),
+         |cnt AS (SELECT hr, user_id, count(*)::BIGINT AS true_n
+         |  FROM ev GROUP BY hr, user_id),
+         |truth AS (SELECT hr, user_id, true_n FROM (
+         |  SELECT hr, user_id, true_n, row_number() OVER (PARTITION BY hr
+         |    ORDER BY true_n DESC, user_id) AS rk FROM cnt) WHERE rk <= 3),
+         |$counters
+         |SELECT t.hr AS hr, t.user_id, t.true_n, $m::BIGINT AS cms_est,
+         |  ($m - t.true_n)::BIGINT AS overcount
+         |FROM truth t
+         |$joins
+         |ORDER BY hr, user_id""".stripMargin
+    },
 
     // mirrors Sketches.cmsEstimates(d=4, w=256): per row j a bucket-keyed
     // SUM counter frame under salt cms<j>; estimate = least of the four

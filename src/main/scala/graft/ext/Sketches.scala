@@ -217,6 +217,54 @@ object Sketches {
   private def hllBucketW(key: Column, salt: String, mask: Long): Column =
     hash60(key, salt).bitwiseAND(lit(mask))
 
+  /** The d CMS row-buckets of one key as an array (index j = row j's
+    * bucket under salt "cms<j>") — the projection [[cmsCountersBy]] and
+    * the streaming twin explode before counting. */
+  def cmsBucketArray(key: Column, d: Int = 4, wBits: Int = 8): Column = {
+    require(d >= 1 && wBits >= 1 && wBits <= 20)
+    val mask = (1L << wBits) - 1
+    array((0 until d).map(j => hllBucketW(key, s"cms$j", mask)): _*)
+  }
+
+  /** CMS counter TABLE per group — the sketch AS DATA (the frame a
+    * deployment materializes per source/day and merges by addition later),
+    * and the exact batch twin of the streaming accumulation
+    * ([[graft.streaming.EventTimeOps.streamingCmsCounters]], spec-pinned
+    * equal): one row per (group, row j, bucket) with the occurrence SUM.
+    * ≤ |groups|·d·2^wBits rows; one bucket-keyed aggregation with
+    * map-side partials — the d per-row hashes ride one generator. */
+  def cmsCountersBy(df: DataFrame, groupCols: Seq[String], key: Column,
+                    d: Int = 4, wBits: Int = 8): DataFrame =
+    df.select(groupCols.map(col) :+
+        posexplode(cmsBucketArray(key, d, wBits)).as(Seq("j", "bucket")): _*)
+      .groupBy((groupCols :+ "j" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates off a materialized counter table ([[cmsCountersBy]]
+    * shape, possibly unioned-and-summed across shards): for each probe row
+    * (carrying `groupCols` + `keyCol`), the MIN over the d row-counters of
+    * its group — absent (group, j, bucket) cells read 0 (never observed).
+    * Counter frames are ≤ |groups|·d·2^wBits rows and broadcast. */
+  def cmsEstimatesFromCounters(counters: DataFrame, probes: DataFrame,
+                               groupCols: Seq[String], keyCol: String,
+                               d: Int = 4, wBits: Int = 8): DataFrame = {
+    require(d >= 1 && wBits >= 1 && wBits <= 20)
+    val mask = (1L << wBits) - 1
+    val withEsts = (0 until d).foldLeft(probes) { (acc, j) =>
+      val cj = counters.where(col("j") === j).select(
+        groupCols.map(c => col(c).as(s"_g${j}_$c")) :+
+          col("bucket").as(s"_b$j") :+ col("c").as(s"c$j"): _*)
+      val cond = groupCols
+        .map(c => acc(c) === cj(s"_g${j}_$c"))
+        .foldLeft(hllBucketW(acc(keyCol), s"cms$j", mask) === cj(s"_b$j"))(_ && _)
+      acc.join(broadcast(cj), cond, "left")
+        .drop((groupCols.map(c => s"_g${j}_$c") :+ s"_b$j"): _*)
+    }
+    withEsts.withColumn("cms_est",
+        least((0 until d).map(j => coalesce(col(s"c$j"), lit(0L))): _*))
+      .drop((0 until d).map(j => s"c$j"): _*)
+  }
+
   /** PORTABLE quantile sketch — the oracle-gated sibling of the
     * engine-specific `percentile_approx` row: an equi-width integer-count
     * histogram (the q_histogram bucketing law, proven cross-engine) whose

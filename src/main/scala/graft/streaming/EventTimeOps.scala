@@ -68,6 +68,25 @@ object EventTimeOps {
           .cast("int").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Windowed portable-CMS counters over a stream — the frequency member
+    * of the sketch triad streamed exactly like the HLL registers and
+    * histogram counters (counters are SUMS, so the state store accumulates
+    * them incrementally across micro-batches): ≤ d·2^wBits rows of state
+    * per window, evicted at the watermark. The batch consumer
+    * ([[graft.ext.Sketches.cmsEstimatesFromCounters]]) reads the final
+    * counter table unchanged; EventTimeSpec pins streamed counters ==
+    * [[graft.ext.Sketches.cmsCountersBy]] over the same events. */
+  def streamingCmsCounters(events: DataFrame, tsCol: String, keyCol: String,
+                           windowLen: String, watermark: String,
+                           d: Int = 4, wBits: Int = 8): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), posexplode(
+        graft.ext.Sketches.cmsBucketArray(col(keyCol), d, wBits))
+        .as(Seq("j", "bucket")))
+      .groupBy(window(col(tsCol), windowLen), col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Session windows (gap-based) per key: events closer than `gap` merge into
     * one session. Built-in `session_window` keeps this inside Catalyst
     * (codegen + native state store) — no custom state needed. */

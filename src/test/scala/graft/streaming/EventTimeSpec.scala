@@ -85,6 +85,40 @@ class EventTimeSpec extends SparkSpec {
     assert(streamed === Map(0 -> 3L, 1 -> 2L, 7 -> 2L))
   }
 
+  test("streamingCmsCounters accumulates to the batch counter table " +
+      "bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val counters = EventTimeOps.streamingCmsCounters(
+      in.toDF().toDF("ts", "uid"), "ts", "uid", "1 hour", "15 minutes",
+      d = 4, wBits = 8)
+    val q = counters.writeStream.format("memory")
+      .queryName("cms_sink").outputMode("update").start()
+
+    // two micro-batches carving the same hour — sums must accumulate
+    in.addData((1L to 30L).map(u => (ts("10:05"), u % 7)): _*)
+    q.processAllAvailable()
+    in.addData((1L to 50L).map(u => (ts("10:40"), u % 11)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("cms_sink")
+      .groupBy("j", "bucket").agg(max("c").as("c")) // update-mode re-emits
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val all = ((1L to 30L).map(_ % 7) ++ (1L to 50L).map(_ % 11)).toDF("uid")
+    val batch = graft.ext.Sketches.cmsCountersBy(all, Nil, col("uid"))
+      .as[(Int, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed === batch)
+    // estimate law off the streamed table: min over rows >= truth
+    val finalCounters = spark.table("cms_sink")
+      .groupBy("j", "bucket").agg(max("c").as("c"))
+    val probes = all.groupBy("uid").agg(count(lit(1)).as("true_n"))
+    val est = graft.ext.Sketches.cmsEstimatesFromCounters(
+        finalCounters, probes, Nil, "uid")
+      .as[(Long, Long, Long)].collect()
+    assert(est.nonEmpty && est.forall { case (_, t, e) => e >= t })
+  }
+
   test("streamStreamJoin matches across micro-batches within the lag bound") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, Long, Timestamp)]  // (user, p_id, p_ts)
