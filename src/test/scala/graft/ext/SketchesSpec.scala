@@ -106,6 +106,33 @@ class SketchesSpec extends SparkSpec {
     assert(whole === 20L)
   }
 
+  test("cmsCountersBy tables union-and-sum to the whole-corpus table; " +
+      "estimates off the merged table equal the fused path") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val a = (1 to 200).map(i => s"k${i % 20}")
+    val b = (1 to 100).map(i => s"k${i % 10}")
+    val ta = Sketches.cmsCountersBy(a.toDF("tok"), Nil, col("tok"), d = 3, wBits = 6)
+    val tb = Sketches.cmsCountersBy(b.toDF("tok"), Nil, col("tok"), d = 3, wBits = 6)
+    val merged = ta.unionByName(tb).groupBy("j", "bucket")
+      .agg(fsum("c").as("c"))
+    val whole = Sketches.cmsCountersBy((a ++ b).toDF("tok"), Nil, col("tok"),
+      d = 3, wBits = 6)
+    val mm = merged.as[(Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val wm = whole.as[(Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(mm === wm)
+    // reading estimates off the merged table equals cmsEstimates fused
+    val probes = Seq("k1", "k7", "k19").toDF("tok")
+    val offTable = Sketches.cmsEstimatesFromCounters(merged, probes, Nil,
+        "tok", d = 3, wBits = 6)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_est")).toMap
+    val fused = Sketches.cmsEstimates((a ++ b).toDF("tok"), probes,
+        d = 3, wBits = 6)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("cms_est")).toMap
+    assert(offTable === fused)
+  }
+
   test("linear counting kicks in below the threshold and is near-exact") {
     val n = 30 // well under 2.5·m = 160
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
