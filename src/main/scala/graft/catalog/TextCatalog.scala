@@ -709,7 +709,8 @@ object TextCatalog {
         |  coalesce(a.max_c, 0)::BIGINT AS max_c,
         |  CASE WHEN a.n_tok > 0 THEN (a.n_distinct * 1048576) // a.n_tok
         |    END::BIGINT AS uniq_frac_fp,
-        |  CASE WHEN a.n_tok > 0 THEN (a.sum_c2 * 1048576) // (a.n_tok * a.n_tok)
+        |  CASE WHEN a.n_tok > 0
+        |    THEN (a.sum_c2::HUGEINT * 1048576) // (a.n_tok * a.n_tok)
         |    END::BIGINT AS coll_fp,
         |  CASE WHEN a.n_tok > 0 THEN (a.max_c * 1048576) // a.n_tok
         |    END::BIGINT AS top_frac_fp

@@ -16,5 +16,16 @@ private[ext] object FixedPoint {
           GraftColumnBridge.expression(c.cast("long")),
           GraftColumnBridge.expression(d.cast("long"))))
     }
+
+    /** [[divLong]] without the long casts — for operands the caller has
+      * already widened to DECIMAL(38,0) because the product would overflow
+      * Long (matches DuckDB's `//` on HUGEINT; result is BIGINT). */
+    def divBig(d: Column): Column = {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge
+      GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftColumnBridge.expression(c),
+          GraftColumnBridge.expression(d)))
+    }
   }
 }

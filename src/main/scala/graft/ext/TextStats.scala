@@ -217,7 +217,14 @@ object TextStats {
       folded("max_c").as("max_c"),
       when(nTok > 0, (folded("n_distinct") * scale).divLong(nTok))
         .as("uniq_frac_fp"),
-      when(nTok > 0, (folded("sum_c2") * scale).divLong(nTok * nTok))
+      // sum_c2 ≤ n² — for a pathological single-token doc of n ≥ 2^22
+      // tokens (a ~16 MB crawl page of one repeated word) sum_c2·2^20
+      // overflows Long and ANSI mode kills the job; widen this one
+      // product to DECIMAL(38,0) (truncating div — DuckDB HUGEINT `//`,
+      // the histogramDrift precedent), exact at any reachable doc size
+      when(nTok > 0,
+        (folded("sum_c2").cast("decimal(38,0)") * scale)
+          .divBig((nTok * nTok).cast("decimal(38,0)")).cast("long"))
         .as("coll_fp"),
       when(nTok > 0, (folded("max_c") * scale).divLong(nTok))
         .as("top_frac_fp"))

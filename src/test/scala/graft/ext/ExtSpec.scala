@@ -1657,6 +1657,21 @@ class ExtSpec extends SparkSpec {
       Some(1048576L / 3), Some(1048576L), Some(1048576L))))
   }
 
+  test("unigramDiversity survives the Long-overflow regime: a 5M-token " +
+      "single-word doc (sum_c2 * 2^20 > 2^63) computes exactly") {
+    val n = 5000000
+    // build the text without materializing 5M Scala strings: one repeated
+    // token via string multiplication
+    val doc = ("w " * (n - 1)) + "w"
+    val sig = TextStats.unigramDiversity(col("text"))
+    val r = Seq((1L, doc)).toDF("doc_id", "text")
+      .select(sig("n_tok"), sig("sum_c2"), sig("coll_fp"), sig("top_frac_fp"))
+      .as[(Long, Long, Long, Long)].head()
+    // all-identical tokens: sum_c2 = n^2 (2.5e13 — the 2^20 product is
+    // ~2.6e19 > Long.MaxValue), collision probability exactly 1
+    assert(r === ((n.toLong, n.toLong * n, 1048576L, 1048576L)))
+  }
+
   test("scrubSpans masks probe grams in place, md5 fold order, cap enforced") {
     val docs = Seq((1L, "w x y z tail"), (2L, "clean text here none")).toDF("doc_id", "text")
     val probes = Seq((9L, "w x y z")).toDF("doc_id", "text")
