@@ -470,6 +470,18 @@ object TextCatalog {
     }),
 
 
+    // Paragraph-boundary chunking with a greedy 25-token budget (the RAG
+    // chunk shape: respect semantic boundaries, cap the window) — the
+    // fixture's ' a ' occurrences stand in for blank lines as the
+    // paragraph separator; oversized paragraphs ride alone, never split.
+    // Pure generator projection (the greedy fold runs inside each row).
+    "text_chunk_paragraphs" -> ((s, d) => {
+      TextStats.chunkParagraphs(t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 25, sep = " a ")
+        .orderBy("doc_id", "chunk_no")
+    }),
+
+
     // Integer-exact tf-idf-proxy keyword extraction: top 3 terms per
     // document by (tf DESC, corpus doc-frequency ASC, term ASC).
     "text_keywords" -> ((s, d) => {
@@ -1002,6 +1014,34 @@ object TextCatalog {
 
     // a start whose previous chunk already reached the end (s + 32-24 >=
     // len) would be a contained sub-span — dropped on both sides
+    // the greedy fold restated as a per-doc recursive walk: paragraph k
+    // opens a new chunk exactly when the running token count would pass
+    // the budget; chunks re-join their paragraphs with the separator
+    "text_chunk_paragraphs" ->
+      """WITH RECURSIVE
+        |pl AS (SELECT doc_id, string_split(text, ' a ') AS l FROM documents),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i,
+        |  unnest(l) AS p FROM pl),
+        |p1 AS (SELECT doc_id, i, p,
+        |    len(list_filter(string_split(p, ' '), t -> t <> ''))::BIGINT AS n
+        |  FROM p0
+        |  WHERE len(list_filter(string_split(p, ' '), t -> t <> '')) > 0),
+        |seq AS (SELECT doc_id, i, p, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k FROM p1),
+        |walk(doc_id, k, chunk_no, cur) AS (
+        |  SELECT doc_id, k, 0::BIGINT, n FROM seq WHERE k = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.k,
+        |    CASE WHEN w.cur + s.n > 25 THEN w.chunk_no + 1 ELSE w.chunk_no END,
+        |    CASE WHEN w.cur + s.n > 25 THEN s.n ELSE w.cur + s.n END
+        |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k + 1)
+        |SELECT w.doc_id AS doc_id, chunk_no::INT AS chunk_no,
+        |  string_agg(s.p, ' a ' ORDER BY s.k) AS chunk_text,
+        |  sum(s.n)::BIGINT AS n_tokens
+        |FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k
+        |GROUP BY w.doc_id, chunk_no
+        |ORDER BY doc_id, chunk_no""".stripMargin,
+
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |st AS (SELECT doc_id, words,

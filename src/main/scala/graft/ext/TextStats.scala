@@ -887,6 +887,52 @@ object TextStats {
         least(lit(window), size(col("_w")) - col("_s")).as("n_tokens"))
   }
 
+  /** Paragraph-boundary chunking with a greedy token budget — the RAG
+    * chunk shape [[chunkWords]]'s fixed windows cannot give: split the
+    * document at `sep` (default blank line), drop token-empty paragraphs,
+    * and pack CONSECUTIVE paragraphs left-to-right into chunks, starting a
+    * new chunk exactly when adding the next paragraph would push the
+    * running non-empty-whitespace-token count past `maxTokens`. A single
+    * paragraph larger than the budget gets its own (oversized) chunk —
+    * boundaries are never split here; chain [[chunkWords]] over oversized
+    * chunks when a hard cap matters. Chunks re-join their paragraphs with
+    * `sep`, so concatenating a doc's chunks with `sep` reproduces its
+    * kept paragraphs exactly (spec-pinned). Output mirrors [[chunkWords]]:
+    * (id, chunk_no, chunk_text, n_tokens); docs with no kept paragraph
+    * emit nothing.
+    *
+    * Scale shape: a pure generator projection, same as [[chunkWords]] —
+    * the greedy fold runs INSIDE each row (one `aggregate` pass over the
+    * paragraph array, O(paragraphs · chunk count) string building), the
+    * corpus never shuffles. The fold is sequential by definition (each
+    * decision depends on the running count), which is exactly why it
+    * lives in the row, not across one. */
+  def chunkParagraphs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, maxTokens: Int,
+                      sep: String = "\n\n"): org.apache.spark.sql.DataFrame = {
+    require(maxTokens > 0, s"token budget must be positive: $maxTokens")
+    require(sep.nonEmpty, "separator must be non-empty")
+    val paras = filter(
+      transform(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        p => struct(p.as("p"),
+          size(filter(split(p, " "), t => t =!= "")).cast("long").as("n"))),
+      s => s("n") > 0)
+    val z = array().cast("array<struct<text:string,n:bigint>>")
+    val chunks = aggregate(paras, z, (acc, s) => {
+      val last = element_at(acc, -1)
+      val opened = concat(acc,
+        array(struct(s("p").as("text"), s("n").as("n"))))
+      val grown = concat(slice(acc, lit(1), size(acc) - 1),
+        array(struct(concat(last("text"), lit(sep), s("p")).as("text"),
+          (last("n") + s("n")).as("n"))))
+      when(size(acc) === 0 || last("n") + s("n") > lit(maxTokens.toLong),
+        opened).otherwise(grown)
+    })
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_no", "_c")))
+      .select(col(idCol), col("chunk_no"),
+        col("_c")("text").as("chunk_text"), col("_c")("n").as("n_tokens"))
+  }
+
   /** Per-document top-k keywords by an integer-exact tf-idf proxy: rank a
     * document's terms by (term frequency DESC, corpus document frequency
     * ASC, term ASC) and keep the first k — high-tf rare-in-corpus terms

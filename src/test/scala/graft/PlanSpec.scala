@@ -75,6 +75,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
   }
 
+  test("chunkParagraphs is a pure generator projection — no exchange at all") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ext.TextStats
+      .chunkParagraphs(docs, "doc_id", "text", maxTokens = 25, sep = " a ")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"expected a generator node:\n$p")
+    assert(!p.contains("Exchange"), s"paragraph chunking must not shuffle:\n$p")
+  }
+
   test("dedup_spans: ownership is a partial-aggregated groupBy, never a window") {
     // the windowed ownership form ships every occurrence of a boilerplate
     // span into ONE task; the groupBy form must show map-side partial_min

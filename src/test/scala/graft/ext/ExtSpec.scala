@@ -1657,6 +1657,28 @@ class ExtSpec extends SparkSpec {
       Some(1048576L / 3), Some(1048576L), Some(1048576L))))
   }
 
+  test("chunkParagraphs: greedy packing law, exact-fit boundary, oversized " +
+      "paragraph isolated, empties dropped, chunk concat reproduces kept text") {
+    val docs = Seq(
+      (1L, "a b|c d|e f|g"),   // 2+2 fills the budget, then 2+1
+      (2L, "a b|c d"),          // exact fit -> one chunk
+      (3L, "a b c d e|x"),      // oversized paragraph alone, then x
+      (4L, "||p q||r|"),        // empty paragraphs dropped
+      (5L, " | | ")             // nothing kept -> no rows
+    ).toDF("doc_id", "text")
+    val got = TextStats.chunkParagraphs(docs, "doc_id", "text",
+        maxTokens = 4, sep = "|")
+      .as[(Long, Int, String, Long)].collect().sortBy(r => (r._1, r._2)).toList
+    assert(got === List(
+      (1L, 0, "a b|c d", 4L), (1L, 1, "e f|g", 3L),
+      (2L, 0, "a b|c d", 4L),
+      (3L, 0, "a b c d e", 5L), (3L, 1, "x", 1L),
+      (4L, 0, "p q|r", 3L)))
+    // chunk-concat law: joining a doc's chunks with sep = its kept paragraphs
+    val rejoined = got.filter(_._1 == 1L).map(_._3).mkString("|")
+    assert(rejoined === "a b|c d|e f|g")
+  }
+
   test("unigramDiversity survives the Long-overflow regime: a 5M-token " +
       "single-word doc (sum_c2 * 2^20 > 2^63) computes exactly") {
     val n = 5000000
