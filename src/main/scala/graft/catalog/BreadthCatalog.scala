@@ -438,6 +438,27 @@ object BreadthCatalog {
     }),
 
 
+    // The RAG chain over PARAGRAPH-boundary chunks (E39 with E10b2's
+    // chunker): greedy 25-token packing at ' a ' boundaries → BM25 over
+    // the chunk corpus → top-5 with (doc_id, chunk_no) provenance — the
+    // retrieval unit a production RAG system actually wants (passages
+    // that end at semantic boundaries, not mid-sentence).
+    "rag_pipeline_para" -> ((s, d) => {
+      import s.implicits._
+      val chunks = TextStats.chunkParagraphs(t(s, d, "documents"), "doc_id",
+          "text", maxTokens = 25, sep = " a ")
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+          col("chunk_text"))
+      val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
+        (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
+      ext.Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text", q, k = 5)
+        .select(col("query_id"), col("rank"),
+          expr("doc_id div 1000").as("doc_id"),
+          expr("doc_id % 1000").cast("int").as("chunk_no"), col("score_fp"))
+        .orderBy("query_id", "rank")
+    }),
+
+
     // Hybrid retrieval: BM25 text ranks ⊕ dense cosine ranks, fused with
     // reciprocal-rank fusion. Query ids are shared across modalities
     // (testdata links doc_id ↔ vec_id 1:1): each query is 2 BM25 terms
@@ -1515,6 +1536,56 @@ object BreadthCatalog {
         |ch AS (SELECT doc_id * 1000 + (s // 24) AS chunk_id,
         |  array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text
         |  FROM st WHERE s = 0 OR s + 8 < len(words)),
+        |toks AS (SELECT chunk_id, string_split(lower(chunk_text), ' ') AS ts FROM ch),
+        |dl AS (SELECT chunk_id, len(ts)::BIGINT AS dl FROM toks),
+        |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+        |post AS (SELECT chunk_id, unnest(ts) AS token FROM toks),
+        |tf AS (SELECT chunk_id, token, count(*)::BIGINT AS tf
+        |  FROM post GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |q(query_id, token) AS (VALUES (0::BIGINT, 'vector'),
+        |  (0::BIGINT, 'stream'), (1::BIGINT, 'customer'),
+        |  (1::BIGINT, 'query'), (2::BIGINT, 'scan'), (2::BIGINT, 'window')),
+        |scored AS (SELECT q.query_id, tf.chunk_id,
+        |    sum(floor((((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+        |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + 0.75
+        |          * (dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE)))))
+        |      ) * 1048576.0))::BIGINT AS score_fp
+        |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+        |    JOIN dl USING (chunk_id) CROSS JOIN stats
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, (chunk_id // 1000)::BIGINT AS doc_id,
+        |  (chunk_id % 1000)::INT AS chunk_no, score_fp FROM (
+        |  SELECT query_id, chunk_id, score_fp,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_fp DESC, chunk_id)::INT AS rank
+        |  FROM scored)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // mirrors rag_pipeline_para: the text_chunk_paragraphs recursive walk
+    // builds the chunk corpus, then the same BM25 chain + provenance
+    "rag_pipeline_para" ->
+      """WITH RECURSIVE
+        |pl AS (SELECT doc_id, string_split(text, ' a ') AS l FROM documents),
+        |p0 AS (SELECT doc_id, unnest(range(1, len(l) + 1)) AS i,
+        |  unnest(l) AS p FROM pl),
+        |p1 AS (SELECT doc_id, i, p,
+        |    len(list_filter(string_split(p, ' '), t -> t <> ''))::BIGINT AS n
+        |  FROM p0
+        |  WHERE len(list_filter(string_split(p, ' '), t -> t <> '')) > 0),
+        |seq AS (SELECT doc_id, i, p, n,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k FROM p1),
+        |walk(doc_id, k, chunk_no, cur) AS (
+        |  SELECT doc_id, k, 0::BIGINT, n FROM seq WHERE k = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.k,
+        |    CASE WHEN w.cur + s.n > 25 THEN w.chunk_no + 1 ELSE w.chunk_no END,
+        |    CASE WHEN w.cur + s.n > 25 THEN s.n ELSE w.cur + s.n END
+        |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k + 1),
+        |ch AS (SELECT w.doc_id * 1000 + chunk_no AS chunk_id,
+        |    string_agg(s.p, ' a ' ORDER BY s.k) AS chunk_text
+        |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k
+        |  GROUP BY w.doc_id, chunk_no),
         |toks AS (SELECT chunk_id, string_split(lower(chunk_text), ' ') AS ts FROM ch),
         |dl AS (SELECT chunk_id, len(ts)::BIGINT AS dl FROM toks),
         |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
