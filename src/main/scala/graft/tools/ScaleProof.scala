@@ -6,7 +6,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Retrieval, Similarity}
+import graft.ext.{Dedup, Retrieval, Similarity, TextStats}
 
 /** One-off sf1-scale proof of the flagship dedup/ANN heavies: the driver
   * testdata tops out at sf0.1, so a ~10× corpus is synthesized (replicas
@@ -115,6 +115,15 @@ object ScaleProof {
         (1L, "vector"), (2L, "stream"), (2L, "filter"))
         .toDF("query_id", "token")
       Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10).count()
+    }
+    // LM scoring's scale shape: per-doc n-gram counts collapse map-side
+    // (the exchange is (doc, w1..w3)-keyed, linear in the corpus) and the
+    // reference collapses to vocabulary-sized count frames — shufW must
+    // track corpus size, never pair counts; maxBroadcast at the default
+    // exercises the count-and-decide sizing path
+    if (wanted("text_lm_trigram")) measured("text_lm_trigram") {
+      TextStats.trigramBackoffScore(docs, "doc_id", "text",
+        reference = docs.where(col("doc_id") % 2 === 0)).count()
     }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
