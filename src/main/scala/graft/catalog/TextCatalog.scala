@@ -901,7 +901,7 @@ object TextCatalog {
       def nw(x: String) =
         s"(CASE WHEN ${plain(x)} = '' THEN 0 ELSE len(string_split(${plain(x)}, ' ')) END)"
       val linkChars = "coalesce(list_sum(list_transform(" +
-        "regexp_extract_all(x, '(?i)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
+        "regexp_extract_all(x, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
         s"t -> length(${plain("t")}))), 0)"
       val blockTag = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
         "section|article|header|footer|nav|aside|blockquote|html|body|" +
@@ -957,7 +957,7 @@ object TextCatalog {
       def nw(x: String) =
         s"(CASE WHEN ${plain(x)} = '' THEN 0 ELSE len(string_split(${plain(x)}, ' ')) END)"
       val linkChars = "coalesce(list_sum(list_transform(" +
-        "regexp_extract_all(raw, '(?i)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
+        "regexp_extract_all(raw, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
         s"t -> length(${plain("t")}))), 0)"
       val blockTag = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
         "section|article|header|footer|nav|aside|blockquote|html|body|" +

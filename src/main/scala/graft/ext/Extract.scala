@@ -43,8 +43,12 @@ object Extract {
       "(?:\\s[^>]*)?/?>"
 
   /** Anchor element with its text (group 1); lazy body, first `</a>`
-    * closes. Case-insensitive like the tag split. */
-  private val AnchorRe: String = "(?i)<a(?:\\s[^>]*)?>(.*?)</a>"
+    * closes. Case-insensitive like the tag split, and DOTALL — real HTML
+    * wraps anchor text across lines, and without (?s) a multi-line anchor
+    * contributes ZERO link chars, letting link-heavy boilerplate pass the
+    * density gate. (?s) has the same semantics in Java regex and RE2, so
+    * the oracle twins carry it verbatim. */
+  private val AnchorRe: String = "(?is)<a(?:\\s[^>]*)?>(.*?)</a>"
 
   /** Visible text of a fragment: tags → space, whitespace collapsed,
     * trimmed. Exact on both engines (same regex class semantics). */

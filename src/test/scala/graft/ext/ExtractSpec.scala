@@ -63,6 +63,24 @@ class ExtractSpec extends SparkSpec {
     assert(e1(3L)._2 === 19 && e1(3L)._4 === 5 && e1(3L)._5)
   }
 
+  test("mainContentBlocks: anchors wrapping across newlines still count " +
+      "as link chars (DOTALL regression)") {
+    // real HTML wraps anchor text; without (?s) this nav contributed ZERO
+    // link chars and survived the density gate as main content
+    val wrapped = "<div><a href=\"/\">\n  Home page link\n</a> " +
+      "<a href=\"/y\">\n  About the site\n</a></div>" +
+      "<p>this paragraph carries the actual body prose of the page</p>"
+    val rows = Extract.mainContentBlocks(
+        Seq((1L, wrapped)).toDF("doc_id", "html"), "doc_id", "html")
+      .where(col("block_text") =!= "")
+      .select("block_text", "link_chars", "keep")
+      .as[(String, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    val nav = rows("Home page link About the site")
+    assert(nav._2 > 0, "multi-line anchor text must count as link chars")
+    assert(!nav._3, "the pure-link nav must not be kept")
+    assert(rows("this paragraph carries the actual body prose of the page")._3)
+  }
+
   test("extractMain: exact density boundary — 3·link_chars == chars keeps, " +
       "+1 link char drops") {
     // plain = "abcdef ww x y zz" → 16 chars... construct exact: links 'abcdef'
