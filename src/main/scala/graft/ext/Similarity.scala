@@ -746,6 +746,17 @@ object Similarity {
     math.min(maxBits, math.max(minBits, raw))
   }
 
+  /** [[adaptiveSignBits]] with the ceiling additionally capped at the
+    * vector DIMENSION (bit i reads coordinate i+1, so a width past `dim`
+    * reads past the array) — every adaptive derivation must route through
+    * this with the corpus's measured dim; low-dim corpora also lower the
+    * floor so the cap stays consistent. */
+  private def adaptiveBitsCapped(corpusSize: Long, dim: Int): Int = {
+    require(dim >= 1, s"vector dimension must be positive: $dim")
+    val cap = math.min(32, dim)
+    adaptiveSignBits(corpusSize, minBits = math.min(4, cap), maxBits = cap)
+  }
+
   /** k-NN graph over the corpus: every vector's k nearest neighbors among
     * candidates sharing a sign bucket with it or any single-bit flip of its
     * bucket (the [[cosineNearDupPairsMultiProbe]] candidate rule, so
@@ -774,7 +785,20 @@ object Similarity {
       else if (bits == AdaptiveBits || maxBucket == Dedup.AdaptiveBucket)
         df.count()
       else -1L
-    val effBits = if (bits != AdaptiveBits) bits else adaptiveSignBits(n)
+    // a DERIVED width must never exceed the vector dimension (bit i reads
+    // coordinate i+1): 16-dim embeddings at N = 1M would derive 17 bits
+    // and read past the array — an ANSI throw, or silent phantom-zero bits
+    // that collapse the effective width right back to the quadratic regime
+    // the adaptive rule exists to prevent. One first-row probe, only on
+    // the adaptive path (explicit `bits` stays the caller's documented
+    // signBucket precondition, and pays no extra job).
+    val effBits =
+      if (bits != AdaptiveBits) bits
+      else if (n == 0) adaptiveSignBits(0)
+      else {
+        val dim = df.select(size(col(vecCol))).head.getInt(0)
+        adaptiveBitsCapped(n, dim)
+      }
     // the adaptive WIDTH bounds the mean population; correlated real-world
     // embeddings can still concentrate a constant corpus fraction in a few
     // sign patterns (every vector positive in the lead dims — the
@@ -1499,8 +1523,11 @@ object Similarity {
     // are m^-L of the corpus, so a width tuned to the base layer would
     // leave them with ~2^bits near-empty buckets while a width tuned to
     // them would make the base build bucket-quadratic
-    val lvlCounts: Map[Int, Long] = cAll.groupBy("_lv").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lvlRows = cAll.groupBy("_lv")
+      .agg(count(lit(1)).as("n"), max(size(col("cv"))).as("d")).collect()
+    val lvlCounts: Map[Int, Long] =
+      lvlRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = lvlRows.map(_.getInt(2)).foldLeft(1)(math.max)
     def nAtLeast(level: Int): Long =
       lvlCounts.collect { case (l, n) if l >= level => n }.sum
     // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
@@ -1509,7 +1536,8 @@ object Similarity {
       s"hnswTopK: top layer (level >= $maxLevel at m=$m) is empty — " +
         "lower maxLevel (or m) for this corpus size")
     def bitsFor(level: Int): Int =
-      if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
+      if (bits != AdaptiveBits) bits
+      else adaptiveBitsCapped(nAtLeast(level), dim) // never past the array
     val nQ = q.count() // once for every layer's beam-cut bound
     frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth, hopsPerLevel,
       baseHops, level => {
@@ -1561,15 +1589,19 @@ object Similarity {
       hnswLevel(col(idCol), m, maxLevel, salt).as("_lv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val lvlCounts: Map[Int, Long] = c.groupBy("_lv").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val lvlRows = c.groupBy("_lv")
+        .agg(count(lit(1)).as("n"), max(size(col("v"))).as("d")).collect()
+      val lvlCounts: Map[Int, Long] =
+        lvlRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val dim = lvlRows.map(_.getInt(2)).foldLeft(1)(math.max)
       def nAtLeast(level: Int): Long =
         lvlCounts.collect { case (l, n) if l >= level => n }.sum
       require(nAtLeast(maxLevel) > 0,
         s"hnswBuild: top layer (level >= $maxLevel at m=$m) is empty — " +
           "lower maxLevel (or m) for this corpus size")
       def bitsFor(level: Int): Int =
-        if (bits != AdaptiveBits) bits else adaptiveSignBits(nAtLeast(level))
+        if (bits != AdaptiveBits) bits
+        else adaptiveBitsCapped(nAtLeast(level), dim)
       val out = (0 to maxLevel).map { l =>
         knnGraph(c.where(col("_lv") >= l), "id", "v", knnK, bitsFor(l),
             corpusSize = nAtLeast(l))
@@ -1648,13 +1680,18 @@ object Similarity {
                  salt: String = "hnsw"): DataFrame = {
     require(maxLevel >= 1, s"maxLevel must be >= 1: $maxLevel")
     val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
-    val newCounts: Map[Int, Long] = newVecs.select(newLvl.as("_lv"))
-      .groupBy("_lv").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newRows = newVecs.select(newLvl.as("_lv"),
+        size(asDouble(col(vecCol))).as("_d"))
+      .groupBy("_lv").agg(count(lit(1)).as("n"), max(col("_d")).as("d"))
+      .collect()
+    val newCounts: Map[Int, Long] =
+      newRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = newRows.map(_.getInt(2)).foldLeft(1)(math.max)
     def newAtLeast(level: Int): Long =
       newCounts.collect { case (l, n) if l >= level => n }.sum
     def batchBitsFor(level: Int): Int =
-      if (bits != AdaptiveBits) bits else adaptiveSignBits(newAtLeast(level))
+      if (bits != AdaptiveBits) bits
+      else adaptiveBitsCapped(newAtLeast(level), dim)
     (0 to maxLevel).map { l =>
       val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
       val o = oldVecs.where(lvl >= l)

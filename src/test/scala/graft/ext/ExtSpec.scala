@@ -1657,6 +1657,29 @@ class ExtSpec extends SparkSpec {
       Some(1048576L / 3), Some(1048576L), Some(1048576L))))
   }
 
+  test("knnGraph AdaptiveBits caps the derived width at the vector " +
+      "dimension (low-dim corpus, N large enough to derive past it)") {
+    // 4-dim vectors, N = 600: the uncapped rule derives ceil(log2(600/8))
+    // = 7 bits > 4 dims — bit 5 would read element 6 of a 4-element array
+    // (ANSI throw, or silent phantom-zero bits collapsing the width)
+    val vecs = (0L until 600L).map { i =>
+      (i, Array(math.sin(i * 1.0).toFloat, math.cos(i * 2.0).toFloat,
+        math.sin(i * 3.0).toFloat, math.cos(i * 5.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+      bits = Similarity.AdaptiveBits)
+    val rows = g.as[(Long, Int, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(r => r._2 >= 1 && r._2 <= 3))
+    // every node found neighbors (the probe set covers flip buckets)
+    assert(rows.map(_._1).distinct.length === 600)
+    // and the hierarchical family rides the same cap
+    val top = Similarity.hnswTopK(vecs, "vec_id", "embedding",
+      vecs.where(col("vec_id") < 2), "vec_id", "embedding",
+      k = 3, beamWidth = 8, knnK = 3, bits = Similarity.AdaptiveBits,
+      m = 4, maxLevel = 1)
+    assert(top.count() > 0)
+  }
+
   test("chunkParagraphs: greedy packing law, exact-fit boundary, oversized " +
       "paragraph isolated, empties dropped, chunk concat reproduces kept text") {
     val docs = Seq(
