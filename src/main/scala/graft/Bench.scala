@@ -196,13 +196,26 @@ object Bench {
     // writes BENCH_r<N> AFTER this bench runs); committed by the driver's
     // end-of-round sweep.
     try {
-      val round = Option(new java.io.File(".").listFiles()).toSeq.flatten
+      // anchor on the repo root, not the CWD: a bench launched from a
+      // parent dir / CI workdir would otherwise find no BENCH_r*.json and
+      // silently write <cwd>/bench/latest.json, losing the cross-round
+      // record this block exists for. The repo root is wherever
+      // BENCH_r*.json live: walk up from the CWD until found (the
+      // build/classes layout guarantees it is an ancestor when launched
+      // anywhere inside the repo); fall back to the CWD.
+      def hasArtifacts(d: java.io.File) = Option(d.listFiles()).toSeq.flatten
+        .exists(f => f.getName.matches("^BENCH_r\\d+\\.json$"))
+      val repoRoot = Iterator.iterate(
+          new java.io.File(".").getAbsoluteFile.getParentFile)(_.getParentFile)
+        .takeWhile(_ != null).take(6).find(hasArtifacts)
+        .getOrElse(new java.io.File("."))
+      val round = Option(repoRoot.listFiles()).toSeq.flatten
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
           .findFirstMatchIn(f.getName).map(_.group(1).toInt))
         .maxOption.map(_ + 1)
       val name = round.map(r => f"bench/r$r%02d.json")
         .getOrElse("bench/latest.json")
-      val out = java.nio.file.Paths.get(name)
+      val out = new java.io.File(repoRoot, name).toPath
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, jsonLine + "\n")
     } catch { case _: Throwable => () } // best-effort: never fail the bench

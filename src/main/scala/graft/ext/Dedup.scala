@@ -181,8 +181,12 @@ object Dedup {
   def dedupLinesWithinDoc(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null text explodes to ZERO rows and the doc would vanish from the
+    // output — a cleanup operator must never shrink the corpus; coalesce
+    // keeps the doc as one empty line (substringDupSpans' null contract)
     val lines = df.select(col(idCol).as("_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("_pos", "_line")))
     val first = lines.withColumn("_rn", row_number().over(
         Window.partitionBy("_id", "_line").orderBy("_pos")))
     first.groupBy(col("_id"))
@@ -874,18 +878,26 @@ object Dedup {
     // re-fetching the range exchange — the caller unpersists as soon as
     // the assigned state is checkpoint-materialized
     rowRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val stats = rowRdd.mapPartitionsWithIndex { (i, it) =>
-      var first: java.lang.Long = null; var last: java.lang.Long = null
-      var runs = 0L
-      it.foreach { r =>
-        val pp = r.getLong(0)
-        if (first == null) first = pp
-        if (last == null || last != pp) runs += 1
-        last = pp
-      }
-      Iterator.single((i, Option(first).map(_.longValue),
-        Option(last).map(_.longValue), runs))
-    }.collect().sortBy(_._1)
+    // the stats job is the FIRST action after the persist: if it fails,
+    // no handle has been returned yet, so no caller cleanup can reach the
+    // cached rows — release them on this path or the corpus-sized cache
+    // entry strands for the session's lifetime (the 1bdffbc defect class)
+    val stats = try {
+      rowRdd.mapPartitionsWithIndex { (i, it) =>
+        var first: java.lang.Long = null; var last: java.lang.Long = null
+        var runs = 0L
+        it.foreach { r =>
+          val pp = r.getLong(0)
+          if (first == null) first = pp
+          if (last == null || last != pp) runs += 1
+          last = pp
+        }
+        Iterator.single((i, Option(first).map(_.longValue),
+          Option(last).map(_.longValue), runs))
+      }.collect().sortBy(_._1)
+    } catch {
+      case t: Throwable => rowRdd.unpersist(blocking = false); throw t
+    }
     val bases = new Array[Long](stats.length)
     var running = 0L
     var prevLast: Option[Long] = None

@@ -2499,7 +2499,8 @@ class ExtSpec extends SparkSpec {
     val docs = Seq(
       (1L, "alpha\nnav stub\nbeta\nnav stub\nalpha\ngamma"),
       (2L, "alpha\n\nalpha\n\nbeta"), // doc 2 reuses doc 1's lines — fine
-      (3L, "only one line")
+      (3L, "only one line"),
+      (4L, null.asInstanceOf[String]) // a cleanup op must not DROP docs
     ).toDF("doc_id", "text")
     val got = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
       .orderBy("doc_id")
@@ -2509,6 +2510,9 @@ class ExtSpec extends SparkSpec {
     // PER DOC — doc 2 keeps its own first "alpha" despite doc 1's
     assert(got(1) === ((2L, "alpha\n\nbeta", 5, 2)))
     assert(got(2) === ((3L, "only one line", 1, 0)))
+    // null text survives as one empty line — the corpus never shrinks
+    assert(got(3) === ((4L, "", 1, 0)))
+    assert(got.length === 4)
   }
 
   test("prefixDoubleRanks: packed rounds == wide rounds — identical " +
