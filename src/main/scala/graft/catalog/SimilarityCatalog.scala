@@ -217,7 +217,7 @@ object SimilarityCatalog {
         .select(col("id"), col("nbr_id"))
       Similarity.graphTopK(emb, "vec_id", "embedding", graph,
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, beamWidth = 16, hops = 2, entryMod = 8)
+          k = 10, beamWidth = 16, hops = 2, entryMod = 8, degBound = 5)
         .orderBy("query_id", "rank")
     }),
 
@@ -295,7 +295,7 @@ object SimilarityCatalog {
         .select(col("id"), col("nbr_id"))
       val flat = Similarity.graphTopK(e, "vec_id", "embedding", g0, q,
         "vec_id", "embedding", k = 5, beamWidth = 16, hops = 2,
-        entryMod = 100)
+        entryMod = 100, degBound = 5)
       val hnsw = Similarity.hnswTopK(e, "vec_id", "embedding", q, "vec_id",
         "embedding", k = 5, beamWidth = 16, knnK = 5,
         bits = Similarity.AdaptiveBits, baseGraph = g0)

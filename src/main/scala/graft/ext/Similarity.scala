@@ -882,7 +882,8 @@ object Similarity {
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
         graph.select(col("id"), col("nbr_id")), newVecs, idCol, vecCol,
-        k, beamWidth, hops, entryMod, scope = scope)
+        k, beamWidth, hops, entryMod,
+        degBound = k, scope = scope) // graph is knnGraph-shaped: ≤ k edges/node
       .select(col("query_id").as("id"), col("id").as("nbr_id"), col("score"))
     // (b) new → new: the batch's own bucketed graph (disjoint candidate
     // sets — (a) yields old nbrs, (b) new nbrs — so the union is dup-free)
@@ -1282,28 +1283,55 @@ object Similarity {
                 graph: DataFrame, queries: DataFrame, qidCol: String,
                 qvecCol: String, k: Int, beamWidth: Int, hops: Int,
                 entryMod: Long = AdaptiveEntries, corpusSize: Long = -1L,
+                degBound: Int = -1,
                 scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require((entryMod >= 1 || entryMod == AdaptiveEntries) && hops >= 0,
       s"bad search params: $entryMod/$hops")
     val q = broadcast(queries.select(col(qidCol).as("query_id"),
       asDouble(col(qvecCol)).as("qv")))
+    // the corpus projection feeds the entry set, EVERY hop's scoring join,
+    // and the final re-score — persist it for the loop's duration (the
+    // hnswTopK discipline: one scan, not hops+2), released with the
+    // result's first action; any throw below must release it here
     val c = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // the adaptive default needs N: take the caller's hint when one is
     // given (callers that just built the kNN graph know it) — the count
     // fallback is one extra corpus scan, real money at the design scale
+    val nKnown =
+      if (corpusSize >= 0) corpusSize
+      else if (entryMod == AdaptiveEntries) c.count()
+      else -1L
     val mod =
-      if (entryMod != AdaptiveEntries) entryMod
-      else adaptiveEntryMod(if (corpusSize >= 0) corpusSize else c.count())
+      if (entryMod != AdaptiveEntries) entryMod else adaptiveEntryMod(nKnown)
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
-    val entries = q.select(col("query_id"))
+    val nQ = q.count() // one tiny job on the broadcast query frame
+    // same bounded-broadcast discipline as the hop joins (see beamLoop):
+    // the entry frame is nQ·(N/mod + 1) rows of two longs — when N is
+    // known and the bound fits, hint it so the ENTRY scoring join scans
+    // the corpus instead of exchanging it
+    val entries0 = q.select(col("query_id"))
       .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
+    val entries =
+      if (nKnown >= 0 && nQ * (nKnown / mod + 1) <= MaxBroadcastCandRows)
+        broadcast(entries0)
+      else entries0
     val frontier = beamLoop(c, g, q, entries, beamWidth, hops,
-      nQueries = q.count()) // one tiny job on the broadcast query frame
-    if (scope != null) scope.own(frontier)
-    else Dedup.releaseAfterFirstAction(frontier)
-    TopK.topKPerKey(beamScored(c, q)(frontier), "query_id", "score", "_gid", k)
+      nQueries = nQ, degBound = degBound)
+    val out = TopK.topKPerKey(beamScored(c, q)(frontier),
+        "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
+    if (scope != null) { scope.own(frontier); scope.own(c) }
+    else {
+      Dedup.releaseAfterFirstAction(frontier)
+      Dedup.releaseAfterFirstAction(c, out)
+    }
+    out
+    } catch {
+      case t: Throwable => c.unpersist(): Unit; throw t
+    }
   }
 
   /** (query_id, _gid) candidates → scored rows against `c` (_gid, cv) and
@@ -1322,6 +1350,11 @@ object Similarity {
     * set. Up to this many rows the cut is a collect into a LocalRelation;
     * past it, persist + count (≈48 MB of Row overhead at the bound). */
   private val MaxLocalBeamRows = 1 << 21
+
+  /** Broadcast ceiling for a hop's candidate frame (rows of two longs):
+    * 2^20 rows ≈ tens of MB in the broadcast hash relation — comfortably
+    * inside executor memory, far under the 8 GB broadcast hard limit. */
+  private val MaxBroadcastCandRows = 1L << 20
 
   /** The shared greedy beam loop: seed a beam from `entries`, then per hop
     * expand along `g` and re-rank to `beamWidth` (bounded-heap TopK; the
@@ -1354,7 +1387,8 @@ object Similarity {
   private[ext] def beamLoop(c: DataFrame, g: DataFrame, q: DataFrame,
                        entries: DataFrame, beamWidth: Int,
                        hops: Int, nQueries: Long = -1L,
-                       maxLocalRows: Long = MaxLocalBeamRows): DataFrame = {
+                       maxLocalRows: Long = MaxLocalBeamRows,
+                       degBound: Int = -1): DataFrame = {
     // candidate streams repeat ids (the frontier unions its own neighbor
     // expansion; distinct probe buckets can reach the same neighbor) with
     // the same deterministic score — the dedup-heap TopK collapses them
@@ -1367,6 +1401,21 @@ object Similarity {
         .select(col("query_id"), col("id").as("_gid"))
     val nQ = if (nQueries >= 0) nQueries else q.count()
     val localBeam = nQ <= maxLocalRows / math.max(1, beamWidth) // no overflow
+    // per-hop candidate frames are ARITHMETICALLY bounded at
+    // nQ·beamWidth·(degBound+1) (the frontier plus each member's ≤
+    // degBound graph edges) — but the planner cannot see that through the
+    // frontier ⋈ graph expansion join, estimates the union as huge, and
+    // exchanges the CORPUS on _gid for every hop's scoring join (measured:
+    // 3 × 79 MB of the append proof's 281 MB was exactly this). When the
+    // caller vouches for the graph's out-degree and the bound fits a
+    // broadcast, hint the candidate side explicitly: the corpus is then
+    // scanned per hop, never shuffled. Results are identical — the hint
+    // only picks the join strategy.
+    val hintCands: DataFrame => DataFrame =
+      if (degBound > 0 && localBeam &&
+          nQ * beamWidth * (degBound + 1L) <= MaxBroadcastCandRows)
+        broadcast
+      else identity
     // (measured dead end, r14: re-hosting each cut onto a `newSession`
     // clone with AQE off did drop the job count 68 → 40 on the bench hnsw
     // row, but the per-cut re-analysis under the fresh session cost ~2×
@@ -1393,7 +1442,7 @@ object Similarity {
     for (_ <- 1 to hops) {
       val nbrs = frontier.join(g, "_gid")
         .select(col("query_id"), col("nbr_id").as("_gid"))
-      frontier = cut(beamOf(frontier.unionByName(nbrs)))
+      frontier = cut(beamOf(hintCands(frontier.unionByName(nbrs))))
     }
     frontier
   }
@@ -1409,7 +1458,8 @@ object Similarity {
     * and the owned layer graphs before rethrowing. */
   private def hnswDescend(cAll: DataFrame, q: DataFrame, nQ: Long,
       maxLevel: Int, beamWidth: Int, hopsPerLevel: Int, baseHops: Int,
-      layerGraphOf: Int => (DataFrame, Boolean)): DataFrame = {
+      layerGraphOf: Int => (DataFrame, Boolean),
+      degBound: Int = -1, topLayerCount: Long = -1L): DataFrame = {
     // fetch every layer's graph UP FRONT, persist the ones this descent
     // owns, and materialize them all in ONE action: the layer builds are
     // independent subtrees, so their stages schedule concurrently instead
@@ -1432,13 +1482,20 @@ object Similarity {
       if (owned.nonEmpty)
         owned.map(_.select(col("_gid"), col("nbr_id")))
           .reduce(_ unionByName _).count(): Unit // one parallel materialize
-      var entries = q.select(col("query_id"))
+      // the entry frame is nQ·topLayerCount rows of two longs — broadcast
+      // it under the same bound as the hop joins so the top layer's
+      // scoring join never exchanges the corpus slice
+      val entries0 = q.select(col("query_id"))
         .crossJoin(cAll.where(col("_lv") >= maxLevel).select(col("_gid")))
+      var entries =
+        if (topLayerCount >= 0 && nQ * topLayerCount <= MaxBroadcastCandRows)
+          broadcast(entries0)
+        else entries0
       for ((level, layerG, _) <- layers) {
         val cLayer = cAll.where(col("_lv") >= level).select("_gid", "cv")
         val hops = if (level == 0) baseHops else hopsPerLevel
         val beam = beamLoop(cLayer, layerG, q, entries, beamWidth, hops,
-          nQueries = nQ)
+          nQueries = nQ, degBound = degBound)
         if (frontier != null) frontier.unpersist(): Unit // no-op if localized
         frontier = beam
         entries = beam
@@ -1552,7 +1609,7 @@ object Similarity {
             knnK, bitsFor(level), // per-layer width; no recount (histogram)
             corpusSize = nAtLeast(level))) // off the persisted corpus frame
           .select(col("id").as("_gid"), col("nbr_id")), callerGraph)
-      })
+      }, degBound = knnK, topLayerCount = nAtLeast(maxLevel))
     val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")

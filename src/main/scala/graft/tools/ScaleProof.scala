@@ -125,6 +125,38 @@ object ScaleProof {
       TextStats.trigramBackoffScore(docs, "doc_id", "text",
         reference = docs.where(col("doc_id") % 2 === 0)).count()
     }
+    // the graph-ANN maintenance seam at scale: appending the LAST replica
+    // (10% of the corpus) to a graph over the other 90% must cost a small
+    // fraction of the full rebuild next to it — the search shuffles beam
+    // rows, the batch's own graph is linear in the batch, and the
+    // reciprocal patch moves only touched nodes' edges
+    if (wanted("sim_graph_append")) {
+      val cut = (replicas - 1) * 10000000L
+      val oldV = emb.where(col("vec_id") < cut)
+      val newV = emb.where(col("vec_id") >= cut)
+      measured("knn_graph_rebuild") {
+        Similarity.knnGraph(emb, "vec_id", "embedding", 5,
+          Similarity.AdaptiveBits).count()
+      }
+      // the production shape: the index is DATA served from storage (the
+      // hnswBuild story), so the append must read it, not carry the build
+      // in its lineage — measured() clears all caches, and a merely-
+      // persisted index would silently REBUILD once per beam hop (first
+      // measured: 3 of the 4 append exchanges were exactly that)
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_gproof").toString + "/g90"
+      measured("knn_graph_build_90pct") {
+        val g90 = Similarity.knnGraph(oldV, "vec_id", "embedding", 5,
+          Similarity.AdaptiveBits)
+        g90.write.mode("overwrite").parquet(idxPath)
+        spark.read.parquet(idxPath).count()
+      }
+      measured("knn_graph_append_10pct") {
+        val g90 = spark.read.parquet(idxPath)
+        Similarity.knnGraphAppend(oldV, g90, newV, "vec_id", "embedding",
+          k = 5, beamWidth = 16, hops = 2).count()
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),
