@@ -1694,14 +1694,29 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var frontier: DataFrame = null
     try {
-      require(!cAll.where(col("_lv") >= maxLevel).limit(1).isEmpty,
+      // one histogram off the persisted corpus replaces the limit(1)
+      // emptiness probe AND supplies the top-layer count for the entry
+      // broadcast; the index's max rank bounds the graph's out-degree, so
+      // the descent's hop joins broadcast their candidate frames exactly
+      // like the fused operator's (results are identical either way — the
+      // search∘build law is about values, the bounds only pick joins)
+      val lvlCounts: Map[Int, Long] = cAll.groupBy("_lv").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      def nAtLeast(level: Int): Long =
+        lvlCounts.collect { case (l, n) if l >= level => n }.sum
+      require(nAtLeast(maxLevel) > 0,
         s"hnswSearchPrebuilt: top layer (level >= $maxLevel at m=$m) is " +
           "empty — index and search params must agree")
+      val degBound = index.agg(max(col("rank"))).head() match {
+        case r if r.isNullAt(0) => -1 // empty index: no bound to vouch
+        case r => r.getInt(0)
+      }
       val nQ = q.count()
       frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth,
         hopsPerLevel, baseHops, level =>
           (index.where(col("level") === level)
-            .select(col("id").as("_gid"), col("nbr_id")), false))
+            .select(col("id").as("_gid"), col("nbr_id")), false),
+        degBound = degBound, topLayerCount = nAtLeast(maxLevel))
       val out = TopK.topKPerKey(
           beamScored(cAll.select("_gid", "cv"), q)(frontier),
           "query_id", "score", "_gid", k)
