@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the broadcast query-token set semi-joins the exploded
   * token rows MAP-SIDE, before the (doc, token, tf) collapse — so the one
   * corpus-derived exchange carries only query-term postings (≤ df(token)
-  * rows per query term), never the corpus vocabulary; doc-frequency (exact
+  * rows per query term), never the corpus vocabulary; each posting CARRIES
+  * its doc length through the collapse (constant per doc, max() exact), so
+  * no corpus-sized length table is ever joined; doc-frequency (exact
   * corpus df for those terms — every posting of a term survives the
-  * filter) and length tables aggregate from collapsed/projected frames;
+  * filter) aggregates from the collapsed postings and broadcasts; N and
+  * Σdl come from one map-side-partial scalar aggregation;
   * the final ranking is the bounded-heap
   * [[TopK]] (shuffle = k rows per partition per query, never the candidate
   * set). Stopword-class terms make candidate generation corpus-sized —
@@ -65,9 +68,14 @@ object Retrieval {
     // df(query terms) rows instead of the corpus's entire vocabulary
     // (at 100 TB: a few million postings vs trillions of token pairs).
     val qTok = broadcast(q.select("token").distinct())
-    val tf = toks.select(col("doc_id"), explode(col("ts")).as("token"))
+    // the doc length RIDES the postings through the collapse (constant per
+    // doc, so max() is exact) — joining the corpus-sized dl frame against
+    // the postings would be the one remaining corpus-sized exchange
+    val tf = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("token"))
       .join(qTok, "token")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val dfreq = maxDf.fold(dfreq0)(cap => dfreq0.where(col("df") <= cap))
 
@@ -87,8 +95,8 @@ object Retrieval {
 
     val scored = tf
       .join(broadcast(q), "token")
-      .join(dfreq, "token")
-      .join(dl, "doc_id")
+      // ≤ one row per query token — bounded by the broadcast qTok set
+      .join(broadcast(dfreq), "token")
       .groupBy("query_id", "doc_id")
       .agg(sum(contrib).as("score_fp"))
 
