@@ -419,21 +419,21 @@ object BreadthCatalog {
     // stride) → BM25 over the CHUNK corpus → top-5 chunks per query with
     // (doc_id, chunk_no) provenance — retrieval returns the passage, not
     // the document, which is what a RAG consumer actually feeds a model.
-    // Chunk ids are doc_id·1000 + chunk_no (docs are far under 1000
+    // Chunk ids are doc_id·10⁶ + chunk_no (docs are far under 10⁶
     // chunks), so provenance is pure arithmetic; every stage reuses an
     // already-gated operator and the oracle restates the whole chain.
     "rag_pipeline_e2e" -> ((s, d) => {
       import s.implicits._
       val chunks = TextStats.chunkWords(t(s, d, "documents"), "doc_id",
           "text", window = 32, stride = 24)
-        .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+        .select((col("doc_id") * 1000000L + col("chunk_no")).as("chunk_id"),
           col("chunk_text"))
       val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
         (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
       ext.Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text", q, k = 5)
         .select(col("query_id"), col("rank"),
-          expr("doc_id div 1000").as("doc_id"),
-          expr("doc_id % 1000").cast("int").as("chunk_no"), col("score_fp"))
+          expr("doc_id div 1000000").as("doc_id"),
+          expr("doc_id % 1000000").cast("int").as("chunk_no"), col("score_fp"))
         .orderBy("query_id", "rank")
     }),
 
@@ -447,14 +447,14 @@ object BreadthCatalog {
       import s.implicits._
       val chunks = TextStats.chunkParagraphs(t(s, d, "documents"), "doc_id",
           "text", maxTokens = 25, sep = " a ")
-        .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+        .select((col("doc_id") * 1000000L + col("chunk_no")).as("chunk_id"),
           col("chunk_text"))
       val q = Seq((0L, "vector"), (0L, "stream"), (1L, "customer"),
         (1L, "query"), (2L, "scan"), (2L, "window")).toDF("query_id", "token")
       ext.Retrieval.bm25TopK(chunks, "chunk_id", "chunk_text", q, k = 5)
         .select(col("query_id"), col("rank"),
-          expr("doc_id div 1000").as("doc_id"),
-          expr("doc_id % 1000").cast("int").as("chunk_no"), col("score_fp"))
+          expr("doc_id div 1000000").as("doc_id"),
+          expr("doc_id % 1000000").cast("int").as("chunk_no"), col("score_fp"))
         .orderBy("query_id", "rank")
     }),
 
@@ -1533,7 +1533,7 @@ object BreadthCatalog {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |st AS (SELECT doc_id, words,
         |  unnest(generate_series(0, len(words) - 1, 24)) AS s FROM w),
-        |ch AS (SELECT doc_id * 1000 + (s // 24) AS chunk_id,
+        |ch AS (SELECT doc_id * 1000000 + (s // 24) AS chunk_id,
         |  array_to_string(words[s + 1 : s + 32], ' ') AS chunk_text
         |  FROM st WHERE s = 0 OR s + 8 < len(words)),
         |toks AS (SELECT chunk_id, string_split(lower(chunk_text), ' ') AS ts FROM ch),
@@ -1554,8 +1554,8 @@ object BreadthCatalog {
         |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
         |    JOIN dl USING (chunk_id) CROSS JOIN stats
         |  GROUP BY 1, 2)
-        |SELECT query_id, rank, (chunk_id // 1000)::BIGINT AS doc_id,
-        |  (chunk_id % 1000)::INT AS chunk_no, score_fp FROM (
+        |SELECT query_id, rank, (chunk_id // 1000000)::BIGINT AS doc_id,
+        |  (chunk_id % 1000000)::INT AS chunk_no, score_fp FROM (
         |  SELECT query_id, chunk_id, score_fp,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_fp DESC, chunk_id)::INT AS rank
@@ -1582,7 +1582,7 @@ object BreadthCatalog {
         |    CASE WHEN w.cur + s.n > 25 THEN w.chunk_no + 1 ELSE w.chunk_no END,
         |    CASE WHEN w.cur + s.n > 25 THEN s.n ELSE w.cur + s.n END
         |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k + 1),
-        |ch AS (SELECT w.doc_id * 1000 + chunk_no AS chunk_id,
+        |ch AS (SELECT w.doc_id * 1000000 + chunk_no AS chunk_id,
         |    string_agg(s.p, ' a ' ORDER BY s.k) AS chunk_text
         |  FROM walk w JOIN seq s ON s.doc_id = w.doc_id AND s.k = w.k
         |  GROUP BY w.doc_id, chunk_no),
@@ -1604,8 +1604,8 @@ object BreadthCatalog {
         |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
         |    JOIN dl USING (chunk_id) CROSS JOIN stats
         |  GROUP BY 1, 2)
-        |SELECT query_id, rank, (chunk_id // 1000)::BIGINT AS doc_id,
-        |  (chunk_id % 1000)::INT AS chunk_no, score_fp FROM (
+        |SELECT query_id, rank, (chunk_id // 1000000)::BIGINT AS doc_id,
+        |  (chunk_id % 1000000)::INT AS chunk_no, score_fp FROM (
         |  SELECT query_id, chunk_id, score_fp,
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_fp DESC, chunk_id)::INT AS rank

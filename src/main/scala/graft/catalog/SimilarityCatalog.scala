@@ -200,6 +200,7 @@ object SimilarityCatalog {
       val g = Similarity.knnGraph(old, "vec_id", "embedding", k = 5,
         bits = Similarity.AdaptiveBits)
       Similarity.knnGraphAppend(old, g, neu, "vec_id", "embedding",
+          graphDegBound = 5, // g is lineage, not served data: never scan it
           k = 5, beamWidth = 16, hops = 2, entryMod = 1)
         .orderBy("id", "rank")
     }),
@@ -272,7 +273,7 @@ object SimilarityCatalog {
         bits = Similarity.AdaptiveBits, maxLevel = 1)
       Similarity.hnswAppend(old, idx, neu, "vec_id", "embedding",
           knnK = 5, bits = Similarity.AdaptiveBits, beamWidth = 16,
-          hops = 2, maxLevel = 1, entryMod = 1)
+          hops = 2, maxLevel = 1, entryMod = 1, indexDegBound = 5)
         .orderBy("level", "id", "rank")
     }),
 
@@ -788,11 +789,6 @@ object SimilarityCatalog {
     }),
 
 
-    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
-    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
-    // combining), point estimate = min over rows, always ≥ truth. Probes =
-    // the 10 most frequent tokens; the compared surface includes the
-    // overcount, so hash/row/min drift anywhere fails.
     // Per-hour CMS counter tables + point estimates (E19e's windowed/
     // streamed shape, mirroring q_hll_windowed): the counter table is the
     // sketch AS DATA — ≤ d·2^wBits SUM rows per hour, mergeable by
@@ -817,6 +813,11 @@ object SimilarityCatalog {
         .orderBy("hr", "user_id")
     }),
 
+    // PORTABLE Count-Min Sketch (E19e): the frequency member of the sketch
+    // triad — 4×256 SUM counters (order-independent, mergeable, map-side
+    // combining), point estimate = min over rows, always ≥ truth. Probes =
+    // the 10 most frequent tokens; the compared surface includes the
+    // overcount, so hash/row/min drift anywhere fails.
     "q_cms_portable" -> ((s, d) => {
       val toks = t(s, d, "documents")
         .select(explode(filter(TextStats.tokens(col("text")),

@@ -757,6 +757,18 @@ object Similarity {
     adaptiveSignBits(corpusSize, minBits = math.min(4, cap), maxBits = cap)
   }
 
+  /** The FIXED dimension from per-group (min, max) vector-size aggregates
+    * — a derived width capped at max() would still read past any SHORTER
+    * row's array, so a mixed-dimension corpus must fail loudly here, not
+    * die mid-build (or silently degrade) rows later. */
+  private def requireFixedDim(dims: Seq[Int], op: String): Int = {
+    require(dims.nonEmpty, s"$op: no vector dimensions observed")
+    require(dims.min == dims.max,
+      s"$op: adaptive bucket widths need a fixed-dimension corpus " +
+        s"(saw dims ${dims.min}..${dims.max})")
+    dims.head
+  }
+
   /** k-NN graph over the corpus: every vector's k nearest neighbors among
     * candidates sharing a sign bucket with it or any single-bit flip of its
     * bucket (the [[cosineNearDupPairsMultiProbe]] candidate rule, so
@@ -796,8 +808,10 @@ object Similarity {
       if (bits != AdaptiveBits) bits
       else if (n == 0) adaptiveSignBits(0)
       else {
-        val dim = df.select(size(col(vecCol))).head.getInt(0)
-        adaptiveBitsCapped(n, dim)
+        val r = df.agg(min(size(col(vecCol))).as("lo"),
+          max(size(col(vecCol))).as("hi")).head()
+        adaptiveBitsCapped(n, requireFixedDim(
+          Seq(0, 1).filterNot(r.isNullAt).map(r.getInt), "knnGraph"))
       }
     // the adaptive WIDTH bounds the mean population; correlated real-world
     // embeddings can still concentrate a constant corpus fraction in a few
@@ -877,13 +891,24 @@ object Similarity {
                      k: Int, beamWidth: Int, hops: Int,
                      entryMod: Long = AdaptiveEntries,
                      batchBits: Int = AdaptiveBits,
+                     graphDegBound: Int = -1,
                      scope: CacheScope = null): DataFrame = {
     require(k >= 1 && beamWidth >= k, s"bad append params: k=$k/$beamWidth")
+    // the INDEX's out-degree bounds the hop-broadcast arithmetic — it may
+    // exceed this append's own k (an index built at k=50, appended at
+    // k=5), so never vouch k for it: take the caller's bound or measure
+    // the max rank (one small scan of the index; appends are batch-rare)
+    val oldDeg =
+      if (graphDegBound > 0) graphDegBound
+      else graph.agg(max(col("rank"))).head() match {
+        case r if r.isNullAt(0) => -1
+        case r => r.getInt(0)
+      }
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
         graph.select(col("id"), col("nbr_id")), newVecs, idCol, vecCol,
         k, beamWidth, hops, entryMod,
-        degBound = k, scope = scope) // graph is knnGraph-shaped: ≤ k edges/node
+        degBound = oldDeg, scope = scope)
       .select(col("query_id").as("id"), col("id").as("nbr_id"), col("score"))
     // (b) new → new: the batch's own bucketed graph (disjoint candidate
     // sets — (a) yields old nbrs, (b) new nbrs — so the union is dup-free)
@@ -1309,14 +1334,21 @@ object Similarity {
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
     val nQ = q.count() // one tiny job on the broadcast query frame
     // same bounded-broadcast discipline as the hop joins (see beamLoop):
-    // the entry frame is nQ·(N/mod + 1) rows of two longs — when N is
-    // known and the bound fits, hint it so the ENTRY scoring join scans
-    // the corpus instead of exchanging it
-    val entries0 = q.select(col("query_id"))
-      .crossJoin(c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid")))
+    // the entry frame is nQ · |{id % mod == 0}| rows of two longs — gate
+    // the hint on the MEASURED entry-id count (one cheap job off the
+    // persisted corpus), never the N/mod estimate: id spaces correlated
+    // with mod (stride-multiplied ids, snowflake low-zero bits) can make
+    // the real selection a corpus fraction, and an estimate-gated
+    // broadcast would build an O(N)-row hash relation in exactly the
+    // scale regime the bound exists to protect
+    val entryIds = c.where(pmod(col("_gid"), lit(mod)) === 0).select(col("_gid"))
+    val entries0 = q.select(col("query_id")).crossJoin(entryIds)
     val entries =
-      if (nKnown >= 0 && nQ * (nKnown / mod + 1) <= MaxBroadcastCandRows)
-        broadcast(entries0)
+      if (nKnown >= 0 && {
+        val estimate = nQ * (nKnown / mod + 1)
+        estimate <= MaxBroadcastCandRows &&
+          nQ * entryIds.count() <= MaxBroadcastCandRows
+      }) broadcast(entries0)
       else entries0
     val frontier = beamLoop(c, g, q, entries, beamWidth, hops,
       nQueries = nQ, degBound = degBound)
@@ -1325,7 +1357,11 @@ object Similarity {
       .toDF("query_id", "rank", "id", "score")
     if (scope != null) { scope.own(frontier); scope.own(c) }
     else {
-      Dedup.releaseAfterFirstAction(frontier)
+      // trigger = out, NOT frontier: the fallback cut just ran count() on
+      // the frontier, and a listener keyed on it could consume that stale
+      // event and evict before the caller's first action (the 2-arg form's
+      // documented race — c one line below has the same shape)
+      Dedup.releaseAfterFirstAction(frontier, out)
       Dedup.releaseAfterFirstAction(c, out)
     }
     out
@@ -1431,20 +1467,33 @@ object Similarity {
         } else {
           val m = df
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          m.count(): Unit
+          // the materializing count is the first action on the fresh
+          // persist — release it if the job dies or it strands unread
+          try m.count(): Unit
+          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
           m
         }
       if (lastCkpt ne null) lastCkpt.unpersist(): Unit
       lastCkpt = if (localBeam) null else out
       out
     }
-    var frontier = cut(beamOf(entries))
-    for (_ <- 1 to hops) {
-      val nbrs = frontier.join(g, "_gid")
-        .select(col("query_id"), col("nbr_id").as("_gid"))
-      frontier = cut(beamOf(hintCands(frontier.unionByName(nbrs))))
+    // a mid-loop throw must release the previous hop's persisted cut — the
+    // happy-path FINAL cut is the caller's to release (scope/self-release),
+    // but no caller handle exists for an intermediate one (the 1bdffbc
+    // defect class; localized cuts make every release below a no-op)
+    try {
+      var frontier = cut(beamOf(entries))
+      for (_ <- 1 to hops) {
+        val nbrs = frontier.join(g, "_gid")
+          .select(col("query_id"), col("nbr_id").as("_gid"))
+        frontier = cut(beamOf(hintCands(frontier.unionByName(nbrs))))
+      }
+      frontier
+    } catch {
+      case t: Throwable =>
+        if (lastCkpt ne null) lastCkpt.unpersist(blocking = false): Unit
+        throw t
     }
-    frontier
   }
 
   /** The shared hierarchical DESCENT ([[hnswTopK]] and
@@ -1581,10 +1630,12 @@ object Similarity {
     // leave them with ~2^bits near-empty buckets while a width tuned to
     // them would make the base build bucket-quadratic
     val lvlRows = cAll.groupBy("_lv")
-      .agg(count(lit(1)).as("n"), max(size(col("cv"))).as("d")).collect()
+      .agg(count(lit(1)).as("n"), min(size(col("cv"))).as("dlo"),
+        max(size(col("cv"))).as("dhi")).collect()
     val lvlCounts: Map[Int, Long] =
       lvlRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val dim = lvlRows.map(_.getInt(2)).foldLeft(1)(math.max)
+    val dim = requireFixedDim(lvlRows.toSeq.flatMap(r =>
+      Seq(2, 3).filterNot(r.isNullAt).map(r.getInt)), "hnswTopK")
     def nAtLeast(level: Int): Long =
       lvlCounts.collect { case (l, n) if l >= level => n }.sum
     // an EMPTY top layer (tiny corpus vs m^maxLevel) would silently return
@@ -1647,10 +1698,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val lvlRows = c.groupBy("_lv")
-        .agg(count(lit(1)).as("n"), max(size(col("v"))).as("d")).collect()
+        .agg(count(lit(1)).as("n"), min(size(col("v"))).as("dlo"),
+          max(size(col("v"))).as("dhi")).collect()
       val lvlCounts: Map[Int, Long] =
         lvlRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val dim = lvlRows.map(_.getInt(2)).foldLeft(1)(math.max)
+      val dim = requireFixedDim(lvlRows.toSeq.flatMap(r =>
+        Seq(2, 3).filterNot(r.isNullAt).map(r.getInt)), "hnswBuild")
       def nAtLeast(level: Int): Long =
         lvlCounts.collect { case (l, n) if l >= level => n }.sum
       require(nAtLeast(maxLevel) > 0,
@@ -1682,6 +1735,7 @@ object Similarity {
                          k: Int, beamWidth: Int, m: Int = 8,
                          maxLevel: Int = 2, hopsPerLevel: Int = 1,
                          baseHops: Int = 2, salt: String = "hnsw",
+                         degBound: Int = -1,
                          scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require(hopsPerLevel >= 0 && baseHops >= 0,
@@ -1707,16 +1761,21 @@ object Similarity {
       require(nAtLeast(maxLevel) > 0,
         s"hnswSearchPrebuilt: top layer (level >= $maxLevel at m=$m) is " +
           "empty — index and search params must agree")
-      val degBound = index.agg(max(col("rank"))).head() match {
-        case r if r.isNullAt(0) => -1 // empty index: no bound to vouch
-        case r => r.getInt(0)
-      }
+      // a serving loop calls this per query batch — let it pass the known
+      // knnK once instead of paying a full index scan per call; the
+      // measured max(rank) stays the fallback for callers that don't
+      val deg =
+        if (degBound > 0) degBound
+        else index.agg(max(col("rank"))).head() match {
+          case r if r.isNullAt(0) => -1 // empty index: no bound to vouch
+          case r => r.getInt(0)
+        }
       val nQ = q.count()
       frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth,
         hopsPerLevel, baseHops, level =>
           (index.where(col("level") === level)
             .select(col("id").as("_gid"), col("nbr_id")), false),
-        degBound = degBound, topLayerCount = nAtLeast(maxLevel))
+        degBound = deg, topLayerCount = nAtLeast(maxLevel))
       val out = TopK.topKPerKey(
           beamScored(cAll.select("_gid", "cv"), q)(frontier),
           "query_id", "score", "_gid", k)
@@ -1749,16 +1808,19 @@ object Similarity {
                  idCol: String, vecCol: String, knnK: Int, bits: Int,
                  beamWidth: Int, hops: Int, m: Int = 8, maxLevel: Int = 2,
                  entryMod: Long = AdaptiveEntries,
+                 indexDegBound: Int = -1,
                  salt: String = "hnsw"): DataFrame = {
     require(maxLevel >= 1, s"maxLevel must be >= 1: $maxLevel")
     val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
     val newRows = newVecs.select(newLvl.as("_lv"),
         size(asDouble(col(vecCol))).as("_d"))
-      .groupBy("_lv").agg(count(lit(1)).as("n"), max(col("_d")).as("d"))
+      .groupBy("_lv").agg(count(lit(1)).as("n"), min(col("_d")).as("dlo"),
+        max(col("_d")).as("dhi"))
       .collect()
     val newCounts: Map[Int, Long] =
       newRows.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val dim = newRows.map(_.getInt(2)).foldLeft(1)(math.max)
+    val dim = requireFixedDim(newRows.toSeq.flatMap(r =>
+      Seq(2, 3).filterNot(r.isNullAt).map(r.getInt)), "hnswAppend")
     def newAtLeast(level: Int): Long =
       newCounts.collect { case (l, n) if l >= level => n }.sum
     def batchBitsFor(level: Int): Int =
@@ -1771,7 +1833,8 @@ object Similarity {
       val g = index.where(col("level") === l)
         .select(col("id"), col("rank"), col("nbr_id"), col("score"))
       knnGraphAppend(o, g, nu, idCol, vecCol, knnK, beamWidth, hops,
-          entryMod, batchBits = batchBitsFor(l))
+          entryMod, batchBits = batchBitsFor(l),
+          graphDegBound = indexDegBound)
         .select(lit(l).as("level"), col("id"), col("rank"),
           col("nbr_id"), col("score"))
     }.reduce(_ unionByName _)
