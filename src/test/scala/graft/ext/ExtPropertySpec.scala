@@ -254,6 +254,41 @@ class ExtPropertySpec extends SparkSpec {
     }
   }
 
+  test("chunkParagraphs equals a plain-Scala greedy fold on random corpora " +
+      "(budget law, oversized isolation, empty-paragraph drops)") {
+    val paraGen: Gen[String] = Gen.frequency(
+      1 -> Gen.const(""),
+      8 -> Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" "))))
+    val caseGen = for {
+      paras <- Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, paraGen))
+      budget <- Gen.choose(2, 12)
+    } yield (paras, budget)
+    forSamples(caseGen, n = 12) { case (paras, budget) =>
+      val text = paras.mkString("|")
+      val got = TextStats.chunkParagraphs(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+          maxTokens = budget, sep = "|")
+        .as[(Long, Int, String, Long)].collect().sortBy(_._2).toList
+        .map(r => (r._2, r._3, r._4))
+      // reference: the same greedy law in plain Scala
+      val kept = paras.map(p => p -> p.split(" ").count(_.nonEmpty).toLong)
+        .filter(_._2 > 0)
+      val ref = kept.foldLeft(List.empty[(String, Long)]) {
+        case (acc, (p, n)) => acc match {
+          case (t0, n0) :: rest if n0 + n <= budget => (t0 + "|" + p, n0 + n) :: rest
+          case _ => (p, n) :: acc
+        }
+      }.reverse.zipWithIndex.map { case ((t, n), i) => (i, t, n) }
+      assert(got === ref, s"paras=$paras budget=$budget")
+      // laws: every chunk except oversized singletons fits the budget, and
+      // the concatenation reproduces exactly the kept paragraphs
+      got.foreach { case (_, t, n) =>
+        assert(n <= budget || !t.contains("|"), s"overfull multi-para chunk: $t")
+      }
+      assert(got.map(_._2).mkString("|") === kept.map(_._1).mkString("|"))
+    }
+  }
+
   test("unigramDiversity equals the relational explode/groupBy twin on " +
       "random corpora (case folds, multi-space, empty docs)") {
     // docs with repeated tokens, mixed case, runs of separators, and the
