@@ -133,6 +133,33 @@ class SketchesSpec extends SparkSpec {
     assert(offTable === fused)
   }
 
+  test("grouped cmsEstimatesFromCounters equals per-group fused estimates") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // two groups with overlapping keys — the hour-grouped q_cms_windowed
+    // shape: estimates off ONE grouped counter table must equal running
+    // the fused path per group in isolation
+    val items = ((1 to 120).map(i => ("g1", s"k${i % 12}")) ++
+      (1 to 90).map(i => ("g2", s"k${i % 8}"))).toDF("grp", "tok")
+    val counters = Sketches.cmsCountersBy(items, Seq("grp"), col("tok"),
+      d = 3, wBits = 6)
+    val probes = Seq(("g1", "k1"), ("g1", "k11"), ("g2", "k1"), ("g2", "k7"))
+      .toDF("grp", "tok")
+    val got = Sketches.cmsEstimatesFromCounters(counters, probes,
+        Seq("grp"), "tok", d = 3, wBits = 6)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[String]("tok")) ->
+        r.getAs[Long]("cms_est")).toMap
+    val want = Seq("g1", "g2").flatMap { g =>
+      Sketches.cmsEstimates(items.where(col("grp") === g).select("tok"),
+          probes.where(col("grp") === g).select("tok"), d = 3, wBits = 6)
+        .collect().map(r => (g, r.getAs[String]("tok")) ->
+          r.getAs[Long]("cms_est"))
+    }.toMap
+    assert(got === want)
+    // and the group boundary is real: g1's k1 count differs from g2's
+    assert(got(("g1", "k1")) !== got(("g2", "k1")))
+    assert(got.forall(_._2 >= 1L)) // every probe was observed in its group
+  }
+
   test("linear counting kicks in below the threshold and is near-exact") {
     val n = 30 // well under 2.5·m = 160
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
