@@ -119,6 +119,27 @@ class EventTimeSpec extends SparkSpec {
     assert(est.nonEmpty && est.forall { case (_, t, e) => e >= t })
   }
 
+  test("streamingCmsCounters drops data older than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val counters = EventTimeOps.streamingCmsCounters(
+      in.toDF().toDF("ts", "uid"), "ts", "uid", "1 hour", "15 minutes",
+      d = 2, wBits = 4)
+    val q = counters.writeStream.format("memory")
+      .queryName("cms_late_sink").outputMode("update").start()
+    in.addData((ts("10:05"), 1L), (ts("10:40"), 2L))
+    q.processAllAvailable()
+    // watermark is now 10:40 - 15 min = 10:25; an 09:00 event is late
+    in.addData((ts("09:00"), 3L), (ts("10:50"), 4L))
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table("cms_late_sink")
+      .select(date_format(col("window.start"), "HH:mm").as("w"))
+      .as[String].collect().toSet
+    assert(windows === Set("10:00"),
+      s"late data must not mint a 09:00 window: $windows")
+  }
+
   test("streamStreamJoin matches across micro-batches within the lag bound") {
     implicit val sqlCtx = spark.sqlContext
     val left = MemoryStream[(Long, Long, Timestamp)]  // (user, p_id, p_ts)
