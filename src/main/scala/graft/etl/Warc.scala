@@ -123,6 +123,15 @@ object Warc {
     * (the walk never materializes more than one record). */
   private val MaxRecordBytes: Long = Int.MaxValue - 16L
 
+  /** Header-line length cap. WARC header lines are short (a version token
+    * or `Name: value`); a binary/corrupt segment with no CRLF would
+    * otherwise accumulate the whole decompressed stream into the line
+    * buffer — the exact unbounded-memory failure the streaming walk exists
+    * to prevent. A line past this is a violated framing invariant and
+    * quarantines the tail like any other. 64 KB comfortably exceeds any
+    * real-world URI or warcinfo field. */
+  private val MaxLineBytes: Int = 64 * 1024
+
   /** Streaming record walk over one segment's BYTES — thin wrapper over
     * [[parseStream]], kept for callers (and fuzzers) that already hold the
     * segment in memory. */
@@ -162,10 +171,13 @@ object Warc {
       private var nextRec: WarcRecord = null
       private def read1(): Int =
         if (pushed >= 0) { val r = pushed; pushed = -1; r } else in.read()
-      private def readLine(): String = { // CRLF-terminated; null on underrun
+      private def readLine(): String = { // CRLF-terminated; null on
+        // underrun OR on a line past MaxLineBytes (violated framing — a
+        // CRLF-less binary stream must not buffer unboundedly here)
         val buf = new ByteArrayOutputStream(256)
         var b = read1()
         while (b >= 0) {
+          if (buf.size > MaxLineBytes) return null
           if (b == '\r') {
             val b2 = read1()
             if (b2 == '\n') return new String(buf.toByteArray, "UTF-8")

@@ -829,10 +829,16 @@ object Dedup {
     * (DedupSpec pins packed == wide on the same corpus). */
   private[ext] def prefixDoubleRanks(chars: DataFrame,
                                      rounds: Int): DataFrame = {
-    val st = chars.agg(count(lit(1)), min(col("code")), max(col("code"))).head()
+    val st = chars.agg(count(lit(1)), min(col("code")), max(col("code")),
+      max(col("gpos"))).head()
     val n = st.getLong(0)
+    // max(gpos) is checked independently of the row count: a SPARSE gpos
+    // domain (count < 2³¹ but positions ≥ 2³¹) would silently drop high
+    // bits in packHiLo's shiftleft — callers pass contiguous gpos today,
+    // but this seam is private[ext] and exercised directly by tests
     val packable = n > 0 && n < (1L << 31) &&
-      st.getLong(1) > Int.MinValue && st.getLong(2) <= Int.MaxValue
+      st.getLong(1) > Int.MinValue && st.getLong(2) <= Int.MaxValue &&
+      st.getLong(3) < (1L << 31)
     if (packable) prefixDoubleRanksPacked(chars, rounds)
     else prefixDoubleRanksWide(chars, rounds)
   }

@@ -870,7 +870,11 @@ object Similarity {
     * exactly the old endpoints of the new edges re-rank their existing
     * edge list against the reverse edges (scores are bit-symmetric:
     * x·y = y·x and ‖a‖·‖b‖ = ‖b‖·‖a‖ in IEEE) — every other old node's
-    * edges pass through UNTOUCHED, byte-identical ranks included.
+    * edges pass through UNTOUCHED, byte-identical ranks included. The
+    * PATCH DEGREE is max(index out-degree, k): an index built at k=50 and
+    * appended at k=5 keeps degree-50 edge lists on touched nodes (the
+    * reverse edges compete into the full list) instead of truncating them
+    * to 5 — new nodes' own lists are at this append's `k` by design.
     *
     * `graph` must be [[knnGraph]]-shaped rows (id, rank, nbr_id, score)
     * over `oldVecs`; old and new id sets must be disjoint. Returns the
@@ -927,13 +931,20 @@ object Similarity {
       .join(newIds, Seq("nbr_id"), "left_anti")
       .select(col("nbr_id").as("id"), col("id").as("nbr_id"), col("score"))
     val touched = broadcast(revCands.select("id").distinct())
+    // PATCH DEGREE: touched old nodes re-rank to max(index degree, k), not
+    // this append's k — an index built at k=50, appended at k=5, must not
+    // silently truncate touched nodes' edge lists to 5 while untouched
+    // nodes keep 50 (an inconsistent, degraded index). oldDeg is the
+    // caller's graphDegBound or the measured max rank (ranks are 1-based,
+    // so max(rank) IS the out-degree).
+    val patchK = math.max(math.max(oldDeg, 1), k)
     val patched = TopK.topKPerKey(
         graph.select(col("id"), col("nbr_id"), col("score"))
           .join(touched, Seq("id"))
           .unionByName(revCands)
           .select(col("id").as("query_id"), col("score"),
             col("nbr_id").as("cand")),
-        "query_id", "score", "cand", k)
+        "query_id", "score", "cand", patchK)
       .toDF("id", "rank", "nbr_id", "score")
     graph.select(col("id"), col("rank"), col("nbr_id"), col("score"))
       .join(touched, Seq("id"), "left_anti")
@@ -1321,6 +1332,11 @@ object Similarity {
     // result's first action; any throw below must release it here
     val c = vecs.select(col(idCol).as("_gid"), asDouble(col(vecCol)).as("cv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a persist-fallback frontier returned by beamLoop is live the moment
+    // beamLoop returns; if plan construction below throws before the
+    // release listener registers, the catch must release it too (the
+    // 1bdffbc defect class — hnswTopK/hnswSearchPrebuilt already do this)
+    var frontierRef: DataFrame = null
     try {
     // the adaptive default needs N: take the caller's hint when one is
     // given (callers that just built the kNN graph know it) — the count
@@ -1352,6 +1368,7 @@ object Similarity {
       else entries0
     val frontier = beamLoop(c, g, q, entries, beamWidth, hops,
       nQueries = nQ, degBound = degBound)
+    frontierRef = frontier
     val out = TopK.topKPerKey(beamScored(c, q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
@@ -1366,7 +1383,10 @@ object Similarity {
     }
     out
     } catch {
-      case t: Throwable => c.unpersist(): Unit; throw t
+      case t: Throwable =>
+        c.unpersist(): Unit
+        if (frontierRef != null) frontierRef.unpersist(): Unit // no-op if localized
+        throw t
     }
   }
 

@@ -254,8 +254,12 @@ object Sketches {
       val cj = counters.where(col("j") === j).select(
         groupCols.map(c => col(c).as(s"_g${j}_$c")) :+
           col("bucket").as(s"_b$j") :+ col("c").as(s"c$j"): _*)
+      // null-safe group equality: cmsCountersBy's groupBy keeps NULL group
+      // values as their own group, so a probe with a NULL group must match
+      // that group's counters (plain === would read 0 — an undercount,
+      // breaking the estimate ≥ truth law)
       val cond = groupCols
-        .map(c => acc(c) === cj(s"_g${j}_$c"))
+        .map(c => acc(c) <=> cj(s"_g${j}_$c"))
         .foldLeft(hllBucketW(acc(keyCol), s"cms$j", mask) === cj(s"_b$j"))(_ && _)
       acc.join(broadcast(cj), cond, "left")
         .drop((groupCols.map(c => s"_g${j}_$c") :+ s"_b$j"): _*)

@@ -76,6 +76,36 @@ class WarcSpec extends SparkSpec {
         "bounded by one record")
   }
 
+  test("CRLF-less binary tail quarantines at the line cap — never buffers " +
+      "the stream into the line accumulator") {
+    // one valid record, then a WARC version prefix followed by an ENDLESS
+    // byte stream with no CRLF: without the 64 KB line cap, readLine would
+    // accumulate the entire (potentially multi-GiB decompressed) stream
+    // into one ByteArrayOutputStream — the exact unbounded-memory failure
+    // the streaming walk exists to prevent. The walk must yield the valid
+    // record, quarantine the tail, and stop after a bounded prefix.
+    val head = Warc.syntheticSegment(Iterator.single((1L, "ok")),
+      gzipped = false)
+    class CrlfLess extends java.io.InputStream {
+      private var off = 0
+      private val pre = head ++ "WARC/1.0\r\n".getBytes("UTF-8")
+      var produced = 0L
+      override def read(): Int = {
+        produced += 1
+        if (off < pre.length) { val b = pre(off) & 0xff; off += 1; b }
+        else 'A'.toInt // endless CRLF-less junk
+      }
+    }
+    val s = new CrlfLess
+    val recs = Warc.parseStream(s).toSeq
+    assert(recs.count(_.warc_type == "response") === 1)
+    assert(recs.filter(_.warc_type == "response").head.body === "ok")
+    // bounded: head + one capped line (64 KB) + slack, not "forever"
+    assert(s.produced < 512 * 1024L,
+      s"walk consumed ${s.produced} bytes before quarantining a CRLF-less " +
+        "line — the cap did not engage")
+  }
+
   test("streaming ingest: two segment drops land incrementally, streamed == batch") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = tmpDir("graft-warc-stream")

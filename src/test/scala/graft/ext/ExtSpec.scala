@@ -1497,6 +1497,43 @@ class ExtSpec extends SparkSpec {
       s"append quality $recallApp fell behind rebuild $recallRebuild")
   }
 
+  test("knnGraphAppend patch degree: an index built at k=8, appended at " +
+      "k=3, keeps degree-8 edge lists on touched old nodes") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val old = emb.where(col("vec_id") < 300)
+    val neu = emb.where(col("vec_id") >= 300 && col("vec_id") < 360)
+    val g8 = Similarity.knnGraph(old, "vec_id", "embedding", k = 8,
+      bits = Similarity.AdaptiveBits)
+    val appended = Similarity.knnGraphAppend(old, g8, neu, "vec_id",
+      "embedding", k = 3, beamWidth = 16, hops = 2, entryMod = 1,
+      graphDegBound = 8)
+    val app = appended.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // new nodes: degree 3 (this append's k) — by design
+    assert(app.filter(_._1 >= 300).groupBy(_._1).values
+      .forall(_.size == 3))
+    // TOUCHED old nodes must NOT truncate to 3: each old node's edges are
+    // the top-8 of its original list ∪ reverse edges (independent law)
+    val rev = appended.where(col("id") >= 300 && col("nbr_id") < 300)
+      .select(col("nbr_id").as("id"), col("id").as("nbr_id"), col("score"))
+    val expOld = g8.select(col("id"), col("nbr_id"), col("score"))
+      .unionByName(rev)
+      .withColumn("rank", row_number().over(Window.partitionBy("id")
+        .orderBy(col("score").desc, col("nbr_id"))).cast("int"))
+      .where(col("rank") <= 8)
+      .select("id", "rank", "nbr_id", "score")
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(app.filter(_._1 < 300) === expOld)
+    // concretely: at least one touched node still carries rank-8 edges
+    val touchedIds = rev.select("id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(touchedIds.nonEmpty)
+    assert(app.exists(t => touchedIds(t._1) && t._2 == 8),
+      "touched nodes lost their full-degree edge lists")
+  }
+
   test("beamLoop: cut strategy decided arithmetically from the bound — " +
       "past it, the frontier is persisted, never collected") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -2542,6 +2579,16 @@ class ExtSpec extends SparkSpec {
     val charsBig = big.toDF("gpos", "code")
     assert(classes(Dedup.prefixDoubleRanks(charsBig, 2)) ===
       classes(Dedup.prefixDoubleRanksWide(charsBig, 2)))
+    // a SPARSE gpos domain ≥ 2³¹ (count still tiny) must also force the
+    // wide fallback: packHiLo would drop gpos's high bits otherwise —
+    // classes must match the wide path's on the same shifted frame
+    val sparse = rows.map { case (g, c) => (g + (1L << 31), c) }
+    val charsSparse = sparse.toDF("gpos", "code")
+    assert(classes(Dedup.prefixDoubleRanks(charsSparse, 3)) ===
+      classes(Dedup.prefixDoubleRanksWide(charsSparse, 3)))
+    // and the class STRUCTURE is position-shift-invariant vs the dense run
+    assert(classes(Dedup.prefixDoubleRanks(charsSparse, 3)).map(_.map(_ -
+      (1L << 31))) === classes(Dedup.prefixDoubleRanksWide(chars, 3)))
   }
 
   test("substringDupSpans releases its persisted char frame and rank RDD after the action") {

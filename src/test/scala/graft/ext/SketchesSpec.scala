@@ -160,6 +160,28 @@ class SketchesSpec extends SparkSpec {
     assert(got.forall(_._2 >= 1L)) // every probe was observed in its group
   }
 
+  test("cmsEstimatesFromCounters matches NULL group keys (estimate >= " +
+      "truth holds for null-group data)") {
+    import org.apache.spark.sql.functions.col
+    // cmsCountersBy's groupBy keeps NULL as its own group; the estimate
+    // join must use null-safe equality or a null-group probe reads 0 —
+    // an undercount, the one direction a CMS must never err in
+    val items = ((1 to 40).map(_ => (Option.empty[String], "k1")) ++
+      (1 to 25).map(_ => (Some("g1"), "k1"))).toDF("grp", "tok")
+    val counters = Sketches.cmsCountersBy(items, Seq("grp"), col("tok"),
+      d = 3, wBits = 8)
+    val probes = Seq((Option.empty[String], "k1"), (Some("g1"), "k1"))
+      .toDF("grp", "tok")
+    val got = Sketches.cmsEstimatesFromCounters(counters, probes,
+        Seq("grp"), "tok", d = 3, wBits = 8)
+      .collect().map(r => Option(r.getAs[String]("grp")) ->
+        r.getAs[Long]("cms_est")).toMap
+    assert(got(None) >= 40L, s"null-group estimate ${got(None)} undercounts")
+    assert(got(Some("g1")) >= 25L)
+    // at this width there are no collisions across 1 distinct key: exact
+    assert(got(None) === 40L && got(Some("g1")) === 25L)
+  }
+
   test("linear counting kicks in below the threshold and is near-exact") {
     val n = 30 // well under 2.5·m = 160
     val regs = Sketches.hllRegisters((1L to n.toLong).toDF("k"), col("k"))
