@@ -773,6 +773,49 @@ object BreadthCatalog {
     }),
 
 
+    // JSONL SOURCE with explicit schema, NESTED field access, and a
+    // corrupt-record QUARANTINE (Sources.jsonl): documents serialize to
+    // one nested JSON object per line ({doc:{id,src}, text, meta:{chars,
+    // tags[]}}), ONE malformed line is planted, and the scan must (a)
+    // surface every good line with its nested fields intact and (b) turn
+    // the malformed line into a quarantine row (all data columns null,
+    // raw line in _corrupt_record) instead of failing — ANSI mode makes
+    // "instead of failing" a live contract. The census groups by the
+    // nested doc.src (the quarantine row groups as NULL src with
+    // n_corrupt = 1); the oracle restates the good-row aggregates from
+    // the original parquet plus the planted-line row verbatim.
+    "etl_jsonl_scan" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val tmp = scratchDir("graft_jsonl", d)
+      val docs = t(s, d, "documents").where(col("doc_id") % 5 === 2)
+      val lines = docs.select(to_json(struct(
+        struct(col("doc_id").as("id"), col("source").as("src")).as("doc"),
+        col("text").as("text"),
+        struct(col("n_chars").as("chars"),
+          array(col("lang"), col("source")).as("tags")).as("meta"))).as("value"))
+      val planted = s.range(1)
+        .select(lit("{\"doc\":{\"id\":broken, not json at all").as("value"))
+      lines.unionByName(planted).write.mode("overwrite").text(tmp)
+      val schema = StructType(Seq(
+        StructField("doc", StructType(Seq(
+          StructField("id", LongType), StructField("src", StringType)))),
+        StructField("text", StringType),
+        StructField("meta", StructType(Seq(
+          StructField("chars", LongType),
+          StructField("tags", ArrayType(StringType)))))))
+      graft.etl.Sources.jsonl(s, tmp, schema)
+        .groupBy(col("doc.src").as("src"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc.id")).as("sum_id"),
+          sum(col("meta.chars")).as("sum_chars"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_corrupt"),
+          min(element_at(col("meta.tags"), 1)).as("min_lang"),
+          sum(length(col("text"))).as("sum_text_chars"))
+        .orderBy("src")
+    }),
+
+
     // WARC crawl-archive scan (E50): the Common Crawl container, closing
     // the loop on the crawl-curation surface — spec-valid segments
     // (warcinfo + request + HTTP response records; partitions alternate
@@ -1432,6 +1475,22 @@ object BreadthCatalog {
         |  sum(event_id)::BIGINT AS sum_id
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // good-row aggregates restated from the original parquet; the planted
+    // malformed line is exactly one NULL-src quarantine row (all data
+    // columns null ⇒ null sums, n_corrupt = 1). meta.tags[0] = lang by
+    // construction, so min_lang restates min(lang).
+    "etl_jsonl_scan" ->
+      """SELECT source AS src, count(*)::BIGINT AS n,
+        |  sum(doc_id)::BIGINT AS sum_id, sum(n_chars)::BIGINT AS sum_chars,
+        |  0::BIGINT AS n_corrupt, min(lang) AS min_lang,
+        |  sum(length(text))::BIGINT AS sum_text_chars
+        |FROM documents WHERE doc_id % 5 = 2 GROUP BY source
+        |UNION ALL
+        |SELECT NULL AS src, 1::BIGINT AS n, NULL::BIGINT AS sum_id,
+        |  NULL::BIGINT AS sum_chars, 1::BIGINT AS n_corrupt,
+        |  NULL AS min_lang, NULL::BIGINT AS sum_text_chars
+        |ORDER BY src""".stripMargin,
 
     // restates the whole WARC→strip→gate→census composition from the
     // construction: stripped page = "p<id> " + text (corpus is markup-free,

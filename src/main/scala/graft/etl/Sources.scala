@@ -38,6 +38,42 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSONL (JSON-lines) scan — the format LLM training corpora actually
+    * ship in (one JSON document per line, nested metadata), read with an
+    * EXPLICIT schema (inference is an extra full pass and non-deterministic
+    * across file sets) and a corrupt-record QUARANTINE column: a malformed
+    * line surfaces as one row with every data column null and `corruptCol`
+    * holding the raw line — it must flow through the pipeline as data (to
+    * be counted, sampled, reported), never fail the job. One-line-per-doc
+    * framing means the scan is splittable (no multiLine), so a 100 TB
+    * corpus parallelizes by file block like CSV/parquet.
+    *
+    * Built as text-scan + `from_json` rather than the native `.json()`
+    * reader: the native reader REFUSES any query whose required columns
+    * are only the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    * CORRUPT_RECORD_COLUMN) — and "list the quarantined lines" is exactly
+    * such a query, the first one a curation pipeline runs. Nothing is
+    * lost at scale: a quarantine-aware scan must fully parse every line
+    * to DETECT corruption, so the native reader's parse-pruning advantage
+    * is void here, and Catalyst still prunes `from_json`'s target schema
+    * for queries that touch few fields (OptimizeJsonExprs). */
+  def jsonl(spark: SparkSession, path: String, schema: StructType,
+            corruptCol: String = "_corrupt_record"): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"pass the data schema only; $corruptCol is appended here")
+    import org.apache.spark.sql.functions.{col, from_json}
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .select(from_json(col("value"), full, java.util.Map.of(
+        "mode", "PERMISSIVE", "columnNameOfCorruptRecord", corruptCol)).as("j"))
+      .select(col("j.*"))
+  }
+
+  /** JSONL sink — one JSON object per line, the hand-off format a
+    * downstream trainer consumes. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Driver-testdata table loader: `<sfDir>/<name>.parquet`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

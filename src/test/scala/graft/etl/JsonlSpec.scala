@@ -1,0 +1,75 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class JsonlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("meta", StructType(Seq(
+      StructField("src", StringType),
+      StructField("tags", ArrayType(StringType))))),
+    StructField("text", StringType)))
+
+  test("jsonl: explicit schema, nested fields, malformed lines quarantine " +
+      "as rows instead of failing (ANSI mode)") {
+    val dir = tmpDir("graft-jsonl")
+    Seq(
+      """{"id": 1, "meta": {"src": "web", "tags": ["en", "good"]}, "text": "hello \"quoted\" world"}""",
+      """{"id": 2, "meta": {"src": "book", "tags": []}, "text": "line two"}""",
+      """not json at all""",
+      """{"id": 3, "meta": {"src": "web"}, "text": null}""",
+      """{"id": broken""")
+      .toDF("value").repartition(2).write.mode("overwrite").text(dir)
+    val df = Sources.jsonl(spark, dir, schema)
+    assert(df.count() === 5) // every line is a row — good, partial, or bad
+    val good = df.where(col("_corrupt_record").isNull)
+    assert(good.count() === 3)
+    // nested access works end-to-end
+    assert(good.where(col("meta.src") === "web").count() === 2)
+    assert(good.select(sum(size(col("meta.tags")))).head().getLong(0) === 2L)
+    assert(good.where(col("id") === 1)
+      .select(col("text")).head().getString(0) === "hello \"quoted\" world")
+    // missing nested fields are null, not corrupt
+    assert(good.where(col("id") === 3)
+      .select(col("meta.tags")).head().isNullAt(0))
+    // the two malformed lines quarantine with the raw line preserved
+    val bad = df.where(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().toSet
+    assert(bad === Set("not json at all", """{"id": broken"""))
+    // quarantined rows carry null data columns
+    assert(df.where(col("_corrupt_record").isNotNull && col("id").isNotNull)
+      .count() === 0)
+  }
+
+  test("jsonl round-trip: writeJsonl then jsonl is lossless on nested rows") {
+    val dir = tmpDir("graft-jsonl-rt")
+    val rows = Seq(
+      (1L, ("web", Seq("en")), "plain"),
+      (2L, ("book", Seq("de", "x\"y")), "with \"quotes\" and \\ backslash"),
+      (3L, ("cc", Seq.empty[String]), "unicode: héllo—世界"))
+      .toDF("id", "meta", "text")
+      .select(col("id"), col("meta").cast("struct<src:string,tags:array<string>>"),
+        col("text"))
+    Sources.writeJsonl(rows, dir)
+    val back = Sources.jsonl(spark, dir, schema)
+    assert(back.where(col("_corrupt_record").isNotNull).count() === 0)
+    val got = back.select(col("id"), col("meta.src"),
+        concat_ws("|", col("meta.tags")), col("text"))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(got === Set(
+      (1L, "web", "en", "plain"),
+      (2L, "book", "de|x\"y", "with \"quotes\" and \\ backslash"),
+      (3L, "cc", "", "unicode: héllo—世界")))
+  }
+
+  test("jsonl rejects a schema that already carries the corrupt column") {
+    intercept[IllegalArgumentException] {
+      Sources.jsonl(spark, "/nonexistent", schema.add("_corrupt_record",
+        StringType))
+    }
+  }
+}
