@@ -764,29 +764,33 @@ object CatalogShared {
     // curation_pipeline/_quality/_incremental and curation_funnel oracles.
     // Must follow a "WITH RECURSIVE" header. `src` is the input relation —
     // a table name or a parenthesized subquery (the incremental row feeds
-    // the history-filtered batch through the SAME chain).
-    def curationCtes(src: String = "documents"): String =
-      s"""docs0 AS (SELECT doc_id, text FROM $src d0 WHERE doc_id IN (
+    // the history-filtered batch through the SAME chain). `sfx` suffixes
+    // every CTE name so one statement can carry TWO chains (the
+    // extracted-vs-raw contrast row); `threshold` mirrors
+    // Config.jaccardThreshold when a row overrides the 0.5 default.
+    def curationCtes(src: String = "documents", sfx: String = "",
+                     threshold: String = "0.5"): String =
+      s"""docs0$sfx AS (SELECT doc_id, text FROM $src d0 WHERE doc_id IN (
          |  SELECT min(doc_id) FROM $src d1 GROUP BY md5(lower(text)))),
-         |w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0),
-         |sh AS (SELECT doc_id, $wordShingles3 AS s FROM w),
-         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
-         |sig AS (SELECT doc_id, $minhashSigs AS sigs FROM sh2),
-         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
-         |  unnest($minhashBands) AS v FROM sig),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         |w$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0$sfx),
+         |sh$sfx AS (SELECT doc_id, $wordShingles3 AS s FROM w$sfx),
+         |sh2$sfx AS (SELECT doc_id, s FROM sh$sfx WHERE len(s) > 0),
+         |sig$sfx AS (SELECT doc_id, $minhashSigs AS sigs FROM sh2$sfx),
+         |bands$sfx AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest($minhashBands) AS v FROM sig$sfx),
+         |cand$sfx AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands$sfx a JOIN bands$sfx b ON a.band = b.band AND a.v = b.v
          |  AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT a_id, b_id FROM (
+         |pairs$sfx AS (SELECT a_id, b_id FROM (
          |  SELECT a_id, b_id,
          |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
-         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
-         |  WHERE jaccard >= 0.5),
-         |edges AS (SELECT a_id AS s, b_id AS t FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach(s, t) AS (SELECT s, t FROM edges
-         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
-         |losers AS (SELECT s FROM reach GROUP BY s HAVING least(s, min(t)) <> s)""".stripMargin
+         |  FROM cand$sfx JOIN sh2$sfx x ON x.doc_id = cand$sfx.a_id JOIN sh2$sfx y ON y.doc_id = cand$sfx.b_id)
+         |  WHERE jaccard >= $threshold),
+         |edges$sfx AS (SELECT a_id AS s, b_id AS t FROM pairs$sfx
+         |  UNION SELECT b_id, a_id FROM pairs$sfx),
+         |reach$sfx(s, t) AS (SELECT s, t FROM edges$sfx
+         |  UNION SELECT r.s, e.t FROM reach$sfx r JOIN edges$sfx e ON r.t = e.s),
+         |losers$sfx AS (SELECT s FROM reach$sfx GROUP BY s HAVING least(s, min(t)) <> s)""".stripMargin
 
     // the quality-gate predicate over docs0 rows (min tokens + stopword cap)
     lazy val curationQualityPred: String =

@@ -388,6 +388,52 @@ object DedupCatalog {
     }),
 
 
+    // EXTRACTION COMPOSED INTO THE RECIPE — the raw-vs-extracted contrast
+    // on crawl pages with planted SITE CHROME: every page of a host
+    // carries the same link-heavy nav + footer (host-flavored, so the
+    // chrome is per-site like real chrome), body = the document's own
+    // text. Without extraction the shared chrome dominates the shingle
+    // sets, same-host pages weld into near-dup clusters, and the min-id
+    // survivor policy throws away the host's corpus; with
+    // Config.extractMinWords the chrome dies to the link-density rule
+    // BEFORE fingerprinting and the distinct bodies survive. Output: per
+    // (variant, host) survivor census — the welding contrast as data. The
+    // oracle runs BOTH pipelines (suffixed CTE chains) with the extraction
+    // stage restated block-for-block.
+    "curation_pipeline_extracted" -> ((s, d) => {
+      val host = concat(lit("h"), col("doc_id") % 7)
+      val nav = concat(
+        lit("<div><a href=\"/\">Home</a> <a href=\"/n\">News from the "),
+        host,
+        lit(" portal desk</a> " +
+          "<a href=\"/w\">Weather maps and forecasts for every region</a> " +
+          "<a href=\"/s\">Sports scores tables and match reports</a> " +
+          "<a href=\"/f\">Finance markets currencies and exchange rates</a> " +
+          "<a href=\"/t\">Travel guides hotels and flight deals</a> " +
+          "<a href=\"/m\">Music film and entertainment reviews</a> " +
+          "<a href=\"/e\">Education courses and exam resources</a></div>"))
+      val footer = concat(lit("<div>Copyright 2017 the "), host,
+        lit(" portal network <a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy and cookie settings</a> " +
+          "<a href=\"/contact\">Contact the editorial desk</a></div>"))
+      val html = concat(nav, lit("<p>"),
+        substring(col("text"), 1, 400), lit("</p>"), footer)
+      val pages = t(s, d, "documents").where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), html.as("text"))
+      val cfg = Curation.Config(jaccardThreshold = 0.35)
+      val raw = Curation.curate(pages, "doc_id", "text", cfg)
+      val ext = Curation.curate(pages, "doc_id", "text",
+        cfg.copy(extractMinWords = Some(5)))
+      raw.select(lit("raw").as("variant"), col("doc_id"))
+        .unionByName(ext.select(lit("extracted").as("variant"), col("doc_id")))
+        .select(col("variant"), concat(lit("h"), col("doc_id") % 7).as("host"),
+          col("doc_id"))
+        .groupBy("variant", "host")
+        .agg(count(lit(1)).as("n_survivors"), sum(col("doc_id")).as("sum_id"))
+        .orderBy("variant", "host")
+    }),
+
+
     // Cross-source contamination audit: distinct canonical-fingerprint
     // overlap per source pair — run before mixing corpora.
     "curation_source_overlap" -> ((s, d) => {
@@ -768,6 +814,61 @@ object DedupCatalog {
          |WHERE doc_id NOT IN (SELECT s FROM losers)
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
+
+    // BOTH pipelines restated in one statement (suffixed CTE chains): the
+    // raw chain runs the chrome'd html straight through dedup; the
+    // extracted chain first restates Extract's block split + integer-exact
+    // word/link-density rule, then the same chain over the extracted text.
+    "curation_pipeline_extracted" -> {
+      def plain(x: String) =
+        s"trim(regexp_replace(regexp_replace($x, '(?i)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      def nw(x: String) =
+        s"(CASE WHEN ${plain(x)} = '' THEN 0 ELSE len(string_split(${plain(x)}, ' ')) END)"
+      val linkChars = "coalesce(list_sum(list_transform(" +
+        "regexp_extract_all(x, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), " +
+        s"t -> length(${plain("t")}))), 0)"
+      val blockTag = "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|tr|td|th|" +
+        "section|article|header|footer|nav|aside|blockquote|html|body|" +
+        "head|title)(?:\\s[^>]*)?/?>"
+      val keepf = s"list_filter(string_split_regex(text, '$blockTag'), " +
+        s"x -> ${nw("x")} >= 5 AND 3 * $linkChars <= length(${plain("x")}))"
+      s"""WITH RECURSIVE
+         |pages AS (SELECT doc_id,
+         |    '<div><a href="/">Home</a> <a href="/n">News from the h' ||
+         |    (doc_id % 7)::VARCHAR || ' portal desk</a> ' ||
+         |    '<a href="/w">Weather maps and forecasts for every region</a> ' ||
+         |    '<a href="/s">Sports scores tables and match reports</a> ' ||
+         |    '<a href="/f">Finance markets currencies and exchange rates</a> ' ||
+         |    '<a href="/t">Travel guides hotels and flight deals</a> ' ||
+         |    '<a href="/m">Music film and entertainment reviews</a> ' ||
+         |    '<a href="/e">Education courses and exam resources</a></div>' ||
+         |    '<p>' || substr(text, 1, 400) || '</p>' ||
+         |    '<div>Copyright 2017 the h' || (doc_id % 7)::VARCHAR ||
+         |    ' portal network <a href="/terms">Terms of service</a> ' ||
+         |    '<a href="/privacy">Privacy policy and cookie settings</a> ' ||
+         |    '<a href="/contact">Contact the editorial desk</a></div>' AS text
+         |  FROM documents WHERE doc_id % 4 = 3),
+         |xp AS (SELECT doc_id,
+         |    array_to_string(list_transform($keepf, x -> ${plain("x")}),
+         |      chr(10)) AS text
+         |  FROM pages WHERE len($keepf) >= 1),
+         |${Sql.curationCtes("pages", "_r", "0.35")},
+         |${Sql.curationCtes("xp", "_x", "0.35")},
+         |rs AS (SELECT doc_id FROM docs0_r
+         |  WHERE doc_id NOT IN (SELECT s FROM losers_r)
+         |    AND ${Sql.curationQualityPred}),
+         |es AS (SELECT doc_id FROM docs0_x
+         |  WHERE doc_id NOT IN (SELECT s FROM losers_x)
+         |    AND ${Sql.curationQualityPred})
+         |SELECT 'raw' AS variant, 'h' || (doc_id % 7)::VARCHAR AS host,
+         |  count(*)::BIGINT AS n_survivors, sum(doc_id)::BIGINT AS sum_id
+         |FROM rs GROUP BY 2
+         |UNION ALL
+         |SELECT 'extracted' AS variant, 'h' || (doc_id % 7)::VARCHAR AS host,
+         |  count(*)::BIGINT AS n_survivors, sum(doc_id)::BIGINT AS sum_id
+         |FROM es GROUP BY 2
+         |ORDER BY variant, host""".stripMargin
+    },
 
 
     // volume, language breadth, global dup membership, classifier pass

@@ -167,6 +167,27 @@ object SimilarityCatalog {
     }),
 
 
+    // FILTERED graph-ANN search (the production vector-store mode: every
+    // query carries a metadata predicate): beam search over the kNN graph
+    // with the filter applied in traversal — ineligible nodes never enter
+    // the beam. At entryMod = 1 every eligible row seeds the beam, so the
+    // result is EXACTLY the brute force over eligible rows (the same
+    // exactness contract sim_topk_graph/ivf_filtered gate on); sparse
+    // adaptive entries are the scale path, with the thinned-connectivity
+    // recall caveat documented on the operator.
+    "sim_topk_graph_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val graph = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 5, bits = Similarity.AdaptiveBits)
+        .select(col("id"), col("nbr_id"))
+      Similarity.graphTopKFiltered(emb, "vec_id", "embedding", graph,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          predicate = col("label") === 2,
+          k = 10, beamWidth = 16, hops = 2, entryMod = 1, degBound = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // k-NN graph construction: every vector's 5 nearest neighbors among
     // multi-probe sign-bucket candidates — the precursor structure for
     // graph ANN and embedding-space clustering. Bucket equi-join + the
@@ -600,12 +621,18 @@ object SimilarityCatalog {
 
 
     // Streaming near-dup candidates, driven in batch mode (the whole frame
-    // as one micro-batch): deterministic pair SET (per-bucket processing is
-    // id-ordered), but the decision is a signature-agreement ESTIMATE the
-    // oracle cannot restate without xxhash64 — rows-only by design, like
-    // the sketches below; the streaming statefulness is MemoryStream-tested.
+    // as one micro-batch). The CATALOG default is the portable md5-60bit
+    // signature family so this row is oracle-GATED (r14 carried it
+    // rows-only); the operator's own default stays the xxhash64 fast path
+    // — the documented at-scale variant, signature-family-agnostic by
+    // construction (banding, bucket state, eviction, and agreement are
+    // identical; EventTimeSpec pins streamed == batch on both). This row
+    // runs 12 hashes / agree ≥ 6, the portable twin below 16 / ≥ 8, so
+    // the two gate DIFFERENT band geometries of the same stateful path.
     "q_streaming_neardup" -> ((s, d) => {
-      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text")
+      EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text",
+          numHashes = 12,
+          signature = Some(Dedup.minhashSignature60(col("text"), 3, 12)))
         .dropDuplicates("a_id", "b_id")
         .orderBy("a_id", "b_id")
         .toDF()
@@ -1331,6 +1358,21 @@ object SimilarityCatalog {
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
+    // entryMod = 1 ⇒ the filtered traversal is exactly the brute force
+    // over eligible (label = 2) rows — the same restatement shape as the
+    // ivf_filtered oracle
+    "sim_topk_graph_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS id,
+         |  ${Sql.dot("q.v", "c.v")} / (q.nm * c.nm) AS score
+         |  FROM n q JOIN n c
+         |  ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND c.label = 2),
+         |ranked AS (SELECT query_id, id, score, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
+         |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
     // mirrors q_hll_sliding: hourly registers → 3-window explode →
     // max-merge → the spine-free estimate; exact twin via the same explode
     "q_hll_sliding" ->
@@ -1890,6 +1932,22 @@ object SimilarityCatalog {
         |JOIN norms nb ON nb.doc_id = b_id
         |WHERE dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // same law as the portable twin at the row's own geometry: 12 md5
+    // signature positions, emit at n_agree >= 6 (threshold 0.5)
+    "q_streaming_neardup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 12).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    len(list_filter(range(1, 13), i -> a.sigs[i] = b.sigs[i]))::INT AS n_agree
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, n_agree, n_agree::DOUBLE / 12 AS est_jaccard
+         |FROM p WHERE n_agree >= 6 ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors q_streaming_neardup_portable: with 1-row bands a shared
     // bucket ⟺ ≥1 agreeing position, which n_agree >= 8 implies — so the

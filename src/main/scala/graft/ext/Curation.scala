@@ -21,9 +21,25 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   final case class Config(
+      /** Main-content extraction BEFORE every dedup stage (None = off):
+        * Some(minWords) replaces the text column with
+        * [[Extract.mainTextOf]]'s per-page extraction (blocks under
+        * minWords visible words or over 1/3 link density are chrome) and
+        * DROPS pages with zero surviving blocks. A crawl recipe must
+        * extract before dedup: shared site chrome otherwise welds every
+        * page of a host into one near-dup cluster, and the min-id survivor
+        * policy then throws away the host's whole corpus but one page. */
+      extractMinWords: Option[Int] = None,
       shingleLen: Int = 3,
       numHashes: Int = 8,
       jaccardThreshold: Double = 0.5,
+      /** Hot-bucket valve for the near-dup LSH stage
+        * ([[Dedup.nearDuplicates]]' maxBucketSize;
+        * [[Dedup.AdaptiveBucket]] derives c·√N): a 100 TB crawl WILL
+        * carry a boilerplate shingle welding a corpus fraction into one
+        * band bucket, and per-bucket pair work is quadratic. Default
+        * uncapped — byte-identical to the oracle-exact pair set. */
+      nearDupMaxBucket: Int = Int.MaxValue,
       minTokens: Int = 30,
       maxStopwordRatio: Double = 0.25,
       stopwords: Seq[String] = Seq("data", "table", "row", "value"),
@@ -67,7 +83,18 @@ object Curation {
     * persisted, the pre-scope behavior). */
   private def stages(docs: DataFrame, idCol: String, textCol: String,
                      cfg: Config, scope: CacheScope)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // 0a. main-content extraction (crawl recipes): replace the text column
+    //     with the extracted main text BEFORE any dedup fingerprinting —
+    //     a zero-shuffle projection, so downstream re-executions just
+    //     re-run it at scan level. All-chrome pages (zero kept blocks)
+    //     drop here; the history fingerprints of an extracting recipe are
+    //     therefore fingerprints of EXTRACTED text, consistent across runs.
+    val extracted = cfg.extractMinWords.fold(docs) { mw =>
+      docs.where(Extract.keptBlockCount(col(textCol), mw) >= 1)
+        .withColumn(textCol, Extract.mainTextOf(col(textCol), mw))
+    }
+
     // 0. incremental runs: drop documents already kept by a previous run
     //    (bloom probe + exact confirm — the store is never shuffled).
     //    PERSISTED: every downstream stage consumes this frame repeatedly
@@ -78,8 +105,8 @@ object Curation {
     //    scope (null → stays persisted, the same contract as the cluster
     //    label checkpoint documented above).
     val incoming = {
-      val inc = incomingStage(docs, textCol, cfg, scope)
-      if (inc eq docs) docs
+      val inc = incomingStage(extracted, textCol, cfg, scope)
+      if (inc eq extracted) extracted
       else {
         val cached = inc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (scope != null) scope.own(cached)
@@ -96,7 +123,8 @@ object Curation {
     val losers =
       try {
         val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
-          cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold, scope = inner)
+          cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold,
+          maxBucketSize = cfg.nearDupMaxBucket, scope = inner)
         val clusters = Dedup.duplicateClusters(pairs, scope = scope)
         cfg.survivorQuality match {
           case None => clusters
@@ -116,7 +144,7 @@ object Curation {
 
     // 3. quality gate: enough tokens, bounded stopword share
     val afterQuality = afterNear.where(qualityPred(textCol, cfg))
-    (incoming, afterExact, losers, afterNear, afterQuality)
+    (extracted, incoming, afterExact, losers, afterNear, afterQuality)
   }
 
   /** History pre-filter (no-op without `cfg.history`). The bloom blob's
@@ -149,7 +177,7 @@ object Curation {
     * after the consuming action to release every cached intermediate. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              cfg: Config = Config(), scope: CacheScope = null): DataFrame = {
-    val decon = decontamStage(stages(docs, idCol, textCol, cfg, scope)._5,
+    val decon = decontamStage(stages(docs, idCol, textCol, cfg, scope)._6,
       idCol, textCol, cfg)
     if (cfg.scrubPii)
       decon.withColumn(textCol, TextStats.scrubPii(col(textCol)))
@@ -166,7 +194,7 @@ object Curation {
     import spark.implicits._
     require(!docs.columns.contains("_loser"),
       "funnel: input already has a '_loser' column — it would collide with the stage flag")
-    val (incoming, afterExact, losers, _, afterQuality) =
+    val (extracted, incoming, afterExact, losers, _, afterQuality) =
       stages(docs, idCol, textCol, cfg, scope)
     val surviving = col("_loser").isNull
     val counts = afterExact
@@ -176,9 +204,12 @@ object Curation {
         coalesce(sum(when(surviving && qualityPred(textCol, cfg), 1L)
           .otherwise(0L)), lit(0L)).as("n_quality"))
       .head()
-    // the optional vs-history row costs one extra action, only when the
-    // incremental stage is on; "0b" keeps the stable-label ordering
+    // the optional extraction / vs-history rows each cost one extra
+    // action, only when their stage is on; "0a"/"0b" keep the stable-label
+    // ordering (extraction runs before the history probe)
     val base = Seq(("0_input", docs.count())) ++
+      (if (cfg.extractMinWords.isEmpty) Nil
+       else Seq(("0a_extracted", extracted.count()))) ++
       (if (cfg.history.isEmpty) Nil
        else Seq(("0b_vs_history", incoming.count()))) ++
       Seq(("1_exact_dedup", counts.getLong(0)),

@@ -90,18 +90,36 @@ object Extract {
         keepRule(col("raw"), minWords).as("keep"))
   }
 
+  /** [[extractMain]]'s extracted text as a single COLUMN over an html
+    * expression — for pipelines that replace a text column IN PLACE
+    * (keeping every other column) instead of joining the extraction frame
+    * back by id: surviving blocks' visible text joined with newlines, in
+    * document order. */
+  def mainTextOf(html: Column, minWords: Int = 5): Column = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    array_join(transform(
+      filter(split(html, BlockTag), b => keepRule(b, minWords)),
+      plainOf(_)), "\n")
+  }
+
+  /** Number of blocks the survival rule keeps — the companion of
+    * [[mainTextOf]] (a page with zero kept blocks is all chrome and is
+    * usually dropped, not carried as an empty string). */
+  def keptBlockCount(html: Column, minWords: Int = 5): Column = {
+    require(minWords >= 1, s"minWords must be positive: $minWords")
+    size(filter(split(html, BlockTag), b => keepRule(b, minWords)))
+  }
+
   /** Document-level extraction: (id, main_text, n_blocks_kept,
     * n_blocks_total) — surviving blocks' visible text joined with
     * newlines, in document order. Pure projection, zero shuffle. */
   def extractMain(df: DataFrame, idCol: String, htmlCol: String,
                   minWords: Int = 5): DataFrame = {
     require(minWords >= 1, s"minWords must be positive: $minWords")
-    val blocks = split(col(htmlCol), BlockTag)
-    val kept = filter(blocks, b => keepRule(b, minWords))
     df.select(col(idCol),
-      array_join(transform(kept, plainOf(_)), "\n").as("main_text"),
-      size(kept).as("n_blocks_kept"),
-      size(blocks).as("n_blocks_total"))
+      mainTextOf(col(htmlCol), minWords).as("main_text"),
+      keptBlockCount(col(htmlCol), minWords).as("n_blocks_kept"),
+      size(split(col(htmlCol), BlockTag)).as("n_blocks_total"))
   }
 
   /** SITE-TEMPLATE removal — the CROSS-PAGE half of boilerplate

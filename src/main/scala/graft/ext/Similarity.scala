@@ -889,7 +889,19 @@ object Similarity {
     * batch rides [[graphTopK]]'s QUERY broadcast, so |batch| carries the
     * same driver/broadcast commitment as a query set — split a
     * corpus-scale backfill into broadcast-sized batches and fold this
-    * operator over them (each fold's patches stay ≤ k·|batch|). */
+    * operator over them (each fold's patches stay ≤ k·|batch|).
+    *
+    * APPEND-VS-REBUILD CROSSOVER (measured, sf1 proof on local[32]:
+    * 128-dim vectors, 2 000-row batch, k=5, beamWidth=16, hops=2,
+    * adaptive entries): against indexes of 20k/40k/80k vectors the append
+    * costs 10.7/12.6/12.6 s where the full [[knnGraph]] rebuild costs
+    * 8.1/9.7/14.4 s — the append's wall is ~flat-plus-√N (entry stage)
+    * while the rebuild grows linearly, so the append WINS once the corpus
+    * passes ~60k vectors (≈ 3% batch fraction at this shape) and the gap
+    * widens with N; its shuffle is batch-bounded throughout (7–20 MB vs
+    * the rebuild's corpus-bound 100–433 MB). Below the crossover — small
+    * corpora or batch fractions ≳ 10% — just rebuild: fixed per-job
+    * overheads dominate and the rebuild is one big job. */
   def knnGraphAppend(oldVecs: DataFrame, graph: DataFrame,
                      newVecs: DataFrame, idCol: String, vecCol: String,
                      k: Int, beamWidth: Int, hops: Int,
@@ -908,25 +920,76 @@ object Similarity {
         case r if r.isNullAt(0) => -1
         case r => r.getInt(0)
       }
+    // PIN the batch projection once. The batch FRAME is small (it rides
+    // graphTopK's query broadcast — the operator's documented size
+    // commitment), but its LINEAGE need not be: a batch filtered out of a
+    // big corpus re-scans that corpus on EVERY consumer, and this operator
+    // has ~6 of them (the query broadcast rebuilt per beam cut, the batch
+    // count, the batch graph's count + width probe + build, the reverse-id
+    // broadcast) — measured as the dominant share of the r14 wall-time
+    // inversion at the sf1 proof. Under the broadcast-size bound the batch
+    // collects into a LocalRelation (every later broadcast build becomes
+    // driver-local); past it, persist + count, released with the result.
+    val batchProj = newVecs.select(col(idCol), col(vecCol))
+    var batchPersisted: DataFrame = null
+    val (batch, nBatch) = {
+      val m = batchProj
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = try m.count()
+        catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+      if (n <= MaxBroadcastCandRows) {
+        val rows = try m.collect()
+          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+        m.unpersist(): Unit
+        (batchProj.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), batchProj.schema), n)
+      } else { batchPersisted = m; (m: DataFrame, n) }
+    }
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
-        graph.select(col("id"), col("nbr_id")), newVecs, idCol, vecCol,
+        graph.select(col("id"), col("nbr_id")), batch, idCol, vecCol,
         k, beamWidth, hops, entryMod,
-        degBound = oldDeg, scope = scope)
+        degBound = oldDeg, nQueries = nBatch, scope = scope)
       .select(col("query_id").as("id"), col("id").as("nbr_id"), col("score"))
     // (b) new → new: the batch's own bucketed graph (disjoint candidate
     // sets — (a) yields old nbrs, (b) new nbrs — so the union is dup-free)
-    val batchG = knnGraph(newVecs, idCol, vecCol, k, batchBits)
+    val batchG = knnGraph(batch, idCol, vecCol, k, batchBits,
+        corpusSize = nBatch)
       .select(col("id"), col("nbr_id"), col("score"))
-    val newEdges = TopK.topKPerKey(
+    val newEdges0 = TopK.topKPerKey(
         searched.unionByName(batchG)
           .select(col("id").as("query_id"), col("score"),
             col("nbr_id").as("cand")),
         "query_id", "score", "cand", k)
       .toDF("id", "rank", "nbr_id", "score")
+    // CUT the new-edge frame: it is consumed THREE times below (the
+    // touched broadcast, the patch re-rank, the final union), and without
+    // a cut each consumer re-executes the whole search + batch-build
+    // lineage — measured as the r14 wall-time inversion (a 10% append
+    // costing ~2× the full rebuild; see the crossover note in the
+    // scaladoc). The frame is ≤ k·|batch| rows — the same driver-side
+    // magnitude the operator already commits to by riding graphTopK's
+    // query broadcast — so under the beam-localization bound it collects
+    // into a LocalRelation (the beamLoop cut discipline); past it,
+    // persist + count, released after the returned frame's first action
+    // (or owned by the caller's scope).
+    var newEdgesPersisted: DataFrame = null
+    val newEdges =
+      if (nBatch * math.max(1, k) <= MaxLocalBeamRows) {
+        val rows = newEdges0.collect()
+        newEdges0.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), newEdges0.schema)
+      } else {
+        val m = newEdges0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try m.count(): Unit
+        catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+        newEdgesPersisted = m
+        m
+      }
     // reciprocal patch: reverse exactly the new edges that land on OLD
     // nodes (batch ids broadcast; an edge's nbr is old ⟺ not in the batch)
-    val newIds = broadcast(newVecs.select(col(idCol).as("nbr_id")))
+    val newIds = broadcast(batch.select(col(idCol).as("nbr_id")))
     val revCands = newEdges
       .join(newIds, Seq("nbr_id"), "left_anti")
       .select(col("nbr_id").as("id"), col("id").as("nbr_id"), col("score"))
@@ -946,10 +1009,19 @@ object Similarity {
             col("nbr_id").as("cand")),
         "query_id", "score", "cand", patchK)
       .toDF("id", "rank", "nbr_id", "score")
-    graph.select(col("id"), col("rank"), col("nbr_id"), col("score"))
+    val out = graph.select(col("id"), col("rank"), col("nbr_id"), col("score"))
       .join(touched, Seq("id"), "left_anti")
       .unionByName(patched)
       .unionByName(newEdges)
+    if (newEdgesPersisted != null) {
+      if (scope != null) scope.own(newEdgesPersisted)
+      else Dedup.releaseAfterFirstAction(newEdgesPersisted, out)
+    }
+    if (batchPersisted != null) {
+      if (scope != null) scope.own(batchPersisted)
+      else Dedup.releaseAfterFirstAction(batchPersisted, out)
+    }
+    out
   }
 
   // ───────────────── product quantization (IVF-PQ family) ────────────────
@@ -1319,7 +1391,7 @@ object Similarity {
                 graph: DataFrame, queries: DataFrame, qidCol: String,
                 qvecCol: String, k: Int, beamWidth: Int, hops: Int,
                 entryMod: Long = AdaptiveEntries, corpusSize: Long = -1L,
-                degBound: Int = -1,
+                degBound: Int = -1, nQueries: Long = -1L,
                 scope: CacheScope = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require((entryMod >= 1 || entryMod == AdaptiveEntries) && hops >= 0,
@@ -1348,7 +1420,9 @@ object Similarity {
     val mod =
       if (entryMod != AdaptiveEntries) entryMod else adaptiveEntryMod(nKnown)
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
-    val nQ = q.count() // one tiny job on the broadcast query frame
+    // one tiny job on the broadcast query frame — skipped when the caller
+    // already knows the count (the append path: |batch| is in hand)
+    val nQ = if (nQueries >= 0) nQueries else q.count()
     // same bounded-broadcast discipline as the hop joins (see beamLoop):
     // the entry frame is nQ · |{id % mod == 0}| rows of two longs — gate
     // the hint on the MEASURED entry-id count (one cheap job off the
@@ -1389,6 +1463,37 @@ object Similarity {
         throw t
     }
   }
+
+  /** FILTERED graph-ANN search — the mode a production vector store
+    * actually serves (every query carries a metadata predicate): results
+    * come only from corpus rows satisfying `predicate`, mirroring
+    * [[ivfTopKFiltered]]'s pre-filter contract. The filter is applied IN
+    * TRAVERSAL: entries are drawn from eligible rows and every hop's
+    * candidates drop ineligible nodes at the scoring join, so the beam
+    * never holds (or pays to score) filtered-out vectors and the graph's
+    * ineligible edges cost nothing but the edge-list join.
+    *
+    * RECALL CAVEAT (the inherent filtered-graph trade, documented here
+    * because no traversal scheme escapes it): the walk cannot pass THROUGH
+    * an ineligible node, so a selective predicate thins connectivity —
+    * compensate with a larger `beamWidth`/`hops` (over-provisioning), a
+    * denser entry set (smaller `entryMod`), or at the limit `entryMod = 1`,
+    * where every eligible row seeds the beam and the result is EXACTLY the
+    * brute force over eligible rows regardless of graph connectivity (the
+    * oracle contract, same as [[graphTopK]]'s). For a prebuilt hierarchical
+    * index, filtered search = this operator over its base layer
+    * (`index.where(level = 0)` edges): upper layers only accelerate entry
+    * choice, and a thinned top layer can lose every eligible seed. */
+  def graphTopKFiltered(vecs: DataFrame, idCol: String, vecCol: String,
+                        graph: DataFrame, queries: DataFrame, qidCol: String,
+                        qvecCol: String, predicate: Column, k: Int,
+                        beamWidth: Int, hops: Int,
+                        entryMod: Long = AdaptiveEntries,
+                        degBound: Int = -1,
+                        scope: CacheScope = null): DataFrame =
+    graphTopK(vecs.where(predicate), idCol, vecCol, graph, queries,
+      qidCol, qvecCol, k, beamWidth, hops, entryMod,
+      degBound = degBound, scope = scope)
 
   /** (query_id, _gid) candidates → scored rows against `c` (_gid, cv) and
     * broadcast `q` (query_id, qv); self-matches excluded like the

@@ -47,9 +47,14 @@ object ScaleProof {
           shuffleW.addAndGet(w)
           shuffleR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           maxStageW.accumulateAndGet(w, Math.max(_, _))
-          if (stageLog && w > 0)
-            println(f"  stage ${sc.stageInfo.stageId}%4d w=${w / 1e6}%8.1f MB " +
-              s" ${sc.stageInfo.name.take(120)}")
+          if (stageLog) {
+            val dur = (for {
+              s <- sc.stageInfo.submissionTime; e <- sc.stageInfo.completionTime
+            } yield e - s).getOrElse(-1L)
+            println(f"  stage ${sc.stageInfo.stageId}%4d ${dur / 1e3}%7.2f s " +
+              f"w=${w / 1e6}%8.1f MB tasks=${sc.stageInfo.numTasks}%4d " +
+              s" ${sc.stageInfo.name.take(110)}")
+          }
         }
       }
     })
@@ -155,6 +160,41 @@ object ScaleProof {
         val g90 = spark.read.parquet(idxPath)
         Similarity.knnGraphAppend(oldV, g90, newV, "vec_id", "embedding",
           k = 5, beamWidth = 16, hops = 2).count()
+      }
+    }
+    // the r15 composed recipe: extraction INSIDE Curation.curate. The
+    // chrome'd corpus is the hazard fixture — link-heavy nav/footer shared
+    // per host dominates the shingle sets, so the RAW pipeline welds pages
+    // into near-dup clusters (its LSH buckets grow with the chrome's
+    // reach; AdaptiveBucket valves the quadratic per-bucket work), while
+    // the EXTRACTED pipeline kills the chrome before fingerprinting and
+    // its near-dup stage sees only the true cross-replica dups. Extraction
+    // itself adds ZERO shuffle (a scan-level projection).
+    if (wanted("curation_recipe_extracted")) {
+      val host = concat(lit("h"), col("doc_id") % 199)
+      val pages = docs.select(col("doc_id"), concat(
+        lit("<div><a href=\"/\">Home</a> <a href=\"/n\">News from the "),
+        host,
+        lit(" portal desk</a> " +
+          "<a href=\"/w\">Weather maps and forecasts for every region</a> " +
+          "<a href=\"/s\">Sports scores tables and match reports</a> " +
+          "<a href=\"/f\">Finance markets currencies and exchange rates</a> " +
+          "<a href=\"/t\">Travel guides hotels and flight deals</a> " +
+          "<a href=\"/m\">Music film and entertainment reviews</a> " +
+          "<a href=\"/e\">Education courses and exam resources</a></div><p>"),
+        col("text"), lit("</p><div>Copyright 2017 the "), host,
+        lit(" portal network <a href=\"/terms\">Terms of service</a> " +
+          "<a href=\"/privacy\">Privacy policy and cookie settings</a> " +
+          "<a href=\"/contact\">Contact the editorial desk</a></div>"))
+        .as("text"))
+      val cfg = graft.ext.Curation.Config(jaccardThreshold = 0.35,
+        nearDupMaxBucket = Dedup.AdaptiveBucket)
+      measured("recipe_raw_chrome") {
+        graft.ext.Curation.curate(pages, "doc_id", "text", cfg).count()
+      }
+      measured("recipe_extracted") {
+        graft.ext.Curation.curate(pages, "doc_id", "text",
+          cfg.copy(extractMinWords = Some(5))).count()
       }
     }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {

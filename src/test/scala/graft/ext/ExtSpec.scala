@@ -66,6 +66,48 @@ class ExtSpec extends SparkSpec {
     assert(scrubbed === funnel + ("5_scrubbed" -> 1L))
   }
 
+  test("curation with extractMinWords: chrome stops welding same-host " +
+      "pages; all-chrome pages drop; funnel reports 0a_extracted") {
+    // three pages share link-heavy site chrome (passes no keep rule: short
+    // blocks are chrome by word count, the nav by link density) around
+    // DISTINCT bodies; page 4 is all chrome. Without extraction the chrome
+    // dominates the shingles and welds 1-3 into one cluster (min-id keeps
+    // only page 1); with extraction each body stands alone and survives.
+    val chrome = "<div><a href=\"/a\">alpha beta gamma delta epsilon</a> " +
+      "<a href=\"/b\">zeta eta theta iota kappa</a> " +
+      "<a href=\"/c\">lambda mu nu xi omicron</a> " +
+      "<a href=\"/d\">pi rho sigma tau upsilon</a> " +
+      "<a href=\"/e\">phi chi psi omega alef</a></div>"
+    def body(s: String) = s"<p>$s</p>"
+    val b1 = "quill zephyr oboe lantern marble sphinx granite velvet " * 2
+    val b2 = "comet harbor jungle kettle meadow nectar orchid pebble " * 2
+    val b3 = "raven saddle timber umbral violet walnut yonder zealot " * 2
+    val corpus = Seq(
+      (1L, chrome + body(b1) + chrome),
+      (2L, chrome + body(b2) + chrome),
+      (3L, chrome + body(b3) + chrome),
+      (4L, chrome + chrome)) // all chrome: zero kept blocks
+      .toDF("doc_id", "text")
+    val cfg = Curation.Config(minTokens = 10, jaccardThreshold = 0.3)
+    val rawKept = Curation.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rawKept === Set(1L), s"chrome should weld 1-3: $rawKept")
+    val extKept = Curation.curate(corpus, "doc_id", "text",
+        cfg.copy(extractMinWords = Some(5)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(extKept === Set(1L, 2L, 3L)) // 4 dropped: zero kept blocks
+    // the survivors' text is the EXTRACTED body, not the html
+    val t1 = Curation.curate(corpus, "doc_id", "text",
+        cfg.copy(extractMinWords = Some(5)))
+      .where(col("doc_id") === 1L).select("text").as[String].head()
+    assert(t1 === b1.trim)
+    val funnel = Curation.funnel(corpus, "doc_id", "text",
+        cfg.copy(extractMinWords = Some(5)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(funnel === Map("0_input" -> 4L, "0a_extracted" -> 3L,
+      "1_exact_dedup" -> 3L, "2_neardup_dedup" -> 3L, "3_quality_gate" -> 3L))
+  }
+
   test("duplicateClusters converges on a long chain (pointer jumping)") {
     // 40-node chain: plain one-hop propagation needs 39 rounds; with
     // pointer jumping it must fit the default maxIter
