@@ -774,5 +774,9 @@ object Queries {
     "etl_incremental_agg", "etl_delete_vectors", "q_k_anonymity",
     "q_heavy_hitters",
     "dedup_substring_sa", "sim_topk_hnsw", "etl_time_travel",
-    "curation_warc_e2e", "sim_kcenter", "mm_decode_jpeg_pixels")
+    "curation_warc_e2e", "sim_kcenter", "mm_decode_jpeg_pixels",
+    // curation_pipeline_extracted is deliberately absent: its RAW variant
+    // runs the chrome-welded near-dup flood uncapped on purpose (the
+    // contrast the row demonstrates) — a hazard demo, not a throughput row
+    "etl_jsonl_scan", "sim_topk_graph_filtered")
 }

@@ -933,17 +933,26 @@ object Similarity {
     val batchProj = newVecs.select(col(idCol), col(vecCol))
     var batchPersisted: DataFrame = null
     val (batch, nBatch) = {
-      val m = batchProj
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = try m.count()
-        catch { case t: Throwable => m.unpersist(blocking = false); throw t }
-      if (n <= MaxBroadcastCandRows) {
-        val rows = try m.collect()
-          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
-        m.unpersist(): Unit
+      if (isDriverLocal(batchProj)) {
+        // already a local plan (e.g. hnswAppend's pinned batch filtered
+        // per level): collecting is driver-cheap — no persist/count jobs
+        val rows = batchProj.collect()
         (batchProj.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), batchProj.schema), n)
-      } else { batchPersisted = m; (m: DataFrame, n) }
+          java.util.Arrays.asList(rows: _*), batchProj.schema),
+          rows.length.toLong)
+      } else {
+        val m = batchProj
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = try m.count()
+          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+        if (n <= MaxBroadcastCandRows) {
+          val rows = try m.collect()
+            catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+          m.unpersist(): Unit
+          (batchProj.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), batchProj.schema), n)
+        } else { batchPersisted = m; (m: DataFrame, n) }
+      }
     }
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
@@ -1505,6 +1514,16 @@ object Similarity {
       .select(col("query_id"), col("_gid"),
         cosine(col("qv"), col("cv")).as("score"))
 
+  /** A plan whose every leaf is already driver-resident (LocalRelation /
+    * OneRowRelation): collecting it runs no cluster scan, so pin-once
+    * callers can skip the persist/count bookkeeping. */
+  private def isDriverLocal(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
+      case _ => false
+    }
+
   /** Frontier localization bound: a cut frontier holds at most
     * |queries| × beamWidth (query_id, _gid) pairs — the same driver-side
     * magnitude the operator already commits to by broadcasting the query
@@ -1936,8 +1955,31 @@ object Similarity {
                  indexDegBound: Int = -1,
                  salt: String = "hnsw"): DataFrame = {
     require(maxLevel >= 1, s"maxLevel must be >= 1: $maxLevel")
+    // pin the batch ONCE: each level otherwise re-executes the batch's
+    // lineage for its own knnGraphAppend pin (L+1 scans of a possibly
+    // corpus-wide filter) — a LocalRelation batch makes every per-level
+    // pin driver-cheap (knnGraphAppend detects it and skips its
+    // persist/count jobs). Falls back to the raw frame past the bound;
+    // knnGraphAppend's own persist path then bounds each level.
+    val batchPinned: DataFrame = {
+      val proj = newVecs.select(col(idCol), col(vecCol))
+      if (isDriverLocal(proj)) proj
+      else {
+        val mq = proj
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = try mq.count()
+          catch { case t: Throwable => mq.unpersist(blocking = false); throw t }
+        if (n <= MaxBroadcastCandRows) {
+          val rows = try mq.collect()
+            catch { case t: Throwable => mq.unpersist(blocking = false); throw t }
+          mq.unpersist(): Unit
+          proj.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rows: _*), proj.schema)
+        } else { mq.unpersist(): Unit; newVecs }
+      }
+    }
     val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
-    val newRows = newVecs.select(newLvl.as("_lv"),
+    val newRows = batchPinned.select(newLvl.as("_lv"),
         size(asDouble(col(vecCol))).as("_d"))
       .groupBy("_lv").agg(count(lit(1)).as("n"), min(col("_d")).as("dlo"),
         max(col("_d")).as("dhi"))
@@ -1954,7 +1996,7 @@ object Similarity {
     (0 to maxLevel).map { l =>
       val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
       val o = oldVecs.where(lvl >= l)
-      val nu = newVecs.where(lvl >= l)
+      val nu = batchPinned.where(lvl >= l)
       val g = index.where(col("level") === l)
         .select(col("id"), col("rank"), col("nbr_id"), col("score"))
       knnGraphAppend(o, g, nu, idCol, vecCol, knnK, beamWidth, hops,
