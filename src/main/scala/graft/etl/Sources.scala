@@ -74,6 +74,29 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Continuous-ingest twin of [[jsonl]] (the Warc.readStream pattern):
+    * JSONL files landing under `path` stream through the SAME
+    * explicit-schema + quarantine parse — corpus drops land as files, the
+    * file-stream source discovers them per micro-batch with exactly-once
+    * checkpointed tracking, and parse semantics are byte-identical to the
+    * batch scan (JsonlSpec pins streamed == batch, quarantine included).
+    * Combine with `Trigger.AvailableNow` for catch-up runs or a
+    * processing-time trigger for a live tail. */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType,
+                  corruptCol: String = "_corrupt_record",
+                  maxFilesPerTrigger: Int = 16): DataFrame = {
+    require(!schema.fieldNames.contains(corruptCol),
+      s"pass the data schema only; $corruptCol is appended here")
+    import org.apache.spark.sql.functions.{col, from_json}
+    val full = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    spark.readStream.format("text")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
+      .select(from_json(col("value"), full, java.util.Map.of(
+        "mode", "PERMISSIVE", "columnNameOfCorruptRecord", corruptCol)).as("j"))
+      .select(col("j.*"))
+  }
+
   /** Driver-testdata table loader: `<sfDir>/<name>.parquet`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

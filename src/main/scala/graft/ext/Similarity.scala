@@ -930,30 +930,8 @@ object Similarity {
     // inversion at the sf1 proof. Under the broadcast-size bound the batch
     // collects into a LocalRelation (every later broadcast build becomes
     // driver-local); past it, persist + count, released with the result.
-    val batchProj = newVecs.select(col(idCol), col(vecCol))
-    var batchPersisted: DataFrame = null
-    val (batch, nBatch) = {
-      if (isDriverLocal(batchProj)) {
-        // already a local plan (e.g. hnswAppend's pinned batch filtered
-        // per level): collecting is driver-cheap — no persist/count jobs
-        val rows = batchProj.collect()
-        (batchProj.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), batchProj.schema),
-          rows.length.toLong)
-      } else {
-        val m = batchProj
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = try m.count()
-          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
-        if (n <= MaxBroadcastCandRows) {
-          val rows = try m.collect()
-            catch { case t: Throwable => m.unpersist(blocking = false); throw t }
-          m.unpersist(): Unit
-          (batchProj.sparkSession.createDataFrame(
-            java.util.Arrays.asList(rows: _*), batchProj.schema), n)
-        } else { batchPersisted = m; (m: DataFrame, n) }
-      }
-    }
+    val (batch, nBatch, batchPersisted) =
+      pinSmall(newVecs.select(col(idCol), col(vecCol)))
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
         graph.select(col("id"), col("nbr_id")), batch, idCol, vecCol,
@@ -1405,8 +1383,16 @@ object Similarity {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require((entryMod >= 1 || entryMod == AdaptiveEntries) && hops >= 0,
       s"bad search params: $entryMod/$hops")
-    val q = broadcast(queries.select(col(qidCol).as("query_id"),
-      asDouble(col(qvecCol)).as("qv")))
+    // PIN the query projection (r15): each beam cut is its own job and
+    // each job REBUILDS the query broadcast — for a query set filtered
+    // out of the corpus (the common serving shape) that re-executed the
+    // corpus scan hops+2 times. The pin costs at most one scan, makes
+    // every broadcast build driver-local, and yields the query count the
+    // loop's bounds need for free.
+    val (qPinned, nQPinned, qPersisted) = pinSmall(
+      queries.select(col(qidCol).as("query_id"),
+        asDouble(col(qvecCol)).as("qv")))
+    val q = broadcast(qPinned)
     // the corpus projection feeds the entry set, EVERY hop's scoring join,
     // and the final re-score — persist it for the loop's duration (the
     // hnswTopK discipline: one scan, not hops+2), released with the
@@ -1429,9 +1415,9 @@ object Similarity {
     val mod =
       if (entryMod != AdaptiveEntries) entryMod else adaptiveEntryMod(nKnown)
     val g = graph.select(col("id").as("_gid"), col("nbr_id"))
-    // one tiny job on the broadcast query frame — skipped when the caller
-    // already knows the count (the append path: |batch| is in hand)
-    val nQ = if (nQueries >= 0) nQueries else q.count()
+    // the pin already measured the query count; the caller's hint (the
+    // append path: |batch| in hand) takes precedence for back-compat
+    val nQ = if (nQueries >= 0) nQueries else nQPinned
     // same bounded-broadcast discipline as the hop joins (see beamLoop):
     // the entry frame is nQ · |{id % mod == 0}| rows of two longs — gate
     // the hint on the MEASURED entry-id count (one cheap job off the
@@ -1455,20 +1441,24 @@ object Similarity {
     val out = TopK.topKPerKey(beamScored(c, q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
-    if (scope != null) { scope.own(frontier); scope.own(c) }
-    else {
+    if (scope != null) {
+      scope.own(frontier); scope.own(c)
+      if (qPersisted != null) scope.own(qPersisted)
+    } else {
       // trigger = out, NOT frontier: the fallback cut just ran count() on
       // the frontier, and a listener keyed on it could consume that stale
       // event and evict before the caller's first action (the 2-arg form's
       // documented race — c one line below has the same shape)
       Dedup.releaseAfterFirstAction(frontier, out)
       Dedup.releaseAfterFirstAction(c, out)
+      if (qPersisted != null) Dedup.releaseAfterFirstAction(qPersisted, out)
     }
     out
     } catch {
       case t: Throwable =>
         c.unpersist(): Unit
         if (frontierRef != null) frontierRef.unpersist(): Unit // no-op if localized
+        if (qPersisted != null) qPersisted.unpersist(): Unit
         throw t
     }
   }
@@ -1523,6 +1513,36 @@ object Similarity {
       case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => true
       case _ => false
     }
+
+  /** PIN a small frame whose size the caller's contract already bounds
+    * (query sets, append batches — the broadcast-size commitment): the
+    * frame itself is small, but its LINEAGE need not be — a query set
+    * filtered out of the corpus re-scans that corpus in EVERY job that
+    * rebuilds its broadcast, and the iterative search operators run one
+    * job per beam cut. Driver-local plans collect outright (no jobs);
+    * otherwise persist + count, collect into a LocalRelation under
+    * [[MaxBroadcastCandRows]] and release, or hand the persisted frame
+    * back (third slot non-null — the CALLER owns its release on both the
+    * happy and error paths). Returns (frame, rowCount, persistedOrNull). */
+  private def pinSmall(df: DataFrame): (DataFrame, Long, DataFrame) = {
+    def localized(rows: Array[org.apache.spark.sql.Row]) =
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), df.schema)
+    if (isDriverLocal(df)) {
+      val rows = df.collect()
+      (localized(rows), rows.length.toLong, null)
+    } else {
+      val m = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = try m.count()
+        catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+      if (n <= MaxBroadcastCandRows) {
+        val rows = try m.collect()
+          catch { case t: Throwable => m.unpersist(blocking = false); throw t }
+        m.unpersist(): Unit
+        (localized(rows), n, null)
+      } else (m, n, m)
+    }
+  }
 
   /** Frontier localization bound: a cut frontier holds at most
     * |queries| × beamWidth (query_id, _gid) pairs — the same driver-side
@@ -1752,8 +1772,13 @@ object Similarity {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require(hopsPerLevel >= 0 && baseHops >= 0,
       s"bad hops: $hopsPerLevel/$baseHops")
-    val q = broadcast(queries.select(col(qidCol).as("query_id"),
-      asDouble(col(qvecCol)).as("qv")))
+    // pin the query projection (r15, the graphTopK rationale): every
+    // beam cut of every LAYER rebuilds the query broadcast, and a query
+    // set filtered out of the corpus would re-scan it each time
+    val (qPinned, nQPinned, qPersisted) = pinSmall(
+      queries.select(col(qidCol).as("query_id"),
+        asDouble(col(qvecCol)).as("qv")))
+    val q = broadcast(qPinned)
     val lvl = hnswLevel(col(idCol), m, maxLevel, salt)
     // (id, vector, level) feeds every layer's candidate set, the entry
     // cross join, and the final re-score — one corpus projection persisted
@@ -1790,7 +1815,7 @@ object Similarity {
     def bitsFor(level: Int): Int =
       if (bits != AdaptiveBits) bits
       else adaptiveBitsCapped(nAtLeast(level), dim) // never past the array
-    val nQ = q.count() // once for every layer's beam-cut bound
+    val nQ = nQPinned // measured by the pin — no extra job
     frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth, hopsPerLevel,
       baseHops, level => {
         // the base (level-0) graph is the dominant build cost — a caller
@@ -1808,16 +1833,20 @@ object Similarity {
     val out = TopK.topKPerKey(beamScored(cAll.select("_gid", "cv"), q)(frontier),
         "query_id", "score", "_gid", k)
       .toDF("query_id", "rank", "id", "score")
-    if (scope != null) { scope.own(frontier); scope.own(cAll) }
-    else {
+    if (scope != null) {
+      scope.own(frontier); scope.own(cAll)
+      if (qPersisted != null) scope.own(qPersisted)
+    } else {
       Dedup.releaseAfterFirstAction(frontier, out)
       Dedup.releaseAfterFirstAction(cAll, out)
+      if (qPersisted != null) Dedup.releaseAfterFirstAction(qPersisted, out)
     }
     out
     } catch {
       case t: Throwable =>
         cAll.unpersist(): Unit
         if (frontier != null) frontier.unpersist(): Unit // no-op if localized
+        if (qPersisted != null) qPersisted.unpersist(): Unit
         throw t
     }
   }
@@ -1884,8 +1913,12 @@ object Similarity {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     require(hopsPerLevel >= 0 && baseHops >= 0,
       s"bad hops: $hopsPerLevel/$baseHops")
-    val q = broadcast(queries.select(col(qidCol).as("query_id"),
-      asDouble(col(qvecCol)).as("qv")))
+    // pin the query projection (r15, the graphTopK rationale): the
+    // descent rebuilds the query broadcast once per beam cut per layer
+    val (qPinned, nQPinned, qPersisted) = pinSmall(
+      queries.select(col(qidCol).as("query_id"),
+        asDouble(col(qvecCol)).as("qv")))
+    val q = broadcast(qPinned)
     val cAll = vecs.select(col(idCol).as("_gid"),
       asDouble(col(vecCol)).as("cv"),
       hnswLevel(col(idCol), m, maxLevel, salt).as("_lv"))
@@ -1914,7 +1947,7 @@ object Similarity {
           case r if r.isNullAt(0) => -1 // empty index: no bound to vouch
           case r => r.getInt(0)
         }
-      val nQ = q.count()
+      val nQ = nQPinned // measured by the pin — no extra job
       frontier = hnswDescend(cAll, q, nQ, maxLevel, beamWidth,
         hopsPerLevel, baseHops, level =>
           (index.where(col("level") === level)
@@ -1924,16 +1957,20 @@ object Similarity {
           beamScored(cAll.select("_gid", "cv"), q)(frontier),
           "query_id", "score", "_gid", k)
         .toDF("query_id", "rank", "id", "score")
-      if (scope != null) { scope.own(frontier); scope.own(cAll) }
-      else {
+      if (scope != null) {
+        scope.own(frontier); scope.own(cAll)
+        if (qPersisted != null) scope.own(qPersisted)
+      } else {
         Dedup.releaseAfterFirstAction(frontier, out)
         Dedup.releaseAfterFirstAction(cAll, out)
+        if (qPersisted != null) Dedup.releaseAfterFirstAction(qPersisted, out)
       }
       out
     } catch {
       case t: Throwable =>
         cAll.unpersist(): Unit
         if (frontier != null) frontier.unpersist(): Unit
+        if (qPersisted != null) qPersisted.unpersist(): Unit
         throw t
     }
   }
@@ -1961,23 +1998,8 @@ object Similarity {
     // pin driver-cheap (knnGraphAppend detects it and skips its
     // persist/count jobs). Falls back to the raw frame past the bound;
     // knnGraphAppend's own persist path then bounds each level.
-    val batchPinned: DataFrame = {
-      val proj = newVecs.select(col(idCol), col(vecCol))
-      if (isDriverLocal(proj)) proj
-      else {
-        val mq = proj
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = try mq.count()
-          catch { case t: Throwable => mq.unpersist(blocking = false); throw t }
-        if (n <= MaxBroadcastCandRows) {
-          val rows = try mq.collect()
-            catch { case t: Throwable => mq.unpersist(blocking = false); throw t }
-          mq.unpersist(): Unit
-          proj.sparkSession.createDataFrame(
-            java.util.Arrays.asList(rows: _*), proj.schema)
-        } else { mq.unpersist(): Unit; newVecs }
-      }
-    }
+    val (batchPinned, _, batchPersisted) =
+      pinSmall(newVecs.select(col(idCol), col(vecCol)))
     val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
     val newRows = batchPinned.select(newLvl.as("_lv"),
         size(asDouble(col(vecCol))).as("_d"))
@@ -2004,7 +2026,11 @@ object Similarity {
           graphDegBound = indexDegBound)
         .select(lit(l).as("level"), col("id"), col("rank"),
           col("nbr_id"), col("score"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _) match {
+      case out =>
+        if (batchPersisted != null) Dedup.releaseAfterFirstAction(batchPersisted, out)
+        out
+    }
   }
 
   /** Sparse LEXICAL cosine similarity — the tf-vector member of the tf-idf

@@ -66,6 +66,48 @@ class JsonlSpec extends SparkSpec {
       (3L, "cc", "", "unicode: héllo—世界")))
   }
 
+  test("jsonlStream: two drops land incrementally, streamed == batch, " +
+      "quarantine rows flow as stream data") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmpDir("graft-jsonl-stream")
+    val ckpt = tmpDir("graft-jsonl-ckpt")
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def drop(lines: Seq[String], part: Int): Unit =
+      lines.toDF("value").coalesce(1).write.mode("overwrite")
+        .text(s"$dir/drop$part")
+    def runOnce(): Unit = {
+      val q = Sources.jsonlStream(spark, s"$dir/drop*", schema)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val key =
+              if (!r.isNullAt(r.fieldIndex("_corrupt_record")))
+                "corrupt:" + r.getAs[String]("_corrupt_record")
+              else "id:" + r.getAs[Long]("id")
+            seen.merge(key, 1L, _ + _)
+          }
+        }.start()
+      q.awaitTermination()
+    }
+    drop(Seq("""{"id": 1, "meta": {"src": "web", "tags": []}, "text": "a"}""",
+      "garbage one"), 1)
+    runOnce()
+    assert(seen.size === 2)
+    drop(Seq("""{"id": 2, "meta": {"src": "cc", "tags": ["x"]}, "text": "b"}"""), 2)
+    runOnce()
+    assert(seen.keySet().size === 3)
+    assert(seen.containsKey("id:1") && seen.containsKey("id:2"))
+    assert(seen.containsKey("corrupt:garbage one"))
+    // exactly-once: nothing reprocessed across the two runs
+    assert(seen.values().stream().allMatch(_ == 1L),
+      "a file was reprocessed despite the checkpoint")
+    // streamed record set == batch record set over the same dirs
+    val batch = Sources.jsonl(spark, s"$dir/drop*", schema)
+    assert(batch.count() === 3)
+    assert(batch.where(col("_corrupt_record").isNotNull).count() === 1)
+  }
+
   test("jsonl rejects a schema that already carries the corrupt column") {
     intercept[IllegalArgumentException] {
       Sources.jsonl(spark, "/nonexistent", schema.add("_corrupt_record",
