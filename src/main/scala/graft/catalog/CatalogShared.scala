@@ -759,6 +759,44 @@ object CatalogShared {
         |  list_transform(range(1, length(text) + 1), i -> ord(substr(text, i, 1)))),
         |  (acc, ch) -> (acc * 31 + ch) % 1000000007)""".stripMargin
 
+    // The perceptual-hash corpus (two photos per doc; twin = noise-1
+    // checkerboard re-encode at doc_id % 3 == 0) regenerated pixel by
+    // pixel, grayscaled, box-downscaled to the 9×8 grid by exact integer
+    // means (r = y div 2 at h = 16; c = (9x+8) div 32 inverts the
+    // (c·w) div 9 cell bounds at w = 32), and folded into the 64-bit
+    // dHash. Ends with CTE `dh(asset_id, dhash)`.
+    lazy val photoDhashCtes: String =
+      """assets AS (
+        |  SELECT 2*doc_id AS asset_id, doc_id AS seed, 0 AS noise FROM documents
+        |  UNION ALL
+        |  SELECT 2*doc_id + 1 AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id + 500000 END AS seed,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS noise
+        |  FROM documents),
+        |pxg AS (SELECT asset_id,
+        |    (((base + n) % 256) + ((base + 85 + n) % 256)
+        |      + ((base + 170 + n) % 256)) // 3 AS gray,
+        |    (y // 2) AS r, ((9*x + 8) // 32) AS c
+        |  FROM (SELECT asset_id, x, y,
+        |      ((7*seed + (x + seed % 13)*(x + seed % 13) + 3*y
+        |        + 5*((x*(y + seed % 7)) % 11)) % 256) AS base,
+        |      CASE WHEN (x + y) % 2 = 0 THEN noise ELSE 0 END AS n
+        |    FROM assets,
+        |      (SELECT unnest(range(0, 32)) AS x),
+        |      (SELECT unnest(range(0, 16)) AS y))),
+        |cells AS (SELECT asset_id, r, c,
+        |    (sum(gray) // count(*))::BIGINT AS m
+        |  FROM pxg GROUP BY 1, 2, 3),
+        |dh AS (SELECT a.asset_id,
+        |    coalesce(sum(CASE WHEN a.m > b.m THEN
+        |      CASE WHEN a.r = 7 AND a.c = 7 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << (a.r*8 + a.c)::INT) END
+        |      ELSE 0 END), 0)::BIGINT AS dhash
+        |  FROM cells a JOIN cells b
+        |    ON b.asset_id = a.asset_id AND b.r = a.r AND b.c = a.c + 1
+        |  WHERE a.c < 8
+        |  GROUP BY 1)""".stripMargin
+
     // The shared curation-pipeline CTE chain (exact dedup survivors →
     // minhash LSH pairs → connected components → losers), used by the
     // curation_pipeline/_quality/_incremental and curation_funnel oracles.

@@ -14,6 +14,24 @@ import graft.streaming.EventTimeOps
   * rules are documented on [[ExtQueries]]; shared fixtures/helpers live
   * in [[CatalogShared]]. */
 object MultimodalCatalog {
+
+  /** Two photos per document for the perceptual-hash rows: asset 2·id is
+    * the base scene (seed = doc_id), asset 2·id+1 is a noise-1 re-encode
+    * of the SAME scene when doc_id % 3 == 0 (the perceptual twin) and an
+    * unrelated scene (seed = doc_id + 500000) otherwise. */
+  private def photoAssets(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      Seq(
+        Multimodal.RawAsset(2 * id, "image",
+          Multimodal.syntheticPhotoPayload(id)),
+        Multimodal.RawAsset(2 * id + 1, "image",
+          if (id % 3 == 0) Multimodal.syntheticPhotoPayload(id, noise = 1)
+          else Multimodal.syntheticPhotoPayload(id + 500000L)))
+    }
+  }
   import CatalogShared._
 
   // the u=1 / u=2 rows of the fixed-point IDCT basis, interpolated into
@@ -108,6 +126,34 @@ object MultimodalCatalog {
     // P6 stream — image statistics as a feature (exposure profiling,
     // near-dup prefilters). The oracle regenerates the pixels and
     // re-buckets them.
+    // PERCEPTUAL image fingerprint (dHash): grayscale → 9×8 exact-integer
+    // box means → 64 adjacent-cell comparisons — the fingerprint every
+    // image-dedup pipeline (LAION-class) runs before pixel-exact compare.
+    // Fixture: two photos per doc — a base scene, and either a noise-1
+    // checkerboard RE-ENCODE of the same scene (doc_id % 3 == 0: the
+    // perceptual twin, byte-different) or an unrelated scene. The oracle
+    // regenerates every pixel and recomputes cells and bits verbatim.
+    "mm_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
+        .orderBy("asset_id")
+    }),
+
+
+    // Image NEAR-DUP pairs over the dHash: 8×8-bit banded Hamming join
+    // (exact ≤ 7 by pigeonhole; never all-pairs) at τ = 6 — the twins sit
+    // at hamming ≤ 8 (avg ~2), unrelated scenes at ≥ 19, so the join
+    // recovers re-encoded copies and nothing random. The oracle restates
+    // the dHash construction for BOTH assets and the all-pairs filter
+    // (equivalent to the banded join at this τ by pigeonhole).
+    "mm_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val fp = Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
+      Dedup.hammingPairs64(fp, "asset_id", "dhash", maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+
     "mm_color_histogram" -> ((s, d) => {
       import s.implicits._
       val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -516,6 +562,25 @@ object MultimodalCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // regenerates the two-photos-per-doc corpus pixel by pixel, recomputes
+    // the 9×8 exact-integer box means, and reassembles all 64 comparison
+    // bits (bit 63 as the MinValue constant — DuckDB's << overflows at 63)
+    "mm_image_dhash" ->
+      s"""WITH ${Sql.photoDhashCtes}
+         |SELECT asset_id, 32 AS width, 16 AS height, dhash
+         |FROM dh ORDER BY asset_id""".stripMargin,
+
+    // the banded join at τ = 6 under 8×8-bit bands is EXACT by pigeonhole,
+    // so the pair set restates as the all-pairs Hamming filter over the
+    // same regenerated fingerprints
+    "mm_image_neardup" ->
+      s"""WITH ${Sql.photoDhashCtes}
+         |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+         |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+         |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors q_quantile_windowed: the E19c histogram law per hour
     "q_quantile_windowed" ->

@@ -1381,6 +1381,17 @@ object Dedup {
       .distinct() // a pair can agree on several bands
   }
 
+  /** 64-bit Hamming near-dup pairs — the PERCEPTUAL-FINGERPRINT join
+    * (image dHash via [[graft.ext.Multimodal.imageDHash]], audio
+    * fingerprints, any 64-bit locality hash): 8 bands of 8 bits, exact
+    * for hamming ≤ 7 by pigeonhole, same banded shape as the SimHash
+    * joins (band-keyed equi-join, per-pair bit_count verify — never
+    * all-pairs). */
+  def hammingPairs64(fp: DataFrame, idCol: String, fpCol: String,
+                     maxHamming: Int = 4, scope: CacheScope = null): DataFrame =
+    bandedHammingPairs(fp.select(col(idCol), col(fpCol).as("simhash")),
+      idCol, nBands = 8, bandBits = 8, maxHamming = maxHamming, scope = scope)
+
   /** SimHash near-dup pairs over the 16-bit fingerprints: 4 nibble bands,
     * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
     * buckets saturate (16 values each) — use [[simhashPairsWide]]. */

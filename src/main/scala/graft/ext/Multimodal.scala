@@ -853,6 +853,106 @@ object Multimodal {
     Some(JpegPixels(a.asset_id, w, h, bw * bh, ps, ws))
   }
 
+  final case class ImageHash(asset_id: Long, width: Int, height: Int,
+                             dhash: Long)
+
+  /** Deterministic 32×16 P6 "photo": an integer wave texture whose
+    * STRUCTURE depends on the seed — the parabola's x-offset and the moiré
+    * phase shift per scene (base = (7·seed + (x + seed mod 13)² + 3·y +
+    * 5·((x·(y + seed mod 7)) mod 11)) mod 256; green/blue are +85/+170
+    * channel rotations) — so different seeds give perceptually DIFFERENT
+    * images (distinct dHash cell gradients), not one texture family with
+    * a brightness shift. Optional `noise` adds a +noise checkerboard — the
+    * re-encode jitter that makes two copies of one photo byte-different
+    * but perceptually identical. Every quantity is exact integer
+    * arithmetic, so an external oracle regenerates the pixels (and
+    * everything computed from them) verbatim. */
+  def syntheticPhotoPayload(seed: Long, noise: Int = 0): Array[Byte] = {
+    val w = 32; val h = 16
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6 $w $h 255\n".getBytes("US-ASCII"))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val xo = x + (seed % 13)
+        val base = java.lang.Math.floorMod(
+          7L * seed + xo * xo + 3L * y +
+            5L * ((x.toLong * (y + (seed % 7))) % 11), 256L).toInt
+        val n = if (noise != 0 && (x + y) % 2 == 0) noise else 0
+        out.write(java.lang.Math.floorMod(base + n, 256))
+        out.write(java.lang.Math.floorMod(base + 85 + n, 256))
+        out.write(java.lang.Math.floorMod(base + 170 + n, 256))
+        x += 1
+      }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** PERCEPTUAL image fingerprint (dHash, the difference-hash family every
+    * image-dedup pipeline runs before pixel-exact comparison — LAION-class
+    * corpus dedup is built on exactly this): grayscale = (r+g+b) div 3,
+    * box-downscale to a 9×8 grid (cell [lo, hi) bounds at (c·w) div 9 /
+    * (r·h) div 8; cell value = exact integer mean, sum div count), then 64
+    * bits — bit (r·8+c) set iff cell[r][c] > cell[r][c+1]. Every step is
+    * integer-exact, so the hash restates bit-for-bit in an external engine.
+    * Requires w ≥ 9 and h ≥ 8 (a cell would otherwise be empty) — smaller
+    * images quarantine (no row), like every malformed-asset path here.
+    * Works on the FIRST frame of a P6 stream. Scale shape: a pure per-row
+    * projection (mapPartitions, constant memory); feed the fingerprints to
+    * [[graft.ext.Dedup.hammingPairs64]] for the banded near-dup join. */
+  def imageDHash(assets: Dataset[RawAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmStream(a.payload) match {
+        case Some(frames) if frames.nonEmpty =>
+          val (w, h, px) = frames.head
+          if (w < 9 || h < 8) Iterator.empty
+          else {
+            val cell = Array.ofDim[Long](8, 9)
+            var r = 0
+            while (r < 8) {
+              val ylo = r * h / 8; val yhi = (r + 1) * h / 8
+              var c = 0
+              while (c < 9) {
+                val xlo = c * w / 9; val xhi = (c + 1) * w / 9
+                var sum = 0L; var n = 0L
+                var y = ylo
+                while (y < yhi) {
+                  var x = xlo
+                  while (x < xhi) {
+                    val i = 3 * (y * w + x)
+                    val g = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
+                      (px(i + 2) & 0xff)) / 3
+                    sum += g; n += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                cell(r)(c) = sum / n
+                c += 1
+              }
+              r += 1
+            }
+            var bits = 0L
+            var rr = 0
+            while (rr < 8) {
+              var cc = 0
+              while (cc < 8) {
+                if (cell(rr)(cc) > cell(rr)(cc + 1))
+                  bits |= 1L << (rr * 8 + cc)
+                cc += 1
+              }
+              rr += 1
+            }
+            Iterator.single(ImageHash(a.asset_id, w, h, bits))
+          }
+        case _ => Iterator.empty
+      }
+    })
+  }
+
   /** Build an asset table from the documents table (payload = UTF-8 bytes of
     * the text) — the driver testdata has no binary table, so this supplies a
     * deterministic one with the right schema. */

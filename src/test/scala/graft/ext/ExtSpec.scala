@@ -2955,6 +2955,41 @@ class ExtSpec extends SparkSpec {
       .count() === 1)
   }
 
+  test("imageDHash: twins land close, unrelated scenes far, tiny images " +
+      "quarantine; hammingPairs64 equals the all-pairs filter") {
+    val assets = (0L until 60L).flatMap { id =>
+      Seq(
+        Multimodal.RawAsset(2 * id, "image",
+          Multimodal.syntheticPhotoPayload(id)),
+        Multimodal.RawAsset(2 * id + 1, "image",
+          if (id % 3 == 0) Multimodal.syntheticPhotoPayload(id, noise = 1)
+          else Multimodal.syntheticPhotoPayload(id + 500000L)))
+    }.toDS()
+    val h = Multimodal.imageDHash(assets).collect()
+      .map(r => r.asset_id -> r.dhash).toMap
+    assert(h.size === 120)
+    val twins = (0L until 60L).filter(_ % 3 == 0)
+      .map(id => java.lang.Long.bitCount(h(2 * id) ^ h(2 * id + 1)))
+    val cross = (0L until 60L).filter(_ % 3 != 0)
+      .map(id => java.lang.Long.bitCount(h(2 * id) ^ h(2 * id + 1)))
+    assert(twins.max <= 10, s"a re-encoded twin drifted: ${twins.max} bits")
+    assert(cross.min >= 12, s"unrelated scenes collided: ${cross.min} bits")
+    // the banded join (exact <= 7 by pigeonhole) equals the brute filter
+    val fp = Multimodal.imageDHash(assets).toDF()
+    val banded = Dedup.hammingPairs64(fp, "asset_id", "dhash", maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      if java.lang.Long.bitCount(h(ids(i)) ^ h(ids(j))) <= 6
+    } yield (ids(i), ids(j))).toSet
+    assert(banded === brute)
+    // a sub-9x8 image cannot fill the cell grid: quarantined, not crashed
+    val tiny = Multimodal.RawAsset(999L, "image",
+      ("P6\n4 4\n255\n" + "x" * 48).getBytes("US-ASCII"))
+    assert(Multimodal.imageDHash(Seq(tiny).toDS()).count() === 0)
+  }
+
   test("videoFrameDiff and colorHistogram: hand-built streams; mismatches quarantine") {
     def ppm(px: Array[Byte], w: Int = 1, h: Int = 1) =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
