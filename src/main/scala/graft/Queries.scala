@@ -778,5 +778,6 @@ object Queries {
     // curation_pipeline_extracted is deliberately absent: its RAW variant
     // runs the chrome-welded near-dup flood uncapped on purpose (the
     // contrast the row demonstrates) — a hazard demo, not a throughput row
-    "etl_jsonl_scan", "sim_topk_graph_filtered", "mm_image_neardup")
+    "etl_jsonl_scan", "sim_topk_graph_filtered", "mm_image_neardup",
+    "mm_audio_neardup")
 }

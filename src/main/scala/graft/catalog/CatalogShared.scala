@@ -797,6 +797,33 @@ object CatalogShared {
         |  WHERE a.c < 8
         |  GROUP BY 1)""".stripMargin
 
+    // The audio-fingerprint corpus (two recordings per doc; twin = the
+    // same melody at gain 3 at doc_id % 3 == 0) restated from the
+    // amplitude contour: within a frame every sample is ±gain·A(f), so
+    // E(f) = 16·gain²·A(f)² and the delta-sign bits reduce to
+    // A(f+1) > A(f) — gain cancels, which is the level-invariance law the
+    // row gates. Ends with CTE `pr(asset_id, aprint)`.
+    lazy val audioPrintCtes: String =
+      """au AS (
+        |  SELECT 2*doc_id AS asset_id, doc_id AS seed FROM documents
+        |  UNION ALL
+        |  SELECT 2*doc_id + 1 AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id + 500000 END
+        |  FROM documents),
+        |amp AS (SELECT asset_id, f,
+        |    200 + (('0x' || substr(md5(seed::VARCHAR || ':' || f::VARCHAR),
+    |      1, 8))::BIGINT % 900) AS a
+        |  FROM au, (SELECT unnest(range(0, 65)) AS f)),
+        |pr AS (SELECT x.asset_id,
+        |    coalesce(sum(CASE WHEN y.a > x.a THEN
+        |      CASE WHEN x.f = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << x.f::INT) END
+        |      ELSE 0 END), 0)::BIGINT AS aprint
+        |  FROM amp x JOIN amp y
+        |    ON y.asset_id = x.asset_id AND y.f = x.f + 1
+        |  WHERE x.f < 64
+        |  GROUP BY 1)""".stripMargin
+
     // The shared curation-pipeline CTE chain (exact dedup survivors →
     // minhash LSH pairs → connected components → losers), used by the
     // curation_pipeline/_quality/_incremental and curation_funnel oracles.

@@ -15,6 +15,25 @@ import graft.streaming.EventTimeOps
   * in [[CatalogShared]]. */
 object MultimodalCatalog {
 
+  /** Two recordings per document for the audio-fingerprint rows: asset
+    * 2·id is the base melody (seed = doc_id), asset 2·id+1 the SAME
+    * melody re-levelled at gain 3 when doc_id % 3 == 0 (the perceptual
+    * twin — byte-different, fingerprint-identical) and unrelated material
+    * (seed = doc_id + 500000) otherwise. */
+  private def melodyAssets(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long].flatMap { id =>
+      Seq(
+        Multimodal.RawAsset(2 * id, "audio",
+          Multimodal.syntheticMelodyPayload(id)),
+        Multimodal.RawAsset(2 * id + 1, "audio",
+          if (id % 3 == 0) Multimodal.syntheticMelodyPayload(id, gain = 3)
+          else Multimodal.syntheticMelodyPayload(id + 500000L)))
+    }
+  }
+
   /** Two photos per document for the perceptual-hash rows: asset 2·id is
     * the base scene (seed = doc_id), asset 2·id+1 is a noise-1 re-encode
     * of the SAME scene when doc_id % 3 == 0 (the perceptual twin) and an
@@ -150,6 +169,32 @@ object MultimodalCatalog {
       import s.implicits._
       val fp = Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
       Dedup.hammingPairs64(fp, "asset_id", "dhash", maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+
+    // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
+    // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
+    // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
+    // recordings per doc — a melody, and either the SAME melody at
+    // gain 3 (doc_id % 3 == 0: the re-levelled twin) or unrelated
+    // material. The oracle restates the bits from the amplitude contour
+    // ALONE (energies are 16·gain²·A(f)², so gain cancels in every
+    // comparison) — hash equality therefore PROVES the level-invariance
+    // law on top of the decode.
+    "mm_audio_print" -> ((s, d) => {
+      Multimodal.audioFingerprint(melodyAssets(t(s, d, "documents"))).toDF()
+        .orderBy("asset_id")
+    }),
+
+
+    // Audio NEAR-DUP pairs over the fingerprint: the same banded 64-bit
+    // Hamming join as the image path (exact ≤ 7 by pigeonhole), τ = 2 —
+    // re-levelled twins land at hamming 0 exactly.
+    "mm_audio_neardup" -> ((s, d) => {
+      val fp = Multimodal.audioFingerprint(
+        melodyAssets(t(s, d, "documents"))).toDF()
+      Dedup.hammingPairs64(fp, "asset_id", "aprint", maxHamming = 2)
         .orderBy("a_id", "b_id")
     }),
 
@@ -580,6 +625,24 @@ object MultimodalCatalog {
          |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
          |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the energy-delta bits restated from the amplitude contour alone:
+    // E(f) = 16·gain²·A(f)², so E(f+1) > E(f) ⟺ A(f+1) > A(f) and the
+    // gain knob cancels — equality here PROVES the level-invariance law
+    "mm_audio_print" ->
+      s"""WITH ${Sql.audioPrintCtes}
+         |SELECT asset_id, 65 AS n_frames, aprint FROM pr
+         |ORDER BY asset_id""".stripMargin,
+
+    // τ = 2 under 8×8-bit bands is exact by pigeonhole: the pair set is
+    // the all-pairs Hamming filter over the same restated fingerprints
+    "mm_audio_neardup" ->
+      s"""WITH ${Sql.audioPrintCtes}
+         |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+         |  bit_count(xor(a.aprint, b.aprint))::INT AS hamming
+         |FROM pr a JOIN pr b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.aprint, b.aprint)) <= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
     // mirrors q_quantile_windowed: the E19c histogram law per hour

@@ -1179,6 +1179,87 @@ object Multimodal {
     bb.array()
   }
 
+  /** Deterministic WAV "melody": 65 frames of 16 samples, frame f at
+    * amplitude A(f) = 200 + md5_32("seed:f") mod 900 (the repo's portable
+    * keyed-md5 convention — any linear-congruential contour collapses to
+    * near-arithmetic frame steps shared across seeds, one contour family
+    * for the whole corpus; the keyed hash gives per-seed pseudo-random
+    * frame levels, i.e. genuinely different material), samples a period-2
+    * square at ±gain·A(f).
+    * `gain` is the LEVEL knob: scaling every sample by a positive constant
+    * is the same recording played louder — the invariance
+    * [[audioFingerprint]] is built on. Exact integer arithmetic throughout
+    * (gain·A ≤ 2200 fits 16-bit PCM for gain ≤ 14). */
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def syntheticMelodyPayload(seed: Long, gain: Int = 1): Array[Byte] = {
+    require(gain >= 1 && gain <= 14, s"gain out of PCM range: $gain")
+    val frames = 65; val fs = 16
+    val n = frames * fs
+    val dataSize = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    (0 until n).foreach { i =>
+      val f = i / fs
+      val a = 200 + (java.lang.Long.parseLong(
+        md5Hex(s"$seed:$f").substring(0, 8), 16) % 900L).toInt
+      val v = gain * a * (if (i % 2 == 0) 1 else -1)
+      bb.putShort(v.toShort)
+    }
+    bb.array()
+  }
+
+  final case class AudioPrint(asset_id: Long, n_frames: Int, aprint: Long)
+
+  /** PERCEPTUAL audio fingerprint — the energy-delta sign chain (the
+    * Shazam/Chromaprint family's core trick, reduced to its engine-portable
+    * skeleton): per 16-sample frame the short-term energy Σx², and bit f
+    * set iff E(f+1) > E(f) over the first 65 COMPLETE frames. LEVEL
+    * INVARIANT by construction: scaling every sample by a positive
+    * constant scales every energy by its square, preserving every strict
+    * comparison and every tie — a re-levelled copy of a recording
+    * fingerprints IDENTICALLY (spec-pinned), while different material
+    * diverges within a few frames. Exact integer arithmetic end to end,
+    * so an external oracle restates every bit. Assets with fewer than 65
+    * complete frames quarantine (no row). Feed to
+    * [[graft.ext.Dedup.hammingPairs64]] for the banded near-dup join. */
+  def audioFingerprint(assets: Dataset[RawAsset],
+                       frameSize: Int = 16): Dataset[AudioPrint] = {
+    require(frameSize >= 2, s"frameSize out of range: $frameSize")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      wavSamplesMono(a.payload) match {
+        case Some(samples) if samples.length >= 65 * frameSize =>
+          val e = new Array[Long](65)
+          var f = 0
+          while (f < 65) {
+            var j = 0; var acc = 0L
+            while (j < frameSize) {
+              val x = samples(f * frameSize + j).toLong
+              acc += x * x; j += 1
+            }
+            e(f) = acc; f += 1
+          }
+          var bits = 0L
+          var i = 0
+          while (i < 64) {
+            if (e(i + 1) > e(i)) bits |= 1L << i
+            i += 1
+          }
+          Iterator.single(AudioPrint(a.asset_id, 65, bits))
+        case _ => Iterator.empty
+      }
+    })
+  }
+
   final case class AudioFrame(asset_id: Long, frame_no: Int, n_samples: Int,
                               energy: Long, zcr: Int, peak: Int)
 

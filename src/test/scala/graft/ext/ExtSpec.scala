@@ -2990,6 +2990,32 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.imageDHash(Seq(tiny).toDS()).count() === 0)
   }
 
+  test("audioFingerprint: EXACTLY level-invariant (any gain), divergent " +
+      "across material, short clips quarantine") {
+    val base = Multimodal.syntheticMelodyPayload(42L)
+    def printOf(payload: Array[Byte]): Long =
+      Multimodal.audioFingerprint(
+        Seq(Multimodal.RawAsset(1L, "audio", payload)).toDS())
+        .head().aprint
+    val p1 = printOf(base)
+    // level invariance is EXACT for every gain, not approximate: energies
+    // scale by gain², preserving every strict comparison and every tie
+    for (g <- Seq(2, 5, 14))
+      assert(printOf(Multimodal.syntheticMelodyPayload(42L, gain = g)) === p1,
+        s"fingerprint drifted at gain $g")
+    // different material diverges by construction (keyed-md5 contour)
+    val others = (100L to 130L)
+      .map(seed => printOf(Multimodal.syntheticMelodyPayload(seed)))
+    assert(others.forall(p => java.lang.Long.bitCount(p ^ p1) >= 15),
+      "unrelated melodies collided with the base fingerprint")
+    // fewer than 65 complete frames: quarantined, not crashed
+    val short = Multimodal.syntheticMelodyPayload(42L).take(44 + 64 * 16 * 2 - 2)
+    // (truncated WAV: header declares more data than present — the decoder
+    // quarantines on the framing violation, same as every malformed path)
+    assert(Multimodal.audioFingerprint(
+      Seq(Multimodal.RawAsset(2L, "audio", short)).toDS()).count() === 0)
+  }
+
   test("videoFrameDiff and colorHistogram: hand-built streams; mismatches quarantine") {
     def ppm(px: Array[Byte], w: Int = 1, h: Int = 1) =
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
