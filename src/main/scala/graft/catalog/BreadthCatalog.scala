@@ -812,7 +812,10 @@ object BreadthCatalog {
             .as("n_corrupt"),
           min(element_at(col("meta.tags"), 1)).as("min_lang"),
           sum(length(col("text"))).as("sum_text_chars"))
-        .orderBy("src")
+        // the quarantine row's src is NULL: pin the null position in BOTH
+        // engines (Spark defaults NULLS FIRST, DuckDB NULLS LAST — the
+        // repo's explicit null-order-pinning convention)
+        .orderBy(asc_nulls_first("src"))
     }),
 
 
@@ -1490,7 +1493,7 @@ object BreadthCatalog {
         |SELECT NULL AS src, 1::BIGINT AS n, NULL::BIGINT AS sum_id,
         |  NULL::BIGINT AS sum_chars, 1::BIGINT AS n_corrupt,
         |  NULL AS min_lang, NULL::BIGINT AS sum_text_chars
-        |ORDER BY src""".stripMargin,
+        |ORDER BY src NULLS FIRST""".stripMargin,
 
     // restates the whole WARC→strip→gate→census composition from the
     // construction: stripped page = "p<id> " + text (corpus is markup-free,

@@ -40,6 +40,29 @@ object CatalogShared {
   private[graft] def scratchDir(prefix: String, datasetDir: String): String =
     s"$scratchRoot/${prefix}_${datasetDir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** The planted SITE-CHROME page shared by the oracle-gated
+    * `curation_pipeline_extracted` row and its sf1 ScaleProof twin: a
+    * link-heavy, host-flavored nav + footer around `body` — ONE builder so
+    * the benchmarked hazard and the gated one cannot silently
+    * de-synchronize (the nav passes no extraction keep-rule: every block
+    * is link-dense; the chrome's shingles dominate a raw near-dup pass).
+    * The oracle restates the same literals in SQL — edit both together. */
+  private[graft] def chromePage(host: Column, body: Column): Column = concat(
+    lit("<div><a href=\"/\">Home</a> <a href=\"/n\">News from the "),
+    host,
+    lit(" portal desk</a> " +
+      "<a href=\"/w\">Weather maps and forecasts for every region</a> " +
+      "<a href=\"/s\">Sports scores tables and match reports</a> " +
+      "<a href=\"/f\">Finance markets currencies and exchange rates</a> " +
+      "<a href=\"/t\">Travel guides hotels and flight deals</a> " +
+      "<a href=\"/m\">Music film and entertainment reviews</a> " +
+      "<a href=\"/e\">Education courses and exam resources</a></div><p>"),
+    body,
+    lit("</p><div>Copyright 2017 the "), host,
+    lit(" portal network <a href=\"/terms\">Terms of service</a> " +
+      "<a href=\"/privacy\">Privacy policy and cookie settings</a> " +
+      "<a href=\"/contact\">Contact the editorial desk</a></div>"))
+
   /** Deterministic per-document URL for the two URL rows: five construction
     * branches (doc_id mod 5) over the `source` column, chosen so every
     * canonicalization rule is exercised — mixed-case scheme and host,

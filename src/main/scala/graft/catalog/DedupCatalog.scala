@@ -402,22 +402,7 @@ object DedupCatalog {
     // stage restated block-for-block.
     "curation_pipeline_extracted" -> ((s, d) => {
       val host = concat(lit("h"), col("doc_id") % 7)
-      val nav = concat(
-        lit("<div><a href=\"/\">Home</a> <a href=\"/n\">News from the "),
-        host,
-        lit(" portal desk</a> " +
-          "<a href=\"/w\">Weather maps and forecasts for every region</a> " +
-          "<a href=\"/s\">Sports scores tables and match reports</a> " +
-          "<a href=\"/f\">Finance markets currencies and exchange rates</a> " +
-          "<a href=\"/t\">Travel guides hotels and flight deals</a> " +
-          "<a href=\"/m\">Music film and entertainment reviews</a> " +
-          "<a href=\"/e\">Education courses and exam resources</a></div>"))
-      val footer = concat(lit("<div>Copyright 2017 the "), host,
-        lit(" portal network <a href=\"/terms\">Terms of service</a> " +
-          "<a href=\"/privacy\">Privacy policy and cookie settings</a> " +
-          "<a href=\"/contact\">Contact the editorial desk</a></div>"))
-      val html = concat(nav, lit("<p>"),
-        substring(col("text"), 1, 400), lit("</p>"), footer)
+      val html = CatalogShared.chromePage(host, substring(col("text"), 1, 400))
       val pages = t(s, d, "documents").where(col("doc_id") % 4 === 3)
         .select(col("doc_id"), html.as("text"))
       val cfg = Curation.Config(jaccardThreshold = 0.35)

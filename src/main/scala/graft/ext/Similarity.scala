@@ -932,6 +932,12 @@ object Similarity {
     // driver-local); past it, persist + count, released with the result.
     val (batch, nBatch, batchPersisted) =
       pinSmall(newVecs.select(col(idCol), col(vecCol)))
+    // the eager jobs below (the search, the batch build's width probe,
+    // the new-edge cut) can all throw BEFORE the release registrations at
+    // the bottom — the persist-fallback pins must not strand on that path
+    // (the 1bdffbc defect class; both releases are no-ops when localized)
+    var newEdgesPersisted: DataFrame = null
+    try {
     // (a) new → old: search the existing index like any query batch
     val searched = graphTopK(oldVecs, idCol, vecCol,
         graph.select(col("id"), col("nbr_id")), batch, idCol, vecCol,
@@ -960,7 +966,6 @@ object Similarity {
     // into a LocalRelation (the beamLoop cut discipline); past it,
     // persist + count, released after the returned frame's first action
     // (or owned by the caller's scope).
-    var newEdgesPersisted: DataFrame = null
     val newEdges =
       if (nBatch * math.max(1, k) <= MaxLocalBeamRows) {
         val rows = newEdges0.collect()
@@ -1009,6 +1014,13 @@ object Similarity {
       else Dedup.releaseAfterFirstAction(batchPersisted, out)
     }
     out
+    } catch {
+      case t: Throwable =>
+        if (batchPersisted != null) batchPersisted.unpersist(blocking = false): Unit
+        if (newEdgesPersisted != null)
+          newEdgesPersisted.unpersist(blocking = false): Unit
+        throw t
+    }
   }
 
   // ───────────────── product quantization (IVF-PQ family) ────────────────
@@ -2000,6 +2012,7 @@ object Similarity {
     // knnGraphAppend's own persist path then bounds each level.
     val (batchPinned, _, batchPersisted) =
       pinSmall(newVecs.select(col(idCol), col(vecCol)))
+    try {
     val newLvl = hnswLevel(col(idCol), m, maxLevel, salt)
     val newRows = batchPinned.select(newLvl.as("_lv"),
         size(asDouble(col(vecCol))).as("_d"))
@@ -2030,6 +2043,14 @@ object Similarity {
       case out =>
         if (batchPersisted != null) Dedup.releaseAfterFirstAction(batchPersisted, out)
         out
+    }
+    } catch {
+      // the width-probe aggregation, requireFixedDim, and every eager
+      // per-level append can throw before the release above registers —
+      // a persist-fallback pin must not strand (no-op when localized)
+      case t: Throwable =>
+        if (batchPersisted != null) batchPersisted.unpersist(blocking = false): Unit
+        throw t
     }
   }
 

@@ -172,21 +172,10 @@ object ScaleProof {
     // itself adds ZERO shuffle (a scan-level projection).
     if (wanted("curation_recipe_extracted")) {
       val host = concat(lit("h"), col("doc_id") % 199)
-      val pages = docs.select(col("doc_id"), concat(
-        lit("<div><a href=\"/\">Home</a> <a href=\"/n\">News from the "),
-        host,
-        lit(" portal desk</a> " +
-          "<a href=\"/w\">Weather maps and forecasts for every region</a> " +
-          "<a href=\"/s\">Sports scores tables and match reports</a> " +
-          "<a href=\"/f\">Finance markets currencies and exchange rates</a> " +
-          "<a href=\"/t\">Travel guides hotels and flight deals</a> " +
-          "<a href=\"/m\">Music film and entertainment reviews</a> " +
-          "<a href=\"/e\">Education courses and exam resources</a></div><p>"),
-        col("text"), lit("</p><div>Copyright 2017 the "), host,
-        lit(" portal network <a href=\"/terms\">Terms of service</a> " +
-          "<a href=\"/privacy\">Privacy policy and cookie settings</a> " +
-          "<a href=\"/contact\">Contact the editorial desk</a></div>"))
-        .as("text"))
+      // the SAME chrome fixture the oracle-gated row uses (one builder —
+      // the benchmarked hazard and the gated one cannot de-synchronize)
+      val pages = docs.select(col("doc_id"),
+        graft.CatalogShared.chromePage(host, col("text")).as("text"))
       val cfg = graft.ext.Curation.Config(jaccardThreshold = 0.35,
         nearDupMaxBucket = Dedup.AdaptiveBucket)
       measured("recipe_raw_chrome") {
