@@ -24,14 +24,18 @@ object MultimodalCatalog {
       : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long].flatMap { id =>
-      Seq(
-        Multimodal.RawAsset(2 * id, "audio",
-          Multimodal.syntheticMelodyPayload(id)),
-        Multimodal.RawAsset(2 * id + 1, "audio",
-          if (id % 3 == 0) Multimodal.syntheticMelodyPayload(id, gain = 3)
-          else Multimodal.syntheticMelodyPayload(id + 500000L)))
-    }
+    // synthesis is CPU-bound and the doc-id scan is typically ONE file
+    // split — spread it, or the whole corpus synthesizes in a single task
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { id =>
+        Seq(
+          Multimodal.RawAsset(2 * id, "audio",
+            Multimodal.syntheticMelodyPayload(id)),
+          Multimodal.RawAsset(2 * id + 1, "audio",
+            if (id % 3 == 0) Multimodal.syntheticMelodyPayload(id, gain = 3)
+            else Multimodal.syntheticMelodyPayload(id + 500000L)))
+      }
   }
 
   /** Two photos per document for the perceptual-hash rows: asset 2·id is
@@ -42,14 +46,16 @@ object MultimodalCatalog {
       : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
     val s = docs.sparkSession
     import s.implicits._
-    docs.select(col("doc_id")).as[Long].flatMap { id =>
-      Seq(
-        Multimodal.RawAsset(2 * id, "image",
-          Multimodal.syntheticPhotoPayload(id)),
-        Multimodal.RawAsset(2 * id + 1, "image",
-          if (id % 3 == 0) Multimodal.syntheticPhotoPayload(id, noise = 1)
-          else Multimodal.syntheticPhotoPayload(id + 500000L)))
-    }
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { id =>
+        Seq(
+          Multimodal.RawAsset(2 * id, "image",
+            Multimodal.syntheticPhotoPayload(id)),
+          Multimodal.RawAsset(2 * id + 1, "image",
+            if (id % 3 == 0) Multimodal.syntheticPhotoPayload(id, noise = 1)
+            else Multimodal.syntheticPhotoPayload(id + 500000L)))
+      }
   }
   import CatalogShared._
 

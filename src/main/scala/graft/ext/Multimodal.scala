@@ -1190,9 +1190,17 @@ object Multimodal {
     * is the same recording played louder — the invariance
     * [[audioFingerprint]] is built on. Exact integer arithmetic throughout
     * (gain·A ≤ 2200 fits 16-bit PCM for gain ≤ 14). */
-  private def md5Hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  /** First 32 bits of md5(x) as an unsigned long — equals
+    * ('0x' || substr(md5(x), 1, 8))::BIGINT in DuckDB. Direct byte reads:
+    * per-byte hex formatting measured ~20 µs/call, which at one call per
+    * audio frame turned the melody synthesis into the bench row's whole
+    * cost. */
+  private def md5Head32(x: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
 
   def syntheticMelodyPayload(seed: Long, gain: Int = 1): Array[Byte] = {
     require(gain >= 1 && gain <= 14, s"gain out of PCM range: $gain")
@@ -1207,11 +1215,11 @@ object Multimodal {
       .putShort(1).putShort(1).putInt(8000)
       .putInt(8000 * 2).putShort(2).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    // one hash per FRAME, not per sample: the contour is frame-constant
+    val amps = Array.tabulate(frames)(f =>
+      200 + (md5Head32(s"$seed:$f") % 900L).toInt)
     (0 until n).foreach { i =>
-      val f = i / fs
-      val a = 200 + (java.lang.Long.parseLong(
-        md5Hex(s"$seed:$f").substring(0, 8), 16) % 900L).toInt
-      val v = gain * a * (if (i % 2 == 0) 1 else -1)
+      val v = gain * amps(i / fs) * (if (i % 2 == 0) 1 else -1)
       bb.putShort(v.toShort)
     }
     bb.array()
