@@ -196,6 +196,37 @@ object DedupCatalog {
     }),
 
 
+    // The NEAR-DUP index AS DATA: per-document portable minhash signatures
+    // (the frame a continuous-ingest deployment materializes per batch and
+    // unions — signatures are per-row pure, so store(a) ∪ store(b) ≡
+    // store(a ∪ b) exactly). Arrays serialize to comma strings for the
+    // cross-engine compare; the oracle restates the keyed-md5 60-bit
+    // signature law position by position.
+    "dedup_sig_store" -> ((s, d) => {
+      Dedup.minhashStore(t(s, d, "documents").where(col("doc_id") % 10 < 7),
+          "doc_id", "text")
+        .select(col("id"), concat_ws(",", col("sig")).as("sig_s"))
+        .orderBy("id")
+    }),
+
+
+    // INCREMENTAL near-dup against the SERVED store — the batch twin of
+    // q_streaming_neardup and the near-dup sibling of dedup_incremental:
+    // the later 30% of documents probe the first 70%'s signature store
+    // WITHOUT re-reading its text. With 1-row bands a shared bucket is
+    // implied by the ≥ 8/16 agreement filter and no gate-SF bucket nears
+    // the cap, so the emitted pair set restates as the all-pairs
+    // batch×store agreement filter over the md5 signature law.
+    "dedup_near_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val store = Dedup.minhashStore(docs.where(col("doc_id") % 10 < 7),
+        "doc_id", "text")
+      Dedup.nearDupAgainstStore(store, docs.where(col("doc_id") % 10 >= 7),
+          "doc_id", "text")
+        .orderBy("batch_id", "store_id")
+    }),
+
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -1188,5 +1219,34 @@ object DedupCatalog {
         |  AND NOT EXISTS (SELECT 1 FROM hist h
         |                  WHERE h.fingerprint = b.fingerprint)
         |ORDER BY doc_id""".stripMargin,
+
+    // the keyed-md5 60-bit signature law, serialized like the Spark side
+    "dedup_sig_store" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents WHERE doc_id % 10 < 7),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0)
+         |SELECT doc_id AS id, array_to_string([${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |  ")}], ',') AS sig_s
+         |FROM sh ORDER BY id""".stripMargin,
+
+    // all-pairs batch×store agreement filter over the same signature law
+    // (1-row bands: a shared bucket is implied by n_agree >= 8)
+    "dedup_near_incremental" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |p AS (SELECT b.doc_id AS batch_id, s.doc_id AS store_id,
+         |    len(list_filter(range(1, 17), i -> b.sigs[i] = s.sigs[i]))::INT AS n_agree
+         |  FROM sig b JOIN sig s
+         |    ON b.doc_id % 10 >= 7 AND s.doc_id % 10 < 7)
+         |SELECT batch_id, store_id, n_agree,
+         |  n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,
   )
 }

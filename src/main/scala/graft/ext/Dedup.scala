@@ -1816,6 +1816,84 @@ object Dedup {
     * takes ownership and destroys the blob at `close()`, to consume it
     * more than once. A second action racing the async release at worst
     * fails loudly on the destroyed broadcast — never silently wrong. */
+  /** Per-document PORTABLE minhash-signature frame — the near-dup index AS
+    * DATA: the frame a continuous-ingest deployment materializes per batch
+    * and unions into its store (signatures are a pure per-row function, so
+    * `minhashStore(a) ∪ minhashStore(b) ≡ minhashStore(a ∪ b)` exactly —
+    * the ivfAssign append law applied to near-dup state). The signature
+    * family is [[minhashSignature60]] (keyed-md5 60-bit longs), the one an
+    * external oracle restates. Docs with fewer than `shingleLen` words
+    * carry no shingles and emit NO row (the streaming operator's own
+    * pre-filter). Returns (id, sig: array<long> of length numHashes). */
+  def minhashStore(df: DataFrame, idCol: String, textCol: String,
+                   shingleLen: Int = 3, numHashes: Int = 16): DataFrame =
+    df.where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+      .select(col(idCol).as("id"),
+        minhashSignature60(col(textCol), shingleLen, numHashes).as("sig"))
+
+  /** INCREMENTAL near-dup against a SERVED signature store — the batch
+    * twin of [[graft.streaming.EventTimeOps.streamingNearDedup]] and the
+    * near-dup sibling of [[newAgainstHistory]]: "does this batch
+    * near-duplicate anything previously KEPT?", answered WITHOUT
+    * re-reading (or even storing) the history's text. The batch computes
+    * its own signatures with the store's family; both sides band
+    * (`bandRows` signature rows per band — the LSH recall law, 1-row
+    * bands ⇒ P[candidate | jaccard j] = 1-(1-j)^numHashes); candidates
+    * join on (band, value) and score by signature-position agreement with
+    * EXACTLY the streaming operator's rule (agree/numHashes ≥ threshold —
+    * an estimate; route flagged pairs through exact verification when
+    * false positives matter).
+    *
+    * Scale shape: the exchange is keyed on band VALUES and carries
+    * signature rows (numHashes longs), never documents; the store side of
+    * a band bucket truncates to its `maxBucketSize` lowest ids
+    * ([[AdaptiveBucket]] derives c·√N) so a boilerplate band cannot go
+    * quadratic — the streaming op's maxPerBucket valve in batch form.
+    * Returns (batch_id, store_id, n_agree, est_jaccard), deduplicated
+    * (a pair can agree on several bands). */
+  def nearDupAgainstStore(store: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, shingleLen: Int = 3,
+                          numHashes: Int = 16, threshold: Double = 0.5,
+                          bandRows: Int = 1,
+                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    require(maxBucketSize > 0 || maxBucketSize == AdaptiveBucket,
+      s"maxBucketSize must be positive or Dedup.AdaptiveBucket: $maxBucketSize")
+    val nBands = numHashes / bandRows
+    def banded(sig: DataFrame, side: String): DataFrame =
+      sig.select(col("id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+        posexplode(array((0 until nBands).map(i =>
+          concat_ws(":", slice(col("sig"), i * bandRows + 1, bandRows))): _*))
+          .as(Seq("band", "v")))
+    val s = banded(store, "store")
+    val cap =
+      if (maxBucketSize != AdaptiveBucket) maxBucketSize
+      else adaptiveBucketCap(store.count())
+    val sCapped =
+      if (cap == Int.MaxValue) s
+      else {
+        // deterministic representatives: the cap lowest store ids per
+        // bucket — the rank exchange shares the candidate join's key
+        import org.apache.spark.sql.expressions.Window
+        s.withColumn("_bn", row_number().over(
+            Window.partitionBy("band", "v").orderBy("store_id")))
+          .where(col("_bn") <= cap).drop("_bn")
+      }
+    val b = banded(
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch")
+    val agree = aggregate(
+      zip_with(col("batch_sig"), col("store_sig"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    b.join(sCapped, Seq("band", "v"))
+      .select(col("batch_id"), col("store_id"), agree.as("n_agree"))
+      .where(col("n_agree").cast("double") / numHashes >= threshold)
+      .select(col("batch_id"), col("store_id"), col("n_agree"),
+        (col("n_agree").cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+  }
+
   def newAgainstHistory(batch: DataFrame, hist: DataFrame, keyCol: String,
                         expectedHistItems: Long = 1L << 22,
                         fpp: Double = 0.01,

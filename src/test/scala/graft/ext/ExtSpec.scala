@@ -66,6 +66,45 @@ class ExtSpec extends SparkSpec {
     assert(scrubbed === funnel + ("5_scrubbed" -> 1L))
   }
 
+  test("minhashStore union law and nearDupAgainstStore == all-pairs " +
+      "agreement filter; bucket cap bounds the store side") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val docs = Seq(
+      (1L, base * 3 + "one two"),
+      (2L, base * 3 + "one three"),   // near-dup of 1
+      (3L, "completely different words entirely unrelated content here"),
+      (4L, "xy"),                     // < 3 words: no signature row
+      (5L, base * 3 + "one two plus")) // near-dup of 1 and 2
+      .toDF("doc_id", "text")
+    // union law: signatures are per-row pure
+    val whole = Dedup.minhashStore(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    val parts = Dedup.minhashStore(docs.where(col("doc_id") <= 2), "doc_id", "text")
+      .unionByName(Dedup.minhashStore(docs.where(col("doc_id") > 2), "doc_id", "text"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(whole === parts)
+    assert(!whole.contains(4L)) // sub-shingle doc emits no signature
+    // batch (4,5) vs store (1,2,3): pairs == brute agreement filter
+    val store = Dedup.minhashStore(docs.where(col("doc_id") <= 3), "doc_id", "text")
+    val got = Dedup.nearDupAgainstStore(store,
+        docs.where(col("doc_id") > 3), "doc_id", "text")
+      .select("batch_id", "store_id", "n_agree")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = (for {
+      b <- Seq(5L); s <- Seq(1L, 2L, 3L)
+      agree = whole(b).zip(whole(s)).count { case (x, y) => x == y }
+      if agree.toDouble / 16 >= 0.5
+    } yield (b, s, agree)).toSet
+    assert(got === brute)
+    assert(got.map(t => (t._1, t._2)) === Set((5L, 1L), (5L, 2L)))
+    // the adaptive cap path runs (tiny corpus: just result-stable here)
+    val capped = Dedup.nearDupAgainstStore(store,
+        docs.where(col("doc_id") > 3), "doc_id", "text",
+        maxBucketSize = Dedup.AdaptiveBucket)
+      .select("batch_id", "store_id").as[(Long, Long)].collect().toSet
+    assert(capped.subsetOf(got.map(t => (t._1, t._2))))
+  }
+
   test("curation with extractMinWords: chrome stops welding same-host " +
       "pages; all-chrome pages drop; funnel reports 0a_extracted") {
     // three pages share link-heavy site chrome (passes no keep rule: short
