@@ -1827,7 +1827,12 @@ object Dedup {
     * pre-filter). Returns (id, sig: array<long> of length numHashes). */
   def minhashStore(df: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, numHashes: Int = 16): DataFrame =
-    df.where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+    // the md5-string signature projection is the CPU (numHashes passes ×
+    // md5 per shingle) and a narrow input (one parquet split) would run it
+    // in a single task — widen first, the nearDupPairs discipline
+    ensureParallelism(
+        df.where(size(split(lower(col(textCol)), " ")) >= shingleLen),
+        df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
         minhashSignature60(col(textCol), shingleLen, numHashes).as("sig"))
 
