@@ -180,10 +180,12 @@ object Bench {
     val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts}"""
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
-    println(jsonLine)
-    // the driver's artifact capture has truncated this line before (r8:
-    // 2000-char tail cut mid-JSON) — persist the full line to a build-dir
-    // file so per-query timings always survive for a local re-read
+    // The full-precision record goes to FILES ONLY (below), not stdout: the
+    // driver's artifact keeps the last 2000 chars of output and parses its
+    // JSON from there, and this line outgrew that window rounds ago — r15's
+    // artifact recorded "parsed": null with the full line sitting earlier
+    // in stdout. Stdout instead ends with a compact contract line (bottom
+    // of this method) that always fits the window whole.
     try {
       val out = java.nio.file.Paths.get("target/bench_latest.json")
       java.nio.file.Files.createDirectories(out.getParent)
@@ -220,8 +222,23 @@ object Bench {
       java.nio.file.Files.writeString(out, jsonLine + "\n")
     } catch { case _: Throwable => () } // best-effort: never fail the bench
     // A compact trailer so a bounded `tail` of the artifact always captures
-    // the headline number even when the full JSON line above is truncated.
+    // the headline number even when the contract line below ever outgrows it.
     println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts}""")
+    // LAST stdout line = the driver contract ({"metric",…,"queries":{name:
+    // sec,…},"sf"}), medians rounded so the whole line sits inside the
+    // 2000-char tail window with room for the launcher's epilogue. Falls
+    // back to 2 decimals if the catalog ever grows past what 3 fit.
+    def compactLine(dp: Int): String = {
+      def fmt(v: Double) =
+        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      val cq = results.map {
+        case (k, Measured(Right(ts), _, _, _)) => "\"" + k + "\":" + fmt(med(ts))
+        case (k, Measured(Left(_), _, _, _)) => "\"" + k + "\":-1"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$cq,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    val compact3 = compactLine(3)
+    println(if (compact3.length <= 1800) compact3 else compactLine(2))
     spark.stop()
   }
 }

@@ -779,5 +779,8 @@ object Queries {
     // runs the chrome-welded near-dup flood uncapped on purpose (the
     // contrast the row demonstrates) — a hazard demo, not a throughput row
     "etl_jsonl_scan", "sim_topk_graph_filtered", "mm_image_neardup",
-    "mm_audio_neardup", "dedup_near_incremental")
+    "mm_audio_neardup", "dedup_near_incremental",
+    // the design-point probe: served banded store, append-maintained —
+    // its cost should track the BATCH, not the store
+    "dedup_near_banded_append")
 }

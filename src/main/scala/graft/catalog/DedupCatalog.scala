@@ -227,6 +227,43 @@ object DedupCatalog {
     }),
 
 
+    // The MATERIALIZED capped band-representative store — the served
+    // LSH-bucket state as data (band, v, representative id, signature),
+    // each bucket truncated to its cap=2 lowest ids. This is the frame a
+    // continuous-ingest deployment writes once and probes per batch (the
+    // store-wide representative window is paid at CONSTRUCTION, never per
+    // batch). The oracle restates the 8-hash signature law, the banding,
+    // and the per-bucket rank cut.
+    "dedup_store_banded" -> ((s, d) => {
+      Dedup.minhashStoreBanded(t(s, d, "documents").where(col("doc_id") % 10 < 7),
+          "doc_id", "text", numHashes = 8, cap = 2)
+        .select(col("band"), col("v"), col("store_id"),
+          concat_ws(",", col("store_sig")).as("sig_s"))
+        .orderBy("band", "v", "store_id")
+    }),
+
+
+    // INCREMENTAL near-dup at the DESIGN POINT: served banded store built
+    // over the first half, APPEND-maintained over the next fifth (ids are
+    // NOT monotone across the two phases here, so this row additionally
+    // pins the first-cap-ARRIVALS semantics the append documents), then
+    // the last 30% probes the maintained representatives directly — no
+    // store-wide window, no store count, per-batch exchange bounded by
+    // batch size. The oracle restates representatives as a rank over
+    // (arrival phase, id) and the probe as the banded agreement join.
+    "dedup_near_banded_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val served0 = Dedup.minhashStoreBanded(
+        docs.where(col("doc_id") % 10 < 5), "doc_id", "text", cap = 2)
+      val delta = Dedup.minhashStoreBandedAppend(served0,
+        docs.where(col("doc_id") % 10 >= 5 && col("doc_id") % 10 < 7),
+        "doc_id", "text", cap = 2)
+      Dedup.nearDupAgainstBandedStore(served0.unionByName(delta),
+          docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
+        .orderBy("batch_id", "store_id")
+    }),
+
+
     // MinHash + LSH near-dup: shingle → signature → band bucket join →
     // exact-Jaccard verify. The at-scale dedup workhorse.
     "dedup_minhash" -> ((s, d) => {
@@ -1245,6 +1282,52 @@ object DedupCatalog {
          |    len(list_filter(range(1, 17), i -> b.sigs[i] = s.sigs[i]))::INT AS n_agree
          |  FROM sig b JOIN sig s
          |    ON b.doc_id % 10 >= 7 AND s.doc_id % 10 < 7)
+         |SELECT batch_id, store_id, n_agree,
+         |  n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,
+
+    // the 8-hash signature law banded one row per hash position, each
+    // bucket cut to its 2 lowest ids by rank
+    "dedup_store_banded" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents WHERE doc_id % 10 < 7),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 8).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |b AS (SELECT band::INT AS band, sigs[band + 1]::VARCHAR AS v,
+         |    doc_id AS store_id, array_to_string(sigs, ',') AS sig_s
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY store_id) AS rn FROM b)
+         |SELECT band, v, store_id, sig_s FROM r WHERE rn <= 2
+         |ORDER BY band, v, store_id""".stripMargin,
+
+    // representatives = rank over (arrival phase, id) per bucket (cap 2);
+    // probe = banded agreement join of the last 30% against them
+    "dedup_near_banded_append" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |sb AS (SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 0 ELSE 1 END
+         |    AS phase, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 < 7),
+         |reps AS (SELECT * FROM (SELECT sb.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY phase, doc_id) AS rn FROM sb)
+         |  WHERE rn <= 2),
+         |bb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 >= 7),
+         |p AS (SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS store_id,
+         |    len(list_filter(range(1, 17), i -> b.sigs[i] = r.sigs[i]))::INT
+         |      AS n_agree
+         |  FROM bb b JOIN reps r ON b.band = r.band AND b.v = r.v)
          |SELECT batch_id, store_id, n_agree,
          |  n_agree::DOUBLE / 16 AS est_jaccard
          |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,

@@ -629,9 +629,15 @@ object SimilarityCatalog {
     // identical; EventTimeSpec pins streamed == batch on both). This row
     // runs 12 hashes / agree ≥ 6, the portable twin below 16 / ≥ 8, so
     // the two gate DIFFERENT band geometries of the same stateful path.
+    // Caps are EXPLICITLY uncapped here: the oracle is the uncapped
+    // all-pairs agreement filter, and the operator's default valves
+    // (maxPerBucket=64, maxBatchPerBucket=4096) would silently drop pairs
+    // if a testdata regeneration planted a >64-doc near-identical cluster
+    // — the gate must compare like with like, not rely on fixture luck.
     "q_streaming_neardup" -> ((s, d) => {
       EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text",
           numHashes = 12,
+          maxPerBucket = Int.MaxValue, maxBatchPerBucket = Int.MaxValue,
           signature = Some(Dedup.minhashSignature60(col("text"), 3, 12)))
         .dropDuplicates("a_id", "b_id")
         .orderBy("a_id", "b_id")
@@ -648,6 +654,7 @@ object SimilarityCatalog {
     // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
     "q_streaming_neardup_portable" -> ((s, d) => {
       EventTimeOps.streamingNearDedup(t(s, d, "documents"), "doc_id", "text",
+          maxPerBucket = Int.MaxValue, maxBatchPerBucket = Int.MaxValue,
           signature = Some(Dedup.minhashSignature60(col("text"), 3, 16)))
         .dropDuplicates("a_id", "b_id")
         .orderBy("a_id", "b_id")

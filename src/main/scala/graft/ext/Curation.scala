@@ -90,9 +90,19 @@ object Curation {
     //     re-run it at scan level. All-chrome pages (zero kept blocks)
     //     drop here; the history fingerprints of an extracting recipe are
     //     therefore fingerprints of EXTRACTED text, consistent across runs.
+    //     The kept-blocks array (regex-heavy: block split + keep rule per
+    //     block) is projected ONCE behind a Generate barrier — explode of a
+    //     one-element array — because neither predicate pushdown nor
+    //     CollapseProject crosses a Generate: a plain filter-then-project
+    //     would clone the whole kernel into the filter and evaluate it
+    //     twice per page (codegen CSE stops at the operator boundary).
     val extracted = cfg.extractMinWords.fold(docs) { mw =>
-      docs.where(Extract.keptBlockCount(col(textCol), mw) >= 1)
-        .withColumn(textCol, Extract.mainTextOf(col(textCol), mw))
+      docs.select(col("*"),
+          explode(array(Extract.keptBlocksOf(col(textCol), mw)))
+            .as("__graft_kept_blocks"))
+        .where(size(col("__graft_kept_blocks")) >= 1)
+        .withColumn(textCol, Extract.textOfKeptBlocks(col("__graft_kept_blocks")))
+        .drop("__graft_kept_blocks")
     }
 
     // 0. incremental runs: drop documents already kept by a previous run

@@ -1373,12 +1373,18 @@ object Dedup {
       col("simhash").as("fp_a"))
     val b = banded.select(col("band"), col("v"), col(idCol).as("b_id"),
       col("simhash").as("fp_b"))
-    a.join(b, Seq("band", "v"))
+    val out = a.join(b, Seq("band", "v"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         hamming(col("fp_a"), col("fp_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair can agree on several bands
+    // scope-less callers get the self-releasing contract every other
+    // persisting operator honors: without it, each call in a long-lived
+    // session (the bench loops the perceptual-dedup rows per iteration)
+    // strands one MEMORY_AND_DISK fingerprint frame forever
+    if (scope == null) releaseAfterFirstAction(f, out)
+    out
   }
 
   /** 64-bit Hamming near-dup pairs — the PERCEPTUAL-FINGERPRINT join
@@ -1865,16 +1871,24 @@ object Dedup {
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     require(maxBucketSize > 0 || maxBucketSize == AdaptiveBucket,
       s"maxBucketSize must be positive or Dedup.AdaptiveBucket: $maxBucketSize")
-    val nBands = numHashes / bandRows
-    def banded(sig: DataFrame, side: String): DataFrame =
-      sig.select(col("id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
-        posexplode(array((0 until nBands).map(i =>
-          concat_ws(":", slice(col("sig"), i * bandRows + 1, bandRows))): _*))
-          .as(Seq("band", "v")))
-    val s = banded(store, "store")
+    // Capped operation here re-derives representatives with a STORE-WIDE
+    // window (plus, for AdaptiveBucket, a store count) on every batch — at
+    // the design point (huge store, small batch) that is the wrong cost
+    // shape. Continuous-ingest deployments should materialize the capped
+    // representatives ONCE via [[minhashStoreBanded]], maintain them with
+    // [[minhashStoreBandedAppend]], and probe with
+    // [[nearDupAgainstBandedStore]] — no per-batch store exchange at all.
+    // The capped path below stays for one-shot callers; the sizing count
+    // at least runs over a persisted signature frame (self-released) so
+    // the md5-heavy projection is not computed twice.
+    val storeP =
+      if (maxBucketSize == AdaptiveBucket)
+        store.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else store
     val cap =
       if (maxBucketSize != AdaptiveBucket) maxBucketSize
-      else adaptiveBucketCap(store.count())
+      else adaptiveBucketCap(storeP.count())
+    val s = bandedSig(storeP, "store", numHashes, bandRows)
     val sCapped =
       if (cap == Int.MaxValue) s
       else {
@@ -1885,18 +1899,153 @@ object Dedup {
             Window.partitionBy("band", "v").orderBy("store_id")))
           .where(col("_bn") <= cap).drop("_bn")
       }
-    val b = banded(
-      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch")
+    val b = bandedSig(
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch",
+      numHashes, bandRows)
+    val out = bandedAgreementJoin(b, sCapped, numHashes, threshold)
+    if (maxBucketSize == AdaptiveBucket) releaseAfterFirstAction(storeP, out)
+    out
+  }
+
+  /** Band-explode a signature frame (id, sig) into one row per band:
+    * (band, v, ${side}_id, ${side}_sig) with `v` the ':'-joined band slice
+    * — the LSH bucket key shared by the store/probe joins and the served
+    * banded store's layout. */
+  private def bandedSig(sig: DataFrame, side: String, numHashes: Int,
+                        bandRows: Int): DataFrame = {
+    val nBands = numHashes / bandRows
+    sig.select(col("id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+      posexplode(array((0 until nBands).map(i =>
+        concat_ws(":", slice(col("sig"), i * bandRows + 1, bandRows))): _*))
+        .as(Seq("band", "v")))
+      .select(col("band"), col("v"), col(s"${side}_id"), col(s"${side}_sig"))
+  }
+
+  /** The store-probe candidate join + signature-agreement filter shared by
+    * [[nearDupAgainstStore]] and [[nearDupAgainstBandedStore]]: join on the
+    * (band, v) bucket key, score by positional agreement, threshold, dedup
+    * (a pair can agree on several bands). */
+  private def bandedAgreementJoin(batchBanded: DataFrame, storeBanded: DataFrame,
+                                  numHashes: Int, threshold: Double): DataFrame = {
     val agree = aggregate(
       zip_with(col("batch_sig"), col("store_sig"),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v)
-    b.join(sCapped, Seq("band", "v"))
+    batchBanded.join(storeBanded, Seq("band", "v"))
       .select(col("batch_id"), col("store_id"), agree.as("n_agree"))
       .where(col("n_agree").cast("double") / numHashes >= threshold)
       .select(col("batch_id"), col("store_id"), col("n_agree"),
         (col("n_agree").cast("double") / numHashes).as("est_jaccard"))
       .distinct()
+  }
+
+  /** MATERIALIZED capped band-representative store — the served LSH-bucket
+    * state as data, built ONCE: [[minhashStore]]'s signatures band-exploded
+    * to (band, v, store_id, store_sig) with each (band, v) bucket truncated
+    * to its `cap` LOWEST ids. This is the frame a continuous-ingest
+    * deployment writes next to its corpus and probes per batch via
+    * [[nearDupAgainstBandedStore]] — the construction window shuffle is
+    * paid exactly once, never per batch (the cost shape
+    * [[nearDupAgainstStore]]'s inline capping gets wrong at scale).
+    *
+    * `cap` is part of the STORED STATE'S CONTRACT: it must stay fixed for
+    * the store's lifetime ([[AdaptiveBucket]] is rejected — a cap derived
+    * from a growing N would change which representatives are kept and break
+    * append stability). Representatives are append-stable under monotone
+    * ingest ids: the cap lowest ids of a bucket never change once the
+    * bucket is full, and [[minhashStoreBandedAppend]] only inserts into
+    * non-full buckets.
+    *
+    * Size shape: numHashes/bandRows rows per doc, each carrying the
+    * signature (the per-bucket state the streaming twin keeps in its state
+    * store) — for 16 one-row bands ≈ 16 × (16 longs + key) ≈ 2–3 KB/doc,
+    * orders of magnitude under the raw text it indexes; raise `bandRows`
+    * to shrink it (fewer, more selective bands — the standard LSH recall
+    * trade). */
+  def minhashStoreBanded(docs: DataFrame, idCol: String, textCol: String,
+                         shingleLen: Int = 3, numHashes: Int = 16,
+                         bandRows: Int = 1,
+                         cap: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    require(cap > 0,
+      s"cap must be positive and FIXED for the store's lifetime (AdaptiveBucket is not append-stable): $cap")
+    val s = bandedSig(minhashStore(docs, idCol, textCol, shingleLen, numHashes),
+      "store", numHashes, bandRows)
+    if (cap == Int.MaxValue) s
+    else {
+      import org.apache.spark.sql.expressions.Window
+      s.withColumn("_bn", row_number().over(
+          Window.partitionBy("band", "v").orderBy("store_id")))
+        .where(col("_bn") <= cap).drop("_bn")
+    }
+  }
+
+  /** Append DELTA for a served [[minhashStoreBanded]] store: the new banded
+    * rows the batch contributes, computed WITHOUT re-shuffling the store —
+    * union the result onto the served frame (or write it as a new file next
+    * to it) to maintain the state across batches.
+    *
+    * Exchange shape at the design point (store ≫ batch): the batch bands
+    * itself (batch-sized), ranks per bucket over the BATCH ONLY
+    * (batch-bounded window), and reads the store filtered to just the
+    * TOUCHED buckets (a semi-join against the batch's distinct bucket keys
+    * — partition-prunable when the served frame is written
+    * partitioned/bucketed by band) to count occupancy; a bucket already at
+    * `cap` admits nothing, a bucket with room admits the batch's lowest
+    * ids up to the remainder. No store-wide window, no store count.
+    *
+    * Contract: ids must be monotone with arrival (batch ids > every stored
+    * id) — then served(a) ++ append(served(a), b) ≡ built(a ∪ b) exactly
+    * (spec-pinned); with out-of-order ids the result is still a valid
+    * capped store, just "first cap ARRIVALS" rather than cap-lowest-ids. */
+  def minhashStoreBandedAppend(served: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               shingleLen: Int = 3, numHashes: Int = 16,
+                               bandRows: Int = 1,
+                               cap: Int = Int.MaxValue): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    require(cap > 0,
+      s"cap must be positive and FIXED for the store's lifetime: $cap")
+    val b = bandedSig(minhashStore(batch, idCol, textCol, shingleLen, numHashes),
+      "store", numHashes, bandRows)
+    if (cap == Int.MaxValue) b
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val keys = b.select(col("band"), col("v")).distinct()
+      // occupancy of ONLY the touched buckets: the semi-join prunes the
+      // store scan to ≤ cap rows per touched key before any exchange
+      val occ = served.join(broadcast(keys), Seq("band", "v"), "left_semi")
+        .groupBy(col("band"), col("v")).agg(count(lit(1)).as("_occ"))
+      b.withColumn("_bn", row_number().over(
+          Window.partitionBy("band", "v").orderBy("store_id")))
+        .join(occ, Seq("band", "v"), "left")
+        .where(col("_bn") + coalesce(col("_occ"), lit(0L)) <= cap)
+        .drop("_bn", "_occ")
+    }
+  }
+
+  /** INCREMENTAL near-dup probe against a SERVED [[minhashStoreBanded]]
+    * frame — [[nearDupAgainstStore]]'s design-point form: the batch
+    * computes its own signatures with the store's family, bands with the
+    * store's geometry, and joins the materialized representatives directly
+    * on (band, v). NO store-side window, NO store count, no re-derivation
+    * of representatives — the per-batch exchange carries batch signature
+    * rows plus the matched store buckets only. Same output contract as
+    * [[nearDupAgainstStore]]: (batch_id, store_id, n_agree, est_jaccard),
+    * distinct, agreement ≥ threshold. */
+  def nearDupAgainstBandedStore(served: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleLen: Int = 3, numHashes: Int = 16,
+                                threshold: Double = 0.5,
+                                bandRows: Int = 1): DataFrame = {
+    require(numHashes % bandRows == 0,
+      s"numHashes $numHashes must be a multiple of bandRows $bandRows")
+    val b = bandedSig(
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch",
+      numHashes, bandRows)
+    bandedAgreementJoin(b, served, numHashes, threshold)
   }
 
   def newAgainstHistory(batch: DataFrame, hist: DataFrame, keyCol: String,

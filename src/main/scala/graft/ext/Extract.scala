@@ -95,20 +95,32 @@ object Extract {
     * (keeping every other column) instead of joining the extraction frame
     * back by id: surviving blocks' visible text joined with newlines, in
     * document order. */
-  def mainTextOf(html: Column, minWords: Int = 5): Column = {
+  def mainTextOf(html: Column, minWords: Int = 5): Column =
+    textOfKeptBlocks(keptBlocksOf(html, minWords))
+
+  /** The raw blocks of `html` surviving the keep rule, in document order —
+    * the shared sub-expression of [[mainTextOf]] and [[keptBlockCount]].
+    * Callers that need BOTH the survival filter and the extracted text
+    * should project THIS array once (behind a Generate barrier if a filter
+    * sits between — Catalyst's predicate pushdown clones a projected alias
+    * into the filter, and codegen subexpression elimination does not span
+    * the filter/project boundary, so a naive filter-then-project runs the
+    * regex-heavy keep rule twice per page) and derive both from it. */
+  def keptBlocksOf(html: Column, minWords: Int = 5): Column = {
     require(minWords >= 1, s"minWords must be positive: $minWords")
-    array_join(transform(
-      filter(split(html, BlockTag), b => keepRule(b, minWords)),
-      plainOf(_)), "\n")
+    filter(split(html, BlockTag), b => keepRule(b, minWords))
   }
+
+  /** Visible text of a pre-computed [[keptBlocksOf]] array, joined with
+    * newlines — the derivation half of the evaluate-once pattern above. */
+  def textOfKeptBlocks(kept: Column): Column =
+    array_join(transform(kept, plainOf(_)), "\n")
 
   /** Number of blocks the survival rule keeps — the companion of
     * [[mainTextOf]] (a page with zero kept blocks is all chrome and is
     * usually dropped, not carried as an empty string). */
-  def keptBlockCount(html: Column, minWords: Int = 5): Column = {
-    require(minWords >= 1, s"minWords must be positive: $minWords")
-    size(filter(split(html, BlockTag), b => keepRule(b, minWords)))
-  }
+  def keptBlockCount(html: Column, minWords: Int = 5): Column =
+    size(keptBlocksOf(html, minWords))
 
   /** Document-level extraction: (id, main_text, n_blocks_kept,
     * n_blocks_total) — surviving blocks' visible text joined with

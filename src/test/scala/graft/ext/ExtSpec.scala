@@ -105,6 +105,54 @@ class ExtSpec extends SparkSpec {
     assert(capped.subsetOf(got.map(t => (t._1, t._2))))
   }
 
+  test("minhashStoreBanded: append law (built(a∪b) == served(a) ++ delta) " +
+      "and the banded probe == the inline-capped probe, per cap") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    val docs = Seq(
+      (1L, base * 3 + "one two"),
+      (2L, base * 3 + "one three"),
+      (3L, "completely different words entirely unrelated content here"),
+      (5L, base * 3 + "one two plus"),
+      (6L, base * 3 + "one four"),
+      (7L, base * 2 + "something else entirely but still sharing alpha"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String, Long, Seq[Long])] =
+      df.as[(Int, String, Long, Seq[Long])].collect().toSet
+    for (cap <- Seq(1, 2, Int.MaxValue)) {
+      // append stability: ids are monotone with arrival, so the delta of
+      // the later half on the earlier half's served store reconstructs the
+      // from-scratch build exactly — bucket by bucket, cap respected
+      val a = docs.where(col("doc_id") <= 3)
+      val b = docs.where(col("doc_id") > 3)
+      val servedA = Dedup.minhashStoreBanded(a, "doc_id", "text", cap = cap)
+      val delta = Dedup.minhashStoreBandedAppend(servedA, b, "doc_id", "text",
+        cap = cap)
+      val built = Dedup.minhashStoreBanded(docs, "doc_id", "text", cap = cap)
+      assert(rows(servedA.unionByName(delta)) === rows(built),
+        s"append law broke at cap=$cap")
+      // probe equivalence: the materialized representatives answer exactly
+      // what the inline store-wide-window path answers at the same cap
+      val viaBanded = Dedup.nearDupAgainstBandedStore(
+          Dedup.minhashStoreBanded(a, "doc_id", "text", cap = cap),
+          b, "doc_id", "text")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val viaInline = Dedup.nearDupAgainstStore(
+          Dedup.minhashStore(a, "doc_id", "text"), b, "doc_id", "text",
+          maxBucketSize = cap)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(viaBanded === viaInline, s"probe equivalence broke at cap=$cap")
+    }
+    // a full bucket admits nothing: with cap=1 every bucket of the served
+    // store keeps exactly its lowest id even after the append
+    val served1 = Dedup.minhashStoreBanded(docs.where(col("doc_id") <= 3),
+      "doc_id", "text", cap = 1)
+    val delta1 = Dedup.minhashStoreBandedAppend(served1,
+      docs.where(col("doc_id") > 3), "doc_id", "text", cap = 1)
+    val occ = served1.unionByName(delta1).groupBy("band", "v").count()
+      .agg(max("count")).as[Long].head()
+    assert(occ === 1L)
+  }
+
   test("curation with extractMinWords: chrome stops welding same-host " +
       "pages; all-chrome pages drop; funnel reports 0a_extracted") {
     // three pages share link-heavy site chrome (passes no keep rule: short

@@ -130,6 +130,32 @@ class ExtractSpec extends SparkSpec {
       "unique body one with plenty of words inside")
   }
 
+  test("curation extraction stage evaluates the keep rule ONCE per page") {
+    import graft.ext.{CacheScope, Curation}
+    val body = (0 until 40).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, s"<p>$body</p><div>x</div>")).toDF("doc_id", "text")
+    val scope = new CacheScope
+    try {
+      val out = Curation.curate(docs, "doc_id", "text",
+        Curation.Config(extractMinWords = Some(5)), scope)
+      // The regex-heavy block split + keep rule (anchor-extraction
+      // aggregate per RAW block, chrome included) must appear exactly ONCE
+      // per plan branch: the Generate barrier in Curation.stages stops
+      // predicate pushdown from cloning it into the filter above (which
+      // would double the per-page extraction CPU — codegen CSE does not
+      // span the filter/project boundary). The exact-dedup stage's
+      // semi-join legitimately re-evaluates the extraction on its
+      // aggregate branch, so the whole-plan count is 2 — one per branch;
+      // the pre-barrier shape was 2 per branch (4 total). Counting the
+      // distinctive head of the BlockTag pattern is plan-shape, not
+      // result-shape — a pushdown regression doubles it again.
+      val plan = out.queryExecution.optimizedPlan.toString
+      val hits = "\\(\\?i\\)</\\?\\(\\?:p\\|div".r.findAllIn(plan).length
+      assert(hits === 2, s"block-split evaluated $hits times:\n$plan")
+      assert(out.count() === 1)
+    } finally scope.close()
+  }
+
   test("extractMain feeds the gate pipeline: catalog row end-to-end") {
     val r = graft.ExtQueries.all("curation_extract_main")(
       spark, "/root/testdata/sf0.001")
