@@ -415,6 +415,30 @@ object BreadthCatalog {
     }),
 
 
+    // BM25 under the SCRIPT-AWARE tokenizer over the mixed-script fixture:
+    // the queries are single Han/Katakana/Thai CODEPOINTS — exactly what a
+    // whitespace index can never match (the runs are glued to latin words,
+    // so no whitespace token ever equals a single ideograph). Same exact
+    // integer/fixed-point scoring law as text_bm25_topk; only the token
+    // law changes, and the oracle restates both.
+    "text_bm25_cjk" -> ((s, d) => {
+      import s.implicits._
+      val fx = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          CatalogShared.CjkFixture.text(col("doc_id"), "epsilon").as("text"))
+      val h = CatalogShared.CjkFixture.Han
+      val ka = CatalogShared.CjkFixture.Kana
+      val th = CatalogShared.CjkFixture.Thai
+      val q = Seq((0L, h(0).toString), (0L, h(5).toString),
+        (1L, h(7).toString), (1L, h(12).toString),
+        (2L, ka(10).toString), (2L, th(6).toString)).toDF("query_id", "token")
+      ext.Retrieval.bm25TopK(fx, "doc_id", "text", q, k = 5,
+          tok = graft.ext.Tokenizer.ScriptAware)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // RAG indexing pipeline composed (E39): chunk (32-token window, 24
     // stride) → BM25 over the CHUNK corpus → top-5 chunks per query with
     // (doc_id, chunk_no) provenance — retrieval returns the passage, not
@@ -1588,6 +1612,43 @@ object BreadthCatalog {
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+
+    // the text_bm25_topk chain verbatim, with the words law swapped for
+    // the script-aware tokenizer and the corpus for the cjk fixture
+    "text_bm25_cjk" ->
+      s"""WITH ${CatalogShared.CjkFixture.alphabetsCte},
+         |fx AS (SELECT doc_id,
+         |    ${CatalogShared.CjkFixture.textSql("doc_id", "epsilon")} AS text
+         |  FROM documents, a WHERE doc_id < 30),
+         |toks AS (SELECT doc_id,
+         |    ${graft.ext.Tokenizer.ScriptAware.duckdbTokensSql("text")} AS ts
+         |  FROM fx),
+         |dl AS (SELECT doc_id, len(ts)::BIGINT AS dl FROM toks),
+         |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS sdl FROM dl),
+         |post AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+         |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+         |  FROM post GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+         |q AS (SELECT 0::BIGINT AS query_id, substr(a.han, 1, 1) AS token FROM a
+         |  UNION ALL SELECT 0::BIGINT, substr(a.han, 6, 1) FROM a
+         |  UNION ALL SELECT 1::BIGINT, substr(a.han, 8, 1) FROM a
+         |  UNION ALL SELECT 1::BIGINT, substr(a.han, 13, 1) FROM a
+         |  UNION ALL SELECT 2::BIGINT, substr(a.kana, 11, 1) FROM a
+         |  UNION ALL SELECT 2::BIGINT, substr(a.thai, 7, 1) FROM a),
+         |scored AS (SELECT q.query_id, tf.doc_id,
+         |    sum(floor((((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         |      * ((tf.tf * (1.2 + 1.0)) / (tf.tf + 1.2 * (0.25 + 0.75
+         |          * (dl.dl::DOUBLE / (stats.sdl::DOUBLE / stats.n::DOUBLE)))))
+         |      ) * 1048576.0))::BIGINT AS score_fp
+         |  FROM tf JOIN q USING (token) JOIN dfreq USING (token)
+         |    JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rank, score_fp FROM (
+         |  SELECT query_id, doc_id, score_fp,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_fp DESC, doc_id)::INT AS rank
+         |  FROM scored)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // mirrors rag_pipeline_e2e: the text_chunk CTE → chunk ids → the BM25
     // chain over chunks → provenance arithmetic

@@ -463,6 +463,55 @@ object CatalogShared {
 
   private[graft] val stopwords = Seq("data", "table", "row", "value")
 
+  /** Mixed-script fixture for the [[graft.ext.Tokenizer.ScriptAware]] rows:
+    * per-doc text built from integer formulas over three alphabet strings
+    * (Han 0x4E00+, Katakana 0x30A1+, Thai 0x0E01+), with latin words glued
+    * DIRECTLY onto the script runs — the boundary case whitespace
+    * tokenization cannot see. Both engines restate the construction: the
+    * Spark side embeds the driver-computed alphabet literals and indexes
+    * them with `substr` (codepoint-based in both engines); the oracle
+    * builds the same alphabets with `chr()` arithmetic so the SQL stays
+    * pure ASCII. */
+  private[graft] object CjkFixture {
+    val Han: String = (0 until 64).map(k => (0x4E00 + k).toChar).mkString
+    val Kana: String = (0 until 32).map(k => (0x30A1 + k).toChar).mkString
+    val Thai: String = (0 until 32).map(k => (0x0E01 + k).toChar).mkString
+
+    private def run(alpha: String, i: Column, len: Column, mul: Int,
+                    step: Int): Column =
+      array_join(transform(sequence(lit(0), len.cast("int") - 1),
+        j => lit(alpha).substr(
+          ((i * mul + j * step) % alpha.length).cast("int") + 1, lit(1))), "")
+
+    /** text(i) = "alpha beta"<han run>" gamma "<kana run><thai run>" delta "<suffix> */
+    def text(i: Column, suffix: String): Column = concat(
+      lit("alpha beta"),
+      run(Han, i, lit(3) + i % 4, mul = 7, step = 5),
+      lit(" gamma "),
+      run(Kana, i, lit(2) + i % 3, mul = 5, step = 3),
+      run(Thai, i, lit(2), mul = 3, step = 7),
+      lit(" delta " + suffix))
+
+    /** DuckDB restatement of [[text]] over an integer expression `i` —
+      * splice after the `cjkAlphabetsCte`. */
+    def textSql(i: String, suffix: String): String = {
+      def run(alphaExpr: String, alphaLen: Int, lenExpr: String, mul: Int,
+              step: Int): String =
+        s"array_to_string(list_transform(range(0, ($lenExpr)::BIGINT), " +
+          s"j -> substr($alphaExpr, (($i * $mul + j * $step) % $alphaLen)::INT + 1, 1)), '')"
+      s"'alpha beta' || ${run("a.han", 64, s"3 + $i % 4", 7, 5)} || " +
+        s"' gamma ' || ${run("a.kana", 32, s"2 + $i % 3", 5, 3)} || " +
+        s"${run("a.thai", 32, "2", 3, 7)} || ' delta $suffix'"
+    }
+
+    /** The alphabets CTE (`a(han, kana, thai)`) every cjk oracle opens with. */
+    val alphabetsCte: String =
+      """a AS (SELECT
+        |  (SELECT string_agg(chr((19968 + x)::INT), '' ORDER BY x) FROM range(0, 64) t(x)) AS han,
+        |  (SELECT string_agg(chr((12449 + x)::INT), '' ORDER BY x) FROM range(0, 32) t(x)) AS kana,
+        |  (SELECT string_agg(chr((3585 + x)::INT), '' ORDER BY x) FROM range(0, 32) t(x)) AS thai)""".stripMargin
+  }
+
   private[graft] object Sql {
     // MinHash-LSH near-dup pairs → recursive-reachability connected
     // components (shared by the label-propagation row and its

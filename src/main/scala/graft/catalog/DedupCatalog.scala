@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Tokenizer, Urls}
 import graft.streaming.EventTimeOps
 
 /** Deduplication family (SURVEY §2.8 E1): exact/span/anchored/substring, MinHash/SimHash/edit-distance/semantic LSH, cluster closure, survivors, incremental.
@@ -261,6 +261,32 @@ object DedupCatalog {
       Dedup.nearDupAgainstBandedStore(served0.unionByName(delta),
           docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
         .orderBy("batch_id", "store_id")
+    }),
+
+
+    // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
+    // mixed-script fixture: each base doc gets a twin differing in one
+    // trailing latin word, with its Han/Katakana/Thai runs glued to the
+    // latin words — under whitespace tokenization each run is ONE token
+    // welded to its neighbors and every signature degenerates; per-
+    // codepoint script tokens restore the shingle granularity LSH needs.
+    // The oracle restates the fixture, the script-aware token law, and the
+    // full shingle → signature → band → exact-Jaccard chain.
+    "dedup_minhash_cjk" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 20)
+      val base = ids.select(col("doc_id"),
+        CjkFixture.text(col("doc_id"), "epsilon").as("text"))
+      // text FIRST, rename AFTER: Spark 4's lateral column alias resolution
+      // would otherwise bind the fixture's doc_id reference to the shifted
+      // alias in the same projection list, silently changing the twin's text
+      val twins = ids.select(col("doc_id"),
+          CjkFixture.text(col("doc_id"), "zeta").as("text"))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      Dedup.nearDuplicates(base.unionByName(twins), "doc_id", "text",
+          shingleLen = 3, numHashes = 8, threshold = 0.5,
+          tok = Tokenizer.ScriptAware)
+        .orderBy("a_id", "b_id")
     }),
 
 
@@ -830,6 +856,35 @@ object DedupCatalog {
          |    AS detection_ppm
          |FROM ev GROUP BY 1 ORDER BY jac_decile""".stripMargin,
 
+
+    // the full portable chain under the script-aware token law: fixture →
+    // words → shingles → md5 signatures → 2-row bands → exact Jaccard
+    "dedup_minhash_cjk" ->
+      s"""WITH ${CjkFixture.alphabetsCte},
+         |ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+         |fx AS (SELECT doc_id,
+         |    ${CjkFixture.textSql("doc_id", "epsilon")} AS text
+         |  FROM ids, a
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    ${CjkFixture.textSql("doc_id", "zeta")} AS text
+         |  FROM ids, a),
+         |w AS (SELECT doc_id,
+         |    ${graft.ext.Tokenizer.ScriptAware.duckdbTokensSql("text")} AS words
+         |  FROM fx),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM w),
+         |sh2 AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+         |sig AS (SELECT doc_id, ${Sql.minhashSigs} AS sigs FROM sh2),
+         |bands AS (SELECT doc_id, unnest(range(1, 5)) AS band,
+         |  unnest(${Sql.minhashBands}) AS v FROM sig),
+         |cand AS (SELECT DISTINCT ba.doc_id AS a_id, bb.doc_id AS b_id
+         |  FROM bands ba JOIN bands bb ON ba.band = bb.band AND ba.v = bb.v
+         |  AND ba.doc_id < bb.doc_id),
+         |j AS (SELECT a_id, b_id,
+         |  len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
+         |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),

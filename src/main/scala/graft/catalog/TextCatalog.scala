@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Extract, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Extract, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Tokenizer, Urls}
 import graft.streaming.EventTimeOps
 
 /** Text-analysis family (E9): quality, tokens, BPE train/encode, LM scoring ladder, classifiers, lang-id, scrubbing, BM25/RAG.
@@ -181,6 +181,30 @@ object TextCatalog {
           sum(TextStats.nWords(col("text")).cast("long")).as("sum_words"),
           sum(TextStats.nSubwords(col("text")).cast("long")).as("sum_subwords"))
         .orderBy("lang")
+    }),
+
+
+    // SCRIPT-AWARE tokenization (Tokenizer.ScriptAware) over a planted
+    // mixed-script fixture: latin words glued DIRECTLY onto Han/Katakana/
+    // Thai runs — the document shape whitespace splitting reads as ONE
+    // token, which silently breaks minhash, BM25, and word-count gates on
+    // a multilingual corpus. The law (lowercase → space-pad every CJK/Thai
+    // codepoint → split on space runs, drop empties) is stated over
+    // explicit BMP ranges so both engines restate it verbatim; the row
+    // pins the exact token stream (joined), the count gate, and a
+    // stopword-ratio gate under the script-aware tokenizer.
+    "text_tokens_cjk" -> ((s, d) => {
+      val fx = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          CjkFixture.text(col("doc_id"), "epsilon").as("text"))
+      fx.select(col("doc_id"),
+          TextStats.nTokens(col("text"), Tokenizer.ScriptAware).as("n_tokens"),
+          array_join(TextStats.tokens(col("text"), Tokenizer.ScriptAware), "|")
+            .as("toks_s"),
+          TextStats.stopwordRatio(col("text"), Seq("alpha", "delta"),
+            Tokenizer.ScriptAware).as("stop_ratio"))
+        .orderBy("doc_id")
     }),
 
 
@@ -747,6 +771,22 @@ object TextCatalog {
         |  sum(len(regexp_extract_all(lower(text), '[a-z]+')))::BIGINT AS sum_words,
         |  sum(len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')))::BIGINT AS sum_subwords
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the script-aware law restated verbatim (pad-class over explicit BMP
+    // ranges) over the same integer-formula fixture
+    "text_tokens_cjk" ->
+      s"""WITH ${CjkFixture.alphabetsCte},
+         |fx AS (SELECT doc_id, ${CjkFixture.textSql("doc_id", "epsilon")}
+         |    AS text
+         |  FROM documents, a WHERE doc_id < 30),
+         |w AS (SELECT doc_id,
+         |    ${Tokenizer.ScriptAware.duckdbTokensSql("text")} AS words
+         |  FROM fx)
+         |SELECT doc_id, len(words)::INT AS n_tokens,
+         |  array_to_string(words, '|') AS toks_s,
+         |  len(list_filter(words, t -> t IN ('alpha', 'delta')))::DOUBLE
+         |    / len(words) AS stop_ratio
+         |FROM w ORDER BY doc_id""".stripMargin,
 
 
     // mirrors TextStats.bpeEncode under the pinned table: each word is

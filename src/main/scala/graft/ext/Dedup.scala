@@ -23,6 +23,12 @@ object Dedup {
   /** Lower-cased whitespace tokens. */
   def words(text: Column): Column = split(lower(text), " ")
 
+  /** Tokenizer-seam form of [[words]] — [[Tokenizer.Whitespace]] is the
+    * historical default everywhere; pass [[Tokenizer.ScriptAware]] for
+    * corpora with CJK/Thai content (whitespace splitting makes such a
+    * document ONE token, degenerating every downstream signature). */
+  def words(text: Column, tok: Tokenizer): Column = tok.tokens(text)
+
   /** Portable 32-bit token hash: first 8 hex digits of md5, as a long.
     * Engine-independent (md5 is md5 everywhere); used where an external
     * oracle must reproduce the value. */
@@ -43,8 +49,12 @@ object Dedup {
     * fewer than n words. The size guard matters: Spark's `sequence(1, 0)`
     * yields a DESCENDING [1, 0], not an empty array, which would fabricate
     * phantom shingles on short documents. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def wordShingles(text: Column, n: Int): Column =
+    wordShingles(text, n, Tokenizer.Whitespace)
+
+  /** Tokenizer-seam form of [[wordShingles]]. */
+  def wordShingles(text: Column, n: Int, tok: Tokenizer): Column = {
+    val w = words(text, tok)
     val sh = transform(
       sequence(lit(1), size(w) - lit(n - 1)),
       i => concat_ws(" ", slice(w, i, lit(n))))
@@ -57,10 +67,15 @@ object Dedup {
     * Bit-identical to [[hashedWordShinglesHof]] (asserted in NativeExprSpec):
     * same join/distinct/hash semantics, minus two interpreted `transform`s,
     * an interpreted `array_distinct`, and per-shingle slice allocations. */
-  def hashedWordShingles(text: Column, n: Int): Column = {
+  def hashedWordShingles(text: Column, n: Int): Column =
+    hashedWordShingles(text, n, Tokenizer.Whitespace)
+
+  /** Tokenizer-seam form of [[hashedWordShingles]] — the native kernel
+    * shingles whatever token array the tokenizer produces. */
+  def hashedWordShingles(text: Column, n: Int, tok: Tokenizer): Column = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
     GraftColumnBridge.column(expressions.HashedShinglesExpr(
-      GraftColumnBridge.expression(words(text)), n))
+      GraftColumnBridge.expression(words(text, tok)), n))
   }
 
   /** Higher-order-function twin of [[hashedWordShingles]] — the portable
@@ -95,7 +110,12 @@ object Dedup {
     * restates externally while fitting the Array[Long] state shape the
     * streaming near-dup operator keeps per bucket. */
   def minhashSignature60(text: Column, shingleLen: Int, k: Int): Column =
-    transform(minhashSignature(wordShingles(text, shingleLen), k),
+    minhashSignature60(text, shingleLen, k, Tokenizer.Whitespace)
+
+  /** Tokenizer-seam form of [[minhashSignature60]]. */
+  def minhashSignature60(text: Column, shingleLen: Int, k: Int,
+                         tok: Tokenizer): Column =
+    transform(minhashSignature(wordShingles(text, shingleLen, tok), k),
       s => conv(substring(s, 1, 15), 16, 10).cast("long"))
 
   /** Fast-path signature (xxhash64-based, one long per seed). Native
@@ -592,9 +612,11 @@ object Dedup {
                      shingleLen: Int = 3, numHashes: Int = 8,
                      threshold: Double = 0.5, bandRows: Int = 2,
                      maxBucketSize: Int = Int.MaxValue,
-                     scope: CacheScope = null): DataFrame =
+                     scope: CacheScope = null,
+                     tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
     nearDupPairs(df, idCol, textCol, shingleLen, numHashes, threshold,
-      bandRows, maxBucketSize, scope, wordShingles, minhashSignature)
+      bandRows, maxBucketSize, scope, wordShingles(_, _, tok),
+      minhashSignature, tok = tok)
 
   /** The at-scale twin of [[nearDuplicates]]: shingles are collapsed to
     * xxhash64 longs ONCE in the persisted frame, so (a) the per-seed minhash
@@ -636,11 +658,12 @@ object Dedup {
                          threshold: Double = 0.5, bandRows: Int = 1,
                          maxBucketSize: Int = Int.MaxValue,
                          scope: CacheScope = null,
-                         minSigAgree: Int = 2): DataFrame =
+                         minSigAgree: Int = 2,
+                         tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
     nearDupPairs(df, idCol, textCol, shingleLen, numHashes, threshold,
       bandRows, maxBucketSize, scope,
-      hashedWordShingles, minhashSignatureFast,
-      hashBands = true, minSigAgree = minSigAgree)
+      hashedWordShingles(_, _, tok), minhashSignatureFast,
+      hashBands = true, minSigAgree = minSigAgree, tok = tok)
 
   /** Repartition only when the incoming frame has fewer partitions than the
     * requested parallelism: a narrow input (one CSV file, a coalesced
@@ -656,7 +679,8 @@ object Dedup {
                            shinglesOf: (Column, Int) => Column,
                            signatureOf: (Column, Int) => Column,
                            hashBands: Boolean = false,
-                           minSigAgree: Int = 0): DataFrame = {
+                           minSigAgree: Int = 0,
+                           tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // Pre-shingle filter on the RAW text (size(words) >= n ⟺ shingle set
     // non-empty): cheap enough to push to the scan, unlike a size(sh) > 0
@@ -665,7 +689,7 @@ object Dedup {
     // shingle projection — and is a no-op for an already-well-split input.
     val sh = ensureParallelism(
       df.select(col(idCol), col(textCol))
-        .where(size(split(lower(col(textCol)), " ")) >= shingleLen), par)
+        .where(size(words(col(textCol), tok)) >= shingleLen), par)
       .select(col(idCol), shinglesOf(col(textCol), shingleLen).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(sh)
@@ -1832,15 +1856,16 @@ object Dedup {
     * carry no shingles and emit NO row (the streaming operator's own
     * pre-filter). Returns (id, sig: array<long> of length numHashes). */
   def minhashStore(df: DataFrame, idCol: String, textCol: String,
-                   shingleLen: Int = 3, numHashes: Int = 16): DataFrame =
+                   shingleLen: Int = 3, numHashes: Int = 16,
+                   tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
     // the md5-string signature projection is the CPU (numHashes passes ×
     // md5 per shingle) and a narrow input (one parquet split) would run it
     // in a single task — widen first, the nearDupPairs discipline
     ensureParallelism(
-        df.where(size(split(lower(col(textCol)), " ")) >= shingleLen),
+        df.where(size(words(col(textCol), tok)) >= shingleLen),
         df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-        minhashSignature60(col(textCol), shingleLen, numHashes).as("sig"))
+        minhashSignature60(col(textCol), shingleLen, numHashes, tok).as("sig"))
 
   /** INCREMENTAL near-dup against a SERVED signature store — the batch
     * twin of [[graft.streaming.EventTimeOps.streamingNearDedup]] and the

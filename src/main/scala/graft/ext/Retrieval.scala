@@ -54,12 +54,13 @@ object Retrieval {
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                maxDf: Option[Long] = None,
-               logIdf: Boolean = false): DataFrame = {
+               logIdf: Boolean = false,
+               tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(k >= 1, s"k must be positive: $k")
     val q = queryTerms.toDF("query_id", "token")
 
     val toks = docs.select(col(idCol).as("doc_id"),
-      TextStats.tokens(col(textCol)).as("ts"))
+      TextStats.tokens(col(textCol), tok).as("ts"))
     val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
     // only query-term postings are ever scored, and df(token) over the
     // whole corpus is exactly computable from just those postings — so the

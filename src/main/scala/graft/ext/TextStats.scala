@@ -17,6 +17,11 @@ object TextStats {
 
   def tokens(text: Column): Column = split(lower(text), " ")
 
+  /** Tokenizer-seam form of [[tokens]] — [[Tokenizer.Whitespace]] is the
+    * historical default; [[Tokenizer.ScriptAware]] keeps token counting,
+    * stopword ratios, and BM25 meaningful on CJK/Thai corpora. */
+  def tokens(text: Column, tok: Tokenizer): Column = tok.tokens(text)
+
   /** How many tokens fall in a marker vocabulary. `filter` + `array_contains`
     * counts every occurrence (not just distinct hits). */
   def markerHits(toks: Column, markers: Seq[String]): Column = {
@@ -170,6 +175,19 @@ object TextStats {
   /** Share of tokens in a stopword list (integer-derived double). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
     markerHits(tokens(text), stopwords).cast("double") / nTokens(text)
+
+  /** Tokenizer-seam form of the word-count quality gates: token count and
+    * stopword ratio under an explicit [[Tokenizer]] — the whitespace
+    * versions above reject every CJK/Thai document (ONE token) and are
+    * byte-identical to `tok = Whitespace` modulo the case convention
+    * ([[nTokens]] historically counts case-preserved raw splits; the
+    * seam form counts the tokenizer's lower-cased tokens). */
+  def nTokens(text: Column, tok: Tokenizer): Column = size(tok.tokens(text))
+
+  def stopwordRatio(text: Column, stopwords: Seq[String],
+                    tok: Tokenizer): Column =
+    markerHits(tokens(text, tok), stopwords).cast("double") /
+      nTokens(text, tok)
 
   /** Per-document unigram-diversity signals (the RedPajama-v2 family of
     * gibberish/boilerplate detectors — `frac_unique_words`, unigram

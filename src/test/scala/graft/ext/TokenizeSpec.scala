@@ -1,0 +1,95 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TokenizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val han = (0x4E00 to 0x4E02).map(_.toChar).mkString   // 3 ideographs
+  private val kana = (0x30A1 to 0x30A2).map(_.toChar).mkString  // 2 katakana
+  private val thai = (0x0E01 to 0x0E02).map(_.toChar).mkString  // 2 thai
+  private val hangul = 0xAC00.toChar.toString                   // 1 syllable
+
+  test("ScriptAware: per-codepoint script tokens, latin still whitespace") {
+    val text = s"Alpha beta$han gamma $kana$thai${hangul}delta"
+    val got = Seq(text).toDF("t")
+      .select(Tokenizer.ScriptAware.tokens(col("t"))).as[Seq[String]].head()
+    val expected = Seq("alpha", "beta") ++ han.map(_.toString) ++
+      Seq("gamma") ++ kana.map(_.toString) ++ thai.map(_.toString) ++
+      Seq(hangul, "delta")
+    assert(got === expected)
+  }
+
+  test("ScriptAware == Whitespace on single-spaced latin text; drops " +
+      "empties where Whitespace keeps them") {
+    val latin = "The quick brown Fox"
+    val df = Seq(latin).toDF("t")
+    val ws = df.select(Tokenizer.Whitespace.tokens(col("t"))).as[Seq[String]].head()
+    val sa = df.select(Tokenizer.ScriptAware.tokens(col("t"))).as[Seq[String]].head()
+    assert(ws === sa)
+    val doubled = Seq("a  b").toDF("t")
+    assert(doubled.select(Tokenizer.Whitespace.tokens(col("t")))
+      .as[Seq[String]].head() === Seq("a", "", "b"))
+    assert(doubled.select(Tokenizer.ScriptAware.tokens(col("t")))
+      .as[Seq[String]].head() === Seq("a", "b"))
+  }
+
+  test("whitespace degeneracy on CJK vs the script-aware fix: minhashStore " +
+      "emits no signature for a glued CJK doc under Whitespace, a full row " +
+      "under ScriptAware; default params stay byte-identical") {
+    val cjkDoc = Seq((1L, han + kana + thai)).toDF("doc_id", "text")
+    // glued CJK = ONE whitespace token < shingleLen → no signature row
+    assert(Dedup.minhashStore(cjkDoc, "doc_id", "text").count() === 0)
+    // per-codepoint tokens (7) ≥ shingleLen → signature present
+    val sa = Dedup.minhashStore(cjkDoc, "doc_id", "text",
+      tok = Tokenizer.ScriptAware)
+    assert(sa.count() === 1)
+    assert(sa.select(size(col("sig"))).as[Int].head() === 16)
+    // the seam default IS the historical path: same rows, same signatures
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val legacy = Dedup.minhashStore(docs, "doc_id", "text")
+      .as[(Long, Seq[Long])].collect().toMap
+    val seam = Dedup.minhashStore(docs, "doc_id", "text",
+        tok = Tokenizer.Whitespace)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(legacy === seam)
+    val p1 = Dedup.nearDuplicates(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val p2 = Dedup.nearDuplicates(docs, "doc_id", "text",
+        tok = Tokenizer.Whitespace)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(p1 === p2)
+  }
+
+  test("ScriptAware minhash finds the CJK near-dup Whitespace cannot see") {
+    // two docs: identical 12-ideograph body, one trailing ideograph differs
+    val body = (0 until 12).map(k => (0x4E00 + k).toChar).mkString
+    val docs = Seq((1L, body + 0x4E20.toChar),
+      (2L, body + 0x4E21.toChar)).toDF("doc_id", "text")
+    val ws = Dedup.nearDuplicates(docs, "doc_id", "text", numHashes = 8)
+    assert(ws.count() === 0) // one whitespace token each, differing → nothing
+    val sa = Dedup.nearDuplicates(docs, "doc_id", "text", numHashes = 8,
+      tok = Tokenizer.ScriptAware)
+    val got = sa.as[(Long, Long, Double)].collect()
+    assert(got.length === 1)
+    assert(got.head._1 === 1L && got.head._2 === 2L)
+    assert(got.head._3 > 0.5) // J = 10/12 over 3-shingles
+  }
+
+  test("bm25TopK with ScriptAware matches single-ideograph queries") {
+    val docs = Seq(
+      (1L, "intro words " + han),            // contains the han run
+      (2L, "other content entirely here"),
+      (3L, han.take(1) + " standalone")      // first ideograph only
+    ).toDF("doc_id", "text")
+    val q = Seq((0L, han(0).toString)).toDF("query_id", "token")
+    val hits = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5,
+        tok = Tokenizer.ScriptAware)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits === Set(1L, 3L))
+    // whitespace tokenization: the glued ideograph never matches
+    assert(Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5).count() === 1)
+  }
+}
