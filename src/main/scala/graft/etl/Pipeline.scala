@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
   * and rewrites the dims (tiny by construction) — the earlier design
   * rewrote the whole fact per batch, O(total), which caps out fast. Data
   * files are immutable and shared across versions; publish is one version-
-  * dir rename + one CURRENT pointer swap; a crash mid-batch leaves the live
-  * version untouched (at worst an orphan `facts/batch_*` dir that the next
-  * run of the same batch id overwrites). Replaying a batch id already in
-  * the manifest is a no-op — exactly-once on top of the file-source's
-  * at-least-once redelivery (SURVEY §2 row 37).
+  * dir rename + one CURRENT pointer swap, COMMITTED by an atomic
+  * create-if-absent claim on the version name (versions/v<N>.claim) so two
+  * concurrent writers serialize — the loser recomputes on the winner's
+  * version instead of clobbering it (optimistic concurrency, the
+  * Delta/Iceberg commit shape). A crash mid-batch leaves the live version
+  * untouched (at worst an orphan `facts/batch_*` dir that the next run of
+  * the same batch id overwrites); a crash between rename and pointer swap
+  * leaves a complete version the next writer repairs forward to. Replaying
+  * a batch id already in the manifest is a no-op — exactly-once on top of
+  * the file-source's at-least-once redelivery (SURVEY §2 row 37).
   *
   * Delta/staging tables (`*_dlt`, `staging`,
   * `lambda_function_redishift.py:57-69,87-91` + the 5 TRUNCATEs at
@@ -75,7 +80,10 @@ class StarStore(spark: SparkSession, root: String,
       val vdir = new Path(s"$root/versions")
       if (!fs.exists(vdir)) None
       else fs.listStatus(vdir).map(_.getPath.getName)
-        .filter(_.matches("v\\d+")).sorted.lastOption
+        .filter(_.matches("v\\d+"))
+        // complete (manifest-bearing) dirs only — crash debris never wins
+        .filter(v => fs.exists(new Path(s"${versionDir(v)}/manifest.txt")))
+        .sorted.lastOption
     }
   }
 
@@ -160,8 +168,10 @@ class StarStore(spark: SparkSession, root: String,
     * after every publish; idempotent and safe to call any time. */
   def sweepVersions(): Unit = {
     val vs = versions
-    vs.dropRight(retainVersions)
-      .foreach(v => fs.delete(new Path(versionDir(f"v$v%08d")), true))
+    vs.dropRight(retainVersions).foreach { v =>
+      fs.delete(new Path(versionDir(f"v$v%08d")), true)
+      fs.delete(claimPath(f"v$v%08d"), false): Unit // retire its claim marker
+    }
     val referenced = vs.takeRight(retainVersions)
       .flatMap(v => manifest(f"v$v%08d").batches).toSet
     val fdir = new Path(s"$root/facts")
@@ -179,29 +189,124 @@ class StarStore(spark: SparkSession, root: String,
     try out.write(m.serialized.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Rename a staged version dir into place. If the destination already
-    * exists it is a leftover from a crash AFTER a rename but BEFORE the
-    * pointer swap (CURRENT still names the previous version, so the orphan
-    * is not live) — delete it and retry, otherwise every later publish would
-    * fail forever on the occupied name. */
+  /** Rename a staged version dir into place — the COMMIT POINT of the
+    * claim protocol. The destination cannot exist: [[claimVersion]] grants
+    * the name exclusively, and a committed version dir is never deleted
+    * (a crash after this rename but before the pointer swap leaves a
+    * COMPLETE version that [[repairPointer]] advances to — the batch is
+    * committed, not orphaned). An existing destination therefore means the
+    * claim protocol was bypassed; failing loudly beats clobbering a
+    * concurrent winner's commit. */
   private def publishVersion(tmp: String, nextV: String): Unit = {
     val dest = new Path(versionDir(nextV))
-    if (fs.exists(dest)) fs.delete(dest, true)
+    if (fs.exists(dest)) {
+      // a manifest marks a COMMITTED version — renaming over one would
+      // clobber a concurrent winner, so that is a protocol violation.
+      // A manifest-LESS dir is crash debris (a non-atomic object-store
+      // "rename" that died mid-copy, or manual interference): no reader
+      // can resolve it, and we own the claim — clear it and commit.
+      require(!fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt")),
+        s"version $nextV already committed at $root — claim protocol violated")
+      fs.delete(dest, true)
+    }
     require(fs.rename(new Path(tmp), dest),
       s"version publish failed: $tmp -> $nextV")
   }
 
-  /** OPTIMISTIC-CONCURRENCY check, run immediately before a publish: the
-    * store version must still be the one this batch read its inputs from.
-    * A second writer that published in between moved CURRENT — committing
-    * anyway would assign duplicate SKEYs/fact ids from the stale snapshot
-    * and [[publishVersion]] would clobber the winner's version dir as a
-    * "crash leftover". This is conflict DETECTION, not prevention (a
-    * filesystem has no compare-and-swap; the residual window is the
-    * check→rename gap): like every file-listing commit protocol without a
-    * lock service, true concurrent writers need external serialization —
-    * this guard turns the accidental double-writer from silent corruption
-    * into a loud retryable failure. */
+  // ── optimistic-concurrency commit (claim files) ───────────────────────────
+  //
+  // Two concurrent runBatch callers must SERIALIZE, not lose an update: the
+  // loser recomputes on the winner's published version instead of clobbering
+  // it. The primitive is an atomic create-if-absent CLAIM file
+  // (versions/v<N>.claim): whoever creates it owns the right to rename its
+  // staged dir to versions/v<N>. Claims are taken LATE (right before the
+  // rename), so a claim's lifetime is milliseconds; a claim with no version
+  // dir older than StaleClaimMs is a crashed claimer and is broken. Claim
+  // content is a per-writer token re-checked immediately before the rename,
+  // so a broken-and-reclaimed name aborts the original writer instead of
+  // racing two renames onto one destination.
+
+  /** Atomically claim `nextV`; Some(writer token) on success, None when the
+    * name is already claimed (lost the race). On a `file:` store the create
+    * uses O_EXCL via NIO (Hadoop's RawLocalFileSystem create-if-absent is
+    * check-then-act, not atomic); elsewhere `FileSystem.create(overwrite =
+    * false)` — atomic on HDFS and object stores with conditional puts. */
+  private def claimVersion(nextV: String): Option[String] = {
+    val claim = claimPath(nextV)
+    fs.mkdirs(claim.getParent)
+    val token = java.util.UUID.randomUUID().toString
+    val created =
+      if (fs.getScheme == "file")
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(claim.toUri.getPath),
+            token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      else
+        try {
+          val out = fs.create(claim, false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    if (created) Some(token) else None
+  }
+
+  private def claimPath(nextV: String) =
+    new Path(s"$root/versions/$nextV.claim")
+
+  /** The claim is still OURS (content equals our token): re-checked
+    * immediately before the commit rename — if a stale-claim break
+    * re-assigned the name while we were between claim and rename, abort
+    * rather than rename onto a destination someone else now owns. */
+  private def claimStillOwned(nextV: String, token: String): Boolean =
+    try {
+      val in = fs.open(claimPath(nextV))
+      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      content == token
+    } catch { case _: java.io.IOException => false }
+
+  /** Break a CRASHED claimer's claim: the claim file exists, its version
+    * dir never appeared, and it is older than [[StarStore.StaleClaimMs]]
+    * (claims live for milliseconds in a healthy writer — the gap between
+    * claim and rename). Returns true if a stale claim was removed. */
+  private def breakStaleClaim(nextV: String): Boolean = {
+    val claim = claimPath(nextV)
+    try {
+      if (!fs.exists(claim) || fs.exists(new Path(versionDir(nextV)))) false
+      else {
+        val age = System.currentTimeMillis() - fs.getFileStatus(claim)
+          .getModificationTime
+        age > StarStore.StaleClaimMs && fs.delete(claim, false)
+      }
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Advance CURRENT to the highest COMPLETE version dir if the pointer
+    * fell behind (crash between the commit rename and the pointer swap):
+    * the rename is atomic over a fully-staged dir, so any visible
+    * versions/v<N> is a committed version — repairing forward loses
+    * nothing and un-wedges the next writer. */
+  private def repairPointer(): Unit = {
+    val vdir = new Path(s"$root/versions")
+    if (!fs.exists(vdir)) return
+    // only COMPLETE dirs count (manifest present): a manifest-less dir is
+    // crash debris, never a commit — advancing to it would wedge every read
+    val highest = fs.listStatus(vdir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+"))
+      .filter(v => fs.exists(new Path(s"${versionDir(v)}/manifest.txt")))
+      .sorted.lastOption
+    val ptr = currentVersion
+    highest.foreach { h =>
+      if (ptr.forall(_ < h)) swapPointer(h)
+    }
+  }
+
+  /** LEGACY conflict DETECTION (pre-claim protocol): the store version must
+    * still be the one this batch read its inputs from. [[runBatch]] now
+    * prevents the conflict outright via [[claimVersion]]; this check
+    * remains for external writers composing their own publish sequence. */
   private[etl] def publishGuard(priorV: Option[String]): Unit = {
     val nowV = currentVersion
     require(nowV == priorV,
@@ -240,11 +345,40 @@ class StarStore(spark: SparkSession, root: String,
 
   /** Process one raw batch end-to-end and atomically publish the updated
     * star. Returns the number of fact rows appended (0 for a replayed
-    * batch id). */
+    * batch id).
+    *
+    * CONCURRENT-WRITER SAFE: the publish commits by atomically claiming
+    * the next version name ([[claimVersion]]) before the rename, so two
+    * simultaneous callers serialize — the loser deletes its staged dir and
+    * RECOMPUTES against the winner's published version (its SKEYs/fact ids
+    * would otherwise duplicate the winner's), bounded at
+    * [[StarStore.MaxPublishRetries]] attempts. No update is ever lost and
+    * versions stay strictly monotone (spec-pinned by the concurrent-writer
+    * test). */
   def runBatch(raw: DataFrame, batchId: String): Long = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
+    var attempt = 0
+    while (attempt <= StarStore.MaxPublishRetries) {
+      repairPointer()
+      attemptBatch(raw, batchId) match {
+        case Some(appended) => return appended
+        case None =>
+          attempt += 1
+          // the winner is mid-swap or just ahead; brief linear backoff and
+          // recompute from its published snapshot
+          Thread.sleep(50L * attempt)
+      }
+    }
+    sys.error(s"runBatch($batchId) gave up after " +
+      s"${StarStore.MaxPublishRetries} concurrent-publish retries at $root")
+  }
+
+  /** One optimistic attempt: compute against the current snapshot, stage,
+    * claim, commit. None = lost the publish race (staged dir cleaned up,
+    * caller recomputes). */
+  private def attemptBatch(raw: DataFrame, batchId: String): Option[Long] = {
     val prior = currentVersion.map(v => (v, manifest(v)))
-    if (prior.exists(_._2.applied.contains(batchId))) return 0L // replay → no-op
+    if (prior.exists(_._2.applied.contains(batchId))) return Some(0L) // replay
 
     val cleaned = Transform.clean(raw)
       .withColumn("SITE", coalesce(col("SITE"), lit(Fact.NoneMember)))
@@ -287,25 +421,52 @@ class StarStore(spark: SparkSession, root: String,
       prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId,
       prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
     writeManifest(tmp, newManifest)
-    publishGuard(prior.map(_._1)) // loud on a concurrent publish
-    publishVersion(tmp, nextV)
 
-    // 3. swap the CURRENT pointer (recovery: highest version wins, above).
-    swapPointer(nextV)
+    // 3. claim the version name atomically; a lost claim means a concurrent
+    //    writer published since this attempt read `prior` — clean up and
+    //    recompute (committing anyway would duplicate SKEYs/fact ids from
+    //    the stale snapshot). The token re-check closes the break-reclaim
+    //    race documented on claimStillOwned.
+    val committed = claimVersion(nextV) match {
+      case Some(token) =>
+        val ours = claimStillOwned(nextV, token)
+        if (ours &&
+            !fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt"))) {
+          publishVersion(tmp, nextV)
+          swapPointer(nextV)
+          // the claim's job is done once the commit is visible — retire it
+          // so the versions/ listing stays exactly the committed dirs
+          // (claims of already-committed names are caught by the manifest
+          // pre-check above)
+          fs.delete(claimPath(nextV), false): Unit
+          true
+        } else {
+          // lost after all: the name was committed before its claim was
+          // retired (retire OUR claim of it), or our claim was broken and
+          // re-assigned mid-gap (then it is not ours to delete)
+          fs.delete(new Path(tmp), true)
+          if (ours) fs.delete(claimPath(nextV), false): Unit
+          false
+        }
+      case None =>
+        fs.delete(new Path(tmp), true)
+        breakStaleClaim(nextV): Unit // un-wedge a crashed claimer for the retry
+        false
+    }
+    Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
+    if (!committed) return None
 
     // 4. retention sweep: retire version dirs beyond the time-travel window
     //    (fact data files are shared and never copied, so with the default
     //    retainVersions=1 this only removes tiny dim snapshots).
     sweepVersions()
 
-    Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
-
     // Keep the live delta count bounded: the fact is a union over live
     // batch dirs, so an unbounded batch history degrades every read. The
     // `applied` list survives compaction — replays stay no-ops.
-    if (newManifest.batches.length > autoCompactAfter) compact()
+    if (newManifest.batches.length > autoCompactAfter) compact(): Unit
     else refreshViews()
-    appended
+    Some(appended)
   }
 
   /** Compact the live fact deltas into one partitioned directory and publish
@@ -330,14 +491,24 @@ class StarStore(spark: SparkSession, root: String,
         fs, new Path(s"$tmp/$t"), false, spark.sparkContext.hadoopConfiguration)
     }
     writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId), m.applied))
-    publishVersion(tmp, nextV)
-    swapPointer(nextV)
-    // pre-compaction delta dirs are reclaimed by the sweep only once no
-    // RETAINED version still references them — time-travel reads into the
-    // pre-compaction window keep working until it ages out
-    sweepVersions()
-    refreshViews()
-    m.batches.length.toLong
+    claimVersion(nextV) match {
+      case Some(token) if claimStillOwned(nextV, token) &&
+          !fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt")) =>
+        publishVersion(tmp, nextV)
+        swapPointer(nextV)
+        fs.delete(claimPath(nextV), false): Unit
+        // pre-compaction delta dirs are reclaimed by the sweep only once no
+        // RETAINED version still references them — time-travel reads into
+        // the pre-compaction window keep working until it ages out
+        sweepVersions()
+        refreshViews()
+        m.batches.length.toLong
+      case _ =>
+        // a concurrent publish superseded this compaction's snapshot —
+        // drop the staged dir; the next over-threshold publish re-triggers
+        fs.delete(new Path(tmp), true)
+        0L
+    }
   }
 }
 
@@ -346,6 +517,19 @@ object StarStore {
     * steady-state ingest rarely pays a compaction, low enough that the
     * fact-union plan stays a handful of parquet roots. */
   val DefaultAutoCompactAfter: Int = 16
+
+  /** Bound on concurrent-publish recomputes in [[StarStore.runBatch]] —
+    * each retry means another writer committed first, so hitting the bound
+    * means 5+ publishes landed during this batch's compute: a pathological
+    * contention level worth failing loudly over. */
+  val MaxPublishRetries: Int = 5
+
+  /** Age past which a claim file with NO version dir is a crashed claimer
+    * (a live claim spans only the claim→rename gap, milliseconds): broken
+    * by the next writer. Generous so a stalled-but-alive writer is never
+    * raced on any realistic filesystem hiccup; the claim-token re-check
+    * before rename backstops even that. */
+  val StaleClaimMs: Long = 5L * 60 * 1000
 
   final case class Manifest(maxFactId: Long, batches: Seq[String],
                             applied: Seq[String]) {

@@ -312,6 +312,73 @@ class StarPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("concurrent writers serialize via version claims: no lost update, " +
+      "monotone versions, exactly-once per batch id") {
+    val root = tmpDir("graft-star-ccw")
+    val store = StarStore(spark, root, autoCompactAfter = Int.MaxValue,
+      retainVersions = 10)
+    assert(store.runBatch(rawBatch1, "seed") === 3)
+
+    val w3 = Seq(
+      ("2017-01-11T00:07:00.000Z", "web|Live|W3", "206"),
+      ("2017-01-11T00:08:00.000Z", "web|Live|W4", "206,101")
+    ).toDF("DateTime", "VideoTitle", "events")
+    // two INDEPENDENT store handles over the same root, racing distinct
+    // batch ids from two threads — the claim protocol must serialize them:
+    // the loser recomputes against the winner's version, neither is lost
+    val s1 = StarStore(spark, root, Int.MaxValue, 10)
+    val s2 = StarStore(spark, root, Int.MaxValue, 10)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val gate = new java.util.concurrent.CountDownLatch(2)
+      def racing(s: StarStore, raw: org.apache.spark.sql.DataFrame,
+                 id: String): Future[Long] = Future {
+        gate.countDown(); gate.await() // maximize overlap
+        s.runBatch(raw, id)
+      }
+      val r1 = racing(s1, rawBatch2, "w1")
+      val r2 = racing(s2, w3, "w2")
+      assert(Await.result(r1, 5.minutes) === 2)
+      assert(Await.result(r2, 5.minutes) === 2)
+    } finally pool.shutdown()
+
+    // both updates present: seed(3) + w1(2, one replay row deduped by the
+    // pipeline? no — rawBatch2 keeps both rows as facts) + w2(2)
+    assert(store.fact.count() === 7)
+    // versions strictly monotone, three publishes visible
+    val vs = store.versions
+    assert(vs === vs.sorted && vs.distinct === vs, s"versions not monotone: $vs")
+    assert(vs.size === 3)
+    // exactly-once: replaying either racer is a no-op
+    assert(store.runBatch(rawBatch2, "w1") === 0)
+    assert(store.runBatch(w3, "w2") === 0)
+    // fact ids are unique across the racing publishes (a lost-update clone
+    // would duplicate the stale snapshot's id range)
+    val n = store.fact.count()
+    assert(store.fact.select("factid").distinct().count() === n)
+  }
+
+  test("a crashed claimer's stale claim is broken; the pointer repairs " +
+      "forward over a committed-but-unswapped version") {
+    val root = tmpDir("graft-star-stale")
+    val store = StarStore(spark, root)
+    assert(store.runBatch(rawBatch1, "b1") === 3)
+    // fake a claimer that died between claim and rename: claim v2, no dir,
+    // mtime pushed past the staleness window
+    val claim = java.nio.file.Paths.get(s"$root/versions/v00000002.claim")
+    java.nio.file.Files.write(claim, "dead-writer".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - StarStore.StaleClaimMs - 1000))
+    // the next publish must break the stale claim and commit as v2
+    assert(store.runBatch(rawBatch2, "b2") === 2)
+    assert(store.versions.max === 2L)
+    assert(store.fact.count() === 5)
+  }
+
   test("optimistic concurrency: a publish from a stale snapshot fails loudly") {
     val root = tmpDir("graft-star-occ")
     val store = StarStore(spark, root)
