@@ -2060,16 +2060,25 @@ object Dedup {
     * rows plus the matched store buckets only. Same output contract as
     * [[nearDupAgainstStore]]: (batch_id, store_id, n_agree, est_jaccard),
     * distinct, agreement ≥ threshold. */
+  /** `broadcastBatch` (default on) broadcasts the batch's banded signature
+    * frame so the served store is STREAMED from storage, never shuffled —
+    * the design-point plan (batch ≪ store; a 10⁵-doc batch at 16 bands is
+    * ~25 MB broadcast). Disable it for batches too large to broadcast
+    * (≳10⁷ docs), where the sort-merge join is the honest price — or
+    * better, write the served frame bucketed by (band, v) and let the
+    * bucketed-join layout co-locate the probe with no store exchange. */
   def nearDupAgainstBandedStore(served: DataFrame, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 shingleLen: Int = 3, numHashes: Int = 16,
                                 threshold: Double = 0.5,
-                                bandRows: Int = 1): DataFrame = {
+                                bandRows: Int = 1,
+                                broadcastBatch: Boolean = true): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
-    val b = bandedSig(
+    val b0 = bandedSig(
       minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch",
       numHashes, bandRows)
+    val b = if (broadcastBatch) broadcast(b0) else b0
     bandedAgreementJoin(b, served, numHashes, threshold)
   }
 

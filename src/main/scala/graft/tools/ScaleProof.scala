@@ -186,6 +186,39 @@ object ScaleProof {
           cfg.copy(extractMinWords = Some(5))).count()
       }
     }
+    // the r16 served-store design point: store = 98% of the 10× corpus,
+    // batch = 2%, cap FIXED at construction. The INLINE capped probe
+    // re-derives representatives with a store-wide window per batch (its
+    // shufW tracks the whole store); the SERVED banded probe reads the
+    // materialized representatives and broadcasts the batch bands, so its
+    // per-batch exchange is bounded by the batch + matched candidates —
+    // the store is streamed, never shuffled. The append delta is likewise
+    // batch-bounded (touched buckets only).
+    if (wanted("dedup_store_probe")) {
+      val batch = docs.where(col("doc_id") % 50 === 0)   // ~2%
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)  // ~98%
+      val cap = Dedup.adaptiveBucketCap(corpus.count())  // fixed for life
+      val storePath = java.nio.file.Files
+        .createTempDirectory("graft_sproof").toString + "/banded"
+      measured("store_banded_build") { // one-time construction, not per batch
+        Dedup.minhashStoreBanded(corpus, "doc_id", "text", cap = cap)
+          .write.mode("overwrite").parquet(storePath)
+        spark.read.parquet(storePath).count()
+      }
+      measured("store_probe_inline") { // the OLD shape: window per batch
+        Dedup.nearDupAgainstStore(
+          Dedup.minhashStore(corpus, "doc_id", "text"), batch,
+          "doc_id", "text", maxBucketSize = cap).count()
+      }
+      measured("store_probe_banded") { // served state, batch-bounded
+        Dedup.nearDupAgainstBandedStore(spark.read.parquet(storePath),
+          batch, "doc_id", "text").count()
+      }
+      measured("store_banded_append") {
+        Dedup.minhashStoreBandedAppend(spark.read.parquet(storePath),
+          batch, "doc_id", "text", cap = cap).count()
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),

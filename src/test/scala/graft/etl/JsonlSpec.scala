@@ -3,6 +3,7 @@ package graft.etl
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 class JsonlSpec extends SparkSpec {
   import spark.implicits._
@@ -106,6 +107,85 @@ class JsonlSpec extends SparkSpec {
     val batch = Sources.jsonl(spark, s"$dir/drop*", schema)
     assert(batch.count() === 3)
     assert(batch.where(col("_corrupt_record").isNotNull).count() === 1)
+  }
+
+  test("streamed JSONL drives INCREMENTAL curation end-to-end: per-batch " +
+      "extraction + dedup, history carries across micro-batches as served " +
+      "state, quarantine rides as data") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ext.{CacheScope, Curation}
+    val dir = tmpDir("graft-jsonl-cur")
+    val ckpt = tmpDir("graft-jsonl-cur-ckpt")
+    val histDir = tmpDir("graft-jsonl-cur-hist") + "/fps"
+    val keptIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val nQuarantined = new java.util.concurrent.atomic.AtomicLong(0)
+
+    val bodyA = "<p>alpha beta gamma delta epsilon zeta eta theta</p>" +
+      "<div>x</div>"
+    val chromeOnly = "<div><a href=\"/h\">home link menu</a></div><div>ad</div>"
+    val bodyB = "<p>one two three four five six seven eight nine</p>"
+
+    def drop(lines: Seq[String], part: Int): Unit =
+      lines.toDF("value").coalesce(1).write.mode("overwrite")
+        .text(s"$dir/drop$part")
+
+    // the continuous-ingest recipe: each micro-batch quarantines malformed
+    // lines AS DATA, curates the good rows (extraction before dedup), and
+    // appends the kept EXTRACTED-text fingerprints to a served history
+    // store the NEXT batch probes — exactly-once dedup across drops with
+    // the store never re-shuffled (bloom probe + exact confirm)
+    def runOnce(): Unit = {
+      val q = Sources.jsonlStream(spark, s"$dir/drop*", schema)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          nQuarantined.addAndGet(
+            df.where(col("_corrupt_record").isNotNull).count()): Unit
+          val good = df.where(col("_corrupt_record").isNull)
+            .select(col("id"), col("text"))
+          val hist =
+            if (new java.io.File(histDir).exists())
+              Some(spark.read.parquet(histDir))
+            else None
+          val scope = new CacheScope
+          try {
+            val kept = Curation.curate(good, "id", "text",
+              Curation.Config(extractMinWords = Some(3), minTokens = 5,
+                history = hist), scope)
+            // consume once, then persist the new fingerprints as state:
+            // fingerprints are of the EXTRACTED text (what curate keeps)
+            val rows = kept.select(col("id"),
+              md5(lower(col("text"))).as("fingerprint")).collect()
+            rows.foreach(r => keptIds.add(r.getLong(0)): Unit)
+            if (rows.nonEmpty)
+              spark.createDataFrame(
+                java.util.Arrays.asList(rows: _*),
+                kept.select(col("id"),
+                  md5(lower(col("text"))).as("fingerprint")).schema)
+                .write.mode("append").parquet(histDir)
+          } finally scope.close()
+        }.start()
+      q.awaitTermination()
+    }
+
+    drop(Seq(
+      s"""{"id": 1, "meta": {"src": "web", "tags": []}, "text": "${bodyA.replace("\"", "\\\"")}"}""",
+      s"""{"id": 2, "meta": {"src": "web", "tags": []}, "text": "${chromeOnly.replace("\"", "\\\"")}"}""",
+      "garbage line"), 1)
+    runOnce()
+    assert(keptIds.contains(1L)) // body page survives extraction + gates
+    assert(!keptIds.contains(2L)) // all-chrome page died at extraction
+    assert(nQuarantined.get() === 1)
+
+    drop(Seq(
+      s"""{"id": 3, "meta": {"src": "cc", "tags": []}, "text": "${bodyA.replace("\"", "\\\"")}"}""",
+      s"""{"id": 4, "meta": {"src": "cc", "tags": []}, "text": "$bodyB"}"""), 2)
+    runOnce()
+    // the cross-drop duplicate died against the SERVED history, the new
+    // body survived — no re-read of drop 1's text anywhere
+    assert(keptIds.asScala.toSet === Set(1L, 4L))
+    // the history store is the union of both batches' kept fingerprints
+    assert(spark.read.parquet(histDir).count() === 2)
   }
 
   test("jsonl rejects a schema that already carries the corrupt column") {
