@@ -504,6 +504,16 @@ object CatalogShared {
         s"${run("a.thai", 32, "2", 3, 7)} || ' delta $suffix'"
     }
 
+    /** A LOW-TOKEN mixed-script doc (one latin word + a 2-4 ideograph run)
+      * — under any sane script-aware minTokens gate, the planted gate
+      * victim of the cjk curation row. */
+    def shortText(i: Column): Column = concat(
+      lit("alpha "), run(Han, i, lit(2) + i % 3, mul = 11, step = 3))
+
+    def shortTextSql(i: String): String =
+      s"'alpha ' || array_to_string(list_transform(range(0, (2 + $i % 3)::BIGINT), " +
+        s"j -> substr(a.han, (($i * 11 + j * 3) % 64)::INT + 1, 1)), '')"
+
     /** The alphabets CTE (`a(han, kana, thai)`) every cjk oracle opens with. */
     val alphabetsCte: String =
       """a AS (SELECT
@@ -906,10 +916,12 @@ object CatalogShared {
     // extracted-vs-raw contrast row); `threshold` mirrors
     // Config.jaccardThreshold when a row overrides the 0.5 default.
     def curationCtes(src: String = "documents", sfx: String = "",
-                     threshold: String = "0.5"): String =
+                     threshold: String = "0.5",
+                     wordsExpr: String = "string_split(lower(text), ' ')")
+        : String =
       s"""docs0$sfx AS (SELECT doc_id, text FROM $src d0 WHERE doc_id IN (
          |  SELECT min(doc_id) FROM $src d1 GROUP BY md5(lower(text)))),
-         |w$sfx AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM docs0$sfx),
+         |w$sfx AS (SELECT doc_id, $wordsExpr AS words FROM docs0$sfx),
          |sh$sfx AS (SELECT doc_id, $wordShingles3 AS s FROM w$sfx),
          |sh2$sfx AS (SELECT doc_id, s FROM sh$sfx WHERE len(s) > 0),
          |sig$sfx AS (SELECT doc_id, $minhashSigs AS sigs FROM sh2$sfx),

@@ -402,6 +402,34 @@ object DedupCatalog {
     }),
 
 
+    // The WHOLE curation recipe under the SCRIPT-AWARE tokenizer
+    // (Config.tokenizer — E52 composed into E1c): mixed-script corpus with
+    // near-dup twins that only per-codepoint shingles can see, plus
+    // low-token ideograph docs the count gate must reject by SCRIPT-AWARE
+    // counting (whitespace counting would pass them at 2 tokens... and
+    // reject every FULL doc at ~7). Exact dedup (tokenizer-independent
+    // fingerprints) → script-aware near-dup clusters (min-id survivors) →
+    // script-aware quality gate. The oracle reuses the recursive curation
+    // CTE chain with the words law swapped.
+    "curation_pipeline_cjk" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 20)
+      val base = ids.select(col("doc_id"),
+        CjkFixture.text(col("doc_id"), "epsilon").as("text"))
+      val twins = ids.select(col("doc_id"),
+          CjkFixture.text(col("doc_id"), "zeta").as("text"))
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val shorts = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") >= 20 && col("doc_id") < 30)
+        .select(col("doc_id"), CjkFixture.shortText(col("doc_id")).as("text"))
+      Curation.curate(base.unionByName(twins).unionByName(shorts),
+          "doc_id", "text",
+          Curation.Config(minTokens = 10,
+            tokenizer = graft.ext.Tokenizer.ScriptAware))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
+
     // Per-source data card — the summary a curation run publishes with a
     // released dataset: doc/token volume, language breadth, exact-dup
     // membership (global fingerprint groups ≥ 2, counted per source), and
@@ -922,6 +950,31 @@ object DedupCatalog {
          |WHERE doc_id NOT IN (SELECT s FROM losers)
          |  AND ${Sql.curationQualityPred}
          |ORDER BY doc_id""".stripMargin,
+
+    // the same recursive chain with the words law swapped for the
+    // script-aware tokenizer, over the constructed mixed-script corpus
+    "curation_pipeline_cjk" -> {
+      val saWords = graft.ext.Tokenizer.ScriptAware.duckdbTokensSql("text")
+      s"""WITH RECURSIVE
+         |${CjkFixture.alphabetsCte},
+         |ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+         |cjkdocs AS (
+         |  SELECT doc_id, ${CjkFixture.textSql("doc_id", "epsilon")} AS text
+         |  FROM ids, a
+         |  UNION ALL
+         |  SELECT doc_id + 100000, ${CjkFixture.textSql("doc_id", "zeta")}
+         |  FROM ids, a
+         |  UNION ALL
+         |  SELECT doc_id, ${CjkFixture.shortTextSql("doc_id")}
+         |  FROM documents, a WHERE doc_id >= 20 AND doc_id < 30),
+         |${Sql.curationCtes(src = "cjkdocs", wordsExpr = saWords)}
+         |SELECT doc_id FROM docs0
+         |WHERE doc_id NOT IN (SELECT s FROM losers)
+         |  AND len($saWords) >= 10
+         |  AND ${Sql.markerCountOver(CatalogShared.stopwords, saWords)}::DOUBLE
+         |    / len($saWords) <= 0.25
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // BOTH pipelines restated in one statement (suffixed CTE chains): the
     // raw chain runs the chrome'd html straight through dedup; the

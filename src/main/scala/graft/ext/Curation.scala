@@ -63,12 +63,28 @@ object Curation {
         * store. None = full (from-scratch) run. */
       history: Option[DataFrame] = None,
       /** Bloom sizing for the history probe (items in the store). */
-      historyExpectedItems: Long = 1L << 22)
+      historyExpectedItems: Long = 1L << 22,
+      /** Token law for the near-dup shingles AND the quality gate
+        * ([[Tokenizer.ScriptAware]] for CJK/Thai corpora — whitespace
+        * tokenization makes such a document ONE token, so the near-dup
+        * stage goes blind and the count gate rejects everything). The
+        * exact-dedup fingerprint is tokenizer-independent (md5 of the
+        * normalized text), so history stores work across tokenizers. */
+      tokenizer: Tokenizer = Tokenizer.Whitespace)
 
-  /** The quality-gate predicate (enough tokens, bounded stopword share). */
+  /** The quality-gate predicate (enough tokens, bounded stopword share).
+    * The Whitespace arm keeps the historical expressions verbatim (plans
+    * — and therefore gated hashes — stay byte-identical); other
+    * tokenizers run the seam forms. */
   private def qualityPred(textCol: String, cfg: Config): Column =
-    TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
-      TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio
+    cfg.tokenizer match {
+      case Tokenizer.Whitespace =>
+        TextStats.nTokens(col(textCol)) >= cfg.minTokens &&
+          TextStats.stopwordRatio(col(textCol), cfg.stopwords) <= cfg.maxStopwordRatio
+      case tok =>
+        TextStats.nTokens(col(textCol), tok) >= cfg.minTokens &&
+          TextStats.stopwordRatio(col(textCol), cfg.stopwords, tok) <= cfg.maxStopwordRatio
+    }
 
   /** The pipeline stages as frames — (afterExact, losers, afterNear,
     * afterQuality) — shared by [[curate]] and [[funnel]] so the heavyweight
@@ -134,7 +150,8 @@ object Curation {
       try {
         val pairs = Dedup.nearDuplicates(afterExact, idCol, textCol,
           cfg.shingleLen, cfg.numHashes, cfg.jaccardThreshold,
-          maxBucketSize = cfg.nearDupMaxBucket, scope = inner)
+          maxBucketSize = cfg.nearDupMaxBucket, scope = inner,
+          tok = cfg.tokenizer)
         val clusters = Dedup.duplicateClusters(pairs, scope = scope)
         cfg.survivorQuality match {
           case None => clusters
