@@ -207,7 +207,9 @@ object EventTimeOps {
                          threshold: Double = 0.5, maxPerBucket: Int = 64,
                          maxBatchPerBucket: Int = 4096,
                          idleTimeout: Option[String] = None,
-                         signature: Option[Column] = None): Dataset[NearDupCandidate] = {
+                         signature: Option[Column] = None,
+                         tok: graft.ext.Tokenizer = graft.ext.Tokenizer.Whitespace)
+      : Dataset[NearDupCandidate] = {
     import docs.sparkSession.implicits._
     import graft.ext.Dedup
     // The state tuple keys ids as primitive Long: a non-numeric id column
@@ -221,13 +223,18 @@ object EventTimeOps {
     // fast path; [[graft.ext.Dedup.minhashSignature60]] is the portable
     // md5 family an external oracle can restate — the banding, state,
     // eviction, and agreement machinery is identical for both
+    // `tok` governs BOTH the default signature's shingles and the
+    // pre-filter: a script-aware caller passing only a custom `signature`
+    // would otherwise have its CJK docs dropped by a whitespace-token
+    // count before ever being signed. Whitespace compiles to the exact
+    // historical expressions (gated hashes unchanged).
     val sig = signature.getOrElse(Dedup.minhashSignatureFast(
-      Dedup.hashedWordShingles(col(textCol), shingleLen), numHashes))
+      Dedup.hashedWordShingles(col(textCol), shingleLen, tok), numHashes))
     val bands = docs
       // non-empty shingle set via the CHEAP raw-text precondition — a
       // filter on the signature itself would be pushed down as a clone of
       // the whole kernel (the projection-collapse recompute pathology)
-      .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
+      .where(size(Dedup.words(col(textCol), tok)) >= shingleLen)
       .select(col(idCol).cast("long").as("id"), sig.as("sig"))
       .select(col("id"), col("sig"),
         posexplode(col("sig")).as(Seq("band", "v")))

@@ -78,6 +78,24 @@ class TokenizeSpec extends SparkSpec {
     assert(got.head._3 > 0.5) // J = 10/12 over 3-shingles
   }
 
+  test("streamingNearDedup honors the tokenizer: the pre-filter and the " +
+      "default signature both run the script-aware law") {
+    import graft.streaming.EventTimeOps
+    val body = (0 until 12).map(k => (0x4E00 + k).toChar).mkString
+    val docs = Seq((1L, body + 0x4E20.toChar),
+      (2L, body + 0x4E21.toChar)).toDF("doc_id", "text")
+    // whitespace: each doc is ONE token — dropped by the pre-filter
+    assert(EventTimeOps.streamingNearDedup(docs, "doc_id", "text",
+      numHashes = 12).count() === 0)
+    // script-aware: per-codepoint shingles, 11/13 agreement expected high
+    val got = EventTimeOps.streamingNearDedup(docs, "doc_id", "text",
+        numHashes = 12, threshold = 0.5, tok = Tokenizer.ScriptAware)
+      .dropDuplicates("a_id", "b_id") // one candidate per shared bucket
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.a_id === 1L && got.head.b_id === 2L)
+  }
+
   test("bm25TopK with ScriptAware matches single-ideograph queries") {
     val docs = Seq(
       (1L, "intro words " + han),            // contains the han run
