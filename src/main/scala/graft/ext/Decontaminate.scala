@@ -23,12 +23,14 @@ object Decontaminate {
     * Inner-join-then-aggregate, so clean documents never leave the scan. */
   def contaminatedDocs(docs: DataFrame, idCol: String, textCol: String,
                        probes: DataFrame, probeTextCol: String,
-                       n: Int = 8): DataFrame = {
+                       n: Int = 8,
+                       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val probeGrams = probes
-      .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
+      .select(explode(Dedup.wordShingles(col(probeTextCol), n, tok)).as("g"))
       .distinct()
     docs
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n, tok)).as("g"))
       .join(broadcast(probeGrams), "g")
       // wordShingles already de-dups within a document ⇒ plain count is the
       // distinct-gram count, no countDistinct shuffle amplification
@@ -44,12 +46,14 @@ object Decontaminate {
     * distinct probe grams fit an executor (the common case). */
   def contaminatedDocsJoin(docs: DataFrame, idCol: String, textCol: String,
                            probes: DataFrame, probeTextCol: String,
-                           n: Int = 8): DataFrame = {
+                           n: Int = 8,
+                           tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val probeGrams = probes
-      .select(explode(Dedup.wordShingles(col(probeTextCol), n)).as("g"))
+      .select(explode(Dedup.wordShingles(col(probeTextCol), n, tok)).as("g"))
       .distinct()
     docs
-      .select(col(idCol), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol),
+        explode(Dedup.wordShingles(col(textCol), n, tok)).as("g"))
       // hash-build the (per-partition) probe grams, never a broadcast —
       // that is the other twin
       .join(probeGrams.hint("shuffle_hash"), "g")
@@ -91,9 +95,10 @@ object Decontaminate {
     * runs before training. Left-anti on the flagged ids. */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     probes: DataFrame, probeTextCol: String,
-                    n: Int = 8): DataFrame =
-    docs.join(contaminatedDocs(docs, idCol, textCol, probes, probeTextCol, n)
-      .select(col(idCol)), Seq(idCol), "left_anti")
+                    n: Int = 8,
+                    tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    docs.join(contaminatedDocs(docs, idCol, textCol, probes, probeTextCol, n,
+      tok).select(col(idCol)), Seq(idCol), "left_anti")
 
   /** SPAN-level decontamination: mask every probe-n-gram occurrence inside
     * the text instead of dropping the document — the curation move when

@@ -894,7 +894,21 @@ object TextStats {
     require(window > 0, s"chunk window must be positive: $window")
     require(stride > 0 && stride <= window,
       s"chunk stride must be in [1, window], got: $stride")
-    val w = split(col(textCol), " ")
+    chunkWordsTok(df, idCol, textCol, window, stride, Tokenizer.Whitespace)
+  }
+
+  /** Tokenizer-seam form of [[chunkWords]] — CASE-PRESERVING tokens
+    * ([[Tokenizer.rawTokens]]): a RAG chunker over a CJK corpus needs
+    * per-codepoint windows (whitespace windows put a whole document in one
+    * "token"), and the chunk text must keep its original case. Whitespace
+    * compiles to the exact historical expressions. */
+  def chunkWordsTok(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, window: Int, stride: Int,
+                    tok: Tokenizer): org.apache.spark.sql.DataFrame = {
+    require(window > 0, s"chunk window must be positive: $window")
+    require(stride > 0 && stride <= window,
+      s"chunk stride must be in [1, window], got: $stride")
+    val w = tok.rawTokens(col(textCol))
     val starts = filter(sequence(lit(0), size(w) - 1, lit(stride)),
       s => s === 0 || s + lit(window - stride) < size(w))
     df.select(col(idCol), w.as("_w"),

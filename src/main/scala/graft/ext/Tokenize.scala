@@ -23,6 +23,11 @@ sealed trait Tokenizer {
   /** Lower-cased token array of `text`. */
   def tokens(text: Column): Column
 
+  /** CASE-PRESERVING token array — for consumers that re-emit the tokens
+    * as text (RAG chunking), where lowercasing would corrupt the output.
+    * Same segmentation law as [[tokens]] minus the lowercase step. */
+  def rawTokens(text: Column): Column
+
   /** DuckDB restatement of [[tokens]] over a SQL expression — what a
     * catalog oracle uses as its `words` definition. */
   def duckdbTokensSql(textExpr: String): String
@@ -35,6 +40,7 @@ object Tokenizer {
     * space-delimited corpora; degenerate on CJK/Thai. */
   case object Whitespace extends Tokenizer {
     def tokens(text: Column): Column = split(lower(text), " ")
+    def rawTokens(text: Column): Column = split(text, " ")
     def duckdbTokensSql(textExpr: String): String =
       s"string_split(lower($textExpr), ' ')"
   }
@@ -87,6 +93,11 @@ object Tokenizer {
       filter(
         split(regexp_replace(lower(text), "(" + javaClass + ")", " $1 "),
           " +"),
+        t => t =!= "")
+
+    def rawTokens(text: Column): Column =
+      filter(
+        split(regexp_replace(text, "(" + javaClass + ")", " $1 "), " +"),
         t => t =!= "")
 
     def duckdbTokensSql(textExpr: String): String =

@@ -96,6 +96,33 @@ class TokenizeSpec extends SparkSpec {
     assert(got.head.a_id === 1L && got.head.b_id === 2L)
   }
 
+  test("chunkWordsTok: case-preserving script-aware windows; decontaminate " +
+      "catches the CJK probe overlap whitespace cannot") {
+    // chunking: 12 ideographs + 2 latin words → window 5 / stride 5 gives
+    // ceil(14/5) = 3 chunks with the original case preserved
+    val body = (0 until 12).map(k => (0x4E00 + k).toChar).mkString
+    val doc = Seq((1L, s"Alpha $body End")).toDF("doc_id", "text")
+    val ws = TextStats.chunkWords(doc, "doc_id", "text", window = 5, stride = 5)
+    assert(ws.count() === 1) // 3 whitespace tokens: one undersized window
+    val sa = TextStats.chunkWordsTok(doc, "doc_id", "text", window = 5,
+      stride = 5, tok = Tokenizer.ScriptAware)
+    val chunks = sa.orderBy("chunk_no")
+      .select("chunk_text").as[String].collect()
+    assert(chunks.length === 3)
+    assert(chunks.head.startsWith("Alpha ")) // case preserved
+    assert(chunks.flatMap(_.split(" ")).mkString("") === s"Alpha$body" + "End")
+    // decontamination: an 8-ideograph probe excerpt shares every 4-gram
+    // with the doc under script-aware grams; whitespace sees zero overlap
+    val probe = Seq(Tuple1(body.substring(2, 10))).toDF("text")
+    assert(Decontaminate.contaminatedDocs(doc, "doc_id", "text", probe,
+      "text", n = 4).count() === 0)
+    val hits = Decontaminate.contaminatedDocs(doc, "doc_id", "text", probe,
+      "text", n = 4, tok = Tokenizer.ScriptAware)
+    assert(hits.count() === 1)
+    assert(Decontaminate.decontaminate(doc, "doc_id", "text", probe, "text",
+      n = 4, tok = Tokenizer.ScriptAware).count() === 0) // doc dropped
+  }
+
   test("bm25TopK with ScriptAware matches single-ideograph queries") {
     val docs = Seq(
       (1L, "intro words " + han),            // contains the han run
