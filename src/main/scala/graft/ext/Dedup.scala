@@ -2006,6 +2006,25 @@ object Dedup {
     }
   }
 
+  /** Write a served [[minhashStoreBanded]] store as a BUCKETED+sorted
+    * managed table on (band, v) — the beyond-broadcast probe layout: a
+    * bucketed scan already satisfies the probe join's required
+    * distribution, so `nearDupAgainstBandedStore(spark.table(table), …,
+    * broadcastBatch = false)` exchanges ONLY the batch side (hashed into
+    * the store's buckets) — no store shuffle AND no broadcast-size bound,
+    * for batches too large to broadcast against stores too large to
+    * re-shuffle. BucketingSpec pins the exchange-free store side. */
+  def minhashStoreBandedSave(docs: DataFrame, idCol: String, textCol: String,
+                             table: String, numBuckets: Int = 64,
+                             shingleLen: Int = 3, numHashes: Int = 16,
+                             bandRows: Int = 1,
+                             cap: Int = Int.MaxValue): Unit =
+    minhashStoreBanded(docs, idCol, textCol, shingleLen, numHashes, bandRows,
+        cap)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "v").sortBy("band", "v")
+      .format("parquet").saveAsTable(table)
+
   /** Append DELTA for a served [[minhashStoreBanded]] store: the new banded
     * rows the batch contributes, computed WITHOUT re-shuffling the store —
     * union the result onto the served frame (or write it as a new file next

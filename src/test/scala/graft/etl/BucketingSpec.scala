@@ -36,4 +36,43 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("served banded store as a bucketed table: the probe join never " +
+      "shuffles the store, and matches the broadcast-probe result") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val store = docs.where(col("doc_id") % 10 < 7)
+    val batch = docs.where(col("doc_id") % 10 >= 7)
+    Dedup.minhashStoreBandedSave(store, "doc_id", "text", "b_banded_store",
+      numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the non-broadcast path so the store-shuffle question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Dedup.nearDupAgainstBandedStore(
+        spark.table("b_banded_store"), batch, "doc_id", "text",
+        broadcastBatch = false)
+      val viaBroadcast = Dedup.nearDupAgainstBandedStore(
+          spark.table("b_banded_store"), batch, "doc_id", "text")
+        .as[(Long, Long, Int, Double)].collect().toSet
+      assert(probe.as[(Long, Long, Int, Double)].collect().toSet
+        === viaBroadcast)
+      // no ShuffleExchange anywhere above the bucketed store scan: only
+      // the batch side (hashed into the store's buckets) and the final
+      // distinct exchange — the store streams in bucket layout. Collected
+      // from the pre-AQE physical plan: AdaptiveSparkPlanExec does not
+      // expose its inner tree to collect() before execution.
+      val exchanges = probe.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty) // the batch side DOES exchange
+      exchanges.foreach { e =>
+        assert(!e.toString.contains("b_banded_store"),
+          s"the served store was shuffled:\n$e")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_banded_store")
+    }
+  }
 }
