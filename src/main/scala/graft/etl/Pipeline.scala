@@ -172,13 +172,31 @@ class StarStore(spark: SparkSession, root: String,
       fs.delete(new Path(versionDir(f"v$v%08d")), true)
       fs.delete(claimPath(f"v$v%08d"), false): Unit // retire its claim marker
     }
-    val referenced = vs.takeRight(retainVersions)
-      .flatMap(v => manifest(f"v$v%08d").batches).toSet
+    val retained = vs.takeRight(retainVersions).map(v => manifest(f"v$v%08d"))
+    val referenced = retained.flatMap(_.batches).toSet
+    // Reclaim rules, concurrency-safe: a delta dir is deletable when it is
+    // UNREFERENCED by every retained manifest AND either (a) its batch id
+    // is in the `applied` history — a published delta whose compaction
+    // aged out of the retention window — or (b) it is older than the
+    // staleness window — a crashed attempt's orphan. Rule (b) alone would
+    // also hit a CONCURRENT writer's in-flight delta (written seconds ago,
+    // referenced by no manifest yet): deleting it would let that writer
+    // publish a manifest pointing at vanished data — the silent-corruption
+    // case the claim protocol exists to prevent. Staged `_tmp_` dirs are
+    // attempt-scoped and reclaimed by age alone.
+    val applied = retained.flatMap(_.applied).toSet
+    val now = System.currentTimeMillis()
     val fdir = new Path(s"$root/facts")
-    if (fs.exists(fdir)) fs.listStatus(fdir).map(_.getPath).foreach { p =>
-      if (p.getName.startsWith("batch_") &&
-          !referenced.contains(p.getName.stripPrefix("batch_")))
-        fs.delete(p, true): Unit
+    if (fs.exists(fdir)) fs.listStatus(fdir).foreach { st =>
+      val name = st.getPath.getName
+      def stale = now - st.getModificationTime > StarStore.StaleClaimMs
+      if (name.startsWith("batch_")) {
+        val id = name.stripPrefix("batch_")
+        if (!referenced.contains(id) && (applied.contains(id) || stale))
+          fs.delete(st.getPath, true): Unit
+      } else if (name.startsWith("_tmp_") && stale) {
+        fs.delete(st.getPath, true): Unit
+      }
     }
   }
 
@@ -259,13 +277,62 @@ class StarStore(spark: SparkSession, root: String,
   /** The claim is still OURS (content equals our token): re-checked
     * immediately before the commit rename — if a stale-claim break
     * re-assigned the name while we were between claim and rename, abort
-    * rather than rename onto a destination someone else now owns. */
-  private def claimStillOwned(nextV: String, token: String): Boolean =
-    try {
-      val in = fs.open(claimPath(nextV))
-      val content = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      content == token
-    } catch { case _: java.io.IOException => false }
+    * rather than rename onto a destination someone else now owns. Reads
+    * retry a couple of times: a single transient IO hiccup must not make
+    * a writer abandon a claim it actually holds (the orphaned claim would
+    * wedge the name for StaleClaimMs). */
+  private def claimStillOwned(nextV: String, token: String): Boolean = {
+    var attempt = 0
+    while (attempt < 3) {
+      try {
+        val in = fs.open(claimPath(nextV))
+        val content =
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        return content == token
+      } catch {
+        case _: java.io.FileNotFoundException => return false // broken claim
+        case _: java.io.IOException => attempt += 1; Thread.sleep(100L)
+      }
+    }
+    false
+  }
+
+  /** The ONE commit sequence (shared by [[attemptBatch]] and [[compact]]):
+    * claim the version name, re-verify ownership and that the name is not
+    * already committed, run `beforeSwap` (delta finalization), rename the
+    * staged dir, advance the pointer, retire the claim. false = lost the
+    * race — the staged dir is deleted, a claim we own of an
+    * already-committed name is retired, a crashed claimer's stale claim is
+    * broken for the caller's retry. */
+  private def commitStaged(tmp: String, nextV: String,
+                           beforeSwap: () => Unit = () => ()): Boolean =
+    claimVersion(nextV) match {
+      case Some(token) =>
+        val ours = claimStillOwned(nextV, token)
+        if (ours &&
+            !fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt"))) {
+          beforeSwap()
+          publishVersion(tmp, nextV)
+          swapPointer(nextV)
+          // the claim's job is done once the commit is visible — retire it
+          // so the versions/ listing stays exactly the committed dirs
+          // (claims of already-committed names are caught by the manifest
+          // pre-check above)
+          fs.delete(claimPath(nextV), false): Unit
+          true
+        } else {
+          // lost after all: the name was committed before its claim was
+          // retired (retire OUR claim of it), or our claim was broken and
+          // re-assigned mid-gap (then it is not ours to delete)
+          fs.delete(new Path(tmp), true)
+          if (ours) fs.delete(claimPath(nextV), false): Unit
+          false
+        }
+      case None =>
+        fs.delete(new Path(tmp), true)
+        breakStaleClaim(nextV): Unit // un-wedge a crashed claimer for the retry
+        false
+    }
 
   /** Break a CRASHED claimer's claim: the claim file exists, its version
     * dir never appeared, and it is older than [[StarStore.StaleClaimMs]]
@@ -274,7 +341,12 @@ class StarStore(spark: SparkSession, root: String,
   private def breakStaleClaim(nextV: String): Boolean = {
     val claim = claimPath(nextV)
     try {
-      if (!fs.exists(claim) || fs.exists(new Path(versionDir(nextV)))) false
+      // "its version dir never appeared" means never COMMITTED (manifest
+      // present): a manifest-less dir is a crashed mid-rename's debris —
+      // treating it as a commit would make the claim unbreakable and wedge
+      // every future publish on this name forever.
+      if (!fs.exists(claim) ||
+          fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt"))) false
       else {
         val age = System.currentTimeMillis() - fs.getFileStatus(claim)
           .getModificationTime
@@ -315,9 +387,27 @@ class StarStore(spark: SparkSession, root: String,
         "since this batch read its inputs — re-run the batch on the new version")
   }
 
+  /** FORWARD-ONLY pointer advance: a writer that stalled between its
+    * commit rename and this swap must not move CURRENT backward past a
+    * newer version another writer committed meanwhile (readers would serve
+    * the stale snapshot until the next repair). The zero-padded version
+    * names compare lexicographically = numerically. The read-check-swap
+    * window is instruction-level, not stall-level — the residual race of
+    * any lock-free filesystem pointer, self-healing via repairPointer. */
   private def swapPointer(nextV: String): Unit = {
+    val cur0 = new Path(s"$root/CURRENT")
+    // the POINTER FILE only, never the committed-dir fallback (which would
+    // see our own just-renamed dir and skip ever creating CURRENT)
+    val pointerNow =
+      if (!fs.exists(cur0)) None
+      else try {
+        val in = fs.open(cur0)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim).filter(_.nonEmpty)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
+    if (pointerNow.exists(_ >= nextV)) return // already at or past us
     val curTmp = new Path(s"$root/CURRENT._tmp")
-    val cur = new Path(s"$root/CURRENT")
+    val cur = cur0
     val pOut = fs.create(curTmp, true)
     try pOut.write(nextV.getBytes("UTF-8")) finally pOut.close()
     fs.delete(cur, false)
@@ -360,7 +450,21 @@ class StarStore(spark: SparkSession, root: String,
     var attempt = 0
     while (attempt <= StarStore.MaxPublishRetries) {
       repairPointer()
-      attemptBatch(raw, batchId) match {
+      val result =
+        try attemptBatch(raw, batchId)
+        catch {
+          // a concurrent winner's retention sweep can retire the exact
+          // version snapshot this attempt was reading (retainVersions=1
+          // keeps only the live one) — that is a lost race wearing an IO
+          // error, not a failure: recompute from the fresh snapshot. The
+          // LAST attempt rethrows, so a genuine persistent IO fault still
+          // surfaces as itself rather than as "pathological contention".
+          case e @ (_: java.io.FileNotFoundException
+                    | _: org.apache.spark.SparkException) =>
+            if (attempt >= StarStore.MaxPublishRetries) throw e
+            None
+        }
+      result match {
         case Some(appended) => return appended
         case None =>
           attempt += 1
@@ -403,15 +507,22 @@ class StarStore(spark: SparkSession, root: String,
     val resolved = Fact.resolveSkeys(cleaned, dDate, dPlat, dSite, dTitle)
     val newFact = Fact.withFactIdsScalable(resolved, maxFactId)
 
-    // 1. fact delta → its immutable home (overwrite handles a crashed
-    //    previous attempt of the SAME batch that never reached publish).
+    // Per-ATTEMPT staging paths: redelivery can run the SAME batch id
+    // concurrently (the at-least-once contract this class documents), and
+    // id-keyed staging would let one writer's delete/overwrite corrupt the
+    // other's half-staged files mid-commit. The delta moves to its
+    // immutable id-keyed home only under a WON claim (below).
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+
+    // 1. fact delta → attempt-unique staging.
     val batchDir = s"$root/facts/batch_$batchId"
-    newFact.write.mode("overwrite").partitionBy("day").parquet(batchDir)
-    val appended = spark.read.parquet(batchDir).count() // metadata-only count
+    val deltaTmp = s"$root/facts/_tmp_${batchId}_$nonce"
+    newFact.write.mode("overwrite").partitionBy("day").parquet(deltaTmp)
+    val appended = spark.read.parquet(deltaTmp).count() // metadata-only count
 
     // 2. stage the new version dir (dims + manifest), then one rename.
     val nextV = f"v${prior.map(_._1.drop(1).toLong).getOrElse(0L) + 1}%08d"
-    val tmp = s"$root/versions/_tmp_$batchId"
+    val tmp = s"$root/versions/_tmp_${batchId}_$nonce"
     fs.delete(new Path(tmp), true)
     dDate.write.mode("overwrite").parquet(s"$tmp/dim_date")
     dPlat.write.mode("overwrite").parquet(s"$tmp/dim_platform")
@@ -422,37 +533,17 @@ class StarStore(spark: SparkSession, root: String,
       prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
     writeManifest(tmp, newManifest)
 
-    // 3. claim the version name atomically; a lost claim means a concurrent
-    //    writer published since this attempt read `prior` — clean up and
-    //    recompute (committing anyway would duplicate SKEYs/fact ids from
-    //    the stale snapshot). The token re-check closes the break-reclaim
-    //    race documented on claimStillOwned.
-    val committed = claimVersion(nextV) match {
-      case Some(token) =>
-        val ours = claimStillOwned(nextV, token)
-        if (ours &&
-            !fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt"))) {
-          publishVersion(tmp, nextV)
-          swapPointer(nextV)
-          // the claim's job is done once the commit is visible — retire it
-          // so the versions/ listing stays exactly the committed dirs
-          // (claims of already-committed names are caught by the manifest
-          // pre-check above)
-          fs.delete(claimPath(nextV), false): Unit
-          true
-        } else {
-          // lost after all: the name was committed before its claim was
-          // retired (retire OUR claim of it), or our claim was broken and
-          // re-assigned mid-gap (then it is not ours to delete)
-          fs.delete(new Path(tmp), true)
-          if (ours) fs.delete(claimPath(nextV), false): Unit
-          false
-        }
-      case None =>
-        fs.delete(new Path(tmp), true)
-        breakStaleClaim(nextV): Unit // un-wedge a crashed claimer for the retry
-        false
-    }
+    // 3. claim + commit (shared sequence — see commitStaged); the delta is
+    //    finalized into its manifest-referenced home only after the claim
+    //    is WON, so a losing same-id twin can never clobber the winner's
+    //    published data. A crashed leftover at the final name is cleared
+    //    under the claim.
+    val committed = commitStaged(tmp, nextV, beforeSwap = () => {
+      if (fs.exists(new Path(batchDir))) fs.delete(new Path(batchDir), true)
+      require(fs.rename(new Path(deltaTmp), new Path(batchDir)),
+        s"fact delta finalize failed: $deltaTmp -> $batchDir")
+    })
+    if (!committed) fs.delete(new Path(deltaTmp), true): Unit
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
     if (!committed) return None
 
@@ -480,34 +571,43 @@ class StarStore(spark: SparkSession, root: String,
     if (m.batches.length <= 1) return 0L
     val compactId = s"compact_${v.drop(1).toLong + 1}"
     val dest = s"$root/facts/batch_$compactId"
-    fact.write.mode("overwrite").partitionBy("day").parquet(dest)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // attempt-unique staging for the rewritten fact, finalized only under
+    // a WON claim — the same discipline as attemptBatch: a concurrent
+    // publisher's sweep must never see (or race) a half-written final dir
+    val destTmp = s"$root/facts/_tmp_${compactId}_$nonce"
+    fact.write.mode("overwrite").partitionBy("day").parquet(destTmp)
 
     val nextV = f"v${v.drop(1).toLong + 1}%08d"
-    val tmp = s"$root/versions/_tmp_$compactId"
+    val tmp = s"$root/versions/_tmp_${compactId}_$nonce"
     fs.delete(new Path(tmp), true)
     // dims are unchanged — copy the snapshots into the new version dir
     Seq("dim_date", "dim_platform", "dim_site", "dim_title").foreach { t =>
       org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"${versionDir(v)}/$t"),
         fs, new Path(s"$tmp/$t"), false, spark.sparkContext.hadoopConfiguration)
     }
-    writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId), m.applied))
-    claimVersion(nextV) match {
-      case Some(token) if claimStillOwned(nextV, token) &&
-          !fs.exists(new Path(s"${versionDir(nextV)}/manifest.txt")) =>
-        publishVersion(tmp, nextV)
-        swapPointer(nextV)
-        fs.delete(claimPath(nextV), false): Unit
-        // pre-compaction delta dirs are reclaimed by the sweep only once no
-        // RETAINED version still references them — time-travel reads into
-        // the pre-compaction window keep working until it ages out
-        sweepVersions()
-        refreshViews()
-        m.batches.length.toLong
-      case _ =>
-        // a concurrent publish superseded this compaction's snapshot —
-        // drop the staged dir; the next over-threshold publish re-triggers
-        fs.delete(new Path(tmp), true)
-        0L
+    // compactId joins the `applied` history: the sweep reclaims aged-out
+    // deltas by applied-membership, and a compacted dir must stay
+    // reclaimable once a LATER compaction supersedes it
+    writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId),
+      m.applied :+ compactId))
+    val committed = commitStaged(tmp, nextV, beforeSwap = () => {
+      if (fs.exists(new Path(dest))) fs.delete(new Path(dest), true)
+      require(fs.rename(new Path(destTmp), new Path(dest)),
+        s"compacted fact finalize failed: $destTmp -> $dest")
+    })
+    if (committed) {
+      // pre-compaction delta dirs are reclaimed by the sweep only once no
+      // RETAINED version still references them — time-travel reads into
+      // the pre-compaction window keep working until it ages out
+      sweepVersions()
+      refreshViews()
+      m.batches.length.toLong
+    } else {
+      // a concurrent publish superseded this compaction's snapshot — drop
+      // the staged delta; the next over-threshold publish re-triggers
+      fs.delete(new Path(destTmp), true)
+      0L
     }
   }
 }

@@ -379,6 +379,35 @@ class StarPipelineSpec extends SparkSpec {
     assert(store.fact.count() === 5)
   }
 
+  test("retention sweep protects a concurrent writer's young in-flight " +
+      "delta; aged orphans and staging leftovers are reclaimed") {
+    val root = tmpDir("graft-star-sweep")
+    val store = StarStore(spark, root)
+    assert(store.runBatch(rawBatch1, "b1") === 3)
+    def plant(name: String, ageMs: Long): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(s"$root/facts/$name")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("part-0"), Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+      p
+    }
+    // a racing writer wrote this delta seconds ago and has not published
+    // its manifest yet — reclaiming it would corrupt that writer's commit
+    val inflight = plant("batch_inflight", ageMs = 0)
+    // a crashed attempt from long ago, and an abandoned staging dir
+    val crashed = plant("batch_crashed", StarStore.StaleClaimMs + 60000)
+    val staged = plant("_tmp_b9_deadbeef", StarStore.StaleClaimMs + 60000)
+    store.sweepVersions()
+    assert(java.nio.file.Files.exists(inflight),
+      "sweep reclaimed a young in-flight delta")
+    assert(!java.nio.file.Files.exists(crashed))
+    assert(!java.nio.file.Files.exists(staged))
+    // the published delta is referenced — untouched, store still reads
+    assert(store.fact.count() === 3)
+  }
+
   test("optimistic concurrency: a publish from a stale snapshot fails loudly") {
     val root = tmpDir("graft-star-occ")
     val store = StarStore(spark, root)
