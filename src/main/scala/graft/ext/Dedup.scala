@@ -1891,7 +1891,8 @@ object Dedup {
                           textCol: String, shingleLen: Int = 3,
                           numHashes: Int = 16, threshold: Double = 0.5,
                           bandRows: Int = 1,
-                          maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                          maxBucketSize: Int = Int.MaxValue,
+                          tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     require(maxBucketSize > 0 || maxBucketSize == AdaptiveBucket,
@@ -1925,7 +1926,7 @@ object Dedup {
           .where(col("_bn") <= cap).drop("_bn")
       }
     val b = bandedSig(
-      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch",
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes, tok), "batch",
       numHashes, bandRows)
     val out = bandedAgreementJoin(b, sCapped, numHashes, threshold)
     if (maxBucketSize == AdaptiveBucket) releaseAfterFirstAction(storeP, out)
@@ -1990,12 +1991,14 @@ object Dedup {
   def minhashStoreBanded(docs: DataFrame, idCol: String, textCol: String,
                          shingleLen: Int = 3, numHashes: Int = 16,
                          bandRows: Int = 1,
-                         cap: Int = Int.MaxValue): DataFrame = {
+                         cap: Int = Int.MaxValue,
+                         tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     require(cap > 0,
       s"cap must be positive and FIXED for the store's lifetime (AdaptiveBucket is not append-stable): $cap")
-    val s = bandedSig(minhashStore(docs, idCol, textCol, shingleLen, numHashes),
+    val s = bandedSig(
+      minhashStore(docs, idCol, textCol, shingleLen, numHashes, tok),
       "store", numHashes, bandRows)
     if (cap == Int.MaxValue) s
     else {
@@ -2018,9 +2021,10 @@ object Dedup {
                              table: String, numBuckets: Int = 64,
                              shingleLen: Int = 3, numHashes: Int = 16,
                              bandRows: Int = 1,
-                             cap: Int = Int.MaxValue): Unit =
+                             cap: Int = Int.MaxValue,
+                             tok: Tokenizer = Tokenizer.Whitespace): Unit =
     minhashStoreBanded(docs, idCol, textCol, shingleLen, numHashes, bandRows,
-        cap)
+        cap, tok)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "v").sortBy("band", "v")
       .format("parquet").saveAsTable(table)
@@ -2047,12 +2051,15 @@ object Dedup {
                                idCol: String, textCol: String,
                                shingleLen: Int = 3, numHashes: Int = 16,
                                bandRows: Int = 1,
-                               cap: Int = Int.MaxValue): DataFrame = {
+                               cap: Int = Int.MaxValue,
+                               tok: Tokenizer = Tokenizer.Whitespace)
+      : DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     require(cap > 0,
       s"cap must be positive and FIXED for the store's lifetime: $cap")
-    val b = bandedSig(minhashStore(batch, idCol, textCol, shingleLen, numHashes),
+    val b = bandedSig(
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes, tok),
       "store", numHashes, bandRows)
     if (cap == Int.MaxValue) b
     else {
@@ -2091,11 +2098,13 @@ object Dedup {
                                 shingleLen: Int = 3, numHashes: Int = 16,
                                 threshold: Double = 0.5,
                                 bandRows: Int = 1,
-                                broadcastBatch: Boolean = true): DataFrame = {
+                                broadcastBatch: Boolean = true,
+                                tok: Tokenizer = Tokenizer.Whitespace)
+      : DataFrame = {
     require(numHashes % bandRows == 0,
       s"numHashes $numHashes must be a multiple of bandRows $bandRows")
     val b0 = bandedSig(
-      minhashStore(batch, idCol, textCol, shingleLen, numHashes), "batch",
+      minhashStore(batch, idCol, textCol, shingleLen, numHashes, tok), "batch",
       numHashes, bandRows)
     val b = if (broadcastBatch) broadcast(b0) else b0
     bandedAgreementJoin(b, served, numHashes, threshold)

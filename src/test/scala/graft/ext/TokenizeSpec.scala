@@ -96,6 +96,34 @@ class TokenizeSpec extends SparkSpec {
     assert(got.head.a_id === 1L && got.head.b_id === 2L)
   }
 
+  test("the served-store probe family is tokenizer-consistent: a " +
+      "script-aware store probed script-aware finds the CJK incremental " +
+      "near-dup end to end") {
+    val body = (0 until 12).map(k => (0x4E00 + k).toChar).mkString
+    val store = Seq((1L, body + 0x4E20.toChar)).toDF("doc_id", "text")
+    val batch = Seq((2L, body + 0x4E21.toChar)).toDF("doc_id", "text")
+    val sa = Tokenizer.ScriptAware
+    // flat store probe
+    val flat = Dedup.nearDupAgainstStore(
+      Dedup.minhashStore(store, "doc_id", "text", tok = sa),
+      batch, "doc_id", "text", tok = sa)
+    assert(flat.count() === 1)
+    // banded build → append → probe, all script-aware
+    val served = Dedup.minhashStoreBanded(store, "doc_id", "text",
+      cap = 4, tok = sa)
+    val delta = Dedup.minhashStoreBandedAppend(served,
+      Seq((3L, "unrelated latin words entirely")).toDF("doc_id", "text"),
+      "doc_id", "text", cap = 4, tok = sa)
+    val probed = Dedup.nearDupAgainstBandedStore(served.unionByName(delta),
+        batch, "doc_id", "text", tok = sa)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(probed.length === 1 && probed.head._2 === 1L)
+    // the whitespace default still sees nothing (one glued token per doc)
+    assert(Dedup.nearDupAgainstStore(
+      Dedup.minhashStore(store, "doc_id", "text"),
+      batch, "doc_id", "text").count() === 0)
+  }
+
   test("chunkWordsTok: case-preserving script-aware windows; decontaminate " +
       "catches the CJK probe overlap whitespace cannot") {
     // chunking: 12 ideographs + 2 latin words → window 5 / stride 5 gives
