@@ -522,6 +522,46 @@ object TextCatalog {
     }),
 
 
+    // Repetition profile under the SCRIPT-AWARE tokenizer over the
+    // mixed-script fixture, each doc doubled ("text text") so every bigram
+    // genuinely repeats: under whitespace tokenization a CJK run is ONE
+    // token and the profile collapses to the latin scaffold; per-codepoint
+    // tokens restore the gram granularity the Gopher-style gate needs. The
+    // oracle restates the fixture, the token law, and the full
+    // count-max-share chain.
+    "text_repetition_cjk" -> ((s, d) => {
+      val fx = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          CjkFixture.text(col("doc_id"), "epsilon").as("t0"))
+        .select(col("doc_id"),
+          concat(col("t0"), lit(" "), col("t0")).as("text"))
+      TextStats.repetitionStats(fx, "doc_id", "text", n = 2,
+          tok = Tokenizer.ScriptAware)
+        .orderBy("doc_id")
+    }),
+
+
+    // Bigram Stupid-Backoff LM under the SCRIPT-AWARE tokenizer: reference
+    // = the first 20 fixture docs, scored = all 30, so docs 20-29 exercise
+    // the backoff/OOV branches on script-run bigrams. Under whitespace
+    // tokenization every CJK run is one OOV mega-token and the scorer is
+    // blind; per-codepoint tokens give the LM real n-gram statistics. The
+    // oracle restates fixture + token law + the exact 2^20 fixed-point
+    // score tree.
+    "text_lm_cjk" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 30)
+        .select(col("doc_id"),
+          CjkFixture.text(col("doc_id"), "epsilon").as("text"))
+      TextStats.bigramBackoffScore(docs, "doc_id", "text",
+          reference = docs.where(col("doc_id") < 20),
+          maxBroadcast = Long.MaxValue, // bounded fixture vocab, skip sizing
+          tok = Tokenizer.ScriptAware)
+        .orderBy("doc_id")
+    }),
+
+
     // Sequence packing: per-source greedy concat-and-chunk into 512-token
     // context windows; each doc tagged with the sequence its start falls in.
     "sample_pack_sequences" -> ((s, d) => {
@@ -1115,6 +1155,62 @@ object TextCatalog {
          |SELECT doc_id, max(n)::BIGINT AS top_gram_n, sum(n)::BIGINT AS n_grams,
          |  max(n)::DOUBLE / sum(n) AS top_share
          |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition_cjk" ->
+      s"""WITH ${CjkFixture.alphabetsCte},
+         |fx AS (SELECT doc_id, ${CjkFixture.textSql("doc_id", "epsilon")}
+         |    AS t0
+         |  FROM documents, a WHERE doc_id < 30),
+         |fx2 AS (SELECT doc_id, t0 || ' ' || t0 AS text FROM fx),
+         |w AS (SELECT doc_id,
+         |    ${Tokenizer.ScriptAware.duckdbTokensSql("text")} AS words
+         |  FROM fx2),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(words)),
+         |    i -> array_to_string(words[i:i+1], ' '))) AS gram
+         |  FROM w WHERE len(words) >= 2),
+         |c AS (SELECT doc_id, gram, count(*)::BIGINT AS n FROM g GROUP BY 1, 2)
+         |SELECT doc_id, max(n)::BIGINT AS top_gram_n, sum(n)::BIGINT AS n_grams,
+         |  max(n)::DOUBLE / sum(n) AS top_share
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the text_lm_bigram law verbatim with the words CTE swapped to the
+    // script-aware token rule and the reference slice keyed on doc_id < 20
+    "text_lm_cjk" ->
+      s"""WITH ${CjkFixture.alphabetsCte},
+         |fx AS (SELECT doc_id, ${CjkFixture.textSql("doc_id", "epsilon")}
+         |    AS text
+         |  FROM documents, a WHERE doc_id < 30),
+         |tw AS (SELECT doc_id,
+         |    ${Tokenizer.ScriptAware.duckdbTokensSql("text")} AS w
+         |  FROM fx),
+         |dp AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+         |  FROM tw, unnest(range(1, len(w))) AS t(i)),
+         |pf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS pf
+         |  FROM dp GROUP BY 1, 2, 3),
+         |rp AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM dp
+         |  WHERE doc_id < 20 GROUP BY 1, 2),
+         |uc AS (SELECT u AS token, count(*)::BIGINT AS c1 FROM
+         |    (SELECT unnest(w) AS u FROM tw WHERE doc_id < 20)
+         |  GROUP BY 1),
+         |nt AS (SELECT sum(c1)::BIGINT AS n_total FROM uc),
+         |sc AS (SELECT pf.doc_id, pf.pf, rp.c2, u1.c1 AS c1w1, u2.c1 AS c1w2,
+         |    nt.n_total
+         |  FROM pf LEFT JOIN rp USING (w1, w2)
+         |    LEFT JOIN uc u1 ON u1.token = pf.w1
+         |    LEFT JOIN uc u2 ON u2.token = pf.w2
+         |    CROSS JOIN nt),
+         |agg AS (SELECT doc_id, sum(pf)::BIGINT AS n_bigrams,
+         |    sum(CASE WHEN c2 IS NOT NULL THEN pf ELSE 0 END)::BIGINT
+         |      AS hit_bigrams,
+         |    sum(pf * (CASE
+         |      WHEN c2 IS NOT NULL THEN floor(1048576.0 * c2 / c1w1)
+         |      WHEN c1w2 IS NOT NULL
+         |        THEN floor(1048576.0 * c1w2 / (2.0 * n_total))
+         |      ELSE 0 END))::BIGINT AS score_fp
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, hit_bigrams, score_fp,
+         |  (score_fp / (n_bigrams * 1048576.0)) AS mean_score
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "sample_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

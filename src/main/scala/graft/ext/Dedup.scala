@@ -555,7 +555,8 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int = 3, thresholdPpm: Long = 800000L,
                        sampleMod: Int = 4,
-                       maxBucketSize: Int = 4096): DataFrame = {
+                       maxBucketSize: Int = 4096,
+                       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(thresholdPpm >= 1 && thresholdPpm <= 1000000L,
       s"thresholdPpm out of (0, 1e6]: $thresholdPpm")
     require(sampleMod >= 1, s"sampleMod must be positive: $sampleMod")
@@ -563,9 +564,9 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val sh = ensureParallelism(
       df.select(col(idCol), col(textCol))
-        .where(size(split(lower(col(textCol)), " ")) >= shingleLen), par)
+        .where(size(words(col(textCol), tok)) >= shingleLen), par)
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(wordShingles(col(textCol), shingleLen)).as("sh"))
+        array_distinct(wordShingles(col(textCol), shingleLen, tok)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampled = sh
       .select(col("id"), explode(col("sh")).as("g"))
@@ -775,10 +776,12 @@ object Dedup {
   def verifyPairs(cands: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, aCol: String = "a_id", bCol: String = "b_id",
                   shingleLen: Int = 3, threshold: Double = 0.5,
-                  scope: CacheScope = null): DataFrame = {
+                  scope: CacheScope = null,
+                  tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val sh = corpus
-      .where(size(split(lower(col(textCol)), " ")) >= shingleLen)
-      .select(col(idCol), hashedWordShingles(col(textCol), shingleLen).as("sh"))
+      .where(size(words(col(textCol), tok)) >= shingleLen)
+      .select(col(idCol),
+        hashedWordShingles(col(textCol), shingleLen, tok).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(sh) else releaseAfterFirstAction(sh)
     cands
@@ -1365,9 +1368,10 @@ object Dedup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Per-document SimHash frame: (id, simhash). */
-  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashOf(df: DataFrame, idCol: String, textCol: String,
+                tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
     df.select(col(idCol),
-        array_distinct(transform(words(col(textCol)), tokenHash(_))).as("hs"))
+        array_distinct(transform(words(col(textCol), tok), tokenHash(_))).as("hs"))
       .select(col(idCol), simhash16(col("hs")).as("simhash"))
 
   /** Banded Hamming-distance pair join over a fingerprint frame
@@ -1426,14 +1430,17 @@ object Dedup {
     * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
     * buckets saturate (16 values each) — use [[simhashPairsWide]]. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 2, scope: CacheScope = null): DataFrame =
-    bandedHammingPairs(simhashOf(df, idCol, textCol), idCol,
+                   maxHamming: Int = 2, scope: CacheScope = null,
+                   tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    bandedHammingPairs(simhashOf(df, idCol, textCol, tok), idCol,
       nBands = 4, bandBits = 4, maxHamming = maxHamming, scope = scope)
 
   /** Per-document wide (60-bit) SimHash frame: (id, simhash). */
-  def simhashWideOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashWideOf(df: DataFrame, idCol: String, textCol: String,
+                    tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
     df.select(col(idCol),
-        array_distinct(transform(words(col(textCol)), tokenHashWide(_))).as("hs"))
+        array_distinct(transform(words(col(textCol), tok),
+          tokenHashWide(_))).as("hs"))
       .select(col(idCol), simhashN(col("hs"), 60).as("simhash"))
 
   /** The at-scale SimHash pair join: 60-bit fingerprints in 6 bands of 10
@@ -1442,8 +1449,9 @@ object Dedup {
     * a corpus where 16 bits saturate. Same portable md5 arithmetic (15 hex
     * digits — the widest prefix inside signed int64 everywhere). */
   def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 4, scope: CacheScope = null): DataFrame =
-    bandedHammingPairs(simhashWideOf(df, idCol, textCol), idCol,
+                       maxHamming: Int = 4, scope: CacheScope = null,
+                       tok: Tokenizer = Tokenizer.Whitespace): DataFrame =
+    bandedHammingPairs(simhashWideOf(df, idCol, textCol, tok), idCol,
       nBands = 6, bandBits = 10, maxHamming = maxHamming, scope = scope)
 
   /** Resolve near-dup PAIRS into duplicate CLUSTERS: connected components
@@ -1742,13 +1750,14 @@ object Dedup {
     * nothing anyway. */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          thresholdNum: Long = 1L, thresholdDen: Long = 2L,
-                         scope: CacheScope = null): DataFrame = {
+                         scope: CacheScope = null,
+                         tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0 && thresholdNum <= thresholdDen,
       s"threshold must be a rational in (0, 1]: $thresholdNum/$thresholdDen")
     import FixedPoint.DivOps
     val occ = df
       .select(col(idCol),
-        explode(array_distinct(filter(words(col(textCol)),
+        explode(array_distinct(filter(words(col(textCol), tok),
           t => length(t) > 0))).as("token"))
     val tdf = occ.groupBy(col("token")).agg(count(lit(1)).as("tdf"))
     // per-document tokens sorted by (df asc, token asc) — a strict total

@@ -413,7 +413,8 @@ object TextStats {
   def corpusFrequencyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                            textCol: String,
                            maxBroadcastVocab: Long = 1L << 20,
-                           scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+                           scope: CacheScope = null,
+                           tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     // tf feeds both the vocabulary aggregation and the join-back — persist
     // it so one action doesn't run the corpus explode twice (caller scope,
     // or the verifyPairs-style self-release as the leak-free default).
@@ -426,7 +427,7 @@ object TextStats {
     // is O(n·k) per row — quadratic in per-doc distinct count, a hazard
     // for long documents that the shuffle shape does not have.
     val tf = df
-      .select(col(idCol), explode(tokenNgrams(col(textCol), 1)).as("token"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 1, tok)).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -494,14 +495,15 @@ object TextStats {
     * aggregation. The model file is read once on the driver. */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
               textCol: String, modelPath: String, oovLogProb: Double = -20.0,
-              scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+              scope: CacheScope = null,
+              tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(modelPath)))
-      return corpusFrequencyScore(df, idCol, textCol, scope = scope)
+      return corpusFrequencyScore(df, idCol, textCol, scope = scope, tok = tok)
         .select(col(idCol), col("n_tokens"),
           col("freq_sum").cast("double").as("score_sum"),
           col("mean_token_freq").as("mean_score"))
     val table = loadLogProbTable(df.sparkSession, modelPath)
-    df.select(col(idCol), explode(tokenNgrams(col(textCol), 1)).as("token"))
+    df.select(col(idCol), explode(tokenNgrams(col(textCol), 1, tok)).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(table), Seq("token"), "left")
@@ -553,7 +555,8 @@ object TextStats {
                          reference: org.apache.spark.sql.DataFrame = null,
                          refTextCol: String = null,
                          maxBroadcast: Long = 1L << 20,
-                         scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+                         scope: CacheScope = null,
+                         tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     val ref = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
@@ -561,17 +564,17 @@ object TextStats {
     // collapses per-doc pairs map-side before any exchange (see the
     // corpusFrequencyScore note on the rejected row-local alternatives)
     val pf = df
-      .select(col(idCol), explode(tokenNgrams(col(textCol), 2)).as("p"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 2, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("pf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = ref
-      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
+      .select(explode(tokenNgrams(col(refText), 2, tok)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = ref
-      .select(explode(tokenNgrams(col(refText), 1)).as("token"))
+      .select(explode(tokenNgrams(col(refText), 1, tok)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c1"))
     val nTot = c1.agg(sum(col("c1")).as("n_total"))
     def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -614,6 +617,26 @@ object TextStats {
       GraftColumnBridge.expression(text), n))
   }
 
+  /** Tokenizer-seam form of [[tokenNgrams]] — the Whitespace arm keeps the
+    * fused native kernel verbatim (plans and gated hashes byte-identical);
+    * other tokenizers assemble the same struct shape from the seam's token
+    * array via the portable HOF twins the kernel is spec-pinned against
+    * (empties are already dropped by [[Tokenizer.ScriptAware]], and
+    * [[adjacentPairs]]/[[adjacentTriples]] drop them again defensively). */
+  private def tokenNgrams(text: Column, n: Int, tok: Tokenizer): Column =
+    tok match {
+      case Tokenizer.Whitespace => tokenNgrams(text, n)
+      case _ =>
+        val t = tok.tokens(text)
+        n match {
+          case 1 => filter(t, x => length(x) > 0)
+          case 2 => adjacentPairs(t)
+          case 3 => adjacentTriples(t)
+          case _ => throw new IllegalArgumentException(
+            s"tokenNgrams supports n in 1..3, got $n")
+        }
+    }
+
   /** Adjacent token triples (w1,w2,w3) of a token array, empties dropped —
     * the order-3 analog of [[adjacentPairs]], still a pure array projection
     * (two nested zip_with, no explode until the caller asks). */
@@ -654,27 +677,28 @@ object TextStats {
                           reference: org.apache.spark.sql.DataFrame = null,
                           refTextCol: String = null,
                           maxBroadcast: Long = 1L << 20,
-                          scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+                          scope: CacheScope = null,
+                          tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     val ref = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
     val tf = df
-      .select(col(idCol), explode(tokenNgrams(col(textCol), 3)).as("p"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.w3").as("w3"))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c3 = ref
-      .select(explode(tokenNgrams(col(refText), 3)).as("p"))
+      .select(explode(tokenNgrams(col(refText), 3, tok)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
     val c2 = ref
-      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
+      .select(explode(tokenNgrams(col(refText), 2, tok)).as("p"))
       .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
       .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
     val c1 = ref
-      .select(explode(tokenNgrams(col(refText), 1)).as("token"))
+      .select(explode(tokenNgrams(col(refText), 1, tok)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c1"))
     val nTot = c1.agg(sum(col("c1")).as("n_total"))
     def side(f: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
@@ -757,26 +781,27 @@ object TextStats {
                      reference: org.apache.spark.sql.DataFrame = null,
                      refTextCol: String = null,
                      maxBroadcast: Long = 1L << 20,
-                     scope: CacheScope = null): org.apache.spark.sql.DataFrame = {
+                     scope: CacheScope = null,
+                     tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     val ref = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
     val D = 0.75
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val tf = df
-      .select(col(idCol), explode(tokenNgrams(col(textCol), 3)).as("p"))
+      .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.w3").as("w3"))
       .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("tf"))
       .persist(lvl)
     val c3 = ref
-      .select(explode(tokenNgrams(col(refText), 3)).as("p"))
+      .select(explode(tokenNgrams(col(refText), 3, tok)).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
       .persist(lvl)
     val c2 = ref
-      .select(explode(tokenNgrams(col(refText), 2)).as("p"))
+      .select(explode(tokenNgrams(col(refText), 2, tok)).as("p"))
       .select(col("p.w1").as("b1"), col("p.w2").as("b2"))
       .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("c2"))
       .persist(lvl)
@@ -1087,10 +1112,14 @@ object TextStats {
     * list of stopword-class terms (they fail any practical `minDf`-style
     * ceiling anyway, and a real index shards postings by (term, bucket)). */
   def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    textCol: String, minDf: Int = 1)
+                    textCol: String, minDf: Int = 1,
+                    tok: Tokenizer = Tokenizer.Whitespace)
       : org.apache.spark.sql.DataFrame =
     df.select(col(idCol).as("_id"),
-        explode(array_distinct(tokens(col(textCol)))).as("term"))
+        explode(array_distinct(tok match {
+          case Tokenizer.Whitespace => tokens(col(textCol))
+          case t => t.tokens(col(textCol))
+        })).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("n_docs"),
         array_join(sort_array(collect_list(col("_id"))), ",").as("postings"))
@@ -1098,8 +1127,16 @@ object TextStats {
 
   /** ALL word n-gram occurrences (NOT distinct — [[graft.ext.Dedup.wordShingles]]
     * dedups for set similarity; repetition measurement needs the counts). */
-  def wordNgramsAll(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  def wordNgramsAll(text: Column, n: Int): Column =
+    wordNgramsAll(text, n, Tokenizer.Whitespace)
+
+  /** Tokenizer-seam form of [[wordNgramsAll]] — the Whitespace arm keeps
+    * the historical expressions verbatim. */
+  def wordNgramsAll(text: Column, n: Int, tok: Tokenizer): Column = {
+    val w = tok match {
+      case Tokenizer.Whitespace => tokens(text)
+      case t => t.tokens(text)
+    }
     when(size(w) >= n,
       transform(sequence(lit(1), size(w) - lit(n - 1)),
         i => concat_ws(" ", slice(w, i, lit(n)))))
@@ -1120,16 +1157,24 @@ object TextStats {
     * string counts in both paths; the share is one division of two exact
     * counts (cross-engine bit-identical). */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+                      textCol: String, n: Int,
+                      tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    // the native kernel counts n-grams of whatever token array it is
+    // handed, so the tokenizer seam is free here (the Whitespace arm's
+    // token expression is verbatim-identical to the historical one)
+    val toksOf = tok match {
+      case Tokenizer.Whitespace => tokens(col(textCol))
+      case t => t.tokens(col(textCol))
+    }
     val stats = GraftColumnBridge.column(
       graft.ext.expressions.RepetitionStatsExpr(
-        GraftColumnBridge.expression(tokens(col(textCol))), n))
+        GraftColumnBridge.expression(toksOf), n))
     // short docs (no n-gram) are excluded by the CHEAP precondition on raw
     // text, which pushes to the scan — a where(isNotNull) on the expression
     // output would instead be pushed down as a clone of the whole kernel
     // (the projection-collapse recompute pathology)
-    df.where(size(tokens(col(textCol))) >= n)
+    df.where(size(toksOf) >= n)
       .select(col(idCol), stats.as("_rs"))
       .select(col(idCol),
         col("_rs.top_gram_n").as("top_gram_n"),
@@ -1140,8 +1185,9 @@ object TextStats {
   /** Explode/aggregate twin of [[repetitionStats]] — the portable reference
     * implementation ExtSpec compares against. */
   private[ext] def repetitionStatsViaExplode(df: org.apache.spark.sql.DataFrame,
-      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), explode(wordNgramsAll(col(textCol), n)).as("gram"))
+      idCol: String, textCol: String, n: Int,
+      tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(wordNgramsAll(col(textCol), n, tok)).as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col(idCol))

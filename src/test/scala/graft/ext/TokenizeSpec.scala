@@ -151,6 +151,41 @@ class TokenizeSpec extends SparkSpec {
       n = 4, tok = Tokenizer.ScriptAware).count() === 0) // doc dropped
   }
 
+  test("repetitionStats under ScriptAware: native kernel == explode twin; " +
+      "whitespace is blind to intra-run repetition") {
+    // four repeats of a 2-ideograph phrase glued together: whitespace sees
+    // ONE token (no bigram at all), script-aware sees the repeated bigram
+    val phrase = han.take(2)
+    val doc = Seq((1L, phrase * 4)).toDF("doc_id", "text")
+    assert(TextStats.repetitionStats(doc, "doc_id", "text", n = 2).count() === 0)
+    val sa = TextStats.repetitionStats(doc, "doc_id", "text", n = 2,
+        tok = Tokenizer.ScriptAware)
+      .as[(Long, Long, Long, Double)].head()
+    assert(sa._3 === 7)      // 8 codepoints → 7 bigrams
+    assert(sa._2 === 4)      // the repeated (h1,h0) ... top bigram count
+    // native one-pass kernel == the portable explode twin, same tokenizer
+    val docs = Seq((1L, phrase * 4), (2L, s"x y $phrase$phrase y x"))
+      .toDF("doc_id", "text")
+    val native = TextStats.repetitionStats(docs, "doc_id", "text", 2,
+      Tokenizer.ScriptAware).as[(Long, Long, Long, Double)].collect().toSet
+    val explode = TextStats.repetitionStatsViaExplode(docs, "doc_id", "text",
+      2, Tokenizer.ScriptAware).as[(Long, Long, Long, Double)].collect().toSet
+    assert(native === explode)
+  }
+
+  test("bigramBackoffScore under ScriptAware: script-run bigrams score; " +
+      "whitespace emits no row for a glued CJK doc") {
+    val doc = Seq((1L, han + kana)).toDF("doc_id", "text")
+    // whitespace: one token → no bigram → no row
+    assert(TextStats.bigramBackoffScore(doc, "doc_id", "text",
+      maxBroadcast = Long.MaxValue).count() === 0)
+    // script-aware, self-reference: every bigram is a hit, score = FP each
+    val r = TextStats.bigramBackoffScore(doc, "doc_id", "text",
+        maxBroadcast = Long.MaxValue, tok = Tokenizer.ScriptAware)
+      .select("n_bigrams", "hit_bigrams").as[(Long, Long)].head()
+    assert(r._1 === 4 && r._2 === 4) // 5 codepoints → 4 bigrams, all seen
+  }
+
   test("bm25TopK with ScriptAware matches single-ideograph queries") {
     val docs = Seq(
       (1L, "intro words " + han),            // contains the han run
