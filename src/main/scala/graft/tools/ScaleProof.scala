@@ -219,6 +219,22 @@ object ScaleProof {
           batch, "doc_id", "text", cap = cap).count()
       }
     }
+    // r16 tokenizer-seam overhead at scale: the SAME near-dup plan with
+    // the token law swapped — the delta is the per-codepoint regexp pad
+    // (one regexp_replace per doc at scan level, zero extra exchange; the
+    // latin corpus tokenizes identically, so candidate volume matches and
+    // the wall delta isolates the tokenizer's CPU)
+    if (wanted("dedup_minhash_tok")) {
+      measured("minhash_whitespace") {
+        Dedup.nearDuplicatesFast(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 16, threshold = 0.5).count()
+      }
+      measured("minhash_scriptaware") {
+        Dedup.nearDuplicatesFast(docs, "doc_id", "text",
+          shingleLen = 3, numHashes = 16, threshold = 0.5,
+          tok = graft.ext.Tokenizer.ScriptAware).count()
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),
