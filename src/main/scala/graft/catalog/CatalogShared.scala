@@ -847,15 +847,20 @@ object CatalogShared {
     // means (r = y div 2 at h = 16; c = (9x+8) div 32 inverts the
     // (c·w) div 9 cell bounds at w = 32), and folded into the 64-bit
     // dHash. Ends with CTE `dh(asset_id, dhash)`.
-    lazy val photoDhashCtes: String =
+    lazy val photoDhashCtes: String = photoDhashChain(
       """assets AS (
         |  SELECT 2*doc_id AS asset_id, doc_id AS seed, 0 AS noise FROM documents
         |  UNION ALL
         |  SELECT 2*doc_id + 1 AS asset_id,
         |    CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id + 500000 END AS seed,
         |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS noise
-        |  FROM documents),
-        |pxg AS (SELECT asset_id,
+        |  FROM documents)""".stripMargin)
+
+    /** The pixel → gray → 9×8 cells → dHash chain over ANY
+      * `assets(asset_id, seed, noise)` CTE — the corpus is the only thing
+      * the perceptual rows vary. */
+    def photoDhashChain(assetsCte: String): String =
+      assetsCte + ",\n" + """pxg AS (SELECT asset_id,
         |    (((base + n) % 256) + ((base + 85 + n) % 256)
         |      + ((base + 170 + n) % 256)) // 3 AS gray,
         |    (y // 2) AS r, ((9*x + 8) // 32) AS c

@@ -216,6 +216,35 @@ object MultimodalCatalog {
     }),
 
 
+    // INCREMENTAL perceptual image dedup — "is this image already in the
+    // corpus": a batch drop probes the SERVED dHash store (8 bytes of
+    // state per ingested image) without re-decoding anything in it. Store
+    // = one photo per 70%-split doc; batch = per 30%-split doc either a
+    // noise-1 re-encode of store photo (doc_id % 5) — the planted
+    // cross-drop duplicate — or a novel scene. 8×8-bit bands, τ=6 exact by
+    // pigeonhole; batch bands broadcast so the store streams. The oracle
+    // regenerates every pixel of BOTH sides and restates the probe as the
+    // all-pairs batch×store Hamming filter.
+    "mm_image_dhash_store" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val store = Multimodal.imageDHash(
+        docs.where(col("doc_id") % 10 < 7).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map(id => Multimodal.RawAsset(id, "image",
+            Multimodal.syntheticPhotoPayload(id)))).toDF()
+      val batch = Multimodal.imageDHash(
+        docs.where(col("doc_id") % 10 >= 7).select(col("doc_id")).as[Long]
+          .repartition(s.sparkContext.defaultParallelism)
+          .map(id => Multimodal.RawAsset(1000000L + id, "image",
+            if (id % 2 == 0) Multimodal.syntheticPhotoPayload(id % 5, noise = 1)
+            else Multimodal.syntheticPhotoPayload(id + 900000L)))).toDF()
+      Dedup.hammingAgainstStore64(store, batch, "asset_id", "dhash",
+          maxHamming = 6)
+        .orderBy("batch_id", "store_id")
+    }),
+
+
     // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
     // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
     // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
@@ -676,6 +705,28 @@ object MultimodalCatalog {
          |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the same pixel→dHash chain over the split corpus (store photos
+    // seeded by doc_id; batch = noise-1 re-encode of store seed doc_id % 5
+    // at even ids, novel seed doc_id + 900000 at odd), probe = all-pairs
+    // batch×store Hamming ≤ 6 — τ < 8 bands keeps the banded join exact
+    "mm_image_dhash_store" ->
+      s"""WITH ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT doc_id AS asset_id, doc_id AS seed, 0 AS noise
+          |  FROM documents WHERE doc_id % 10 < 7
+          |  UNION ALL
+          |  SELECT 1000000 + doc_id AS asset_id,
+          |    CASE WHEN doc_id % 2 = 0 THEN doc_id % 5
+          |         ELSE doc_id + 900000 END AS seed,
+          |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS noise
+          |  FROM documents WHERE doc_id % 10 >= 7)""".stripMargin)}
+         |SELECT b.asset_id AS batch_id, a.asset_id AS store_id,
+         |  bit_count(xor(b.dhash, a.dhash))::INT AS hamming
+         |FROM dh a, dh b
+         |WHERE a.asset_id < 1000000 AND b.asset_id >= 1000000
+         |  AND bit_count(xor(b.dhash, a.dhash)) <= 6
+         |ORDER BY batch_id, store_id""".stripMargin,
 
     // the energy-delta bits restated from the amplitude contour alone:
     // E(f) = 16·gain²·A(f)², so E(f+1) > E(f) ⟺ A(f+1) > A(f) and the

@@ -1426,6 +1426,46 @@ object Dedup {
     bandedHammingPairs(fp.select(col(idCol), col(fpCol).as("simhash")),
       idCol, nBands = 8, bandBits = 8, maxHamming = maxHamming, scope = scope)
 
+  /** INCREMENTAL perceptual near-dup: probe a BATCH of 64-bit fingerprints
+    * against a SERVED fingerprint store — the "is this image already in the
+    * corpus" operator a LAION-shaped ingest runs per drop, the
+    * Hamming-space sibling of [[nearDupAgainstBandedStore]]. The store is
+    * the plain (id, fingerprint) frame the ingest appends to (8 bytes of
+    * state per asset — banding is a pure 8-way projection, so unlike the
+    * minhash store there is nothing to materialize beyond the fingerprints
+    * themselves); both sides band in-scan (8 bands × 8 bits — exact for
+    * `maxHamming` ≤ 7 by pigeonhole, same geometry as [[hammingPairs64]]).
+    *
+    * Exchange shape at the design point (store ≫ batch): with
+    * `broadcastBatch` on (default), the batch's 8·|batch| banded rows
+    * broadcast and the store STREAMS from storage through the hash join —
+    * no store shuffle, no store-side window, per-batch cost bounded by the
+    * batch and the matched buckets. For batches too large to broadcast
+    * (≳10⁷ fingerprints), disable it and both sides exchange on (band, v).
+    *
+    * Output: (batch_id, store_id, hamming) distinct, hamming ≤ maxHamming. */
+  def hammingAgainstStore64(store: DataFrame, batch: DataFrame,
+                            idCol: String, fpCol: String,
+                            maxHamming: Int = 4,
+                            broadcastBatch: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
+    val mask = (1L << 8) - 1
+    def banded(fp: DataFrame, side: String): DataFrame =
+      fp.select(col(idCol).as(s"${side}_id"), col(fpCol).as(s"${side}_fp"),
+          posexplode(array((0 until 8).map(b =>
+            shiftright(col(fpCol), b * 8).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band", "v")))
+        .select(col("band"), col("v"), col(s"${side}_id"), col(s"${side}_fp"))
+    val b0 = banded(batch, "batch")
+    val b = if (broadcastBatch) broadcast(b0) else b0
+    b.join(banded(store, "store"), Seq("band", "v"))
+      .select(col("batch_id"), col("store_id"),
+        hamming(col("batch_fp"), col("store_fp")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several bands
+  }
+
   /** SimHash near-dup pairs over the 16-bit fingerprints: 4 nibble bands,
     * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
     * buckets saturate (16 values each) — use [[simhashPairsWide]]. */

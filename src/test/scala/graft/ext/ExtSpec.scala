@@ -3075,6 +3075,27 @@ class ExtSpec extends SparkSpec {
     val tiny = Multimodal.RawAsset(999L, "image",
       ("P6\n4 4\n255\n" + "x" * 48).getBytes("US-ASCII"))
     assert(Multimodal.imageDHash(Seq(tiny).toDS()).count() === 0)
+
+    // the store probe equals the batch×store brute filter on both plans
+    // (broadcast-batch and shuffle), and the banded store side carries no
+    // exchange when the batch broadcasts
+    val (storeIds, batchIds) = ids.partition(_ % 4 != 3)
+    val storeFp = fp.where(col("asset_id") % 4 =!= 3)
+    val batchFp = fp.where(col("asset_id") % 4 === 3)
+    val bruteProbe = (for {
+      b <- batchIds; a <- storeIds
+      if java.lang.Long.bitCount(h(b) ^ h(a)) <= 6
+    } yield (b, a)).toSet
+    for (bc <- Seq(true, false)) {
+      val got = Dedup.hammingAgainstStore64(storeFp, batchFp,
+          "asset_id", "dhash", maxHamming = 6, broadcastBatch = bc)
+        .select("batch_id", "store_id").as[(Long, Long)].collect().toSet
+      assert(got === bruteProbe, s"broadcastBatch=$bc diverged")
+    }
+    val plan = Dedup.hammingAgainstStore64(storeFp, batchFp,
+      "asset_id", "dhash", maxHamming = 6).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"store probe should broadcast the batch side:\n$plan")
   }
 
   test("imageDHashDecoded: container-independent — identical pixels hash " +
