@@ -219,6 +219,27 @@ object ScaleProof {
           batch, "doc_id", "text", cap = cap).count()
       }
     }
+    // r16 fingerprint-store probe at scale: 500k-asset served store (the
+    // full per-asset state is ONE long), 2% batch of bit-flipped
+    // re-encodes — shufW must be batch-bounded (the store streams through
+    // the broadcast hash join; only the final distinct exchanges)
+    if (wanted("mm_fp_store_probe")) {
+      val store = spark.range(0, 500000L)
+        .select(col("id").as("asset_id"), xxhash64(col("id")).as("fp"))
+        .cache()
+      val batch = spark.range(0, 10000L)
+        .select((col("id") + 1000000L).as("asset_id"),
+          // flip bits (3·id mod 64) and (5·id mod 64) of store asset id·50:
+          // hamming ≤ 2 from its source, found at τ = 6
+          expr("xxhash64(id * 50) ^ shiftleft(1L, int((id * 3) % 64)) " +
+            "^ shiftleft(1L, int((id * 5) % 64))").as("fp"))
+      store.count()
+      measured("mm_fp_store_probe") {
+        Dedup.hammingAgainstStore64(store, batch, "asset_id", "fp",
+          maxHamming = 6).count()
+      }
+      store.unpersist(): Unit
+    }
     // r16 tokenizer-seam overhead at scale: the SAME near-dup plan with
     // the token law swapped — the delta is the per-codepoint regexp pad
     // (one regexp_replace per doc at scan level, zero extra exchange; the
