@@ -245,6 +245,25 @@ object MultimodalCatalog {
     }),
 
 
+    // STREAMING perceptual dedup, batch-driven: the stateful 64-bit
+    // Hamming LSH operator over the photo corpus's decoded dHashes —
+    // re-encoded twins flagged at ingest time. With unbounded buckets the
+    // emitted pair set equals the batch banded join exactly (pigeonhole at
+    // τ=6 < 8 bands; the fingerprint IS the state, so distances are true
+    // popcounts, not estimates) — the oracle restates the all-pairs
+    // Hamming filter over the regenerated pixels; the statefulness itself
+    // is MemoryStream-pinned (streamed == batch) in EventTimeSpec.
+    "mm_image_neardup_stream" -> ((s, d) => {
+      val fp = Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
+      EventTimeOps.streamingHammingDedup(fp, "asset_id", "dhash",
+          maxHamming = 6,
+          maxPerBucket = Int.MaxValue, maxBatchPerBucket = Int.MaxValue)
+        .dropDuplicates("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+        .toDF()
+    }),
+
+
     // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
     // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
     // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
@@ -699,6 +718,17 @@ object MultimodalCatalog {
     // so the pair set restates as the all-pairs Hamming filter over the
     // same regenerated fingerprints
     "mm_image_neardup" ->
+      s"""WITH ${Sql.photoDhashCtes}
+         |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+         |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
+         |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // uncapped streaming state ≡ the batch banded join (pigeonhole): the
+    // same all-pairs Hamming filter as mm_image_neardup, with the true
+    // popcount carried per pair
+    "mm_image_neardup_stream" ->
       s"""WITH ${Sql.photoDhashCtes}
          |SELECT a.asset_id AS a_id, b.asset_id AS b_id,
          |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming

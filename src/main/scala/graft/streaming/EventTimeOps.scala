@@ -285,6 +285,87 @@ object EventTimeOps {
       }
   }
 
+  final case class FpBand(band_key: Long, id: Long, fp: Long)
+  final case class HammingCandidate(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Streaming PERCEPTUAL near-duplicate detection: stateful 64-bit
+    * Hamming LSH across micro-batches — the streaming twin of
+    * [[graft.ext.Dedup.hammingAgainstStore64]] and the fingerprint-space
+    * sibling of [[streamingNearDedup]], for flagging re-encoded images /
+    * re-levelled audio at ingest time. Input is the (id, fingerprint)
+    * frame a decode stage produces (dHash, audio print, any 64-bit
+    * locality hash); each fingerprint explodes into 8 bands of 8 bits,
+    * state is keyed by the band bucket and remembers its most recent
+    * `maxPerBucket` (id, fingerprint) residents, and an arrival emits a
+    * candidate per resident within `maxHamming` (exact popcount on the
+    * full fingerprint — unlike the minhash stream there is NO estimate:
+    * the fingerprint IS the state, so the emitted distance is the true
+    * one, and with unbounded buckets the pair set equals the batch join's
+    * by pigeonhole for maxHamming < 8).
+    *
+    * Emissions are canonical (a_id < b_id); the same pair can surface from
+    * several agreeing bands — dedup downstream by (a_id, b_id). State is 16
+    * bytes per resident; the shuffle keys on the band bucket exactly like
+    * the batch join. Same bounded-heap batch cap, id-order determinism, and
+    * idle-timeout eviction as [[streamingNearDedup]]. */
+  def streamingHammingDedup(fps: DataFrame, idCol: String, fpCol: String,
+                            maxHamming: Int = 4, maxPerBucket: Int = 64,
+                            maxBatchPerBucket: Int = 4096,
+                            idleTimeout: Option[String] = None)
+      : Dataset[HammingCandidate] = {
+    import fps.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
+    val idType = fps.schema(idCol).dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"streamingHammingDedup requires a numeric id column ('$idCol' is $idType) — state keys ids as Long")
+    val mask = (1L << 8) - 1
+    val bands = fps
+      .select(col(idCol).cast("long").as("id"), col(fpCol).cast("long").as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("fp"), b * 8).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "v")))
+      .select(xxhash64(col("band"), col("v")).as("band_key"), col("id"),
+        col("fp"))
+      .as[FpBand]
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
+    bands
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[List[(Long, Long)], HammingCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
+        (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var residents = state.getOption.getOrElse(Nil) // newest first
+            val out = List.newBuilder[HammingCandidate]
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[FpBand](Ordering.by[FpBand, Long](_.id))
+            rows.foreach { d =>
+              heap.enqueue(d)
+              if (heap.size > maxBatchPerBucket) { heap.dequeue(); () }
+            }
+            val batch = new scala.collection.mutable.ArrayBuffer[FpBand](heap.size)
+            while (heap.nonEmpty) batch += heap.dequeue() // descending id
+            batch.reverseIterator.foreach { d =>
+              residents.foreach { case (rid, rfp) =>
+                if (rid != d.id) {
+                  val h = java.lang.Long.bitCount(rfp ^ d.fp)
+                  if (h <= maxHamming)
+                    out += HammingCandidate(math.min(rid, d.id),
+                      math.max(rid, d.id), h)
+                }
+              }
+              residents = ((d.id, d.fp) :: residents).take(maxPerBucket)
+            }
+            state.update(residents)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   final case class ScdObs(key: Long, ts: Long, attr: String, tie: Long)
   final case class ScdClosed(key: Long, attr: String, valid_from: Long,
                              valid_to: Long, version: Long)

@@ -316,6 +316,40 @@ class EventTimeSpec extends SparkSpec {
     assert(batch.exists(p => (p._1, p._2) == (1L, 2L) && p._3 < 16)) // near, not exact
   }
 
+  test("streamingHammingDedup: streamed across micro-batches == batch mode; " +
+      "eviction bounds state; distances are true popcounts") {
+    implicit val sqlCtx = spark.sqlContext
+    // fingerprints engineered on one band: ids 1/2/3 share low byte
+    // patterns within hamming 2, id 4 is far from everything
+    val fps = Seq(
+      (1L, 0x00000000000000FFL), (2L, 0x00000000000000FDL),
+      (3L, 0x00000000000000FBL), (4L, 0x7F3CA596E1D2B4C8L))
+    val batch = EventTimeOps.streamingHammingDedup(
+        fps.toDF("id", "fp"), "id", "fp", maxHamming = 3)
+      .toDF().dropDuplicates("a_id", "b_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batch === Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+
+    val in = MemoryStream[(Long, Long)]
+    val q = EventTimeOps.streamingHammingDedup(
+        in.toDF().toDF("id", "fp"), "id", "fp", maxHamming = 3)
+      .writeStream.format("memory").queryName("hamming_sink")
+      .outputMode("append").start()
+    fps.foreach { d => in.addData(d); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("hamming_sink")
+      .dropDuplicates("a_id", "b_id").as[(Long, Long, Int)].collect().toSet
+    assert(streamed === batch, s"streamed $streamed != batch $batch")
+
+    // maxPerBucket = 1: id 1 is evicted from every bucket by id 2's
+    // arrival, so (1,3) cannot form; (2,3) still pairs via residency
+    val evicted = EventTimeOps.streamingHammingDedup(
+        fps.toDF("id", "fp"), "id", "fp", maxHamming = 3, maxPerBucket = 1)
+      .toDF().dropDuplicates("a_id", "b_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(evicted === Set((1L, 2L, 1), (2L, 3L, 2)))
+  }
+
   test("verifyPairs filters streamingNearDedup's estimate-flagged false positives") {
     // pairs (2p, 2p+1) with per-pair disjoint vocabularies: odd p at exact
     // Jaccard 0.44 (11 shared shingles / union 25 — BELOW the 0.5 contract,
