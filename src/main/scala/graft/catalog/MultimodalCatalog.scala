@@ -264,6 +264,48 @@ object MultimodalCatalog {
     }),
 
 
+    // Per-frame PERCEPTUAL video hash: the frame-hash sequence clip-level
+    // dedup matches on — same integer dHash law as the image rows, one
+    // row per decoded frame of a photo-sized multi-frame P6 stream. The
+    // oracle regenerates every frame's pixels (frame f = the photo scene
+    // seeded doc_id + 31·f) through the shared pixel→dHash chain.
+    "mm_video_framehash" -> ((s, d) => {
+      import s.implicits._
+      val assets = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map(id => Multimodal.RawAsset(id, "video",
+          Multimodal.syntheticPhotoVideoPayload(id, (2 + id % 3).toInt)))
+      Multimodal.videoDHashFrames(assets).toDF()
+        .orderBy("asset_id", "frame_no")
+    }),
+
+
+    // CLIP-level near-dup: two clips per doc — the original and either its
+    // frame-for-frame noise-1 re-encode (doc_id % 3 == 0: the planted
+    // duplicate clip) or unrelated material. Banded Hamming join WITHIN
+    // each frame position (exact at τ=6 by pigeonhole), then clips pair
+    // when ≥ half the shorter clip's frames match — the aligned-sequence
+    // video-dedup law, restated end to end by the oracle.
+    "mm_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val assets = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          Seq(
+            Multimodal.RawAsset(2 * id, "video",
+              Multimodal.syntheticPhotoVideoPayload(id, 3)),
+            Multimodal.RawAsset(2 * id + 1, "video",
+              if (id % 3 == 0)
+                Multimodal.syntheticPhotoVideoPayload(id, 3, noise = 1)
+              else Multimodal.syntheticPhotoVideoPayload(id + 700000L, 3)))
+        }
+      Multimodal.videoNearDupPairs(
+          Multimodal.videoDHashFrames(assets).toDF(),
+          maxHamming = 6, minFrac = 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+
     // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
     // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
     // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
@@ -734,6 +776,50 @@ object MultimodalCatalog {
          |  bit_count(xor(a.dhash, b.dhash))::INT AS hamming
          |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the shared pixel→dHash chain with frames encoded as composite ids
+    // (fid = doc_id·100 + frame_no, seed = doc_id + 31·frame_no), decoded
+    // back to (asset_id, frame_no) at the end
+    "mm_video_framehash" ->
+      s"""WITH ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT doc_id * 100 + f AS asset_id, doc_id + 31 * f AS seed,
+          |    0 AS noise
+          |  FROM documents, (SELECT unnest(range(0, 5)) AS f)
+          |  WHERE f < 2 + doc_id % 3)""".stripMargin)}
+         |SELECT (asset_id // 100)::BIGINT AS asset_id,
+         |  (asset_id % 100)::INT AS frame_no, 32 AS width, 16 AS height,
+         |  dhash
+         |FROM dh ORDER BY asset_id, frame_no""".stripMargin,
+
+    // the frame chain over both clips (clip 2·doc_id = seeds doc_id+31f;
+    // clip 2·doc_id+1 = the same seeds noise-re-encoded at doc_id % 3 = 0,
+    // else seeds doc_id+700000+31f), then the aligned-position Hamming
+    // filter and the ≥-half-matched aggregation
+    "mm_video_neardup" ->
+      s"""WITH ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT (2 * doc_id) * 100 + f AS asset_id,
+          |    doc_id + 31 * f AS seed, 0 AS noise
+          |  FROM documents, (SELECT unnest(range(0, 3)) AS f)
+          |  UNION ALL
+          |  SELECT (2 * doc_id + 1) * 100 + f AS asset_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN doc_id + 31 * f
+          |         ELSE doc_id + 700000 + 31 * f END AS seed,
+          |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS noise
+          |  FROM documents, (SELECT unnest(range(0, 3)) AS f))""".stripMargin)},
+         |fh AS (SELECT (asset_id // 100)::BIGINT AS clip,
+         |    (asset_id % 100)::INT AS frame_no, dhash FROM dh),
+         |fm AS (SELECT a.clip AS a_id, b.clip AS b_id, a.frame_no
+         |  FROM fh a JOIN fh b
+         |    ON a.frame_no = b.frame_no AND a.clip < b.clip
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |nm AS (SELECT a_id, b_id, count(*)::BIGINT AS n_matched
+         |  FROM fm GROUP BY 1, 2)
+         |SELECT a_id, b_id, n_matched,
+         |  (n_matched / 3.0)::DOUBLE AS matched_frac
+         |FROM nm WHERE n_matched / 3.0 >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the same pixel→dHash chain over the split corpus (store photos

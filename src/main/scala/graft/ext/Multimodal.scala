@@ -1422,6 +1422,88 @@ object Multimodal {
     }.toArray
   }
 
+  final case class FrameHash(asset_id: Long, frame_no: Int, width: Int,
+                             height: Int, dhash: Long)
+
+  /** Per-frame perceptual hash over a multi-image PPM stream — the video
+    * near-dup primitive: a re-encoded/re-compressed copy of a clip is
+    * byte-different per frame but each frame's dHash stays within a few
+    * bits of the original's, so clip-level duplicates reduce to matching
+    * frame-hash sequences ([[videoNearDupPairs]]). Same integer dHash law
+    * as [[imageDHash]] per frame; sub-9×8 frames quarantine individually
+    * (no row), malformed streams entirely. Pure per-row projection,
+    * constant memory — one decoded frame in flight. */
+  def videoDHashFrames(assets: Dataset[RawAsset]): Dataset[FrameHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      parsePpmStream(a.payload) match {
+        case Some(frames) if frames.nonEmpty =>
+          frames.iterator.zipWithIndex.collect {
+            case ((w, h, px), i) if w >= 9 && h >= 8 =>
+              FrameHash(a.asset_id, i, w, h,
+                dhash64(w, h, grayOfRgbBytes(w, h, px)))
+          }
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  /** CLIP-level near-dup from per-frame hashes ([[videoDHashFrames]]
+    * output, or any (asset_id, frame_no, dhash) frame): two clips pair
+    * when at least `minFrac` of the shorter clip's frames match at the
+    * SAME frame position within `maxHamming` bits — the aligned-sequence
+    * form (re-encodes preserve frame order; for trimmed/shifted copies,
+    * run the frame hashes through [[graft.ext.Dedup.hammingPairs64]]
+    * unaligned instead and cluster). Candidates come from the banded
+    * Hamming join WITHIN a frame position (8×8-bit bands — exact for
+    * maxHamming ≤ 7 by pigeonhole, never all-pairs), so the exchange is
+    * keyed on (frame_no, band, v) and skew is bounded by per-position
+    * bucket occupancy. Output: (a_id, b_id, n_matched, matched_frac). */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 6,
+                        minFrac: Double = 0.5): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
+    val mask = (1L << 8) - 1
+    val banded = frameHashes.select(col("asset_id"), col("frame_no"),
+        col("dhash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "v")))
+    val a = banded.select(col("frame_no"), col("band"), col("v"),
+      col("asset_id").as("a_id"), col("dhash").as("fp_a"))
+    val b = banded.select(col("frame_no"), col("band"), col("v"),
+      col("asset_id").as("b_id"), col("dhash").as("fp_b"))
+    val frameMatches = a.join(b, Seq("frame_no", "band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("frame_no"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct() // a frame pair can agree on several bands
+    val counts = frameHashes.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"))
+    frameMatches.groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .join(counts.select(col("asset_id").as("a_id"),
+        col("n_frames").as("_na")), "a_id")
+      .join(counts.select(col("asset_id").as("b_id"),
+        col("n_frames").as("_nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_matched"),
+        (col("n_matched").cast("double") /
+          least(col("_na"), col("_nb")).cast("double")).as("matched_frac"))
+      .where(col("matched_frac") >= minFrac)
+  }
+
+  /** A photo-sized (32×16) multi-frame P6 stream — the video twin of
+    * [[syntheticPhotoPayload]]: frame f carries the photo scene seeded
+    * `seed + 31·f`, optionally noise-re-encoded ([[syntheticPhotoRgb]]'s
+    * checkerboard), so a (seed, noise=1) clip is the frame-for-frame
+    * re-encode of the (seed, 0) original. */
+  def syntheticPhotoVideoPayload(seed: Long, nFrames: Int,
+                                 noise: Int = 0): Array[Byte] =
+    (0 until nFrames).toArray.flatMap(f =>
+      s"P6 32 16 255\n".getBytes("US-ASCII") ++
+        syntheticPhotoRgb(seed + 31L * f, noise))
+
   final case class FrameDiff(asset_id: Long, frame_no: Int, n_px: Int,
                              abs_diff: Long)
 

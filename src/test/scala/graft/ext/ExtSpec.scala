@@ -3098,6 +3098,46 @@ class ExtSpec extends SparkSpec {
       s"store probe should broadcast the batch side:\n$plan")
   }
 
+  test("videoDHashFrames + videoNearDupPairs: re-encoded clips pair on " +
+      "aligned frames; banded join equals the brute filter; sub-grid " +
+      "frames quarantine") {
+    val clips = (0L until 30L).flatMap { id =>
+      Seq(
+        Multimodal.RawAsset(2 * id, "video",
+          Multimodal.syntheticPhotoVideoPayload(id, 3)),
+        Multimodal.RawAsset(2 * id + 1, "video",
+          if (id % 3 == 0) Multimodal.syntheticPhotoVideoPayload(id, 3, noise = 1)
+          else Multimodal.syntheticPhotoVideoPayload(id + 700000L, 3)))
+    }.toDS()
+    val fh = Multimodal.videoDHashFrames(clips).toDF().cache()
+    assert(fh.count() === 120 * 3 / 2 * 1) // 60 clips x 3 frames
+    val pairs = Multimodal.videoNearDupPairs(fh, maxHamming = 6, minFrac = 0.5)
+      .select("a_id", "b_id", "n_matched").as[(Long, Long, Long)]
+      .collect().toSet
+    // every planted re-encode pairs on ALL 3 aligned frames
+    (0L until 30L).filter(_ % 3 == 0).foreach { id =>
+      assert(pairs.contains((2 * id, 2 * id + 1, 3L)),
+        s"re-encoded clip of doc $id not recovered: $pairs")
+    }
+    // brute-force check of the full law
+    val h = fh.select("asset_id", "frame_no", "dhash")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      m = (0 until 3).count(f =>
+        java.lang.Long.bitCount(h(ids(i))(f) ^ h(ids(j))(f)) <= 6)
+      if m >= 2 // ceil(0.5 * 3)
+    } yield (ids(i), ids(j), m.toLong)).toSet
+    assert(pairs === brute)
+    fh.unpersist()
+    // a tiny-frame stream (below the 9x8 grid) quarantines per frame
+    val tiny = Multimodal.RawAsset(999L, "video",
+      Multimodal.syntheticVideoPayload(5L))
+    assert(Multimodal.videoDHashFrames(Seq(tiny).toDS()).count() === 0)
+  }
+
   test("imageDHashDecoded: container-independent — identical pixels hash " +
       "identically through PPM, PNG, and (near-identically) JPEG paths") {
     // the same photo pixels wrapped three ways
