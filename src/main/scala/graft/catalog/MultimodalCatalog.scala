@@ -306,6 +306,32 @@ object MultimodalCatalog {
     }),
 
 
+    // SHIFT-INVARIANT clip near-dup (the trimmed-copy case the aligned
+    // law misses): the planted twin drops the source's first frame AND
+    // noise-re-encodes the rest — frame f of the twin is source frame
+    // f+1's scene (seed id+31+31f), so matches vote for offset −1.
+    // Unaligned banded join + offset voting with modal-offset/smallest
+    // tie-break; the oracle restates the whole vote.
+    "mm_video_neardup_shifted" -> ((s, d) => {
+      import s.implicits._
+      val assets = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          Seq(
+            Multimodal.RawAsset(2 * id, "video",
+              Multimodal.syntheticPhotoVideoPayload(id, 4)),
+            Multimodal.RawAsset(2 * id + 1, "video",
+              if (id % 3 == 0)
+                Multimodal.syntheticPhotoVideoPayload(id + 31L, 3, noise = 1)
+              else Multimodal.syntheticPhotoVideoPayload(id + 700000L, 3)))
+        }
+      Multimodal.videoNearDupShifted(
+          Multimodal.videoDHashFrames(assets).toDF(),
+          maxHamming = 6, minMatched = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+
     // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
     // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
     // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
@@ -820,6 +846,37 @@ object MultimodalCatalog {
          |SELECT a_id, b_id, n_matched,
          |  (n_matched / 3.0)::DOUBLE AS matched_frac
          |FROM nm WHERE n_matched / 3.0 >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the frame chain over source (4 frames, seeds id+31f) and twin
+    // (3 frames; trimmed+re-encoded seeds id+31+31f at doc_id % 3 = 0,
+    // else unrelated), then the UNALIGNED Hamming join, per-offset votes,
+    // and the modal-offset/smallest tie-break
+    "mm_video_neardup_shifted" ->
+      s"""WITH ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT (2 * doc_id) * 100 + f AS asset_id,
+          |    doc_id + 31 * f AS seed, 0 AS noise
+          |  FROM documents, (SELECT unnest(range(0, 4)) AS f)
+          |  UNION ALL
+          |  SELECT (2 * doc_id + 1) * 100 + f AS asset_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN doc_id + 31 + 31 * f
+          |         ELSE doc_id + 700000 + 31 * f END AS seed,
+          |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS noise
+          |  FROM documents, (SELECT unnest(range(0, 3)) AS f))""".stripMargin)},
+         |fh AS (SELECT (asset_id // 100)::BIGINT AS clip,
+         |    (asset_id % 100)::INT AS frame_no, dhash FROM dh),
+         |votes AS (SELECT a.clip AS a_id, b.clip AS b_id,
+         |    (b.frame_no - a.frame_no) AS off, count(*)::BIGINT AS n_matched
+         |  FROM fh a JOIN fh b ON a.clip < b.clip
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |  GROUP BY 1, 2, 3),
+         |best AS (SELECT a_id, b_id, off, n_matched,
+         |    row_number() OVER (PARTITION BY a_id, b_id
+         |      ORDER BY n_matched DESC, off ASC) AS rk
+         |  FROM votes)
+         |SELECT a_id, b_id, off::INT AS "offset", n_matched
+         |FROM best WHERE rk = 1 AND n_matched >= 2
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the same pixel→dHash chain over the split corpus (store photos

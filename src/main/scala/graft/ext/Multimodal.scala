@@ -1493,6 +1493,56 @@ object Multimodal {
       .where(col("matched_frac") >= minFrac)
   }
 
+  /** SHIFT-INVARIANT clip near-dup — the trimmed-copy detector
+    * [[videoNearDupPairs]]' aligned law misses: a clip whose first k
+    * frames were cut matches its source frame-for-frame at one constant
+    * OFFSET, not at equal positions. Frame hashes join WITHOUT position
+    * alignment (banded on the hash value alone — same pigeonhole
+    * exactness), each matching frame pair VOTES for its offset
+    * (b_frame − a_frame), and a clip pair is emitted with its modal
+    * offset when at least `minMatched` frames agree on that single shift
+    * (ties break toward the smallest offset — deterministic).
+    *
+    * Scale shape: the exchange is keyed on (band, v) over frame hashes —
+    * bounded by per-bucket occupancy like every banded join here; the
+    * offset vote is one (a, b, offset) count + one (a, b) max, both
+    * map-side-combining aggregations. Output: (a_id, b_id, offset,
+    * n_matched). */
+  def videoNearDupShifted(frameHashes: DataFrame, maxHamming: Int = 6,
+                          minMatched: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 8,
+      s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
+    require(minMatched >= 1, s"minMatched must be positive: $minMatched")
+    val mask = (1L << 8) - 1
+    val banded = frameHashes.select(col("asset_id"), col("frame_no"),
+        col("dhash"),
+        posexplode(array((0 until 8).map(b =>
+          shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "v")))
+    val a = banded.select(col("band"), col("v"), col("asset_id").as("a_id"),
+      col("frame_no").as("fa"), col("dhash").as("fp_a"))
+    val b = banded.select(col("band"), col("v"), col("asset_id").as("b_id"),
+      col("frame_no").as("fb"), col("dhash").as("fp_b"))
+    val votes = a.join(b, Seq("band", "v"))
+      .where(col("a_id") < col("b_id"))
+      .where(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("fa"), col("fb"),
+        (col("fb") - col("fa")).as("offset"))
+      .distinct() // a frame pair can agree on several bands
+      .groupBy(col("a_id"), col("b_id"), col("offset"))
+      .agg(count(lit(1)).as("n_matched"))
+    // modal offset per pair, smallest-offset tie-break: one max over a
+    // packed (count, -offset) struct — no second shuffle beyond the
+    // (a, b) key
+    votes.groupBy(col("a_id"), col("b_id"))
+      .agg(max(struct(col("n_matched"), (-col("offset")).as("_negoff")))
+        .as("_best"))
+      .select(col("a_id"), col("b_id"),
+        (-col("_best").getField("_negoff")).cast("int").as("offset"),
+        col("_best").getField("n_matched").as("n_matched"))
+      .where(col("n_matched") >= minMatched)
+  }
+
   /** A photo-sized (32×16) multi-frame P6 stream — the video twin of
     * [[syntheticPhotoPayload]]: frame f carries the photo scene seeded
     * `seed + 31·f`, optionally noise-re-encoded ([[syntheticPhotoRgb]]'s

@@ -3138,6 +3138,49 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.videoDHashFrames(Seq(tiny).toDS()).count() === 0)
   }
 
+  test("videoNearDupShifted: a trimmed re-encoded copy is recovered at " +
+      "its offset; modal-offset voting equals the brute restatement") {
+    // use well-separated seed bases so clips share frames ONLY through
+    // the planted trims (the catalog fixture deliberately overlaps)
+    val clips = (0L until 24L).flatMap { id =>
+      val base = id * 1000L
+      Seq(
+        Multimodal.RawAsset(2 * id, "video",
+          Multimodal.syntheticPhotoVideoPayload(base, 4)),
+        Multimodal.RawAsset(2 * id + 1, "video",
+          if (id % 3 == 0) // drop source frame 0, re-encode the rest
+            Multimodal.syntheticPhotoVideoPayload(base + 31L, 3, noise = 1)
+          else Multimodal.syntheticPhotoVideoPayload(base + 700000L, 3)))
+    }.toDS()
+    val fh = Multimodal.videoDHashFrames(clips).toDF().cache()
+    val got = Multimodal.videoNearDupShifted(fh, maxHamming = 6,
+        minMatched = 2)
+      .select("a_id", "b_id", "offset", "n_matched")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // every planted trim pairs at offset -1 (twin frame f = source f+1)
+    (0L until 24L).filter(_ % 3 == 0).foreach { id =>
+      val hit = got.find(p => p._1 == 2 * id && p._2 == 2 * id + 1)
+      assert(hit.exists(_._3 == -1),
+        s"trimmed copy of clip ${2 * id} not recovered at offset -1: $hit")
+    }
+    // brute restatement of the vote
+    val h = fh.select("asset_id", "frame_no", "dhash")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    val ids = h.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      votes = (for {
+        (_, fa, da) <- h(ids(i)); (_, fb, db) <- h(ids(j))
+        if java.lang.Long.bitCount(da ^ db) <= 6
+      } yield fb - fa).groupBy(identity).view.mapValues(_.size).toMap
+      if votes.nonEmpty
+      best = votes.toSeq.maxBy { case (off, n) => (n, -off) }
+      if best._2 >= 2
+    } yield (ids(i), ids(j), best._1, best._2.toLong)).toSet
+    assert(got === brute)
+    fh.unpersist(): Unit
+  }
+
   test("imageDHashDecoded: container-independent — identical pixels hash " +
       "identically through PPM, PNG, and (near-identically) JPEG paths") {
     // the same photo pixels wrapped three ways
