@@ -332,6 +332,28 @@ object MultimodalCatalog {
     }),
 
 
+    // The COMPOSED image-dedup recipe (the LAION-shaped pipeline end to
+    // end): decode → perceptual hash → banded Hamming pairs → connected
+    // components → survivor census (cluster rep = min id; singletons
+    // survive as themselves). A≈B, B≈C collapse to ONE survivor — the
+    // step pairwise dedup forgets. The oracle regenerates the pixels and
+    // restates pairs + recursive reachability + the census.
+    "mm_image_dedup_pipeline" -> ((s, d) => {
+      val fp = Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
+        .select(col("asset_id"), col("dhash"))
+      val pairs = Dedup.hammingPairs64(fp, "asset_id", "dhash",
+        maxHamming = 6)
+      val cc = Dedup.duplicateClusters(pairs)
+        .select(col("id").as("asset_id"), col("rep"))
+      fp.join(cc, Seq("asset_id"), "left")
+        .select(col("asset_id"),
+          coalesce(col("rep"), col("asset_id")).as("rep"),
+          (coalesce(col("rep"), col("asset_id")) === col("asset_id"))
+            .cast("int").as("survivor"))
+        .orderBy("asset_id")
+    }),
+
+
     // PERCEPTUAL audio fingerprint (energy-delta sign chain — the
     // Shazam/Chromaprint trick's portable skeleton): per-frame Σx² off
     // REAL decoded WAV bytes, bit f = E(f+1) > E(f). Fixture: two
@@ -803,6 +825,24 @@ object MultimodalCatalog {
          |FROM dh a JOIN dh b ON a.asset_id < b.asset_id
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // pixels → pairs → recursive reachability → survivor census
+    "mm_image_dedup_pipeline" ->
+      s"""WITH RECURSIVE ${Sql.photoDhashCtes},
+         |prs AS (SELECT a.asset_id AS a_id, b.asset_id AS b_id
+         |  FROM dh a JOIN dh b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+         |  UNION SELECT b_id, a_id FROM prs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |cc AS (SELECT s AS asset_id, least(s, min(t))::BIGINT AS rep
+         |  FROM reach GROUP BY s)
+         |SELECT dh.asset_id, coalesce(cc.rep, dh.asset_id)::BIGINT AS rep,
+         |  (CASE WHEN coalesce(cc.rep, dh.asset_id) = dh.asset_id
+         |        THEN 1 ELSE 0 END)::INT AS survivor
+         |FROM dh LEFT JOIN cc USING (asset_id)
+         |ORDER BY asset_id""".stripMargin,
 
     // the shared pixel→dHash chain with frames encoded as composite ids
     // (fid = doc_id·100 + frame_no, seed = doc_id + 31·frame_no), decoded
