@@ -782,5 +782,8 @@ object Queries {
     "mm_audio_neardup", "dedup_near_incremental",
     // the design-point probe: served banded store, append-maintained —
     // its cost should track the BATCH, not the store
-    "dedup_near_banded_append")
+    "dedup_near_banded_append",
+    // r16 video/composed-multimodal families: aligned clip pairing and
+    // the full decode→hash→pair→cluster→survive recipe
+    "mm_video_neardup", "mm_image_dedup_pipeline")
 }

@@ -339,17 +339,8 @@ object MultimodalCatalog {
     // step pairwise dedup forgets. The oracle regenerates the pixels and
     // restates pairs + recursive reachability + the census.
     "mm_image_dedup_pipeline" -> ((s, d) => {
-      val fp = Multimodal.imageDHash(photoAssets(t(s, d, "documents"))).toDF()
-        .select(col("asset_id"), col("dhash"))
-      val pairs = Dedup.hammingPairs64(fp, "asset_id", "dhash",
-        maxHamming = 6)
-      val cc = Dedup.duplicateClusters(pairs)
-        .select(col("id").as("asset_id"), col("rep"))
-      fp.join(cc, Seq("asset_id"), "left")
-        .select(col("asset_id"),
-          coalesce(col("rep"), col("asset_id")).as("rep"),
-          (coalesce(col("rep"), col("asset_id")) === col("asset_id"))
-            .cast("int").as("survivor"))
+      Multimodal.imageDedupSurvivors(photoAssets(t(s, d, "documents")),
+          maxHamming = 6)
         .orderBy("asset_id")
     }),
 

@@ -1460,11 +1460,18 @@ object Multimodal {
     * keyed on (frame_no, band, v) and skew is bounded by per-position
     * bucket occupancy. Output: (a_id, b_id, n_matched, matched_frac). */
   def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 6,
-                        minFrac: Double = 0.5): DataFrame = {
+                        minFrac: Double = 0.5,
+                        scope: CacheScope = null): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
     val mask = (1L << 8) - 1
-    val banded = frameHashes.select(col("asset_id"), col("frame_no"),
+    // the frame-hash frame feeds the banded join (twice) AND the per-clip
+    // frame counts — persist it, or an upstream decode re-runs per
+    // consumer (the recompute pathology bandedHammingPairs guards); the
+    // scope-less default self-releases after the first action
+    val fh = frameHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(fh)
+    val banded = fh.select(col("asset_id"), col("frame_no"),
         col("dhash"),
         posexplode(array((0 until 8).map(b =>
           shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
@@ -1479,9 +1486,9 @@ object Multimodal {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a frame pair can agree on several bands
-    val counts = frameHashes.groupBy(col("asset_id"))
+    val counts = fh.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_frames"))
-    frameMatches.groupBy(col("a_id"), col("b_id"))
+    val out = frameMatches.groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_matched"))
       .join(counts.select(col("asset_id").as("a_id"),
         col("n_frames").as("_na")), "a_id")
@@ -1491,6 +1498,8 @@ object Multimodal {
         (col("n_matched").cast("double") /
           least(col("_na"), col("_nb")).cast("double")).as("matched_frac"))
       .where(col("matched_frac") >= minFrac)
+    if (scope == null) graft.ext.Dedup.releaseAfterFirstAction(fh, out)
+    out
   }
 
   /** SHIFT-INVARIANT clip near-dup — the trimmed-copy detector
@@ -1509,12 +1518,17 @@ object Multimodal {
     * map-side-combining aggregations. Output: (a_id, b_id, offset,
     * n_matched). */
   def videoNearDupShifted(frameHashes: DataFrame, maxHamming: Int = 6,
-                          minMatched: Int = 2): DataFrame = {
+                          minMatched: Int = 2,
+                          scope: CacheScope = null): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
     require(minMatched >= 1, s"minMatched must be positive: $minMatched")
     val mask = (1L << 8) - 1
-    val banded = frameHashes.select(col("asset_id"), col("frame_no"),
+    // both join sides read the frame hashes — persist, or an upstream
+    // decode runs twice (see videoNearDupPairs)
+    val fh = frameHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(fh)
+    val banded = fh.select(col("asset_id"), col("frame_no"),
         col("dhash"),
         posexplode(array((0 until 8).map(b =>
           shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
@@ -1534,13 +1548,40 @@ object Multimodal {
     // modal offset per pair, smallest-offset tie-break: one max over a
     // packed (count, -offset) struct — no second shuffle beyond the
     // (a, b) key
-    votes.groupBy(col("a_id"), col("b_id"))
+    val out = votes.groupBy(col("a_id"), col("b_id"))
       .agg(max(struct(col("n_matched"), (-col("offset")).as("_negoff")))
         .as("_best"))
       .select(col("a_id"), col("b_id"),
         (-col("_best").getField("_negoff")).cast("int").as("offset"),
         col("_best").getField("n_matched").as("n_matched"))
       .where(col("n_matched") >= minMatched)
+    if (scope == null) graft.ext.Dedup.releaseAfterFirstAction(fh, out)
+    out
+  }
+
+  /** The COMPOSED image-dedup recipe — decode → perceptual hash → banded
+    * Hamming pairs → connected components → survivor census: every asset
+    * labeled with its cluster representative (min id; singletons are their
+    * own rep) and a survivor flag. This is the cluster-RESOLUTION step
+    * pairwise dedup forgets: A≈B and B≈C must collapse to ONE survivor.
+    * The fingerprint frame is persisted across its three consumers (pair
+    * join sides + final census join) and self-released scope-less. */
+  def imageDedupSurvivors(assets: Dataset[RawAsset], maxHamming: Int = 6,
+                          scope: CacheScope = null): DataFrame = {
+    val fp = imageDHash(assets).toDF().select(col("asset_id"), col("dhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(fp)
+    val pairs = graft.ext.Dedup.hammingPairs64(fp, "asset_id", "dhash",
+      maxHamming, scope)
+    val cc = graft.ext.Dedup.duplicateClusters(pairs, scope = scope)
+      .select(col("id").as("asset_id"), col("rep"))
+    val out = fp.join(cc, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        coalesce(col("rep"), col("asset_id")).as("rep"),
+        (coalesce(col("rep"), col("asset_id")) === col("asset_id"))
+          .cast("int").as("survivor"))
+    if (scope == null) graft.ext.Dedup.releaseAfterFirstAction(fp, out)
+    out
   }
 
   /** A photo-sized (32×16) multi-frame P6 stream — the video twin of
