@@ -168,6 +168,38 @@ object MultimodalCatalog {
     }),
 
 
+    // TRIM + LEVEL invariant audio matching — the Shazam-shaped law: the
+    // twin drops the source's first 5 frames AND plays at gain 3; sliding
+    // 65-frame window prints (stride 1) make its windows IDENTICAL to the
+    // source's shifted by 5 (gain cancels in every energy comparison), so
+    // offset voting recovers the pair at offset −5 with zero-Hamming
+    // matches. Same generic voting operator as the video row (posCol /
+    // fpCol seams); the oracle restates windows, votes, and tie-break
+    // from the amplitude contour alone.
+    "mm_audio_neardup_shifted" -> ((s, d) => {
+      import s.implicits._
+      val assets = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .flatMap { id =>
+          Seq(
+            Multimodal.RawAsset(2 * id, "audio",
+              Multimodal.syntheticMelodyPayload(id, 1, frames = 80)),
+            Multimodal.RawAsset(2 * id + 1, "audio",
+              if (id % 3 == 0)
+                Multimodal.syntheticMelodyPayload(id, 3, frames = 75,
+                  startFrame = 5)
+              else
+                Multimodal.syntheticMelodyPayload(id + 500000L, 1,
+                  frames = 75)))
+        }
+      Multimodal.videoNearDupShifted(
+          Multimodal.audioWindowPrints(assets).toDF(),
+          maxHamming = 2, minMatched = 8,
+          posCol = "window_no", fpCol = "aprint")
+        .orderBy("a_id", "b_id")
+    }),
+
+
     // Per-channel COLOR HISTOGRAM (E32j): exact integer bucket counts
     // (value div 32, 8 buckets x RGB) over the first frame of the same
     // P6 stream — image statistics as a feature (exposure profiling,
@@ -931,6 +963,48 @@ object MultimodalCatalog {
          |WHERE a.asset_id < 1000000 AND b.asset_id >= 1000000
          |  AND bit_count(xor(b.dhash, a.dhash)) <= 6
          |ORDER BY batch_id, store_id""".stripMargin,
+
+    // window prints restated from the amplitude contour (gain cancels in
+    // every comparison), then the unaligned vote and the modal-offset
+    // tie-break — the trimmed twin reads frames 5.. of the SAME contour
+    "mm_audio_neardup_shifted" ->
+      """WITH au AS (
+        |  SELECT 2*doc_id AS asset_id, doc_id AS seed, 0 AS fstart,
+        |    80 AS nframes FROM documents
+        |  UNION ALL
+        |  SELECT 2*doc_id + 1 AS asset_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE doc_id + 500000 END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 5 ELSE 0 END,
+        |    75
+        |  FROM documents),
+        |amp AS (SELECT asset_id, f,
+        |    200 + (('0x' || substr(md5(seed::VARCHAR || ':' ||
+        |      (f + fstart)::VARCHAR), 1, 8))::BIGINT % 900) AS a
+        |  FROM au, (SELECT unnest(range(0, 80)) AS f) WHERE f < nframes),
+        |win AS (SELECT asset_id, w FROM au,
+        |    (SELECT unnest(range(0, 16)) AS w)
+        |  WHERE w <= nframes - 65),
+        |pr AS (SELECT win.asset_id, win.w,
+        |    coalesce(sum(CASE WHEN y.a > x.a THEN
+        |      CASE WHEN b = 63 THEN -9223372036854775807 - 1
+        |           ELSE (1::BIGINT << b::INT) END
+        |      ELSE 0 END), 0)::BIGINT AS aprint
+        |  FROM win CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bits
+        |    JOIN amp x ON x.asset_id = win.asset_id AND x.f = win.w + b
+        |    JOIN amp y ON y.asset_id = win.asset_id AND y.f = win.w + b + 1
+        |  GROUP BY 1, 2),
+        |votes AS (SELECT a.asset_id AS a_id, b.asset_id AS b_id,
+        |    (b.w - a.w) AS off, count(*)::BIGINT AS n_matched
+        |  FROM pr a JOIN pr b ON a.asset_id < b.asset_id
+        |  WHERE bit_count(xor(a.aprint, b.aprint)) <= 2
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT a_id, b_id, off, n_matched,
+        |    row_number() OVER (PARTITION BY a_id, b_id
+        |      ORDER BY n_matched DESC, off ASC) AS rk
+        |  FROM votes)
+        |SELECT a_id, b_id, off::INT AS "offset", n_matched
+        |FROM best WHERE rk = 1 AND n_matched >= 8
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // the energy-delta bits restated from the amplitude contour alone:
     // E(f) = 16·gain²·A(f)², so E(f+1) > E(f) ⟺ A(f+1) > A(f) and the

@@ -1298,9 +1298,11 @@ object Multimodal {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  def syntheticMelodyPayload(seed: Long, gain: Int = 1): Array[Byte] = {
+  def syntheticMelodyPayload(seed: Long, gain: Int = 1,
+                             frames: Int = 65, startFrame: Int = 0): Array[Byte] = {
     require(gain >= 1 && gain <= 14, s"gain out of PCM range: $gain")
-    val frames = 65; val fs = 16
+    require(frames >= 1 && startFrame >= 0, s"bad frame range: $frames/$startFrame")
+    val fs = 16
     val n = frames * fs
     val dataSize = n * 2
     val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -1311,9 +1313,12 @@ object Multimodal {
       .putShort(1).putShort(1).putInt(8000)
       .putInt(8000 * 2).putShort(2).putShort(16)
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    // one hash per FRAME, not per sample: the contour is frame-constant
+    // one hash per FRAME, not per sample: the contour is frame-constant.
+    // startFrame shifts the contour's origin, so (seed, frames = n − k,
+    // startFrame = k) is byte-for-byte the (seed, n)-recording with its
+    // first k frames CUT — the trimmed-copy fixture.
     val amps = Array.tabulate(frames)(f =>
-      200 + (md5Head32(s"$seed:$f") % 900L).toInt)
+      200 + (md5Head32(s"$seed:${f + startFrame}") % 900L).toInt)
     (0 until n).foreach { i =>
       val v = gain * amps(i / fs) * (if (i % 2 == 0) 1 else -1)
       bb.putShort(v.toShort)
@@ -1359,6 +1364,56 @@ object Multimodal {
             i += 1
           }
           Iterator.single(AudioPrint(a.asset_id, 65, bits))
+        case _ => Iterator.empty
+      }
+    })
+  }
+
+  final case class AudioWindowPrint(asset_id: Long, window_no: Int,
+                                    aprint: Long)
+
+  /** SLIDING-WINDOW audio fingerprints — [[audioFingerprint]]'s one-print
+    * law at every start position (stride 1): window w covers frames
+    * w..w+64 and carries the 64 energy-delta sign bits of that span. This
+    * is what makes matching TRIM-invariant on top of level-invariant: a
+    * copy with its first k frames cut produces windows identical to the
+    * source's shifted by k, so the offset-voting matcher
+    * ([[videoNearDupShifted]] with posCol = "window_no", fpCol =
+    * "aprint") recovers the pair at offset −k with exact (gain-cancelled)
+    * zero-Hamming matches. Per-asset cost: one energy pass + one delta
+    * array; one row per complete window (n_frames − 64). Assets shorter
+    * than 65 complete frames quarantine. */
+  def audioWindowPrints(assets: Dataset[RawAsset],
+                        frameSize: Int = 16): Dataset[AudioWindowPrint] = {
+    require(frameSize >= 2, s"frameSize out of range: $frameSize")
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.flatMap { a =>
+      wavSamplesMono(a.payload) match {
+        case Some(samples) if samples.length >= 65 * frameSize =>
+          val nFrames = samples.length / frameSize
+          val e = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var j = 0; var acc = 0L
+            while (j < frameSize) {
+              val x = samples(f * frameSize + j).toLong
+              acc += x * x; j += 1
+            }
+            e(f) = acc; f += 1
+          }
+          // delta(f) = [E(f+1) > E(f)]; window w packs deltas w..w+63
+          val delta = new Array[Boolean](nFrames - 1)
+          var i = 0
+          while (i < nFrames - 1) { delta(i) = e(i + 1) > e(i); i += 1 }
+          (0 to nFrames - 65).iterator.map { w =>
+            var bits = 0L
+            var b = 0
+            while (b < 64) {
+              if (delta(w + b)) bits |= 1L << b
+              b += 1
+            }
+            AudioWindowPrint(a.asset_id, w, bits)
+          }
         case _ => Iterator.empty
       }
     })
@@ -1519,7 +1574,10 @@ object Multimodal {
     * n_matched). */
   def videoNearDupShifted(frameHashes: DataFrame, maxHamming: Int = 6,
                           minMatched: Int = 2,
-                          scope: CacheScope = null): DataFrame = {
+                          scope: CacheScope = null,
+                          idCol: String = "asset_id",
+                          posCol: String = "frame_no",
+                          fpCol: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
     require(minMatched >= 1, s"minMatched must be positive: $minMatched")
@@ -1528,15 +1586,14 @@ object Multimodal {
     // decode runs twice (see videoNearDupPairs)
     val fh = frameHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(fh)
-    val banded = fh.select(col("asset_id"), col("frame_no"),
-        col("dhash"),
+    val banded = fh.select(col(idCol), col(posCol), col(fpCol),
         posexplode(array((0 until 8).map(b =>
-          shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
+          shiftright(col(fpCol), b * 8).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "v")))
-    val a = banded.select(col("band"), col("v"), col("asset_id").as("a_id"),
-      col("frame_no").as("fa"), col("dhash").as("fp_a"))
-    val b = banded.select(col("band"), col("v"), col("asset_id").as("b_id"),
-      col("frame_no").as("fb"), col("dhash").as("fp_b"))
+    val a = banded.select(col("band"), col("v"), col(idCol).as("a_id"),
+      col(posCol).as("fa"), col(fpCol).as("fp_a"))
+    val b = banded.select(col("band"), col("v"), col(idCol).as("b_id"),
+      col(posCol).as("fb"), col(fpCol).as("fp_b"))
     val votes = a.join(b, Seq("band", "v"))
       .where(col("a_id") < col("b_id"))
       .where(bit_count(col("fp_a").bitwiseXOR(col("fp_b"))) <= maxHamming)

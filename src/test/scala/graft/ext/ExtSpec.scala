@@ -3181,6 +3181,34 @@ class ExtSpec extends SparkSpec {
     fh.unpersist(): Unit
   }
 
+  test("audioWindowPrints: trimmed + re-gained copy recovered at its " +
+      "offset with zero-Hamming window matches; short assets quarantine") {
+    val clips = (0L until 12L).flatMap { id =>
+      Seq(
+        Multimodal.RawAsset(2 * id, "audio",
+          Multimodal.syntheticMelodyPayload(id, 1, frames = 80)),
+        Multimodal.RawAsset(2 * id + 1, "audio",
+          if (id % 3 == 0) // cut 5 frames AND triple the gain
+            Multimodal.syntheticMelodyPayload(id, 3, frames = 75, startFrame = 5)
+          else Multimodal.syntheticMelodyPayload(id + 500000L, 1, frames = 75)))
+    }.toDS()
+    val prints = Multimodal.audioWindowPrints(clips).toDF()
+    // 80 frames -> 16 windows; 75 -> 11
+    assert(prints.where(col("asset_id") % 2 === 0).count() === 12 * 16)
+    assert(prints.where(col("asset_id") % 2 === 1).count() === 12 * 11)
+    val got = Multimodal.videoNearDupShifted(prints, maxHamming = 2,
+        minMatched = 8, posCol = "window_no", fpCol = "aprint")
+      .select("a_id", "b_id", "offset", "n_matched")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val expected = (0L until 12L).filter(_ % 3 == 0)
+      .map(id => (2 * id, 2 * id + 1, -5, 11L)).toSet
+    assert(got === expected, s"got $got")
+    // below 65 complete frames: no window, no row
+    val short = Multimodal.RawAsset(99L, "audio",
+      Multimodal.syntheticMelodyPayload(1L, 1, frames = 64))
+    assert(Multimodal.audioWindowPrints(Seq(short).toDS()).count() === 0)
+  }
+
   test("imageDHashDecoded: container-independent — identical pixels hash " +
       "identically through PPM, PNG, and (near-identically) JPEG paths") {
     // the same photo pixels wrapped three ways
