@@ -240,6 +240,28 @@ object ScaleProof {
       }
       store.unpersist(): Unit
     }
+    // r16 clip-dedup at scale: 100k clips (2 per scaled doc, 3 photo
+    // frames each — decode + per-frame dHash + aligned banded pairing);
+    // shufW must track the banded candidate volume, never all-pairs
+    if (wanted("mm_video_dedup")) {
+      import spark.implicits._
+      val clips = docs.select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          Seq(
+            (2 * id, graft.ext.Multimodal.syntheticPhotoVideoPayload(id, 3)),
+            (2 * id + 1,
+              if (id % 3 == 0)
+                graft.ext.Multimodal.syntheticPhotoVideoPayload(id, 3, noise = 1)
+              else
+                graft.ext.Multimodal.syntheticPhotoVideoPayload(id + 900000000L, 3)))
+        }
+        .map { case (aid, p) => graft.ext.Multimodal.RawAsset(aid, "video", p) }
+      measured("mm_video_dedup") {
+        graft.ext.Multimodal.videoNearDupPairs(
+          graft.ext.Multimodal.videoDHashFrames(clips).toDF(),
+          maxHamming = 6, minFrac = 0.5).count()
+      }
+    }
     // r16 tokenizer-seam overhead at scale: the SAME near-dup plan with
     // the token law swapped — the delta is the per-codepoint regexp pad
     // (one regexp_replace per doc at scan level, zero extra exchange; the
