@@ -785,5 +785,8 @@ object Queries {
     "dedup_near_banded_append",
     // r16 video/composed-multimodal families: aligned clip pairing and
     // the full decode→hash→pair→cluster→survive recipe
-    "mm_video_neardup", "mm_image_dedup_pipeline")
+    "mm_video_neardup", "mm_image_dedup_pipeline",
+    // r16: margin-based bitext mining (brute lists at bench SF; the
+    // mining layer itself is candidates-bounded)
+    "sim_bitext_mine")
 }

@@ -927,6 +927,23 @@ object SimilarityCatalog {
         .orderBy("l_returnflag")
     }),
 
+    // Margin-based bitext mining (Artetxe & Schwenk ratio margin, mutual
+    // argmax): the parallel-corpus miner a multilingual pipeline runs over
+    // two embedding corpora. Sides = even/odd vec_ids (disjoint id
+    // namespaces, the operator's contract); k = 4 neighbor lists both
+    // directions; margin = cos / (mean of the two sides' top-k means);
+    // mined = mutual margin-argmax at margin ≥ 1.0 (strictly better than
+    // an average neighbor). The oracle restates the full law — strict-fold
+    // cosines, rank-ordered top-k means, candidate union, both argmax
+    // windows with the smaller-partner tie-break.
+    "sim_bitext_mine" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 256)
+      Similarity.bitextMine(e.where(col("vec_id") % 2 === 0),
+          e.where(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // Deterministic hash sample: membership is a pure function of the key,
     // so the oracle re-derives the exact row set (no rand() anywhere).
   )
@@ -1052,6 +1069,46 @@ object SimilarityCatalog {
          |  PARTITION BY query_id ORDER BY score DESC, id)::INT AS rank FROM scored)
          |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+
+
+    // mirrors Similarity.bitextMine: strict-fold cosines over the
+    // even/odd split, rank-ordered top-4 means per side, candidate union
+    // of both directions, margin = score / mean of the two side-means,
+    // mutual argmax windows with the smaller-partner tie-break
+    "sim_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 256),
+         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |x AS (SELECT vec_id AS src_id, v, nm FROM n WHERE vec_id % 2 = 0),
+         |y AS (SELECT vec_id AS tgt_id, v, nm FROM n WHERE vec_id % 2 = 1),
+         |scored AS (SELECT x.src_id, y.tgt_id,
+         |  ${Sql.dot("x.v", "y.v")} / (x.nm * y.nm) AS score
+         |  FROM x CROSS JOIN y),
+         |fwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
+         |  PARTITION BY src_id ORDER BY score DESC, tgt_id)::INT AS rank
+         |  FROM scored),
+         |bwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
+         |  PARTITION BY tgt_id ORDER BY score DESC, src_id)::INT AS rank
+         |  FROM scored),
+         |favg AS (SELECT src_id, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS favg
+         |  FROM fwd WHERE rank <= 4 GROUP BY src_id),
+         |bavg AS (SELECT tgt_id, list_reduce(list_prepend(0.0::DOUBLE,
+         |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS bavg
+         |  FROM bwd WHERE rank <= 4 GROUP BY tgt_id),
+         |cand AS (SELECT DISTINCT src_id, tgt_id, score FROM (
+         |  SELECT src_id, tgt_id, score FROM fwd WHERE rank <= 4
+         |  UNION ALL SELECT src_id, tgt_id, score FROM bwd WHERE rank <= 4)),
+         |m AS (SELECT c.src_id, c.tgt_id, c.score,
+         |  c.score / ((f.favg + b.bavg) / 2.0) AS margin
+         |  FROM cand c JOIN favg f USING (src_id) JOIN bavg b USING (tgt_id)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin DESC, tgt_id) AS fr,
+         |  row_number() OVER (PARTITION BY tgt_id
+         |    ORDER BY margin DESC, src_id) AS br FROM m)
+         |SELECT src_id, tgt_id, score, margin FROM r
+         |WHERE fr = 1 AND br = 1 AND margin >= 1.0
+         |ORDER BY src_id, tgt_id""".stripMargin,
 
 
     // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain

@@ -93,6 +93,90 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Mean of a retriever top-k list's scores, folded in RANK order — the
+    * margin denominators of [[marginMine]]. collect_list is order-free, so
+    * the (rank, score) structs are sorted before the strict fold; ranks are
+    * unique per key, making the sort (hence the double sum) deterministic.
+    * Divides by the ACTUAL list length, so queries with fewer than k
+    * neighbors (tiny corpus side) still get a well-defined mean. */
+  private def rankedMeanScore(topk: DataFrame, avgName: String): DataFrame =
+    topk.groupBy(col("query_id"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("rank"), col("score")))),
+          lit(0.0), (acc, e) => acc + e.getField("score")).as("ssum"),
+        count(lit(1)).as("n"))
+      .select(col("query_id"), (col("ssum") / col("n")).as(avgName))
+
+  /** Margin-based bitext mining, the candidates-agnostic layer: given a
+    * FORWARD retriever list (per source vector, its top-k neighbors among
+    * targets) and a BACKWARD list (per target, its top-k among sources),
+    * score every candidate pair by the ratio margin of Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" (ACL 2019):
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x→T) + avgTopK(y→S)) / 2)
+    *
+    * — raw cosine normalized by how crowded each side's neighborhood is, so
+    * a hub vector that is "close to everything" stops winning every pair.
+    * Mined pairs are the MUTUAL margin argmaxes (x is y's best candidate
+    * AND y is x's) at `margin >= minMargin` — the paper's intersection
+    * strategy, the high-precision mode a training-data pipeline wants.
+    *
+    * Both inputs use the retriever contract of this file —
+    * (query_id, rank, id, score) — so ANY of the top-k operators can feed
+    * it: [[bruteForceTopK]] as the exact baseline, [[ivfTopK]] /
+    * [[bucketedTopK]] / [[graphTopK]] as the scale path (the margin layer's
+    * own cost is candidates-bounded: (|S| + |T|)·k rows through two
+    * bounded-per-key windows — nothing quadratic). Candidate pairs seen
+    * from both directions carry bit-identical scores (the cosine fold is
+    * exactly symmetric: per-index products and the norm product commute in
+    * IEEE), so the union dedups losslessly with a plain `distinct`.
+    *
+    * Returns (src_id, tgt_id, score, margin). Ties in the per-side argmax
+    * break on the smaller partner id (the deterministic law every ranker
+    * in this file uses). */
+  def marginMine(fwd: DataFrame, bwd: DataFrame,
+                 minMargin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val favg = rankedMeanScore(fwd, "favg")
+      .withColumnRenamed("query_id", "src_id")
+    val bavg = rankedMeanScore(bwd, "bavg")
+      .withColumnRenamed("query_id", "tgt_id")
+    val cand = fwd.select(col("query_id").as("src_id"), col("id").as("tgt_id"),
+        col("score"))
+      .unionByName(bwd.select(col("id").as("src_id"),
+        col("query_id").as("tgt_id"), col("score")))
+      .distinct()
+    val m = cand.join(favg, "src_id").join(bavg, "tgt_id")
+      .select(col("src_id"), col("tgt_id"), col("score"),
+        (col("score") / ((col("favg") + col("bavg")) / lit(2.0))).as("margin"))
+    val fr = row_number().over(Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id")))
+    val br = row_number().over(Window.partitionBy("tgt_id")
+      .orderBy(col("margin").desc, col("src_id")))
+    m.withColumn("fr", fr).withColumn("br", br)
+      .where(col("fr") === 1 && col("br") === 1 &&
+        col("margin") >= minMargin)
+      .drop("fr", "br")
+  }
+
+  /** Brute-force bitext mining between two embedding corpora (e.g. the
+    * English and the translated side of a crawl): [[marginMine]] over exact
+    * [[bruteForceTopK]] lists in both directions. The two retrieval passes
+    * each broadcast one side against a scan of the other — the quadratic
+    * score frame is never materialized (persisting |S|·|T| rows would be
+    * worse than recomputing a projection). At corpus scale, swap the
+    * retriever: `marginMine(ivfTopK(tgt, src, …), ivfTopK(src, tgt, …), m)`
+    * is the same mining law over ANN candidate lists.
+    *
+    * Id namespaces should be disjoint across sides (different corpora):
+    * [[bruteForceTopK]]'s self-pair exclusion compares ids verbatim, so a
+    * source and target sharing an id value would skip that one pair. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int, minMargin: Double): DataFrame =
+    marginMine(bruteForceTopK(tgt, src, idCol, vecCol, k),
+      bruteForceTopK(src, tgt, idCol, vecCol, k), minMargin)
+
   /** Sign-quantization LSH bucket: bit i of the key is sign(v[i+1] > 0) for
     * the first `bits` dimensions. Deterministic, engine-portable (no random
     * hyperplanes to ship), and a genuine member of the random-hyperplane LSH

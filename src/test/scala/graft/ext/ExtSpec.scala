@@ -559,6 +559,96 @@ class ExtSpec extends SparkSpec {
     assert(c === -1.0)
   }
 
+  test("bitextMine matches a plain-Scala margin reference") {
+    val dim = 4
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => (((seed * 31 + j * 17) % 13) - 6).toFloat / 6f)
+    val srcRows = (0 until 8).map(i => (i.toLong * 2, vec(i)))
+    val tgtRows = (0 until 8).map(i => (i.toLong * 2 + 1, vec(i + 3)))
+    // the reference replays the operator's exact fold orders: dot and
+    // norm as index-order folds, top-k mean as a rank-order fold
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      var dt = 0.0; var i = 0
+      while (i < dim) { dt += ad(i) * bd(i); i += 1 }
+      def nrm(v: Array[Double]) =
+        math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+      dt / (nrm(ad) * nrm(bd))
+    }
+    val k = 3
+    val sm = (for { (si, sv) <- srcRows; (ti, tv) <- tgtRows }
+      yield ((si, ti), cos(sv, tv))).toMap
+    def topk(qs: Seq[Long], os: Seq[Long], at: (Long, Long) => (Long, Long)) =
+      qs.map { q =>
+        q -> os.map(o => (o, sm(at(q, o))))
+          .sortBy { case (o, sc) => (-sc, o) }.take(k)
+      }.toMap
+    val fwd = topk(srcRows.map(_._1), tgtRows.map(_._1), (a, b) => (a, b))
+    val bwd = topk(tgtRows.map(_._1), srcRows.map(_._1), (a, b) => (b, a))
+    def mean(l: Seq[(Long, Double)]) =
+      l.foldLeft(0.0)((acc, e) => acc + e._2) / l.size
+    val favg = fwd.map { case (q, l) => q -> mean(l) }
+    val bavg = bwd.map { case (q, l) => q -> mean(l) }
+    val cand = (fwd.toSeq.flatMap { case (q, l) => l.map(e => (q, e._1)) } ++
+      bwd.toSeq.flatMap { case (q, l) => l.map(e => (e._1, q)) }).distinct
+    val margins = cand.map { case (a, b) =>
+      (a, b, sm((a, b)) / ((favg(a) + bavg(b)) / 2.0)) }
+    val frWin = margins.groupBy(_._1).values
+      .map(g => g.minBy(x => (-x._3, x._2))).toSet
+    val brWin = margins.groupBy(_._2).values
+      .map(g => g.minBy(x => (-x._3, x._1))).toSet
+    val expected = (frWin intersect brWin)
+      .filter(_._3 >= 0.5).map(x => (x._1, x._2))
+    assert(expected.nonEmpty) // the fixture must exercise the filter
+
+    val mined = Similarity.bitextMine(
+        srcRows.toDF("vec_id", "embedding"),
+        tgtRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k, minMargin = 0.5)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(mined === expected)
+  }
+
+  test("bitextMine recovers planted translation pairs mutually") {
+    val dim = 8
+    def base(i: Int): Array[Float] =
+      Array.tabulate(dim)(j =>
+        if (j == i % dim) 1f else 0.1f * ((i + j) % 3))
+    val src = (0 until 6).map(i => (i.toLong, base(i)))
+      .toDF("vec_id", "embedding")
+    // targets are near-copies of their source (a faithful translation's
+    // embedding), nudged deterministically so no pair is byte-equal
+    val tgt = (0 until 6).map { i =>
+      (100L + i, base(i).zipWithIndex.map {
+        case (v, j) => v + 0.01f * (j % 2) })
+    }.toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = 1.0)
+      .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
+    assert(mined === (0 until 6).map(i => (i.toLong, 100L + i)).toSet)
+  }
+
+  test("marginMine is retriever-agnostic: exact IVF lists == bitextMine") {
+    val rows = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (((i * 7 + j * 5) % 11) - 5).toFloat))
+    }
+    val src = rows.filter(_._1 % 2 == 0).toDF("vec_id", "embedding")
+    val tgt = rows.filter(_._1 % 2 == 1).toDF("vec_id", "embedding")
+    // nProbe = nCells probes every cell — exactly the brute-force lists,
+    // so the mined pairs AND their doubles must agree bitwise
+    val viaIvf = Similarity.marginMine(
+        Similarity.ivfTopK(tgt, src, "vec_id", "embedding", k = 3,
+          nCells = 2, nProbe = 2),
+        Similarity.ivfTopK(src, tgt, "vec_id", "embedding", k = 3,
+          nCells = 2, nProbe = 2),
+        minMargin = 0.8)
+      .orderBy("src_id", "tgt_id").collect()
+    val viaBrute = Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+        k = 3, minMargin = 0.8)
+      .orderBy("src_id", "tgt_id").collect()
+    assert(viaIvf.toSeq === viaBrute.toSeq)
+  }
+
   test("topk paths survive zero-norm vectors (null cosine scores dropped)") {
     val withZero = vecs.unionByName(
       Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
