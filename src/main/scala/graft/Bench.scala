@@ -238,7 +238,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$cq,"failed":$failed,"sf":"$sfDir"}"""
     }
     val compact3 = compactLine(3)
-    println(if (compact3.length <= 1800) compact3 else compactLine(2))
+    val compact2 = compactLine(2)
+    // Last resort if even 2dp outgrows the tail window (≈90 more catalog
+    // rows): drop per-query medians from STDOUT entirely rather than let
+    // the window truncate the line mid-JSON — a parseable headline with
+    // "queries" pointing at the full on-disk record beats "parsed": null.
+    val minimal =
+      s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT,
+        "%.3f", Double.box(total))},"unit":"sec","queries":{},"queries_full":"bench/ (per-round json)","failed":$failed,"sf":"$sfDir"}"""
+    println(
+      if (compact3.length <= 1800) compact3
+      else if (compact2.length <= 1900) compact2
+      else minimal)
     spark.stop()
   }
 }

@@ -141,7 +141,14 @@ class StarStore(spark: SparkSession, root: String,
     val vdir = new Path(s"$root/versions")
     if (!fs.exists(vdir)) Seq.empty
     else fs.listStatus(vdir).map(_.getPath.getName)
-      .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted.toSeq
+      .filter(_.matches("v\\d+"))
+      // COMPLETE (manifest-bearing) dirs only — the same debris filter
+      // currentVersion/repairPointer apply. A manifest-less v-dir is a
+      // crashed claimer's leftovers, not a version: counting it toward
+      // the retention window would let sweepVersions delete the LIVE
+      // version and then fail reading the debris manifest.
+      .filter(v => fs.exists(new Path(s"${versionDir(v)}/manifest.txt")))
+      .map(_.drop(1).toLong).sorted.toSeq
   }
 
   /** Read a table AS OF a published version — the snapshot-isolation read
@@ -167,10 +174,24 @@ class StarStore(spark: SparkSession, root: String,
     * i.e. after a compaction ages out of the window). Runs automatically
     * after every publish; idempotent and safe to call any time. */
   def sweepVersions(): Unit = {
-    val vs = versions
+    val vs = versions // committed (manifest-bearing) versions only
     vs.dropRight(retainVersions).foreach { v =>
       fs.delete(new Path(versionDir(f"v$v%08d")), true)
       fs.delete(claimPath(f"v$v%08d"), false): Unit // retire its claim marker
+    }
+    // Reclaim crash DEBRIS: a manifest-less versions/v* dir is a dead
+    // non-atomic rename's leftovers (never a commit — the filter above
+    // keeps it out of the retention window). Age-gate by the claim
+    // staleness window so a live writer's in-flight copy is never hit;
+    // clearing it frees the name for publishVersion's own debris check.
+    val vdir = new Path(s"$root/versions")
+    if (fs.exists(vdir)) fs.listStatus(vdir).foreach { st =>
+      val name = st.getPath.getName
+      if (name.matches("v\\d+") &&
+          !fs.exists(new Path(s"${versionDir(name)}/manifest.txt")) &&
+          System.currentTimeMillis() - st.getModificationTime >
+            StarStore.StaleClaimMs)
+        fs.delete(st.getPath, true): Unit
     }
     val retained = vs.takeRight(retainVersions).map(v => manifest(f"v$v%08d"))
     val referenced = retained.flatMap(_.batches).toSet
@@ -261,13 +282,38 @@ class StarStore(spark: SparkSession, root: String,
             token.getBytes("UTF-8"),
             java.nio.file.StandardOpenOption.CREATE_NEW)
           true
-        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      else
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException =>
+            // CREATE_NEW succeeded but the write died: the torn claim is
+            // OURS — remove it, or it wedges the name for StaleClaimMs as
+            // an orphan no writer owns (the caller sees a clean lost-race
+            // and retries)
+            try java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(claim.toUri.getPath)): Unit
+            catch { case _: java.io.IOException => () }
+            false
+        }
+      else {
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
         try {
-          val out = fs.create(claim, false)
-          try out.write(token.getBytes("UTF-8")) finally out.close()
+          out = fs.create(claim, false) // throws when already claimed
+          out.write(token.getBytes("UTF-8"))
+          out.close(); out = null
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case _: java.io.IOException =>
+            if (out != null) {
+              // create-if-absent SUCCEEDED, so the failure was our own
+              // write/close — the half-written claim is ours to delete
+              // (same orphan-wedge hazard as the local branch above)
+              try out.close() catch { case _: java.io.IOException => () }
+              try fs.delete(claim, false): Unit
+              catch { case _: java.io.IOException => () }
+            }
+            false
+        }
+      }
     if (created) Some(token) else None
   }
 
@@ -547,16 +593,26 @@ class StarStore(spark: SparkSession, root: String,
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.unpersist())
     if (!committed) return None
 
-    // 4. retention sweep: retire version dirs beyond the time-travel window
-    //    (fact data files are shared and never copied, so with the default
-    //    retainVersions=1 this only removes tiny dim snapshots).
-    sweepVersions()
-
-    // Keep the live delta count bounded: the fact is a union over live
-    // batch dirs, so an unbounded batch history degrades every read. The
-    // `applied` list survives compaction — replays stay no-ops.
-    if (newManifest.batches.length > autoCompactAfter) compact(): Unit
-    else refreshViews()
+    // 4. post-commit maintenance. The batch IS committed at this point, so
+    //    a failure below must not escape into runBatch's lost-race retry —
+    //    the retried attempt would hit the replay check and report 0
+    //    appended for a batch that appended rows. Maintenance is
+    //    idempotent and repeats on every publish, so skipping one round
+    //    when a concurrent writer races our sweep/compact loses nothing.
+    try {
+      // retention sweep: retire version dirs beyond the time-travel window
+      // (fact data files are shared and never copied, so with the default
+      // retainVersions=1 this only removes tiny dim snapshots).
+      sweepVersions()
+      // Keep the live delta count bounded: the fact is a union over live
+      // batch dirs, so an unbounded batch history degrades every read. The
+      // `applied` list survives compaction — replays stay no-ops.
+      if (newManifest.batches.length > autoCompactAfter) compact(): Unit
+      else refreshViews()
+    } catch {
+      case _: java.io.FileNotFoundException
+           | _: org.apache.spark.SparkException => ()
+    }
     Some(appended)
   }
 

@@ -1382,6 +1382,18 @@ object Dedup {
     * every band. The shuffle key is the band bucket (the LSH shape again);
     * random-pair candidate volume is ~|corpus|²·nBands/2^bandBits, which is
     * why the wide fingerprint exists. Output: (a_id, b_id, hamming). */
+  /** The band projection every banded-Hamming operator shares: posexplode
+    * of `fp`'s `nBands` disjoint `bandBits`-bit slices as (band, v) — ONE
+    * definition of the slicing geometry. The pigeonhole-exactness contract
+    * (`maxHamming < nBands`) between the pair join, the store probe, the
+    * video frame joins, and the streaming twin depends on every site
+    * slicing identically; a drifted copy would silently break the
+    * batch ≡ probe ≡ streaming equivalences their specs pin. */
+  private[graft] def fpBands(fp: Column, nBands: Int, bandBits: Int): Column =
+    posexplode(array((0 until nBands).map(b =>
+      shiftright(fp, b * bandBits)
+        .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+
   def bandedHammingPairs(fp: DataFrame, idCol: String, nBands: Int,
                          bandBits: Int, maxHamming: Int,
                          scope: CacheScope = null): DataFrame = {
@@ -1392,10 +1404,8 @@ object Dedup {
     // twice plus a double source scan (same pathology nearDupPairs guards)
     val f = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(f)
-    val mask = (1L << bandBits) - 1
     val banded = f.select(col(idCol), col("simhash"),
-        posexplode(array((0 until nBands).map(b =>
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))): _*)))
+        fpBands(col("simhash"), nBands, bandBits))
       .toDF(idCol, "simhash", "band", "v")
     val a = banded.select(col("band"), col("v"), col(idCol).as("a_id"),
       col("simhash").as("fp_a"))
@@ -1450,12 +1460,9 @@ object Dedup {
                             broadcastBatch: Boolean = true): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
-    val mask = (1L << 8) - 1
     def banded(fp: DataFrame, side: String): DataFrame =
       fp.select(col(idCol).as(s"${side}_id"), col(fpCol).as(s"${side}_fp"),
-          posexplode(array((0 until 8).map(b =>
-            shiftright(col(fpCol), b * 8).bitwiseAND(lit(mask))): _*))
-            .as(Seq("band", "v")))
+          fpBands(col(fpCol), 8, 8).as(Seq("band", "v")))
         .select(col("band"), col("v"), col(s"${side}_id"), col(s"${side}_fp"))
     val b0 = banded(batch, "batch")
     val b = if (broadcastBatch) broadcast(b0) else b0

@@ -1519,7 +1519,6 @@ object Multimodal {
                         scope: CacheScope = null): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
-    val mask = (1L << 8) - 1
     // the frame-hash frame feeds the banded join (twice) AND the per-clip
     // frame counts — persist it, or an upstream decode re-runs per
     // consumer (the recompute pathology bandedHammingPairs guards); the
@@ -1528,9 +1527,7 @@ object Multimodal {
     if (scope != null) scope.own(fh)
     val banded = fh.select(col("asset_id"), col("frame_no"),
         col("dhash"),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("dhash"), b * 8).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "v")))
+        Dedup.fpBands(col("dhash"), 8, 8).as(Seq("band", "v")))
     val a = banded.select(col("frame_no"), col("band"), col("v"),
       col("asset_id").as("a_id"), col("dhash").as("fp_a"))
     val b = banded.select(col("frame_no"), col("band"), col("v"),
@@ -1581,15 +1578,12 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < 8,
       s"banded candidates are exact only for maxHamming < 8 bands, got $maxHamming")
     require(minMatched >= 1, s"minMatched must be positive: $minMatched")
-    val mask = (1L << 8) - 1
     // both join sides read the frame hashes — persist, or an upstream
     // decode runs twice (see videoNearDupPairs)
     val fh = frameHashes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(fh)
     val banded = fh.select(col(idCol), col(posCol), col(fpCol),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col(fpCol), b * 8).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "v")))
+        Dedup.fpBands(col(fpCol), 8, 8).as(Seq("band", "v")))
     val a = banded.select(col("band"), col("v"), col(idCol).as("a_id"),
       col(posCol).as("fa"), col(fpCol).as("fp_a"))
     val b = banded.select(col("band"), col("v"), col(idCol).as("b_id"),

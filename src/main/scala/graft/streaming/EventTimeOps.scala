@@ -319,13 +319,10 @@ object EventTimeOps {
     val idType = fps.schema(idCol).dataType
     require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"streamingHammingDedup requires a numeric id column ('$idCol' is $idType) — state keys ids as Long")
-    val mask = (1L << 8) - 1
     val bands = fps
       .select(col(idCol).cast("long").as("id"), col(fpCol).cast("long").as("fp"))
       .select(col("id"), col("fp"),
-        posexplode(array((0 until 8).map(b =>
-          shiftright(col("fp"), b * 8).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "v")))
+        graft.ext.Dedup.fpBands(col("fp"), 8, 8).as(Seq("band", "v")))
       .select(xxhash64(col("band"), col("v")).as("band_key"), col("id"),
         col("fp"))
       .as[FpBand]

@@ -408,6 +408,34 @@ class StarPipelineSpec extends SparkSpec {
     assert(store.fact.count() === 3)
   }
 
+  test("manifest-less version debris never counts toward retention and is " +
+      "reclaimed once stale") {
+    val root = tmpDir("graft-star-debris")
+    val store = StarStore(spark, root) // retainVersions = 1
+    assert(store.runBatch(rawBatch1, "b1") === 3)
+    // a concurrent claimer died mid-(non-atomic)-rename: versions/v2
+    // exists but carries no manifest — it must NOT occupy the retention
+    // window (the sweep would otherwise delete the LIVE v1 and then fail
+    // reading v2's missing manifest)
+    val debris = java.nio.file.Paths.get(s"$root/versions/v00000002")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.write(debris.resolve("part-0"), Array[Byte](1))
+    assert(store.versions === Seq(1L)) // debris is not a version
+    store.sweepVersions()
+    assert(store.fact.count() === 3, "sweep deleted the live version")
+    assert(java.nio.file.Files.exists(debris),
+      "young debris reclaimed while its writer could still be mid-copy")
+    // aged past the claim-staleness window, the debris is reclaimed and
+    // the name becomes publishable again
+    java.nio.file.Files.setLastModifiedTime(debris,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - StarStore.StaleClaimMs - 60000))
+    store.sweepVersions()
+    assert(!java.nio.file.Files.exists(debris))
+    assert(store.runBatch(rawBatch2, "b2") === 2)
+    assert(store.versions.max === 2L)
+  }
+
   test("optimistic concurrency: a publish from a stale snapshot fails loudly") {
     val root = tmpDir("graft-star-occ")
     val store = StarStore(spark, root)
