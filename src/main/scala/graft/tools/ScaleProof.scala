@@ -278,6 +278,29 @@ object ScaleProof {
           tok = graft.ext.Tokenizer.ScriptAware).count()
       }
     }
+    // r16 bitext mining: the margin layer is candidates-agnostic, so the
+    // same mining law runs over brute lists (quadratic candidate space —
+    // the honest exactness baseline) or IVF lists (candidates bounded by
+    // the probed cells). The contrast is the 100 TB story: wall and
+    // shuffle must drop with the candidate volume, not the corpus.
+    if (wanted("bitext")) {
+      val src = emb.where(col("vec_id") % 2 === 0).cache()
+      val tgt = emb.where(col("vec_id") % 2 === 1).cache()
+      println(s"bitext sides: ${src.count()} src × ${tgt.count()} tgt")
+      measured("bitext_brute") {
+        Similarity.bitextMine(src, tgt, "vec_id", "embedding",
+          k = 4, minMargin = 1.0).count()
+      }
+      measured("bitext_ivf") {
+        Similarity.marginMine(
+          Similarity.ivfTopK(tgt, src, "vec_id", "embedding", k = 4,
+            nCells = 64, nProbe = 8),
+          Similarity.ivfTopK(src, tgt, "vec_id", "embedding", k = 4,
+            nCells = 64, nProbe = 8),
+          minMargin = 1.0).count()
+      }
+      src.unpersist(); tgt.unpersist(): Unit
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),
