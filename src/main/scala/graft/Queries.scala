@@ -787,6 +787,7 @@ object Queries {
     // the full decode→hash→pair→cluster→survive recipe
     "mm_video_neardup", "mm_image_dedup_pipeline",
     // r16: margin-based bitext mining (brute lists at bench SF; the
-    // mining layer itself is candidates-bounded)
-    "sim_bitext_mine")
+    // mining layer itself is candidates-bounded) and the
+    // in-context-pretraining greedy-chain layout
+    "sim_bitext_mine", "sample_icp_order")
 }

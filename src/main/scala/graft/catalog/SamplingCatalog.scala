@@ -352,9 +352,59 @@ object SamplingCatalog {
           col("n_chars"), rounds = 3, etaDen = 4L)
         .orderBy("source")
     }),
+
+
+    // In-context-pretraining ordering (Shi et al. ICLR'24): per hash
+    // shard, a greedy nearest-neighbor chain over the embeddings — the
+    // similarity-aware layout that makes packed context windows coherent.
+    // Start = smallest id; hop = highest cosine to the CURRENT doc, ties
+    // to the smaller id. The oracle replays every hop as an unrolled step
+    // CTE (the generated-CTE convention of the beam-search rows): a wrong
+    // start, a drifted tie-break, or a single mis-ranked hop reorders the
+    // chain and hash-fails.
+    "sample_icp_order" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
+        .withColumn("shard", col("vec_id") % 8)
+      Sampling.icpOrder(e, "vec_id", "embedding", "shard")
+        .orderBy("shard", "seq_pos")
+    }),
   )
 
+  // One greedy hop of the sample_icp_order chain: among the current
+  // shard-frontier's unvisited neighbors, take the highest-cosine (ties →
+  // smaller id). A shard whose ids are exhausted simply emits no row and
+  // leaves the chain. 24 unrolled steps cover the gate's 25-per-shard
+  // maximum (vec_id < 200, 8 shards); smaller SFs drain earlier.
+  private def icpChainCtes(steps: Int): String = {
+    val hops = (1 to steps).map { i =>
+      s"""c$i AS (SELECT shard, $i::INT AS pos, b_id AS cur,
+         |  list_append(visited, b_id) AS visited FROM (
+         |  SELECT c.shard, c.visited, s.b_id, row_number() OVER (
+         |    PARTITION BY c.shard ORDER BY s.sim DESC, s.b_id) AS rn
+         |  FROM c${i - 1} c JOIN sim s ON s.shard = c.shard
+         |    AND s.a_id = c.cur AND NOT list_contains(c.visited, s.b_id))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps).map(i => s"SELECT shard, pos, cur FROM c$i")
+      .mkString(" UNION ALL ")
+    s"$hops\nSELECT shard, pos AS seq_pos, cur AS vec_id FROM ($union)\n" +
+      "ORDER BY shard, seq_pos"
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "sample_icp_order" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id < 200),
+         |n AS (SELECT vec_id % 8 AS shard, vec_id, v,
+         |  sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+         |sim AS (SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CASE WHEN a.nm * b.nm = 0 THEN -2.0
+         |    ELSE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) END AS sim
+         |  FROM n a JOIN n b ON a.shard = b.shard AND a.vec_id <> b.vec_id),
+         |c0 AS (SELECT shard, 0::INT AS pos, min(vec_id) AS cur,
+         |  [min(vec_id)] AS visited FROM n GROUP BY shard),
+         |${icpChainCtes(24)}""".stripMargin,
 
     // same hash/priority as sample_weighted, ranked per source
     "sample_weighted_by_source" ->

@@ -170,6 +170,43 @@ object Sampling {
       .orderBy(col("shuffle_key"), col(keyCol))
   }
 
+  /** Similarity-aware document ordering — the in-context-pretraining
+    * layout (Shi et al., ICLR 2024): related documents end up ADJACENT in
+    * the training stream, so a packed context window carries coherent
+    * cross-document signal instead of random concatenation. Within each
+    * shard, documents are visited along a greedy nearest-neighbor chain
+    * over their embeddings ([[graft.ext.expressions.GreedyChain]]: start
+    * at the smallest id, hop to the most-cosine-similar unvisited vector;
+    * ties to the smaller id). Returns (shardCol, seq_pos, idCol) — feed
+    * `seq_pos` as the pack key into [[packSequencesText]] /
+    * [[packIntoSequences]] for similarity-ordered packing.
+    *
+    * Scale shape: chaining is shard-LOCAL by design — the paper's
+    * traveling-salesman-style global order does not distribute, and hash
+    * shards ([[withShard]]) are how a 100 TB corpus is laid out anyway.
+    * One exchange on the shard key; per-shard state is the collected
+    * (id, vector) arrays — s·d·8 bytes for shard size s, the same
+    * bounded-group contract as [[capPerGroup]] — and the O(s²·d) chain
+    * runs inside the native kernel, once per shard, not per row. */
+  def icpOrder(df: DataFrame, idCol: String, vecCol: String,
+               shardCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    requireIntegralKey(df, idCol, "icpOrder")
+    val items = df.groupBy(col(shardCol))
+      .agg(sort_array(collect_list(struct(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v")))).as("items"))
+      .select(col(shardCol),
+        transform(col("items"), x => x.getField("id")).as("ids"),
+        transform(col("items"), x => x.getField("v")).as("vecs"))
+    val chain = GraftColumnBridge.column(
+      graft.ext.expressions.GreedyChainExpr(
+        GraftColumnBridge.expression(col("ids")),
+        GraftColumnBridge.expression(col("vecs"))))
+    items.select(col(shardCol), chain.as("chain"))
+      .select(col(shardCol), posexplode(col("chain")))
+      .toDF(shardCol, "seq_pos", idCol)
+  }
+
   /** Keep at most `n` rows per group, chosen by hash rank (deterministic
     * "reservoir"): the standard cap-per-domain / data-mixing primitive.
     * One shuffle on the group key; rank ties broken by the key itself, so

@@ -785,6 +785,114 @@ case class StripAccentsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Greedy nearest-neighbor chain over one shard's vectors — the
+  * in-context-pretraining ordering law (Shi et al., "In-Context
+  * Pretraining: Language Modeling Beyond Document Boundaries", ICLR 2024):
+  * start at the smallest id, repeatedly visit the unvisited vector most
+  * cosine-similar to the CURRENT one. Ties break to the smaller id; a
+  * zero-norm pairing scores −2.0 (below every true cosine), so degenerate
+  * vectors are appended last in id order. Cosines are index-order strict
+  * folds in double — the portable arithmetic every oracle restates.
+  * O(s²·d) for shard size s: the bounded unit a DISTRIBUTED ordering
+  * actually optimizes (a corpus-global chain would serialize the corpus;
+  * chaining within hash shards is the paper-faithful scalable form). */
+object GreedyChain {
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Null anywhere in the inputs → null result (mirrors the HOF fold
+    * convention of the sibling kernels). */
+  def compute(idsD: ArrayData, vecsD: ArrayData): ArrayData = {
+    val s = idsD.numElements()
+    if (s == 0) return new GenericArrayData(Array.empty[Long])
+    val ids = new Array[Long](s)
+    val vecs = new Array[Array[Double]](s)
+    var i = 0
+    while (i < s) {
+      if (idsD.isNullAt(i) || vecsD.isNullAt(i)) return null
+      ids(i) = idsD.getLong(i)
+      val v = vecsD.getArray(i)
+      val d = v.numElements()
+      val arr = new Array[Double](d)
+      var j = 0
+      while (j < d) {
+        if (v.isNullAt(j)) return null
+        arr(j) = v.getDouble(j); j += 1
+      }
+      vecs(i) = arr
+      i += 1
+    }
+    val norms = new Array[Double](s)
+    i = 0
+    while (i < s) { norms(i) = math.sqrt(dot(vecs(i), vecs(i))); i += 1 }
+    val visited = new Array[Boolean](s)
+    val order = new Array[Long](s)
+    var cur = 0
+    i = 1
+    while (i < s) { if (ids(i) < ids(cur)) cur = i; i += 1 }
+    visited(cur) = true; order(0) = ids(cur)
+    var step = 1
+    while (step < s) {
+      var best = -1; var bestSim = 0.0
+      var c = 0
+      while (c < s) {
+        if (!visited(c)) {
+          val nn = norms(cur) * norms(c)
+          val sim = if (nn == 0.0) -2.0 else dot(vecs(cur), vecs(c)) / nn
+          if (best < 0 || sim > bestSim ||
+              (sim == bestSim && ids(c) < ids(best))) {
+            best = c; bestSim = sim
+          }
+        }
+        c += 1
+      }
+      visited(best) = true; order(step) = ids(best); cur = best
+      step += 1
+    }
+    new GenericArrayData(order)
+  }
+}
+
+/** Expression wrapper over [[GreedyChain]]: (array<long> ids,
+  * array<array<double>> vectors, parallel by position) → array<long>
+  * visit order. One evaluation per SHARD (not per row), so the kernel
+  * call dominates and codegen only saves the dispatch. */
+case class GreedyChainExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_greedy_chain"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val ids = a.asInstanceOf[ArrayData]
+    val vecs = b.asInstanceOf[ArrayData]
+    if (ids.numElements() != vecs.numElements()) null
+    else GreedyChain.compute(ids, vecs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("chain")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  ($a.numElements() != $b.numElements())
+         |    ? null : graft.ext.expressions.GreedyChain.compute($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GreedyChainExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
@@ -828,7 +936,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => NormalizeNfcExpr(children.head)),
     (FunctionIdentifier("graft_strip_accents"),
       new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
-      (children: Seq[Expression]) => StripAccentsExpr(children.head)))
+      (children: Seq[Expression]) => StripAccentsExpr(children.head)),
+    (FunctionIdentifier("graft_greedy_chain"),
+      new ExpressionInfo(classOf[GreedyChainExpr].getName, "graft_greedy_chain"),
+      (children: Seq[Expression]) => GreedyChainExpr(children(0), children(1))))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */

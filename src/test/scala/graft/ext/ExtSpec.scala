@@ -1085,6 +1085,63 @@ class ExtSpec extends SparkSpec {
 
   // ──────────────────── Sampling / Decontaminate ──────────────────────────
 
+  test("icpOrder matches a plain-Scala greedy-chain reference") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(6)(j => (((seed * 13 + j * 7) % 17) - 8).toFloat / 8f)
+    val rows = (0 until 24).map(i => (i.toLong, i.toLong % 3, vec(i)))
+    // reference: same fold orders as the kernel (index-order dot, sqrt
+    // norms), start at min id, hop to max cosine with smaller-id ties
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }; acc
+      }
+      val nn = math.sqrt(dot(ad, ad)) * math.sqrt(dot(bd, bd))
+      if (nn == 0.0) -2.0 else dot(ad, bd) / nn
+    }
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (shard, g) =>
+      val remaining = scala.collection.mutable.Set(g.map(_._1): _*)
+      val byId = g.map(r => r._1 -> r._3).toMap
+      var cur = remaining.min
+      remaining -= cur
+      val order = scala.collection.mutable.ArrayBuffer((shard, 0, cur))
+      var pos = 1
+      while (remaining.nonEmpty) {
+        val next = remaining.toSeq
+          .map(c => (c, cos(byId(cur), byId(c))))
+          .minBy { case (c, s) => (-s, c) }._1
+        remaining -= next
+        order += ((shard, pos, next)); cur = next; pos += 1
+      }
+      order
+    }.sortBy(r => (r._1, r._2))
+    val got = Sampling.icpOrder(
+        rows.toDF("doc_id", "shard", "embedding"),
+        "doc_id", "embedding", "shard")
+      .orderBy("shard", "seq_pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === expected.map(r => (r._1, r._2, r._3)))
+  }
+
+  test("icpOrder keeps planted similarity clusters contiguous") {
+    // one shard, two tight clusters far apart: the chain must walk one
+    // cluster to exhaustion before crossing to the other — the coherence
+    // property context-aware packing exists for (random order interleaves)
+    def member(cluster: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(j =>
+        (if (j == cluster) 10f else 0f) + 0.01f * ((i + j) % 5))
+    val docs = ((0 until 5).map(i => (i.toLong, 0L, member(0, i))) ++
+      (10 until 15).map(i => (i.toLong, 0L, member(4, i))))
+      .toDF("doc_id", "shard", "embedding")
+    val order = Sampling.icpOrder(docs, "doc_id", "embedding", "shard")
+      .orderBy("seq_pos").select("doc_id").as[Long].collect()
+    val clusterOf = order.map(id => if (id < 10) 0 else 1)
+    // exactly ONE transition between clusters along the chain
+    assert(clusterOf.sliding(2).count(p => p(0) != p(1)) === 1,
+      s"clusters interleaved: ${order.mkString(",")}")
+  }
+
   test("hash sampling: deterministic, nested by fraction, split partitions all rows") {
     val df = (1L to 2000L).toDF("id")
     val s10 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet

@@ -276,7 +276,8 @@ class NativeExprSpec extends SparkSpec {
       "graft_minhash_sig(array(5L, 7L), 4)",
       "graft_repetition(array('a', 'a', 'a'), 2)",
       "graft_nfc('x')",
-      "graft_strip_accents('x')")
+      "graft_strip_accents('x')",
+      "graft_greedy_chain(array(1L, 2L), array(array(1.0d), array(2.0d)))")
     probes.foreach(e => spark.sql(s"SELECT $e").collect())
   }
 
