@@ -788,6 +788,6 @@ object Queries {
     "mm_video_neardup", "mm_image_dedup_pipeline",
     // r16: margin-based bitext mining (brute lists at bench SF; the
     // mining layer itself is candidates-bounded) and the
-    // in-context-pretraining greedy-chain layout
-    "sim_bitext_mine", "sample_icp_order")
+    // in-context-pretraining greedy-chain layout + its packed recipe
+    "sim_bitext_mine", "sample_icp_order", "sample_icp_pack")
 }

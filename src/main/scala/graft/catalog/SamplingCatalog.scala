@@ -368,6 +368,24 @@ object SamplingCatalog {
       Sampling.icpOrder(e, "vec_id", "embedding", "shard")
         .orderBy("shard", "seq_pos")
     }),
+
+
+    // The COMPOSED recipe: similarity-ordered packing — the chain's
+    // seq_pos drives the pack order, so every 512-token training window
+    // holds a contiguous run of related documents (hash-order packing
+    // would re-scatter exactly the adjacency the chain built). One oracle
+    // restates the whole program: every greedy hop, the doc join, the
+    // running-total window assignment, and the materialized window text.
+    "sample_icp_pack" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
+        .withColumn("shard", col("vec_id") % 8)
+      val ordered = Sampling.icpOrder(e, "vec_id", "embedding", "shard")
+      val docs = t(s, d, "documents").select(col("doc_id").as("vec_id"),
+        TextStats.nTokens(col("text")).as("n_tok"), col("text"))
+      Sampling.packSequencesOrderedText(ordered.join(docs, "vec_id"),
+          "shard", "vec_id", "seq_pos", "n_tok", "text", seqTokens = 512)
+        .orderBy("shard", "seq_no")
+    }),
   )
 
   // One greedy hop of the sample_icp_order chain: among the current
@@ -387,24 +405,49 @@ object SamplingCatalog {
     }.mkString(",\n")
     val union = (0 to steps).map(i => s"SELECT shard, pos, cur FROM c$i")
       .mkString(" UNION ALL ")
-    s"$hops\nSELECT shard, pos AS seq_pos, cur AS vec_id FROM ($union)\n" +
-      "ORDER BY shard, seq_pos"
+    s"$hops,\nchain AS ($union)"
   }
+
+  // shared prefix of the two icp oracles: the shard split, the pairwise
+  // cosine table, the chain start, and all 24 generated greedy hops
+  private def icpProgram: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 200),
+       |n AS (SELECT vec_id % 8 AS shard, vec_id, v,
+       |  sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+       |sim AS (SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CASE WHEN a.nm * b.nm = 0 THEN -2.0
+       |    ELSE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) END AS sim
+       |  FROM n a JOIN n b ON a.shard = b.shard AND a.vec_id <> b.vec_id),
+       |c0 AS (SELECT shard, 0::INT AS pos, min(vec_id) AS cur,
+       |  [min(vec_id)] AS visited FROM n GROUP BY shard),
+       |${icpChainCtes(24)}""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
     "sample_icp_order" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM embeddings WHERE vec_id < 200),
-         |n AS (SELECT vec_id % 8 AS shard, vec_id, v,
-         |  sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
-         |sim AS (SELECT a.shard, a.vec_id AS a_id, b.vec_id AS b_id,
-         |  CASE WHEN a.nm * b.nm = 0 THEN -2.0
-         |    ELSE ${Sql.dot("a.v", "b.v")} / (a.nm * b.nm) END AS sim
-         |  FROM n a JOIN n b ON a.shard = b.shard AND a.vec_id <> b.vec_id),
-         |c0 AS (SELECT shard, 0::INT AS pos, min(vec_id) AS cur,
-         |  [min(vec_id)] AS visited FROM n GROUP BY shard),
-         |${icpChainCtes(24)}""".stripMargin,
+      s"""$icpProgram
+         |SELECT shard, pos AS seq_pos, cur AS vec_id FROM chain
+         |ORDER BY shard, seq_pos""".stripMargin,
+
+    // mirrors Sampling.packSequencesOrderedText over the chain: running
+    // token total in (pos, id) order, window = (cum − n_tok) // 512,
+    // window text aggregated in the same order
+    "sample_icp_pack" ->
+      s"""$icpProgram,
+         |j AS (SELECT ch.shard, ch.pos, ch.cur AS vec_id, doc.text,
+         |    len(string_split(doc.text, ' '))::INT AS n_tok
+         |  FROM chain ch JOIN documents doc ON doc.doc_id = ch.cur),
+         |x AS (SELECT shard, pos, vec_id, text, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY pos ASC, vec_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM j),
+         |p AS (SELECT shard, ((cum - n_tok) // 512)::BIGINT AS seq_no,
+         |    pos, vec_id, text, n_tok FROM x)
+         |SELECT shard, seq_no,
+         |  string_agg(text, ' ' ORDER BY pos ASC, vec_id ASC) AS seq_text,
+         |  count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+         |FROM p GROUP BY shard, seq_no ORDER BY shard, seq_no""".stripMargin,
 
     // same hash/priority as sample_weighted, ranked per source
     "sample_weighted_by_source" ->

@@ -544,6 +544,40 @@ object Sampling {
         sum(col(tokenCol).cast("long")).as("n_tokens"))
   }
 
+  /** [[packSequencesText]] with a caller-supplied ORDER column instead of
+    * the deterministic hash shuffle — the packing arm of the
+    * in-context-pretraining layout: feed [[icpOrder]]'s `seq_pos` and
+    * every packed window holds a CONTIGUOUS run of the similarity chain
+    * (hash order would re-scatter exactly the adjacency the chain built).
+    * Same assignment arithmetic and bounded per-(group, seq_no)
+    * aggregation; `orderCol` should be unique within its group (seq_pos
+    * is) — the key tie-break keeps duplicates deterministic regardless. */
+  def packSequencesOrderedText(df: DataFrame, groupCol: String,
+                               keyCol: String, orderCol: String,
+                               tokenCol: String, textCol: String,
+                               seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
+    Seq("_cum", "seq_no").foreach(c => require(!df.columns.contains(c),
+      s"packSequencesOrderedText: input already has a '$c' column — it would be clobbered"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("seq_no",
+        floor((col("_cum") - col(tokenCol).cast("long")) / lit(seqTokens))
+          .cast("long"))
+      .groupBy(col(groupCol), col("seq_no"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(
+            col(orderCol).as("o"),
+            col(keyCol).as("k"),
+            col(textCol).as("t")))),
+          s => s.getField("t"))).as("seq_text"),
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("n_tokens"))
+  }
+
   /** Leakage-safe train/test split: the split decision is keyed on the
     * document's near-duplicate CLUSTER representative, not the document
     * itself, so two near-duplicates can never straddle the boundary — the

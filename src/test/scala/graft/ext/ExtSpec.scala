@@ -1142,6 +1142,22 @@ class ExtSpec extends SparkSpec {
       s"clusters interleaved: ${order.mkString(",")}")
   }
 
+  test("packSequencesOrderedText packs contiguous runs of the given order") {
+    // 300-token docs into 512-token windows, pack order = pos: cum =
+    // 300,600,900,1200 → seq_no floor((cum-300)/512) = 0,0,1,1 — windows
+    // must be (a b) and (c d) in POSITION order, not hash order
+    val df = Seq(
+      (0L, 0L, 0, "a", 300), (1L, 0L, 1, "b", 300),
+      (2L, 0L, 2, "c", 300), (3L, 0L, 3, "d", 300))
+      .toDF("id", "grp", "pos", "text", "ntok")
+    val out = Sampling.packSequencesOrderedText(df, "grp", "id", "pos",
+        "ntok", "text", seqTokens = 512)
+      .orderBy("seq_no")
+      .select("seq_text", "n_docs", "n_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("a b", 2L, 600L), ("c d", 2L, 600L)))
+  }
+
   test("hash sampling: deterministic, nested by fraction, split partitions all rows") {
     val df = (1L to 2000L).toDF("id")
     val s10 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
