@@ -138,13 +138,19 @@ object Similarity {
   def marginMine(fwd: DataFrame, bwd: DataFrame,
                  minMargin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val favg = rankedMeanScore(fwd, "favg")
+    // each list feeds TWO consumers (its side's mean and the candidate
+    // union) — persist, or the retrieval pass behind it runs twice (for
+    // the brute baseline that doubles the quadratic scan; plan-audited).
+    // Bounded frames: |queries|·k rows. Self-release after first action.
+    val f = fwd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = bwd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val favg = rankedMeanScore(f, "favg")
       .withColumnRenamed("query_id", "src_id")
-    val bavg = rankedMeanScore(bwd, "bavg")
+    val bavg = rankedMeanScore(b, "bavg")
       .withColumnRenamed("query_id", "tgt_id")
-    val cand = fwd.select(col("query_id").as("src_id"), col("id").as("tgt_id"),
+    val cand = f.select(col("query_id").as("src_id"), col("id").as("tgt_id"),
         col("score"))
-      .unionByName(bwd.select(col("id").as("src_id"),
+      .unionByName(b.select(col("id").as("src_id"),
         col("query_id").as("tgt_id"), col("score")))
       .distinct()
     val m = cand.join(favg, "src_id").join(bavg, "tgt_id")
@@ -154,10 +160,13 @@ object Similarity {
       .orderBy(col("margin").desc, col("tgt_id")))
     val br = row_number().over(Window.partitionBy("tgt_id")
       .orderBy(col("margin").desc, col("src_id")))
-    m.withColumn("fr", fr).withColumn("br", br)
+    val out = m.withColumn("fr", fr).withColumn("br", br)
       .where(col("fr") === 1 && col("br") === 1 &&
         col("margin") >= minMargin)
       .drop("fr", "br")
+    Dedup.releaseAfterFirstAction(f, out)
+    Dedup.releaseAfterFirstAction(b, out)
+    out
   }
 
   /** Brute-force bitext mining between two embedding corpora (e.g. the
