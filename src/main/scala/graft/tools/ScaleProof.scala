@@ -301,6 +301,22 @@ object ScaleProof {
       }
       src.unpersist(); tgt.unpersist(): Unit
     }
+    // r16 in-context-pretraining layout: one shard exchange + one kernel
+    // call per shard; wall must track Σ s²·d over shards (s = corpus /
+    // shards), never corpus² — doubling the shard count should roughly
+    // halve the chain time at fixed corpus.
+    if (wanted("icp")) {
+      val sharded = emb.withColumn("shard", col("vec_id") % 256)
+      measured("icp_order_256shards") {
+        graft.ext.Sampling.icpOrder(sharded, "vec_id", "embedding", "shard")
+          .count()
+      }
+      val sharded2 = emb.withColumn("shard", col("vec_id") % 512)
+      measured("icp_order_512shards") {
+        graft.ext.Sampling.icpOrder(sharded2, "vec_id", "embedding", "shard")
+          .count()
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),
