@@ -174,23 +174,30 @@ class StarStore(spark: SparkSession, root: String,
     * i.e. after a compaction ages out of the window). Runs automatically
     * after every publish; idempotent and safe to call any time. */
   def sweepVersions(): Unit = {
-    val vs = versions // committed (manifest-bearing) versions only
+    // ONE listing, one manifest probe per dir, classifying committed vs
+    // debris (on an object store every exists() is an RPC — re-deriving
+    // `versions` here would double the LIST + HEAD cost per publish)
+    val vdir = new Path(s"$root/versions")
+    val entries =
+      if (fs.exists(vdir))
+        fs.listStatus(vdir).filter(_.getPath.getName.matches("v\\d+")).toSeq
+      else Seq.empty
+    val (committed, debris) = entries.partition(st =>
+      fs.exists(new Path(s"${versionDir(st.getPath.getName)}/manifest.txt")))
+    // retention window over COMMITTED versions only — a manifest-less dir
+    // is a crashed claimer's leftovers, not a version; counting it would
+    // let the sweep delete the LIVE version
+    val vs = committed.map(_.getPath.getName.drop(1).toLong).sorted
     vs.dropRight(retainVersions).foreach { v =>
       fs.delete(new Path(versionDir(f"v$v%08d")), true)
       fs.delete(claimPath(f"v$v%08d"), false): Unit // retire its claim marker
     }
-    // Reclaim crash DEBRIS: a manifest-less versions/v* dir is a dead
-    // non-atomic rename's leftovers (never a commit — the filter above
-    // keeps it out of the retention window). Age-gate by the claim
-    // staleness window so a live writer's in-flight copy is never hit;
-    // clearing it frees the name for publishVersion's own debris check.
-    val vdir = new Path(s"$root/versions")
-    if (fs.exists(vdir)) fs.listStatus(vdir).foreach { st =>
-      val name = st.getPath.getName
-      if (name.matches("v\\d+") &&
-          !fs.exists(new Path(s"${versionDir(name)}/manifest.txt")) &&
-          System.currentTimeMillis() - st.getModificationTime >
-            StarStore.StaleClaimMs)
+    // Reclaim crash DEBRIS, age-gated by the claim staleness window so a
+    // live writer's in-flight (non-atomic) copy is never hit; clearing it
+    // frees the name for publishVersion's own debris check.
+    debris.foreach { st =>
+      if (System.currentTimeMillis() - st.getModificationTime >
+          StarStore.StaleClaimMs)
         fs.delete(st.getPath, true): Unit
     }
     val retained = vs.takeRight(retainVersions).map(v => manifest(f"v$v%08d"))
@@ -610,8 +617,11 @@ class StarStore(spark: SparkSession, root: String,
       if (newManifest.batches.length > autoCompactAfter) compact(): Unit
       else refreshViews()
     } catch {
-      case _: java.io.FileNotFoundException
-           | _: org.apache.spark.SparkException => ()
+      // NonFatal, not a type list: ANY maintenance failure after the
+      // commit (a transient delete IOException, a compaction losing its
+      // own claim race) must stay here — escaping would report 0 appended
+      // for a committed batch via the retry's replay check
+      case scala.util.control.NonFatal(_) => ()
     }
     Some(appended)
   }

@@ -178,8 +178,9 @@ object Sampling {
     * over their embeddings ([[graft.ext.expressions.GreedyChain]]: start
     * at the smallest id, hop to the most-cosine-similar unvisited vector;
     * ties to the smaller id). Returns (shardCol, seq_pos, idCol) — feed
-    * `seq_pos` as the pack key into [[packSequencesText]] /
-    * [[packIntoSequences]] for similarity-ordered packing.
+    * `seq_pos` as the ORDER column into [[packSequencesOrderedText]] for
+    * similarity-ordered packing (the hash-ordered packers would
+    * re-scatter exactly the adjacency the chain built).
     *
     * Scale shape: chaining is shard-LOCAL by design — the paper's
     * traveling-salesman-style global order does not distribute, and hash
@@ -202,7 +203,17 @@ object Sampling {
       graft.ext.expressions.GreedyChainExpr(
         GraftColumnBridge.expression(col("ids")),
         GraftColumnBridge.expression(col("vecs"))))
-    items.select(col(shardCol), chain.as("chain"))
+    // the kernel yields NULL for a shard containing any null id/embedding/
+    // element or ragged dimensions; a bare posexplode would then silently
+    // DROP that whole shard from the training order — fail loudly instead
+    // (the module's stance: silent row loss is never acceptable)
+    val checked = when(chain.isNull, raise_error(concat(
+        lit("icpOrder: null or ragged embedding in shard "),
+        col(shardCol).cast("string")))
+      .cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false)))
+      .otherwise(chain)
+    items.select(col(shardCol), checked.as("chain"))
       .select(col(shardCol), posexplode(col("chain")))
       .toDF(shardCol, "seq_pos", idCol)
   }
@@ -524,24 +535,8 @@ object Sampling {
     // same assignment arithmetic as packIntoSequences (the ExtSpec
     // consistency test pins the equivalence), with the unit hash computed
     // ONCE and reused for both the window sort and the in-sequence order
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("_h").asc, col(keyCol).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_h", unitHash(col(keyCol), salt))
-      .withColumn("_cum", sum(col(tokenCol).cast("long")).over(w))
-      .withColumn("seq_no",
-        floor((col("_cum") - col(tokenCol).cast("long")) / lit(seqTokens))
-          .cast("long"))
-      .groupBy(col(groupCol), col("seq_no"))
-      .agg(
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(
-            col("_h").as("h"),
-            col(keyCol).as("k"),
-            col(textCol).as("t")))),
-          s => s.getField("t"))).as("seq_text"),
-        count(lit(1)).as("n_docs"),
-        sum(col(tokenCol).cast("long")).as("n_tokens"))
+    packTextCore(df.withColumn("_h", unitHash(col(keyCol), salt)),
+      groupCol, keyCol, "_h", tokenCol, textCol, seqTokens)
   }
 
   /** [[packSequencesText]] with a caller-supplied ORDER column instead of
@@ -550,8 +545,9 @@ object Sampling {
     * every packed window holds a CONTIGUOUS run of the similarity chain
     * (hash order would re-scatter exactly the adjacency the chain built).
     * Same assignment arithmetic and bounded per-(group, seq_no)
-    * aggregation; `orderCol` should be unique within its group (seq_pos
-    * is) — the key tie-break keeps duplicates deterministic regardless. */
+    * aggregation (one shared core — the twin laws cannot drift);
+    * `orderCol` should be unique within its group (seq_pos is) — the key
+    * tie-break keeps duplicates deterministic regardless. */
   def packSequencesOrderedText(df: DataFrame, groupCol: String,
                                keyCol: String, orderCol: String,
                                tokenCol: String, textCol: String,
@@ -559,6 +555,16 @@ object Sampling {
     require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
     Seq("_cum", "seq_no").foreach(c => require(!df.columns.contains(c),
       s"packSequencesOrderedText: input already has a '$c' column — it would be clobbered"))
+    packTextCore(df, groupCol, keyCol, orderCol, tokenCol, textCol, seqTokens)
+  }
+
+  /** The one packing law behind [[packSequencesText]] (order = the unit
+    * hash) and [[packSequencesOrderedText]] (order = caller's column):
+    * running token total in (order, key) order, window = (cum − tokens) /
+    * seqTokens floored, window text concatenated in the same order. */
+  private def packTextCore(df: DataFrame, groupCol: String, keyCol: String,
+                           orderCol: String, tokenCol: String,
+                           textCol: String, seqTokens: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -804,19 +804,25 @@ object GreedyChain {
     acc
   }
 
-  /** Null anywhere in the inputs → null result (mirrors the HOF fold
-    * convention of the sibling kernels). */
+  /** Null anywhere in the inputs — or RAGGED dimensions — → null result
+    * (mirrors the HOF fold convention of the sibling kernels; a truncated
+    * prefix dot over mixed-dimension vectors would be a silently wrong
+    * cosine, normalized by full-vector norms). [[graft.ext.Sampling
+    * .icpOrder]] converts the null into a loud error. */
   def compute(idsD: ArrayData, vecsD: ArrayData): ArrayData = {
     val s = idsD.numElements()
     if (s == 0) return new GenericArrayData(Array.empty[Long])
     val ids = new Array[Long](s)
     val vecs = new Array[Array[Double]](s)
+    var dim = -1
     var i = 0
     while (i < s) {
       if (idsD.isNullAt(i) || vecsD.isNullAt(i)) return null
       ids(i) = idsD.getLong(i)
       val v = vecsD.getArray(i)
       val d = v.numElements()
+      if (dim < 0) dim = d
+      else if (d != dim) return null
       val arr = new Array[Double](d)
       var j = 0
       while (j < d) {

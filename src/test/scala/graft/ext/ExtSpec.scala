@@ -1142,6 +1142,28 @@ class ExtSpec extends SparkSpec {
       s"clusters interleaved: ${order.mkString(",")}")
   }
 
+  test("icpOrder fails loudly on a null or ragged embedding (never a " +
+      "silent shard drop)") {
+    val bad = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)),
+      (1L, 0L, null.asInstanceOf[Array[Float]]))
+      .toDF("doc_id", "shard", "embedding")
+    val e1 = intercept[Exception] {
+      Sampling.icpOrder(bad, "doc_id", "embedding", "shard").collect()
+    }
+    assert(e1.getMessage.contains("icpOrder") ||
+      Option(e1.getCause).exists(_.getMessage.contains("icpOrder")))
+    val ragged = Seq(
+      (0L, 0L, Array(1.0f, 0.0f)),
+      (1L, 0L, Array(1.0f, 0.0f, 0.5f)))
+      .toDF("doc_id", "shard", "embedding")
+    val e2 = intercept[Exception] {
+      Sampling.icpOrder(ragged, "doc_id", "embedding", "shard").collect()
+    }
+    assert(e2.getMessage.contains("icpOrder") ||
+      Option(e2.getCause).exists(_.getMessage.contains("icpOrder")))
+  }
+
   test("packSequencesOrderedText packs contiguous runs of the given order") {
     // 300-token docs into 512-token windows, pack order = pos: cum =
     // 300,600,900,1200 → seq_no floor((cum-300)/512) = 0,0,1,1 — windows
