@@ -789,5 +789,7 @@ object Queries {
     // r16: margin-based bitext mining (brute lists at bench SF; the
     // mining layer itself is candidates-bounded) and the
     // in-context-pretraining greedy-chain layout + its packed recipe
-    "sim_bitext_mine", "sample_icp_order", "sample_icp_pack")
+    "sim_bitext_mine", "sample_icp_order", "sample_icp_pack",
+    // r16: the WebDataset shard walk (real USTAR parse per shard)
+    "etl_tar_scan")
 }

@@ -86,7 +86,60 @@ object MultimodalCatalog {
   private val jBasis1 = Multimodal.JpegBasisA(1).mkString(", ")
   private val jBasis2 = Multimodal.JpegBasisA(2).mkString(", ")
 
+  /** One WebDataset-style TAR shard per document: two samples (stems
+    * a<id>, b<id>), two parts each (.txt, .cls), every byte an ASCII
+    * formula of doc_id so the oracle restates members without touching
+    * the tar layer — hash equality then PROVES the USTAR walk (headers,
+    * checksums, 512-blocking, terminator) reproduced the construction.
+    * Docs with doc_id % 10 == 9 ship a TRUNCATED shard (terminator cut):
+    * the whole shard must quarantine to no rows. */
+  private def tarAssets(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(sp.sparkContext.defaultParallelism)
+      .map { id =>
+        val members = Seq(
+          (s"a$id.txt", s"text a $id ${(id * 7) % 13}".getBytes("US-ASCII")),
+          (s"a$id.cls", s"${id % 5}".getBytes("US-ASCII")),
+          (s"b$id.txt", s"text b $id ${(id * 11) % 17}".getBytes("US-ASCII")),
+          (s"b$id.cls", s"${id % 3}".getBytes("US-ASCII")))
+        val bytes = graft.etl.Tar.archive(members)
+        Multimodal.RawAsset(id, "tar",
+          if (id % 10 == 9) bytes.dropRight(1024) else bytes)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // WebDataset TAR shard walk: real USTAR parse (octal fields, header
+    // checksum verified, 512-byte blocking, terminator) over in-memory
+    // shards — one row per member file, truncated shards quarantine to
+    // no rows (the id % 10 == 9 plants vanish from the census).
+    "etl_tar_scan" -> ((s, d) => {
+      val shards = tarAssets(t(s, d, "documents").where(col("doc_id") < 60))
+      graft.etl.Tar.entries(shards).toDF()
+        .select(col("asset_id"), col("name"),
+          length(col("bytes")).as("n_bytes"),
+          col("bytes").cast("string").as("content"))
+        .orderBy("asset_id", "name")
+    }),
+
+
+    // The member walk grouped into SAMPLES (the WebDataset contract:
+    // stem up to the first dot keys the sample, the rest is the part's
+    // extension) — the (image, caption, label) row a multimodal trainer
+    // consumes. Parts surface as a map; the row projects the text parts.
+    "etl_webdataset_group" -> ((s, d) => {
+      val shards = tarAssets(t(s, d, "documents").where(col("doc_id") < 60))
+      graft.etl.Tar.webdatasetSamples(graft.etl.Tar.entries(shards))
+        .select(col("asset_id"), col("stem"), col("n_parts"),
+          element_at(col("parts"), "txt").cast("string").as("txt"),
+          element_at(col("parts"), "cls").cast("string").as("cls"))
+        .orderBy("asset_id", "stem")
+    }),
+
 
     // Binary payload + typed metadata stats (decode itself is the stubbed
     // per-partition step — see graft.ext.Multimodal and its spec).
@@ -811,6 +864,38 @@ object MultimodalCatalog {
   )
 
   val oracle: Map[String, String] = Map(
+
+    // restates every member of every WELL-FORMED shard from the doc_id
+    // formulas alone (the tar layer is what hash equality proves);
+    // truncated shards (id % 10 == 9) contribute nothing
+    "etl_tar_scan" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 10 <> 9),
+        |m AS (
+        |  SELECT id, 'a' || id || '.cls' AS name,
+        |    (id % 5)::VARCHAR AS content FROM ids
+        |  UNION ALL SELECT id, 'a' || id || '.txt',
+        |    'text a ' || id || ' ' || ((id * 7) % 13) FROM ids
+        |  UNION ALL SELECT id, 'b' || id || '.cls',
+        |    (id % 3)::VARCHAR FROM ids
+        |  UNION ALL SELECT id, 'b' || id || '.txt',
+        |    'text b ' || id || ' ' || ((id * 11) % 17) FROM ids)
+        |SELECT id AS asset_id, name, length(content)::INT AS n_bytes,
+        |  content FROM m ORDER BY asset_id, name""".stripMargin,
+
+    // the sample view of the same restatement: two parts per stem
+    "etl_webdataset_group" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 60 AND doc_id % 10 <> 9),
+        |sam AS (
+        |  SELECT id, 'a' || id AS stem,
+        |    'text a ' || id || ' ' || ((id * 7) % 13) AS txt,
+        |    (id % 5)::VARCHAR AS cls FROM ids
+        |  UNION ALL SELECT id, 'b' || id,
+        |    'text b ' || id || ' ' || ((id * 11) % 17), (id % 3)::VARCHAR
+        |  FROM ids)
+        |SELECT id AS asset_id, stem, 2::BIGINT AS n_parts, txt, cls
+        |FROM sam ORDER BY asset_id, stem""".stripMargin,
 
     // regenerates the two-photos-per-doc corpus pixel by pixel, recomputes
     // the 9×8 exact-integer box means, and reassembles all 64 comparison

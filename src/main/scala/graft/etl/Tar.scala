@@ -1,0 +1,192 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Multimodal.RawAsset
+
+/** WebDataset-style TAR shard source/sink (SURVEY §2.8 extension).
+  *
+  * Multimodal training corpora ship as TAR shards of per-sample member
+  * files — `<key>.jpg`, `<key>.txt`, `<key>.json`, the WebDataset layout —
+  * so "walk the shard, group members into samples" is the first operator a
+  * multimodal ingest runs. This is the same posture as the WARC and
+  * PNG/JPEG paths: the REAL byte format (USTAR headers, octal fields,
+  * checksum, 512-byte blocking, prefix field for long paths), parsed with
+  * bounded memory, with corruption quarantining to data instead of
+  * failing the job.
+  *
+  * Scale shape: shards arrive as rows of a binary column ([[RawAsset]] —
+  * the repo's multimodal convention), so the parse is a `mapPartitions`
+  * projection: no shuffle, memory bounded by ONE member file, and the
+  * scan parallelizes by shard exactly the way a 100 TB WebDataset corpus
+  * is already laid out (thousands of ~1 GB shards). Sample grouping is one
+  * aggregation keyed (shard, stem) — bounded by a sample's members.
+  */
+object Tar {
+
+  /** One member file of a shard. */
+  final case class TarEntry(asset_id: Long, name: String, bytes: Array[Byte])
+
+  /** USTAR parse of in-memory shard payloads → one row per member FILE.
+    * A malformed shard (bad octal, checksum mismatch, truncated data or
+    * missing terminator, junk after the terminator) quarantines to NO
+    * rows for that shard — the decode family's convention. Non-file
+    * members (directories, links) are skipped; the USTAR `prefix` field
+    * is honored, so paths beyond the 100-byte name field round-trip. */
+  def entries(shards: Dataset[RawAsset]): Dataset[TarEntry] = {
+    import shards.sparkSession.implicits._
+    shards.mapPartitions(_.flatMap(a =>
+      parseTar(a.payload).toSeq.flatten.map {
+        case (n, b) => TarEntry(a.asset_id, n, b)
+      }))
+  }
+
+  /** Group members into WebDataset SAMPLES: the sample key (stem) is the
+    * member name up to the FIRST dot — `a7.txt` and `a7.cls` are two
+    * parts of sample `a7` — and the remainder is the part's extension.
+    * Returns (asset_id, stem, parts: map<ext, bytes>); duplicate
+    * extensions within a sample keep the lexicographically-first name's
+    * bytes (deterministic, and a shape a valid WebDataset never has). */
+  def webdatasetSamples(members: Dataset[TarEntry]): DataFrame =
+    members.toDF()
+      .select(col("asset_id"),
+        substring_index(col("name"), ".", 1).as("stem"),
+        when(col("name").contains("."),
+          expr("substring(name, length(substring_index(name, '.', 1)) + 2)"))
+          .otherwise(lit("")).as("ext"),
+        col("name"), col("bytes"))
+      .groupBy(col("asset_id"), col("stem"))
+      .agg(map_from_entries(
+        aggregate(
+          array_sort(collect_list(struct(col("ext"), col("name"),
+            col("bytes")))),
+          array().cast("array<struct<ext:string,bytes:binary>>"),
+          (acc, e) => when(
+            exists(acc, p => p.getField("ext") === e.getField("ext")), acc)
+            .otherwise(concat(acc, array(struct(
+              e.getField("ext").as("ext"),
+              e.getField("bytes").as("bytes"))))))).as("parts"),
+        count(lit(1)).as("n_parts"))
+
+  // ── the byte format ───────────────────────────────────────────────────
+
+  private def str(b: Array[Byte], o: Int, len: Int): String = {
+    var e = o
+    val lim = math.min(o + len, b.length)
+    while (e < lim && b(e) != 0) e += 1
+    new String(b, o, e - o, "US-ASCII")
+  }
+
+  private def octal(b: Array[Byte], o: Int, len: Int): Option[Long] = {
+    val s = str(b, o, len).trim
+    if (s.isEmpty) Some(0L)
+    else if (s.forall(c => c >= '0' && c <= '7') && s.length <= 21)
+      Some(java.lang.Long.parseLong(s, 8))
+    else None
+  }
+
+  /** Header checksum per the spec: byte sum with the checksum field read
+    * as eight spaces. */
+  private def headerSum(b: Array[Byte], off: Int): Long = {
+    var sum = 0L; var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toLong else (b(off + i) & 0xffL))
+      i += 1
+    }
+    sum
+  }
+
+  /** Pure parse: Some(members) for a well-formed archive, None for any
+    * corruption. Walks 512-byte blocks; never allocates beyond the member
+    * being copied out. */
+  private[etl] def parseTar(b: Array[Byte])
+      : Option[Seq[(String, Array[Byte])]] = {
+    if (b == null || b.length < 1024 || b.length % 512 != 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var off = 0
+    var bad = false
+    var done = false
+    while (!bad && !done && off + 512 <= b.length) {
+      var allZero = true
+      var i = off
+      while (allZero && i < off + 512) { if (b(i) != 0) allZero = false; i += 1 }
+      if (allZero) {
+        // terminator: everything from here on must be zero padding
+        var j = off
+        while (!bad && j < b.length) { if (b(j) != 0) bad = true; j += 1 }
+        done = true
+      } else {
+        (octal(b, off + 124, 12), octal(b, off + 148, 8)) match {
+          case (Some(size), Some(cksum))
+              if size >= 0 && off + 512 + size <= b.length &&
+                cksum == headerSum(b, off) =>
+            val name0 = str(b, off, 100)
+            val prefix = str(b, off + 345, 155)
+            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+            val typ = b(off + 156)
+            if (typ == '0'.toByte || typ == 0.toByte) {
+              if (name.isEmpty) bad = true
+              else out += ((name, java.util.Arrays.copyOfRange(
+                b, off + 512, off + 512 + size.toInt)))
+            }
+            off += 512 + (((size + 511) / 512) * 512).toInt
+          case _ => bad = true
+        }
+      }
+    }
+    if (bad || !done) None else Some(out.toSeq)
+  }
+
+  /** USTAR archive builder — the export half (WebDataset shard writing)
+    * and the fixtures' constructor. Deterministic bytes: fixed mode/uid/
+    * gid/mtime, members in the given order, names over 100 bytes split
+    * into the `prefix` field at a '/' boundary (the USTAR rule). */
+  def archive(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    members.foreach { case (name, data) =>
+      val nb = name.getBytes("US-ASCII")
+      val (prefix, base) =
+        if (nb.length <= 100) ("", name)
+        else {
+          val cut = name.lastIndexWhere(_ == '/',
+            math.min(name.length - 1, 155))
+          require(cut > 0 && name.length - cut - 1 <= 100,
+            s"tar member name does not split into prefix(155)/name(100): $name")
+          (name.substring(0, cut), name.substring(cut + 1))
+        }
+      val h = new Array[Byte](512)
+      val bb = base.getBytes("US-ASCII")
+      System.arraycopy(bb, 0, h, 0, bb.length)
+      def putOctal(v: Long, o: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val p = ("0" * (len - 1 - s.length)) + s
+        val pb = p.getBytes("US-ASCII")
+        System.arraycopy(pb, 0, h, o, pb.length)
+        h(o + len - 1) = 0
+      }
+      putOctal(420, 100, 8)                 // mode 0644
+      putOctal(0, 108, 8); putOctal(0, 116, 8) // uid, gid
+      putOctal(data.length.toLong, 124, 12)
+      putOctal(0, 136, 12)                  // mtime 0: bit-stable shards
+      h(156) = '0'
+      val magic = Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')
+      System.arraycopy(magic, 0, h, 257, magic.length)
+      val pb = prefix.getBytes("US-ASCII")
+      System.arraycopy(pb, 0, h, 345, pb.length)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; var i = 0
+      while (i < 512) { sum += (h(i) & 0xffL); i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val cb = (("0" * (6 - cs.length)) + cs).getBytes("US-ASCII")
+      System.arraycopy(cb, 0, h, 148, 6)
+      h(154) = 0
+      h(155) = ' '.toByte
+      bos.write(h)
+      bos.write(data)
+      bos.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
+}

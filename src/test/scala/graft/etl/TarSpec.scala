@@ -1,0 +1,80 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ext.Multimodal.RawAsset
+
+/** The USTAR walk and the WebDataset grouping: round-trip (incl. prefix
+  * long names and non-block-multiple sizes), checksum verification,
+  * corruption quarantine, non-file-member skip, sample grouping. */
+class TarSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val members = Seq(
+    ("s1.txt", "hello webdataset".getBytes("US-ASCII")),
+    ("s1.cls", "3".getBytes("US-ASCII")),
+    // 600 bytes: data spans two 512-blocks with 424 bytes of padding
+    ("s2.txt", Array.tabulate[Byte](600)(i => (32 + (i % 90)).toByte)),
+    // long path: splits into the USTAR prefix field and back
+    (("d" * 80) + "/" + ("n" * 60) + ".json", "{}".getBytes("US-ASCII")))
+
+  private def shard(bytes: Array[Byte], id: Long = 7L) =
+    Seq(RawAsset(id, "tar", bytes)).toDS()
+
+  test("archive → entries round-trips names and bytes, padding included") {
+    val bytes = Tar.archive(members)
+    assert(bytes.length % 512 === 0)
+    val got = Tar.entries(shard(bytes)).collect()
+      .map(e => (e.name, e.bytes.toSeq)).sortBy(_._1)
+    assert(got.toSeq === members.map(m => (m._1, m._2.toSeq)).sortBy(_._1))
+  }
+
+  test("corruption quarantines the whole shard: checksum flip, truncated " +
+      "terminator, junk after terminator, bad octal") {
+    val good = Tar.archive(members)
+    def parses(b: Array[Byte]): Boolean =
+      Tar.entries(shard(b)).count() > 0
+    assert(parses(good))
+    val flipped = good.clone(); flipped(0) = (flipped(0) ^ 0x01).toByte
+    assert(!parses(flipped), "checksum mismatch must quarantine")
+    assert(!parses(good.dropRight(1024)), "missing terminator")
+    val junk = good.clone(); junk(good.length - 1) = 'x'.toByte
+    assert(!parses(junk), "junk inside the zero tail")
+    val badOctal = good.clone(); badOctal(124) = 'z'.toByte
+    assert(!parses(badOctal), "non-octal size field")
+    assert(!parses(Array.empty[Byte]) && !parses(new Array[Byte](100)))
+  }
+
+  test("non-file members (directories) are skipped, not emitted") {
+    val good = Tar.archive(Seq(("f.txt", "x".getBytes("US-ASCII"))))
+    // rewrite the member as a directory: typeflag '5', then re-checksum
+    val dir = good.clone()
+    dir(156) = '5'.toByte
+    java.util.Arrays.fill(dir, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (dir(i) & 0xffL))
+    val cs = java.lang.Long.toOctalString(sum)
+    val cb = (("0" * (6 - cs.length)) + cs).getBytes("US-ASCII")
+    System.arraycopy(cb, 0, dir, 148, 6)
+    dir(154) = 0; dir(155) = ' '.toByte
+    assert(Tar.entries(shard(dir)).count() === 0)
+  }
+
+  test("webdatasetSamples groups by stem with extension-keyed parts; " +
+      "duplicate extensions keep the first name") {
+    val bytes = Tar.archive(Seq(
+      ("k1.txt", "t1".getBytes("US-ASCII")),
+      ("k1.json", "{\"a\":1}".getBytes("US-ASCII")),
+      ("k2.txt", "t2".getBytes("US-ASCII")),
+      // a second .txt for k2 under a LATER name: first name must win
+      ("k2.txt.dup", "zzz".getBytes("US-ASCII"))))
+    val got = Tar.webdatasetSamples(Tar.entries(shard(bytes)))
+      .select(col("stem"), col("n_parts"),
+        element_at(col("parts"), "txt").cast("string").as("txt"))
+      .orderBy("stem")
+      .as[(String, Long, String)].collect().toSeq
+    // k2.txt.dup has ext "txt.dup" (first dot splits), so k2 has 2 parts
+    assert(got === Seq(("k1", 2L, "t1"), ("k2", 2L, "t2")))
+  }
+}
