@@ -86,6 +86,29 @@ object MultimodalCatalog {
   private val jBasis1 = Multimodal.JpegBasisA(1).mkString(", ")
   private val jBasis2 = Multimodal.JpegBasisA(2).mkString(", ")
 
+  /** WebDataset twin of [[photoPngAssets]]: one shard per doc holding two
+    * PNG samples (p0.png/p0.txt, p1.png/p1.txt) — p1 is the noise-1
+    * re-encode of the SAME scene at doc_id % 3 == 0, an unrelated scene
+    * otherwise. Same (seed, noise) law as photoAssets, so the SAME
+    * pixel-formula oracle covers the shard walk AND the codec. */
+  private def tarPhotoAssets(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[Multimodal.RawAsset] = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .repartition(sp.sparkContext.defaultParallelism)
+      .map { id =>
+        def png(seed: Long, noise: Int) = Multimodal.pngEncodeRgb(32, 16,
+          Multimodal.syntheticPhotoRgb(seed, noise))
+        val twin = if (id % 3 == 0) png(id, 1) else png(id + 500000L, 0)
+        Multimodal.RawAsset(id, "tar", graft.etl.Tar.archive(Seq(
+          ("p0.png", png(id, 0)),
+          ("p0.txt", s"caption $id".getBytes("US-ASCII")),
+          ("p1.png", twin),
+          ("p1.txt", s"caption twin $id".getBytes("US-ASCII")))))
+      }
+  }
+
   /** One WebDataset-style TAR shard per document: two samples (stems
     * a<id>, b<id>), two parts each (.txt, .cls), every byte an ASCII
     * formula of doc_id so the oracle restates members without touching
@@ -138,6 +161,24 @@ object MultimodalCatalog {
           element_at(col("parts"), "txt").cast("string").as("txt"),
           element_at(col("parts"), "cls").cast("string").as("cls"))
         .orderBy("asset_id", "stem")
+    }),
+
+
+    // The COMPOSED multimodal ingest: WebDataset shard → USTAR walk →
+    // real PNG decode (CRC-verified inflate + unfilter) → perceptual
+    // dHash, one row per image member. The oracle is the SAME
+    // pixel-formula chain as mm_image_dhash — both the tar container and
+    // the PNG codec must be invisible to the hash.
+    "mm_webdataset_dhash" -> ((s, d) => {
+      import s.implicits._
+      val shards =
+        tarPhotoAssets(t(s, d, "documents").where(col("doc_id") < 40))
+      val pngs = graft.etl.Tar.entries(shards)
+        .filter(e => e.name.endsWith(".png"))
+        .map(e => Multimodal.RawAsset(
+          2 * e.asset_id + (if (e.name.startsWith("p1")) 1L else 0L),
+          "image", e.bytes))
+      Multimodal.imageDHashDecoded(pngs).toDF().orderBy("asset_id")
     }),
 
 
@@ -882,6 +923,23 @@ object MultimodalCatalog {
         |    'text b ' || id || ' ' || ((id * 11) % 17) FROM ids)
         |SELECT id AS asset_id, name, length(content)::INT AS n_bytes,
         |  content FROM m ORDER BY asset_id, name""".stripMargin,
+
+    // the same pixel-formula chain as mm_image_dhash over the shard
+    // fixture's (seed, noise) law — the oracle models neither tar nor
+    // PNG, so hash equality proves both layers reproduced the pixels
+    "mm_webdataset_dhash" ->
+      s"""WITH ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT 2*doc_id AS asset_id, doc_id AS seed, 0 AS noise
+          |  FROM documents WHERE doc_id < 40
+          |  UNION ALL
+          |  SELECT 2*doc_id + 1 AS asset_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN doc_id
+          |      ELSE doc_id + 500000 END AS seed,
+          |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS noise
+          |  FROM documents WHERE doc_id < 40)""".stripMargin)}
+         |SELECT asset_id, 32 AS width, 16 AS height, dhash
+         |FROM dh ORDER BY asset_id""".stripMargin,
 
     // the sample view of the same restatement: two parts per stem
     "etl_webdataset_group" ->
