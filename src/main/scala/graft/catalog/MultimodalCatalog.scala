@@ -164,6 +164,35 @@ object MultimodalCatalog {
     }),
 
 
+    // The EXPORT half round-tripped (the etl_csv_roundtrip pattern):
+    // documents → writeWebdataset (hash-sharded, byte-stable tar files)
+    // → binaryFile read-back → USTAR walk → member census. The oracle
+    // restates the census from the content formulas alone — a dropped
+    // sample, a mis-built header, or a stale shard surviving the
+    // overwrite all change the census.
+    "etl_webdataset_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          map(
+            lit("txt"), encode(
+              concat(lit("text "), col("doc_id").cast("string")), "UTF-8"),
+            lit("cls"), encode(
+              (col("doc_id") % 5).cast("string"), "UTF-8")).as("parts"))
+      val dir = scratchDir("graft_wds_rt", d)
+      graft.etl.Tar.writeWebdataset(docs, "doc_id", "parts", dir,
+        nShards = 7): Unit
+      val shards = s.read.format("binaryFile").load(s"$dir/*.tar")
+        .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("sid"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (sid, bytes) => Multimodal.RawAsset(sid, "tar", bytes) }
+      graft.etl.Tar.entries(shards).toDF()
+        .select(col("name"), col("bytes").cast("string").as("content"))
+        .orderBy("name")
+    }),
+
+
     // The COMPOSED multimodal ingest: WebDataset shard → USTAR walk →
     // real PNG decode (CRC-verified inflate + unfilter) → perceptual
     // dHash, one row per image member. The oracle is the SAME
@@ -923,6 +952,16 @@ object MultimodalCatalog {
         |    'text b ' || id || ' ' || ((id * 11) % 17) FROM ids)
         |SELECT id AS asset_id, name, length(content)::INT AS n_bytes,
         |  content FROM m ORDER BY asset_id, name""".stripMargin,
+
+    // the write→read census from the member formulas alone: every doc
+    // contributes exactly <id>.txt and <id>.cls with formula contents
+    "etl_webdataset_roundtrip" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 60),
+        |m AS (
+        |  SELECT id || '.cls' AS name, (id % 5)::VARCHAR AS content FROM ids
+        |  UNION ALL
+        |  SELECT id || '.txt', 'text ' || id FROM ids)
+        |SELECT name, content FROM m ORDER BY name""".stripMargin,
 
     // the same pixel-formula chain as mm_image_dhash over the shard
     // fixture's (seed, noise) law — the oracle models neither tar nor

@@ -69,6 +69,75 @@ object Tar {
               e.getField("bytes").as("bytes"))))))).as("parts"),
         count(lit(1)).as("n_parts"))
 
+  /** Write samples as WebDataset TAR shards — the EXPORT half a curated
+    * corpus ships as. Each input row is one SAMPLE: `keyCol` names it,
+    * `partsCol` is its map<extension, binary>. Samples hash-assign to
+    * `nShards` shards ([[graft.ext.Sampling.withShard]]'s deterministic
+    * law), each shard becomes ONE `shard-%05d.tar` whose members are
+    * `<key>.<ext>` in (key, ext) order — with [[archive]]'s fixed
+    * metadata the shard files are BYTE-IDENTICAL across re-runs, retries,
+    * and cluster layouts, so a delivered shard can be checksummed.
+    * The target directory is cleared first (overwrite semantics — stale
+    * shards from a previous layout must not survive next to new ones).
+    *
+    * Scale shape: one shuffle keyed on the shard; one shard's members
+    * materialize in its writer task (the WebDataset convention — pick
+    * nShards for ~1 GB shards). Executors open the filesystem from their
+    * own Hadoop configuration (the standard cluster layout); local `file:`
+    * paths need no configuration at all. Returns the (shard_id, n_samples)
+    * census for the caller's manifest. */
+  def writeWebdataset(df: DataFrame, keyCol: String, partsCol: String,
+                      dir: String, nShards: Int): DataFrame = {
+    val spark = df.sparkSession
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = target.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    driverFs.delete(target, true)
+    driverFs.mkdirs(target): Unit
+    val packed = graft.ext.Sampling.withShard(df, keyCol, nShards)
+      .select(col("shard_id"), col(keyCol).cast("string").as("k"),
+        col(partsCol).as("p"))
+      .groupBy(col("shard_id"))
+      .agg(collect_list(struct(col("k"), col("p"))).as("samples"),
+        count(lit(1)).as("n_samples"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    packed.select(col("shard_id"), col("samples")).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+            new org.apache.hadoop.conf.Configuration())
+          rows.foreach { r =>
+            val shard = r.getInt(0)
+            val members = r.getSeq[org.apache.spark.sql.Row](1)
+              .map(s0 => (s0.getString(0),
+                s0.getMap[String, Array[Byte]](1)))
+              .sortBy(_._1)
+              .flatMap { case (k, parts) =>
+                parts.toSeq.sortBy(_._1).map {
+                  case (ext, bytes) => (s"$k.$ext", bytes)
+                }
+              }
+            val out = fs.create(new org.apache.hadoop.fs.Path(
+              f"$dir/shard-$shard%05d.tar"), true)
+            try out.write(archive(members)) finally out.close()
+          }
+        }
+    }
+    // the census is ≤ nShards rows by construction — materialize it and
+    // release the packed frame NOW (leaving the release to a census
+    // action would leak the cache for callers that ignore the return)
+    val censusRows = packed.select(col("shard_id"), col("n_samples"))
+      .orderBy("shard_id").collect().toSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard_id",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_samples",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    packed.unpersist(false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(censusRows, 1), schema)
+  }
+
   // ── the byte format ───────────────────────────────────────────────────
 
   private def str(b: Array[Byte], o: Int, len: Int): String = {

@@ -61,6 +61,40 @@ class TarSpec extends SparkSpec {
     assert(Tar.entries(shard(dir)).count() === 0)
   }
 
+  test("writeWebdataset: byte-identical across re-runs; overwrite clears " +
+      "stale shards; census counts samples") {
+    val docs = (0L until 20L).map(i =>
+      (i, Map("txt" -> s"t$i".getBytes("US-ASCII"),
+        "cls" -> s"${i % 3}".getBytes("US-ASCII"))))
+      .toDF("doc_id", "parts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds").toString
+    def shardBytes(): Map[String, Seq[Byte]] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.getName.endsWith(".tar")).map(f =>
+        f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val census1 = Tar.writeWebdataset(docs, "doc_id", "parts", dir, 4)
+      .as[(Int, Long)].collect().toSeq
+    assert(census1.map(_._2).sum === 20L)
+    val first = shardBytes()
+    assert(first.nonEmpty)
+    // plant a stale shard from a "previous layout" — overwrite must clear it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-00099.tar"), Array[Byte](1))
+    val census2 = Tar.writeWebdataset(docs, "doc_id", "parts", dir, 4)
+      .as[(Int, Long)].collect().toSeq
+    assert(census2 === census1)
+    val second = shardBytes()
+    assert(!second.contains("shard-00099.tar"), "stale shard survived")
+    assert(second === first, "shards are not byte-stable across re-runs")
+    // and the files round-trip through the reader
+    val back = Tar.entries(shard(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          dir, first.keys.min))))
+      .count()
+    assert(back > 0)
+  }
+
   test("webdatasetSamples groups by stem with extension-keyed parts; " +
       "duplicate extensions keep the first name") {
     val bytes = Tar.archive(Seq(
