@@ -37,9 +37,24 @@ object Tar {
   def entries(shards: Dataset[RawAsset]): Dataset[TarEntry] = {
     import shards.sparkSession.implicits._
     shards.mapPartitions(_.flatMap(a =>
-      parseTar(a.payload).toSeq.flatten.map {
+      parseTar(gunzipIfNeeded(a.payload)).toSeq.flatten.map {
         case (n, b) => TarEntry(a.asset_id, n, b)
       }))
+  }
+
+  /** `.tar.gz` shards are accepted transparently: payloads starting with
+    * the gzip magic inflate fully before the walk (memory = one INFLATED
+    * shard — same bound as the uncompressed path, shards are sized by the
+    * caller); a corrupt gzip stream quarantines like any other corruption
+    * (null → parseTar rejects). */
+  private def gunzipIfNeeded(b: Array[Byte]): Array[Byte] = {
+    if (b == null || b.length < 2 ||
+        (b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return b
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try in.readAllBytes() finally in.close()
+    } catch { case _: java.io.IOException => null }
   }
 
   /** Group members into WebDataset SAMPLES: the sample key (stem) is the

@@ -46,6 +46,20 @@ class TarSpec extends SparkSpec {
     assert(!parses(Array.empty[Byte]) && !parses(new Array[Byte](100)))
   }
 
+  test("gzip-compressed shards walk transparently; corrupt gzip quarantines") {
+    val plain = Tar.archive(members)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(plain); gz.close()
+    val zipped = bos.toByteArray
+    val got = Tar.entries(shard(zipped)).collect()
+      .map(e => (e.name, e.bytes.toSeq)).sortBy(_._1)
+    assert(got.toSeq === members.map(m => (m._1, m._2.toSeq)).sortBy(_._1))
+    val corrupt = zipped.clone()
+    corrupt(zipped.length / 2) = (corrupt(zipped.length / 2) ^ 0x7f).toByte
+    assert(Tar.entries(shard(corrupt)).count() === 0)
+  }
+
   test("non-file members (directories) are skipped, not emitted") {
     val good = Tar.archive(Seq(("f.txt", "x".getBytes("US-ASCII"))))
     // rewrite the member as a directory: typeflag '5', then re-checksum
