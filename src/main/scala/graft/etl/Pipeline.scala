@@ -197,7 +197,13 @@ class StarStore(spark: SparkSession, root: String,
     // frees the name for publishVersion's own debris check.
     debris.foreach { st =>
       if (System.currentTimeMillis() - st.getModificationTime >
-          StarStore.StaleClaimMs)
+            StarStore.StaleClaimMs &&
+          // re-probe AT DELETE TIME: the classification above is seconds
+          // old on an object store, and a publisher may have reclaimed
+          // the name and COMMITTED since — a manifest now present means
+          // live data, not debris
+          !fs.exists(new Path(
+            s"${versionDir(st.getPath.getName)}/manifest.txt")))
         fs.delete(st.getPath, true): Unit
     }
     val retained = vs.takeRight(retainVersions).map(v => manifest(f"v$v%08d"))

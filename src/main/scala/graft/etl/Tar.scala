@@ -58,17 +58,24 @@ object Tar {
   }
 
   /** Group members into WebDataset SAMPLES: the sample key (stem) is the
-    * member name up to the FIRST dot — `a7.txt` and `a7.cls` are two
-    * parts of sample `a7` — and the remainder is the part's extension.
-    * Returns (asset_id, stem, parts: map<ext, bytes>); duplicate
-    * extensions within a sample keep the lexicographically-first name's
-    * bytes (deterministic, and a shape a valid WebDataset never has). */
+    * member path up to the first dot OF THE BASENAME — `a7.txt` and
+    * `a7.cls` are two parts of sample `a7`, and `images.v2/0001.jpg` /
+    * `images.v2/0001.txt` group as sample `images.v2/0001` (a dotted
+    * DIRECTORY stays in the stem — splitting the full path at its first
+    * dot would collapse every sample under such a directory into one).
+    * The remainder of the basename is the part's extension. Returns
+    * (asset_id, stem, parts: map<ext, bytes>); duplicate extensions
+    * within a sample keep the lexicographically-first name's bytes
+    * (deterministic, and a shape a valid WebDataset never has). */
   def webdatasetSamples(members: Dataset[TarEntry]): DataFrame =
     members.toDF()
+      .withColumn("base", substring_index(col("name"), "/", -1))
+      .withColumn("dirp",
+        expr("substring(name, 1, length(name) - length(base))"))
       .select(col("asset_id"),
-        substring_index(col("name"), ".", 1).as("stem"),
-        when(col("name").contains("."),
-          expr("substring(name, length(substring_index(name, '.', 1)) + 2)"))
+        concat(col("dirp"), substring_index(col("base"), ".", 1)).as("stem"),
+        when(col("base").contains("."),
+          expr("substring(base, length(substring_index(base, '.', 1)) + 2)"))
           .otherwise(lit("")).as("ext"),
         col("name"), col("bytes"))
       .groupBy(col("asset_id"), col("stem"))
@@ -109,6 +116,12 @@ object Tar {
       spark.sparkContext.hadoopConfiguration)
     driverFs.delete(target, true)
     driverFs.mkdirs(target): Unit
+    // ship the SESSION's Hadoop configuration to the writer tasks (the
+    // Warc convention) — a bare executor-side Configuration would drop
+    // spark.hadoop.* settings (object-store credentials, endpoints) and
+    // fail or write to the wrong filesystem
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val packed = graft.ext.Sampling.withShard(df, keyCol, nShards)
       .select(col("shard_id"), col(keyCol).cast("string").as("k"),
         col(partsCol).as("p"))
@@ -120,21 +133,26 @@ object Tar {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.hasNext) {
           val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-            new org.apache.hadoop.conf.Configuration())
+            conf.value)
           rows.foreach { r =>
             val shard = r.getInt(0)
             val members = r.getSeq[org.apache.spark.sql.Row](1)
               .map(s0 => (s0.getString(0),
                 s0.getMap[String, Array[Byte]](1)))
-              .sortBy(_._1)
               .flatMap { case (k, parts) =>
-                parts.toSeq.sortBy(_._1).map {
-                  case (ext, bytes) => (s"$k.$ext", bytes)
-                }
+                parts.toSeq.map { case (ext, bytes) => (s"$k.$ext", bytes) }
               }
+              .sortBy(_._1)
+            // byte-stability depends on a TOTAL member order: equal names
+            // (a duplicate sample key upstream) would keep collect_list's
+            // arrival order and silently break the checksummable contract
+            members.iterator.sliding(2).foreach(w =>
+              require(w.length < 2 || w(0)._1 != w(1)._1,
+                s"duplicate sample member '${w(0)._1}' in shard $shard — " +
+                  "sample keys must be unique"))
             val out = fs.create(new org.apache.hadoop.fs.Path(
               f"$dir/shard-$shard%05d.tar"), true)
-            try out.write(archive(members)) finally out.close()
+            try writeArchive(members, out) finally out.close()
           }
         }
     }
@@ -222,13 +240,28 @@ object Tar {
     if (bad || !done) None else Some(out.toSeq)
   }
 
-  /** USTAR archive builder — the export half (WebDataset shard writing)
-    * and the fixtures' constructor. Deterministic bytes: fixed mode/uid/
-    * gid/mtime, members in the given order, names over 100 bytes split
-    * into the `prefix` field at a '/' boundary (the USTAR rule). */
+  /** In-memory [[writeArchive]] — fixtures and small shards. */
   def archive(members: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
+    writeArchive(members, bos)
+    bos.toByteArray
+  }
+
+  /** USTAR archive writer — the export half (WebDataset shard writing)
+    * and the fixtures' constructor. STREAMS to `out` (memory = the member
+    * being written, not the shard — at the ~1 GB shard sizing an
+    * in-memory build would transiently hold 3× the bytes and cap at 2 GB).
+    * Deterministic bytes: fixed mode/uid/gid/mtime, members in the given
+    * order, names over 100 bytes split into the `prefix` field at a '/'
+    * boundary (the USTAR rule). Names must be printable ASCII — a lossy
+    * US-ASCII transcode would silently rename `café.txt` to `caf?.txt`,
+    * so non-ASCII fails loudly instead. */
+  def writeArchive(members: Seq[(String, Array[Byte])],
+                   bos: java.io.OutputStream): Unit = {
     members.foreach { case (name, data) =>
+      require(name.forall(c => c >= 32 && c < 127),
+        s"tar member names must be printable ASCII " +
+          s"(US-ASCII would silently mangle): $name")
       val nb = name.getBytes("US-ASCII")
       val (prefix, base) =
         if (nb.length <= 100) ("", name)
@@ -271,6 +304,5 @@ object Tar {
       bos.write(new Array[Byte]((512 - data.length % 512) % 512))
     }
     bos.write(new Array[Byte](1024))
-    bos.toByteArray
   }
 }

@@ -1301,7 +1301,7 @@ object Dedup {
     * from lineage: correct, just uncached). The listener fires on the
     * session's async listener bus, so release is eventually-after-action —
     * a second action racing the release at worst recomputes. */
-  private[graft] def releaseAfterFirstAction(df: DataFrame): Unit =
+  private[ext] def releaseAfterFirstAction(df: DataFrame): Unit =
     releaseAfterFirstAction(df, df)
 
   /** Two-frame form: unpersist `df` once the first action containing
@@ -1312,7 +1312,7 @@ object Dedup {
     * event when the listener registers, and a listener keyed on the cached
     * subtree would treat that stale event as the caller's consumption and
     * evict the cache early. */
-  private[graft] def releaseAfterFirstAction(df: DataFrame,
+  private[ext] def releaseAfterFirstAction(df: DataFrame,
                                            trigger: DataFrame): Unit = {
     val spark = df.sparkSession
     val target = trigger.queryExecution.analyzed

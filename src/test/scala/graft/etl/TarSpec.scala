@@ -116,13 +116,28 @@ class TarSpec extends SparkSpec {
       ("k1.json", "{\"a\":1}".getBytes("US-ASCII")),
       ("k2.txt", "t2".getBytes("US-ASCII")),
       // a second .txt for k2 under a LATER name: first name must win
-      ("k2.txt.dup", "zzz".getBytes("US-ASCII"))))
+      ("k2.txt.dup", "zzz".getBytes("US-ASCII")),
+      // dotted DIRECTORY: the stem split happens on the basename, so the
+      // directory's dot must not collapse these into one 'images' sample
+      ("images.v2/0001.jpg", "j1".getBytes("US-ASCII")),
+      ("images.v2/0001.txt", "c1".getBytes("US-ASCII")),
+      ("images.v2/0002.jpg", "j2".getBytes("US-ASCII"))))
     val got = Tar.webdatasetSamples(Tar.entries(shard(bytes)))
       .select(col("stem"), col("n_parts"),
         element_at(col("parts"), "txt").cast("string").as("txt"))
       .orderBy("stem")
       .as[(String, Long, String)].collect().toSeq
-    // k2.txt.dup has ext "txt.dup" (first dot splits), so k2 has 2 parts
-    assert(got === Seq(("k1", 2L, "t1"), ("k2", 2L, "t2")))
+    // k2.txt.dup has ext "txt.dup" (first dot of the basename splits),
+    // so k2 has 2 parts; the dotted directory yields two distinct samples
+    assert(got === Seq(
+      ("images.v2/0001", 2L, "c1"), ("images.v2/0002", 1L, null),
+      ("k1", 2L, "t1"), ("k2", 2L, "t2")))
+  }
+
+  test("writeArchive rejects non-ASCII member names loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Tar.archive(Seq(("café.txt", "x".getBytes("UTF-8"))))
+    }
+    assert(e.getMessage.contains("ASCII"))
   }
 }
