@@ -370,6 +370,23 @@ object SamplingCatalog {
     }),
 
 
+    // The mask-building companion of the packed windows: per-document
+    // boundary offsets inside each 512-token window of the
+    // similarity-ordered layout — loss masks and cross-document attention
+    // barriers are built from exactly these. A doc spilling past the
+    // window boundary honestly reports end_tok > 512.
+    "sample_icp_pack_offsets" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 200)
+        .withColumn("shard", col("vec_id") % 8)
+      val ordered = Sampling.icpOrder(e, "vec_id", "embedding", "shard")
+      val docs = t(s, d, "documents").select(col("doc_id").as("vec_id"),
+        TextStats.nTokens(col("text")).as("tok"))
+      Sampling.packOffsetsOrdered(ordered.join(docs, "vec_id"),
+          "shard", "vec_id", "seq_pos", "tok", seqTokens = 512)
+        .orderBy("shard", "seq_no", "pos_in_seq")
+    }),
+
+
     // The COMPOSED recipe: similarity-ordered packing — the chain's
     // seq_pos drives the pack order, so every 512-token training window
     // holds a contiguous run of related documents (hash-order packing
@@ -429,6 +446,28 @@ object SamplingCatalog {
       s"""$icpProgram
          |SELECT shard, pos AS seq_pos, cur AS vec_id FROM chain
          |ORDER BY shard, seq_pos""".stripMargin,
+
+    // mirrors Sampling.packOffsetsOrdered over the chain: the same
+    // running-total window assignment, offsets relative to the window
+    // start, rank within the window — all exact integers
+    "sample_icp_pack_offsets" ->
+      s"""$icpProgram,
+         |j AS (SELECT ch.shard, ch.pos, ch.cur AS vec_id,
+         |    len(string_split(doc.text, ' '))::BIGINT AS n_tok
+         |  FROM chain ch JOIN documents doc ON doc.doc_id = ch.cur),
+         |x AS (SELECT shard, pos, vec_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY shard
+         |      ORDER BY pos ASC, vec_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum FROM j),
+         |p AS (SELECT shard, ((cum - n_tok) // 512)::BIGINT AS seq_no,
+         |    pos, vec_id, n_tok, cum FROM x)
+         |SELECT shard, seq_no,
+         |  row_number() OVER (PARTITION BY shard, seq_no
+         |    ORDER BY pos ASC, vec_id ASC)::INT AS pos_in_seq,
+         |  vec_id, n_tok,
+         |  (cum - n_tok - seq_no * 512)::BIGINT AS start_tok,
+         |  (cum - seq_no * 512)::BIGINT AS end_tok
+         |FROM p ORDER BY shard, seq_no, pos_in_seq""".stripMargin,
 
     // mirrors Sampling.packSequencesOrderedText over the chain: running
     // token total in (pos, id) order, window = (cum − n_tok) // 512,

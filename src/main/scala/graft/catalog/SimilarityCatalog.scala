@@ -944,6 +944,28 @@ object SimilarityCatalog {
         .orderBy("src_id", "tgt_id")
     }),
 
+
+    // The mined pairs joined back to the documents — the actual PARALLEL
+    // CORPUS a translation pipeline emits (aligned text both sides, the
+    // margin kept as the pair's quality signal). The joins broadcast the
+    // mined set (bounded by min(|S|, |T|) — mutual argmax admits at most
+    // one pair per id).
+    "sim_bitext_corpus" -> ((s, d) => {
+      val e = t(s, d, "embeddings").where(col("vec_id") < 256)
+      val mined = Similarity.bitextMine(e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+      val docs = t(s, d, "documents")
+      mined
+        .join(docs.select(col("doc_id").as("src_id"),
+          col("text").as("src_text")), "src_id")
+        .join(docs.select(col("doc_id").as("tgt_id"),
+          col("text").as("tgt_text")), "tgt_id")
+        .select(col("src_id"), col("tgt_id"), col("margin"),
+          col("src_text"), col("tgt_text"))
+        .orderBy("src_id", "tgt_id")
+    }),
+
     // Deterministic hash sample: membership is a pure function of the key,
     // so the oracle re-derives the exact row set (no rand() anywhere).
   )
@@ -966,6 +988,44 @@ object SimilarityCatalog {
        |    sum((2.0 ** (55 - register))::BIGINT)::BIGINT AS d
        |  FROM f$tag))""".stripMargin
   }
+
+  // the full bitext-mining restatement (shared by the mined-pairs row and
+  // its corpus join): strict-fold cosines over the even/odd split, rank-
+  // ordered top-4 means, candidate union, margin, mutual argmax. Ends
+  // with CTE `mined(src_id, tgt_id, score, margin)`.
+  private def bitextMinedCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id < 256),
+       |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
+       |x AS (SELECT vec_id AS src_id, v, nm FROM n WHERE vec_id % 2 = 0),
+       |y AS (SELECT vec_id AS tgt_id, v, nm FROM n WHERE vec_id % 2 = 1),
+       |scored AS (SELECT x.src_id, y.tgt_id,
+       |  ${Sql.dot("x.v", "y.v")} / (x.nm * y.nm) AS score
+       |  FROM x CROSS JOIN y),
+       |fwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
+       |  PARTITION BY src_id ORDER BY score DESC, tgt_id)::INT AS rank
+       |  FROM scored),
+       |bwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
+       |  PARTITION BY tgt_id ORDER BY score DESC, src_id)::INT AS rank
+       |  FROM scored),
+       |favg AS (SELECT src_id, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS favg
+       |  FROM fwd WHERE rank <= 4 GROUP BY src_id),
+       |bavg AS (SELECT tgt_id, list_reduce(list_prepend(0.0::DOUBLE,
+       |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS bavg
+       |  FROM bwd WHERE rank <= 4 GROUP BY tgt_id),
+       |cand AS (SELECT DISTINCT src_id, tgt_id, score FROM (
+       |  SELECT src_id, tgt_id, score FROM fwd WHERE rank <= 4
+       |  UNION ALL SELECT src_id, tgt_id, score FROM bwd WHERE rank <= 4)),
+       |m AS (SELECT c.src_id, c.tgt_id, c.score,
+       |  c.score / ((f.favg + b.bavg) / 2.0) AS margin
+       |  FROM cand c JOIN favg f USING (src_id) JOIN bavg b USING (tgt_id)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+       |    ORDER BY margin DESC, tgt_id) AS fr,
+       |  row_number() OVER (PARTITION BY tgt_id
+       |    ORDER BY margin DESC, src_id) AS br FROM m),
+       |mined AS (SELECT src_id, tgt_id, score, margin FROM r
+       |  WHERE fr = 1 AND br = 1 AND margin >= 1.0)""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -1076,39 +1136,19 @@ object SimilarityCatalog {
     // of both directions, margin = score / mean of the two side-means,
     // mutual argmax windows with the smaller-partner tie-break
     "sim_bitext_mine" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-         |  FROM embeddings WHERE vec_id < 256),
-         |n AS (SELECT vec_id, v, sqrt(${Sql.dot("v", "v")}) AS nm FROM e),
-         |x AS (SELECT vec_id AS src_id, v, nm FROM n WHERE vec_id % 2 = 0),
-         |y AS (SELECT vec_id AS tgt_id, v, nm FROM n WHERE vec_id % 2 = 1),
-         |scored AS (SELECT x.src_id, y.tgt_id,
-         |  ${Sql.dot("x.v", "y.v")} / (x.nm * y.nm) AS score
-         |  FROM x CROSS JOIN y),
-         |fwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
-         |  PARTITION BY src_id ORDER BY score DESC, tgt_id)::INT AS rank
-         |  FROM scored),
-         |bwd AS (SELECT src_id, tgt_id, score, row_number() OVER (
-         |  PARTITION BY tgt_id ORDER BY score DESC, src_id)::INT AS rank
-         |  FROM scored),
-         |favg AS (SELECT src_id, list_reduce(list_prepend(0.0::DOUBLE,
-         |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS favg
-         |  FROM fwd WHERE rank <= 4 GROUP BY src_id),
-         |bavg AS (SELECT tgt_id, list_reduce(list_prepend(0.0::DOUBLE,
-         |    list(score ORDER BY rank)), (a, b) -> a + b) / count(*) AS bavg
-         |  FROM bwd WHERE rank <= 4 GROUP BY tgt_id),
-         |cand AS (SELECT DISTINCT src_id, tgt_id, score FROM (
-         |  SELECT src_id, tgt_id, score FROM fwd WHERE rank <= 4
-         |  UNION ALL SELECT src_id, tgt_id, score FROM bwd WHERE rank <= 4)),
-         |m AS (SELECT c.src_id, c.tgt_id, c.score,
-         |  c.score / ((f.favg + b.bavg) / 2.0) AS margin
-         |  FROM cand c JOIN favg f USING (src_id) JOIN bavg b USING (tgt_id)),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id
-         |    ORDER BY margin DESC, tgt_id) AS fr,
-         |  row_number() OVER (PARTITION BY tgt_id
-         |    ORDER BY margin DESC, src_id) AS br FROM m)
-         |SELECT src_id, tgt_id, score, margin FROM r
-         |WHERE fr = 1 AND br = 1 AND margin >= 1.0
+      s"""WITH $bitextMinedCtes
+         |SELECT src_id, tgt_id, score, margin FROM mined
          |ORDER BY src_id, tgt_id""".stripMargin,
+
+    // the mining chain joined back to the documents — the actual PARALLEL
+    // CORPUS a translation pipeline emits (same mined set, text attached)
+    "sim_bitext_corpus" ->
+      s"""WITH $bitextMinedCtes
+         |SELECT m.src_id, m.tgt_id, m.margin, a.text AS src_text,
+         |  b.text AS tgt_text
+         |FROM mined m JOIN documents a ON a.doc_id = m.src_id
+         |JOIN documents b ON b.doc_id = m.tgt_id
+         |ORDER BY m.src_id, m.tgt_id""".stripMargin,
 
 
     // mirrors Similarity.pqTopKPinned: the shared pinned-PQ CTE chain

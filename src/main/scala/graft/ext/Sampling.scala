@@ -558,6 +558,43 @@ object Sampling {
     packTextCore(df, groupCol, keyCol, orderCol, tokenCol, textCol, seqTokens)
   }
 
+  /** Per-document BOUNDARY OFFSETS of the packed windows — what the
+    * trainer actually needs next to the window text: loss masks and
+    * cross-document attention barriers are built from "where does each
+    * document start and end inside its window". Same assignment law as
+    * the pack operators (a doc belongs to the window its start falls in);
+    * `start_tok`/`end_tok` are window-relative token offsets, and a doc
+    * whose tail SPANS the window boundary honestly reports
+    * `end_tok > seqTokens` (the mask builder must know about the
+    * spill-over — clamping here would silently corrupt the mask).
+    * Returns (groupCol, seq_no, pos_in_seq, keyCol, n_tok, start_tok,
+    * end_tok). Order = caller's column (feed [[icpOrder]]'s seq_pos for
+    * the similarity-ordered layout); per-group window + one bounded
+    * per-(group, seq_no) rank, nothing else. */
+  def packOffsetsOrdered(df: DataFrame, groupCol: String, keyCol: String,
+                         orderCol: String, tokenCol: String,
+                         seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
+    Seq("_cum", "seq_no", "n_tok", "start_tok", "end_tok", "pos_in_seq")
+      .foreach(c => require(!df.columns.contains(c) || c == orderCol,
+        s"packOffsetsOrdered: input already has a '$c' column — it would be clobbered"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inSeq = Window.partitionBy(col(groupCol), col("seq_no"))
+      .orderBy(col(orderCol).asc, col(keyCol).asc)
+    df.withColumn("n_tok", col(tokenCol).cast("long"))
+      .withColumn("_cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_no",
+        floor((col("_cum") - col("n_tok")) / lit(seqTokens)).cast("long"))
+      .withColumn("start_tok",
+        col("_cum") - col("n_tok") - col("seq_no") * lit(seqTokens))
+      .withColumn("end_tok", col("_cum") - col("seq_no") * lit(seqTokens))
+      .withColumn("pos_in_seq", row_number().over(inSeq))
+      .select(col(groupCol), col("seq_no"), col("pos_in_seq"), col(keyCol),
+        col("n_tok"), col("start_tok"), col("end_tok"))
+  }
+
   /** The one packing law behind [[packSequencesText]] (order = the unit
     * hash) and [[packSequencesOrderedText]] (order = caller's column):
     * running token total in (order, key) order, window = (cum − tokens) /

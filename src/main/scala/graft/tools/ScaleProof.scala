@@ -317,6 +317,26 @@ object ScaleProof {
           .count()
       }
     }
+    // r16 WebDataset export at 10×: one shard-keyed exchange, writer
+    // tasks bounded by their shard (members stream to the file) — wall
+    // should track corpus bytes, shuffle ≈ the corpus once.
+    if (wanted("wds")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wds-sp")
+        .toString
+      measured("wds_export") {
+        val parts = docs.select(col("doc_id"),
+          map(lit("txt"), encode(col("text"), "UTF-8")).as("parts"))
+        graft.etl.Tar.writeWebdataset(parts, "doc_id", "parts", dir,
+            nShards = 64)
+          .agg(sum(col("n_samples"))).head().getLong(0)
+      }
+      measured("wds_readback") {
+        val back = spark.read.format("binaryFile").load(s"$dir/*.tar")
+          .select(col("content")).as[Array[Byte]]
+          .map(b => graft.ext.Multimodal.RawAsset(0L, "tar", b))
+        graft.etl.Tar.entries(back).count()
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),

@@ -1180,6 +1180,25 @@ class ExtSpec extends SparkSpec {
     assert(out === Seq(("a b", 2L, 600L), ("c d", 2L, 600L)))
   }
 
+  test("packOffsetsOrdered: window-relative boundaries, spill-over " +
+      "reported honestly, positions rank in order") {
+    // tokens 300, 300, 300 into 512-token windows: doc B starts at 300 in
+    // window 0 and SPILLS to 600 (> 512 — the mask builder must see it);
+    // doc C starts at 600-512=88 in window 1
+    val df = Seq(
+      (0L, 0L, 0, 300), (1L, 0L, 1, 300), (2L, 0L, 2, 300))
+      .toDF("id", "grp", "pos", "tok")
+    val got = Sampling.packOffsetsOrdered(df, "grp", "id", "pos", "tok",
+        seqTokens = 512)
+      .orderBy("seq_no", "pos_in_seq")
+      .select("seq_no", "pos_in_seq", "id", "start_tok", "end_tok")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1, 0L, 0L, 300L),
+      (0L, 2, 1L, 300L, 600L), // spill-over past 512
+      (1L, 1, 2L, 88L, 388L)))
+  }
+
   test("hash sampling: deterministic, nested by fraction, split partitions all rows") {
     val df = (1L to 2000L).toDF("id")
     val s10 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
