@@ -57,6 +57,42 @@ object Tar {
     } catch { case _: java.io.IOException => null }
   }
 
+  /** Streaming twin of [[entries]] (the jsonlStream / WARC-stream
+    * convention): WebDataset shards LANDING in a directory are walked as
+    * they arrive — `readStream(binaryFile)` with exactly-once checkpointed
+    * file tracking, one USTAR parse per new shard, corruption quarantining
+    * exactly as in batch. `asset_id` is the shard number when the file
+    * follows [[writeWebdataset]]'s `shard-N.tar` naming, else a stable
+    * 64-bit md5 hash of the path (ids only need to be per-shard stable). */
+  def entriesStream(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Dataset[TarEntry] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // binaryFile's schema is FIXED by the source, but the streaming path
+    // requires it stated explicitly (no inference pass on a stream)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.tar*").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val id = "shard-(\\d+)\\.tar".r.findFirstMatchIn(path)
+          .map(_.group(1).toLong)
+          .getOrElse {
+            val d = java.security.MessageDigest.getInstance("MD5")
+              .digest(path.getBytes("UTF-8"))
+            java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+          }
+        parseTar(gunzipIfNeeded(bytes)).toSeq.flatten.map {
+          case (n, b) => TarEntry(id, n, b)
+        }
+      })
+  }
+
   /** Group members into WebDataset SAMPLES: the sample key (stem) is the
     * member path up to the first dot OF THE BASENAME — `a7.txt` and
     * `a7.cls` are two parts of sample `a7`, and `images.v2/0001.jpg` /

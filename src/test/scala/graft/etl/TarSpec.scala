@@ -109,6 +109,46 @@ class TarSpec extends SparkSpec {
     assert(back > 0)
   }
 
+  test("entriesStream: shard drops land incrementally, exactly-once, " +
+      "streamed == batch, corruption quarantines in-stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar-stream")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tar-ckpt")
+      .toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    def dropShard(n: Int, members: Seq[(String, Array[Byte])],
+                  truncate: Boolean = false): Unit = {
+      val bytes = Tar.archive(members)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"shard-$n%05d.tar"),
+        if (truncate) bytes.dropRight(1024) else bytes)
+    }
+    def runOnce(): Unit = {
+      val q = Tar.entriesStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Tar.TarEntry], _: Long) =>
+            ds.collect().foreach(e =>
+              seen.merge(s"${e.asset_id}/${e.name}", 1L, _ + _))
+        }.start()
+      q.awaitTermination()
+    }
+    dropShard(1, Seq(("a.txt", "x".getBytes("US-ASCII"))))
+    dropShard(2, Seq(("b.txt", "y".getBytes("US-ASCII"))), truncate = true)
+    runOnce()
+    assert(seen.keySet().size === 1, "corrupt shard must contribute no rows")
+    dropShard(3, Seq(("c.txt", "z".getBytes("US-ASCII")),
+      ("c.cls", "1".getBytes("US-ASCII"))))
+    runOnce()
+    assert(seen.keySet().size === 3)
+    assert(seen.containsKey("1/a.txt") && seen.containsKey("3/c.txt") &&
+      seen.containsKey("3/c.cls"))
+    assert(seen.values().stream().allMatch(_ == 1L),
+      "a shard was reprocessed despite the checkpoint")
+  }
+
   test("webdatasetSamples groups by stem with extension-keyed parts; " +
       "duplicate extensions keep the first name") {
     val bytes = Tar.archive(Seq(
