@@ -193,6 +193,35 @@ object MultimodalCatalog {
     }),
 
 
+    // The export CENSUS verified against the delivered bytes: the writer
+    // streams an md5 per shard while writing; the row re-reads each shard
+    // file and compares — `md5_ok` proves a delivery can trust the census
+    // checksum WITHOUT this re-read. The oracle restates the shard
+    // assignment (the unit-hash law) and the per-shard sample counts; a
+    // drifted checksum, a dropped sample, or a mis-assigned shard all
+    // break the hash.
+    "etl_webdataset_census" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"),
+          map(
+            lit("txt"), encode(
+              concat(lit("text "), col("doc_id").cast("string")), "UTF-8"),
+            lit("cls"), encode(
+              (col("doc_id") % 5).cast("string"), "UTF-8")).as("parts"))
+      val dir = scratchDir("graft_wds_census", d)
+      val census =
+        graft.etl.Tar.writeWebdataset(docs, "doc_id", "parts", dir, 7)
+      val readBack = s.read.format("binaryFile").load(s"$dir/*.tar")
+        .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("int").as("shard_id"),
+          md5(col("content")).as("file_md5"))
+      census.join(readBack, Seq("shard_id"))
+        .select(col("shard_id"), col("n_samples"),
+          (col("md5") === col("file_md5")).as("md5_ok"))
+        .orderBy("shard_id")
+    }),
+
+
     // The COMPOSED multimodal ingest: WebDataset shard → USTAR walk →
     // real PNG decode (CRC-verified inflate + unfilter) → perceptual
     // dHash, one row per image member. The oracle is the SAME
@@ -962,6 +991,15 @@ object MultimodalCatalog {
         |  UNION ALL
         |  SELECT id || '.txt', 'text ' || id FROM ids)
         |SELECT name, content FROM m ORDER BY name""".stripMargin,
+
+    // the shard-assignment law (unit hash of the key) and per-shard sample
+    // counts; md5_ok TRUE is the contract the Spark row proves by
+    // re-reading the delivered bytes
+    "etl_webdataset_census" ->
+      s"""SELECT floor(${Sql.unitHash("doc_id::VARCHAR")} * 7)::INT AS shard_id,
+         |  count(*)::BIGINT AS n_samples, TRUE AS md5_ok
+         |FROM documents WHERE doc_id < 60
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the same pixel-formula chain as mm_image_dhash over the shard
     // fixture's (seed, noise) law — the oracle models neither tar nor

@@ -203,8 +203,22 @@ class StarStore(spark: SparkSession, root: String,
           // the name and COMMITTED since — a manifest now present means
           // live data, not debris
           !fs.exists(new Path(
-            s"${versionDir(st.getPath.getName)}/manifest.txt")))
-        fs.delete(st.getPath, true): Unit
+            s"${versionDir(st.getPath.getName)}/manifest.txt"))) {
+        // the manifest probe narrows but does not close the window: a
+        // publisher that reclaimed the name AFTER our listing can be
+        // mid-rename (dir recreated, manifest not yet in place). Re-fetch
+        // the dir's status and re-apply the age gate to the FRESH mtime —
+        // a reclaimed dir is young and gets skipped until it either
+        // commits (manifest probe protects it) or goes stale again.
+        val fresh =
+          try Some(fs.getFileStatus(st.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        fresh.foreach { f =>
+          if (System.currentTimeMillis() - f.getModificationTime >
+              StarStore.StaleClaimMs)
+            fs.delete(st.getPath, true): Unit
+        }
+      }
     }
     val retained = vs.takeRight(retainVersions).map(v => manifest(f"v$v%08d"))
     val referenced = retained.flatMap(_.batches).toSet
@@ -626,8 +640,14 @@ class StarStore(spark: SparkSession, root: String,
       // NonFatal, not a type list: ANY maintenance failure after the
       // commit (a transient delete IOException, a compaction losing its
       // own claim race) must stay here — escaping would report 0 appended
-      // for a committed batch via the retry's replay check
-      case scala.util.control.NonFatal(_) => ()
+      // for a committed batch via the retry's replay check. But stay
+      // VISIBLE: a persistently failing sweep/compact (misconfigured
+      // permissions on versions/) otherwise accumulates version dirs and
+      // deltas unboundedly with no observable signal
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(classOf[StarStore]).warn(
+          s"post-commit maintenance failed (commit is intact; " +
+            s"sweep/compact will retry next publish): $e")
     }
     Some(appended)
   }

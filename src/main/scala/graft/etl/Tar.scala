@@ -132,21 +132,35 @@ object Tar {
     * `partsCol` is its map<extension, binary>. Samples hash-assign to
     * `nShards` shards ([[graft.ext.Sampling.withShard]]'s deterministic
     * law), each shard becomes ONE `shard-%05d.tar` whose members are
-    * `<key>.<ext>` in (key, ext) order — with [[archive]]'s fixed
-    * metadata the shard files are BYTE-IDENTICAL across re-runs, retries,
-    * and cluster layouts, so a delivered shard can be checksummed.
-    * The target directory is cleared first (overwrite semantics — stale
-    * shards from a previous layout must not survive next to new ones).
+    * `<key>.<ext>` in lexicographic member-name order — with [[archive]]'s
+    * fixed metadata the shard files are BYTE-IDENTICAL across re-runs,
+    * retries, and cluster layouts, so a delivered shard can be
+    * checksummed. The target directory is cleared first (overwrite
+    * semantics — stale shards from a previous layout must not survive next
+    * to new ones).
     *
-    * Scale shape: one shuffle keyed on the shard; one shard's members
-    * materialize in its writer task (the WebDataset convention — pick
-    * nShards for ~1 GB shards). Executors open the filesystem from their
-    * own Hadoop configuration (the standard cluster layout); local `file:`
-    * paths need no configuration at all. Returns the (shard_id, n_samples)
-    * census for the caller's manifest. */
+    * Scale shape: one MEMBER-level shuffle keyed on the shard
+    * (repartition + sortWithinPartitions), then writer tasks stream the
+    * sorted row iterator straight into the open tar — per-task memory is
+    * ONE MEMBER, never a shard, so a 2 GB shard (or a hot shard after
+    * skewed keying) writes fine where a whole-shard aggregation row would
+    * hit Spark's 2 GB single-row ceiling. Each shard lands via an
+    * attempt-unique temp name renamed into place on success, so a task
+    * retry or speculative twin never interleaves bytes at the final path
+    * (content is byte-identical across attempts — the first rename wins
+    * and the loser discards its temp). Executors open the filesystem from
+    * the shipped session configuration; local `file:` paths need none.
+    *
+    * Returns the (shard_id, n_samples, md5) census for the caller's
+    * manifest: `n_samples` counts DISTINCT sample keys written, `md5` is
+    * the hex digest of the exact shard file bytes (computed while
+    * streaming — a delivery verifies against it without re-reading).
+    * Samples whose parts map is empty or null carry no members and are
+    * neither written nor counted. */
   def writeWebdataset(df: DataFrame, keyCol: String, partsCol: String,
                       dir: String, nShards: Int): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val target = new org.apache.hadoop.fs.Path(dir)
     val driverFs = target.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -158,53 +172,80 @@ object Tar {
     // fail or write to the wrong filesystem
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val packed = graft.ext.Sampling.withShard(df, keyCol, nShards)
+    val members = graft.ext.Sampling.withShard(df, keyCol, nShards)
       .select(col("shard_id"), col(keyCol).cast("string").as("k"),
-        col(partsCol).as("p"))
-      .groupBy(col("shard_id"))
-      .agg(collect_list(struct(col("k"), col("p"))).as("samples"),
-        count(lit(1)).as("n_samples"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    packed.select(col("shard_id"), col("samples")).foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        if (rows.hasNext) {
-          val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-            conf.value)
-          rows.foreach { r =>
-            val shard = r.getInt(0)
-            val members = r.getSeq[org.apache.spark.sql.Row](1)
-              .map(s0 => (s0.getString(0),
-                s0.getMap[String, Array[Byte]](1)))
-              .flatMap { case (k, parts) =>
-                parts.toSeq.map { case (ext, bytes) => (s"$k.$ext", bytes) }
-              }
-              .sortBy(_._1)
-            // byte-stability depends on a TOTAL member order: equal names
-            // (a duplicate sample key upstream) would keep collect_list's
-            // arrival order and silently break the checksummable contract
-            members.iterator.sliding(2).foreach(w =>
-              require(w.length < 2 || w(0)._1 != w(1)._1,
-                s"duplicate sample member '${w(0)._1}' in shard $shard — " +
-                  "sample keys must be unique"))
-            val out = fs.create(new org.apache.hadoop.fs.Path(
-              f"$dir/shard-$shard%05d.tar"), true)
-            try writeArchive(members, out) finally out.close()
+        explode(col(partsCol)).as(Seq("ext", "bytes")))
+      .select(col("shard_id"),
+        concat(col("k"), lit("."), col("ext")).as("name"),
+        col("k"), col("bytes"))
+    // (k, name)-major sort gives each writer its shard's members in the
+    // byte-contract order; the per-shard strict-monotonicity guard below
+    // proves it coincides with plain member-name order (and catches
+    // duplicate member names in the same check), so the streamed bytes
+    // equal the in-memory [[archive]] of the name-sorted member list
+    val censusRows = members
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "k", "name")
+      .as[(Int, String, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        val out =
+          scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
+        var cur = -1
+        var lastName: String = null
+        var lastKey: String = null
+        var nSamples = 0L
+        var digest: java.security.MessageDigest = null
+        var stream: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        def finishShard(): Unit = if (cur >= 0) {
+          writeTerminator(stream)
+          stream.close()
+          val md5 = digest.digest().map(b => f"$b%02x").mkString
+          val fin = new org.apache.hadoop.fs.Path(f"$dir/shard-$cur%05d.tar")
+          if (!fs.rename(tmp, fin)) {
+            // a speculative/retried twin committed first: content is
+            // byte-identical by construction, so losing the rename race is
+            // success — discard the temp; anything else is a real failure
+            if (fs.exists(fin)) fs.delete(tmp, false): Unit
+            else sys.error(s"shard finalize failed: $tmp -> $fin")
           }
+          out += ((cur, nSamples, md5))
         }
-    }
-    // the census is ≤ nShards rows by construction — materialize it and
-    // release the packed frame NOW (leaving the release to a census
-    // action would leak the cache for callers that ignore the return)
-    val censusRows = packed.select(col("shard_id"), col("n_samples"))
-      .orderBy("shard_id").collect().toSeq
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("shard_id",
-        org.apache.spark.sql.types.IntegerType, nullable = false),
-      org.apache.spark.sql.types.StructField("n_samples",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    packed.unpersist(false)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(censusRows, 1), schema)
+        rows.foreach { case (sid, name, k, bytes) =>
+          if (sid != cur) {
+            finishShard()
+            cur = sid; lastName = null; lastKey = null; nSamples = 0L
+            digest = java.security.MessageDigest.getInstance("MD5")
+            val nonce = java.util.UUID.randomUUID().toString.take(8)
+            tmp = new org.apache.hadoop.fs.Path(
+              f"$dir/_tmp_shard-$sid%05d_$nonce%s.tar")
+            stream = new java.security.DigestOutputStream(
+              fs.create(tmp, true), digest)
+          }
+          // strict monotonicity over the FULL member name is the byte
+          // contract's guard: a repeat is a duplicate member (sample keys
+          // must be unique), and any other violation means the (k, name)
+          // sort diverged from member-name order (keys crafted so one is
+          // a dot-extension of another) — both would silently break the
+          // checksummable byte layout, so both fail loudly
+          require(lastName == null || name > lastName,
+            if (lastName != null && name == lastName)
+              s"duplicate sample member '$name' in shard $sid — " +
+                "sample keys must be unique"
+            else
+              s"member order violation in shard $sid ('$name' after " +
+                s"'$lastName') — sample keys must keep (key, ext) order " +
+                "aligned with member-name order")
+          if (k != lastKey) { nSamples += 1; lastKey = k }
+          writeMemberBlocks(name, bytes, stream)
+          lastName = name
+        }
+        finishShard()
+        out.iterator
+      }
+      .collect().sortBy(_._1).toSeq
+    censusRows.toDF("shard_id", "n_samples", "md5")
   }
 
   // ── the byte format ───────────────────────────────────────────────────
@@ -237,7 +278,18 @@ object Tar {
 
   /** Pure parse: Some(members) for a well-formed archive, None for any
     * corruption. Walks 512-byte blocks; never allocates beyond the member
-    * being copied out. */
+    * being copied out.
+    *
+    * Extension headers from externally produced shards (Python `tarfile`
+    * defaults to PAX) are honored, not skipped: a pax per-file header
+    * (typeflag 'x', `path=` record) or a GNU longname ('L') overrides the
+    * FOLLOWING member's name — without this, a member whose path exceeds
+    * the 100-byte name field would silently surface under its truncated
+    * replacement name and mis-stem every sample it belongs to. Extension
+    * records this walk cannot honor faithfully (pax `size=` — the following
+    * header's size field is then not the real size — global 'g' defaults,
+    * GNU 'K' longlink, malformed pax records) quarantine the shard (None)
+    * instead of emitting wrong members. */
   private[etl] def parseTar(b: Array[Byte])
       : Option[Seq[(String, Array[Byte])]] = {
     if (b == null || b.length < 1024 || b.length % 512 != 0) return None
@@ -245,6 +297,7 @@ object Tar {
     var off = 0
     var bad = false
     var done = false
+    var nameOverride: String = null
     while (!bad && !done && off + 512 <= b.length) {
       var allZero = true
       var i = off
@@ -259,14 +312,32 @@ object Tar {
           case (Some(size), Some(cksum))
               if size >= 0 && off + 512 + size <= b.length &&
                 cksum == headerSum(b, off) =>
-            val name0 = str(b, off, 100)
-            val prefix = str(b, off + 345, 155)
-            val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
             val typ = b(off + 156)
-            if (typ == '0'.toByte || typ == 0.toByte) {
-              if (name.isEmpty) bad = true
-              else out += ((name, java.util.Arrays.copyOfRange(
-                b, off + 512, off + 512 + size.toInt)))
+            if (typ == 'x'.toByte) {
+              paxPath(b, off + 512, size.toInt) match {
+                case Right(p) => nameOverride = p.getOrElse(nameOverride)
+                case Left(()) => bad = true // size=/malformed: quarantine
+              }
+            } else if (typ == 'L'.toByte) {
+              // GNU longname: data is the next member's NUL-terminated name
+              nameOverride = str(b, off + 512, size.toInt)
+              if (nameOverride.isEmpty) bad = true
+            } else if (typ == 'g'.toByte || typ == 'K'.toByte) {
+              bad = true // unsupported extension semantics: quarantine
+            } else {
+              val name =
+                if (nameOverride != null) nameOverride
+                else {
+                  val name0 = str(b, off, 100)
+                  val prefix = str(b, off + 345, 155)
+                  if (prefix.isEmpty) name0 else prefix + "/" + name0
+                }
+              nameOverride = null // an override binds to ONE member
+              if (typ == '0'.toByte || typ == 0.toByte) {
+                if (name.isEmpty) bad = true
+                else out += ((name, java.util.Arrays.copyOfRange(
+                  b, off + 512, off + 512 + size.toInt)))
+              }
             }
             off += 512 + (((size + 511) / 512) * 512).toInt
           case _ => bad = true
@@ -274,6 +345,37 @@ object Tar {
       }
     }
     if (bad || !done) None else Some(out.toSeq)
+  }
+
+  /** Parse a pax extended-header payload ("len key=value\n" records,
+    * `len` counting the whole record including itself): Right(Some(path))
+    * when a `path=` record is present, Right(None) when only ignorable
+    * keys occur, Left(()) for records this walk cannot honor (`size=`
+    * would contradict the following header's size field) or malformed
+    * framing. Values are UTF-8 per the pax spec. */
+  private def paxPath(b: Array[Byte], off: Int, len: Int)
+      : Either[Unit, Option[String]] = {
+    var p = off
+    val end = off + len
+    var path: Option[String] = None
+    while (p < end) {
+      var q = p
+      while (q < end && b(q) != ' '.toByte) q += 1
+      val lenStr = new String(b, p, q - p, "US-ASCII")
+      if (q >= end || !lenStr.forall(_.isDigit) || lenStr.isEmpty)
+        return Left(())
+      val recLen = lenStr.toInt
+      if (recLen <= 0 || p + recLen > end || b(p + recLen - 1) != '\n'.toByte)
+        return Left(())
+      val body = new String(b, q + 1, p + recLen - 1 - (q + 1), "UTF-8")
+      val eq = body.indexOf('=')
+      if (eq <= 0) return Left(())
+      val key = body.substring(0, eq)
+      if (key == "path") path = Some(body.substring(eq + 1))
+      else if (key == "size" || key == "linkpath") return Left(())
+      p += recLen
+    }
+    Right(path)
   }
 
   /** In-memory [[writeArchive]] — fixtures and small shards. */
@@ -294,7 +396,16 @@ object Tar {
     * so non-ASCII fails loudly instead. */
   def writeArchive(members: Seq[(String, Array[Byte])],
                    bos: java.io.OutputStream): Unit = {
-    members.foreach { case (name, data) =>
+    members.foreach { case (name, data) => writeMemberBlocks(name, data, bos) }
+    writeTerminator(bos)
+  }
+
+  /** One member's header + data + block padding, streamed to `bos` — the
+    * unit [[writeWebdataset]]'s writer tasks emit per sorted row (memory =
+    * this member). [[writeArchive]] is members + [[writeTerminator]]. */
+  private[etl] def writeMemberBlocks(name: String, data: Array[Byte],
+                                     bos: java.io.OutputStream): Unit = {
+    {
       require(name.forall(c => c >= 32 && c < 127),
         s"tar member names must be printable ASCII " +
           s"(US-ASCII would silently mangle): $name")
@@ -339,6 +450,9 @@ object Tar {
       bos.write(data)
       bos.write(new Array[Byte]((512 - data.length % 512) % 512))
     }
-    bos.write(new Array[Byte](1024))
   }
+
+  /** The two zero blocks that end every archive. */
+  private[etl] def writeTerminator(bos: java.io.OutputStream): Unit =
+    bos.write(new Array[Byte](1024))
 }

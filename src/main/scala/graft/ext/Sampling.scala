@@ -575,9 +575,13 @@ object Sampling {
                          orderCol: String, tokenCol: String,
                          seqTokens: Long): DataFrame = {
     require(seqTokens > 0, s"sequence token size must be positive: $seqTokens")
+    // no orderCol exemption: an orderCol named n_tok/seq_no/… would itself
+    // be clobbered by the withColumn chain below, and the `w`/`inSeq`
+    // windows would then silently resolve against different columns
     Seq("_cum", "seq_no", "n_tok", "start_tok", "end_tok", "pos_in_seq")
-      .foreach(c => require(!df.columns.contains(c) || c == orderCol,
-        s"packOffsetsOrdered: input already has a '$c' column — it would be clobbered"))
+      .foreach(c => require(!df.columns.contains(c),
+        s"packOffsetsOrdered: input already has a '$c' column — it would be clobbered" +
+          (if (c == orderCol) s" (including orderCol '$orderCol' itself)" else "")))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(orderCol).asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -60,23 +60,80 @@ class TarSpec extends SparkSpec {
     assert(Tar.entries(shard(corrupt)).count() === 0)
   }
 
-  test("non-file members (directories) are skipped, not emitted") {
-    val good = Tar.archive(Seq(("f.txt", "x".getBytes("US-ASCII"))))
-    // rewrite the member as a directory: typeflag '5', then re-checksum
-    val dir = good.clone()
-    dir(156) = '5'.toByte
-    java.util.Arrays.fill(dir, 148, 156, ' '.toByte)
+  /** Rewrite the typeflag of the member whose header starts at `off`,
+    * re-checksum — forges extension headers the writer never emits. */
+  private def retype(b: Array[Byte], off: Int, typ: Char): Array[Byte] = {
+    val m = b.clone()
+    m(off + 156) = typ.toByte
+    java.util.Arrays.fill(m, off + 148, off + 156, ' '.toByte)
     var sum = 0L
-    (0 until 512).foreach(i => sum += (dir(i) & 0xffL))
+    (0 until 512).foreach(i => sum += (m(off + i) & 0xffL))
     val cs = java.lang.Long.toOctalString(sum)
     val cb = (("0" * (6 - cs.length)) + cs).getBytes("US-ASCII")
-    System.arraycopy(cb, 0, dir, 148, 6)
-    dir(154) = 0; dir(155) = ' '.toByte
-    assert(Tar.entries(shard(dir)).count() === 0)
+    System.arraycopy(cb, 0, m, off + 148, 6)
+    m(off + 154) = 0; m(off + 155) = ' '.toByte
+    m
+  }
+
+  test("non-file members (directories) are skipped, not emitted") {
+    val good = Tar.archive(Seq(("f.txt", "x".getBytes("US-ASCII"))))
+    assert(Tar.entries(shard(retype(good, 0, '5'))).count() === 0)
+  }
+
+  test("pax per-file header (typeflag x): path= overrides the next " +
+      "member's name — externally produced long paths round-trip") {
+    val longName = ("p" * 140) + "/" + ("q" * 90) + ".txt" // > 100+155 split
+    def paxRecord(key: String, value: String): String = {
+      // len counts the whole record INCLUDING its own digits: fixed point
+      val base = s" $key=$value\n".getBytes("UTF-8").length
+      var len = base + 1
+      while (len.toString.length + base != len)
+        len = len.toString.length + base
+      s"$len $key=$value\n"
+    }
+    val pax = (paxRecord("mtime", "1700000000.0") +
+      paxRecord("path", longName)).getBytes("UTF-8")
+    val raw = Tar.archive(Seq(
+      ("PaxHeaders.0/f.txt", pax),
+      ("f-truncated.txt", "payload".getBytes("US-ASCII"))))
+    val forged = retype(raw, 0, 'x')
+    val got = Tar.entries(shard(forged)).collect()
+    assert(got.length === 1)
+    assert(got.head.name === longName,
+      "pax path override must replace the truncated header name")
+    assert(new String(got.head.bytes, "US-ASCII") === "payload")
+  }
+
+  test("GNU longname (typeflag L) overrides the next member's name") {
+    val longName = ("d" * 120) + "/file.txt"
+    val raw = Tar.archive(Seq(
+      ("././@LongLink", (longName + "\u0000").getBytes("US-ASCII")),
+      ("file-trunc.txt", "x".getBytes("US-ASCII"))))
+    val got = Tar.entries(shard(retype(raw, 0, 'L'))).collect()
+    assert(got.length === 1)
+    assert(got.head.name === longName)
+  }
+
+  test("unsupported extension headers quarantine the shard instead of " +
+      "mis-naming members: 'g', 'K', pax size=") {
+    def twoMember(paxData: Array[Byte]) = Tar.archive(Seq(
+      ("hdr", paxData), ("f.txt", "x".getBytes("US-ASCII"))))
+    assert(Tar.entries(shard(
+      retype(twoMember("ignored".getBytes("US-ASCII")), 0, 'g'))).count() === 0)
+    assert(Tar.entries(shard(
+      retype(twoMember("ignored".getBytes("US-ASCII")), 0, 'K'))).count() === 0)
+    // a pax size= record contradicts the next header's size field — this
+    // walk cannot honor it, so the shard must quarantine, not mis-slice
+    val sizeRec = "11 size=99\n".getBytes("US-ASCII")
+    assert(Tar.entries(shard(retype(twoMember(sizeRec), 0, 'x'))).count() === 0)
+    // malformed pax framing quarantines too
+    val malformed = "notanumber path=x\n".getBytes("US-ASCII")
+    assert(Tar.entries(shard(
+      retype(twoMember(malformed), 0, 'x'))).count() === 0)
   }
 
   test("writeWebdataset: byte-identical across re-runs; overwrite clears " +
-      "stale shards; census counts samples") {
+      "stale shards; census counts samples and checksums shards") {
     val docs = (0L until 20L).map(i =>
       (i, Map("txt" -> s"t$i".getBytes("US-ASCII"),
         "cls" -> s"${i % 3}".getBytes("US-ASCII"))))
@@ -88,15 +145,26 @@ class TarSpec extends SparkSpec {
         f.getName -> java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
     }
     val census1 = Tar.writeWebdataset(docs, "doc_id", "parts", dir, 4)
-      .as[(Int, Long)].collect().toSeq
+      .as[(Int, Long, String)].collect().toSeq
     assert(census1.map(_._2).sum === 20L)
     val first = shardBytes()
     assert(first.nonEmpty)
+    // no writer-task temp debris may survive a successful export
+    assert(new java.io.File(dir).listFiles()
+      .forall(!_.getName.startsWith("_tmp_")), "temp shard debris left")
+    // the census md5 is the digest of the exact delivered file bytes —
+    // verified here by re-reading, so a delivery can skip the re-read
+    census1.foreach { case (sid, _, md5) =>
+      val bytes = first(f"shard-$sid%05d.tar").toArray
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map(b => f"$b%02x").mkString
+      assert(md5 === want, s"census md5 drifts from shard $sid's bytes")
+    }
     // plant a stale shard from a "previous layout" — overwrite must clear it
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "shard-00099.tar"), Array[Byte](1))
     val census2 = Tar.writeWebdataset(docs, "doc_id", "parts", dir, 4)
-      .as[(Int, Long)].collect().toSeq
+      .as[(Int, Long, String)].collect().toSeq
     assert(census2 === census1)
     val second = shardBytes()
     assert(!second.contains("shard-00099.tar"), "stale shard survived")
@@ -107,6 +175,46 @@ class TarSpec extends SparkSpec {
           dir, first.keys.min))))
       .count()
     assert(back > 0)
+  }
+
+  test("writeWebdataset streams the OLD byte law: each shard equals the " +
+      "in-memory archive of its name-sorted members") {
+    // the writer was rebuilt from a whole-shard aggregation row to a
+    // sorted-row stream — this pin proves the delivered bytes did not move:
+    // shard file ≡ archive(members sorted by full member name)
+    val docs = (0L until 30L).map(i =>
+      (i, Map("txt" -> s"text $i".getBytes("US-ASCII"),
+        "json" -> s"""{"i":$i}""".getBytes("US-ASCII"))))
+      .toDF("doc_id", "parts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-pin").toString
+    Tar.writeWebdataset(docs, "doc_id", "parts", dir, 3): Unit
+    // re-derive the expected layout from the same shard law
+    val assign = graft.ext.Sampling.withShard(
+        docs.select(col("doc_id")), "doc_id", 3)
+      .as[(Long, Int)].collect().toMap
+    (0 until 3).foreach { sid =>
+      val expected = Tar.archive(
+        (0L until 30L).filter(assign(_) == sid).flatMap(i => Seq(
+          (s"$i.txt", s"text $i".getBytes("US-ASCII")),
+          (s"$i.json", s"""{"i":$i}""".getBytes("US-ASCII"))))
+          .sortBy(_._1))
+      val got = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f"shard-$sid%05d.tar"))
+      assert(got.toSeq === expected.toSeq, s"shard $sid bytes moved")
+    }
+  }
+
+  test("writeWebdataset fails loudly on duplicate sample keys") {
+    val docs = Seq(
+      (1L, Map("txt" -> "a".getBytes("US-ASCII"))),
+      (1L, Map("txt" -> "b".getBytes("US-ASCII"))))
+      .toDF("doc_id", "parts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-dup").toString
+    val e = intercept[org.apache.spark.SparkException] {
+      Tar.writeWebdataset(docs, "doc_id", "parts", dir, 1)
+    }
+    assert(e.getMessage.contains("duplicate sample member") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate sample member")))
   }
 
   test("entriesStream: shard drops land incrementally, exactly-once, " +

@@ -1199,6 +1199,19 @@ class ExtSpec extends SparkSpec {
       (1L, 1, 2L, 88L, 388L)))
   }
 
+  test("packOffsetsOrdered rejects an orderCol that collides with a " +
+      "produced column (it would be clobbered mid-chain)") {
+    // an orderCol named n_tok would be overwritten by the first
+    // withColumn, after which the two windows rank by DIFFERENT columns —
+    // silently wrong offsets; the guard must reject it unconditionally
+    val df = Seq((0L, 0L, 1, 300)).toDF("id", "grp", "n_tok", "tok")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.packOffsetsOrdered(df, "grp", "id", "n_tok", "tok",
+        seqTokens = 512)
+    }
+    assert(e.getMessage.contains("n_tok"))
+  }
+
   test("hash sampling: deterministic, nested by fraction, split partitions all rows") {
     val df = (1L to 2000L).toDF("id")
     val s10 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
