@@ -278,6 +278,26 @@ object DedupCatalog {
     }),
 
 
+    // The served store WITH ITS GEOMETRY SIDECAR: the store is written
+    // once (minhashStoreBandedWrite pins the (family, numHashes, bandRows,
+    // cap, tokenizer) contract next to the parquet), and the probe reads
+    // the geometry FROM the sidecar (nearDupAgainstBandedStoreAt) — a
+    // drifted probe is impossible by construction, and a missing/wrong
+    // sidecar throws instead of returning near-empty matches. Same
+    // agreement law as the other banded rows; the oracle restates the
+    // capped representatives and the banded probe.
+    "dedup_store_probe_meta" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = scratchDir("graft_banded_meta", d)
+      if (!new java.io.File(dir).exists())
+        Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") % 10 < 7),
+          "doc_id", "text", dir, cap = 2)
+      Dedup.nearDupAgainstBandedStoreAt(s, dir,
+          docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
+        .orderBy("batch_id", "store_id")
+    }),
+
+
     // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
     // mixed-script fixture: each base doc gets a twin differing in one
     // trailing latin word, with its Han/Katakana/Thai runs glued to the
@@ -1425,6 +1445,35 @@ object DedupCatalog {
          |    (PARTITION BY band, v ORDER BY store_id) AS rn FROM b)
          |SELECT band, v, store_id, sig_s FROM r WHERE rn <= 2
          |ORDER BY band, v, store_id""".stripMargin,
+
+    // sidecar-served store: representatives = rank over id per bucket
+    // (cap 2) across the first 70%; probe = banded agreement of the rest
+    // (the sidecar itself is metadata — the probe's RESULT is what the
+    // geometry round-trip must leave identical to a direct-parameter call)
+    "dedup_store_probe_meta" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |sb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 < 7),
+         |reps AS (SELECT * FROM (SELECT sb.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY doc_id) AS rn FROM sb)
+         |  WHERE rn <= 2),
+         |bb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 >= 7),
+         |p AS (SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS store_id,
+         |    len(list_filter(range(1, 17), i -> b.sigs[i] = r.sigs[i]))::INT
+         |      AS n_agree
+         |  FROM bb b JOIN reps r ON b.band = r.band AND b.v = r.v)
+         |SELECT batch_id, store_id, n_agree,
+         |  n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,
 
     // representatives = rank over (arrival phase, id) per bucket (cap 2);
     // probe = banded agreement join of the last 30% against them

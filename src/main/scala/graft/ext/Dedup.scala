@@ -1473,6 +1473,32 @@ object Dedup {
       .distinct() // a pair can agree on several bands
   }
 
+  /** Persist a (id, fingerprint) store for [[hammingAgainstStore64]] with
+    * its FAMILY recorded in the [[StoreMeta]] sidecar: the 64-bit frame
+    * itself is family-blind (image dHash, audio window prints, and text
+    * SimHash all fit), so probing a dHash store with audio prints is
+    * type-correct and silently near-empty — the sidecar makes it an
+    * exception instead. `family` names the producing hash (e.g.
+    * "image-dhash-9x8", "audio-window-prints"); the probe's
+    * [[fingerprintStoreOpen]] must present the same string. */
+  def fingerprintStoreWrite(fp: DataFrame, idCol: String, fpCol: String,
+                            dir: String, family: String): Unit = {
+    fp.select(col(idCol), col(fpCol))
+      .write.mode("overwrite").parquet(dir)
+    StoreMeta.write(fp.sparkSession, dir, "fingerprint64",
+      Map("family" -> family, "bits" -> "64",
+        "idCol" -> idCol, "fpCol" -> fpCol))
+  }
+
+  /** Open a [[fingerprintStoreWrite]] store, verifying the fingerprint
+    * family loudly before any probe joins it. */
+  def fingerprintStoreOpen(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, family: String): DataFrame = {
+    StoreMeta.check(spark, dir, "fingerprint64",
+      Map("family" -> family, "bits" -> "64"))
+    spark.read.parquet(dir)
+  }
+
   /** SimHash near-dup pairs over the 16-bit fingerprints: 4 nibble bands,
     * exact for hamming <= 3. Fine up to ~10⁴ docs; past that the nibble
     * buckets saturate (16 values each) — use [[simhashPairsWide]]. */
@@ -2078,12 +2104,108 @@ object Dedup {
                              shingleLen: Int = 3, numHashes: Int = 16,
                              bandRows: Int = 1,
                              cap: Int = Int.MaxValue,
-                             tok: Tokenizer = Tokenizer.Whitespace): Unit =
+                             tok: Tokenizer = Tokenizer.Whitespace): Unit = {
     minhashStoreBanded(docs, idCol, textCol, shingleLen, numHashes, bandRows,
         cap, tok)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "v").sortBy("band", "v")
       .format("parquet").saveAsTable(table)
+    // the geometry contract travels with the table's files: the sidecar
+    // lands in the table location, so openBandedTable / a direct-path open
+    // both find it
+    val spark = docs.sparkSession
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+    StoreMeta.write(spark, loc, "minhash-banded",
+      bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+  }
+
+  private def bandedMeta(shingleLen: Int, numHashes: Int, bandRows: Int,
+                         cap: Int, tok: Tokenizer): Map[String, String] = Map(
+    "family" -> "minhash-md5-60",
+    "shingleLen" -> shingleLen.toString,
+    "numHashes" -> numHashes.toString,
+    "bandRows" -> bandRows.toString,
+    "cap" -> cap.toString,
+    "tokenizer" -> tok.id)
+
+  /** [[minhashStoreBanded]] materialized to a parquet DIRECTORY with its
+    * geometry sidecar ([[StoreMeta]]) — the served-store layout a
+    * continuous-ingest deployment maintains. The sidecar is the missing
+    * half of the store contract: without it a probe assuming different
+    * (numHashes, bandRows, tokenizer, …) joins on (band, v) and returns
+    * near-zero matches SILENTLY; with it, [[minhashStoreBandedAppendAt]] /
+    * [[nearDupAgainstBandedStoreAt]] read the geometry FROM the store, so
+    * a mismatch is impossible, and [[minhashStoreBandedOpen]] verifies an
+    * explicitly-assumed geometry loudly. */
+  def minhashStoreBandedWrite(docs: DataFrame, idCol: String, textCol: String,
+                              dir: String,
+                              shingleLen: Int = 3, numHashes: Int = 16,
+                              bandRows: Int = 1,
+                              cap: Int = Int.MaxValue,
+                              tok: Tokenizer = Tokenizer.Whitespace): Unit = {
+    minhashStoreBanded(docs, idCol, textCol, shingleLen, numHashes, bandRows,
+        cap, tok)
+      .write.mode("overwrite").parquet(dir)
+    StoreMeta.write(docs.sparkSession, dir, "minhash-banded",
+      bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+  }
+
+  /** Open a [[minhashStoreBandedWrite]] store under an EXPLICIT geometry
+    * assumption: throws with the full field diff when the sidecar
+    * disagrees (or is absent), returns the served frame otherwise. */
+  def minhashStoreBandedOpen(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             shingleLen: Int = 3, numHashes: Int = 16,
+                             bandRows: Int = 1,
+                             cap: Int = Int.MaxValue,
+                             tok: Tokenizer = Tokenizer.Whitespace)
+      : DataFrame = {
+    StoreMeta.check(spark, dir, "minhash-banded",
+      bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+    spark.read.parquet(dir)
+  }
+
+  /** Geometry read back from a store's sidecar:
+    * (shingleLen, numHashes, bandRows, cap, tokenizer). */
+  private def bandedGeometry(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): (Int, Int, Int, Int, Tokenizer) = {
+    val (kind, f) = StoreMeta.read(spark, dir).getOrElse(sys.error(
+      s"no ${StoreMeta.FileName} under $dir — write the store with " +
+        "minhashStoreBandedWrite (geometry cannot be assumed)"))
+    require(kind == "minhash-banded",
+      s"store under $dir is kind '$kind', not a banded minhash store")
+    require(f.get("family").contains("minhash-md5-60"),
+      s"unknown signature family ${f.get("family")} under $dir")
+    (f("shingleLen").toInt, f("numHashes").toInt, f("bandRows").toInt,
+      f("cap").toInt, Tokenizer.fromId(f("tokenizer")))
+  }
+
+  /** [[minhashStoreBandedAppend]] with the geometry read FROM the store's
+    * sidecar and the delta parquet-APPENDED in place — per-batch
+    * maintenance that cannot drift from the stored contract. */
+  def minhashStoreBandedAppendAt(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, batch: DataFrame,
+                                 idCol: String, textCol: String): Unit = {
+    val (shingleLen, numHashes, bandRows, cap, tok) =
+      bandedGeometry(spark, dir)
+    minhashStoreBandedAppend(spark.read.parquet(dir), batch, idCol, textCol,
+        shingleLen, numHashes, bandRows, cap, tok)
+      .write.mode("append").parquet(dir)
+  }
+
+  /** [[nearDupAgainstBandedStore]] with the geometry read FROM the store's
+    * sidecar — the probe that cannot mismatch. `threshold` stays a probe
+    * choice (it thresholds agreement, it does not shape the state). */
+  def nearDupAgainstBandedStoreAt(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  threshold: Double = 0.5,
+                                  broadcastBatch: Boolean = true): DataFrame = {
+    val (shingleLen, numHashes, bandRows, _, tok) = bandedGeometry(spark, dir)
+    nearDupAgainstBandedStore(spark.read.parquet(dir), batch, idCol, textCol,
+      shingleLen, numHashes, threshold, bandRows, broadcastBatch, tok)
+  }
 
   /** Append DELTA for a served [[minhashStoreBanded]] store: the new banded
     * rows the batch contributes, computed WITHOUT re-shuffling the store —

@@ -2090,6 +2090,66 @@ object Similarity {
     * in [[hnswBuild]]'s shape. Old and new id sets must be disjoint;
     * `index` must be an [[hnswBuild]]-shaped frame over `oldVecs` with
     * the same (m, maxLevel, salt). */
+  /** Persist an [[hnswBuild]] index with its geometry sidecar
+    * ([[StoreMeta]]): the frame's rows carry no trace of (m, maxLevel,
+    * salt) — the level-assignment law — so a prebuilt descent with
+    * drifted parameters walks wrong layers and silently degrades recall.
+    * knnK/bits are recorded for provenance (build-time only). */
+  def hnswSave(index: DataFrame, dir: String, knnK: Int, bits: Int,
+               m: Int = 8, maxLevel: Int = 2, salt: String = "hnsw"): Unit = {
+    index.write.mode("overwrite").parquet(dir)
+    StoreMeta.write(index.sparkSession, dir, "hnsw",
+      Map("m" -> m.toString, "maxLevel" -> maxLevel.toString,
+        "salt" -> salt, "knnK" -> knnK.toString, "bits" -> bits.toString))
+  }
+
+  /** Open an [[hnswSave]] index, verifying the level-assignment geometry
+    * (m, maxLevel, salt) a [[hnswSearchPrebuilt]] descent is about to
+    * assume — loud on drift. */
+  def hnswOpen(spark: org.apache.spark.sql.SparkSession, dir: String,
+               m: Int = 8, maxLevel: Int = 2,
+               salt: String = "hnsw"): DataFrame = {
+    StoreMeta.check(spark, dir, "hnsw",
+      Map("m" -> m.toString, "maxLevel" -> maxLevel.toString, "salt" -> salt))
+    spark.read.parquet(dir)
+  }
+
+  /** Persist a pinned centroid set (the [[ivfAssign]]/[[ivfSearchAssigned]]
+    * contract state) as data + geometry sidecar. Centroid ids must be
+    * integral — they round-trip as longs. */
+  def centroidsSave(spark: org.apache.spark.sql.SparkSession,
+                    cents: Seq[(Any, Seq[Double])], dir: String): Unit = {
+    require(cents.nonEmpty, "centroidsSave: empty centroid set")
+    val dims = cents.map(_._2.length).distinct
+    require(dims.length == 1,
+      s"centroidsSave: ragged centroid dims ${dims.sorted.mkString(",")}")
+    val rows = cents.map { case (id, v) =>
+      val lid = id match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case other => sys.error(
+          s"centroid ids must be integral to persist, got: $other")
+      }
+      (lid, v)
+    }
+    import spark.implicits._
+    rows.toDF("cent_id", "cent_v").write.mode("overwrite").parquet(dir)
+    StoreMeta.write(spark, dir, "ivf-centroids",
+      Map("nCells" -> cents.length.toString, "dim" -> dims.head.toString))
+  }
+
+  /** Open a [[centroidsSave]] set, verifying the DIMENSION the probe's
+    * vectors will score against (a dim mismatch inside the cosine would
+    * throw per-row or rank garbage, depending on padding) — returns the
+    * centroid seq ready for [[centroidLiteral]]/[[ivfAssign]]. */
+  def centroidsOpen(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    expectDim: Int): Seq[(Any, Seq[Double])] = {
+    StoreMeta.check(spark, dir, "ivf-centroids",
+      Map("dim" -> expectDim.toString))
+    spark.read.parquet(dir).orderBy("cent_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
+
   def hnswAppend(oldVecs: DataFrame, index: DataFrame, newVecs: DataFrame,
                  idCol: String, vecCol: String, knnK: Int, bits: Int,
                  beamWidth: Int, hops: Int, m: Int = 8, maxLevel: Int = 2,

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * multilingual path.
   */
 sealed trait Tokenizer {
+  /** Stable identifier persisted in served-store sidecars
+    * ([[StoreMeta]]) — a probe built with a DIFFERENT tokenizer than the
+    * store produces disjoint shingles and silently near-empty matches,
+    * so the id travels with the state and is verified at open time. */
+  def id: String
+
   /** Lower-cased token array of `text`. */
   def tokens(text: Column): Column
 
@@ -39,6 +45,7 @@ object Tokenizer {
     * original convention of every operator in this library. Right for
     * space-delimited corpora; degenerate on CJK/Thai. */
   case object Whitespace extends Tokenizer {
+    val id = "whitespace"
     def tokens(text: Column): Column = split(lower(text), " ")
     def rawTokens(text: Column): Column = split(text, " ")
     def duckdbTokensSql(textExpr: String): String =
@@ -65,6 +72,8 @@ object Tokenizer {
     * a deterministic per-codepoint rule is the portable choice — it
     * degrades to character shingles, the standard no-segmenter fallback. */
   case object ScriptAware extends Tokenizer {
+    val id = "script-aware"
+
     /** (start, end) inclusive BMP codepoint ranges, ascending. */
     val Ranges: Seq[(Int, Int)] = Seq(
       (0x0E00, 0x0E7F), // Thai
@@ -103,5 +112,17 @@ object Tokenizer {
     def duckdbTokensSql(textExpr: String): String =
       s"list_filter(string_split_regex(regexp_replace(lower($textExpr), " +
         s"'($re2Class)', ' \\1 ', 'g'), ' +'), t -> t <> '')"
+  }
+
+  /** Resolve a persisted tokenizer id ([[Tokenizer.id]], as recorded in a
+    * served store's [[StoreMeta]] sidecar) back to its tokenizer. Loud on
+    * an unknown id — a store built with a tokenizer this build does not
+    * ship cannot be probed faithfully. */
+  def fromId(id: String): Tokenizer = id match {
+    case Whitespace.id => Whitespace
+    case ScriptAware.id => ScriptAware
+    case other => sys.error(
+      s"unknown tokenizer id '$other' in store sidecar — the store was " +
+        "built with a tokenizer this build does not provide")
   }
 }

@@ -1,0 +1,174 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The served-store geometry contract: sidecars round-trip, drifted probes
+  * throw with the field diff (instead of returning silently near-empty
+  * matches), sidecar-driven probes equal direct-parameter calls. */
+class StoreMetaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docs = (0L until 40L).map(i =>
+    (i, s"alpha beta gamma delta epsilon zeta token$i tail${i % 7}"))
+    .toDF("doc_id", "text")
+
+  test("sidecar round-trips kind and fields; token alphabet is enforced") {
+    val dir = tmp("graft-meta-rt")
+    StoreMeta.write(spark, dir, "minhash-banded",
+      Map("numHashes" -> "16", "tokenizer" -> "script-aware"))
+    assert(StoreMeta.read(spark, dir) ===
+      Some(("minhash-banded",
+        Map("numHashes" -> "16", "tokenizer" -> "script-aware"))))
+    val e = intercept[IllegalArgumentException] {
+      StoreMeta.write(spark, dir, "x", Map("k" -> "has space"))
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
+  test("check: missing sidecar, wrong kind, and drifted fields all throw " +
+      "with the offending fields named") {
+    val dir = tmp("graft-meta-chk")
+    val missing = intercept[RuntimeException] {
+      StoreMeta.check(spark, dir, "hnsw", Map("m" -> "8"))
+    }
+    assert(missing.getMessage.contains("no " + StoreMeta.FileName))
+    StoreMeta.write(spark, dir, "hnsw", Map("m" -> "8", "salt" -> "hnsw"))
+    StoreMeta.check(spark, dir, "hnsw", Map("m" -> "8")) // subset OK
+    val kind = intercept[IllegalArgumentException] {
+      StoreMeta.check(spark, dir, "fingerprint64", Map.empty)
+    }
+    assert(kind.getMessage.contains("kind mismatch"))
+    val drift = intercept[IllegalArgumentException] {
+      StoreMeta.check(spark, dir, "hnsw", Map("m" -> "16", "salt" -> "hnsw"))
+    }
+    assert(drift.getMessage.contains("m: store=8 probe=16"))
+    val absent = intercept[IllegalArgumentException] {
+      StoreMeta.check(spark, dir, "hnsw", Map("maxLevel" -> "2"))
+    }
+    assert(absent.getMessage.contains("maxLevel: store=<absent> probe=2"))
+  }
+
+  test("banded store: sidecar-driven probe equals the direct call; a " +
+      "wrong-geometry open throws instead of silently missing duplicates") {
+    val dir = tmp("graft-meta-banded")
+    val store = docs.where(col("doc_id") < 30)
+    val batch = docs.where(col("doc_id") >= 30)
+    Dedup.minhashStoreBandedWrite(store, "doc_id", "text", dir,
+      numHashes = 8, cap = 2)
+    // sidecar-driven probe ≡ direct-parameter probe on the same frame
+    val viaMeta = Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch,
+        "doc_id", "text")
+      .orderBy("batch_id", "store_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val direct = Dedup.nearDupAgainstBandedStore(
+        spark.read.parquet(dir), batch, "doc_id", "text", numHashes = 8)
+      .orderBy("batch_id", "store_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(viaMeta === direct)
+    assert(viaMeta.nonEmpty, "fixture should produce at least one candidate")
+    // the silent-miss scenario, now loud: probe assumes 16 hashes
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 16, cap = 2)
+    }
+    assert(e.getMessage.contains("numHashes: store=8 probe=16"))
+    // tokenizer drift is the same class of silent miss
+    val t = intercept[IllegalArgumentException] {
+      Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 8, cap = 2,
+        tok = Tokenizer.ScriptAware)
+    }
+    assert(t.getMessage.contains("tokenizer: store=whitespace"))
+    // matching geometry opens clean
+    assert(Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 8, cap = 2)
+      .count() > 0)
+  }
+
+  test("banded store: sidecar-driven append maintains the same state as " +
+      "the direct append law") {
+    val dirA = tmp("graft-meta-app-a")
+    val base = docs.where(col("doc_id") < 20)
+    val delta = docs.where(col("doc_id") >= 20 && col("doc_id") < 30)
+    Dedup.minhashStoreBandedWrite(base, "doc_id", "text", dirA,
+      numHashes = 8, cap = 2)
+    Dedup.minhashStoreBandedAppendAt(spark, dirA, delta, "doc_id", "text")
+    val maintained = spark.read.parquet(dirA)
+      .select("band", "v", "store_id")
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    // direct law over the same phases
+    val expect = Dedup.minhashStoreBanded(base, "doc_id", "text",
+        numHashes = 8, cap = 2)
+      .unionByName(Dedup.minhashStoreBandedAppend(
+        Dedup.minhashStoreBanded(base, "doc_id", "text",
+          numHashes = 8, cap = 2),
+        delta, "doc_id", "text", numHashes = 8, cap = 2))
+      .select("band", "v", "store_id")
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    assert(maintained === expect)
+  }
+
+  test("fingerprint store: family mismatch throws; matching family opens") {
+    val dir = tmp("graft-meta-fp")
+    val fp = Seq((1L, 0x0f0fL), (2L, 0xf0f0L)).toDF("asset_id", "fp")
+    Dedup.fingerprintStoreWrite(fp, "asset_id", "fp", dir, "image-dhash-9x8")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.fingerprintStoreOpen(spark, dir, "audio-window-prints")
+    }
+    assert(e.getMessage.contains(
+      "family: store=image-dhash-9x8 probe=audio-window-prints"))
+    val opened = Dedup.fingerprintStoreOpen(spark, dir, "image-dhash-9x8")
+    assert(opened.count() === 2)
+    // and the opened frame probes exactly like the raw frame
+    val batch = Seq((10L, 0x0f0eL)).toDF("asset_id", "fp")
+    val hits = Dedup.hammingAgainstStore64(opened, batch, "asset_id", "fp",
+        maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(hits === Seq((10L, 1L, 1)))
+  }
+
+  test("hnsw index: level-geometry drift throws; matching open searches " +
+      "byte-identical to the in-session index") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 1.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.hnswBuild(vecs, "vec_id", "embedding",
+      knnK = 4, bits = 2, m = 4, maxLevel = 1)
+    val dir = tmp("graft-meta-hnsw")
+    Similarity.hnswSave(idx, dir, knnK = 4, bits = 2, m = 4, maxLevel = 1)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hnswOpen(spark, dir, m = 8, maxLevel = 1)
+    }
+    assert(e.getMessage.contains("m: store=4 probe=8"))
+    val q = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def search(i: org.apache.spark.sql.DataFrame) =
+      Similarity.hnswSearchPrebuilt(vecs, "vec_id", "embedding", i, q,
+          "query_id", "embedding", k = 3, beamWidth = 6, m = 4, maxLevel = 1)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(search(Similarity.hnswOpen(spark, dir, m = 4, maxLevel = 1))
+      === search(idx))
+  }
+
+  test("pinned centroids: dim mismatch throws; round-trip preserves ids " +
+      "and vectors") {
+    val cents: Seq[(Any, Seq[Double])] =
+      Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+    val dir = tmp("graft-meta-cents")
+    Similarity.centroidsSave(spark, cents, dir)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.centroidsOpen(spark, dir, expectDim = 4)
+    }
+    assert(e.getMessage.contains("dim: store=3 probe=4"))
+    assert(Similarity.centroidsOpen(spark, dir, expectDim = 3) === cents)
+    // ragged centroid sets are rejected at save time
+    val r = intercept[IllegalArgumentException] {
+      Similarity.centroidsSave(spark,
+        Seq((0L, Seq(1.0)), (1L, Seq(1.0, 2.0))), tmp("graft-meta-rag"))
+    }
+    assert(r.getMessage.contains("ragged"))
+  }
+}
