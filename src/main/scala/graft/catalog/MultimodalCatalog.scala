@@ -240,6 +240,78 @@ object MultimodalCatalog {
     }),
 
 
+    // The FULL LAION loop in ONE gated row: WebDataset drop (one shard per
+    // 30%-split doc, two PNG samples: p0 a novel scene; p1 a noise-1
+    // re-encode of a SERVED-store scene at doc_id%3==0 — the cross-drop
+    // duplicate the probe must catch — of p0's own scene at %3==1 — the
+    // intra-drop duplicate survivor resolution must collapse — else novel)
+    // → tar walk → real PNG decode → dHash → probe of the sidecar-checked
+    // served fingerprint store → survivors → writeWebdataset of the
+    // deduped corpus → read-back walk + RE-DECODE. The output is derived
+    // entirely from the delivered shard bytes (stem, shard file, decoded
+    // pixels, caption member); the oracle restates pixels, probe,
+    // reachability, survivor census, shard assignment, and captions — a
+    // wrong answer in ANY stage (codec, tar, probe geometry, CC, export)
+    // breaks the hash.
+    "mm_webdataset_dedup_e2e" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where(col("doc_id") < 60)
+      // the served store: built once per process, family sidecar written
+      val storeDir = scratchDir("graft_fp_store_e2e", d)
+      if (!new java.io.File(storeDir).exists()) {
+        val storeFp = Multimodal.imageDHash(
+          docs.where(col("doc_id") % 10 < 7).select(col("doc_id")).as[Long]
+            .repartition(s.sparkContext.defaultParallelism)
+            .map(id => Multimodal.RawAsset(id, "image",
+              Multimodal.syntheticPhotoPayload(id)))).toDF()
+        Dedup.fingerprintStoreWrite(storeFp, "asset_id", "dhash", storeDir,
+          "image-dhash-9x8")
+      }
+      val shards = docs.where(col("doc_id") % 10 >= 7)
+        .select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
+        .map { id =>
+          def png(seed: Long, noise: Int) = Multimodal.pngEncodeRgb(32, 16,
+            Multimodal.syntheticPhotoRgb(seed, noise))
+          val a0 = 2 * id; val a1 = 2 * id + 1
+          val p1 =
+            if (id % 3 == 0) png(id % 5, 1)            // cross-drop dup
+            else if (id % 3 == 1) png(id + 900000L, 1) // intra-drop dup
+            else png(id + 800000L, 0)                  // novel
+          Multimodal.RawAsset(id, "tar", graft.etl.Tar.archive(Seq(
+            (s"$a0.png", png(id + 900000L, 0)),
+            (s"$a0.txt", s"caption $a0".getBytes("US-ASCII")),
+            (s"$a1.png", p1),
+            (s"$a1.txt", s"caption $a1".getBytes("US-ASCII")))))
+        }
+      val outDir = scratchDir("graft_wds_dedup_out", d)
+      Multimodal.webdatasetDedupExport(shards, storeDir, outDir,
+        nShards = 4): Unit
+      // verification surface: EVERYTHING below re-derives from the
+      // delivered bytes alone
+      val back = s.read.format("binaryFile").load(s"$outDir/*.tar")
+        .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("sid"), col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (sid, b) => Multimodal.RawAsset(sid, "tar", b) }
+      val samplesBack =
+        graft.etl.Tar.webdatasetSamples(graft.etl.Tar.entries(back))
+          .select(col("asset_id").cast("int").as("shard_id"),
+            col("stem").cast("long").as("aid"),
+            element_at(col("parts"), "png").as("png"),
+            element_at(col("parts"), "txt").cast("string").as("caption"))
+      val rehash = Multimodal.imageDHashDecoded(
+          samplesBack.select(col("aid"), col("png"))
+            .as[(Long, Array[Byte])]
+            .map { case (id, b) => Multimodal.RawAsset(id, "image", b) })
+        .toDF().select(col("asset_id").as("aid"), col("dhash"))
+      samplesBack.join(rehash, Seq("aid"))
+        .select(col("aid").as("asset_id"), col("shard_id"), col("dhash"),
+          col("caption"))
+        .orderBy("asset_id")
+    }),
+
+
     // Binary payload + typed metadata stats (decode itself is the stubbed
     // per-partition step — see graft.ext.Multimodal and its spec).
     "mm_payload_stats" -> ((s, d) => {
@@ -1161,6 +1233,50 @@ object MultimodalCatalog {
          |SELECT a_id, b_id, off::INT AS "offset", n_matched
          |FROM best WHERE rk = 1 AND n_matched >= 2
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the WHOLE loop restated: pixels for store + drop (store ids offset
+    // to 1000000+ to keep one dh table), probe = all-pairs drop×store
+    // Hamming ≤ 6, survivors = recursive reachability over the fresh
+    // pairs with min-id reps, then the export law (unit-hash shard
+    // assignment over 4 shards) and the caption formula — the Spark side
+    // derives the same columns from the DELIVERED shard bytes alone
+    "mm_webdataset_dedup_e2e" ->
+      s"""WITH RECURSIVE ${Sql.photoDhashChain(
+        """assets AS (
+          |  SELECT 1000000 + doc_id AS asset_id, doc_id AS seed, 0 AS noise
+          |  FROM documents WHERE doc_id < 60 AND doc_id % 10 < 7
+          |  UNION ALL
+          |  SELECT 2 * doc_id AS asset_id, doc_id + 900000 AS seed,
+          |    0 AS noise
+          |  FROM documents WHERE doc_id < 60 AND doc_id % 10 >= 7
+          |  UNION ALL
+          |  SELECT 2 * doc_id + 1 AS asset_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 5
+          |         WHEN doc_id % 3 = 1 THEN doc_id + 900000
+          |         ELSE doc_id + 800000 END AS seed,
+          |    CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS noise
+          |  FROM documents WHERE doc_id < 60 AND doc_id % 10 >= 7)""".stripMargin)},
+         |hits AS (SELECT DISTINCT b.asset_id FROM dh b JOIN dh s2
+         |  ON b.asset_id < 1000000 AND s2.asset_id >= 1000000
+         |  AND bit_count(xor(b.dhash, s2.dhash)) <= 6),
+         |fresh AS (SELECT * FROM dh WHERE asset_id < 1000000
+         |  AND asset_id NOT IN (SELECT asset_id FROM hits)),
+         |prs AS (SELECT a.asset_id AS a_id, b.asset_id AS b_id
+         |  FROM fresh a JOIN fresh b ON a.asset_id < b.asset_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |edges AS (SELECT a_id AS s, b_id AS t FROM prs
+         |  UNION SELECT b_id, a_id FROM prs),
+         |reach(s, t) AS (SELECT s, t FROM edges
+         |  UNION SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+         |cc AS (SELECT s AS asset_id, least(s, min(t))::BIGINT AS rep
+         |  FROM reach GROUP BY s),
+         |surv AS (SELECT f.asset_id, f.dhash
+         |  FROM fresh f LEFT JOIN cc USING (asset_id)
+         |  WHERE coalesce(cc.rep, f.asset_id) = f.asset_id)
+         |SELECT asset_id,
+         |  floor(${Sql.unitHash("asset_id::VARCHAR")} * 4)::INT AS shard_id,
+         |  dhash, 'caption ' || asset_id AS caption
+         |FROM surv ORDER BY asset_id""".stripMargin,
 
     // the same pixel→dHash chain over the split corpus (store photos
     // seeded by doc_id; batch = noise-1 re-encode of store seed doc_id % 5

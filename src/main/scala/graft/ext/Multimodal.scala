@@ -1619,7 +1619,11 @@ object Multimodal {
     * join sides + final census join) and self-released scope-less. */
   def imageDedupSurvivors(assets: Dataset[RawAsset], maxHamming: Int = 6,
                           scope: CacheScope = null): DataFrame = {
-    val fp = imageDHash(assets).toDF().select(col("asset_id"), col("dhash"))
+    // the DECODED hash seam: container-sniffed PNG/JPEG/P6, so the recipe
+    // rides the real decoders — P6 corpora hash identically to the old
+    // imageDHash path (same pixel law), PNG/JPEG corpora now work
+    val fp = imageDHashDecoded(assets).toDF()
+      .select(col("asset_id"), col("dhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (scope != null) scope.own(fp)
     val pairs = graft.ext.Dedup.hammingPairs64(fp, "asset_id", "dhash",
@@ -1633,6 +1637,79 @@ object Multimodal {
           .cast("int").as("survivor"))
     if (scope == null) graft.ext.Dedup.releaseAfterFirstAction(fp, out)
     out
+  }
+
+  /** The FULL LAION-shaped ingest loop, end to end: WebDataset tar walk →
+    * real container decode ([[imageDHashDecoded]]) → probe of a SERVED
+    * fingerprint store ("is this image already in the corpus", sidecar
+    * family-checked via [[graft.ext.Dedup.fingerprintStoreOpen]]) →
+    * intra-drop survivor resolution (banded Hamming pairs + connected
+    * components) → [[graft.etl.Tar.writeWebdataset]] of the deduped
+    * samples. This is the loop every stage gates individually — composed,
+    * so one call ingests a drop of shards and ships the deduped corpus.
+    *
+    * Samples are the WebDataset contract (stem = the sample key, which
+    * must parse as a LONG asset id; `imageExt`/`textExt` parts). A sample
+    * whose image is missing, undecodable, or sub-grid quarantines (not
+    * exported — the decode family's convention). A sample whose hash sits
+    * within `maxHamming` of ANY served fingerprint is dropped (cross-drop
+    * duplicate); the remainder resolves A≈B≈C chains to min-id survivors.
+    *
+    * Scale shape: every join is band-keyed or broadcast (the store
+    * STREAMS through the probe's broadcast hash join; pairs are the
+    * banded 8×8 geometry, exact ≤ 7 by pigeonhole); the export is the
+    * member-streaming writer. The function is EAGER (the export happens
+    * before it returns), so its interior persists release before return.
+    * Returns the export census (shard_id, n_samples, md5). */
+  def webdatasetDedupExport(shards: Dataset[RawAsset], servedStoreDir: String,
+                            outDir: String, nShards: Int,
+                            imageExt: String = "png", textExt: String = "txt",
+                            storeFamily: String = "image-dhash-9x8",
+                            maxHamming: Int = 6): DataFrame = {
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val samples = graft.etl.Tar.webdatasetSamples(graft.etl.Tar.entries(shards))
+      .select(col("stem").cast("long").as("asset_id"),
+        element_at(col("parts"), imageExt).as("_img"),
+        element_at(col("parts"), textExt).as("_txt"))
+      .where(col("asset_id").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fp = imageDHashDecoded(
+          samples.select(col("asset_id"), col("_img")).as[(Long, Array[Byte])]
+            .map { case (id, img) => RawAsset(id, "image", img) })
+        .toDF().select(col("asset_id"), col("dhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val store = graft.ext.Dedup.fingerprintStoreOpen(
+          spark, servedStoreDir, storeFamily)
+        val hits = graft.ext.Dedup.hammingAgainstStore64(store, fp,
+            "asset_id", "dhash", maxHamming)
+          .select(col("batch_id").as("asset_id")).distinct()
+        val fresh = fp.join(hits, Seq("asset_id"), "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val pairs = graft.ext.Dedup.hammingPairs64(fresh, "asset_id",
+            "dhash", maxHamming)
+          val cc = graft.ext.Dedup.duplicateClusters(pairs)
+            .select(col("id").as("asset_id"), col("rep"))
+          val survivors = fresh.join(cc, Seq("asset_id"), "left")
+            .where(coalesce(col("rep"), col("asset_id")) === col("asset_id"))
+            .select(col("asset_id"))
+          val exported = samples.join(survivors, Seq("asset_id"), "left_semi")
+            .select(col("asset_id"),
+              map_from_entries(filter(
+                array(
+                  struct(lit(imageExt).as("ext"), col("_img").as("bytes")),
+                  struct(lit(textExt).as("ext"), col("_txt").as("bytes"))),
+                e => e.getField("bytes").isNotNull)).as("parts"))
+          // eager: the writer collects its census, so every probe/pair/CC
+          // action has run by the time the finallys release the pins
+          graft.etl.Tar.writeWebdataset(exported, "asset_id", "parts",
+            outDir, nShards)
+        } finally fresh.unpersist(): Unit
+      } finally fp.unpersist(): Unit
+    } finally samples.unpersist(): Unit
   }
 
   /** A photo-sized (32×16) multi-frame P6 stream — the video twin of

@@ -3459,6 +3459,63 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.imageDHashDecoded(junk.toDS()).count() === 0)
   }
 
+  test("webdatasetDedupExport: the composed LAION loop — served-store hit " +
+      "dropped, intra-drop twin collapsed, corrupt image quarantined, " +
+      "missing caption exported image-only") {
+    def png(seed: Long, noise: Int = 0) = Multimodal.pngEncodeRgb(32, 16,
+      Multimodal.syntheticPhotoRgb(seed, noise))
+    // served store: scenes 0..4 already ingested (family sidecar written)
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft-e2e-store").toString
+    val storeFp = Multimodal.imageDHash(
+      (0L until 5L).map(i => Multimodal.RawAsset(i, "image",
+        Multimodal.syntheticPhotoPayload(i))).toDS()).toDF()
+    Dedup.fingerprintStoreWrite(storeFp, "asset_id", "dhash", storeDir,
+      "image-dhash-9x8")
+    // one drop shard: asset 10 novel; 11 = re-encode of SERVED scene 2
+    // (cross-drop dup); 12 novel + 13 its intra-drop re-encode; 14 corrupt
+    // image bytes; 15 novel but caption-less
+    val members = Seq(
+      ("10.png", png(100L)), ("10.txt", "caption 10".getBytes("US-ASCII")),
+      ("11.png", png(2L, noise = 1)),
+      ("11.txt", "caption 11".getBytes("US-ASCII")),
+      ("12.png", png(200L)), ("12.txt", "caption 12".getBytes("US-ASCII")),
+      ("13.png", png(200L, noise = 1)),
+      ("13.txt", "caption 13".getBytes("US-ASCII")),
+      ("14.png", Array[Byte](9, 9, 9)),
+      ("14.txt", "caption 14".getBytes("US-ASCII")),
+      ("15.png", png(300L)))
+    val shards = Seq(Multimodal.RawAsset(0L, "tar",
+      graft.etl.Tar.archive(members))).toDS()
+    val outDir =
+      java.nio.file.Files.createTempDirectory("graft-e2e-out").toString
+    val census = Multimodal.webdatasetDedupExport(shards, storeDir, outDir,
+        nShards = 2)
+      .as[(Int, Long, String)].collect().toSeq
+    // read the delivered corpus back
+    val back = new java.io.File(outDir).listFiles()
+      .filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+      .map(f => Multimodal.RawAsset(
+        f.getName.replaceAll("[^0-9]", "").toLong,
+        "tar", java.nio.file.Files.readAllBytes(f.toPath)))
+    val got = graft.etl.Tar.webdatasetSamples(
+        graft.etl.Tar.entries(back.toSeq.toDS()))
+      .select(col("stem"), col("n_parts"))
+      .as[(String, Long)].collect().toMap
+    // survivors: 10 (novel), 12 (intra-rep, min id), 15 (novel, no txt);
+    // dropped: 11 (store hit), 13 (intra twin of 12), 14 (quarantined)
+    assert(got.keySet === Set("10", "12", "15"))
+    assert(got("10") === 2L && got("12") === 2L)
+    assert(got("15") === 1L, "caption-less sample must export image-only")
+    assert(census.map(_._2).sum === 3L)
+    // and a wrong-family store refuses the whole loop loudly
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.webdatasetDedupExport(shards, storeDir, outDir,
+        nShards = 2, storeFamily = "audio-window-prints")
+    }
+    assert(e.getMessage.contains("family"))
+  }
+
   test("audioFingerprint: EXACTLY level-invariant (any gain), divergent " +
       "across material, short clips quarantine") {
     val base = Multimodal.syntheticMelodyPayload(42L)
