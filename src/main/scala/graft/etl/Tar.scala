@@ -159,13 +159,42 @@ object Tar {
     * neither written nor counted. */
   def writeWebdataset(df: DataFrame, keyCol: String, partsCol: String,
                       dir: String, nShards: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val target = new org.apache.hadoop.fs.Path(dir)
     val driverFs = target.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+      df.sparkSession.sparkContext.hadoopConfiguration)
     driverFs.delete(target, true)
     driverFs.mkdirs(target): Unit
+    writeShards(df, keyCol, partsCol, dir, nShards,
+      sid => f"shard-$sid%05d.tar")
+  }
+
+  /** Per-drop WebDataset export — the sink half of the streaming tar
+    * story ([[entriesStream]] is ingest): one drop's samples become
+    * `shard-b<batchId>-NNNNN.tar` files ALONGSIDE earlier drops' shards
+    * (no directory clear — each batch owns its name namespace, so append
+    * delivery composes and the batch-level export is idempotent: a
+    * foreachBatch RETRY replays the same deterministic samples into the
+    * same names with byte-identical content). Same census contract as
+    * [[writeWebdataset]]. Wire it as
+    * {{{ stream.writeStream.foreachBatch { (b, id) =>
+    *       Tar.writeWebdatasetBatch(b, key, parts, dir, n, id): Unit } }}} */
+  def writeWebdatasetBatch(df: DataFrame, keyCol: String, partsCol: String,
+                           dir: String, nShards: Int,
+                           batchId: Long): DataFrame = {
+    require(batchId >= 0, s"batchId must be non-negative: $batchId")
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    driverFs.mkdirs(target): Unit
+    writeShards(df, keyCol, partsCol, dir, nShards,
+      sid => f"shard-b$batchId%06d-$sid%05d.tar")
+  }
+
+  private def writeShards(df: DataFrame, keyCol: String, partsCol: String,
+                          dir: String, nShards: Int,
+                          shardFile: Int => String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // ship the SESSION's Hadoop configuration to the writer tasks (the
     // Warc convention) — a bare executor-side Configuration would drop
     // spark.hadoop.* settings (object-store credentials, endpoints) and
@@ -202,7 +231,7 @@ object Tar {
           writeTerminator(stream)
           stream.close()
           val md5 = digest.digest().map(b => f"$b%02x").mkString
-          val fin = new org.apache.hadoop.fs.Path(f"$dir/shard-$cur%05d.tar")
+          val fin = new org.apache.hadoop.fs.Path(s"$dir/${shardFile(cur)}")
           if (!fs.rename(tmp, fin)) {
             // a speculative/retried twin committed first: content is
             // byte-identical by construction, so losing the rename race is
@@ -217,9 +246,11 @@ object Tar {
             finishShard()
             cur = sid; lastName = null; lastKey = null; nSamples = 0L
             digest = java.security.MessageDigest.getInstance("MD5")
+            // NO .tar suffix on the temp: a reader racing the writer globs
+            // *.tar and must never see a half-written attempt
             val nonce = java.util.UUID.randomUUID().toString.take(8)
             tmp = new org.apache.hadoop.fs.Path(
-              f"$dir/_tmp_shard-$sid%05d_$nonce%s.tar")
+              f"$dir/_tmp_shard-$sid%05d_$nonce%s")
             stream = new java.security.DigestOutputStream(
               fs.create(tmp, true), digest)
           }

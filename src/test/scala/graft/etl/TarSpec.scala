@@ -217,6 +217,81 @@ class TarSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("duplicate sample member")))
   }
 
+  test("writeWebdatasetBatch: streamed drops append batch-namespaced " +
+      "shards — streamed bytes ≡ the batch writer's, re-delivery is " +
+      "idempotent, and the appended dir walks whole") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def parts(i: Long) = Map("txt" -> s"drop $i".getBytes("US-ASCII"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-str").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-wds-ck").toString
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("doc_id")
+      .select(col("doc_id"),
+        map(lit("txt"), concat(lit("drop "), col("doc_id").cast("string"))
+          .cast("binary")).as("parts"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+    def deliver(ids: Seq[Long]): Unit = {
+      in.addData(ids: _*)
+      val run = q.foreachBatch { (b: org.apache.spark.sql.DataFrame,
+                                  id: Long) =>
+        Tar.writeWebdatasetBatch(b, "doc_id", "parts", dir, 2, id): Unit
+      }.start()
+      run.awaitTermination()
+    }
+    deliver(0L until 10L)
+    deliver(10L until 16L)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".tar")).sorted
+    assert(files.forall(_.matches("shard-b\\d{6}-\\d{5}\\.tar")),
+      s"unexpected layout: ${files.mkString(",")}")
+    assert(files.count(_.startsWith("shard-b000000-")) > 0)
+    assert(files.count(_.startsWith("shard-b000001-")) > 0)
+    // streamed bytes ≡ the batch writer run over the same drop
+    val batchDir =
+      java.nio.file.Files.createTempDirectory("graft-wds-strb").toString
+    Tar.writeWebdataset((0L until 10L).map(i => (i, parts(i)))
+      .toDF("doc_id", "parts"), "doc_id", "parts", batchDir, 2): Unit
+    (0 until 2).foreach { sid =>
+      val streamed = java.nio.file.Paths.get(dir,
+        f"shard-b000000-$sid%05d.tar")
+      val direct = java.nio.file.Paths.get(batchDir, f"shard-$sid%05d.tar")
+      assert(java.nio.file.Files.exists(streamed) ===
+        java.nio.file.Files.exists(direct))
+      if (java.nio.file.Files.exists(direct))
+        assert(java.nio.file.Files.readAllBytes(streamed).toSeq ===
+          java.nio.file.Files.readAllBytes(direct).toSeq,
+          s"streamed shard $sid bytes diverge from the batch writer")
+    }
+    // re-delivering a batch id is idempotent: same names, same bytes
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    Tar.writeWebdatasetBatch((0L until 10L).map(i => (i, parts(i)))
+      .toDF("doc_id", "parts"), "doc_id", "parts", dir, 2, 0L): Unit
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    assert(after === before, "re-delivery changed the delivered bytes")
+    // and the whole appended directory walks as one corpus
+    val walked = Tar.entriesStream(spark, dir)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val wq = walked.writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-wds-wk").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[Tar.TarEntry],
+                       _: Long) =>
+        seen.synchronized { ds.collect().foreach(e => seen += e.name): Unit }
+      }.start()
+    wq.awaitTermination()
+    assert(seen.toSet === (0L until 16L).map(i => s"$i.txt").toSet)
+  }
+
   test("entriesStream: shard drops land incrementally, exactly-once, " +
       "streamed == batch, corruption quarantines in-stream") {
     import org.apache.spark.sql.streaming.Trigger
