@@ -522,6 +522,40 @@ object CatalogShared {
         |  (SELECT string_agg(chr((3585 + x)::INT), '' ORDER BY x) FROM range(0, 32) t(x)) AS thai)""".stripMargin
   }
 
+  /** A small PUBLIC Thai lexicon (common everyday vocabulary) for the
+    * dictionary-segmenter fixture — sixteen words, incl. two
+    * compound/constituent pairs (ประเทศไทย ⊃ ประเทศ/ไทย, โรงเรียน ⊃ เรียน)
+    * so the gated row proves maximal munch prefers the longer entry. The
+    * law ([[graft.ext.Tokenizer.Dictionary]]) is lexicon-agnostic: a
+    * production deployment ships a full public wordlist the same way. */
+  private[graft] object ThaiLexicon {
+    val words: Seq[String] = Seq(
+      "ประเทศไทย", // Thailand
+      "ประเทศ",                   // country
+      "ไทย",                                     // Thai
+      "โรงเรียน",       // school
+      "เรียน",                         // to study
+      "สวัสดี",                   // hello
+      "ภาษา",                               // language
+      "หนังสือ",             // book
+      "เมือง",                         // city
+      "บ้าน",                               // house
+      "ข้าว",                               // rice
+      "น้ำ",                                     // water
+      "กิน",                                     // to eat
+      "มาก",                                     // many/very
+      "รัก",                                     // to love
+      "คน")                                           // person
+
+    /** One word as a DuckDB chr()-concatenation — the SQL stays ASCII. */
+    def wordSql(w: String): String =
+      w.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+    /** The whole lexicon as a DuckDB list literal (fixture order). */
+    val listSql: String =
+      words.map(w => s"(${wordSql(w)})").mkString("[", ", ", "]")
+  }
+
   private[graft] object Sql {
     // MinHash-LSH near-dup pairs → recursive-reachability connected
     // components (shared by the label-propagation row and its

@@ -208,6 +208,36 @@ object TextCatalog {
     }),
 
 
+    // DICTIONARY longest-match segmentation over Thai (the unsegmented
+    // script the per-codepoint fallback under-serves): fixture text glues
+    // three lexicon words (picked by doc_id formulas) plus a 2-codepoint
+    // out-of-lexicon run, no spaces — the real shape of Thai prose. The
+    // row emits the dictionary segmentation NEXT TO the per-codepoint
+    // count, so the gate proves they measurably diverge AND that maximal
+    // munch prefers compounds (ประเทศไทย over ประเทศ+ไทย) where picked.
+    // The oracle re-derives the lexicon via chr() arithmetic and carries
+    // both tokenizers' three-step laws.
+    "text_tokens_thai" -> ((s, d) => {
+      val dict = Tokenizer.Dictionary(ThaiLexicon.words)
+      def pick(mul: Int, add: Int) = element_at(
+        array(ThaiLexicon.words.map(lit): _*),
+        ((col("doc_id") * mul + add) % 16).cast("int") + 1)
+      val thaiRun = concat((0 until 2).map(j =>
+        lit(CjkFixture.Thai).substr(
+          ((col("doc_id") * 3 + j * 7) % 32).cast("int") + 1, lit(1))): _*)
+      val fx = t(s, d, "documents").select(col("doc_id"))
+        .where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          concat(lit("thai sample "), pick(3, 0), pick(5, 1), pick(7, 2),
+            thaiRun, lit(" end")).as("text"))
+      fx.select(col("doc_id"),
+          size(dict.tokens(col("text"))).as("n_dict"),
+          size(Tokenizer.ScriptAware.tokens(col("text"))).as("n_char"),
+          array_join(dict.tokens(col("text")), "|").as("toks"))
+        .orderBy("doc_id")
+    }),
+
+
     // Real BPE ENCODE under the pinned merge table (E9i): per doc, the
     // exact subword stream after 8 merge rounds — posexplode so every token
     // AND its position is hash-compared (a wrong merge order, a missed
@@ -826,6 +856,31 @@ object TextCatalog {
          |  array_to_string(words, '|') AS toks_s,
          |  len(list_filter(words, t -> t IN ('alpha', 'delta')))::DOUBLE
          |    / len(words) AS stop_ratio
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // the lexicon rebuilt via chr() arithmetic (ASCII-safe SQL), the same
+    // word-pick formulas, and BOTH tokenizer laws carried verbatim — the
+    // dictionary alternation (longest-first, \x{} escapes) and the
+    // per-codepoint class
+    "text_tokens_thai" ->
+      s"""WITH ${CjkFixture.alphabetsCte},
+         |lex AS (SELECT ${ThaiLexicon.listSql} AS ws),
+         |fx AS (SELECT doc_id,
+         |    'thai sample ' || ws[((doc_id * 3) % 16)::INT + 1]
+         |      || ws[((doc_id * 5 + 1) % 16)::INT + 1]
+         |      || ws[((doc_id * 7 + 2) % 16)::INT + 1]
+         |      || array_to_string(list_transform(range(0, 2),
+         |           j -> substr(a.thai, ((doc_id * 3 + j * 7) % 32)::INT + 1, 1)), '')
+         |      || ' end' AS text
+         |  FROM documents, lex, a WHERE doc_id < 40),
+         |w AS (SELECT doc_id,
+         |    ${Tokenizer.Dictionary(ThaiLexicon.words).duckdbTokensSql("text")}
+         |      AS dict_words,
+         |    ${Tokenizer.ScriptAware.duckdbTokensSql("text")} AS char_words
+         |  FROM fx)
+         |SELECT doc_id, len(dict_words)::INT AS n_dict,
+         |  len(char_words)::INT AS n_char,
+         |  array_to_string(dict_words, '|') AS toks
          |FROM w ORDER BY doc_id""".stripMargin,
 
 

@@ -88,13 +88,13 @@ object Tokenizer {
       (0xF900, 0xFAFF)) // CJK compatibility ideographs
 
     /** Java-regex character class (actual chars — all ranges are BMP). */
-    private val javaClass: String =
+    private[ext] val javaClass: String =
       "[" + Ranges.map { case (a, b) => s"${a.toChar}-${b.toChar}" }
         .mkString + "]"
 
     /** RE2 character class with \x{hhhh} escapes — pure-ASCII SQL, so the
       * oracle text survives any transport encoding. */
-    private val re2Class: String =
+    private[ext] val re2Class: String =
       "[" + Ranges.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }
         .mkString + "]"
 
@@ -114,13 +114,73 @@ object Tokenizer {
         s"'($re2Class)', ' \\1 ', 'g'), ' +'), t -> t <> '')"
   }
 
+  /** DICTIONARY longest-match segmentation for unsegmented scripts (Thai
+    * is the canonical case: words span codepoints and no delimiter exists)
+    * — the production upgrade over [[ScriptAware]]'s per-codepoint
+    * fallback. The law stays the same portable three steps (lowercase,
+    * pad, split on space runs); the pad pattern is an ALTERNATION of the
+    * dictionary words longest-first with the script character class as
+    * the final single-codepoint fallback:
+    *
+    *   - regex scanning is position-major and alternation order breaks
+    *     ties at a position in BOTH engines (Java regex and DuckDB's RE2
+    *     are leftmost-FIRST), so descending-length ordering IS maximal
+    *     munch: at each position the longest dictionary word wins, and a
+    *     position no word covers degrades to one codepoint — exactly the
+    *     greedy longest-match segmenter with character fallback;
+    *   - dictionary words must consist entirely of in-class codepoints
+    *     (enforced), so they are literal in both regex dialects — no
+    *     escaping, no `\Q` (which RE2 lacks).
+    *
+    * The id carries an md5 of the ordered wordlist, so a served store
+    * built under one lexicon refuses a probe under another. Ship a real
+    * public wordlist as the `words` fixture; the law is lexicon-agnostic. */
+  final case class Dictionary(words: Seq[String]) extends Tokenizer {
+    require(words.nonEmpty, "Dictionary tokenizer needs a non-empty lexicon")
+    words.foreach { w =>
+      require(w.nonEmpty && w.forall(c =>
+          ScriptAware.Ranges.exists { case (a, b) => c >= a && c <= b }),
+        "dictionary words must consist of unsegmented-script codepoints " +
+          s"(the char-fallback class) so they stay regex-literal: '$w'")
+    }
+    /** Longest-first, lexicographic tie-break: deterministic maximal munch. */
+    private val ordered: Seq[String] = words.distinct.sortBy(w => (-w.length, w))
+
+    val id: String = "dict-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(ordered.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(12)
+
+    private val javaAlt: String =
+      "(" + (ordered :+ ScriptAware.javaClass).mkString("|") + ")"
+    private val re2Alt: String =
+      "(" + (ordered.map(_.map(c => f"\\x{${c.toInt}%04X}").mkString)
+        :+ ScriptAware.re2Class).mkString("|") + ")"
+
+    def tokens(text: Column): Column =
+      filter(split(regexp_replace(lower(text), javaAlt, " $1 "), " +"),
+        t => t =!= "")
+
+    def rawTokens(text: Column): Column =
+      filter(split(regexp_replace(text, javaAlt, " $1 "), " +"),
+        t => t =!= "")
+
+    def duckdbTokensSql(textExpr: String): String =
+      s"list_filter(string_split_regex(regexp_replace(lower($textExpr), " +
+        s"'$re2Alt', ' \\1 ', 'g'), ' +'), t -> t <> '')"
+  }
+
   /** Resolve a persisted tokenizer id ([[Tokenizer.id]], as recorded in a
     * served store's [[StoreMeta]] sidecar) back to its tokenizer. Loud on
     * an unknown id — a store built with a tokenizer this build does not
-    * ship cannot be probed faithfully. */
+    * ship (or a [[Dictionary]], whose lexicon is not in the sidecar)
+    * cannot be probed faithfully without the caller supplying it. */
   def fromId(id: String): Tokenizer = id match {
     case Whitespace.id => Whitespace
     case ScriptAware.id => ScriptAware
+    case d if d.startsWith("dict-") => sys.error(
+      s"store was built with a Dictionary tokenizer ($d) — pass the same " +
+        "lexicon explicitly (Tokenizer.Dictionary(words).id must equal " +
+        "the sidecar id); the wordlist itself does not travel in the sidecar")
     case other => sys.error(
       s"unknown tokenizer id '$other' in store sidecar — the store was " +
         "built with a tokenizer this build does not provide")

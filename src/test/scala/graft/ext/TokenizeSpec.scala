@@ -200,4 +200,62 @@ class TokenizeSpec extends SparkSpec {
     // whitespace tokenization: the glued ideograph never matches
     assert(Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 5).count() === 1)
   }
+
+  // a tiny Thai lexicon: water, rice, eat, person, Thailand/country/Thai
+  // (the compound ⊃ constituents pair that distinguishes maximal munch)
+  private val nam = "น้ำ"                       // น้ำ water
+  private val khao = "ข้าว"                // ข้าว rice
+  private val kin = "กิน"                       // กิน eat
+  private val khon = "คน"                            // คน person
+  private val prathet = "ประเทศ" // ประเทศ
+  private val thaiW = "ไทย"                     // ไทย
+  private val prathetThai = prathet + thaiW                    // ประเทศไทย
+
+  test("Dictionary: maximal munch — longest lexicon word wins at each " +
+      "position, compounds beat their constituents") {
+    val dict = Tokenizer.Dictionary(
+      Seq(nam, khao, kin, khon, prathet, thaiW, prathetThai))
+    def toksOf(s: String): Seq[String] =
+      Seq(s).toDF("t").select(dict.tokens(col("t"))).as[Seq[String]].head()
+    // คนกินข้าว (person eats rice), no spaces → three words
+    assert(toksOf(khon + kin + khao) === Seq(khon, kin, khao))
+    // the compound is in the lexicon: longest-first beats ประเทศ+ไทย
+    assert(toksOf(prathetThai) === Seq(prathetThai))
+    // without the compound entry, the constituents segment
+    val noCompound = Tokenizer.Dictionary(Seq(prathet, thaiW))
+    assert(Seq(prathetThai).toDF("t")
+      .select(noCompound.tokens(col("t"))).as[Seq[String]].head()
+      === Seq(prathet, thaiW))
+  }
+
+  test("Dictionary: out-of-lexicon runs degrade per-codepoint; latin " +
+      "still splits on spaces; case folds") {
+    val dict = Tokenizer.Dictionary(Seq(nam, kin))
+    val unknown = "งจ" // two codepoints no lexicon word covers
+    val got = Seq(s"Rice Bowl $kin$unknown$nam end").toDF("t")
+      .select(dict.tokens(col("t"))).as[Seq[String]].head()
+    assert(got === Seq("rice", "bowl", kin, "ง", "จ", nam, "end"))
+  }
+
+  test("Dictionary: id is lexicon-content-derived (order-insensitive via " +
+      "the canonical sort) and fromId refuses it loudly") {
+    val a = Tokenizer.Dictionary(Seq(nam, kin))
+    val b = Tokenizer.Dictionary(Seq(kin, nam))
+    val c = Tokenizer.Dictionary(Seq(nam, kin, khon))
+    assert(a.id === b.id)
+    assert(a.id !== c.id)
+    assert(a.id.startsWith("dict-"))
+    val e = intercept[RuntimeException](Tokenizer.fromId(a.id))
+    assert(e.getMessage.contains("Dictionary"))
+  }
+
+  test("Dictionary rejects words outside the unsegmented-script class " +
+      "(they would need regex escaping, which RE2 lacks portably)") {
+    val e = intercept[IllegalArgumentException] {
+      Tokenizer.Dictionary(Seq("latin"))
+    }
+    assert(e.getMessage.contains("unsegmented-script"))
+    intercept[IllegalArgumentException](Tokenizer.Dictionary(Seq("")))
+    intercept[IllegalArgumentException](Tokenizer.Dictionary(Seq.empty))
+  }
 }
