@@ -96,7 +96,37 @@ object Bench {
     final case class Measured(kept: Either[String, Seq[Double]], load: Double,
       retried: Boolean, discardedMeds: List[Double])
     def med(ts: Seq[Double]): Double = ts(ts.length / 2)
-    val results: Seq[(String, Measured)] = headline.map { name =>
+    // End-of-run SELF-contention guard (r16: the run started at load 1.4
+    // and finished at 17.7, and the three >1.25× "regressions" were all
+    // code-untouched rows with 1.2-1.3 med/min spreads — the tail of the
+    // run was measuring the JVM's own accumulated state, not the code).
+    // Two measures, both OUTSIDE every timed window:
+    //  - a GC + settle breath between queries, so the previous row's
+    //    garbage is not collected inside the next row's timed passes;
+    //  - a bounded mid-run cool-down every 12 queries: while the 1-minute
+    //    loadavg still reads above cpus/4, wait in 5 s steps (≤ 30 s per
+    //    checkpoint, ≤ 120 s per run — the bench must terminate on a busy
+    //    machine; the artifact records how much cooling happened).
+    val cooldownGate = math.max(2.0, cpus.toInt / 4.0)
+    var cooldownMsLeft = 120000L
+    var nCooldowns = 0
+    val results: Seq[(String, Measured)] = headline.zipWithIndex.map {
+      case (name, qi) =>
+      System.gc()
+      Thread.sleep(1200)
+      if (qi > 0 && qi % 12 == 0) {
+        var waited = 0L
+        while (osBean.getSystemLoadAverage > cooldownGate &&
+            waited < 30000 && cooldownMsLeft > 0) {
+          Thread.sleep(5000); waited += 5000; cooldownMsLeft -= 5000
+        }
+        if (waited > 0) {
+          nCooldowns += 1
+          System.err.println(f"BENCH COOLDOWN before #$qi ($name): " +
+            f"waited ${waited / 1000}%d s, load now " +
+            f"${osBean.getSystemLoadAverage}%.2f")
+        }
+      }
       val loadHere = osBean.getSystemLoadAverage
       val first = passes(name)
       // Two interference signatures trigger ONE re-measure: a max/min spread
@@ -177,7 +207,7 @@ object Bench {
     // the artifact: loadavg far above the core count the bench was given
     // means the medians are measuring the NEIGHBORS, not the code.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts}"""
+    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts,"cooldowns":$nCooldowns,"cooldown_ms_used":${120000L - cooldownMsLeft}}"""
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
     // The full-precision record goes to FILES ONLY (below), not stdout: the

@@ -791,5 +791,10 @@ object Queries {
     // in-context-pretraining greedy-chain layout + its packed recipe
     "sim_bitext_mine", "sample_icp_order", "sample_icp_pack",
     // r16: the WebDataset shard walk (real USTAR parse per shard)
-    "etl_tar_scan")
+    "etl_tar_scan",
+    // r17: the streamed member-level export + checksummed census, the
+    // sidecar-driven served-store probe, the composed LAION loop (walk →
+    // decode → probe → survive → re-export), and dictionary segmentation
+    "etl_webdataset_census", "dedup_store_probe_meta",
+    "mm_webdataset_dedup_e2e", "text_tokens_thai")
 }

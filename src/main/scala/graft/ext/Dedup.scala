@@ -2120,6 +2120,25 @@ object Dedup {
       bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
   }
 
+  /** Open a [[minhashStoreBandedSave]] BUCKETED table under an explicit
+    * geometry assumption — the beyond-broadcast twin of
+    * [[minhashStoreBandedOpen]]: verifies the sidecar at the table's
+    * location, then returns `spark.table(table)` so the bucketed-scan
+    * distribution still satisfies the probe join with no store exchange. */
+  def minhashStoreBandedOpenTable(spark: org.apache.spark.sql.SparkSession,
+                                  table: String,
+                                  shingleLen: Int = 3, numHashes: Int = 16,
+                                  bandRows: Int = 1,
+                                  cap: Int = Int.MaxValue,
+                                  tok: Tokenizer = Tokenizer.Whitespace)
+      : DataFrame = {
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+    StoreMeta.check(spark, loc, "minhash-banded",
+      bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+    spark.table(table)
+  }
+
   private def bandedMeta(shingleLen: Int, numHashes: Int, bandRows: Int,
                          cap: Int, tok: Tokenizer): Map[String, String] = Map(
     "family" -> "minhash-md5-60",

@@ -337,6 +337,51 @@ object ScaleProof {
         graft.etl.Tar.entries(back).count()
       }
     }
+    // r17: a shard LARGER than any sane task memory headroom — the shape
+    // that killed the old writer (whole-shard collect_list row: 2 GB
+    // single-row ceiling). The streamed writer's task memory is ONE
+    // member, so a > 2 GiB shard must write and checksum fine.
+    if (wanted("wds_bigshard")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-wds-big")
+        .toString
+      var censusMd5 = ""
+      measured("wds_bigshard_write") {
+        // ~4800 samples × ~528 KB ≈ 2.4 GiB into ONE shard
+        val big = spark.range(4800).select(col("id"),
+          map(lit("bin"), encode(repeat(
+            concat(md5(col("id").cast("string")), lit(" ")), 16000),
+            "UTF-8")).as("parts"))
+        val census = graft.etl.Tar.writeWebdataset(big, "id", "parts", dir,
+          nShards = 1)
+        val row = census.head()
+        censusMd5 = row.getString(2)
+        val f = new java.io.File(s"$dir/shard-00000.tar")
+        require(f.length() > (1L << 31),
+          s"big-shard proof needs > 2 GiB, got ${f.length()}")
+        println(f"  wds_bigshard: shard file ${f.length() / 1e9}%.2f GB, " +
+          s"census md5 $censusMd5")
+        row.getLong(1)
+      }
+      measured("wds_bigshard_md5_verify") {
+        // the > 2 GiB shard verifies against the census checksum by a
+        // STREAMED read (no whole-shard byte array exists on either side
+        // of the writer; the in-memory RawAsset walk is for ≤ 2 GiB
+        // shards, the documented sizing)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(s"$dir/shard-00000.tar"), 1 << 20)
+        val buf = new Array[Byte](1 << 20)
+        var n = 0L
+        var r = in.read(buf)
+        while (r >= 0) { md.update(buf, 0, r); n += r; r = in.read(buf) }
+        in.close()
+        val got = md.digest().map(b => f"$b%02x").mkString
+        require(got == censusMd5,
+          s"census md5 $censusMd5 != streamed file md5 $got")
+        n
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),

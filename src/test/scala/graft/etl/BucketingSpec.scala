@@ -45,6 +45,15 @@ class BucketingSpec extends SparkSpec {
     val batch = docs.where(col("doc_id") % 10 >= 7)
     Dedup.minhashStoreBandedSave(store, "doc_id", "text", "b_banded_store",
       numBuckets = 8)
+    // the save wrote the geometry sidecar into the table location: the
+    // checked open succeeds on the matching geometry and throws on drift
+    assert(Dedup.minhashStoreBandedOpenTable(spark, "b_banded_store")
+      .columns.contains("band"))
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.minhashStoreBandedOpenTable(spark, "b_banded_store",
+        numHashes = 8)
+    }
+    assert(drift.getMessage.contains("numHashes: store=16 probe=8"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // force the non-broadcast path so the store-shuffle question is real
