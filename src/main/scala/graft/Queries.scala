@@ -796,5 +796,7 @@ object Queries {
     // sidecar-driven served-store probe, the composed LAION loop (walk →
     // decode → probe → survive → re-export), and dictionary segmentation
     "etl_webdataset_census", "dedup_store_probe_meta",
-    "mm_webdataset_dedup_e2e", "text_tokens_thai")
+    "mm_webdataset_dedup_e2e", "text_tokens_thai",
+    // r17: cross-table record linkage (fuzzy join)
+    "dedup_fuzzy_link")
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Tokenizer, Urls}
+import graft.ext.{AsofJoin, BloomJoin, Curation, Decontaminate, Dedup, Dsir, Funnel, FuzzyJoin, Graph, Layout, Multimodal, RangeJoin, Resample, Sampling, Similarity, SkewJoin, Sketches, TextStats, Tokenizer, Urls}
 import graft.streaming.EventTimeOps
 
 /** Deduplication family (SURVEY §2.8 E1): exact/span/anchored/substring, MinHash/SimHash/edit-distance/semantic LSH, cluster closure, survivors, incremental.
@@ -54,6 +54,24 @@ object DedupCatalog {
       }
       i -> (0 +: cuts :+ toks.length)
     }
+
+  /** Record-linkage fixture over `part`: the LEFT side describes every
+    * part as "name brand type size"; the RIGHT side is a reference catalog
+    * covering the even parts as "name brand type" (no size), ids shifted
+    * into a disjoint namespace. A part and its catalog row share 4 of 5
+    * distinct tokens (J = 0.8); two different parts colliding on
+    * (name, brand, type) produce genuine ambiguity — at sf0.01 the census
+    * splits ~990 matched / ~219 ambiguous / ~791 unmatched. */
+  private def fuzzyFixture(part: DataFrame): (DataFrame, DataFrame) = {
+    val left = part.select(col("p_partkey").as("entity_id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size")).as("entity"))
+    val right = part.where(col("p_partkey") % 2 === 0)
+      .select((col("p_partkey") + 1000000L).as("cat_id"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+          .as("cat_name"))
+    (left, right)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -295,6 +313,46 @@ object DedupCatalog {
       Dedup.nearDupAgainstBandedStoreAt(s, dir,
           docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
         .orderBy("batch_id", "store_id")
+    }),
+
+
+    // CROSS-TABLE record linkage (fuzzy join): parts described one way
+    // (name + brand + type + size) linked against a reference catalog that
+    // describes a subset of them another way (name + brand + type, ids in
+    // a disjoint namespace) — no shared key, only approximately-equal
+    // text. Banded md5-minhash candidates across the two tables (a plain
+    // (band, v) equi-join, never all-pairs), verified by exact token-set
+    // Jaccard. The oracle restates the signature law, the banding, and the
+    // verify — the gate is exact, not probabilistic.
+    "dedup_fuzzy_link" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      FuzzyJoin.linkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          shingleLen = 1, numHashes = 8, threshold = 0.6)
+        .orderBy("left_id", "right_id")
+    }),
+
+
+    // Top-1 linkage: each left entity's best catalog match (ties broken by
+    // smallest right id — deterministic), with how contested the win was.
+    "dedup_fuzzy_best" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      FuzzyJoin.bestMatch(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          shingleLen = 1, numHashes = 8, threshold = 0.6)
+        .orderBy("left_id")
+    }),
+
+
+    // The linkage funnel: every left entity classified matched (exactly one
+    // verified match — auto-merge), ambiguous (several — review queue), or
+    // unmatched. The three-row summary a linkage run is operated by.
+    "dedup_fuzzy_census" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      FuzzyJoin.linkageCensus(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          shingleLen = 1, numHashes = 8, threshold = 0.6)
+        .orderBy("status")
     }),
 
 
@@ -699,6 +757,37 @@ object DedupCatalog {
     // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
   )
 
+  /** Shared CTE chain for the record-linkage rows: the part fixture, both
+    * sides' distinct-token sets, the 8-seed md5-string signature law
+    * ([[CatalogShared.Sql.minhashSigs]] — identical family to the Spark
+    * side's `Dedup.minhashSignature`), single-row bands, the cross-table
+    * (band, v) candidate join, and the exact-Jaccard verify at 0.6. */
+  private lazy val fuzzySql: String =
+    s"""lw AS (SELECT p_partkey AS id, string_split(lower(
+       |    p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+       |    p_size::VARCHAR), ' ') AS words FROM part),
+       |rw AS (SELECT p_partkey + 1000000 AS id, string_split(lower(
+       |    p_name || ' ' || p_brand || ' ' || p_type), ' ') AS words
+       |  FROM part WHERE p_partkey % 2 = 0),
+       |shl AS (SELECT id, list_distinct(words) AS s FROM lw
+       |  WHERE len(words) >= 1),
+       |shr AS (SELECT id, list_distinct(words) AS s FROM rw
+       |  WHERE len(words) >= 1),
+       |sigl AS (SELECT id, ${Sql.minhashSigs} AS sigs FROM shl),
+       |sigr AS (SELECT id, ${Sql.minhashSigs} AS sigs FROM shr),
+       |bl AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigl
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |br AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigr
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |cand AS (SELECT DISTINCT bl.id AS lid, br.id AS rid
+       |  FROM bl JOIN br ON bl.band = br.band AND bl.v = br.v),
+       |j AS (SELECT lid, rid,
+       |    len(list_intersect(x.s, y.s))::DOUBLE /
+       |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+       |  FROM cand JOIN shl x ON x.id = cand.lid
+       |  JOIN shr y ON y.id = cand.rid),
+       |f AS (SELECT * FROM j WHERE jaccard >= 0.6)""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -947,6 +1036,33 @@ object DedupCatalog {
          |  FROM cand JOIN sh2 x ON x.doc_id = cand.a_id JOIN sh2 y ON y.doc_id = cand.b_id)
          |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // cross-table linkage: the full chain — per-side token sets, the 8-seed
+    // md5 signature law, single-row banding, the (band, v) candidate join,
+    // exact Jaccard verify at 0.6 — restated over the part fixture
+    "dedup_fuzzy_link" ->
+      s"""WITH $fuzzySql
+         |SELECT lid AS left_id, rid AS right_id, jaccard FROM f
+         |ORDER BY left_id, right_id""".stripMargin,
+
+    "dedup_fuzzy_best" ->
+      s"""WITH $fuzzySql
+         |SELECT left_id, right_id, jaccard, n_matches FROM (
+         |  SELECT lid AS left_id, rid AS right_id, jaccard,
+         |    row_number() OVER (PARTITION BY lid
+         |      ORDER BY jaccard DESC, rid ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lid) AS n_matches
+         |  FROM f)
+         |WHERE rn = 1 ORDER BY left_id""".stripMargin,
+
+    "dedup_fuzzy_census" ->
+      s"""WITH $fuzzySql,
+         |m AS (SELECT lid, count(*) AS nm FROM f GROUP BY lid)
+         |SELECT CASE WHEN nm IS NULL THEN 'unmatched'
+         |    WHEN nm = 1 THEN 'matched' ELSE 'ambiguous' END AS status,
+         |  count(*) AS n
+         |FROM (SELECT lw.id, m.nm FROM lw LEFT JOIN m ON m.lid = lw.id)
+         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),

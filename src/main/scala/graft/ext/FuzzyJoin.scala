@@ -1,0 +1,183 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-table approximate-text equi-join (record linkage / entity
+  * matching): join `left` to `right` on *approximately equal* text — the
+  * supplier-name-matching / catalog-reconciliation shape that exact joins
+  * cannot express and a naive `crossJoin` + similarity filter cannot
+  * survive at scale.
+  *
+  * Spark-first plan, reusing [[Dedup]]'s portable MinHash law end to end:
+  * each side is shingled once ([[Dedup.wordShingles]], persisted — the
+  * frame feeds both the signature projection and the verify join), banded
+  * MinHash signatures ([[Dedup.minhashSignature]], the md5-string family an
+  * external engine can restate bit-for-bit) turn the similarity join into a
+  * plain `(band, v)` equi-join between the two banded frames — candidates
+  * are generated per shared bucket, NEVER all-pairs — and candidates are
+  * verified by exact shingle-set Jaccard before anything is emitted. Every
+  * stage is a key-partitioned join or aggregation: at 100 TB the only
+  * quadratic risk is a degenerate bucket (e.g. a stop-word-only name
+  * matching everything), which `maxBucketSize` drops with the same
+  * documented recall trade as [[Dedup.nearDuplicatesFast]]'s cap.
+  *
+  * LSH recall: with `bandRows` = 1 a true pair at Jaccard j is a candidate
+  * with probability 1-(1-j)^numHashes (0.996 at j = 0.5 with the default 8
+  * seeds); the catalog oracle restates the banding itself, so the gate is
+  * exact, not probabilistic. Use more seeds for a tighter tail at scale.
+  *
+  * Reference scope: the reference's pipelines join on exact keys only
+  * (`populate_dimension_fact_tables.sql`); this is the training-data
+  * extension for joining corpora that share no key — linking crawled
+  * records to a reference catalog by name.
+  */
+object FuzzyJoin {
+
+  /** Approximate-match pairs between two tables. Output: one row per
+    * verified pair — `left_id`, `right_id`, `jaccard` (exact shingle-set
+    * Jaccard, >= `threshold`). Id columns keep their incoming types; both
+    * frames may use any id/text column names (they are independent tables,
+    * unlike [[Dedup.nearDuplicates]]' single corpus).
+    *
+    * `maxBucketSize` caps the size of one `(band, v)` bucket counted ACROSS
+    * both sides; a bucket above the cap is dropped entirely (a degenerate
+    * value that collides everything would otherwise make one reducer
+    * quadratic). Default keeps every bucket — the oracle-checked setting.
+    */
+  def linkage(left: DataFrame, leftId: String, leftText: String,
+              right: DataFrame, rightId: String, rightText: String,
+              shingleLen: Int = 1, numHashes: Int = 8,
+              threshold: Double = 0.5,
+              maxBucketSize: Int = Int.MaxValue,
+              scope: CacheScope = null,
+              tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    val shL = shingled(left, leftId, leftText, shingleLen, scope, tok)
+    val shR = shingled(right, rightId, rightText, shingleLen, scope, tok)
+    val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
+    val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
+    // One bucket = one (band, v); candidates are generated ONLY inside a
+    // bucket, so the join is a plain shuffle-hash/sort-merge equi-join on
+    // the band key — the similarity join never degenerates to all-pairs.
+    val (cL, cR) =
+      if (maxBucketSize == Int.MaxValue) (bL, bR)
+      else {
+        // joint bucket census (two cheap partial-agg counts, unioned);
+        // over-cap buckets are dropped from BOTH sides — same recall trade,
+        // loudly documented, as the self-join cap in Dedup
+        val census = bL.groupBy("band", "v").count()
+          .unionByName(bR.groupBy("band", "v").count())
+          .groupBy("band", "v").agg(sum("count").as("n"))
+          .where(col("n") <= maxBucketSize)
+          .select(col("band"), col("v"))
+        (bL.join(broadcastIfSmall(census), Seq("band", "v"), "left_semi"),
+          bR.join(broadcastIfSmall(census), Seq("band", "v"), "left_semi"))
+      }
+    val cand = cL.join(cR, Seq("band", "v"))
+      .select(col("_fj_l"), col("_fj_r")).distinct()
+    // Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
+    // so no union array is ever materialized.
+    val out = cand
+      .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l"),
+        size(col("sh")).as("nl")), "_fj_l")
+      .join(shR.select(col("_fj_id").as("_fj_r"), col("sh").as("sh_r"),
+        size(col("sh")).as("nr")), "_fj_r")
+      .select(col("_fj_l"), col("_fj_r"),
+        size(array_intersect(col("sh_l"), col("sh_r"))).as("ni"),
+        col("nl"), col("nr"))
+      .select(col("_fj_l").as("left_id"), col("_fj_r").as("right_id"),
+        (col("ni").cast("double") / (col("nl") + col("nr") - col("ni")))
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    Dedup.releaseAfterFirstAction(shL)
+    Dedup.releaseAfterFirstAction(shR)
+    out
+  }
+
+  /** Top-1 linkage: for every left row with at least one verified match,
+    * its best right match (highest Jaccard; ties broken by smallest
+    * `right_id`, so the result is deterministic). Output: `left_id`,
+    * `right_id`, `jaccard`, `n_matches` (how contested the win was — a
+    * downstream reviewer's ambiguity signal). One extra shuffle on
+    * `left_id`; everything upstream is [[linkage]]. */
+  def bestMatch(left: DataFrame, leftId: String, leftText: String,
+                right: DataFrame, rightId: String, rightText: String,
+                shingleLen: Int = 1, numHashes: Int = 8,
+                threshold: Double = 0.5,
+                maxBucketSize: Int = Int.MaxValue,
+                scope: CacheScope = null,
+                tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val pairs = linkage(left, leftId, leftText, right, rightId, rightText,
+      shingleLen, numHashes, threshold, maxBucketSize, scope, tok)
+    val w = Window.partitionBy("left_id")
+      .orderBy(col("jaccard").desc, col("right_id").asc)
+    pairs
+      .withColumn("_fj_rn", row_number().over(w))
+      .withColumn("n_matches", count(lit(1)).over(
+        Window.partitionBy("left_id")))
+      .where(col("_fj_rn") === 1)
+      .select(col("left_id"), col("right_id"), col("jaccard"),
+        col("n_matches"))
+  }
+
+  /** Linkage funnel census: every left row classified as `matched` (exactly
+    * one verified match), `ambiguous` (more than one — a human-review
+    * queue, not an auto-merge), or `unmatched` (none). Output: `status`,
+    * `n` — the three-row operational summary a linkage run is judged by.
+    * The unmatched count comes from an aggregate over the LEFT side (one
+    * pass), not an anti-join per status. */
+  def linkageCensus(left: DataFrame, leftId: String, leftText: String,
+                    right: DataFrame, rightId: String, rightText: String,
+                    shingleLen: Int = 1, numHashes: Int = 8,
+                    threshold: Double = 0.5,
+                    maxBucketSize: Int = Int.MaxValue,
+                    scope: CacheScope = null,
+                    tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    val pairs = linkage(left, leftId, leftText, right, rightId, rightText,
+      shingleLen, numHashes, threshold, maxBucketSize, scope, tok)
+    val perLeft = pairs.groupBy(col("left_id")).agg(count(lit(1)).as("nm"))
+    val statused = left.select(col(leftId).as("left_id"))
+      .join(perLeft, Seq("left_id"), "left_outer")
+      .select(when(col("nm").isNull, lit("unmatched"))
+        .when(col("nm") === 1, lit("matched"))
+        .otherwise(lit("ambiguous")).as("status"))
+    statused.groupBy("status").agg(count(lit(1)).as("n"))
+  }
+
+  /** Shared per-side prep: (id, distinct shingle set), rows with fewer
+    * tokens than the shingle length dropped (their shingle set is empty —
+    * they can never match), persisted because the frame feeds both the
+    * signature projection and the exact-verify join. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int, scope: CacheScope,
+                       tok: Tokenizer): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = Dedup.ensureParallelism(
+      df.select(col(idCol), col(textCol))
+        .where(size(Dedup.words(col(textCol), tok)) >= shingleLen), par)
+      .select(col(idCol).as("_fj_id"),
+        Dedup.wordShingles(col(textCol), shingleLen, tok).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(sh)
+    sh
+  }
+
+  /** (band, v, id) rows: band b carries the b-th md5-min signature value.
+    * bandRows is fixed at 1 — with the portable md5-string family each
+    * signature position is already a 128-bit value, so single-row bands
+    * give the standard recall curve with the simplest restatable law. */
+  private def banded(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("_fj_id"),
+        posexplode(Dedup.minhashSignature(col("sh"), numHashes)))
+      .select(col("_fj_id"), col("pos").as("band"), col("col").as("v"))
+      .where(col("v").isNotNull)
+
+  /** The bucket census is tiny relative to the banded frames (one row per
+    * distinct (band, v)); broadcast it so the semi-join filters both sides
+    * without re-shuffling them. */
+  private def broadcastIfSmall(census: DataFrame): DataFrame =
+    broadcast(census)
+}

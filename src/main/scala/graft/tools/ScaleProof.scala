@@ -382,6 +382,31 @@ object ScaleProof {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    // r17: cross-table record linkage at replicas× the part table — the
+    // candidate join must stay (band, v)-bounded (linear in the true match
+    // volume), never all-pairs; a per-replica token keeps the planted match
+    // structure per replica so the expected pair count grows linearly and
+    // any superlinear blowup is the operator's fault, not the fixture's.
+    if (wanted("fuzzy_link")) measured("fuzzy_link") {
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val parts = (0 until replicas).map { r =>
+        part0.select((col("p_partkey") + lit(r * 10000000L)).as("p_partkey"),
+          concat(col("p_name"), lit(s" replica$r")).as("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"))
+      }.reduce(_ unionByName _)
+      val left = parts.select(col("p_partkey").as("entity_id"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size")).as("entity"))
+      val right = parts.where(col("p_partkey") % 2 === 0)
+        .select((col("p_partkey") + 1000000000L).as("cat_id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+            .as("cat_name"))
+      graft.ext.FuzzyJoin.linkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          shingleLen = 1, numHashes = 8, threshold = 0.6,
+          maxBucketSize = 100000)
+        .count()
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),

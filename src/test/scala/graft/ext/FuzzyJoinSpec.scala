@@ -1,0 +1,114 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Cross-table record linkage ([[FuzzyJoin]]): banded-minhash candidates
+  * verified by exact token-set Jaccard must equal the exhaustive-scan
+  * ground truth wherever banding recall allows, best-match must be
+  * deterministic under ties, the census must account for every left row
+  * exactly once, and the bucket cap must drop degenerate buckets without
+  * touching pairs that agree elsewhere. */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, "acme heavy industries gmbh"),
+    (2L, "northwind traders ltd"),
+    (3L, "contoso pharmaceuticals inc"),
+    (4L, "tailspin toys"),
+    (5L, "")).toDF("id", "name")
+
+  private val right = Seq(
+    (101L, "acme heavy industries"),       // drops one token of 1 (J=3/4)
+    (102L, "northwind traders limited"),   // swaps one token of 2 (J=2/4)
+    (103L, "wingtip couriers"),            // matches nothing
+    (104L, "acme heavy industries corp")   // second strong match for 1
+  ).toDF("rid", "rname")
+
+  private def brute(threshold: Double) = {
+    val l = left.select(col("id"), Dedup.wordShingles(col("name"), 1).as("sl"))
+      .where(size(col("sl")) > 0)
+    val r = right.select(col("rid"), Dedup.wordShingles(col("rname"), 1).as("sr"))
+      .where(size(col("sr")) > 0)
+    l.crossJoin(r)
+      .select(col("id"), col("rid"),
+        (size(array_intersect(col("sl"), col("sr"))).cast("double") /
+          (size(col("sl")) + size(col("sr")) -
+            size(array_intersect(col("sl"), col("sr"))))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id"), col("rid"),
+        round(col("jaccard"), 9).as("jaccard"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+      .toSet
+  }
+
+  test("linkage equals the exhaustive pair scan at high-recall settings") {
+    // 16 seeds put banding recall at 1-(1-0.5)^16 per true pair; on this
+    // tiny fixture every true pair shares a minimum somewhere, and the
+    // assertion is exact equality against the brute-force scan
+    val got = FuzzyJoin.linkage(left, "id", "name", right, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.5)
+      .select(col("left_id"), col("right_id"),
+        round(col("jaccard"), 9).as("jaccard"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+      .toSet
+    assert(got === brute(0.5))
+    assert(got.nonEmpty)
+    // the empty-name left row can never appear
+    assert(!got.exists(_._1 == 5L))
+  }
+
+  test("bestMatch is deterministic: ties break to the smallest right id") {
+    // 101 and 104 both match left 1; construct a TIE by threshold choice:
+    // J(1,101)=3/4, J(1,104)=3/5 — no tie here, so pin the tie case with
+    // two identical right names instead
+    val r2 = Seq((201L, "acme heavy industries"),
+      (200L, "acme heavy industries")).toDF("rid", "rname")
+    val best = FuzzyJoin.bestMatch(left, "id", "name", r2, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.5)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(3)))
+    assert(best.toSeq === Seq((1L, 200L, 2L)))
+    // and on the main fixture: left 1 keeps its highest-Jaccard match,
+    // with the contested count carried
+    val b1 = FuzzyJoin.bestMatch(left, "id", "name", right, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.5)
+      .where(col("left_id") === 1L).collect()
+    assert(b1.length === 1)
+    assert(b1.head.getLong(1) === 101L)
+    assert(b1.head.getLong(3) === 2L)
+  }
+
+  test("census accounts for every left row exactly once") {
+    val census = FuzzyJoin.linkageCensus(left, "id", "name",
+        right, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.5)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(census.values.sum === left.count())
+    // left 1 has two matches (ambiguous); 2 has one (matched); 3, 4 and
+    // the empty row have none (unmatched)
+    assert(census === Map("ambiguous" -> 1L, "matched" -> 1L,
+      "unmatched" -> 3L))
+  }
+
+  test("maxBucketSize drops a degenerate bucket but keeps pairs that " +
+      "agree in an un-capped one") {
+    // every row shares the stop token, so some buckets hold all rows; the
+    // distinctive tokens keep true pairs alive in their own buckets
+    val l = Seq((1L, "stop alpha beta"), (2L, "stop gamma delta"),
+      (3L, "stop epsilon zeta")).toDF("id", "name")
+    val r = Seq((11L, "stop alpha beta"), (12L, "stop theta iota"))
+      .toDF("rid", "rname")
+    val uncapped = FuzzyJoin.linkage(l, "id", "name", r, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.9)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(uncapped === Set((1L, 11L)))
+    // cap = 2: the all-rows stop-token buckets (5 members) are dropped;
+    // the (1, 11) pair still surfaces through its alpha/beta buckets
+    val capped = FuzzyJoin.linkage(l, "id", "name", r, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.9,
+        maxBucketSize = 2)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(capped === Set((1L, 11L)))
+  }
+}
