@@ -47,7 +47,14 @@ object Bench {
     // full catalog incl. deliberately-quadratic verification ops runs in
     // graft.Verify, not here).
     val qs0 = SparkEntry.queries
-    val headline = Queries.headline.filter(qs0.contains)
+    // SPARK_GRAFT_ONLY=a,b,c: restrict the run to a subset IN THE GIVEN
+    // ORDER — the bisect lever for "which query poisons which" contention
+    // forensics (unset = the full headline list; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val headline = only match {
+      case Some(names) => names.filter(qs0.contains)
+      case None        => Queries.headline.filter(qs0.contains)
+    }
 
     // One untimed pass warms codegen/lambda-interpreter paths per query,
     // then 5 timed passes reported as the MEDIAN — run-to-run JIT/GC noise
@@ -227,7 +234,7 @@ object Bench {
     // one past the highest BENCH_r*.json already present (the driver
     // writes BENCH_r<N> AFTER this bench runs); committed by the driver's
     // end-of-round sweep.
-    try {
+    try if (only.isEmpty) {
       // anchor on the repo root, not the CWD: a bench launched from a
       // parent dir / CI workdir would otherwise find no BENCH_r*.json and
       // silently write <cwd>/bench/latest.json, losing the cross-round

@@ -55,22 +55,34 @@ object DedupCatalog {
       i -> (0 +: cuts :+ toks.length)
     }
 
-  /** Record-linkage fixture over `part`: the LEFT side describes every
-    * part as "name brand type size"; the RIGHT side is a reference catalog
-    * covering the even parts as "name brand type" (no size), ids shifted
-    * into a disjoint namespace. A part and its catalog row share 4 of 5
-    * distinct tokens (J = 0.8); two different parts colliding on
-    * (name, brand, type) produce genuine ambiguity — at sf0.01 the census
-    * splits ~990 matched / ~219 ambiguous / ~791 unmatched. */
+  /** Record-linkage fixture over `part`, shaped like a REAL entity corpus:
+    * every entity carries one near-unique token (the price, made integer-
+    * portable as `p<round(price*10)>`) among common-vocabulary ones
+    * (64 names × ~25 brands × 6 types), because that is what makes capped
+    * LSH work — true pairs always share a low-traffic bucket through their
+    * distinctive token while the cap kills the stop-token mega-buckets.
+    * LEFT: every part as "name brand type size p<price>". RIGHT: a catalog
+    * of the even parts as "name brand type p<price>" (J = 5/6 with its
+    * source) plus a PLANTED duplicate listing for every 20th part
+    * ("name brand p<price>", J = 4/6) — so every 20th part is genuinely
+    * ambiguous, the other evens match exactly once, odds are unmatched:
+    * census 100·k / 900·k / 1000·k at any scale. Ids live in disjoint
+    * namespaces (+1e6 / +2e6). */
   private def fuzzyFixture(part: DataFrame): (DataFrame, DataFrame) = {
+    val priceTok = concat(lit("p"),
+      round(col("p_retailprice") * 10, 0).cast("long").cast("string"))
     val left = part.select(col("p_partkey").as("entity_id"),
       concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
-        col("p_size")).as("entity"))
-    val right = part.where(col("p_partkey") % 2 === 0)
+        col("p_size"), priceTok).as("entity"))
+    val catalog = part.where(col("p_partkey") % 2 === 0)
       .select((col("p_partkey") + 1000000L).as("cat_id"),
-        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+          priceTok).as("cat_name"))
+    val dupListings = part.where(col("p_partkey") % 20 === 0)
+      .select((col("p_partkey") + 2000000L).as("cat_id"),
+        concat_ws(" ", col("p_name"), col("p_brand"), priceTok)
           .as("cat_name"))
-    (left, right)
+    (left, catalog.unionByName(dupListings))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -328,7 +340,8 @@ object DedupCatalog {
       val (left, right) = fuzzyFixture(t(s, d, "part"))
       FuzzyJoin.linkage(left, "entity_id", "entity",
           right, "cat_id", "cat_name",
-          shingleLen = 1, numHashes = 8, threshold = 0.6)
+          shingleLen = 1, numHashes = 16, threshold = 0.6,
+          maxBucketSize = 150)
         .orderBy("left_id", "right_id")
     }),
 
@@ -339,7 +352,8 @@ object DedupCatalog {
       val (left, right) = fuzzyFixture(t(s, d, "part"))
       FuzzyJoin.bestMatch(left, "entity_id", "entity",
           right, "cat_id", "cat_name",
-          shingleLen = 1, numHashes = 8, threshold = 0.6)
+          shingleLen = 1, numHashes = 16, threshold = 0.6,
+          maxBucketSize = 150)
         .orderBy("left_id")
     }),
 
@@ -351,7 +365,8 @@ object DedupCatalog {
       val (left, right) = fuzzyFixture(t(s, d, "part"))
       FuzzyJoin.linkageCensus(left, "entity_id", "entity",
           right, "cat_id", "cat_name",
-          shingleLen = 1, numHashes = 8, threshold = 0.6)
+          shingleLen = 1, numHashes = 16, threshold = 0.6,
+          maxBucketSize = 150)
         .orderBy("status")
     }),
 
@@ -757,36 +772,61 @@ object DedupCatalog {
     // Brute-force cosine top-k (query set = vec_id < 5, k = 10).
   )
 
-  /** Shared CTE chain for the record-linkage rows: the part fixture, both
-    * sides' distinct-token sets, the 8-seed md5-string signature law
-    * ([[CatalogShared.Sql.minhashSigs]] — identical family to the Spark
-    * side's `Dedup.minhashSignature`), single-row bands, the cross-table
-    * (band, v) candidate join, and the exact-Jaccard verify at 0.6. */
-  private lazy val fuzzySql: String =
-    s"""lw AS (SELECT p_partkey AS id, string_split(lower(
+  /** Shared CTE chain for the record-linkage rows: the part fixture
+    * (price token made integer-portable as `p<round(price*10)>` — both
+    * engines round half away from zero for positive doubles), both sides'
+    * distinct-token sets, the 16-seed md5-string signature law (identical
+    * family to the Spark side's `Dedup.minhashSignature`), single-row
+    * bands, the joint bucket census with the 150 cap, the cross-table
+    * (band, v) candidate join over surviving buckets, and the
+    * exact-Jaccard verify at 0.6. At sf0.01 the cap drops nothing a true
+    * pair needed: the capped pair set EQUALS the exhaustive-scan truth
+    * (1100 pairs), because every entity's distinctive price token keeps
+    * it reachable through a low-traffic bucket. */
+  private lazy val fuzzySql: String = {
+    val sigs16 = "[" + (1 to 16).map(j =>
+      s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+    s"""pt AS (SELECT *,
+       |    'p' || round(p_retailprice * 10)::BIGINT::VARCHAR AS ptok
+       |  FROM part),
+       |lw AS (SELECT p_partkey AS id, string_split(lower(
        |    p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
-       |    p_size::VARCHAR), ' ') AS words FROM part),
-       |rw AS (SELECT p_partkey + 1000000 AS id, string_split(lower(
-       |    p_name || ' ' || p_brand || ' ' || p_type), ' ') AS words
-       |  FROM part WHERE p_partkey % 2 = 0),
+       |    p_size::VARCHAR || ' ' || ptok), ' ') AS words FROM pt),
+       |rw AS (
+       |  SELECT p_partkey + 1000000 AS id, string_split(lower(
+       |      p_name || ' ' || p_brand || ' ' || p_type || ' ' || ptok),
+       |      ' ') AS words
+       |    FROM pt WHERE p_partkey % 2 = 0
+       |  UNION ALL
+       |  SELECT p_partkey + 2000000 AS id, string_split(lower(
+       |      p_name || ' ' || p_brand || ' ' || ptok), ' ') AS words
+       |    FROM pt WHERE p_partkey % 20 = 0),
        |shl AS (SELECT id, list_distinct(words) AS s FROM lw
        |  WHERE len(words) >= 1),
        |shr AS (SELECT id, list_distinct(words) AS s FROM rw
        |  WHERE len(words) >= 1),
-       |sigl AS (SELECT id, ${Sql.minhashSigs} AS sigs FROM shl),
-       |sigr AS (SELECT id, ${Sql.minhashSigs} AS sigs FROM shr),
+       |sigl AS (SELECT id, $sigs16 AS sigs FROM shl),
+       |sigr AS (SELECT id, $sigs16 AS sigs FROM shr),
        |bl AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigl
-       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
        |br AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigr
-       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS band)),
-       |cand AS (SELECT DISTINCT bl.id AS lid, br.id AS rid
-       |  FROM bl JOIN br ON bl.band = br.band AND bl.v = br.v),
+       |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+       |ok AS (SELECT band, v FROM (SELECT band, v, count(*) AS n
+       |    FROM (SELECT * FROM bl UNION ALL SELECT * FROM br)
+       |    GROUP BY band, v) WHERE n <= 150),
+       |blc AS (SELECT bl.* FROM bl
+       |  SEMI JOIN ok ON bl.band = ok.band AND bl.v = ok.v),
+       |brc AS (SELECT br.* FROM br
+       |  SEMI JOIN ok ON br.band = ok.band AND br.v = ok.v),
+       |cand AS (SELECT DISTINCT blc.id AS lid, brc.id AS rid
+       |  FROM blc JOIN brc ON blc.band = brc.band AND blc.v = brc.v),
        |j AS (SELECT lid, rid,
        |    len(list_intersect(x.s, y.s))::DOUBLE /
        |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.lid
        |  JOIN shr y ON y.id = cand.rid),
        |f AS (SELECT * FROM j WHERE jaccard >= 0.6)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
 

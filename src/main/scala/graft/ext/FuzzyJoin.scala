@@ -60,24 +60,31 @@ object FuzzyJoin {
     val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
     val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
     // One bucket = one (band, v); candidates are generated ONLY inside a
-    // bucket, so the join is a plain shuffle-hash/sort-merge equi-join on
-    // the band key — the similarity join never degenerates to all-pairs.
-    val (cL, cR) =
-      if (maxBucketSize == Int.MaxValue) (bL, bR)
+    // bucket, so the join is a plain equi-join on the band key — the
+    // similarity join never degenerates to all-pairs.
+    val cand =
+      if (maxBucketSize == Int.MaxValue)
+        bL.join(bR, Seq("band", "v"))
+          .select(col("_fj_l"), col("_fj_r")).distinct()
       else {
-        // joint bucket census (two cheap partial-agg counts, unioned);
-        // over-cap buckets are dropped from BOTH sides — same recall trade,
-        // loudly documented, as the self-join cap in Dedup
-        val census = bL.groupBy("band", "v").count()
-          .unionByName(bR.groupBy("band", "v").count())
-          .groupBy("band", "v").agg(sum("count").as("n"))
-          .where(col("n") <= maxBucketSize)
-          .select(col("band"), col("v"))
-        (bL.join(broadcastIfSmall(census), Seq("band", "v"), "left_semi"),
-          bR.join(broadcastIfSmall(census), Seq("band", "v"), "left_semi"))
+        // Capped path: group each side's bucket membership ONCE (the two
+        // aggregates leave both frames hash-partitioned on (band, v), so
+        // the bucket join adds no exchange), drop buckets whose JOINT size
+        // exceeds the cap — same recall trade, loudly documented, as the
+        // self-join cap in Dedup — and emit the per-bucket cross product
+        // by a double explode, bounded by cap² rows per bucket. One pass
+        // over each banded frame (the portable md5 signature is computed
+        // exactly once per side), no broadcast rounds, no census pass.
+        val gL = bL.groupBy("band", "v")
+          .agg(collect_list(col("_fj_l")).as("_fj_ls"))
+        val gR = bR.groupBy("band", "v")
+          .agg(collect_list(col("_fj_r")).as("_fj_rs"))
+        gL.join(gR, Seq("band", "v"))
+          .where(size(col("_fj_ls")) + size(col("_fj_rs")) <= maxBucketSize)
+          .select(explode(col("_fj_ls")).as("_fj_l"), col("_fj_rs"))
+          .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
+          .distinct()
       }
-    val cand = cL.join(cR, Seq("band", "v"))
-      .select(col("_fj_l"), col("_fj_r")).distinct()
     // Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
     // so no union array is ever materialized.
     val out = cand
@@ -175,9 +182,4 @@ object FuzzyJoin {
       .select(col("_fj_id"), col("pos").as("band"), col("col").as("v"))
       .where(col("v").isNotNull)
 
-  /** The bucket census is tiny relative to the banded frames (one row per
-    * distinct (band, v)); broadcast it so the semi-join filters both sides
-    * without re-shuffling them. */
-  private def broadcastIfSmall(census: DataFrame): DataFrame =
-    broadcast(census)
 }

@@ -389,22 +389,30 @@ object ScaleProof {
     // any superlinear blowup is the operator's fault, not the fixture's.
     if (wanted("fuzzy_link")) measured("fuzzy_link") {
       val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      // same corpus shape as the gated rows: common-vocabulary tokens plus
+      // ONE distinctive token per entity (the price, replica-salted so it
+      // stays distinctive at replicas×) — the shape capped LSH is FOR.
+      // Common-token bucket population grows linearly with replicas, so
+      // uncapped candidates would grow ~quadratically; the cap keeps the
+      // candidate join bounded by (bucket cap)·(bands)·(entities).
       val parts = (0 until replicas).map { r =>
         part0.select((col("p_partkey") + lit(r * 10000000L)).as("p_partkey"),
-          concat(col("p_name"), lit(s" replica$r")).as("p_name"),
-          col("p_brand"), col("p_type"), col("p_size"))
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          (col("p_retailprice") + lit(r * 100000)).as("p_retailprice"))
       }.reduce(_ unionByName _)
+      val priceTok = concat(lit("p"),
+        round(col("p_retailprice") * 10, 0).cast("long").cast("string"))
       val left = parts.select(col("p_partkey").as("entity_id"),
         concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
-          col("p_size")).as("entity"))
+          col("p_size"), priceTok).as("entity"))
       val right = parts.where(col("p_partkey") % 2 === 0)
         .select((col("p_partkey") + 1000000000L).as("cat_id"),
-          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
-            .as("cat_name"))
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+            priceTok).as("cat_name"))
       graft.ext.FuzzyJoin.linkage(left, "entity_id", "entity",
           right, "cat_id", "cat_name",
-          shingleLen = 1, numHashes = 8, threshold = 0.6,
-          maxBucketSize = 100000)
+          shingleLen = 1, numHashes = 16, threshold = 0.6,
+          maxBucketSize = 150)
         .count()
     }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
