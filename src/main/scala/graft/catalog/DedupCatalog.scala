@@ -371,6 +371,27 @@ object DedupCatalog {
     }),
 
 
+    // INCREMENTAL linkage at the continuous-ingest design point: the
+    // reference catalog is a SERVED capped banded store (written once per
+    // process, geometry in the sidecar); the batch of incoming entities
+    // probes it (batch broadcasts, store streams — no store shuffle) and
+    // candidates are exact-verified against the catalog table with the
+    // sidecar's shingle law. cap = 8 and every entity carries a
+    // distinctive price token, so each catalog row stays reachable through
+    // its own low-traffic buckets. The oracle restates the representative
+    // rank cut, the band-agreement probe, and the exact verify.
+    "dedup_fuzzy_store" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_store", d)
+      if (!new java.io.File(dir).exists())
+        Dedup.minhashStoreBandedWrite(right, "cat_id", "cat_name", dir,
+          shingleLen = 1, numHashes = 16, cap = 8)
+      FuzzyJoin.linkageAgainstStore(s, dir, right, "cat_id", "cat_name",
+          left, "entity_id", "entity", threshold = 0.6)
+        .orderBy("left_id", "right_id")
+    }),
+
+
     // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
     // mixed-script fixture: each base doc gets a twin differing in one
     // trailing latin word, with its Han/Katakana/Thai runs glued to the
@@ -783,9 +804,9 @@ object DedupCatalog {
     * pair needed: the capped pair set EQUALS the exhaustive-scan truth
     * (1100 pairs), because every entity's distinctive price token keeps
     * it reachable through a low-traffic bucket. */
-  private lazy val fuzzySql: String = {
-    val sigs16 = "[" + (1 to 16).map(j =>
-      s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+  /** Fixture + per-side token sets, shared by the in-memory-linkage and
+    * served-store oracle chains. */
+  private lazy val fuzzyBaseSql: String =
     s"""pt AS (SELECT *,
        |    'p' || round(p_retailprice * 10)::BIGINT::VARCHAR AS ptok
        |  FROM part),
@@ -804,7 +825,12 @@ object DedupCatalog {
        |shl AS (SELECT id, list_distinct(words) AS s FROM lw
        |  WHERE len(words) >= 1),
        |shr AS (SELECT id, list_distinct(words) AS s FROM rw
-       |  WHERE len(words) >= 1),
+       |  WHERE len(words) >= 1)""".stripMargin
+
+  private lazy val fuzzySql: String = {
+    val sigs16 = "[" + (1 to 16).map(j =>
+      s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+    s"""$fuzzyBaseSql,
        |sigl AS (SELECT id, $sigs16 AS sigs FROM shl),
        |sigr AS (SELECT id, $sigs16 AS sigs FROM shr),
        |bl AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigl
@@ -1103,6 +1129,36 @@ object DedupCatalog {
          |  count(*) AS n
          |FROM (SELECT lw.id, m.nm FROM lw LEFT JOIN m ON m.lid = lw.id)
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // served-store linkage: the catalog side's 60-bit signature law with
+    // the per-bucket rank cut (cap 8), the batch probe as a band-agreement
+    // join against the retained representatives (candidateThreshold 0 —
+    // every shared-band pair is a candidate), and the exact token-set
+    // verify at 0.6
+    "dedup_fuzzy_store" -> {
+      val sigs60 = "[" + (1 to 16).map(j =>
+        s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+        .mkString(",\n         |    ") + "]"
+      s"""WITH $fuzzyBaseSql,
+         |sigr AS (SELECT id, $sigs60 AS sigs FROM shr),
+         |sbr AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
+         |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
+         |  WHERE rn <= 8),
+         |sigb AS (SELECT id, $sigs60 AS sigs FROM shl),
+         |bb AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
+         |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
+         |j AS (SELECT lid, rid,
+         |    len(list_intersect(x.s, y.s))::DOUBLE /
+         |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+         |  FROM cand JOIN shl x ON x.id = cand.lid
+         |  JOIN shr y ON y.id = cand.rid)
+         |SELECT lid AS left_id, rid AS right_id, jaccard FROM j
+         |WHERE jaccard >= 0.6 ORDER BY left_id, right_id""".stripMargin
+    },
 
     "dedup_minhash" ->
       s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents),

@@ -2186,9 +2186,11 @@ object Dedup {
   }
 
   /** Geometry read back from a store's sidecar:
-    * (shingleLen, numHashes, bandRows, cap, tokenizer). */
-  private def bandedGeometry(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): (Int, Int, Int, Int, Tokenizer) = {
+    * (shingleLen, numHashes, bandRows, cap, tokenizer). `private[ext]`:
+    * [[FuzzyJoin.linkageAgainstStore]] shingles its exact verify with the
+    * SAME law the store was built under. */
+  private[ext] def bandedGeometry(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): (Int, Int, Int, Int, Tokenizer) = {
     val (kind, f) = StoreMeta.read(spark, dir).getOrElse(sys.error(
       s"no ${StoreMeta.FileName} under $dir — write the store with " +
         "minhashStoreBandedWrite (geometry cannot be assumed)"))

@@ -85,9 +85,62 @@ object FuzzyJoin {
           .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
           .distinct()
       }
-    // Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
-    // so no union array is ever materialized.
-    val out = cand
+    val out = verifyPairs(cand, shL, shR, threshold)
+    Dedup.releaseAfterFirstAction(shL)
+    Dedup.releaseAfterFirstAction(shR)
+    out
+  }
+
+  /** Incremental linkage at the continuous-ingest design point: the
+    * reference catalog is SERVED STATE — a capped banded signature store
+    * written once ([[Dedup.minhashStoreBandedWrite]] over the catalog's
+    * (id, text), geometry pinned in the `_graft_store_meta.json` sidecar)
+    * — and each incoming batch links against it per batch: the batch's
+    * bands broadcast against the streamed store (no store shuffle, no
+    * store-wide window — [[Dedup.nearDupAgainstBandedStore]]'s exchange
+    * shape), candidate pairs are then EXACT-verified by token-set Jaccard
+    * against the catalog table itself. The verify shingles BOTH sides
+    * with the geometry read from the sidecar, so probe-time drift from
+    * the stored contract is impossible by construction.
+    *
+    * `candidateThreshold` gates the store probe on signature agreement
+    * (fraction of agreeing seeds) BEFORE the exact verify — 0.0 admits
+    * every shared-band pair (the exact verify is the filter); raise it to
+    * cut verify traffic when the batch is dirty. Store-side recall is the
+    * served-store trade: a catalog row evicted from every shared bucket by
+    * the store's `cap` is unreachable (size the cap so each entity's
+    * distinctive-token buckets stay under it — then every entity remains
+    * reachable through them). Output: (left_id, right_id, jaccard), the
+    * [[linkage]] contract with batch ids on the left. */
+  def linkageAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          catalog: DataFrame, catalogId: String,
+                          catalogText: String,
+                          batch: DataFrame, batchId: String,
+                          batchText: String,
+                          threshold: Double = 0.5,
+                          candidateThreshold: Double = 0.0,
+                          broadcastBatch: Boolean = true,
+                          scope: CacheScope = null): DataFrame = {
+    val (shingleLen, _, _, _, tok) = Dedup.bandedGeometry(spark, storeDir)
+    val cand = Dedup.nearDupAgainstBandedStoreAt(spark, storeDir, batch,
+        batchId, batchText, candidateThreshold, broadcastBatch)
+      .select(col("batch_id").as("_fj_l"), col("store_id").as("_fj_r"))
+      .distinct()
+    val shL = shingled(batch, batchId, batchText, shingleLen, scope, tok)
+    val shR = shingled(catalog, catalogId, catalogText, shingleLen, scope,
+      tok)
+    val out = verifyPairs(cand, shL, shR, threshold)
+    Dedup.releaseAfterFirstAction(shL)
+    Dedup.releaseAfterFirstAction(shR)
+    out
+  }
+
+  /** Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
+    * so no union array is ever materialized. */
+  private def verifyPairs(cand: DataFrame, shL: DataFrame, shR: DataFrame,
+                          threshold: Double): DataFrame =
+    cand
       .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l"),
         size(col("sh")).as("nl")), "_fj_l")
       .join(shR.select(col("_fj_id").as("_fj_r"), col("sh").as("sh_r"),
@@ -99,10 +152,6 @@ object FuzzyJoin {
         (col("ni").cast("double") / (col("nl") + col("nr") - col("ni")))
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
-    Dedup.releaseAfterFirstAction(shL)
-    Dedup.releaseAfterFirstAction(shR)
-    out
-  }
 
   /** Top-1 linkage: for every left row with at least one verified match,
     * its best right match (highest Jaccard; ties broken by smallest

@@ -91,6 +91,33 @@ class FuzzyJoinSpec extends SparkSpec {
       "unmatched" -> 3L))
   }
 
+  test("linkageAgainstStore equals in-memory linkage when the store cap " +
+      "retains every representative") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-store")
+      .toString
+    Dedup.minhashStoreBandedWrite(right, "rid", "rname", dir,
+      shingleLen = 1, numHashes = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val served = key(FuzzyJoin.linkageAgainstStore(spark, dir,
+      right, "rid", "rname", left, "id", "name", threshold = 0.5))
+    val direct = key(FuzzyJoin.linkage(left, "id", "name",
+      right, "rid", "rname", shingleLen = 1, numHashes = 16,
+      threshold = 0.5))
+    assert(served === direct)
+    assert(served.nonEmpty)
+    // a dir without a sidecar refuses loudly instead of assuming geometry
+    val bare = java.nio.file.Files.createTempDirectory("graft-fuzzy-bare")
+      .toString
+    right.write.mode("overwrite").parquet(bare)
+    val e = intercept[RuntimeException] {
+      FuzzyJoin.linkageAgainstStore(spark, bare, right, "rid", "rname",
+        left, "id", "name")
+    }
+    assert(e.getMessage.contains("_graft_store_meta"))
+  }
+
   test("maxBucketSize drops a degenerate bucket but keeps pairs that " +
       "agree in an un-capped one") {
     // every row shares the stop token, so some buckets hold all rows; the
