@@ -415,6 +415,41 @@ object ScaleProof {
           maxBucketSize = 150)
         .count()
     }
+    // r17: the served-linkage design point — catalog store built ONCE at
+    // replicas×, then a SMALL batch links against it: the probe's exchange
+    // must be batch-bounded (store streams through the broadcast join),
+    // never store-sized.
+    if (wanted("fuzzy_store")) {
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val parts = (0 until replicas).map { r =>
+        part0.select((col("p_partkey") + lit(r * 10000000L)).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          (col("p_retailprice") + lit(r * 100000)).as("p_retailprice"))
+      }.reduce(_ unionByName _)
+      val priceTok = concat(lit("p"),
+        round(col("p_retailprice") * 10, 0).cast("long").cast("string"))
+      val catalog = parts.where(col("p_partkey") % 2 === 0)
+        .select((col("p_partkey") + 1000000000L).as("cat_id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+            priceTok).as("cat_name"))
+      val batch = parts.where(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("entity_id"),
+          concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+            col("p_size"), priceTok).as("entity"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-store")
+        .toString
+      measured("fuzzy_store_build") {
+        Dedup.minhashStoreBandedWrite(catalog, "cat_id", "cat_name", dir,
+          shingleLen = 1, numHashes = 16, cap = 8)
+        spark.read.parquet(dir).count()
+      }
+      measured("fuzzy_store_probe") {
+        graft.ext.FuzzyJoin.linkageAgainstStore(spark, dir,
+          catalog, "cat_id", "cat_name",
+          batch, "entity_id", "entity", threshold = 0.6).count()
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),

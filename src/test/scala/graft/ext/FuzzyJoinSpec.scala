@@ -118,6 +118,35 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_store_meta"))
   }
 
+  test("streamed drops against the served store union to the batch result " +
+      "(no cross-batch state: every left row links independently)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-sstream")
+      .toString
+    Dedup.minhashStoreBandedWrite(right, "rid", "rname", dir,
+      shingleLen = 1, numHashes = 16)
+    val in = MemoryStream[(Long, String)]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]
+    val q = in.toDF().toDF("id", "name")
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        FuzzyJoin.linkageAgainstStore(spark, dir, right, "rid", "rname",
+            df, "id", "name", threshold = 0.5)
+          .collect().foreach(r => got.add((r.getLong(0), r.getLong(1)))): Unit
+      }
+    val rows = left.collect().map(r => (r.getLong(0), r.getString(1)))
+    in.addData(rows.take(2).toSeq)
+    in.addData(rows.drop(2).toSeq)
+    q.start().awaitTermination()
+    val batch = FuzzyJoin.linkageAgainstStore(spark, dir,
+        right, "rid", "rname", left, "id", "name", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toArray(Array.empty[(Long, Long)]).toSet === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("maxBucketSize drops a degenerate bucket but keeps pairs that " +
       "agree in an un-capped one") {
     // every row shares the stop token, so some buckets hold all rows; the
