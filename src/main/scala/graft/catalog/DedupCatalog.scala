@@ -371,6 +371,26 @@ object DedupCatalog {
     }),
 
 
+    // FREQUENCY-WEIGHTED linkage: the same banded candidates, scored by
+    // weighted Jaccard with w(t) = 1/df(t) — shared RARE evidence
+    // dominates, shared common vocabulary counts for almost nothing. On
+    // this fixture the law's two faces both show: pairs sharing only
+    // (name, brand, type) collisions are crushed below threshold, while
+    // the cycling retail prices make each price token a ~4-entity rarity
+    // and EVERY price-sharing pair is promoted (984 extra pairs vs the
+    // unweighted row, all price-sharing — exactly what weighting does to
+    // two records sharing a rare phone number). The score folds weights
+    // in TOKEN-SORTED order with a strict left fold from 0.0, so the
+    // oracle restates the exact double bit for bit.
+    "dedup_fuzzy_weighted" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      FuzzyJoin.weightedLinkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          numHashes = 16, threshold = 0.5, maxBucketSize = 150)
+        .orderBy("left_id", "right_id")
+    }),
+
+
     // INCREMENTAL linkage at the continuous-ingest design point: the
     // reference catalog is a SERVED capped banded store (written once per
     // process, geometry in the sidecar); the batch of incoming entities
@@ -827,7 +847,10 @@ object DedupCatalog {
        |shr AS (SELECT id, list_distinct(words) AS s FROM rw
        |  WHERE len(words) >= 1)""".stripMargin
 
-  private lazy val fuzzySql: String = {
+  /** Base + the 16-seed banding, joint bucket cap (150), and the
+    * cross-table candidate join — shared by the unweighted and weighted
+    * verify chains. */
+  private lazy val fuzzyCandSql: String = {
     val sigs16 = "[" + (1 to 16).map(j =>
       s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
     s"""$fuzzyBaseSql,
@@ -845,14 +868,17 @@ object DedupCatalog {
        |brc AS (SELECT br.* FROM br
        |  SEMI JOIN ok ON br.band = ok.band AND br.v = ok.v),
        |cand AS (SELECT DISTINCT blc.id AS lid, brc.id AS rid
-       |  FROM blc JOIN brc ON blc.band = brc.band AND blc.v = brc.v),
+       |  FROM blc JOIN brc ON blc.band = brc.band AND blc.v = brc.v)""".stripMargin
+  }
+
+  private lazy val fuzzySql: String =
+    s"""$fuzzyCandSql,
        |j AS (SELECT lid, rid,
        |    len(list_intersect(x.s, y.s))::DOUBLE /
        |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
        |  FROM cand JOIN shl x ON x.id = cand.lid
        |  JOIN shr y ON y.id = cand.rid),
        |f AS (SELECT * FROM j WHERE jaccard >= 0.6)""".stripMargin
-  }
 
   val oracle: Map[String, String] = Map(
 
@@ -1129,6 +1155,36 @@ object DedupCatalog {
          |  count(*) AS n
          |FROM (SELECT lw.id, m.nm FROM lw LEFT JOIN m ON m.lid = lw.id)
          |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // weighted linkage: df across both tables' token incidences, per-pair
+    // union tokens with membership flags, w = 1/df, and BOTH folds (the
+    // shared-token numerator and the union denominator) as strict left
+    // folds from 0.0 in token-sorted order — bit-identical doubles
+    "dedup_fuzzy_weighted" ->
+      s"""WITH $fuzzyCandSql,
+         |vocab AS (SELECT t, count(*) AS df FROM (
+         |    SELECT id, unnest(s) AS t FROM shl
+         |    UNION ALL SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
+         |ptok AS (SELECT lid, rid, u.t AS t,
+         |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
+         |  FROM cand JOIN shl x ON x.id = cand.lid
+         |  JOIN shr y ON y.id = cand.rid,
+         |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
+         |wt AS (SELECT lid, rid, t, 1::DOUBLE / df AS w, b
+         |  FROM ptok JOIN vocab USING (t)),
+         |es AS (SELECT lid, rid,
+         |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
+         |  FROM wt GROUP BY lid, rid),
+         |sc AS (SELECT lid, rid,
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
+         |      (a, x) -> a + x) /
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(es, e -> e.w)),
+         |      (a, x) -> a + x) AS wjaccard
+         |  FROM es)
+         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
+         |WHERE wjaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin,
 
     // served-store linkage: the catalog side's 60-bit signature law with
     // the per-bucket rank cut (cap 8), the batch probe as a band-agreement

@@ -60,31 +60,9 @@ object FuzzyJoin {
     val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
     val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
     // One bucket = one (band, v); candidates are generated ONLY inside a
-    // bucket, so the join is a plain equi-join on the band key — the
-    // similarity join never degenerates to all-pairs.
-    val cand =
-      if (maxBucketSize == Int.MaxValue)
-        bL.join(bR, Seq("band", "v"))
-          .select(col("_fj_l"), col("_fj_r")).distinct()
-      else {
-        // Capped path: group each side's bucket membership ONCE (the two
-        // aggregates leave both frames hash-partitioned on (band, v), so
-        // the bucket join adds no exchange), drop buckets whose JOINT size
-        // exceeds the cap — same recall trade, loudly documented, as the
-        // self-join cap in Dedup — and emit the per-bucket cross product
-        // by a double explode, bounded by cap² rows per bucket. One pass
-        // over each banded frame (the portable md5 signature is computed
-        // exactly once per side), no broadcast rounds, no census pass.
-        val gL = bL.groupBy("band", "v")
-          .agg(collect_list(col("_fj_l")).as("_fj_ls"))
-        val gR = bR.groupBy("band", "v")
-          .agg(collect_list(col("_fj_r")).as("_fj_rs"))
-        gL.join(gR, Seq("band", "v"))
-          .where(size(col("_fj_ls")) + size(col("_fj_rs")) <= maxBucketSize)
-          .select(explode(col("_fj_ls")).as("_fj_l"), col("_fj_rs"))
-          .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
-          .distinct()
-      }
+    // bucket ([[cappedCandidates]]), so the join is a plain equi-join on
+    // the band key — the similarity join never degenerates to all-pairs.
+    val cand = cappedCandidates(bL, bR, maxBucketSize)
     val out = verifyPairs(cand, shL, shR, threshold)
     Dedup.releaseAfterFirstAction(shL)
     Dedup.releaseAfterFirstAction(shR)
@@ -135,6 +113,105 @@ object FuzzyJoin {
     Dedup.releaseAfterFirstAction(shR)
     out
   }
+
+  /** Frequency-weighted linkage: [[linkage]]'s candidate machinery with
+    * the verify scored by WEIGHTED Jaccard, w(t) = 1/df(t) — the standard
+    * record-linkage refinement for corpora whose entities are built from a
+    * small shared vocabulary plus a few distinctive tokens. Two entities
+    * sharing only stop-grade tokens ("Brand#2 ECONOMY") score near zero
+    * even though their unweighted Jaccard clears a naive threshold, while
+    * a pair sharing one rare token scores near one; df is the document
+    * frequency of the token across BOTH tables (computed in one aggregate
+    * over the persisted token sets — no extra scan of the inputs).
+    *
+    * Candidates stay UNWEIGHTED banded minhash (proper weighted minhash à
+    * la Ioffe is a different sampler; the practical recipe is unweighted
+    * LSH recall + weighted scoring, and the cap already protects the
+    * candidate join from the common-token buckets this weighting exists
+    * to discount). Portability discipline: the per-pair score folds
+    * weights in TOKEN-SORTED order with a strict left fold from 0.0, so
+    * an external engine restates the exact double bit for bit. Output:
+    * (left_id, right_id, wjaccard >= threshold). */
+  def weightedLinkage(left: DataFrame, leftId: String, leftText: String,
+                      right: DataFrame, rightId: String, rightText: String,
+                      numHashes: Int = 16,
+                      threshold: Double = 0.5,
+                      maxBucketSize: Int = Int.MaxValue,
+                      scope: CacheScope = null,
+                      tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    // token-level (shingleLen = 1): df weights are per TOKEN — a weighted
+    // Jaccard over n-gram shingles would need shingle-level df, which is
+    // the same code with a different unit; the token unit is the linkage
+    // standard (entity strings are short).
+    val shL = shingled(left, leftId, leftText, 1, scope, tok)
+    val shR = shingled(right, rightId, rightText, 1, scope, tok)
+    val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
+    val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
+    val cand = cappedCandidates(bL, bR, maxBucketSize)
+    // df over entity-token incidences (sets per entity, so df = #entities
+    // containing t across both tables)
+    val vocab = shL.select(explode(col("sh")).as("_fj_t"))
+      .unionByName(shR.select(explode(col("sh")).as("_fj_t")))
+      .groupBy("_fj_t").agg(count(lit(1)).as("_fj_df"))
+    val pairTok = cand
+      .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l")),
+        "_fj_l")
+      .join(shR.select(col("_fj_id").as("_fj_r"), col("sh").as("sh_r")),
+        "_fj_r")
+      .select(col("_fj_l"), col("_fj_r"), col("sh_l"), col("sh_r"),
+        explode(array_union(col("sh_l"), col("sh_r"))).as("_fj_t"))
+      .select(col("_fj_l"), col("_fj_r"), col("_fj_t"),
+        (array_contains(col("sh_l"), col("_fj_t")) &&
+          array_contains(col("sh_r"), col("_fj_t"))).as("_fj_both"))
+    val entries = pairTok.join(vocab, "_fj_t")
+      .select(col("_fj_l"), col("_fj_r"),
+        struct(col("_fj_t").as("t"),
+          (lit(1.0) / col("_fj_df")).as("w"),
+          col("_fj_both").as("b")).as("_fj_e"))
+    // array_sort on struct(t, w, b) orders by t (unique within a pair), so
+    // both folds run in token order — the restatable summation law
+    val folded = entries.groupBy(col("_fj_l"), col("_fj_r"))
+      .agg(array_sort(collect_list(col("_fj_e"))).as("_fj_es"))
+    val sumW = (es: Column) => aggregate(es, lit(0.0),
+      (acc, e) => acc + e.getField("w"))
+    val out = folded
+      .select(col("_fj_l").as("left_id"), col("_fj_r").as("right_id"),
+        (sumW(filter(col("_fj_es"), e => e.getField("b"))) /
+          sumW(col("_fj_es"))).as("wjaccard"))
+      .where(col("wjaccard") >= threshold)
+    Dedup.releaseAfterFirstAction(shL)
+    Dedup.releaseAfterFirstAction(shR)
+    out
+  }
+
+  /** Candidate pairs from the banded frames under the joint bucket cap —
+    * the shared middle of [[linkage]] and [[weightedLinkage]]. Capped
+    * path: group each side's bucket membership ONCE (the two aggregates
+    * leave both frames hash-partitioned on (band, v), so the bucket join
+    * adds no exchange), drop buckets whose JOINT size exceeds the cap —
+    * same recall trade, loudly documented, as the self-join cap in Dedup
+    * — and emit the per-bucket cross product by a double explode, bounded
+    * by cap² rows per bucket. One pass over each banded frame (the
+    * portable md5 signature is computed exactly once per side), no
+    * broadcast rounds, no census pass. */
+  private def cappedCandidates(bL: DataFrame, bR: DataFrame,
+                               maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue)
+      bL.join(bR, Seq("band", "v"))
+        .select(col("_fj_l"), col("_fj_r")).distinct()
+    else {
+      val gL = bL.groupBy("band", "v")
+        .agg(collect_list(col("_fj_l")).as("_fj_ls"))
+      val gR = bR.groupBy("band", "v")
+        .agg(collect_list(col("_fj_r")).as("_fj_rs"))
+      gL.join(gR, Seq("band", "v"))
+        .where(size(col("_fj_ls")) + size(col("_fj_rs")) <= maxBucketSize)
+        .select(explode(col("_fj_ls")).as("_fj_l"), col("_fj_rs"))
+        .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
+        .distinct()
+    }
 
   /** Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
     * so no union array is ever materialized. */

@@ -118,6 +118,29 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("_graft_store_meta"))
   }
 
+  test("weightedLinkage: shared rare evidence dominates, shared stop " +
+      "tokens count for nothing") {
+    // every entity carries the stop token; only (1, 11) share rare content
+    val l = Seq((1L, "corp zephyr"), (2L, "corp amber"), (3L, "corp coral"))
+      .toDF("id", "name")
+    val r = Seq((11L, "corp zephyr"), (12L, "corp umbra"))
+      .toDF("rid", "rname")
+    // unweighted Jaccard: EVERY cross pair shares 'corp' at 1/3 — a 0.3
+    // threshold admits all six pairs
+    val unweighted = FuzzyJoin.linkage(l, "id", "name", r, "rid", "rname",
+        shingleLen = 1, numHashes = 16, threshold = 0.3)
+      .count()
+    assert(unweighted === 6)
+    // weighted: df(corp) = 5 so w = 0.2; the unmatched rare tokens weigh
+    // 0.5-1.0 each, so stop-token-only pairs score ~0.1 while the
+    // identical-set pair scores exactly 1.0
+    val weighted = FuzzyJoin.weightedLinkage(l, "id", "name",
+        r, "rid", "rname", numHashes = 16, threshold = 0.3)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+    assert(weighted.map(w => (w._1, w._2)).toSet === Set((1L, 11L)))
+    assert(weighted.head._3 === 1.0)
+  }
+
   test("streamed drops against the served store union to the batch result " +
       "(no cross-batch state: every left row links independently)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
