@@ -22,6 +22,29 @@ object Bench {
     // produced 13×-inflated medians; cpus/16 = 2.0 actually means "quiet".)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadGate = math.max(1.0, cpus.toInt / 16.0)
+    // Pure-CPU calibration probe: a fixed, deterministic single-thread
+    // arithmetic workload (splitmix64 over 2e8 steps) timed at run start
+    // and again after the last query. The host this bench runs on drifts
+    // 15-30% across hours (r17 forensics: three same-binary full runs
+    // totaled 73/75/98 s), so cross-round comparisons need a unit of
+    // machine-speed to normalize by — the probe is that unit, independent
+    // of Spark, IO, and the catalog. Single-thread on purpose: loadavg
+    // perturbs it least, and per-core speed is what query medians scale by.
+    def calibMs(): Double = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        x ^= z ^ (z >>> 31)
+        i += 1
+      }
+      if (x == 42L) println("") // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibStart = calibMs()
     val loadAtStart = osBean.getSystemLoadAverage
     var gateAttempts = 0
     while (osBean.getSystemLoadAverage > loadGate && gateAttempts < 10) {
@@ -214,7 +237,8 @@ object Bench {
     // the artifact: loadavg far above the core count the bench was given
     // means the medians are measuring the NEIGHBORS, not the code.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts,"cooldowns":$nCooldowns,"cooldown_ms_used":${120000L - cooldownMsLeft}}"""
+    val calibEnd = calibMs()
+    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts,"cooldowns":$nCooldowns,"cooldown_ms_used":${120000L - cooldownMsLeft},"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}"""
     val jsonLine =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
     // The full-precision record goes to FILES ONLY (below), not stdout: the
@@ -260,7 +284,7 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort: never fail the bench
     // A compact trailer so a bounded `tail` of the artifact always captures
     // the headline number even when the contract line below ever outgrows it.
-    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts}""")
+    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}""")
     // LAST stdout line = the driver contract ({"metric",…,"queries":{name:
     // sec,…},"sf"}), medians rounded so the whole line sits inside the
     // 2000-char tail window with room for the launcher's epilogue. Falls
