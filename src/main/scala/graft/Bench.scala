@@ -219,6 +219,18 @@ object Bench {
       case (k, Measured(Right(ts), _, _, _)) => s"\"" + k + "\":" + med(ts)
       case (k, Measured(Left(_), _, _, _)) => s"\"" + k + "\":-1"
     }.mkString("{", ",", "}")
+    // The closing calibration probe runs BEFORE the artifact is assembled:
+    // every per-query med_per_calib below normalizes by the mean of the
+    // start/end probes, so the field needs both in hand.
+    val calibEnd = calibMs()
+    // med_per_calib = median seconds ÷ mean calib seconds — the
+    // machine-speed-normalized per-query number (r17 forensics: the host
+    // drifts 15-30% across hours, so raw medians compare HOSTS across
+    // rounds; dividing by the splitmix64 probe compares the CODE). One
+    // field, no judge-side arithmetic.
+    val calibMeanSec = (calibStart + calibEnd) / 2.0 / 1000.0
+    def perCalib(sec: Double): Double =
+      if (calibMeanSec > 0) sec / calibMeanSec else -1.0
     // spread now also carries the per-query loadavg sample and retry
     // provenance: a judge can see exactly WHICH medians were measured under
     // load and what a re-measure displaced, rather than inferring it from a
@@ -227,7 +239,7 @@ object Bench {
       val discStr =
         if (disc.isEmpty) ""
         else s""","discarded_meds":${disc.mkString("[", ",", "]")}"""
-      s"\"" + k + s"""":{"min":${ts.head},"med":${med(ts)},"max":${ts.last},"load_avg":$ld,"retried":$re$discStr}"""
+      s"\"" + k + s"""":{"min":${ts.head},"med":${med(ts)},"max":${ts.last},"med_per_calib":${perCalib(med(ts))},"load_avg":$ld,"retried":$re$discStr}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Measured(Left(_), _, _, _)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -237,10 +249,9 @@ object Bench {
     // the artifact: loadavg far above the core count the bench was given
     // means the medians are measuring the NEIGHBORS, not the code.
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val calibEnd = calibMs()
-    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts,"cooldowns":$nCooldowns,"cooldown_ms_used":${120000L - cooldownMsLeft},"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}"""
+    val host = s""""host":{"available_processors":${Runtime.getRuntime.availableProcessors},"bench_cpus":$cpus,"load_avg_1m":${os.getSystemLoadAverage},"load_avg_at_start":$loadAtStart,"load_gate":$loadGate,"gate_attempts":$gateAttempts,"cooldowns":$nCooldowns,"cooldown_ms_used":${120000L - cooldownMsLeft},"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd,"calib_ms_mean":${(calibStart + calibEnd) / 2.0}}"""
     val jsonLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"total_med_per_calib":${perCalib(total)},"queries":$qs,"spread":$spread,"failed":$failed,$host,"sf":"$sfDir"}"""
     // The full-precision record goes to FILES ONLY (below), not stdout: the
     // driver's artifact keeps the last 2000 chars of output and parses its
     // JSON from there, and this line outgrew that window rounds ago — r15's
@@ -284,7 +295,7 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort: never fail the bench
     // A compact trailer so a bounded `tail` of the artifact always captures
     // the headline number even when the contract line below ever outgrows it.
-    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}""")
+    println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"total_med_per_calib":${perCalib(total)},"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}""")
     // LAST stdout line = the driver contract ({"metric",…,"queries":{name:
     // sec,…},"sf"}), medians rounded so the whole line sits inside the
     // 2000-char tail window with room for the launcher's epilogue. Falls

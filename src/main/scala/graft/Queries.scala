@@ -798,5 +798,10 @@ object Queries {
     "etl_webdataset_census", "dedup_store_probe_meta",
     "mm_webdataset_dedup_e2e", "text_tokens_thai",
     // r17: cross-table record linkage (fuzzy join)
-    "dedup_fuzzy_link")
+    "dedup_fuzzy_link",
+    // r18: the rare-token recall channel (two-channel candidates), the
+    // served-store top-1 reconciliation form, and the schema-evolved star
+    // publish with the null-filling reconciled read
+    "dedup_fuzzy_weighted_rare", "dedup_fuzzy_best_store",
+    "etl_star_schema_evolution")
 }

@@ -683,6 +683,48 @@ object BreadthCatalog {
     }),
 
 
+    // ADD-ONLY SCHEMA EVOLUTION on the versioned star publish (the
+    // Delta/Iceberg add-nullable-column capability next to time travel):
+    // batch 1 (days 1-3) publishes the reference-shaped fact; batch 2
+    // (days 4-5) ADDS a REGION column, which the manifest records — the
+    // live read null-fills batch 1's delta at the recorded type, and the
+    // PRE-evolution snapshot stays readable under its own schema via time
+    // travel (retainVersions = 2 keeps both). Emitted: per retained
+    // version, fact count / REGION-bearing count / distinct regions — the
+    // oracle restates both snapshots from the day ranges, so a leaked
+    // column in v1, a missing null-fill in v2, or a broken sweep all
+    // hash-fail.
+    "etl_star_schema_evolution" -> ((s, d) => {
+      val tmp = scratchDir("graft_star_schema_ev", d)
+      val store = graft.etl.StarStore(s, tmp, Int.MaxValue, 2)
+      val ev = t(s, d, "events")
+      // REGION rides the raw frame for BOTH batches; batch 1 publishes
+      // without it (clean() keeps only the derived set plus the named
+      // extras), so the manifest's evolution is driven by `extras` alone
+      def raw(lo: Int, hi: Int) = ev
+        .where(dayofmonth(col("ts")).between(lo, hi))
+        .select(
+          date_format(date_trunc("minute", col("ts")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("DateTime"),
+          concat(lit("news| T"), (col("user_id") % 97).cast("string"))
+            .as("VideoTitle"),
+          lit("206").as("events"),
+          concat(lit("r"), (col("user_id") % 5).cast("string")).as("REGION"))
+      store.runBatch(raw(1, 3), "se1")
+      store.runBatch(raw(4, 5), "se2", Seq("REGION"))
+      store.versions.map { v =>
+        val f = store.readVersion("fact", v)
+        val withR = if (f.columns.contains("REGION")) f
+          else f.withColumn("REGION", lit(null).cast("string"))
+        withR.agg(count(lit(1)).as("n_fact"),
+            count(col("REGION")).as("n_region"),
+            countDistinct(col("REGION")).as("n_distinct_region"))
+          .select(lit(v).as("version"), col("n_fact"), col("n_region"),
+            col("n_distinct_region"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
+
     // Manifest-level FILE SKIPPING (Delta/Iceberg-style data skipping):
     // events days 1-10 written range-clustered on day with per-file
     // [min,max] envelopes in a _graft_manifest.json, then a day-4..6 read
@@ -1868,6 +1910,23 @@ object BreadthCatalog {
         |  FROM o FULL OUTER JOIN n USING (event_id))
         |GROUP BY 1 ORDER BY status""".stripMargin,
 
+
+    // mirrors etl_star_schema_evolution: v1 = days 1-3 with NO region
+    // (the pre-evolution snapshot — its schema never had the column); v2
+    // = days 1-5 with region present on exactly the day-4..5 rows (batch
+    // 1's delta null-fills). Every event row survives clean().
+    "etl_star_schema_evolution" ->
+      """WITH e AS (SELECT day(ts) AS dd, 'r' || (user_id % 5)::VARCHAR AS reg
+        |  FROM events)
+        |SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_fact,
+        |  0::BIGINT AS n_region, 0::BIGINT AS n_distinct_region
+        |FROM e WHERE dd BETWEEN 1 AND 3
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT,
+        |  count(CASE WHEN dd BETWEEN 4 AND 5 THEN 1 END)::BIGINT,
+        |  count(DISTINCT CASE WHEN dd BETWEEN 4 AND 5 THEN reg END)::BIGINT
+        |FROM e WHERE dd BETWEEN 1 AND 5
+        |ORDER BY version""".stripMargin,
 
     // mirrors etl_time_travel: version N ≡ the cumulative day range its
     // batches covered; every event row survives clean() by construction

@@ -85,6 +85,28 @@ object DedupCatalog {
     (left, catalog.unionByName(dupListings))
   }
 
+  /** The RARE-TOKEN regime fixture for weighted linkage: the same left
+    * entities, linked to billing-style records (even parts, +3e6 ids)
+    * whose text shares ONLY the rare price token with its part — every
+    * other right token ("invoice", acct k%3, region k%7) is corpus-common,
+    * so 1/df weighting makes the shared rare token carry the whole score
+    * while raw Jaccard (~1/14) sits where pure 16-seed banding misses
+    * ~1/4 of true pairs. The regime `rareDf` exists for. */
+  private def fuzzyRareFixture(part: DataFrame): (DataFrame, DataFrame) = {
+    val priceTok = concat(lit("p"),
+      round(col("p_retailprice") * 10, 0).cast("long").cast("string"))
+    val left = part.select(col("p_partkey").as("entity_id"),
+      concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), priceTok).as("entity"))
+    val right = part.where(col("p_partkey") % 2 === 0)
+      .select((col("p_partkey") + 3000000L).as("cat_id"),
+        concat_ws(" ", lit("invoice"),
+          concat(lit("acct"), (col("p_partkey") % 3).cast("string")),
+          concat(lit("region"), (col("p_partkey") % 7).cast("string")),
+          priceTok).as("cat_name"))
+    (left, right)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: one hash-aggregate on the normalization fingerprint.
@@ -408,6 +430,60 @@ object DedupCatalog {
           shingleLen = 1, numHashes = 16, cap = 8)
       FuzzyJoin.linkageAgainstStore(s, dir, right, "cat_id", "cat_name",
           left, "entity_id", "entity", threshold = 0.6)
+        .orderBy("left_id", "right_id")
+    }),
+
+
+    // Top-1 linkage AGAINST THE SERVED STORE: the production
+    // reconciliation loop's operational form — each incoming entity's best
+    // catalog match straight off the store probe (same store, same
+    // candidate/verify chain as dedup_fuzzy_store, then the deterministic
+    // top-1 cut with the contested-win count). The oracle restates the
+    // probe chain and the window.
+    "dedup_fuzzy_best_store" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_store", d)
+      if (!new java.io.File(dir).exists())
+        Dedup.minhashStoreBandedWrite(right, "cat_id", "cat_name", dir,
+          shingleLen = 1, numHashes = 16, cap = 8)
+      FuzzyJoin.bestMatchAgainstStore(s, dir, right, "cat_id", "cat_name",
+          left, "entity_id", "entity", threshold = 0.6)
+        .orderBy("left_id")
+    }),
+
+
+    // Per-drop linkage funnel AGAINST THE SERVED STORE: every incoming
+    // entity classified matched / ambiguous / unmatched off the store
+    // probe — the per-batch census a continuous reconciliation deployment
+    // is operated by, with no pair plumbing by hand.
+    "dedup_fuzzy_census_store" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_store", d)
+      if (!new java.io.File(dir).exists())
+        Dedup.minhashStoreBandedWrite(right, "cat_id", "cat_name", dir,
+          shingleLen = 1, numHashes = 16, cap = 8)
+      FuzzyJoin.censusAgainstStore(s, dir, right, "cat_id", "cat_name",
+          left, "entity_id", "entity", threshold = 0.6)
+        .orderBy("status")
+    }),
+
+
+    // The RARE-TOKEN RECALL regime of weighted linkage, exact-gated: left
+    // entities (name brand type size p<price>, ~11 tokens) linked to
+    // billing-style records that share ONLY the rare price token (invoice
+    // acct<k%3> region<k%7> p<price> — every other token is corpus-common,
+    // so weights crush them and w(ptok) dominates). Raw Jaccard of a true
+    // pair is ~1/14, where 16-seed banding alone misses ~1/4 of pairs —
+    // the exact hole rareDf closes: with rareDf = 16 every pair sharing a
+    // df<=16 token is a candidate DETERMINISTICALLY, and the oracle
+    // restates both channels (banding ∪ rare-token equi-join), so the
+    // recall law is pinned, not probabilistic.
+    "dedup_fuzzy_weighted_rare" -> ((s, d) => {
+      val (left, right) = fuzzyRareFixture(t(s, d, "part"))
+      FuzzyJoin.weightedLinkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          numHashes = 16, threshold = 0.5, maxBucketSize = 150,
+          rareDf = 16)
         .orderBy("left_id", "right_id")
     }),
 
@@ -880,6 +956,34 @@ object DedupCatalog {
        |  JOIN shr y ON y.id = cand.rid),
        |f AS (SELECT * FROM j WHERE jaccard >= 0.6)""".stripMargin
 
+  /** The SERVED-STORE probe chain (catalog side's 60-bit signature law,
+    * per-bucket rank cut at cap 8, band-agreement candidates, exact verify
+    * at 0.6) ending in `fs(lid, rid, jaccard)` — shared by the pair, top-1,
+    * and census store oracles so the three rows restate ONE chain. */
+  private lazy val fuzzyStoreSql: String = {
+    val sigs60 = "[" + (1 to 16).map(j =>
+      s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+      .mkString(",\n       |    ") + "]"
+    s"""$fuzzyBaseSql,
+       |sigr AS (SELECT id, $sigs60 AS sigs FROM shr),
+       |sbr AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
+       |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+       |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
+       |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
+       |  WHERE rn <= 8),
+       |sigb AS (SELECT id, $sigs60 AS sigs FROM shl),
+       |bb AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
+       |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+       |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
+       |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
+       |j AS (SELECT lid, rid,
+       |    len(list_intersect(x.s, y.s))::DOUBLE /
+       |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+       |  FROM cand JOIN shl x ON x.id = cand.lid
+       |  JOIN shr y ON y.id = cand.rid),
+       |fs AS (SELECT lid, rid, jaccard FROM j WHERE jaccard >= 0.6)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -1191,29 +1295,103 @@ object DedupCatalog {
     // join against the retained representatives (candidateThreshold 0 —
     // every shared-band pair is a candidate), and the exact token-set
     // verify at 0.6
-    "dedup_fuzzy_store" -> {
-      val sigs60 = "[" + (1 to 16).map(j =>
-        s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
-        .mkString(",\n         |    ") + "]"
-      s"""WITH $fuzzyBaseSql,
-         |sigr AS (SELECT id, $sigs60 AS sigs FROM shr),
-         |sbr AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
-         |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
-         |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
-         |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
-         |  WHERE rn <= 8),
-         |sigb AS (SELECT id, $sigs60 AS sigs FROM shl),
-         |bb AS (SELECT id, band::INT AS band, sigs[band + 1]::VARCHAR AS v
-         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
-         |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
-         |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
-         |j AS (SELECT lid, rid,
-         |    len(list_intersect(x.s, y.s))::DOUBLE /
-         |    len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+    "dedup_fuzzy_store" ->
+      s"""WITH $fuzzyStoreSql
+         |SELECT lid AS left_id, rid AS right_id, jaccard FROM fs
+         |ORDER BY left_id, right_id""".stripMargin,
+
+    // the same probe chain with the deterministic top-1 cut — the
+    // served-store twin of dedup_fuzzy_best
+    "dedup_fuzzy_best_store" ->
+      s"""WITH $fuzzyStoreSql
+         |SELECT left_id, right_id, jaccard, n_matches FROM (
+         |  SELECT lid AS left_id, rid AS right_id, jaccard,
+         |    row_number() OVER (PARTITION BY lid
+         |      ORDER BY jaccard DESC, rid ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lid) AS n_matches
+         |  FROM fs)
+         |WHERE rn = 1 ORDER BY left_id""".stripMargin,
+
+    // the same probe chain folded to the per-drop funnel census — the
+    // served-store twin of dedup_fuzzy_census (unmatched from the full
+    // batch side, one aggregate)
+    "dedup_fuzzy_census_store" ->
+      s"""WITH $fuzzyStoreSql,
+         |m AS (SELECT lid, count(*) AS nm FROM fs GROUP BY lid)
+         |SELECT CASE WHEN nm IS NULL THEN 'unmatched'
+         |    WHEN nm = 1 THEN 'matched' ELSE 'ambiguous' END AS status,
+         |  count(*) AS n
+         |FROM (SELECT lw.id, m.nm FROM lw LEFT JOIN m ON m.lid = lw.id)
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
+    // BOTH candidate channels restated — 16-seed banding under the joint
+    // 150 cap, UNION the rare-token equi-join (df <= 16 across both
+    // tables' entity-token incidences) — then the same token-sorted
+    // strict-fold weighted verify at 0.5 over the rare-regime fixture
+    "dedup_fuzzy_weighted_rare" -> {
+      val sigs16 = "[" + (1 to 16).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+      s"""WITH pt AS (SELECT *,
+         |    'p' || round(p_retailprice * 10)::BIGINT::VARCHAR AS ptok
+         |  FROM part),
+         |lw AS (SELECT p_partkey AS id, string_split(lower(
+         |    p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+         |    p_size::VARCHAR || ' ' || ptok), ' ') AS words FROM pt),
+         |rw AS (SELECT p_partkey + 3000000 AS id, string_split(lower(
+         |    'invoice acct' || (p_partkey % 3)::VARCHAR ||
+         |    ' region' || (p_partkey % 7)::VARCHAR || ' ' || ptok),
+         |    ' ') AS words
+         |  FROM pt WHERE p_partkey % 2 = 0),
+         |shl AS (SELECT id, list_distinct(words) AS s FROM lw
+         |  WHERE len(words) >= 1),
+         |shr AS (SELECT id, list_distinct(words) AS s FROM rw
+         |  WHERE len(words) >= 1),
+         |vocab AS (SELECT t, count(*) AS df FROM (
+         |    SELECT id, unnest(s) AS t FROM shl
+         |    UNION ALL SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
+         |sigl AS (SELECT id, $sigs16 AS sigs FROM shl),
+         |sigr AS (SELECT id, $sigs16 AS sigs FROM shr),
+         |bl AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigl
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |br AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigr
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |ok AS (SELECT band, v FROM (SELECT band, v, count(*) AS n
+         |    FROM (SELECT * FROM bl UNION ALL SELECT * FROM br)
+         |    GROUP BY band, v) WHERE n <= 150),
+         |blc AS (SELECT bl.* FROM bl
+         |  SEMI JOIN ok ON bl.band = ok.band AND bl.v = ok.v),
+         |brc AS (SELECT br.* FROM br
+         |  SEMI JOIN ok ON br.band = ok.band AND br.v = ok.v),
+         |candb AS (SELECT DISTINCT blc.id AS lid, brc.id AS rid
+         |  FROM blc JOIN brc ON blc.band = brc.band AND blc.v = brc.v),
+         |rare AS (SELECT t FROM vocab WHERE df <= 16),
+         |tl AS (SELECT a.id, a.t FROM
+         |  (SELECT id, unnest(s) AS t FROM shl) a SEMI JOIN rare USING (t)),
+         |tr AS (SELECT b.id, b.t FROM
+         |  (SELECT id, unnest(s) AS t FROM shr) b SEMI JOIN rare USING (t)),
+         |cand AS (SELECT lid, rid FROM candb
+         |  UNION SELECT DISTINCT tl.id AS lid, tr.id AS rid
+         |    FROM tl JOIN tr ON tl.t = tr.t),
+         |ptok AS (SELECT lid, rid, u.t AS t,
+         |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
          |  FROM cand JOIN shl x ON x.id = cand.lid
-         |  JOIN shr y ON y.id = cand.rid)
-         |SELECT lid AS left_id, rid AS right_id, jaccard FROM j
-         |WHERE jaccard >= 0.6 ORDER BY left_id, right_id""".stripMargin
+         |  JOIN shr y ON y.id = cand.rid,
+         |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
+         |wt AS (SELECT lid, rid, t, 1::DOUBLE / df AS w, b
+         |  FROM ptok JOIN vocab USING (t)),
+         |es AS (SELECT lid, rid,
+         |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
+         |  FROM wt GROUP BY lid, rid),
+         |sc AS (SELECT lid, rid,
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
+         |      (a, x) -> a + x) /
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(es, e -> e.w)),
+         |      (a, x) -> a + x) AS wjaccard
+         |  FROM es)
+         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
+         |WHERE wjaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin
     },
 
     "dedup_minhash" ->

@@ -31,16 +31,17 @@ object Fact {
     * partition key — time-range queries then prune whole partition dirs at
     * the scan (SURVEY §4 "partition pruning"). */
   def resolveSkeys(cleaned: DataFrame, dimDate: DataFrame, dimPlatform: DataFrame,
-                   dimSite: DataFrame, dimTitle: DataFrame): DataFrame =
+                   dimSite: DataFrame, dimTitle: DataFrame,
+                   extras: Seq[String] = Nil): DataFrame =
     cleaned
       .withColumn("SITE", coalesce(col("SITE"), lit(NoneMember)))
       .join(broadcast(dimDate), Seq("DATETIME"), "left")
       .join(broadcast(dimPlatform), Seq("PLATFORM"), "left")
       .join(broadcast(dimSite), Seq("SITE"), "left")
       .join(broadcast(dimTitle), Seq("TITLE"), "left")
-      .select(substring(col("DATETIME"), 1, 8).as("day"),
+      .select(Seq(substring(col("DATETIME"), 1, 8).as("day"),
               col("DATETIME_SKEY"), col("PLATFORM_SKEY"), col("SITE_SKEY"),
-              col("TITLE_SKEY"))
+              col("TITLE_SKEY")) ++ extras.map(col): _*)
 
   /** Append-ready fact rows with `factid` continuing from `existingMax`,
     * fully ordered — the deterministic, oracle-reproducible variant. The

@@ -102,7 +102,10 @@ class StarStore(spark: SparkSession, root: String,
       // `applied` tracks every batch id ever published (for the replay
       // guard), surviving compaction that rewrites the live list; absent in
       // pre-compaction manifests, where live == applied.
-      kv.get("applied").map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(live))
+      kv.get("applied").map(_.split(",").filter(_.nonEmpty).toSeq).getOrElse(live),
+      // `factSchema` is the version's fact column contract (DDL) — absent
+      // in pre-evolution manifests, where every delta shares one schema
+      kv.get("factSchema").filter(_.nonEmpty))
   }
 
   // ── read side ────────────────────────────────────────────────────────────
@@ -129,9 +132,28 @@ class StarStore(spark: SparkSession, root: String,
     factOf(v)
   }
 
-  private def factOf(v: String): DataFrame =
-    manifest(v).batches.map(b => spark.read.parquet(s"$root/facts/batch_$b"))
-      .reduce(_.unionByName(_))
+  private def factOf(v: String): DataFrame = {
+    val m = manifest(v)
+    val deltas = m.batches.map(b => spark.read.parquet(s"$root/facts/batch_$b"))
+    m.factSchema match {
+      case None => deltas.reduce(_.unionByName(_)) // pre-evolution: one schema
+      case Some(ddl) =>
+        // SCHEMA RECONCILIATION (the Delta/Iceberg add-nullable-column
+        // read): the manifest's DDL is the version's column contract; a
+        // delta written before a column existed null-fills it at its
+        // recorded type. Present columns keep their read-back type (the
+        // partition column's inferred type must stay whatever the scan
+        // gives, exactly as the pre-evolution union behaved).
+        val target = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        deltas.map { df =>
+          val have = df.columns.toSet
+          df.select(target.fields.toSeq.map { f =>
+            if (have.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
+        }.reduce(_.unionByName(_))
+    }
+  }
 
   // ── time travel ──────────────────────────────────────────────────────────
 
@@ -518,13 +540,24 @@ class StarStore(spark: SparkSession, root: String,
     * [[StarStore.MaxPublishRetries]] attempts. No update is ever lost and
     * versions stay strictly monotone (spec-pinned by the concurrent-writer
     * test). */
-  def runBatch(raw: DataFrame, batchId: String): Long = {
+  def runBatch(raw: DataFrame, batchId: String): Long =
+    runBatch(raw, batchId, Nil)
+
+  /** [[runBatch]] with ADD-ONLY SCHEMA EVOLUTION: `extras` names raw
+    * columns to carry into the fact beyond the reference's fixed derived
+    * set. The published manifest records the fact schema; a batch must
+    * carry every column the live schema already has (add-only — a column,
+    * once published, never silently disappears mid-history) and may add
+    * new ones, which become nullable for every earlier delta: reads
+    * null-fill old deltas at the recorded type, and old SNAPSHOTS stay
+    * readable via time travel under their own (pre-evolution) schema. */
+  def runBatch(raw: DataFrame, batchId: String, extras: Seq[String]): Long = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
     var attempt = 0
     while (attempt <= StarStore.MaxPublishRetries) {
       repairPointer()
       val result =
-        try attemptBatch(raw, batchId)
+        try attemptBatch(raw, batchId, extras)
         catch {
           // a concurrent winner's retention sweep can retire the exact
           // version snapshot this attempt was reading (retainVersions=1
@@ -553,11 +586,12 @@ class StarStore(spark: SparkSession, root: String,
   /** One optimistic attempt: compute against the current snapshot, stage,
     * claim, commit. None = lost the publish race (staged dir cleaned up,
     * caller recomputes). */
-  private def attemptBatch(raw: DataFrame, batchId: String): Option[Long] = {
+  private def attemptBatch(raw: DataFrame, batchId: String,
+                           extras: Seq[String] = Nil): Option[Long] = {
     val prior = currentVersion.map(v => (v, manifest(v)))
     if (prior.exists(_._2.applied.contains(batchId))) return Some(0L) // replay
 
-    val cleaned = Transform.clean(raw)
+    val cleaned = Transform.clean(raw, extras)
       .withColumn("SITE", coalesce(col("SITE"), lit(Fact.NoneMember)))
 
     // Dim upserts: idempotent anti-join + deterministic SKEYs (rows 28/31).
@@ -577,8 +611,34 @@ class StarStore(spark: SparkSession, root: String,
     Seq(dDate, dPlat, dSite, dTitle).foreach(_.cache())
 
     val maxFactId = prior.map(_._2.maxFactId).getOrElse(0L) // manifest, no fact scan
-    val resolved = Fact.resolveSkeys(cleaned, dDate, dPlat, dSite, dTitle)
+    val resolved = Fact.resolveSkeys(cleaned, dDate, dPlat, dSite, dTitle,
+      extras)
     val newFact = Fact.withFactIdsScalable(resolved, maxFactId)
+
+    // SCHEMA EVOLUTION, add-only: the live manifest's recorded schema (if
+    // any) must be a SUBSET of this batch's — every published column
+    // present at its published type (a column can never silently vanish or
+    // retype mid-history); columns beyond it are the evolution, appended to
+    // the recorded order so the contract stays stable for readers. Legacy
+    // stores (no recorded schema) adopt this batch's schema going forward.
+    val priorSchema = prior.flatMap(_._2.factSchema)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    priorSchema.foreach(_.fields.foreach { f =>
+      val got = newFact.schema.fields.find(_.name == f.name).getOrElse(
+        sys.error(s"schema evolution is ADD-ONLY: batch $batchId lacks " +
+          s"published fact column '${f.name}' (${f.dataType.sql}) — a " +
+          "published column must ride every later batch"))
+      require(got.dataType == f.dataType,
+        s"fact column '${f.name}' changed type: published ${f.dataType.sql}" +
+          s", batch $batchId carries ${got.dataType.sql}")
+    })
+    val mergedSchema = priorSchema match {
+      case None => newFact.schema
+      case Some(ps) =>
+        org.apache.spark.sql.types.StructType(ps.fields ++
+          newFact.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true))) // null-filled in pre-evolution deltas
+    }
 
     // Per-ATTEMPT staging paths: redelivery can run the SAME batch id
     // concurrently (the at-least-once contract this class documents), and
@@ -603,7 +663,8 @@ class StarStore(spark: SparkSession, root: String,
     dTitle.write.mode("overwrite").parquet(s"$tmp/dim_title")
     val newManifest = Manifest(maxFactId + appended,
       prior.map(_._2.batches).getOrElse(Seq.empty) :+ batchId,
-      prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId)
+      prior.map(_._2.applied).getOrElse(Seq.empty) :+ batchId,
+      Some(mergedSchema.toDDL))
     writeManifest(tmp, newManifest)
 
     // 3. claim + commit (shared sequence — see commitStaged); the delta is
@@ -681,8 +742,10 @@ class StarStore(spark: SparkSession, root: String,
     // compactId joins the `applied` history: the sweep reclaims aged-out
     // deltas by applied-membership, and a compacted dir must stay
     // reclaimable once a LATER compaction supersedes it
+    // the compacted delta materializes the reconciled (null-filled) frame,
+    // so the schema contract rides through compaction unchanged
     writeManifest(tmp, Manifest(m.maxFactId, Seq(compactId),
-      m.applied :+ compactId))
+      m.applied :+ compactId, m.factSchema))
     val committed = commitStaged(tmp, nextV, beforeSwap = () => {
       if (fs.exists(new Path(dest))) fs.delete(new Path(dest), true)
       require(fs.rename(new Path(destTmp), new Path(dest)),
@@ -724,10 +787,12 @@ object StarStore {
   val StaleClaimMs: Long = 5L * 60 * 1000
 
   final case class Manifest(maxFactId: Long, batches: Seq[String],
-                            applied: Seq[String]) {
+                            applied: Seq[String],
+                            factSchema: Option[String] = None) {
     def serialized: String =
       s"maxFactId=$maxFactId\nbatches=${batches.mkString(",")}\n" +
-        s"applied=${applied.mkString(",")}\n"
+        s"applied=${applied.mkString(",")}\n" +
+        factSchema.map(s => s"factSchema=$s\n").getOrElse("")
   }
 
   def apply(spark: SparkSession, root: String): StarStore = new StarStore(spark, root)

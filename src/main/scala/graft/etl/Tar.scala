@@ -207,14 +207,18 @@ object Tar {
       .select(col("shard_id"),
         concat(col("k"), lit("."), col("ext")).as("name"),
         col("k"), col("bytes"))
-    // (k, name)-major sort gives each writer its shard's members in the
-    // byte-contract order; the per-shard strict-monotonicity guard below
-    // proves it coincides with plain member-name order (and catches
-    // duplicate member names in the same check), so the streamed bytes
-    // equal the in-memory [[archive]] of the name-sorted member list
+    // (shard_id, name)-major sort IS the byte contract: members stream in
+    // plain lexicographic member-name order (a (k, name) sort can diverge
+    // from name order — key 'img1-extra' sorts after 'img1' as a key but
+    // its members sort BEFORE 'img1.*' as names, '-' < '.'), so the
+    // streamed bytes equal the in-memory [[archive]] of the name-sorted
+    // member list for ANY distinct keys. n_samples counts the per-shard
+    // key SET (keys need not be name-contiguous when one key is a dotted
+    // prefix of another) — memory is the shard's sample keys, orders of
+    // magnitude under the member bytes already streaming through.
     val censusRows = members
       .repartition(nShards, col("shard_id"))
-      .sortWithinPartitions("shard_id", "k", "name")
+      .sortWithinPartitions("shard_id", "name")
       .as[(Int, String, String, Array[Byte])]
       .mapPartitions { rows =>
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
@@ -222,14 +226,28 @@ object Tar {
           scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String)]
         var cur = -1
         var lastName: String = null
-        var lastKey: String = null
-        var nSamples = 0L
+        val keys = scala.collection.mutable.HashSet.empty[String]
         var digest: java.security.MessageDigest = null
         var stream: java.io.OutputStream = null
         var tmp: org.apache.hadoop.fs.Path = null
+        // a failed/killed attempt must not leave its _tmp_shard-* behind:
+        // the completion listener fires on BOTH success and failure, and
+        // `tmp` is nulled once a shard renames, so only a genuinely
+        // in-flight temp is swept (retries would otherwise accumulate
+        // debris unboundedly — batch mode never clears the directory)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          if (tmp != null) {
+            try { if (stream != null) stream.close() }
+            catch { case _: java.io.IOException => () }
+            try fs.delete(tmp, false): Unit
+            catch { case _: java.io.IOException => () }
+          }
+        }
         def finishShard(): Unit = if (cur >= 0) {
           writeTerminator(stream)
           stream.close()
+          stream = null
           val md5 = digest.digest().map(b => f"$b%02x").mkString
           val fin = new org.apache.hadoop.fs.Path(s"$dir/${shardFile(cur)}")
           if (!fs.rename(tmp, fin)) {
@@ -239,12 +257,13 @@ object Tar {
             if (fs.exists(fin)) fs.delete(tmp, false): Unit
             else sys.error(s"shard finalize failed: $tmp -> $fin")
           }
-          out += ((cur, nSamples, md5))
+          tmp = null
+          out += ((cur, keys.size.toLong, md5))
         }
         rows.foreach { case (sid, name, k, bytes) =>
           if (sid != cur) {
             finishShard()
-            cur = sid; lastName = null; lastKey = null; nSamples = 0L
+            cur = sid; lastName = null; keys.clear()
             digest = java.security.MessageDigest.getInstance("MD5")
             // NO .tar suffix on the temp: a reader racing the writer globs
             // *.tar and must never see a half-written attempt
@@ -254,21 +273,15 @@ object Tar {
             stream = new java.security.DigestOutputStream(
               fs.create(tmp, true), digest)
           }
-          // strict monotonicity over the FULL member name is the byte
-          // contract's guard: a repeat is a duplicate member (sample keys
-          // must be unique), and any other violation means the (k, name)
-          // sort diverged from member-name order (keys crafted so one is
-          // a dot-extension of another) — both would silently break the
-          // checksummable byte layout, so both fail loudly
+          // strict monotonicity over the full member name: the sort
+          // guarantees non-decreasing, so a repeat is a duplicate member —
+          // the same (key, ext) emitted twice, which sample-key uniqueness
+          // forbids and which would silently break the checksummable byte
+          // layout, so it fails loudly
           require(lastName == null || name > lastName,
-            if (lastName != null && name == lastName)
-              s"duplicate sample member '$name' in shard $sid — " +
-                "sample keys must be unique"
-            else
-              s"member order violation in shard $sid ('$name' after " +
-                s"'$lastName') — sample keys must keep (key, ext) order " +
-                "aligned with member-name order")
-          if (k != lastKey) { nSamples += 1; lastKey = k }
+            s"duplicate sample member '$name' in shard $sid — " +
+              "sample keys must be unique")
+          keys += k
           writeMemberBlocks(name, bytes, stream)
           lastName = name
         }

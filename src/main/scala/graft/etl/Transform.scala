@@ -134,12 +134,12 @@ object Transform {
     * `data_process` (`lambda_function_s3.py:40-119`): both filters, minute
     * truncation, date parts, platform/site/title derivation, then drop the
     * source columns (`:102-103`). One narrow (shuffle-free) stage. */
-  def clean(raw: DataFrame): DataFrame = {
+  def clean(raw: DataFrame, extras: Seq[String] = Nil): DataFrame = {
     val ts = minuteTs(col("DateTime"))
     raw
       .where(isVideoStart(col("events")) && hasValidTitle(col("VideoTitle")) &&
         ts.isNotNull) // quarantine unparseable timestamps (see minuteTs)
-      .select(
+      .select(Seq(
         // named minute_ts, not DateTime: Spark resolution is case-insensitive
         // by default, and the string key below is DATETIME (reference DDL name)
         ts.as("minute_ts"),
@@ -152,6 +152,10 @@ object Transform {
         platformOf(col("VideoTitle")).as("PLATFORM"),
         siteOf(col("VideoTitle")).as("SITE"),
         titleTail(col("VideoTitle")).as("TITLE")
-      )
+        // schema evolution: caller-named raw columns ride through the
+        // clean unchanged (the derived set above is fixed by the
+        // reference's contract; extras are the add-only columns
+        // StarStore.runBatch threads into the fact)
+      ) ++ extras.map(col): _*)
   }
 }

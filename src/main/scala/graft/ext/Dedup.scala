@@ -2114,11 +2114,22 @@ object Dedup {
     // lands in the table location, so openBandedTable / a direct-path open
     // both find it
     val spark = docs.sparkSession
-    val loc = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
+    val loc = tableLocation(spark, table)
     StoreMeta.write(spark, loc, "minhash-banded",
       bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+    Tokenizer.saveLexicon(spark, loc, tok)
   }
+
+  /** A saved table's storage location, with the name PARSED (not wrapped
+    * raw): a qualified `db.tbl` must resolve as a two-part identifier — a
+    * raw TableIdentifier("db.tbl") looks up an unqualified table literally
+    * named "db.tbl", which throws AFTER saveAsTable succeeded and leaves a
+    * sidecar-less table every sidecar-checked open then refuses. */
+  private def tableLocation(spark: org.apache.spark.sql.SparkSession,
+                            table: String): String =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .location.toString
 
   /** Open a [[minhashStoreBandedSave]] BUCKETED table under an explicit
     * geometry assumption — the beyond-broadcast twin of
@@ -2132,9 +2143,7 @@ object Dedup {
                                   cap: Int = Int.MaxValue,
                                   tok: Tokenizer = Tokenizer.Whitespace)
       : DataFrame = {
-    val loc = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table)).location.toString
-    StoreMeta.check(spark, loc, "minhash-banded",
+    StoreMeta.check(spark, tableLocation(spark, table), "minhash-banded",
       bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
     spark.table(table)
   }
@@ -2168,6 +2177,10 @@ object Dedup {
       .write.mode("overwrite").parquet(dir)
     StoreMeta.write(docs.sparkSession, dir, "minhash-banded",
       bandedMeta(shingleLen, numHashes, bandRows, cap, tok))
+    // a Dictionary lexicon travels WITH the store (content-hash-named in
+    // the geometry sidecar, bytes in the lexicon sidecar) so *At probes
+    // reconstruct the tokenizer with nothing re-supplied
+    Tokenizer.saveLexicon(docs.sparkSession, dir, tok)
   }
 
   /** Open a [[minhashStoreBandedWrite]] store under an EXPLICIT geometry
@@ -2190,7 +2203,9 @@ object Dedup {
     * [[FuzzyJoin.linkageAgainstStore]] shingles its exact verify with the
     * SAME law the store was built under. */
   private[ext] def bandedGeometry(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): (Int, Int, Int, Int, Tokenizer) = {
+                                  dir: String,
+                                  explicitTok: Option[Tokenizer] = None)
+      : (Int, Int, Int, Int, Tokenizer) = {
     val (kind, f) = StoreMeta.read(spark, dir).getOrElse(sys.error(
       s"no ${StoreMeta.FileName} under $dir — write the store with " +
         "minhashStoreBandedWrite (geometry cannot be assumed)"))
@@ -2198,8 +2213,21 @@ object Dedup {
       s"store under $dir is kind '$kind', not a banded minhash store")
     require(f.get("family").contains("minhash-md5-60"),
       s"unknown signature family ${f.get("family")} under $dir")
+    // the tokenizer is still the SIDECAR's: an explicit one must match its
+    // recorded id (the caller supplies the lexicon, never the geometry);
+    // otherwise fromIdAt — a dict-* id reconstructs its Dictionary from
+    // the lexicon sidecar next to the store (content-hash re-verified)
+    val tok = explicitTok match {
+      case Some(t) =>
+        require(t.id == f("tokenizer"),
+          s"explicit tokenizer ${t.id} does not match the store's " +
+            s"recorded ${f("tokenizer")} under $dir — probing with a " +
+            "different segmentation silently misses matches, refusing")
+        t
+      case None => Tokenizer.fromIdAt(spark, dir, f("tokenizer"))
+    }
     (f("shingleLen").toInt, f("numHashes").toInt, f("bandRows").toInt,
-      f("cap").toInt, Tokenizer.fromId(f("tokenizer")))
+      f("cap").toInt, tok)
   }
 
   /** [[minhashStoreBandedAppend]] with the geometry read FROM the store's
@@ -2226,6 +2254,23 @@ object Dedup {
     val (shingleLen, numHashes, bandRows, _, tok) = bandedGeometry(spark, dir)
     nearDupAgainstBandedStore(spark.read.parquet(dir), batch, idCol, textCol,
       shingleLen, numHashes, threshold, bandRows, broadcastBatch, tok)
+  }
+
+  /** [[nearDupAgainstBandedStoreAt]] with the caller supplying the
+    * TOKENIZER (geometry still comes from the sidecar): for [[Tokenizer
+    * .Dictionary]] stores written before the lexicon sidecar shipped —
+    * the supplied tokenizer's content-hash id must equal the sidecar's
+    * recorded id, so a wrong wordlist still refuses loudly. */
+  def nearDupAgainstBandedStoreAtWith(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame,
+      idCol: String, textCol: String, tok: Tokenizer,
+      threshold: Double = 0.5,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val (shingleLen, numHashes, bandRows, _, t) =
+      bandedGeometry(spark, dir, Some(tok))
+    nearDupAgainstBandedStore(spark.read.parquet(dir), batch, idCol, textCol,
+      shingleLen, numHashes, threshold, bandRows, broadcastBatch, t)
   }
 
   /** Append DELTA for a served [[minhashStoreBanded]] store: the new banded

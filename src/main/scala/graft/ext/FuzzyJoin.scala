@@ -105,6 +105,45 @@ object FuzzyJoin {
         batchId, batchText, candidateThreshold, broadcastBatch)
       .select(col("batch_id").as("_fj_l"), col("store_id").as("_fj_r"))
       .distinct()
+    storeVerify(cand, batch, batchId, batchText, catalog, catalogId,
+      catalogText, shingleLen, tok, threshold, scope)
+  }
+
+  /** [[linkageAgainstStore]] with the caller supplying the TOKENIZER — for
+    * [[Tokenizer.Dictionary]] stores written before the lexicon sidecar
+    * shipped (newer dict stores resolve their lexicon from the sidecar and
+    * need nothing supplied). The supplied tokenizer's content-hash id must
+    * equal the sidecar's recorded id; geometry still comes from the
+    * sidecar, so nothing else can drift. */
+  def linkageAgainstStoreWith(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String,
+                              catalog: DataFrame, catalogId: String,
+                              catalogText: String,
+                              batch: DataFrame, batchId: String,
+                              batchText: String, tok: Tokenizer,
+                              threshold: Double = 0.5,
+                              candidateThreshold: Double = 0.0,
+                              broadcastBatch: Boolean = true,
+                              scope: CacheScope = null): DataFrame = {
+    val (shingleLen, _, _, _, t) =
+      Dedup.bandedGeometry(spark, storeDir, Some(tok))
+    val cand = Dedup.nearDupAgainstBandedStoreAtWith(spark, storeDir, batch,
+        batchId, batchText, t, candidateThreshold, broadcastBatch)
+      .select(col("batch_id").as("_fj_l"), col("store_id").as("_fj_r"))
+      .distinct()
+    storeVerify(cand, batch, batchId, batchText, catalog, catalogId,
+      catalogText, shingleLen, t, threshold, scope)
+  }
+
+  /** Shared tail of the served-store probes: exact verify of the probe's
+    * candidate pairs under the store's shingle law. */
+  private def storeVerify(cand: DataFrame,
+                          batch: DataFrame, batchId: String,
+                          batchText: String,
+                          catalog: DataFrame, catalogId: String,
+                          catalogText: String,
+                          shingleLen: Int, tok: Tokenizer,
+                          threshold: Double, scope: CacheScope): DataFrame = {
     val shL = shingled(batch, batchId, batchText, shingleLen, scope, tok)
     val shR = shingled(catalog, catalogId, catalogText, shingleLen, scope,
       tok)
@@ -113,6 +152,44 @@ object FuzzyJoin {
     Dedup.releaseAfterFirstAction(shR)
     out
   }
+
+  /** Top-1 linkage against a SERVED catalog store: each batch record's
+    * best catalog match ([[bestMatch]]'s contract — highest Jaccard, ties
+    * to the smallest right id, with the contested-win count) over
+    * [[linkageAgainstStore]]'s probe chain — the production
+    * reconciliation loop's per-drop form, no pair plumbing by hand. */
+  def bestMatchAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            catalog: DataFrame, catalogId: String,
+                            catalogText: String,
+                            batch: DataFrame, batchId: String,
+                            batchText: String,
+                            threshold: Double = 0.5,
+                            candidateThreshold: Double = 0.0,
+                            broadcastBatch: Boolean = true,
+                            scope: CacheScope = null): DataFrame =
+    bestOf(linkageAgainstStore(spark, storeDir, catalog, catalogId,
+      catalogText, batch, batchId, batchText, threshold, candidateThreshold,
+      broadcastBatch, scope))
+
+  /** Linkage funnel census against a SERVED catalog store: every batch
+    * record classified matched / ambiguous / unmatched ([[linkageCensus]]'s
+    * contract) over [[linkageAgainstStore]]'s probe chain — the per-drop
+    * operational summary. */
+  def censusAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String,
+                         catalog: DataFrame, catalogId: String,
+                         catalogText: String,
+                         batch: DataFrame, batchId: String,
+                         batchText: String,
+                         threshold: Double = 0.5,
+                         candidateThreshold: Double = 0.0,
+                         broadcastBatch: Boolean = true,
+                         scope: CacheScope = null): DataFrame =
+    censusOf(batch.select(col(batchId).as("left_id")),
+      linkageAgainstStore(spark, storeDir, catalog, catalogId, catalogText,
+        batch, batchId, batchText, threshold, candidateThreshold,
+        broadcastBatch, scope))
 
   /** Frequency-weighted linkage: [[linkage]]'s candidate machinery with
     * the verify scored by WEIGHTED Jaccard, w(t) = 1/df(t) — the standard
@@ -124,23 +201,39 @@ object FuzzyJoin {
     * frequency of the token across BOTH tables (computed in one aggregate
     * over the persisted token sets — no extra scan of the inputs).
     *
-    * Candidates stay UNWEIGHTED banded minhash (proper weighted minhash à
-    * la Ioffe is a different sampler; the practical recipe is unweighted
-    * LSH recall + weighted scoring, and the cap already protects the
-    * candidate join from the common-token buckets this weighting exists
-    * to discount). Portability discipline: the per-pair score folds
-    * weights in TOKEN-SORTED order with a strict left fold from 0.0, so
-    * an external engine restates the exact double bit for bit. Output:
+    * Candidate recall has TWO channels. Banded minhash gives the standard
+    * unweighted-Jaccard curve (1-(1-j)^numHashes at bandRows = 1) — but
+    * the pairs this weighting PROMOTES (few shared rare tokens among many
+    * common ones) are exactly the pairs whose raw Jaccard, and hence band
+    * collision probability, is LOW: one shared token of 13 misses banding
+    * ~1/4 of the time at 16 seeds. `rareDf` closes that hole
+    * deterministically: every pair sharing at least one token with
+    * df <= rareDf is ALWAYS a candidate, via a plain token equi-join
+    * filtered to rare tokens — bounded by construction (a rare token
+    * contributes at most df_left × df_right <= rareDf² pairs, and the df
+    * cap means no hot keys exist in this join BY DEFINITION). A shared
+    * token with w(t) = 1/df(t) large enough to clear a threshold on its
+    * own is a rare token, so the regime the weighting exists for is
+    * exact-gated, not probabilistic; pairs whose weighted evidence is
+    * spread across common tokens still ride the banded channel (their raw
+    * Jaccard is high, where banding recall is near 1). rareDf = 0 (the
+    * default) keeps the pure-banded behavior.
+    *
+    * Portability discipline: the per-pair score folds weights in
+    * TOKEN-SORTED order with a strict left fold from 0.0, so an external
+    * engine restates the exact double bit for bit. Output:
     * (left_id, right_id, wjaccard >= threshold). */
   def weightedLinkage(left: DataFrame, leftId: String, leftText: String,
                       right: DataFrame, rightId: String, rightText: String,
                       numHashes: Int = 16,
                       threshold: Double = 0.5,
                       maxBucketSize: Int = Int.MaxValue,
+                      rareDf: Int = 0,
                       scope: CacheScope = null,
                       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
+    require(rareDf >= 0, s"rareDf must be >= 0 (0 disables): $rareDf")
     // token-level (shingleLen = 1): df weights are per TOKEN — a weighted
     // Jaccard over n-gram shingles would need shingle-level df, which is
     // the same code with a different unit; the token unit is the linkage
@@ -149,12 +242,26 @@ object FuzzyJoin {
     val shR = shingled(right, rightId, rightText, 1, scope, tok)
     val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
     val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
-    val cand = cappedCandidates(bL, bR, maxBucketSize)
     // df over entity-token incidences (sets per entity, so df = #entities
     // containing t across both tables)
     val vocab = shL.select(explode(col("sh")).as("_fj_t"))
       .unionByName(shR.select(explode(col("sh")).as("_fj_t")))
       .groupBy("_fj_t").agg(count(lit(1)).as("_fj_df"))
+    val bandedCand = cappedCandidates(bL, bR, maxBucketSize)
+    val cand =
+      if (rareDf == 0) bandedCand
+      else {
+        // the rare-token channel: a token-keyed equi-join whose every
+        // bucket is <= rareDf entities BY THE FILTER ITSELF — the one
+        // candidate join in this family that cannot have a hot key
+        val rare = vocab.where(col("_fj_df") <= rareDf).select(col("_fj_t"))
+        val tl = shL.select(col("_fj_id").as("_fj_l"),
+          explode(col("sh")).as("_fj_t")).join(rare, "_fj_t")
+        val tr = shR.select(col("_fj_id").as("_fj_r"),
+          explode(col("sh")).as("_fj_t")).join(rare, "_fj_t")
+        bandedCand.unionByName(
+          tl.join(tr, "_fj_t").select(col("_fj_l"), col("_fj_r"))).distinct()
+      }
     val pairTok = cand
       .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l")),
         "_fj_l")
@@ -165,7 +272,12 @@ object FuzzyJoin {
       .select(col("_fj_l"), col("_fj_r"), col("_fj_t"),
         (array_contains(col("sh_l"), col("_fj_t")) &&
           array_contains(col("sh_r"), col("_fj_t"))).as("_fj_both"))
-    val entries = pairTok.join(vocab, "_fj_t")
+    // BROADCAST the weight lookup: vocab is vocabulary-sized (distinct
+    // tokens, not candidate-pair×token rows) — a shuffled token-keyed join
+    // here would hot-key on exactly the stop tokens the weighting exists
+    // to discount (they are both the df-heaviest and the most frequent in
+    // pairTok); broadcasting removes the exchange entirely
+    val entries = pairTok.join(broadcast(vocab), "_fj_t")
       .select(col("_fj_l"), col("_fj_r"),
         struct(col("_fj_t").as("t"),
           (lit(1.0) / col("_fj_df")).as("w"),
@@ -243,8 +355,13 @@ object FuzzyJoin {
                 maxBucketSize: Int = Int.MaxValue,
                 scope: CacheScope = null,
                 tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val pairs = linkage(left, leftId, leftText, right, rightId, rightText,
-      shingleLen, numHashes, threshold, maxBucketSize, scope, tok)
+    bestOf(linkage(left, leftId, leftText, right, rightId, rightText,
+      shingleLen, numHashes, threshold, maxBucketSize, scope, tok))
+  }
+
+  /** The top-1 cut over a verified pair frame — shared by [[bestMatch]]
+    * and [[bestMatchAgainstStore]]. One shuffle on `left_id`. */
+  private def bestOf(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy("left_id")
       .orderBy(col("jaccard").desc, col("right_id").asc)
     pairs
@@ -269,10 +386,18 @@ object FuzzyJoin {
                     maxBucketSize: Int = Int.MaxValue,
                     scope: CacheScope = null,
                     tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
-    val pairs = linkage(left, leftId, leftText, right, rightId, rightText,
-      shingleLen, numHashes, threshold, maxBucketSize, scope, tok)
+    censusOf(left.select(col(leftId).as("left_id")),
+      linkage(left, leftId, leftText, right, rightId, rightText,
+        shingleLen, numHashes, threshold, maxBucketSize, scope, tok))
+  }
+
+  /** The funnel census over a verified pair frame — shared by
+    * [[linkageCensus]] and [[censusAgainstStore]]. `leftIds` is the full
+    * left side as a `left_id` column (unmatched comes from one aggregate
+    * over it, not an anti-join per status). */
+  private def censusOf(leftIds: DataFrame, pairs: DataFrame): DataFrame = {
     val perLeft = pairs.groupBy(col("left_id")).agg(count(lit(1)).as("nm"))
-    val statused = left.select(col(leftId).as("left_id"))
+    val statused = leftIds
       .join(perLeft, Seq("left_id"), "left_outer")
       .select(when(col("nm").isNull, lit("unmatched"))
         .when(col("nm") === 1, lit("matched"))

@@ -1668,13 +1668,27 @@ object Multimodal {
                             maxHamming: Int = 6): DataFrame = {
     val spark = shards.sparkSession
     import spark.implicits._
-    val samples = graft.etl.Tar.webdatasetSamples(graft.etl.Tar.entries(shards))
-      .select(col("stem").cast("long").as("asset_id"),
+    val stemmed = graft.etl.Tar.webdatasetSamples(graft.etl.Tar.entries(shards))
+      .select(col("stem"), col("stem").cast("long").as("asset_id"),
         element_at(col("parts"), imageExt).as("_img"),
         element_at(col("parts"), textExt).as("_txt"))
-      .where(col("asset_id").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val samples = stemmed.where(col("asset_id").isNotNull)
+      .drop("stem")
     try {
+      // the stem contract is FAIL-LOUD, not filter-silent: a sample whose
+      // stem does not parse as a LONG asset id is a key-contract breach
+      // (dropping it would silently export nothing for non-numeric
+      // WebDataset keys — the opposite of the quarantine convention,
+      // which quarantines BYTES it cannot decode, never keys it could
+      // have kept). The check rides the same persisted frame the pipeline
+      // consumes, so it costs one aggregate, not a re-walk.
+      val bad = stemmed.where(col("asset_id").isNull)
+        .select(col("stem")).limit(6).as[String].collect()
+      require(bad.isEmpty,
+        s"webdatasetDedupExport: sample stems must parse as LONG asset " +
+          s"ids; offending stems include ${bad.take(5).mkString("'", "', '", "'")}" +
+          (if (bad.length > 5) ", …" else ""))
       val fp = imageDHashDecoded(
           samples.select(col("asset_id"), col("_img")).as[(Long, Array[Byte])]
             .map { case (id, img) => RawAsset(id, "image", img) })
@@ -1709,7 +1723,7 @@ object Multimodal {
             outDir, nShards)
         } finally fresh.unpersist(): Unit
       } finally fp.unpersist(): Unit
-    } finally samples.unpersist(): Unit
+    } finally stemmed.unpersist(): Unit
   }
 
   /** A photo-sized (32×16) multi-frame P6 stream — the video twin of

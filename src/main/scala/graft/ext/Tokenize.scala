@@ -146,6 +146,10 @@ object Tokenizer {
     /** Longest-first, lexicographic tie-break: deterministic maximal munch. */
     private val ordered: Seq[String] = words.distinct.sortBy(w => (-w.length, w))
 
+    /** The canonical (longest-first) wordlist — the byte stream [[id]] is
+      * hashed over; what [[Tokenizer.saveLexicon]] persists. */
+    private[ext] def orderedWords: Seq[String] = ordered
+
     val id: String = "dict-" + java.security.MessageDigest.getInstance("MD5")
       .digest(ordered.mkString("\n").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString.take(12)
@@ -172,17 +176,67 @@ object Tokenizer {
   /** Resolve a persisted tokenizer id ([[Tokenizer.id]], as recorded in a
     * served store's [[StoreMeta]] sidecar) back to its tokenizer. Loud on
     * an unknown id — a store built with a tokenizer this build does not
-    * ship (or a [[Dictionary]], whose lexicon is not in the sidecar)
-    * cannot be probed faithfully without the caller supplying it. */
+    * ship (or a [[Dictionary]] whose lexicon sidecar is absent — see
+    * [[fromIdAt]]) cannot be probed faithfully without the caller
+    * supplying it. */
   def fromId(id: String): Tokenizer = id match {
     case Whitespace.id => Whitespace
     case ScriptAware.id => ScriptAware
     case d if d.startsWith("dict-") => sys.error(
-      s"store was built with a Dictionary tokenizer ($d) — pass the same " +
-        "lexicon explicitly (Tokenizer.Dictionary(words).id must equal " +
-        "the sidecar id); the wordlist itself does not travel in the sidecar")
+      s"store was built with a Dictionary tokenizer ($d) — open the store " +
+        "through an API that reads the lexicon sidecar (Tokenizer.fromIdAt) " +
+        "or pass the same lexicon explicitly (Tokenizer.Dictionary(words).id " +
+        "must equal the sidecar id)")
     case other => sys.error(
       s"unknown tokenizer id '$other' in store sidecar — the store was " +
         "built with a tokenizer this build does not provide")
   }
+
+  /** Lexicon sidecar filename — a [[Dictionary]]'s wordlist persisted NEXT
+    * TO the served store it built, so `*At` probes reconstruct the
+    * tokenizer without the caller re-supplying it (the content-hashed id
+    * in the geometry sidecar alone can only REFUSE a wrong lexicon, not
+    * recover the right one). */
+  val LexiconFileName = "_graft_lexicon.txt"
+
+  /** Persist a [[Dictionary]]'s lexicon beside a store: UTF-8, one word
+    * per line, in the tokenizer's canonical (longest-first) order — the
+    * exact byte stream the content-hashed id is computed over, so
+    * [[fromIdAt]] re-derives and re-verifies the id on read. A non-dict
+    * tokenizer writes nothing (its id is self-resolving). */
+  def saveLexicon(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  tok: Tokenizer): Unit = tok match {
+    case d: Dictionary =>
+      val p = new org.apache.hadoop.fs.Path(dir, LexiconFileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(d.orderedWords.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    case _ => ()
+  }
+
+  /** [[fromId]] with a store directory to read a [[Dictionary]] lexicon
+    * sidecar from: a `dict-*` id loads [[LexiconFileName]] under `dir`,
+    * rebuilds the tokenizer, and REQUIRES the rebuilt content-hash id to
+    * equal the sidecar's — a tampered or swapped wordlist still refuses
+    * loudly; a missing lexicon file falls back to [[fromId]]'s error
+    * (legacy dict stores written before the sidecar shipped). */
+  def fromIdAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+               id: String): Tokenizer =
+    if (!id.startsWith("dict-")) fromId(id)
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir, LexiconFileName)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) fromId(id) // loud: no lexicon travels with this store
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val d = Dictionary(text.linesIterator.filter(_.nonEmpty).toSeq)
+        require(d.id == id,
+          s"lexicon sidecar under $dir hashes to ${d.id} but the store was " +
+            s"built under $id — the wordlist drifted; probing with it would " +
+            "segment differently and silently miss matches")
+        d
+      }
+    }
 }

@@ -43,6 +43,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("dedup_fuzzy_weighted: the df weight lookup broadcasts — no " +
+      "token-keyed JOIN exchange (stop tokens would hot-key it at scale)") {
+    val p = plan("dedup_fuzzy_weighted")
+    // the vocab AGGREGATE still exchanges (post-partial-agg, vocabulary-
+    // sized rows — harmless); the hot-key risk is the pair-token JOIN, so
+    // the pin is on the join strategy: broadcast, never shuffled, on _fj_t
+    assert(p.contains("BroadcastHashJoin [_fj_t"),
+      s"weight lookup must be a broadcast join on the token:\n$p")
+    assert(!p.contains("SortMergeJoin [_fj_t") &&
+        !p.contains("ShuffledHashJoin [_fj_t"),
+      s"weight join must broadcast the vocab, not shuffle on the token:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("etl_partitioned_scan: the purchase filter prunes partitions at the scan") {
     val p = plan("etl_partitioned_scan")
     assert(p.contains("PartitionFilters") && p.contains("event_type"),

@@ -84,4 +84,29 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_banded_store")
     }
   }
+
+  test("served banded table with a QUALIFIED name: db.tbl parses as a " +
+      "two-part identifier, the sidecar lands in the table location, and " +
+      "the checked open round-trips (a raw TableIdentifier would look up " +
+      "an unqualified table literally named 'db.tbl' and fail AFTER the " +
+      "save, stranding a sidecar-less table)") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_qdb")
+    try {
+      Dedup.minhashStoreBandedSave(docs, "doc_id", "text",
+        "graft_qdb.b_q_store", numBuckets = 4)
+      assert(Dedup.minhashStoreBandedOpenTable(spark, "graft_qdb.b_q_store")
+        .columns.contains("band"))
+      val drift = intercept[IllegalArgumentException] {
+        Dedup.minhashStoreBandedOpenTable(spark, "graft_qdb.b_q_store",
+          numHashes = 8)
+      }
+      assert(drift.getMessage.contains("numHashes: store=16 probe=8"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_qdb.b_q_store")
+      spark.sql("DROP DATABASE IF EXISTS graft_qdb")
+    }
+  }
 }

@@ -79,6 +79,65 @@ class StarPipelineSpec extends SparkSpec {
     assert(perPlatform("Desktop") === 4L && perPlatform("iPhone") === 1L)
   }
 
+  test("schema evolution: a later batch ADDS a nullable column — old " +
+      "deltas null-fill on the live read, the pre-evolution snapshot " +
+      "stays readable via time travel, add-only violations throw, and " +
+      "compaction carries the contract") {
+    val root = tmpDir("graft-schema-ev")
+    val store = StarStore(spark, root, Int.MaxValue, 3)
+    assert(store.runBatch(rawBatch1, "e1") === 3)
+
+    // batch 2 evolves the schema: REGION rides the raw rows into the fact
+    val raw2 = rawBatch2.withColumn("REGION",
+      concat(lit("r"), (length(col("VideoTitle")) % 3).cast("string")))
+    assert(store.runBatch(raw2, "e2", Seq("REGION")) === 2)
+
+    // live read: all 5 rows; batch 1's delta null-fills REGION
+    val f = store.fact
+    assert(f.columns.contains("REGION"))
+    assert(f.count() === 5)
+    assert(f.where(col("REGION").isNotNull).count() === 2)
+
+    // the PRE-evolution snapshot is readable under its own schema
+    val vs = store.versions
+    assert(vs.length === 2)
+    val v1 = store.readVersion("fact", vs.head)
+    assert(!v1.columns.contains("REGION"),
+      "pre-evolution snapshot must keep its published schema")
+    assert(v1.count() === 3)
+    assert(store.readVersion("fact", vs.last).count() === 5)
+
+    // add-only: a batch missing a published column refuses loudly
+    val missing = intercept[RuntimeException] {
+      store.runBatch(rawBatch1.withColumn("DateTime",
+        regexp_replace(col("DateTime"), "T00:00", "T00:07")), "e3")
+    }
+    assert(missing.getMessage.contains("ADD-ONLY"))
+    // ... and a type change on a published column refuses too
+    val retyped = intercept[Exception] {
+      store.runBatch(raw2.withColumn("REGION", lit(7L))
+        .withColumn("DateTime",
+          regexp_replace(col("DateTime"), "T00:05", "T00:08")),
+        "e4", Seq("REGION"))
+    }
+    assert(retyped.getMessage.contains("changed type"))
+
+    // a second evolution stacks: SOURCE joins REGION
+    val raw3 = raw2
+      .withColumn("DateTime", regexp_replace(col("DateTime"), "T00:0", "T00:1"))
+      .withColumn("SOURCE", lit("feed-a"))
+    assert(store.runBatch(raw3, "e5", Seq("REGION", "SOURCE")) === 2)
+    assert(store.fact.count() === 7)
+    assert(store.fact.where(col("SOURCE").isNull).count() === 5)
+
+    // compaction materializes the reconciled frame; the contract survives
+    assert(store.compact() === 3)
+    val compacted = store.fact
+    assert(compacted.count() === 7)
+    assert(compacted.where(col("REGION").isNotNull).count() === 4)
+    assert(compacted.where(col("SOURCE").isNotNull).count() === 2)
+  }
+
   test("publish survives a crashed predecessor: orphan version dir + lost CURRENT") {
     val root = tmpDir("graft-crash")
     val store = StarStore(spark, root)

@@ -215,6 +215,54 @@ class TarSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("duplicate sample member") ||
       Option(e.getCause).exists(_.getMessage.contains("duplicate sample member")))
+    // the failed attempt's in-flight temp must not survive: the task
+    // completion listener fires on failure too, and batch mode (which
+    // never clears the directory) would otherwise accumulate debris
+    // across retries unboundedly
+    def tmpDebris(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.startsWith("_tmp_shard-")).toSeq
+    assert(tmpDebris(dir).isEmpty,
+      s"failed write left temp debris: ${tmpDebris(dir)}")
+    val bDir = java.nio.file.Files.createTempDirectory("graft-wds-dupb")
+      .toString
+    intercept[org.apache.spark.SparkException] {
+      Tar.writeWebdatasetBatch(docs, "doc_id", "parts", bDir, 1, 7L): Unit
+    }
+    assert(tmpDebris(bDir).isEmpty,
+      s"failed batch write left temp debris: ${tmpDebris(bDir)}")
+  }
+
+  test("writeWebdataset handles keys where one is a proper prefix of " +
+      "another (member-name order ≠ key order) and keys with dots " +
+      "(key blocks interleave under the name sort): bytes stay the " +
+      "name-sorted archive, census counts the key SET") {
+    // 'img1-extra.txt' < 'img1.txt' byte-wise ('-' < '.'): a (key, name)
+    // sort would diverge from member-name order and the old writer threw
+    // 'member order violation'; the name sort writes it fine
+    val docs = Seq(
+      ("img1", Map("txt" -> "a".getBytes("US-ASCII"))),
+      ("img1-extra", Map("txt" -> "b".getBytes("US-ASCII"))),
+      // dotted keys: key 'a' (exts b.a, c) interleaves with key 'a.b'
+      // (ext c) under the name sort — a.b.a < a.b.c < a.c — so counting
+      // samples by key CONTIGUITY would overcount; the key set does not
+      ("a", Map("b.a" -> "x".getBytes("US-ASCII"),
+        "c" -> "y".getBytes("US-ASCII"))),
+      ("a.b", Map("c" -> "z".getBytes("US-ASCII"))))
+      .toDF("doc_id", "parts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wds-pfx").toString
+    val census = Tar.writeWebdataset(docs, "doc_id", "parts", dir, 1)
+      .as[(Int, Long, String)].collect().toSeq
+    assert(census.map(_._2).sum === 4L, "census must count the key set")
+    val expected = Tar.archive(Seq(
+      ("a.b.a", "x".getBytes("US-ASCII")),
+      ("a.b.c", "z".getBytes("US-ASCII")),
+      ("a.c", "y".getBytes("US-ASCII")),
+      ("img1-extra.txt", "b".getBytes("US-ASCII")),
+      ("img1.txt", "a".getBytes("US-ASCII"))))
+    val got = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-00000.tar"))
+    assert(got.toSeq === expected.toSeq,
+      "shard bytes must equal the name-sorted archive")
   }
 
   test("writeWebdatasetBatch: streamed drops append batch-namespaced " +

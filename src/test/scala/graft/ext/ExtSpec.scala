@@ -3514,6 +3514,18 @@ class ExtSpec extends SparkSpec {
         nShards = 2, storeFamily = "audio-window-prints")
     }
     assert(e.getMessage.contains("family"))
+    // non-numeric sample keys are a KEY-contract breach, not a quarantine:
+    // the loop fails loudly with the offending stems named, instead of
+    // silently exporting nothing for them
+    val badKeys = Seq(Multimodal.RawAsset(1L, "tar", graft.etl.Tar.archive(
+      Seq(("sampleA.png", png(400L)),
+        ("sampleA.txt", "caption A".getBytes("US-ASCII")))))).toDS()
+    val k = intercept[IllegalArgumentException] {
+      Multimodal.webdatasetDedupExport(badKeys, storeDir,
+        java.nio.file.Files.createTempDirectory("graft-e2e-bad").toString,
+        nShards = 1)
+    }
+    assert(k.getMessage.contains("sampleA"))
   }
 
   test("audioFingerprint: EXACTLY level-invariant (any gain), divergent " +

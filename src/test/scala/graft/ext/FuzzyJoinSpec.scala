@@ -141,6 +141,99 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(weighted.head._3 === 1.0)
   }
 
+  test("weightedLinkage rareDf: RECALL LAW — every pair sharing a token " +
+      "with df <= rareDf is a candidate deterministically, so in the " +
+      "rare-token regime the output equals the exhaustive weighted scan") {
+    // the regime the weighting PROMOTES: each true pair shares exactly ONE
+    // rare token buried in many common ones, so raw Jaccard is ~1/19 and
+    // banding alone is a coin flip per pair — with rareDf the recall
+    // guarantee is structural, and the assertion is exact equality with a
+    // brute-force weighted computation over ALL cross pairs
+    val common = (0 until 12).map(j => s"word$j").mkString(" ")
+    val l = (0L until 30L).map(i => (i, s"$common rare$i"))
+      .toDF("id", "name")
+    val r = (0L until 30L).map(i =>
+      (100L + i, s"filler alpha beta gamma delta epsilon rare$i"))
+      .toDF("rid", "rname")
+    def wkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1),
+        math.round(r0.getDouble(2) * 1e9))).toSet
+    val got = wkey(FuzzyJoin.weightedLinkage(l, "id", "name",
+      r, "rid", "rname", numHashes = 16, threshold = 0.4, rareDf = 2))
+    // brute force: weighted Jaccard over every cross pair, same w=1/df law
+    val lt = l.select(col("id"), Dedup.wordShingles(col("name"), 1).as("sl"))
+    val rt = r.select(col("rid"), Dedup.wordShingles(col("rname"), 1).as("sr"))
+    val vocab = lt.select(explode(col("sl")).as("t"))
+      .unionByName(rt.select(explode(col("sr")).as("t")))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val brute = wkey(lt.crossJoin(rt)
+      .select(col("id"), col("rid"),
+        explode(array_union(col("sl"), col("sr"))).as("t"),
+        (array_contains(col("sl"), col("t")) &&
+          array_contains(col("sr"), col("t"))).as("b"))
+      .join(vocab, "t")
+      .groupBy("id", "rid")
+      .agg((sum(when(col("b"), lit(1.0) / col("df")).otherwise(0.0)) /
+        sum(lit(1.0) / col("df"))).as("wj"))
+      .where(col("wj") >= 0.4))
+    assert(got === brute)
+    assert(got.size === 30, "every rare-sharing pair must be recalled")
+    // monotone: the rare channel only ADDS candidates over pure banding
+    val pure = wkey(FuzzyJoin.weightedLinkage(l, "id", "name",
+      r, "rid", "rname", numHashes = 16, threshold = 0.4))
+    assert(pure.subsetOf(got))
+  }
+
+  test("bestMatchAgainstStore / censusAgainstStore equal their batch twins " +
+      "when the store retains every representative") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-ops")
+      .toString
+    Dedup.minhashStoreBandedWrite(right, "rid", "rname", dir,
+      shingleLen = 1, numHashes = 16)
+    val servedBest = FuzzyJoin.bestMatchAgainstStore(spark, dir,
+        right, "rid", "rname", left, "id", "name", threshold = 0.5)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(3)))
+      .toSet
+    val batchBest = FuzzyJoin.bestMatch(left, "id", "name",
+        right, "rid", "rname", shingleLen = 1, numHashes = 16,
+        threshold = 0.5)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(3)))
+      .toSet
+    assert(servedBest === batchBest)
+    assert(servedBest.nonEmpty)
+    val servedCensus = FuzzyJoin.censusAgainstStore(spark, dir,
+        right, "rid", "rname", left, "id", "name", threshold = 0.5)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val batchCensus = FuzzyJoin.linkageCensus(left, "id", "name",
+        right, "rid", "rname", shingleLen = 1, numHashes = 16,
+        threshold = 0.5)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(servedCensus === batchCensus)
+    assert(servedCensus.values.sum === left.count())
+  }
+
+  test("linkageAgainstStoreWith: an explicit tokenizer must match the " +
+      "sidecar's recorded id; matching it equals the sidecar-driven probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-tok")
+      .toString
+    Dedup.minhashStoreBandedWrite(right, "rid", "rname", dir,
+      shingleLen = 1, numHashes = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val explicit = key(FuzzyJoin.linkageAgainstStoreWith(spark, dir,
+      right, "rid", "rname", left, "id", "name", Tokenizer.Whitespace,
+      threshold = 0.5))
+    val implicitly0 = key(FuzzyJoin.linkageAgainstStore(spark, dir,
+      right, "rid", "rname", left, "id", "name", threshold = 0.5))
+    assert(explicit === implicitly0)
+    assert(explicit.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.linkageAgainstStoreWith(spark, dir, right, "rid", "rname",
+        left, "id", "name", Tokenizer.ScriptAware)
+    }
+    assert(e.getMessage.contains("does not match"))
+  }
+
   test("streamed drops against the served store union to the batch result " +
       "(no cross-batch state: every left row links independently)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

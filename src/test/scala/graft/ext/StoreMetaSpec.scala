@@ -110,6 +110,78 @@ class StoreMetaSpec extends SparkSpec {
     assert(maintained === expect)
   }
 
+  test("Dictionary store: the lexicon travels in its sidecar — probes " +
+      "reconstruct the tokenizer with nothing supplied; a drifted or " +
+      "missing wordlist refuses loudly") {
+    // Thai words (water, rice, eat, person) — unsegmented-script text the
+    // Dictionary law segments by maximal munch
+    val nam = "น้ำ"; val khao = "ข้าว"
+    val kin = "กิน"; val khon = "คน"
+    val dict = Tokenizer.Dictionary(Seq(nam, khao, kin, khon))
+    val words = Seq(nam, khao, kin, khon)
+    val thaiDocs = (0L until 24L).map(i =>
+      (i, (0 until 6).map(j => words(((i % 4).toInt + j) % 4)).mkString))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-meta-dict")
+    val store = thaiDocs.where(col("doc_id") < 16)
+    val batch = thaiDocs.where(col("doc_id") >= 16)
+    Dedup.minhashStoreBandedWrite(store, "doc_id", "text", dir,
+      shingleLen = 1, numHashes = 8, tok = dict)
+    assert(new java.io.File(dir, Tokenizer.LexiconFileName).exists(),
+      "lexicon sidecar must land next to the store")
+    // probe with NOTHING supplied: the tokenizer comes from the sidecar
+    val viaSidecar = Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch,
+        "doc_id", "text")
+      .orderBy("batch_id", "store_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val direct = Dedup.nearDupAgainstBandedStore(
+        spark.read.parquet(dir), batch, "doc_id", "text",
+        shingleLen = 1, numHashes = 8, tok = dict)
+      .orderBy("batch_id", "store_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(viaSidecar === direct)
+    assert(viaSidecar.nonEmpty,
+      "fixture should produce at least one candidate")
+    // a tampered wordlist hashes differently: refuse with both ids named.
+    // Tamper THROUGH the Hadoop fs (as any real writer would) — a raw NIO
+    // overwrite leaves the local fs's .crc sidecar stale and the read dies
+    // in ChecksumException before the content-hash check can speak.
+    val lexPath = java.nio.file.Paths.get(dir, Tokenizer.LexiconFileName)
+    val original = java.nio.file.Files.readAllBytes(lexPath)
+    val hPath = new org.apache.hadoop.fs.Path(dir, Tokenizer.LexiconFileName)
+    val hFs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hWrite(bytes: Array[Byte]): Unit = {
+      val out = hFs.create(hPath, true)
+      try out.write(bytes) finally out.close()
+    }
+    hWrite((nam + "\n" + kin).getBytes("UTF-8"))
+    val drift = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch, "doc_id", "text")
+    }
+    assert(drift.getMessage.contains("drifted"))
+    // a MISSING lexicon (legacy store) falls back to the loud fromId error
+    hFs.delete(hPath, false): Unit
+    val missing = intercept[RuntimeException] {
+      Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch, "doc_id", "text")
+    }
+    assert(missing.getMessage.contains("Dictionary"))
+    // ... which the explicit-tokenizer overload recovers from WITHOUT the
+    // sidecar file (the caller's lexicon hashes to the recorded id)
+    val explicit = Dedup.nearDupAgainstBandedStoreAtWith(spark, dir, batch,
+        "doc_id", "text", dict)
+      .orderBy("batch_id", "store_id")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(explicit === direct)
+    // a WRONG explicit lexicon still refuses (content-hash mismatch)
+    val wrong = intercept[IllegalArgumentException] {
+      Dedup.nearDupAgainstBandedStoreAtWith(spark, dir, batch,
+        "doc_id", "text", Tokenizer.Dictionary(Seq(nam, kin)))
+    }
+    assert(wrong.getMessage.contains("does not match"))
+    hWrite(original)
+    assert(java.nio.file.Files.readAllBytes(lexPath).toSeq === original.toSeq)
+  }
+
   test("fingerprint store: family mismatch throws; matching family opens") {
     val dir = tmp("graft-meta-fp")
     val fp = Seq((1L, 0x0f0fL), (2L, 0xf0f0L)).toDF("asset_id", "fp")
