@@ -350,6 +350,55 @@ object DedupCatalog {
     }),
 
 
+    // STORE COMPACTION is invisible to the probe: build the served store,
+    // append TWO maintenance batches (each a parquet append — the
+    // file-count growth a year of hourly batches turns into ~10k file
+    // groups), then StoreMeta.compact rewrites the snapshot into one file
+    // with rows, sidecar, and cap/arrival semantics untouched. The oracle
+    // restates the UNCOMPACTED chain (three arrival phases ranked into the
+    // capped representatives + the banded agreement probe) — a compaction
+    // that drops, duplicates, or re-ranks a single row hash-fails.
+    "dedup_store_compact" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = scratchDir("graft_banded_compact", d)
+      if (!new java.io.File(dir).exists()) {
+        Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") % 10 < 5),
+          "doc_id", "text", dir, cap = 2)
+        Dedup.minhashStoreBandedAppendAt(s, dir,
+          docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
+        Dedup.minhashStoreBandedAppendAt(s, dir,
+          docs.where(col("doc_id") % 10 === 6), "doc_id", "text")
+        graft.ext.StoreMeta.compact(s, dir, targetFiles = 1): Unit
+      }
+      Dedup.nearDupAgainstBandedStoreAt(s, dir,
+          docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
+        .orderBy("batch_id", "store_id")
+    }),
+
+
+    // ENTITY DELETION from the served store (right-of-erasure / retract a
+    // bad catalog entry): build on %10 < 7, delete the %10 = 6 entities'
+    // signature ROWS in place, probe the last 30%. Row semantics are the
+    // contract — a freed representative slot is NOT re-filled (only a
+    // rebuild re-derives signatures), so the oracle ranks the ORIGINAL
+    // store into its capped representatives and THEN filters the deleted
+    // ids: a delete that re-ranked, dropped a survivor, or left a deleted
+    // row matchable hash-fails.
+    "dedup_store_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = scratchDir("graft_banded_del", d)
+      if (!new java.io.File(dir).exists()) {
+        Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") % 10 < 7),
+          "doc_id", "text", dir, cap = 2)
+        Dedup.minhashStoreBandedDeleteAt(s, dir,
+          docs.where(col("doc_id") % 10 === 6).select("doc_id")): Unit
+      }
+      Dedup.nearDupAgainstBandedStoreAt(s, dir,
+          docs.where(col("doc_id") % 10 >= 7), "doc_id", "text")
+        .orderBy("batch_id", "store_id")
+    }),
+
+
     // CROSS-TABLE record linkage (fuzzy join): parts described one way
     // (name + brand + type + size) linked against a reference catalog that
     // describes a subset of them another way (name + brand + type, ids in
@@ -1932,6 +1981,65 @@ object DedupCatalog {
              s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
              .mkString(",\n         |    ")}] AS sigs FROM sh),
          |sb AS (SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 0 ELSE 1 END
+         |    AS phase, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 < 7),
+         |reps AS (SELECT * FROM (SELECT sb.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY phase, doc_id) AS rn FROM sb)
+         |  WHERE rn <= 2),
+         |bb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 >= 7),
+         |p AS (SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS store_id,
+         |    len(list_filter(range(1, 17), i -> b.sigs[i] = r.sigs[i]))::INT
+         |      AS n_agree
+         |  FROM bb b JOIN reps r ON b.band = r.band AND b.v = r.v)
+         |SELECT batch_id, store_id, n_agree,
+         |  n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,
+
+    // deletion is ROW removal AFTER the capped rank: representatives of
+    // the original store (single build phase, rank by id, cap 2), minus
+    // the deleted ids' rows, probed by the last 30%
+    "dedup_store_delete" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |sb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 < 7),
+         |reps AS (SELECT * FROM (SELECT sb.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY doc_id) AS rn FROM sb)
+         |  WHERE rn <= 2 AND doc_id % 10 != 6),
+         |bb AS (SELECT doc_id, band, sigs[band + 1]::VARCHAR AS v, sigs
+         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
+         |  WHERE doc_id % 10 >= 7),
+         |p AS (SELECT DISTINCT b.doc_id AS batch_id, r.doc_id AS store_id,
+         |    len(list_filter(range(1, 17), i -> b.sigs[i] = r.sigs[i]))::INT
+         |      AS n_agree
+         |  FROM bb b JOIN reps r ON b.band = r.band AND b.v = r.v)
+         |SELECT batch_id, store_id, n_agree,
+         |  n_agree::DOUBLE / 16 AS est_jaccard
+         |FROM p WHERE n_agree >= 8 ORDER BY batch_id, store_id""".stripMargin,
+
+    // compaction is invisible: the oracle is the UNCOMPACTED three-phase
+    // chain — representatives ranked by (arrival phase, id) per bucket
+    // (cap 2) over build(<5) + append(=5) + append(=6), probed by the
+    // last 30%'s banded agreement
+    "dedup_store_compact" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS words
+         |  FROM documents),
+         |d0 AS (SELECT doc_id, words FROM w WHERE len(words) >= 3),
+         |sh AS (SELECT doc_id, ${Sql.wordShingles3} AS s FROM d0),
+         |sig AS (SELECT doc_id, [${(1 to 16).map(j =>
+             s"('0x' || substr(list_min(list_transform(s, x -> md5('$j:' || x))), 1, 15))::BIGINT")
+             .mkString(",\n         |    ")}] AS sigs FROM sh),
+         |sb AS (SELECT doc_id, CASE WHEN doc_id % 10 < 5 THEN 0
+         |    WHEN doc_id % 10 = 5 THEN 1 ELSE 2 END
          |    AS phase, band, sigs[band + 1]::VARCHAR AS v, sigs
          |  FROM sig CROSS JOIN (SELECT unnest(range(0, 16)) AS band)
          |  WHERE doc_id % 10 < 7),

@@ -2232,7 +2232,10 @@ object Dedup {
 
   /** [[minhashStoreBandedAppend]] with the geometry read FROM the store's
     * sidecar and the delta parquet-APPENDED in place — per-batch
-    * maintenance that cannot drift from the stored contract. */
+    * maintenance that cannot drift from the stored contract. Each append
+    * adds a file group; periodically [[StoreMeta.compact]] the directory
+    * (row-exact, sidecar-preserving) so a year of batches does not become
+    * ten thousand files the probe pays for in listing and task launch. */
   def minhashStoreBandedAppendAt(spark: org.apache.spark.sql.SparkSession,
                                  dir: String, batch: DataFrame,
                                  idCol: String, textCol: String): Unit = {
@@ -2241,6 +2244,33 @@ object Dedup {
     minhashStoreBandedAppend(spark.read.parquet(dir), batch, idCol, textCol,
         shingleLen, numHashes, bandRows, cap, tok)
       .write.mode("append").parquet(dir)
+  }
+
+  /** Delete entities from a served banded store: every signature row of
+    * every id in `ids` (one column, any name) is removed in place —
+    * [[StoreMeta.delete]]'s snapshot swap keyed on `store_id`, after the
+    * sidecar confirms this IS a banded minhash store. The right-of-erasure
+    * / retract-bad-entity counterpart of [[minhashStoreBandedAppendAt]]:
+    * deleted entities stop being matchable; remaining entities' recall is
+    * unchanged (a freed representative slot is NOT re-filled — only a
+    * rebuild re-derives signatures). Returns rows removed. */
+  def minhashStoreBandedDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, ids: DataFrame): Long = {
+    bandedGeometry(spark, dir): Unit // loud family/geometry verification
+    StoreMeta.delete(spark, dir, ids, "store_id")
+  }
+
+  /** [[minhashStoreBandedDeleteAt]] for a [[fingerprintStoreWrite]] store:
+    * verifies the fingerprint family, then removes the named ids' rows
+    * (the id column's name rides the sidecar). Returns rows removed. */
+  def fingerprintStoreDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, ids: DataFrame,
+                               family: String): Long = {
+    StoreMeta.check(spark, dir, "fingerprint64",
+      Map("family" -> family, "bits" -> "64"))
+    val idCol = StoreMeta.read(spark, dir).get._2.getOrElse("idCol",
+      sys.error(s"fingerprint store under $dir records no idCol"))
+    StoreMeta.delete(spark, dir, ids, idCol)
   }
 
   /** [[nearDupAgainstBandedStore]] with the geometry read FROM the store's

@@ -191,6 +191,40 @@ object FuzzyJoin {
         batch, batchId, batchText, threshold, candidateThreshold,
         broadcastBatch, scope))
 
+  /** [[bestMatchAgainstStore]] with the caller supplying the tokenizer
+    * ([[linkageAgainstStoreWith]]'s contract — for Dictionary stores whose
+    * lexicon ships out of band; the id must equal the sidecar's). */
+  def bestMatchAgainstStoreWith(spark: org.apache.spark.sql.SparkSession,
+                                storeDir: String,
+                                catalog: DataFrame, catalogId: String,
+                                catalogText: String,
+                                batch: DataFrame, batchId: String,
+                                batchText: String, tok: Tokenizer,
+                                threshold: Double = 0.5,
+                                candidateThreshold: Double = 0.0,
+                                broadcastBatch: Boolean = true,
+                                scope: CacheScope = null): DataFrame =
+    bestOf(linkageAgainstStoreWith(spark, storeDir, catalog, catalogId,
+      catalogText, batch, batchId, batchText, tok, threshold,
+      candidateThreshold, broadcastBatch, scope))
+
+  /** [[censusAgainstStore]] with the caller supplying the tokenizer
+    * ([[linkageAgainstStoreWith]]'s contract). */
+  def censusAgainstStoreWith(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String,
+                             catalog: DataFrame, catalogId: String,
+                             catalogText: String,
+                             batch: DataFrame, batchId: String,
+                             batchText: String, tok: Tokenizer,
+                             threshold: Double = 0.5,
+                             candidateThreshold: Double = 0.0,
+                             broadcastBatch: Boolean = true,
+                             scope: CacheScope = null): DataFrame =
+    censusOf(batch.select(col(batchId).as("left_id")),
+      linkageAgainstStoreWith(spark, storeDir, catalog, catalogId,
+        catalogText, batch, batchId, batchText, tok, threshold,
+        candidateThreshold, broadcastBatch, scope))
+
   /** Frequency-weighted linkage: [[linkage]]'s candidate machinery with
     * the verify scored by WEIGHTED Jaccard, w(t) = 1/df(t) — the standard
     * record-linkage refinement for corpora whose entities are built from a

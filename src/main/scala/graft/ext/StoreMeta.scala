@@ -96,4 +96,107 @@ object StoreMeta {
 
   private def fmt(m: Map[String, String]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+
+  /** Compact a served store DIRECTORY in place: rewrite the parquet part
+    * files of the current snapshot into `targetFiles` files. Rows are
+    * preserved exactly (no re-capping, no dedup — a probe before and after
+    * is identical by construction) and the geometry sidecar, a Dictionary
+    * lexicon sidecar, and any other `_`-prefixed metadata are untouched,
+    * so the store's contract survives verbatim.
+    *
+    * Why it exists: `*AppendAt` maintenance parquet-APPENDS each batch —
+    * a year of hourly batches is ~10k file groups, and at 100 TB the probe
+    * pays that in driver listing time and task-launch overhead long before
+    * it pays it in bytes. Compaction is the standard counter-move
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files), done here at the
+    * directory-store level.
+    *
+    * Concurrency: the swap replaces EXACTLY the files the snapshot read
+    * (`inputFiles`), so a batch appended WHILE compaction runs is neither
+    * read nor deleted — append-during-compact loses nothing. Compacted
+    * files move IN before the snapshot is deleted, so a reader racing the
+    * swap can transiently double-see rows, never lose them; run probes in
+    * the same maintenance window discipline as any parquet-dir rewrite.
+    * The rewrite staging dir is `_`-prefixed, invisible to parquet dir
+    * readers.
+    *
+    * Returns the number of snapshot files rewritten (0 = already at or
+    * under `targetFiles`, nothing touched). */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    // the sidecar is the proof this is a served store, not an arbitrary
+    // parquet dir a caller is about to rewrite by accident
+    read(spark, dir).getOrElse(sys.error(
+      s"no $FileName under $dir — compact() maintains SERVED stores; " +
+        "write the store with its meta-writing API first"))
+    val df = spark.read.parquet(dir)
+    val snapshot = df.inputFiles
+    if (snapshot.length <= targetFiles) return 0L
+    swapRewrite(spark, dir, df.repartition(targetFiles), snapshot)
+    snapshot.length.toLong
+  }
+
+  /** Delete rows from a served store DIRECTORY: every row whose `idCol`
+    * appears in `ids` (a one-column frame) is removed, with the same
+    * in-place snapshot swap as [[compact]] (sidecars untouched, files not
+    * in the snapshot neither read nor deleted, move-in before delete).
+    * This is the right-of-erasure / retract-bad-entity maintenance op the
+    * append-only store family otherwise lacks.
+    *
+    * Semantics are ROW deletion, deliberately: for a capped banded store,
+    * removing a bucket representative does NOT re-admit another entity
+    * (non-representative signatures were never persisted — re-derive from
+    * the corpus and rebuild if occupancy must be restored); recall for the
+    * remaining entities is unchanged, and deleted entities simply stop
+    * being matchable. The rewrite keeps the snapshot's file count (a
+    * 100 TB store is not collapsed to one file by a deletion); follow with
+    * [[compact]] if the delete was large.
+    *
+    * Returns the number of rows deleted. */
+  def delete(spark: SparkSession, dir: String, ids: org.apache.spark.sql
+             .DataFrame, idCol: String): Long = {
+    read(spark, dir).getOrElse(sys.error(
+      s"no $FileName under $dir — delete() maintains SERVED stores; " +
+        "write the store with its meta-writing API first"))
+    require(ids.columns.length == 1,
+      s"ids must be a ONE-column frame of keys to delete, got " +
+        s"${ids.columns.mkString("(", ", ", ")")}")
+    val df = spark.read.parquet(dir)
+    require(df.columns.contains(idCol),
+      s"store under $dir has no column '$idCol' " +
+        s"(columns: ${df.columns.mkString(", ")})")
+    val snapshot = df.inputFiles
+    val key = ids.columns.head
+    val kept = df.join(ids.select(org.apache.spark.sql.functions
+        .col(key).as(idCol)).distinct(), Seq(idCol), "left_anti")
+    val before = df.count()
+    swapRewrite(spark, dir, kept.repartition(snapshot.length), snapshot)
+    before - spark.read.parquet(dir).count()
+  }
+
+  /** The in-place snapshot swap shared by [[compact]] and [[delete]]:
+    * write `out` to a `_`-prefixed staging dir (invisible to parquet dir
+    * readers), move its part files IN, then delete exactly the snapshot's
+    * files — a concurrent append is neither read nor deleted, and a
+    * racing reader can transiently double-see rows, never lose them. */
+  private def swapRewrite(spark: SparkSession, dir: String,
+                          out: org.apache.spark.sql.DataFrame,
+                          snapshot: Array[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_graft_rewrite_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    val moved = fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("part-"))
+    require(moved.nonEmpty, s"store rewrite wrote no part files under $tmp")
+    moved.foreach { f =>
+      val to = new org.apache.hadoop.fs.Path(dir, f.getPath.getName)
+      require(fs.rename(f.getPath, to), s"store rewrite move failed: $to")
+    }
+    snapshot.foreach { uri =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(uri)),
+        false): Unit
+    }
+    fs.delete(tmp, true): Unit
+  }
 }

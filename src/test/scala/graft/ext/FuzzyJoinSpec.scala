@@ -232,6 +232,25 @@ class FuzzyJoinSpec extends SparkSpec {
         left, "id", "name", Tokenizer.ScriptAware)
     }
     assert(e.getMessage.contains("does not match"))
+    // the operational forms ride the same explicit-tokenizer seam
+    val bestW = FuzzyJoin.bestMatchAgainstStoreWith(spark, dir,
+        right, "rid", "rname", left, "id", "name", Tokenizer.Whitespace,
+        threshold = 0.5)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(3)))
+      .toSet
+    val best = FuzzyJoin.bestMatchAgainstStore(spark, dir,
+        right, "rid", "rname", left, "id", "name", threshold = 0.5)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getLong(3)))
+      .toSet
+    assert(bestW === best && bestW.nonEmpty)
+    val censusW = FuzzyJoin.censusAgainstStoreWith(spark, dir,
+        right, "rid", "rname", left, "id", "name", Tokenizer.Whitespace,
+        threshold = 0.5)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val census = FuzzyJoin.censusAgainstStore(spark, dir,
+        right, "rid", "rname", left, "id", "name", threshold = 0.5)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(censusW === census)
   }
 
   test("streamed drops against the served store union to the batch result " +

@@ -110,6 +110,106 @@ class StoreMetaSpec extends SparkSpec {
     assert(maintained === expect)
   }
 
+  test("compact: rewrites the appended store to the target file count " +
+      "with rows, probe results, sidecar, and drift law all unchanged; " +
+      "an already-compact store and a sidecar-less dir are handled") {
+    val dir = tmp("graft-meta-compact")
+    Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") < 20),
+      "doc_id", "text", dir, numHashes = 8, cap = 2)
+    Dedup.minhashStoreBandedAppendAt(spark,
+      dir, docs.where(col("doc_id") >= 20 && col("doc_id") < 25),
+      "doc_id", "text")
+    Dedup.minhashStoreBandedAppendAt(spark,
+      dir, docs.where(col("doc_id") >= 25 && col("doc_id") < 30),
+      "doc_id", "text")
+    val batch = docs.where(col("doc_id") >= 30)
+    def probe() = Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch,
+        "doc_id", "text")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    def rows() = spark.read.parquet(dir)
+      .select("band", "v", "store_id")
+      .as[(Int, String, Long)].collect().toSeq.sorted
+    val before = probe()
+    val rowsBefore = rows()
+    val filesBefore = spark.read.parquet(dir).inputFiles.length
+    assert(filesBefore > 1, "appends must have fragmented the store")
+    assert(StoreMeta.compact(spark, dir, targetFiles = 1) ===
+      filesBefore.toLong)
+    assert(spark.read.parquet(dir).inputFiles.length === 1)
+    assert(rows() === rowsBefore, "compaction must preserve rows exactly")
+    assert(probe() === before, "compaction must be invisible to the probe")
+    // the contract survives: matching open succeeds, drift still throws
+    assert(Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 8, cap = 2)
+      .columns.contains("band"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 16, cap = 2)
+    }
+    // no staging debris; idempotent second call is a no-op
+    assert(!new java.io.File(dir, "_graft_rewrite_tmp").exists())
+    assert(StoreMeta.compact(spark, dir, targetFiles = 1) === 0L)
+    val bare = tmp("graft-meta-compact-bare")
+    docs.limit(5).write.mode("overwrite").parquet(bare)
+    val e = intercept[RuntimeException] {
+      StoreMeta.compact(spark, bare)
+    }
+    assert(e.getMessage.contains("no " + StoreMeta.FileName))
+  }
+
+  test("delete: removes exactly the named entities' rows in place — " +
+      "deleted ids stop matching, survivors' probe rows are untouched, " +
+      "the sidecar survives, and compact-after-delete still works") {
+    val dir = tmp("graft-meta-del")
+    Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") < 30),
+      "doc_id", "text", dir, numHashes = 8, cap = 2)
+    val batch = docs.where(col("doc_id") >= 30)
+    def probe() = Dedup.nearDupAgainstBandedStoreAt(spark, dir, batch,
+        "doc_id", "text", threshold = 0.0)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val before = probe()
+    val victims = Seq(3L, 7L, 11L).toDF("doc_id")
+    val storedVictimRows = spark.read.parquet(dir)
+      .where(col("store_id").isin(3L, 7L, 11L)).count()
+    assert(storedVictimRows > 0, "fixture must store the victims")
+    assert(Dedup.minhashStoreBandedDeleteAt(spark, dir, victims) ===
+      storedVictimRows)
+    val after = probe()
+    assert(after === before.filterNot(p => Set(3L, 7L, 11L)(p._2)),
+      "delete must remove exactly the victims' matches")
+    // sidecar intact: drift still refuses, matching open fine
+    assert(Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 8, cap = 2)
+      .columns.contains("band"))
+    intercept[IllegalArgumentException] {
+      Dedup.minhashStoreBandedOpen(spark, dir, numHashes = 16, cap = 2)
+    }
+    // deleting ids with no stored rows is a 0-row no-op
+    assert(Dedup.minhashStoreBandedDeleteAt(spark, dir,
+      Seq(999L).toDF("doc_id")) === 0L)
+    // maintenance composes: compact after delete, probe unchanged
+    if (spark.read.parquet(dir).inputFiles.length > 1)
+      assert(StoreMeta.compact(spark, dir) > 0L)
+    assert(probe() === after)
+    // a multi-column ids frame is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      StoreMeta.delete(spark, dir, docs, "store_id")
+    }
+    assert(e.getMessage.contains("ONE-column"))
+  }
+
+  test("fingerprint store: deleteAt keys on the sidecar's recorded id " +
+      "column and verifies the family first") {
+    val dir = tmp("graft-meta-fpdel")
+    val fps = (0L until 12L).map(i => (i, i * 1000L)).toDF("asset", "fp")
+    Dedup.fingerprintStoreWrite(fps, "asset", "fp", dir, "dhash-v1")
+    intercept[IllegalArgumentException] {
+      Dedup.fingerprintStoreDeleteAt(spark, dir,
+        Seq(1L).toDF("asset"), "audio-window-prints")
+    }
+    assert(Dedup.fingerprintStoreDeleteAt(spark, dir,
+      Seq(1L, 5L).toDF("asset"), "dhash-v1") === 2L)
+    assert(spark.read.parquet(dir).select("asset").as[Long].collect().toSet
+      === (0L until 12L).toSet -- Set(1L, 5L))
+  }
+
   test("Dictionary store: the lexicon travels in its sidecar — probes " +
       "reconstruct the tokenizer with nothing supplied; a drifted or " +
       "missing wordlist refuses loudly") {
