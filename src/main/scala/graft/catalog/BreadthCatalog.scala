@@ -725,6 +725,40 @@ object BreadthCatalog {
     }),
 
 
+    // TYPE WIDENING on the evolved star publish: batch 1 carries HITS as
+    // INT, batch 2 re-publishes the same column as LONG — the add-only law
+    // accepts the lossless widening (byte→short→int→long, float→double),
+    // the manifest upgrades the recorded type, and the reconciled read
+    // up-casts batch 1's INT delta to the LONG contract; the PRE-widening
+    // snapshot still reads under its own INT schema via time travel.
+    // Emitted per retained version: fact count, sum of HITS, and the live
+    // schema's type name — a missed up-cast, a silently narrowed read, or
+    // a manifest that forgot the upgrade all hash-fail.
+    "etl_star_type_widening" -> ((s, d) => {
+      val tmp = scratchDir("graft_star_widen", d)
+      val store = graft.etl.StarStore(s, tmp, Int.MaxValue, 2)
+      val ev = t(s, d, "events")
+      def raw(lo: Int, hi: Int, hitsType: String) = ev
+        .where(dayofmonth(col("ts")).between(lo, hi))
+        .select(
+          date_format(date_trunc("minute", col("ts")),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("DateTime"),
+          concat(lit("news| T"), (col("user_id") % 97).cast("string"))
+            .as("VideoTitle"),
+          lit("206").as("events"),
+          (col("user_id") % 100).cast(hitsType).as("HITS"))
+      store.runBatch(raw(1, 3, "int"), "tw1", Seq("HITS"))
+      store.runBatch(raw(4, 5, "long"), "tw2", Seq("HITS"))
+      store.versions.map { v =>
+        val f = store.readVersion("fact", v)
+        f.agg(count(lit(1)).as("n_fact"),
+            sum(col("HITS").cast("long")).as("sum_hits"))
+          .select(lit(v).as("version"), col("n_fact"), col("sum_hits"),
+            lit(f.schema("HITS").dataType.sql).as("hits_type"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
+
     // Manifest-level FILE SKIPPING (Delta/Iceberg-style data skipping):
     // events days 1-10 written range-clustered on day with per-file
     // [min,max] envelopes in a _graft_manifest.json, then a day-4..6 read
@@ -1925,6 +1959,19 @@ object BreadthCatalog {
         |SELECT 2::BIGINT, count(*)::BIGINT,
         |  count(CASE WHEN dd BETWEEN 4 AND 5 THEN 1 END)::BIGINT,
         |  count(DISTINCT CASE WHEN dd BETWEEN 4 AND 5 THEN reg END)::BIGINT
+        |FROM e WHERE dd BETWEEN 1 AND 5
+        |ORDER BY version""".stripMargin,
+
+    // per version: the cumulative day range's count and HITS sum (every
+    // event row survives clean() by construction); the type name pins the
+    // manifest upgrade INT → BIGINT
+    "etl_star_type_widening" ->
+      """WITH e AS (SELECT day(ts) AS dd, (user_id % 100) AS h FROM events)
+        |SELECT 1::BIGINT AS version, count(*)::BIGINT AS n_fact,
+        |  sum(h)::BIGINT AS sum_hits, 'INT' AS hits_type
+        |FROM e WHERE dd BETWEEN 1 AND 3
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*)::BIGINT, sum(h)::BIGINT, 'BIGINT'
         |FROM e WHERE dd BETWEEN 1 AND 5
         |ORDER BY version""".stripMargin,
 

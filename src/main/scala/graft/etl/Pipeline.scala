@@ -146,10 +146,15 @@ class StarStore(spark: SparkSession, root: String,
         // gives, exactly as the pre-evolution union behaved).
         val target = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         deltas.map { df =>
-          val have = df.columns.toSet
+          val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
           df.select(target.fields.toSeq.map { f =>
-            if (have.contains(f.name)) col(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            have.get(f.name) match {
+              case Some(f.dataType) => col(f.name)
+              // a pre-widening delta carries the narrower published type:
+              // up-cast to the recorded (lossless-widened) contract
+              case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
           }: _*)
         }.reduce(_.unionByName(_))
     }
@@ -543,13 +548,16 @@ class StarStore(spark: SparkSession, root: String,
   def runBatch(raw: DataFrame, batchId: String): Long =
     runBatch(raw, batchId, Nil)
 
-  /** [[runBatch]] with ADD-ONLY SCHEMA EVOLUTION: `extras` names raw
-    * columns to carry into the fact beyond the reference's fixed derived
-    * set. The published manifest records the fact schema; a batch must
-    * carry every column the live schema already has (add-only — a column,
-    * once published, never silently disappears mid-history) and may add
-    * new ones, which become nullable for every earlier delta: reads
-    * null-fill old deltas at the recorded type, and old SNAPSHOTS stay
+  /** [[runBatch]] with ADD-ONLY, WIDEN-ONLY SCHEMA EVOLUTION: `extras`
+    * names raw columns to carry into the fact beyond the reference's fixed
+    * derived set. The published manifest records the fact schema; a batch
+    * must carry every column the live schema already has (add-only — a
+    * column, once published, never silently disappears mid-history) at its
+    * published type or a lossless widening of it ([[StarStore.widens]]:
+    * byte→short→int→long, float→double — the manifest then records the
+    * wider type), and may add new ones, which become nullable for every
+    * earlier delta: reads null-fill missing columns and up-cast narrower
+    * pre-widening deltas at the recorded type, and old SNAPSHOTS stay
     * readable via time travel under their own (pre-evolution) schema. */
   def runBatch(raw: DataFrame, batchId: String, extras: Seq[String]): Long = {
     require(!batchId.contains("/"), s"batch id must be path-safe: $batchId")
@@ -615,12 +623,16 @@ class StarStore(spark: SparkSession, root: String,
       extras)
     val newFact = Fact.withFactIdsScalable(resolved, maxFactId)
 
-    // SCHEMA EVOLUTION, add-only: the live manifest's recorded schema (if
-    // any) must be a SUBSET of this batch's — every published column
-    // present at its published type (a column can never silently vanish or
-    // retype mid-history); columns beyond it are the evolution, appended to
-    // the recorded order so the contract stays stable for readers. Legacy
-    // stores (no recorded schema) adopt this batch's schema going forward.
+    // SCHEMA EVOLUTION, add-only + widen-only: the live manifest's recorded
+    // schema (if any) must be a SUBSET of this batch's — every published
+    // column present at its published type OR a lossless widening of it
+    // (byte→short→int→long, float→double — the Delta/Iceberg widening set;
+    // a column can never silently vanish, narrow, or cross type families
+    // mid-history). Columns beyond the recorded set are the evolution,
+    // appended to the recorded order so the contract stays stable for
+    // readers; a widened column upgrades the recorded type, and reads
+    // up-cast the narrower pre-widening deltas. Legacy stores (no recorded
+    // schema) adopt this batch's schema going forward.
     val priorSchema = prior.flatMap(_._2.factSchema)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
     priorSchema.foreach(_.fields.foreach { f =>
@@ -628,14 +640,22 @@ class StarStore(spark: SparkSession, root: String,
         sys.error(s"schema evolution is ADD-ONLY: batch $batchId lacks " +
           s"published fact column '${f.name}' (${f.dataType.sql}) — a " +
           "published column must ride every later batch"))
-      require(got.dataType == f.dataType,
+      require(got.dataType == f.dataType ||
+          StarStore.widens(f.dataType, got.dataType),
         s"fact column '${f.name}' changed type: published ${f.dataType.sql}" +
-          s", batch $batchId carries ${got.dataType.sql}")
+          s", batch $batchId carries ${got.dataType.sql} — only lossless " +
+          "widening (byte->short->int->long, float->double) evolves a " +
+          "published type")
     })
     val mergedSchema = priorSchema match {
       case None => newFact.schema
       case Some(ps) =>
-        org.apache.spark.sql.types.StructType(ps.fields ++
+        org.apache.spark.sql.types.StructType(ps.fields.map { f =>
+          // a widened column records the WIDER type from this version on
+          val got = newFact.schema.fields.find(_.name == f.name).get
+          if (got.dataType != f.dataType) f.copy(dataType = got.dataType)
+          else f
+        } ++
           newFact.schema.fields.filterNot(f => ps.fieldNames.contains(f.name))
             .map(_.copy(nullable = true))) // null-filled in pre-evolution deltas
     }
@@ -772,6 +792,22 @@ object StarStore {
     * steady-state ingest rarely pays a compaction, low enough that the
     * fact-union plan stays a handful of parquet roots. */
   val DefaultAutoCompactAfter: Int = 16
+
+  /** The lossless type-widening lattice schema evolution accepts
+    * (byte→short→int→long along the integral chain, float→double): every
+    * value of `from` is exactly representable in `to`, so up-casting a
+    * pre-widening delta at read time loses nothing. Anything else —
+    * narrowing, integral↔floating, string↔anything — is a REtype, which
+    * evolution refuses. */
+  private[etl] def widens(from: org.apache.spark.sql.types.DataType,
+                          to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    val i = integral.indexOf(from)
+    (i >= 0 && integral.indexOf(to) > i) ||
+      (from == FloatType && to == DoubleType)
+  }
 
   /** Bound on concurrent-publish recomputes in [[StarStore.runBatch]] —
     * each retry means another writer committed first, so hitting the bound

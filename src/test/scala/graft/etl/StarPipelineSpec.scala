@@ -138,6 +138,81 @@ class StarPipelineSpec extends SparkSpec {
     assert(compacted.where(col("SOURCE").isNotNull).count() === 2)
   }
 
+  test("schema evolution widens losslessly: INT->LONG upgrades the " +
+      "recorded type and up-casts the old delta; narrowing and " +
+      "cross-family retypes refuse") {
+    val root = tmpDir("graft-schema-widen")
+    val store = StarStore(spark, root, Int.MaxValue, 3)
+    val raw1 = rawBatch1.withColumn("HITS", lit(7).cast("int"))
+    assert(store.runBatch(raw1, "w1", Seq("HITS")) === 3)
+    assert(store.fact.schema("HITS").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+
+    // widen INT -> LONG: accepted, manifest records LONG, old delta casts
+    val raw2 = rawBatch2.withColumn("HITS", lit(9000000000L))
+    assert(store.runBatch(raw2, "w2", Seq("HITS")) === 2)
+    val f = store.fact
+    assert(f.schema("HITS").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(f.count() === 5)
+    assert(f.groupBy().sum("HITS").as[Long].head() ===
+      3L * 7 + 2L * 9000000000L)
+    // pre-widening snapshot keeps INT via time travel
+    assert(store.readVersion("fact", store.versions.head)
+      .schema("HITS").dataType === org.apache.spark.sql.types.IntegerType)
+
+    // narrowing LONG -> INT refuses
+    def bump(df: org.apache.spark.sql.DataFrame, from: String, to: String) =
+      df.withColumn("DateTime", regexp_replace(col("DateTime"), from, to))
+    val narrow = intercept[Exception] {
+      store.runBatch(bump(raw1, "T00:0", "T00:2"), "w3", Seq("HITS"))
+    }
+    assert(narrow.getMessage.contains("only lossless widening"))
+    // cross-family INT-chain -> DOUBLE refuses too
+    val cross = intercept[Exception] {
+      store.runBatch(bump(raw1, "T00:0", "T00:3")
+        .withColumn("HITS", lit(1.5)), "w4", Seq("HITS"))
+    }
+    assert(cross.getMessage.contains("only lossless widening"))
+  }
+
+  test("incremental: extras + an evolved raw schema flow through the " +
+      "stream into the fact (continuous schema evolution)") {
+    val stage = tmpDir("graft-stage-ev")
+    val root = tmpDir("graft-star-inc-ev")
+    val ckpt = tmpDir("graft-ckpt-ev")
+    def drop(name: String, header: String, rows: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$stage/$name"),
+        (header +: rows).mkString("\n"))
+    // phase 1: the reference schema, no extras
+    drop("f1.csv", "DateTime,VideoTitle,events",
+      Seq("2017-01-11T00:00:53.000Z,news| Shark attack, \"127,206\""))
+    Incremental.run(spark, stage, root, ckpt).awaitTermination()
+    assert(StarStore(spark, root).fact.count() === 1)
+    // phase 2: the feed evolved — REGION lands in stage files, the caller
+    // names it and ships the widened schema; a fresh checkpoint+stage dir
+    // (a schema change is a new stream contract, the file source cannot
+    // re-infer mid-checkpoint)
+    val stage2 = tmpDir("graft-stage-ev2")
+    val ckpt2 = tmpDir("graft-ckpt-ev2")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$stage2/f2.csv"),
+      Seq("DateTime,VideoTitle,events,REGION",
+        "2017-01-11T00:05:00.000Z,iPhone|Clips|V, \"206\",emea")
+        .mkString("\n"))
+    val evolved = org.apache.spark.sql.types.StructType(
+      RawSchemas.raw.fields :+ org.apache.spark.sql.types.StructField(
+        "REGION", org.apache.spark.sql.types.StringType))
+    Incremental.run(spark, stage2, root, ckpt2,
+      extras = Seq("REGION"), rawSchema = evolved).awaitTermination()
+    val f = StarStore(spark, root).fact
+    assert(f.count() === 2)
+    assert(f.where(col("REGION") === "emea").count() === 1)
+    assert(f.where(col("REGION").isNull).count() === 1,
+      "the pre-evolution delta must null-fill")
+  }
+
   test("publish survives a crashed predecessor: orphan version dir + lost CURRENT") {
     val root = tmpDir("graft-crash")
     val store = StarStore(spark, root)
