@@ -279,6 +279,33 @@ object SimilarityCatalog {
     }),
 
 
+    // SOFT-DELETE on the served hnsw index: the %7=3 vectors are
+    // tombstoned, the sidecar-driven search excludes them from every
+    // result while their nodes still ROUTE the descent (the standard HNSW
+    // erasure — hard-removing edges would disconnect neighborhoods), and
+    // survivors backfill the top-10 from the same beam. The oracle is the
+    // FULL descent restatement (tombstoned nodes still carry the beam)
+    // with the exclusion applied exactly where the engine applies it — on
+    // the final candidate set before the rank cut — so a tombstone that
+    // leaked into results, pruned routing, or re-ranked survivors
+    // hash-fails.
+    "sim_hnsw_tombstone" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = scratchDir("graft_hnsw_tomb", d)
+      if (!new java.io.File(dir).exists()) {
+        val idx = Similarity.hnswBuild(emb, "vec_id", "embedding",
+          knnK = 5, bits = Similarity.AdaptiveBits)
+        Similarity.hnswSave(idx, dir, knnK = 5, bits = Similarity.AdaptiveBits)
+        Similarity.hnswTombstoneAt(s, dir,
+          emb.where(col("vec_id") % 7 === 3).select("vec_id")): Unit
+      }
+      Similarity.hnswSearchPrebuiltAt(s, dir, emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, beamWidth = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+
     // Incremental append for the HIERARCHICAL index (sim_graph_append per
     // layer): index built over the first 300 vectors (maxLevel = 1 — base
     // 6-bit / upper 4-bit adaptive widths at 300/34 nodes), the other 200
@@ -1903,6 +1930,20 @@ object SimilarityCatalog {
          |  FROM f0_2 f JOIN q ON q.query_id = f.query_id
          |  JOIN n c ON c.vec_id = f.id
          |  WHERE f.id <> f.query_id)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // the same descent (tombstoned nodes still route the beam), with the
+    // exclusion applied on the final candidate set before the rank cut
+    "sim_hnsw_tombstone" ->
+      s"""WITH $hnswOracleCtes
+         |SELECT query_id, rank, id, score FROM (
+         |  SELECT f.query_id, f.id AS id,
+         |    ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) AS score,
+         |    row_number() OVER (PARTITION BY f.query_id
+         |      ORDER BY ${Sql.dot("q.qv", "c.v")} / (q.qnm * c.nm) DESC, f.id)::INT AS rank
+         |  FROM f0_2 f JOIN q ON q.query_id = f.query_id
+         |  JOIN n c ON c.vec_id = f.id
+         |  WHERE f.id <> f.query_id AND f.id % 7 <> 3)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // search ∘ build ≡ the fused operator (ExtSpec law), so the prebuilt

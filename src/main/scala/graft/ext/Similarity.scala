@@ -2014,8 +2014,12 @@ object Similarity {
                          maxLevel: Int = 2, hopsPerLevel: Int = 1,
                          baseHops: Int = 2, salt: String = "hnsw",
                          degBound: Int = -1,
-                         scope: CacheScope = null): DataFrame = {
+                         scope: CacheScope = null,
+                         exclude: DataFrame = null): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(exclude == null || exclude.columns.length == 1,
+      "exclude must be a ONE-column frame of result-banned ids, got " +
+        (if (exclude == null) "" else exclude.columns.mkString("(", ", ", ")")))
     require(hopsPerLevel >= 0 && baseHops >= 0,
       s"bad hops: $hopsPerLevel/$baseHops")
     // pin the query projection (r15, the graphTopK rationale): the
@@ -2058,9 +2062,19 @@ object Similarity {
           (index.where(col("level") === level)
             .select(col("id").as("_gid"), col("nbr_id")), false),
         degBound = deg, topLayerCount = nAtLeast(maxLevel))
-      val out = TopK.topKPerKey(
-          beamScored(cAll.select("_gid", "cv"), q)(frontier),
-          "query_id", "score", "_gid", k)
+      // tombstone exclusion lands on the CANDIDATE set, before the top-k
+      // cut — excluded nodes still ROUTED the descent (their edges carried
+      // the beam), they just cannot surface, and survivors backfill the k
+      // from the same beam; the exclusion set is tombstone-sized, so it
+      // broadcasts
+      val candAll = beamScored(cAll.select("_gid", "cv"), q)(frontier)
+      val cand =
+        if (exclude == null) candAll
+        else candAll.join(
+          broadcast(exclude.select(col(exclude.columns.head).as("_gid"))
+            .distinct()),
+          Seq("_gid"), "left_anti")
+      val out = TopK.topKPerKey(cand, "query_id", "score", "_gid", k)
         .toDF("query_id", "rank", "id", "score")
       if (scope != null) {
         scope.own(frontier); scope.own(cAll)
@@ -2112,6 +2126,71 @@ object Similarity {
     StoreMeta.check(spark, dir, "hnsw",
       Map("m" -> m.toString, "maxLevel" -> maxLevel.toString, "salt" -> salt))
     spark.read.parquet(dir)
+  }
+
+  /** The tombstone sidecar dir of a served hnsw index (underscore-prefixed:
+    * invisible to the index's own parquet read). */
+  val HnswTombstoneDir = "_graft_tombstones"
+
+  /** SOFT-DELETE ids from a served hnsw index (right of erasure for the
+    * ANN family): ids land in a tombstone sidecar next to the index, and
+    * [[hnswSearchPrebuiltAt]] bans them from every RESULT while their
+    * nodes keep ROUTING the descent — the standard HNSW soft-delete
+    * (hard-removing a node's edges disconnects its neighborhood and
+    * silently degrades recall for the survivors; rebuild the index to
+    * reclaim tombstoned mass). Ids must be integral (the library's index
+    * id contract — they round-trip the sidecar as longs). Append-mode and
+    * idempotent (re-tombstoning is a no-op at read, which distincts).
+    * Returns the tombstone-set size after the append. */
+  def hnswTombstoneAt(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, ids: DataFrame): Long = {
+    val kind = StoreMeta.read(spark, dir).map(_._1).getOrElse(sys.error(
+      s"no ${StoreMeta.FileName} under $dir — tombstones maintain SERVED " +
+        "hnsw indexes; write the index with hnswSave first"))
+    require(kind == "hnsw", s"store under $dir is kind '$kind', not hnsw")
+    require(ids.columns.length == 1,
+      s"ids must be a ONE-column frame of index ids, got " +
+        ids.columns.mkString("(", ", ", ")"))
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$dir/$HnswTombstoneDir")
+    hnswTombstonesAt(spark, dir).count()
+  }
+
+  /** The current tombstone set of a served hnsw index: one `id` column,
+    * distinct; empty when nothing was ever tombstoned. */
+  def hnswTombstonesAt(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, HnswTombstoneDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString).distinct()
+    else spark.range(0).select(col("id"))
+  }
+
+  /** [[hnswSearchPrebuilt]] against a SERVED index: the level-assignment
+    * geometry (m, maxLevel, salt) comes FROM the sidecar — drift
+    * impossible by construction — and the tombstone sidecar's ids are
+    * excluded from every result (still routing; see [[hnswTombstoneAt]]).
+    * `vecs` must carry the index's corpus INCLUDING tombstoned vectors —
+    * dropping them from `vecs` only costs routing, never correctness. */
+  def hnswSearchPrebuiltAt(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           vecs: DataFrame, idCol: String, vecCol: String,
+                           queries: DataFrame, qidCol: String,
+                           qvecCol: String,
+                           k: Int, beamWidth: Int,
+                           hopsPerLevel: Int = 1, baseHops: Int = 2,
+                           degBound: Int = -1,
+                           scope: CacheScope = null): DataFrame = {
+    val (kind, f) = StoreMeta.read(spark, dir).getOrElse(sys.error(
+      s"no ${StoreMeta.FileName} under $dir — cannot assume descent " +
+        "geometry; write the index with hnswSave"))
+    require(kind == "hnsw", s"store under $dir is kind '$kind', not hnsw")
+    hnswSearchPrebuilt(vecs, idCol, vecCol, spark.read.parquet(dir),
+      queries, qidCol, qvecCol, k, beamWidth,
+      m = f("m").toInt, maxLevel = f("maxLevel").toInt,
+      hopsPerLevel = hopsPerLevel, baseHops = baseHops, salt = f("salt"),
+      degBound = degBound, scope = scope,
+      exclude = hnswTombstonesAt(spark, dir))
   }
 
   /** Persist a pinned centroid set (the [[ivfAssign]]/[[ivfSearchAssigned]]

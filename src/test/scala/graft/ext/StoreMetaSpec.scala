@@ -325,6 +325,56 @@ class StoreMetaSpec extends SparkSpec {
       === search(idx))
   }
 
+  test("hnsw tombstones: sidecar-driven search bans tombstoned ids from " +
+      "results while their nodes still route; idempotent appends; a " +
+      "non-hnsw dir refuses") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(j => math.sin(i * 1.7 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = Similarity.hnswBuild(vecs, "vec_id", "embedding",
+      knnK = 4, bits = 2, m = 4, maxLevel = 1)
+    val dir = tmp("graft-meta-hnsw-tomb")
+    Similarity.hnswSave(idx, dir, knnK = 4, bits = 2, m = 4, maxLevel = 1)
+    val q = vecs.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    def searchAt() =
+      Similarity.hnswSearchPrebuiltAt(spark, dir, vecs, "vec_id",
+          "embedding", q, "query_id", "embedding", k = 3, beamWidth = 6)
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    // no tombstones yet: the served search equals the direct one
+    val direct = Similarity.hnswSearchPrebuilt(vecs, "vec_id", "embedding",
+        idx, q, "query_id", "embedding", k = 3, beamWidth = 6,
+        m = 4, maxLevel = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(searchAt().sorted === direct.sorted)
+    // tombstone every id that surfaced for query 0 — the survivors must
+    // backfill the k from the same beam, and no banned id may appear
+    val banned = direct.filter(_._1 == 0L).map(_._3).toSet
+    assert(Similarity.hnswTombstoneAt(spark, dir,
+      banned.toSeq.toDF("vec_id")) === banned.size.toLong)
+    val after = searchAt()
+    assert(after.forall(r => !banned.contains(r._3)))
+    assert(after.count(_._1 == 0L) === 3,
+      "survivors must backfill k from the beam")
+    // the exclusion equals the direct search with the same exclude set
+    val directEx = Similarity.hnswSearchPrebuilt(vecs, "vec_id",
+        "embedding", idx, q, "query_id", "embedding", k = 3, beamWidth = 6,
+        m = 4, maxLevel = 1, exclude = banned.toSeq.toDF("vec_id"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(after.sorted === directEx.sorted)
+    // idempotent re-append; set size is stable
+    assert(Similarity.hnswTombstoneAt(spark, dir,
+      banned.toSeq.toDF("vec_id")) === banned.size.toLong)
+    // a non-hnsw store refuses
+    val banded = tmp("graft-meta-hnsw-tomb-banded")
+    Dedup.minhashStoreBandedWrite(docs.where(col("doc_id") < 10),
+      "doc_id", "text", banded, numHashes = 8)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hnswTombstoneAt(spark, banded, Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("not hnsw"))
+  }
+
   test("pinned centroids: dim mismatch throws; round-trip preserves ids " +
       "and vectors") {
     val cents: Seq[(Any, Seq[Double])] =
