@@ -2166,6 +2166,46 @@ object Similarity {
     else spark.range(0).select(col("id"))
   }
 
+  /** RECLAIM a tombstone-laden served index: rebuild from the surviving
+    * vectors (every construction parameter — m, maxLevel, salt, knnK,
+    * bits — read from the sidecar, so the rebuild cannot drift from the
+    * original contract), save over the old index, and clear the tombstone
+    * sidecar. `vecs` is the full corpus (tombstoned vectors are dropped
+    * here — this is the op that finally hard-removes them); after it,
+    * routing no longer passes through deleted mass. Returns the number of
+    * tombstones reclaimed (0 = nothing to do, index untouched). */
+  def hnswRebuildAt(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    vecs: DataFrame, idCol: String, vecCol: String): Long = {
+    val (kind, f) = StoreMeta.read(spark, dir).getOrElse(sys.error(
+      s"no ${StoreMeta.FileName} under $dir — rebuild maintains SERVED " +
+        "hnsw indexes; write the index with hnswSave first"))
+    require(kind == "hnsw", s"store under $dir is kind '$kind', not hnsw")
+    // materialize the tombstone set to the driver BEFORE the rebuild: the
+    // overwrite save deletes the index dir — including the tombstone
+    // sidecar — while a lazy plan would still be reading it mid-write;
+    // tombstone sets are erasure-request-sized, never corpus-sized
+    val tsIds = hnswTombstonesAt(spark, dir)
+      .collect().map(_.getLong(0))
+    if (tsIds.isEmpty) return 0L
+    val (m, maxLevel, salt) = (f("m").toInt, f("maxLevel").toInt, f("salt"))
+    val (knnK, bits) = (f("knnK").toInt, f("bits").toInt)
+    val banned = spark.createDataset(tsIds.toSeq)(
+        org.apache.spark.sql.Encoders.scalaLong)
+      .toDF("id")
+      .select(col("id").cast(vecs.schema(idCol).dataType).as(idCol))
+    val survivors = vecs.join(broadcast(banned), Seq(idCol), "left_anti")
+    val idx = hnswBuild(survivors, idCol, vecCol, knnK = knnK, bits = bits,
+      m = m, maxLevel = maxLevel, salt = salt)
+    hnswSave(idx, dir, knnK = knnK, bits = bits, m = m,
+      maxLevel = maxLevel, salt = salt)
+    // the overwrite save already cleared the dir (tombstones included);
+    // this sweep covers filesystems whose overwrite preserves subdirs
+    val p = new org.apache.hadoop.fs.Path(dir, HnswTombstoneDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, true): Unit
+    tsIds.length.toLong
+  }
+
   /** [[hnswSearchPrebuilt]] against a SERVED index: the level-assignment
     * geometry (m, maxLevel, salt) comes FROM the sidecar — drift
     * impossible by construction — and the tombstone sidecar's ids are

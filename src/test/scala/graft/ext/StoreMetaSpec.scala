@@ -373,6 +373,27 @@ class StoreMetaSpec extends SparkSpec {
       Similarity.hnswTombstoneAt(spark, banded, Seq(1L).toDF("id"))
     }
     assert(e.getMessage.contains("not hnsw"))
+    // REBUILD reclaims: the index rebuilds from survivors under the
+    // sidecar's own construction parameters, the tombstone sidecar clears,
+    // and the served search equals a fresh build over the survivor set
+    assert(Similarity.hnswRebuildAt(spark, dir, vecs, "vec_id",
+      "embedding") === banned.size.toLong)
+    assert(Similarity.hnswTombstonesAt(spark, dir).count() === 0L)
+    val survivors = vecs.where(!col("vec_id").isin(banned.toSeq: _*))
+    val fresh = Similarity.hnswBuild(survivors, "vec_id", "embedding",
+      knnK = 4, bits = 2, m = 4, maxLevel = 1)
+    val freshSearch = Similarity.hnswSearchPrebuilt(survivors, "vec_id",
+        "embedding", fresh, q, "query_id", "embedding", k = 3,
+        beamWidth = 6, m = 4, maxLevel = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val rebuilt = Similarity.hnswSearchPrebuiltAt(spark, dir, survivors,
+        "vec_id", "embedding", q, "query_id", "embedding", k = 3,
+        beamWidth = 6)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(rebuilt.sorted === freshSearch.sorted)
+    // nothing tombstoned → rebuild is a no-op
+    assert(Similarity.hnswRebuildAt(spark, dir, vecs, "vec_id",
+      "embedding") === 0L)
   }
 
   test("pinned centroids: dim mismatch throws; round-trip preserves ids " +
