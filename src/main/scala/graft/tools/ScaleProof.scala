@@ -450,6 +450,41 @@ object ScaleProof {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
+    // r18 served-store MAINTENANCE at scale: a corpus-sized banded store
+    // fragmented by 8 appended drops, then compacted (row-exact snapshot
+    // swap) and 1%-deleted — wall and shuffle must track the STORE SIZE
+    // once (each op is a full rewrite, the honest cost of directory-store
+    // maintenance) and the probe must stay batch-bounded before and after.
+    if (wanted("store_maint")) {
+      val batch = docs.where(col("doc_id") % 50 === 0)
+      val corpus = docs.where(col("doc_id") % 50 =!= 0)
+      val cap = Dedup.adaptiveBucketCap(corpus.count())
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_sproof_maint").toString + "/banded"
+      Dedup.minhashStoreBandedWrite(corpus, "doc_id", "text", dir, cap = cap)
+      (0 until 8).foreach { i =>
+        Dedup.minhashStoreBandedAppendAt(spark, dir,
+          batch.where((col("doc_id") / 50) % 8 === i), "doc_id", "text")
+      }
+      val filesBefore = spark.read.parquet(dir).inputFiles.length
+      measured("store_probe_fragmented") {
+        Dedup.nearDupAgainstBandedStoreAt(spark, dir,
+          docs.where(col("doc_id") % 97 === 3), "doc_id", "text").count()
+      }
+      measured("store_compact") {
+        graft.ext.StoreMeta.compact(spark, dir, targetFiles = 32)
+      }
+      println(s"  files: $filesBefore -> " +
+        s"${spark.read.parquet(dir).inputFiles.length}")
+      measured("store_probe_compacted") {
+        Dedup.nearDupAgainstBandedStoreAt(spark, dir,
+          docs.where(col("doc_id") % 97 === 3), "doc_id", "text").count()
+      }
+      measured("store_delete_1pct") {
+        Dedup.minhashStoreBandedDeleteAt(spark, dir,
+          docs.where(col("doc_id") % 100 === 7).select("doc_id"))
+      }
+    }
     if (wanted("curation_drop_templates")) measured("curation_drop_templates") {
       val pages = docs.select(col("doc_id"),
         concat(lit("h"), col("doc_id") % 199).as("host"),
