@@ -537,6 +537,27 @@ object DedupCatalog {
     }),
 
 
+    // The WEIGHTED candidate SAMPLER on the same rare-token regime:
+    // weightedCandidates = 24 replaces unweighted banding with integer-
+    // replication minhash — token t expands to ceil(24/df) virtual tokens
+    // "t#i", and unweighted Jaccard of the expansions IS the 24-quantized
+    // weighted Jaccard, so band-collision probability tracks the verify's
+    // own score (a true pair's J_w ≈ 0.5+ bands with P ≈ 1-2^-16 instead
+    // of the raw-Jaccard ≈ 0.07 curve). No rareDf floor here — the row
+    // gates the sampler itself: the oracle restates the expansion, the
+    // md5 law over replica strings, the banding + joint cap, and the
+    // exact 1/df-weighted verify, so a wrong replica count, a drifted
+    // quantization, or a sampler that lost a promoted pair hash-fails.
+    "dedup_fuzzy_weighted_cws" -> ((s, d) => {
+      val (left, right) = fuzzyRareFixture(t(s, d, "part"))
+      FuzzyJoin.weightedLinkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          numHashes = 16, threshold = 0.5, maxBucketSize = 150,
+          weightedCandidates = 24)
+        .orderBy("left_id", "right_id")
+    }),
+
+
     // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
     // mixed-script fixture: each base doc gets a twin differing in one
     // trailing latin word, with its Han/Katakana/Thai runs glued to the
@@ -1421,6 +1442,73 @@ object DedupCatalog {
          |cand AS (SELECT lid, rid FROM candb
          |  UNION SELECT DISTINCT tl.id AS lid, tr.id AS rid
          |    FROM tl JOIN tr ON tl.t = tr.t),
+         |ptok AS (SELECT lid, rid, u.t AS t,
+         |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
+         |  FROM cand JOIN shl x ON x.id = cand.lid
+         |  JOIN shr y ON y.id = cand.rid,
+         |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
+         |wt AS (SELECT lid, rid, t, 1::DOUBLE / df AS w, b
+         |  FROM ptok JOIN vocab USING (t)),
+         |es AS (SELECT lid, rid,
+         |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
+         |  FROM wt GROUP BY lid, rid),
+         |sc AS (SELECT lid, rid,
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
+         |      (a, x) -> a + x) /
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(es, e -> e.w)),
+         |      (a, x) -> a + x) AS wjaccard
+         |  FROM es)
+         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
+         |WHERE wjaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin
+    },
+
+    // the weighted SAMPLER row: same fixture/verify as _rare, candidates
+    // from banding over the ceil(24/df)-replicated token sets (no rareDf)
+    "dedup_fuzzy_weighted_cws" -> {
+      val sigs16 = "[" + (1 to 16).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+      s"""WITH pt AS (SELECT *,
+         |    'p' || round(p_retailprice * 10)::BIGINT::VARCHAR AS ptok
+         |  FROM part),
+         |lw AS (SELECT p_partkey AS id, string_split(lower(
+         |    p_name || ' ' || p_brand || ' ' || p_type || ' ' ||
+         |    p_size::VARCHAR || ' ' || ptok), ' ') AS words FROM pt),
+         |rw AS (SELECT p_partkey + 3000000 AS id, string_split(lower(
+         |    'invoice acct' || (p_partkey % 3)::VARCHAR ||
+         |    ' region' || (p_partkey % 7)::VARCHAR || ' ' || ptok),
+         |    ' ') AS words
+         |  FROM pt WHERE p_partkey % 2 = 0),
+         |shl AS (SELECT id, list_distinct(words) AS s FROM lw
+         |  WHERE len(words) >= 1),
+         |shr AS (SELECT id, list_distinct(words) AS s FROM rw
+         |  WHERE len(words) >= 1),
+         |vocab AS (SELECT t, count(*) AS df FROM (
+         |    SELECT id, unnest(s) AS t FROM shl
+         |    UNION ALL SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
+         |vw AS (SELECT t, ceil(24::DOUBLE / df)::INT AS wk FROM vocab),
+         |exl AS (SELECT e.id, list(e.t || '#' || r.i::VARCHAR) AS s FROM
+         |  (SELECT id, unnest(s) AS t FROM shl) e JOIN vw USING (t),
+         |  unnest(range(1, vw.wk + 1)) AS r(i) GROUP BY e.id),
+         |exr AS (SELECT e.id, list(e.t || '#' || r.i::VARCHAR) AS s FROM
+         |  (SELECT id, unnest(s) AS t FROM shr) e JOIN vw USING (t),
+         |  unnest(range(1, vw.wk + 1)) AS r(i) GROUP BY e.id),
+         |sigl AS (SELECT id, $sigs16 AS sigs FROM exl),
+         |sigr AS (SELECT id, $sigs16 AS sigs FROM exr),
+         |bl AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigl
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |br AS (SELECT id, band::INT AS band, sigs[band + 1] AS v FROM sigr
+         |  CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |ok AS (SELECT band, v FROM (SELECT band, v, count(*) AS n
+         |    FROM (SELECT * FROM bl UNION ALL SELECT * FROM br)
+         |    GROUP BY band, v) WHERE n <= 150),
+         |blc AS (SELECT bl.* FROM bl
+         |  SEMI JOIN ok ON bl.band = ok.band AND bl.v = ok.v),
+         |brc AS (SELECT br.* FROM br
+         |  SEMI JOIN ok ON br.band = ok.band AND br.v = ok.v),
+         |cand AS (SELECT DISTINCT blc.id AS lid, brc.id AS rid
+         |  FROM blc JOIN brc ON blc.band = brc.band AND blc.v = brc.v),
          |ptok AS (SELECT lid, rid, u.t AS t,
          |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
          |  FROM cand JOIN shl x ON x.id = cand.lid

@@ -251,7 +251,11 @@ object FuzzyJoin {
     * exact-gated, not probabilistic; pairs whose weighted evidence is
     * spread across common tokens still ride the banded channel (their raw
     * Jaccard is high, where banding recall is near 1). rareDf = 0 (the
-    * default) keeps the pure-banded behavior.
+    * default) keeps the pure-banded behavior. `weightedCandidates` = K
+    * upgrades the banded channel itself to a WEIGHTED sampler (integer-
+    * replication minhash: collision probability = the K-quantized weighted
+    * Jaccard — see the inline note), so the banding curve is governed by
+    * the verify's own score for EVERY pair shape, at K× signature cost.
     *
     * Portability discipline: the per-pair score folds weights in
     * TOKEN-SORTED order with a strict left fold from 0.0, so an external
@@ -263,24 +267,63 @@ object FuzzyJoin {
                       threshold: Double = 0.5,
                       maxBucketSize: Int = Int.MaxValue,
                       rareDf: Int = 0,
+                      weightedCandidates: Int = 0,
                       scope: CacheScope = null,
                       tok: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
     require(maxBucketSize > 0, s"maxBucketSize must be positive: $maxBucketSize")
     require(rareDf >= 0, s"rareDf must be >= 0 (0 disables): $rareDf")
+    require(weightedCandidates >= 0,
+      s"weightedCandidates must be >= 0 (0 disables): $weightedCandidates")
     // token-level (shingleLen = 1): df weights are per TOKEN — a weighted
     // Jaccard over n-gram shingles would need shingle-level df, which is
     // the same code with a different unit; the token unit is the linkage
     // standard (entity strings are short).
     val shL = shingled(left, leftId, leftText, 1, scope, tok)
     val shR = shingled(right, rightId, rightText, 1, scope, tok)
-    val bL = banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l")
-    val bR = banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r")
     // df over entity-token incidences (sets per entity, so df = #entities
     // containing t across both tables)
     val vocab = shL.select(explode(col("sh")).as("_fj_t"))
       .unionByName(shR.select(explode(col("sh")).as("_fj_t")))
       .groupBy("_fj_t").agg(count(lit(1)).as("_fj_df"))
+    // The banded channel samples UNWEIGHTED Jaccard unless
+    // `weightedCandidates` = K > 0 switches it to a WEIGHTED sampler by
+    // integer replication: token t expands into ceil(K/df(t)) virtual
+    // tokens "t#1".."t#W" and the SAME portable md5 minhash law runs over
+    // the expanded sets — unweighted Jaccard of the expansions IS the
+    // K-quantized weighted Jaccard (Σ_∩ W / Σ_∪ W with W = ceil(K/df), the
+    // classic exact-for-integer-weights reduction), so a band collides
+    // with probability governed by (near) the score the verify thresholds
+    // on, not the raw Jaccard the weighting exists to override. A rare
+    // token (df = 1) carries K replicas, a stop token 1 — the promoted
+    // regime (one shared rare token among many common ones) goes from
+    // banding-probability ~Jaccard≈0.07 to ~J_w≈0.5 at the same seed
+    // count. K bounds both the quantization error (weights resolve to
+    // 1/K steps) and the expansion (≤ K virtual tokens per token);
+    // 16-32 is plenty for 1/df weights. Everything stays engine-portable:
+    // replica strings, md5 mins, banding, and the cap restate in SQL
+    // verbatim. rareDf composes on top for a DETERMINISTIC floor.
+    def weightedBanded(sh: DataFrame, outCol: String): DataFrame = {
+      val vocabW = vocab.select(col("_fj_t"),
+        ceil(lit(weightedCandidates.toDouble) / col("_fj_df"))
+          .cast("int").as("_fj_wk"))
+      sh.select(col("_fj_id"), explode(col("sh")).as("_fj_t"))
+        .join(broadcast(vocabW), "_fj_t")
+        .select(col("_fj_id"), col("_fj_t"),
+          explode(sequence(lit(1), col("_fj_wk"))).as("_fj_i"))
+        .select(col("_fj_id"),
+          concat(col("_fj_t"), lit("#"), col("_fj_i")).as("_fj_tr"))
+        .groupBy("_fj_id").agg(collect_list(col("_fj_tr")).as("shx"))
+        .select(col("_fj_id").as(outCol),
+          posexplode(Dedup.minhashSignature(col("shx"), numHashes)))
+        .select(col(outCol), col("pos").as("band"), col("col").as("v"))
+        .where(col("v").isNotNull)
+    }
+    val (bL, bR) =
+      if (weightedCandidates == 0)
+        (banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l"),
+          banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r"))
+      else (weightedBanded(shL, "_fj_l"), weightedBanded(shR, "_fj_r"))
     val bandedCand = cappedCandidates(bL, bR, maxBucketSize)
     val cand =
       if (rareDf == 0) bandedCand

@@ -182,6 +182,19 @@ class FuzzyJoinSpec extends SparkSpec {
     val pure = wkey(FuzzyJoin.weightedLinkage(l, "id", "name",
       r, "rid", "rname", numHashes = 16, threshold = 0.4))
     assert(pure.subsetOf(got))
+    // the WEIGHTED SAMPLER finds the same regime with no deterministic
+    // floor: integer-replication banding collides with probability ~ the
+    // quantized weighted Jaccard (J_w of a true pair here ≈ 0.5, so a
+    // 16-seed miss is ~2e-5 — and the fixture is a FIXED function of the
+    // md5 law, so this either passes forever or never)
+    val cws = wkey(FuzzyJoin.weightedLinkage(l, "id", "name",
+      r, "rid", "rname", numHashes = 16, threshold = 0.4,
+      weightedCandidates = 24))
+    assert(cws === brute,
+      "the weighted sampler must recall every promoted pair on this fixture")
+    // ...while pure unweighted banding demonstrably misses some of them
+    assert(pure.size < brute.size,
+      "fixture must sit in the regime unweighted banding cannot cover")
   }
 
   test("bestMatchAgainstStore / censusAgainstStore equal their batch twins " +
