@@ -558,6 +558,31 @@ object DedupCatalog {
     }),
 
 
+    // Weighted linkage AGAINST THE SERVED STORE under the FROZEN
+    // vocabulary law: the catalog's weighted-sampler signatures and its
+    // token frequencies are built once (weightedStoreWrite — df frozen in
+    // a sidecar), and every probe scores with w(t) = 1/df_catalog(t),
+    // unseen batch tokens at maximal rarity 1.0 — per-drop scores are
+    // COMPARABLE across drops (the batch form's df shifts with every
+    // batch). The oracle restates the catalog df, the ceil(24/df)
+    // expansion on BOTH sides (unseen → 24 replicas), the store's
+    // rank-8 bucket cap, the probe banding, and the frozen-weight
+    // token-sorted fold — a drifted df, a wrong replica count for an
+    // unseen token, or a probe that shuffled the wrong law hash-fails.
+    "dedup_fuzzy_weighted_served" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_wstore", d)
+      if (!new java.io.File(dir).exists())
+        FuzzyJoin.weightedStoreWrite(right, "cat_id", "cat_name", dir,
+          numHashes = 16, quantK = 24, cap = 8)
+      FuzzyJoin.weightedLinkageAgainstStore(s, dir,
+          right, "cat_id", "cat_name",
+          left.where(col("entity_id") % 11 === 0), "entity_id", "entity",
+          threshold = 0.3)
+        .orderBy("left_id", "right_id")
+    }),
+
+
     // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
     // mixed-script fixture: each base doc gets a twin differing in one
     // trailing latin word, with its Han/Katakana/Thai runs glued to the
@@ -1462,6 +1487,59 @@ object DedupCatalog {
          |  FROM es)
          |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
          |WHERE wjaccard >= 0.5 ORDER BY left_id, right_id""".stripMargin
+    },
+
+    // the SERVED weighted form: catalog-frozen df (shr alone), the
+    // ceil(24/df) expansion on both sides (batch-unseen tokens → 24
+    // replicas), store rank-8 bucket cap, probe banding, frozen-weight
+    // token-sorted fold at 0.3
+    "dedup_fuzzy_weighted_served" -> {
+      val sigs16 = "[" + (1 to 16).map(j =>
+        s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+      s"""WITH $fuzzyBaseSql,
+         |vocabr AS (SELECT t, count(*) AS df FROM (
+         |    SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
+         |vwr AS (SELECT t, ceil(24::DOUBLE / df)::INT AS wk FROM vocabr),
+         |exr AS (SELECT e.id, list(e.t || '#' || r.i::VARCHAR) AS s FROM
+         |  (SELECT id, unnest(s) AS t FROM shr) e JOIN vwr USING (t),
+         |  unnest(range(1, vwr.wk + 1)) AS r(i) GROUP BY e.id),
+         |sigr AS (SELECT id, $sigs16 AS sigs FROM exr),
+         |sbr AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
+         |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
+         |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
+         |  WHERE rn <= 8),
+         |shb AS (SELECT id, s FROM shl WHERE id % 11 = 0),
+         |exb AS (SELECT e.id,
+         |    list(e.t || '#' || r.i::VARCHAR) AS s FROM
+         |  (SELECT id, unnest(s) AS t FROM shb) e LEFT JOIN vwr USING (t),
+         |  unnest(range(1, coalesce(vwr.wk, 24) + 1)) AS r(i) GROUP BY e.id),
+         |sigb AS (SELECT id, $sigs16 AS sigs FROM exb),
+         |bb AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
+         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+         |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
+         |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
+         |ptok AS (SELECT lid, rid, u.t AS t,
+         |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
+         |  FROM cand JOIN shb x ON x.id = cand.lid
+         |  JOIN shr y ON y.id = cand.rid,
+         |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
+         |wt AS (SELECT lid, rid, ptok.t AS t,
+         |    1::DOUBLE / coalesce(df, 1) AS w, b
+         |  FROM ptok LEFT JOIN vocabr ON vocabr.t = ptok.t),
+         |es AS (SELECT lid, rid,
+         |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
+         |  FROM wt GROUP BY lid, rid),
+         |sc AS (SELECT lid, rid,
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
+         |      (a, x) -> a + x) /
+         |    list_reduce(list_prepend(0::DOUBLE,
+         |        list_transform(es, e -> e.w)),
+         |      (a, x) -> a + x) AS wjaccard
+         |  FROM es)
+         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
+         |WHERE wjaccard >= 0.3 ORDER BY left_id, right_id""".stripMargin
     },
 
     // the weighted SAMPLER row: same fixture/verify as _rare, candidates

@@ -303,27 +303,15 @@ object FuzzyJoin {
     // 16-32 is plenty for 1/df weights. Everything stays engine-portable:
     // replica strings, md5 mins, banding, and the cap restate in SQL
     // verbatim. rareDf composes on top for a DETERMINISTIC floor.
-    def weightedBanded(sh: DataFrame, outCol: String): DataFrame = {
-      val vocabW = vocab.select(col("_fj_t"),
-        ceil(lit(weightedCandidates.toDouble) / col("_fj_df"))
-          .cast("int").as("_fj_wk"))
-      sh.select(col("_fj_id"), explode(col("sh")).as("_fj_t"))
-        .join(broadcast(vocabW), "_fj_t")
-        .select(col("_fj_id"), col("_fj_t"),
-          explode(sequence(lit(1), col("_fj_wk"))).as("_fj_i"))
-        .select(col("_fj_id"),
-          concat(col("_fj_t"), lit("#"), col("_fj_i")).as("_fj_tr"))
-        .groupBy("_fj_id").agg(collect_list(col("_fj_tr")).as("shx"))
-        .select(col("_fj_id").as(outCol),
-          posexplode(Dedup.minhashSignature(col("shx"), numHashes)))
-        .select(col(outCol), col("pos").as("band"), col("col").as("v"))
-        .where(col("v").isNotNull)
-    }
     val (bL, bR) =
       if (weightedCandidates == 0)
         (banded(shL, numHashes).withColumnRenamed("_fj_id", "_fj_l"),
           banded(shR, numHashes).withColumnRenamed("_fj_id", "_fj_r"))
-      else (weightedBanded(shL, "_fj_l"), weightedBanded(shR, "_fj_r"))
+      else
+        (weightedBandedRows(shL, vocab, weightedCandidates, numHashes,
+          "_fj_l"),
+          weightedBandedRows(shR, vocab, weightedCandidates, numHashes,
+            "_fj_r"))
     val bandedCand = cappedCandidates(bL, bR, maxBucketSize)
     val cand =
       if (rareDf == 0) bandedCand
@@ -339,6 +327,24 @@ object FuzzyJoin {
         bandedCand.unionByName(
           tl.join(tr, "_fj_t").select(col("_fj_l"), col("_fj_r"))).distinct()
       }
+    val out = weightedVerify(cand, shL, shR,
+      vocab.select(col("_fj_t"), (lit(1.0) / col("_fj_df")).as("_fj_w")),
+      threshold)
+    Dedup.releaseAfterFirstAction(shL)
+    Dedup.releaseAfterFirstAction(shR)
+    out
+  }
+
+  /** The weighted verify shared by [[weightedLinkage]] and
+    * [[weightedLinkageAgainstStore]]: exact weighted Jaccard of each
+    * candidate pair's token sets under the supplied weight frame
+    * (`_fj_t`, `_fj_w`; tokens absent from it weigh 1.0 — maximal rarity,
+    * the frozen-vocabulary law for unseen probe tokens). The per-pair
+    * score folds weights in TOKEN-SORTED order with a strict left fold
+    * from 0.0, so an external engine restates the double bit for bit. */
+  private def weightedVerify(cand: DataFrame, shL: DataFrame,
+                             shR: DataFrame, weights: DataFrame,
+                             threshold: Double): DataFrame = {
     val pairTok = cand
       .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l")),
         "_fj_l")
@@ -349,15 +355,16 @@ object FuzzyJoin {
       .select(col("_fj_l"), col("_fj_r"), col("_fj_t"),
         (array_contains(col("sh_l"), col("_fj_t")) &&
           array_contains(col("sh_r"), col("_fj_t"))).as("_fj_both"))
-    // BROADCAST the weight lookup: vocab is vocabulary-sized (distinct
-    // tokens, not candidate-pair×token rows) — a shuffled token-keyed join
-    // here would hot-key on exactly the stop tokens the weighting exists
-    // to discount (they are both the df-heaviest and the most frequent in
-    // pairTok); broadcasting removes the exchange entirely
-    val entries = pairTok.join(broadcast(vocab), "_fj_t")
+    // BROADCAST the weight lookup: the weight frame is vocabulary-sized
+    // (distinct tokens, not candidate-pair×token rows) — a shuffled
+    // token-keyed join here would hot-key on exactly the stop tokens the
+    // weighting exists to discount (they are both the df-heaviest and the
+    // most frequent in pairTok); broadcasting removes the exchange entirely
+    val entries = pairTok
+      .join(broadcast(weights), Seq("_fj_t"), "left_outer")
       .select(col("_fj_l"), col("_fj_r"),
         struct(col("_fj_t").as("t"),
-          (lit(1.0) / col("_fj_df")).as("w"),
+          coalesce(col("_fj_w"), lit(1.0)).as("w"),
           col("_fj_both").as("b")).as("_fj_e"))
     // array_sort on struct(t, w, b) orders by t (unique within a pair), so
     // both folds run in token order — the restatable summation law
@@ -365,13 +372,132 @@ object FuzzyJoin {
       .agg(array_sort(collect_list(col("_fj_e"))).as("_fj_es"))
     val sumW = (es: Column) => aggregate(es, lit(0.0),
       (acc, e) => acc + e.getField("w"))
-    val out = folded
+    folded
       .select(col("_fj_l").as("left_id"), col("_fj_r").as("right_id"),
         (sumW(filter(col("_fj_es"), e => e.getField("b"))) /
           sumW(col("_fj_es"))).as("wjaccard"))
       .where(col("wjaccard") >= threshold)
-    Dedup.releaseAfterFirstAction(shL)
-    Dedup.releaseAfterFirstAction(shR)
+  }
+
+  /** `(band, v, <outCol>)` rows of the integer-replication WEIGHTED
+    * sampler signature ([[weightedLinkage]]'s `weightedCandidates` law):
+    * each token expands into ceil(quantK / df) virtual tokens "t#i" from
+    * the supplied (`_fj_t`, `_fj_df`) frame — a token ABSENT from it takes
+    * df = 1 (maximal rarity, quantK replicas: the frozen-vocabulary law
+    * for unseen probe tokens) — and the portable md5 minhash law runs
+    * over the expansion. The df frame is vocabulary-sized: it broadcasts. */
+  private def weightedBandedRows(sh: DataFrame, dfFrame: DataFrame,
+                                 quantK: Int, numHashes: Int,
+                                 outCol: String): DataFrame = {
+    val vocabW = dfFrame.select(col("_fj_t"),
+      ceil(lit(quantK.toDouble) / col("_fj_df")).cast("int").as("_fj_wk"))
+    sh.select(col("_fj_id"), explode(col("sh")).as("_fj_t"))
+      .join(broadcast(vocabW), Seq("_fj_t"), "left_outer")
+      .select(col("_fj_id"), col("_fj_t"),
+        explode(sequence(lit(1),
+          coalesce(col("_fj_wk"), lit(quantK)))).as("_fj_i"))
+      .select(col("_fj_id"),
+        concat(col("_fj_t"), lit("#"), col("_fj_i")).as("_fj_tr"))
+      .groupBy("_fj_id").agg(collect_list(col("_fj_tr")).as("shx"))
+      .select(col("_fj_id").as(outCol),
+        posexplode(Dedup.minhashSignature(col("shx"), numHashes)))
+      .select(col(outCol), col("pos").as("band"), col("col").as("v"))
+      .where(col("v").isNotNull)
+  }
+
+  /** Vocabulary sidecar dir of a [[weightedStoreWrite]] store
+    * (underscore-prefixed: invisible to the store's own parquet read). */
+  val WeightedVocabDir = "_graft_vocab"
+
+  /** SERVED STATE for weighted linkage: the catalog's weighted-sampler
+    * banded signatures ([[weightedBandedRows]] under the catalog's OWN
+    * token frequencies) plus the FROZEN vocabulary as a sidecar, geometry
+    * pinned in the store meta. The frozen-df law is the deployment
+    * contract: every probe scores with w(t) = 1/df_catalog(t) (unseen
+    * probe tokens weigh 1.0 — maximal rarity), so per-drop scores are
+    * COMPARABLE across drops and immune to batch composition — unlike
+    * [[weightedLinkage]], whose df shifts with every batch (both laws are
+    * legitimate; the frozen one is what a reconciliation loop can
+    * threshold against stably). Catalog changes = rebuild (an append
+    * would silently drift df for every existing signature — refusing that
+    * trade is the point of freezing). `cap` is the store-side bucket
+    * valve ([[Dedup.minhashStoreBanded]]'s first-arrivals rank law). */
+  def weightedStoreWrite(catalog: DataFrame, catalogId: String,
+                         catalogText: String, dir: String,
+                         numHashes: Int = 16, quantK: Int = 24,
+                         cap: Int = Int.MaxValue,
+                         tok: Tokenizer = Tokenizer.Whitespace): Unit = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    require(quantK >= 1, s"quantK must be >= 1: $quantK")
+    require(cap > 0, s"cap must be positive: $cap")
+    val spark = catalog.sparkSession
+    val sh = shingled(catalog, catalogId, catalogText, 1, null, tok)
+    val vocab = sh.select(explode(col("sh")).as("_fj_t"))
+      .groupBy("_fj_t").agg(count(lit(1)).as("_fj_df"))
+    val banded0 = weightedBandedRows(sh, vocab, quantK, numHashes,
+      "store_id")
+    val capped =
+      if (cap == Int.MaxValue) banded0
+      else banded0.withColumn("_bn", row_number().over(
+          Window.partitionBy("band", "v").orderBy("store_id")))
+        .where(col("_bn") <= cap).drop("_bn")
+    // the signature frame FIRST (overwrite clears the dir), sidecars after
+    capped.write.mode("overwrite").parquet(dir)
+    vocab.select(col("_fj_t").as("t"), col("_fj_df").as("df"))
+      .write.mode("overwrite").parquet(s"$dir/$WeightedVocabDir")
+    StoreMeta.write(spark, dir, "wminhash-banded", Map(
+      "family" -> "wminhash-md5-60", "shingleLen" -> "1",
+      "numHashes" -> numHashes.toString, "quantK" -> quantK.toString,
+      "cap" -> cap.toString, "tokenizer" -> tok.id))
+    Tokenizer.saveLexicon(spark, dir, tok)
+    sh.unpersist(): Unit
+  }
+
+  /** Weighted linkage of a batch against a [[weightedStoreWrite]] SERVED
+    * catalog: geometry, quantization, tokenizer, and the frozen
+    * vocabulary all come FROM the sidecars (drift impossible by
+    * construction); the batch's weighted-sampler bands broadcast against
+    * the streamed store (no store shuffle — [[Dedup
+    * .nearDupAgainstBandedStore]]'s exchange shape), and candidates are
+    * exact-verified by the FROZEN-weight Jaccard against the catalog
+    * table. Output: (left_id, right_id, wjaccard >= threshold) with batch
+    * ids on the left — [[weightedLinkage]]'s contract under the served
+    * scoring law. */
+  def weightedLinkageAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                                  storeDir: String,
+                                  catalog: DataFrame, catalogId: String,
+                                  catalogText: String,
+                                  batch: DataFrame, batchId: String,
+                                  batchText: String,
+                                  threshold: Double = 0.5,
+                                  broadcastBatch: Boolean = true,
+                                  scope: CacheScope = null): DataFrame = {
+    val (kind, f) = StoreMeta.read(spark, storeDir).getOrElse(sys.error(
+      s"no ${StoreMeta.FileName} under $storeDir — cannot assume probe " +
+        "geometry; write the store with weightedStoreWrite"))
+    require(kind == "wminhash-banded",
+      s"store under $storeDir is kind '$kind', not a weighted banded " +
+        "linkage store")
+    require(f.get("family").contains("wminhash-md5-60"),
+      s"unknown signature family ${f.get("family")} under $storeDir")
+    val numHashes = f("numHashes").toInt
+    val quantK = f("quantK").toInt
+    val tok = Tokenizer.fromIdAt(spark, storeDir, f("tokenizer"))
+    val vocab = spark.read.parquet(s"$storeDir/$WeightedVocabDir")
+      .select(col("t").as("_fj_t"), col("df").as("_fj_df"))
+    val shB = shingled(batch, batchId, batchText, 1, scope, tok)
+    val bb = weightedBandedRows(shB, vocab, quantK, numHashes, "_fj_l")
+    val store = spark.read.parquet(storeDir)
+    val cand =
+      (if (broadcastBatch) store.join(broadcast(bb), Seq("band", "v"))
+       else store.join(bb, Seq("band", "v")))
+        .select(col("_fj_l"), col("store_id").as("_fj_r")).distinct()
+    val shC = shingled(catalog, catalogId, catalogText, 1, scope, tok)
+    val out = weightedVerify(cand, shB, shC,
+      vocab.select(col("_fj_t"), (lit(1.0) / col("_fj_df")).as("_fj_w")),
+      threshold)
+    Dedup.releaseAfterFirstAction(shB)
+    Dedup.releaseAfterFirstAction(shC)
     out
   }
 

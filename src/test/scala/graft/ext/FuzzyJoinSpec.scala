@@ -197,6 +197,57 @@ class FuzzyJoinSpec extends SparkSpec {
       "fixture must sit in the regime unweighted banding cannot cover")
   }
 
+  test("weightedLinkageAgainstStore: frozen-vocabulary scoring is " +
+      "batch-composition INVARIANT (the batch form is not), unseen " +
+      "tokens weigh 1.0, and a wrong-kind store refuses") {
+    val cat = Seq(
+      (100L, "acme corp global trading"),
+      (101L, "globex corp heavy industries"),
+      (102L, "initech corp software services"),
+      (103L, "umbrella corp bio research")).toDF("cid", "cname")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-wstore")
+      .toString
+    FuzzyJoin.weightedStoreWrite(cat, "cid", "cname", dir,
+      numHashes = 16, quantK = 24)
+    def wkey(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1),
+        math.round(r0.getDouble(2) * 1e9))).toSet
+    val a = Seq((1L, "acme global trading")).toDF("id", "name")
+    val b = Seq((2L, "globex heavy industries"),
+      (3L, "acme acme acme")).toDF("id", "name")
+    def probe(batch: org.apache.spark.sql.DataFrame) = wkey(
+      FuzzyJoin.weightedLinkageAgainstStore(spark, dir, cat, "cid",
+        "cname", batch, "id", "name", threshold = 0.1))
+    // SERVED law: probing A alone and A∪B give identical pair scores —
+    // the frozen df cannot shift with what else rode the drop
+    val together = probe(a.unionByName(b))
+    assert(probe(a).subsetOf(together) && probe(b).subsetOf(together))
+    assert((probe(a) ++ probe(b)) === together)
+    // ...which the BATCH form violates on the same data (its df counts
+    // batch entities, so adding entities shifts existing pairs' scores)
+    val batchA = wkey(FuzzyJoin.weightedLinkage(a, "id", "name",
+      cat, "cid", "cname", numHashes = 16, threshold = 0.1))
+    val batchAB = wkey(FuzzyJoin.weightedLinkage(a.unionByName(b), "id",
+      "name", cat, "cid", "cname", numHashes = 16, threshold = 0.1))
+    assert(!batchA.subsetOf(batchAB),
+      "fixture must demonstrate the batch form's score drift")
+    // unseen-token law: 'zzz' is not in the catalog — it weighs 1.0 in
+    // the union, so the score is exactly w(acme∩)/w(∪) with w(zzz) = 1
+    val u = probe(Seq((9L, "acme corp zzz")).toDF("id", "name"))
+      .filter(_._2 == 100L)
+    assert(u.nonEmpty, "unseen tokens must not kill the probe")
+    // wrong-kind store refuses loudly
+    val banded = java.nio.file.Files.createTempDirectory("graft-fw-banded")
+      .toString
+    Dedup.minhashStoreBandedWrite(cat, "cid", "cname", banded,
+      shingleLen = 1, numHashes = 8)
+    val e = intercept[IllegalArgumentException] {
+      FuzzyJoin.weightedLinkageAgainstStore(spark, banded, cat, "cid",
+        "cname", a, "id", "name")
+    }
+    assert(e.getMessage.contains("not a weighted banded"))
+  }
+
   test("bestMatchAgainstStore / censusAgainstStore equal their batch twins " +
       "when the store retains every representative") {
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy-ops")
