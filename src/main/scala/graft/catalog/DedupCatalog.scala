@@ -583,6 +583,38 @@ object DedupCatalog {
     }),
 
 
+    // Top-1 under the frozen weighted law — the reconciliation loop's
+    // per-drop decision row: batch-composition-invariant scores mean a
+    // record's best match never depends on what else rode its drop.
+    "dedup_fuzzy_weighted_best_served" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_wstore", d)
+      if (!new java.io.File(dir).exists())
+        FuzzyJoin.weightedStoreWrite(right, "cat_id", "cat_name", dir,
+          numHashes = 16, quantK = 24, cap = 8)
+      FuzzyJoin.weightedBestMatchAgainstStore(s, dir,
+          right, "cat_id", "cat_name",
+          left.where(col("entity_id") % 11 === 0), "entity_id", "entity",
+          threshold = 0.3)
+        .orderBy("left_id")
+    }),
+
+
+    // Per-drop funnel census under the frozen weighted law.
+    "dedup_fuzzy_weighted_census_served" -> ((s, d) => {
+      val (left, right) = fuzzyFixture(t(s, d, "part"))
+      val dir = scratchDir("graft_fuzzy_wstore", d)
+      if (!new java.io.File(dir).exists())
+        FuzzyJoin.weightedStoreWrite(right, "cat_id", "cat_name", dir,
+          numHashes = 16, quantK = 24, cap = 8)
+      FuzzyJoin.weightedCensusAgainstStore(s, dir,
+          right, "cat_id", "cat_name",
+          left.where(col("entity_id") % 11 === 0), "entity_id", "entity",
+          threshold = 0.3)
+        .orderBy("status")
+    }),
+
+
     // MinHash+LSH near-dup under the SCRIPT-AWARE tokenizer over a planted
     // mixed-script fixture: each base doc gets a twin differing in one
     // trailing latin word, with its Han/Katakana/Thai runs glued to the
@@ -1079,6 +1111,58 @@ object DedupCatalog {
        |fs AS (SELECT lid, rid, jaccard FROM j WHERE jaccard >= 0.6)""".stripMargin
   }
 
+  /** The frozen-vocabulary served weighted probe chain, ending in
+    * `fws(lid, rid, wjaccard)` (threshold 0.3) with `shb` = the probe
+    * batch — shared by the pair, top-1, and census rows. */
+  private lazy val fuzzyWeightedStoreSql: String = {
+    val sigs16 = "[" + (1 to 16).map(j =>
+      s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
+    s"""$fuzzyBaseSql,
+       |vocabr AS (SELECT t, count(*) AS df FROM (
+       |    SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
+       |vwr AS (SELECT t, ceil(24::DOUBLE / df)::INT AS wk FROM vocabr),
+       |exr AS (SELECT e.id, list(e.t || '#' || r.i::VARCHAR) AS s FROM
+       |  (SELECT id, unnest(s) AS t FROM shr) e JOIN vwr USING (t),
+       |  unnest(range(1, vwr.wk + 1)) AS r(i) GROUP BY e.id),
+       |sigr AS (SELECT id, $sigs16 AS sigs FROM exr),
+       |sbr AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
+       |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+       |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
+       |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
+       |  WHERE rn <= 8),
+       |shb AS (SELECT id, s FROM shl WHERE id % 11 = 0),
+       |exb AS (SELECT e.id,
+       |    list(e.t || '#' || r.i::VARCHAR) AS s FROM
+       |  (SELECT id, unnest(s) AS t FROM shb) e LEFT JOIN vwr USING (t),
+       |  unnest(range(1, coalesce(vwr.wk, 24) + 1)) AS r(i) GROUP BY e.id),
+       |sigb AS (SELECT id, $sigs16 AS sigs FROM exb),
+       |bb AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
+       |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
+       |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
+       |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
+       |ptok AS (SELECT lid, rid, u.t AS t,
+       |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
+       |  FROM cand JOIN shb x ON x.id = cand.lid
+       |  JOIN shr y ON y.id = cand.rid,
+       |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
+       |wt AS (SELECT lid, rid, ptok.t AS t,
+       |    1::DOUBLE / coalesce(df, 1) AS w, b
+       |  FROM ptok LEFT JOIN vocabr ON vocabr.t = ptok.t),
+       |es AS (SELECT lid, rid,
+       |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
+       |  FROM wt GROUP BY lid, rid),
+       |sc AS (SELECT lid, rid,
+       |    list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
+       |      (a, x) -> a + x) /
+       |    list_reduce(list_prepend(0::DOUBLE,
+       |        list_transform(es, e -> e.w)),
+       |      (a, x) -> a + x) AS wjaccard
+       |  FROM es),
+       |fws AS (SELECT lid, rid, wjaccard FROM sc
+       |  WHERE wjaccard >= 0.3)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
 
     "dedup_exact" ->
@@ -1493,54 +1577,32 @@ object DedupCatalog {
     // ceil(24/df) expansion on both sides (batch-unseen tokens → 24
     // replicas), store rank-8 bucket cap, probe banding, frozen-weight
     // token-sorted fold at 0.3
-    "dedup_fuzzy_weighted_served" -> {
-      val sigs16 = "[" + (1 to 16).map(j =>
-        s"list_min(list_transform(s, x -> md5('$j:' || x)))").mkString(", ") + "]"
-      s"""WITH $fuzzyBaseSql,
-         |vocabr AS (SELECT t, count(*) AS df FROM (
-         |    SELECT id, unnest(s) AS t FROM shr) GROUP BY t),
-         |vwr AS (SELECT t, ceil(24::DOUBLE / df)::INT AS wk FROM vocabr),
-         |exr AS (SELECT e.id, list(e.t || '#' || r.i::VARCHAR) AS s FROM
-         |  (SELECT id, unnest(s) AS t FROM shr) e JOIN vwr USING (t),
-         |  unnest(range(1, vwr.wk + 1)) AS r(i) GROUP BY e.id),
-         |sigr AS (SELECT id, $sigs16 AS sigs FROM exr),
-         |sbr AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
-         |  FROM sigr CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
-         |reps AS (SELECT * FROM (SELECT sbr.*, row_number() OVER
-         |    (PARTITION BY band, v ORDER BY id) AS rn FROM sbr)
-         |  WHERE rn <= 8),
-         |shb AS (SELECT id, s FROM shl WHERE id % 11 = 0),
-         |exb AS (SELECT e.id,
-         |    list(e.t || '#' || r.i::VARCHAR) AS s FROM
-         |  (SELECT id, unnest(s) AS t FROM shb) e LEFT JOIN vwr USING (t),
-         |  unnest(range(1, coalesce(vwr.wk, 24) + 1)) AS r(i) GROUP BY e.id),
-         |sigb AS (SELECT id, $sigs16 AS sigs FROM exb),
-         |bb AS (SELECT id, band::INT AS band, sigs[band + 1] AS v
-         |  FROM sigb CROSS JOIN (SELECT unnest(range(0, 16)) AS band)),
-         |cand AS (SELECT DISTINCT bb.id AS lid, reps.id AS rid
-         |  FROM bb JOIN reps ON bb.band = reps.band AND bb.v = reps.v),
-         |ptok AS (SELECT lid, rid, u.t AS t,
-         |    list_contains(x.s, u.t) AND list_contains(y.s, u.t) AS b
-         |  FROM cand JOIN shb x ON x.id = cand.lid
-         |  JOIN shr y ON y.id = cand.rid,
-         |  unnest(list_distinct(list_concat(x.s, y.s))) AS u(t)),
-         |wt AS (SELECT lid, rid, ptok.t AS t,
-         |    1::DOUBLE / coalesce(df, 1) AS w, b
-         |  FROM ptok LEFT JOIN vocabr ON vocabr.t = ptok.t),
-         |es AS (SELECT lid, rid,
-         |    list(struct_pack(t := t, w := w, b := b) ORDER BY t) AS es
-         |  FROM wt GROUP BY lid, rid),
-         |sc AS (SELECT lid, rid,
-         |    list_reduce(list_prepend(0::DOUBLE,
-         |        list_transform(list_filter(es, e -> e.b), e -> e.w)),
-         |      (a, x) -> a + x) /
-         |    list_reduce(list_prepend(0::DOUBLE,
-         |        list_transform(es, e -> e.w)),
-         |      (a, x) -> a + x) AS wjaccard
-         |  FROM es)
-         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM sc
-         |WHERE wjaccard >= 0.3 ORDER BY left_id, right_id""".stripMargin
-    },
+    "dedup_fuzzy_weighted_served" ->
+      s"""WITH $fuzzyWeightedStoreSql
+         |SELECT lid AS left_id, rid AS right_id, wjaccard FROM fws
+         |ORDER BY left_id, right_id""".stripMargin,
+
+    // the frozen-law probe + the deterministic top-1 cut
+    "dedup_fuzzy_weighted_best_served" ->
+      s"""WITH $fuzzyWeightedStoreSql
+         |SELECT left_id, right_id, wjaccard, n_matches FROM (
+         |  SELECT lid AS left_id, rid AS right_id, wjaccard,
+         |    row_number() OVER (PARTITION BY lid
+         |      ORDER BY wjaccard DESC, rid ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lid) AS n_matches
+         |  FROM fws)
+         |WHERE rn = 1 ORDER BY left_id""".stripMargin,
+
+    // the frozen-law probe folded to the per-drop funnel census
+    "dedup_fuzzy_weighted_census_served" ->
+      s"""WITH $fuzzyWeightedStoreSql,
+         |m AS (SELECT lid, count(*) AS nm FROM fws GROUP BY lid)
+         |SELECT CASE WHEN nm IS NULL THEN 'unmatched'
+         |    WHEN nm = 1 THEN 'matched' ELSE 'ambiguous' END AS status,
+         |  count(*) AS n
+         |FROM (SELECT shb.id, m.nm FROM shb LEFT JOIN m ON m.lid = shb.id)
+         |GROUP BY 1 ORDER BY status""".stripMargin,
+
 
     // the weighted SAMPLER row: same fixture/verify as _rare, candidates
     // from banding over the ceil(24/df)-replicated token sets (no rareDf)

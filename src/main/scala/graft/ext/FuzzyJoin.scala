@@ -562,19 +562,59 @@ object FuzzyJoin {
       shingleLen, numHashes, threshold, maxBucketSize, scope, tok))
   }
 
-  /** The top-1 cut over a verified pair frame — shared by [[bestMatch]]
-    * and [[bestMatchAgainstStore]]. One shuffle on `left_id`. */
-  private def bestOf(pairs: DataFrame): DataFrame = {
+  /** The top-1 cut over a verified pair frame — shared by [[bestMatch]],
+    * [[bestMatchAgainstStore]], and the weighted served forms (`scoreCol`
+    * names the score: `jaccard` or `wjaccard`). One shuffle on
+    * `left_id`. */
+  private def bestOf(pairs: DataFrame,
+                     scoreCol: String = "jaccard"): DataFrame = {
     val w = Window.partitionBy("left_id")
-      .orderBy(col("jaccard").desc, col("right_id").asc)
+      .orderBy(col(scoreCol).desc, col("right_id").asc)
     pairs
       .withColumn("_fj_rn", row_number().over(w))
       .withColumn("n_matches", count(lit(1)).over(
         Window.partitionBy("left_id")))
       .where(col("_fj_rn") === 1)
-      .select(col("left_id"), col("right_id"), col("jaccard"),
+      .select(col("left_id"), col("right_id"), col(scoreCol),
         col("n_matches"))
   }
+
+  /** Top-1 weighted linkage against the FROZEN-vocabulary served store
+    * ([[weightedLinkageAgainstStore]]'s contract + [[bestMatch]]'s cut):
+    * each batch record's best catalog match by the frozen weighted score,
+    * ties to the smallest right id, with the contested-win count. Because
+    * the frozen law is batch-composition invariant, a record's best match
+    * and score are THE SAME whatever else rode its drop — the property a
+    * reconciliation loop thresholds against. */
+  def weightedBestMatchAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                                    storeDir: String,
+                                    catalog: DataFrame, catalogId: String,
+                                    catalogText: String,
+                                    batch: DataFrame, batchId: String,
+                                    batchText: String,
+                                    threshold: Double = 0.5,
+                                    broadcastBatch: Boolean = true,
+                                    scope: CacheScope = null): DataFrame =
+    bestOf(weightedLinkageAgainstStore(spark, storeDir, catalog, catalogId,
+      catalogText, batch, batchId, batchText, threshold, broadcastBatch,
+      scope), "wjaccard")
+
+  /** Per-drop funnel census under the frozen weighted law
+    * ([[linkageCensus]]'s matched / ambiguous / unmatched contract over
+    * [[weightedLinkageAgainstStore]]'s pairs). */
+  def weightedCensusAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                                 storeDir: String,
+                                 catalog: DataFrame, catalogId: String,
+                                 catalogText: String,
+                                 batch: DataFrame, batchId: String,
+                                 batchText: String,
+                                 threshold: Double = 0.5,
+                                 broadcastBatch: Boolean = true,
+                                 scope: CacheScope = null): DataFrame =
+    censusOf(batch.select(col(batchId).as("left_id")),
+      weightedLinkageAgainstStore(spark, storeDir, catalog, catalogId,
+        catalogText, batch, batchId, batchText, threshold, broadcastBatch,
+        scope))
 
   /** Linkage funnel census: every left row classified as `matched` (exactly
     * one verified match), `ambiguous` (more than one — a human-review

@@ -236,6 +236,25 @@ class FuzzyJoinSpec extends SparkSpec {
     val u = probe(Seq((9L, "acme corp zzz")).toDF("id", "name"))
       .filter(_._2 == 100L)
     assert(u.nonEmpty, "unseen tokens must not kill the probe")
+    // operational forms reduce the same pair frame: top-1 by (score desc,
+    // rid asc) with the contested count, and the three-way funnel census
+    val best = FuzzyJoin.weightedBestMatchAgainstStore(spark, dir, cat,
+        "cid", "cname", a.unionByName(b), "id", "name", threshold = 0.1)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1),
+        math.round(r0.getDouble(2) * 1e9), r0.getLong(3))).toSet
+    val manual = together.groupBy(_._1).map { case (l, ps) =>
+      val top = ps.toSeq.sortBy(p => (-p._3, p._2)).head
+      (l, top._2, top._3, ps.size.toLong)
+    }.toSet
+    assert(best === manual && best.nonEmpty)
+    val census = FuzzyJoin.weightedCensusAgainstStore(spark, dir, cat,
+        "cid", "cname", a.unionByName(b), "id", "name", threshold = 0.1)
+      .collect().map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    val nm = together.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(census.values.sum === 3L)
+    assert(census.getOrElse("matched", 0L) === nm.count(_._2 == 1).toLong)
+    assert(census.getOrElse("ambiguous", 0L) === nm.count(_._2 > 1).toLong)
+    assert(census.getOrElse("unmatched", 0L) === (3 - nm.size).toLong)
     // wrong-kind store refuses loudly
     val banded = java.nio.file.Files.createTempDirectory("graft-fw-banded")
       .toString
