@@ -800,8 +800,10 @@ object Queries {
     // r17: cross-table record linkage (fuzzy join)
     "dedup_fuzzy_link",
     // r18: the rare-token recall channel (two-channel candidates), the
-    // served-store top-1 reconciliation form, and the schema-evolved star
-    // publish with the null-filling reconciled read
+    // served-store top-1 reconciliation form, the schema-evolved star
+    // publish with the null-filling reconciled read, and the
+    // frozen-vocabulary served weighted probe (the family's deployment
+    // shape)
     "dedup_fuzzy_weighted_rare", "dedup_fuzzy_best_store",
-    "etl_star_schema_evolution")
+    "etl_star_schema_evolution", "dedup_fuzzy_weighted_served")
 }

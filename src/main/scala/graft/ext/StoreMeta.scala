@@ -167,11 +167,16 @@ object StoreMeta {
         s"(columns: ${df.columns.mkString(", ")})")
     val snapshot = df.inputFiles
     val key = ids.columns.head
-    val kept = df.join(ids.select(org.apache.spark.sql.functions
-        .col(key).as(idCol)).distinct(), Seq(idCol), "left_anti")
-    val before = df.count()
+    val victims = ids.select(org.apache.spark.sql.functions
+      .col(key).as(idCol)).distinct()
+    // erasure requests routinely name already-gone ids: a semi-join count
+    // decides whether anything matches BEFORE paying the full-store
+    // rewrite (the count is one scan; the rewrite is scan + write + swap)
+    val hit = df.join(victims, Seq(idCol), "left_semi").count()
+    if (hit == 0) return 0L
+    val kept = df.join(victims, Seq(idCol), "left_anti")
     swapRewrite(spark, dir, kept.repartition(snapshot.length), snapshot)
-    before - spark.read.parquet(dir).count()
+    hit
   }
 
   /** The in-place snapshot swap shared by [[compact]] and [[delete]]:

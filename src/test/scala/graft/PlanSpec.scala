@@ -57,6 +57,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("dedup_fuzzy_weighted_served: the store never shuffles — the " +
+      "probe's banded candidates broadcast against the streamed store") {
+    val p = plan("dedup_fuzzy_weighted_served")
+    assert(p.contains("BroadcastHashJoin [band"),
+      s"the (band, v) candidate join must broadcast the batch side:\n$p")
+    assert(!p.contains("SortMergeJoin [band") &&
+        !p.contains("ShuffledHashJoin [band"),
+      s"the served store must stream, never shuffle on the band key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("etl_partitioned_scan: the purchase filter prunes partitions at the scan") {
     val p = plan("etl_partitioned_scan")
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
