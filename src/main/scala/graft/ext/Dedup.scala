@@ -96,8 +96,19 @@ object Dedup {
   /** K-value MinHash signature over a shingle set: element j is
     * min over shingles of md5("<j>:" ++ shingle). Minimizing the md5 *string*
     * (hex is lexicographic-comparable) avoids any integer-overflow semantics
-    * an external oracle could disagree on. NULL element ⟺ empty shingle set. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+    * an external oracle could disagree on. NULL element ⟺ empty shingle set.
+    * Native one-pass expression ([[expressions.Md5MinHashExpr]]) —
+    * bit-identical to the k-fold twin [[minhashSignatureHof]] (asserted in
+    * NativeExprSpec), minus k interpreted traversals and k×n hex encodes. */
+  def minhashSignature(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(expressions.Md5MinHashExpr(
+      GraftColumnBridge.expression(shingles), k))
+  }
+
+  /** Higher-order-function twin of [[minhashSignature]] — the portable
+    * reference implementation NativeExprSpec compares against. */
+  private[ext] def minhashSignatureHof(shingles: Column, k: Int): Column =
     array((1 to k).map { j =>
       array_min(transform(shingles, s => md5(concat(lit(s"$j:"), s))))
     }: _*)
@@ -108,14 +119,26 @@ object Dedup {
     * The string minimum IS the numeric-prefix minimum (equal-length hex
     * strings order lexicographically = numerically), so the long array
     * restates externally while fitting the Array[Long] state shape the
-    * streaming near-dup operator keeps per bucket. */
+    * streaming near-dup operator keeps per bucket. Native one-pass kernel
+    * ([[expressions.Md5MinHash60Expr]]), bit-identical to the HOF twin
+    * [[minhashSignature60Hof]] (NativeExprSpec). */
   def minhashSignature60(text: Column, shingleLen: Int, k: Int): Column =
     minhashSignature60(text, shingleLen, k, Tokenizer.Whitespace)
 
   /** Tokenizer-seam form of [[minhashSignature60]]. */
   def minhashSignature60(text: Column, shingleLen: Int, k: Int,
-                         tok: Tokenizer): Column =
-    transform(minhashSignature(wordShingles(text, shingleLen, tok), k),
+                         tok: Tokenizer): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(expressions.Md5MinHash60Expr(
+      GraftColumnBridge.expression(wordShingles(text, shingleLen, tok)), k))
+  }
+
+  /** Higher-order-function twin of [[minhashSignature60]] — the portable
+    * reference implementation NativeExprSpec compares against. */
+  private[ext] def minhashSignature60Hof(text: Column, shingleLen: Int, k: Int,
+                                         tok: Tokenizer = Tokenizer.Whitespace)
+      : Column =
+    transform(minhashSignatureHof(wordShingles(text, shingleLen, tok), k),
       s => conv(substring(s, 1, 15), 16, 10).cast("long"))
 
   /** Fast-path signature (xxhash64-based, one long per seed). Native

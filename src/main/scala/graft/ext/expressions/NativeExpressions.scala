@@ -487,6 +487,211 @@ case class MinHashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** One-pass k-seed PORTABLE md5 MinHash signature over an array<string> of
+  * shingles — the native kernel of the md5-string family
+  * ([[graft.ext.Dedup.minhashSignature]] / [[graft.ext.Dedup
+  * .minhashSignature60]], the law every near-dup/linkage oracle restates).
+  *
+  * The Column-expression twin
+  * (`array((1 to k).map(j => array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))))`)
+  * traverses the shingle array k times through the lambda interpreter,
+  * hex-encodes EVERY digest (k × n 32-char strings), and compares minima as
+  * strings. This computes all k minima in one traversal over the raw 16-byte
+  * digests and hex-encodes only the k winners.
+  *
+  * Equality of results is EXACT, not approximate: lowercase-hex encoding is
+  * byte-order-preserving ('0'<'1'<…<'9'<'a'<…<'f' in ASCII), so unsigned
+  * byte-wise comparison of two digests orders exactly like lexicographic
+  * comparison of their hex strings — the min digest IS the min hex string.
+  *
+  * Edge semantics mirror the twin bit for bit (NativeExprSpec): empty array
+  * → every element NULL (`array_min` of an empty array); a NULL shingle is
+  * skipped (`md5(concat(lit, null))` is NULL and `array_min` ignores NULLs);
+  * NULL array → array of k NULLs (the twin's outer `array(...)` is never
+  * null — each element is). */
+object Md5MinHash {
+  // "<j>:" prefix bytes are a pure function of k — computed once per
+  // signature width, not once per row
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+  private def prefixesFor(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k, k => {
+      val p = new Array[Array[Byte]](k)
+      var j = 0
+      while (j < k) {
+        p(j) = s"${j + 1}:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        j += 1
+      }
+      p
+    })
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def allNulls(k: Int): ArrayData = new GenericArrayData(new Array[Any](k))
+
+  /** a < b, unsigned byte-wise over the 16-byte digests — exactly the
+    * lexicographic order of the lowercase-hex encodings. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Per-seed minimum digests (null = no non-null shingle seen). */
+  private def minDigests(shingles: ArrayData, k: Int): Array[Array[Byte]] = {
+    val n = shingles.numElements()
+    val prefixes = prefixesFor(k)
+    val md = mdLocal.get()
+    val mins = new Array[Array[Byte]](k)
+    val scratch = new Array[Byte](16)
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val sb = shingles.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(sb)
+          md.digest(scratch, 0, 16)
+          if (mins(j) == null) mins(j) = scratch.clone()
+          else if (less(scratch, mins(j)))
+            System.arraycopy(scratch, 0, mins(j), 0, 16)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  def computeHex(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = minDigests(shingles, k)
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val m = mins(j)
+      if (m != null) {
+        val cs = new Array[Byte](32)
+        var i = 0
+        while (i < 16) {
+          cs(2 * i) = HexChars((m(i) >> 4) & 0xf)
+          cs(2 * i + 1) = HexChars(m(i) & 0xf)
+          i += 1
+        }
+        out(j) = UTF8String.fromBytes(cs)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** First-15-hex-chars 60-bit longs of the per-seed minima — the
+    * [[graft.ext.Dedup.minhashSignature60]] law
+    * (`conv(substring(hex, 1, 15), 16, 10)`): bytes 0–6 big-endian plus the
+    * high nibble of byte 7. Minimizing raw digests commutes with the
+    * truncation: equal-length hex strings order lexicographically, so the
+    * full-string minimum's 15-char prefix equals the minimum of prefixes. */
+  def compute60(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = minDigests(shingles, k)
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val m = mins(j)
+      if (m != null) {
+        var v = 0L
+        var i = 0
+        while (i < 7) { v = (v << 8) | (m(i) & 0xffL); i += 1 }
+        v = (v << 4) | ((m(7) >> 4) & 0xfL)
+        out(j) = java.lang.Long.valueOf(v)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** See [[Md5MinHash]]. Never NULL itself (mirroring the twin's outer
+  * `array(...)`), so eval/codegen handle the null child inline. */
+case class Md5MinHashExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"signature length must be >= 1: $k")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_md5_minhash"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Md5MinHash.allNulls(k)
+    else Md5MinHash.computeHex(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $arrayCls ${ev.value} = ${childGen.isNull}
+          ? graft.ext.expressions.Md5MinHash.allNulls($k)
+          : graft.ext.expressions.Md5MinHash.computeHex(${childGen.value}, $k);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHashExpr =
+    copy(child = newChild)
+}
+
+/** See [[Md5MinHash.compute60]]. */
+case class Md5MinHash60Expr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"signature length must be >= 1: $k")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_md5_minhash60"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) Md5MinHash.allNulls(k)
+    else Md5MinHash.compute60(v.asInstanceOf[ArrayData], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val arrayCls = classOf[ArrayData].getName
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $arrayCls ${ev.value} = ${childGen.isNull}
+          ? graft.ext.expressions.Md5MinHash.allNulls($k)
+          : graft.ext.expressions.Md5MinHash.compute60(${childGen.value}, $k);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHash60Expr =
+    copy(child = newChild)
+}
+
 /** One-pass per-document n-gram repetition profile: (top_gram_n, n_grams) —
   * the occurrence count of the most frequent word n-gram and the total
   * occurrence count. The frame-level twin
@@ -930,6 +1135,18 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         // second arg = signature length, must be an integer literal
         MinHashSigExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_md5_minhash"),
+      new ExpressionInfo(classOf[Md5MinHashExpr].getName, "graft_md5_minhash"),
+      (children: Seq[Expression]) =>
+        // second arg = signature length, must be an integer literal
+        Md5MinHashExpr(children(0),
+          children(1).eval().asInstanceOf[Number].intValue())),
+    (FunctionIdentifier("graft_md5_minhash60"),
+      new ExpressionInfo(classOf[Md5MinHash60Expr].getName, "graft_md5_minhash60"),
+      (children: Seq[Expression]) =>
+        // second arg = signature length, must be an integer literal
+        Md5MinHash60Expr(children(0),
           children(1).eval().asInstanceOf[Number].intValue())),
     (FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),

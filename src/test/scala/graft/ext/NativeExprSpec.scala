@@ -192,6 +192,52 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("graft_md5_minhash ≡ the k-fold array_min/md5 chain on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (k <- Seq(1, 8, 16)) {
+      val sh = docs.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      val diff = sh.select(
+        Dedup.minhashSignatureHof(col("sh"), k).as("hof"),
+        Dedup.minhashSignature(col("sh"), k).as("native"))
+        .where(!(col("hof") <=> col("native"))).count()
+      assert(diff === 0, s"k=$k")
+    }
+    // the 60-bit projection law (conv(substring(hex,1,15),16,10)) on the
+    // same corpus — truncation must commute with the digest minimum
+    val diff60 = docs.select(
+      Dedup.minhashSignature60Hof(col("text"), 3, 16).as("hof"),
+      Dedup.minhashSignature60(col("text"), 3, 16).as("native"))
+      .where(!(col("hof") <=> col("native"))).count()
+    assert(diff60 === 0)
+  }
+
+  test("graft_md5_minhash edge semantics match the twin: empty, null elem, null array, short doc") {
+    val frames = Seq(
+      (Some(Seq[Option[String]]()), "empty"),
+      (Some(Seq[Option[String]](Some("abc def ghi"), None)), "nullelem"),
+      (Option.empty[Seq[Option[String]]], "nullarr"))
+      .toDF("sh", "label")
+    val rows = frames.select(col("label"),
+      Dedup.minhashSignatureHof(col("sh"), 4).as("hof"),
+      Dedup.minhashSignature(col("sh"), 4).as("native")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), r.getString(0))
+      else assert(r.getSeq[Any](1) === r.getSeq[Any](2), r.getString(0))
+    }
+    // short doc (< shingleLen words) through the 60-bit text form: the
+    // wordShingles guard yields the empty array → all-NULL signature
+    val short = Seq("one two").toDF("text").select(
+      Dedup.minhashSignature60Hof(col("text"), 3, 4).as("hof"),
+      Dedup.minhashSignature60(col("text"), 3, 4).as("native")).head
+    assert(short.getSeq[Any](0) === short.getSeq[Any](1))
+    // registered SQL surface
+    val viaSql = spark.sql(
+      "SELECT graft_md5_minhash(array('a b c'), 2) AS s, " +
+        "graft_md5_minhash60(array('a b c'), 2) AS s60").head
+    assert(viaSql.getSeq[String](0).forall(_.length == 32))
+    assert(viaSql.getSeq[Long](1).forall(v => v >= 0L && v < (1L << 60)))
+  }
+
   test("graft_minhash_sig edge semantics match the twin: empty, null elem, null array") {
     val frames = Seq(
       (Some(Seq[Option[Long]]()), "empty"),
