@@ -297,31 +297,39 @@ object Bench {
     // the headline number even when the contract line below ever outgrows it.
     println(s"""BENCH_TOTAL {"total_sec":$total,"total_min_sec":$totalMin,"total_med_per_calib":${perCalib(total)},"n_queries":${headline.size},"n_failed":${results.count(_._2.kept.isLeft)},"n_retried":${results.count(_._2.retried)},"failed":$failed,"load_avg_1m":${os.getSystemLoadAverage},"gate_attempts":$gateAttempts,"calib_ms_start":$calibStart,"calib_ms_end":$calibEnd}""")
     // LAST stdout line = the driver contract ({"metric",…,"queries":{name:
-    // sec,…},"sf"}), medians rounded so the whole line sits inside the
-    // 2000-char tail window with room for the launcher's epilogue. Falls
-    // back to 2 decimals if the catalog ever grows past what 3 fit.
-    def compactLine(dp: Int): String = {
-      def fmt(v: Double) =
-        String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      val cq = results.map {
-        case (k, Measured(Right(ts), _, _, _)) => "\"" + k + "\":" + fmt(med(ts))
+    // sec,…},"sf"}). The r18 catalog (77 rows, 30+-char names) outgrew a
+    // FULL per-query map: the 2-decimal line passed 1,900 chars, the {}
+    // fallback went out, and PERF_r18's round-over-round comparison went
+    // dark (n_common 0). Emit instead a PARTIAL map — failed rows first,
+    // then entries LARGEST-median-first, as many as fit in the ~1,800-char
+    // budget — plus "queries_omitted":N. The driver then always compares
+    // the expensive rows (the ones perf verdicts turn on) at any catalog
+    // size; full precision for every row stays in bench/r<N>.json.
+    def fmt3(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val entriesBySize: Seq[String] = results
+      .sortBy { case (_, m) => m.kept match {
+        case Right(ts) => -med(ts)
+        case Left(_) => Double.NegativeInfinity // failed rows always fit
+      }}
+      .map {
+        case (k, Measured(Right(ts), _, _, _)) => "\"" + k + "\":" + fmt3(med(ts))
         case (k, Measured(Left(_), _, _, _)) => "\"" + k + "\":-1"
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$cq,"failed":$failed,"sf":"$sfDir"}"""
+      }
+    val prefix =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":{"""
+    def epilogue(omitted: Int) =
+      s"""},"queries_omitted":$omitted,"failed":$failed,"sf":"$sfDir"}"""
+    val lineBudget = 1800
+    val keptEntries = scala.collection.mutable.ArrayBuffer.empty[String]
+    // reserve epilogue space at its maximum width (all rows omitted)
+    var lineLen = prefix.length + epilogue(results.size).length
+    entriesBySize.foreach { e =>
+      val add = e.length + (if (keptEntries.isEmpty) 0 else 1)
+      if (lineLen + add <= lineBudget) { keptEntries += e; lineLen += add }
     }
-    val compact3 = compactLine(3)
-    val compact2 = compactLine(2)
-    // Last resort if even 2dp outgrows the tail window (≈90 more catalog
-    // rows): drop per-query medians from STDOUT entirely rather than let
-    // the window truncate the line mid-JSON — a parseable headline with
-    // "queries" pointing at the full on-disk record beats "parsed": null.
-    val minimal =
-      s"""{"metric":"total","value":${String.format(java.util.Locale.ROOT,
-        "%.3f", Double.box(total))},"unit":"sec","queries":{},"queries_full":"bench/ (per-round json)","failed":$failed,"sf":"$sfDir"}"""
-    println(
-      if (compact3.length <= 1800) compact3
-      else if (compact2.length <= 1900) compact2
-      else minimal)
+    println(prefix + keptEntries.mkString(",") +
+      epilogue(results.size - keptEntries.size))
     spark.stop()
   }
 }

@@ -14,6 +14,11 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: runMain graft.tools.ExplainDump <sfDir> <outDir> <suffix> [q1,q2,…]")
+      sys.exit(2)
+    }
     val sfDir = args(0)
     val outDir = args(1)
     val suffix = args(2)
