@@ -1105,6 +1105,29 @@ object Dedup {
       (org.apache.spark.sql.graftbridge.GraftColumnBridge
         .internalCreateDataFrame(spark, r, df.schema), r, n)
     }
+    /** [[eagerCheckpoint]] that ALSO tallies rows whose boolean column at
+      * `flagOrdinal` is true, in the same materializing pass — iterative
+      * operators fold their per-round convergence test into the round's
+      * own materialization instead of paying a separate count-join query
+      * (which under AQE is several more scheduler round-trips per round;
+      * at sf0.1 the fixed job overhead, not data, dominates these loops). */
+    def eagerCheckpointFlagCount(df: DataFrame, flagOrdinal: Int)
+        : (DataFrame, IRdd, Long, Long) = {
+      val r = df.queryExecution.toRdd.map(_.copy())
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pending = r
+      r.localCheckpoint()
+      val (n, flagged) = r.mapPartitions { it =>
+        var c = 0L; var f = 0L
+        while (it.hasNext) {
+          val row = it.next(); c += 1
+          if (row.getBoolean(flagOrdinal)) f += 1
+        }
+        Iterator.single((c, f))
+      }.fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+      (org.apache.spark.sql.graftbridge.GraftColumnBridge
+        .internalCreateDataFrame(spark, r, df.schema), r, n, flagged)
+    }
     /** Failure-path sweep: release the in-flight RDD unless an owner
       * variable (whose release the catch block handles itself) already
       * holds it. */
@@ -1605,19 +1628,28 @@ object Dedup {
       labelRdd = first._2
       cp.pending = null
       while (changed > 0 && iter < maxIter) {
-        // (a) candidate label for each node: min of own and neighbors' labels
+        val lab = labels.select(col("id"), col("rep"))
+        // (a) candidate label for each node: min of own and neighbors'
+        // labels — the PREVIOUS label rides along so the round's frame can
+        // carry its own convergence flag (no separate count-join query)
         val viaEdges = edges
-          .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
+          .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), "dst")
           .groupBy(col("src").as("id")).agg(min(col("nrep")).as("mrep"))
-          .join(labels, "id")
-          .select(col("id"), least(col("rep"), col("mrep")).as("rep"))
+          .join(lab, "id")
+          .select(col("id"), col("rep").as("_old"),
+            least(col("rep"), col("mrep")).as("rep"))
         // (b) pointer jump: rep → label(rep) (labels only shrink, so the
-        // looked-up label is never worse than the current one)
-        val (next, nextRdd, _) = cp.eagerCheckpoint(viaEdges
+        // looked-up label is never worse than the current one). ONE fresh
+        // jump only: a second jump would self-join the candidate frame
+        // again, and exchange reuse does not fire across the differently-
+        // keyed sides, so the whole propagation subtree would execute 4×
+        // per round (measured: rounds do not halve, wall time rises).
+        val j1 = viaEdges
           .join(viaEdges.select(col("id").as("rep"), col("rep").as("rep2")), "rep")
-          .select(col("id"), col("rep2").as("rep")))
-        changed = next.join(labels.withColumnRenamed("rep", "old"), "id")
-          .where(col("rep") =!= col("old")).count()
+          .select(col("id"), col("rep2").as("rep"),
+            (col("rep2") =!= col("_old")).as("_chg"))
+        val (next, nextRdd, _, nChanged) = cp.eagerCheckpointFlagCount(j1, 2)
+        changed = nChanged
         labelRdd.unpersist(false) // previous round, fully superseded
         labels = next
         labelRdd = nextRdd
@@ -1635,7 +1667,9 @@ object Dedup {
     }
     edges.unpersist(false) // final labels are materialized — lineage done
     if (scope != null) scope.ownRdds(Seq(labelRdd))
-    labels
+    // post-round frames carry the internal _old/_chg bookkeeping columns;
+    // the contract (and every caller) is exactly (id, rep)
+    labels.select(col("id"), col("rep"))
   }
 
   /** Connected components by LARGE-STAR / SMALL-STAR alternation (Kiveris

@@ -282,10 +282,17 @@ object FuzzyJoin {
     val shL = shingled(left, leftId, leftText, 1, scope, tok)
     val shR = shingled(right, rightId, rightText, 1, scope, tok)
     // df over entity-token incidences (sets per entity, so df = #entities
-    // containing t across both tables)
+    // containing t across both tables). PERSISTED: the frame feeds up to
+    // three consumers (the rare-token filter, the verify's weight lookup,
+    // and both sides' weighted-sampler expansions) — without the pin each
+    // consumer re-explodes both shingle frames and re-pays the token
+    // aggregation's exchange (the r18 plan carried 44 Exchanges for the
+    // rare row largely from exactly this repetition).
     val vocab = shL.select(explode(col("sh")).as("_fj_t"))
       .unionByName(shR.select(explode(col("sh")).as("_fj_t")))
       .groupBy("_fj_t").agg(count(lit(1)).as("_fj_df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (scope != null) scope.own(vocab)
     // The banded channel samples UNWEIGHTED Jaccard unless
     // `weightedCandidates` = K > 0 switches it to a WEIGHTED sampler by
     // integer replication: token t expands into ceil(K/df(t)) virtual
@@ -312,19 +319,26 @@ object FuzzyJoin {
           "_fj_l"),
           weightedBandedRows(shR, vocab, weightedCandidates, numHashes,
             "_fj_r"))
-    val bandedCand = cappedCandidates(bL, bR, maxBucketSize)
     val cand =
-      if (rareDf == 0) bandedCand
+      if (rareDf == 0) cappedCandidates(bL, bR, maxBucketSize)
       else {
         // the rare-token channel: a token-keyed equi-join whose every
         // bucket is <= rareDf entities BY THE FILTER ITSELF — the one
-        // candidate join in this family that cannot have a hot key
-        val rare = vocab.where(col("_fj_df") <= rareDf).select(col("_fj_t"))
+        // candidate join in this family that cannot have a hot key. The
+        // rare-token list is a filtered cut of the (persisted,
+        // vocabulary-sized) df frame — BROADCAST it, same sizing argument
+        // as the verify's weight lookup: a shuffled token join here would
+        // exchange both exploded sides on the token.
+        val rare = broadcast(
+          vocab.where(col("_fj_df") <= rareDf).select(col("_fj_t")))
         val tl = shL.select(col("_fj_id").as("_fj_l"),
           explode(col("sh")).as("_fj_t")).join(rare, "_fj_t")
         val tr = shR.select(col("_fj_id").as("_fj_r"),
           explode(col("sh")).as("_fj_t")).join(rare, "_fj_t")
-        bandedCand.unionByName(
+        // ONE distinct over the union — the banded channel's own dedup is
+        // skipped (dedup = false) so its candidate stream is exchanged
+        // once, not once per channel and again for the union
+        cappedCandidates(bL, bR, maxBucketSize, dedup = false).unionByName(
           tl.join(tr, "_fj_t").select(col("_fj_l"), col("_fj_r"))).distinct()
       }
     val out = weightedVerify(cand, shL, shR,
@@ -332,6 +346,7 @@ object FuzzyJoin {
       threshold)
     Dedup.releaseAfterFirstAction(shL)
     Dedup.releaseAfterFirstAction(shR)
+    if (scope == null) Dedup.releaseAfterFirstAction(vocab, out)
     out
   }
 
@@ -345,6 +360,50 @@ object FuzzyJoin {
   private def weightedVerify(cand: DataFrame, shL: DataFrame,
                              shR: DataFrame, weights: DataFrame,
                              threshold: Double): DataFrame = {
+    // Attach weights ONCE PER ENTITY, not once per candidate-pair×token:
+    // the former shape exploded every pair's union tokens, broadcast-joined
+    // the weights, collect_list'ed them back per pair and fold-scored the
+    // array — a pair×token row blowup plus an object hash-aggregate whose
+    // per-row CPU dominated the verify stage while AQE, seeing only its
+    // small shuffled BYTES, coalesced it to single-digit tasks. Here each
+    // side's tokens join the (vocabulary-sized, broadcast — a shuffled
+    // token join would hot-key on exactly the stop tokens the weighting
+    // discounts) weight frame once, regroup to a SORTED (t, w) array per
+    // entity, and each candidate pair is scored by ONE native sorted-merge
+    // projection ([[graft.ext.expressions.WJaccardMergeExpr]]) — no
+    // per-pair explode, no pair-level aggregation. Bit-identity with the
+    // HOF fold law is pinned by [[wjaccardHofReference]]/FuzzyJoinSpec.
+    def preWeighted(sh: DataFrame, idOut: String, out: String): DataFrame =
+      sh.select(col("_fj_id"), explode(col("sh")).as("_fj_t"))
+        .join(broadcast(weights), Seq("_fj_t"), "left_outer")
+        .select(col("_fj_id"), struct(col("_fj_t").as("t"),
+          coalesce(col("_fj_w"), lit(1.0)).as("w")).as("_fj_e"))
+        .groupBy("_fj_id")
+        .agg(array_sort(collect_list(col("_fj_e"))).as(out))
+        .withColumnRenamed("_fj_id", idOut)
+    val wl = preWeighted(shL, "_fj_l", "_fj_wl")
+    val wr = preWeighted(shR, "_fj_r", "_fj_wr")
+    cand
+      .join(wl, "_fj_l")
+      .join(wr, "_fj_r")
+      .select(col("_fj_l").as("left_id"), col("_fj_r").as("right_id"),
+        wjaccardMerge(col("_fj_wl"), col("_fj_wr")).as("wjaccard"))
+      .where(col("wjaccard") >= threshold)
+  }
+
+  /** The SPARSE-candidate form of the weighted verify — the served-store
+    * probe regime, where candidates are few relative to the catalog: the
+    * pair's union tokens explode (bounded by |cand| × tokens-per-entity,
+    * small HERE by the regime's definition), look up their weight from the
+    * broadcast frame, and fold per pair. [[weightedVerify]]'s pre-weighted
+    * merge shape is the DENSE twin (batch linkage: most entities are
+    * candidates) — there the per-entity regroup amortizes over many pairs;
+    * here it would explode + sort + regroup catalog-sized frames to score
+    * a handful of pairs. Both compute the identical token-sorted
+    * strict-fold law (oracle-gated on every served row). */
+  private def weightedVerifySparse(cand: DataFrame, shL: DataFrame,
+                                   shR: DataFrame, weights: DataFrame,
+                                   threshold: Double): DataFrame = {
     val pairTok = cand
       .join(shL.select(col("_fj_id").as("_fj_l"), col("sh").as("sh_l")),
         "_fj_l")
@@ -355,19 +414,12 @@ object FuzzyJoin {
       .select(col("_fj_l"), col("_fj_r"), col("_fj_t"),
         (array_contains(col("sh_l"), col("_fj_t")) &&
           array_contains(col("sh_r"), col("_fj_t"))).as("_fj_both"))
-    // BROADCAST the weight lookup: the weight frame is vocabulary-sized
-    // (distinct tokens, not candidate-pair×token rows) — a shuffled
-    // token-keyed join here would hot-key on exactly the stop tokens the
-    // weighting exists to discount (they are both the df-heaviest and the
-    // most frequent in pairTok); broadcasting removes the exchange entirely
     val entries = pairTok
       .join(broadcast(weights), Seq("_fj_t"), "left_outer")
       .select(col("_fj_l"), col("_fj_r"),
         struct(col("_fj_t").as("t"),
           coalesce(col("_fj_w"), lit(1.0)).as("w"),
           col("_fj_both").as("b")).as("_fj_e"))
-    // array_sort on struct(t, w, b) orders by t (unique within a pair), so
-    // both folds run in token order — the restatable summation law
     val folded = entries.groupBy(col("_fj_l"), col("_fj_r"))
       .agg(array_sort(collect_list(col("_fj_e"))).as("_fj_es"))
     val sumW = (es: Column) => aggregate(es, lit(0.0),
@@ -377,6 +429,28 @@ object FuzzyJoin {
         (sumW(filter(col("_fj_es"), e => e.getField("b"))) /
           sumW(col("_fj_es"))).as("wjaccard"))
       .where(col("wjaccard") >= threshold)
+  }
+
+  private def wjaccardMerge(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.WJaccardMergeExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The HOF reference law [[graft.ext.expressions.WJaccardMergeExpr]]
+    * stands in for inside [[weightedVerify]] — kept for the bit-identity
+    * spec: union entries (t, w, b = on both sides) sorted by token, then
+    * two strict left folds from 0.0 in token order. Inputs are the two
+    * per-entity token arrays plus the weight lookup applied per union
+    * token (absent → 1.0), exactly the pre-kernel formulation. */
+  private[ext] def wjaccardHofReference(shLArr: Column, shRArr: Column,
+                                        wOf: Column => Column): Column = {
+    val union = array_sort(array_union(shLArr, shRArr))
+    val es = transform(union, t => struct(t.as("t"), wOf(t).as("w"),
+      (array_contains(shLArr, t) && array_contains(shRArr, t)).as("b")))
+    val sumW = (a: Column) => aggregate(a, lit(0.0),
+      (acc, e) => acc + e.getField("w"))
+    sumW(filter(es, e => e.getField("b"))) / sumW(es)
   }
 
   /** `(band, v, <outCol>)` rows of the integer-replication WEIGHTED
@@ -391,6 +465,13 @@ object FuzzyJoin {
                                  outCol: String): DataFrame = {
     val vocabW = dfFrame.select(col("_fj_t"),
       ceil(lit(quantK.toDouble) / col("_fj_df")).cast("int").as("_fj_wk"))
+    // NOTE (r19, measured): a per-token reformulation — signature kernel
+    // over each token's own replica array map-side, then a partial-
+    // aggregating min keyed on (id, band) — was tried and REVERTED: min
+    // over strings has no fixed-size aggregation buffer, so both the
+    // partial and final aggregations fell out of hash aggregation and the
+    // reshape measured ~15% slower on the cws row than this shape despite
+    // moving the md5 work map-side. Kept as the collect_list form.
     sh.select(col("_fj_id"), explode(col("sh")).as("_fj_t"))
       .join(broadcast(vocabW), Seq("_fj_t"), "left_outer")
       .select(col("_fj_id"), col("_fj_t"),
@@ -493,7 +574,7 @@ object FuzzyJoin {
        else store.join(bb, Seq("band", "v")))
         .select(col("_fj_l"), col("store_id").as("_fj_r")).distinct()
     val shC = shingled(catalog, catalogId, catalogText, 1, scope, tok)
-    val out = weightedVerify(cand, shB, shC,
+    val out = weightedVerifySparse(cand, shB, shC,
       vocab.select(col("_fj_t"), (lit(1.0) / col("_fj_df")).as("_fj_w")),
       threshold)
     Dedup.releaseAfterFirstAction(shB)
@@ -512,21 +593,27 @@ object FuzzyJoin {
     * portable md5 signature is computed exactly once per side), no
     * broadcast rounds, no census pass. */
   private def cappedCandidates(bL: DataFrame, bR: DataFrame,
-                               maxBucketSize: Int): DataFrame =
-    if (maxBucketSize == Int.MaxValue)
-      bL.join(bR, Seq("band", "v"))
-        .select(col("_fj_l"), col("_fj_r")).distinct()
-    else {
-      val gL = bL.groupBy("band", "v")
-        .agg(collect_list(col("_fj_l")).as("_fj_ls"))
-      val gR = bR.groupBy("band", "v")
-        .agg(collect_list(col("_fj_r")).as("_fj_rs"))
-      gL.join(gR, Seq("band", "v"))
-        .where(size(col("_fj_ls")) + size(col("_fj_rs")) <= maxBucketSize)
-        .select(explode(col("_fj_ls")).as("_fj_l"), col("_fj_rs"))
-        .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
-        .distinct()
-    }
+                               maxBucketSize: Int,
+                               dedup: Boolean = true): DataFrame = {
+    // dedup = false lets a caller that unions this stream with another
+    // channel dedupe ONCE at the union instead of paying a (l, r)
+    // exchange here and again after the union — identical pair set
+    val raw =
+      if (maxBucketSize == Int.MaxValue)
+        bL.join(bR, Seq("band", "v"))
+          .select(col("_fj_l"), col("_fj_r"))
+      else {
+        val gL = bL.groupBy("band", "v")
+          .agg(collect_list(col("_fj_l")).as("_fj_ls"))
+        val gR = bR.groupBy("band", "v")
+          .agg(collect_list(col("_fj_r")).as("_fj_rs"))
+        gL.join(gR, Seq("band", "v"))
+          .where(size(col("_fj_ls")) + size(col("_fj_rs")) <= maxBucketSize)
+          .select(explode(col("_fj_ls")).as("_fj_l"), col("_fj_rs"))
+          .select(col("_fj_l"), explode(col("_fj_rs")).as("_fj_r"))
+      }
+    if (dedup) raw.distinct() else raw
+  }
 
   /** Exact verify: |A∪B| = |A|+|B|-|A∩B| for the distinct-shingle sets,
     * so no union array is ever materialized. */

@@ -1105,6 +1105,32 @@ case class GreedyChainExpr(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** SQL-builder guard for kernels whose arg `i` must be a foldable
+    * integer literal: a wrong arity or a non-literal used to surface as a
+    * raw NPE / IndexOutOfBounds from `children(1).eval()` — fail instead
+    * with the analysis-time message every other SQL arity error gets. */
+  private def intLitArg(fn: String, children: Seq[Expression], i: Int,
+                        expectedArity: Int): Int = {
+    if (children.length != expectedArity)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("msg" ->
+          s"$fn expects exactly $expectedArity arguments, got ${children.length}"))
+    val c = children(i)
+    val integral = c.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (!c.foldable || !integral)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_3055",
+        messageParameters = Map("msg" ->
+          s"$fn argument ${i + 1} must be an integer literal, got ${c.sql}"))
+    c.eval().asInstanceOf[Number].intValue()
+  }
   private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "graft_rolling_hash"),
@@ -1123,37 +1149,37 @@ object GraftFunctions {
       (children: Seq[Expression]) =>
         // second arg = bit width, must be an integer literal
         SimHashExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_simhash", children, 1, 2))),
     (FunctionIdentifier("graft_hashed_shingles"),
       new ExpressionInfo(classOf[HashedShinglesExpr].getName, "graft_hashed_shingles"),
       (children: Seq[Expression]) =>
         // second arg = shingle length, must be an integer literal
         HashedShinglesExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_hashed_shingles", children, 1, 2))),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
       (children: Seq[Expression]) =>
         // second arg = signature length, must be an integer literal
         MinHashSigExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_minhash_sig", children, 1, 2))),
     (FunctionIdentifier("graft_md5_minhash"),
       new ExpressionInfo(classOf[Md5MinHashExpr].getName, "graft_md5_minhash"),
       (children: Seq[Expression]) =>
         // second arg = signature length, must be an integer literal
         Md5MinHashExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_md5_minhash", children, 1, 2))),
     (FunctionIdentifier("graft_md5_minhash60"),
       new ExpressionInfo(classOf[Md5MinHash60Expr].getName, "graft_md5_minhash60"),
       (children: Seq[Expression]) =>
         // second arg = signature length, must be an integer literal
         Md5MinHash60Expr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_md5_minhash60", children, 1, 2))),
     (FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStatsExpr].getName, "graft_repetition"),
       (children: Seq[Expression]) =>
         // second arg = n-gram length, must be an integer literal
         RepetitionStatsExpr(children(0),
-          children(1).eval().asInstanceOf[Number].intValue())),
+          intLitArg("graft_repetition", children, 1, 2))),
     (FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NormalizeNfcExpr].getName, "graft_nfc"),
       (children: Seq[Expression]) => NormalizeNfcExpr(children.head)),
@@ -1162,7 +1188,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => StripAccentsExpr(children.head)),
     (FunctionIdentifier("graft_greedy_chain"),
       new ExpressionInfo(classOf[GreedyChainExpr].getName, "graft_greedy_chain"),
-      (children: Seq[Expression]) => GreedyChainExpr(children(0), children(1))))
+      (children: Seq[Expression]) => GreedyChainExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_wjaccard_merge"),
+      new ExpressionInfo(classOf[WJaccardMergeExpr].getName, "graft_wjaccard_merge"),
+      (children: Seq[Expression]) => WJaccardMergeExpr(children(0), children(1))))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */
@@ -1224,6 +1253,103 @@ case class ScrubGramsExpr(child: Expression, grams: Seq[String], mask: String)
 
   override protected def withNewChildInternal(newChild: Expression): ScrubGramsExpr =
     copy(child = newChild)
+}
+
+/** Sorted-merge weighted-Jaccard over a candidate pair's two pre-weighted
+  * token arrays — the verify kernel of [[graft.ext.FuzzyJoin]]'s weighted
+  * family. Inputs: two array<struct<t:string, w:double>>, each an entity's
+  * distinct tokens with their weights, SORTED ascending by t (the callers
+  * build them once per entity with array_sort; tokens are unique within an
+  * entity). Result is BIT-IDENTICAL to the HOF tree it replaces
+  * (FuzzyJoinSpec pins it):
+  *
+  *   es  = array_sort(union entries (t, w, b=both))
+  *   num = aggregate(filter(es, _.b), 0.0, _ + _.w)   — strict left fold
+  *   den = aggregate(es, 0.0, _ + _.w)
+  *   num / den
+  *
+  * A two-pointer merge of the sorted inputs visits the union's tokens in
+  * exactly array_sort's order (UTF8String binary order), adding each
+  * token's weight to `den` and, when present on BOTH sides, to `num` — the
+  * same addition sequences as the two folds. Replacing the per-pair
+  * explode → weight join → collect_list → fold chain with this projection
+  * removes the pair×token row blowup and the object hash-aggregate that
+  * dominated the verify stage (AQE coalesces it to few tasks — small
+  * shuffled bytes, heavy per-row CPU). */
+case class WJaccardMergeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  private val entryType = ArrayType(StructType(Seq(
+    StructField("t", StringType), StructField("w", DoubleType))))
+  override def inputTypes = Seq(entryType, entryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_wjaccard_merge"
+
+  /** Boxed so codegen can signal null (any null entry/field → null, the
+    * HOF tree's propagation). */
+  def merge(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var num = 0.0
+    var den = 0.0
+    var i = 0
+    var j = 0
+    while (i < na || j < nb) {
+      var cmp = 0
+      if (i >= na) cmp = 1
+      else if (j >= nb) cmp = -1
+      else {
+        if (a.isNullAt(i) || b.isNullAt(j)) return null
+        cmp = a.getStruct(i, 2).getUTF8String(0)
+          .compareTo(b.getStruct(j, 2).getUTF8String(0))
+      }
+      if (cmp < 0) {
+        if (a.isNullAt(i)) return null
+        val e = a.getStruct(i, 2)
+        if (e.isNullAt(0) || e.isNullAt(1)) return null
+        den += e.getDouble(1)
+        i += 1
+      } else if (cmp > 0) {
+        if (b.isNullAt(j)) return null
+        val e = b.getStruct(j, 2)
+        if (e.isNullAt(0) || e.isNullAt(1)) return null
+        den += e.getDouble(1)
+        j += 1
+      } else {
+        val e = a.getStruct(i, 2)
+        if (e.isNullAt(0) || e.isNullAt(1)) return null
+        val w = e.getDouble(1)
+        den += w
+        num += w
+        i += 1
+        j += 1
+      }
+    }
+    java.lang.Double.valueOf(num / den)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (r == null) null else r.doubleValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wjMerge", this,
+      classOf[WJaccardMergeExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("wj")
+      s"""
+         |java.lang.Double $tmp = $ref.merge($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): WJaccardMergeExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** For `spark.sql.extensions=graft.ext.expressions.GraftExtensions`. */

@@ -41,12 +41,17 @@ object StageProfile {
     val qs = graft.SparkEntry.queries
 
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    val execOfJob =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
     @volatile var record = false
     val listener = new SparkListener {
       private val jobOfStage =
         new java.util.concurrent.ConcurrentHashMap[Int, Int]()
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         js.stageIds.foreach(sid => jobOfStage.put(sid, js.jobId))
+        execOfJob.put(js.jobId, String.valueOf(
+          js.properties.getProperty("spark.sql.execution.id", "-")))
+      }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         if (record) {
           val si = sc.stageInfo
@@ -83,12 +88,22 @@ object StageProfile {
       System.err.println(
         f"\n== $name: wall ${wallMs / passes}%.0f ms/pass over $passes " +
           f"passes, ${all.size} stages, stage-ms sum ${sumMs / passes}%d/pass ==")
-      System.err.println(f"${"job"}%4s ${"stage"}%6s ${"ms"}%7s " +
+      System.err.println(f"${"job"}%4s ${"exec"}%5s ${"stage"}%6s ${"ms"}%7s " +
         f"${"tasks"}%6s ${"shR MB"}%8s ${"shW MB"}%8s  name")
       all.foreach { r =>
-        System.err.println(f"${r.jobId}%4d ${r.stageId}%6d ${r.ms}%7d " +
-          f"${r.tasks}%6d ${r.shufReadMB}%8.2f ${r.shufWriteMB}%8.2f  ${r.name}")
+        System.err.println(f"${r.jobId}%4d " +
+          f"${execOfJob.getOrDefault(r.jobId, "-")}%5s ${r.stageId}%6d " +
+          f"${r.ms}%7d ${r.tasks}%6d ${r.shufReadMB}%8.2f " +
+          f"${r.shufWriteMB}%8.2f  ${r.name}")
       }
+      // per-SQL-execution rollup: which ACTION owns the job flood
+      val byExec = all.groupBy(r => execOfJob.getOrDefault(r.jobId, "-"))
+        .map { case (e, rs) =>
+          (e, rs.map(_.ms).sum, rs.map(_.jobId).distinct.size, rs.size) }
+        .toSeq.sortBy(-_._2)
+      System.err.println(f"${"exec"}%6s ${"ms"}%8s ${"jobs"}%6s ${"stages"}%7s")
+      byExec.foreach { case (e, ms, jobs, stages) =>
+        System.err.println(f"$e%6s $ms%8d $jobs%6d $stages%7d") }
     }
     spark.stop()
   }

@@ -323,8 +323,44 @@ class NativeExprSpec extends SparkSpec {
       "graft_repetition(array('a', 'a', 'a'), 2)",
       "graft_nfc('x')",
       "graft_strip_accents('x')",
-      "graft_greedy_chain(array(1L, 2L), array(array(1.0d), array(2.0d)))")
+      "graft_greedy_chain(array(1L, 2L), array(array(1.0d), array(2.0d)))",
+      "graft_wjaccard_merge(array(named_struct('t', 'a', 'w', 1.0d)), " +
+        "array(named_struct('t', 'a', 'w', 1.0d)))")
     probes.foreach(e => spark.sql(s"SELECT $e").collect())
+  }
+
+  test("graft_wjaccard_merge ≡ the sorted-union HOF fold, bit for bit") {
+    // adversarial token sets: unicode order, disjoint, identical, empty
+    // side, 1/df-style irrational weights whose sum order matters at the
+    // last ulp — the kernel must reproduce the HOF tree EXACTLY
+    val rows = Seq(
+      (Seq("alpha", "beta", "zz"), Seq("beta", "gamma")),
+      (Seq("a"), Seq("b")),
+      (Seq("x", "y"), Seq("x", "y")),
+      (Seq("é", "é", "z"), Seq("é", "a")),
+      (Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7"), Seq("t3", "t9")),
+      (Seq[String](), Seq("only")),
+      (Seq("p1204", "invoice", "acct1"), Seq("p1204", "brand#2", "economy")))
+      .toDF("sa", "sb")
+    val w = (t: org.apache.spark.sql.Column) =>
+      lit(1.0) / (length(t).cast("double") * lit(3.0))
+    def entries(arr: org.apache.spark.sql.Column) =
+      array_sort(transform(arr, t => struct(t.as("t"), w(t).as("w"))))
+    // build the pre-weighted sorted entry arrays the kernel consumes
+    val prepared = rows
+      .withColumn("ents_a", entries(col("sa")))
+      .withColumn("ents_b", entries(col("sb")))
+      .select(
+        FuzzyJoin.wjaccardHofReference(col("sa"), col("sb"), w).as("hof"),
+        expr("graft_wjaccard_merge(ents_a, ents_b)").as("native"))
+      .collect()
+    prepared.foreach { r =>
+      val hof = r.getDouble(0); val native = r.getDouble(1)
+      assert(java.lang.Double.doubleToRawLongBits(hof) ===
+        java.lang.Double.doubleToRawLongBits(native),
+        s"wjaccard drift: hof=$hof native=$native")
+    }
+    assert(prepared.length === 7)
   }
 
   test("graft_strip_accents: NFD + mark removal; base letters survive; ASCII fast path") {
