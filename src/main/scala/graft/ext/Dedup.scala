@@ -2092,10 +2092,11 @@ object Dedup {
     * (a pair can agree on several bands). */
   private def bandedAgreementJoin(batchBanded: DataFrame, storeBanded: DataFrame,
                                   numHashes: Int, threshold: Double): DataFrame = {
-    val agree = aggregate(
-      zip_with(col("batch_sig"), col("store_sig"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
+    // native positional-agreement kernel: the zip_with + aggregate HOF twin
+    // (kept below as [[sigAgreeHof]] for the bit-identity spec) is
+    // CodegenFallback and ran the lambda interpreter once per shared-band
+    // candidate — the probe stage's measured cost at high candidate counts
+    val agree = sigAgree(col("batch_sig"), col("store_sig"))
     batchBanded.join(storeBanded, Seq("band", "v"))
       .select(col("batch_id"), col("store_id"), agree.as("n_agree"))
       .where(col("n_agree").cast("double") / numHashes >= threshold)
@@ -2103,6 +2104,19 @@ object Dedup {
         (col("n_agree").cast("double") / numHashes).as("est_jaccard"))
       .distinct()
   }
+
+  private def sigAgree(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge
+    GraftColumnBridge.column(graft.ext.expressions.SigAgreeExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
+  /** The HOF reference law [[graft.ext.expressions.SigAgreeExpr]] replaces
+    * in [[bandedAgreementJoin]] — kept for the bit-identity spec. */
+  private[ext] def sigAgreeHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
 
   /** MATERIALIZED capped band-representative store — the served LSH-bucket
     * state as data, built ONCE: [[minhashStore]]'s signatures band-exploded
@@ -2339,9 +2353,23 @@ object Dedup {
                                   threshold: Double = 0.5,
                                   broadcastBatch: Boolean = true): DataFrame = {
     val (shingleLen, numHashes, bandRows, _, tok) = bandedGeometry(spark, dir)
-    nearDupAgainstBandedStore(spark.read.parquet(dir), batch, idCol, textCol,
+    nearDupAgainstBandedStore(servedScan(spark, dir), batch, idCol, textCol,
       shingleLen, numHashes, threshold, bandRows, broadcastBatch, tok)
   }
+
+  /** Served-store scan with read-side parallelism widening: a small store
+    * compacts to a handful of parquet files (§6-correct layout for its
+    * size), but the probe's heavy per-candidate work runs in the STORE
+    * scan's stage (the batch side broadcasts), so a 4-file store pins a
+    * 32-core probe to 4 tasks — the measured anti-scaling of the served
+    * probe rows. [[ensureParallelism]] widens only when the scan has fewer
+    * splits than the session's parallelism: a production-sized store
+    * (thousands of splits) passes through untouched and the no-store-
+    * shuffle design point is preserved where it matters. */
+  private[ext] def servedScan(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): DataFrame =
+    ensureParallelism(spark.read.parquet(dir),
+      spark.sparkContext.defaultParallelism)
 
   /** [[nearDupAgainstBandedStoreAt]] with the caller supplying the
     * TOKENIZER (geometry still comes from the sidecar): for [[Tokenizer
@@ -2356,7 +2384,7 @@ object Dedup {
       broadcastBatch: Boolean = true): DataFrame = {
     val (shingleLen, numHashes, bandRows, _, t) =
       bandedGeometry(spark, dir, Some(tok))
-    nearDupAgainstBandedStore(spark.read.parquet(dir), batch, idCol, textCol,
+    nearDupAgainstBandedStore(servedScan(spark, dir), batch, idCol, textCol,
       shingleLen, numHashes, threshold, bandRows, broadcastBatch, t)
   }
 

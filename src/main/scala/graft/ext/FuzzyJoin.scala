@@ -101,10 +101,14 @@ object FuzzyJoin {
                           broadcastBatch: Boolean = true,
                           scope: CacheScope = null): DataFrame = {
     val (shingleLen, _, _, _, tok) = Dedup.bandedGeometry(spark, storeDir)
+    // no second distinct: the probe's output is already one row per
+    // (batch_id, store_id) — n_agree/est_jaccard are functions of the
+    // pair's two signatures, so the probe's own 4-column dedup leaves the
+    // 2-column projection unique, and re-deduping it would re-exchange the
+    // whole candidate set for nothing
     val cand = Dedup.nearDupAgainstBandedStoreAt(spark, storeDir, batch,
         batchId, batchText, candidateThreshold, broadcastBatch)
       .select(col("batch_id").as("_fj_l"), col("store_id").as("_fj_r"))
-      .distinct()
     storeVerify(cand, batch, batchId, batchText, catalog, catalogId,
       catalogText, shingleLen, tok, threshold, scope)
   }
@@ -127,10 +131,10 @@ object FuzzyJoin {
                               scope: CacheScope = null): DataFrame = {
     val (shingleLen, _, _, _, t) =
       Dedup.bandedGeometry(spark, storeDir, Some(tok))
+    // no second distinct — see linkageAgainstStore
     val cand = Dedup.nearDupAgainstBandedStoreAtWith(spark, storeDir, batch,
         batchId, batchText, t, candidateThreshold, broadcastBatch)
       .select(col("batch_id").as("_fj_l"), col("store_id").as("_fj_r"))
-      .distinct()
     storeVerify(cand, batch, batchId, batchText, catalog, catalogId,
       catalogText, shingleLen, t, threshold, scope)
   }
@@ -568,7 +572,8 @@ object FuzzyJoin {
       .select(col("t").as("_fj_t"), col("df").as("_fj_df"))
     val shB = shingled(batch, batchId, batchText, 1, scope, tok)
     val bb = weightedBandedRows(shB, vocab, quantK, numHashes, "_fj_l")
-    val store = spark.read.parquet(storeDir)
+    // read-side widening for small stores (Dedup.servedScan's rationale)
+    val store = Dedup.servedScan(spark, storeDir)
     val cand =
       (if (broadcastBatch) store.join(broadcast(bb), Seq("band", "v"))
        else store.join(bb, Seq("band", "v")))

@@ -1191,7 +1191,10 @@ object GraftFunctions {
       (children: Seq[Expression]) => GreedyChainExpr(children(0), children(1))),
     (FunctionIdentifier("graft_wjaccard_merge"),
       new ExpressionInfo(classOf[WJaccardMergeExpr].getName, "graft_wjaccard_merge"),
-      (children: Seq[Expression]) => WJaccardMergeExpr(children(0), children(1))))
+      (children: Seq[Expression]) => WJaccardMergeExpr(children(0), children(1))),
+    (FunctionIdentifier("graft_sig_agree"),
+      new ExpressionInfo(classOf[SigAgreeExpr].getName, "graft_sig_agree"),
+      (children: Seq[Expression]) => SigAgreeExpr(children(0), children(1))))
 
   /** Idempotent per-session registration (alternative to the extensions
     * config for sessions the library doesn't create). */
@@ -1349,6 +1352,75 @@ case class WJaccardMergeExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): WJaccardMergeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Positional agreement count of two signature arrays (array<string>) —
+  * the store-probe scorer of [[graft.ext.Dedup]]'s banded served stores.
+  * BIT-IDENTICAL to the HOF tree it replaces:
+  *
+  *   aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+  *             0, _ + _)
+  *
+  * i.e. iterate max(|a|, |b|) positions (zip_with pads the shorter side
+  * with null), count a position iff both elements are non-null and equal.
+  * The HOF pair is CodegenFallback and runs the lambda interpreter per
+  * position per candidate pair — on a store probe that evaluates it for
+  * every shared-band candidate, that interpreter (and the codegen break it
+  * causes for the whole probe stage) was the measured stage cost. */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_sig_agree expects two array<string> or two array<bigint> " +
+            s"columns, got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agree"
+
+  // both signature families: md5-hex strings and 60-bit longs
+  @transient private lazy val longElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  def agree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements()) // a padded-null
+    var c = 0                               // position can never count
+    var i = 0
+    if (longElems) {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+          c += 1
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (!a.isNullAt(i) && !b.isNullAt(i) &&
+            a.getUTF8String(i).equals(b.getUTF8String(i))) c += 1
+        i += 1
+      }
+    }
+    c
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    agree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigAgree", this,
+      classOf[SigAgreeExpr].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.agree($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SigAgreeExpr =
     copy(left = newLeft, right = newRight)
 }
 

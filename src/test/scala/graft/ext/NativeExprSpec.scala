@@ -329,6 +329,25 @@ class NativeExprSpec extends SparkSpec {
     probes.foreach(e => spark.sql(s"SELECT $e").collect())
   }
 
+  test("graft_sig_agree ≡ the zip_with/aggregate HOF count on every edge") {
+    // equal, disjoint, partial, unequal lengths (zip_with null-pads), and
+    // null elements (never count)
+    val rows = Seq(
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "b"), Seq("x", "y")),
+      (Seq("a", "b", "c", "d"), Seq("a", "x", "c")),
+      (Seq("a"), Seq("a", "b", "c")),
+      (Seq[String]("a", null, "c"), Seq("a", null, "c")),
+      (Seq[String](), Seq("a")))
+      .toDF("sa", "sb")
+    val got = rows.select(
+      Dedup.sigAgreeHof(col("sa"), col("sb")).as("hof"),
+      expr("graft_sig_agree(sa, sb)").as("native")).collect()
+    got.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1), s"sig_agree drift: $r")
+    }
+  }
+
   test("graft_wjaccard_merge ≡ the sorted-union HOF fold, bit for bit") {
     // adversarial token sets: unicode order, disjoint, identical, empty
     // side, 1/df-style irrational weights whose sum order matters at the
