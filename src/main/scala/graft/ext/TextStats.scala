@@ -426,7 +426,14 @@ object TextStats {
     // 25-100× slower (expression-tree blowup), and the linear fold variant
     // is O(n·k) per row — quadratic in per-doc distinct count, a hazard
     // for long documents that the shuffle shape does not have.
-    val tf = df
+    // WIDEN the input before the per-row-heavy tokenize + explode (r19,
+    // measured): the documents table at bench SF is ONE parquet split, so
+    // the fused tokenizer kernel — the operator's dominant compute — ran
+    // on a single task however many cores the session had. The same
+    // ensureParallelism guard the dedup family uses: a no-op for a
+    // well-split input at scale.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val tf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 1, tok)).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -557,13 +564,17 @@ object TextStats {
                          maxBroadcast: Long = 1L << 20,
                          scope: CacheScope = null,
                          tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
-    val ref = Option(reference).getOrElse(df)
+    val ref0 = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
+    // widen both sides before the tokenize+explode (single-split input =
+    // single-task tokenization; see the corpusFrequencyScore note)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
     // explode+groupBy is the scale shape here too: partial aggregation
     // collapses per-doc pairs map-side before any exchange (see the
     // corpusFrequencyScore note on the rejected row-local alternatives)
-    val pf = df
+    val pf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 2, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col(idCol), col("w1"), col("w2"))
@@ -679,10 +690,13 @@ object TextStats {
                           maxBroadcast: Long = 1L << 20,
                           scope: CacheScope = null,
                           tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
-    val ref = Option(reference).getOrElse(df)
+    val ref0 = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
-    val tf = df
+    // widen both sides before the tokenize+explode (see bigramBackoffScore)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
+    val tf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.w3").as("w3"))
@@ -783,12 +797,15 @@ object TextStats {
                      maxBroadcast: Long = 1L << 20,
                      scope: CacheScope = null,
                      tok: Tokenizer = Tokenizer.Whitespace): org.apache.spark.sql.DataFrame = {
-    val ref = Option(reference).getOrElse(df)
+    val ref0 = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
     val D = 0.75
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val tf = df
+    // widen both sides before the tokenize+explode (see bigramBackoffScore)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
+    val tf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
         col("p.w3").as("w3"))
