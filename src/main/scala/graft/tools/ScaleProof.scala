@@ -130,6 +130,50 @@ object ScaleProof {
       TextStats.trigramBackoffScore(docs, "doc_id", "text",
         reference = docs.where(col("doc_id") % 2 === 0)).count()
     }
+    // r19 (VERDICT item 7): the weighted-linkage family's SKEW VALVES at
+    // size — a planted identical-text flood on the catalog side (the
+    // boilerplate-entity regime: 10% of rows share ONE token set, so each
+    // of the flood's 16 minhash bands lands its entire population in one
+    // (band, v) bucket). maxBucketSize = 150 drops those buckets whole
+    // (the documented recall trade); the flood's price token carries
+    // df = |flood| >> rareDf, so the deterministic rare channel is immune
+    // BY the df cap's definition. Wall/shuffle must track corpus size
+    // (run with SPARK_GRAFT_REPLICAS=10 and 20: ~linear), never
+    // |flood|² — uncapped, the planted bucket alone would be ~25M+
+    // candidate pairs per band.
+    if (wanted("fuzzy_weighted_skew")) {
+      val part0 = spark.read.parquet(s"$sfDir/part.parquet")
+      val parts: DataFrame = (0 until replicas).map { r =>
+        part0.select((col("p_partkey") + lit(r * 10000000L)).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice"))
+      }.reduce(_ unionByName _).cache()
+      val nParts = parts.count()
+      val priceTok = concat(lit("p"),
+        round(col("p_retailprice") * 10, 0).cast("long").cast("string"))
+      val left = parts.select(col("p_partkey").as("entity_id"),
+        concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"),
+          col("p_size"), priceTok).as("entity"))
+      val right = parts.where(col("p_partkey") % 2 === 0)
+        .select((col("p_partkey") + 900000000L).as("cat_id"),
+          when(col("p_partkey") % 20 === 0,
+            lit("invoice acct0 region0 p999999"))
+            .otherwise(concat_ws(" ", lit("invoice"),
+              concat(lit("acct"), (col("p_partkey") % 3).cast("string")),
+              concat(lit("region"), (col("p_partkey") % 7).cast("string")),
+              priceTok)).as("cat_name"))
+      val flood = right.where(col("cat_name") ===
+        "invoice acct0 region0 p999999").count()
+      println(s"fuzzy_weighted_skew fixture: $nParts left, " +
+        s"~${nParts / 2} right incl. $flood planted identical-text rows " +
+        s"(one ${flood}-entity bucket per band uncapped)")
+      measured("fuzzy_weighted_skew") {
+        graft.ext.FuzzyJoin.weightedLinkage(left, "entity_id", "entity",
+          right, "cat_id", "cat_name",
+          numHashes = 16, threshold = 0.5, maxBucketSize = 150,
+          rareDf = 16).count()
+      }
+    }
     // the graph-ANN maintenance seam at scale: appending the LAST replica
     // (10% of the corpus) to a graph over the other 90% must cost a small
     // fraction of the full rebuild next to it — the search shuffles beam
