@@ -568,9 +568,13 @@ object TextStats {
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
     // widen both sides before the tokenize+explode (single-split input =
-    // single-task tokenization; see the corpusFrequencyScore note)
+    // single-task tokenization; see the corpusFrequencyScore note). The
+    // widened reference PERSISTS: it feeds every count frame (c2 + c1
+    // here; c3/c2/c1 in the trigram ops), and an unpersisted repartition
+    // subtree would re-scan and re-exchange once per frame.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode+groupBy is the scale shape here too: partial aggregation
     // collapses per-doc pairs map-side before any exchange (see the
     // corpusFrequencyScore note on the rejected row-local alternatives)
@@ -611,8 +615,11 @@ object TextStats {
         sum(col("pf") * pairFp).as("score_fp"))
       .withColumn("mean_score",
         col("score_fp").cast("double") / (col("n_bigrams") * FP).cast("double"))
-    if (scope != null) scope.own(pf)
-    else Dedup.releaseAfterFirstAction(pf, result)
+    if (scope != null) { scope.own(pf); scope.own(ref) }
+    else {
+      Dedup.releaseAfterFirstAction(pf, result)
+      Dedup.releaseAfterFirstAction(ref, result)
+    }
     result
   }
 
@@ -693,9 +700,11 @@ object TextStats {
     val ref0 = Option(reference).getOrElse(df)
     val refText = Option(refTextCol).getOrElse(textCol)
     val FP = 1L << 20
-    // widen both sides before the tokenize+explode (see bigramBackoffScore)
+    // widen both sides before the tokenize+explode, reference persisted —
+    // three count frames read it (see bigramBackoffScore)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
@@ -751,8 +760,11 @@ object TextStats {
         sum(col("tf") * tripleFp).as("score_fp"))
       .withColumn("mean_score",
         col("score_fp").cast("double") / (col("n_trigrams") * FP).cast("double"))
-    if (scope != null) scope.own(tf)
-    else Dedup.releaseAfterFirstAction(tf, result)
+    if (scope != null) { scope.own(tf); scope.own(ref) }
+    else {
+      Dedup.releaseAfterFirstAction(tf, result)
+      Dedup.releaseAfterFirstAction(ref, result)
+    }
     result
   }
 
@@ -802,9 +814,11 @@ object TextStats {
     val FP = 1L << 20
     val D = 0.75
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // widen both sides before the tokenize+explode (see bigramBackoffScore)
+    // widen both sides before the tokenize+explode, reference persisted —
+    // three count frames read it (see bigramBackoffScore)
     val par = df.sparkSession.sparkContext.defaultParallelism
     val ref = Dedup.ensureParallelism(ref0.select(col(refText)), par)
+      .persist(lvl)
     val tf = Dedup.ensureParallelism(df.select(col(idCol), col(textCol)), par)
       .select(col(idCol), explode(tokenNgrams(col(textCol), 3, tok)).as("p"))
       .select(col(idCol), col("p.w1").as("w1"), col("p.w2").as("w2"),
@@ -878,7 +892,7 @@ object TextStats {
         sum(col("tf") * floor(lit(FP.toDouble) * p3)).as("score_fp"))
       .withColumn("mean_score",
         col("score_fp").cast("double") / (col("n_trigrams") * FP).cast("double"))
-    Seq(tf, c3, c2).foreach { f =>
+    Seq(tf, c3, c2, ref).foreach { f =>
       if (scope != null) scope.own(f)
       else Dedup.releaseAfterFirstAction(f, result)
     }
